@@ -1,0 +1,116 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — no Python
+UDFs. Designed for a ``documents(doc_id, text, lang, source, n_chars)``
+table but usable on any string column.
+
+At 100 TB these run as map-only projections over the parquet scan: no
+shuffle, no Python worker traffic, and the parquet reader only
+materializes the referenced columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword language
+# heuristic. Deterministic and implementable identically in ANSI SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "los", "que", "y", "las"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_like_token_count(text: Column) -> Column:
+    """Count of BPE-ish pretokens: word pieces OR single non-space
+    punctuation, the usual pre-tokenizer regex shape."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"))
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    t = tokens(text)
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(t)) / F.size(t)
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    t = tokens(text)
+    hits = _membership_count(t, STOPWORDS)
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(hits / F.size(t))
+
+
+def mean_token_length(text: Column) -> Column:
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(total / F.size(t))
+
+
+def punctuation_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band, lexical diversity,
+    stopword presence. A cheap filter stage before expensive dedup."""
+    t = tokens(text)
+    n = F.size(t)
+    length_score = F.when(n.between(10, 5000), F.lit(1.0)).otherwise(
+        F.when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    diversity = distinct_token_ratio(text)
+    stop = stopword_ratio(text)
+    stop_score = F.when((stop > 0.01) & (stop < 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((length_score + diversity + stop_score) / F.lit(3.0), 4)
+
+
+def _membership_count(arr: Column, words: list[str]) -> Column:
+    def pred(w: Column) -> Column:
+        return w.isin(*words)
+
+    return F.size(F.filter(arr, pred))
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-token hit counts."""
+    t = tokens(text)
+    return {lang: _membership_count(t, words) for lang, words in LANG_MARKERS.items()}
+
+
+def predicted_language(text: Column) -> Column:
+    """argmax over language marker scores, ties broken by language code
+    ascending, all-zero → 'und'. Deterministic."""
+    scores = language_scores(text)
+    # Build array<struct<score,negcode>> and take max → deterministic argmax.
+    entries = [
+        F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        for lang, s in sorted(scores.items(), reverse=True)
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized, lowercased
+    text. Content-addressable identity for exact dedup."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))

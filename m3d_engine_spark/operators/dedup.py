@@ -1,0 +1,229 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference capability (the reference has no dedup; its closest
+relative is the CDC condensation window). Five strategies, all built
+from JVM-side expressions + joins — no Python UDFs — so they scale as
+ordinary shuffles:
+
+* **exact** — group by content fingerprint (md5 of normalized text);
+  canonical id = min(id). One shuffle on a 32-byte key.
+* **MinHash + LSH** — token-shingle MinHash signatures, banded into LSH
+  buckets; candidate pairs come from a self-equi-join on
+  ``(band, band_key)``, i.e. a co-partitioned join instead of an O(n²)
+  cross join. This is the workhorse for ~10⁹-document near-dedup.
+* **SimHash** — 16-bit sign fingerprint of token hash bits; identical
+  signature → near-dup candidate. Cheapest signal, one aggregation.
+* **n-gram Jaccard** — exact pairwise Jaccard over shingle sets, blocked
+  by a cheap key (e.g. source) to bound the quadratic term; used to
+  verify LSH candidates.
+* **embedding cosine** — near-dup pairs in sign-LSH buckets with cosine
+  above a threshold (see operators/similarity.py for the ANN machinery).
+
+Determinism: every hash is md5-of-string (same bytes in any engine), so
+results are reproducible and oracle-checkable. All thresholds compare
+``round(x, 4)`` to avoid float-boundary flakiness.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.functions.text import fingerprint, tokens
+from m3d_engine_spark.functions.vectors import cosine, sign_lsh_bucket
+
+
+# ---------------------------------------------------------------- exact
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fingerprint, canonical_id, group_size) — canonical is the
+    smallest id sharing the fingerprint."""
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        F.col(id_col),
+        F.col("fingerprint"),
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
+
+# ------------------------------------------------------------- shingles
+def shingle_array(text: Column, n: int) -> Column:
+    """Token n-gram shingles (space-joined); fewer than n tokens → the
+    whole text as the single shingle."""
+    toks = tokens(text)
+
+    def make(i: Column) -> Column:
+        return F.concat_ws(" ", F.slice(toks, i + 1, n))
+
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n), make),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+# -------------------------------------------------------- MinHash + LSH
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """array<string> of ``num_hashes`` MinHash values: hash_j = min over
+    shingles of md5('<j>|' + shingle). Lexicographic min over hex md5 is
+    a valid uniform min-hash and engine-portable."""
+    sh = F.array_distinct(shingle_array(text, shingle_n))
+
+    def mh(j: int) -> Column:
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))))
+
+    return F.array(*[mh(j) for j in range(num_hashes)])
+
+
+def lsh_bands(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 16, bands: int = 8, shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, band_key): signature split into ``bands`` equal bands;
+    band_key = md5 of the band's joined hashes. Same band_key in the same
+    band ⇒ LSH candidate."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws("|", F.slice(sig, b * rows + 1, rows)))
+                for b in range(bands)
+            ])
+        ).alias("band", "band_key"),
+    )
+    return banded
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int = 16, bands: int = 8, shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) colliding in ≥1 LSH band.
+
+    The self-join key (band, band_key) co-partitions both sides: the
+    shuffle moves only (id, 32-byte key) pairs, never documents.
+    """
+    b = lsh_bands(df, id_col, text_col, num_hashes, bands, shingle_n)
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# -------------------------------------------------------------- SimHash
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over tokens (with multiplicity). Bit b of a token =
+    parity of hex digit b of md5(token); signature bit b = majority sign
+    of Σ(2·bit−1). Portable: md5 hex is identical everywhere."""
+    toks = tokens(text)
+
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + (F.ascii(F.substring(F.md5(t), b + 1, 1)) % 2) * 2 - 1,
+        )
+
+    out = F.lit(0)
+    for b in range(16):
+        out = out + F.when(bit_sum(b) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash, canonical_id, group_size) by identical signature.
+    (Hamming-distance-≤k matching = same join on rotated band slices.)"""
+    sh = df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+    w = Window.partitionBy("simhash")
+    return sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for all pairs inside a
+    block. Blocking bounds the quadratic cost: O(Σ block²) ≪ O(n²).
+    Returns (id_a, id_b, jaccard) with round(jaccard,4) ≥ threshold."""
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
+    cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    jac = F.round(
+        F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+        / F.size(F.array_union(F.col("l.sh"), F.col("r.sh"))),
+        4,
+    )
+    return (
+        l.join(r, on=cond)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------- embedding cosine
+def embedding_near_dupes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    lsh_bits: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, candidate-limited to
+    sign-LSH buckets (co-partitioned self-join, not a cross join)."""
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        sign_lsh_bucket(F.col(vec_col), lsh_bits).alias("bucket"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    sim = F.round(cosine(F.col("l.v"), F.col("r.v")), 4)
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

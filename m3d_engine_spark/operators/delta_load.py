@@ -1,0 +1,135 @@
+"""CDC condensation + in-memory delta merge (DeltaLoad).
+
+Reference parity: algo/loads/DeltaLoad.scala —
+* **condense**: keep the latest change record per business key, ranked by
+  the technical key(s) descending (DeltaLoad.scala:60-79):
+  ``row_number() OVER (PARTITION BY bk ORDER BY tk DESC) = 1``;
+* **merge**: replace matching active rows with upserts, drop deletes
+  (DeltaLoad.scala:25-52). The reference computes
+  ``(active EXCEPT (active LEFTSEMI delta)) UNION upserts``; we use a
+  single LEFT_ANTI join — identical result, one fewer shuffle, and it
+  does not impose EXCEPT's distinct semantics on the survivors.
+
+Record-mode semantics (config/loads/DeltaLoadConfiguration.scala:37-44):
+``recordmode IN (null, '', 'N')`` → upsert; anything else ('R','D','X')
+→ delete.
+
+Scale notes:
+* Condensation is one shuffle on the business key with a ranking window.
+  If one business key is hot, AQE skew handling splits it.
+* The anti-join shares the business-key partitioning with the window, so
+  with AQE the exchange is reused rather than re-shuffled.
+* The merge only rewrites *affected partitions*: callers first scope the
+  active side with ``partition_predicate`` (plans/partitions.py), which
+  prunes at the parquet scan — the reference's row-lambda filter read
+  the entire active table instead (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.config import ParamsFile
+from m3d_engine_spark.operators.base import Algorithm, register
+from m3d_engine_spark.plans.partitions import (
+    add_missing_columns,
+    collect_partitions,
+    partition_predicate,
+)
+
+UPSERT_RECORD_MODES = ("", "N")  # plus NULL
+
+
+def _is_upsert(record_mode_col: str) -> Column:
+    c = F.col(record_mode_col)
+    return c.isNull() | c.isin(*UPSERT_RECORD_MODES)
+
+
+def condense(
+    delta: DataFrame,
+    business_keys: Sequence[str],
+    technical_keys: Sequence[str],
+    record_mode_column: str | None = None,
+    init_load: bool = False,
+) -> DataFrame:
+    """Latest change record per business key.
+
+    ``init_load`` appends ``record_mode ASC`` to the ordering, matching
+    DeltaLakeLoad.scala:166-178 (deletes sort after upserts on ties).
+    """
+    order = [F.col(k).desc() for k in technical_keys]
+    if init_load and record_mode_column:
+        order.append(F.col(record_mode_column).asc())
+    w = Window.partitionBy(*[F.col(k) for k in business_keys]).orderBy(*order)
+    return (
+        delta.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") == 1)
+        .drop("__rank")
+    )
+
+
+def merge_delta(
+    active: DataFrame,
+    condensed: DataFrame,
+    business_keys: Sequence[str],
+    record_mode_column: str = "recordmode",
+) -> DataFrame:
+    """Survivors (active rows whose key has no delta record) ∪ upserts.
+
+    Output columns = active's columns: technical keys and the record-mode
+    marker are projected away from the delta side.
+    """
+    survivors = active.join(
+        condensed.select(*business_keys), on=list(business_keys), how="left_anti"
+    )
+    upserts = condensed.filter(_is_upsert(record_mode_column))
+    aligned = add_missing_columns(upserts, active.schema)
+    return survivors.unionByName(aligned)
+
+
+@register("DeltaLoad")
+class DeltaLoadAlgorithm(Algorithm):
+    """Config: delta_records_table/file_path, active_records_table_lake,
+    business_key [..], technical_key [..], record_mode_column,
+    target_partitions + partition_column/partition_column_format.
+    """
+
+    def read(self) -> list[DataFrame]:
+        p = self.params
+        if p.has("delta_records_file_path"):
+            delta = self.spark.read.parquet(p.get_string("delta_records_file_path"))
+        else:
+            delta = self.spark.table(p.get_string("delta_records_table"))
+        active = self.spark.table(p.get_string("active_records_table_lake"))
+        return [delta, active]
+
+    def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
+        p = self.params
+        delta, active = dfs
+        bk = p.get_list("business_key")
+        tk = p.get_list("technical_key")
+        rm = p.get_optional("record_mode_column", "recordmode")
+        targets = p.get_optional("target_partitions", [])
+        if targets:
+            from m3d_engine_spark.functions.dates import with_date_components
+
+            delta = with_date_components(
+                delta,
+                p.get_string("partition_column"),
+                p.get_string("partition_column_format"),
+                targets,
+            )
+            delta = delta.persist()
+            affected = collect_partitions(delta, targets)
+            # Partition-pruned scan of the active table (SURVEY.md §4).
+            active = active.filter(partition_predicate(affected))
+        condensed = condense(delta, bk, tk, record_mode_column=rm)
+        return [merge_delta(active, condensed, bk, record_mode_column=rm)]
+
+    def write(self, dfs: list[DataFrame]) -> None:
+        from m3d_engine_spark.sources.writers import write_output
+
+        write_output(self.spark, dfs[0], self.params)

@@ -1,0 +1,113 @@
+"""Full-swap reload (FullLoad).
+
+Reference parity: algo/loads/FullLoad.scala — read the landing
+directory, derive date partition columns, write Parquet to a NEW
+timestamped directory, re-point the table at it, delete the old
+directory; on failure restore the previous location
+(FullLoad.scala:24-76). Readers default to FAILFAST
+(FullLoadConfiguration.scala:85) and empty-string→null is disabled via a
+sentinel nullValue (:81-83).
+
+Swap-based full loads are the right shape at scale: the new version is
+written with full parallelism while readers keep using the old
+directory; the only serialized step is the metadata re-point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from m3d_engine_spark.config import ParamsFile
+from m3d_engine_spark.functions.dates import with_date_components
+from m3d_engine_spark.operators.base import Algorithm, register
+from m3d_engine_spark.plans.partitions import enforce_schema
+from m3d_engine_spark.sources.dfs import DFS, next_version_dir
+from m3d_engine_spark.sources.formats import format_from_params
+from m3d_engine_spark.sources import catalog as cat
+
+NULL_SENTINEL = "XXNULLXXX"  # FullLoadConfiguration.scala:81-83
+
+
+@register("FullLoad")
+class FullLoad(Algorithm):
+    """Config: source_dir, file_format(+reader options), target_table OR
+    target_location(+target_dir base for versions), target_partitions,
+    partition_column, partition_column_format, output_files_num,
+    target_schema (Spark JSON, optional when target_table exists)."""
+
+    def __init__(self, spark: SparkSession, params: ParamsFile):
+        super().__init__(spark, params)
+        self.dfs = DFS(spark)
+        self.partition_targets: list[str] = params.get_optional("target_partitions", [])
+        self.table: str | None = params.get_optional("target_table")
+        self.previous_location: str | None = None
+        self.next_location: str | None = None
+
+    def prepare(self) -> None:
+        if self.table:
+            self.previous_location = cat.table_location(self.spark, self.table)
+            base = self.params.get_optional("target_dir")
+            if base is None and self.previous_location:
+                base = self.previous_location.rsplit("/", 1)[0]
+            self.next_location = next_version_dir(base)
+        else:
+            self.next_location = self.params.get_string("target_location")
+
+    def read(self) -> list[DataFrame]:
+        p = dict(self.params.params)
+        p.setdefault("reader_mode", "FAILFAST")
+        p.setdefault("null_value", NULL_SENTINEL)
+        if p.get("schema") is None and self.table:
+            schema = cat.table_schema(self.spark, self.table, drop_columns=self.partition_targets)
+            fmt = format_from_params(p)
+            fmt.schema = schema
+        else:
+            fmt = format_from_params(p)
+        return [fmt.read(self.spark, self.params.get_string("source_dir"))]
+
+    def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
+        df = dfs[0]
+        if self.partition_targets:
+            df = with_date_components(
+                df,
+                self.params.get_string("partition_column"),
+                self.params.get_string("partition_column_format"),
+                self.partition_targets,
+            )
+        if self.table:
+            df = enforce_schema(df, self.spark.table(self.table).schema)
+        return [df]
+
+    def write(self, dfs: list[DataFrame]) -> None:
+        df = dfs[0]
+        n = self.params.get_optional("output_files_num", 10)
+        if self.partition_targets:
+            df = df.repartition(n, *self.partition_targets)
+        else:
+            df = df.repartition(n)
+        try:
+            w = df.write.mode("overwrite").format("parquet")
+            if self.partition_targets:
+                w = w.partitionBy(*self.partition_targets)
+            w.save(self.next_location)
+        except Exception:
+            self.dfs.delete(self.next_location)  # FullLoad.scala:47-58
+            raise
+        if self.table:
+            try:
+                cat.recreate_table_at_location(
+                    self.spark, self.table, self.next_location, self.partition_targets
+                )
+            except Exception:
+                if self.previous_location:  # restore (FullLoad.scala:60-70)
+                    cat.recreate_table_at_location(
+                        self.spark, self.table, self.previous_location, self.partition_targets
+                    )
+                self.dfs.delete(self.next_location)
+                raise
+            if self.previous_location and self.previous_location != self.next_location:
+                self.dfs.delete(self.previous_location)
+
+    def update_statistics(self) -> None:
+        if self.table:
+            cat.compute_statistics(self.spark, self.table)

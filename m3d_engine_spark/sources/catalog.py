@@ -1,0 +1,93 @@
+"""Catalog / metastore operations.
+
+Reference parity: util/CatalogTableManager.scala,
+util/RecoverPartitions{Native,Custom}.scala, algo/core/TableStatistics.scala
+(SURVEY.md §2.12). All operations are plain Spark SQL so they work
+against Hive metastore and the in-memory catalog alike.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def table_location(spark: SparkSession, table: str) -> str | None:
+    """DESCRIBE FORMATTED → Location (CatalogTableManager.scala:18-40)."""
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if (row.col_name or "").strip().lower() == "location":
+            return row.data_type.strip()
+    return None
+
+
+def table_schema(spark: SparkSession, table: str, drop_columns: Sequence[str] = ()) -> StructType:
+    """Target schema from the catalog, optionally dropping derived
+    partition columns (CatalogTableManager.scala:118-158)."""
+    schema = spark.table(table).schema
+    drop = {c.lower() for c in drop_columns}
+    return StructType([f for f in schema.fields if f.name.lower() not in drop])
+
+
+def set_table_location(spark: SparkSession, table: str, location: str) -> None:
+    spark.sql(f"ALTER TABLE {table} SET LOCATION '{location}'")
+
+
+def recreate_table_at_location(
+    spark: SparkSession,
+    table: str,
+    location: str,
+    partition_columns: Sequence[str] = (),
+) -> None:
+    """Re-point a table at a new data directory, preserving the schema —
+    the FullLoad swap (CatalogTableManager.scala:87-99). Uses DROP +
+    CREATE ... USING PARQUET LOCATION, then partition recovery."""
+    schema = spark.table(table).schema
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    part = ""
+    if partition_columns:
+        part = " PARTITIONED BY (" + ", ".join(f"`{c}`" for c in partition_columns) + ")"
+    spark.sql(f"CREATE TABLE {table} ({ddl}) USING PARQUET{part} LOCATION '{location}'")
+    if partition_columns:
+        recover_partitions_native(spark, table)
+
+
+def recover_partitions_native(spark: SparkSession, table: str) -> None:
+    """MSCK-equivalent (util/RecoverPartitionsNative.scala:11-13)."""
+    spark.catalog.recoverPartitions(table)
+
+
+def recover_partitions_custom(
+    spark: SparkSession, table: str, df: DataFrame, partition_columns: Sequence[str]
+) -> list[str]:
+    """Per-partition ADD PARTITION statements generated from the distinct
+    partition values present in ``df``
+    (util/RecoverPartitionsCustom.scala:12-31). Returns the statements
+    (the reference's unit tests assert on them)."""
+    from m3d_engine_spark.plans.partitions import collect_partitions
+
+    def quote(v: Any) -> str:
+        return f"'{v}'" if isinstance(v, str) else str(v)
+
+    stmts = []
+    for crit in collect_partitions(df, partition_columns):
+        spec = ", ".join(f"{c}={quote(v)}" for c, v in crit)
+        stmts.append(f"ALTER TABLE {table} ADD IF NOT EXISTS PARTITION({spec})")
+    for s in stmts:
+        spark.sql(s)
+    return stmts
+
+
+def compute_statistics(
+    spark: SparkSession, table: str, partition_specs: Sequence[Sequence[tuple[str, Any]]] = ()
+) -> None:
+    """ANALYZE TABLE (+ per affected partition) — keeps CBO stats fresh
+    after loads (algo/core/TableStatistics.scala:22-80)."""
+    for crit in partition_specs:
+        spec = ", ".join(
+            f"{c}={v!r}" if isinstance(v, str) else f"{c}={v}" for c, v in crit
+        )
+        spark.sql(f"ANALYZE TABLE {table} PARTITION({spec}) COMPUTE STATISTICS")
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")

@@ -1,0 +1,102 @@
+"""Filesystem operations (driver-side "physical plan" steps).
+
+Reference parity: util/DFSWrapper.scala + util/HadoopLoadHelper.scala —
+timestamped version dirs, backup/restore, partition move-specs, ordered
+listings. Implemented against the JVM Hadoop FileSystem via
+``spark._jvm`` so the same code addresses file://, hdfs:// and s3a://
+(SURVEY.md §2.13).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class DFS:
+    spark: SparkSession
+
+    def _jvm(self) -> Any:
+        return self.spark._jvm
+
+    def _fs(self, path: str) -> Any:
+        jvm = self._jvm()
+        hconf = self.spark._jsc.hadoopConfiguration()
+        return jvm.org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+
+    def _jpath(self, path: str) -> Any:
+        return self._jvm().org.apache.hadoop.fs.Path(path)
+
+    # ------------------------------------------------------------ basics
+    def exists(self, path: str) -> bool:
+        return self._fs(path).exists(self._jpath(path))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs(path).mkdirs(self._jpath(path))
+
+    def delete(self, path: str, recursive: bool = True) -> bool:
+        fs = self._fs(path)
+        p = self._jpath(path)
+        return bool(fs.exists(p) and fs.delete(p, recursive))
+
+    def rename(self, src: str, dst: str) -> bool:
+        """Atomic on HDFS/posix; copy-based on S3 — callers must treat it
+        as a commit step, not a lock (HadoopLoadHelper.scala:212-239)."""
+        fs = self._fs(src)
+        dst_p = self._jpath(dst)
+        parent = dst_p.getParent()
+        if parent is not None and not fs.exists(parent):
+            fs.mkdirs(parent)
+        return bool(fs.rename(self._jpath(src), dst_p))
+
+    def list_dirs(self, path: str, reverse: bool = True) -> list[str]:
+        """Ordered subdirectory names (HadoopLoadHelper.scala:99-117);
+        skips hidden and EMR '$folder$' placeholder entries."""
+        fs = self._fs(path)
+        p = self._jpath(path)
+        if not fs.exists(p):
+            return []
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory() and not name.startswith((".", "_")) and "$folder$" not in name:
+                out.append(name)
+        return sorted(out, reverse=reverse)
+
+    def list_files(self, path: str, recursive: bool = True) -> list[str]:
+        fs = self._fs(path)
+        p = self._jpath(path)
+        if not fs.exists(p):
+            return []
+        it = fs.listFiles(p, recursive)
+        out = []
+        while it.hasNext():
+            out.append(it.next().getPath().toString())
+        return out
+
+    def read_text(self, path: str) -> str:
+        fs = self._fs(path)
+        stream = fs.open(self._jpath(path))
+        try:
+            ioutils = self._jvm().org.apache.commons.io.IOUtils
+            return ioutils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, content: str) -> None:
+        fs = self._fs(path)
+        stream = fs.create(self._jpath(path), True)
+        try:
+            stream.write(bytearray(content.encode("utf-8")))
+        finally:
+            stream.close()
+
+
+def next_version_dir(base: str, ts: float | None = None) -> str:
+    """Timestamped version directory name (HadoopLoadHelper.scala:14-27)."""
+    stamp = time.strftime("%Y%m%d_%H%M%S", time.gmtime(ts))
+    return f"{base.rstrip('/')}/{stamp}"

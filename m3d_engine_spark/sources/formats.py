@@ -1,0 +1,80 @@
+"""File-format abstraction: DSV / Parquet / JSON read+write.
+
+Reference parity: util/DataFormat.scala:18-59 and the reader-options
+surface of config/loads/LoadConfiguration.scala:10-44 (delimiter, header,
+mode, nullValue, quote, escape, dateFormat, multiline). Schemas are
+Spark StructType JSON (DataType.fromJson equivalent =
+StructType.fromJson).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+from pyspark.sql.types import StructType
+
+READER_MODES = {"PERMISSIVE", "FAILFAST", "DROPMALFORMED"}
+
+
+def validated_mode(mode: str) -> str:
+    m = mode.upper()
+    if m not in READER_MODES:
+        raise ValueError(f"invalid reader mode {mode!r}; one of {sorted(READER_MODES)}")
+    return m
+
+
+@dataclass
+class DataFormat:
+    format: str  # csv | parquet | json
+    schema: StructType | None = None
+    options: dict[str, Any] = field(default_factory=dict)
+
+    def reader(self, spark: SparkSession) -> DataFrameReader:
+        r = spark.read.format(self.format).options(**{k: v for k, v in self.options.items() if v is not None})
+        if self.schema is not None:
+            r = r.schema(self.schema)
+        elif self.format in ("csv", "json"):
+            # Reference behavior: infer when schemaless (DataFormat.scala:38-40,56-58).
+            r = r.option("inferSchema", "true")
+        return r
+
+    def read(self, spark: SparkSession, *paths: str) -> DataFrame:
+        return self.reader(spark).load(list(paths))
+
+    def write(self, df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+        w = df.write.format(self.format).mode(mode).options(
+            **{k: v for k, v in self.options.items() if v is not None}
+        )
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)
+
+
+def format_from_params(params: Mapping[str, Any]) -> DataFormat:
+    """Build a DataFormat from an acon params dict (file_format + reader
+    options + optional inline Spark-JSON schema)."""
+    fmt = str(params.get("file_format", "dsv")).lower()
+    spark_format = {"dsv": "csv", "csv": "csv", "parquet": "parquet", "json": "json"}[fmt]
+    schema = None
+    if params.get("schema"):
+        schema = StructType.fromJson(params["schema"])
+    options: dict[str, Any] = {}
+    if spark_format == "csv":
+        options["delimiter"] = params.get("delimiter", "|")
+        options["header"] = str(params.get("has_header", False)).lower()
+        if params.get("null_value") is not None:
+            options["nullValue"] = params["null_value"]
+        if params.get("quote_character") is not None:
+            options["quote"] = params["quote_character"]
+        if params.get("escape_character") is not None:
+            options["escape"] = params["escape_character"]
+        if params.get("date_format") is not None:
+            options["dateFormat"] = params["date_format"]
+    if spark_format in ("csv", "json"):
+        options["mode"] = validated_mode(str(params.get("reader_mode", "PERMISSIVE")))
+        if params.get("multi_line") is not None:
+            options["multiLine"] = str(params["multi_line"]).lower()
+    return DataFormat(spark_format, schema, options)

@@ -1,0 +1,186 @@
+"""Output writing: load modes + atomic write protocol.
+
+Reference parity: util/OutputWriter.scala + util/LoadMode.scala —
+five load modes:
+
+* ``OverwriteTable``        — full swap (OutputWriter.scala:120-122,148)
+* ``OverwritePartitions``   — replace only the partitions present in the
+                              DataFrame, with backup/restore (:149-150,230-261)
+* ``OverwritePartitionsWithAddedColumns`` — as above, padding the new
+                              data to the on-disk schema first (:151-161)
+* ``AppendJoinPartitions``  — FULL OUTER JOIN new vs existing rows of the
+                              affected partitions, rewrite them (:162-176)
+* ``AppendUnionPartitions`` — UNION new + existing rows, rewrite (:177-190)
+
+and the atomic protocol (write temp → backup existing partitions → move
+new into place → restore on failure, OutputWriter.scala:96-262).
+
+Scale notes: affected-partition discovery is a distinct+collect on the
+partition columns only; existing-partition reads are scoped with a
+Catalyst Column predicate (partition-pruned scan), unlike the
+reference's row-lambda filter which scanned the whole table (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.plans.partitions import (
+    add_missing_columns,
+    collect_partitions,
+    partition_predicate,
+)
+from m3d_engine_spark.sources.dfs import DFS
+
+
+class LoadMode(Enum):
+    OVERWRITE_TABLE = "OverwriteTable"
+    OVERWRITE_PARTITIONS = "OverwritePartitions"
+    OVERWRITE_PARTITIONS_WITH_ADDED_COLUMNS = "OverwritePartitionsWithAddedColumns"
+    APPEND_JOIN_PARTITIONS = "AppendJoinPartitions"
+    APPEND_UNION_PARTITIONS = "AppendUnionPartitions"
+
+
+def partition_rel_path(criteria: Sequence[tuple[str, Any]]) -> str:
+    """[(year,2016),(month,6)] → 'year=2016/month=6' (Hive layout,
+    util/DataFrameUtils.scala:15-16)."""
+    return "/".join(f"{c}={v}" for c, v in criteria)
+
+
+@dataclass
+class AtomicWriter:
+    """Partitioned parquet writer with backup/restore semantics."""
+
+    spark: SparkSession
+    target_location: str
+    partition_columns: list[str] = field(default_factory=list)
+    format: str = "parquet"
+    output_files_num: int | None = None
+
+    def _dfs(self) -> DFS:
+        return DFS(self.spark)
+
+    def _repartitioned(self, df: DataFrame) -> DataFrame:
+        if not self.output_files_num:
+            return df
+        if self.partition_columns:
+            # Co-locate rows of one output partition in one task so each
+            # Hive partition dir gets ≤ output_files_num files instead of
+            # one file per (task × partition).
+            return df.repartition(self.output_files_num, *self.partition_columns)
+        return df.repartition(self.output_files_num)
+
+    def _write_dir(self, df: DataFrame, path: str) -> None:
+        w = self._repartitioned(df).write.format(self.format).mode("overwrite")
+        if self.partition_columns:
+            w = w.partitionBy(*self.partition_columns)
+        w.save(path)
+
+    # ------------------------------------------------------------- modes
+    def write(self, df: DataFrame, load_mode: LoadMode) -> None:
+        if load_mode is LoadMode.OVERWRITE_TABLE:
+            self._write_dir(df, self.target_location)
+            return
+        if load_mode is LoadMode.OVERWRITE_PARTITIONS_WITH_ADDED_COLUMNS:
+            existing_schema = self._existing_schema()
+            if existing_schema is not None:
+                df = add_missing_columns(df, existing_schema)
+        elif load_mode is LoadMode.APPEND_JOIN_PARTITIONS:
+            df = self._combine_with_existing(df, how="join")
+        elif load_mode is LoadMode.APPEND_UNION_PARTITIONS:
+            df = self._combine_with_existing(df, how="union")
+        self._overwrite_partitions(df)
+
+    def _existing_schema(self):
+        dfs = self._dfs()
+        if not dfs.exists(self.target_location) or not dfs.list_files(self.target_location):
+            return None
+        return self.spark.read.format(self.format).load(self.target_location).schema
+
+    def _existing_rows_in(self, criteria) -> DataFrame | None:
+        if self._existing_schema() is None:
+            return None
+        return (
+            self.spark.read.format(self.format)
+            .load(self.target_location)
+            .filter(partition_predicate(criteria))
+        )
+
+    def _combine_with_existing(self, df: DataFrame, how: str) -> DataFrame:
+        if not self.partition_columns:
+            raise ValueError("append modes require partition columns")
+        affected = collect_partitions(df, self.partition_columns)
+        existing = self._existing_rows_in(affected)
+        if existing is None:
+            return df
+        if how == "union":
+            # Reference: OutputWriter.scala:177-190 (positional union there;
+            # unionByName here + typed-null padding for evolved schemas).
+            existing = add_missing_columns(existing, df.schema)
+            return df.unionByName(existing)
+        shared = [c for c in df.columns if c in existing.columns]
+        return existing.join(df, on=shared, how="full_outer")
+
+    def _overwrite_partitions(self, df: DataFrame) -> None:
+        """Atomic partition replacement: temp write → backup affected →
+        move in → restore on failure (OutputWriter.scala:96-262)."""
+        if not self.partition_columns:
+            self._write_dir(df, self.target_location)
+            return
+        dfs = self._dfs()
+        base = self.target_location.rstrip("/")
+        df = df.persist()
+        try:
+            affected = collect_partitions(df, self.partition_columns)
+            tmp = f"{base}__tmp_{uuid.uuid4().hex[:12]}"
+            backup = f"{base}__bak_{uuid.uuid4().hex[:12]}"
+            self._write_dir(df, tmp)
+            moved: list[tuple[str, str]] = []  # (final, backup) pairs
+            try:
+                for crit in affected:
+                    rel = partition_rel_path(crit)
+                    final_dir = f"{base}/{rel}"
+                    if dfs.exists(final_dir):
+                        dfs.rename(final_dir, f"{backup}/{rel}")
+                        moved.append((final_dir, f"{backup}/{rel}"))
+                    dfs.rename(f"{tmp}/{rel}", final_dir)
+            except Exception:
+                # Restore: put backups back (OutputWriter.scala:230-261).
+                for final_dir, bak_dir in moved:
+                    dfs.delete(final_dir)
+                    dfs.rename(bak_dir, final_dir)
+                raise
+            finally:
+                dfs.delete(tmp)
+            dfs.delete(backup)
+        finally:
+            df.unpersist()
+
+
+def write_output(spark: SparkSession, df: DataFrame, params) -> None:
+    """Generic sink used by the simple algorithms: target_table →
+    saveAsTable, target_location → (atomic) file write."""
+    partition_cols = params.get_optional("target_partitions", [])
+    n_files = params.get_optional("output_files_num")
+    if params.has("target_table"):
+        w = df
+        if n_files:
+            w = df.repartition(n_files, *partition_cols) if partition_cols else df.repartition(n_files)
+        writer = w.write.mode(str(params.get_optional("save_mode", "overwrite")))
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.saveAsTable(params.get_string("target_table"))
+        return
+    writer = AtomicWriter(
+        spark,
+        params.get_string("target_location"),
+        partition_columns=list(partition_cols),
+        output_files_num=n_files,
+    )
+    writer.write(df, LoadMode(params.get_optional("load_mode", "OverwriteTable")))

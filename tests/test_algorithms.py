@@ -1,0 +1,217 @@
+"""End-to-end algorithm runs (config-driven, golden-style)."""
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.config import ParamsFile
+from m3d_engine_spark.operators.base import REGISTRY
+import m3d_engine_spark.cli  # noqa: F401 — populate REGISTRY
+
+
+def _run(spark, name, params: dict):
+    algo = REGISTRY[name](spark, ParamsFile(params))
+    algo.run()
+    return algo
+
+
+def test_full_load_partitioned_location(spark, tmp_path, sf_dir):
+    landing = str(tmp_path / "landing")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .limit(300)
+        .withColumn("date", F.date_format("o_orderdate", "yyyyMMdd").cast("int"))
+        .write.parquet(landing)
+    )
+    target = str(tmp_path / "lake")
+    _run(
+        spark,
+        "FullLoad",
+        {
+            "source_dir": landing,
+            "file_format": "parquet",
+            "target_location": target,
+            "target_partitions": ["year", "month"],
+            "partition_column": "date",
+            "partition_column_format": "yyyyMMdd",
+            "output_files_num": 2,
+        },
+    )
+    out = spark.read.parquet(target)
+    assert out.count() == 300
+    assert {"year", "month"} <= set(out.columns)
+
+
+def test_append_load_regex_filename_partitions(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "data_20180422-00001.csv").write_text("1|a\n2|b\n")
+    (landing / "data_20180423-00001.csv").write_text("3|c\n")
+    target = str(tmp_path / "lake")
+    _run(
+        spark,
+        "AppendLoad",
+        {
+            "source_dir": str(landing),
+            "file_format": "dsv",
+            "delimiter": "|",
+            "schema": {
+                "type": "struct",
+                "fields": [
+                    {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+                    {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                ],
+            },
+            "target_location": target,
+            "target_partitions": ["year", "month", "day"],
+            "regex_filename": [
+                r"data_(\d{4})\d{4}-\d+",
+                r"data_\d{4}(\d{2})\d{2}-\d+",
+                r"data_\d{6}(\d{2})-\d+",
+            ],
+            "header_dir": str(tmp_path / "headers"),
+        },
+    )
+    out = spark.read.parquet(target)
+    rows = {r.k: (r.year, r.month, r.day) for r in out.collect()}
+    assert rows[1] == (2018, 4, 22)
+    assert rows[3] == (2018, 4, 23)
+    # header.json persisted per partition
+    assert (tmp_path / "headers" / "year=2018" / "month=4" / "day=22" / "header.json").exists()
+
+
+def test_append_load_is_incremental(spark, tmp_path):
+    landing1 = tmp_path / "l1"; landing1.mkdir()
+    (landing1 / "data_20180422-0.csv").write_text("1|a\n")
+    landing2 = tmp_path / "l2"; landing2.mkdir()
+    (landing2 / "data_20180423-0.csv").write_text("2|b\n")
+    target = str(tmp_path / "lake")
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    params = {
+        "file_format": "dsv",
+        "delimiter": "|",
+        "schema": schema,
+        "target_location": target,
+        "target_partitions": ["year", "month", "day"],
+        "regex_filename": [
+            r"data_(\d{4})\d{4}-\d+",
+            r"data_\d{4}(\d{2})\d{2}-\d+",
+            r"data_\d{6}(\d{2})-\d+",
+        ],
+    }
+    _run(spark, "AppendLoad", {**params, "source_dir": str(landing1)})
+    _run(spark, "AppendLoad", {**params, "source_dir": str(landing2)})
+    out = spark.read.parquet(target)
+    assert out.count() == 2  # both days present
+
+
+def test_query_materialization(spark, tmp_path, sf_dir):
+    src = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumn("year", F.year("o_orderdate"))
+        .withColumn("month", F.month("o_orderdate"))
+    )
+    src.createOrReplaceTempView("orders_src")
+    target = str(tmp_path / "mat")
+    # seed the target with everything, then re-materialize one partition
+    src.write.partitionBy("year", "month").parquet(target)
+    _run(
+        spark,
+        "QueryMaterialization",
+        {
+            "source_table": "orders_src",
+            "target_dir": target,
+            "target_partitions": ["year", "month"],
+            "partition_criteria": [[["year", 1995], ["month", 1]]],
+        },
+    )
+    out = spark.read.parquet(target)
+    expected = src.count()
+    assert out.count() == expected
+
+
+def test_range_materialization_criteria():
+    from m3d_engine_spark.operators.materialization import date_range_criteria
+
+    crits = date_range_criteria("2016-01-30", "2016-02-02", ["year", "month", "day"])
+    assert [("year", 2016), ("month", 1), ("day", 30)] in crits
+    assert len(crits) == 4
+    months = date_range_criteria("2016-01-15", "2016-03-02", ["year", "month"])
+    assert months == [
+        [("year", 2016), ("month", 1)],
+        [("year", 2016), ("month", 2)],
+        [("year", 2016), ("month", 3)],
+    ]
+    weeks = date_range_criteria("2016-01-01", "2016-01-08", ["year", "week"])
+    assert weeks == [[("year", 2016), ("week", 1)], [("year", 2016), ("week", 2)]]
+
+
+def test_sql_runner_numbered_steps(spark):
+    _run(
+        spark,
+        "SQLRunner",
+        {
+            "steps": 2,
+            "0": "CREATE OR REPLACE TEMP VIEW sqlrunner_t AS SELECT 1 AS a",
+            "1": "SELECT * FROM sqlrunner_t",
+        },
+    )
+    assert spark.table("sqlrunner_t").count() == 1
+
+
+def test_gzip_decompressor(spark, tmp_path):
+    import gzip as gz
+    import zipfile
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    with gz.open(d / "a.psv.gz", "wb") as fh:
+        fh.write(b"1|x\n")
+    with zipfile.ZipFile(d / "b.psv.zip", "w") as zf:
+        zf.writestr("b.psv", "2|y\n")
+    _run(spark, "GzipDecompressorBytes", {"directory": str(d), "thread_pool_size": 2})
+    assert sorted(p.name for p in d.iterdir()) == ["a.psv", "b.psv"]
+    assert (d / "a.psv").read_text() == "1|x\n"
+    assert (d / "b.psv").read_text() == "2|y\n"
+
+
+def test_delta_load_algorithm_partition_scoped(spark, tmp_path):
+    active = spark.createDataFrame(
+        [
+            Row(salesorder=1, item=1, amount=100, year=2016),
+            Row(salesorder=2, item=1, amount=200, year=2017),
+        ]
+    )
+    active.createOrReplaceTempView("active_t")
+    delta_dir = str(tmp_path / "delta")
+    spark.createDataFrame(
+        [Row(ts=1, salesorder=1, item=1, amount=101, recordmode="N", date=20160601)]
+    ).write.parquet(delta_dir)
+    target = str(tmp_path / "out")
+    _run(
+        spark,
+        "DeltaLoad",
+        {
+            "delta_records_file_path": delta_dir,
+            "active_records_table_lake": "active_t",
+            "business_key": ["salesorder", "item"],
+            "technical_key": ["ts"],
+            "target_partitions": ["year"],
+            "partition_column": "date",
+            "partition_column_format": "yyyyMMdd",
+            "target_location": target,
+            "load_mode": "OverwritePartitionsWithAddedColumns",
+        },
+    )
+    out = spark.read.parquet(target)
+    rows = {(r.salesorder, r.item): r.amount for r in out.collect()}
+    # only the affected partition (2016) was rewritten
+    assert rows[(1, 1)] == 101

@@ -1,0 +1,93 @@
+"""Dedup + similarity-search operators on synthetic and testdata inputs."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_duplicates,
+)
+from m3d_engine_spark.operators.similarity import brute_force_topk, bucketed_ann_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, src="a", text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, src="a", text="the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            Row(doc_id=3, src="a", text="the quick brown fox jumps over the lazy cat"),  # near dup
+            Row(doc_id=4, src="b", text="completely different content about spark engines"),
+            Row(doc_id=5, src="b", text="THE  Quick   brown fox jumps over the lazy dog"),  # normalized dup of 1
+        ]
+    )
+
+
+def test_exact_duplicates_canonicalization(docs):
+    out = exact_duplicates(docs, "doc_id", "text").collect()
+    canon = {r.doc_id: r.canonical_id for r in out}
+    assert canon[1] == 1 and canon[2] == 1 and canon[5] == 1  # whitespace/case-normalized
+    assert canon[4] == 4
+    sizes = {r.doc_id: r.group_size for r in out}
+    assert sizes[1] == 3
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()}
+    assert (1, 2) in pairs          # identical docs always collide
+    assert (1, 3) in pairs          # 1-token difference → shares most shingles
+    assert (1, 4) not in pairs      # unrelated content
+
+
+def test_simhash_identical_signature_for_dups(docs):
+    out = {r.doc_id: r.simhash for r in simhash_duplicates(docs, "doc_id", "text").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[4]
+    assert 0 <= out[1] < (1 << 16)
+
+
+def test_ngram_jaccard_blocked_pairs(docs):
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", block_cols=["src"], threshold=0.2)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.2 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs  # different block
+    assert (4, 5) not in pairs  # same block, dissimilar
+
+
+def test_brute_force_topk_on_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = brute_force_topk(emb, queries, "vec_id", "embedding", k=3)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, neighbors in by_q.items():
+        assert len(neighbors) == 3
+        ranks = sorted(r.rank for r in neighbors)
+        assert ranks == [1, 2, 3]
+        sims = [r.cosine for r in sorted(neighbors, key=lambda x: x.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != q for r in neighbors)
+
+
+def test_bucketed_ann_subset_of_bucket(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = bucketed_ann_topk(emb, queries, "vec_id", "embedding", k=3, lsh_bits=2)
+    assert out.count() > 0
+    # every reported neighbor shares the query's sign-LSH bucket
+    from m3d_engine_spark.functions.vectors import sign_lsh_bucket
+
+    buckets = emb.select(
+        F.col("vec_id"), sign_lsh_bucket(F.col("embedding"), 2).alias("b")
+    )
+    joined = (
+        out.join(buckets.withColumnRenamed("vec_id", "query_id").withColumnRenamed("b", "qb"), "query_id")
+        .join(buckets.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("b", "nb"), "neighbor_id")
+    )
+    assert joined.filter(F.col("qb") != F.col("nb")).isEmpty()

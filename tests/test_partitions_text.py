@@ -1,0 +1,84 @@
+"""Partition predicates (pruning!), schema alignment, text functions."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from m3d_engine_spark.plans.partitions import (
+    add_missing_columns,
+    collect_partitions,
+    partition_predicate,
+    partition_where_sql,
+)
+
+
+def test_partition_predicate_or_of_ands(spark):
+    df = spark.createDataFrame(
+        [Row(year=2016, month=1, v=1), Row(year=2016, month=2, v=2), Row(year=2017, month=1, v=3)]
+    )
+    crit = [[("year", 2016), ("month", 2)], [("year", 2017), ("month", 1)]]
+    out = df.filter(partition_predicate(crit))
+    assert sorted(r.v for r in out.collect()) == [2, 3]
+    assert df.filter(partition_predicate([])).isEmpty()
+
+
+def test_partition_predicate_prunes_parquet_scan(spark, tmp_path):
+    """The design-goal test: the predicate must reach the file source as
+    a partition filter (SURVEY.md §4), not a post-scan row filter."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [Row(v=i, year=2016 + i % 3) for i in range(30)]
+    ).write.partitionBy("year").parquet(p)
+    df = spark.read.parquet(p).filter(partition_predicate([[("year", 2017)]]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(year" in plan or "year#" in plan.split("PartitionFilters")[1][:200]
+    assert df.count() == 10
+
+
+def test_partition_where_sql():
+    crit = [[("year", 2016), ("name", "o'brien")], [("year", 2017)]]
+    s = partition_where_sql(crit)
+    assert s == "(year = 2016 AND name = 'o''brien') OR (year = 2017)"
+
+
+def test_collect_partitions(spark):
+    df = spark.createDataFrame([Row(year=2016, m=1), Row(year=2016, m=1), Row(year=2017, m=2)])
+    parts = collect_partitions(df, ["year", "m"])
+    assert sorted(parts) == [[("year", 2016), ("m", 1)], [("year", 2017), ("m", 2)]]
+
+
+def test_add_missing_columns_types(spark):
+    target = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "a", "type": "integer", "nullable": True, "metadata": {}},
+                {"name": "b", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "c", "type": "double", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    df = spark.createDataFrame([Row(a=1)])
+    out = add_missing_columns(df, target)
+    assert [f.name for f in out.schema.fields] == ["a", "b", "c"]
+    assert out.schema["c"].dataType.simpleString() == "double"
+    r = out.collect()[0]
+    assert (r.a, r.b, r.c) == (1, None, None)
+
+
+def test_text_functions_on_documents(spark, sf_dir):
+    from m3d_engine_spark.functions import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.quality_score(F.col("text")).alias("q"),
+        T.predicted_language(F.col("text")).alias("pl"),
+    )
+    rows = out.collect()
+    assert all(r.n_tokens > 0 for r in rows)
+    assert all(len(r.fp) == 32 for r in rows)
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+    assert all(r.pl in {"en", "fr", "de", "es", "zh", "und"} for r in rows)
