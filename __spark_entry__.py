@@ -1,10 +1,29 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pricing-summary query at sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (plus the LLM-pipeline operators); ``oracle_sql()`` gives
+the DuckDB-equivalent ANSI SQL for each.
+
+Determinism rules used throughout so the Spark result and the DuckDB
+oracle hash-match:
+
+* Sums of doubles go through ``CAST(x AS DECIMAL(30,12))`` before SUM —
+  decimal summation is exact integer arithmetic, so the result does not
+  depend on partial-aggregation order (Spark) vs sequential order
+  (DuckDB). The sum is cast back to DOUBLE and rounded at the DATA's
+  own decimal scale (money = 2dp, so 2dp sums, 4dp for one product,
+  6dp for two): the true sum is then a decimal lattice point, and both
+  engines snap their (≤1 ulp apart) doubles to the same lattice value.
+  Rounding at a COARSER scale than the data diverges on exact decimal
+  midpoints (Spark rounds the exact binary value HALF_UP, DuckDB the
+  shortest decimal repr); emitting the cast UNROUNDED diverges too
+  (DuckDB's int128/10^scale division double-rounds).
+* Every float output is ``round(x, 2|4)``; every small-int output is
+  cast to INT explicitly on both sides (DuckDB ``year()``/``len()``
+  return BIGINT, Spark return INT).
+* Rankings order by ``(round(score,4) DESC, id ASC)`` — a total order.
+* All hashes are md5-of-string (identical bytes in both engines).
 """
 
 from __future__ import annotations
@@ -12,27 +31,916 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from m3d_engine_spark.functions import text as T
+from m3d_engine_spark.functions.dates import with_date_components
+from m3d_engine_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_duplicates,
+)
+from m3d_engine_spark.operators.delta_load import condense, merge_delta
+from m3d_engine_spark.operators.fixed_size_extractor import (
+    FixedField,
+    extract_fixed_width,
+)
+from m3d_engine_spark.operators.nested_flattener import (
+    flatten,
+    flatten_structs,
+    side_flatten,
+)
+from m3d_engine_spark.operators.similarity import brute_force_topk, bucketed_ann_topk
+from m3d_engine_spark.operators.transpose import transpose
+from m3d_engine_spark.plans.partitions import (
+    add_missing_columns,
+    partition_predicate,
+    partition_where_sql,
+)
+from m3d_engine_spark.sources.testdata import load_table
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver may hand us a session without the nanos-as-long legacy
+    # conf that events.parquet (TIMESTAMP_NANOS) needs; it is a runtime
+    # SQL conf, so set it defensively before reading.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col, scale: int = 12):
+    """Order-independent sum of a double column: exact decimal sum, then
+    back to double. Scale 12 keeps double→decimal rounding far from
+    decimal midpoints (where engines' HALF_UP vs HALF_EVEN would
+    diverge): a double is exactly at a scale-12 midpoint with
+    probability ~5^-12 vs ~5^-6 at scale 6."""
+    return F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
+
+
+def _sql_dsum(expr: str, scale: int = 12) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+
+
+def _sql_str_list(words: list[str]) -> str:
+    return "(" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + ")"
+
+
+# DuckDB fragment: whitespace tokens of documents.text, [] for blank —
+# mirrors functions/text.py::tokens.
+_SQL_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+# DuckDB fragment: distinct 3-token shingles — mirrors
+# operators/dedup.py::shingle_array (space-joined slices; <3 tokens →
+# whole text as the single shingle).
+_SQL_SHINGLES = (
+    "list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "list_transform(range(0, len(t) - 2), i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')) "
+    "ELSE [array_to_string(t, ' ')] END)"
+)
+
+
+# --------------------------------------------------------------------------
+# relational / reference-algorithm queries
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped pricing summary over lineitem.
+
+    Exercises scan → filter (pushed to parquet) → hash aggregation with
+    map-side partial agg; the groupBy key is 2 low-cardinality columns so
+    the shuffle moves only partial aggregates.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(_dsum(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.round(_dsum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+            F.round(_dsum(disc_price), 4).alias("sum_disc_price"),
+            F.round(_dsum(charge), 6).alias("sum_charge"),
+            F.round(_dsum(F.col("l_quantity")) / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(_dsum(F.col("l_extendedprice")) / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       round({_sql_dsum('l_quantity')}, 2) AS sum_qty,
+       round({_sql_dsum('l_extendedprice')}, 2) AS sum_base_price,
+       round({_sql_dsum('l_extendedprice * (1 - l_discount)')}, 4) AS sum_disc_price,
+       round({_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}, 6) AS sum_charge,
+       round({_sql_dsum('l_quantity')} / COUNT(*), 4) AS avg_qty,
+       round({_sql_dsum('l_extendedprice')} / COUNT(*), 4) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped 3-way join: lineitem ⋈ orders ⋈ broadcast(customer).
+
+    customer is the small dimension side → explicit broadcast removes its
+    shuffle; lineitem⋈orders is an equi-join on l_orderkey that AQE will
+    plan as sort-merge with both filters pushed below the join.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.year(F.first("o_orderdate")).cast("int").alias("o_year"),
+        )
+    )
+
+
+_SQL_ORDER_REVENUE = f"""
+SELECT o_orderkey,
+       round({_sql_dsum('l_extendedprice * (1 - l_discount)')}, 4) AS revenue,
+       CAST(year(min(o_orderdate)) AS INTEGER) AS o_year
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1997-06-01'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+"""
+
+
+def q_full_load_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FullLoad partition derivation (functions/dates.py): yyyyMMdd
+    string → year/month/day/week with 9999/99 sentinels for bad dates;
+    week is ALIGNED (week 1 = Jan 1-7), not ISO."""
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.withColumn(
+        "d",
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit("notadate")).otherwise(
+            F.date_format("l_shipdate", "yyyyMMdd")
+        ),
+    )
+    derived = with_date_components(src, "d", "yyyyMMdd", ["year", "month", "day", "week"])
+    return derived.groupBy("year", "month", "day", "week").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_SQL_FULL_LOAD_DATES = """
+WITH src AS (
+  SELECT CASE WHEN l_orderkey % 97 = 0 THEN 'notadate'
+              ELSE strftime(l_shipdate, '%Y%m%d') END AS d
+  FROM lineitem
+), p AS (
+  SELECT try_strptime(d, '%Y%m%d') AS pd FROM src
+)
+SELECT CAST(coalesce(year(pd), 9999) AS INTEGER) AS year,
+       CAST(coalesce(month(pd), 99) AS INTEGER) AS month,
+       CAST(coalesce(day(pd), 99) AS INTEGER) AS day,
+       CAST(coalesce(CAST(floor((dayofyear(pd) - 1) / 7) + 1 AS INTEGER), 99) AS INTEGER) AS week,
+       COUNT(*) AS n
+FROM p
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_append_load_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AppendLoad regex-partition extraction (append_load.py:37): the
+    same ``regexp_extract(path, r, 1).cast(int)`` expression the
+    operator applies to input_file_name(), here applied to a synthesized
+    landing path so the oracle can reproduce it."""
+    orders = _t(spark, sf_dir, "orders")
+    path = F.concat(
+        F.lit("lake/table/year="),
+        F.date_format("o_orderdate", "yyyy"),
+        F.lit("/month="),
+        F.date_format("o_orderdate", "MM"),
+        F.lit("/part-"),
+        F.col("o_orderkey").cast("string"),
+        F.lit(".parquet"),
+    )
+    df = orders.withColumn("path", path).select(
+        F.regexp_extract(F.col("path"), r"year=(\d+)", 1).cast("int").alias("year"),
+        F.regexp_extract(F.col("path"), r"month=(\d+)", 1).cast("int").alias("month"),
+    )
+    return df.groupBy("year", "month").agg(F.count(F.lit(1)).alias("n"))
+
+
+_SQL_APPEND_LOAD_REGEX = """
+WITH paths AS (
+  SELECT 'lake/table/year=' || strftime(o_orderdate, '%Y') ||
+         '/month=' || strftime(o_orderdate, '%m') ||
+         '/part-' || CAST(o_orderkey AS VARCHAR) || '.parquet' AS path
+  FROM orders
+)
+SELECT CAST(regexp_extract(path, 'year=(\\d+)', 1) AS INTEGER) AS year,
+       CAST(regexp_extract(path, 'month=(\\d+)', 1) AS INTEGER) AS month,
+       COUNT(*) AS n
+FROM paths
+GROUP BY 1, 2
+"""
+
+
+def q_delta_condense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeltaLoad condensation (delta_load.py::condense): latest change
+    record per business key, row_number over (ts DESC, event_id DESC)."""
+    ev = _t(spark, sf_dir, "events")
+    latest = condense(ev, ["user_id"], ["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+_SQL_DELTA_CONDENSE = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       round(value, 4) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeltaLoad merge (delta_load.py::merge_delta): survivors via one
+    LEFT_ANTI join ∪ upserts (recordmode NULL/''/'N'), deletes dropped —
+    same semantics as the reference's EXCEPT+UNION with one fewer
+    shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    active = ev.select("event_id", "user_id", "event_type", "value")
+    delta = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (F.col("value") * 2).alias("value"),
+            F.when(F.col("event_id") % 10 == 0, F.lit("D")).otherwise(F.lit("N")).alias("recordmode"),
+        )
+    )
+    merged = merge_delta(active, delta, ["event_id"], record_mode_column="recordmode")
+    return merged.select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+_SQL_DELTA_MERGE = """
+SELECT event_id, user_id, event_type, round(value, 4) AS value
+FROM events WHERE event_id % 5 != 0
+UNION ALL
+SELECT event_id, user_id, event_type, round(value * 2, 4) AS value
+FROM events WHERE event_id % 5 = 0 AND event_id % 10 != 0
+"""
+
+
+def q_transpose_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transpose (transpose.py): long→wide pivot with explicit pivot
+    values (no extra distinct-discovery job) — one hash aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_custkey", "o_orderstatus", F.col("o_totalprice").cast("decimal(30,12)").alias("price")
+    )
+    out = transpose(src, ["o_custkey"], "o_orderstatus", "price",
+                    pivot_values=["O", "F", "P"], agg="sum")
+    return out.select(
+        "o_custkey",
+        F.round(F.col("O").cast("double"), 2).alias("total_O"),
+        F.round(F.col("F").cast("double"), 2).alias("total_F"),
+        F.round(F.col("P").cast("double"), 2).alias("total_P"),
+    )
+
+
+_SQL_TRANSPOSE_PIVOT = f"""
+SELECT o_custkey,
+       round(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(30,12)) END) AS DOUBLE), 2) AS total_O,
+       round(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(30,12)) END) AS DOUBLE), 2) AS total_F,
+       round(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(30,12)) END) AS DOUBLE), 2) AS total_P
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+def q_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FixedSizeStringExtractor (fixed_size_extractor.py): pack part
+    attributes into a fixed-width line, extract typed fields back;
+    all-blank field → NULL via nullif(trim(...), '')."""
+    part = _t(spark, sf_dir, "part")
+    fixed = F.concat(
+        F.rpad(F.col("p_brand"), 10, " "),
+        F.when(F.col("p_size") % 7 == 0, F.lit("      ")).otherwise(
+            F.lpad(F.col("p_size").cast("string"), 6, " ")
+        ),
+        F.rpad(F.col("p_type"), 12, " "),
+    )
+    df = part.withColumn("line", fixed)
+    fields = [
+        FixedField("brand", 1, 10, "string"),
+        FixedField("size", 11, 16, "int"),
+        FixedField("ptype", 17, 28, "string"),
+    ]
+    return extract_fixed_width(df, "line", fields, keep_columns=["p_partkey"])
+
+
+_SQL_FIXED_WIDTH = """
+WITH lines AS (
+  SELECT p_partkey,
+         rpad(p_brand, 10, ' ') ||
+         CASE WHEN p_size % 7 = 0 THEN '      '
+              ELSE lpad(CAST(p_size AS VARCHAR), 6, ' ') END ||
+         rpad(p_type, 12, ' ') AS line
+  FROM part
+)
+SELECT p_partkey,
+       nullif(trim(substring(line, 1, 10)), '') AS brand,
+       CAST(nullif(trim(substring(line, 11, 6)), '') AS INTEGER) AS size,
+       nullif(trim(substring(line, 17, 12)), '') AS ptype
+FROM lines
+"""
+
+
+def q_flatten_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NestedFlattener array explode (nested_flattener.py::flatten with
+    explode_columns): a Generate node, no shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.select("o_orderkey", F.split("o_orderpriority", "-").alias("toks"))
+    return flatten(df, explode_columns=["toks"])
+
+
+_SQL_FLATTEN_EXPLODE = """
+SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS toks
+FROM orders
+"""
+
+
+def q_flatten_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NestedFlattener struct flatten (flatten_structs): two-level
+    struct projected to ``parent__child`` columns — pure projection."""
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(F.col("o_totalprice").alias("price")).alias("amounts"),
+        ).alias("meta"),
+    )
+    flat = flatten_structs(df)
+    return flat.select(
+        "o_orderkey",
+        F.col("meta__status"),
+        F.round("meta__amounts__price", 2).alias("meta__amounts__price"),
+    )
+
+
+_SQL_FLATTEN_STRUCT = """
+SELECT o_orderkey, o_orderstatus AS meta__status,
+       round(o_totalprice, 2) AS meta__amounts__price
+FROM orders
+"""
+
+
+def q_side_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NestedFlattener positional side-flatten (side_flatten): arr →
+    arr_0..arr_2, out-of-bounds → NULL (F.get, ANSI-safe)."""
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.select("o_orderkey", F.split("o_orderpriority", "-").alias("pri"))
+    return side_flatten(df, "pri", 3)
+
+
+_SQL_SIDE_FLATTEN = """
+SELECT o_orderkey,
+       string_split(o_orderpriority, '-')[1] AS pri_0,
+       string_split(o_orderpriority, '-')[2] AS pri_1,
+       string_split(o_orderpriority, '-')[3] AS pri_2
+FROM orders
+"""
+
+
+def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AppendUnionPartitions schema evolution (writers.py:96,122 +
+    plans/partitions.py::add_missing_columns): existing rows padded with
+    typed NULLs to the evolved schema, then unionByName."""
+    cust = _t(spark, sf_dir, "customer")
+    existing = cust.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name")
+    new = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    padded = add_missing_columns(existing, new.schema)
+    return new.unionByName(padded)
+
+
+_SQL_SCHEMA_EVOLUTION_UNION = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer WHERE c_custkey % 2 = 1
+UNION ALL
+SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS acctbal
+FROM customer WHERE c_custkey % 2 = 0
+"""
+
+
+def q_append_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AppendJoinPartitions (writers.py:94,127): FULL OUTER join of
+    existing vs new rows on the shared columns."""
+    orders = _t(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("totalprice")
+    )
+    shared = [c for c in new.columns if c in existing.columns]
+    return existing.join(new, on=shared, how="full_outer")
+
+
+_SQL_APPEND_JOIN = """
+SELECT coalesce(e.o_orderkey, n.o_orderkey) AS o_orderkey,
+       coalesce(e.o_orderstatus, n.o_orderstatus) AS o_orderstatus,
+       n.totalprice
+FROM (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0) e
+FULL OUTER JOIN (SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS totalprice
+                 FROM orders WHERE o_orderkey % 4 = 0) n
+  ON e.o_orderkey = n.o_orderkey AND e.o_orderstatus = n.o_orderstatus
+"""
+
+# y/m range criteria shared by the Spark query and the oracle (the
+# RangeMaterialization shape, materialization.py:140).
+_RANGE_CRITERIA = [
+    [("year", 1996), ("month", m)] for m in range(7, 13)
+] + [[("year", 1997), ("month", m)] for m in range(1, 4)]
+
+
+def q_range_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RangeMaterialization partition predicate (plans/partitions.py::
+    partition_predicate): OR-of-ANDs Column predicate — Catalyst-prunable,
+    unlike the reference's row lambda (SURVEY §4)."""
+    orders = _t(spark, sf_dir, "orders")
+    derived = orders.select(
+        F.year("o_orderdate").cast("int").alias("year"),
+        F.month("o_orderdate").cast("int").alias("month"),
+        "o_totalprice",
+    )
+    pruned = derived.filter(partition_predicate(_RANGE_CRITERIA))
+    return pruned.groupBy("year", "month").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(_dsum(F.col("o_totalprice")), 2).alias("total"),
+    )
+
+
+_SQL_RANGE_MATERIALIZATION = f"""
+WITH derived AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+         CAST(month(o_orderdate) AS INTEGER) AS month,
+         o_totalprice
+  FROM orders
+)
+SELECT year, month, COUNT(*) AS n,
+       round({_sql_dsum('o_totalprice')}, 2) AS total
+FROM derived
+WHERE {partition_where_sql(_RANGE_CRITERIA)}
+GROUP BY year, month
+"""
+
+
+def q_query_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryMaterialization (materialization.py:152): explicit
+    col=value condition scoping."""
+    orders = _t(spark, sf_dir, "orders")
+    crit = [[("o_orderstatus", "O")]]
+    return orders.filter(partition_predicate(crit)).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+_SQL_QUERY_MATERIALIZATION = """
+SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS totalprice
+FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_distinct_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_partitions' distributed half (plans/partitions.py:66):
+    distinct partition tuples — map-side combinable, tiny output."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.year("l_shipdate").cast("int").alias("year"),
+        F.month("l_shipdate").cast("int").alias("month"),
+    ).distinct()
+
+
+_SQL_DISTINCT_PARTITIONS = """
+SELECT DISTINCT CAST(year(l_shipdate) AS INTEGER) AS year,
+                CAST(month(l_shipdate) AS INTEGER) AS month
+FROM lineitem
+"""
+
+# One statement, runnable verbatim by spark.sql and DuckDB — the
+# SQLRunner path (sql_runner.py:15).
+_SQL_RUNNER_STMT = """
+SELECT n_name AS nation, COUNT(*) AS num_customers,
+       round(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,12))) AS DOUBLE), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_sql_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLRunner (sql_runner.py): raw SQL pass-through — register the
+    testdata views, execute one statement with spark.sql."""
+    for name in ("customer", "nation"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL_RUNNER_STMT)
+
+
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event rollup — the batch equivalent of the streaming
+    watermarked window agg (streaming/pipeline.py:29-81)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(_dsum(F.col("value")), 2).alias("total_value"),
+        )
+    )
+
+
+_SQL_EVENT_ROLLUP = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+       COUNT(*) AS n,
+       round({_sql_dsum('value')}, 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline queries: text analysis, dedup, similarity
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis (functions/text.py): token counts, diversity,
+    stopword/punctuation ratios, quality score — map-only projections."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(t).cast("int").alias("n_tokens"),
+        T.bpe_like_token_count(t).cast("int").alias("n_bpe"),
+        F.round(T.distinct_token_ratio(t), 4).alias("distinct_ratio"),
+        F.round(T.stopword_ratio(t), 4).alias("stop_ratio"),
+        F.round(T.mean_token_length(t), 4).alias("mean_tok_len"),
+        F.round(T.punctuation_ratio(t), 4).alias("punct_ratio"),
+        T.quality_score(t).alias("quality"),
+    )
+
+
+_SQL_TEXT_STATS = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents
+), stats AS (
+  SELECT doc_id, text, t,
+         CAST(len(t) AS INTEGER) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS INTEGER) AS n_bpe,
+         CASE WHEN len(t) = 0 THEN 0.0 ELSE len(list_distinct(t)) / len(t) END AS distinct_ratio,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE len(list_filter(t, x -> x IN {_sql_str_list(T.STOPWORDS)})) / len(t) END AS stop_ratio,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE list_sum(list_transform(t, x -> length(x))) / len(t) END AS mean_tok_len,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) / length(text) END AS punct_ratio
+  FROM toks
+)
+SELECT doc_id, n_tokens, n_bpe,
+       round(distinct_ratio, 4) AS distinct_ratio,
+       round(stop_ratio, 4) AS stop_ratio,
+       round(mean_tok_len, 4) AS mean_tok_len,
+       round(punct_ratio, 4) AS punct_ratio,
+       round((CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0
+                   WHEN n_tokens > 0 THEN 0.5 ELSE 0.0 END
+              + distinct_ratio
+              + CASE WHEN stop_ratio > 0.01 AND stop_ratio < 0.6 THEN 1.0 ELSE 0.5 END) / 3.0,
+             4) AS quality
+FROM stats
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID (functions/text.py::predicted_language): argmax of
+    marker-token counts, ties → lexicographically smallest code."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.predicted_language(F.col("text")).alias("lang_pred"))
+
+
+def _sql_language_id() -> str:
+    score_cols = ",\n         ".join(
+        f"CAST(len(list_filter(t, x -> x IN {_sql_str_list(ws)})) AS INTEGER) AS s_{lang}"
+        for lang, ws in sorted(T.LANG_MARKERS.items())
+    )
+    langs = sorted(T.LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    cases = "\n            ".join(
+        f"WHEN s_{l} = best THEN '{l}'" for l in langs
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), scores AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM toks
+), best AS (
+  SELECT doc_id, {greatest} AS best, * FROM scores
+)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und'
+            {cases}
+       END AS lang_pred
+FROM best
+"""
+
+
+def q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (dedup.py::exact_duplicates): md5 fingerprint of
+    normalized text, canonical = min(doc_id) — one shuffle on a 32-byte
+    key."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicates(docs, "doc_id", "text")
+
+
+_SQL_EXACT_DUPS = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+       count(*) OVER (PARTITION BY fingerprint) AS group_size
+FROM fp
+"""
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup (dedup.py::simhash_duplicates): 16-bit majority
+    signature over token md5 bits."""
+    docs = _t(spark, sf_dir, "documents")
+    out = simhash_duplicates(docs, "doc_id", "text")
+    return out.withColumn("simhash", F.col("simhash").cast("int"))
+
+
+def _sql_simhash_dedup() -> str:
+    bits = " + ".join(
+        f"CASE WHEN list_sum(list_transform(t, x -> (ascii(substring(md5(x), {b + 1}, 1)) % 2) * 2 - 1)) >= 0 "
+        f"THEN {1 << b} ELSE 0 END"
+        for b in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, CAST({bits} AS INTEGER) AS simhash FROM toks
+)
+SELECT doc_id, simhash,
+       min(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
+       count(*) OVER (PARTITION BY simhash) AS group_size
+FROM sh
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup (dedup.py::minhash_lsh_candidates): banded
+    signatures, candidates from a co-partitioned self-equi-join on
+    (band, band_key) — never an all-pairs cross join."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=16, bands=8)
+
+
+def _sql_minhash_lsh() -> str:
+    hashes = ", ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{j}|' || x)), 'min')"
+        for j in range(16)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(sig[{2 * b + 1}] || '|' || sig[{2 * b + 2}]) AS band_key FROM sigs"
+        for b in range(8)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+), sigs AS (
+  SELECT doc_id, [{hashes}] AS sig FROM sh
+), bands AS (
+{band_rows}
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard (dedup.py::ngram_jaccard_pairs): exact pairwise
+    Jaccard inside source blocks — the LSH verifier."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", ["source"], shingle_n=3, threshold=0.2)
+
+
+_SQL_JACCARD_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_SQL_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, source, {_SQL_SHINGLES} AS s FROM toks
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       round(len(list_intersect(l.s, r.s)) / len(list_distinct(list_concat(l.s, r.s))), 4) AS jaccard
+FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
+WHERE round(len(list_intersect(l.s, r.s)) / len(list_distinct(list_concat(l.s, r.s))), 4) >= 0.2
+"""
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup (dedup.py::embedding_near_dupes): sign-LSH
+    bucketed self-join + cosine threshold."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from m3d_engine_spark.operators.dedup import embedding_near_dupes
+
+    return embedding_near_dupes(emb, "vec_id", "embedding", threshold=0.35, lsh_bits=4)
+
+
+_SQL_COSINE = (
+    "round(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST(l.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))), 4)"
+)
+
+_SQL_BUCKET = (
+    "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END + "
+    "CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END + "
+    "CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END + "
+    "CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)"
+)
+
+_SQL_EMBEDDING_DUPS = f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings
+)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b, {_SQL_COSINE} AS cosine
+FROM base l JOIN base r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE {_SQL_COSINE} >= 0.35
+"""
+
+
+def q_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline (similarity.py::brute_force_topk): broadcast
+    queries → BroadcastNestedLoopJoin, zero corpus shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+_SQL_BRUTE_TOPK = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+pairs AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id, {_SQL_COSINE.replace('l.embedding', 'q.embedding')} AS cosine
+  FROM embeddings r CROSS JOIN q
+  WHERE r.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank,
+       cosine
+FROM pairs
+QUALIFY rank <= 5
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN (similarity.py::bucketed_ann_topk): candidates
+    restricted to the query's sign-LSH bucket — equi-join on bucket."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = bucketed_ann_topk(emb, queries, "vec_id", "embedding", k=5, lsh_bits=4)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+_SQL_ANN_TOPK = f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings
+),
+q AS (SELECT * FROM base WHERE vec_id % 25 = 0),
+pairs AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id, {_SQL_COSINE.replace('l.embedding', 'q.embedding')} AS cosine
+  FROM base r JOIN q ON r.bucket = q.bucket
+  WHERE r.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank,
+       cosine
+FROM pairs
+QUALIFY rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "order_revenue": q_order_revenue,
+        "full_load_dates": q_full_load_dates,
+        "append_load_regex": q_append_load_regex,
+        "delta_condense": q_delta_condense,
+        "delta_merge": q_delta_merge,
+        "transpose_pivot": q_transpose_pivot,
+        "fixed_width": q_fixed_width,
+        "flatten_explode": q_flatten_explode,
+        "flatten_struct": q_flatten_struct,
+        "side_flatten": q_side_flatten,
+        "schema_evolution_union": q_schema_evolution_union,
+        "append_join": q_append_join,
+        "range_materialization": q_range_materialization,
+        "query_materialization": q_query_materialization,
+        "distinct_partitions": q_distinct_partitions,
+        "sql_runner": q_sql_runner,
+        "event_rollup": q_event_rollup,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "exact_dups": q_exact_dups,
+        "simhash_dedup": q_simhash_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "jaccard_pairs": q_jaccard_pairs,
+        "embedding_dups": q_embedding_dups,
+        "brute_topk": q_brute_topk,
+        "ann_topk": q_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": _SQL_PRICING_SUMMARY,
+        "order_revenue": _SQL_ORDER_REVENUE,
+        "full_load_dates": _SQL_FULL_LOAD_DATES,
+        "append_load_regex": _SQL_APPEND_LOAD_REGEX,
+        "delta_condense": _SQL_DELTA_CONDENSE,
+        "delta_merge": _SQL_DELTA_MERGE,
+        "transpose_pivot": _SQL_TRANSPOSE_PIVOT,
+        "fixed_width": _SQL_FIXED_WIDTH,
+        "flatten_explode": _SQL_FLATTEN_EXPLODE,
+        "flatten_struct": _SQL_FLATTEN_STRUCT,
+        "side_flatten": _SQL_SIDE_FLATTEN,
+        "schema_evolution_union": _SQL_SCHEMA_EVOLUTION_UNION,
+        "append_join": _SQL_APPEND_JOIN,
+        "range_materialization": _SQL_RANGE_MATERIALIZATION,
+        "query_materialization": _SQL_QUERY_MATERIALIZATION,
+        "distinct_partitions": _SQL_DISTINCT_PARTITIONS,
+        "sql_runner": _SQL_RUNNER_STMT,
+        "event_rollup": _SQL_EVENT_ROLLUP,
+        "text_stats": _SQL_TEXT_STATS,
+        "language_id": _sql_language_id(),
+        "exact_dups": _SQL_EXACT_DUPS,
+        "simhash_dedup": _sql_simhash_dedup(),
+        "minhash_lsh": _sql_minhash_lsh(),
+        "jaccard_pairs": _SQL_JACCARD_PAIRS,
+        "embedding_dups": _SQL_EMBEDDING_DUPS,
+        "brute_topk": _SQL_BRUTE_TOPK,
+        "ann_topk": _SQL_ANN_TOPK,
+    }

@@ -99,12 +99,21 @@ def language_scores(text: Column) -> dict[str, Column]:
 
 def predicted_language(text: Column) -> Column:
     """argmax over language marker scores, ties broken by language code
-    ascending, all-zero → 'und'. Deterministic."""
+    ascending, all-zero → 'und'. Deterministic.
+
+    Implementation: array_max over struct(score, prio, lang) where prio
+    descends along ascending language codes, so on a score tie the max
+    struct carries the lexicographically *smallest* code.
+    """
     scores = language_scores(text)
-    # Build array<struct<score,negcode>> and take max → deterministic argmax.
+    langs = sorted(scores)
     entries = [
-        F.struct(s.alias("score"), F.lit(lang).alias("lang"))
-        for lang, s in sorted(scores.items(), reverse=True)
+        F.struct(
+            scores[lang].alias("score"),
+            F.lit(len(langs) - 1 - i).alias("prio"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
     ]
     best = F.array_max(F.array(*entries))
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))

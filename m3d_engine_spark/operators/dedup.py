@@ -68,7 +68,13 @@ def shingle_array(text: Column, n: int) -> Column:
 def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
     """array<string> of ``num_hashes`` MinHash values: hash_j = min over
     shingles of md5('<j>|' + shingle). Lexicographic min over hex md5 is
-    a valid uniform min-hash and engine-portable."""
+    a valid uniform min-hash and engine-portable.
+
+    Note: as a single Column expression this re-evaluates the shingle
+    array once per hash function — fine for ad-hoc use on one column,
+    but ``lsh_bands`` below uses the explode→hash→groupBy-min topology
+    so each md5 is computed exactly once.
+    """
     sh = F.array_distinct(shingle_array(text, shingle_n))
 
     def mh(j: int) -> Column:
@@ -83,20 +89,41 @@ def lsh_bands(
 ) -> DataFrame:
     """(id, band, band_key): signature split into ``bands`` equal bands;
     band_key = md5 of the band's joined hashes. Same band_key in the same
-    band ⇒ LSH candidate."""
+    band ⇒ LSH candidate.
+
+    Topology: explode distinct shingles → compute the ``num_hashes``
+    md5s per shingle once → groupBy(id).min per hash → band keys. One
+    Generate + one shuffle on the id; every md5 is evaluated exactly
+    once (a naive nested-expression form re-evaluates the shingle array
+    per hash function and per band — ~(hashes×bands)× the CPU).
+    The shuffle carries only (id, num_hashes × 32-byte hex) rows, never
+    documents, so at 10⁹ docs the agg is map-side-combinable and small.
+    """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    banded = df.select(
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_array(F.col(text_col), shingle_n))).alias("shingle"),
+    )
+    hashed = exploded.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
+    )
+    return sig.select(
         F.col(id_col),
         F.posexplode(
             F.array(*[
-                F.md5(F.concat_ws("|", F.slice(sig, b * rows + 1, rows)))
+                F.md5(F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]))
                 for b in range(bands)
             ])
         ).alias("band", "band_key"),
     )
-    return banded
 
 
 def minhash_lsh_candidates(
@@ -128,8 +155,9 @@ def minhash_lsh_candidates(
 # -------------------------------------------------------------- SimHash
 def simhash16(text: Column) -> Column:
     """16-bit SimHash over tokens (with multiplicity). Bit b of a token =
-    parity of hex digit b of md5(token); signature bit b = majority sign
-    of Σ(2·bit−1). Portable: md5 hex is identical everywhere."""
+    parity of the ASCII code of hex digit b of md5(token); signature bit
+    b = majority sign of Σ(2·bit−1). Portable: md5 hex and ASCII codes
+    are identical in every engine."""
     toks = tokens(text)
 
     def bit_sum(b: int) -> Column:

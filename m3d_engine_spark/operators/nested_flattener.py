@@ -48,9 +48,11 @@ def explode_arrays(df: DataFrame, explode_columns: Sequence[str]) -> DataFrame:
 
 
 def side_flatten(df: DataFrame, column: str, size: int) -> DataFrame:
-    """arr → arr_0 .. arr_{size-1} via getItem (reference :142-148)."""
+    """arr → arr_0 .. arr_{size-1} (reference :142-148 used getItem;
+    under ANSI mode an out-of-bounds getItem throws INVALID_ARRAY_INDEX,
+    so use ``F.get`` which yields NULL like the pre-ANSI reference)."""
     for i in range(size):
-        df = df.withColumn(f"{column}_{i}", F.col(f"`{column}`").getItem(i))
+        df = df.withColumn(f"{column}_{i}", F.get(F.col(f"`{column}`"), i))
     return df.drop(column)
 
 
