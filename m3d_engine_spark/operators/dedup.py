@@ -174,10 +174,37 @@ def simhash16(text: Column) -> Column:
     return out
 
 
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash): same signature as ``simhash16`` but computed via
+    explode → md5-once-per-token → groupBy-sum, so each token is hashed
+    once instead of once per bit (16× less md5 CPU). The shuffle carries
+    16 small ints per token — map-side combinable."""
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok")
+    )
+    hashed = toks.select(F.col(id_col), F.md5("tok").alias("h"))
+    contribs = hashed.select(
+        F.col(id_col),
+        *[
+            F.coalesce(
+                (F.ascii(F.substring("h", b + 1, 1)) % 2) * 2 - 1, F.lit(0)
+            ).alias(f"b{b}")
+            for b in range(16)
+        ],
+    )
+    sums = contribs.groupBy(id_col).agg(
+        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(16)]
+    )
+    sig = F.lit(0)
+    for b in range(16):
+        sig = sig + F.when(F.col(f"b{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sums.select(F.col(id_col), sig.cast("int").alias("simhash"))
+
+
 def simhash_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash, canonical_id, group_size) by identical signature.
     (Hamming-distance-≤k matching = same join on rotated band slices.)"""
-    sh = df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+    sh = simhash_signatures(df, id_col, text_col)
     w = Window.partitionBy("simhash")
     return sh.select(
         F.col(id_col),
@@ -196,29 +223,51 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.2,
 ) -> DataFrame:
-    """Exact Jaccard over distinct shingle sets for all pairs inside a
-    block. Blocking bounds the quadratic cost: O(Σ block²) ≪ O(n²).
-    Returns (id_a, id_b, jaccard) with round(jaccard,4) ≥ threshold."""
+    """Exact Jaccard over distinct shingle sets for pairs inside a
+    block, with round(jaccard,4) ≥ threshold (must be > 0).
+
+    Topology: explode distinct shingles → self-equi-join on
+    (block, shingle) → count matches per pair = |A∩B|; |A∪B| =
+    |A|+|B|−|A∩B|. Pairs sharing zero shingles never materialize
+    (their Jaccard is 0 < threshold), so the cost is proportional to
+    actual shingle collisions, not O(block²) array intersections —
+    the same inverted-index trick that makes set-similarity joins
+    feasible at 10⁹ docs. Hot shingles fan out quadratically; at scale
+    drop ultra-frequent shingles first (they carry no signal).
+    """
+    if threshold <= 0:
+        raise ValueError("ngram_jaccard_pairs requires threshold > 0")
     base = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    tok = base.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.col("n_sh"),
+        F.explode("sh").alias("shingle"),
     )
-    l, r = base.alias("l"), base.alias("r")
+    l, r = tok.alias("l"), tok.alias("r")
     cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
+    cond.append(F.col("l.shingle") == F.col("r.shingle"))
     cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-    jac = F.round(
-        F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
-        / F.size(F.array_union(F.col("l.sh"), F.col("r.sh"))),
-        4,
-    )
-    return (
+    # Size filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose
+    # sizes differ by more than the threshold ratio can never qualify —
+    # prune it inside the join before the aggregation shuffle.
+    cond.append(F.col("l.n_sh") >= F.col("r.n_sh") * threshold)
+    cond.append(F.col("r.n_sh") >= F.col("l.n_sh") * threshold)
+    inter = (
         l.join(r, on=cond)
-        .select(
+        .groupBy(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            jac.alias("jaccard"),
+            F.col("l.n_sh").alias("na"),
+            F.col("r.n_sh").alias("nb"),
         )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4)
+    return (
+        inter.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -232,14 +281,19 @@ def embedding_near_dupes(
     lsh_bits: int = 4,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, candidate-limited to
-    sign-LSH buckets (co-partitioned self-join, not a cross join)."""
+    sign-LSH buckets (co-partitioned self-join, not a cross join).
+    Norms are precomputed per vector (one sqrt each) instead of per
+    candidate pair."""
+    from m3d_engine_spark.functions.vectors import dot, norm
+
     base = df.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
         sign_lsh_bucket(F.col(vec_col), lsh_bits).alias("bucket"),
     )
     l, r = base.alias("l"), base.alias("r")
-    sim = F.round(cosine(F.col("l.v"), F.col("r.v")), 4)
+    sim = F.round(dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 4)
     return (
         l.join(
             r,

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from m3d_engine_spark.functions.vectors import cosine, sign_lsh_bucket
+from m3d_engine_spark.functions.vectors import dot, norm, sign_lsh_bucket
 
 
 def _ranked_topk(
@@ -47,13 +47,21 @@ def brute_force_topk(
     """Exact cosine top-k of each query against the corpus (self-matches
     excluded). Returns (query_id, neighbor_id, rank, cosine)."""
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     pairs = c.crossJoin(q).filter(F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
     )
     return _ranked_topk(pairs, "query_id", "neighbor_id", k)
 
@@ -73,11 +81,13 @@ def bucketed_ann_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
         sign_lsh_bucket(F.col(vec_col), lsh_bits).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
         sign_lsh_bucket(F.col(vec_col), lsh_bits).alias("bucket"),
     )
     pairs = (
@@ -86,7 +96,7 @@ def bucketed_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
         )
     )
     return _ranked_topk(pairs, "query_id", "neighbor_id", k)
