@@ -46,16 +46,19 @@ def merge_condition(
     new_alias: str = "newData",
 ) -> str:
     """Merge condition string incl. the partition-pruning predicate and
-    null-partition guard (DeltaLakeLoad.scala:213-283)."""
+    null-partition guard (DeltaLakeLoad.scala:213-283). Literals go
+    through the shared ``sql_literal`` escaping (quotes in partition
+    values, None → NULL under the null-safe ``<=>``)."""
+    from m3d_engine_spark.plans.partitions import sql_literal
+
     parts = [f"{current_alias}.{k} <=> {new_alias}.{k}" for k in business_keys]
     cond = " AND ".join(parts)
     if affected_partitions:
         ors = []
         for crit in affected_partitions:
-            ands = []
-            for c, v in crit:
-                lit = f"'{v}'" if isinstance(v, str) else str(v)
-                ands.append(f"{current_alias}.{c} <=> {lit}")
+            ands = [
+                f"{current_alias}.{c} <=> {sql_literal(v)}" for c, v in crit
+            ]
             ors.append("(" + " AND ".join(ands) + ")")
         cond = f"({cond}) AND ({' OR '.join(ors)})"
     return cond
@@ -126,8 +129,23 @@ class DeltaLakeLoadAlgorithm(Algorithm):
         return [merge_delta(lake, condensed, bk, record_mode_column=rm)]
 
     def write(self, dfs: list[DataFrame]) -> None:
+        from m3d_engine_spark.config import ConfigError
         from m3d_engine_spark.sources.writers import write_output
 
+        if self.params.get_optional("target_partitions"):
+            # Same trap as DeltaLoad: the merge result is scoped to
+            # affected partitions — never whole-table overwrite it.
+            if self.params.get_optional("load_mode") == "OverwriteTable":
+                raise ConfigError(
+                    "DeltaLakeLoad with target_partitions produces a "
+                    "partition-scoped result; load_mode=OverwriteTable "
+                    "would delete unaffected partitions."
+                )
+            write_output(
+                self.spark, dfs[0], self.params,
+                default_load_mode="OverwritePartitionsWithAddedColumns",
+            )
+            return
         write_output(self.spark, dfs[0], self.params)
 
 

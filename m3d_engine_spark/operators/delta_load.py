@@ -102,7 +102,15 @@ class DeltaLoadAlgorithm(Algorithm):
         if p.has("delta_records_file_path"):
             delta = self.spark.read.parquet(p.get_string("delta_records_file_path"))
         else:
-            delta = self.spark.table(p.get_string("delta_records_table"))
+            # Reference key is 'delta_records_table_lake'
+            # (DeltaLoadConfiguration.scala); keep the short form as an
+            # alias so both acon spellings load.
+            key = (
+                "delta_records_table_lake"
+                if p.has("delta_records_table_lake")
+                else "delta_records_table"
+            )
+            delta = self.spark.table(p.get_string(key))
         active = self.spark.table(p.get_string("active_records_table_lake"))
         return [delta, active]
 
@@ -130,6 +138,23 @@ class DeltaLoadAlgorithm(Algorithm):
         return [merge_delta(active, condensed, bk, record_mode_column=rm)]
 
     def write(self, dfs: list[DataFrame]) -> None:
+        from m3d_engine_spark.config import ConfigError
         from m3d_engine_spark.sources.writers import write_output
 
+        if self.params.get_optional("target_partitions"):
+            # transform() pruned the active side to affected partitions;
+            # writing that as a whole-table overwrite would silently drop
+            # every unaffected partition. The reference hardwires the
+            # partition-respecting mode (DeltaLoadConfiguration.scala:74-80).
+            if self.params.get_optional("load_mode") == "OverwriteTable":
+                raise ConfigError(
+                    "DeltaLoad with target_partitions produces a partition-"
+                    "scoped result; load_mode=OverwriteTable would delete "
+                    "unaffected partitions. Use OverwritePartitions[WithAddedColumns]."
+                )
+            write_output(
+                self.spark, dfs[0], self.params,
+                default_load_mode="OverwritePartitionsWithAddedColumns",
+            )
+            return
         write_output(self.spark, dfs[0], self.params)

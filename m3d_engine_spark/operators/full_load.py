@@ -94,14 +94,20 @@ class FullLoad(Algorithm):
             self.dfs.delete(self.next_location)  # FullLoad.scala:47-58
             raise
         if self.table:
+            # Capture the schema BEFORE any DROP: if the swap fails
+            # mid-way the table may already be gone, and the restore
+            # must not depend on reading it back from the catalog.
+            saved_schema = self.spark.table(self.table).schema
             try:
                 cat.recreate_table_at_location(
-                    self.spark, self.table, self.next_location, self.partition_targets
+                    self.spark, self.table, self.next_location,
+                    self.partition_targets, schema=saved_schema,
                 )
             except Exception:
                 if self.previous_location:  # restore (FullLoad.scala:60-70)
                     cat.recreate_table_at_location(
-                        self.spark, self.table, self.previous_location, self.partition_targets
+                        self.spark, self.table, self.previous_location,
+                        self.partition_targets, schema=saved_schema,
                     )
                 self.dfs.delete(self.next_location)
                 raise
@@ -110,4 +116,11 @@ class FullLoad(Algorithm):
 
     def update_statistics(self) -> None:
         if self.table:
-            cat.compute_statistics(self.spark, self.table)
+            # Per-partition ANALYZE first, then table-level
+            # (TableStatistics.scala:55-80).
+            specs = (
+                cat.list_table_partitions(self.spark, self.table)
+                if self.partition_targets
+                else []
+            )
+            cat.compute_statistics(self.spark, self.table, partition_specs=specs)

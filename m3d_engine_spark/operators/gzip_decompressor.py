@@ -58,6 +58,42 @@ def decompress_directory(directory: str, thread_pool_size: int = 4) -> list[str]
         return list(pool.map(_decompress_local, targets))
 
 
+def decompress_directory_hadoop(
+    spark: SparkSession, directory: str, thread_pool_size: int = 4
+) -> list[str]:
+    """Driver-side parallel decompression over the Hadoop FileSystem
+    (GzipDecompressor.scala:42-87): listing and byte streams go through
+    sources/dfs.py, so the same code handles file://, hdfs:// and
+    s3a:// landing dirs — the reference's whole point. Local-path-only
+    ``decompress_directory`` remains for plain-OS use."""
+    from m3d_engine_spark.sources.dfs import DFS
+
+    dfs = DFS(spark)
+    targets = [
+        p for p in dfs.list_files(directory, recursive=False)
+        if p.endswith(_SUFFIXES)
+    ]
+
+    def work(path: str) -> str:
+        payload = dfs.read_bytes(path)
+        if path.endswith(".gz"):
+            data = gzip.decompress(payload)
+            out = path[: -len(".gz")]
+        else:
+            with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+                names = zf.namelist()
+                if len(names) != 1:
+                    raise ValueError(f"{path}: zip must contain exactly one entry")
+                data = zf.read(names[0])
+            out = path[: -len(".zip")]
+        dfs.write_bytes(out, data)
+        dfs.delete(path)
+        return out
+
+    with cf.ThreadPoolExecutor(max_workers=thread_pool_size) as pool:
+        return list(pool.map(work, targets))
+
+
 def decompress_distributed(spark: SparkSession, directory: str) -> list[str]:
     """One Spark task per compressed file: read via binaryFiles, write
     decompressed bytes back from the executor."""
@@ -92,7 +128,13 @@ class GzipDecompressor(Algorithm):
 
     def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
         directory = self.params.get_optional("directory") or self.params.get_string("source_dir")
-        decompress_directory(directory, int(self.params.get_optional("thread_pool_size", 4)))
+        threads = int(self.params.get_optional("thread_pool_size", 4))
+        if self.params.get_optional("distributed", False):
+            decompress_distributed(self.spark, directory)
+        else:
+            # Hadoop FS streams, like the reference — works on any
+            # scheme the cluster can reach, not just the local disk.
+            decompress_directory_hadoop(self.spark, directory, threads)
         return []
 
     def write(self, dfs: list[DataFrame]) -> None:

@@ -45,18 +45,23 @@ def partition_predicate(criteria: Sequence[PartitionCriteria]) -> Column:
     return reduce(lambda a, b: a | b, ands)
 
 
+def sql_literal(v: Any) -> str:
+    """One SQL literal, safely escaped — shared by every place that
+    builds SQL strings (partition predicates, Delta merge conditions,
+    ADD PARTITION specs), so quoting bugs can't diverge per call site."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
 def partition_where_sql(criteria: Sequence[PartitionCriteria]) -> str:
     """The same predicate as an ANSI SQL string (for replaceWhere etc.)."""
-
-    def lit(v: Any) -> str:
-        if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
-        if isinstance(v, bool):
-            return "true" if v else "false"
-        return str(v)
-
     ors = [
-        "(" + " AND ".join(f"{c} = {lit(v)}" for c, v in crit) + ")"
+        "(" + " AND ".join(f"{c} = {sql_literal(v)}" for c, v in crit) + ")"
         for crit in criteria
         if crit
     ]

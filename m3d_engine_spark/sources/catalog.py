@@ -39,11 +39,17 @@ def recreate_table_at_location(
     table: str,
     location: str,
     partition_columns: Sequence[str] = (),
+    schema: StructType | None = None,
 ) -> None:
     """Re-point a table at a new data directory, preserving the schema —
     the FullLoad swap (CatalogTableManager.scala:87-99). Uses DROP +
-    CREATE ... USING PARQUET LOCATION, then partition recovery."""
-    schema = spark.table(table).schema
+    CREATE ... USING PARQUET LOCATION, then partition recovery.
+
+    Pass ``schema`` explicitly on restore paths: after a failed swap the
+    table may already be dropped, so reading the schema from the catalog
+    here would throw and leave no table at all."""
+    if schema is None:
+        schema = spark.table(table).schema
     ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     part = ""
@@ -78,6 +84,23 @@ def recover_partitions_custom(
     for s in stmts:
         spark.sql(s)
     return stmts
+
+
+def list_table_partitions(spark: SparkSession, table: str) -> list[list[tuple[str, str]]]:
+    """SHOW PARTITIONS → criteria lists (values as strings, the form
+    ANALYZE/ALTER accept). Empty for unpartitioned tables."""
+    try:
+        rows = spark.sql(f"SHOW PARTITIONS {table}").collect()
+    except Exception:
+        return []
+    out = []
+    for row in rows:
+        crit = []
+        for part in row[0].split("/"):
+            c, _, v = part.partition("=")
+            crit.append((c, v))
+        out.append(crit)
+    return out
 
 
 def compute_statistics(

@@ -67,6 +67,21 @@ class DFS:
                 out.append(name)
         return sorted(out, reverse=reverse)
 
+    def first_file(self, path: str) -> str | None:
+        """First data file under ``path`` (recursive), stopping the
+        remote iterator early — avoids the full-listing storm when only
+        one footer is needed (e.g. on-disk schema discovery)."""
+        fs = self._fs(path)
+        p = self._jpath(path)
+        if not fs.exists(p):
+            return None
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            f = it.next().getPath()
+            if not f.getName().startswith(("_", ".")):
+                return f.toString()
+        return None
+
     def list_files(self, path: str, recursive: bool = True) -> list[str]:
         fs = self._fs(path)
         p = self._jpath(path)
@@ -78,22 +93,35 @@ class DFS:
             out.append(it.next().getPath().toString())
         return out
 
-    def read_text(self, path: str) -> str:
+    def read_bytes(self, path: str) -> bytes:
         fs = self._fs(path)
         stream = fs.open(self._jpath(path))
         try:
             ioutils = self._jvm().org.apache.commons.io.IOUtils
-            return ioutils.toString(stream, "UTF-8")
+            return bytes(ioutils.toByteArray(stream))
         finally:
             stream.close()
 
-    def write_text(self, path: str, content: str) -> None:
+    def write_bytes(self, path: str, content: bytes) -> None:
         fs = self._fs(path)
+        try:
+            # LocalFileSystem is checksummed by default and would write
+            # a hidden .crc sibling next to every file — noise in landing
+            # dirs whose contents other loaders enumerate.
+            fs.setWriteChecksum(False)
+        except Exception:
+            pass
         stream = fs.create(self._jpath(path), True)
         try:
-            stream.write(bytearray(content.encode("utf-8")))
+            stream.write(bytearray(content))
         finally:
             stream.close()
+
+    def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode("utf-8")
+
+    def write_text(self, path: str, content: str) -> None:
+        self.write_bytes(path, content.encode("utf-8"))
 
 
 def next_version_dir(base: str, ts: float | None = None) -> str:

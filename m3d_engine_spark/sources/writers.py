@@ -47,10 +47,36 @@ class LoadMode(Enum):
     APPEND_UNION_PARTITIONS = "AppendUnionPartitions"
 
 
+# Characters Hive/Spark escape in partition directory names
+# (Hive FileUtils.charToEscape / Spark ExternalCatalogUtils.escapePathName):
+# ASCII control chars plus the set below, as %XX uppercase hex.
+_PATH_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {chr(i) for i in range(0x20)}
+
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def escape_path_name(value: str) -> str:
+    """Hive partition-path escaping — must match what Spark's writer
+    produced on disk, or the rename-based commit targets a nonexistent
+    directory."""
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PATH_ESCAPE_CHARS else ch for ch in value
+    )
+
+
 def partition_rel_path(criteria: Sequence[tuple[str, Any]]) -> str:
     """[(year,2016),(month,6)] → 'year=2016/month=6' (Hive layout,
-    util/DataFrameUtils.scala:15-16)."""
-    return "/".join(f"{c}={v}" for c, v in criteria)
+    util/DataFrameUtils.scala:15-16). NULL partition values map to
+    __HIVE_DEFAULT_PARTITION__ and special characters are %XX-escaped,
+    mirroring how Spark names the directories it writes."""
+    parts = []
+    for c, v in criteria:
+        if v is None:
+            parts.append(f"{c}={HIVE_DEFAULT_PARTITION}")
+        else:
+            s = ("true" if v else "false") if isinstance(v, bool) else str(v)
+            parts.append(f"{c}={escape_path_name(s)}")
+    return "/".join(parts)
 
 
 @dataclass
@@ -98,10 +124,31 @@ class AtomicWriter:
         self._overwrite_partitions(df)
 
     def _existing_schema(self):
+        """On-disk schema from ONE data-file footer plus the partition
+        columns (which live in directory names, not footers). A full
+        ``spark.read.load(dir)`` here would list + schema-merge every
+        file under the target — a driver-side listing storm at millions
+        of files; one footer carries the same information."""
         dfs = self._dfs()
-        if not dfs.exists(self.target_location) or not dfs.list_files(self.target_location):
+        if not dfs.exists(self.target_location):
             return None
-        return self.spark.read.format(self.format).load(self.target_location).schema
+        first = dfs.first_file(self.target_location)
+        if first is None:
+            return None
+        from pyspark.sql.types import StructType
+
+        file_schema = self.spark.read.format(self.format).load(first).schema
+        fields = list(file_schema.fields)
+        present = {f.name.lower() for f in fields}
+        for pc in self.partition_columns:
+            if pc.lower() not in present:
+                # Partition column type is not in the footer; IntegerType
+                # matches the derived year/month/day/week partitions and
+                # the padding consumer casts anyway.
+                from pyspark.sql.types import IntegerType, StructField
+
+                fields.append(StructField(pc, IntegerType()))
+        return StructType(fields)
 
     def _existing_rows_in(self, criteria) -> DataFrame | None:
         if self._existing_schema() is None:
@@ -163,19 +210,54 @@ class AtomicWriter:
             df.unpersist()
 
 
-def write_output(spark: SparkSession, df: DataFrame, params) -> None:
+def write_output(
+    spark: SparkSession, df: DataFrame, params, default_load_mode: str | None = None
+) -> None:
     """Generic sink used by the simple algorithms: target_table →
-    saveAsTable, target_location → (atomic) file write."""
+    saveAsTable / partition-scoped insertInto, target_location →
+    (atomic) file write.
+
+    ``default_load_mode`` lets an algorithm that partition-scoped its
+    result (DeltaLoad & co.) force a partition-respecting default so an
+    omitted ``load_mode`` can never whole-table-overwrite a
+    partition-scoped DataFrame (the reference hardwires
+    OverwritePartitionsWithAddedColumns there,
+    DeltaLoadConfiguration.scala:74-80).
+    """
     partition_cols = params.get_optional("target_partitions", [])
     n_files = params.get_optional("output_files_num")
+    mode_name = params.get_optional("load_mode", default_load_mode or "OverwriteTable")
+    load_mode = LoadMode(mode_name)
     if params.has("target_table"):
+        table = params.get_string("target_table")
         w = df
         if n_files:
             w = df.repartition(n_files, *partition_cols) if partition_cols else df.repartition(n_files)
+        if (
+            partition_cols
+            and load_mode is not LoadMode.OVERWRITE_TABLE
+            and spark.catalog.tableExists(table)
+        ):
+            # Partition-scoped table write: align columns to the table
+            # schema (insertInto is positional) and let dynamic
+            # partition-overwrite replace only the partitions present
+            # in df — never the whole table.
+            target_schema = spark.table(table).schema
+            aligned = add_missing_columns(w, target_schema)
+            overwrite = load_mode is not LoadMode.APPEND_UNION_PARTITIONS
+            if load_mode is LoadMode.APPEND_JOIN_PARTITIONS:
+                affected = collect_partitions(w, partition_cols)
+                existing = spark.table(table).filter(partition_predicate(affected))
+                shared = [c for c in aligned.columns if c in existing.columns]
+                aligned = add_missing_columns(
+                    existing.join(aligned, on=shared, how="full_outer"), target_schema
+                )
+            aligned.write.insertInto(table, overwrite=overwrite)
+            return
         writer = w.write.mode(str(params.get_optional("save_mode", "overwrite")))
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
-        writer.saveAsTable(params.get_string("target_table"))
+        writer.saveAsTable(table)
         return
     writer = AtomicWriter(
         spark,
@@ -183,4 +265,4 @@ def write_output(spark: SparkSession, df: DataFrame, params) -> None:
         partition_columns=list(partition_cols),
         output_files_num=n_files,
     )
-    writer.write(df, LoadMode(params.get_optional("load_mode", "OverwriteTable")))
+    writer.write(df, load_mode)

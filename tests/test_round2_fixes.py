@@ -1,0 +1,166 @@
+"""Round-2 fix pins: atomic-write restore on induced failure, FullLoad
+swap restore, DeltaLoad partition-safe write defaults, Hive partition
+path escaping, merge-condition literal escaping, Hadoop-FS gzip.
+
+Reference models: FullLoadTest.scala:400-471 (restore-on-failure),
+DeltaLoadTest.scala partitioned-merge scenarios,
+DeltaLoadConfiguration.scala:74-80 (hardwired load mode).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.config import ConfigError, ParamsFile
+from m3d_engine_spark.operators.delta_load import DeltaLoadAlgorithm
+from m3d_engine_spark.operators.delta_lake_load import merge_condition
+from m3d_engine_spark.operators.gzip_decompressor import decompress_directory_hadoop
+from m3d_engine_spark.sources import catalog as cat
+from m3d_engine_spark.sources.dfs import DFS
+from m3d_engine_spark.sources.writers import (
+    AtomicWriter,
+    LoadMode,
+    partition_rel_path,
+)
+
+
+# ------------------------------------------------------ atomic protocol
+def test_atomic_writer_restores_on_induced_failure(spark, tmp_path, monkeypatch):
+    """Make the tmp→final move throw after the backup ran; the old
+    partition content must be restored (OutputWriter.scala:230-261)."""
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "old1", 1), (2, "old2", 2)], "k int, v string, year int"
+    )
+    writer = AtomicWriter(spark, target, partition_columns=["year"])
+    writer.write(base, LoadMode.OVERWRITE_TABLE)
+
+    update = spark.createDataFrame([(2, "new2", 2)], "k int, v string, year int")
+    orig_rename = DFS.rename
+
+    def flaky(self, src, dst):
+        if "__tmp_" in src:  # the move-into-place step
+            raise RuntimeError("injected rename failure")
+        return orig_rename(self, src, dst)
+
+    monkeypatch.setattr(DFS, "rename", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        writer.write(update, LoadMode.OVERWRITE_PARTITIONS)
+    monkeypatch.setattr(DFS, "rename", orig_rename)
+
+    rows = {tuple(r) for r in spark.read.parquet(target).collect()}
+    assert rows == {(1, "old1", 1), (2, "old2", 2)}, "old data must survive the failed swap"
+
+
+def test_recreate_table_restore_with_saved_schema(spark, tmp_path):
+    """Restore path works even when the table was already dropped by a
+    failed first swap (ADVICE: catalog.py:46)."""
+    loc = str(tmp_path / "data")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    df.write.parquet(loc)
+    spark.sql("DROP TABLE IF EXISTS t_restore")
+    spark.sql(f"CREATE TABLE t_restore (k int, v string) USING PARQUET LOCATION '{loc}'")
+    saved = spark.table("t_restore").schema
+    spark.sql("DROP TABLE t_restore")  # simulate: first swap dropped it, then failed
+    cat.recreate_table_at_location(spark, "t_restore", loc, schema=saved)
+    assert {tuple(r) for r in spark.table("t_restore").collect()} == {(1, "a")}
+    spark.sql("DROP TABLE t_restore")
+
+
+# ------------------------------------------- DeltaLoad write defaults
+def _delta_params(tmp_path, extra=None):
+    p = {
+        "delta_records_file_path": str(tmp_path / "delta"),
+        "active_records_table_lake": "dl_active",
+        "target_table": "dl_active",
+        "business_key": ["k"],
+        "technical_key": ["seq"],
+        "record_mode_column": "recordmode",
+        "target_partitions": ["year"],
+        "partition_column": "d",
+        "partition_column_format": "yyyyMMdd",
+    }
+    p.update(extra or {})
+    return ParamsFile(p)
+
+
+@pytest.fixture()
+def delta_fixture(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS dl_active")
+    active = spark.createDataFrame(
+        [(1, "a", 2020), (2, "b", 2020), (3, "c", 2021)], "k int, v string, year int"
+    )
+    active.write.mode("overwrite").partitionBy("year").saveAsTable("dl_active")
+    delta = spark.createDataFrame(
+        [
+            (1, "a2", 2, "N", "20200105"),   # update k=1
+            (2, "b", 2, "D", "20200105"),    # delete k=2
+        ],
+        "k int, v string, seq int, recordmode string, d string",
+    )
+    delta.write.mode("overwrite").parquet(str(tmp_path / "delta"))
+    yield
+    spark.sql("DROP TABLE IF EXISTS dl_active")
+
+
+def test_delta_load_default_preserves_unaffected_partition(spark, tmp_path, delta_fixture):
+    """With load_mode omitted, the partition-scoped merge must default to
+    a partition overwrite: year=2021 (untouched by the delta) survives."""
+    DeltaLoadAlgorithm(spark, _delta_params(tmp_path)).run()
+    rows = {tuple(r) for r in spark.table("dl_active").collect()}
+    assert rows == {(1, "a2", 2020), (3, "c", 2021)}
+
+
+def test_delta_load_refuses_overwrite_table_when_scoped(spark, tmp_path, delta_fixture):
+    algo = DeltaLoadAlgorithm(spark, _delta_params(tmp_path, {"load_mode": "OverwriteTable"}))
+    with pytest.raises(ConfigError, match="unaffected partitions"):
+        algo.run()
+
+
+def test_delta_records_table_lake_alias(spark, tmp_path, delta_fixture):
+    """Reference config key 'delta_records_table_lake' is accepted."""
+    spark.read.parquet(str(tmp_path / "delta")).createOrReplaceTempView("dl_delta_v")
+    p = _delta_params(tmp_path)
+    del p.params["delta_records_file_path"]
+    p.params["delta_records_table_lake"] = "dl_delta_v"
+    DeltaLoadAlgorithm(spark, p).run()
+    rows = {tuple(r) for r in spark.table("dl_active").collect()}
+    assert rows == {(1, "a2", 2020), (3, "c", 2021)}
+
+
+# --------------------------------------------------- path/SQL escaping
+def test_partition_rel_path_matches_spark_dir_naming(spark, tmp_path):
+    out = str(tmp_path / "esc")
+    df = spark.createDataFrame([(1, "a:b c")], "k int, tag string")
+    df.write.partitionBy("tag").parquet(out)
+    written = [d for d in os.listdir(out) if d.startswith("tag=")]
+    assert written == [partition_rel_path([("tag", "a:b c")])]
+
+
+def test_partition_rel_path_null_and_bool():
+    assert partition_rel_path([("year", None)]) == "year=__HIVE_DEFAULT_PARTITION__"
+    assert partition_rel_path([("flag", True)]) == "flag=true"
+
+
+def test_merge_condition_escapes_literals():
+    cond = merge_condition(
+        ["k"], [[("src", "O'Brien"), ("year", None)]]
+    )
+    assert "currentData.src <=> 'O''Brien'" in cond
+    assert "currentData.year <=> NULL" in cond
+    assert cond.startswith("(currentData.k <=> newData.k)")
+
+
+# -------------------------------------------------- gzip over Hadoop FS
+def test_gzip_decompress_via_dfs_wrapper(spark, tmp_path):
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "part1.csv.gz").write_bytes(gzip.compress(b"a|b\n1|2\n"))
+    out = decompress_directory_hadoop(spark, f"file://{d}", thread_pool_size=2)
+    assert len(out) == 1 and out[0].endswith("part1.csv")
+    assert (d / "part1.csv").read_bytes() == b"a|b\n1|2\n"
+    assert not (d / "part1.csv.gz").exists()
