@@ -47,6 +47,7 @@ from m3d_engine_spark.operators.fixed_size_extractor import (
     extract_fixed_width,
 )
 from m3d_engine_spark.operators.nested_flattener import (
+    flat_dataframe,
     flatten,
     flatten_structs,
     side_flatten,
@@ -438,6 +439,43 @@ SELECT o_orderkey,
        string_split(o_orderpriority, '-')[1] AS pri_0,
        string_split(o_orderpriority, '-')[2] AS pri_1,
        string_split(o_orderpriority, '-')[3] AS pri_2
+FROM orders
+"""
+
+
+def q_flatten_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity flat_dataframe (nested_flattener.py): listed
+    structs flattened + listed arrays exploded, unlisted nested columns
+    dropped, column_mapping rename/prune — the NestedFlattener
+    algorithm's whole transform in one query."""
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("meta"),
+        F.split("o_orderpriority", "-").alias("toks"),
+        F.struct(F.lit("x").alias("noise")).alias("junk"),  # unlisted → dropped
+    )
+    flat = flat_dataframe(
+        df,
+        fields_to_flatten=["meta", "toks"],
+        column_mapping={
+            "o_orderkey": "o_orderkey",
+            "meta__status": "status",
+            "meta__price": "price",
+            "toks": "tok",
+        },
+    )
+    return flat.select(
+        "o_orderkey", "status", F.round("price", 2).alias("price"), "tok"
+    )
+
+
+_SQL_FLATTEN_FULL = """
+SELECT o_orderkey, o_orderstatus AS status, round(o_totalprice, 2) AS price,
+       unnest(string_split(o_orderpriority, '-')) AS tok
 FROM orders
 """
 
@@ -895,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_explode": q_flatten_explode,
         "flatten_struct": q_flatten_struct,
         "side_flatten": q_side_flatten,
+        "flatten_full": q_flatten_full,
         "schema_evolution_union": q_schema_evolution_union,
         "append_join": q_append_join,
         "range_materialization": q_range_materialization,
@@ -927,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
         "flatten_explode": _SQL_FLATTEN_EXPLODE,
         "flatten_struct": _SQL_FLATTEN_STRUCT,
         "side_flatten": _SQL_SIDE_FLATTEN,
+        "flatten_full": _SQL_FLATTEN_FULL,
         "schema_evolution_union": _SQL_SCHEMA_EVOLUTION_UNION,
         "append_join": _SQL_APPEND_JOIN,
         "range_materialization": _SQL_RANGE_MATERIALIZATION,

@@ -17,7 +17,7 @@ from m3d_engine_spark.operators import (  # noqa: F401 — populate REGISTRY
     full_load,
     gzip_decompressor,
     materialization,
-    nested_flattener,  # transform-only, no registered class
+    nested_flattener,
     sql_runner,
     transpose,
 )

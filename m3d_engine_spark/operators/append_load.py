@@ -17,6 +17,7 @@ in-memory filename — no extra I/O and no Python.
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,16 +70,101 @@ class AppendLoad(Algorithm):
 
         return cat.table_location(self.spark, self.params.get_string("target_table"))
 
+    def _target_schema_no_partitions(self) -> StructType | None:
+        if self.params.get_optional("schema"):
+            full = StructType.fromJson(self.params.get_map("schema"))
+            return StructType([f for f in full.fields if f.name not in self.targets])
+        if self.params.has("target_table"):
+            from m3d_engine_spark.sources import catalog as cat
+
+            return cat.table_schema(
+                self.spark, self.params.get_string("target_table"), drop_columns=self.targets
+            )
+        return None
+
+    def _regex_partition_criteria(self, path: str) -> list[tuple[str, object]]:
+        """Partition values regex-extracted from one file path — the
+        per-file (driver-side) twin of with_filename_partitions, used to
+        group files by their header location (AppendLoad.scala:221-241)."""
+        crit: list[tuple[str, object]] = []
+        for col, regex in zip(self.targets, self.params.get_list("regex_filename")):
+            m = re.search(regex, path)
+            v: object = m.group(1) if m else None
+            if v is not None and _REGEX_TYPE_CAST.get(col, "string") == "int":
+                v = int(v)
+            crit.append((col, v))
+        return crit
+
+    def _discover_sources(self) -> list[tuple[StructType | None, list[str]]]:
+        """Group landing files by their header path; resolve each
+        group's schema from the persisted header.json, else by inference
+        (verify_schema) or the partition-stripped target schema
+        (AppendLoad.scala:87-179)."""
+        source_dir = self.params.get_string("source_dir")
+        files = [
+            f for f in self.dfs.list_files(source_dir)
+            if not f.rsplit("/", 1)[-1].startswith(("_", "."))
+        ]
+        target_schema = self._target_schema_no_partitions()
+        groups: dict[str, list[str]] = {}
+        crit_by_key: dict[str, list[tuple[str, object]]] = {}
+        for f in files:
+            crit = self._regex_partition_criteria(re.sub(_PROTOCOL, "", f))
+            key = partition_rel_path(crit)
+            groups.setdefault(key, []).append(f)
+            crit_by_key[key] = crit
+        verify = bool(self.params.get_optional("verify_schema", False))
+        p = dict(self.params.params)
+        p.setdefault("reader_mode", "DROPMALFORMED")
+        out: list[tuple[StructType | None, list[str]]] = []
+        for key, paths in sorted(groups.items()):
+            schema = (
+                self.read_header(crit_by_key[key])
+                if self.params.has("header_dir")
+                else None
+            )
+            if schema is None:
+                if verify:
+                    fmt = format_from_params({**p, "schema": None})
+                    schema = fmt.read(self.spark, *paths).schema
+                else:
+                    schema = target_schema
+            if verify and target_schema is not None:
+                extra = [
+                    n for n in schema.names
+                    if n not in {f.name for f in target_schema.fields} and n not in self.targets
+                ]
+                if extra:
+                    raise RuntimeError(
+                        f"Schema does not match the input data for {paths}: "
+                        f"unexpected columns {extra} (AppendLoad.scala:157-179)"
+                    )
+            out.append((schema, paths))
+        return out
+
     def read(self) -> list[DataFrame]:
         p = dict(self.params.params)
         p.setdefault("reader_mode", "DROPMALFORMED")
+        if self.params.has("regex_filename") and self.targets:
+            # Header-grouped source discovery: each file group reads
+            # with its own (persisted or inferred) schema, so landing
+            # dirs whose schema evolved batch-over-batch load correctly.
+            parts: list[DataFrame] = []
+            for schema, paths in self._discover_sources():
+                fmt = format_from_params({**p, "schema": None})
+                fmt.schema = schema
+                parts.append(fmt.read(self.spark, *paths))
+            if parts:
+                df = parts[0]
+                for other in parts[1:]:
+                    df = df.unionByName(other, allowMissingColumns=True)
+                return [df]
+            fmt = format_from_params(p)
+            fmt.schema = self._target_schema_no_partitions()
+            return [fmt.read(self.spark, self.params.get_string("source_dir"))]
         fmt = format_from_params(p)
-        if fmt.schema is None and self.params.has("target_table"):
-            from m3d_engine_spark.sources import catalog as cat
-
-            fmt.schema = cat.table_schema(
-                self.spark, self.params.get_string("target_table"), drop_columns=self.targets
-            )
+        if fmt.schema is None:
+            fmt.schema = self._target_schema_no_partitions()
         return [fmt.read(self.spark, self.params.get_string("source_dir"))]
 
     def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:

@@ -57,7 +57,10 @@ class FullLoad(Algorithm):
         p = dict(self.params.params)
         p.setdefault("reader_mode", "FAILFAST")
         p.setdefault("null_value", NULL_SENTINEL)
-        if p.get("schema") is None and self.table:
+        if p.get("schema") is None and self.table and not p.get("additional_task"):
+            # With in-load reshaping the source shape differs from the
+            # target table by design — never force the target schema
+            # onto the raw read then.
             schema = cat.table_schema(self.spark, self.table, drop_columns=self.partition_targets)
             fmt = format_from_params(p)
             fmt.schema = schema
@@ -67,6 +70,24 @@ class FullLoad(Algorithm):
 
     def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
         df = dfs[0]
+        task = self.params.get_optional("additional_task")
+        if task:
+            # In-load reshaping chain: flatten → transpose → dates →
+            # schema check (DataReshapingTask.scala:25-52).
+            from m3d_engine_spark.operators.reshaping import apply_additional_task
+
+            target_schema = self.spark.table(self.table).schema if self.table else None
+            df = apply_additional_task(
+                df,
+                task,
+                target_schema=target_schema,
+                partition_column=self.params.get_optional("partition_column", ""),
+                partition_column_format=self.params.get_optional(
+                    "partition_column_format", ""
+                ),
+                target_partitions=self.partition_targets,
+            )
+            return [df]
         if self.partition_targets:
             df = with_date_components(
                 df,

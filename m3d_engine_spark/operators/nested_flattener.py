@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StructType
 
+from m3d_engine_spark.operators.base import Algorithm, register
+
 DEFAULT_CHARS_TO_REPLACE = r"[.:#]+"
 DEFAULT_REPLACEMENT = "_"
 DEFAULT_SEPARATOR = "__"
@@ -80,6 +82,72 @@ def flatten_structs(
     return df
 
 
+def flat_dataframe(
+    df: DataFrame,
+    fields_to_flatten: Sequence[str],
+    column_mapping: Mapping[str, str] | None = None,
+    chars_to_replace: str = DEFAULT_CHARS_TO_REPLACE,
+    replacement: str = DEFAULT_REPLACEMENT,
+    side_flatten: Mapping[str, Sequence[str]] | None = None,
+    separator: str = DEFAULT_SEPARATOR,
+) -> DataFrame:
+    """Reference-parity flattening (NestedFlattener.scala:95-205):
+
+    * struct/array columns **listed** in ``fields_to_flatten`` are
+      flattened (children → ``parent__child`` with char cleansing) or
+      exploded (``explode_outer``); nested levels surface under their
+      flattened names and are processed when listed too;
+    * struct/array columns **not listed** are dropped (the reference's
+      ``dropFieldIfNotForFlattening``);
+    * ``side_flatten`` maps an array column to positional extracts named
+      ``["newname__idx", ...]`` (NestedFlattener.scala:142-148) — the
+      array is replaced by one column per entry;
+    * ``column_mapping`` finally selects + renames; unmapped columns are
+      excluded (NestedFlattener.scala:207-215).
+
+    Each step is a projection or a Generate — no shuffle at any depth.
+    """
+    side = dict(side_flatten or {})
+    progress = True
+    while progress:
+        progress = False
+        for f in df.schema.fields:
+            name = f.name
+            if isinstance(f.dataType, ArrayType):
+                if name in side:
+                    continue
+                if name in fields_to_flatten:
+                    df = df.withColumn(name, F.explode_outer(F.col(f"`{name}`")))
+                else:
+                    df = df.drop(name)
+                progress = True
+                break  # schema changed — rescan
+            if isinstance(f.dataType, StructType):
+                if name in fields_to_flatten:
+                    others = [F.col(f"`{c}`") for c in df.columns if c != name]
+                    children = [
+                        F.col(f"`{name}`.`{sub.name}`").alias(
+                            f"{name}{separator}{_cleanse(sub.name, chars_to_replace, replacement)}"
+                        )
+                        for sub in f.dataType.fields
+                    ]
+                    df = df.select(*others, *children)
+                else:
+                    df = df.drop(name)
+                progress = True
+                break
+    for col, entries in side.items():
+        for entry in entries:
+            new, _, idx = entry.rpartition(separator)
+            df = df.withColumn(new, F.get(F.col(f"`{col}`"), int(idx)))
+        df = df.drop(col)
+    if column_mapping:
+        df = df.select(
+            *[F.col(f"`{src}`").alias(dst) for src, dst in column_mapping.items()]
+        )
+    return df
+
+
 def flatten(
     df: DataFrame,
     explode_columns: Sequence[str] = (),
@@ -107,3 +175,47 @@ def flatten(
     if column_mapping:
         df = df.select(*[F.col(f"`{src}`").alias(dst) for src, dst in column_mapping.items()])
     return df
+
+
+@register("NestedFlattener")
+class NestedFlattenerAlgorithm(Algorithm):
+    """Dispatchable flattening job (algo/NestedFlattener.scala +
+    config/NestedFlattenerConfiguration.scala).
+
+    Config: source_location (parquet), target_table OR target_location,
+    target_partitions, chars_to_replace (default ``[.:#]+``),
+    replacement_char (default ``_``), fields_to_flatten,
+    column_mapping, side_flatten {col: ["newname__idx", ...]}.
+
+    Load mode mirrors the reference: OverwritePartitions when
+    partitioned, OverwriteTable otherwise
+    (NestedFlattenerConfiguration.scala:53-66).
+    """
+
+    def read(self) -> list[DataFrame]:
+        if self.params.has("source_location"):
+            return [self.spark.read.parquet(self.params.get_string("source_location"))]
+        return [self.spark.table(self.params.get_string("source_table"))]
+
+    def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
+        p = self.params
+        return [
+            flat_dataframe(
+                dfs[0],
+                p.get_list("fields_to_flatten"),
+                p.get_optional("column_mapping"),
+                chars_to_replace=p.get_optional("chars_to_replace", DEFAULT_CHARS_TO_REPLACE),
+                replacement=p.get_optional("replacement_char", DEFAULT_REPLACEMENT),
+                side_flatten=p.get_optional("side_flatten"),
+            )
+        ]
+
+    def write(self, dfs: list[DataFrame]) -> None:
+        from m3d_engine_spark.sources.writers import write_output
+
+        default = (
+            "OverwritePartitions"
+            if self.params.get_optional("target_partitions")
+            else "OverwriteTable"
+        )
+        write_output(self.spark, dfs[0], self.params, default_load_mode=default)

@@ -100,3 +100,19 @@ def enforce_schema(df: DataFrame, target_schema: StructType) -> DataFrame:
     """Cast/select to exactly ``target_schema`` (reference:
     algo/shared/DataReshapingTask.scala:44-52). Pure projection."""
     return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in target_schema.fields])
+
+
+def check_schema(df: DataFrame, target_schema: StructType) -> DataFrame:
+    """Cast/select the target-schema fields *present* in ``df`` —
+    the reference's lenient variant (DataReshapingTask.scala:44-52
+    ``checkSchema``): target fields the DataFrame lacks are skipped
+    instead of erroring, so in-load reshaping chains can run before all
+    derived columns exist. Pure projection."""
+    present = {c for c in df.columns}
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in target_schema.fields
+            if f.name in present
+        ]
+    )

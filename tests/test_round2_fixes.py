@@ -164,3 +164,72 @@ def test_gzip_decompress_via_dfs_wrapper(spark, tmp_path):
     assert len(out) == 1 and out[0].endswith("part1.csv")
     assert (d / "part1.csv").read_bytes() == b"a|b\n1|2\n"
     assert not (d / "part1.csv.gz").exists()
+
+
+# ------------------------------------------- AppendLoad header grouping
+def test_append_load_header_reuse_two_batches(spark, tmp_path):
+    """Batch 1 persists header.json; batch 2 (schemaless params) must
+    pick up the persisted header instead of inferring _c0/_c1 names
+    (AppendLoad.scala:264-288, AppendLoadTest evolving-schema cases)."""
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    target = str(tmp_path / "table")
+    headers = str(tmp_path / "headers")
+    land1 = tmp_path / "land1"
+    land1.mkdir()
+    (land1 / "data_2020.psv").write_text("1|x\n2|y\n")
+
+    base = {
+        "file_format": "dsv",
+        "target_location": target,
+        "header_dir": headers,
+        "target_partitions": ["year"],
+        "regex_filename": [r"data_(\d{4})"],
+        "load_mode": "AppendUnionPartitions",
+    }
+    schema_json = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "year", "type": "integer", "nullable": True, "metadata": {}},
+        ],
+    }
+    AppendLoad(spark, ParamsFile({**base, "source_dir": str(land1), "schema": schema_json})).run()
+    assert os.path.exists(os.path.join(headers, "year=2020", "header.json"))
+
+    land2 = tmp_path / "land2"
+    land2.mkdir()
+    (land2 / "data_2020_b.psv").write_text("3|z\n")
+    # no schema in params: must come from the persisted header
+    AppendLoad(spark, ParamsFile({**base, "source_dir": str(land2)})).run()
+    rows = {tuple(r) for r in spark.read.parquet(target).collect()}
+    assert rows == {(1, "x", 2020), (2, "y", 2020), (3, "z", 2020)}
+
+
+def test_append_load_verify_schema_rejects_mismatch(spark, tmp_path):
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "data_2021.psv").write_text("1|x|extra\n")
+    params = ParamsFile(
+        {
+            "file_format": "dsv",
+            "source_dir": str(land),
+            "target_location": str(tmp_path / "t2"),
+            "target_partitions": ["year"],
+            "regex_filename": [r"data_(\d{4})"],
+            "verify_schema": True,
+            "schema": {
+                "type": "struct",
+                "fields": [
+                    {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+                    {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                    {"name": "year", "type": "integer", "nullable": True, "metadata": {}},
+                ],
+            },
+        }
+    )
+    with pytest.raises(RuntimeError, match="Schema does not match"):
+        AppendLoad(spark, params).run()
