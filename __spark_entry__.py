@@ -39,6 +39,7 @@ from m3d_engine_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    simhash64_hamming_pairs,
     simhash_duplicates,
 )
 from m3d_engine_spark.operators.delta_load import condense, merge_delta
@@ -775,6 +776,71 @@ FROM sh
 """
 
 
+def q_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs with Hamming ≤ 3 via the banded
+    Hamming join (dedup.py::simhash64_hamming_pairs) — the scale-safe
+    SimHash (16-bit = 65k buckets = skew bomb at 10⁹ docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash64_hamming_pairs(docs, "doc_id", "text", hamming_k=3, bands=4)
+
+
+def _sql_simhash64_hamming() -> str:
+    digit_vals = ", ".join(
+        f"strpos('0123456789abcdef', substring(h, {d + 1}, 1)) - 1 AS d{d}"
+        for d in range(16)
+    )
+    contribs = ", ".join(
+        f"((d{b // 4} >> {b % 4}) & 1) * 2 - 1 AS c{b}" for b in range(64)
+    )
+    sums = ", ".join(f"SUM(c{b}) AS s{b}" for b in range(64))
+    sig_terms = []
+    for b in range(64):
+        contribution = -(1 << 63) if b == 63 else (1 << b)
+        sig_terms.append(f"CASE WHEN s{b} >= 0 THEN CAST({contribution} AS BIGINT) ELSE 0 END")
+    sig = " + ".join(sig_terms)
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash64, {b} AS band, (simhash64 >> {b * 16}) & 65535 AS band_val FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+), hashed AS (
+  SELECT doc_id, md5(tok) AS h FROM tok
+), digits AS (
+  SELECT doc_id, {digit_vals} FROM hashed
+), contribs AS (
+  SELECT doc_id, {contribs} FROM digits
+), summed AS (
+  SELECT doc_id, {sums} FROM contribs GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {sig} AS simhash64 FROM summed
+), bands AS (
+{bands}
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(bit_count(xor(l.simhash64, r.simhash64)) AS INTEGER) AS hamming
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash64, r.simhash64)) <= 3
+"""
+
+
+def q_seeded_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded random-hyperplane multi-table LSH top-k
+    (similarity.py::seeded_ann_topk) — recall@5 ≥ 0.9 vs brute force is
+    pinned by tests/test_dedup_similarity.py. Rows-only oracle entry:
+    the 12×3 hyperplane literals would dwarf the SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from m3d_engine_spark.operators.similarity import seeded_ann_topk
+
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = seeded_ann_topk(emb, queries, "vec_id", "embedding", k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dedup (dedup.py::minhash_lsh_candidates): banded
     signatures, candidates from a co-partitioned self-equi-join on
@@ -945,6 +1011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "exact_dups": q_exact_dups,
         "simhash_dedup": q_simhash_dedup,
+        "simhash64_hamming": q_simhash64_hamming,
+        "seeded_ann": q_seeded_ann,
         "minhash_lsh": q_minhash_lsh,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_dups": q_embedding_dups,
@@ -978,6 +1046,9 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _sql_language_id(),
         "exact_dups": _SQL_EXACT_DUPS,
         "simhash_dedup": _sql_simhash_dedup(),
+        "simhash64_hamming": _sql_simhash64_hamming(),
+        # "seeded_ann" intentionally absent: rows-only check (the
+        # hyperplane literal matrices would be ~3k floats of SQL).
         "minhash_lsh": _sql_minhash_lsh(),
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
         "embedding_dups": _SQL_EMBEDDING_DUPS,

@@ -32,6 +32,45 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def seeded_hyperplanes(dim: int, n: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (Gaussian via
+    Box-Muller over a 64-bit LCG — no numpy dependency in the hot path,
+    bit-identical across machines). Same (dim, n, seed) → same planes,
+    so bucketing is reproducible run-over-run and engine-portable."""
+    import math
+
+    state = seed & 0xFFFFFFFFFFFFFFFF or 1
+
+    def lcg() -> float:  # uniform in (0, 1)
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        return ((state >> 11) + 1) / float(1 << 53)
+
+    planes = []
+    for _ in range(n):
+        row = []
+        while len(row) < dim:
+            u1, u2 = lcg(), lcg()
+            r = math.sqrt(-2.0 * math.log(u1))
+            row.append(r * math.cos(2.0 * math.pi * u2))
+            if len(row) < dim:
+                row.append(r * math.sin(2.0 * math.pi * u2))
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket(a: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = (a · planes[i] > 0).
+    The proper member of the sign-LSH family (vs the axis-aligned
+    ``sign_lsh_bucket`` cheap variant): every bit looks at the WHOLE
+    vector, so collision probability follows 1 − θ/π per bit."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        d = dot(a, F.array(*[F.lit(float(x)) for x in plane]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
 def sign_lsh_bucket(a: Column, n_bits: int = 4) -> Column:
     """Axis-aligned sign-LSH bucket id from the first ``n_bits`` vector
     components: bit i = (a[i] > 0). 2^n_bits buckets.

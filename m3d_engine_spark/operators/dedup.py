@@ -309,3 +309,109 @@ def embedding_near_dupes(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------- 64-bit SimHash
+def simhash64_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash64): 64-bit SimHash — bit b of a token comes from bit
+    ``b%4`` of hex digit ``b//4`` of md5(token) (md5's 32 hex digits
+    carry 128 bits; we use the first 64). Same explode → hash-once →
+    groupBy-sum topology as the 16-bit variant. The 16-bit signature has
+    only 65,536 buckets — a skew bomb and a false-positive factory at
+    10⁹ docs; 64 bits is the standard near-dup fingerprint width.
+
+    Portable recipe (mirrors the oracle SQL): digit value =
+    strpos('0123456789abcdef', digit) - 1, bit = (value >> (b%4)) & 1.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok")
+    )
+    hashed = toks.select(F.col(id_col), F.md5("tok").alias("h"))
+    hexmap = F.lit("0123456789abcdef")
+    digit_vals = hashed.select(
+        F.col(id_col),
+        *[
+            (F.instr(hexmap, F.substring("h", d + 1, 1)) - 1).alias(f"d{d}")
+            for d in range(16)
+        ],
+    )
+    contribs = digit_vals.select(
+        F.col(id_col),
+        *[
+            F.coalesce(
+                (F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1))) * 2 - 1,
+                F.lit(0),
+            ).alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    sums = contribs.groupBy(id_col).agg(
+        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(64)]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        # Bit 63 is the sign bit of a signed 64-bit long: 1<<63 doesn't
+        # fit, so it contributes Long.MIN_VALUE instead — the resulting
+        # two's-complement pattern is identical.
+        contribution = -(1 << 63) if b == 63 else (1 << b)
+        sig = sig + F.when(
+            F.col(f"b{b}") >= 0, F.lit(contribution).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select(F.col(id_col), sig.alias("simhash64"))
+
+
+def simhash64_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hamming_k: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(simhash64) ≤ k.
+
+    Banded Hamming join: the 64-bit signature splits into ``bands``
+    16-bit slices; any pair within Hamming ≤ bands−1 (pigeonhole) shares
+    at least one identical slice, so candidates come from an equi-join
+    on (band_idx, band_value) — co-partitioned, never all-pairs — and
+    the exact ``bit_count(xor)`` filter runs only on collisions.
+    Requires hamming_k ≤ bands − 1 for completeness.
+    """
+    if hamming_k > bands - 1:
+        raise ValueError(
+            f"hamming_k={hamming_k} needs > {hamming_k} bands for a complete "
+            "banded join (pigeonhole); raise bands or lower hamming_k"
+        )
+    assert 64 % bands == 0
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = simhash64_signatures(df, id_col, text_col)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash64"),
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash64"), b * width).bitwiseAND(F.lit(mask))
+                for b in range(bands)
+            ])
+        ).alias("band", "band_val"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_val") == F.col("r.band_val"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash64").bitwiseXOR(F.col("r.simhash64"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= hamming_k)

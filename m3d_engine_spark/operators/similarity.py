@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from m3d_engine_spark.functions.vectors import dot, norm, sign_lsh_bucket
+from m3d_engine_spark.functions.vectors import (
+    dot,
+    hyperplane_bucket,
+    norm,
+    seeded_hyperplanes,
+    sign_lsh_bucket,
+)
 
 
 def _ranked_topk(
@@ -100,3 +106,68 @@ def bucketed_ann_topk(
         )
     )
     return _ranked_topk(pairs, "query_id", "neighbor_id", k)
+
+
+def seeded_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    bits: int = 3,
+    tables: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH top-k (the production ANN path;
+    ``bucketed_ann_topk``'s axis-aligned bucketer is the cheap variant).
+
+    OR-construction: ``tables`` independent seeded bucketings; a corpus
+    vector is a candidate if it collides with the query in ANY table.
+    Per-bit collision probability is 1 − θ/π, so recall for neighbors at
+    angle θ is 1 − (1 − (1−θ/π)^bits)^tables — tune (bits, tables) per
+    corpus; the recall@k pytest pins ≥0.9 on the synthetic embeddings.
+
+    Topology per table: equi-join on the bucket id (shuffle/broadcast
+    chosen by Catalyst); candidate sets from all tables are unioned and
+    deduped BEFORE the cosine evaluation, so each surviving pair pays
+    the 64-dim dot product exactly once. At 10⁹ vectors each table cuts
+    candidates by ~2^bits; the union costs tables× that — the standard
+    recall/cost dial.
+    """
+    # Table t uses planes [t*bits, (t+1)*bits); dim probed from one row.
+    first = corpus.select(F.col(vec_col)).first()
+    dim = len(first[0]) if first else 0
+    if dim == 0:
+        return brute_force_topk(corpus, queries, id_col, vec_col, k)
+    planes = seeded_hyperplanes(dim, bits * tables, seed)
+
+    def with_buckets(df: DataFrame, idc: str, alias_vec: str) -> DataFrame:
+        cols = [F.col(id_col).alias(idc), F.col(vec_col).alias(alias_vec),
+                norm(F.col(vec_col)).alias(f"{alias_vec}_n")]
+        for t in range(tables):
+            cols.append(
+                hyperplane_bucket(F.col(vec_col), planes[t * bits:(t + 1) * bits]).alias(f"b{t}")
+            )
+        return df.select(*cols)
+
+    c = with_buckets(corpus, "neighbor_id", "cv")
+    q = with_buckets(queries, "query_id", "qv")
+    cands = None
+    for t in range(tables):
+        pair = (
+            c.select("neighbor_id", F.col(f"b{t}").alias("bucket"))
+            .join(F.broadcast(q.select("query_id", F.col(f"b{t}").alias("bucket"))), on="bucket")
+            .select("query_id", "neighbor_id")
+        )
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.distinct().filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = (
+        cands.join(c.select("neighbor_id", "cv", "cv_n"), on="neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qv", "qv_n")), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qv_n") * F.col("cv_n")), 4).alias("cosine"),
+        )
+    )
+    return _ranked_topk(scored, "query_id", "neighbor_id", k)

@@ -91,3 +91,56 @@ def test_bucketed_ann_subset_of_bucket(spark, sf_dir):
         .join(buckets.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("b", "nb"), "neighbor_id")
     )
     assert joined.filter(F.col("qb") != F.col("nb")).isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# Round 2: scale-path dedup/ANN — 64-bit SimHash banded Hamming join and
+# seeded random-hyperplane LSH with a recall gate vs brute force.
+# ---------------------------------------------------------------------------
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.operators.dedup import simhash64_hamming_pairs, simhash64_signatures
+from m3d_engine_spark.operators.similarity import seeded_ann_topk
+
+
+def test_simhash64_hamming_finds_near_dup(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy cat again and again"),  # near-dup of 1
+        (3, "completely different content about spark shuffles and joins"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in
+             simhash64_hamming_pairs(docs, "doc_id", "text", hamming_k=8, bands=16).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash64_identical_docs_identical_sigs(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here")], "doc_id long, text string"
+    )
+    sigs = {r.doc_id: r.simhash64 for r in
+            simhash64_signatures(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]
+
+
+def test_simhash64_hamming_requires_enough_bands(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands"):
+        simhash64_hamming_pairs(docs, "doc_id", "text", hamming_k=5, bands=4)
+
+
+def test_seeded_ann_recall_vs_brute_force(spark):
+    """VERDICT round-1 'done' criterion: recall ≥ 0.9 on sf0.01
+    embeddings for the seeded-hyperplane LSH vs exact search."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    truth = {(r.query_id, r.neighbor_id) for r in
+             brute_force_topk(emb, qs, "vec_id", "embedding", k=5).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in
+           seeded_ann_topk(emb, qs, "vec_id", "embedding", k=5).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"recall@5 {recall:.3f} below the 0.9 gate"
