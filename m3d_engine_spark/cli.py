@@ -19,6 +19,7 @@ from m3d_engine_spark.operators import (  # noqa: F401 — populate REGISTRY
     materialization,
     nested_flattener,
     sql_runner,
+    template,
     transpose,
 )
 from m3d_engine_spark.operators.base import REGISTRY, run_algorithm

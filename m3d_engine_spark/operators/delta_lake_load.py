@@ -93,40 +93,166 @@ def merge_into_delta(
 
 @register("DeltaLakeLoad")
 class DeltaLakeLoadAlgorithm(Algorithm):
-    """Config mirrors DeltaLoad plus: delta_table_path (the _delta_log
-    dir when Delta is available), vacuum_retention_period.
+    """Config mirrors DeltaLoad plus: delta_table_dir (the persistent
+    CDC-merged table the reference keeps under _delta_log,
+    DeltaLakeLoad.scala:59-120), vacuum_retention_period / is_to_vacuum,
+    compact_table + output_partitions_num, target_location /
+    target_table (the Parquet lake snapshot target).
 
-    Without delta-spark this degrades to condense + in-memory merge +
-    parquet write — same observable table contents."""
+    With delta-spark present the merge/vacuum/compaction run through
+    DeltaTable (ACID, dataChange=false rewrites); without it the SAME
+    lifecycle runs on a plain parquet delta dir: init write → per-run
+    partition-scoped merge rewrite → compaction via partition rewrite →
+    affected-partition snapshot to the lake. Vacuum is a no-op on the
+    fallback (plain parquet keeps no version history to reclaim).
+    Observable table contents are identical either way — the tests pin
+    the lifecycle on the fallback."""
+
+    def __init__(self, spark: SparkSession, params: ParamsFile):
+        super().__init__(spark, params)
+        self.affected: list = []
 
     def read(self) -> list[DataFrame]:
         p = self.params
         new_data = self.spark.read.parquet(p.get_string("source_location"))
-        lake = None
-        target = p.get_optional("target_location")
-        if target and DFSExists(self.spark, target):
-            lake = self.spark.read.parquet(target)
-        return [new_data, lake]
+        return [new_data]
+
+    # ----------------------------------------------------------- helpers
+    def _delta_dir(self) -> str | None:
+        return self.params.get_optional("delta_table_dir")
+
+    def _delta_exists(self) -> bool:
+        d = self._delta_dir()
+        return bool(d) and DFSExists(self.spark, d)
+
+    def _read_delta(self) -> DataFrame:
+        return self.spark.read.parquet(self._delta_dir())
+
+    def _writer(self, location: str):
+        from m3d_engine_spark.sources.writers import AtomicWriter
+
+        return AtomicWriter(
+            self.spark,
+            location,
+            partition_columns=list(self.params.get_optional("target_partitions", [])),
+            output_files_num=self.params.get_optional("output_partitions_num"),
+        )
 
     def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
         p = self.params
-        new_data, lake = dfs
         bk = p.get_list("business_key")
         tk = p.get_list("technical_key")
         rm = p.get_optional("record_mode_column", "recordmode")
-        # Lower-case all columns (DeltaLakeLoad.scala:36).
-        new_data = new_data.select([F.col(c).alias(c.lower()) for c in new_data.columns])
-        condensed = condense(new_data, bk, tk, record_mode_column=rm, init_load=lake is None)
-        if lake is None:
-            result = condensed.filter(
-                F.col(rm).isNull() | ~F.col(rm).isin(*DELETE_RECORD_MODES)
-            ).drop(*[c for c in tk if c in condensed.columns], rm)
-            return [result]
         targets = p.get_optional("target_partitions", [])
+        # Lower-case all columns (DeltaLakeLoad.scala:36).
+        new_data = dfs[0].select([F.col(c).alias(c.lower()) for c in dfs[0].columns])
+        if targets and p.get_optional("partition_column"):
+            from m3d_engine_spark.functions.dates import with_date_components
+
+            new_data = with_date_components(
+                new_data,
+                p.get_string("partition_column"),
+                p.get_string("partition_column_format"),
+                targets,
+            )
+
+        delta_dir = self._delta_dir()
+        is_init = not (self._delta_exists() if delta_dir else False)
+        condensed = condense(new_data, bk, tk, record_mode_column=rm, init_load=is_init)
+        drop_cols = [c for c in tk if c in condensed.columns] + [rm]
         if targets:
-            affected = collect_partitions(condensed, targets)
-            lake = lake.filter(partition_predicate(affected))
-        return [merge_delta(lake, condensed, bk, record_mode_column=rm)]
+            condensed = condensed.persist()
+            self.affected = collect_partitions(condensed, targets)
+
+        if delta_dir is None:
+            # Degenerate single-output mode (no persistent delta table):
+            # merge directly against the lake target.
+            lake = None
+            target = p.get_optional("target_location")
+            if target and DFSExists(self.spark, target):
+                lake = self.spark.read.parquet(target)
+            if lake is None:
+                result = condensed.filter(
+                    F.col(rm).isNull() | ~F.col(rm).isin(*DELETE_RECORD_MODES)
+                ).drop(*drop_cols)
+                return [result]
+            if targets:
+                lake = lake.filter(partition_predicate(self.affected))
+            return [merge_delta(lake, condensed, bk, record_mode_column=rm)]
+
+        from m3d_engine_spark.sources.writers import LoadMode
+
+        if is_init:
+            # Init load (DeltaLakeLoad.scala:101-120): deletes dropped,
+            # technical/recordmode columns projected away.
+            init_df = condensed.filter(
+                F.col(rm).isNull() | ~F.col(rm).isin(*DELETE_RECORD_MODES)
+            ).drop(*drop_cols)
+            self._writer(delta_dir).write(init_df, LoadMode.OVERWRITE_TABLE)
+        elif HAS_DELTA and DeltaTable.isDeltaTable(self.spark, delta_dir):
+            merge_into_delta(
+                self.spark, delta_dir, condensed, bk,
+                record_mode_column=rm, affected_partitions=self.affected,
+            )
+            if p.get_optional("is_to_vacuum", True):
+                DeltaTable.forPath(self.spark, delta_dir).vacuum(
+                    float(p.get_optional("vacuum_retention_period", 12))
+                )
+        else:
+            # Fallback merge: rewrite only the affected partitions of the
+            # parquet delta dir with survivors ∪ upserts.
+            existing = self._read_delta()
+            scoped = (
+                existing.filter(partition_predicate(self.affected))
+                if targets
+                else existing
+            )
+            merged = merge_delta(scoped, condensed, bk, record_mode_column=rm)
+            mode = (
+                LoadMode.OVERWRITE_PARTITIONS_WITH_ADDED_COLUMNS
+                if targets
+                else LoadMode.OVERWRITE_TABLE
+            )
+            self._writer(delta_dir).write(merged, mode)
+
+        if p.get_optional("compact_table", False):
+            self._compact(delta_dir, targets)
+
+        # Snapshot the affected partitions of the merged delta table for
+        # the lake write (DeltaLakeLoad.scala:45-48).
+        snapshot = self._read_delta()
+        if targets and self.affected and not is_init:
+            snapshot = snapshot.filter(partition_predicate(self.affected))
+        return [snapshot]
+
+    def _compact(self, delta_dir: str, targets: list) -> None:
+        """Small-file compaction (DeltaLakeLoad.scala:318-352): rewrite
+        the affected partitions at output_partitions_num files. Real
+        Delta uses dataChange=false + replaceWhere; the parquet fallback
+        rewrites the same partition directories atomically — same
+        file-count outcome, minus the no-op-for-streams marker."""
+        from m3d_engine_spark.plans.partitions import partition_where_sql
+        from m3d_engine_spark.sources.writers import LoadMode
+
+        df = self._read_delta()
+        if targets and self.affected:
+            df = df.filter(partition_predicate(self.affected))
+        n = self.params.get_optional("output_partitions_num")
+        if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, delta_dir):
+            w = (df.repartition(n, *targets) if targets else df.repartition(n)) if n else df
+            writer = w.write.format("delta").mode("overwrite").option("dataChange", "false")
+            if targets and self.affected:
+                writer = writer.option(
+                    "replaceWhere", partition_where_sql(self.affected)
+                )
+            writer.save(delta_dir)
+            return
+        mode = (
+            LoadMode.OVERWRITE_PARTITIONS
+            if targets and self.affected
+            else LoadMode.OVERWRITE_TABLE
+        )
+        self._writer(delta_dir).write(df, mode)
 
     def write(self, dfs: list[DataFrame]) -> None:
         from m3d_engine_spark.config import ConfigError

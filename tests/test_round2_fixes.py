@@ -233,3 +233,102 @@ def test_append_load_verify_schema_rejects_mismatch(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="Schema does not match"):
         AppendLoad(spark, params).run()
+
+
+# ----------------------------------------- DeltaLakeLoad full lifecycle
+def test_delta_lake_load_lifecycle_fallback(spark, tmp_path):
+    """Init → merge → compaction → snapshot on the parquet fallback
+    (DeltaLakeLoad.scala:59-120, 318-352): unaffected delta-dir
+    partitions survive the merge; the lake snapshot carries only
+    affected partitions; compaction caps the per-partition file count."""
+    from m3d_engine_spark.operators.delta_lake_load import DeltaLakeLoadAlgorithm
+
+    delta_dir = str(tmp_path / "delta_table")
+    lake = str(tmp_path / "lake")
+    src1 = str(tmp_path / "src1")
+    src2 = str(tmp_path / "src2")
+    base = {
+        "delta_table_dir": delta_dir,
+        "target_location": lake,
+        "business_key": ["k"],
+        "technical_key": ["seq"],
+        "record_mode_column": "recordmode",
+        "target_partitions": ["year"],
+        "partition_column": "d",
+        "partition_column_format": "yyyyMMdd",
+        "compact_table": True,
+        "output_partitions_num": 1,
+    }
+    init = spark.createDataFrame(
+        [
+            (1, "a", 1, None, "20200101"),
+            (2, "b", 1, None, "20200101"),
+            (3, "c", 1, None, "20210101"),
+        ],
+        "k int, v string, seq int, recordmode string, d string",
+    )
+    init.write.parquet(src1)
+    DeltaLakeLoadAlgorithm(spark, ParamsFile({**base, "source_location": src1})).run()
+    assert {tuple(r) for r in spark.read.parquet(delta_dir).select("k", "v", "year").collect()} == {
+        (1, "a", 2020), (2, "b", 2020), (3, "c", 2021)
+    }
+
+    # merge: update k=1, delete k=2 — only year=2020 affected
+    upd = spark.createDataFrame(
+        [(1, "a2", 2, "N", "20200101"), (2, "b", 2, "D", "20200101")],
+        "k int, v string, seq int, recordmode string, d string",
+    )
+    upd.write.parquet(src2)
+    DeltaLakeLoadAlgorithm(spark, ParamsFile({**base, "source_location": src2})).run()
+
+    delta_rows = {tuple(r) for r in spark.read.parquet(delta_dir).select("k", "v", "year").collect()}
+    assert delta_rows == {(1, "a2", 2020), (3, "c", 2021)}, "unaffected year=2021 must survive"
+
+    lake_rows = {tuple(r) for r in spark.read.parquet(lake).select("k", "v", "year").collect()}
+    assert lake_rows == {(1, "a2", 2020), (3, "c", 2021)}
+
+    # compaction: affected partition holds exactly 1 data file
+    part_dir = os.path.join(delta_dir, "year=2020")
+    files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    assert len(files) == 1, f"compaction should leave 1 file, saw {files}"
+
+
+# -------------------------------- TableLocationReader / copy / template
+def test_read_table_location_sees_on_disk_schema(spark, tmp_path):
+    """On-disk schema ahead of the catalog must be visible
+    (util/InputReader.scala:80-88)."""
+    from m3d_engine_spark.sources.formats import read_table_location
+
+    loc = str(tmp_path / "tl")
+    spark.createDataFrame([(1, "x", 9.5)], "k int, v string, extra double").write.parquet(loc)
+    spark.sql("DROP TABLE IF EXISTS tl_t")
+    # catalog knows only (k, v); disk also has 'extra'
+    spark.sql(f"CREATE TABLE tl_t (k int, v string) USING PARQUET LOCATION '{loc}'")
+    assert "extra" not in spark.table("tl_t").columns
+    df = read_table_location(spark, "tl_t")
+    assert "extra" in df.columns
+    spark.sql("DROP TABLE tl_t")
+
+
+def test_copy_dir(spark, tmp_path):
+    from m3d_engine_spark.sources.dfs import DFS, copy_dir
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f.txt").write_text("payload")
+    dst = tmp_path / "dst"
+    assert copy_dir(DFS(spark), str(src), str(dst))
+    assert (dst / "f.txt").read_text() == "payload"
+
+
+def test_algorithm_template_date_rule():
+    import datetime
+
+    from m3d_engine_spark.operators.template import resolve_date_rule
+
+    today = datetime.date(2026, 8, 13)
+    assert resolve_date_rule("today", today) == "2026-08-13"
+    assert resolve_date_rule("yesterday", today) == "2026-08-12"
+    assert resolve_date_rule("2020-02-29", today) == "2020-02-29"
+    with pytest.raises(ValueError):
+        resolve_date_rule("not-a-date", today)
