@@ -926,6 +926,46 @@ WHERE {_SQL_COSINE} >= 0.35
 """
 
 
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal payload metadata (multimodal.py::payload_metadata):
+    binary columns measured/hashed JVM-side — no Python in the plan."""
+    from m3d_engine_spark.operators.multimodal import (
+        payload_metadata,
+        synthesize_media_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synthesize_media_from_documents(docs)
+    return payload_metadata(media).select(
+        "media_id", "media_type", "byte_len", "md5", "sha256"
+    )
+
+
+_SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS md5,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode plumbing (multimodal.py::
+    decode_media) with the deterministic stub kernel (no codecs in this
+    container). Rows-only: exercises the real batch path end-to-end —
+    schema, Arrow transfer, per-batch kernel — under the driver's own
+    session."""
+    from m3d_engine_spark.operators.multimodal import (
+        decode_media,
+        synthesize_media_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_media(synthesize_media_from_documents(docs), decode_stub=True)
+
+
 def q_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ANN baseline (similarity.py::brute_force_topk): broadcast
     queries → BroadcastNestedLoopJoin, zero corpus shuffle."""
@@ -1016,6 +1056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_dups": q_embedding_dups,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
         "brute_topk": q_brute_topk,
         "ann_topk": q_ann_topk,
     }
@@ -1052,6 +1094,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _sql_minhash_lsh(),
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
         "embedding_dups": _SQL_EMBEDDING_DUPS,
+        "multimodal_meta": _SQL_MULTIMODAL_META,
+        # "multimodal_decode" intentionally absent: the Arrow mapInPandas
+        # stub-decode is not SQL-expressible → rows-only check.
         "brute_topk": _SQL_BRUTE_TOPK,
         "ann_topk": _SQL_ANN_TOPK,
     }
