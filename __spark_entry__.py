@@ -926,6 +926,47 @@ WHERE {_SQL_COSINE} >= 0.35
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (streaming/pipeline.py::sessionize) —
+    the applyInPandasWithState custom stateful operator, exercised here
+    through its batch applyInPandas twin so DuckDB can oracle it with
+    lag + cumulative-sum windows. Timestamps compared as epoch micros
+    (events.ts is ns in DuckDB, µs in Spark — both truncate to µs)."""
+    from m3d_engine_spark.streaming.pipeline import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev.select("user_id", "ts", "value"), gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        F.col("n_events").cast("int").alias("n_events"),
+        "sum_value",
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH lagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                   OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) AS end_us,
+       CAST(count(*) AS INTEGER) AS n_events,
+       round(SUM(value), 4) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal payload metadata (multimodal.py::payload_metadata):
     binary columns measured/hashed JVM-side — no Python in the plan."""
@@ -1056,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_dups": q_embedding_dups,
+        "sessionize": q_sessionize,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "brute_topk": q_brute_topk,
@@ -1094,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _sql_minhash_lsh(),
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
         "embedding_dups": _SQL_EMBEDDING_DUPS,
+        "sessionize": _SQL_SESSIONIZE,
         "multimodal_meta": _SQL_MULTIMODAL_META,
         # "multimodal_decode" intentionally absent: the Arrow mapInPandas
         # stub-decode is not SQL-expressible → rows-only check.

@@ -80,3 +80,144 @@ def streaming_dedup(
     return with_fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )
+
+
+# ------------------------------------------------- custom stateful op
+SESSION_STATE_SCHEMA = "start_ts timestamp, last_ts timestamp, n_events int, sum_value double"
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events int, sum_value double"
+)
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+    idle_timeout: bool = False,
+) -> DataFrame:
+    """Session windows via ``applyInPandasWithState`` — the custom
+    stateful operator shape Structured Streaming cannot express with
+    built-in windows when the session logic needs arbitrary state
+    (here: gap-based sessions emitting one row per closed session).
+
+    State per user is O(1) (running aggregates only, never buffered
+    events). Partitioning: groupBy(user) shuffles once; state lives
+    with the partition (RocksDB/HDFS state store at cluster scale).
+
+    ``idle_timeout=True`` arms a processing-time timeout that closes
+    idle sessions between batches — use it with continuous triggers
+    only: under ``trigger(availableNow=True)`` pending processing-time
+    timeouts keep scheduling sweep micro-batches and the run never
+    terminates, so batch-style runs default to closing sessions on gap
+    detection (open sessions simply stay in state for the next run).
+
+    Works identically on a batch DataFrame via ``applyInPandas``
+    fallback (no state) — handy for backfills and tests.
+    """
+    import pandas as pd
+
+    gap_seconds = _duration_seconds(gap)
+
+    def close_sessions(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col)
+        out = []
+        start = last = None
+        n = 0
+        total = 0.0
+        uid = pdf[user_col].iloc[0]
+        for ts, val in zip(pdf[ts_col], pdf[value_col]):
+            if last is not None and (ts - last).total_seconds() > gap_seconds:
+                out.append((uid, start, last, n, round(total, 4)))
+                start, n, total = None, 0, 0.0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
+            total += float(val) if val is not None else 0.0
+        if start is not None:
+            out.append((uid, start, last, n, round(total, 4)))
+        return pd.DataFrame(
+            out,
+            columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+        )
+
+    if not events.isStreaming:
+        return events.groupBy(user_col).applyInPandas(
+            close_sessions, schema=SESSION_OUTPUT_SCHEMA
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def stateful(key, batches, state: "GroupState"):
+        (uid,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start_ts, last_ts, n, total = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [(uid, start_ts, last_ts, n, round(total, 4))],
+                    columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+                )
+            return
+        batch_list = [b for b in batches if len(b)]
+        if not batch_list:
+            # A group can be invoked with no new data (timeout sweep
+            # batches); re-arm the timeout and emit nothing — concat of
+            # an empty list would crash the worker.
+            if state.exists and idle_timeout:
+                state.setTimeoutDuration(int(gap_seconds * 1000))
+            return
+        rows = pd.concat(batch_list).sort_values(ts_col)
+        if state.exists:
+            start_ts, last_ts, n, total = state.get
+        else:
+            start_ts = last_ts = None
+            n, total = 0, 0.0
+        closed = []
+        for ts, val in zip(rows[ts_col], rows[value_col]):
+            if last_ts is not None and (ts - last_ts).total_seconds() > gap_seconds:
+                closed.append((uid, start_ts, last_ts, n, round(total, 4)))
+                start_ts, n, total = None, 0, 0.0
+            if start_ts is None:
+                start_ts = ts
+            last_ts = ts
+            n += 1
+            total += float(val) if val is not None else 0.0
+        state.update((start_ts, last_ts, n, total))
+        if idle_timeout:
+            state.setTimeoutDuration(int(gap_seconds * 1000))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            stateful,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
+def _duration_seconds(s: str) -> float:
+    qty, unit = s.split()
+    mult = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+    }[unit]
+    return float(qty) * mult

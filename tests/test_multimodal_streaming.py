@@ -77,3 +77,63 @@ def test_windowed_rollup_batch_semantics(spark, sf_dir):
     out = windowed_rollup(events, window="1 day", watermark="2 days")
     total = out.agg(F.sum("n_events")).first()[0]
     assert total == events.count()
+
+
+# ---------------------------------------------------------------------------
+# Round 2: custom stateful operator — gap sessionization.
+# ---------------------------------------------------------------------------
+import datetime
+
+from m3d_engine_spark.streaming.pipeline import sessionize
+
+
+def _ts(minute):
+    return datetime.datetime(2024, 1, 1, 10, minute)
+
+
+def test_sessionize_batch_gap_split(spark):
+    rows = [
+        (1, _ts(0), 1.0),
+        (1, _ts(5), 2.0),
+        (1, _ts(50), 3.0),   # > 30 min gap → new session
+        (2, _ts(0), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    out = {
+        (r.user_id, r.session_start.minute, r.session_end.minute, r.n_events, r.sum_value)
+        for r in sessionize(df, gap="30 minutes").collect()
+    }
+    assert out == {
+        (1, 0, 5, 2, 3.0),
+        (1, 50, 50, 1, 3.0),
+        (2, 0, 0, 1, 4.0),
+    }
+
+
+def test_sessionize_streaming_plan_builds(spark, tmp_path):
+    """The applyInPandasWithState plan must at least construct and run
+    one availableNow batch against a rate-limited file stream."""
+    src = tmp_path / "stream_src"
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1.0), (1, _ts(5), 2.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    df.write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .parquet(str(src))
+    )
+    sess = sessionize(stream, gap="2 minutes")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "availableNow run must terminate"
+    # gap=2min < 5min spacing → first session (one event) closes within
+    # the single batch; the second stays open in state for the next run.
+    out = {(r.user_id, r.n_events) for r in spark.sql("SELECT * FROM sess_out").collect()}
+    assert out == {(1, 1)}
