@@ -194,6 +194,70 @@ GROUP BY o_orderkey
 """
 
 
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped EXISTS: orders with ≥1 qualifying lineitem, counted per
+    priority — LEFT SEMI join (no row multiplication, one shuffle pair)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    qualifying = li.filter(F.col("l_quantity") >= 45).select("l_orderkey")
+    return (
+        orders.join(qualifying, orders.o_orderkey == qualifying.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_SQL_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped 6-way star join: lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ region, revenue per nation. The three dimension
+    tables broadcast (they are tiny at any scale factor); the fact-side
+    joins shuffle on their keys once each."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation),
+              (cust.c_nationkey == nation.n_nationkey)
+              & (supp.s_nationkey == nation.n_nationkey))
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SQL_REGIONAL_REVENUE = f"""
+SELECT r_name, n_name,
+       round({_sql_dsum('l_extendedprice * (1 - l_discount)')}, 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
 def q_full_load_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FullLoad partition derivation (functions/dates.py): yyyyMMdd
     string → year/month/day/week with 9999/99 sentinels for bad dates;
@@ -1071,6 +1135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
+        "order_priority_check": q_order_priority_check,
+        "regional_revenue": q_regional_revenue,
         "full_load_dates": q_full_load_dates,
         "append_load_regex": q_append_load_regex,
         "delta_condense": q_delta_condense,
@@ -1109,6 +1175,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
+        "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
+        "regional_revenue": _SQL_REGIONAL_REVENUE,
         "full_load_dates": _SQL_FULL_LOAD_DATES,
         "append_load_regex": _SQL_APPEND_LOAD_REGEX,
         "delta_condense": _SQL_DELTA_CONDENSE,

@@ -116,34 +116,36 @@ def sessionize(
     detection (open sessions simply stay in state for the next run).
 
     Works identically on a batch DataFrame via ``applyInPandas``
-    fallback (no state) — handy for backfills and tests.
+    fallback (no state) — handy for backfills and tests. For pure batch
+    sessionization at scale prefer the JVM-only window form (lag →
+    over-gap flag → cumulative sum → groupBy, see the sessionize oracle
+    SQL in ``__spark_entry__``): it avoids per-group Arrow dispatch
+    entirely. This operator earns its Python cost only where the
+    per-session logic outgrows window functions — which is exactly the
+    stateful-streaming case it exists for.
     """
     import pandas as pd
 
     gap_seconds = _duration_seconds(gap)
 
     def close_sessions(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        """Vectorized batch kernel: session id = cumulative count of
+        over-gap deltas (diff → cumsum), then one groupby — no Python
+        per-row loop, so each Arrow batch is a handful of pandas ops."""
         pdf = pdf.sort_values(ts_col)
-        out = []
-        start = last = None
-        n = 0
-        total = 0.0
         uid = pdf[user_col].iloc[0]
-        for ts, val in zip(pdf[ts_col], pdf[value_col]):
-            if last is not None and (ts - last).total_seconds() > gap_seconds:
-                out.append((uid, start, last, n, round(total, 4)))
-                start, n, total = None, 0, 0.0
-            if start is None:
-                start = ts
-            last = ts
-            n += 1
-            total += float(val) if val is not None else 0.0
-        if start is not None:
-            out.append((uid, start, last, n, round(total, 4)))
-        return pd.DataFrame(
-            out,
-            columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+        sid = (pdf[ts_col].diff().dt.total_seconds() > gap_seconds).cumsum()
+        g = pdf.groupby(sid)
+        out = pd.DataFrame(
+            {
+                "user_id": uid,
+                "session_start": g[ts_col].min(),
+                "session_end": g[ts_col].max(),
+                "n_events": g[ts_col].size().astype("int32"),
+                "sum_value": g[value_col].sum().map(lambda v: round(float(v), 4)),
+            }
         )
+        return out.reset_index(drop=True)
 
     if not events.isStreaming:
         return events.groupBy(user_col).applyInPandas(
