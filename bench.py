@@ -32,6 +32,9 @@ def main() -> int:
         master=f"local[{cpus}]",
         extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
     )
+    # Warm the JVM/codegen path once so the first measured query isn't
+    # charged for session bring-up.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entry_mod.queries().items():

@@ -141,14 +141,29 @@ def seeded_ann_topk(
         return brute_force_topk(corpus, queries, id_col, vec_col, k)
     planes = seeded_hyperplanes(dim, bits * tables, seed)
 
+    # All per-table buckets in ONE Arrow-batched pandas UDF: a (dim ×
+    # tables·bits) matmul per batch. The Column-expression form
+    # (tables·bits separate zip_with+aggregate trees) produces a
+    # codegen monster that evaluates ~dim·bits·tables ops row-at-a-time;
+    # this is the case where the vectorized Python path beats staying
+    # JVM-side. Bucket = sign bits of v·P per table slice.
+    import numpy as np
+
+    from m3d_engine_spark.functions.ann_kernels import make_bucket_udf
+
+    plane_matrix = np.array(planes, dtype=np.float64).T  # dim × (tables*bits)
+    all_buckets = make_bucket_udf(plane_matrix, tables, bits)
+
     def with_buckets(df: DataFrame, idc: str, alias_vec: str) -> DataFrame:
-        cols = [F.col(id_col).alias(idc), F.col(vec_col).alias(alias_vec),
-                norm(F.col(vec_col)).alias(f"{alias_vec}_n")]
-        for t in range(tables):
-            cols.append(
-                hyperplane_bucket(F.col(vec_col), planes[t * bits:(t + 1) * bits]).alias(f"b{t}")
-            )
-        return df.select(*cols)
+        base = df.select(
+            F.col(id_col).alias(idc),
+            F.col(vec_col).alias(alias_vec),
+            norm(F.col(vec_col)).alias(f"{alias_vec}_n"),
+            all_buckets(F.col(vec_col)).alias("__b"),
+        )
+        return base.select(
+            "*", *[F.col("__b").getItem(t).alias(f"b{t}") for t in range(tables)]
+        ).drop("__b")
 
     c = with_buckets(corpus, "neighbor_id", "cv")
     q = with_buckets(queries, "query_id", "qv")

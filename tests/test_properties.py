@@ -1,0 +1,93 @@
+"""Randomized property pins (seeded, batch-evaluated in one Spark job
+per property — per-example Spark round trips would be minutes).
+
+Properties:
+* date component derivation == Python datetime reference on random
+  valid dates, and == sentinels on malformed input;
+* condense keeps exactly one row per business key, the max technical
+  key;
+* merge keys = (active ∖ delta) ∪ upserts — deletes vanish, survivors
+  untouched;
+* partition_rel_path == the directory names Spark itself writes, for
+  adversarial partition strings.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import random
+
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.functions.dates import with_date_components
+from m3d_engine_spark.operators.delta_load import condense, merge_delta
+from m3d_engine_spark.sources.writers import partition_rel_path
+
+SEED = 20260813
+
+
+def test_date_components_match_python_reference(spark):
+    rng = random.Random(SEED)
+    cases = []
+    for _ in range(300):
+        if rng.random() < 0.15:
+            cases.append("".join(rng.choice("abc123") for _ in range(rng.randint(0, 10))))
+        else:
+            d = datetime.date(2000, 1, 1) + datetime.timedelta(days=rng.randint(0, 11000))
+            cases.append(d.strftime("%Y%m%d"))
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i int, d string")
+    out = {
+        r.i: (r.year, r.month, r.day, r.week)
+        for r in with_date_components(df, "d", "yyyyMMdd", ["year", "month", "day", "week"]).collect()
+    }
+    for i, c in enumerate(cases):
+        try:
+            d = datetime.datetime.strptime(c, "%Y%m%d").date()
+            expected = (d.year, d.month, d.day, (d.timetuple().tm_yday - 1) // 7 + 1)
+        except ValueError:
+            expected = (9999, 99, 99, 99)
+        assert out[i] == expected, f"{c!r}: {out[i]} != {expected}"
+
+
+def test_condense_keeps_max_technical_key(spark):
+    rng = random.Random(SEED)
+    rows = [
+        (rng.randint(0, 40), rng.randint(0, 1000), rng.random())
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "bk int, tk int, v double")
+    out = {r.bk: r.tk for r in condense(df, ["bk"], ["tk"]).collect()}
+    expected = {}
+    for bk, tk, _ in rows:
+        expected[bk] = max(expected.get(bk, -1), tk)
+    assert out == expected
+    # exactly one row per key
+    assert condense(df, ["bk"], ["tk"]).groupBy("bk").count().filter("count > 1").count() == 0
+
+
+def test_merge_delta_key_algebra(spark):
+    rng = random.Random(SEED)
+    active_keys = set(rng.sample(range(1000), 300))
+    delta_keys = set(rng.sample(range(1000), 150))
+    deletes = {k for k in delta_keys if rng.random() < 0.4}
+    active = spark.createDataFrame([(k, f"a{k}") for k in active_keys], "k int, v string")
+    delta = spark.createDataFrame(
+        [(k, f"d{k}", "D" if k in deletes else "N") for k in delta_keys],
+        "k int, v string, recordmode string",
+    )
+    out = {r.k: r.v for r in merge_delta(active, delta, ["k"]).collect()}
+    expected_keys = (active_keys - delta_keys) | (delta_keys - deletes)
+    assert set(out) == expected_keys
+    for k, v in out.items():
+        assert v == (f"d{k}" if k in delta_keys else f"a{k}")
+
+
+def test_partition_rel_path_matches_spark_for_adversarial_values(spark, tmp_path):
+    values = ["plain", "with space", "a:b", "q=r", "pct%20", "uni_äöü", "semi;colon", "hash#tag"]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i int, tag string")
+    out = str(tmp_path / "adv")
+    df.write.partitionBy("tag").parquet(out)
+    written = {d for d in os.listdir(out) if d.startswith("tag=")}
+    computed = {partition_rel_path([("tag", v)]) for v in values}
+    assert computed == written
