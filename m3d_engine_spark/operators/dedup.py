@@ -136,7 +136,12 @@ def minhash_lsh_candidates(
     shuffle moves only (id, 32-byte key) pairs, never documents.
     """
     b = lsh_bands(df, id_col, text_col, num_hashes, bands, shingle_n)
-    left = b.alias("l")
+    # Self-join on an expensive subtree: hint SMJ so Catalyst reuses one
+    # shuffle exchange for both sides (ReusedExchange). A broadcast plan
+    # would evaluate the whole md5 pipeline twice — once to broadcast,
+    # once to stream — and flips nondeterministically with size
+    # estimates.
+    left = b.alias("l").hint("merge")
     right = b.alias("r")
     return (
         left.join(
@@ -246,7 +251,9 @@ def ngram_jaccard_pairs(
         F.col(id_col), *[F.col(c) for c in block_cols], F.col("n_sh"),
         F.explode("sh").alias("shingle"),
     )
-    l, r = tok.alias("l"), tok.alias("r")
+    # SMJ hint: one shuffle of the exploded-shingle subtree, reused for
+    # both sides (see minhash_lsh_candidates).
+    l, r = tok.alias("l").hint("merge"), tok.alias("r")
     cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
     cond.append(F.col("l.shingle") == F.col("r.shingle"))
     cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
@@ -395,7 +402,7 @@ def simhash64_hamming_pairs(
             ])
         ).alias("band", "band_val"),
     )
-    l, r = banded.alias("l"), banded.alias("r")
+    l, r = banded.alias("l").hint("merge"), banded.alias("r")
     pairs = (
         l.join(
             r,

@@ -165,8 +165,12 @@ def seeded_ann_topk(
             "*", *[F.col("__b").getItem(t).alias(f"b{t}") for t in range(tables)]
         ).drop("__b")
 
-    c = with_buckets(corpus, "neighbor_id", "cv")
-    q = with_buckets(queries, "query_id", "qv")
+    # c and q feed every per-table join branch plus the scoring join —
+    # without persistence the bucket UDF subtree re-evaluates once per
+    # branch (tables×2 + 2 times). The persisted relations are tiny:
+    # (id, vec, norm, `tables` ints) per row.
+    c = with_buckets(corpus, "neighbor_id", "cv").persist()
+    q = with_buckets(queries, "query_id", "qv").persist()
     cands = None
     for t in range(tables):
         pair = (
