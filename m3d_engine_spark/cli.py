@@ -23,6 +23,7 @@ from m3d_engine_spark.operators import (  # noqa: F401 — populate REGISTRY
     transpose,
 )
 from m3d_engine_spark.operators.base import REGISTRY, run_algorithm
+from m3d_engine_spark.streaming import pipeline as _streaming  # noqa: F401 — registers StreamingAppendLoad
 from m3d_engine_spark.session import build_session
 
 

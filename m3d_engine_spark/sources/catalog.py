@@ -72,14 +72,11 @@ def recover_partitions_custom(
     partition values present in ``df``
     (util/RecoverPartitionsCustom.scala:12-31). Returns the statements
     (the reference's unit tests assert on them)."""
-    from m3d_engine_spark.plans.partitions import collect_partitions
-
-    def quote(v: Any) -> str:
-        return f"'{v}'" if isinstance(v, str) else str(v)
+    from m3d_engine_spark.plans.partitions import collect_partitions, sql_literal
 
     stmts = []
     for crit in collect_partitions(df, partition_columns):
-        spec = ", ".join(f"{c}={quote(v)}" for c, v in crit)
+        spec = ", ".join(f"{c}={sql_literal(v)}" for c, v in crit)
         stmts.append(f"ALTER TABLE {table} ADD IF NOT EXISTS PARTITION({spec})")
     for s in stmts:
         spark.sql(s)

@@ -223,3 +223,44 @@ def _duration_seconds(s: str) -> float:
         "hour": 3600, "hours": 3600,
     }[unit]
     return float(qty) * mult
+
+
+# --------------------------------------------------- CLI registration
+from m3d_engine_spark.config import ParamsFile  # noqa: E402
+from m3d_engine_spark.operators.base import Algorithm, register  # noqa: E402
+
+
+@register("StreamingAppendLoad")
+class StreamingAppendLoadAlgorithm(Algorithm):
+    """AppendLoad as an incremental Structured Streaming job: one
+    ``availableNow`` run ingests whatever landed since the last
+    checkpoint — exactly-once, no reprocessing, no landing-dir
+    bookkeeping beyond the source's file index.
+
+    Config: source_dir, schema (Spark JSON — streams cannot infer),
+    file_format, target_location, checkpoint_location,
+    target_partitions + partition_column(+_format).
+    """
+
+    def read(self) -> list:
+        return []
+
+    def transform(self, dfs: list) -> list:
+        return []
+
+    def write(self, dfs: list) -> None:
+        p = self.params
+        schema = StructType.fromJson(p.get_map("schema"))
+        writer = streaming_append_load(
+            self.spark,
+            p.get_string("source_dir"),
+            schema,
+            p.get_string("target_location"),
+            p.get_string("checkpoint_location"),
+            partition_column=p.get_string("partition_column"),
+            partition_format=p.get_string("partition_column_format"),
+            target_partitions=p.get_list("target_partitions"),
+            file_format=p.get_optional("file_format", "parquet"),
+        )
+        query = writer.start()
+        query.awaitTermination()

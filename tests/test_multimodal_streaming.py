@@ -137,3 +137,37 @@ def test_sessionize_streaming_plan_builds(spark, tmp_path):
     # the single batch; the second stays open in state for the next run.
     out = {(r.user_id, r.n_events) for r in spark.sql("SELECT * FROM sess_out").collect()}
     assert out == {(1, 1)}
+
+
+def test_streaming_append_load_algorithm_incremental(spark, tmp_path):
+    """Two CLI-style runs: the second ingests only the newly-landed file
+    (exactly-once via checkpoint)."""
+    from m3d_engine_spark.config import ParamsFile
+    from m3d_engine_spark.operators.base import REGISTRY
+
+    landing = tmp_path / "landing"
+    df1 = spark.createDataFrame([(1, "20240101"), (2, "20240102")], "k int, d string")
+    df1.write.parquet(str(landing))
+    params = ParamsFile({
+        "source_dir": str(landing),
+        "schema": {"type": "struct", "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "d", "type": "string", "nullable": True, "metadata": {}},
+        ]},
+        "target_location": str(tmp_path / "out"),
+        "checkpoint_location": str(tmp_path / "ckpt"),
+        "target_partitions": ["year", "month"],
+        "partition_column": "d",
+        "partition_column_format": "yyyyMMdd",
+    })
+    REGISTRY["StreamingAppendLoad"](spark, params).run()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 2
+
+    df2 = spark.createDataFrame([(3, "20240203")], "k int, d string")
+    df2.write.mode("append").parquet(str(landing))
+    REGISTRY["StreamingAppendLoad"](spark, params).run()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 3
+    assert {(r.year, r.month) for r in out.select("year", "month").distinct().collect()} == {
+        (2024, 1), (2024, 2)
+    }
