@@ -330,6 +330,91 @@ GROUP BY 1, 2
 """
 
 
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window with a running frame (beyond the reference's
+    ranking-only windows, SURVEY §2.7): cumulative revenue per customer
+    in (o_orderdate, o_orderkey) order. Running sums evaluate
+    sequentially in frame order in both engines, so the doubles match
+    bitwise — no decimal detour needed."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .cast("int")
+        .alias("order_seq"),
+    )
+
+
+_SQL_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       round(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
+FROM orders
+"""
+
+
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline stage: quality-filter →
+    exact-dedup → keep canonical docs with their stats — the
+    filter-then-dedup composition a real corpus build runs, as one
+    declarative plan (filter pushes to the scan; one shuffle for the
+    fingerprint window)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text", T.quality_score(F.col("text")).alias("quality")
+    ).filter(F.col("quality") >= 0.5)
+    deduped = exact_duplicates(scored, "doc_id", "text")
+    return (
+        deduped.filter(F.col("doc_id") == F.col("canonical_id"))
+        .join(scored, on="doc_id")
+        .select("doc_id", "quality", F.col("group_size").cast("int").alias("n_copies"))
+    )
+
+
+_SQL_DEDUP_PIPELINE = """
+WITH scored AS (
+  SELECT doc_id, text,
+         round((CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0
+                     WHEN n_tok > 0 THEN 0.5 ELSE 0.0 END
+                + CASE WHEN n_tok = 0 THEN 0.0 ELSE n_distinct / n_tok END
+                + CASE WHEN stop_r > 0.01 AND stop_r < 0.6 THEN 1.0 ELSE 0.5 END) / 3.0,
+               4) AS quality
+  FROM (
+    SELECT doc_id, text,
+           len(t) AS n_tok,
+           len(list_distinct(t)) AS n_distinct,
+           CASE WHEN len(t) = 0 THEN 0.0
+                ELSE len(list_filter(t, x -> x IN __STOPWORDS__)) / len(t) END AS stop_r
+    FROM (SELECT doc_id, text, __TOKS__ AS t FROM documents)
+  )
+), filtered AS (
+  SELECT * FROM scored WHERE quality >= 0.5
+), fp AS (
+  SELECT doc_id, quality,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM filtered
+), grouped AS (
+  SELECT doc_id, quality,
+         min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+         count(*) OVER (PARTITION BY fingerprint) AS group_size
+  FROM fp
+)
+SELECT doc_id, quality, CAST(group_size AS INTEGER) AS n_copies
+FROM grouped WHERE doc_id = canonical_id
+""".replace("__TOKS__", _SQL_TOKS).replace("__STOPWORDS__", _sql_str_list(T.STOPWORDS))
+
+
 def q_delta_condense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeltaLoad condensation (delta_load.py::condense): latest change
     record per business key, row_number over (ts DESC, event_id DESC)."""
@@ -1138,6 +1223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_check": q_order_priority_check,
         "regional_revenue": q_regional_revenue,
         "full_load_dates": q_full_load_dates,
+        "running_total": q_running_total,
+        "dedup_pipeline": q_dedup_pipeline,
         "append_load_regex": q_append_load_regex,
         "delta_condense": q_delta_condense,
         "delta_merge": q_delta_merge,
@@ -1178,6 +1265,8 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
         "regional_revenue": _SQL_REGIONAL_REVENUE,
         "full_load_dates": _SQL_FULL_LOAD_DATES,
+        "running_total": _SQL_RUNNING_TOTAL,
+        "dedup_pipeline": _SQL_DEDUP_PIPELINE,
         "append_load_regex": _SQL_APPEND_LOAD_REGEX,
         "delta_condense": _SQL_DELTA_CONDENSE,
         "delta_merge": _SQL_DELTA_MERGE,

@@ -299,7 +299,7 @@ def embedding_near_dupes(
         norm(F.col(vec_col)).alias("nrm"),
         sign_lsh_bucket(F.col(vec_col), lsh_bits).alias("bucket"),
     )
-    l, r = base.alias("l"), base.alias("r")
+    l, r = base.alias("l").hint("merge"), base.alias("r")
     sim = F.round(dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 4)
     return (
         l.join(
