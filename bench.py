@@ -48,6 +48,9 @@ def main() -> int:
         timings[name] = round(dt, 3)
         if dt > 0:
             total += dt
+        # Isolate queries: drop any relations the query persisted so a
+        # later measurement doesn't pay (or profit from) earlier state.
+        spark.catalog.clearCache()
     spark.stop()
     print(json.dumps({
         "metric": "total_query_runtime",
