@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from m3d_engine_spark.functions.text import fingerprint, tokens
-from m3d_engine_spark.functions.vectors import cosine, sign_lsh_bucket
+from m3d_engine_spark.functions.vectors import sign_lsh_bucket
 
 
 # ---------------------------------------------------------------- exact

@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from m3d_engine_spark.functions.vectors import (
     dot,
-    hyperplane_bucket,
     norm,
     seeded_hyperplanes,
     sign_lsh_bucket,

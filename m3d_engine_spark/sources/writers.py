@@ -29,7 +29,6 @@ from enum import Enum
 from typing import Any, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from m3d_engine_spark.plans.partitions import (
     add_missing_columns,
