@@ -330,6 +330,40 @@ GROUP BY 1, 2
 """
 
 
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (year → year,month → grand total) with
+    GROUPING() markers — the grouping-sets surface Catalyst provides
+    beyond the reference (SURVEY §2.6). One aggregation; the rollup
+    expands in the partial-agg stage, so it shuffles partials only."""
+    orders = _t(spark, sf_dir, "orders")
+    derived = orders.select(
+        F.year("o_orderdate").cast("int").alias("year"),
+        F.month("o_orderdate").cast("int").alias("month"),
+        "o_totalprice",
+    )
+    return (
+        derived.rollup("year", "month")
+        .agg(
+            F.round(_dsum(F.col("o_totalprice")), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("year").cast("int").alias("g_year"),
+            F.grouping("month").cast("int").alias("g_month"),
+        )
+    )
+
+
+_SQL_SALES_ROLLUP = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       CAST(month(o_orderdate) AS INTEGER) AS month,
+       round({_sql_dsum('o_totalprice')}, 2) AS total,
+       COUNT(*) AS n,
+       CAST(GROUPING(year(o_orderdate)) AS INTEGER) AS g_year,
+       CAST(GROUPING(month(o_orderdate)) AS INTEGER) AS g_month
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+"""
+
+
 def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window with a running frame (beyond the reference's
     ranking-only windows, SURVEY §2.7): cumulative revenue per customer
@@ -1223,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_check": q_order_priority_check,
         "regional_revenue": q_regional_revenue,
         "full_load_dates": q_full_load_dates,
+        "sales_rollup": q_sales_rollup,
         "running_total": q_running_total,
         "dedup_pipeline": q_dedup_pipeline,
         "append_load_regex": q_append_load_regex,
@@ -1265,6 +1300,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
         "regional_revenue": _SQL_REGIONAL_REVENUE,
         "full_load_dates": _SQL_FULL_LOAD_DATES,
+        "sales_rollup": _SQL_SALES_ROLLUP,
         "running_total": _SQL_RUNNING_TOTAL,
         "dedup_pipeline": _SQL_DEDUP_PIPELINE,
         "append_load_regex": _SQL_APPEND_LOAD_REGEX,
