@@ -199,6 +199,14 @@ class AppendLoad(Algorithm):
 
             cat.recover_partitions_native(self.spark, self.params.get_string("target_table"))
 
+    def update_statistics(self) -> None:
+        if self.params.has("target_table"):
+            from m3d_engine_spark.sources import catalog as cat
+
+            table = self.params.get_string("target_table")
+            specs = cat.list_table_partitions(self.spark, table) if self.targets else []
+            cat.compute_statistics(self.spark, table, partition_specs=specs)
+
     def _persist_headers(self, df: DataFrame) -> None:
         """Write the partition-stripped schema JSON as header.json per
         affected partition dir (AppendLoad.scala:264-288)."""

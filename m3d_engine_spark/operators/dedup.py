@@ -279,6 +279,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact Jaccard pairs via AllPairs-style prefix filtering
+    (Bayardo et al.): shingles get a global total order by (document
+    frequency asc, shingle asc); a pair with J ≥ t must collide on a
+    shingle inside BOTH docs' prefixes of length
+    ``|x| − ⌈t·|x|⌉ + 1``, so the candidate join touches only the
+    RAREST shingles — the hot-shingle quadratic blowup of the plain
+    inverted-index join disappears by construction. Exact Jaccard is
+    then recomputed on candidates from the full shingle sets.
+
+    Same output as ``ngram_jaccard_pairs`` (pinned by test); worthwhile
+    at production thresholds (≥0.5) where the prefix is short. At low
+    thresholds the prefix covers most of the document and the plain
+    join is simpler.
+    """
+    if threshold <= 0:
+        raise ValueError("prefix filtering requires threshold > 0")
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = base.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.col("n_sh"),
+        F.explode("sh").alias("shingle"),
+    )
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
+    ranked = (
+        exploded.join(F.broadcast(freq), on="shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("df_count", "shingle")
+            ),
+        )
+        # prefix length = n - ceil(t*n) + 1
+        .filter(F.col("rn") <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1)
+        .select(id_col, *block_cols, "n_sh", "shingle")
+    )
+    l, r = ranked.alias("l").hint("merge"), ranked.alias("r")
+    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
+    cond.append(F.col("l.shingle") == F.col("r.shingle"))
+    cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    cond.append(F.col("l.n_sh") >= F.col("r.n_sh") * threshold)
+    cond.append(F.col("r.n_sh") >= F.col("l.n_sh") * threshold)
+    cands = (
+        l.join(r, on=cond)
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sets = base.select(F.col(id_col), F.col("sh"))
+    jac = F.round(
+        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))),
+        4,
+    )
+    return (
+        cands.join(sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), on="id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ----------------------------------------------------- embedding cosine
 def embedding_near_dupes(
     df: DataFrame,

@@ -137,6 +137,18 @@ class DeltaLoadAlgorithm(Algorithm):
         condensed = condense(delta, bk, tk, record_mode_column=rm)
         return [merge_delta(active, condensed, bk, record_mode_column=rm)]
 
+    def update_statistics(self) -> None:
+        if self.params.has("target_table"):
+            from m3d_engine_spark.sources import catalog as cat
+
+            table = self.params.get_string("target_table")
+            specs = (
+                cat.list_table_partitions(self.spark, table)
+                if self.params.get_optional("target_partitions")
+                else []
+            )
+            cat.compute_statistics(self.spark, table, partition_specs=specs)
+
     def write(self, dfs: list[DataFrame]) -> None:
         from m3d_engine_spark.config import ConfigError
         from m3d_engine_spark.sources.writers import write_output

@@ -332,3 +332,65 @@ def test_algorithm_template_date_rule():
     assert resolve_date_rule("2020-02-29", today) == "2020-02-29"
     with pytest.raises(ValueError):
         resolve_date_rule("not-a-date", today)
+
+
+# ----------------------------------------------------- reader modes
+def _mode_params(land, target, mode):
+    return ParamsFile(
+        {
+            "source_dir": str(land),
+            "file_format": "dsv",
+            "reader_mode": mode,
+            "target_location": str(target),
+            "schema": {
+                "type": "struct",
+                "fields": [
+                    {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+                    {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                ],
+            },
+        }
+    )
+
+
+def test_reader_modes_reference_scenarios(spark, tmp_path):
+    """FullLoadTest's reader-mode axis: FAILFAST raises on malformed,
+    DROPMALFORMED drops the bad row, PERMISSIVE nulls the bad field."""
+    from m3d_engine_spark.operators.full_load import FullLoad
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "data.psv").write_text("1|ok\nnotanint|bad\n3|ok3\n")
+
+    out_drop = tmp_path / "out_drop"
+    FullLoad(spark, _mode_params(land, out_drop, "DROPMALFORMED")).run()
+    rows = {tuple(r) for r in spark.read.parquet(str(out_drop)).collect()}
+    assert rows == {(1, "ok"), (3, "ok3")}
+
+    out_perm = tmp_path / "out_perm"
+    FullLoad(spark, _mode_params(land, out_perm, "PERMISSIVE")).run()
+    rows = {tuple(r) for r in spark.read.parquet(str(out_perm)).collect()}
+    assert rows == {(1, "ok"), (None, "bad"), (3, "ok3")}
+
+    out_ff = tmp_path / "out_ff"
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        FullLoad(spark, _mode_params(land, out_ff, "FAILFAST")).run()
+
+
+def test_invalid_reader_mode_rejected(spark, tmp_path):
+    from m3d_engine_spark.sources.formats import validated_mode
+
+    with pytest.raises(ValueError, match="invalid reader mode"):
+        validated_mode("YOLO")
+
+
+def test_append_load_update_statistics_runs(spark, tmp_path, delta_fixture):
+    """compute_table_statistics=true triggers per-partition + table
+    ANALYZE after a DeltaLoad (TableStatistics.scala:55-80 parity)."""
+    DeltaLoadAlgorithm(
+        spark, _delta_params(tmp_path, {"compute_table_statistics": True})
+    ).run()
+    # ANALYZE succeeded if stats exist for the table
+    desc = spark.sql("DESCRIBE EXTENDED dl_active").collect()
+    stats_rows = [r for r in desc if "Statistics" in (r.col_name or "")]
+    assert stats_rows, "table-level statistics missing after ANALYZE"
