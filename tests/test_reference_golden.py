@@ -1,0 +1,230 @@
+"""Golden-file parity against the REFERENCE's own test fixtures.
+
+Reads the fixture data directly from the read-only reference checkout
+(never copied into this repo) and replays the FullLoadTest scenarios:
+run OUR FullLoad on the reference's landing PSV, multiset-compare the
+result with the reference's expected ``lake_data_post.psv`` — the same
+order-insensitive groupBy-all-count diff the reference's harness uses
+(TestUtils.scala:10-24).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from m3d_engine_spark.config import ParamsFile
+from m3d_engine_spark.operators.full_load import FullLoad
+
+REF = "/root/reference/src/test/resources/com/adidas/analytics/feature/loads/FullLoadTestRes"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference fixtures not present"
+)
+
+
+def _schema(path: str) -> StructType:
+    with open(path) as fh:
+        return StructType.fromJson(json.load(fh))
+
+
+def _read_psv(spark, path: str, schema: StructType):
+    return (
+        spark.read.schema(schema)
+        .option("delimiter", "|")
+        .option("nullValue", "XXNULLXXX")
+        .csv(path)
+    )
+
+
+def _multiset_equal(a, b) -> bool:
+    ga = a.groupBy(*a.columns).count()
+    gb = b.groupBy(*b.columns).count()
+    return ga.exceptAll(gb).isEmpty() and gb.exceptAll(ga).isEmpty()
+
+
+def test_full_load_non_partitioned_golden(spark, tmp_path):
+    schema = _schema(f"{REF}/non_partitioned/target_schema.json")
+    params = ParamsFile(
+        {
+            "source_dir": f"{REF}/landing/new_data.psv",
+            "file_format": "dsv",
+            "delimiter": "|",
+            "has_header": False,
+            "target_location": str(tmp_path / "out"),
+            "schema": schema.jsonValue(),
+        }
+    )
+    FullLoad(spark, params).run()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    expected = _read_psv(spark, f"{REF}/non_partitioned/lake_data_post.psv", schema)
+    assert _multiset_equal(got, expected)
+
+
+def test_full_load_partitioned_golden(spark, tmp_path):
+    full_schema = _schema(f"{REF}/partitioned/target_schema.json")
+    targets = ["year", "month", "day"]
+    landing_schema = StructType([f for f in full_schema.fields if f.name not in targets])
+    params = ParamsFile(
+        {
+            "source_dir": f"{REF}/landing/new_data.psv",
+            "file_format": "dsv",
+            "delimiter": "|",
+            "has_header": False,
+            "target_location": str(tmp_path / "out"),
+            "schema": landing_schema.jsonValue(),
+            "target_partitions": targets,
+            "partition_column": "date",
+            "partition_column_format": "yyyyMMdd",
+        }
+    )
+    FullLoad(spark, params).run()
+    got = spark.read.parquet(str(tmp_path / "out")).select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in full_schema.fields
+        ]
+    )
+    expected = _read_psv(spark, f"{REF}/partitioned/lake_data_post.psv", full_schema)
+    assert _multiset_equal(got, expected)
+
+
+def test_full_load_partitioned_weekly_golden(spark, tmp_path):
+    """Weekly partitions exercise the ALIGNED-week semantics against the
+    reference's expected values."""
+    full_schema = _schema(f"{REF}/partitioned_weekly/target_schema.json")
+    targets = ["year", "week"]
+    landing_schema = StructType([f for f in full_schema.fields if f.name not in targets])
+    params = ParamsFile(
+        {
+            "source_dir": f"{REF}/landing/new_data_weekly.psv",
+            "file_format": "dsv",
+            "delimiter": "|",
+            "has_header": False,
+            "target_location": str(tmp_path / "out"),
+            "schema": landing_schema.jsonValue(),
+            "target_partitions": targets,
+            "partition_column": "date",
+            "partition_column_format": "yyyyww",
+        }
+    )
+    FullLoad(spark, params).run()
+    got = spark.read.parquet(str(tmp_path / "out")).select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in full_schema.fields
+        ]
+    )
+    expected = _read_psv(spark, f"{REF}/partitioned_weekly/lake_data_post.psv", full_schema)
+    assert _multiset_equal(got, expected)
+
+
+FEAT = "/root/reference/src/test/resources/com/adidas/analytics/feature"
+
+
+def test_transpose_golden(spark, tmp_path):
+    """TransposeTest scenario: long→wide pivot with the target schema's
+    pivot values + schema enforcement."""
+    from m3d_engine_spark.operators.transpose import transpose
+    from m3d_engine_spark.plans.partitions import enforce_schema
+
+    t = f"{FEAT}/TransposeTestRes"
+    src_schema = _schema(f"{t}/source_schema.json")
+    tgt_schema = _schema(f"{t}/target_schema.json")
+    src = _read_psv(spark, f"{t}/input_data.psv", src_schema)
+    pivot_values = [f.name for f in tgt_schema.fields if f.name != "id"]
+    out = enforce_schema(
+        transpose(src, ["id"], "name", "value", pivot_values=pivot_values),
+        tgt_schema,
+    )
+    expected = _read_psv(spark, f"{t}/expected_target_data.psv", tgt_schema)
+    assert _multiset_equal(out, expected)
+
+
+def test_fixed_size_extractor_golden(spark, tmp_path):
+    """FixedSizeStringExtractorTest matched_schema scenario: fixed-width
+    NOAA station lines → typed columns, blank fields → NULL."""
+    from m3d_engine_spark.operators.fixed_size_extractor import (
+        FixedField,
+        extract_fixed_width,
+    )
+
+    t = f"{FEAT}/FixedSizeStringExtractorTestRes/matched_schema"
+    src_schema = _schema(f"{t}/source_schema.json")
+    tgt_schema = _schema(f"{t}/target_schema.json")
+    # source is whole lines: read as single-column csv with a delimiter
+    # that never occurs so the line stays intact
+    src = (
+        spark.read.schema(src_schema)
+        .option("delimiter", "\t")
+        .csv(f"{t}/source_data.psv")
+    )
+    positions = ["1,11", "13,20", "22,30", "32,37", "39,40", "42,71", "73,75", "77,79", "81,85"]
+    fields = []
+    for f, pos in zip(tgt_schema.fields, positions):
+        start, end = (int(x) for x in pos.split(","))
+        fields.append(FixedField(f.name, start, end, f.dataType.simpleString()))
+    out = extract_fixed_width(src, "value", fields)
+    expected = _read_psv(spark, f"{t}/lake_data_post.psv", tgt_schema)
+    assert _multiset_equal(out, expected)
+
+
+def _read_psv_header(spark, path: str, schema: StructType):
+    """Fixture PSVs that carry a header row: read by name, cast to the
+    fixture schema (the files may hold extra columns the schema omits)."""
+    raw = (
+        spark.read.option("delimiter", "|")
+        .option("header", True)
+        .option("nullValue", "XXNULLXXX")
+        .csv(path)
+    )
+    return raw.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+def test_delta_load_partitioned_merge_golden(spark, tmp_path):
+    """DeltaLoadTest parquet partitioned-merge scenario end-to-end:
+    pre-loaded active table + CDC delta file → condensed merge written
+    back over the affected partitions; full table must equal the
+    reference's active_data_post (updates applied, deletes dropped,
+    new partition added, untouched partitions intact)."""
+    from m3d_engine_spark.operators.delta_load import DeltaLoadAlgorithm
+
+    d = f"{FEAT}/loads/DeltaLoadTestRes/parquet_test_delta_merge_partitioned"
+    active_schema = _schema(f"{d}/active_data_schema.json")
+    delta_schema = _schema(f"{d}/delta_data_schema.json")
+
+    loc = str(tmp_path / "active")
+    _read_psv_header(spark, f"{d}/active_data_pre.psv", active_schema).write.partitionBy(
+        "year", "month", "day"
+    ).parquet(loc)
+    spark.read.parquet(loc).createOrReplaceTempView("golden_delta_active")
+
+    delta_loc = str(tmp_path / "delta")
+    _read_psv_header(spark, f"{d}/delta_data.psv", delta_schema).write.parquet(delta_loc)
+
+    params = ParamsFile(
+        {
+            "active_records_table_lake": "golden_delta_active",
+            "delta_records_file_path": delta_loc,
+            "business_key": ["salesorder", "item"],
+            "technical_key": ["actrequest_timestamp", "datapakid", "partno", "record"],
+            "record_mode_column": "recordmode",
+            "target_partitions": ["year", "month", "day"],
+            "partition_column": "date",
+            "partition_column_format": "yyyyMMdd",
+            "target_location": loc,
+        }
+    )
+    DeltaLoadAlgorithm(spark, params).run()
+
+    got = spark.read.parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in active_schema.fields]
+    )
+    expected = _read_psv_header(spark, f"{d}/active_data_post.psv", active_schema)
+    assert _multiset_equal(got, expected)
