@@ -228,3 +228,74 @@ def test_delta_load_partitioned_merge_golden(spark, tmp_path):
     )
     expected = _read_psv_header(spark, f"{d}/active_data_post.psv", active_schema)
     assert _multiset_equal(got, expected)
+
+
+def test_nested_flattener_golden(spark, tmp_path):
+    """NestedFlattenerTest scenario 1: deep mParticle-style event
+    parquet (structs 4 deep, list<struct>) flattened with the exact
+    fields_to_flatten / column_mapping from the reference's params."""
+    from m3d_engine_spark.operators.nested_flattener import flat_dataframe
+
+    n = f"{FEAT}/NestedFlattenerTestRes"
+    with open(f"{n}/scenario1/params.json") as fh:
+        p = json.load(fh)
+    src = spark.read.parquet(f"{n}/nest_test/data")
+    out = flat_dataframe(
+        src,
+        p["fields_to_flatten"],
+        p["column_mapping"],
+        chars_to_replace=p["chars_to_replace"],
+        replacement=p["replacement_char"],
+    )
+    tgt_schema = _schema(f"{n}/target_schema.json")
+    got = out.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tgt_schema.fields]
+    )
+    expected = _read_psv(spark, f"{n}/expected_target_data.psv", tgt_schema)
+    assert _multiset_equal(got, expected)
+
+
+def test_append_load_main_golden(spark, tmp_path):
+    """AppendLoadTest main_test: partition values regex-extracted from
+    the landing FILENAME (lookahead/lookbehind regexes), appended onto a
+    pre-loaded partitioned lake; full table must equal the expected
+    post-state."""
+    import shutil
+
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    a = f"{FEAT}/loads/AppendLoadTestRes/main_test"
+    with open(f"{a}/params.json") as fh:
+        ref_params = json.load(fh)
+    full_schema = _schema(f"{a}/target_schema.json")
+    targets = ref_params["target_partitions"]
+
+    loc = str(tmp_path / "lake")
+    _read_psv(spark, f"{a}/lake_data_pre.psv", full_schema).write.partitionBy(
+        *targets
+    ).parquet(loc)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(f"{a}/data_20180422-00001.psv", landing / "data_20180422-00001.psv")
+
+    params = ParamsFile(
+        {
+            "source_dir": str(landing),
+            "header_dir": str(tmp_path / "headers"),
+            "file_format": "dsv",
+            "delimiter": ref_params["delimiter"],
+            "has_header": ref_params["has_header"],
+            "regex_filename": ref_params["regex_filename"],
+            "target_partitions": targets,
+            "target_location": loc,
+            "schema": full_schema.jsonValue(),
+        }
+    )
+    AppendLoad(spark, params).run()
+
+    got = spark.read.parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in full_schema.fields]
+    )
+    expected = _read_psv(spark, f"{a}/lake_data_post.psv", full_schema)
+    assert _multiset_equal(got, expected)
