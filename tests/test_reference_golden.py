@@ -299,3 +299,34 @@ def test_append_load_main_golden(spark, tmp_path):
     )
     expected = _read_psv(spark, f"{a}/lake_data_post.psv", full_schema)
     assert _multiset_equal(got, expected)
+
+
+def test_range_materialization_golden(spark, tmp_path):
+    """MaterializationTest range y/m/d multi-day scenario: materialize
+    only the partitions inside [date_from, date_to]."""
+    from m3d_engine_spark.operators.materialization import RangeMaterialization
+
+    m = f"{FEAT}/MaterializationTestRes/range_materialization/year_month_day_multiple_days"
+    with open(f"{m}/params.json") as fh:
+        ref_params = json.load(fh)
+    schema = _schema(f"{m}/schema.json")
+    _read_psv(spark, f"{m}/source_data.psv", schema).createOrReplaceTempView(
+        "golden_mat_source"
+    )
+    target = str(tmp_path / "mart")
+    params = ParamsFile(
+        {
+            "source_table": "golden_mat_source",
+            "target_dir": target,
+            "target_partitions": ref_params["target_partitions"],
+            "date_from": ref_params["date_from"],
+            "date_to": ref_params["date_to"],
+        }
+    )
+    algo = RangeMaterialization(spark, params)
+    algo.run()
+    got = spark.read.parquet(target).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+    expected = _read_psv(spark, f"{m}/expected_data.psv", schema)
+    assert _multiset_equal(got, expected)
