@@ -114,8 +114,15 @@ class DeltaLakeLoadAlgorithm(Algorithm):
 
     def read(self) -> list[DataFrame]:
         p = self.params
-        new_data = self.spark.read.parquet(p.get_string("source_location"))
-        return [new_data]
+        src = p.get_optional("source_location") or p.get_string("source_dir")
+        if p.get_optional("file_format", "parquet") == "parquet":
+            return [self.spark.read.parquet(src)]
+        from m3d_engine_spark.sources.formats import format_from_params
+
+        fmt = format_from_params(dict(p.params))
+        if fmt.schema is None:
+            fmt.options["inferSchema"] = "true"
+        return [fmt.read(self.spark, src)]
 
     # ----------------------------------------------------------- helpers
     def _delta_dir(self) -> str | None:
@@ -126,7 +133,10 @@ class DeltaLakeLoadAlgorithm(Algorithm):
         return bool(d) and DFSExists(self.spark, d)
 
     def _read_delta(self) -> DataFrame:
-        return self.spark.read.parquet(self._delta_dir())
+        # mergeSchema: after schema evolution the fallback delta dir
+        # holds files with and without the added columns; a plain read
+        # would pick one footer's schema and silently drop the rest.
+        return self.spark.read.option("mergeSchema", "true").parquet(self._delta_dir())
 
     def _writer(self, location: str):
         from m3d_engine_spark.sources.writers import AtomicWriter
@@ -141,7 +151,12 @@ class DeltaLakeLoadAlgorithm(Algorithm):
     def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
         p = self.params
         bk = p.get_list("business_key")
-        tk = p.get_list("technical_key")
+        # Reference key name is 'condensation_key'
+        # (DeltaLakeLoadConfiguration.scala); 'technical_key' kept as the
+        # short form shared with DeltaLoad.
+        tk = p.get_optional("condensation_key") or p.get_list("technical_key")
+        tk = [c.lower() for c in tk]
+        bk = [c.lower() for c in bk]
         rm = p.get_optional("record_mode_column", "recordmode")
         targets = p.get_optional("target_partitions", [])
         # Lower-case all columns (DeltaLakeLoad.scala:36).
@@ -200,18 +215,36 @@ class DeltaLakeLoadAlgorithm(Algorithm):
                 )
         else:
             # Fallback merge: rewrite only the affected partitions of the
-            # parquet delta dir with survivors ∪ upserts.
+            # parquet delta dir with survivors ∪ upserts. Schema
+            # evolution mirrors delta's autoMerge
+            # (DeltaLakeLoadConfiguration.scala:145): columns the delta
+            # brings that the table lacks are appended, existing rows
+            # padded with typed NULLs.
+            from pyspark.sql.types import StructType
+
             existing = self._read_delta()
             scoped = (
                 existing.filter(partition_predicate(self.affected))
                 if targets
                 else existing
             )
+            skip = {c.lower() for c in drop_cols}
+            present = {f.name.lower() for f in existing.schema.fields}
+            added = [
+                f for f in condensed.schema.fields
+                if f.name.lower() not in present and f.name.lower() not in skip
+            ]
+            if added:
+                evolved = StructType(list(existing.schema.fields) + added)
+                from m3d_engine_spark.plans.partitions import add_missing_columns
+
+                scoped = add_missing_columns(scoped, evolved)
             merged = merge_delta(scoped, condensed, bk, record_mode_column=rm)
+            # Plain OverwritePartitions: schema evolution was applied
+            # explicitly above; ...WithAddedColumns would pad the merged
+            # result back DOWN to the pre-evolution on-disk schema.
             mode = (
-                LoadMode.OVERWRITE_PARTITIONS_WITH_ADDED_COLUMNS
-                if targets
-                else LoadMode.OVERWRITE_TABLE
+                LoadMode.OVERWRITE_PARTITIONS if targets else LoadMode.OVERWRITE_TABLE
             )
             self._writer(delta_dir).write(merged, mode)
 
@@ -267,9 +300,13 @@ class DeltaLakeLoadAlgorithm(Algorithm):
                     "partition-scoped result; load_mode=OverwriteTable "
                     "would delete unaffected partitions."
                 )
+            # Plain OverwritePartitions (not ...WithAddedColumns): the
+            # snapshot comes from the schema-evolved delta table, which
+            # IS the source of truth — padding it down to the lake's
+            # old on-disk schema would strip freshly added columns.
             write_output(
                 self.spark, dfs[0], self.params,
-                default_load_mode="OverwritePartitionsWithAddedColumns",
+                default_load_mode="OverwritePartitions",
             )
             return
         write_output(self.spark, dfs[0], self.params)

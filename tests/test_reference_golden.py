@@ -330,3 +330,107 @@ def test_range_materialization_golden(spark, tmp_path):
     )
     expected = _read_psv(spark, f"{m}/expected_data.psv", schema)
     assert _multiset_equal(got, expected)
+
+
+def test_semistructured_json_load_golden(spark, tmp_path):
+    """SemiStructuredLoadTest json scenario: partitions regex-extracted
+    from the hierarchical landing PATH (year=/month=/day=), JSON read
+    with the inline schema, appended over the pre-loaded lake."""
+    import shutil
+
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    s = f"{FEAT}/loads/SemiStructuredLoadTestRes/semistructured_json_load"
+    with open(f"{s}/params.json") as fh:
+        ref_params = json.load(fh)
+    full_schema = StructType.fromJson(ref_params["schema"])
+    targets = ref_params["target_partitions"]
+
+    loc = str(tmp_path / "lake")
+    pre = spark.read.schema(full_schema).json(f"{s}/lake_data_pre.txt")
+    pre.write.partitionBy(*targets).parquet(loc)
+
+    landing = tmp_path / "landing" / "year=2018" / "month=01" / "day=02"
+    landing.mkdir(parents=True)
+    shutil.copy(f"{s}/data-nodate-part-00001.txt", landing / "part-00001.txt")
+
+    params = ParamsFile(
+        {
+            "source_dir": str(tmp_path / "landing"),
+            "header_dir": str(tmp_path / "headers"),
+            "file_format": "json",
+            "regex_filename": ref_params["regex_filename"],
+            "target_partitions": targets,
+            "target_location": loc,
+            "schema": ref_params["schema"],
+        }
+    )
+    AppendLoad(spark, params).run()
+
+    got = spark.read.parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in full_schema.fields]
+    )
+    expected = spark.read.schema(full_schema).json(f"{s}/lake_data_post.txt")
+    assert _multiset_equal(got, expected)
+
+
+def test_delta_lake_load_added_columns_golden(spark, tmp_path):
+    """DeltaLakeLoadTest added_columns_and_duplicates_in_init: init load
+    with duplicate business keys (condensation with recordmode
+    tie-break), then a CDC merge whose delta adds a 'discount' column —
+    the lake must match control_data (schema evolved, deletes dropped,
+    duplicates condensed). Runs on the parquet fallback (no delta-spark
+    in this container)."""
+    import shutil
+
+    from m3d_engine_spark.operators.delta_lake_load import DeltaLakeLoadAlgorithm
+
+    d = f"{FEAT}/loads/DeltaLakeLoadTestRes"
+    a = f"{d}/added_columns_and_duplicates_in_init"
+    with open(f"{d}/params.json") as fh:
+        ref_params = json.load(fh)
+    final_schema = _schema(f"{a}/lake_schema_final.json")
+
+    lake = str(tmp_path / "lake")
+    delta_dir = str(tmp_path / "delta_table")
+
+    def run(batch_file: str) -> None:
+        land = tmp_path / "landing"
+        shutil.rmtree(land, ignore_errors=True)
+        land.mkdir()
+        shutil.copy(batch_file, land / "batch.psv")
+        params = ParamsFile(
+            {
+                "source_dir": str(land),
+                "file_format": ref_params["file_format"],
+                "delimiter": ref_params["delimiter"],
+                "has_header": ref_params["has_header"],
+                "delta_table_dir": delta_dir,
+                "target_location": lake,
+                "business_key": ref_params["business_key"],
+                "condensation_key": ref_params["condensation_key"],
+                "record_mode_column": ref_params["record_mode_column"],
+                "target_partitions": ref_params["target_partitions"],
+                "partition_column": ref_params["partition_column"],
+                "partition_column_format": ref_params["partition_column_format"],
+            }
+        )
+        DeltaLakeLoadAlgorithm(spark, params).run()
+
+    run(f"{a}/init_data.psv")
+    run(f"{a}/new_data.psv")
+
+    got_raw = spark.read.option("mergeSchema", "true").parquet(lake)
+    got = got_raw.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in final_schema.fields]
+    )
+    expected_raw = (
+        spark.read.option("delimiter", "|")
+        .option("header", True)
+        .option("nullValue", "XXNULLXXX")
+        .csv(f"{a}/control_data.psv")
+    )
+    expected = expected_raw.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in final_schema.fields]
+    )
+    assert _multiset_equal(got, expected)
