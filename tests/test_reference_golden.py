@@ -434,3 +434,55 @@ def test_delta_lake_load_added_columns_golden(spark, tmp_path):
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in final_schema.fields]
     )
     assert _multiset_equal(got, expected)
+
+
+def test_append_load_different_schemas_golden(spark, tmp_path):
+    """AppendLoadTest different_schemas: two landing files with
+    DIFFERENT column sets in one load — the day=01 group reads with its
+    persisted header.json (no 'article'), the day=05 group falls back
+    to the target schema; article is NULL for the header group and
+    populated for the other (AppendLoad.scala:87-179)."""
+    import shutil
+
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    a = f"{FEAT}/loads/AppendLoadTestRes/different_schemas"
+    with open(f"{a}/params.json") as fh:
+        ref_params = json.load(fh)
+    full_schema = _schema(f"{a}/target_schema.json")
+    targets = ref_params["target_partitions"]
+
+    loc = str(tmp_path / "lake")
+    _read_psv(spark, f"{a}/lake_data_pre.psv", full_schema).write.partitionBy(
+        *targets
+    ).parquet(loc)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for f in ("data_20180101-part-00000.psv", "data_20180105-part-00000.psv"):
+        shutil.copy(f"{a}/{f}", landing / f)
+    # pre-place the persisted header for the 2018-01-01 partition
+    headers = tmp_path / "headers" / "year=2018" / "month=1" / "day=1"
+    headers.mkdir(parents=True)
+    shutil.copy(f"{a}/20180101_schema.json", headers / "header.json")
+
+    params = ParamsFile(
+        {
+            "source_dir": str(landing),
+            "header_dir": str(tmp_path / "headers"),
+            "file_format": "dsv",
+            "delimiter": ref_params["delimiter"],
+            "has_header": ref_params["has_header"],
+            "regex_filename": ref_params["regex_filename"],
+            "target_partitions": targets,
+            "target_location": loc,
+            "schema": full_schema.jsonValue(),
+        }
+    )
+    AppendLoad(spark, params).run()
+
+    got = spark.read.option("mergeSchema", "true").parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in full_schema.fields]
+    )
+    expected = _read_psv(spark, f"{a}/lake_data_post.psv", full_schema)
+    assert _multiset_equal(got, expected)
