@@ -192,6 +192,13 @@ class AppendLoad(Algorithm):
             self.params.get_optional("load_mode", "OverwritePartitionsWithAddedColumns")
         )
         writer.write(df, mode)
+        if self.targets:
+            # Affected partitions of THIS load, with raw values — the
+            # ANALYZE scope (TableStatistics analyzes only touched
+            # partitions, not the whole table).
+            from m3d_engine_spark.plans.partitions import collect_partitions
+
+            self.affected = collect_partitions(df, self.targets)
         if self.params.has("header_dir"):
             self._persist_headers(df)
         if self.params.has("target_table"):
@@ -204,8 +211,9 @@ class AppendLoad(Algorithm):
             from m3d_engine_spark.sources import catalog as cat
 
             table = self.params.get_string("target_table")
-            specs = cat.list_table_partitions(self.spark, table) if self.targets else []
-            cat.compute_statistics(self.spark, table, partition_specs=specs)
+            cat.compute_statistics(
+                self.spark, table, partition_specs=getattr(self, "affected", [])
+            )
 
     def _persist_headers(self, df: DataFrame) -> None:
         """Write the partition-stripped schema JSON as header.json per

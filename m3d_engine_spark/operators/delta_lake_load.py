@@ -48,16 +48,21 @@ def merge_condition(
     """Merge condition string incl. the partition-pruning predicate and
     null-partition guard (DeltaLakeLoad.scala:213-283). Literals go
     through the shared ``sql_literal`` escaping (quotes in partition
-    values, None → NULL under the null-safe ``<=>``)."""
+    values, None → NULL under the null-safe ``<=>``); column identifiers
+    are backtick-quoted so hostile names (spaces, backticks) stay valid
+    SQL — the reference interpolates them raw, we harden."""
     from m3d_engine_spark.plans.partitions import sql_literal
 
-    parts = [f"{current_alias}.{k} <=> {new_alias}.{k}" for k in business_keys]
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    parts = [f"{current_alias}.{q(k)} <=> {new_alias}.{q(k)}" for k in business_keys]
     cond = " AND ".join(parts)
     if affected_partitions:
         ors = []
         for crit in affected_partitions:
             ands = [
-                f"{current_alias}.{c} <=> {sql_literal(v)}" for c, v in crit
+                f"{current_alias}.{q(c)} <=> {sql_literal(v)}" for c, v in crit
             ]
             ors.append("(" + " AND ".join(ands) + ")")
         cond = f"({cond}) AND ({' OR '.join(ors)})"
@@ -79,7 +84,8 @@ def merge_into_delta(
     if not HAS_DELTA:
         raise ModuleNotFoundError("delta-spark not available in this environment")
     cond = merge_condition(business_keys, affected_partitions)
-    is_delete = f"newData.{record_mode_column} IN ({', '.join(repr(m) for m in DELETE_RECORD_MODES)})"
+    rm_q = "`" + record_mode_column.replace("`", "``") + "`"
+    is_delete = f"newData.{rm_q} IN ({', '.join(repr(m) for m in DELETE_RECORD_MODES)})"
     (
         DeltaTable.forPath(spark, delta_table_path)
         .alias("currentData")
@@ -111,6 +117,10 @@ class DeltaLakeLoadAlgorithm(Algorithm):
     def __init__(self, spark: SparkSession, params: ParamsFile):
         super().__init__(spark, params)
         self.affected: list = []
+        # Persisted relations still referenced by the returned DataFrame;
+        # released in write() so long-lived sessions don't accumulate
+        # cached blocks across runs.
+        self._persisted: list[DataFrame] = []
 
     def read(self) -> list[DataFrame]:
         p = self.params
@@ -132,7 +142,18 @@ class DeltaLakeLoadAlgorithm(Algorithm):
         d = self._delta_dir()
         return bool(d) and DFSExists(self.spark, d)
 
+    def _is_real_delta(self) -> bool:
+        d = self._delta_dir()
+        return bool(d) and HAS_DELTA and DeltaTable.isDeltaTable(self.spark, d)
+
     def _read_delta(self) -> DataFrame:
+        # A real Delta dir MUST be read through the delta format
+        # (DeltaTable.forPath(...).toDF, DeltaLakeLoad.scala:79): reading
+        # it as plain parquet would include tombstoned files Delta keeps
+        # for time travel, resurrecting deleted/superseded rows in the
+        # snapshot and in _compact's rewrite.
+        if self._is_real_delta():
+            return self.spark.read.format("delta").load(self._delta_dir())
         # mergeSchema: after schema evolution the fallback delta dir
         # holds files with and without the added columns; a plain read
         # would pick one footer's schema and silently drop the rest.
@@ -172,20 +193,27 @@ class DeltaLakeLoadAlgorithm(Algorithm):
             )
 
         delta_dir = self._delta_dir()
-        is_init = not (self._delta_exists() if delta_dir else False)
+        if delta_dir is None:
+            # Degenerate mode merges against the lake target, so "init"
+            # means the LAKE doesn't exist yet — the reference applies
+            # init-load condensation ordering only on true init loads
+            # (DeltaLakeLoad.scala:84-87).
+            target = p.get_optional("target_location")
+            lake_exists = bool(target) and DFSExists(self.spark, target)
+            is_init = not lake_exists
+        else:
+            is_init = not self._delta_exists()
         condensed = condense(new_data, bk, tk, record_mode_column=rm, init_load=is_init)
         drop_cols = [c for c in tk if c in condensed.columns] + [rm]
         if targets:
             condensed = condensed.persist()
+            self._persisted.append(condensed)
             self.affected = collect_partitions(condensed, targets)
 
         if delta_dir is None:
             # Degenerate single-output mode (no persistent delta table):
             # merge directly against the lake target.
-            lake = None
-            target = p.get_optional("target_location")
-            if target and DFSExists(self.spark, target):
-                lake = self.spark.read.parquet(target)
+            lake = self.spark.read.parquet(target) if lake_exists else None
             if lake is None:
                 result = condensed.filter(
                     F.col(rm).isNull() | ~F.col(rm).isin(*DELETE_RECORD_MODES)
@@ -203,8 +231,21 @@ class DeltaLakeLoadAlgorithm(Algorithm):
             init_df = condensed.filter(
                 F.col(rm).isNull() | ~F.col(rm).isin(*DELETE_RECORD_MODES)
             ).drop(*drop_cols)
-            self._writer(delta_dir).write(init_df, LoadMode.OVERWRITE_TABLE)
-        elif HAS_DELTA and DeltaTable.isDeltaTable(self.spark, delta_dir):
+            if HAS_DELTA:
+                # The init write must itself be format("delta") — a
+                # parquet init would leave a table that never takes the
+                # DeltaTable.merge path on subsequent runs.
+                n = p.get_optional("output_partitions_num")
+                w = init_df
+                if n:
+                    w = w.repartition(n, *targets) if targets else w.repartition(n)
+                writer = w.write.format("delta").mode("overwrite")
+                if targets:
+                    writer = writer.partitionBy(*targets)
+                writer.save(delta_dir)
+            else:
+                self._writer(delta_dir).write(init_df, LoadMode.OVERWRITE_TABLE)
+        elif self._is_real_delta():
             merge_into_delta(
                 self.spark, delta_dir, condensed, bk,
                 record_mode_column=rm, affected_partitions=self.affected,
@@ -271,7 +312,7 @@ class DeltaLakeLoadAlgorithm(Algorithm):
         if targets and self.affected:
             df = df.filter(partition_predicate(self.affected))
         n = self.params.get_optional("output_partitions_num")
-        if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, delta_dir):
+        if self._is_real_delta():
             w = (df.repartition(n, *targets) if targets else df.repartition(n)) if n else df
             writer = w.write.format("delta").mode("overwrite").option("dataChange", "false")
             if targets and self.affected:
@@ -291,25 +332,30 @@ class DeltaLakeLoadAlgorithm(Algorithm):
         from m3d_engine_spark.config import ConfigError
         from m3d_engine_spark.sources.writers import write_output
 
-        if self.params.get_optional("target_partitions"):
-            # Same trap as DeltaLoad: the merge result is scoped to
-            # affected partitions — never whole-table overwrite it.
-            if self.params.get_optional("load_mode") == "OverwriteTable":
-                raise ConfigError(
-                    "DeltaLakeLoad with target_partitions produces a "
-                    "partition-scoped result; load_mode=OverwriteTable "
-                    "would delete unaffected partitions."
+        try:
+            if self.params.get_optional("target_partitions"):
+                # Same trap as DeltaLoad: the merge result is scoped to
+                # affected partitions — never whole-table overwrite it.
+                if self.params.get_optional("load_mode") == "OverwriteTable":
+                    raise ConfigError(
+                        "DeltaLakeLoad with target_partitions produces a "
+                        "partition-scoped result; load_mode=OverwriteTable "
+                        "would delete unaffected partitions."
+                    )
+                # Plain OverwritePartitions (not ...WithAddedColumns): the
+                # snapshot comes from the schema-evolved delta table, which
+                # IS the source of truth — padding it down to the lake's
+                # old on-disk schema would strip freshly added columns.
+                write_output(
+                    self.spark, dfs[0], self.params,
+                    default_load_mode="OverwritePartitions",
                 )
-            # Plain OverwritePartitions (not ...WithAddedColumns): the
-            # snapshot comes from the schema-evolved delta table, which
-            # IS the source of truth — padding it down to the lake's
-            # old on-disk schema would strip freshly added columns.
-            write_output(
-                self.spark, dfs[0], self.params,
-                default_load_mode="OverwritePartitions",
-            )
-            return
-        write_output(self.spark, dfs[0], self.params)
+            else:
+                write_output(self.spark, dfs[0], self.params)
+        finally:
+            for df in self._persisted:
+                df.unpersist()
+            self._persisted.clear()
 
 
 def DFSExists(spark: SparkSession, path: str) -> bool:

@@ -132,6 +132,7 @@ class DeltaLoadAlgorithm(Algorithm):
             )
             delta = delta.persist()
             affected = collect_partitions(delta, targets)
+            self.affected = affected
             # Partition-pruned scan of the active table (SURVEY.md §4).
             active = active.filter(partition_predicate(affected))
         condensed = condense(delta, bk, tk, record_mode_column=rm)
@@ -142,12 +143,11 @@ class DeltaLoadAlgorithm(Algorithm):
             from m3d_engine_spark.sources import catalog as cat
 
             table = self.params.get_string("target_table")
-            specs = (
-                cat.list_table_partitions(self.spark, table)
-                if self.params.get_optional("target_partitions")
-                else []
+            # Only the partitions this delta touched (raw values from
+            # collect_partitions) — O(affected), not O(table).
+            cat.compute_statistics(
+                self.spark, table, partition_specs=getattr(self, "affected", [])
             )
-            cat.compute_statistics(self.spark, table, partition_specs=specs)
 
     def write(self, dfs: list[DataFrame]) -> None:
         from m3d_engine_spark.config import ConfigError

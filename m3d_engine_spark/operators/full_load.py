@@ -138,7 +138,10 @@ class FullLoad(Algorithm):
     def update_statistics(self) -> None:
         if self.table:
             # Per-partition ANALYZE first, then table-level
-            # (TableStatistics.scala:55-80).
+            # (TableStatistics.scala:55-80). A full swap rewrites EVERY
+            # partition, so the freshly recovered listing IS the affected
+            # set here (values come back unescaped from
+            # list_table_partitions).
             specs = (
                 cat.list_table_partitions(self.spark, self.table)
                 if self.partition_targets

@@ -83,9 +83,21 @@ def recover_partitions_custom(
     return stmts
 
 
-def list_table_partitions(spark: SparkSession, table: str) -> list[list[tuple[str, str]]]:
-    """SHOW PARTITIONS → criteria lists (values as strings, the form
-    ANALYZE/ALTER accept). Empty for unpartitioned tables."""
+def _unescape_hive_partition_value(v: str) -> str | None:
+    """Reverse Hive's path escaping: ``%XX`` hex escapes back to their
+    characters, ``__HIVE_DEFAULT_PARTITION__`` back to NULL. SHOW
+    PARTITIONS returns path-escaped values; feeding them verbatim into
+    ANALYZE/ALTER produces wrong partition specs."""
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    from urllib.parse import unquote
+
+    return unquote(v)
+
+
+def list_table_partitions(spark: SparkSession, table: str) -> list[list[tuple[str, str | None]]]:
+    """SHOW PARTITIONS → criteria lists with UNESCAPED values (NULL
+    partitions come back as None). Empty for unpartitioned tables."""
     try:
         rows = spark.sql(f"SHOW PARTITIONS {table}").collect()
     except Exception:
@@ -95,7 +107,7 @@ def list_table_partitions(spark: SparkSession, table: str) -> list[list[tuple[st
         crit = []
         for part in row[0].split("/"):
             c, _, v = part.partition("=")
-            crit.append((c, v))
+            crit.append((c, _unescape_hive_partition_value(v)))
         out.append(crit)
     return out
 
@@ -104,10 +116,66 @@ def compute_statistics(
     spark: SparkSession, table: str, partition_specs: Sequence[Sequence[tuple[str, Any]]] = ()
 ) -> None:
     """ANALYZE TABLE (+ per affected partition) — keeps CBO stats fresh
-    after loads (algo/core/TableStatistics.scala:22-80)."""
+    after loads (algo/core/TableStatistics.scala:22-80).
+
+    Pass the LOAD's affected-partition criteria (raw values from
+    ``collect_partitions``), not a full SHOW PARTITIONS listing — the
+    reference analyzes only touched partitions, keeping this
+    O(affected) driver SQL, not O(table). Values go through the shared
+    ``sql_literal`` escaping. Specs containing NULL are skipped:
+    ``__HIVE_DEFAULT_PARTITION__`` cannot be addressed by an ANALYZE
+    partition spec (the table-level ANALYZE still covers its rows)."""
+    from m3d_engine_spark.plans.partitions import sql_literal
+
     for crit in partition_specs:
-        spec = ", ".join(
-            f"{c}={v!r}" if isinstance(v, str) else f"{c}={v}" for c, v in crit
-        )
+        if any(v is None for _, v in crit):
+            continue
+        spec = ", ".join(f"`{c}`={sql_literal(v)}" for c, v in crit)
         spark.sql(f"ANALYZE TABLE {table} PARTITION({spec}) COMPUTE STATISTICS")
     spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+
+
+def truncate_table(spark: SparkSession, table: str) -> None:
+    """TRUNCATE TABLE — the reference's pre-overwrite cleanup for
+    non-partitioned full writes (util/OutputWriter.scala:274-277)."""
+    spark.sql(f"TRUNCATE TABLE {table}")
+
+
+def refresh_table(spark: SparkSession, table: str) -> None:
+    """Invalidate cached file listings/metadata after an out-of-band
+    data change (algo/core/Metadata.scala:14-15)."""
+    spark.catalog.refreshTable(table)
+
+
+def set_partition_location(
+    spark: SparkSession,
+    table: str,
+    partition_criteria: Sequence[tuple[str, Any]],
+    location: str,
+) -> None:
+    """Re-point a single partition at a new directory
+    (util/CatalogTableManager.scala:57-66)."""
+    from m3d_engine_spark.plans.partitions import sql_literal
+
+    spec = ", ".join(f"`{c}`={sql_literal(v)}" for c, v in partition_criteria)
+    spark.sql(f"ALTER TABLE {table} PARTITION({spec}) SET LOCATION '{location}'")
+
+
+def drop_all_table_partitions(spark: SparkSession, table: str) -> int:
+    """Drop every partition registered for the table
+    (util/CatalogTableManager.scala:70-76). Returns the count dropped.
+    Data files are left in place (external-table semantics) — the
+    reference uses this before re-pointing a table wholesale."""
+    from m3d_engine_spark.plans.partitions import sql_literal
+
+    dropped = 0
+    for crit in list_table_partitions(spark, table):
+        parts = []
+        for c, v in crit:
+            lit = "'__HIVE_DEFAULT_PARTITION__'" if v is None else sql_literal(v)
+            parts.append(f"`{c}`={lit}")
+        spark.sql(
+            f"ALTER TABLE {table} DROP IF EXISTS PARTITION({', '.join(parts)})"
+        )
+        dropped += 1
+    return dropped

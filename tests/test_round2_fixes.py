@@ -150,9 +150,20 @@ def test_merge_condition_escapes_literals():
     cond = merge_condition(
         ["k"], [[("src", "O'Brien"), ("year", None)]]
     )
-    assert "currentData.src <=> 'O''Brien'" in cond
-    assert "currentData.year <=> NULL" in cond
-    assert cond.startswith("(currentData.k <=> newData.k)")
+    assert "currentData.`src` <=> 'O''Brien'" in cond
+    assert "currentData.`year` <=> NULL" in cond
+    assert cond.startswith("(currentData.`k` <=> newData.`k`)")
+
+
+def test_merge_condition_quotes_hostile_identifiers():
+    # Column names with spaces/backticks must stay valid SQL (the
+    # reference interpolates raw; we backtick-quote and double any
+    # embedded backtick).
+    cond = merge_condition(
+        ["weird col"], [[("part`key", "v")]]
+    )
+    assert "currentData.`weird col` <=> newData.`weird col`" in cond
+    assert "currentData.`part``key` <=> 'v'" in cond
 
 
 # -------------------------------------------------- gzip over Hadoop FS
