@@ -1111,10 +1111,11 @@ WHERE {_SQL_COSINE} >= 0.35
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (streaming/pipeline.py::sessionize) —
-    the applyInPandasWithState custom stateful operator, exercised here
-    through its batch applyInPandas twin so DuckDB can oracle it with
-    lag + cumulative-sum windows. Timestamps compared as epoch micros
-    (events.ts is ns in DuckDB, µs in Spark — both truncate to µs)."""
+    batch entry point is the pure-JVM window form (lag → over-gap flag
+    → running sum → groupBy; no Arrow dispatch), equivalence-pinned
+    against the applyInPandas twin of the stateful streaming kernel.
+    Timestamps compared as epoch micros (events.ts is ns in DuckDB, µs
+    in Spark — both truncate to µs)."""
     from m3d_engine_spark.streaming.pipeline import sessionize
 
     ev = _t(spark, sf_dir, "events")
@@ -1128,7 +1129,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SESSIONIZE = """
+_SQL_SESSIONIZE = f"""
 WITH lagged AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
          CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
@@ -1144,7 +1145,7 @@ SELECT user_id,
        epoch_us(min(ts)) AS start_us,
        epoch_us(max(ts)) AS end_us,
        CAST(count(*) AS INTEGER) AS n_events,
-       round(SUM(value), 4) AS sum_value
+       round({_sql_dsum("value")}, 4) AS sum_value
 FROM sess
 GROUP BY user_id, sid
 """

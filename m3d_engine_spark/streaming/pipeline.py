@@ -90,6 +90,62 @@ SESSION_OUTPUT_SCHEMA = (
 )
 
 
+def sessionize_batch(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Pure-JVM batch sessionization: lag → over-gap flag → running sum
+    (session id) → groupBy. Identical output to the Arrow kernel
+    (equivalence-pinned), but the whole plan stays inside whole-stage
+    codegen — one shuffle on the user key for the window, then a
+    map-side-combinable aggregation; zero Python/Arrow dispatch. This is
+    the batch entry point at scale; ``applyInPandas`` earns its dispatch
+    cost only in the stateful-streaming twin, where window functions
+    cannot express incremental state.
+
+    ``sum_value`` goes through an exact decimal sum before the 4dp
+    round, so the result is independent of partial-aggregation order
+    (floats summed in different orders differ in the last ulp).
+    """
+    from pyspark.sql.window import Window
+
+    gap_us = int(_duration_seconds(gap) * 1_000_000)
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    brk = F.when(
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w)) > gap_us,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = (
+        events.select(
+            F.col(user_col).alias("user_id"), F.col(ts_col), F.col(value_col)
+        )
+        .withColumn("_brk", brk)
+        .withColumn(
+            "_sid",
+            F.sum("_brk").over(
+                Window.partitionBy("user_id")
+                .orderBy(ts_col)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "_sid")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(30,12)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .drop("_sid")
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",
@@ -98,6 +154,7 @@ def sessionize(
     value_col: str = "value",
     watermark: str = "2 hours",
     idle_timeout: bool = False,
+    use_arrow_batch: bool = False,
 ) -> DataFrame:
     """Session windows via ``applyInPandasWithState`` — the custom
     stateful operator shape Structured Streaming cannot express with
@@ -115,14 +172,11 @@ def sessionize(
     terminates, so batch-style runs default to closing sessions on gap
     detection (open sessions simply stay in state for the next run).
 
-    Works identically on a batch DataFrame via ``applyInPandas``
-    fallback (no state) — handy for backfills and tests. For pure batch
-    sessionization at scale prefer the JVM-only window form (lag →
-    over-gap flag → cumulative sum → groupBy, see the sessionize oracle
-    SQL in ``__spark_entry__``): it avoids per-group Arrow dispatch
-    entirely. This operator earns its Python cost only where the
-    per-session logic outgrows window functions — which is exactly the
-    stateful-streaming case it exists for.
+    On a batch DataFrame this delegates to ``sessionize_batch`` (the
+    JVM window form — no Arrow dispatch); pass
+    ``use_arrow_batch=True`` to force the ``applyInPandas`` kernel,
+    kept as the equivalence check against the JVM plan and as the
+    batch twin of the stateful kernel's semantics.
     """
     import pandas as pd
 
@@ -148,8 +202,12 @@ def sessionize(
         return out.reset_index(drop=True)
 
     if not events.isStreaming:
-        return events.groupBy(user_col).applyInPandas(
-            close_sessions, schema=SESSION_OUTPUT_SCHEMA
+        if use_arrow_batch:
+            return events.groupBy(user_col).applyInPandas(
+                close_sessions, schema=SESSION_OUTPUT_SCHEMA
+            )
+        return sessionize_batch(
+            events, gap=gap, ts_col=ts_col, user_col=user_col, value_col=value_col
         )
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -110,6 +110,36 @@ def test_sessionize_batch_gap_split(spark):
     }
 
 
+def test_sessionize_batch_jvm_equals_arrow_kernel(spark):
+    """The JVM window form (default batch path) and the applyInPandas
+    kernel must produce identical sessions on real-shaped data."""
+    from m3d_engine_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "value"
+    )
+    key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)  # noqa: E731
+    jvm = sorted(map(key, sessionize(ev, gap="30 minutes").collect()))
+    arrow = sorted(
+        map(key, sessionize(ev, gap="30 minutes", use_arrow_batch=True).collect())
+    )
+    assert jvm == arrow and len(jvm) > 0
+
+
+def test_sessionize_batch_plan_has_no_python(spark):
+    """Batch sessionize must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython / FlatMapGroupsInPandas node anywhere, and the
+    window + one aggregate exchange shape."""
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1.0), (1, _ts(50), 2.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    plan = sessionize(df, gap="30 minutes")._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert node not in plan, f"{node} leaked into the batch sessionize plan:\n{plan}"
+    assert "Window" in plan
+
+
 def test_sessionize_streaming_plan_builds(spark, tmp_path):
     """The applyInPandasWithState plan must at least construct and run
     one availableNow batch against a rate-limited file stream."""
