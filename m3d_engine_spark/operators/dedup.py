@@ -227,6 +227,7 @@ def ngram_jaccard_pairs(
     block_cols: Sequence[str],
     shingle_n: int = 3,
     threshold: float = 0.2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for pairs inside a
     block, with round(jaccard,4) ≥ threshold (must be > 0).
@@ -237,8 +238,17 @@ def ngram_jaccard_pairs(
     (their Jaccard is 0 < threshold), so the cost is proportional to
     actual shingle collisions, not O(block²) array intersections —
     the same inverted-index trick that makes set-similarity joins
-    feasible at 10⁹ docs. Hot shingles fan out quadratically; at scale
-    drop ultra-frequent shingles first (they carry no signal).
+    feasible at 10⁹ docs.
+
+    ``max_shingle_df`` is the hot-shingle control: shingles whose
+    per-block document frequency exceeds it are dropped from CANDIDATE
+    GENERATION only (a df-k shingle alone fans out k·(k−1)/2 join rows
+    — quadratic in df, and ultra-frequent shingles carry no
+    similarity signal). Jaccard is then recomputed exactly on the FULL
+    shingle sets of surviving candidates, so reported values are never
+    approximated; the only relaxation is recall — a pair whose entire
+    overlap is hot shingles is not generated. Verified equal to the
+    uncut output whenever no shingle exceeds the cutoff (pinned).
     """
     if threshold <= 0:
         raise ValueError("ngram_jaccard_pairs requires threshold > 0")
@@ -251,6 +261,16 @@ def ngram_jaccard_pairs(
         F.col(id_col), *[F.col(c) for c in block_cols], F.col("n_sh"),
         F.explode("sh").alias("shingle"),
     )
+    if max_shingle_df is not None:
+        # Per-(block, shingle) document frequency — same key as the
+        # self-join, so the exchange is reusable. The window form (one
+        # count over a partition) avoids a separate agg+join pass.
+        tok = tok.withColumn(
+            "_df",
+            F.count(F.lit(1)).over(
+                Window.partitionBy(*block_cols, "shingle")
+            ),
+        ).filter(F.col("_df") <= max_shingle_df).drop("_df")
     # SMJ hint: one shuffle of the exploded-shingle subtree, reused for
     # both sides (see minhash_lsh_candidates).
     l, r = tok.alias("l").hint("merge"), tok.alias("r")
@@ -262,6 +282,18 @@ def ngram_jaccard_pairs(
     # prune it inside the join before the aggregation shuffle.
     cond.append(F.col("l.n_sh") >= F.col("r.n_sh") * threshold)
     cond.append(F.col("r.n_sh") >= F.col("l.n_sh") * threshold)
+    if max_shingle_df is not None:
+        # Dropped hot shingles make the collision count an UNDERCOUNT
+        # of |A∩B|; recompute exactly from the full sets instead.
+        cands = (
+            l.join(r, on=cond)
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        return _exact_jaccard_on_candidates(base, cands, id_col, threshold)
     inter = (
         l.join(r, on=cond)
         .groupBy(
@@ -275,6 +307,32 @@ def ngram_jaccard_pairs(
     jac = F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4)
     return (
         inter.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _exact_jaccard_on_candidates(
+    base: DataFrame, cands: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact round(J,4) ≥ threshold over candidate (id_a, id_b) pairs,
+    from the full ``sh`` shingle arrays in ``base`` — the shared
+    verification stage of the prefix-filter and df-cutoff variants."""
+    sets = base.select(F.col(id_col), F.col("sh"))
+    jac = F.round(
+        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))),
+        4,
+    )
+    return (
+        cands.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+            on="id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            on="id_b",
+        )
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -321,8 +379,14 @@ def ngram_jaccard_pairs_prefix(
                 Window.partitionBy(id_col).orderBy("df_count", "shingle")
             ),
         )
-        # prefix length = n - ceil(t*n) + 1
-        .filter(F.col("rn") <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1)
+        # prefix length = n - ceil(t*n) + 1. Round before the ceiling:
+        # float upward error (e.g. 100*0.07 = 7.000000000000001) would
+        # otherwise ceil one too high and silently shorten the prefix,
+        # dropping qualifying pairs.
+        .filter(
+            F.col("rn")
+            <= F.col("n_sh") - F.ceil(F.round(F.col("n_sh") * threshold, 9)) + 1
+        )
         .select(id_col, *block_cols, "n_sh", "shingle")
     )
     l, r = ranked.alias("l").hint("merge"), ranked.alias("r")
@@ -336,18 +400,7 @@ def ngram_jaccard_pairs_prefix(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    sets = base.select(F.col(id_col), F.col("sh"))
-    jac = F.round(
-        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-        / F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))),
-        4,
-    )
-    return (
-        cands.join(sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), on="id_a")
-        .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _exact_jaccard_on_candidates(base, cands, id_col, threshold)
 
 
 # ----------------------------------------------------- embedding cosine

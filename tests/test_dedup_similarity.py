@@ -176,3 +176,101 @@ def test_prefix_filtered_jaccard_equals_plain(spark):
             for r in ngram_jaccard_pairs_prefix(docs, "doc_id", "text", ["source"], 3, t).collect()
         }
         assert pref == plain and len(plain) > 0, f"t={t}: {len(pref)} vs {len(plain)}"
+
+
+def test_jaccard_df_cutoff_equals_uncut_below_cutoff(spark):
+    """With no shingle above the cutoff, the df-cutoff path must return
+    exactly the uncut output (values are recomputed on full sets, so
+    only candidate recall could differ — and below the cutoff it
+    cannot)."""
+    from m3d_engine_spark.operators.dedup import ngram_jaccard_pairs
+    from m3d_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    uncut = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["source"], 3, 0.2
+        ).collect()
+    }
+    cut = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["source"], 3, 0.2, max_shingle_df=32
+        ).collect()
+    }
+    assert cut == uncut
+
+
+def test_jaccard_df_cutoff_hot_shingle_behavior(spark):
+    """Worst-case corpus: one shingle shared by every doc. The cutoff
+    must (a) collapse the quadratic collision fan-out of the hot
+    shingle, (b) keep pairs that also share rare shingles with EXACT
+    Jaccard values, and (c) drop pairs whose only overlap is the hot
+    shingle — the documented recall dial."""
+    from m3d_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "h h h"  # one 3-shingle, present in every doc
+    rows = []
+    # 40 docs sharing only the hot shingle (pairwise J small but > 0).
+    for i in range(40):
+        rows.append((100 + i, f"{hot} u{i}a u{i}b u{i}c u{i}d", "b0"))
+    # A true near-dup pair sharing many rare shingles + the hot one.
+    rows.append((1, f"{hot} r1 r2 r3 r4 r5 r6", "b0"))
+    rows.append((2, f"{hot} r1 r2 r3 r4 r5 r7", "b0"))
+    # A pair overlapping ONLY on the hot shingle, J = 1/1 over tiny sets.
+    rows.append((3, hot, "b0"))
+    rows.append((4, hot, "b0"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    uncut = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", ["source"], 3, 0.3).collect()
+    }
+    cut = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["source"], 3, 0.3, max_shingle_df=10
+        ).collect()
+    }
+    # (b): the rare-shingle pair survives with the exact full-set value
+    # (hot shingle still counted in |A∩B| and |A∪B|).
+    assert cut[(1, 2)] == uncut[(1, 2)] == round(6 / 8, 4)
+    # (c): hot-only pair present uncut, dropped by the cutoff.
+    assert (3, 4) in uncut and (3, 4) not in cut
+    # (a): collision fan-out. sum over shingles of C(df,2) with/without
+    # the cutoff — the join-input row counts of the two variants.
+    from pyspark.sql import functions as F
+    from m3d_engine_spark.operators.dedup import shingle_array
+
+    df_counts = (
+        docs.select(F.explode(F.array_distinct(shingle_array(F.col("text"), 3))).alias("s"))
+        .groupBy("s").count()
+    )
+    fanout = df_counts.select(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("f"))
+    all_f = fanout.first().f
+    cut_f = (
+        df_counts.filter(F.col("count") <= 10)
+        .select(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("f"))
+        .first().f
+    )
+    assert all_f >= 44 * 43 / 2  # hot shingle alone is quadratic in docs
+    assert cut_f < all_f / 10  # cutoff collapses the blowup
+
+
+def test_prefix_length_rounds_before_ceil(spark):
+    """ceil(t*n) in floats overshoots on upward rounding error
+    (100*0.07 -> 7.000000000000001 -> 8), silently shortening the
+    AllPairs prefix; the round-before-ceil form must not."""
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(
+            F.ceil(F.round(F.lit(100) * F.lit(0.07), 9)).alias("fixed"),
+            F.ceil(F.lit(100) * F.lit(0.07)).alias("naive"),
+        )
+        .first()
+    )
+    assert row.naive == 8  # the float trap is real
+    assert row.fixed == 7
