@@ -95,26 +95,36 @@ def decompress_directory_hadoop(
 
 
 def decompress_distributed(spark: SparkSession, directory: str) -> list[str]:
-    """One Spark task per compressed file: read via binaryFiles, write
-    decompressed bytes back from the executor."""
+    """One Spark task per compressed file: read via binaryFiles; the
+    decompressed output and the source delete go through a filesystem
+    resolved from the file's OWN URI inside the task, so results land
+    on the shared store (file://, hdfs://, s3://), never on executor
+    local disk. Executor Python workers have no py4j gateway, so the
+    JVM Hadoop FileSystem is unreachable there — pyarrow.fs is the
+    in-process equivalent and ships with every PySpark executor."""
     files = spark.sparkContext.binaryFiles(directory)
 
     def work(item: tuple[str, bytes]) -> str:
+        from pyarrow import fs as pafs
+
         path, payload = item
-        local = path[len("file:"):] if path.startswith("file:") else path
-        if not local.endswith(_SUFFIXES):
+        if not path.endswith(_SUFFIXES):
             return ""
-        if local.endswith(".gz"):
+        filesystem, fspath = pafs.FileSystem.from_uri(path)
+        if path.endswith(".gz"):
             data = gzip.decompress(payload)
-            out = local[:-3]
+            out = fspath[: -len(".gz")]
         else:
             with zipfile.ZipFile(io.BytesIO(payload)) as zf:
-                data = zf.read(zf.namelist()[0])
-            out = local[:-4]
-        with open(out, "wb") as fh:
+                names = zf.namelist()
+                if len(names) != 1:
+                    raise ValueError(f"{path}: zip must contain exactly one entry")
+                data = zf.read(names[0])
+            out = fspath[: -len(".zip")]
+        with filesystem.open_output_stream(out) as fh:
             fh.write(data)
-        os.remove(local)
-        return out
+        filesystem.delete_file(fspath)
+        return path.rsplit("/", 1)[0] + "/" + out.rsplit("/", 1)[1]
 
     return [p for p in files.map(work).collect() if p]
 

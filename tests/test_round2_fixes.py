@@ -405,3 +405,21 @@ def test_append_load_update_statistics_runs(spark, tmp_path, delta_fixture):
     desc = spark.sql("DESCRIBE EXTENDED dl_active").collect()
     stats_rows = [r for r in desc if "Statistics" in (r.col_name or "")]
     assert stats_rows, "table-level statistics missing after ANALYZE"
+
+
+# --------------------------------------- distributed gzip over file://
+def test_gzip_decompress_distributed_file_uri(spark, tmp_path):
+    """The RDD path must write through the file's own filesystem (not
+    executor-local open()): against a file:// URI the outputs land next
+    to the sources and the compressed originals are deleted."""
+    from m3d_engine_spark.operators.gzip_decompressor import decompress_distributed
+
+    d = tmp_path / "landing_dist"
+    d.mkdir()
+    (d / "a.csv.gz").write_bytes(gzip.compress(b"a|b\n1|2\n"))
+    (d / "b.csv.gz").write_bytes(gzip.compress(b"a|b\n3|4\n"))
+    out = sorted(decompress_distributed(spark, f"file://{d}"))
+    assert [p.rsplit("/", 1)[1] for p in out] == ["a.csv", "b.csv"]
+    assert (d / "a.csv").read_bytes() == b"a|b\n1|2\n"
+    assert (d / "b.csv").read_bytes() == b"a|b\n3|4\n"
+    assert not (d / "a.csv.gz").exists() and not (d / "b.csv.gz").exists()
