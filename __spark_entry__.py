@@ -1014,14 +1014,73 @@ WHERE bit_count(xor(l.simhash64, r.simhash64)) <= 3
 def q_seeded_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded random-hyperplane multi-table LSH top-k
     (similarity.py::seeded_ann_topk) — recall@5 ≥ 0.9 vs brute force is
-    pinned by tests/test_dedup_similarity.py. Rows-only oracle entry:
-    the 12×3 hyperplane literals would dwarf the SQL."""
+    pinned by tests/test_dedup_similarity.py. Fully oracled: the
+    hyperplanes are a deterministic pure-Python LCG (bit-identical
+    across engines), so DuckDB recomputes the same buckets from plane
+    literals generated into the SQL. dim passed explicitly (the
+    testdata embeddings are 64-wide; array schemas carry no length)."""
     emb = _t(spark, sf_dir, "embeddings")
     from m3d_engine_spark.operators.similarity import seeded_ann_topk
 
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    out = seeded_ann_topk(emb, queries, "vec_id", "embedding", k=5)
+    out = seeded_ann_topk(emb, queries, "vec_id", "embedding", k=5, dim=64)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def _sql_seeded_ann(dim: int = 64, bits: int = 3, tables: int = 12, seed: int = 42) -> str:
+    """Oracle for the FULL seeded-ANN pipeline. The seeded hyperplanes
+    are emitted as SQL double literals (repr round-trips exactly);
+    bucket t is encoded as t·2^bits + bucket so the per-table collision
+    join is a plain equi-join on one unnested value. Sign decisions
+    (dot > 0) agree with the numpy kernel up to summation-order
+    rounding, which only matters for |dot| ≈ 1e-14 — never observed on
+    this data."""
+    from m3d_engine_spark.functions.vectors import seeded_hyperplanes
+
+    planes = seeded_hyperplanes(dim, bits * tables, seed)
+
+    def lit(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    encoded = []
+    for t in range(tables):
+        terms = [str(t << bits)]
+        for j in range(bits):
+            p = planes[t * bits + j]
+            terms.append(
+                "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+                f"{lit(p)}) > 0 THEN {1 << j} ELSE 0 END"
+            )
+        encoded.append(" + ".join(terms))
+    bks = "[" + ", ".join(encoded) + "]"
+    cosine = (
+        "round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST(r.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])))), 4)"
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bks} AS bks FROM embeddings
+),
+cx AS (SELECT vec_id, unnest(bks) AS eb FROM b),
+qx AS (SELECT vec_id, unnest(bks) AS eb FROM b WHERE vec_id % 25 = 0),
+cands AS (
+  SELECT DISTINCT qx.vec_id AS query_id, cx.vec_id AS neighbor_id
+  FROM cx JOIN qx ON cx.eb = qx.eb
+  WHERE cx.vec_id != qx.vec_id
+),
+pairs AS (
+  SELECT c.query_id, c.neighbor_id, {cosine} AS cosine
+  FROM cands c
+  JOIN embeddings r ON c.neighbor_id = r.vec_id
+  JOIN embeddings q ON c.query_id = q.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank,
+       cosine
+FROM pairs
+QUALIFY rank <= 5
+"""
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1332,8 +1391,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dups": _SQL_EXACT_DUPS,
         "simhash_dedup": _sql_simhash_dedup(),
         "simhash64_hamming": _sql_simhash64_hamming(),
-        # "seeded_ann" intentionally absent: rows-only check (the
-        # hyperplane literal matrices would be ~3k floats of SQL).
+        "seeded_ann": _sql_seeded_ann(),
         "minhash_lsh": _sql_minhash_lsh(),
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
         "embedding_dups": _SQL_EMBEDDING_DUPS,

@@ -116,6 +116,7 @@ def seeded_ann_topk(
     bits: int = 3,
     tables: int = 12,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH top-k (the production ANN path;
     ``bucketed_ann_topk``'s axis-aligned bucketer is the cheap variant).
@@ -126,26 +127,31 @@ def seeded_ann_topk(
     angle θ is 1 − (1 − (1−θ/π)^bits)^tables — tune (bits, tables) per
     corpus; the recall@k pytest pins ≥0.9 on the synthetic embeddings.
 
-    Topology per table: equi-join on the bucket id (shuffle/broadcast
-    chosen by Catalyst); candidate sets from all tables are unioned and
-    deduped BEFORE the cosine evaluation, so each surviving pair pays
-    the 64-dim dot product exactly once. At 10⁹ vectors each table cuts
-    candidates by ~2^bits; the union costs tables× that — the standard
-    recall/cost dial.
+    Topology: each vector's ``tables`` buckets come from ONE
+    Arrow-batched matmul (the Column-expression form would re-evaluate
+    tables·bits dot-product trees row-at-a-time); ``posexplode`` turns
+    them into (table, bucket) rows and candidate generation is a SINGLE
+    equi-join on that composite key — the OR-construction expressed as
+    data instead of ``tables`` plan branches, so nothing needs
+    ``persist()`` and no cached relation outlives the query. Candidates
+    are deduped BEFORE scoring, so each surviving pair pays the dot
+    product exactly once, reading vectors straight from the raw inputs.
+    At 10⁹ vectors each table cuts candidates by ~2^bits; the union
+    costs tables× that — the standard recall/cost dial.
+
+    ``dim`` (vector width) comes from the caller — array columns do not
+    carry a length in the schema. When omitted, it is probed from one
+    corpus row (a driver round-trip, and a silent uniform-width
+    assumption — prefer passing it).
     """
-    # Table t uses planes [t*bits, (t+1)*bits); dim probed from one row.
-    first = corpus.select(F.col(vec_col)).first()
-    dim = len(first[0]) if first else 0
+    if dim is None:
+        first = corpus.select(F.col(vec_col)).first()
+        dim = len(first[0]) if first else 0
     if dim == 0:
         return brute_force_topk(corpus, queries, id_col, vec_col, k)
+    # Table t uses planes [t*bits, (t+1)*bits).
     planes = seeded_hyperplanes(dim, bits * tables, seed)
 
-    # All per-table buckets in ONE Arrow-batched pandas UDF: a (dim ×
-    # tables·bits) matmul per batch. The Column-expression form
-    # (tables·bits separate zip_with+aggregate trees) produces a
-    # codegen monster that evaluates ~dim·bits·tables ops row-at-a-time;
-    # this is the case where the vectorized Python path beats staying
-    # JVM-side. Bucket = sign bits of v·P per table slice.
     import numpy as np
 
     from m3d_engine_spark.functions.ann_kernels import make_bucket_udf
@@ -153,39 +159,36 @@ def seeded_ann_topk(
     plane_matrix = np.array(planes, dtype=np.float64).T  # dim × (tables*bits)
     all_buckets = make_bucket_udf(plane_matrix, tables, bits)
 
-    def with_buckets(df: DataFrame, idc: str, alias_vec: str) -> DataFrame:
-        base = df.select(
+    def exploded(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
             F.col(id_col).alias(idc),
-            F.col(vec_col).alias(alias_vec),
-            norm(F.col(vec_col)).alias(f"{alias_vec}_n"),
-            all_buckets(F.col(vec_col)).alias("__b"),
+            F.posexplode(all_buckets(F.col(vec_col))).alias("t", "bucket"),
         )
-        return base.select(
-            "*", *[F.col("__b").getItem(t).alias(f"b{t}") for t in range(tables)]
-        ).drop("__b")
 
-    # c and q feed every per-table join branch plus the scoring join —
-    # without persistence the bucket UDF subtree re-evaluates once per
-    # branch (tables×2 + 2 times). The persisted relations are tiny:
-    # (id, vec, norm, `tables` ints) per row.
-    c = with_buckets(corpus, "neighbor_id", "cv").persist()
-    q = with_buckets(queries, "query_id", "qv").persist()
-    cands = None
-    for t in range(tables):
-        pair = (
-            c.select("neighbor_id", F.col(f"b{t}").alias("bucket"))
-            .join(F.broadcast(q.select("query_id", F.col(f"b{t}").alias("bucket"))), on="bucket")
-            .select("query_id", "neighbor_id")
-        )
-        cands = pair if cands is None else cands.unionByName(pair)
-    cands = cands.distinct().filter(F.col("neighbor_id") != F.col("query_id"))
+    cands = (
+        exploded(corpus, "neighbor_id")
+        .join(F.broadcast(exploded(queries, "query_id")), on=["t", "bucket"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
     scored = (
-        cands.join(c.select("neighbor_id", "cv", "cv_n"), on="neighbor_id")
-        .join(F.broadcast(q.select("query_id", "qv", "qv_n")), on="query_id")
+        cands.join(c_vec, on="neighbor_id")
+        .join(F.broadcast(q_vec), on="query_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qv_n") * F.col("cv_n")), 4).alias("cosine"),
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
         )
     )
     return _ranked_topk(scored, "query_id", "neighbor_id", k)
