@@ -82,14 +82,28 @@ class AppendLoad(Algorithm):
             )
         return None
 
+    def _search_group1(self, regex: str, path: str) -> str | None:
+        """First capture group of the first match, with Java-regex
+        semantics. Python ``re`` is the fast path; patterns it cannot
+        compile (e.g. the BOUNDED variable-width lookbehind Java allows,
+        ``(?<=/[a-zA-Z]{0,20})`` in the reference's parquet configs) go
+        through the JVM's Pattern via py4j — driver-side only, so the
+        round-trip cost is bounded by the landing listing."""
+        try:
+            pat = re.compile(regex)
+        except re.error:
+            jm = self.spark._jvm.java.util.regex.Pattern.compile(regex).matcher(path)
+            return jm.group(1) if jm.find() else None
+        m = pat.search(path)
+        return m.group(1) if m else None
+
     def _regex_partition_criteria(self, path: str) -> list[tuple[str, object]]:
         """Partition values regex-extracted from one file path — the
         per-file (driver-side) twin of with_filename_partitions, used to
         group files by their header location (AppendLoad.scala:221-241)."""
         crit: list[tuple[str, object]] = []
         for col, regex in zip(self.targets, self.params.get_list("regex_filename")):
-            m = re.search(regex, path)
-            v: object = m.group(1) if m else None
+            v: object = self._search_group1(regex, path)
             if v is not None and _REGEX_TYPE_CAST.get(col, "string") == "int":
                 v = int(v)
             crit.append((col, v))

@@ -486,3 +486,149 @@ def test_append_load_different_schemas_golden(spark, tmp_path):
     )
     expected = _read_psv(spark, f"{a}/lake_data_post.psv", full_schema)
     assert _multiset_equal(got, expected)
+
+
+def test_append_load_duplicate_values_golden(spark, tmp_path):
+    """AppendLoadTest duplicate_values: exact duplicate source rows are
+    APPENDED verbatim (AppendLoad never dedups), one group reads via a
+    pre-seeded header.json missing 'article', the other creates its
+    header — post-state and both header files must match the
+    reference's expectations."""
+    import shutil
+
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    a = f"{FEAT}/loads/AppendLoadTestRes/duplicate_values"
+    with open(f"{a}/params.json") as fh:
+        ref_params = json.load(fh)
+    full_schema = _schema(f"{a}/target_schema.json")
+    targets = ref_params["target_partitions"]
+
+    loc = str(tmp_path / "lake")
+    _read_psv(spark, f"{a}/lake_data_pre.psv", full_schema).write.partitionBy(
+        *targets
+    ).parquet(loc)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for f in ("data_20180101-part-00000.psv", "data_20180105-part-00000.psv"):
+        shutil.copy(f"{a}/{f}", landing / f)
+    headers = tmp_path / "headers" / "year=2018" / "month=1" / "day=1"
+    headers.mkdir(parents=True)
+    shutil.copy(f"{a}/20180101_schema.json", headers / "header.json")
+
+    params = ParamsFile(
+        {
+            "source_dir": str(landing),
+            "header_dir": str(tmp_path / "headers"),
+            "file_format": "dsv",
+            "delimiter": ref_params["delimiter"],
+            "has_header": ref_params["has_header"],
+            "regex_filename": ref_params["regex_filename"],
+            "target_partitions": targets,
+            "target_location": loc,
+            "schema": full_schema.jsonValue(),
+        }
+    )
+    AppendLoad(spark, params).run()
+
+    got = spark.read.option("mergeSchema", "true").parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in full_schema.fields]
+    )
+    expected = _read_psv(spark, f"{a}/lake_data_post.psv", full_schema)
+    assert _multiset_equal(got, expected)
+    # header created for the new partition, reused one still in place
+    assert (tmp_path / "headers" / "year=2018" / "month=1" / "day=1" / "header.json").exists()
+    assert (tmp_path / "headers" / "year=2018" / "month=1" / "day=5" / "header.json").exists()
+
+
+def test_append_load_parquet_golden(spark, tmp_path):
+    """AppendLoadTest parquet_test: parquet landing files without
+    partition columns — partitions regex-extracted from the file PATH
+    (lookbehind on '/'), appended onto a psv-seeded lake."""
+    import shutil
+
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    a = f"{FEAT}/loads/AppendLoadTestRes/parquet_test"
+    with open(f"{a}/params.json") as fh:
+        ref_params = json.load(fh)
+    full_schema = _schema(f"{a}/target_schema.json")
+    targets = ref_params["target_partitions"]
+
+    loc = str(tmp_path / "lake")
+    _read_psv(spark, f"{a}/lake_data_pre.psv", full_schema).write.partitionBy(
+        *targets
+    ).parquet(loc)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(
+        f"{a}/data_20180422-00001.parquet", landing / "data_20180422-00001.parquet"
+    )
+
+    params = ParamsFile(
+        {
+            "source_dir": str(landing),
+            "header_dir": str(tmp_path / "headers"),
+            "file_format": "parquet",
+            "regex_filename": ref_params["regex_filename"],
+            "target_partitions": targets,
+            "target_location": loc,
+            "schema": full_schema.jsonValue(),
+        }
+    )
+    AppendLoad(spark, params).run()
+
+    got = spark.read.option("mergeSchema", "true").parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in full_schema.fields]
+    )
+    expected = _read_psv(spark, f"{a}/lake_data_post.psv", full_schema)
+    assert _multiset_equal(got, expected)
+    assert (
+        tmp_path / "headers" / "year=2018" / "month=4" / "day=22" / "header.json"
+    ).exists()
+
+
+def test_append_load_failfast_malformed_raises(spark, tmp_path):
+    """AppendLoadTest reader_mode FAILFAST: malformed landing rows must
+    abort the load with an exception, leaving the lake untouched."""
+    import shutil
+
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    a = f"{FEAT}/loads/AppendLoadTestRes/reader_mode_specification"
+    with open(f"{a}/params_failfast_mode.json") as fh:
+        ref_params = json.load(fh)
+    full_schema = _schema(f"{a}/target_schema.json")
+    targets = ref_params["target_partitions"]
+
+    loc = str(tmp_path / "lake")
+    _read_psv(spark, f"{a}/lake_data_pre.psv", full_schema).write.partitionBy(
+        *targets
+    ).parquet(loc)
+    pre_count = spark.read.parquet(loc).count()
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(
+        f"{a}/wrong_data_20180422-00001.psv", landing / "wrong_data_20180422-00001.psv"
+    )
+
+    params = ParamsFile(
+        {
+            "source_dir": str(landing),
+            "header_dir": str(tmp_path / "headers"),
+            "file_format": "dsv",
+            "delimiter": ref_params["delimiter"],
+            "has_header": ref_params["has_header"],
+            "regex_filename": ref_params["regex_filename"],
+            "reader_mode": ref_params["reader_mode"],
+            "target_partitions": targets,
+            "target_location": loc,
+            "schema": full_schema.jsonValue(),
+        }
+    )
+    with pytest.raises(Exception):
+        AppendLoad(spark, params).run()
+    assert spark.read.parquet(loc).count() == pre_count
