@@ -154,3 +154,12 @@ def test_two_stage_agg_matches_plain_agg(spark, sf_dir):
         ).collect()
     }
     assert staged == plain
+
+
+def test_is_empty_non_empty(spark):
+    from m3d_engine_spark.plans.partitions import is_empty, non_empty
+
+    df = spark.range(3)
+    assert non_empty(df) and not is_empty(df)
+    empty = df.filter("id < 0")
+    assert is_empty(empty) and not non_empty(empty)
