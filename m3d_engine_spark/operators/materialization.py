@@ -101,14 +101,34 @@ class FullMaterialization(Algorithm):
             )
         self._retain_versions()
 
+    # Entries containing these tokens are never version candidates:
+    # partition dirs (=), stray parquet/_SUCCESS files, EMR $folder$
+    # markers, temp dirs (MaterializationConfiguration.scala:88-91).
+    SORTING_IGNORE = ("_$folder$", "=", ".parquet", "_SUCCESS", "_tmp_")
+
     def _retain_versions(self) -> None:
-        """Keep the newest N version dirs (Materialization.scala:112-120)."""
+        """Keep the newest ``num_versions_to_retain`` PREVIOUS versions
+        plus the one just written, and clean up every other leftover in
+        the base dir — stray part files, partition dirs from pre-version
+        layouts (``year=...``) — which would otherwise poison the
+        lexicographic version ordering or leak storage
+        (Materialization.scala:112-136, HadoopLoadHelper.scala:50-58).
+        ``_$folder$`` markers of retained versions survive (their names
+        contain the retained dir name), matching the reference."""
         keep = self.params.get_optional("num_versions_to_retain")
         if not keep:
             return
-        versions = self.dfs.list_dirs(self.base_dir, reverse=True)
-        for stale in versions[int(keep):]:
-            self.dfs.delete(f"{self.base_dir.rstrip('/')}/{stale}")
+        retained = sorted(
+            (
+                d for d in self.dfs.list_dirs(self.base_dir)
+                if not any(tok in d for tok in self.SORTING_IGNORE)
+            ),
+            reverse=True,
+        )[: int(keep) + 1]
+        base = self.base_dir.rstrip("/")
+        for entry in self.dfs.list_entries(self.base_dir):
+            if not any(v in entry for v in retained):
+                self.dfs.delete(f"{base}/{entry}")
 
 
 class _PartitionedMaterialization(Algorithm):

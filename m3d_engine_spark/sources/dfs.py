@@ -67,6 +67,16 @@ class DFS:
                 out.append(name)
         return sorted(out, reverse=reverse)
 
+    def list_entries(self, path: str) -> list[str]:
+        """ALL direct child names — files and directories, hidden or
+        not. The raw listing cleanupDirectoryLeftovers works from
+        (HadoopLoadHelper.scala:50-58)."""
+        fs = self._fs(path)
+        p = self._jpath(path)
+        if not fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(p)]
+
     def first_file(self, path: str) -> str | None:
         """First data file under ``path`` (recursive), stopping the
         remote iterator early — avoids the full-listing storm when only

@@ -632,3 +632,169 @@ def test_append_load_failfast_malformed_raises(spark, tmp_path):
     with pytest.raises(Exception):
         AppendLoad(spark, params).run()
     assert spark.read.parquet(loc).count() == pre_count
+
+
+def test_range_materialization_preserves_other_partitions_golden(spark, tmp_path):
+    """MaterializationTest 'other partitions exist in the target table':
+    a single-day materialization must overwrite ONLY its partition;
+    pre-existing partitions for other days survive untouched, and the
+    result equals expected ∪ initial."""
+    from m3d_engine_spark.operators.materialization import RangeMaterialization
+
+    m = f"{FEAT}/MaterializationTestRes/range_materialization/year_month_day_single_day"
+    with open(f"{m}/params.json") as fh:
+        ref_params = json.load(fh)
+    schema = _schema(f"{m}/schema.json")
+    targets = ref_params["target_partitions"]
+    _read_psv(spark, f"{m}/source_data.psv", schema).createOrReplaceTempView(
+        "golden_mat_single_source"
+    )
+    target = str(tmp_path / "mart")
+    initial = _read_psv(spark, f"{m}/initial_data.psv", schema)
+    initial.write.partitionBy(*targets).parquet(target)
+
+    params = ParamsFile(
+        {
+            "source_table": "golden_mat_single_source",
+            "target_dir": target,
+            "target_partitions": targets,
+            "date_from": ref_params["date_from"],
+            "date_to": ref_params["date_to"],
+        }
+    )
+    RangeMaterialization(spark, params).run()
+
+    got = spark.read.parquet(target).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+    expected = _read_psv(spark, f"{m}/expected_data.psv", schema).unionByName(initial)
+    assert _multiset_equal(got, expected)
+    assert os.path.isdir(f"{target}/year=2017/month=3/day=15")
+    assert os.path.isdir(f"{target}/year=2017/month=6/day=15")
+    assert os.path.isdir(f"{target}/year=2017/month=2/day=15")
+
+
+def test_full_materialization_leftovers_golden(spark, tmp_path):
+    """MaterializationTest full_materialization/no_partitions: version
+    retention must (a) keep num_versions_to_retain previous versions
+    plus the new one, (b) delete older versions AND non-version
+    leftovers (stray parquet files, partition dirs from pre-version
+    layouts) that would otherwise poison the lexicographic ordering,
+    (c) keep $folder$ markers of retained versions."""
+    from m3d_engine_spark.operators.materialization import FullMaterialization
+
+    m = f"{FEAT}/MaterializationTestRes/full_materialization"
+    with open(f"{m}/no_partitions/params.json") as fh:
+        ref_params = json.load(fh)
+    schema = _schema(f"{m}/schema.json")
+    _read_psv(spark, f"{m}/source_data.psv", schema).createOrReplaceTempView(
+        "golden_mat_full_source"
+    )
+    base = tmp_path / "data"
+    base.mkdir()
+    # leftover part files + pre-version partition dirs + old versions
+    for f in ("part-0001.parquet", "part-0002.parquet", "part-0003.parquet", "part-0004.parquet"):
+        (base / f).touch()
+    for d in ("year=2019", "year=2020", "20200101_124514_UTC",
+              "20200102_123012_UTC", "20200103_114329_UTC", "20200201_103210_UTC"):
+        (base / d).mkdir()
+        (base / d / "sample_file.parquet").touch()
+        (base / f"{d}_$folder$").touch()
+    assert len(list(base.iterdir())) == 16
+
+    params = ParamsFile(
+        {
+            "source_table": "golden_mat_full_source",
+            "target_dir": str(base),
+            "target_partitions": [],
+            "num_versions_to_retain": ref_params["num_versions_to_retain"],
+        }
+    )
+    algo = FullMaterialization(spark, params)
+    algo.run()
+
+    got = spark.read.parquet(algo.next_location).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+    expected = _read_psv(spark, f"{m}/expected_data.psv", schema)
+    assert _multiset_equal(got, expected)
+
+    remaining = sorted(p.name for p in base.iterdir())
+    new_version = algo.next_location.rsplit("/", 1)[1]
+    assert remaining == sorted(
+        [
+            "20200103_114329_UTC", "20200103_114329_UTC_$folder$",
+            "20200201_103210_UTC", "20200201_103210_UTC_$folder$",
+            new_version,
+        ]
+    ), remaining
+
+
+def test_algorithm_template_golden(spark, tmp_path):
+    """AlgorithmTemplateTest: the template scenario is a non-partitioned
+    FullLoad — new landing data fully replaces the pre-loaded lake;
+    post-state equals the new data verbatim."""
+    from m3d_engine_spark.operators.full_load import FullLoad
+
+    a = f"{FEAT}/templates/AlgorithmTemplateTestRes"
+    full_schema = _schema(f"{a}/target_schema.json")
+    loc = str(tmp_path / "lake")
+    _read_psv(spark, f"{a}/lake_data_pre.psv", full_schema).write.parquet(loc)
+
+    params = ParamsFile(
+        {
+            "source_dir": f"{a}/new_data.psv",
+            "file_format": "dsv",
+            "delimiter": "|",
+            "has_header": False,
+            "target_location": loc,
+            "schema": full_schema.jsonValue(),
+        }
+    )
+    FullLoad(spark, params).run()
+
+    got = spark.read.parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in full_schema.fields]
+    )
+    expected = _read_psv(spark, f"{a}/lake_data_post.psv", full_schema)
+    assert _multiset_equal(got, expected)
+
+
+def test_gzip_decompressor_golden(spark, tmp_path):
+    """GzipDecompressorTest: decompressed outputs drop the .gz/.zip
+    suffix, byte-match the reference's own uncompressed twins, the
+    compressed originals are deleted, and sizes increase."""
+    import shutil
+
+    from m3d_engine_spark.operators.gzip_decompressor import (
+        decompress_directory_hadoop,
+    )
+
+    g = f"{FEAT}/GzipDecompressorTestRes"
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    compressed = [
+        "data_20180719111849_data_1-3.gz",
+        "data_20180719111849_data_2-3.gz",
+        "data_20180719111849_data_3-3.zip",
+    ]
+    sizes = {}
+    for f in compressed:
+        shutil.copy(f"{g}/{f}", landing / f)
+        sizes[f] = (landing / f).stat().st_size
+
+    out = sorted(decompress_directory_hadoop(spark, f"file://{landing}", thread_pool_size=3))
+    assert [p.rsplit("/", 1)[1] for p in out] == [
+        "data_20180719111849_data_1-3",
+        "data_20180719111849_data_2-3",
+        "data_20180719111849_data_3-3",
+    ]
+    for f in compressed:
+        stem = f.rsplit(".", 1)[0]
+        got = (landing / stem).read_bytes()
+        expected = open(f"{g}/{stem}", "rb").read()
+        # the checked-in twins are git-newline-normalized (LF) while the
+        # archives hold CRLF — compare content, not line endings
+        assert got.replace(b"\r\n", b"\n") == expected.replace(b"\r\n", b"\n"), stem
+        assert len(got) > sizes[f]
+        assert not (landing / f).exists()
