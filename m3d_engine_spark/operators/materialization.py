@@ -33,26 +33,62 @@ from m3d_engine_spark.sources.writers import AtomicWriter, LoadMode
 def date_range_criteria(
     date_from: str, date_to: str, target_partitions: Sequence[str]
 ) -> list[list[tuple[str, int]]]:
-    """Expand [date_from, date_to] (yyyy-MM-dd) into PartitionCriteria at
-    the granularity implied by target_partitions:
-    [year,month,day] | [year,month] | [year,week]
-    (MaterializationConfiguration.scala:131-169). Weeks are ALIGNED
-    (week 1 = Jan 1-7), matching functions/dates.py."""
+    """Expand [date_from, date_to] into PartitionCriteria at the
+    granularity implied by target_partitions
+    (MaterializationConfiguration.scala:131-169). Bounds accept the
+    reference's per-granularity formats — ``yyyy-MM-dd`` for
+    [year,month,day], ``yyyy-MM`` for [year,month], ``yyyy-ww`` for
+    [year,week] (ISO week-of-weekyear paired with the CALENDAR year of
+    the stepped date, mirroring Joda's
+    ``date.getYear``/``getWeekOfWeekyear``) — and, for convenience,
+    full ``yyyy-MM-dd`` dates at the coarser granularities too, where
+    [year,week] then uses the load-side ALIGNED week (week 1 =
+    Jan 1-7, functions/dates.py), deduplicating as it steps days.
+    Any other partitioning schema raises, like the reference."""
+    tp = list(target_partitions)
+    if tp not in (["year", "month", "day"], ["year", "month"], ["year", "week"]):
+        raise ValueError(f"unsupported range granularity {target_partitions!r}")
+
+    short_from, short_to = len(date_from) <= 7, len(date_to) <= 7
+    if tp == ["year", "month"] and short_from and short_to:
+        y0, m0 = (int(x) for x in date_from.split("-"))
+        y1, m1 = (int(x) for x in date_to.split("-"))
+        if (y0, m0) > (y1, m1):
+            raise ValueError("date_from is after date_to")
+        out: list[list[tuple[str, int]]] = []
+        y, m = y0, m0
+        while (y, m) <= (y1, m1):
+            out.append([("year", y), ("month", m)])
+            m += 1
+            if m == 13:
+                y, m = y + 1, 1
+        return out
+    if tp == ["year", "week"] and short_from and short_to:
+        y0, w0 = (int(x) for x in date_from.split("-"))
+        y1, w1 = (int(x) for x in date_to.split("-"))
+        d = dt.date.fromisocalendar(y0, w0, 1)
+        end = dt.date.fromisocalendar(y1, w1, 1)
+        if d > end:
+            raise ValueError("date_from is after date_to")
+        out = []
+        while d <= end:
+            out.append([("year", d.year), ("week", d.isocalendar()[1])])
+            d += dt.timedelta(weeks=1)
+        return out
+
     start = dt.date.fromisoformat(date_from)
     end = dt.date.fromisoformat(date_to)
     seen: list[list[tuple[str, int]]] = []
     seen_keys: set[tuple] = set()
     d = start
     while d <= end:
-        if list(target_partitions) == ["year", "month", "day"]:
+        if tp == ["year", "month", "day"]:
             crit = [("year", d.year), ("month", d.month), ("day", d.day)]
-        elif list(target_partitions) == ["year", "month"]:
+        elif tp == ["year", "month"]:
             crit = [("year", d.year), ("month", d.month)]
-        elif list(target_partitions) == ["year", "week"]:
+        else:
             week = (d.timetuple().tm_yday - 1) // 7 + 1
             crit = [("year", d.year), ("week", week)]
-        else:
-            raise ValueError(f"unsupported range granularity {target_partitions!r}")
         key = tuple(crit)
         if key not in seen_keys:
             seen_keys.add(key)

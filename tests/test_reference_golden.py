@@ -798,3 +798,95 @@ def test_gzip_decompressor_golden(spark, tmp_path):
         assert got.replace(b"\r\n", b"\n") == expected.replace(b"\r\n", b"\n"), stem
         assert len(got) > sizes[f]
         assert not (landing / f).exists()
+
+
+def test_range_materialization_year_month_golden(spark, tmp_path):
+    """MaterializationTest year/month schema: bounds in the reference's
+    yyyy-MM format, stepped by months."""
+    from m3d_engine_spark.operators.materialization import RangeMaterialization
+
+    m = f"{FEAT}/MaterializationTestRes/range_materialization/year_month"
+    with open(f"{m}/params.json") as fh:
+        ref_params = json.load(fh)
+    schema = _schema(f"{m}/schema.json")
+    _read_psv(spark, f"{m}/source_data.psv", schema).createOrReplaceTempView(
+        "golden_mat_ym_source"
+    )
+    target = str(tmp_path / "mart")
+    params = ParamsFile(
+        {
+            "source_table": "golden_mat_ym_source",
+            "target_dir": target,
+            "target_partitions": ref_params["target_partitions"],
+            "date_from": ref_params["date_from"],
+            "date_to": ref_params["date_to"],
+        }
+    )
+    RangeMaterialization(spark, params).run()
+    got = spark.read.parquet(target).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+    expected = _read_psv(spark, f"{m}/expected_data.psv", schema)
+    assert _multiset_equal(got, expected)
+
+
+def test_range_materialization_year_week_golden(spark, tmp_path):
+    """MaterializationTest year/week schema: bounds in yyyy-ww (ISO
+    week-of-weekyear), initial foreign partitions preserved."""
+    from m3d_engine_spark.operators.materialization import RangeMaterialization
+
+    m = f"{FEAT}/MaterializationTestRes/range_materialization/year_week"
+    with open(f"{m}/params.json") as fh:
+        ref_params = json.load(fh)
+    schema = _schema(f"{m}/schema.json")
+    targets = ref_params["target_partitions"]
+    _read_psv(spark, f"{m}/source_data.psv", schema).createOrReplaceTempView(
+        "golden_mat_yw_source"
+    )
+    target = str(tmp_path / "mart")
+    initial = _read_psv(spark, f"{m}/initial_data.psv", schema)
+    initial.write.partitionBy(*targets).parquet(target)
+
+    params = ParamsFile(
+        {
+            "source_table": "golden_mat_yw_source",
+            "target_dir": target,
+            "target_partitions": targets,
+            "date_from": ref_params["date_from"],
+            "date_to": ref_params["date_to"],
+        }
+    )
+    RangeMaterialization(spark, params).run()
+    got = spark.read.parquet(target).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+    # expected_data.psv already contains the initial (week 7) rows
+    expected = _read_psv(spark, f"{m}/expected_data.psv", schema)
+    assert _multiset_equal(got, expected)
+    for w in (1, 2, 3, 4, 7):
+        assert os.path.isdir(f"{target}/year=2017/week={w}")
+
+
+def test_range_materialization_year_week_day_raises(spark, tmp_path):
+    """MaterializationTest year/week/day schema: unsupported range
+    granularity must raise, as in the reference."""
+    from m3d_engine_spark.operators.materialization import RangeMaterialization
+
+    m = f"{FEAT}/MaterializationTestRes/range_materialization/year_week_day"
+    with open(f"{m}/params.json") as fh:
+        ref_params = json.load(fh)
+    schema = _schema(f"{m}/schema.json")
+    _read_psv(spark, f"{m}/source_data.psv", schema).createOrReplaceTempView(
+        "golden_mat_ywd_source"
+    )
+    params = ParamsFile(
+        {
+            "source_table": "golden_mat_ywd_source",
+            "target_dir": str(tmp_path / "mart"),
+            "target_partitions": ref_params["target_partitions"],
+            "date_from": ref_params["date_from"],
+            "date_to": ref_params["date_to"],
+        }
+    )
+    with pytest.raises(Exception):
+        RangeMaterialization(spark, params).run()
