@@ -890,3 +890,107 @@ def test_range_materialization_year_week_day_raises(spark, tmp_path):
     )
     with pytest.raises(Exception):
         RangeMaterialization(spark, params).run()
+
+
+def _run_append_golden(spark, tmp_path, res_dir, files, params_name="params.json",
+                       pre_headers=(), extra_params=None):
+    """Shared AppendLoad golden harness: seed the lake from
+    lake_data_pre.psv, copy landing files (+optional pre-seeded
+    headers), run, return (got, expected, paths)."""
+    import shutil
+
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    a = f"{FEAT}/loads/AppendLoadTestRes/{res_dir}"
+    with open(f"{a}/{params_name}") as fh:
+        ref_params = json.load(fh)
+    full_schema = _schema(f"{a}/target_schema.json")
+    targets = ref_params["target_partitions"]
+
+    loc = str(tmp_path / "lake")
+    _read_psv(spark, f"{a}/lake_data_pre.psv", full_schema).write.partitionBy(
+        *targets
+    ).parquet(loc)
+
+    landing = tmp_path / "landing"
+    for f in files:
+        dst = landing / f
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy(f"{a}/{f.rsplit('/', 1)[-1]}", dst)
+    for rel, src_schema in pre_headers:
+        hp = tmp_path / "headers" / rel
+        hp.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy(f"{a}/{src_schema}", hp)
+
+    params = {
+        "source_dir": str(landing),
+        "header_dir": str(tmp_path / "headers"),
+        "file_format": ref_params.get("file_format", "dsv"),
+        "delimiter": ref_params.get("delimiter", "|"),
+        "has_header": ref_params.get("has_header", False),
+        "regex_filename": ref_params["regex_filename"],
+        "target_partitions": targets,
+        "target_location": loc,
+        "schema": full_schema.jsonValue(),
+    }
+    params.update(extra_params or {})
+    AppendLoad(spark, ParamsFile(params)).run()
+
+    got = spark.read.option("mergeSchema", "true").parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in full_schema.fields]
+    )
+    expected = _read_psv(spark, f"{a}/lake_data_post.psv", full_schema)
+    return got, expected
+
+
+def test_append_load_multiple_source_files_golden(spark, tmp_path):
+    """AppendLoadTest multiple_source_files: two part files of one
+    partition load as a single header group."""
+    got, expected = _run_append_golden(
+        spark, tmp_path, "multiple_source_files",
+        ["data_20180101-part-00000.psv", "data_20180101-part-00001.psv"],
+    )
+    assert _multiset_equal(got, expected)
+    assert (tmp_path / "headers/year=2018/month=1/day=1/header.json").exists()
+
+
+def test_append_load_missing_columns_golden(spark, tmp_path):
+    """AppendLoadTest missing_columns: landing carries a column the
+    target lacks (date1) and misses target columns — the extra column is
+    dropped, missing ones load as NULL."""
+    got, expected = _run_append_golden(
+        spark, tmp_path, "missing_columns", ["data_20180422-00001.psv"]
+    )
+    assert _multiset_equal(got, expected)
+
+
+def test_append_load_partition_from_full_path_golden(spark, tmp_path):
+    """AppendLoadTest partition_from_full_path: landing files carry no
+    date in the NAME — partitions come from the hive-style directory
+    path (year=2018/month=01/day=01), zero-padded values cast to int."""
+    got, expected = _run_append_golden(
+        spark, tmp_path, "partition_from_full_path",
+        ["year=2018/month=01/day=01/data-nodate-part-00000.psv",
+         "year=2018/month=01/day=01/data-nodate-part-00001.psv"],
+    )
+    assert _multiset_equal(got, expected)
+
+
+def test_append_load_similar_schemas_golden(spark, tmp_path):
+    """AppendLoadTest similar_schemas: one group reads via its
+    pre-seeded header.json, the other falls back to the target schema;
+    both header files exist afterwards with the expected schemas."""
+    got, expected = _run_append_golden(
+        spark, tmp_path, "similar_schemas",
+        ["data_20180101-part-00000.psv", "data_20180105-part-00000.psv"],
+        pre_headers=[("year=2018/month=1/day=1/header.json", "20180101_schema.json")],
+    )
+    assert _multiset_equal(got, expected)
+    a = f"{FEAT}/loads/AppendLoadTestRes/similar_schemas"
+    with open(tmp_path / "headers/year=2018/month=1/day=1/header.json") as fh:
+        h1 = StructType.fromJson(json.load(fh))
+    with open(tmp_path / "headers/year=2018/month=1/day=5/header.json") as fh:
+        h5 = StructType.fromJson(json.load(fh))
+    assert h1 == _schema(f"{a}/20180101_schema.json")
+    full = _schema(f"{a}/target_schema.json")
+    assert h5 == StructType(full.fields[:-3])
