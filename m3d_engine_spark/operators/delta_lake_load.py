@@ -203,12 +203,29 @@ class DeltaLakeLoadAlgorithm(Algorithm):
             is_init = not lake_exists
         else:
             is_init = not self._delta_exists()
+        # Affected partitions MUST come from the RAW new data, before
+        # condensation (DeltaLakeLoad.scala:61,90): an unstable partition
+        # key (a row whose partition value changed) surfaces its OLD
+        # partition only via the old-image/delete records, and
+        # condensation collapses those away — affected computed from the
+        # condensed data would leave the old partition out of merge and
+        # snapshot scope, stranding the stale row in delta dir and lake.
+        if targets:
+            new_data = new_data.persist()
+            self._persisted.append(new_data)
+            self.affected = collect_partitions(new_data, targets)
         condensed = condense(new_data, bk, tk, record_mode_column=rm, init_load=is_init)
         drop_cols = [c for c in tk if c in condensed.columns] + [rm]
         if targets:
             condensed = condensed.persist()
             self._persisted.append(condensed)
-            self.affected = collect_partitions(condensed, targets)
+        # affected_partitions_merge=False (DeltaLakeLoad.scala:270-281):
+        # the partition columns join the merge key INSTEAD of the
+        # affected-partitions predicate — the documented misconfiguration
+        # for unstable partitions (old-partition rows are never matched,
+        # so they survive as duplicates; golden-pinned both ways).
+        apm = bool(p.get_optional("affected_partitions_merge", True))
+        merge_keys = bk if apm else bk + [t for t in targets]
 
         if delta_dir is None:
             # Degenerate single-output mode (no persistent delta table):
@@ -221,7 +238,7 @@ class DeltaLakeLoadAlgorithm(Algorithm):
                 return [result]
             if targets:
                 lake = lake.filter(partition_predicate(self.affected))
-            return [merge_delta(lake, condensed, bk, record_mode_column=rm)]
+            return [merge_delta(lake, condensed, merge_keys, record_mode_column=rm)]
 
         from m3d_engine_spark.sources.writers import LoadMode
 
@@ -247,8 +264,9 @@ class DeltaLakeLoadAlgorithm(Algorithm):
                 self._writer(delta_dir).write(init_df, LoadMode.OVERWRITE_TABLE)
         elif self._is_real_delta():
             merge_into_delta(
-                self.spark, delta_dir, condensed, bk,
-                record_mode_column=rm, affected_partitions=self.affected,
+                self.spark, delta_dir, condensed, merge_keys,
+                record_mode_column=rm,
+                affected_partitions=self.affected if apm else None,
             )
             if p.get_optional("is_to_vacuum", True):
                 DeltaTable.forPath(self.spark, delta_dir).vacuum(
@@ -280,7 +298,22 @@ class DeltaLakeLoadAlgorithm(Algorithm):
                 from m3d_engine_spark.plans.partitions import add_missing_columns
 
                 scoped = add_missing_columns(scoped, evolved)
-            merged = merge_delta(scoped, condensed, bk, record_mode_column=rm)
+            # Removed columns (Delta updateAll semantics): a column the
+            # new batch no longer carries keeps its CURRENT value on
+            # matched rows — NULL only for true inserts. Pull the
+            # current values onto the upserts by merge key.
+            cond_cols = {c.lower() for c in condensed.columns}
+            carried = [
+                f.name for f in existing.schema.fields
+                if f.name.lower() not in cond_cols and f.name.lower() not in skip
+            ]
+            if carried:
+                condensed = condensed.join(
+                    scoped.select(*merge_keys, *carried),
+                    on=merge_keys,
+                    how="left",
+                )
+            merged = merge_delta(scoped, condensed, merge_keys, record_mode_column=rm)
             # Plain OverwritePartitions: schema evolution was applied
             # explicitly above; ...WithAddedColumns would pad the merged
             # result back DOWN to the pre-evolution on-disk schema.

@@ -110,7 +110,7 @@ class AtomicWriter:
     # ------------------------------------------------------------- modes
     def write(self, df: DataFrame, load_mode: LoadMode) -> None:
         if load_mode is LoadMode.OVERWRITE_TABLE:
-            self._write_dir(df, self.target_location)
+            self._overwrite_table(df)
             return
         if load_mode is LoadMode.OVERWRITE_PARTITIONS_WITH_ADDED_COLUMNS:
             existing_schema = self._existing_schema()
@@ -172,6 +172,31 @@ class AtomicWriter:
             return df.unionByName(existing)
         shared = [c for c in df.columns if c in existing.columns]
         return existing.join(df, on=shared, how="full_outer")
+
+    def _overwrite_table(self, df: DataFrame) -> None:
+        """Whole-table overwrite via temp write → dir swap → delete
+        backup, restoring the original on failure. An in-place
+        ``mode("overwrite")`` save would delete the target's files
+        while a self-referential plan (e.g. the DeltaLakeLoad fallback
+        merge, which reads the dir it rewrites) is still scanning them
+        (same protocol as OutputWriter.scala:96-262)."""
+        dfs = self._dfs()
+        base = self.target_location.rstrip("/")
+        if not dfs.exists(base):
+            self._write_dir(df, base)
+            return
+        tmp = f"{base}__tmp_{uuid.uuid4().hex[:12]}"
+        backup = f"{base}__bak_{uuid.uuid4().hex[:12]}"
+        self._write_dir(df, tmp)
+        dfs.rename(base, backup)
+        try:
+            dfs.rename(tmp, base)
+        except Exception:
+            if dfs.exists(backup):
+                dfs.delete(base)
+                dfs.rename(backup, base)
+            raise
+        dfs.delete(backup)
 
     def _overwrite_partitions(self, df: DataFrame) -> None:
         """Atomic partition replacement: temp write → backup affected →

@@ -994,3 +994,99 @@ def test_append_load_similar_schemas_golden(spark, tmp_path):
     assert h1 == _schema(f"{a}/20180101_schema.json")
     full = _schema(f"{a}/target_schema.json")
     assert h5 == StructType(full.fields[:-3])
+
+
+def _run_delta_lake_golden(spark, tmp_path, res_dir, params_name=None,
+                           extra_params=None):
+    """Init + merge run of DeltaLakeLoad over one fixture dir; returns
+    (lake DataFrame cast to lake_schema, control DataFrame)."""
+    import shutil
+
+    from m3d_engine_spark.operators.delta_lake_load import DeltaLakeLoadAlgorithm
+
+    d = f"{FEAT}/loads/DeltaLakeLoadTestRes"
+    a = f"{d}/{res_dir}"
+    pfile = f"{a}/params.json" if params_name is None else f"{a}/{params_name}"
+    if not os.path.exists(pfile):
+        pfile = f"{d}/params.json"
+    with open(pfile) as fh:
+        ref_params = json.load(fh)
+    lake_schema = _schema(f"{a}/lake_schema.json")
+
+    lake = str(tmp_path / "lake")
+    delta_dir = str(tmp_path / "delta_table")
+
+    def run(batch_file: str) -> None:
+        land = tmp_path / "landing"
+        shutil.rmtree(land, ignore_errors=True)
+        land.mkdir()
+        shutil.copy(batch_file, land / "batch.psv")
+        params = {
+            "source_dir": str(land),
+            "file_format": ref_params["file_format"],
+            "delimiter": ref_params["delimiter"],
+            "has_header": ref_params["has_header"],
+            "delta_table_dir": delta_dir,
+            "target_location": lake,
+            "business_key": ref_params["business_key"],
+            "condensation_key": ref_params["condensation_key"],
+            "record_mode_column": ref_params["record_mode_column"],
+            "target_partitions": ref_params["target_partitions"],
+        }
+        if ref_params.get("partition_column"):
+            params["partition_column"] = ref_params["partition_column"]
+            params["partition_column_format"] = ref_params["partition_column_format"]
+        params.update(extra_params or {})
+        if "affected_partitions_merge" in ref_params:
+            params["affected_partitions_merge"] = ref_params["affected_partitions_merge"]
+        DeltaLakeLoadAlgorithm(spark, params if isinstance(params, ParamsFile) else ParamsFile(params)).run()
+
+    run(f"{a}/init_data.psv")
+    run(f"{a}/new_data.psv")
+
+    got = spark.read.option("mergeSchema", "true").parquet(lake).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in lake_schema.fields]
+    )
+    control = _read_psv_header(spark, f"{a}/control_data.psv", lake_schema)
+    return got, control
+
+
+def test_delta_lake_load_removed_columns_golden(spark, tmp_path):
+    """DeltaLakeLoadTest removed_columns: the second delta batch no
+    longer carries a column — merge pads it with NULLs, lake matches
+    control."""
+    got, control = _run_delta_lake_golden(spark, tmp_path, "removed_columns")
+    assert _multiset_equal(got, control)
+
+
+def test_delta_lake_load_nonpartitioned_golden(spark, tmp_path):
+    """DeltaLakeLoadTest nonpartitioned: no target partitions — merge
+    rewrites the whole (small) delta table; lake matches control."""
+    got, control = _run_delta_lake_golden(spark, tmp_path, "nonpartitioned")
+    assert _multiset_equal(got, control)
+
+
+def test_delta_lake_load_unstable_partitions_right_params_golden(spark, tmp_path):
+    """DeltaLakeLoadTest unstable partitions, affected_partitions_merge
+    = true: partition values changed for two business keys between
+    batches; the merge keyed on business keys + affected-partitions
+    scope (computed from the RAW batch, whose old-image records still
+    name the old partitions) relocates the rows — lake equals control
+    exactly."""
+    got, control = _run_delta_lake_golden(
+        spark, tmp_path, "unstable_partitions_right_params"
+    )
+    assert _multiset_equal(got, control)
+
+
+def test_delta_lake_load_unstable_partitions_wrong_params_golden(spark, tmp_path):
+    """DeltaLakeLoadTest unstable partitions, affected_partitions_merge
+    = false: partition columns join the merge key, so the old-partition
+    rows are never matched — exactly two stale duplicates survive and
+    the table does NOT match control (the reference pins this failure
+    mode as documented behavior)."""
+    got, control = _run_delta_lake_golden(
+        spark, tmp_path, "unstable_partitions_wrong_params"
+    )
+    assert got.count() == control.count() + 2
+    assert not _multiset_equal(got, control)
