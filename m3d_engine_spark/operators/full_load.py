@@ -16,6 +16,7 @@ directory; the only serialized step is the metadata re-point.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 from m3d_engine_spark.config import ParamsFile
 from m3d_engine_spark.functions.dates import with_date_components
@@ -76,7 +77,14 @@ class FullLoad(Algorithm):
             # schema check (DataReshapingTask.scala:25-52).
             from m3d_engine_spark.operators.reshaping import apply_additional_task
 
-            target_schema = self.spark.table(self.table).schema if self.table else None
+            # Schema to transpose/enforce against: explicit param first
+            # (location-targeted loads have no catalog table to ask).
+            if self.params.get_optional("target_schema"):
+                target_schema = StructType.fromJson(
+                    self.params.get_map("target_schema")
+                )
+            else:
+                target_schema = self.spark.table(self.table).schema if self.table else None
             df = apply_additional_task(
                 df,
                 task,

@@ -142,8 +142,16 @@ def flat_dataframe(
             df = df.withColumn(new, F.get(F.col(f"`{col}`"), int(idx)))
         df = df.drop(col)
     if column_mapping:
+        # Reference semantics (NestedFlattener.scala:207-213): iterate
+        # the EXISTING columns — rename the mapped ones, drop the rest.
+        # Mapping keys without a surviving column (e.g. an array that a
+        # side-flatten consumed) are simply unused, not an error.
         df = df.select(
-            *[F.col(f"`{src}`").alias(dst) for src, dst in column_mapping.items()]
+            *[
+                F.col(f"`{c}`").alias(column_mapping[c])
+                for c in df.columns
+                if c in column_mapping
+            ]
         )
     return df
 

@@ -1090,3 +1090,53 @@ def test_delta_lake_load_unstable_partitions_wrong_params_golden(spark, tmp_path
     )
     assert got.count() == control.count() + 2
     assert not _multiset_equal(got, control)
+
+
+def _full_load_nested_golden(spark, tmp_path, params_name, schema_name, data_name,
+                             expected_name):
+    from m3d_engine_spark.operators.full_load import FullLoad
+
+    n = f"{REF}/nested_flattener"
+    with open(f"{n}/{params_name}") as fh:
+        ref_params = json.load(fh)
+    tgt_schema = _schema(f"{n}/{schema_name}")
+    loc = str(tmp_path / "lake")
+    pd = {
+        "source_dir": f"{n}/{data_name}",
+        "file_format": "json",
+        "multi_line": ref_params.get("multi_line", False),
+        "target_location": loc,
+        "additional_task": ref_params["additional_task"],
+        "target_schema": tgt_schema.jsonValue(),
+    }
+    if "schema" in ref_params:
+        pd["schema"] = ref_params["schema"]
+    params = ParamsFile(pd)
+    FullLoad(spark, params).run()
+    got = spark.read.parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tgt_schema.fields]
+    )
+    expected = _read_psv(spark, f"{n}/{expected_name}", tgt_schema)
+    assert _multiset_equal(got, expected)
+
+
+def test_full_load_nested_flattener_golden(spark, tmp_path):
+    """FullLoadTest 'nested with nested flattener only': deep-nested
+    JSON flattened + renamed in-load (additional_task chain), result
+    equals the reference's expected extend PSV."""
+    _full_load_nested_golden(
+        spark, tmp_path, "params_normal_scenario.json",
+        "target_schema_extend.json", "data_normal_test.json",
+        "expected_target_data_extend.psv",
+    )
+
+
+def test_full_load_nested_flattener_transpose_golden(spark, tmp_path):
+    """FullLoadTest 'nested with nested flattener and transpose': the
+    full in-load reshaping chain — side-flatten, rename, transpose,
+    enforce_schema — against the reference's expected PSV."""
+    _full_load_nested_golden(
+        spark, tmp_path, "params_transpose_scenario.json",
+        "target_schema_transpose_scenario.json", "data_transpose_test.json",
+        "expected_target_data_tranpose.psv",
+    )

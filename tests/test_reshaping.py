@@ -135,8 +135,10 @@ def _nested_df(spark):
 
 def test_flat_dataframe_reference_scenario(spark):
     out = flat_dataframe(_nested_df(spark), **_FLATTEN_CONF)
-    assert out.columns == ["product", "articleNo", "FactoryID", "name", "value"]
-    rows = {tuple(r) for r in out.collect()}
+    # column ORDER follows the surviving columns' order, as in the
+    # reference (NestedFlattener.scala:207-213), not the mapping order
+    assert set(out.columns) == {"product", "articleNo", "FactoryID", "name", "value"}
+    rows = {tuple(r.asDict()[c] for c in ["product", "articleNo", "FactoryID", "name", "value"]) for r in out.collect()}
     assert rows == {
         ("p1", "a1", "f1", "colA", "1"),
         ("p1", "a1", "f1", "colB", "2"),
@@ -156,7 +158,8 @@ def test_nested_flattener_algorithm_registered(spark, tmp_path):
         }
     )
     REGISTRY["NestedFlattener"](spark, params).run()
-    rows = {tuple(r) for r in spark.read.parquet(out_loc).collect()}
+    got = spark.read.parquet(out_loc)
+    rows = {tuple(r.asDict()[c] for c in ["product", "articleNo", "FactoryID", "name", "value"]) for r in got.collect()}
     assert rows == {
         ("p1", "a1", "f1", "colA", "1"),
         ("p1", "a1", "f1", "colB", "2"),
