@@ -89,7 +89,19 @@ def date_component_columns(
         if "week" in expressible:
             comp["week"] = aligned_week_of_year(d)
     else:
-        raise ValueError(f"unsupported date format {source_format!r}")
+        # Any other string is tried as a plain datetime pattern, like the
+        # reference's DateTimeFormatter.ofPattern fallback
+        # (DateComponentDerivation.scala:108-140): rows the pattern
+        # cannot parse — including EVERY row when the configured format
+        # simply doesn't match the data (e.g. ddMMyy against yyyyMMdd
+        # values) — land in the sentinel partition instead of failing.
+        d = _parsed_date(source, source_format)
+        comp = {
+            "year": F.year(d),
+            "month": F.month(d),
+            "day": F.dayofmonth(d),
+            "week": aligned_week_of_year(d),
+        }
 
     for t in targets:
         if t not in {"year", "month", "day", "week"}:

@@ -96,7 +96,10 @@ class FullLoad(Algorithm):
                 target_partitions=self.partition_targets,
             )
             return [df]
-        if self.partition_targets:
+        if self.partition_targets and self.params.get_optional("partition_column"):
+            # Empty partition_column = partitioning by existing
+            # NON-DERIVED columns (FullLoadTest partitioned_multi_columns)
+            # — nothing to derive, the columns are already in the data.
             df = with_date_components(
                 df,
                 self.params.get_string("partition_column"),

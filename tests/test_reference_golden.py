@@ -1140,3 +1140,135 @@ def test_full_load_nested_flattener_transpose_golden(spark, tmp_path):
         "target_schema_transpose_scenario.json", "data_transpose_test.json",
         "expected_target_data_tranpose.psv",
     )
+
+
+def test_full_load_multi_column_partitions_golden(spark, tmp_path):
+    """FullLoadTest 'partitioned by multiple non-derived columns':
+    empty partition_column — customer/date are already data columns, no
+    date derivation; post-state matches."""
+    m = f"{REF}/partitioned_multi_columns"
+    full_schema = _schema(f"{m}/target_schema.json")
+    loc = str(tmp_path / "out")
+    params = ParamsFile(
+        {
+            "source_dir": f"{REF}/landing/new_data_multi_partition_columns.psv",
+            "file_format": "dsv",
+            "delimiter": "|",
+            "has_header": False,
+            "target_location": loc,
+            "schema": full_schema.jsonValue(),
+            "target_partitions": ["customer", "date"],
+            "partition_column": "",
+            "partition_column_format": "",
+        }
+    )
+    FullLoad(spark, params).run()
+    got = spark.read.parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in full_schema.fields]
+    )
+    expected = _read_psv(spark, f"{m}/lake_data_post.psv", full_schema)
+    assert _multiset_equal(got, expected)
+    assert os.path.isdir(f"{loc}/customer=customer5/date=20180110")
+
+
+def test_full_load_wrong_date_format_sentinels_golden(spark, tmp_path):
+    """FullLoadTest 'date format is wrong': ddMMyy against yyyyMMdd data
+    does NOT fail — derivation emits the 9999/99/99 sentinel partition,
+    matching the reference's expected post-state."""
+    m = f"{REF}/partitioned_date_format_wrong"
+    full_schema = _schema(f"{m}/target_schema.json")
+    targets = ["year", "month", "day"]
+    landing_schema = StructType([f for f in full_schema.fields if f.name not in targets])
+    loc = str(tmp_path / "out")
+    params = ParamsFile(
+        {
+            "source_dir": f"{REF}/landing/new_data.psv",
+            "file_format": "dsv",
+            "delimiter": "|",
+            "has_header": False,
+            "target_location": loc,
+            "schema": landing_schema.jsonValue(),
+            "target_partitions": targets,
+            "partition_column": "date",
+            "partition_column_format": "ddMMyy",
+        }
+    )
+    FullLoad(spark, params).run()
+    got = spark.read.parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in full_schema.fields]
+    )
+    expected = _read_psv(spark, f"{m}/lake_data_post.psv", full_schema)
+    assert _multiset_equal(got, expected)
+    assert os.path.isdir(f"{loc}/year=9999/month=99/day=99")
+
+
+def test_full_load_missing_partition_column_raises(spark, tmp_path):
+    """FullLoadTest 'partitioning column is missing': the named
+    partition_column does not exist in the data — the load must fail
+    and write nothing."""
+    m = f"{REF}/partitioned"
+    full_schema = _schema(f"{m}/target_schema.json")
+    targets = ["year", "month", "day"]
+    landing_schema = StructType([f for f in full_schema.fields if f.name not in targets])
+    loc = str(tmp_path / "out")
+    params = ParamsFile(
+        {
+            "source_dir": f"{REF}/landing/new_data.psv",
+            "file_format": "dsv",
+            "delimiter": "|",
+            "has_header": False,
+            "target_location": loc,
+            "schema": landing_schema.jsonValue(),
+            "target_partitions": targets,
+            "partition_column": "date_missing_column",
+            "partition_column_format": "yyyyMMdd",
+        }
+    )
+    with pytest.raises(Exception):
+        FullLoad(spark, params).run()
+    assert not os.path.isdir(f"{loc}/year=2018")
+
+
+def test_full_load_failfast_malformed_raises(spark, tmp_path):
+    """FullLoadTest failfast_option: FAILFAST + malformed rows aborts
+    the load (reader_mode defaults to FAILFAST for full loads,
+    FullLoadConfiguration.scala:85)."""
+    m = f"{REF}/failfast_option"
+    full_schema = _schema(f"{m}/target_schema.json")
+    targets = ["year", "month", "day"]
+    landing_schema = StructType([f for f in full_schema.fields if f.name not in targets])
+    loc = str(tmp_path / "out")
+    params = ParamsFile(
+        {
+            "source_dir": f"{m}/new_data_wrong.psv",
+            "file_format": "dsv",
+            "delimiter": "|",
+            "has_header": False,
+            "target_location": loc,
+            "schema": landing_schema.jsonValue(),
+            "target_partitions": targets,
+            "partition_column": "date",
+            "partition_column_format": "yyyyMMdd",
+        }
+    )
+    with pytest.raises(Exception):
+        FullLoad(spark, params).run()
+
+
+def test_full_load_invalid_reader_mode_raises(spark, tmp_path):
+    """FullLoadTest: an invalid reader_mode string must be rejected."""
+    m = f"{REF}/failfast_option"
+    full_schema = _schema(f"{m}/target_schema.json")
+    params = ParamsFile(
+        {
+            "source_dir": f"{m}/new_data_wrong.psv",
+            "file_format": "dsv",
+            "delimiter": "|",
+            "has_header": False,
+            "target_location": str(tmp_path / "out"),
+            "schema": full_schema.jsonValue(),
+            "reader_mode": "invalid_mode",
+        }
+    )
+    with pytest.raises(Exception):
+        FullLoad(spark, params).run()
