@@ -20,7 +20,10 @@ class SQLRunner(Algorithm):
     def statements(self) -> list[str]:
         if self.params.has("statements"):
             return [str(s) for s in self.params.get_list("statements")]
-        n = self.params.get_int("steps")
+        # The reference params files hold steps as a quoted string
+        # ("steps": "5") and convert with .toString.toInt
+        # (SQLRunner.scala:12-14) — accept both forms.
+        n = int(self.params.get_optional("steps"))
         return [self.params.get_string(str(i)) for i in range(n)]
 
     def read(self) -> list[DataFrame]:
