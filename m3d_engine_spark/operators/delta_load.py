@@ -122,14 +122,19 @@ class DeltaLoadAlgorithm(Algorithm):
         rm = p.get_optional("record_mode_column", "recordmode")
         targets = p.get_optional("target_partitions", [])
         if targets:
-            from m3d_engine_spark.functions.dates import with_date_components
+            # Derive date components only when the delta does not already
+            # carry every target partition column (DeltaLoad.scala:85-92)
+            # — partitions may be pre-existing data columns (e.g.
+            # customer), in which case there is nothing to derive.
+            if any(t not in delta.columns for t in targets):
+                from m3d_engine_spark.functions.dates import with_date_components
 
-            delta = with_date_components(
-                delta,
-                p.get_string("partition_column"),
-                p.get_string("partition_column_format"),
-                targets,
-            )
+                delta = with_date_components(
+                    delta,
+                    p.get_string("partition_column"),
+                    p.get_string("partition_column_format"),
+                    targets,
+                )
             delta = delta.persist()
             affected = collect_partitions(delta, targets)
             self.affected = affected

@@ -1272,3 +1272,146 @@ def test_full_load_invalid_reader_mode_raises(spark, tmp_path):
     )
     with pytest.raises(Exception):
         FullLoad(spark, params).run()
+
+
+# --- DeltaLoadTest: remaining scenarios --------------------------------
+
+DELTA_RES = f"{FEAT}/loads/DeltaLoadTestRes"
+
+
+def _read_psv_infer(spark, path: str):
+    """DSV with header + inferSchema, the reference's dsvReader
+    (FileReader.scala:18-30) used by the csv_test scenarios."""
+    return (
+        spark.read.option("delimiter", "|")
+        .option("header", True)
+        .option("inferSchema", True)
+        .csv(path)
+    )
+
+
+def _run_parquet_delta_scenario(spark, tmp_path, scenario: str, with_pre: bool = True):
+    """DeltaLoadTest parquet scenario harness: delta psv read with the
+    fixture schema POSITIONALLY (short rows → trailing NULLs, matching
+    createParquetFileFromDSVfileandWriteToHDSF, DeltaLoadTest.scala:215-231),
+    written to parquet, merged into the pre-loaded active table."""
+    from m3d_engine_spark.operators.delta_load import DeltaLoadAlgorithm
+
+    d = f"{DELTA_RES}/{scenario}"
+    active_schema = _schema(f"{d}/active_data_schema.json")
+    delta_schema = _schema(f"{d}/delta_data_schema.json")
+
+    loc = str(tmp_path / "active")
+    if with_pre:
+        _read_psv_header(spark, f"{d}/active_data_pre.psv", active_schema).write.partitionBy(
+            "year", "month", "day"
+        ).parquet(loc)
+        active = spark.read.parquet(loc)
+    else:
+        active = spark.createDataFrame([], active_schema)
+    active.createOrReplaceTempView("golden_delta_active")
+
+    delta_loc = str(tmp_path / "delta")
+    (
+        spark.read.schema(delta_schema)
+        .option("header", True)
+        .option("delimiter", "|")
+        .csv(f"{d}/delta_data.psv")
+        .write.parquet(delta_loc)
+    )
+
+    params = ParamsFile(
+        {
+            "active_records_table_lake": "golden_delta_active",
+            "delta_records_file_path": delta_loc,
+            "business_key": ["salesorder", "item"],
+            "technical_key": ["actrequest_timestamp", "datapakid", "partno", "record"],
+            "record_mode_column": "recordmode",
+            "target_partitions": ["year", "month", "day"],
+            "partition_column": "date",
+            "partition_column_format": "yyyyMMdd",
+            "target_location": loc,
+        }
+    )
+    DeltaLoadAlgorithm(spark, params).run()
+
+    got = spark.read.parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in active_schema.fields]
+    )
+    expected = _read_psv_header(spark, f"{d}/active_data_post.psv", active_schema)
+    assert _multiset_equal(got, expected)
+
+
+def test_delta_load_init_golden(spark, tmp_path):
+    """DeltaLoadTest 'Delta Init': empty active table — the whole
+    condensed delta (minus deletes) becomes the table."""
+    _run_parquet_delta_scenario(spark, tmp_path, "parquet_test_delta_init", with_pre=False)
+
+
+def test_delta_load_merge_unpartitioned_golden(spark, tmp_path):
+    """DeltaLoadTest 'Delta Merge Unpartitioned'."""
+    _run_parquet_delta_scenario(spark, tmp_path, "parquet_test_delta_merge_unpartitioned")
+
+
+def test_delta_load_merge_additional_columns_golden(spark, tmp_path):
+    """DeltaLoadTest 'Delta Merge with additional columns': the delta's
+    extra 'discount' column is projected away — output keeps exactly the
+    active table's columns (DeltaLoad.scala:76-80 selectExpr)."""
+    _run_parquet_delta_scenario(spark, tmp_path, "parquet_test_delta_merge_additional_columns")
+
+
+def test_delta_load_merge_missing_columns_golden(spark, tmp_path):
+    """DeltaLoadTest 'Delta Merge with missing columns': delta rows are
+    SHORTER than the declared schema — 'amount' reads as NULL and the
+    merged rows carry that NULL into the lake."""
+    _run_parquet_delta_scenario(spark, tmp_path, "parquet_test_delta_merge_missing_columns")
+
+
+def _run_csv_delta_scenario(spark, tmp_path, targets, derive: bool):
+    """csv_test scenarios: delta comes from a LAKE TABLE
+    (delta_records_table_lake) whose data already carries the partition
+    columns — no date derivation happens (DeltaLoad.scala:85-92)."""
+    from m3d_engine_spark.operators.delta_load import DeltaLoadAlgorithm
+
+    d = f"{DELTA_RES}/csv_test"
+    pre = _read_psv_infer(spark, f"{d}/active_data_pre.psv")
+
+    loc = str(tmp_path / "active")
+    pre.write.partitionBy(*targets).parquet(loc)
+    spark.read.parquet(loc).createOrReplaceTempView("golden_delta_active")
+    _read_psv_infer(spark, f"{d}/delta_data.psv").createOrReplaceTempView(
+        "golden_delta_delta"
+    )
+
+    params = ParamsFile(
+        {
+            "active_records_table_lake": "golden_delta_active",
+            "delta_records_table_lake": "golden_delta_delta",
+            "business_key": ["salesorder", "item"],
+            "technical_key": ["actrequest_timestamp", "datapakid", "partno", "record"],
+            "record_mode_column": "recordmode",
+            "target_partitions": list(targets),
+            "partition_column": "date" if derive else "",
+            "partition_column_format": "yyyyMMdd" if derive else "",
+            "target_location": loc,
+        }
+    )
+    DeltaLoadAlgorithm(spark, params).run()
+
+    expected = _read_psv_infer(spark, f"{d}/active_data_post.psv")
+    got = spark.read.parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in expected.schema.fields]
+    )
+    assert _multiset_equal(got, expected)
+
+
+def test_delta_load_csv_date_partitions_golden(spark, tmp_path):
+    """DeltaLoadTest 'partitioned by date/time columns' (csv_test):
+    partition columns already present in the delta data."""
+    _run_csv_delta_scenario(spark, tmp_path, ["year", "month", "day"], derive=True)
+
+
+def test_delta_load_csv_customer_partition_golden(spark, tmp_path):
+    """DeltaLoadTest 'partitioned by customer' (csv_test): partitioning
+    by an existing non-date column, empty partition_column."""
+    _run_csv_delta_scenario(spark, tmp_path, ["customer"], derive=False)
