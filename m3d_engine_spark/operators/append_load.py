@@ -62,10 +62,27 @@ class AppendLoad(Algorithm):
         super().__init__(spark, params)
         self.dfs = DFS(spark)
         self.targets: list[str] = params.get_optional("target_partitions", [])
+        # STRUCTURED tables come from the metastore, SEMISTRUCTURED from
+        # a target_dir + inline schema; anything else is a config error
+        # (AppendLoadConfiguration.scala:62-82).
+        self.data_type: str = str(
+            params.get_optional("data_type", "structured")
+        ).lower()
+        if self.data_type not in ("structured", "semistructured"):
+            raise RuntimeError(
+                f"Unsupported data type: {self.data_type} in AppendLoad or "
+                "the configuration file is malformed."
+            )
+        # verify_schema defaults TRUE for semistructured data and is
+        # forced off for structured (AppendLoadConfiguration.scala:39-42).
+        default_verify = self.data_type == "semistructured"
+        self.verify = bool(params.get_optional("verify_schema", default_verify))
 
     def _target_location(self) -> str:
         if self.params.has("target_location"):
             return self.params.get_string("target_location")
+        if self.params.has("target_dir"):  # the semistructured key
+            return self.params.get_string("target_dir")
         from m3d_engine_spark.sources import catalog as cat
 
         return cat.table_location(self.spark, self.params.get_string("target_table"))
@@ -127,33 +144,39 @@ class AppendLoad(Algorithm):
             key = partition_rel_path(crit)
             groups.setdefault(key, []).append(f)
             crit_by_key[key] = crit
-        verify = bool(self.params.get_optional("verify_schema", False))
         p = dict(self.params.params)
         p.setdefault("reader_mode", "DROPMALFORMED")
         out: list[tuple[StructType | None, list[str]]] = []
+        mismatched = False
         for key, paths in sorted(groups.items()):
-            schema = (
+            header_schema = (
                 self.read_header(crit_by_key[key])
                 if self.params.has("header_dir")
                 else None
             )
-            if schema is None:
-                if verify:
+            if self.verify and target_schema is not None:
+                # Verify mode: check the header-or-inferred schema
+                # against the target, then read every matching group
+                # with the TARGET schema (AppendLoad.scala:113-131).
+                check = header_schema
+                if check is None:
                     fmt = format_from_params({**p, "schema": None})
-                    schema = fmt.read(self.spark, *paths).schema
-                else:
-                    schema = target_schema
-            if verify and target_schema is not None:
-                extra = [
-                    n for n in schema.names
-                    if n not in {f.name for f in target_schema.fields} and n not in self.targets
-                ]
-                if extra:
-                    raise RuntimeError(
-                        f"Schema does not match the input data for {paths}: "
-                        f"unexpected columns {extra} (AppendLoad.scala:157-179)"
-                    )
-            out.append((schema, paths))
+                    check = fmt.read(self.spark, *paths).schema
+                allowed = {f.name for f in target_schema.fields} | set(self.targets)
+                if [n for n in check.names if n not in allowed]:
+                    mismatched = True
+                    continue
+                out.append((target_schema, paths))
+            else:
+                out.append(
+                    (header_schema if header_schema is not None else target_schema, paths)
+                )
+        if mismatched:
+            # Exact reference message (AppendLoad.scala:123-126); raised
+            # before anything is written.
+            raise RuntimeError(
+                "Schema does not match the input data for some of the input folders."
+            )
         return out
 
     def read(self) -> list[DataFrame]:
@@ -169,17 +192,25 @@ class AppendLoad(Algorithm):
                 fmt.schema = schema
                 parts.append(fmt.read(self.spark, *paths))
             if parts:
+                # Group frames kept for header persistence: headers are
+                # written per source group (AppendLoad.scala:264-288),
+                # not from the unioned frame.
+                self._group_dfs = list(parts)
                 df = parts[0]
                 for other in parts[1:]:
                     df = df.unionByName(other, allowMissingColumns=True)
                 return [df]
             fmt = format_from_params(p)
             fmt.schema = self._target_schema_no_partitions()
-            return [fmt.read(self.spark, self.params.get_string("source_dir"))]
+            df = fmt.read(self.spark, self.params.get_string("source_dir"))
+            self._group_dfs = [df]
+            return [df]
         fmt = format_from_params(p)
         if fmt.schema is None:
             fmt.schema = self._target_schema_no_partitions()
-        return [fmt.read(self.spark, self.params.get_string("source_dir"))]
+        df = fmt.read(self.spark, self.params.get_string("source_dir"))
+        self._group_dfs = [df]
+        return [df]
 
     def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
         df = dfs[0]
@@ -202,8 +233,15 @@ class AppendLoad(Algorithm):
             partition_columns=list(self.targets),
             output_files_num=self.params.get_optional("output_files_num"),
         )
+        # Reference default is plain OverwritePartitions with
+        # AppendUnionPartitions as the opt-in (write_load_mode,
+        # AppendLoadConfiguration.scala:54-58). The load_mode key stays
+        # as this engine's generic spelling.
         mode = LoadMode(
-            self.params.get_optional("load_mode", "OverwritePartitionsWithAddedColumns")
+            self.params.get_optional(
+                "write_load_mode",
+                self.params.get_optional("load_mode", "OverwritePartitions"),
+            )
         )
         writer.write(df, mode)
         if self.targets:
@@ -229,16 +267,39 @@ class AppendLoad(Algorithm):
                 self.spark, table, partition_specs=getattr(self, "affected", [])
             )
 
+    def _with_partitions(self, df: DataFrame) -> DataFrame:
+        """The transform() partition derivation, applied to one frame."""
+        if self.params.has("regex_filename"):
+            return with_filename_partitions(
+                df, self.targets, self.params.get_list("regex_filename")
+            )
+        if self.params.has("partition_column"):
+            return with_date_components(
+                df,
+                self.params.get_string("partition_column"),
+                self.params.get_string("partition_column_format"),
+                self.targets,
+            )
+        return df
+
     def _persist_headers(self, df: DataFrame) -> None:
         """Write the partition-stripped schema JSON as header.json per
-        affected partition dir (AppendLoad.scala:264-288)."""
+        affected partition dir — per source GROUP, and never overwriting
+        a header that already exists (AppendLoad.scala:264-288: the
+        ``if (!fs.exists(headerPath))`` guard keeps a partition's first
+        recorded schema authoritative across later loads)."""
         from m3d_engine_spark.plans.partitions import collect_partitions
 
-        stripped = StructType([f for f in df.schema.fields if f.name not in self.targets])
-        header = json.dumps(stripped.jsonValue())
         base = self.params.get_string("header_dir").rstrip("/")
-        for crit in collect_partitions(df, self.targets):
-            self.dfs.write_text(f"{base}/{partition_rel_path(crit)}/header.json", header)
+        for gdf in getattr(self, "_group_dfs", [df]):
+            stripped = StructType(
+                [f for f in gdf.schema.fields if f.name not in self.targets]
+            )
+            header = json.dumps(stripped.jsonValue())
+            for crit in collect_partitions(self._with_partitions(gdf), self.targets):
+                path = f"{base}/{partition_rel_path(crit)}/header.json"
+                if not self.dfs.exists(path):
+                    self.dfs.write_text(path, header)
 
     def read_header(self, partition_criteria) -> StructType | None:
         base = self.params.get_string("header_dir").rstrip("/")

@@ -1415,3 +1415,221 @@ def test_delta_load_csv_customer_partition_golden(spark, tmp_path):
     """DeltaLoadTest 'partitioned by customer' (csv_test): partitioning
     by an existing non-date column, empty partition_column."""
     _run_csv_delta_scenario(spark, tmp_path, ["customer"], derive=False)
+
+
+# --- SemiStructuredLoadTest: remaining scenarios ------------------------
+
+SEMI = f"{FEAT}/loads/SemiStructuredLoadTestRes"
+
+
+def _semi_ref(scenario: str, params_name: str = "params.json") -> dict:
+    with open(f"{SEMI}/{scenario}/{params_name}") as fh:
+        return json.load(fh)
+
+
+def _semi_lake_pre(spark, tmp_path, scenario: str, schema: StructType) -> str:
+    lake = str(tmp_path / "lake")
+    pre = spark.read.schema(schema).json(f"{SEMI}/{scenario}/lake_data_pre.txt")
+    pre.write.partitionBy("year", "month", "day").parquet(lake)
+    return lake
+
+
+def _semi_params(tmp_path, ref: dict, lake: str) -> ParamsFile:
+    d = {
+        "source_dir": str(tmp_path / "landing"),
+        "header_dir": str(tmp_path / "headers"),
+        "file_format": ref["file_format"],
+        "data_type": ref.get("data_type", "semistructured"),
+        "regex_filename": ref["regex_filename"],
+        "target_partitions": ref["target_partitions"],
+        "target_dir": lake,
+        "schema": ref["schema"],
+    }
+    if "verify_schema" in ref:
+        d["verify_schema"] = ref["verify_schema"]
+    return ParamsFile(d)
+
+
+def _land(tmp_path, scenario: str, filename: str, day_dir: str) -> None:
+    import shutil
+
+    dest = tmp_path / "landing" / day_dir
+    dest.mkdir(parents=True, exist_ok=True)
+    shutil.copy(f"{SEMI}/{scenario}/{filename}", dest / filename)
+
+
+def _semi_got(spark, lake: str, schema: StructType):
+    return spark.read.schema(schema).parquet(lake)
+
+
+def test_semistructured_nested_json_load_golden(spark, tmp_path):
+    """SemiStructuredLoadTest nested scenario: JSON with a nested
+    'location' struct, partitions regex-extracted from the path."""
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    s = "semistructured_nested_json_load"
+    ref = _semi_ref(s)
+    schema = StructType.fromJson(ref["schema"])
+    lake = _semi_lake_pre(spark, tmp_path, s, schema)
+    _land(tmp_path, s, "data-nodate-part-00001.txt", "year=2018/month=01/day=02")
+
+    AppendLoad(spark, _semi_params(tmp_path, ref, lake)).run()
+
+    expected = spark.read.schema(schema).json(f"{SEMI}/{s}/lake_data_post.txt")
+    assert _multiset_equal(_semi_got(spark, lake, schema), expected)
+    assert os.path.isfile(
+        str(tmp_path / "headers" / "year=2018" / "month=1" / "day=2" / "header.json")
+    )
+
+
+def test_semistructured_parquet_load_golden(spark, tmp_path):
+    """SemiStructuredLoadTest parquet scenario: landing PARQUET files,
+    partitions from the path."""
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    s = "semistructured_parquet_test"
+    ref = _semi_ref(s)
+    schema = StructType.fromJson(ref["schema"])
+    lake = _semi_lake_pre(spark, tmp_path, s, schema)
+    _land(tmp_path, s, "sales.parquet", "year=2018/month=01/day=02")
+
+    AppendLoad(spark, _semi_params(tmp_path, ref, lake)).run()
+
+    expected = spark.read.schema(schema).json(f"{SEMI}/{s}/lake_data_post.txt")
+    assert _multiset_equal(_semi_got(spark, lake, schema), expected)
+
+
+def test_semistructured_evolving_schema_golden(spark, tmp_path):
+    """SemiStructuredLoadTest evolving schema: second load arrives with
+    an EVOLVED target schema (adds 'city'); earlier partitions read back
+    with NULL city; final state matches the reference post file read
+    with the evolved schema."""
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    s = "semistructured_json_load_evolving_schema"
+    ref = _semi_ref(s)
+    schema = StructType.fromJson(ref["schema"])
+    lake = _semi_lake_pre(spark, tmp_path, s, schema)
+    _land(tmp_path, s, "data-nodate-part-00001.txt", "year=2018/month=01/day=02")
+    AppendLoad(spark, _semi_params(tmp_path, ref, lake)).run()
+
+    ref2 = _semi_ref(s, "params_evolved.json")
+    evolved = StructType.fromJson(ref2["schema"])
+    _land(tmp_path, s, "data-nodate-part-00002.txt", "year=2018/month=01/day=03")
+    AppendLoad(spark, _semi_params(tmp_path, ref2, lake)).run()
+
+    expected = spark.read.schema(evolved).json(f"{SEMI}/{s}/lake_data_post.txt")
+    assert _multiset_equal(_semi_got(spark, lake, evolved), expected)
+    assert os.path.isfile(
+        str(tmp_path / "headers" / "year=2018" / "month=1" / "day=2" / "header.json")
+    )
+
+
+def test_semistructured_dropping_column_golden(spark, tmp_path):
+    """SemiStructuredLoadTest dropping columns: second load's target
+    schema DROPPED a column; new partitions load under the narrower
+    schema and the final lake matches post read with it."""
+    import shutil
+
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    s = "semistructured_json_load_dropping_column"
+    ref = _semi_ref(s)
+    schema = StructType.fromJson(ref["schema"])
+    lake = _semi_lake_pre(spark, tmp_path, s, schema)
+    _land(tmp_path, s, "data-nodate-part-00001.txt", "year=2018/month=01/day=02")
+    AppendLoad(spark, _semi_params(tmp_path, ref, lake)).run()
+
+    shutil.rmtree(tmp_path / "landing")
+    ref2 = _semi_ref(s, "params_column_dropped.json")
+    dropped = StructType.fromJson(ref2["schema"])
+    _land(tmp_path, s, "data-nodate-part-00002.txt", "year=2018/month=01/day=03")
+    _land(tmp_path, s, "data-nodate-part-00003.txt", "year=2018/month=01/day=04")
+    AppendLoad(spark, _semi_params(tmp_path, ref2, lake)).run()
+
+    expected = spark.read.schema(dropped).json(f"{SEMI}/{s}/lake_data_post.txt")
+    assert _multiset_equal(_semi_got(spark, lake, dropped), expected)
+    assert os.path.isfile(
+        str(tmp_path / "headers" / "year=2018" / "month=1" / "day=3" / "header.json")
+    )
+
+
+def test_semistructured_mismatching_schema_raises(spark, tmp_path):
+    """SemiStructuredLoadTest 'more columns than target schema': the
+    load fails with the reference's exact message and writes NOTHING —
+    no header, no target partition."""
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    s = "semistructured_json_load_mismatching_schema"
+    ref = _semi_ref(s)
+    schema = StructType.fromJson(ref["schema"])
+    lake = _semi_lake_pre(spark, tmp_path, s, schema)
+    _land(tmp_path, s, "data-nodate-part-00001.txt", "year=2018/month=01/day=02")
+
+    with pytest.raises(
+        RuntimeError,
+        match="Schema does not match the input data for some of the input folders.",
+    ):
+        AppendLoad(spark, _semi_params(tmp_path, ref, lake)).run()
+
+    expected = spark.read.schema(schema).json(f"{SEMI}/{s}/lake_data_post.txt")
+    assert _multiset_equal(_semi_got(spark, lake, schema), expected)
+    assert not os.path.isdir(str(tmp_path / "headers" / "year=2018"))
+    assert not os.path.isdir(f"{lake}/year=2018/month=1/day=2")
+
+
+def test_semistructured_wrong_configuration_raises(spark, tmp_path):
+    """SemiStructuredLoadTest wrong configuration: data_type
+    'unstructured' is rejected with the reference's exact message."""
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    s = "semistructured_json_load_wrong_configuration"
+    ref = _semi_ref(s)
+    with pytest.raises(RuntimeError, match="Unsupported data type: unstructured"):
+        params = ParamsFile(
+            {
+                "source_dir": str(tmp_path / "landing"),
+                "header_dir": str(tmp_path / "headers"),
+                "file_format": ref["file_format"],
+                "data_type": ref["data_type"],
+                "regex_filename": ref["regex_filename"],
+                "target_partitions": ref["target_partitions"],
+                "target_dir": str(tmp_path / "lake"),
+            }
+        )
+        AppendLoad(spark, params).run()
+
+
+def test_semistructured_existing_header_golden(spark, tmp_path):
+    """SemiStructuredLoadTest 'some header files are available and
+    schemas are the same': the pre-existing header file is PRESERVED
+    verbatim (never overwritten) and the new partition's header equals
+    the target schema minus partition columns."""
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    s = "semistructured_load_with_existing_header"
+    ref = _semi_ref(s)
+    schema = StructType.fromJson(ref["schema"])
+    lake = _semi_lake_pre(spark, tmp_path, s, schema)
+
+    hdr_day1 = tmp_path / "headers" / "year=2018" / "month=1" / "day=1"
+    hdr_day1.mkdir(parents=True)
+    with open(f"{SEMI}/{s}/20180101_schema.json") as fh:
+        original_header = fh.read()
+    (hdr_day1 / "header.json").write_text(original_header)
+
+    _land(tmp_path, s, "data-nodate-part-00001.txt", "year=2018/month=01/day=01")
+    _land(tmp_path, s, "data-nodate-part-00002.txt", "year=2018/month=01/day=02")
+
+    AppendLoad(spark, _semi_params(tmp_path, ref, lake)).run()
+
+    expected = spark.read.schema(schema).json(f"{SEMI}/{s}/lake_data_post.txt")
+    assert _multiset_equal(_semi_got(spark, lake, schema), expected)
+
+    got_day1 = StructType.fromJson(json.loads((hdr_day1 / "header.json").read_text()))
+    assert got_day1 == StructType.fromJson(json.loads(original_header))
+    hdr_day2 = tmp_path / "headers" / "year=2018" / "month=1" / "day=2" / "header.json"
+    stripped_target = StructType(
+        [f for f in schema.fields if f.name not in ref["target_partitions"]]
+    )
+    assert StructType.fromJson(json.loads(hdr_day2.read_text())) == stripped_target

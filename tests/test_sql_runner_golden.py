@@ -20,8 +20,9 @@ import sys
 REF = "/root/reference/src/test/resources/com/adidas/analytics/feature/SQLRunnerTestRes"
 
 SCRIPT = r"""
-import json, sys
+import json, os, sys
 sys.path.insert(0, {repo!r})
+os.chdir({tmp!r})  # fresh Derby metastore_db per run
 from m3d_engine_spark.session import build_session
 from m3d_engine_spark.config import ParamsFile
 from m3d_engine_spark.operators.sql_runner import SQLRunner
