@@ -1119,10 +1119,11 @@ FROM bands l JOIN bands r
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard (dedup.py::ngram_jaccard_pairs): exact pairwise
     Jaccard inside source blocks — the LSH verifier. The hot-shingle
-    df-cutoff (candidate generation only; values recomputed on full
-    sets) is the production dial against quadratic fan-out; 32 is far
-    above this corpus's max per-block df (6 at sf0.1), so the output is
-    provably identical to the uncut join here."""
+    df-cutoff (candidate generation only; exact values via the
+    hot-set correction join, no full-array recompute) is the
+    production dial against quadratic fan-out; 32 is far above this
+    corpus's max per-block df (6 at sf0.1), so the output is provably
+    identical to the uncut join here."""
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", ["source"], shingle_n=3, threshold=0.2,

@@ -244,11 +244,17 @@ def ngram_jaccard_pairs(
     per-block document frequency exceeds it are dropped from CANDIDATE
     GENERATION only (a df-k shingle alone fans out k·(k−1)/2 join rows
     — quadratic in df, and ultra-frequent shingles carry no
-    similarity signal). Jaccard is then recomputed exactly on the FULL
-    shingle sets of surviving candidates, so reported values are never
-    approximated; the only relaxation is recall — a pair whose entire
-    overlap is hot shingles is not generated. Verified equal to the
-    uncut output whenever no shingle exceeds the cutoff (pinned).
+    similarity signal). Values stay EXACT without any full-array
+    recompute: the kept-shingle join count gives |A∩B| over kept
+    shingles, and each document's (small) set of dropped hot shingles
+    is aggregated separately and joined back onto the pair table, so
+    ``|A∩B| = kept_overlap + |hot_A ∩ hot_B|`` and
+    ``|A∪B| = |A|+|B|−|A∩B|`` from the full distinct sizes. The only
+    relaxation is recall — a pair whose entire overlap is hot shingles
+    is not generated. Verified equal to the uncut output whenever no
+    shingle exceeds the cutoff (pinned); cost over the uncut path is
+    one window count plus a join against the (hot-documents-only)
+    correction table, NOT a per-pair array recompute.
     """
     if threshold <= 0:
         raise ValueError("ngram_jaccard_pairs requires threshold > 0")
@@ -261,6 +267,7 @@ def ngram_jaccard_pairs(
         F.col(id_col), *[F.col(c) for c in block_cols], F.col("n_sh"),
         F.explode("sh").alias("shingle"),
     )
+    hot_sets = None
     if max_shingle_df is not None:
         # Per-(block, shingle) document frequency — same key as the
         # self-join, so the exchange is reusable. The window form (one
@@ -270,7 +277,17 @@ def ngram_jaccard_pairs(
             F.count(F.lit(1)).over(
                 Window.partitionBy(*block_cols, "shingle")
             ),
-        ).filter(F.col("_df") <= max_shingle_df).drop("_df")
+        )
+        # Correction table: each hot document's dropped shingles. Only
+        # documents that contain a hot shingle appear, and each carries
+        # only its hot shingles — tiny next to the full shingle sets,
+        # and reads the same (block, shingle) exchange the join uses.
+        hot_sets = (
+            tok.filter(F.col("_df") > max_shingle_df)
+            .groupBy(id_col)
+            .agg(F.collect_set("shingle").alias("hot_sh"))
+        )
+        tok = tok.filter(F.col("_df") <= max_shingle_df).drop("_df")
     # SMJ hint: one shuffle of the exploded-shingle subtree, reused for
     # both sides (see minhash_lsh_candidates).
     l, r = tok.alias("l").hint("merge"), tok.alias("r")
@@ -282,18 +299,6 @@ def ngram_jaccard_pairs(
     # prune it inside the join before the aggregation shuffle.
     cond.append(F.col("l.n_sh") >= F.col("r.n_sh") * threshold)
     cond.append(F.col("r.n_sh") >= F.col("l.n_sh") * threshold)
-    if max_shingle_df is not None:
-        # Dropped hot shingles make the collision count an UNDERCOUNT
-        # of |A∩B|; recompute exactly from the full sets instead.
-        cands = (
-            l.join(r, on=cond)
-            .select(
-                F.col(f"l.{id_col}").alias("id_a"),
-                F.col(f"r.{id_col}").alias("id_b"),
-            )
-            .distinct()
-        )
-        return _exact_jaccard_on_candidates(base, cands, id_col, threshold)
     inter = (
         l.join(r, on=cond)
         .groupBy(
@@ -304,7 +309,31 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4)
+    inter_total = F.col("inter")
+    if hot_sets is not None:
+        # Both documents of a pair share the pair's block, so a
+        # shingle's hot/kept status is identical on both sides: the
+        # kept-join count plus the hot-set overlap is EXACTLY |A∩B|.
+        inter = (
+            inter.join(
+                hot_sets.select(
+                    F.col(id_col).alias("id_a"), F.col("hot_sh").alias("hot_a")
+                ),
+                on="id_a",
+                how="left",
+            )
+            .join(
+                hot_sets.select(
+                    F.col(id_col).alias("id_b"), F.col("hot_sh").alias("hot_b")
+                ),
+                on="id_b",
+                how="left",
+            )
+        )
+        inter_total = inter_total + F.when(
+            F.col("hot_a").isNull() | F.col("hot_b").isNull(), F.lit(0)
+        ).otherwise(F.size(F.array_intersect(F.col("hot_a"), F.col("hot_b"))))
+    jac = F.round(inter_total / (F.col("na") + F.col("nb") - inter_total), 4)
     return (
         inter.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -315,8 +344,9 @@ def _exact_jaccard_on_candidates(
     base: DataFrame, cands: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Exact round(J,4) ≥ threshold over candidate (id_a, id_b) pairs,
-    from the full ``sh`` shingle arrays in ``base`` — the shared
-    verification stage of the prefix-filter and df-cutoff variants."""
+    from the full ``sh`` shingle arrays in ``base`` — the verification
+    stage of the prefix-filter variant (the df-cutoff path instead uses
+    the count+hot-set-correction form, which never ships full arrays)."""
     sets = base.select(F.col(id_col), F.col("sh"))
     jac = F.round(
         F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))

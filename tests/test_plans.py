@@ -156,6 +156,31 @@ def test_two_stage_agg_matches_plain_agg(spark, sf_dir):
     assert staged == plain
 
 
+def test_jaccard_cutoff_path_has_no_array_recompute(spark):
+    """The hot-shingle df-cutoff must NOT route pairs through a
+    full-shingle-array recompute (the round-3 perf regression): exact
+    values come from the kept-join count plus the small hot-set
+    correction join. Pin: the plan carries no array_union (the
+    recompute's |A∪B|), at most one array_intersect (hot correction
+    only), and no join back to the full ``sh`` arrays."""
+    import __spark_entry__ as m
+
+    df = m.queries()["jaccard_pairs"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "array_union" not in plan, "full-array |A∪B| recompute is back"
+    # Every array_intersect in the plan must be the hot-set correction
+    # (tiny hot_a/hot_b arrays), never the full shingle sets.
+    assert plan.count("array_intersect") == plan.count("array_intersect(hot_a"), (
+        "array_intersect over something other than the hot correction arrays"
+    )
+    assert "sh_a" not in plan and "sh_b" not in plan, "joined full shingle arrays"
+    # The exploded-token exchange must be shared by both join sides —
+    # AQE only materializes reuse in the post-execution final plan.
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "ReusedExchange" in executed, "self-join exchange no longer reused"
+
+
 def test_is_empty_non_empty(spark):
     from m3d_engine_spark.plans.partitions import is_empty, non_empty
 
