@@ -6,6 +6,14 @@ wall-clock seconds.
 Each query is forced with the noop datasource write — full execution of
 the plan on the executors with no driver-side collect, so the number
 measures the distributed work, not result serialization.
+
+Noise protocol (round 4): each query runs $SPARK_GRAFT_BENCH_RUNS
+times (default 2) and the reported number is the MINIMUM — the
+container's run-to-run noise band is wide (the same query has measured
+8.8-14s across runs; one global-slow round-3 run inflated a 14s query
+to 51s), and min-of-n is the standard way to read "the cost of the
+plan" out of a noisy shared host. The min also absorbs first-run
+codegen/JIT warmup per query shape.
 """
 
 from __future__ import annotations
@@ -35,22 +43,27 @@ def main() -> int:
     # Warm the JVM/codegen path once so the first measured query isn't
     # charged for session bring-up.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entry_mod.queries().items():
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-        except Exception as e:  # keep the bench line parseable on failure
-            print(f"bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
-            dt = -1.0
-        timings[name] = round(dt, 3)
-        if dt > 0:
-            total += dt
-        # Isolate queries: drop any relations the query persisted so a
-        # later measurement doesn't pay (or profit from) earlier state.
-        spark.catalog.clearCache()
+        best = -1.0
+        for _ in range(runs):
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+            except Exception as e:  # keep the bench line parseable on failure
+                print(f"bench error in {name}: {type(e).__name__}: {e}", file=sys.stderr)
+                best = -1.0
+                break
+            best = dt if best < 0 else min(best, dt)
+            # Isolate runs: drop any relations the query persisted so a
+            # later measurement doesn't pay (or profit from) earlier state.
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+        if best > 0:
+            total += best
     spark.stop()
     print(json.dumps({
         "metric": "total_query_runtime",
@@ -58,6 +71,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "protocol": f"min_of_{runs}",
     }))
     return 0
 

@@ -247,10 +247,15 @@ class AppendLoad(Algorithm):
         if self.targets:
             # Affected partitions of THIS load, with raw values — the
             # ANALYZE scope (TableStatistics analyzes only touched
-            # partitions, not the whole table).
-            from m3d_engine_spark.plans.partitions import collect_partitions
+            # partitions, not the whole table). The atomic writer
+            # already collected them from the persisted frame; only a
+            # non-partitioned mode (no collection) re-scans here.
+            if writer.last_affected is not None:
+                self.affected = writer.last_affected
+            else:
+                from m3d_engine_spark.plans.partitions import collect_partitions
 
-            self.affected = collect_partitions(df, self.targets)
+                self.affected = collect_partitions(df, self.targets)
         if self.params.has("header_dir"):
             self._persist_headers(df)
         if self.params.has("target_table"):
@@ -291,12 +296,19 @@ class AppendLoad(Algorithm):
         from m3d_engine_spark.plans.partitions import collect_partitions
 
         base = self.params.get_string("header_dir").rstrip("/")
-        for gdf in getattr(self, "_group_dfs", [df]):
+        groups = getattr(self, "_group_dfs", [df])
+        for gdf in groups:
             stripped = StructType(
                 [f for f in gdf.schema.fields if f.name not in self.targets]
             )
             header = json.dumps(stripped.jsonValue())
-            for crit in collect_partitions(self._with_partitions(gdf), self.targets):
+            if len(groups) == 1 and getattr(self, "affected", None):
+                # Single source group = the written frame itself; its
+                # partition set was already collected during the write.
+                crits = self.affected
+            else:
+                crits = collect_partitions(self._with_partitions(gdf), self.targets)
+            for crit in crits:
                 path = f"{base}/{partition_rel_path(crit)}/header.json"
                 if not self.dfs.exists(path):
                     self.dfs.write_text(path, header)

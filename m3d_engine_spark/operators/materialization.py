@@ -162,8 +162,11 @@ class FullMaterialization(Algorithm):
             reverse=True,
         )[: int(keep) + 1]
         base = self.base_dir.rstrip("/")
+        # Exact-name protection (plus the EMR marker twin) — substring
+        # containment would let a retained '2020' shield a stale '20201'.
+        protected = set(retained) | {f"{v}_$folder$" for v in retained}
         for entry in self.dfs.list_entries(self.base_dir):
-            if not any(v in entry for v in retained):
+            if entry not in protected:
                 self.dfs.delete(f"{base}/{entry}")
 
 

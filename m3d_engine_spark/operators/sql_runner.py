@@ -23,7 +23,15 @@ class SQLRunner(Algorithm):
         # The reference params files hold steps as a quoted string
         # ("steps": "5") and convert with .toString.toInt
         # (SQLRunner.scala:12-14) — accept both forms.
-        n = int(self.params.get_optional("steps"))
+        steps = self.params.get_optional("steps")
+        if steps is None:
+            from m3d_engine_spark.config import ConfigError
+
+            raise ConfigError(
+                "SQLRunner needs either 'statements' (list) or 'steps' "
+                "(count) plus numbered statement keys"
+            )
+        n = int(steps)
         return [self.params.get_string(str(i)) for i in range(n)]
 
     def read(self) -> list[DataFrame]:

@@ -87,6 +87,10 @@ class AtomicWriter:
     partition_columns: list[str] = field(default_factory=list)
     format: str = "parquet"
     output_files_num: int | None = None
+    # Partition criteria the last write() touched, collected while the
+    # frame was persisted — callers needing the ANALYZE scope reuse this
+    # instead of re-scanning the source (None for non-partitioned modes).
+    last_affected: list | None = None
 
     def _dfs(self) -> DFS:
         return DFS(self.spark)
@@ -209,6 +213,7 @@ class AtomicWriter:
         df = df.persist()
         try:
             affected = collect_partitions(df, self.partition_columns)
+            self.last_affected = affected
             tmp = f"{base}__tmp_{uuid.uuid4().hex[:12]}"
             backup = f"{base}__bak_{uuid.uuid4().hex[:12]}"
             self._write_dir(df, tmp)
