@@ -193,7 +193,12 @@ class _PartitionedMaterialization(Algorithm):
         if self.params.has("target_table"):
             from m3d_engine_spark.sources import catalog as cat
 
-            cat.recover_partitions_native(self.spark, self.params.get_string("target_table"))
+            cat.update_partition_metadata(
+                self.spark,
+                self.params.get_string("target_table"),
+                self.params.get_optional("metadata_update_strategy"),
+                writer.last_affected,
+            )
 
 
 @register("RangeMaterialization")

@@ -65,22 +65,55 @@ def recover_partitions_native(spark: SparkSession, table: str) -> None:
     spark.catalog.recoverPartitions(table)
 
 
-def recover_partitions_custom(
-    spark: SparkSession, table: str, df: DataFrame, partition_columns: Sequence[str]
+def add_partitions(
+    spark: SparkSession, table: str, criteria: Sequence[Sequence[tuple[str, Any]]]
 ) -> list[str]:
-    """Per-partition ADD PARTITION statements generated from the distinct
-    partition values present in ``df``
-    (util/RecoverPartitionsCustom.scala:12-31). Returns the statements
-    (the reference's unit tests assert on them)."""
-    from m3d_engine_spark.plans.partitions import collect_partitions, sql_literal
+    """Typed ADD PARTITION statements for the given criteria — the body
+    of the custom recovery strategy. Returns the statements (the
+    reference's unit tests assert on them)."""
+    from m3d_engine_spark.plans.partitions import sql_literal
 
     stmts = []
-    for crit in collect_partitions(df, partition_columns):
+    for crit in criteria:
         spec = ", ".join(f"{c}={sql_literal(v)}" for c, v in crit)
         stmts.append(f"ALTER TABLE {table} ADD IF NOT EXISTS PARTITION({spec})")
     for s in stmts:
         spark.sql(s)
     return stmts
+
+
+def recover_partitions_custom(
+    spark: SparkSession, table: str, df: DataFrame, partition_columns: Sequence[str]
+) -> list[str]:
+    """Per-partition ADD PARTITION statements generated from the distinct
+    partition values present in ``df``
+    (util/RecoverPartitionsCustom.scala:12-31)."""
+    from m3d_engine_spark.plans.partitions import collect_partitions
+
+    return add_partitions(spark, table, collect_partitions(df, partition_columns))
+
+
+def update_partition_metadata(
+    spark: SparkSession,
+    table: str,
+    strategy: str | None,
+    affected: Sequence[Sequence[tuple[str, Any]]] | None = None,
+) -> None:
+    """Route the ``metadata_update_strategy`` param the way the
+    reference's shared trait does
+    (config/shared/MetadataUpdateStrategy.scala:8-19): Native (MSCK)
+    when unset or 'SparkRecoverPartitionsNative',
+    'SparkRecoverPartitionsCustom' → typed ADD PARTITION from the
+    load's affected criteria, anything else is a config error."""
+    if strategy is None or strategy == "SparkRecoverPartitionsNative":
+        recover_partitions_native(spark, table)
+        return
+    if strategy == "SparkRecoverPartitionsCustom":
+        add_partitions(spark, table, affected or [])
+        return
+    from m3d_engine_spark.config import ConfigError
+
+    raise ConfigError(f"unsupported metadata_update_strategy {strategy!r}")
 
 
 def _unescape_hive_partition_value(v: str) -> str | None:
