@@ -181,6 +181,21 @@ def test_jaccard_cutoff_path_has_no_array_recompute(spark):
     assert "ReusedExchange" in executed, "self-join exchange no longer reused"
 
 
+def test_simhash64_banded_join_shape(spark):
+    """simhash64_hamming must stay a banded SMJ equi-join with the
+    shared signature exchange reused — never an all-pairs plan, with
+    the xor-popcount distance only above the join (on collisions)."""
+    import __spark_entry__ as m
+
+    df = m.queries()["simhash64_hamming"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "ReusedExchange" in executed, "banded self-join exchange not reused"
+
+
 def test_is_empty_non_empty(spark):
     from m3d_engine_spark.plans.partitions import is_empty, non_empty
 
