@@ -1246,9 +1246,10 @@ FROM documents
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode plumbing (multimodal.py::
     decode_media) with the deterministic stub kernel (no codecs in this
-    container). Rows-only: exercises the real batch path end-to-end —
-    schema, Arrow transfer, per-batch kernel — under the driver's own
-    session."""
+    container) — exercises the real batch path end-to-end: schema,
+    Arrow transfer, per-batch kernel. Fully oracled: the stub derives
+    every output column from md5/sha256 of the payload bytes, which
+    DuckDB reproduces with hex-nibble arithmetic."""
     from m3d_engine_spark.operators.multimodal import (
         decode_media,
         synthesize_media_from_documents,
@@ -1256,6 +1257,31 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return decode_media(synthesize_media_from_documents(docs), decode_stub=True)
+
+
+# The stub's digest-byte fields: byte k of md5(payload) is hex chars
+# 2k+1..2k+2; a nibble is its position in the hex alphabet.
+def _sql_md5_byte(k: int) -> str:
+    hi = f"(strpos('0123456789abcdef', substr(hh, {2*k+1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr(hh, {2*k+2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+_SQL_MULTIMODAL_DECODE = f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         sha256(text) AS sha256,
+         md5(text) AS hh
+  FROM documents
+)
+SELECT media_id, media_type, byte_len, sha256,
+       CAST(16 + {_sql_md5_byte(0)} % 240 AS INT) AS width,
+       CAST(16 + {_sql_md5_byte(1)} % 240 AS INT) AS height,
+       CAST(1 + {_sql_md5_byte(2)} % 64 AS INT) AS n_frames
+FROM h
+"""
 
 
 def q_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1398,8 +1424,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups": _SQL_EMBEDDING_DUPS,
         "sessionize": _SQL_SESSIONIZE,
         "multimodal_meta": _SQL_MULTIMODAL_META,
-        # "multimodal_decode" intentionally absent: the Arrow mapInPandas
-        # stub-decode is not SQL-expressible → rows-only check.
+        "multimodal_decode": _SQL_MULTIMODAL_DECODE,
         "brute_topk": _SQL_BRUTE_TOPK,
         "ann_topk": _SQL_ANN_TOPK,
     }
