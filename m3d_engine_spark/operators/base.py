@@ -40,6 +40,10 @@ class Algorithm(abc.ABC):
     def __init__(self, spark: SparkSession, params: ParamsFile):
         self.spark = spark
         self.params = params
+        # DataFrames persisted for the duration of one run(); always
+        # unpersisted when the run ends so long-lived sessions (thrift
+        # server, notebook, test suite) never accumulate cached blocks.
+        self._persisted: list[DataFrame] = []
 
     def prepare(self) -> None:
         """Resolve catalog/location state (side-effectful; optional)."""
@@ -58,10 +62,15 @@ class Algorithm(abc.ABC):
         overridden by catalog-backed algorithms."""
 
     def run(self) -> None:
-        self.prepare()
-        self.write(self.transform(self.read()))
-        if self.params.get_optional("compute_table_statistics", False):
-            self.update_statistics()
+        try:
+            self.prepare()
+            self.write(self.transform(self.read()))
+            if self.params.get_optional("compute_table_statistics", False):
+                self.update_statistics()
+        finally:
+            for df in self._persisted:
+                df.unpersist()
+            self._persisted.clear()
 
 
 def run_algorithm(spark: SparkSession, name: str, params_path: str) -> None:

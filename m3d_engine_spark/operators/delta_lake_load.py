@@ -117,10 +117,6 @@ class DeltaLakeLoadAlgorithm(Algorithm):
     def __init__(self, spark: SparkSession, params: ParamsFile):
         super().__init__(spark, params)
         self.affected: list = []
-        # Persisted relations still referenced by the returned DataFrame;
-        # released in write() so long-lived sessions don't accumulate
-        # cached blocks across runs.
-        self._persisted: list[DataFrame] = []
 
     def read(self) -> list[DataFrame]:
         p = self.params

@@ -136,6 +136,7 @@ class DeltaLoadAlgorithm(Algorithm):
                     targets,
                 )
             delta = delta.persist()
+            self._persisted.append(delta)
             affected = collect_partitions(delta, targets)
             self.affected = affected
             # Partition-pruned scan of the active table (SURVEY.md §4).

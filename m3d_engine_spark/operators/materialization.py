@@ -115,6 +115,7 @@ class FullMaterialization(Algorithm):
         df = self.spark.table(self.params.get_string("source_table"))
         if self.params.get_optional("to_cache", False):
             df = df.cache()  # Materialization.scala:19
+            self._persisted.append(df)
         return [df]
 
     def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:

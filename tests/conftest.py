@@ -27,6 +27,26 @@ def sf_dir():
     return SF_DIR
 
 
+@pytest.fixture(scope="session")
+def hive_golden_stdout(tmp_path_factory):
+    """One subprocess, one Hive/Derby session, every metastore-needing
+    scenario (tests/hive_scripts.py) — JVM+Derby bring-up paid once for
+    the whole suite instead of per test module."""
+    from tests.hive_scripts import run_all
+
+    proc = run_all(str(tmp_path_factory.mktemp("hive")))
+    return proc.stdout, proc.stderr
+
+
+def assert_hive_markers(output: tuple[str, str], *markers: str) -> None:
+    stdout, stderr = output
+    for marker in markers:
+        assert marker in stdout, (
+            f"missing {marker}\nstdout tail: {stdout[-1500:]}\n"
+            f"stderr tail: {stderr[-2500:]}"
+        )
+
+
 def multiset_equal(df_a, df_b) -> bool:
     """Order-insensitive multiset compare — the reference's golden-data
     checker (TestUtils.scala:10-24): groupBy(all cols).count on both
