@@ -1335,6 +1335,100 @@ QUALIFY rank <= 5
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal.py::asof_join): attach each non-purchase
+    event's user's most recent purchase at-or-before the event — the
+    union+window form (one shuffle on user_id, no join explosion, pure
+    JVM). Right side pre-aggregated per (user, ts) so the match is
+    deterministic; oracle is DuckDB's native ASOF LEFT JOIN."""
+    from m3d_engine_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("_matched_ts").alias("purchase_ts_us"),
+        "purchase_value",
+    )
+
+
+_SQL_ASOF_JOIN = """
+WITH l AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type <> 'purchase'
+), r AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.event_type,
+       epoch_us(l.ts) AS ts_us,
+       epoch_us(r.ts) AS purchase_ts_us,
+       r.purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed point-in-interval join (temporal.py::
+    bucketed_range_join): error events falling in the 2 hours after
+    a purchase by the same user. Intervals explode into
+    interval-length buckets → equi-join on (user, bucket) → exact BETWEEN refine; each
+    left row owns one bucket so pairs match exactly once. The raw
+    inequality-join plan Spark would pick is a
+    BroadcastNestedLoopJoin — quadratic at scale; this stays a
+    bounded-fan-out equi-join."""
+    from m3d_engine_spark.operators.temporal import bucketed_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    out = bucketed_range_join(
+        errors, windows, on=["user_id"], left_point="ts",
+        right_start="start_ts", right_end="end_ts",
+        bucket_width=7_200_000_000,  # 2 h in µs = interval length
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("start_ts").alias("window_start_us"),
+    )
+
+
+_SQL_RANGE_JOIN = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'error'
+), w AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS start_ts,
+         CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS end_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id,
+       epoch_us(e.ts) AS ts_us,
+       epoch_us(w.start_ts) AS window_start_us
+FROM e JOIN w
+  ON e.user_id = w.user_id AND e.ts >= w.start_ts AND e.ts <= w.end_ts
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1384,6 +1478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "brute_topk": q_brute_topk,
         "ann_topk": q_ann_topk,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -1427,4 +1523,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _SQL_MULTIMODAL_DECODE,
         "brute_topk": _SQL_BRUTE_TOPK,
         "ann_topk": _SQL_ANN_TOPK,
+        "asof_join": _SQL_ASOF_JOIN,
+        "range_join": _SQL_RANGE_JOIN,
     }

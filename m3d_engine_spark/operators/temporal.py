@@ -1,0 +1,145 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and
+point-in-interval (range) join.
+
+Beyond-reference capability (the reference engine has no temporal
+joins); both are staples of a large-scale event/feature pipeline —
+"attach the latest state as of this event" and "which window does this
+event fall into". Implemented as compositions of existing DataFrame
+ops, never per-key Python:
+
+* ``asof_join`` — the union+window trick: tag right rows, union by
+  key+time, carry the last right value forward with
+  ``last(..., ignorenulls=True)`` over a key-partitioned window, keep
+  left rows. ONE shuffle on the key, whole-stage codegen end-to-end —
+  at 100 TB this is a plain repartition+sort, no join explosion, no
+  Python. (pandas users know this as ``merge_asof``.)
+* ``bucketed_range_join`` — the classic bucketed interval join: quantize
+  the left point to a time bucket, explode each right interval into the
+  buckets it covers, equi-join on (key, bucket), refine with the exact
+  BETWEEN predicate. Each left row owns exactly one bucket, so a
+  qualifying pair matches exactly once — no post-join dedup. Without
+  the bucketing Spark plans interval predicates as BroadcastNestedLoop
+  — quadratic and undistributable at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the right row with
+    the greatest ``right_ts`` <= ``left_ts`` (direction='backward'; the
+    inclusive match mirrors DuckDB/pandas ``ASOF JOIN`` with ``>=``) or
+    the least ``right_ts`` >= ``left_ts`` ('forward') within the same
+    ``on`` key group. Left rows with no match keep NULLs (left-outer
+    semantics). Right must be unique per (on, right_ts) — pre-aggregate
+    if it is not, or the carried value is plan-order-dependent.
+
+    Returns the left columns plus one ``<col>`` per value_col and
+    ``_matched_ts`` (the matched right timestamp, NULL when unmatched).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    on = list(on)
+    value_cols = list(value_cols)
+    left_cols = left.columns
+    # Right rows sort BEFORE left rows at equal ts so the equal-ts right
+    # row is visible to the left row (inclusive match), in both
+    # directions.
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.col(right_ts).alias("_matched_ts"),
+        *[F.col(c) for c in value_cols],
+    )
+    l = left.select(
+        *[F.col(c) for c in left_cols],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(r.schema["_matched_ts"].dataType).alias("_matched_ts"),
+        *[
+            F.lit(None).cast(r.schema[c].dataType).alias(c)
+            for c in value_cols
+        ],
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    order: list[Column] = [F.col("_ts"), F.col("_is_left")]
+    if direction == "forward":
+        order = [F.col("_ts").desc(), F.col("_is_left")]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = {
+        c: F.last(F.when(F.col("_is_left") == 0, F.col(c)), ignorenulls=True).over(w)
+        for c in ["_matched_ts", *value_cols]
+    }
+    return (
+        unioned.withColumns(carried)
+        .filter(F.col("_is_left") == 1)
+        .select(*left_cols, "_matched_ts", *value_cols)
+    )
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: Column | int,
+    point_to_long: Column | None = None,
+    start_to_long: Column | None = None,
+    end_to_long: Column | None = None,
+) -> DataFrame:
+    """Inner point-in-interval join: left rows whose ``left_point`` falls
+    in [right_start, right_end] of a right interval with matching ``on``
+    keys — every qualifying (left, right) pair, exactly once.
+
+    ``bucket_width`` is the quantization grain in the units of the long
+    mapping (defaults: timestamps → epoch micros). Pick it near the
+    typical interval length: each interval explodes into
+    ``len/width + 1`` bucket rows while each left row stays single —
+    the join stays an equi-join with bounded fan-out instead of the
+    BroadcastNestedLoopJoin Spark plans for raw inequality conditions.
+    """
+    on = list(on)
+    p = point_to_long if point_to_long is not None else F.unix_micros(F.col(left_point))
+    s = start_to_long if start_to_long is not None else F.unix_micros(F.col(right_start))
+    e = end_to_long if end_to_long is not None else F.unix_micros(F.col(right_end))
+    width = bucket_width if isinstance(bucket_width, Column) else F.lit(bucket_width)
+    lb = left.withColumn("_p", p).withColumn(
+        "_bucket", F.floor(F.col("_p") / width)
+    )
+    rb = (
+        right.withColumn("_s", s)
+        .withColumn("_e", e)
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_s") / width), F.floor(F.col("_e") / width)
+                )
+            ),
+        )
+    )
+    joined = lb.join(rb, on=on + ["_bucket"], how="inner").filter(
+        (F.col("_p") >= F.col("_s")) & (F.col("_p") <= F.col("_e"))
+    )
+    return joined.drop("_bucket", "_p", "_s", "_e")
