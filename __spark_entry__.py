@@ -1429,6 +1429,44 @@ FROM e JOIN w
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (dedup.py::
+    winnowing_fingerprints): MOSS-style sliding-window minima over
+    ordered shingle hashes — the bounded-density sketch for
+    shared-substring / plagiarism-style matching."""
+    from m3d_engine_spark.operators.dedup import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, "doc_id", "text", shingle_n=3, window=4)
+
+
+# Ordered (non-distinct) shingles — winnowing is positional, unlike the
+# set-based _SQL_SHINGLES.
+_SQL_SHINGLES_ORDERED = (
+    "CASE WHEN len(t) >= 3 THEN "
+    "list_transform(range(0, len(t) - 2), i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')) "
+    "ELSE [array_to_string(t, ' ')] END"
+)
+
+_SQL_WINNOW_FINGERPRINTS = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES_ORDERED} AS s FROM toks
+), pos AS (
+  SELECT doc_id, md5(unnest(s)) AS h, generate_subscripts(s, 1) AS pos, len(s) AS n_sh
+  FROM sh
+), wmin AS (
+  SELECT doc_id, pos, n_sh,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fingerprint
+  FROM pos
+)
+SELECT DISTINCT doc_id, fingerprint
+FROM wmin WHERE pos >= 4 OR pos = n_sh
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1480,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -1525,4 +1564,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _SQL_ANN_TOPK,
         "asof_join": _SQL_ASOF_JOIN,
         "range_join": _SQL_RANGE_JOIN,
+        "winnow_fingerprints": _SQL_WINNOW_FINGERPRINTS,
     }

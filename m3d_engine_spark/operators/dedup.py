@@ -64,6 +64,55 @@ def shingle_array(text: Column, n: int) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+# ----------------------------------------------------------- winnowing
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Document fingerprints by winnowing (Schleimer et al., the MOSS
+    algorithm): hash every ORDERED token ``shingle_n``-gram, slide a
+    ``window``-wide window over the hash sequence, keep each window's
+    minimum — the distinct kept hashes are the document's fingerprint
+    set, guaranteed to share members for any match of length
+    ``window + shingle_n - 1`` tokens. Density is ~2/(window+1) of all
+    shingles, so the fingerprint set is a bounded-size sketch.
+
+    Hashes are md5 hex strings (lexicographic min — engine-portable,
+    oracle-checkable). Topology: posexplode → ONE exchange on the doc
+    id (both the count and the sliding-min windows share it) → distinct.
+    Documents shorter than one full window contribute their final
+    (partial-window) minimum so every document gets >= 1 fingerprint.
+
+    Returns (id, fingerprint) rows; equal fingerprints across documents
+    are shared-substring evidence (the join key for plagiarism-style
+    candidate generation).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.posexplode(shingle_array(F.col(text_col), shingle_n)).alias(
+            "pos", "shingle"
+        ),
+    ).withColumn("h", F.md5("shingle"))
+    per_doc = Window.partitionBy(id_col)
+    sliding = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    return (
+        sh.withColumn("n_sh", F.count(F.lit(1)).over(per_doc))
+        .withColumn("wmin", F.min("h").over(sliding))
+        .filter(
+            (F.col("pos") >= window - 1) | (F.col("pos") == F.col("n_sh") - 1)
+        )
+        .select(F.col(id_col), F.col("wmin").alias("fingerprint"))
+        .distinct()
+    )
+
+
 # -------------------------------------------------------- MinHash + LSH
 def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
     """array<string> of ``num_hashes`` MinHash values: hash_j = min over

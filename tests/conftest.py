@@ -11,7 +11,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     s = build_session(
         app_name="m3d-tests",
-        master="local[4]",
+        master="local[8]",
         extra_conf={
             "spark.sql.shuffle.partitions": "4",
             "spark.ui.enabled": "false",

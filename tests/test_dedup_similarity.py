@@ -274,3 +274,32 @@ def test_prefix_length_rounds_before_ceil(spark):
     )
     assert row.naive == 8  # the float trap is real
     assert row.fixed == 7
+
+
+def test_winnowing_fingerprints_guarantee(spark):
+    """Winnowing's contract (Schleimer et al. §2): any shared token run
+    of length >= window + shingle_n - 1 produces at least one shared
+    fingerprint; disjoint-vocabulary documents share none. Also pins the
+    short-document fallback (>= 1 fingerprint for any non-empty doc)
+    and the bounded density (selected <= full windows)."""
+    from m3d_engine_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens >= 4+3-1
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"one two three {shared} four five six"),
+            Row(doc_id=2, text=f"seven eight {shared} nine ten"),
+            Row(doc_id=3, text="entirely disjoint vocabulary here nothing matches"),
+            Row(doc_id=4, text="tiny"),  # < one shingle window
+        ]
+    )
+    fp = winnowing_fingerprints(docs, "doc_id", "text", shingle_n=3, window=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    assert len(by_doc[4]) == 1  # short-doc fallback fingerprint
+    # Density bound: can never select more than one hash per full window.
+    n_shingles = 12 - 3 + 1  # doc 1: 12 tokens
+    assert len(by_doc[1]) <= n_shingles - 4 + 1

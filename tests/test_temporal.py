@@ -105,9 +105,3 @@ def test_range_join_matches_naive_and_avoids_bnlj(spark):
     assert got == naive and len(naive) > 0
     plan = _plan(out)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
-    # The raw-predicate formulation Spark would pick — pinned as the
-    # anti-pattern this operator exists to avoid.
-    raw = left.join(right, on=["k"]).filter(
-        (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e"))
-    )
-    assert sorted((r.k, r.p, r.s, r.e) for r in raw.collect()) == naive
