@@ -1467,6 +1467,62 @@ FROM wmin WHERE pos >= 4 OR pos = n_sh
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS (graph.py::connected_components): transitive
+    closure of the MinHash-LSH candidate pairs via iterative min-label
+    propagation — the step that turns pairwise dedup signals into
+    per-document cluster labels (component = min doc_id, the canonical
+    survivor). Oracle is a recursive-CTE reachability closure."""
+    from m3d_engine_spark.operators.dedup import minhash_lsh_candidates
+    from m3d_engine_spark.operators.graph import connected_components
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=16, bands=8)
+    comp = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id",
+        src_col="id_a", dst_col="id_b",
+    )
+    return comp.select(
+        "doc_id", "component",
+        F.count(F.lit(1)).over(W.partitionBy("component"))
+        .cast("int").alias("cluster_size"),
+    )
+
+
+def _sql_dedup_clusters() -> str:
+    # Reuses the minhash band SQL; closure by recursive reachability,
+    # component = min reachable id (incl. self), singletons = own id.
+    bands_sql = _sql_minhash_lsh().strip()
+    with_body = bands_sql[len("WITH "):bands_sql.index("SELECT DISTINCT")]
+    pairs_select = bands_sql[bands_sql.index("SELECT DISTINCT"):]
+    return f"""
+WITH RECURSIVE {with_body.rstrip()},
+pairs AS (
+{pairs_select}
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+comp AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+  GROUP BY d.doc_id
+)
+SELECT doc_id, component,
+       CAST(count(*) OVER (PARTITION BY component) AS INT) AS cluster_size
+FROM comp
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1519,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1565,4 +1622,5 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _SQL_ASOF_JOIN,
         "range_join": _SQL_RANGE_JOIN,
         "winnow_fingerprints": _SQL_WINNOW_FINGERPRINTS,
+        "dedup_clusters": _sql_dedup_clusters(),
     }

@@ -1,0 +1,45 @@
+"""Connected components (min-label propagation) — the dedup clustering
+stage."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from m3d_engine_spark.operators.graph import connected_components
+
+
+def test_components_chain_triangle_singleton(spark):
+    nodes = spark.createDataFrame([Row(id=i) for i in range(9)])
+    edges = spark.createDataFrame(
+        [
+            Row(src=0, dst=1), Row(src=1, dst=2), Row(src=2, dst=3),
+            Row(src=3, dst=4),                       # 5-chain: diameter > 1 round
+            Row(src=5, dst=6), Row(src=6, dst=7), Row(src=5, dst=7),  # triangle
+            # 8 isolated
+        ]
+    )
+    out = {r.id: r.component for r in
+           connected_components(nodes, edges).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 5, 8: 8}
+
+
+def test_components_undirected_and_duplicate_edges(spark):
+    nodes = spark.createDataFrame([Row(id=i) for i in (10, 20, 30)])
+    # Directed duplicates + reversed direction must not matter.
+    edges = spark.createDataFrame(
+        [Row(src=30, dst=20), Row(src=20, dst=30), Row(src=20, dst=10)]
+    )
+    out = {r.id: r.component for r in
+           connected_components(nodes, edges).collect()}
+    assert out == {10: 10, 20: 10, 30: 10}
+
+
+def test_components_converge_within_max_iterations(spark):
+    # A 12-chain needs several propagation rounds; max_iterations must
+    # cover realistic dedup-cluster diameters with room to spare.
+    n = 12
+    nodes = spark.createDataFrame([Row(id=i) for i in range(n)])
+    edges = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(n - 1)])
+    out = {r.id: r.component for r in
+           connected_components(nodes, edges).collect()}
+    assert set(out.values()) == {0} and len(out) == n
