@@ -1523,6 +1523,36 @@ FROM comp
 """
 
 
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``; both sort-exact, rounded at 4dp to absorb
+    last-ulp interpolation differences) — the distribution-cut shape a
+    data curation pipeline runs constantly (e.g. quality-score
+    thresholds). At 100 TB swap in approx_percentile: the per-group
+    exact sort becomes the bottleneck long before the shuffle does."""
+    part = _t(spark, sf_dir, "part")
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.round(F.expr(f"percentile(p_retailprice, {p})"), 4).alias(name)
+            for name, p in qs.items()
+        ],
+    )
+
+
+_SQL_PRICE_QUANTILES = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(p_retailprice, 0.25), 4) AS p25,
+       round(quantile_cont(p_retailprice, 0.5), 4) AS p50,
+       round(quantile_cont(p_retailprice, 0.75), 4) AS p75,
+       round(quantile_cont(p_retailprice, 0.95), 4) AS p95
+FROM part
+GROUP BY p_brand
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1576,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_clusters": q_dedup_clusters,
+        "price_quantiles": q_price_quantiles,
     }
 
 
@@ -1623,4 +1654,5 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _SQL_RANGE_JOIN,
         "winnow_fingerprints": _SQL_WINNOW_FINGERPRINTS,
         "dedup_clusters": _sql_dedup_clusters(),
+        "price_quantiles": _SQL_PRICE_QUANTILES,
     }
