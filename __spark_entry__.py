@@ -1553,6 +1553,67 @@ GROUP BY p_brand
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (similarity.py::ivf_topk): deterministic sampled
+    coarse quantizer (every 125th vector), corpus assigned to its
+    nearest centroid's inverted list, queries probe their 4 nearest
+    lists — the third ANN tier next to the sign-LSH buckets and the
+    seeded multi-table hyperplane LSH."""
+    from m3d_engine_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5,
+        centroid_stride=125, n_probe=4,
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+        f"(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+        f"sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 4)"
+    )
+
+
+_SQL_IVF_TOPK = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS centv
+  FROM embeddings WHERE vec_id % 125 = 0
+), casg AS (
+  SELECT e.vec_id AS id, c.cent_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_cosine("e.embedding", "c.centv")} DESC, c.cent_id ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+), corpus_asg AS (
+  SELECT id AS neighbor_id, cent_id AS cluster FROM casg WHERE rn = 1
+), query_asg AS (
+  SELECT id AS query_id, cent_id AS cluster FROM casg
+  WHERE rn <= 4 AND id % 25 = 0
+), cand AS (
+  SELECT DISTINCT q.query_id, ca.neighbor_id
+  FROM query_asg q JOIN corpus_asg ca ON q.cluster = ca.cluster
+  WHERE ca.neighbor_id <> q.query_id
+), pairs AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_sql_cosine("l.embedding", "r.embedding")} AS cosine
+  FROM cand
+  JOIN embeddings l ON cand.query_id = l.vec_id
+  JOIN embeddings r ON cand.neighbor_id = r.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+       ) AS INTEGER) AS rank,
+       cosine
+FROM pairs
+QUALIFY rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1607,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_clusters": q_dedup_clusters,
         "price_quantiles": q_price_quantiles,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -1655,4 +1717,5 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _SQL_WINNOW_FINGERPRINTS,
         "dedup_clusters": _sql_dedup_clusters(),
         "price_quantiles": _SQL_PRICE_QUANTILES,
+        "ivf_topk": _SQL_IVF_TOPK,
     }

@@ -107,6 +107,92 @@ def bucketed_ann_topk(
     return _ranked_topk(pairs, "query_id", "neighbor_id", k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    centroid_stride: int = 125,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse quantizer partitions the
+    corpus into inverted lists; each query probes only its ``n_probe``
+    nearest centroids' lists.
+
+    The coarse quantizer here is SAMPLED, not trained: every
+    ``centroid_stride``-th corpus vector (by id) is a centroid — fully
+    deterministic, so the whole operator is oracle-checkable, and the
+    centroid count grows with the corpus (√N is the classical target;
+    pick the stride accordingly). Swapping in k-means centroids changes
+    only the centroid relation, not the assignment/probe topology.
+
+    Topology: assignment is a broadcast join corpus × centroids →
+    argmax cosine (row_number over (round(cos,4) DESC, centroid ASC) —
+    the deterministic tiebreak), the same for queries with rank ≤
+    ``n_probe``; candidates come from the equi-join on the centroid id.
+    At 10⁹ vectors: centroids stay broadcastable (√N ≈ 30k rows), the
+    corpus is scanned once for assignment, and the probe join is
+    shuffle-partitioned by inverted list — bucket the corpus table by
+    ``cluster`` at write time and the probe becomes a pruned scan.
+    """
+    cents = F.broadcast(
+        corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("centv"),
+            norm(F.col(vec_col)).alias("centn"),
+        )
+    )
+
+    def assigned(df: DataFrame, idc: str, keep: int) -> DataFrame:
+        sim = F.round(
+            dot(F.col(vec_col), F.col("centv"))
+            / (norm(F.col(vec_col)) * F.col("centn")),
+            4,
+        )
+        w = Window.partitionBy(idc).orderBy(
+            F.col("_sim").desc(), F.col("cent_id").asc()
+        )
+        return (
+            df.select(F.col(id_col).alias(idc), F.col(vec_col))
+            .crossJoin(cents)
+            .withColumn("_sim", sim)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= keep)
+            .select(F.col(idc), F.col("cent_id").alias("cluster"))
+        )
+
+    cand = (
+        assigned(corpus, "neighbor_id", 1)
+        .join(assigned(queries, "query_id", n_probe), on="cluster")
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    scored = (
+        cand.join(c_vec, on="neighbor_id")
+        .join(F.broadcast(q_vec), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cosine"),
+        )
+    )
+    return _ranked_topk(scored, "query_id", "neighbor_id", k)
+
+
 def seeded_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
