@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from m3d_engine_spark.functions import text as T
 from m3d_engine_spark.functions.dates import with_date_components
+from m3d_engine_spark.functions.epoch import epoch_us_of
 from m3d_engine_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_candidates,
@@ -67,11 +68,15 @@ from m3d_engine_spark.sources.testdata import load_table
 # --------------------------------------------------------------------------
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The driver may hand us a session without the nanos-as-long legacy
-    # conf that events.parquet (TIMESTAMP_NANOS) needs; it is a runtime
-    # SQL conf, so set it defensively before reading.
+    # The driver may hand us a session without the engine's confs; both
+    # are runtime SQL confs, so set them defensively before reading:
+    # nanos-as-long for the legacy TIMESTAMP(NANOS) events encoding, and
+    # UTC session zone so the TIMESTAMP_NTZ -> TIMESTAMP normalization
+    # in load_table is exact and agrees with DuckDB's epoch_us (which
+    # treats naive timestamps as UTC).
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     return load_table(spark, sf_dir, name)
@@ -1189,8 +1194,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sessionize(ev.select("user_id", "ts", "value"), gap="30 minutes")
     return out.select(
         "user_id",
-        F.unix_micros("session_start").alias("start_us"),
-        F.unix_micros("session_end").alias("end_us"),
+        epoch_us_of(out, "session_start").alias("start_us"),
+        epoch_us_of(out, "session_end").alias("end_us"),
         F.col("n_events").cast("int").alias("n_events"),
         "sum_value",
     )
@@ -1358,8 +1363,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "user_id", "event_type",
-        F.unix_micros("ts").alias("ts_us"),
-        F.unix_micros("_matched_ts").alias("purchase_ts_us"),
+        epoch_us_of(out, "ts").alias("ts_us"),
+        epoch_us_of(out, "_matched_ts").alias("purchase_ts_us"),
         "purchase_value",
     )
 
@@ -1407,8 +1412,8 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.unix_micros("start_ts").alias("window_start_us"),
+        epoch_us_of(out, "ts").alias("ts_us"),
+        epoch_us_of(out, "start_ts").alias("window_start_us"),
     )
 
 

@@ -119,10 +119,15 @@ def bucketed_range_join(
     the join stays an equi-join with bounded fan-out instead of the
     BroadcastNestedLoopJoin Spark plans for raw inequality conditions.
     """
+    from m3d_engine_spark.functions.epoch import epoch_us_of
+
     on = list(on)
-    p = point_to_long if point_to_long is not None else F.unix_micros(F.col(left_point))
-    s = start_to_long if start_to_long is not None else F.unix_micros(F.col(right_start))
-    e = end_to_long if end_to_long is not None else F.unix_micros(F.col(right_end))
+    # Defaults are type-agnostic (TIMESTAMP / TIMESTAMP_NTZ / epoch-ns
+    # long all accepted) so a testdata encoding change cannot break the
+    # operator mid-plan.
+    p = point_to_long if point_to_long is not None else epoch_us_of(left, left_point)
+    s = start_to_long if start_to_long is not None else epoch_us_of(right, right_start)
+    e = end_to_long if end_to_long is not None else epoch_us_of(right, right_end)
     width = bucket_width if isinstance(bucket_width, Column) else F.lit(bucket_width)
     lb = left.withColumn("_p", p).withColumn(
         "_bucket", F.floor(F.col("_p") / width)

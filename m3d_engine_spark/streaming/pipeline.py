@@ -112,10 +112,15 @@ def sessionize_batch(
     """
     from pyspark.sql.window import Window
 
+    from m3d_engine_spark.functions.epoch import epoch_us
+
     gap_us = int(_duration_seconds(gap) * 1_000_000)
+    ts_type = events.schema[ts_col].dataType
     w = Window.partitionBy(user_col).orderBy(ts_col)
     brk = F.when(
-        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w)) > gap_us,
+        epoch_us(F.col(ts_col), ts_type)
+        - epoch_us(F.lag(ts_col).over(w), ts_type)
+        > gap_us,
         F.lit(1),
     ).otherwise(F.lit(0))
     sess = (
