@@ -3,19 +3,32 @@
 Beyond-reference capability. Pair generators (MinHash/LSH, SimHash,
 Jaccard, embedding near-dup) emit EDGES; production dedup needs the
 transitive closure: every document labeled with its duplicate-cluster
-id so one canonical survivor per cluster can be kept. This is
-min-label propagation to a fixpoint:
+id so one canonical survivor per cluster can be kept.
 
-    label(v) <- min(label(v), min over neighbors(label(u)))
+Two interchangeable implementations, same signature and output:
 
-iterated until no label changes. Each iteration is ONE distributed
-join + aggregation (shuffles keyed on vertex id); the driver only
-checks a convergence count. Iterations needed = graph diameter in the
-worst case — dedup-cluster diameters are tiny (most clusters are
-cliques or short chains from banded LSH), so 2-4 rounds in practice.
-For adversarial long-chain graphs, raise ``max_iterations`` or switch
-the edge set to the large-star/small-star contraction (same primitive,
-fewer rounds); checkpointing every few rounds keeps lineage bounded.
+* ``connected_components`` — min-label propagation to a fixpoint:
+
+      label(v) <- min(label(v), min over neighbors(label(u)))
+
+  Each iteration is ONE distributed join + aggregation (shuffles keyed
+  on vertex id); the driver only checks a convergence count.
+  Iterations needed = graph diameter — dedup-cluster diameters are
+  tiny (banded LSH emits near-cliques), so 2-4 rounds in practice.
+  This is the default for dedup workloads.
+
+* ``connected_components_star`` — the large-star/small-star edge
+  contraction (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14): alternately point every high neighbor at its
+  neighborhood minimum (large-star) and every low neighbor at the
+  minimum of the low neighborhood (small-star) until the edge set is a
+  union of stars centered at component minima. Converges in
+  O(log² n) rounds REGARDLESS of diameter — the escape hatch for
+  adversarial long-chain graphs where label propagation would pay
+  diameter rounds. Each half-round is one aggregation + one join on
+  the same vertex key. Edge volume never grows (each operation maps
+  every edge to exactly one, possibly collapsing, edge), so peak
+  shuffle size is bounded by the input edge count.
 
 Determinism: the component id is min(vertex id) of the component —
 engine-portable and oracle-checkable with a recursive CTE.
@@ -25,6 +38,46 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def propagation_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label-propagation round: join each vertex's neighbors'
+    labels, take the minimum, fold into the current label. Returns the
+    updated (a, component, _changed) relation. Exposed for plan pinning
+    (tools/gen_plans.py) — both shuffles key on the vertex id.
+
+    ``sym`` is the symmetric (a, b) edge relation; ``labels`` is
+    (a, component).
+    """
+    neighbor_min = (
+        sym.join(
+            labels.select(
+                F.col("a").alias("b"), F.col("component").alias("nb_label")
+            ),
+            on="b",
+        )
+        .groupBy("a")
+        .agg(F.min("nb_label").alias("nb_min"))
+    )
+    return labels.join(neighbor_min, on="a", how="left").select(
+        "a",
+        F.least(
+            F.col("component"), F.coalesce("nb_min", F.col("component"))
+        ).alias("component"),
+        (
+            F.col("nb_min").isNotNull()
+            & (F.col("nb_min") < F.col("component"))
+        ).alias("_changed"),
+    )
+
+
+def _symmetrize(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    return (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
 
 
 def connected_components(
@@ -40,10 +93,7 @@ def connected_components(
     (including itself); nodes absent from ``edges`` form singleton
     components. ``edges`` is treated as undirected."""
     sym = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
+        _symmetrize(edges, src_col, dst_col)
         # The edge list is re-read EVERY round; left lazy, an expensive
         # upstream (an LSH pair pipeline) would be re-executed per
         # iteration. Unpersisted before returning — by then the labels
@@ -54,31 +104,7 @@ def connected_components(
         F.col(id_col).alias("a"), F.col(id_col).alias("component")
     )
     for i in range(max_iterations):
-        # Neighbor minimum: for each vertex, the smallest label among its
-        # neighbors' current labels.
-        neighbor_min = (
-            sym.join(
-                labels.select(
-                    F.col("a").alias("b"), F.col("component").alias("nb_label")
-                ),
-                on="b",
-            )
-            .groupBy("a")
-            .agg(F.min("nb_label").alias("nb_min"))
-        )
-        updated = (
-            labels.join(neighbor_min, on="a", how="left")
-            .select(
-                "a",
-                F.least(
-                    F.col("component"), F.coalesce("nb_min", F.col("component"))
-                ).alias("component"),
-                (
-                    F.col("nb_min").isNotNull()
-                    & (F.col("nb_min") < F.col("component"))
-                ).alias("_changed"),
-            )
-        )
+        updated = propagation_round(sym, labels)
         if (i + 1) % checkpoint_every == 0:
             # Materialize: the convergence count below is an action, and
             # without a checkpoint every later round would re-execute the
@@ -94,3 +120,97 @@ def connected_components(
         labels = labels.localCheckpoint(eager=True)
     sym.unpersist()
     return labels.select(F.col("a").alias(id_col), "component")
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star: every neighbor LARGER than u points at
+    m = min(N(u) ∪ {u}). Returns the new symmetric edge relation."""
+    m = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("_nbmin"))
+        .select("a", F.least(F.col("_nbmin"), F.col("a")).alias("m"))
+    )
+    out = (
+        sym.join(m, on="a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("src"), F.col("m").alias("dst"))
+    )
+    return _symmetrize(out, "src", "dst")
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """Small-star: over the edges pointing DOWN (b < a), u and all its
+    low neighbors point at the lowest of them. Returns the new
+    symmetric edge relation."""
+    down = sym.filter(F.col("b") < F.col("a"))
+    m = down.groupBy("a").agg(F.min("b").alias("m"))
+    relink = (
+        down.join(m, on="a")
+        .filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("src"), F.col("m").alias("dst"))
+    )
+    self_link = m.select(F.col("a").alias("src"), F.col("m").alias("dst"))
+    return _symmetrize(relink.union(self_link), "src", "dst")
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Large-star/small-star contraction. Same contract as
+    ``connected_components``; use when the graph may contain LONG
+    chains (diameter ≫ log n), where label propagation pays one round
+    per hop and this pays O(log² n) rounds total.
+
+    Convergence: each (large, small) round ends with an aggregate
+    fingerprint of the edge set — (count, sum of xxhash64(a, b)) — one
+    scan, no driver-side edge collection; the loop stops when the
+    fingerprint repeats. Both operations only move edge endpoints
+    downward, so the fingerprint sequence reaches its fixpoint in
+    O(log² n) rounds (SoCC'14, Thm 1-2).
+
+    ``stats``, if given, receives {"rounds": n} — pinned by
+    tests/test_graph.py on a long chain.
+    """
+    sym = _symmetrize(edges, src_col, dst_col).persist()
+    prev_fp = None
+    rounds = 0
+    for _ in range(max_iterations):
+        new_sym = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        rounds += 1
+        fp = new_sym.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a long sum of 64-bit hashes overflows under
+            # ANSI mode; decimal(38,0) has 18 digits of headroom.
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sym.unpersist()
+        sym = new_sym.persist()
+        if (fp["n"], fp["h"]) == prev_fp:
+            break
+        prev_fp = (fp["n"], fp["h"])
+    if stats is not None:
+        stats["rounds"] = rounds
+    # Converged edge set is a union of stars: every non-center vertex
+    # has exactly one downward edge, to its component's minimum.
+    centers = (
+        sym.filter(F.col("b") < F.col("a"))
+        .groupBy("a")
+        .agg(F.min("b").alias("component"))
+    )
+    out = (
+        nodes.select(F.col(id_col).alias("a"))
+        .join(centers, on="a", how="left")
+        .select(
+            F.col("a").alias(id_col),
+            F.coalesce("component", F.col("a")).alias("component"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
+    return out

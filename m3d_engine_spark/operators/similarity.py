@@ -128,9 +128,16 @@ def ivf_topk(
     only the centroid relation, not the assignment/probe topology.
 
     Topology: assignment is a broadcast join corpus × centroids →
-    argmax cosine (row_number over (round(cos,4) DESC, centroid ASC) —
-    the deterministic tiebreak), the same for queries with rank ≤
-    ``n_probe``; candidates come from the equi-join on the centroid id.
+    argmax cosine. The corpus side takes the argmax with ``max_by`` over
+    a (round(cos,4), −centroid) ordering struct — a hash aggregation
+    whose PARTIAL phase collapses each vector's C centroid rows inside
+    the scan partition they were generated in, so the exchange carries
+    one row per corpus vector, never the N×C cross product (a
+    row_number window here would shuffle all N×C rows — N^1.5 at √N
+    centroids — just to keep one). The query side keeps the
+    row_number window (rank ≤ ``n_probe``): it is queries × centroids,
+    tiny by construction, and needs the top-n not the top-1.
+    Candidates come from the equi-join on the centroid id.
     At 10⁹ vectors: centroids stay broadcastable (√N ≈ 30k rows), the
     corpus is scanned once for assignment, and the probe join is
     shuffle-partitioned by inverted list — bucket the corpus table by
@@ -150,14 +157,30 @@ def ivf_topk(
             / (norm(F.col(vec_col)) * F.col("centn")),
             4,
         )
+        scored = (
+            df.select(F.col(id_col).alias(idc), F.col(vec_col))
+            .crossJoin(cents)
+            .withColumn("_sim", sim)
+        )
+        if keep == 1:
+            # Argmax as max_by over a totally-ordered struct: highest
+            # rounded cosine wins, ties to the LOWEST cent_id (hence the
+            # negation — struct comparison is lexicographic max). Same
+            # total order as the window below, but map-side combinable.
+            return scored.groupBy(idc).agg(
+                F.max_by(
+                    "cent_id",
+                    F.struct(
+                        F.col("_sim").alias("s"),
+                        (-F.col("cent_id")).alias("nc"),
+                    ),
+                ).alias("cluster")
+            )
         w = Window.partitionBy(idc).orderBy(
             F.col("_sim").desc(), F.col("cent_id").asc()
         )
         return (
-            df.select(F.col(id_col).alias(idc), F.col(vec_col))
-            .crossJoin(cents)
-            .withColumn("_sim", sim)
-            .withColumn("_rn", F.row_number().over(w))
+            scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= keep)
             .select(F.col(idc), F.col("cent_id").alias("cluster"))
         )

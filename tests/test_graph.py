@@ -43,3 +43,50 @@ def test_components_converge_within_max_iterations(spark):
     out = {r.id: r.component for r in
            connected_components(nodes, edges).collect()}
     assert set(out.values()) == {0} and len(out) == n
+
+
+# ------------------------------------------------- star contraction
+
+from m3d_engine_spark.operators.graph import connected_components_star  # noqa: E402
+
+
+def test_star_matches_label_prop_on_mixed_graph(spark):
+    nodes = spark.createDataFrame([Row(id=i) for i in range(9)])
+    edges = spark.createDataFrame(
+        [
+            Row(src=0, dst=1), Row(src=1, dst=2), Row(src=2, dst=3),
+            Row(src=3, dst=4),
+            Row(src=5, dst=6), Row(src=6, dst=7), Row(src=5, dst=7),
+        ]
+    )
+    prop = {r.id: r.component for r in
+            connected_components(nodes, edges).collect()}
+    star = {r.id: r.component for r in
+            connected_components_star(nodes, edges).collect()}
+    assert star == prop == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+                            5: 5, 6: 5, 7: 5, 8: 8}
+
+
+def test_star_long_chain_beats_diameter(spark):
+    # A 33-node path has diameter 32: label propagation would need 32
+    # rounds. Star contraction must finish in O(log^2 n) — pin a bound
+    # FAR below the diameter so a regression to per-hop progress fails.
+    n = 33
+    nodes = spark.createDataFrame([Row(id=i) for i in range(n)])
+    edges = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(n - 1)])
+    stats: dict = {}
+    out = {r.id: r.component for r in
+           connected_components_star(nodes, edges, max_iterations=16,
+                                     stats=stats).collect()}
+    assert set(out.values()) == {0} and len(out) == n
+    assert stats["rounds"] <= 10, stats
+
+
+def test_star_duplicate_and_reversed_edges(spark):
+    nodes = spark.createDataFrame([Row(id=i) for i in (10, 20, 30, 40)])
+    edges = spark.createDataFrame(
+        [Row(src=30, dst=20), Row(src=20, dst=30), Row(src=20, dst=10)]
+    )
+    out = {r.id: r.component for r in
+           connected_components_star(nodes, edges).collect()}
+    assert out == {10: 10, 20: 10, 30: 10, 40: 40}

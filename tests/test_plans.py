@@ -24,6 +24,14 @@ def _plan(df) -> str:
     )
 
 
+def _plan_simple(df) -> str:
+    """One line per physical node — use for COUNTING nodes (formatted
+    mode prints every node twice: tree + details)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "simple"
+    )
+
+
 def test_partition_predicate_prunes_partitioned_scan(spark, tmp_path):
     """The Column-predicate design (vs the reference's row lambda) must
     yield PartitionFilters on a partitioned parquet scan — the single
@@ -203,3 +211,49 @@ def test_is_empty_non_empty(spark):
     assert non_empty(df) and not is_empty(df)
     empty = df.filter("id < 0")
     assert is_empty(empty) and not non_empty(empty)
+
+
+def test_ivf_assignment_aggregates_before_exchange(spark, sf_dir):
+    """VERDICT r4 #2: corpus-to-centroid assignment must NOT shuffle the
+    corpus x centroids similarity relation. The argmax is a max_by
+    aggregation whose partial phase runs inside the scan partition, so
+    the only exchanges of assignment output carry one row per vector;
+    the row_number window survives only on the tiny query side."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["ivf_topk"](spark, sf_dir))
+    assert "partial_max_by" in plan, "corpus argmax lost its map-side combine"
+    # Two windows total: final top-k ranking + query-side n_probe rank.
+    # A third would mean the corpus assignment went back to a window.
+    assert plan.count("+- Window ") <= 2, plan
+    # Both assignment cross joins stay broadcast — the corpus is never
+    # the shuffled side of a nested-loop join.
+    assert "CartesianProduct" not in plan
+
+
+def test_propagation_round_exchanges_key_on_vertex(spark):
+    """One dedup_clusters iteration: every exchange keys on the vertex
+    id (a or b) and there is no cartesian/BNLJ anywhere — the plan unit
+    that the fixpoint loop repeats."""
+    from pyspark.sql import Row
+
+    from m3d_engine_spark.operators.graph import propagation_round
+
+    nodes = spark.createDataFrame([Row(a=i, component=i) for i in range(50)])
+    edges = spark.createDataFrame(
+        [Row(a=i, b=(i + 1) % 50) for i in range(50)]
+    )
+    plan = _plan(propagation_round(edges, nodes))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan  # min(nb_label) partial+final
+
+
+def test_price_quantiles_single_exchange(spark, sf_dir):
+    """Exact per-group percentiles: partial/final ObjectHashAggregate
+    around ONE exchange on the group key."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["price_quantiles"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "ObjectHashAggregate" in plan

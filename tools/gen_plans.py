@@ -26,7 +26,36 @@ HEADLINERS = {
     "asof_join": "JOIN-FREE as-of join: union the tagged sides, ONE hash exchange on the key, carry the last right value forward with last(ignorenulls) over the window, keep left rows. No join operator in the plan at all (pinned).",
     "range_join": "Bucketed interval join: intervals explode into covered time buckets, the join is a plain equi-join on (user, bucket) with the exact BETWEEN refine as a post-join filter — never the BroadcastNestedLoopJoin raw inequality predicates get (pinned).",
     "winnow_fingerprints": "Winnowing: posexplode ordered shingles; the per-doc count window and the sliding-min window share one exchange on the doc id, then a distinct.",
+    "ivf_topk": "IVF-flat: corpus-to-centroid assignment is a broadcast cross join collapsed by a partial_max_by aggregation INSIDE the scan partition — the exchange above it carries one row per corpus vector, never the NxC similarity relation (the row_number-window form shuffled N^1.5 rows at sqrt-N centroids). The window survives only on the tiny queries-x-centroids side (n_probe ranking).",
+    "price_quantiles": "Exact per-group percentiles: ObjectHashAggregate partial/final around ONE exchange on the group key. Exact percentile buffers the group's values in the partial phase, so the exchange carries per-(partition, group) value buffers — acceptable at bounded group width; at high-cardinality groups or wide groups swap percentile for approx_percentile (fixed-size sketch buffers) without changing the topology.",
 }
+
+# Plans not reachable through queries() verbatim: built by a callable.
+CUSTOM = {
+    "dedup_clusters_one_round": (
+        "ONE min-label-propagation round (the dedup_clusters entry loops this "
+        "to a fixpoint with eager localCheckpoints, so the per-round plan is "
+        "the scalable unit): neighbor-label join + min aggregation + fold "
+        "join, every exchange keyed on the vertex id — no cartesian anywhere; "
+        "the edge relation is persisted once outside the loop.",
+        None,  # filled in main() — needs the session
+    ),
+}
+
+
+def _dedup_clusters_one_round(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from m3d_engine_spark.operators.graph import propagation_round
+    from m3d_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    nodes = docs.select(F.col("doc_id").alias("a"),
+                        F.col("doc_id").alias("component"))
+    edges = docs.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") % 97).alias("b")
+    )
+    return propagation_round(edges, nodes)
 
 
 def main() -> int:
@@ -45,8 +74,16 @@ def main() -> int:
         "`tests/test_plans.py` pins the load-bearing ones.",
         "",
     ]
-    for name, note in HEADLINERS.items():
-        df = m.queries()[name](spark, sf_dir)
+    sections = [
+        (name, note, lambda s, d, n=name: m.queries()[n](s, d))
+        for name, note in HEADLINERS.items()
+    ]
+    sections.append(
+        ("dedup_clusters_one_round", CUSTOM["dedup_clusters_one_round"][0],
+         _dedup_clusters_one_round)
+    )
+    for name, note, build in sections:
+        df = build(spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
         )
@@ -61,7 +98,7 @@ def main() -> int:
     with open("PLANS.md", "w") as fh:
         fh.write("\n".join(out))
     spark.stop()
-    print(f"wrote PLANS.md ({len(HEADLINERS)} plans)")
+    print(f"wrote PLANS.md ({len(sections)} plans)")
     return 0
 
 
