@@ -1619,6 +1619,169 @@ QUALIFY rank <= 5
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-stratum sample
+    (sampling.py::stratified_sample): 25 documents per language in
+    md5-of-id order — the reproducible "n docs per stratum" cut every
+    curation pipeline needs. WindowGroupLimit keeps each task's local
+    top-n before the exchange, so the shuffle never carries a stratum's
+    full population."""
+    from m3d_engine_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, ["lang"], 25, "doc_id").select(
+        "lang", "doc_id", "rk"
+    )
+
+
+_SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) s WHERE rk <= 25
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (sampling.py::hash_split): md5-bucketed 80/10/10 split — a pure
+    projection (no shuffle, no RNG state), reproducible across engines
+    and partitionings, which randomSplit is not. Counts per split are
+    aggregated so the oracle pins both the assignment and the
+    marginals."""
+    from m3d_engine_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", [0.8, 0.1, 0.1])
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+# Cut points = sampling.py::split_boundaries([0.8, 0.1, 0.1]):
+# floor(0.8·2³²) = 0xcccccccc, floor(0.9·2³²) = 0xe6666666. Equal-length
+# lowercase hex compares lexicographically == numerically, so both
+# engines make bit-identical assignments with no float anywhere.
+_SQL_HASH_SPLIT = """
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 0
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 1
+              ELSE 2 END AS split
+  FROM documents
+)
+SELECT CAST(split AS INT) AS split, lang,
+       CAST(count(*) AS BIGINT) AS n,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM assigned GROUP BY split, lang
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (tfidf.py::tfidf_top_terms): top-3
+    characteristic terms per document, idf = ln(N/df). Two aggs + an
+    SMJ/broadcast on the term key; N rides as a broadcast 1-row
+    aggregate so the plan stays lazy (no driver count)."""
+    from m3d_engine_spark.operators.tfidf import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+_SQL_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), terms AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n_docs / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+       ) AS INT) AS rk
+FROM scored
+QUALIFY rk <= 3
+"""
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection (graph.py::cluster_survivors) on top of the
+    star-contraction connected components
+    (graph.py::connected_components_star — this entry oracle-verifies
+    the O(log² n) variant): embedding near-dup pairs → clusters → keep
+    the highest-``label`` vector per cluster (ties to lowest id). The
+    final stage of the dedup chain: pairs → components → one canonical
+    survivor each."""
+    from m3d_engine_spark.operators.dedup import embedding_near_dupes
+    from m3d_engine_spark.operators.graph import (
+        cluster_survivors,
+        connected_components_star,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dupes(
+        emb, "vec_id", "embedding", threshold=0.35, lsh_bits=4
+    )
+    comp = connected_components_star(
+        emb.select("vec_id"), pairs, id_col="vec_id",
+        src_col="id_a", dst_col="id_b",
+    )
+    return cluster_survivors(
+        comp, emb, id_col="vec_id", quality_col="label"
+    ).select("component", "survivor_id", "cluster_size")
+
+
+_SQL_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings
+), pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM base l JOIN base r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  WHERE {_SQL_COSINE} >= 0.35
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+), comp AS (
+  SELECT v.vec_id,
+         least(v.vec_id, coalesce(min(r.b), v.vec_id)) AS component
+  FROM embeddings v LEFT JOIN reach r ON v.vec_id = r.a
+  GROUP BY v.vec_id
+), lab AS (
+  SELECT c.vec_id, c.component, emb.label
+  FROM comp c JOIN embeddings emb ON c.vec_id = emb.vec_id
+), ranked AS (
+  SELECT component, vec_id,
+         row_number() OVER (
+           PARTITION BY component ORDER BY label DESC, vec_id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY component) AS cs
+  FROM lab
+)
+SELECT component, vec_id AS survivor_id, CAST(cs AS INT) AS cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1674,6 +1837,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "price_quantiles": q_price_quantiles,
         "ivf_topk": q_ivf_topk,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "dedup_survivors": q_dedup_survivors,
     }
 
 
@@ -1723,4 +1890,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _sql_dedup_clusters(),
         "price_quantiles": _SQL_PRICE_QUANTILES,
         "ivf_topk": _SQL_IVF_TOPK,
+        "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        "hash_split": _SQL_HASH_SPLIT,
+        "tfidf_top_terms": _SQL_TFIDF,
+        "dedup_survivors": _SQL_DEDUP_SURVIVORS,
     }

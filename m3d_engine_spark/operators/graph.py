@@ -122,35 +122,42 @@ def connected_components(
     return labels.select(F.col("a").alias(id_col), "component")
 
 
-def _large_star(sym: DataFrame) -> DataFrame:
-    """Large-star: every neighbor LARGER than u points at
-    m = min(N(u) ∪ {u}). Returns the new symmetric edge relation."""
+def _large_star(down: DataFrame) -> DataFrame:
+    """Large-star over the directed (hi=a, lo=b) edge set: every
+    neighbor LARGER than u points at m = min(N(u) ∪ {u}).
+
+    The full adjacency is the union of ``down`` and its reverse — the
+    two directions are disjoint by construction, so the union needs no
+    distinct. Every emitted edge (v, m) has v > m (v > u ≥ m), so the
+    output is already in directed hi→lo form; one distinct dedups
+    multi-source emissions."""
+    sym = down.union(down.select(F.col("b").alias("a"), F.col("a").alias("b")))
     m = (
         sym.groupBy("a")
         .agg(F.min("b").alias("_nbmin"))
         .select("a", F.least(F.col("_nbmin"), F.col("a")).alias("m"))
     )
-    out = (
+    return (
         sym.join(m, on="a")
         .filter(F.col("b") > F.col("a"))
-        .select(F.col("b").alias("src"), F.col("m").alias("dst"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
     )
-    return _symmetrize(out, "src", "dst")
 
 
-def _small_star(sym: DataFrame) -> DataFrame:
-    """Small-star: over the edges pointing DOWN (b < a), u and all its
-    low neighbors point at the lowest of them. Returns the new
-    symmetric edge relation."""
-    down = sym.filter(F.col("b") < F.col("a"))
+def _small_star(down: DataFrame) -> DataFrame:
+    """Small-star over the directed (hi=a, lo=b) edge set: u and all
+    its smaller neighbors point at the lowest of them. Emitted edges
+    (v, m) have v > m and (u, m) has u > m — output stays directed
+    hi→lo; one distinct dedups."""
     m = down.groupBy("a").agg(F.min("b").alias("m"))
     relink = (
         down.join(m, on="a")
         .filter(F.col("b") != F.col("m"))
-        .select(F.col("b").alias("src"), F.col("m").alias("dst"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
     )
-    self_link = m.select(F.col("a").alias("src"), F.col("m").alias("dst"))
-    return _symmetrize(relink.union(self_link), "src", "dst")
+    self_link = m.select(F.col("a"), F.col("m").alias("b"))
+    return relink.union(self_link).distinct()
 
 
 def connected_components_star(
@@ -177,20 +184,31 @@ def connected_components_star(
     ``stats``, if given, receives {"rounds": n} — pinned by
     tests/test_graph.py on a long chain.
     """
-    sym = _symmetrize(edges, src_col, dst_col).persist()
+    # Directed hi→lo representation throughout: (a, b) with a > b.
+    # Half the rows of the symmetric form, and both star operations
+    # emit edges already in this orientation, so no re-symmetrize
+    # (union+distinct) shuffle between rounds.
+    down = (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     prev_fp = None
     rounds = 0
     for _ in range(max_iterations):
-        new_sym = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        new_down = _small_star(_large_star(down)).localCheckpoint(eager=True)
         rounds += 1
-        fp = new_sym.agg(
+        fp = new_down.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal sum: a long sum of 64-bit hashes overflows under
             # ANSI mode; decimal(38,0) has 18 digits of headroom.
             F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
-        sym.unpersist()
-        sym = new_sym.persist()
+        down = new_down
         if (fp["n"], fp["h"]) == prev_fp:
             break
         prev_fp = (fp["n"], fp["h"])
@@ -198,11 +216,7 @@ def connected_components_star(
         stats["rounds"] = rounds
     # Converged edge set is a union of stars: every non-center vertex
     # has exactly one downward edge, to its component's minimum.
-    centers = (
-        sym.filter(F.col("b") < F.col("a"))
-        .groupBy("a")
-        .agg(F.min("b").alias("component"))
-    )
+    centers = down.groupBy("a").agg(F.min("b").alias("component"))
     out = (
         nodes.select(F.col(id_col).alias("a"))
         .join(centers, on="a", how="left")
@@ -211,6 +225,31 @@ def connected_components_star(
             F.coalesce("component", F.col("a")).alias("component"),
         )
     )
-    out = out.localCheckpoint(eager=True)
-    sym.unpersist()
     return out
+
+
+def cluster_survivors(
+    labels: DataFrame,
+    quality: DataFrame,
+    id_col: str,
+    quality_col: str,
+    component_col: str = "component",
+) -> DataFrame:
+    """Survivor selection — the step AFTER clustering in a dedup
+    pipeline: per duplicate cluster keep exactly one document, the one
+    with the highest ``quality_col`` (ties to the LOWEST id, so the
+    choice is total and engine-portable). One max_by aggregation —
+    map-side combinable, one exchange on the component key. Returns
+    (component, survivor_id, cluster_size)."""
+    joined = labels.join(
+        quality.select(F.col(id_col), F.col(quality_col)), on=id_col
+    )
+    return joined.groupBy(component_col).agg(
+        F.max_by(
+            id_col,
+            F.struct(
+                F.col(quality_col).alias("q"), (-F.col(id_col)).alias("ni")
+            ),
+        ).alias("survivor_id"),
+        F.count(F.lit(1)).cast("int").alias("cluster_size"),
+    )

@@ -1,0 +1,83 @@
+"""Deterministic sampling for training-data curation.
+
+Beyond-reference capability. Curation pipelines constantly cut
+fixed-size per-stratum subsets ("25 docs per language for eval",
+"balance the mixture by source") and need the SAME subset on every
+run and every engine — so sampling here is hash-ranked, not
+RNG-driven: rank rows inside each stratum by (md5(id), id) and keep
+the first n. md5 of the id is a uniform, engine-portable stand-in for
+a random draw; the id tiebreak makes the order total.
+
+Scale shape: the rank is a row_number window, which Spark 3.5+/4.x
+executes with WindowGroupLimit — each task keeps only its local top-n
+per stratum BEFORE the exchange, so the shuffle carries at most
+n × (tasks) rows per stratum, never the stratum's full population.
+That is the property that lets "take 1M docs per language" run against
+100 TB without materializing a language's whole partition.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n: int,
+    id_col: str,
+) -> DataFrame:
+    """First ``n`` rows of each stratum in deterministic md5-of-id
+    order. Output = input columns + ``rk`` (1-based rank within the
+    stratum). ``id_col`` must be unique per row or ranks are still
+    total but duplicates can both survive."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= n)
+    )
+
+
+def split_boundaries(weights: Sequence[float]) -> list[str]:
+    """Cumulative-weight cut points as 8-hex-digit md5-prefix strings
+    (floor(cum_fraction · 2³²), lowercase hex) — one per non-final
+    split. Exposed so an external oracle can reproduce the exact cuts."""
+    total = float(sum(weights))
+    bounds = []
+    acc = 0.0
+    for wgt in list(weights)[:-1]:
+        acc += wgt / total
+        bounds.append(format(int(acc * (1 << 32)), "08x"))
+    return bounds
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: compare the first 8 hex
+    digits of md5(id) against the cumulative-weight cut points, AS
+    STRINGS — equal-length lowercase hex compares lexicographically ==
+    numerically, so there is no float anywhere and the assignment is
+    bit-identical across engines (the property ``randomSplit`` does NOT
+    give you across engines or partitionings). Pure projection — no
+    shuffle, no RNG state. Output = input + ``split_col`` (int index
+    into ``weights``)."""
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    expr = None
+    for i, bound in enumerate(split_boundaries(weights)):
+        cond = h < F.lit(bound)
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+    expr = (
+        expr.otherwise(F.lit(len(list(weights)) - 1))
+        if expr is not None
+        else F.lit(0)
+    )
+    return df.withColumn(split_col, expr.cast("int"))

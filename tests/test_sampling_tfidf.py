@@ -1,0 +1,83 @@
+"""Sampling + TF-IDF operators (the oracle entries pin engine parity;
+these pin the operator-level semantics and the scale-relevant plan
+shapes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.operators.sampling import (
+    hash_split,
+    split_boundaries,
+    stratified_sample,
+)
+from m3d_engine_spark.operators.tfidf import tfidf_top_terms
+
+
+def test_stratified_sample_sizes_and_determinism(spark):
+    df = spark.createDataFrame(
+        [Row(g="a" if i % 3 else "b", id=i) for i in range(100)]
+    )
+    out1 = stratified_sample(df, ["g"], 5, "id")
+    sizes = {r["g"]: r["n"] for r in
+             out1.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"a": 5, "b": 5}
+    # Re-running yields the identical sample — no RNG state anywhere.
+    assert sorted(out1.collect()) == sorted(
+        stratified_sample(df, ["g"], 5, "id").collect()
+    )
+    # Small strata: keep everything, ranks still 1..size.
+    tiny = spark.createDataFrame([Row(g="x", id=1), Row(g="x", id=2)])
+    assert stratified_sample(tiny, ["g"], 5, "id").count() == 2
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    df = spark.createDataFrame([Row(g=i % 4, id=i) for i in range(100)])
+    plan = stratified_sample(df, ["g"], 3, "id")._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        stratified_sample(df, ["g"], 3, "id")._jdf.queryExecution(), "simple"
+    )
+    # The pre-exchange top-n pruning that makes this viable at scale.
+    assert "WindowGroupLimit" in plan
+
+
+def test_split_boundaries_exact_hex():
+    assert split_boundaries([0.8, 0.1, 0.1]) == ["cccccccc", "e6666666"]
+    assert split_boundaries([1.0]) == []
+    assert split_boundaries([1, 1]) == ["80000000"]
+
+
+def test_hash_split_partition_and_determinism(spark):
+    df = spark.createDataFrame([Row(id=i) for i in range(2000)])
+    out = hash_split(df, "id", [0.8, 0.1, 0.1])
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {0, 1, 2}
+    assert sum(counts.values()) == 2000
+    # Rough proportions (md5 is uniform; 2000 draws, generous bands).
+    assert 1450 <= counts[0] <= 1750, counts
+    # Assignment is a pure function of the id.
+    again = {r["id"]: r["split"] for r in
+             hash_split(df, "id", [0.8, 0.1, 0.1]).collect()}
+    first = {r["id"]: r["split"] for r in out.collect()}
+    assert first == again
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common common zebra"),
+            Row(doc_id=2, text="common aardvark"),
+            Row(doc_id=3, text="common common common"),
+        ]
+    )
+    out = {
+        (r["doc_id"], r["rk"]): r["term"]
+        for r in tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+    }
+    # 'common' appears in every doc -> idf = ln(1) = 0; the unique
+    # terms must outrank it.
+    assert out[(1, 1)] == "zebra"
+    assert out[(2, 1)] == "aardvark"
+    # Doc 3 has only zero-idf terms; 'common' still ranks (score 0).
+    assert out[(3, 1)] == "common"
