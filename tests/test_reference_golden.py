@@ -374,6 +374,7 @@ def test_semistructured_json_load_golden(spark, tmp_path):
     assert _multiset_equal(got, expected)
 
 
+@pytest.mark.slow
 def test_delta_lake_load_added_columns_golden(spark, tmp_path):
     """DeltaLakeLoadTest added_columns_and_duplicates_in_init: init load
     with duplicate business keys (condensation with recordmode
@@ -1051,6 +1052,7 @@ def _run_delta_lake_golden(spark, tmp_path, res_dir, params_name=None,
     return got, control
 
 
+@pytest.mark.slow
 def test_delta_lake_load_removed_columns_golden(spark, tmp_path):
     """DeltaLakeLoadTest removed_columns: the second delta batch no
     longer carries a column — merge pads it with NULLs, lake matches
@@ -1066,6 +1068,7 @@ def test_delta_lake_load_nonpartitioned_golden(spark, tmp_path):
     assert _multiset_equal(got, control)
 
 
+@pytest.mark.slow
 def test_delta_lake_load_unstable_partitions_right_params_golden(spark, tmp_path):
     """DeltaLakeLoadTest unstable partitions, affected_partitions_merge
     = true: partition values changed for two business keys between
@@ -1079,6 +1082,7 @@ def test_delta_lake_load_unstable_partitions_right_params_golden(spark, tmp_path
     assert _multiset_equal(got, control)
 
 
+@pytest.mark.slow
 def test_delta_lake_load_unstable_partitions_wrong_params_golden(spark, tmp_path):
     """DeltaLakeLoadTest unstable partitions, affected_partitions_merge
     = false: partition columns join the merge key, so the old-partition

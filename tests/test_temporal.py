@@ -97,9 +97,12 @@ def test_range_join_matches_naive_and_avoids_bnlj(spark):
         point_to_long=F.col("p"), start_to_long=F.col("s"), end_to_long=F.col("e"),
     )
     got = sorted((r.k, r.p, r.s, r.e) for r in out.collect())
+    # Collect ONCE — a df.collect() in the inner comprehension clause
+    # re-runs the Spark job once per outer row (60 jobs, ~12 s).
+    lrows, rrows = left.collect(), right.collect()
     naive = sorted(
         (lr.k, lr.p, rr.s, rr.e)
-        for lr in left.collect() for rr in right.collect()
+        for lr in lrows for rr in rrows
         if lr.k == rr.k and rr.s <= lr.p <= rr.e
     )
     assert got == naive and len(naive) > 0

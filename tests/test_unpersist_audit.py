@@ -23,9 +23,21 @@ def _n_persistent_rdds(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()  # noqa: SLF001
 
 
+def _purge_persistent_rdds(spark) -> None:
+    """Drop leftover persistent RDDs from OTHER tests (localCheckpoint
+    blocks — e.g. the connected-components rounds — stay registered
+    until the JVM ContextCleaner GCs them, which is timing-dependent).
+    The audit's subject is what the algorithm UNDER TEST leaves behind,
+    so the precondition must be enforced, not assumed."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()  # noqa: SLF001
+    while it.hasNext():
+        it.next()._2().unpersist(False)
+
+
 @pytest.fixture()
 def clean_cache(spark):
     spark.catalog.clearCache()
+    _purge_persistent_rdds(spark)
     assert _n_persistent_rdds(spark) == 0
     yield
     spark.catalog.clearCache()
