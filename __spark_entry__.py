@@ -1782,6 +1782,83 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocations by PMI (collocations.py::pmi_bigrams): one
+    explode to adjacent-pair rows, three map-side-combinable counts, a
+    min-count filter BEFORE the unigram joins (rare bigrams can never
+    rank — and they are what makes the relation big at scale)."""
+    from m3d_engine_spark.operators.collocations import pmi_bigrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_bigrams(docs, "text", min_count=5, top=50)
+
+
+_SQL_PMI_BIGRAMS = f"""
+WITH toks AS (
+  SELECT {_SQL_TOKS} AS t FROM documents
+), bg AS (
+  SELECT t[g] AS w1, t[g+1] AS w2
+  FROM (SELECT t, unnest(range(1, len(t))) AS g FROM toks) s
+), pc AS (
+  SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY w1, w2
+  HAVING count(*) >= 5
+), uni AS (
+  SELECT unnest(t) AS w FROM toks
+), uc AS (
+  SELECT w, count(*) AS n_w FROM uni GROUP BY w
+), tot AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM bg) AS n_bigrams,
+         (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS n_tokens
+)
+SELECT pc.w1, pc.w2, pc.n_pair,
+       round(ln((pc.n_pair / t.n_bigrams) /
+                ((u1.n_w / t.n_tokens) * (u2.n_w / t.n_tokens))), 4) AS pmi
+FROM pc
+JOIN uc u1 ON pc.w1 = u1.w
+JOIN uc u2 ON pc.w2 = u2.w
+CROSS JOIN tot t
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+"""
+
+
+def q_quality_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score of document length
+    (normalize.py::group_zscore). Engine-exact: Σx and Σx² are decimal
+    sums of integers (order-independent), mean/std derive from those in
+    one double step, so both engines compute identical z values — the
+    window-AVG/STDDEV form would differ in the last ulp with
+    aggregation order. One agg + a broadcast of the per-group stats."""
+    from m3d_engine_spark.operators.normalize import group_zscore
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_zscore(docs, ["lang"], "n_chars").select(
+        "doc_id", "lang", "n_chars", "z"
+    )
+
+
+_SQL_QUALITY_ZSCORES = """
+WITH stats AS (
+  SELECT lang,
+         SUM(CAST(n_chars AS HUGEINT)) AS sx,
+         SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS sxx,
+         count(*) AS n
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       CASE WHEN s.n >= 2
+             AND (CAST(s.sxx AS DOUBLE)
+                  - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE))
+                 / (CAST(s.n AS DOUBLE) - 1.0) > 0
+            THEN round((d.n_chars - CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE))
+                       / sqrt((CAST(s.sxx AS DOUBLE)
+                               - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE))
+                              / (CAST(s.n AS DOUBLE) - 1.0)), 4)
+       END AS z
+FROM documents d JOIN stats s USING (lang)
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1841,6 +1918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_survivors": q_dedup_survivors,
+        "pmi_bigrams": q_pmi_bigrams,
+        "quality_zscores": q_quality_zscores,
     }
 
 
@@ -1894,4 +1973,6 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _SQL_HASH_SPLIT,
         "tfidf_top_terms": _SQL_TFIDF,
         "dedup_survivors": _SQL_DEDUP_SURVIVORS,
+        "pmi_bigrams": _SQL_PMI_BIGRAMS,
+        "quality_zscores": _SQL_QUALITY_ZSCORES,
     }

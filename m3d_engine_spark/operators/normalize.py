@@ -1,0 +1,59 @@
+"""Group-wise normalization (z-scores) with engine-exact determinism.
+
+Beyond-reference capability — "how unusual is this value within its
+group" is the curation filter behind outlier removal and per-stratum
+quality thresholds.
+
+The naive form (window AVG/STDDEV over doubles) is NOT portable: float
+summation order differs between engines and partitionings, so the last
+ulp of the mean — and therefore the rounded z-score of values near a
+rounding boundary — can flip. Here the sufficient statistics are exact:
+Σx and Σx² are DECIMAL sums of integer-valued inputs (exact integer
+arithmetic regardless of aggregation order), and mean/std are derived
+from those exact sums in one double step per group:
+
+    var = (Σx² − (Σx)²/n) / (n − 1)        (sample variance)
+
+Both engines then compute identical doubles from identical integers.
+
+Topology: one map-side-combinable aggregation per group + a broadcast
+join of the (tiny) per-group statistics back onto the rows — no window
+over the full relation, so nothing is sorted and the group stats
+relation is the only exchanged payload beyond the rows themselves.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_zscore(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "z",
+) -> DataFrame:
+    """Adds ``out_col`` = round((x − mean_g) / std_g, 4); NULL for
+    groups with < 2 rows or zero variance. ``value_col`` must be
+    integer-valued for the exact-statistics guarantee."""
+    group_cols = list(group_cols)
+    x = F.col(value_col).cast("decimal(38,0)")
+    stats = df.groupBy(*group_cols).agg(
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    joined = df.join(F.broadcast(stats), on=group_cols)
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    mean = sx / n
+    z = F.when(
+        (F.col("_n") >= 2) & (var > 0),
+        F.round((F.col(value_col) - mean) / F.sqrt(var), 4),
+    )
+    return joined.withColumn(out_col, z).drop("_sx", "_sxx", "_n")

@@ -81,3 +81,36 @@ def test_tfidf_prefers_rare_terms(spark):
     assert out[(2, 1)] == "aardvark"
     # Doc 3 has only zero-idf terms; 'common' still ranks (score 0).
     assert out[(3, 1)] == "common"
+
+
+def test_pmi_prefers_exclusive_pairs(spark):
+    from m3d_engine_spark.operators.collocations import pmi_bigrams
+
+    # "san francisco" always co-occur exclusively; "the dog"/"the cat"
+    # share "the", diluting PMI.
+    docs = spark.createDataFrame(
+        [Row(text="san francisco is great")] * 5
+        + [Row(text="the dog ran")] * 5
+        + [Row(text="the cat sat")] * 5
+    )
+    out = pmi_bigrams(docs, "text", min_count=5, top=10).collect()
+    assert out, "no bigrams survived min_count"
+    top = (out[0]["w1"], out[0]["w2"])
+    pmis = {(r["w1"], r["w2"]): r["pmi"] for r in out}
+    assert pmis[("san", "francisco")] > pmis[("the", "dog")]
+    assert top[0] != "the"
+
+
+def test_group_zscore_exact_and_null_rules(spark):
+    from m3d_engine_spark.operators.normalize import group_zscore
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=1), Row(g="a", v=2), Row(g="a", v=3),
+         Row(g="b", v=7),                      # singleton -> NULL
+         Row(g="c", v=4), Row(g="c", v=4)]     # zero variance -> NULL
+    )
+    out = {(r["g"], r["v"]): r["z"] for r in
+           group_zscore(df, ["g"], "v").collect()}
+    assert out[("a", 1)] == -1.0 and out[("a", 2)] == 0.0 and out[("a", 3)] == 1.0
+    assert out[("b", 7)] is None
+    assert out[("c", 4)] is None
