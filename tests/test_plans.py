@@ -257,3 +257,49 @@ def test_price_quantiles_single_exchange(spark, sf_dir):
     plan = _plan_simple(m.queries()["price_quantiles"](spark, sf_dir))
     assert plan.count("Exchange") == 1, plan
     assert "ObjectHashAggregate" in plan
+
+
+def test_tfidf_and_zscore_stay_jvm_side(spark, sf_dir):
+    """Corpus-statistics entries must plan without any Python operator
+    and with bounded exchanges: tfidf keeps its per-doc top-k under a
+    WindowGroupLimit; zscore has exactly one aggregation exchange plus
+    the broadcast of the per-group stats."""
+    import __spark_entry__ as m
+
+    tfidf = _plan_simple(m.queries()["tfidf_top_terms"](spark, sf_dir))
+    assert "BatchEvalPython" not in tfidf and "ArrowEvalPython" not in tfidf
+    assert "WindowGroupLimit" in tfidf
+
+    z = _plan_simple(m.queries()["quality_zscores"](spark, sf_dir))
+    assert "BatchEvalPython" not in z and "ArrowEvalPython" not in z
+    assert "BroadcastHashJoin" in z or "BroadcastExchange" in z
+    # One shuffle for the stats agg; everything else broadcasts.
+    assert z.count("Exchange hashpartitioning") <= 1, z
+
+
+def test_pmi_min_count_filter_precedes_unigram_join(spark, sf_dir):
+    """The rare-bigram tail must be cut before the unigram joins: the
+    n_pair >= 5 filter sits on the aggregate, below both joins."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["pmi_bigrams"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # The only cross joins are broadcasts of 1-row totals relations
+    # (n_bigrams x n_tokens, then onto the scored rows).
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    # The min-count cut must happen at the bigram aggregate, before the
+    # unigram joins ever see the rare tail.
+    assert "Filter (n_pair" in plan or ">= 5" in plan, plan
+
+
+def test_star_round_no_cartesian_and_keyed_exchanges(spark):
+    from pyspark.sql import Row
+
+    from m3d_engine_spark.operators.graph import _large_star, _small_star
+
+    down = spark.createDataFrame(
+        [Row(a=i + 1, b=i) for i in range(40)]
+    )
+    plan = _plan_simple(_small_star(_large_star(down)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

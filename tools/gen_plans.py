@@ -28,6 +28,10 @@ HEADLINERS = {
     "winnow_fingerprints": "Winnowing: posexplode ordered shingles; the per-doc count window and the sliding-min window share one exchange on the doc id, then a distinct.",
     "ivf_topk": "IVF-flat: corpus-to-centroid assignment is a broadcast cross join collapsed by a partial_max_by aggregation INSIDE the scan partition — the exchange above it carries one row per corpus vector, never the NxC similarity relation (the row_number-window form shuffled N^1.5 rows at sqrt-N centroids). The window survives only on the tiny queries-x-centroids side (n_probe ranking).",
     "price_quantiles": "Exact per-group percentiles: ObjectHashAggregate partial/final around ONE exchange on the group key. Exact percentile buffers the group's values in the partial phase, so the exchange carries per-(partition, group) value buffers — acceptable at bounded group width; at high-cardinality groups or wide groups swap percentile for approx_percentile (fixed-size sketch buffers) without changing the topology.",
+    "stratified_sample": "Deterministic per-stratum sample: row_number over (md5(id), id) executes as WindowGroupLimit Partial BELOW the exchange — each task forwards at most n rows per stratum, never the stratum's population.",
+    "tfidf_top_terms": "TF-IDF: explode → (doc,term) counts → term df — all partial/final HashAggregates; unigram df joins back on the term key (broadcast when vocabulary-sized); corpus size N is a broadcast 1-row aggregate so the plan stays lazy; WindowGroupLimit bounds the per-doc top-k before its exchange.",
+    "pmi_bigrams": "PMI collocations: one index-transform explode to bigram rows (no positional self-join), three map-side-combinable counts, min-count filter BEFORE the unigram joins — the rare-bigram tail never reaches the join.",
+    "quality_zscores": "Group z-scores: ONE partial/final HashAggregate produces exact decimal sufficient statistics (Σx, Σx², n); the tiny per-group stats relation broadcasts back onto the rows — no window over the data, nothing sorted.",
 }
 
 # Plans not reachable through queries() verbatim: built by a callable.
@@ -41,6 +45,19 @@ CUSTOM = {
         None,  # filled in main() — needs the session
     ),
 }
+
+
+def _star_round(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from m3d_engine_spark.operators.graph import _large_star, _small_star
+    from m3d_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    down = docs.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") % 97).alias("b")
+    ).filter(F.col("a") > F.col("b"))
+    return _small_star(_large_star(down))
 
 
 def _dedup_clusters_one_round(spark, sf_dir):
@@ -81,6 +98,15 @@ def main() -> int:
     sections.append(
         ("dedup_clusters_one_round", CUSTOM["dedup_clusters_one_round"][0],
          _dedup_clusters_one_round)
+    )
+    sections.append(
+        ("star_contraction_one_round",
+         "One large-star + small-star round of the O(log² n) connected-"
+         "components contraction (graph.py): directed hi→lo edges in, "
+         "directed hi→lo edges out — per round two HashAggregates and two "
+         "joins, all keyed on a vertex id; no re-symmetrize union+distinct "
+         "between rounds and no cartesian anywhere.",
+         _star_round)
     )
     for name, note, build in sections:
         df = build(spark, sf_dir)
