@@ -91,3 +91,59 @@ def test_partition_rel_path_matches_spark_for_adversarial_values(spark, tmp_path
     written = {d for d in os.listdir(out) if d.startswith("tag=")}
     computed = {partition_rel_path([("tag", v)]) for v in values}
     assert computed == written
+
+
+def test_epoch_us_encodings_agree_on_random_timestamps(spark):
+    """Property: for any µs-precision instant, the three accepted
+    event-time encodings (TIMESTAMP, TIMESTAMP_NTZ, epoch-ns BIGINT)
+    produce the SAME epoch_us — including instants whose ns value
+    exceeds 2^53 (where a double round-trip would corrupt the µs)."""
+    from pyspark.sql import types as T
+
+    from m3d_engine_spark.functions.epoch import epoch_us
+
+    rng = random.Random(7)
+    epoch = datetime.datetime(1970, 1, 1)
+    micros = [rng.randrange(0, 4_102_444_800_000_000) for _ in range(200)]
+    dts = [epoch + datetime.timedelta(microseconds=us) for us in micros]
+
+    ts = spark.createDataFrame(
+        [(d,) for d in dts], T.StructType([T.StructField("c", T.TimestampType())])
+    )
+    ntz = spark.createDataFrame(
+        [(d,) for d in dts], T.StructType([T.StructField("c", T.TimestampNTZType())])
+    )
+    ns = spark.createDataFrame(
+        [(us * 1000,) for us in micros],
+        T.StructType([T.StructField("c", T.LongType())]),
+    )
+    outs = [
+        sorted(
+            r[0]
+            for r in df.select(
+                epoch_us(F.col("c"), df.schema["c"].dataType)
+            ).collect()
+        )
+        for df in (ts, ntz, ns)
+    ]
+    assert outs[0] == outs[1] == outs[2] == sorted(micros)
+
+
+def test_hash_split_boundaries_and_exhaustiveness(spark):
+    """Property: hash_split covers every row exactly once, matches a
+    pure-Python md5 reimplementation, and respects the documented
+    hex-string boundaries."""
+    import hashlib
+
+    from m3d_engine_spark.operators.sampling import hash_split, split_boundaries
+
+    ids = list(range(500))
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r["id"]: r["split"] for r in
+           hash_split(df, "id", [0.5, 0.25, 0.25]).collect()}
+    bounds = split_boundaries([0.5, 0.25, 0.25])
+    assert bounds == ["80000000", "c0000000"]
+    for i in ids:
+        h = hashlib.md5(str(i).encode()).hexdigest()[:8]
+        want = 0 if h < bounds[0] else (1 if h < bounds[1] else 2)
+        assert got[i] == want, (i, h, got[i], want)
