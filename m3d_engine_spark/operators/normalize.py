@@ -35,10 +35,17 @@ def group_zscore(
     group_cols: Sequence[str],
     value_col: str,
     out_col: str = "z",
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Adds ``out_col`` = round((x − mean_g) / std_g, 4); NULL for
     groups with < 2 rows or zero variance. ``value_col`` must be
-    integer-valued for the exact-statistics guarantee."""
+    integer-valued for the exact-statistics guarantee.
+
+    ``broadcast_stats`` forces the per-group stats to the broadcast
+    side — right whenever group cardinality is bounded (languages,
+    sources, shards). Pass False at extreme group cardinality (e.g.
+    per-user over 10⁸ users) and the join falls back to Catalyst's
+    choice — a sort-merge join co-partitioned on the group key."""
     group_cols = list(group_cols)
     x = F.col(value_col).cast("decimal(38,0)")
     stats = df.groupBy(*group_cols).agg(
@@ -46,7 +53,9 @@ def group_zscore(
         F.sum(x * x).alias("_sxx"),
         F.count(F.lit(1)).alias("_n"),
     )
-    joined = df.join(F.broadcast(stats), on=group_cols)
+    if broadcast_stats:
+        stats = F.broadcast(stats)
+    joined = df.join(stats, on=group_cols)
     n = F.col("_n").cast("double")
     sx = F.col("_sx").cast("double")
     sxx = F.col("_sxx").cast("double")

@@ -82,6 +82,55 @@ def streaming_dedup(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "2 hours",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join on key + event-time interval:
+    keep (l, r) when ``r.right_ts`` ∈ [l.left_ts + lower,
+    l.left_ts + upper]. The canonical streaming enrichment shape
+    ("attach the purchase that followed this click within 2 hours").
+
+    Both sides carry watermarks and the join condition bounds the time
+    range, so Structured Streaming can size the state store and EVICT:
+    each side buffers only watermark + interval width of history —
+    without the range condition the state would grow forever. On batch
+    inputs the same expression runs as a plain range join, which is how
+    the test pins semantics against a naive reference.
+
+    ``left_ts`` / ``right_ts`` must be distinct names (rename before
+    calling): both survive into the output for downstream latency
+    computation.
+    """
+    l = left.withWatermark(left_ts, left_watermark) if left.isStreaming else left
+    r = (
+        right.withWatermark(right_ts, right_watermark)
+        if right.isStreaming
+        else right
+    )
+    cond = None
+    for k in on:
+        c = l[k] == r[k]
+        cond = c if cond is None else cond & c
+    lo = F.col(left_ts) + F.expr(f"INTERVAL {lower}")
+    hi = F.col(left_ts) + F.expr(f"INTERVAL {upper}")
+    cond = cond & (F.col(right_ts) >= lo) & (F.col(right_ts) <= hi)
+    joined = l.join(r, on=cond, how="inner")
+    # De-duplicate the key columns (present on both sides after a
+    # condition-form join).
+    keep = [l[k].alias(k) for k in on]
+    keep += [l[c] for c in left.columns if c not in on]
+    keep += [r[c] for c in right.columns if c not in on]
+    return joined.select(*keep)
+
+
 # ------------------------------------------------- custom stateful op
 SESSION_STATE_SCHEMA = "start_ts timestamp, last_ts timestamp, n_events int, sum_value double"
 SESSION_OUTPUT_SCHEMA = (
