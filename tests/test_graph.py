@@ -68,18 +68,18 @@ def test_star_matches_label_prop_on_mixed_graph(spark):
 
 
 def test_star_long_chain_beats_diameter(spark):
-    # A 33-node path has diameter 32: label propagation would need 32
+    # A 21-node path has diameter 20: label propagation would need 20
     # rounds. Star contraction must finish in O(log^2 n) — pin a bound
     # FAR below the diameter so a regression to per-hop progress fails.
-    n = 33
+    n = 21
     nodes = spark.createDataFrame([Row(id=i) for i in range(n)])
     edges = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(n - 1)])
     stats: dict = {}
     out = {r.id: r.component for r in
-           connected_components_star(nodes, edges, max_iterations=16,
+           connected_components_star(nodes, edges, max_iterations=12,
                                      stats=stats).collect()}
     assert set(out.values()) == {0} and len(out) == n
-    assert stats["rounds"] <= 10, stats
+    assert stats["rounds"] <= 8, stats
 
 
 def test_star_duplicate_and_reversed_edges(spark):
