@@ -1859,6 +1859,71 @@ FROM documents d JOIN stats s USING (lang)
 """
 
 
+# Non-distinct shingle list (the _SQL_SHINGLES fragment minus its
+# list_distinct wrapper) — repetition stats need raw multiplicity.
+_SQL_SHINGLES_RAW = (
+    "CASE WHEN len(t) >= 3 THEN "
+    "list_transform(range(0, len(t) - 2), i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')) "
+    "ELSE [array_to_string(t, ' ')] END"
+)
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination
+    (decontamination.py::contamination_check): docs sharing 3-gram
+    shingles with the probe set (every 100th doc standing in for a
+    benchmark). Corpus explodes ONCE; the distinct probe shingles are
+    the join's small side."""
+    from m3d_engine_spark.operators.decontamination import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 100 == 0).select("text")
+    return contamination_check(docs, probes, "doc_id", "text", n=3)
+
+
+_SQL_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES_RAW} AS s FROM toks
+), probe AS (
+  SELECT DISTINCT unnest(s) AS sh FROM sh WHERE doc_id % 100 = 0
+), docsh AS (
+  SELECT doc_id, unnest(list_distinct(s)) AS sh FROM sh
+)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM docsh d JOIN probe p ON d.sh = p.sh
+GROUP BY d.doc_id
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition
+    (decontamination.py::repetition_stats): repeated-shingle ratio per
+    doc — the RefinedWeb/Gopher boilerplate signal. Map-only
+    projection, zero shuffles."""
+    from m3d_engine_spark.operators.decontamination import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text", n=3)
+
+
+_SQL_REPETITION = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES_RAW} AS s FROM toks
+)
+SELECT doc_id,
+       CAST(len(s) AS INT) AS n_shingles,
+       CAST(len(list_distinct(s)) AS INT) AS n_distinct,
+       CASE WHEN len(s) > 1
+            THEN round(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s), 4)
+            ELSE 0.0 END AS dup_ratio
+FROM sh
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1920,6 +1985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "pmi_bigrams": q_pmi_bigrams,
         "quality_zscores": q_quality_zscores,
+        "contamination_check": q_contamination_check,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1975,4 +2042,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": _SQL_DEDUP_SURVIVORS,
         "pmi_bigrams": _SQL_PMI_BIGRAMS,
         "quality_zscores": _SQL_QUALITY_ZSCORES,
+        "contamination_check": _SQL_CONTAMINATION,
+        "repetition_stats": _SQL_REPETITION,
     }

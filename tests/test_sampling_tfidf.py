@@ -114,3 +114,29 @@ def test_group_zscore_exact_and_null_rules(spark):
     assert out[("a", 1)] == -1.0 and out[("a", 2)] == 0.0 and out[("a", 3)] == 1.0
     assert out[("b", 7)] is None
     assert out[("c", 4)] is None
+
+
+def test_contamination_and_repetition_semantics(spark):
+    from m3d_engine_spark.operators.decontamination import (
+        contamination_check,
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps"),
+            Row(doc_id=2, text="a completely different sentence here"),
+            Row(doc_id=3, text="loop loop loop loop loop"),
+        ]
+    )
+    probes = spark.createDataFrame([Row(text="quick brown fox runs far")])
+    hits = {r["doc_id"]: r["n_hits"] for r in
+            contamination_check(docs, probes, "doc_id", "text").collect()}
+    # Doc 1 shares exactly the shingle "quick brown fox"; others share none.
+    assert hits == {1: 1}
+
+    reps = {r["doc_id"]: (r["n_shingles"], r["n_distinct"], r["dup_ratio"])
+            for r in repetition_stats(docs, "doc_id", "text").collect()}
+    assert reps[1] == (3, 3, 0.0)
+    # 'loop'*5 -> 3 identical shingles -> dup_ratio = 1 - 1/3
+    assert reps[3] == (3, 1, 0.6667)
