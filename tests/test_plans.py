@@ -303,3 +303,18 @@ def test_star_round_no_cartesian_and_keyed_exchanges(spark):
     plan = _plan_simple(_small_star(_large_star(down)))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontamination_plan_shapes(spark, sf_dir):
+    """repetition_stats must plan as a pure projection (zero
+    exchanges); contamination_check must never go quadratic (no
+    cartesian/BNLJ — the probe side joins on the shingle key)."""
+    import __spark_entry__ as m
+
+    rep = _plan_simple(m.queries()["repetition_stats"](spark, sf_dir))
+    assert "Exchange" not in rep, rep
+    assert "BatchEvalPython" not in rep and "ArrowEvalPython" not in rep
+
+    con = _plan_simple(m.queries()["contamination_check"](spark, sf_dir))
+    assert "CartesianProduct" not in con
+    assert "BroadcastNestedLoopJoin" not in con
