@@ -1924,6 +1924,45 @@ FROM sh
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (multimodal.py::sample_frames): the JVM
+    fans out one row per every-8th frame (sequence+explode inside
+    codegen — Python never multiplies rows); the Arrow kernel
+    "extracts" each frame (stubbed digest; schema/batch shape real).
+    Fully oracled: the stub derives frame_sha from values DuckDB can
+    recompute."""
+    from m3d_engine_spark.operators.multimodal import (
+        decode_media,
+        sample_frames,
+        synthesize_media_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    decoded = decode_media(
+        synthesize_media_from_documents(docs), decode_stub=True
+    )
+    return sample_frames(decoded, every_k=8)
+
+
+_SQL_FRAME_SAMPLE = f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         sha256(text) AS sha256,
+         md5(text) AS hh
+  FROM documents
+), vids AS (
+  SELECT media_id, sha256,
+         CAST(1 + {_sql_md5_byte(2)} % 64 AS INT) AS n_frames
+  FROM h WHERE media_type = 'video'
+)
+SELECT media_id,
+       CAST(g AS INT) AS frame_idx,
+       md5(sha256 || ':' || CAST(g AS VARCHAR)) AS frame_sha
+FROM (SELECT media_id, sha256, unnest(range(0, n_frames, 8)) AS g FROM vids) s
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1987,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_zscores": q_quality_zscores,
         "contamination_check": q_contamination_check,
         "repetition_stats": q_repetition_stats,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -2044,4 +2084,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_zscores": _SQL_QUALITY_ZSCORES,
         "contamination_check": _SQL_CONTAMINATION,
         "repetition_stats": _SQL_REPETITION,
+        "frame_sample": _SQL_FRAME_SAMPLE,
     }

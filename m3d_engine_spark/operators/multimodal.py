@@ -123,3 +123,64 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.concat(F.lit("synthetic://docs/"), F.col("doc_id")).alias("source_uri"),
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    decoded: DataFrame, every_k: int = 8, decode_stub: bool = True
+) -> DataFrame:
+    """Frame sampling for video payloads: one row per every-``k``-th
+    frame of each decoded video.
+
+    Division of labor is the scale-relevant part: the FAN-OUT (one row
+    per sampled frame index) happens JVM-side as a
+    ``sequence``+``explode`` over the decoded ``n_frames`` — no Python
+    involved in multiplying rows, so a 10⁹-video corpus fans out inside
+    whole-stage codegen. Only the per-frame EXTRACTION runs in the
+    Arrow-batched kernel (stubbed here: a digest of the content hash
+    and frame index stands in for the ffmpeg seek+decode; schema and
+    batch shape are the production ones).
+    """
+    fanned = (
+        decoded.filter(F.col("media_type") == "video")
+        .select(
+            "media_id",
+            F.col("sha256").alias("_sha"),
+            F.explode(
+                F.expr(f"sequence(0, n_frames - 1, {int(every_k)})")
+            ).alias("_idx"),
+        )
+        .select(
+            "media_id", "_sha", F.col("_idx").cast("int").alias("frame_idx")
+        )
+    )
+    if not decode_stub:
+        raise NotImplementedError(
+            "real frame extraction needs av/ffmpeg, not present in this "
+            "container; use decode_stub=True or replace the kernel"
+        )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "frame_sha": [
+                        hashlib.md5(f"{s}:{i}".encode()).hexdigest()
+                        for s, i in zip(pdf["_sha"], pdf["frame_idx"])
+                    ],
+                }
+            )
+
+    return fanned.mapInPandas(extract, schema=FRAME_SCHEMA)

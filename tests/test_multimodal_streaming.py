@@ -246,3 +246,33 @@ def test_streaming_interval_join_matches_batch_and_bounds_state(spark, tmp_path,
     q.awaitTermination(180)
     got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
     assert got == expected and len(expected) > 0
+
+
+def test_sample_frames_fanout_and_kernel(spark, sf_dir):
+    """JVM-side fan-out: every video yields ceil(n_frames/8) rows with
+    idx 0,8,16,...; the Arrow kernel's frame_sha is a pure function of
+    (sha256, idx)."""
+    import hashlib
+
+    from m3d_engine_spark.operators.multimodal import (
+        decode_media,
+        sample_frames,
+        synthesize_media_from_documents,
+    )
+    from m3d_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    decoded = decode_media(synthesize_media_from_documents(docs))
+    frames = sample_frames(decoded, every_k=8)
+    dec = {r["media_id"]: (r["sha256"], r["n_frames"])
+           for r in decoded.filter(F.col("media_type") == "video").collect()}
+    got = frames.collect()
+    by_media = {}
+    for r in got:
+        by_media.setdefault(r["media_id"], []).append(r)
+        sha, _ = dec[r["media_id"]]
+        want = hashlib.md5(f"{sha}:{r['frame_idx']}".encode()).hexdigest()
+        assert r["frame_sha"] == want
+    for mid, (sha, n_frames) in dec.items():
+        idxs = sorted(r["frame_idx"] for r in by_media[mid])
+        assert idxs == list(range(0, n_frames, 8))
