@@ -1963,6 +1963,40 @@ FROM (SELECT media_id, sha256, unnest(range(0, n_frames, 8)) AS g FROM vids) s
 """
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding (sampling.py::pack_sequences): documents
+    per language packed into ~4096-token bins in deterministic
+    md5-of-id order — one window per language group, groups pack in
+    parallel, nothing global. The window-expressible relaxation of
+    greedy sequence packing (a doc may straddle a boundary)."""
+    from m3d_engine_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences(
+        docs, ["lang"], "doc_id", T.token_count(F.col("text")), budget=4096
+    )
+    return out.select("lang", "doc_id", "n_tokens", "bin")
+
+
+_SQL_SEQUENCE_PACK = f"""
+WITH toks AS (
+  SELECT lang, doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT lang, doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS c
+  FROM toks
+)
+SELECT lang, doc_id, n_tokens,
+       CAST(floor((c - n_tokens) / 4096.0) AS INT) AS bin
+FROM cum
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2027,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "repetition_stats": q_repetition_stats,
         "frame_sample": q_frame_sample,
+        "sequence_pack": q_sequence_pack,
     }
 
 
@@ -2085,4 +2120,5 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": _SQL_CONTAMINATION,
         "repetition_stats": _SQL_REPETITION,
         "frame_sample": _SQL_FRAME_SAMPLE,
+        "sequence_pack": _SQL_SEQUENCE_PACK,
     }

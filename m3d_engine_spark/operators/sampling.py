@@ -81,3 +81,42 @@ def hash_split(
         else F.lit(0)
     )
     return df.withColumn(split_col, expr.cast("int"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    token_count_col,
+    budget: int,
+    bin_col: str = "bin",
+):
+    """Deterministic token-budget sharding (the scalable form of
+    training-data "sequence packing"): within each group, documents in
+    md5-of-id order are assigned to consecutive bins of ~``budget``
+    tokens — bin = floor(tokens_before_this_doc / budget).
+
+    This is the window-expressible relaxation of greedy packing: a
+    document may straddle a bin boundary, so bins can exceed budget by
+    at most one document (true close-on-overflow packing is a
+    sequential recurrence — per-group state — that a window cannot
+    express; run THAT per shard after this op has bounded shard size).
+    One window per group: groups pack in parallel, nothing global.
+
+    ``token_count_col`` is a Column (e.g. ``token_count(F.col("text"))``
+    or a precomputed column). Output = input + n_tokens + ``bin_col``.
+    """
+    from pyspark.sql import Window
+
+    toks = token_count_col.cast("long").alias("n_tokens")
+    base = df.select("*", toks)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.withColumn(
+        bin_col,
+        F.floor((cum - F.col("n_tokens")) / F.lit(int(budget))).cast("int"),
+    )

@@ -140,3 +140,27 @@ def test_contamination_and_repetition_semantics(spark):
     assert reps[1] == (3, 3, 0.0)
     # 'loop'*5 -> 3 identical shingles -> dup_ratio = 1 - 1/3
     assert reps[3] == (3, 1, 0.6667)
+
+
+def test_pack_sequences_bins_respect_budget_relaxation(spark):
+    from m3d_engine_spark.functions.text import token_count
+    from m3d_engine_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [Row(g="x", id=i, text=" ".join(["w"] * 10)) for i in range(30)]
+    )
+    out = pack_sequences(docs, ["g"], "id", token_count(F.col("text")),
+                         budget=25).collect()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r["bin"], []).append(r["n_tokens"])
+    # Relaxed-packing invariants: every bin holds < budget tokens
+    # BEFORE its last doc (so ≤ budget + one straddler total), bins are
+    # consecutive from 0, and nothing is lost.
+    assert set(by_bin) == set(range(len(by_bin)))
+    assert all(sum(v) <= 25 + 10 for v in by_bin.values())
+    assert all(sum(v[:-1]) < 25 for v in by_bin.values())
+    assert sum(len(v) for v in by_bin.values()) == 30
+    again = pack_sequences(docs, ["g"], "id", token_count(F.col("text")),
+                           budget=25).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
