@@ -312,9 +312,19 @@ def ngram_jaccard_pairs(
         *[F.col(c) for c in block_cols],
         F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
+    # Join/sort on the 64-bit hash of the shingle, not the string: the
+    # self-join's exchange+sort keys on (block, shingle), and long
+    # comparisons beat 20-40-byte string comparisons in the SMJ sort
+    # while shrinking shuffle bytes. |A∩B| stays exact up to xxhash64
+    # collisions WITHIN one document pair's shingles (~n²/2⁶⁴ —
+    # negligible even at 10⁹ docs, and the DuckDB oracle would catch a
+    # material collision as a hash mismatch).
     tok = base.select(
         F.col(id_col), *[F.col(c) for c in block_cols], F.col("n_sh"),
-        F.explode("sh").alias("shingle"),
+        F.explode("sh").alias("_shingle_str"),
+    ).select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.col("n_sh"),
+        F.xxhash64("_shingle_str").alias("shingle"),
     )
     hot_sets = None
     if max_shingle_df is not None:
