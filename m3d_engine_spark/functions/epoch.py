@@ -49,9 +49,17 @@ def epoch_us(col: Column | str, dtype: DataType) -> Column:
         return F.unix_micros(c)
     if isinstance(dtype, TimestampNTZType):
         return F.unix_micros(c.cast("timestamp"))
-    if isinstance(dtype, (LongType, IntegerType)):
+    if isinstance(dtype, LongType):
         # epoch ns -> µs; decimal division keeps 19-digit exactness.
         return F.floor(c.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    if isinstance(dtype, IntegerType):
+        # A 32-bit int cannot hold any realistic epoch-ns value; it is
+        # far more likely epoch SECONDS — refuse rather than guess.
+        raise TypeError(
+            "epoch_us: IntegerType event-time is ambiguous (epoch "
+            "seconds? truncated ns?) — cast to TIMESTAMP or BIGINT ns "
+            "explicitly"
+        )
     raise TypeError(f"epoch_us: unsupported event-time type {dtype}")
 
 
@@ -69,8 +77,13 @@ def as_timestamp(col: Column | str, dtype: DataType) -> Column:
         return c
     if isinstance(dtype, TimestampNTZType):
         return c.cast("timestamp")
-    if isinstance(dtype, (LongType, IntegerType)):
+    if isinstance(dtype, LongType):
         return F.timestamp_micros(
             F.floor(c.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+        )
+    if isinstance(dtype, IntegerType):
+        raise TypeError(
+            "as_timestamp: IntegerType event-time is ambiguous — cast "
+            "to TIMESTAMP or BIGINT ns explicitly"
         )
     raise TypeError(f"as_timestamp: unsupported event-time type {dtype}")

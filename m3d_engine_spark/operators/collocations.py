@@ -38,11 +38,16 @@ def pmi_bigrams(
     times. Returns (w1, w2, n_pair, pmi) ordered by (pmi DESC, w1, w2).
     """
     toks = docs.select(tokens(F.col(text_col)).alias("t"))
+    # zip_with over two slices, not sequence(1, size-1): for docs with
+    # <2 tokens the sequence form turns DESCENDING ([1,0]) and the
+    # transform indexes t[-1]/t[1] — an INVALID_ARRAY_INDEX abort under
+    # ANSI mode. greatest(size-1, 0) makes both slices empty instead.
     bigrams = toks.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, size(t) - 1),"
-                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " slice(t, 2, greatest(size(t) - 1, 0)),"
+                " (x, y) -> struct(x AS w1, y AS w2))"
             )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")

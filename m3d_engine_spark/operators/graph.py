@@ -199,6 +199,7 @@ def connected_components_star(
     )
     prev_fp = None
     rounds = 0
+    converged = False
     for _ in range(max_iterations):
         new_down = _small_star(_large_star(down)).localCheckpoint(eager=True)
         rounds += 1
@@ -210,10 +211,22 @@ def connected_components_star(
         ).collect()[0]
         down = new_down
         if (fp["n"], fp["h"]) == prev_fp:
+            converged = True
             break
         prev_fp = (fp["n"], fp["h"])
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        # The centers extraction below assumes the star-shaped fixpoint
+        # (every non-center has exactly ONE downward edge, to its
+        # component min) — on a truncated edge set it would silently
+        # fabricate components. Refuse instead.
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {rounds} "
+            f"rounds (max_iterations={max_iterations}); raise the limit "
+            "— O(log² n) rounds suffice for any input"
+        )
     # Converged edge set is a union of stars: every non-center vertex
     # has exactly one downward edge, to its component's minimum.
     centers = down.groupBy("a").agg(F.min("b").alias("component"))

@@ -151,6 +151,9 @@ def sample_frames(
     """
     fanned = (
         decoded.filter(F.col("media_type") == "video")
+        # A real decoder reports n_frames = 0 for corrupt/empty videos;
+        # sequence(0, -1, k) is an illegal-boundaries error, so gate it.
+        .filter(F.col("n_frames") > 0)
         .select(
             "media_id",
             F.col("sha256").alias("_sha"),

@@ -47,12 +47,17 @@ def split_boundaries(weights: Sequence[float]) -> list[str]:
     """Cumulative-weight cut points as 8-hex-digit md5-prefix strings
     (floor(cum_fraction · 2³²), lowercase hex) — one per non-final
     split. Exposed so an external oracle can reproduce the exact cuts."""
+    if any(w <= 0 for w in weights):
+        raise ValueError(f"split weights must all be > 0, got {list(weights)}")
     total = float(sum(weights))
     bounds = []
     acc = 0.0
     for wgt in list(weights)[:-1]:
         acc += wgt / total
-        bounds.append(format(int(acc * (1 << 32)), "08x"))
+        # Clamp: float rounding can push a non-final cumulative fraction
+        # to 1.0, whose 2^32 bound would print as NINE hex digits and
+        # break the 8-char lexicographic compare in hash_split.
+        bounds.append(format(min(int(acc * (1 << 32)), 0xFFFFFFFF), "08x"))
     return bounds
 
 
