@@ -1997,6 +1997,80 @@ FROM cum
 """
 
 
+def q_fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup (fuzzy_dedup.py::fuzzy_dedup_corpus): the
+    production composition LSH candidates → exact-Jaccard verification
+    → connected components → survivor-per-cluster → the CLEANED CORPUS
+    itself (docs.* + component + cluster_size). The verified edge
+    relation is checkpointed exactly once between verification and CC,
+    so no CC round re-executes the md5/LSH pipeline."""
+    from m3d_engine_spark.operators.fuzzy_dedup import fuzzy_dedup_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_dedup_corpus(
+        docs, "doc_id", "text", num_hashes=16, bands=8, shingle_n=3,
+        threshold=0.5,
+    ).select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        "component", "cluster_size",
+    )
+
+
+def _sql_fuzzy_dedup_corpus() -> str:
+    # Reuses the minhash band SQL for candidates; verification = exact
+    # Jaccard over the same `sh` shingle-set CTE; closure by recursive
+    # reachability; survivor = longest text, ties to lowest doc_id.
+    bands_sql = _sql_minhash_lsh().strip()
+    with_body = bands_sql[len("WITH "):bands_sql.index("SELECT DISTINCT")]
+    pairs_select = bands_sql[bands_sql.index("SELECT DISTINCT"):]
+    jac = (
+        "round(len(list_intersect(a.s, b.s)) / "
+        "len(list_distinct(list_concat(a.s, b.s))), 4)"
+    )
+    return f"""
+WITH RECURSIVE {with_body.rstrip()},
+pairs AS (
+{pairs_select}
+),
+verified AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sh a ON p.id_a = a.doc_id
+  JOIN sh b ON p.id_b = b.doc_id
+  WHERE {jac} >= 0.5
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION
+  SELECT id_b AS a, id_a AS b FROM verified
+),
+reach AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+comp AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+  FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+  GROUP BY d.doc_id
+),
+ranked AS (
+  SELECT c.doc_id, c.component,
+         row_number() OVER (
+           PARTITION BY c.component
+           ORDER BY length(d.text) DESC, c.doc_id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY c.component) AS cs
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+       r.component, CAST(r.cs AS INT) AS cluster_size
+FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+WHERE r.rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2062,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "frame_sample": q_frame_sample,
         "sequence_pack": q_sequence_pack,
+        "fuzzy_dedup_corpus": q_fuzzy_dedup_corpus,
     }
 
 
@@ -2121,4 +2196,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _SQL_REPETITION,
         "frame_sample": _SQL_FRAME_SAMPLE,
         "sequence_pack": _SQL_SEQUENCE_PACK,
+        "fuzzy_dedup_corpus": _sql_fuzzy_dedup_corpus(),
     }

@@ -1,0 +1,117 @@
+"""End-to-end fuzzy deduplication: corpus in, cleaned corpus out.
+
+Beyond-reference capability — the production composition of the four
+individually-verified stages (each separately oracled since round 4):
+
+    1. candidate generation   — MinHash + banded LSH
+                                (dedup.py::minhash_lsh_candidates)
+    2. verification           — exact n-gram Jaccard on candidates only
+                                (dedup.py::_exact_jaccard_on_candidates)
+    3. clustering             — connected components over verified pairs
+                                (graph.py::connected_components)
+    4. survivor selection     — one doc per cluster by quality
+                                (graph.py::cluster_survivors)
+    5. materialization        — semi-join survivors back onto the corpus
+
+This is how GPT-3/Gopher/RefinedWeb-style pipelines actually run dedup:
+LSH proposes, exact Jaccard disposes, the transitive closure merges
+overlapping pairs into clusters, and exactly one representative per
+cluster reaches the training set.
+
+Scale topology (the reason this is one operator, not a notebook):
+
+* The verified edge relation is ``localCheckpoint``-ed ONCE, eagerly,
+  between stages 2 and 3 — connected components re-reads its edge list
+  every round, and without the checkpoint each propagation round would
+  re-execute the whole LSH + shingle + verification pipeline (the most
+  expensive part of the job, quadratic in rounds). Checkpointing also
+  means the edges DataFrame carries no lineage into the CC loop, so the
+  loop's own per-round checkpoints stay tiny.
+* Every exchange is keyed: LSH self-join on (band, band_key),
+  verification joins on the document id, CC rounds on the vertex id,
+  survivor agg on the component, the final semi-join on the id. No
+  cartesian anywhere (pinned in tests/test_plans.py).
+* Edges are near-cliques by construction (banded LSH), so label
+  propagation converges in 2-4 rounds; pass ``use_star=True`` for the
+  O(log² n) star-contraction variant if an adversarial corpus produces
+  long chains.
+
+Determinism: survivor = highest quality, ties to LOWEST id (total
+order, engine-portable); default quality is the document's character
+length — "keep the longest copy" is the standard near-dup heuristic
+and is exactly reproducible in any SQL engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.operators.dedup import (
+    _exact_jaccard_on_candidates,
+    minhash_lsh_candidates,
+    shingle_array,
+)
+from m3d_engine_spark.operators.graph import (
+    cluster_survivors,
+    connected_components,
+    connected_components_star,
+)
+
+
+def fuzzy_dedup_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality: Column | None = None,
+    *,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    use_star: bool = False,
+) -> DataFrame:
+    """The cleaned corpus: every input column of ``docs`` for the rows
+    that survive near-dedup, plus ``component`` (duplicate-cluster id =
+    min doc id of the cluster) and ``cluster_size`` (1 for non-dupes).
+
+    ``quality`` ranks survivors within a cluster (highest wins, ties to
+    lowest id); defaults to ``length(text_col)``. ``threshold`` is the
+    exact-Jaccard floor a candidate pair must clear to count as a
+    duplicate edge.
+    """
+    if quality is None:
+        quality = F.length(F.col(text_col))
+    cands = minhash_lsh_candidates(
+        docs, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n,
+    )
+    sets = docs.select(
+        F.col(id_col),
+        F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    # Eager checkpoint: the ONE materialization of the LSH+verify
+    # pipeline. CC's per-round edge re-reads hit this checkpoint, never
+    # the md5 pipeline above it.
+    edges = (
+        _exact_jaccard_on_candidates(sets, cands, id_col, threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    cc = connected_components_star if use_star else connected_components
+    comp = cc(
+        docs.select(id_col), edges, id_col=id_col,
+        src_col="id_a", dst_col="id_b",
+    )
+    survivors = cluster_survivors(
+        comp,
+        docs.select(F.col(id_col), quality.alias("_q")),
+        id_col=id_col,
+        quality_col="_q",
+    )
+    return docs.join(
+        survivors.select(
+            F.col("survivor_id").alias(id_col), "component", "cluster_size"
+        ),
+        on=id_col,
+    )

@@ -321,3 +321,41 @@ def test_ivf_recall_vs_brute_force(spark):
                     centroid_stride=125, n_probe=4).collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, f"recall@5 {recall:.3f} below the 0.9 gate"
+
+
+def test_fuzzy_dedup_corpus_end_to_end(spark):
+    """The chained pipeline (LSH → Jaccard verify → CC → survivors →
+    cleaned corpus): near-dup family {1,2,3,5} collapses to ONE
+    survivor — the longest text, ties to lowest doc_id — and the
+    unrelated doc survives as a singleton."""
+    from pyspark.sql import Row
+
+    from m3d_engine_spark.operators.fuzzy_dedup import fuzzy_dedup_corpus
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=3, text="the quick brown fox jumps over the lazy cat"),
+            Row(doc_id=4, text="completely different content about spark engines"),
+            Row(doc_id=5, text="a quick brown fox jumps over the lazy dog again and again"),
+        ]
+    )
+    out = fuzzy_dedup_corpus(corpus, "doc_id", "text", threshold=0.3)
+    rows = {r.doc_id: r for r in out.collect()}
+    # doc 5 is the longest member of the dup cluster → the survivor
+    assert set(rows) == {4, 5}
+    assert rows[5].component == 1 and rows[5].cluster_size >= 3
+    assert rows[4].cluster_size == 1 and rows[4].component == 4
+    # star-contraction CC variant gives the identical cleaned corpus
+    star = fuzzy_dedup_corpus(
+        corpus, "doc_id", "text", threshold=0.3, use_star=True
+    )
+    assert {(r.doc_id, r.component, r.cluster_size) for r in star.collect()} == {
+        (r.doc_id, r.component, r.cluster_size) for r in rows.values()
+    }
+    # explicit quality flips the survivor: prefer LOW doc_id
+    flipped = fuzzy_dedup_corpus(
+        corpus, "doc_id", "text", quality=-F.col("doc_id"), threshold=0.3
+    )
+    assert {r.doc_id for r in flipped.collect()} == {1, 4}

@@ -318,3 +318,68 @@ def test_decontamination_plan_shapes(spark, sf_dir):
     con = _plan_simple(m.queries()["contamination_check"](spark, sf_dir))
     assert "CartesianProduct" not in con
     assert "BroadcastNestedLoopJoin" not in con
+
+
+def test_hash_split_zero_exchanges(spark, sf_dir):
+    """hash_split is a pure projection — the split assignment must add
+    NO exchange and stay JVM-side."""
+    from m3d_engine_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan_simple(hash_split(docs, "doc_id", [0.8, 0.1, 0.1]))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sequence_pack_single_window_exchange(spark, sf_dir):
+    """pack_sequences is ONE window per group: exactly one exchange
+    (hash-partition on the group key feeding the window sort)."""
+    from m3d_engine_spark.functions import text as T
+    from m3d_engine_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_sequences(
+        docs, ["lang"], "doc_id", T.token_count(F.col("text")), budget=4096
+    )
+    plan = _plan_simple(out)
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_frame_sample_fanout_below_arrow_kernel(spark):
+    """The row-multiplying Generate (sequence+explode fan-out) must sit
+    BELOW the Arrow kernel in the plan — the JVM multiplies rows inside
+    codegen; Python only ever sees already-fanned (id, sha, idx) rows."""
+    from m3d_engine_spark.operators.multimodal import (
+        decode_media, sample_frames, synthesize_media_from_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = sample_frames(
+        decode_media(synthesize_media_from_documents(docs)), every_k=8
+    )
+    plan = _plan_simple(df)
+    assert "MapInPandas" in plan and "Generate" in plan, plan
+    # simple mode prints parents first: the kernel node must precede
+    # (= be above) the Generate that feeds it
+    assert plan.index("MapInPandas") < plan.index("Generate"), plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_fuzzy_dedup_corpus_plan(spark):
+    """End-to-end fuzzy dedup: every exchange keyed (no cartesian, no
+    BNLJ), no Python in the plan, and the CC stage reads the verified
+    edge relation from a checkpoint (Scan ExistingRDD) — the LSH/md5
+    pipeline appears nowhere in the final plan because it ran exactly
+    once at checkpoint time."""
+    import __spark_entry__ as m
+
+    df = m.queries()["fuzzy_dedup_corpus"](spark, "/root/testdata/sf0.001")
+    plan = _plan_simple(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # labels come back from the CC loop's checkpoint: the final plan
+    # joins docs against ExistingRDD scans, not a re-derivation of LSH
+    assert "ExistingRDD" in plan, plan

@@ -32,6 +32,11 @@ HEADLINERS = {
     "tfidf_top_terms": "TF-IDF: explode → (doc,term) counts → term df — all partial/final HashAggregates; unigram df joins back on the term key (broadcast when vocabulary-sized); corpus size N is a broadcast 1-row aggregate so the plan stays lazy; WindowGroupLimit bounds the per-doc top-k before its exchange.",
     "pmi_bigrams": "PMI collocations: one index-transform explode to bigram rows (no positional self-join), three map-side-combinable counts, min-count filter BEFORE the unigram joins — the rare-bigram tail never reaches the join.",
     "quality_zscores": "Group z-scores: ONE partial/final HashAggregate produces exact decimal sufficient statistics (Σx, Σx², n); the tiny per-group stats relation broadcasts back onto the rows — no window over the data, nothing sorted.",
+    "hash_split": "Deterministic train/val/test split: a pure projection (md5-prefix string compares) — ZERO exchanges below the entry's tiny per-split count agg; the assignment itself never shuffles (pinned).",
+    "sequence_pack": "Token-budget sharding: exactly ONE exchange (hash on the group key) feeding one Window (cumulative token sum in md5 order); groups pack in parallel; no Python anywhere (pinned).",
+    "frame_sample": "Video frame sampling: the row-multiplying Generate (sequence+explode over n_frames) sits BELOW the MapInPandas kernel — the JVM fans out inside codegen, Python only sees already-fanned rows; at 10^9 videos the fan-out never crosses the Arrow boundary (pinned).",
+    "dedup_survivors": "Embedding near-dup pairs → star-contraction CC → max_by survivor agg: bucketed self-join for pairs, per-round keyed joins inside the (pre-executed) contraction loop, final labels read back from checkpoints (ExistingRDD scans) and aggregated map-side on the component key — no cartesian, no re-derivation of the pair pipeline.",
+    "fuzzy_dedup_corpus": "END-TO-END fuzzy dedup (LSH candidates → exact-Jaccard verify → CC → survivors → cleaned corpus): the verified edge relation is localCheckpoint-ed exactly ONCE between verification and CC, so the md5/LSH pipeline appears nowhere in this final plan — labels arrive as ExistingRDD scans, survivors as one max_by agg on the component key, the corpus rejoin as an equi-join on the doc id (pinned: no cartesian, no BNLJ, no Python).",
 }
 
 # Plans not reachable through queries() verbatim: built by a callable.
