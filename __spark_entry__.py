@@ -2071,6 +2071,124 @@ WHERE r.rn = 1
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb quality rules
+    (decontamination.py::gopher_quality_stats): duplicate-line
+    fraction + character fraction, top-2/3/4 word-n-gram character
+    fractions, ellipsis/bullet line ratios — all JVM array/aggregate
+    expressions, zero exchanges (pinned). Testdata text is single-line,
+    so the entry deterministically synthesizes line structure first
+    (3-token lines; every 5th line gets a '- ' bullet, every 7th a
+    trailing '...'), identically in Spark and the DuckDB twin."""
+    from m3d_engine_spark.functions.text import tokens
+    from m3d_engine_spark.operators.decontamination import (
+        gopher_quality_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    lines = F.transform(
+        F.sequence(
+            F.lit(0), F.ceil(F.size(t) / F.lit(3)).cast("int") - F.lit(1)
+        ),
+        lambda i: F.concat_ws(" ", F.slice(t, i * F.lit(3) + F.lit(1), 3)),
+    )
+    decorated = F.transform(
+        lines,
+        lambda x, i: F.when(i % 5 == 2, F.concat(F.lit("- "), x))
+        .when(i % 7 == 3, F.concat(x, F.lit("...")))
+        .otherwise(x),
+    )
+    synth = docs.select(
+        "doc_id", F.array_join(decorated, "\n").alias("text")
+    )
+    return gopher_quality_stats(synth, "doc_id", "text")
+
+
+def _sql_gopher_quality() -> str:
+    # DuckDB lambda indexes are 1-based: (x, i) uses (i - 1) to mirror
+    # Spark's 0-based transform index. Arrays (l, t2, g2..g4) are built
+    # in their OWN CTE level so each materializes once per row — a
+    # lateral alias referenced inside a per-element lambda would be
+    # re-evaluated per element (the same O(d²·n) trap the Spark side
+    # avoids with its lambda-binding trick).
+    def gram(k: int) -> str:
+        return (
+            f"CASE WHEN len(t2) >= {k} THEN "
+            f"list_transform(range(0, len(t2) - {k} + 1), "
+            f"i -> array_to_string(list_slice(t2, i + 1, i + {k}), ' ')) "
+            "ELSE CAST([] AS VARCHAR[]) END"
+        )
+
+    def topk(k: int) -> str:
+        # struct max: field-lexicographic (count, then chars) — one
+        # O(distinct × n) pass, same tiebreak as the Spark side.
+        return (
+            f"coalesce(list_max(list_transform(list_distinct(g{k}), "
+            f"x -> {{'c': len(list_filter(g{k}, y -> y = x)), "
+            f"'chars': len(list_filter(g{k}, y -> y = x)) * length(x)}}"
+            f"))['chars'], 0) AS top{k}"
+        )
+
+    frac_cols = ",\n       ".join(
+        f"CASE WHEN length(text) > 0 "
+        f"THEN round(top{k} / length(text), 4) ELSE 0.0 END "
+        f"AS top{k}_char_frac"
+        for k in (2, 3, 4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), synth AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(
+        list_transform(range(0, CAST(ceil(len(t) / 3.0) AS INT)),
+          i -> array_to_string(list_slice(t, i * 3 + 1, i * 3 + 3), ' ')),
+        (x, i) -> CASE WHEN (i - 1) % 5 = 2 THEN '- ' || x
+                       WHEN (i - 1) % 7 = 3 THEN x || '...'
+                       ELSE x END),
+      chr(10)) AS text
+  FROM toks
+), arrs AS (
+  SELECT doc_id, text,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> x != '') AS l,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS t2
+  FROM synth
+), grams AS (
+  SELECT doc_id, text, l,
+    {gram(2)} AS g2, {gram(3)} AS g3, {gram(4)} AS g4
+  FROM arrs
+), feat AS (
+  SELECT doc_id, text, l,
+    len(l) AS nl,
+    coalesce(list_sum(list_transform(l, x -> length(x))), 0) AS tc,
+    coalesce(list_sum(list_transform(list_distinct(l),
+      x -> (len(list_filter(l, y -> y = x)) - 1) * length(x))), 0) AS dupc,
+    {topk(2)}, {topk(3)}, {topk(4)}
+  FROM grams
+)
+SELECT doc_id,
+       CAST(nl AS INT) AS n_lines,
+       CASE WHEN nl > 0
+            THEN round(1.0 - len(list_distinct(l)) / CAST(nl AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN tc > 0 THEN round(dupc / CAST(tc AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_line_char_frac,
+       {frac_cols},
+       CASE WHEN nl > 0 THEN round(
+         len(list_filter(l, x -> ends_with(x, '...') OR ends_with(x, '…')))
+         / CAST(nl AS DOUBLE), 4) ELSE 0.0 END AS ellipsis_line_frac,
+       CASE WHEN nl > 0 THEN round(
+         len(list_filter(l, x -> starts_with(x, '-') OR starts_with(x, '*')
+                                 OR starts_with(x, '•')))
+         / CAST(nl AS DOUBLE), 4) ELSE 0.0 END AS bullet_line_frac
+FROM feat
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2137,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "sequence_pack": q_sequence_pack,
         "fuzzy_dedup_corpus": q_fuzzy_dedup_corpus,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -2197,4 +2316,5 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _SQL_FRAME_SAMPLE,
         "sequence_pack": _SQL_SEQUENCE_PACK,
         "fuzzy_dedup_corpus": _sql_fuzzy_dedup_corpus(),
+        "gopher_quality": _sql_gopher_quality(),
     }

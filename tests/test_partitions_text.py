@@ -82,3 +82,36 @@ def test_text_functions_on_documents(spark, sf_dir):
     assert all(len(r.fp) == 32 for r in rows)
     assert all(0.0 <= r.q <= 1.0 for r in rows)
     assert all(r.pl in {"en", "fr", "de", "es", "zh", "und"} for r in rows)
+
+
+def test_gopher_quality_stats_values(spark):
+    """Hand-checked Gopher rule values, incl. the edge cases the ANSI
+    engine turns into aborts if unguarded (empty text, single token)
+    and the documented >1.0 overlap quirk of top-n-gram char frac."""
+    from m3d_engine_spark.operators.decontamination import (
+        gopher_quality_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb cc\naa bb cc\n- dd ee\nff gg...\n"),
+            (2, "one two one two one two"),
+            (3, ""),
+            (4, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    r = {x.doc_id: x for x in gopher_quality_stats(df, "doc_id", "text").collect()}
+    assert r[1].n_lines == 4
+    assert r[1].dup_line_frac == 0.25          # 1 of 4 lines is a repeat
+    # dup chars = 8 ("aa bb cc" second copy) / 31 total line chars
+    assert r[1].dup_line_char_frac == round(8 / 31, 4)
+    assert r[1].ellipsis_line_frac == 0.25 and r[1].bullet_line_frac == 0.25
+    # "one two" x3: 7 chars * 3 / 23; overlap quirk: top4 > 1.0
+    assert r[2].top2_char_frac == round(21 / 23, 4)
+    assert r[2].top4_char_frac > 1.0
+    assert r[3] == r[3].__class__(doc_id=3, n_lines=0, dup_line_frac=0.0,
+                                  dup_line_char_frac=0.0, top2_char_frac=0.0,
+                                  top3_char_frac=0.0, top4_char_frac=0.0,
+                                  ellipsis_line_frac=0.0, bullet_line_frac=0.0)
+    assert r[4].n_lines == 1 and r[4].top2_char_frac == 0.0

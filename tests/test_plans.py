@@ -383,3 +383,14 @@ def test_fuzzy_dedup_corpus_plan(spark):
     # labels come back from the CC loop's checkpoint: the final plan
     # joins docs against ExistingRDD scans, not a re-derivation of LSH
     assert "ExistingRDD" in plan, plan
+
+
+def test_gopher_quality_zero_exchange(spark, sf_dir):
+    """The Gopher quality rules are a pure projection: zero exchanges,
+    no Python — the property that lets the pass run as a map over
+    100 TB."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["gopher_quality"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
