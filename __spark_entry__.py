@@ -2189,6 +2189,181 @@ FROM feat
 """
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-domain cap (functions/urls.py):
+    messy synthesized URLs (case-mixed scheme/host, www., default
+    ports, tracking params, fragments — three variants keyed on
+    doc_id % 3) canonicalize to a stable form; the per-domain cap
+    keeps 5 docs per canonical domain in deterministic md5 order
+    (WindowGroupLimit pre-exchange, reusing stratified_sample)."""
+    from m3d_engine_spark.functions.urls import canonical_url, domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTP://WWW."), F.col("source"),
+                F.lit(".Example.COM:80/docs/"), did,
+                F.lit("?utm_source=feed&id="), did, F.lit("#top"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/docs/"), did,
+                F.lit("/?id="), did, F.lit("&utm_campaign=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://cdn."), F.col("source"),
+                F.lit(".example.com/d/"), did,
+            )
+        )
+    )
+    base = docs.select("doc_id", raw.alias("url"))
+    return domain_cap(base, "url", 5, "doc_id").select(
+        "doc_id", "domain", canonical_url(F.col("url")).alias("canon_url"),
+        "rk",
+    )
+
+
+# The DuckDB twin of functions/urls.py::canonical_url — RE2 regexes,
+# \1 backrefs, explicit 'g' flags (DuckDB replaces first match only by
+# default; the anchored steps don't care, the param-strip does).
+def _sql_canonical_chain(var: str) -> str:
+    steps = [
+        f"trim({var})",
+        None,  # lowercase scheme://host — needs the prefix twice
+        ("regexp_replace({u}, '^http://', 'https://')"),
+        ("regexp_replace({u}, '^https://www\\.', 'https://')"),
+        ("regexp_replace({u}, '^(https://[^/?#:]*):(?:443|80)([/?#]|$)', "
+         "'\\1\\2')"),
+        ("regexp_replace({u}, '#.*$', '')"),
+        ("regexp_replace({u}, '([?&])(?:utm_[^=&]*|fbclid|gclid|msclkid|ref)"
+         "=[^&]*', '\\1', 'g')"),
+        ("regexp_replace({u}, '([?&])&+', '\\1', 'g')"),
+        ("regexp_replace({u}, '[?&]+$', '')"),
+        ("regexp_replace({u}, '/$', '')"),
+    ]
+    u = steps[0]
+    prefix = f"regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
+    u = f"(lower({prefix}) || substr({u}, length({prefix}) + 1))"
+    for s in steps[2:]:
+        u = s.format(u=u)
+    return u
+
+
+def _sql_domain_cap() -> str:
+    canon = _sql_canonical_chain("url")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 3 = 0 THEN
+        'HTTP://WWW.' || source || '.Example.COM:80/docs/' ||
+        CAST(doc_id AS VARCHAR) || '?utm_source=feed&id=' ||
+        CAST(doc_id AS VARCHAR) || '#top'
+      WHEN doc_id % 3 = 1 THEN
+        'https://' || source || '.example.com/docs/' ||
+        CAST(doc_id AS VARCHAR) || '/?id=' ||
+        CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+      ELSE
+        'https://cdn.' || source || '.example.com/d/' ||
+        CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id, {canon} AS canon_url FROM base
+), dom AS (
+  SELECT doc_id, canon_url,
+         regexp_extract(canon_url, '^[a-z]+://([^/?#:]+)', 1) AS domain
+  FROM canon
+), ranked AS (
+  SELECT doc_id, domain, canon_url,
+         CAST(row_number() OVER (
+           PARTITION BY domain
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INT) AS rk
+  FROM dom
+)
+SELECT doc_id, domain, canon_url, rk FROM ranked WHERE rk <= 5
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/redact.py::pii_scrub): emails, IPs and
+    phone numbers injected deterministically into the corpus text
+    (keyed on doc_id divisibility) are replaced by typed tokens, with
+    per-pattern hit counts taken on the same intermediate each
+    replacement ran on. Pure regexp projection — zero exchanges."""
+    from m3d_engine_spark.functions.redact import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"),
+                     F.lit("@mail.example.org now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" call +1 555 "),
+                     F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" from 10."), (did % 256).cast("string"),
+                     F.lit(".0."), (did % 250).cast("string"),
+                     F.lit(" today")),
+        ).otherwise(F.lit("")),
+    )
+    return pii_scrub(
+        docs.select("doc_id", injected.alias("text")), "doc_id", "text"
+    )
+
+
+def _sql_pii_scrub() -> str:
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+"
+    ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    phone = "\\+?\\d{1,3}[- ]\\d{3}[- ]\\d{4}\\b"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 4 = 0 THEN ' contact user' ||
+      CAST(doc_id AS VARCHAR) || '@mail.example.org now' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 ' ||
+      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+    CASE WHEN doc_id % 3 = 0 THEN ' from 10.' ||
+      CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+      CAST(doc_id % 250 AS VARCHAR) || ' today' ELSE '' END AS t0
+  FROM documents
+), s1 AS (
+  SELECT doc_id, t0,
+         len(regexp_extract_all(t0, '{email}')) AS n_emails,
+         regexp_replace(t0, '{email}', '<EMAIL>', 'g') AS t1
+  FROM base
+), s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{ip}')) AS n_ips,
+         regexp_replace(t1, '{ip}', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '{phone}', '<PHONE>', 'g') AS scrubbed,
+       CAST(n_emails AS INT) AS n_emails,
+       CAST(n_ips AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(t2, '{phone}')) AS INT) AS n_phones
+FROM s2
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2256,6 +2431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "fuzzy_dedup_corpus": q_fuzzy_dedup_corpus,
         "gopher_quality": q_gopher_quality,
+        "domain_cap": q_domain_cap,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -2317,4 +2494,6 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": _SQL_SEQUENCE_PACK,
         "fuzzy_dedup_corpus": _sql_fuzzy_dedup_corpus(),
         "gopher_quality": _sql_gopher_quality(),
+        "domain_cap": _sql_domain_cap(),
+        "pii_scrub": _sql_pii_scrub(),
     }

@@ -115,3 +115,53 @@ def test_gopher_quality_stats_values(spark):
                                   top3_char_frac=0.0, top4_char_frac=0.0,
                                   ellipsis_line_frac=0.0, bullet_line_frac=0.0)
     assert r[4].n_lines == 1 and r[4].top2_char_frac == 0.0
+
+
+def test_canonical_url_edge_cases(spark):
+    from m3d_engine_spark.functions.urls import canonical_url, url_domain
+
+    cases = [
+        # (raw, canonical, domain)
+        ("HTTP://WWW.Foo.COM:80/A?utm_source=x&id=1#f",
+         "https://foo.com/A?id=1", "foo.com"),
+        ("https://foo.com:443/?utm_a=1&utm_b=2", "https://foo.com", "foo.com"),
+        ("https://foo.com/p/?id=1&ref=z&gclid=9", "https://foo.com/p/?id=1",
+         "foo.com"),
+        ("  http://bar.org/  ", "https://bar.org", "bar.org"),
+        # no scheme at all: passes through un-lowercased, no crash
+        ("not a url", "not a url", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _, _) in enumerate(cases)], ["i", "url"]
+    )
+    got = {
+        r.i: (r.c, r.d)
+        for r in df.select(
+            "i",
+            canonical_url(F.col("url")).alias("c"),
+            url_domain(F.col("url")).alias("d"),
+        ).collect()
+    }
+    for i, (_, want_c, want_d) in enumerate(cases):
+        assert got[i] == (want_c, want_d), (i, got[i])
+
+
+def test_pii_scrub_counts_and_order(spark):
+    """Counts are taken on the intermediate each replacement ran on:
+    a dotted quad is counted once as an IP, never re-counted as two
+    phone numbers; tokens never cascade."""
+    from m3d_engine_spark.functions.redact import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@b.co and c.d+e@f.org.uk wrote"),
+            (2, "ip 192.168.001.254 vs phone +44 123 4567"),
+            (3, "nothing here"),
+        ],
+        ["doc_id", "text"],
+    )
+    r = {x.doc_id: x for x in pii_scrub(df, "doc_id", "text").collect()}
+    assert r[1].n_emails == 2 and r[1].scrubbed == "<EMAIL> and <EMAIL> wrote"
+    assert (r[2].n_ips, r[2].n_phones) == (1, 1)
+    assert r[2].scrubbed == "ip <IP> vs phone <PHONE>"
+    assert r[3].scrubbed == "nothing here"

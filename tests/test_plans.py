@@ -394,3 +394,24 @@ def test_gopher_quality_zero_exchange(spark, sf_dir):
     plan = _plan_simple(m.queries()["gopher_quality"](spark, sf_dir))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_scrub_zero_exchange(spark, sf_dir):
+    """PII redaction is a regexp projection: zero exchanges, no
+    Python."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["pii_scrub"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_domain_cap_window_group_limit(spark, sf_dir):
+    """The per-domain cap must pre-truncate per task: WindowGroupLimit
+    below the single exchange on the domain key."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["domain_cap"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
