@@ -2364,6 +2364,190 @@ FROM s2
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling (curation.py::hash_mixture):
+    per-source keep rates (0.2/0.4/0.6/0.8 cycling on the source
+    number) applied as an md5-threshold Bernoulli — same kept set on
+    every run/partitioning/engine. Zero exchanges (pinned)."""
+    from m3d_engine_spark.operators.curation import hash_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int")
+    rate = ((src_num % 4 + 1) / F.lit(5.0)).cast("double")
+    return hash_mixture(
+        docs.withColumn("rate", F.round(rate, 4)), "doc_id", F.col("rate")
+    ).select("doc_id", "source", "rate")
+
+
+_SQL_MIXTURE = """
+WITH base AS (
+  SELECT doc_id, source,
+         round(((CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 4) + 1)
+               / 5.0, 4) AS rate
+  FROM documents
+)
+SELECT doc_id, source, rate
+FROM base
+WHERE rate >= 1.0
+   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT))
+"""
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal
+    (curation.py::remove_boilerplate_lines): lines occurring in more
+    than max_df=3 distinct documents are dropped and the text rebuilt
+    in original line order. Line structure is synthesized (3-token
+    lines, same recipe as gopher_quality minus decoration); the small
+    vocabulary makes cross-document line collisions real."""
+    from m3d_engine_spark.functions.text import tokens
+    from m3d_engine_spark.operators.curation import (
+        remove_boilerplate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    lines = F.transform(
+        F.sequence(
+            F.lit(0), F.ceil(F.size(t) / F.lit(3)).cast("int") - F.lit(1)
+        ),
+        lambda i: F.concat_ws(" ", F.slice(t, i * F.lit(3) + F.lit(1), 3)),
+    )
+    synth = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return remove_boilerplate_lines(synth, "doc_id", "text", max_df=3)
+
+
+_SQL_BOILERPLATE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), lined AS (
+  SELECT doc_id,
+    list_transform(range(0, CAST(ceil(len(t) / 3.0) AS INT)),
+      i -> array_to_string(list_slice(t, i * 3 + 1, i * 3 + 3), ' ')) AS ls
+  FROM toks
+), pl AS (
+  SELECT doc_id, u['pos'] AS pos, u['line'] AS line
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(ls, (x, i) -> {{'pos': i, 'line': x}})) AS u
+    FROM lined
+  )
+), ldf AS (
+  SELECT line, count(DISTINCT doc_id) AS df FROM pl GROUP BY line
+), tagged AS (
+  SELECT pl.doc_id, pl.pos, pl.line, ldf.df <= 3 AS keep
+  FROM pl JOIN ldf ON pl.line = ldf.line
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE keep), '') AS clean_text,
+       CAST(coalesce(count(*) FILTER (WHERE keep), 0) AS INT) AS n_kept,
+       CAST(coalesce(count(*) FILTER (WHERE NOT keep), 0) AS INT)
+         AS n_dropped
+FROM tagged
+GROUP BY doc_id
+"""
+
+
+def q_percentile_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group percentile gate (curation.py::percentile_filter):
+    keep documents at/above their language's median length — the
+    distribution-cut filter quality pipelines chain after scoring. The
+    groups-sized cut relation broadcasts back (pinned); integer scores
+    make the exact-interpolation boundary engine-stable."""
+    from m3d_engine_spark.operators.curation import percentile_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return percentile_filter(
+        docs.select("doc_id", "lang", "n_chars"), ["lang"], "n_chars", 0.5
+    ).select("doc_id", "lang", "n_chars", F.round("cut", 4).alias("cut"))
+
+
+_SQL_PERCENTILE_QUALITY = """
+WITH cuts AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS cut
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars, round(c.cut, 4) AS cut
+FROM documents d JOIN cuts c ON d.lang = c.lang
+WHERE d.n_chars >= c.cut
+"""
+
+
+def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack materialization (curation.py::materialize_packs): the
+    window-packed (lang, bin) assignments of sequence_pack turned into
+    actual training sequences — per pack, text concatenated in the
+    packer's own (md5(id), id) order. The heavy payload moves in ONE
+    exchange on the pack key."""
+    from m3d_engine_spark.functions import text as T
+    from m3d_engine_spark.operators.curation import materialize_packs
+    from m3d_engine_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, ["lang"], "doc_id", T.token_count(F.col("text")), budget=4096
+    )
+    return materialize_packs(packed, ["lang", "bin"], "doc_id", "text")
+
+
+_SQL_PACK_MATERIALIZE = f"""
+WITH toks AS (
+  SELECT lang, doc_id, text,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT lang, doc_id, text, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS c
+  FROM toks
+), binned AS (
+  SELECT lang, doc_id, text, n_tokens,
+         CAST(floor((c - n_tokens) / 4096.0) AS INT) AS bin
+  FROM cum
+)
+SELECT lang, bin,
+       string_agg(text, chr(10) || chr(10)
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS seq_text,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+FROM binned
+GROUP BY lang, bin
+"""
+
+
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality proxy (curation.py::unigram_logprob): mean
+    ln P(token) under the corpus' own add-1 unigram model. Token
+    frequencies are vocabulary-sized and join on the token key; N and
+    V ride along as a broadcast 1-row aggregate (no driver count)."""
+    from m3d_engine_spark.operators.curation import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "doc_id", "text", alpha=1.0)
+
+
+_SQL_UNIGRAM_LM = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+), freqs AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V
+  FROM freqs
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln((f.c + 1.0) / (tot.N + tot.V))), 4) AS avg_logprob
+FROM toks t JOIN freqs f ON t.w = f.w CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2433,6 +2617,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "domain_cap": q_domain_cap,
         "pii_scrub": q_pii_scrub,
+        "mixture_sample": q_mixture_sample,
+        "boilerplate_lines": q_boilerplate_lines,
+        "percentile_quality": q_percentile_quality,
+        "pack_materialize": q_pack_materialize,
+        "unigram_lm": q_unigram_lm,
     }
 
 
@@ -2496,4 +2685,9 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _sql_gopher_quality(),
         "domain_cap": _sql_domain_cap(),
         "pii_scrub": _sql_pii_scrub(),
+        "mixture_sample": _SQL_MIXTURE,
+        "boilerplate_lines": _SQL_BOILERPLATE,
+        "percentile_quality": _SQL_PERCENTILE_QUALITY,
+        "pack_materialize": _SQL_PACK_MATERIALIZE,
+        "unigram_lm": _SQL_UNIGRAM_LM,
     }

@@ -1,0 +1,209 @@
+"""Corpus-curation operators: mixture sampling, boilerplate removal,
+quality-percentile filtering, pack materialization, unigram LM scoring.
+
+Beyond-reference capabilities — the passes a pre-training data pipeline
+runs between "raw dedup'd corpus" and "training shards":
+
+* ``hash_mixture``   — deterministic per-group Bernoulli sampling by
+  hash threshold ("keep 30% of src_a, 100% of src_b"), the mixture-
+  weighting primitive. Pure projection: the keep decision is
+  ``md5(id) < bound(rate)`` on 8-hex-digit strings, so the SAME rows
+  are kept on every run, every partitioning, every engine — the
+  property ``df.sample`` does not give you.
+* ``remove_boilerplate_lines`` — drop lines occurring in more than
+  ``max_df`` documents (nav bars, cookie banners, license footers) and
+  rebuild each document's text. Topology: posexplode lines → per-line
+  doc-frequency on a 64-bit line hash (map-side combinable) → equi-join
+  back on the hash → groupBy(doc) rebuild. Three exchanges, all keyed;
+  the df relation is vocabulary-sized, never corpus-sized.
+* ``percentile_filter`` — keep rows at or above their group's p-th
+  percentile of a score ("top half by quality, per language"). The
+  per-group cut relation is groups-sized → broadcast back; one
+  aggregation exchange. At 100 TB swap ``percentile`` for
+  ``approx_percentile`` (sketch buffers) — same topology.
+* ``materialize_packs`` — turn pack assignments (sampling.py) into the
+  actual training sequences: per bin, concatenate document text in the
+  same deterministic (md5(id), id) order the packer used. One exchange
+  on the pack key; the heavy payload (text) moves exactly once.
+* ``unigram_logprob`` — mean per-token unigram log-likelihood of each
+  document under the corpus' own (add-alpha smoothed) unigram model —
+  the cheap LM-quality proxy (a KenLM swap-in changes the model lookup,
+  not the topology). Token relation joins its frequency on the token
+  key; frequencies are vocabulary-sized (broadcast when they fit).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keep_bound(rate: Column) -> Column:
+    """8-hex-digit keep bound for ``hash_mixture``: lowercase hex of
+    floor(rate · 2³²), clamped to ffffffff (rate ≥ 1 keeps everything
+    via the explicit short-circuit, not the bound)."""
+    n = F.floor(rate * F.lit(float(1 << 32))).cast("bigint")
+    n = F.least(n, F.lit((1 << 32) - 1))
+    return F.lower(F.lpad(F.conv(n.cast("string"), 10, 16), 8, "0"))
+
+
+def hash_mixture(
+    df: DataFrame,
+    id_col: str,
+    rate: Column,
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Deterministic Bernoulli(``rate``) subsample keyed on
+    ``md5(id)`` — ``rate`` is a per-row Column (typically derived from
+    a source/group column), so one pass materializes an arbitrary
+    mixture recipe. Returns the kept rows (or, with ``keep_col``, all
+    rows flagged). Zero exchanges."""
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    keep = (rate >= 1.0) | (h < keep_bound(rate))
+    if keep_col is not None:
+        return df.withColumn(keep_col, keep)
+    return df.filter(keep)
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """(id, ``out_col``, n_kept, n_dropped): each document's text with
+    lines appearing in MORE than ``max_df`` distinct documents removed
+    (exact doc-frequency, counted once per doc even when a doc repeats
+    the line). Line identity is the exact line string, keyed through
+    ``xxhash64`` so the df aggregation and join move 8-byte keys, not
+    line text. Empty docs survive with empty ``out_col``."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn("_lh", F.xxhash64("_line"))
+    line_df = (
+        lines.select(F.col(id_col), "_lh")
+        .distinct()
+        .groupBy("_lh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    tagged = lines.join(line_df, on="_lh").withColumn(
+        "_keep", F.col("_df") <= F.lit(int(max_df))
+    )
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN _keep "
+                    "THEN struct(_pos, _line) END)), s -> s._line)"
+                ),
+            ).alias(out_col),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("_keep"), 0).otherwise(1))
+            .cast("int")
+            .alias("n_dropped"),
+        )
+    )
+
+
+def percentile_filter(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    p: float,
+) -> DataFrame:
+    """Rows whose ``score_col`` is ≥ their group's exact ``p``-th
+    percentile (sort-interpolated, the ``percentile`` == DuckDB
+    ``quantile_cont`` contract price_quantiles pins). Output = input +
+    ``cut`` (the group's threshold)."""
+    cuts = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({score_col}, {float(p)})").alias("cut")
+    )
+    return (
+        df.join(F.broadcast(cuts), on=list(group_cols))
+        .filter(F.col(score_col) >= F.col("cut"))
+    )
+
+
+def materialize_packs(
+    packed: DataFrame,
+    pack_cols: Sequence[str],
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """(pack_cols…, seq_text, n_docs, n_tokens_total): concatenate the
+    documents of each pack in the packer's own deterministic
+    (md5(id), id) order. ``packed`` is ``pack_sequences[_greedy]``
+    output (carries ``n_tokens``); ``pack_cols`` is its pack key
+    (e.g. ``["lang", "bin"]`` or ``["lang", "shard", "bin"]``)."""
+    ordk = F.md5(F.col(id_col).cast("string"))
+    return (
+        packed.select(
+            *pack_cols,
+            F.struct(
+                ordk.alias("o"),
+                F.col(id_col).alias("i"),
+                F.col(text_col).alias("t"),
+            ).alias("_s"),
+            F.col("n_tokens"),
+        )
+        .groupBy(*pack_cols)
+        .agg(
+            F.concat_ws(
+                sep, F.expr("transform(array_sort(collect_list(_s)), s -> s.t)")
+            ).alias("seq_text"),
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+        )
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(id, n_tokens, avg_logprob): mean ln P(token) under the corpus'
+    own add-``alpha`` unigram distribution — low scores flag
+    out-of-distribution / garbled documents. N (total tokens) and V
+    (vocabulary) ride along as a broadcast 1-row aggregate, so the plan
+    stays lazy and nothing counts on the driver. 4dp rounding absorbs
+    summation-order ulps (same contract as the cosine entries)."""
+    from m3d_engine_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    freqs = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = F.broadcast(
+        freqs.agg(
+            F.sum("c").cast("double").alias("N"),
+            F.count(F.lit(1)).cast("double").alias("V"),
+        )
+    )
+    a = float(alpha)
+    scored = (
+        toks.join(freqs, on="w")
+        .crossJoin(totals)
+        .select(
+            F.col(id_col),
+            F.log((F.col("c") + F.lit(a)) / (F.col("N") + F.lit(a) * F.col("V"))).alias(
+                "_lp"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("_lp"), 4).alias("avg_logprob"),
+    )

@@ -415,3 +415,37 @@ def test_domain_cap_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_curation_plan_shapes(spark, sf_dir):
+    """mixture_sample: zero-exchange projection. boilerplate_lines /
+    pack_materialize / unigram_lm: keyed exchanges only — no cartesian,
+    no BNLJ except the 1-row totals broadcast in unigram_lm, no
+    Python."""
+    import __spark_entry__ as m
+
+    mix = _plan_simple(m.queries()["mixture_sample"](spark, sf_dir))
+    assert "Exchange" not in mix, mix
+    assert "BatchEvalPython" not in mix and "ArrowEvalPython" not in mix
+
+    for name, bnlj_allowed in (
+        ("boilerplate_lines", 0),
+        ("pack_materialize", 0),
+        ("unigram_lm", 1),  # the broadcast 1-row (N, V) totals
+    ):
+        plan = _plan_simple(m.queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") <= bnlj_allowed, (
+            name, plan,
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_percentile_filter_broadcasts_cuts(spark, sf_dir):
+    """The groups-sized cut relation must broadcast back onto the
+    rows, never shuffle the data side."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["percentile_quality"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -37,6 +37,14 @@ HEADLINERS = {
     "frame_sample": "Video frame sampling: the row-multiplying Generate (sequence+explode over n_frames) sits BELOW the MapInPandas kernel — the JVM fans out inside codegen, Python only sees already-fanned rows; at 10^9 videos the fan-out never crosses the Arrow boundary (pinned).",
     "dedup_survivors": "Embedding near-dup pairs → star-contraction CC → max_by survivor agg: bucketed self-join for pairs, per-round keyed joins inside the (pre-executed) contraction loop, final labels read back from checkpoints (ExistingRDD scans) and aggregated map-side on the component key — no cartesian, no re-derivation of the pair pipeline.",
     "fuzzy_dedup_corpus": "END-TO-END fuzzy dedup (LSH candidates → exact-Jaccard verify → CC → survivors → cleaned corpus): the verified edge relation is localCheckpoint-ed exactly ONCE between verification and CC, so the md5/LSH pipeline appears nowhere in this final plan — labels arrive as ExistingRDD scans, survivors as one max_by agg on the component key, the corpus rejoin as an equi-join on the doc id (pinned: no cartesian, no BNLJ, no Python).",
+    "gopher_quality": "Gopher/RefinedWeb quality rules: ZERO exchanges — one Project of array/aggregate expressions (pinned). The top-n-gram pass binds the gram array once as a lambda variable (transform(array(g), g -> ...)); a column reference inside the per-element lambda would be re-inlined by Catalyst and turn the pass O(d²·n) — measured minutes instead of seconds at sf0.01.",
+    "domain_cap": "URL canonicalization (pure regexp_replace chain) + per-domain cap: ONE exchange on the domain key with WindowGroupLimit running per-task BELOW it (pinned) — each task forwards at most n rows per domain, so the cap costs the same at any corpus size.",
+    "pii_scrub": "PII redaction: zero-exchange regexp projection (pinned); per-pattern counts are taken on the same intermediate each replacement ran on, so counts and replacements cannot disagree.",
+    "mixture_sample": "Deterministic mixture sampling: the md5-threshold keep decision is a zero-exchange projection (pinned) — per-source rates fold into one pass; same kept set on every run/partitioning/engine.",
+    "boilerplate_lines": "Boilerplate-line removal: posexplode lines → line doc-frequency on a 64-bit xxhash key (map-side combinable, vocabulary-sized) → equi-join back on the hash → groupBy(doc) rebuild. Every exchange keyed (pinned); line TEXT moves only in the explode and the rebuild, never in the df aggregation.",
+    "percentile_quality": "Per-group percentile gate: one aggregation exchange builds the groups-sized cut relation, which BROADCASTS back onto the rows (pinned) — the data side never reshuffles. approx_percentile is the drop-in at extreme group width.",
+    "pack_materialize": "Pack materialization: the window assignment reuses sequence_pack's one exchange on the group key; the text payload then moves ONCE in the groupBy(pack key) concat. array_sort(collect_list(struct)) keeps the packer's (md5(id), id) order inside each pack.",
+    "unigram_lm": "Unigram LM proxy: token explode → vocabulary-sized frequency agg → equi-join on the token key; N and V are a broadcast 1-row aggregate (the only BNLJ, pinned ≤ 1) — no driver-side count, plan stays lazy.",
 }
 
 # Plans not reachable through queries() verbatim: built by a callable.
