@@ -2548,6 +2548,139 @@ GROUP BY t.doc_id
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (dedup.py::semantic_dedup,
+    arXiv:2303.09540): sampled coarse quantizer (every 125th vector)
+    clusters the embedding space; pairwise cosine runs only within a
+    cluster; a vector ≥0.95-similar to a lower-id cluster-mate is
+    flagged a duplicate. Assignment argmax is a map-side max_by (one
+    exchange row per vector, never N×C)."""
+    from m3d_engine_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", centroid_stride=125, threshold=0.95
+    )
+
+
+_SQL_SEMANTIC_DEDUP = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS centv
+  FROM embeddings WHERE vec_id % 125 = 0
+), asg AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_cosine("e.embedding", "c.centv")} DESC, c.cent_id ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+), clus AS (
+  SELECT vec_id, embedding, cent_id AS cluster FROM asg WHERE rn = 1
+), pairs AS (
+  SELECT b.vec_id, {_sql_cosine("a.embedding", "b.embedding")} AS ps
+  FROM clus a JOIN clus b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+), ms AS (
+  SELECT vec_id, max(ps) AS max_sim FROM pairs GROUP BY vec_id
+)
+SELECT c.vec_id, c.cluster, ms.max_sim,
+       coalesce(ms.max_sim >= 0.95, false) AS is_dup
+FROM clus c LEFT JOIN ms ON c.vec_id = ms.vec_id
+"""
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact paragraph dedup, C4-style
+    (curation.py::dedup_paragraphs): only the corpus-wide FIRST
+    occurrence of each paragraph survives and documents are rebuilt in
+    original order. Paragraph structure is synthesized with the same
+    3-token-line recipe as boilerplate_lines, so cross-document
+    paragraph collisions are real. The winner election is a
+    map-side-combinable min_by on the 64-bit paragraph hash — the
+    paragraph text never rides the election exchange."""
+    from m3d_engine_spark.functions.text import tokens
+    from m3d_engine_spark.operators.curation import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    lines = F.transform(
+        F.sequence(
+            F.lit(0), F.ceil(F.size(t) / F.lit(3)).cast("int") - F.lit(1)
+        ),
+        lambda i: F.concat_ws(" ", F.slice(t, i * F.lit(3) + F.lit(1), 3)),
+    )
+    synth = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return dedup_paragraphs(synth, "doc_id", "text", sep="\n")
+
+
+_SQL_PARAGRAPH_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), lined AS (
+  SELECT doc_id,
+    list_transform(range(0, CAST(ceil(len(t) / 3.0) AS INT)),
+      i -> array_to_string(list_slice(t, i * 3 + 1, i * 3 + 3), ' ')) AS ls
+  FROM toks
+), pl AS (
+  SELECT doc_id, u['pos'] AS pos, u['para'] AS para
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(ls, (x, i) -> {{'pos': i, 'para': x}})) AS u
+    FROM lined
+  )
+), win AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM pl
+), kept AS (
+  SELECT doc_id, pos, para FROM win WHERE rn = 1
+), rebuilt AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_total FROM lined
+)
+SELECT t.doc_id, coalesce(r.text, '') AS text,
+       coalesce(r.n_kept, 0) AS n_kept, t.n_total
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking
+    (sampling.py::chunk_documents): 40-token windows at stride 30
+    (10-token overlap) — the context-window prep step. Pure zero-
+    exchange fan-out projection: sequence of starts → slice →
+    posexplode, all JVM-side."""
+    from m3d_engine_spark.operators.sampling import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=40, stride=30)
+
+
+_SQL_DOC_CHUNK = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), starts AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) > 0 THEN range(1, len(t) + 1, 30)
+              ELSE CAST([] AS BIGINT[]) END AS ss
+  FROM toks
+)
+SELECT doc_id, CAST(u['i'] - 1 AS INT) AS chunk_id,
+       CAST(len(string_split(u['c'], ' ')) AS INT) AS n_tokens,
+       u['c'] AS chunk
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(ss,
+           (s, i) -> {{'i': i,
+                       'c': array_to_string(list_slice(t, s, s + 39), ' ')}})) AS u
+  FROM starts
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2622,6 +2755,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_quality": q_percentile_quality,
         "pack_materialize": q_pack_materialize,
         "unigram_lm": q_unigram_lm,
+        "semantic_dedup": q_semantic_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
+        "doc_chunk": q_doc_chunk,
     }
 
 
@@ -2690,4 +2826,7 @@ def oracle_sql() -> dict[str, str]:
         "percentile_quality": _SQL_PERCENTILE_QUALITY,
         "pack_materialize": _SQL_PACK_MATERIALIZE,
         "unigram_lm": _SQL_UNIGRAM_LM,
+        "semantic_dedup": _SQL_SEMANTIC_DEDUP,
+        "paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
+        "doc_chunk": _SQL_DOC_CHUNK,
     }

@@ -207,3 +207,70 @@ def unigram_logprob(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.avg("_lp"), 4).alias("avg_logprob"),
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document exact paragraph deduplication (the C4 recipe:
+    drop every repeated paragraph, corpus-wide, keeping only its FIRST
+    occurrence in (doc id, position) order) and rebuild each document
+    from its surviving paragraphs in original order. Returns
+    (id, text, n_kept, n_total); documents whose every paragraph lost
+    come back with empty text, not dropped rows.
+
+    Topology: posexplode paragraphs → global winner per paragraph as a
+    ``min_by`` on the 64-bit paragraph hash (map-side combinable, and
+    the winner relation carries (hash, id, pos) — the paragraph TEXT is
+    never shuffled for the election, unlike a groupBy(paragraph)) →
+    co-partitioned equi-join back on the hash → groupBy(id) rebuild.
+    A row_number window over the hash would be the same election but
+    with a skew bomb: one viral boilerplate paragraph = one partition
+    with 10⁹ rows; min_by partial-aggregates it inside each scan task.
+    xxhash64 collisions can only DEMOTE a would-be winner (join still
+    requires (id, pos) to match), at ~n²/2⁶⁴ odds — the standard
+    engineering trade, documented here.
+    """
+    pl = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("ph", F.xxhash64("para"))
+    winners = pl.groupBy("ph").agg(
+        F.min_by(
+            F.struct(F.col(id_col).alias("wid"), F.col("pos").alias("wpos")),
+            F.struct(F.col(id_col), F.col("pos")),
+        ).alias("w")
+    ).select(F.col("ph").alias("wph"), "w.wid", "w.wpos")
+    kept = pl.join(
+        winners,
+        on=[
+            pl["ph"] == winners["wph"],
+            pl[id_col] == winners["wid"],
+            pl["pos"] == winners["wpos"],
+        ],
+    ).select(pl[id_col], "pos", "para")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("para")))
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_total"),
+    )
+    return totals.join(rebuilt, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        F.col("n_total"),
+    )

@@ -635,3 +635,118 @@ def simhash64_hamming_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= hamming_k)
+
+
+# ---------------------------------------------------- semantic dedup
+def semantic_assignments(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_stride: int = 125,
+) -> DataFrame:
+    """Coarse-quantizer cluster assignment for ``semantic_dedup``:
+    (id, cluster, v, nrm), cluster = argmax-cosine centroid id.
+
+    The quantizer is the same deliberately-sampled one as
+    ``similarity.ivf_topk``: every ``centroid_stride``-th vector by id
+    is a centroid, so the operator is deterministic and
+    oracle-checkable; swapping in trained k-means centroids changes one
+    relation, not the topology.
+
+    Centroids broadcast (√N of the corpus at the classical stride);
+    the argmax is a map-side combinable ``max_by`` on a totally-ordered
+    struct (highest rounded cosine, ties to lowest centroid id), so the
+    partial aggregation collapses the C centroid rows inside the scan
+    partition and the exchange carries each vector exactly ONCE (with
+    its payload — constant per group, ``first()`` is exact and cheaper
+    than re-joining the vectors back on id), never N×C.
+    """
+    from m3d_engine_spark.functions.vectors import dot, norm
+
+    cents = F.broadcast(
+        df.filter((F.col(id_col) % centroid_stride) == 0).select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("centv"),
+            norm(F.col(vec_col)).alias("centn"),
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    sim_to_cent = F.round(
+        dot(F.col("v"), F.col("centv")) / (F.col("nrm") * F.col("centn")), 4
+    )
+    return (
+        base.crossJoin(cents)
+        .withColumn("_sim", sim_to_cent)
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "cent_id",
+                F.struct(F.col("_sim").alias("s"), (-F.col("cent_id")).alias("nc")),
+            ).alias("cluster"),
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_stride: int = 125,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space with a coarse
+    quantizer, compute pairwise cosine only WITHIN each cluster, and
+    mark a document a duplicate when it is ≥ ``threshold``-similar to a
+    lower-id cluster-mate (lowest id wins — deterministic, engine
+    portable). Returns one row per input: (id, cluster, max_sim,
+    is_dup); filter ``~is_dup`` for the kept corpus.
+
+    Topology: the assignment relation (``semantic_assignments``) is
+    consumed three times — both sides of the intra-cluster self-join
+    and the final output join — so it is ``localCheckpoint``-ed ONCE,
+    eagerly (the fuzzy_dedup_corpus pattern): the N×C cosine pass runs
+    exactly once, and the downstream joins read the materialized
+    (id, cluster, v, nrm) rows. Intra-cluster pairs are a
+    self-equi-join on the cluster id; the quadratic term is bounded by
+    the largest cluster (N/k target; at 10⁹ docs pick stride ≈ √N so
+    clusters stay ~√N) — the published SemDeDup cost model, and the
+    stride is the dial. Exchanges: one groupBy(id) inside the
+    checkpoint, one cluster join, one groupBy(id) max — all keyed,
+    nothing all-pairs.
+    """
+    from m3d_engine_spark.functions.vectors import dot
+
+    asg = semantic_assignments(
+        df, id_col, vec_col, centroid_stride
+    ).localCheckpoint(eager=True)
+    l, r = asg.alias("l"), asg.alias("r")
+    pair_sim = F.round(
+        dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 4
+    )
+    dup_sim = (
+        l.join(
+            r,
+            on=[
+                F.col("l.cluster") == F.col("r.cluster"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"r.{id_col}").alias(id_col), pair_sim.alias("_ps"))
+        .groupBy(id_col)
+        .agg(F.max("_ps").alias("max_sim"))
+    )
+    return asg.join(dup_sim, on=id_col, how="left").select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.col("max_sim"),
+        F.coalesce(F.col("max_sim") >= F.lit(threshold), F.lit(False)).alias(
+            "is_dup"
+        ),
+    )

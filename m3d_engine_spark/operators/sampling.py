@@ -198,3 +198,46 @@ def pack_sequences_greedy(
     return staged.groupBy(*group_cols, "shard").applyInPandas(
         pack, schema=out_schema
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document into fixed-token-window chunks with optional
+    overlap (``stride`` < ``chunk_tokens`` → sliding windows) — the
+    standard context-window prep between "cleaned doc" and "training
+    sequence". Returns (id, chunk_id, n_tokens, chunk) where chunk_id
+    numbers windows from 0 in document order and the final window may
+    be short.
+
+    Pure JVM fan-out: tokens → ``sequence`` of window starts →
+    ``transform``/``slice``/``array_join`` → ``posexplode``. ZERO
+    exchanges — the operator is a projection, so it composes with a
+    downstream partitioned write at any scale; empty documents emit no
+    chunks (posexplode of an empty array), not nulls.
+    """
+    from m3d_engine_spark.functions.text import tokens
+
+    step = chunk_tokens if stride is None else stride
+    if step <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    t = tokens(F.col(text_col))
+    starts = F.when(
+        F.size(t) > 0, F.sequence(F.lit(1), F.size(t), F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(t, s, chunk_tokens), " ")
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(F.split(F.col("chunk"), " ")).alias("n_tokens"),
+        F.col("chunk"),
+    )

@@ -1,0 +1,106 @@
+"""Unit tests for paragraph dedup, document chunking, and semantic
+dedup — the behaviors the sf0.01 oracle sweep can't isolate (edge
+cases: all-paragraphs-lost docs, short last windows, empty docs,
+lowest-id-wins flagging)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.operators.curation import dedup_paragraphs
+from m3d_engine_spark.operators.dedup import semantic_dedup
+from m3d_engine_spark.operators.sampling import chunk_documents
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared one\nbeta"),
+            (2, "shared one\ngamma\nshared two"),
+            (3, "shared two\nshared one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs(docs, "doc_id", "text").collect()
+    }
+    # doc 1 is first everywhere it overlaps: fully intact.
+    assert out[1]["text"] == "alpha\nshared one\nbeta"
+    assert out[1]["n_kept"] == 3 and out[1]["n_total"] == 3
+    # doc 2 loses "shared one" (doc 1 owns it) but keeps its own firsts.
+    assert out[2]["text"] == "gamma\nshared two"
+    assert out[2]["n_kept"] == 2 and out[2]["n_total"] == 3
+    # doc 3 loses everything → present with empty text, not dropped.
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+    assert out[3]["n_total"] == 2
+
+
+def test_dedup_paragraphs_intra_doc_repeat(spark):
+    """A paragraph repeated INSIDE one document keeps only its first
+    position too (the election key is the paragraph, corpus-wide)."""
+    docs = spark.createDataFrame(
+        [(7, "x\ny\nx\nz")], "doc_id long, text string"
+    )
+    row = dedup_paragraphs(docs, "doc_id", "text").collect()[0]
+    assert row["text"] == "x\ny\nz"
+    assert row["n_kept"] == 3 and row["n_total"] == 4
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6"), (2, ""), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=4, stride=3
+    ).collect()
+    by_key = {(r["doc_id"], r["chunk_id"]): r for r in rows}
+    # doc 1: starts at tokens 0, 3, 6 → windows of 4, 4, 1.
+    assert by_key[(1, 0)]["chunk"] == "t0 t1 t2 t3"
+    assert by_key[(1, 1)]["chunk"] == "t3 t4 t5 t6"
+    assert by_key[(1, 2)]["chunk"] == "t6"
+    assert by_key[(1, 2)]["n_tokens"] == 1
+    # empty doc → zero chunks; one-token doc → one chunk.
+    assert not any(k[0] == 2 for k in by_key)
+    assert by_key[(3, 0)]["chunk"] == "solo"
+    assert len(rows) == 4
+
+
+def test_chunk_documents_rejects_bad_sizes(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    for kwargs in ({"chunk_tokens": 0}, {"chunk_tokens": 4, "stride": -1}):
+        try:
+            chunk_documents(docs, "doc_id", "text", **kwargs)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+
+def test_semantic_dedup_lowest_id_wins(spark):
+    """Two tight groups on orthogonal axes; centroids at ids 0 and 2
+    (stride 2 picks 0 and 2; 4 is also sampled but duplicates axis-y).
+    Within each cluster the lowest id survives, near-identical
+    higher-ids are flagged."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # centroid, x-axis
+        (1, [0.999, 0.01, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),   # centroid, y-axis
+        (3, [0.01, 0.999, 0.0]),  # near-dup of 2
+        (5, [0.0, -1.0, 0.2]),  # argmax lands on cluster 0 (cos 0 > -0.98)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", centroid_stride=2, threshold=0.95
+        ).collect()
+    }
+    assert len(out) == 5
+    assert not out[0]["is_dup"] and not out[2]["is_dup"]
+    assert out[1]["is_dup"] and out[1]["max_sim"] >= 0.99
+    assert out[3]["is_dup"]
+    assert not out[5]["is_dup"]  # ~0 cosine to its cluster-mates
+    # clusters are centroid ids
+    assert out[1]["cluster"] == 0 and out[3]["cluster"] == 2
+    assert out[5]["cluster"] == 0

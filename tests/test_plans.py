@@ -449,3 +449,60 @@ def test_percentile_filter_broadcasts_cuts(spark, sf_dir):
     plan = _plan_simple(m.queries()["percentile_quality"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_election_is_aggregate_not_window(spark, sf_dir):
+    """The paragraph-winner election must be a (map-side combinable)
+    aggregate on the hash, NOT a row_number window — a viral
+    boilerplate paragraph would make one window partition corpus-sized.
+    No Python, no cartesian."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["paragraph_dedup"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_doc_chunk_zero_exchange(spark, sf_dir):
+    """Chunking is a pure fan-out projection: zero exchanges, no
+    Python — it composes with any downstream partitioned write."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["doc_chunk"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_assignment_broadcast_centroids_single_exchange(spark):
+    """The assignment's only nested-loop join is the broadcast-centroid
+    cross (corpus × C centroids, C broadcastable by design), and the
+    argmax exchange carries ONE row per vector (map-side combinable
+    max_by), never N×C — exactly one Exchange in the whole subtree."""
+    from m3d_engine_spark.operators.dedup import semantic_assignments
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan_simple(
+        semantic_assignments(emb, "vec_id", "embedding", 125)
+    )
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange") == 2, plan  # broadcast + 1 hash
+    assert "partial_max_by" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_checkpoints_assignment_once(spark, sf_dir):
+    """The assignment relation feeds three consumers; the final plan
+    must read the checkpoint (ExistingRDD) three times — the N×C
+    cosine pass never re-executes — and the intra-cluster pair join is
+    a keyed equi-join on the cluster id, no cartesian, no Python."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["semantic_dedup"](spark, sf_dir))
+    assert plan.count("ExistingRDD") == 3, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

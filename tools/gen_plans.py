@@ -45,6 +45,9 @@ HEADLINERS = {
     "percentile_quality": "Per-group percentile gate: one aggregation exchange builds the groups-sized cut relation, which BROADCASTS back onto the rows (pinned) — the data side never reshuffles. approx_percentile is the drop-in at extreme group width.",
     "pack_materialize": "Pack materialization: the window assignment reuses sequence_pack's one exchange on the group key; the text payload then moves ONCE in the groupBy(pack key) concat. array_sort(collect_list(struct)) keeps the packer's (md5(id), id) order inside each pack.",
     "unigram_lm": "Unigram LM proxy: token explode → vocabulary-sized frequency agg → equi-join on the token key; N and V are a broadcast 1-row aggregate (the only BNLJ, pinned ≤ 1) — no driver-side count, plan stays lazy.",
+    "paragraph_dedup": "C4-style cross-document paragraph dedup: the corpus-wide first-occurrence election is a map-side-combinable min_by AGGREGATE on the 64-bit paragraph hash — NOT a row_number window (pinned: no Window node), so a viral boilerplate paragraph partial-aggregates inside each scan task instead of forming one corpus-sized window partition; winners join back on (hash, id, pos) and the rebuild is one groupBy(doc) — paragraph text rides only the explode and the rebuild, never the election exchange.",
+    "doc_chunk": "Sliding-window chunking: sequence-of-starts → slice → posexplode, a ZERO-exchange pure fan-out projection (pinned) — composes with any downstream partitioned write at any corpus size.",
+    "semantic_dedup": "SemDeDup: the (id, cluster, v, nrm) assignment relation feeds three consumers (both self-join sides + the output join), so it is localCheckpoint-ed ONCE — the final plan reads ExistingRDD three times (pinned == 3) and the broadcast-centroid N×C cosine pass appears nowhere; intra-cluster pairs are a keyed equi-join on the cluster id (quadratic term bounded by cluster width, stride ≈ √N is the dial); the assignment subtree itself is pinned separately: one BNLJ (broadcast centroids), one hash exchange carrying one row per vector (partial_max_by), never N×C.",
 }
 
 # Plans not reachable through queries() verbatim: built by a callable.
