@@ -2681,6 +2681,124 @@ FROM (
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-batch dedup
+    (incremental.py::incremental_dedup): the 'nightly snapshot' pass —
+    docs with doc_id % 5 = 0 are the new batch, the rest the accepted
+    corpus; exact md5-fingerprint anti-join, then MinHash band keys
+    new × existing (never existing × existing) verified with exact
+    Jaccard ≥ 0.5. Returns surviving new-batch rows."""
+    from m3d_engine_spark.operators.incremental import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = incremental_dedup(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=8,
+        shingle_n=3,
+        threshold=0.5,
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def _sql_incremental_dedup() -> str:
+    hashes = ", ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{j}|' || x)), 'min')"
+        for j in range(16)
+    )
+
+    def band_rows(sigs: str) -> str:
+        return "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, {b} AS band, md5(sig[{2 * b + 1}] || '|' || "
+            f"sig[{2 * b + 2}]) AS band_key FROM {sigs}"
+            for b in range(8)
+        )
+
+    return f"""
+WITH newb AS (
+  SELECT * FROM documents WHERE doc_id % 5 = 0
+), old AS (
+  SELECT * FROM documents WHERE doc_id % 5 <> 0
+), exact_surv AS (
+  SELECT * FROM newb
+  WHERE md5(text) NOT IN (SELECT DISTINCT md5(text) FROM old)
+), ntoks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM exact_surv
+), nsh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS s FROM ntoks
+), nsigs AS (
+  SELECT doc_id, [{hashes}] AS sig FROM nsh
+), nbands AS (
+{band_rows("nsigs")}
+), otoks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM old
+), osh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS s FROM otoks
+), osigs AS (
+  SELECT doc_id, [{hashes}] AS sig FROM osh
+), obands AS (
+{band_rows("osigs")}
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM nbands n JOIN obands o
+    ON n.band = o.band AND n.band_key = o.band_key
+), dups AS (
+  SELECT DISTINCT c.new_id
+  FROM cand c
+  JOIN nsh ON c.new_id = nsh.doc_id
+  JOIN osh ON c.old_id = osh.doc_id
+  WHERE round(len(list_intersect(nsh.s, osh.s)) /
+              len(list_distinct(list_concat(nsh.s, osh.s))), 4) >= 0.5
+)
+SELECT doc_id, lang, source, n_chars FROM exact_surv
+WHERE doc_id NOT IN (SELECT new_id FROM dups)
+"""
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM fluency proxy (curation.py::bigram_logprob): mean
+    add-1 ln P(wᵢ|wᵢ₋₁) under the corpus' own bigram model — context
+    counts derived by summing pair counts (no second corpus pass), V a
+    broadcast 1-row aggregate."""
+    from m3d_engine_spark.operators.curation import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "doc_id", "text", alpha=1.0)
+
+
+_SQL_BIGRAM_LM = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), bg AS (
+  SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+             i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS u
+    FROM toks
+  )
+), pc AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), cc AS (
+  SELECT w1, sum(c12) AS c1 FROM pc GROUP BY w1
+), vocab AS (
+  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS V
+  FROM (SELECT unnest(t) AS w FROM toks)
+)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((pc.c12 + 1.0) / (cc.c1 + 1.0 * vocab.V))), 4)
+         AS avg_logprob
+FROM bg b
+JOIN pc ON b.w1 = pc.w1 AND b.w2 = pc.w2
+JOIN cc ON b.w1 = cc.w1
+CROSS JOIN vocab
+GROUP BY b.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2758,6 +2876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "doc_chunk": q_doc_chunk,
+        "incremental_dedup": q_incremental_dedup,
+        "bigram_lm": q_bigram_lm,
     }
 
 
@@ -2829,4 +2949,6 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _SQL_SEMANTIC_DEDUP,
         "paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
         "doc_chunk": _SQL_DOC_CHUNK,
+        "incremental_dedup": _sql_incremental_dedup(),
+        "bigram_lm": _SQL_BIGRAM_LM,
     }

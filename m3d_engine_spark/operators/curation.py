@@ -209,6 +209,68 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(id, n_bigrams, avg_logprob): mean ln P(wᵢ | wᵢ₋₁) under the
+    corpus' own add-``alpha`` bigram model — the next step up from
+    ``unigram_logprob`` toward a KenLM-grade fluency filter (a real
+    n-gram LM swaps the count relations, not the topology).
+
+        P(w₂ | w₁) = (c(w₁w₂) + α) / (c₁(w₁) + α·V)
+
+    where c₁ counts w₁ as a bigram CONTEXT (positions 1..n−1, derived
+    by summing pair counts — no second corpus pass) and V is the full
+    unigram vocabulary. Documents with <2 tokens have no transitions
+    and emit no row.
+
+    Topology: one guarded zip_with explode to (doc, w1, w2) rows (the
+    short-doc-safe form from collocations.py), pair counts and context
+    counts are map-side-combinable aggs joined back on their keys
+    (vocabulary-sized → broadcast when they fit), V is a broadcast
+    1-row aggregate. 4dp rounding absorbs summation-order ulps.
+    """
+    from m3d_engine_spark.functions.text import tokens
+
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    bg = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " slice(t, 2, greatest(size(t) - 1, 0)),"
+                " (x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("b"),
+    ).select(F.col(id_col), "b.w1", "b.w2")
+    pair_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx_counts = pair_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = F.broadcast(
+        toks.select(F.explode("t").alias("w")).agg(
+            F.count_distinct(F.col("w")).cast("double").alias("V")
+        )
+    )
+    a = float(alpha)
+    scored = (
+        bg.join(pair_counts, on=["w1", "w2"])
+        .join(ctx_counts, on="w1")
+        .crossJoin(vocab)
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("c12") + F.lit(a)) / (F.col("c1") + F.lit(a) * F.col("V"))
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("_lp"), 4).alias("avg_logprob"),
+    )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,106 @@
+"""Incremental (cross-batch) deduplication: a new crawl batch against
+the already-accepted corpus.
+
+Beyond-reference capability. Production corpora grow by snapshots; each
+new batch must be deduplicated AGAINST EVERYTHING ALREADY KEPT, not
+just within itself (that intra-batch pass is
+``fuzzy_dedup.fuzzy_dedup_corpus`` — compose the two). Two tiers:
+
+* **exact** — a ``left_anti`` join of the new batch's md5 text
+  fingerprints against the existing corpus' fingerprint set. The
+  existing side reduces to DISTINCT 32-byte fingerprints before the
+  join — the corpus' text never moves, and at 100 TB the fingerprint
+  relation is the artifact you materialize at corpus-write time.
+* **fuzzy** — MinHash band keys of both sides (``dedup.lsh_bands``,
+  the hash-once explode topology) equi-joined on (band, band_key) —
+  new × existing, NEVER existing × existing, so the join output is
+  bounded by the new batch's collision count. Candidates are then
+  verified with exact n-gram Jaccard from the full shingle arrays and
+  matched new docs dropped.
+
+The existing side's band relation is also a write-time artifact: store
+it bucketed by (band, band_key) when the corpus is accepted and every
+nightly batch join becomes shuffle-free on the corpus side. Nothing
+here is quadratic in the corpus; the batch-side cost is the same LSH
+pipeline the intra-batch dedup already pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.operators.dedup import lsh_bands, shingle_array
+
+
+def incremental_dedup(
+    new: DataFrame,
+    existing: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Rows of ``new`` that survive exact + fuzzy dedup against
+    ``existing``: no identical text (md5 fingerprint) and no
+    LSH-candidate with exact n-gram Jaccard ≥ ``threshold``. All input
+    columns of ``new`` pass through untouched.
+
+    Intra-batch duplicates are deliberately NOT touched here — run
+    ``fuzzy_dedup_corpus`` on the batch first (or after); keeping the
+    passes separate keeps each one's oracle exact.
+    """
+    fp_old = existing.select(F.md5(F.col(text_col)).alias("_fp")).distinct()
+    exact_surv = (
+        new.withColumn("_fp", F.md5(F.col(text_col)))
+        .join(fp_old, on="_fp", how="left_anti")
+        .drop("_fp")
+    )
+
+    nb = lsh_bands(exact_surv, id_col, text_col, num_hashes, bands, shingle_n)
+    ob = lsh_bands(existing, id_col, text_col, num_hashes, bands, shingle_n)
+    cand = (
+        nb.alias("n")
+        .join(
+            ob.alias("o"),
+            on=[F.col("n.band") == F.col("o.band"),
+                F.col("n.band_key") == F.col("o.band_key")],
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"o.{id_col}").alias("old_id"),
+        )
+        .distinct()
+    )
+    sh = lambda df: df.select(  # noqa: E731
+        F.col(id_col),
+        F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    jac = F.round(
+        F.size(F.array_intersect(F.col("sh_n"), F.col("sh_o")))
+        / F.size(F.array_union(F.col("sh_n"), F.col("sh_o"))),
+        4,
+    )
+    dup_ids = (
+        cand.join(
+            sh(exact_surv).select(
+                F.col(id_col).alias("new_id"), F.col("sh").alias("sh_n")
+            ),
+            on="new_id",
+        )
+        .join(
+            sh(existing).select(
+                F.col(id_col).alias("old_id"), F.col("sh").alias("sh_o")
+            ),
+            on="old_id",
+        )
+        .filter(jac >= threshold)
+        .select("new_id")
+        .distinct()
+    )
+    return exact_surv.join(
+        dup_ids.select(F.col("new_id").alias(id_col)), on=id_col, how="left_anti"
+    )

@@ -104,3 +104,51 @@ def test_semantic_dedup_lowest_id_wins(spark):
     # clusters are centroid ids
     assert out[1]["cluster"] == 0 and out[3]["cluster"] == 2
     assert out[5]["cluster"] == 0
+
+
+def test_incremental_dedup_exact_and_fuzzy_tiers(spark):
+    from m3d_engine_spark.operators.incremental import incremental_dedup
+
+    existing = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "entirely different reference content lives here now"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # exact copy of existing 1 → dropped by the fingerprint tier
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            # near-dup of existing 1 (one token changed) → fuzzy tier
+            (11, "the quick brown fox jumps over the lazy cat today"),
+            # genuinely new → survives
+            (12, "completely unrelated fresh material with novel words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(
+        new, existing, "doc_id", "text", threshold=0.5
+    )
+    assert [r["doc_id"] for r in out.collect()] == [12]
+
+
+def test_bigram_logprob_hand_computed(spark):
+    from m3d_engine_spark.operators.curation import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(docs, "doc_id", "text").collect()}
+    # c(a,b)=3, c(b,a)=1, c1(a)=3, c1(b)=1, V=3 (a,b,x):
+    # lp(a,b)=ln(4/6), lp(b,a)=ln(2/4)
+    import math
+
+    lab = math.log(4 / 6)
+    lba = math.log(2 / 4)
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_logprob"] - round((2 * lab + lba) / 3, 4)) < 1e-9
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["avg_logprob"] - round(lab, 4)) < 1e-9
+    assert 3 not in out  # <2 tokens → no transitions → no row

@@ -506,3 +506,26 @@ def test_semantic_dedup_checkpoints_assignment_once(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_dedup_keyed_joins_only(spark, sf_dir):
+    """Cross-batch dedup: fingerprint anti-join + band equi-join +
+    Jaccard verify — every join keyed, no cartesian, no BNLJ, no
+    Python; the existing corpus is never self-joined."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["incremental_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_lm_broadcast_vocab_only_bnlj(spark, sf_dir):
+    """Bigram LM: pair/context counts join on their keys; the only
+    BNLJ is the broadcast 1-row vocabulary aggregate."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["bigram_lm"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

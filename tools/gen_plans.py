@@ -48,6 +48,8 @@ HEADLINERS = {
     "paragraph_dedup": "C4-style cross-document paragraph dedup: the corpus-wide first-occurrence election is a map-side-combinable min_by AGGREGATE on the 64-bit paragraph hash — NOT a row_number window (pinned: no Window node), so a viral boilerplate paragraph partial-aggregates inside each scan task instead of forming one corpus-sized window partition; winners join back on (hash, id, pos) and the rebuild is one groupBy(doc) — paragraph text rides only the explode and the rebuild, never the election exchange.",
     "doc_chunk": "Sliding-window chunking: sequence-of-starts → slice → posexplode, a ZERO-exchange pure fan-out projection (pinned) — composes with any downstream partitioned write at any corpus size.",
     "semantic_dedup": "SemDeDup: the (id, cluster, v, nrm) assignment relation feeds three consumers (both self-join sides + the output join), so it is localCheckpoint-ed ONCE — the final plan reads ExistingRDD three times (pinned == 3) and the broadcast-centroid N×C cosine pass appears nowhere; intra-cluster pairs are a keyed equi-join on the cluster id (quadratic term bounded by cluster width, stride ≈ √N is the dial); the assignment subtree itself is pinned separately: one BNLJ (broadcast centroids), one hash exchange carrying one row per vector (partial_max_by), never N×C.",
+    "incremental_dedup": "Cross-batch dedup (nightly snapshot vs accepted corpus): exact tier is a left_anti on DISTINCT 32-byte fingerprints (corpus text never moves); fuzzy tier equi-joins the batch's band keys against the corpus' band keys — new × existing, NEVER existing × existing, so the output is bounded by the batch's collisions — then verifies with exact Jaccard and anti-joins the matches away. All joins keyed (pinned: no cartesian, no BNLJ, no Python); at production scale the corpus' fingerprint and band relations are write-time artifacts, bucketed so the batch join is shuffle-free on the corpus side.",
+    "bigram_lm": "Bigram LM fluency proxy: one guarded zip_with explode to transition rows, pair and context counts as map-side-combinable aggs joined back on their keys, V as the only BNLJ (broadcast 1-row vocabulary aggregate, pinned ≤ 1) — same lazy-totals discipline as unigram_lm; context counts derive from pair counts, so the corpus is tokenized exactly twice (transitions + vocabulary), never more.",
 }
 
 # Plans not reachable through queries() verbatim: built by a callable.
