@@ -2799,6 +2799,107 @@ GROUP BY b.doc_id
 """
 
 
+def q_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped cardinality report
+    (reporting.py::group_distinct_report): rows + distinct users per
+    event type. The entry runs the EXACT twin (oracle-checkable); the
+    production tier is the HLL++ sketch path (same topology, fixed-size
+    sketches merged map-side — pinned within 2·rsd of exact by
+    pytest)."""
+    from m3d_engine_spark.operators.reporting import group_distinct_report
+
+    ev = _t(spark, sf_dir, "events")
+    return group_distinct_report(
+        ev, ["event_type"], "user_id", exact=True
+    )
+
+
+_SQL_DISTINCT_REPORT = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (kmeans.py::train_kmeans): k=4,
+    2 iterations, md5-ranked init, decimal-summed centroid means —
+    the trained swap-in for the sampled coarse quantizers in ivf_topk
+    and semantic_dedup."""
+    from m3d_engine_spark.operators.kmeans import train_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return train_kmeans(emb, "vec_id", "embedding", k=4, iterations=2)
+
+
+def _sql_kmeans_train() -> str:
+    cos = _sql_cosine("b.v", "c.centv")
+    mean_cte = """
+  SELECT cluster, dim,
+         round(CAST(sum(CAST(val AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6) AS m
+  FROM (
+    SELECT cluster, u['d'] AS dim, u['x'] AS val
+    FROM (
+      SELECT cluster,
+             unnest(list_transform(v, (x, i) -> {'d': i, 'x': x})) AS u
+      FROM %s
+    )
+  )
+  GROUP BY cluster, dim
+"""
+    assign = (
+        "  SELECT b.vec_id, b.v, c.cluster,\n"
+        "         row_number() OVER (\n"
+        "           PARTITION BY b.vec_id\n"
+        f"           ORDER BY {cos} DESC, c.cluster ASC\n"
+        "         ) AS rn\n"
+        "  FROM base b CROSS JOIN %s c\n"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ranked AS (
+  SELECT v, row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  ) AS rk FROM base
+), init AS (
+  SELECT CAST(rk - 1 AS INT) AS cluster, v AS centv FROM ranked WHERE rk <= 4
+), asg1 AS (
+{assign % "init"}
+), a1 AS (
+  SELECT vec_id, v, cluster FROM asg1 WHERE rn = 1
+), m1 AS (
+{mean_cte % "a1"}
+), c1 AS (
+  SELECT cluster, list(m ORDER BY dim) AS centv FROM m1 GROUP BY cluster
+), c1f AS (
+  SELECT i.cluster, coalesce(c1.centv, i.centv) AS centv
+  FROM init i LEFT JOIN c1 ON i.cluster = c1.cluster
+), asg2 AS (
+{assign % "c1f"}
+), a2 AS (
+  SELECT vec_id, v, cluster FROM asg2 WHERE rn = 1
+), m2 AS (
+{mean_cte % "a2"}
+), c2 AS (
+  SELECT cluster, list(m ORDER BY dim) AS centv FROM m2 GROUP BY cluster
+), c2f AS (
+  SELECT f.cluster, coalesce(c2.centv, f.centv) AS centv
+  FROM c1f f LEFT JOIN c2 ON f.cluster = c2.cluster
+), asg3 AS (
+{assign % "c2f"}
+), a3 AS (
+  SELECT vec_id, cluster FROM asg3 WHERE rn = 1
+), sizes AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM a3 GROUP BY cluster
+)
+SELECT c.cluster, c.centv AS centroid,
+       coalesce(s.n_members, 0) AS n_members
+FROM c2f c LEFT JOIN sizes s ON c.cluster = s.cluster
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2878,6 +2979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk": q_doc_chunk,
         "incremental_dedup": q_incremental_dedup,
         "bigram_lm": q_bigram_lm,
+        "distinct_report": q_distinct_report,
+        "kmeans_train": q_kmeans_train,
     }
 
 
@@ -2951,4 +3054,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunk": _SQL_DOC_CHUNK,
         "incremental_dedup": _sql_incremental_dedup(),
         "bigram_lm": _SQL_BIGRAM_LM,
+        "distinct_report": _SQL_DISTINCT_REPORT,
+        "kmeans_train": _sql_kmeans_train(),
     }

@@ -643,6 +643,7 @@ def semantic_assignments(
     id_col: str,
     vec_col: str,
     centroid_stride: int = 125,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Coarse-quantizer cluster assignment for ``semantic_dedup``:
     (id, cluster, v, nrm), cluster = argmax-cosine centroid id.
@@ -650,8 +651,9 @@ def semantic_assignments(
     The quantizer is the same deliberately-sampled one as
     ``similarity.ivf_topk``: every ``centroid_stride``-th vector by id
     is a centroid, so the operator is deterministic and
-    oracle-checkable; swapping in trained k-means centroids changes one
-    relation, not the topology.
+    oracle-checkable; pass ``centroids`` — a (cluster, centroid)
+    DataFrame, e.g. from ``kmeans.train_kmeans`` — to swap in a
+    TRAINED quantizer: one relation changes, not the topology.
 
     Centroids broadcast (√N of the corpus at the classical stride);
     the argmax is a map-side combinable ``max_by`` on a totally-ordered
@@ -663,13 +665,22 @@ def semantic_assignments(
     """
     from m3d_engine_spark.functions.vectors import dot, norm
 
-    cents = F.broadcast(
-        df.filter((F.col(id_col) % centroid_stride) == 0).select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("centv"),
-            norm(F.col(vec_col)).alias("centn"),
+    if centroids is not None:
+        cents = F.broadcast(
+            centroids.select(
+                F.col("cluster").alias("cent_id"),
+                F.col("centroid").alias("centv"),
+                norm(F.col("centroid")).alias("centn"),
+            )
         )
-    )
+    else:
+        cents = F.broadcast(
+            df.filter((F.col(id_col) % centroid_stride) == 0).select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).alias("centv"),
+                norm(F.col(vec_col)).alias("centn"),
+            )
+        )
     base = df.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
@@ -699,6 +710,7 @@ def semantic_dedup(
     vec_col: str,
     centroid_stride: int = 125,
     threshold: float = 0.95,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): partition the embedding space with a coarse
@@ -724,7 +736,7 @@ def semantic_dedup(
     from m3d_engine_spark.functions.vectors import dot
 
     asg = semantic_assignments(
-        df, id_col, vec_col, centroid_stride
+        df, id_col, vec_col, centroid_stride, centroids=centroids
     ).localCheckpoint(eager=True)
     l, r = asg.alias("l"), asg.alias("r")
     pair_sim = F.round(

@@ -152,3 +152,76 @@ def test_bigram_logprob_hand_computed(spark):
     assert out[2]["n_bigrams"] == 1
     assert abs(out[2]["avg_logprob"] - round(lab, 4)) < 1e-9
     assert 3 not in out  # <2 tokens → no transitions → no row
+
+
+def test_group_distinct_report_sketch_vs_exact(spark, sf_dir):
+    """The HLL++ tier must land within ~2·rsd of the exact twin and
+    share its schema."""
+    from m3d_engine_spark.operators.reporting import group_distinct_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["event_type"]: r
+        for r in group_distinct_report(
+            ev, ["event_type"], "user_id", exact=True
+        ).collect()
+    }
+    approx = {
+        r["event_type"]: r
+        for r in group_distinct_report(
+            ev, ["event_type"], "user_id", rsd=0.02
+        ).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) > 0
+    for k, e in exact.items():
+        a = approx[k]
+        assert a["n_rows"] == e["n_rows"]
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
+            2, 0.04 * e["n_distinct"]
+        ), (k, a["n_distinct"], e["n_distinct"])
+
+
+def test_train_kmeans_separates_obvious_clusters(spark):
+    """Two tight orthogonal groups, k=2, 2 rounds: centroids converge
+    to the group means and memberships split 3/3 — and the result is
+    identical across repeated runs (determinism contract)."""
+    from m3d_engine_spark.operators.kmeans import train_kmeans
+
+    rows = [
+        (i, [1.0 + 0.01 * i, 0.0]) for i in range(3)
+    ] + [
+        (10 + i, [0.0, 1.0 + 0.01 * i]) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = train_kmeans(df, "vec_id", "embedding", k=2, iterations=2).collect()
+    b = train_kmeans(df, "vec_id", "embedding", k=2, iterations=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert sorted(r["n_members"] for r in a) == [3, 3]
+    for r in a:
+        c = r["centroid"]
+        # each centroid is axis-dominant: one coord ~1.01, other ~0
+        assert (c[0] > 0.9 and c[1] < 0.1) or (c[1] > 0.9 and c[0] < 0.1), c
+
+
+def test_semantic_dedup_with_trained_centroids(spark):
+    """The kmeans relation swaps into semantic_dedup unchanged: same
+    near-dups flagged as with the sampled quantizer on a fixture where
+    both quantizers separate the groups."""
+    from m3d_engine_spark.operators.kmeans import train_kmeans
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.01, 0.999, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_kmeans(df, "vec_id", "embedding", k=2, iterations=2)
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.95, centroids=cents
+        ).collect()
+    }
+    flagged = {k for k, r in out.items() if r["is_dup"]}
+    assert flagged == {max(0, 1), max(2, 3)} == {1, 3}

@@ -529,3 +529,18 @@ def test_bigram_lm_broadcast_vocab_only_bnlj(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_distinct_report_sketch_is_single_exchange(spark, sf_dir):
+    """The HLL tier must partial-aggregate sketches map-side: one hash
+    exchange on the group key, no Expand, no second distinct pass —
+    the property that makes the report O(groups), not O(values)."""
+    from m3d_engine_spark.operators.reporting import group_distinct_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan_simple(
+        group_distinct_report(ev, ["event_type"], "user_id", rsd=0.02)
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Expand" not in plan, plan
+    assert "partial_approx_count_distinct" in plan, plan

@@ -50,6 +50,8 @@ HEADLINERS = {
     "semantic_dedup": "SemDeDup: the (id, cluster, v, nrm) assignment relation feeds three consumers (both self-join sides + the output join), so it is localCheckpoint-ed ONCE — the final plan reads ExistingRDD three times (pinned == 3) and the broadcast-centroid N×C cosine pass appears nowhere; intra-cluster pairs are a keyed equi-join on the cluster id (quadratic term bounded by cluster width, stride ≈ √N is the dial); the assignment subtree itself is pinned separately: one BNLJ (broadcast centroids), one hash exchange carrying one row per vector (partial_max_by), never N×C.",
     "incremental_dedup": "Cross-batch dedup (nightly snapshot vs accepted corpus): exact tier is a left_anti on DISTINCT 32-byte fingerprints (corpus text never moves); fuzzy tier equi-joins the batch's band keys against the corpus' band keys — new × existing, NEVER existing × existing, so the output is bounded by the batch's collisions — then verifies with exact Jaccard and anti-joins the matches away. All joins keyed (pinned: no cartesian, no BNLJ, no Python); at production scale the corpus' fingerprint and band relations are write-time artifacts, bucketed so the batch join is shuffle-free on the corpus side.",
     "bigram_lm": "Bigram LM fluency proxy: one guarded zip_with explode to transition rows, pair and context counts as map-side-combinable aggs joined back on their keys, V as the only BNLJ (broadcast 1-row vocabulary aggregate, pinned ≤ 1) — same lazy-totals discipline as unigram_lm; context counts derive from pair counts, so the corpus is tokenized exactly twice (transitions + vocabulary), never more.",
+    "distinct_report": "Grouped cardinality report (exact twin shown; the production HLL++ tier is pinned separately): the sketch path partial-aggregates fixed-size sketches map-side — ONE exchange carrying one sketch per (task, group), no Expand, no second distinct pass — so the report is O(groups), not O(distinct values), at any corpus size.",
+    "kmeans_train": "Deterministic Lloyd k-means (final round shown; earlier rounds are driver-collected k·dim centroid relations re-broadcast per iteration): per-round assignment is the broadcast-centroid max_by argmax (one keyed exchange row per vector, never N×k), centroid update is a posexplode (cluster, dim) mean with DECIMAL sums — exact, order-independent, so centroids are bit-stable across runs/engines and the rounding cascade cannot diverge over iterations.",
 }
 
 # Plans not reachable through queries() verbatim: built by a callable.
