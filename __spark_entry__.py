@@ -2900,6 +2900,193 @@ FROM c2f c LEFT JOIN sizes s ON c.cluster = s.cluster
 """
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (selection.py::dsir_log_weights +
+    gumbel_resample; Xie et al., NeurIPS 2023): importance-weight every
+    document by the log-likelihood ratio of its tokens under add-α
+    hashed-unigram models of the target slice (lang='en') vs the raw
+    corpus, then take the deterministic Gumbel top-200 — sampling
+    ∝ exp(log_w) without replacement with md5-derived randomness. The
+    two distribution relations stay B=512 rows at any corpus size and
+    broadcast; the top-n is TakeOrderedAndProject, not a global sort."""
+    from m3d_engine_spark.operators.selection import (
+        dsir_log_weights,
+        gumbel_resample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_log_weights(
+        docs, F.col("lang") == "en", "doc_id", "text",
+        n_buckets=512, alpha=0.5,
+    )
+    return gumbel_resample(w, "doc_id", n=200)
+
+
+_SQL_DSIR_SELECT = f"""
+WITH t AS (
+  SELECT doc_id, lang = 'en' AS is_t, {_SQL_TOKS} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, is_t,
+         CAST(('0x' || substr(md5(unnest(toks)), 1, 8)) AS BIGINT) % 512 AS b
+  FROM t
+), db AS (
+  SELECT doc_id, b, count(*) AS c FROM tok GROUP BY doc_id, b
+), raw AS (
+  SELECT b, count(*) AS rc FROM tok GROUP BY b
+), tgt AS (
+  SELECT b, count(*) AS tc FROM tok WHERE is_t GROUP BY b
+), tots AS (
+  SELECT (SELECT sum(rc) FROM raw) AS rtot, (SELECT sum(tc) FROM tgt) AS ttot
+), ratios AS (
+  SELECT raw.b,
+         CAST(round((ln((coalesce(tgt.tc, 0) + 0.5) / (tots.ttot + 0.5 * 512))
+                   - ln((raw.rc + 0.5) / (tots.rtot + 0.5 * 512))) * 1000000)
+              AS BIGINT) AS r
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots
+), ws AS (
+  SELECT db.doc_id, sum(db.c * ratios.r) AS wsum
+  FROM db JOIN ratios ON db.b = ratios.b GROUP BY db.doc_id
+), w AS (
+  SELECT doc_id,
+         (CASE WHEN wsum < 0 THEN -1 ELSE 1 END
+          * ((abs(wsum) + 50) // 100)) / 10000.0 AS log_w
+  FROM ws
+)
+SELECT doc_id, log_w,
+       round(log_w - ln(-ln(
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          + 0.5) / 4294967296.0)), 4) AS sel_key
+FROM w
+ORDER BY sel_key DESC, doc_id ASC
+LIMIT 200
+"""
+
+
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling per language
+    (normalize.py::robust_scale) — the outlier-resistant sibling of
+    quality_zscores; exact sort-interpolated quantiles (percentile ==
+    quantile_cont contract), cuts relation broadcast back."""
+    from m3d_engine_spark.operators.normalize import robust_scale
+
+    docs = _t(spark, sf_dir, "documents")
+    return robust_scale(
+        docs.select("doc_id", "lang", "n_chars"), ["lang"], "n_chars"
+    )
+
+
+_SQL_ROBUST_SCALE = """
+WITH cuts AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.5) AS med,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       CASE WHEN c.q3 - c.q1 > 0
+            THEN round((d.n_chars - c.med) / (c.q3 - c.q1), 4) END AS r
+FROM documents d JOIN cuts c ON d.lang = c.lang
+"""
+
+
+def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly flags (anomaly.py::rolling_zscore_flags):
+    each event scored against the trailing 20 events of the same user
+    (frame excludes self), |z| > 3 flags. One window exchange keyed on
+    user; frame sums are exact integers (value is 2-decimal fixed
+    point), so both engines derive identical statistics."""
+    from m3d_engine_spark.operators.anomaly import rolling_zscore_flags
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_zscore_flags(
+        ev.select("event_id", "ts", "user_id", "value"),
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        lookback=20,
+        min_history=8,
+        z_cut=3.0,
+    )
+    return out.select("event_id", "user_id", "z", "is_anomaly")
+
+
+_SQL_EVENT_ANOMALY = """
+WITH f AS (
+  SELECT event_id, user_id, value,
+         count(*) OVER w AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) OVER w AS sx,
+         sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT)) OVER w AS sxx
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+), s AS (
+  SELECT event_id, user_id, value,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) / 100 AS sxd,
+         CAST(sxx AS DOUBLE) / 10000 AS sxxd,
+         n AS nn
+  FROM f
+), v AS (
+  SELECT event_id, user_id, value, nd, sxd, nn,
+         (sxxd - sxd * sxd / nd) / (nd - 1.0) AS var
+  FROM s
+)
+SELECT event_id, user_id,
+       CASE WHEN nn >= 8 AND var > 0
+            THEN round((value - sxd / nd) / sqrt(var), 4) END AS z,
+       coalesce(abs(CASE WHEN nn >= 8 AND var > 0
+                         THEN round((value - sxd / nd) / sqrt(var), 4) END) > 3.0,
+                false) AS is_anomaly
+FROM v
+"""
+
+
+def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session aggregation via Spark's NATIVE session_window
+    (streaming/pipeline.py::session_rollup) — the built-in merging
+    session operator (UpdatingSessionsExec), identical code path batch
+    and streaming. Same gap-strictly-exceeded break as the sessionize
+    entry, but session_end is last-event + gap (the window close), not
+    the last event itself."""
+    from m3d_engine_spark.streaming.pipeline import session_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_rollup(
+        ev.select("user_id", "ts", "value"), gap="30 minutes"
+    )
+    return out.select(
+        "user_id",
+        epoch_us_of(out, "session_start").alias("start_us"),
+        epoch_us_of(out, "session_end").alias("end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+_SQL_SESSION_ROLLUP = f"""
+WITH lagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                   OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts) + INTERVAL '30 minutes') AS end_us,
+       CAST(count(*) AS INTEGER) AS n_events,
+       round({_sql_dsum("value")}, 4) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2981,6 +3168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "distinct_report": q_distinct_report,
         "kmeans_train": q_kmeans_train,
+        "dsir_select": q_dsir_select,
+        "robust_scale": q_robust_scale,
+        "event_anomaly": q_event_anomaly,
+        "session_rollup": q_session_rollup,
     }
 
 
@@ -3056,4 +3247,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm": _SQL_BIGRAM_LM,
         "distinct_report": _SQL_DISTINCT_REPORT,
         "kmeans_train": _sql_kmeans_train(),
+        "dsir_select": _SQL_DSIR_SELECT,
+        "robust_scale": _SQL_ROBUST_SCALE,
+        "event_anomaly": _SQL_EVENT_ANOMALY,
+        "session_rollup": _SQL_SESSION_ROLLUP,
     }

@@ -66,3 +66,36 @@ def group_zscore(
         F.round((F.col(value_col) - mean) / F.sqrt(var), 4),
     )
     return joined.withColumn(out_col, z).drop("_sx", "_sxx", "_n")
+
+
+def robust_scale(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "r",
+) -> DataFrame:
+    """Median/IQR scaling per group: out_col =
+    round((x − median_g) / (q3_g − q1_g), 4), NULL when the IQR is
+    zero. The outlier-resistant sibling of ``group_zscore`` — the
+    right normalizer when quality scores have heavy tails.
+
+    Quantiles are exact sort-interpolated (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, the contract the price_quantiles entry
+    pins). Topology mirrors group_zscore: one map-side-combinable
+    aggregation to a group-count-sized cuts relation, broadcast back —
+    no full-relation window. At 100 TB the per-group exact sort inside
+    ``percentile`` is the bound; swap in approx_percentile there and
+    keep the topology."""
+    group_cols = list(group_cols)
+    cuts = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.25)").alias("_q1"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("_q3"),
+    )
+    joined = df.join(F.broadcast(cuts), on=group_cols)
+    iqr = F.col("_q3") - F.col("_q1")
+    r = F.when(
+        iqr > 0,
+        F.round((F.col(value_col) - F.col("_med")) / iqr, 4),
+    )
+    return joined.withColumn(out_col, r).drop("_q1", "_med", "_q3")

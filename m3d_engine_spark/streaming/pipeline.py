@@ -72,6 +72,52 @@ def windowed_rollup(
     )
 
 
+def session_rollup(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-key session aggregation via Spark's NATIVE
+    ``session_window`` — the built-in merging-session operator (events
+    whose gap-extended windows overlap coalesce into one session).
+    Works identically on a batch DataFrame and a stream; pass
+    ``watermark`` on the streaming side so session state is evicted
+    once the watermark passes a session's close.
+
+    Break semantics match ``sessionize``/``sessionize_batch`` (a new
+    session only when the gap is STRICTLY exceeded — a successor
+    landing exactly at ts+gap merges), but ``session_end`` is
+    last-event-ts + gap (the window close), not the last event itself.
+
+    One shuffle keyed on (key, merged session) — Spark plans a
+    dedicated session-window aggregation (UpdatingSessionsExec) with
+    map-side partial merge; nothing quadratic, state bounded per key
+    by the open-session count under the watermark."""
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    return (
+        src.groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), gap).alias("_sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(30,12)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("_sw.start").alias("session_start"),
+            F.col("_sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_dedup(
     docs: DataFrame, ts_col: str, text_col: str = "text", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -544,3 +544,71 @@ def test_distinct_report_sketch_is_single_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert "Expand" not in plan, plan
     assert "partial_approx_count_distinct" in plan, plan
+
+
+def test_dsir_ratio_table_broadcasts_and_topn_is_take_ordered(spark, sf_dir):
+    """dsir_select: the B-row ratio relation must broadcast onto the
+    corpus-sized doc-bucket counts, and the Gumbel top-n must compile
+    to TakeOrderedAndProject (per-partition limit + ordered take), not
+    a global Sort."""
+    from m3d_engine_spark.operators.selection import (
+        dsir_log_weights,
+        gumbel_resample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = gumbel_resample(
+        dsir_log_weights(docs, F.col("lang") == "en", "doc_id", "text", 512),
+        "doc_id",
+        n=200,
+    )
+    plan = _plan_simple(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_robust_scale_broadcasts_cuts(spark, sf_dir):
+    """robust_scale: the per-group cuts relation joins back broadcast —
+    rows never re-shuffle on the group key."""
+    from m3d_engine_spark.operators.normalize import robust_scale
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan_simple(
+        robust_scale(docs.select("doc_id", "lang", "n_chars"), ["lang"], "n_chars")
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_zscore_single_window_exchange(spark, sf_dir):
+    """rolling_zscore_flags: ONE exchange (hash on the entity key
+    feeding the window sort); everything else projection, no Python."""
+    from m3d_engine_spark.operators.anomaly import rolling_zscore_flags
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = rolling_zscore_flags(
+        ev.select("event_id", "ts", "user_id", "value"),
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+    )
+    plan = _plan_simple(out)
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_session_rollup_uses_native_session_aggregation(spark, sf_dir):
+    """session_rollup compiles to Spark's dedicated merging-session
+    aggregation (MergingSessions; UpdatingSessions on the streaming
+    side) with a map-side partial merge — not a generic window +
+    groupBy rewrite — and stays JVM-side with ONE keyed exchange."""
+    from m3d_engine_spark.streaming.pipeline import session_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan_simple(session_rollup(ev.select("user_id", "ts", "value")))
+    assert "MergingSessions" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,136 @@
+"""DSIR selection, robust scaling, rolling anomaly, native session
+windows."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.operators.anomaly import rolling_zscore_flags
+from m3d_engine_spark.operators.normalize import robust_scale
+from m3d_engine_spark.operators.selection import (
+    dsir_log_weights,
+    gumbel_resample,
+)
+from m3d_engine_spark.streaming.pipeline import session_rollup
+
+
+def _ts(minutes: float):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=minutes)
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    # Target slice speaks "alpha beta"; off-target speaks "gamma delta".
+    rows = (
+        [(i, "alpha beta alpha beta alpha", "en") for i in range(10)]
+        + [(100 + i, "gamma delta gamma delta gamma", "xx") for i in range(10)]
+        # held-out docs, one per dialect, NOT in the target slice:
+        + [(200, "alpha beta alpha", "xx"), (201, "gamma delta gamma", "xx")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {
+        r.doc_id: r.log_w
+        for r in dsir_log_weights(
+            docs, F.col("lang") == "en", "doc_id", "text", n_buckets=64
+        ).collect()
+    }
+    assert w[200] > w[201], w
+    # target-distribution docs carry positive evidence, off-target negative
+    assert w[0] > 0 > w[100]
+
+
+def test_gumbel_resample_is_deterministic_and_sized(spark):
+    docs = spark.createDataFrame(
+        [(i, float(i % 7) - 3.0) for i in range(100)], "doc_id long, log_w double"
+    )
+    a = gumbel_resample(docs, "doc_id", n=25)
+    assert a.count() == 25
+    ids1 = sorted(r.doc_id for r in a.collect())
+    ids2 = sorted(r.doc_id for r in gumbel_resample(docs, "doc_id", n=25).collect())
+    assert ids1 == ids2
+
+
+def test_robust_scale_quartiles_and_zero_iqr(spark):
+    rows = [("a", v) for v in [1, 2, 3, 4, 5]] + [("b", 7)] * 4
+    df = spark.createDataFrame(rows, "g string, x int")
+    out = {(r.g, r.x): r.r for r in robust_scale(df, ["g"], "x").collect()}
+    # group a: q1=2, med=3, q3=4 → iqr=2; x=5 → (5-3)/2 = 1.0
+    assert out[("a", 5)] == 1.0
+    assert out[("a", 1)] == -1.0
+    assert out[("a", 3)] == 0.0
+    # constant group: iqr 0 → NULL
+    assert out[("b", 7)] is None
+
+
+def test_rolling_zscore_flags_spike_and_min_history(spark):
+    rows = [(i, _ts(i), 1, 10.0 + (0.1 if i % 2 else -0.1)) for i in range(20)]
+    rows.append((20, _ts(20), 1, 50.0))  # spike after stable history
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = {
+        r.event_id: (r.z, r.is_anomaly)
+        for r in rolling_zscore_flags(
+            df, "user_id", ["ts", "event_id"], "value"
+        ).collect()
+    }
+    # fewer than min_history prior events → NULL z, false flag
+    for i in range(8):
+        assert out[i] == (None, False)
+    z, flag = out[20]
+    assert flag and z > 3.0
+
+
+def test_session_rollup_native_boundary_semantics(spark):
+    # gap handling: exactly +30min still merges (break only when the
+    # gap is STRICTLY exceeded), +30min1s starts a new session, and
+    # session_end is last-event + gap.
+    df = spark.createDataFrame(
+        [
+            (1, _ts(0), 1.0),
+            (1, _ts(30), 2.0),  # exactly the gap → merges
+            (1, _ts(30 + 30 + 1 / 60), 4.0),  # 30m1s after → new session
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = sorted(
+        session_rollup(df, gap="30 minutes").collect(),
+        key=lambda r: r.session_start,
+    )
+    assert [(r.n_events, r.sum_value) for r in out] == [(2, 3.0), (1, 4.0)]
+    assert out[0].session_end == out[0].session_start + datetime.timedelta(
+        minutes=60
+    )
+
+
+def test_session_rollup_streaming_matches_batch(spark, tmp_path):
+    offs = [0, 10, 50, 60, 120, 125]  # → 3 sessions per user at gap=30
+    rows = [
+        (u, _ts(u * 3 + offs[k]), float(u + k)) for u in range(5) for k in range(6)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    src = tmp_path / "sess_src"
+    df.write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(str(src))
+    )
+    q = (
+        session_rollup(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("native_sess")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM native_sess").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in session_rollup(df, gap="30 minutes").collect()
+    }
+    assert got == want and len(want) == 15
