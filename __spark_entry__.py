@@ -3014,7 +3014,7 @@ def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_EVENT_ANOMALY = """
 WITH f AS (
   SELECT event_id, user_id, value,
-         count(*) OVER w AS n,
+         count(CAST(round(value * 100) AS BIGINT)) OVER w AS n,
          sum(CAST(round(value * 100) AS BIGINT)) OVER w AS sx,
          sum(CAST(round(value * 100) AS BIGINT)
              * CAST(round(value * 100) AS BIGINT)) OVER w AS sxx
@@ -3084,6 +3084,209 @@ SELECT user_id,
        round({_sql_dsum("value")}, 4) AS sum_value
 FROM sess
 GROUP BY user_id, sid
+"""
+
+
+def _injected(did) -> "F.Column":
+    """The deterministic PII-injection suffix the pii_scrub entry uses
+    (divisibility-keyed email/phone/IP), factored for reuse."""
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"),
+                     F.lit("@mail.example.org now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" call +1 555 "),
+                     F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" from 10."), (did % 256).cast("string"),
+                     F.lit(".0."), (did % 250).cast("string"),
+                     F.lit(" today")),
+        ).otherwise(F.lit("")),
+    )
+
+
+_SQL_INJECTED = """
+    text ||
+    CASE WHEN doc_id % 4 = 0 THEN ' contact user' ||
+      CAST(doc_id AS VARCHAR) || '@mail.example.org now' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 ' ||
+      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+    CASE WHEN doc_id % 3 = 0 THEN ' from 10.' ||
+      CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+      CAST(doc_id % 250 AS VARCHAR) || ' today' ELSE '' END
+"""
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation (curation.py::curation_pipeline): quality
+    gate (≥20 tokens, distinct-token ratio ≥0.33) → PII scrub (on the
+    same injected corpus as the pii_scrub entry, so the scrub stage
+    does real work) → exact 8-token-prefix-fingerprint dedup (min-id
+    election) → deterministic 80/10/10 hash split — one lazy plan,
+    two keyed exchanges total (the election agg + join). Pins the
+    COMPOSITION of four individually-oracled stages."""
+    from m3d_engine_spark.operators.curation import curation_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select("doc_id", _injected(F.col("doc_id")).alias("text"))
+    return curation_pipeline(injected, "doc_id", "text")
+
+
+def _sql_curation_pipeline() -> str:
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+"
+    ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    phone = "\\+?\\d{1,3}[- ]\\d{3}[- ]\\d{4}\\b"
+    toks_of = (
+        "CASE WHEN length(trim({c})) = 0 THEN CAST([] AS VARCHAR[]) "
+        "ELSE regexp_split_to_array(trim({c}), '\\s+') END"
+    )
+    return f"""
+WITH inj AS (
+  SELECT doc_id, {_SQL_INJECTED} AS text FROM documents
+), base AS (
+  SELECT doc_id, text, {toks_of.format(c="text")} AS t FROM inj
+), gated AS (
+  SELECT doc_id, text FROM base
+  WHERE len(t) >= 20
+    AND len(list_distinct(t)) * 1.0 / len(t) >= 0.33
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{email}')) AS n_emails,
+         regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+  FROM gated
+), s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{ip}')) AS n_ips,
+         regexp_replace(t1, '{ip}', '<IP>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id,
+         CAST(n_emails + n_ips
+              + len(regexp_extract_all(t2, '{phone}')) AS INT) AS n_pii,
+         regexp_replace(t2, '{phone}', '<PHONE>', 'g') AS sc
+  FROM s2
+), fps AS (
+  SELECT doc_id, n_pii,
+         md5(array_to_string(
+           list_slice({toks_of.format(c="sc")}, 1, 8), ' ')) AS fp
+  FROM s3
+), win AS (
+  SELECT fp, min(doc_id) AS w FROM fps GROUP BY fp
+)
+SELECT f.doc_id,
+       CASE WHEN substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 0
+            WHEN substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 1
+            ELSE 2 END AS split,
+       f.n_pii, f.fp
+FROM fps f JOIN win ON f.fp = win.fp AND f.doc_id = win.w
+"""
+
+
+def q_two_stage_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (similarity.py::projected_rerank_topk):
+    seeded random-projection reduction to a 32-dim INTEGER space
+    (quantized Arrow matmul), coarse top-50 per query by reduced-space
+    cosine, exact-cosine re-rank to top-5. The corpus-wide scoring
+    scan runs at reduce_dim/dim of the FLOPs; full vectors are touched
+    once (projection) plus only for candidate rows. Mean found-cosine
+    ≥ 0.9× the exact tier's (pinned) — set-recall is the wrong yard-
+    stick on this corpus, whose top-5 candidates are near-tied."""
+    from m3d_engine_spark.operators.similarity import projected_rerank_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = projected_rerank_topk(
+        emb, queries, "vec_id", "embedding",
+        dim=64, k=5, reduce_dim=32, coarse=50, seed=7,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def _sql_two_stage_ann(
+    dim: int = 64, reduce_dim: int = 32, coarse: int = 50, seed: int = 7,
+    k: int = 5,
+) -> str:
+    """Oracle for the full two-stage pipeline; the projection rows are
+    emitted as SQL double literals (repr round-trips exactly) and the
+    reduced coordinates quantized to BIGINT at 1e4, so coarse scores
+    derive from identical integers in both engines."""
+    from m3d_engine_spark.functions.vectors import seeded_hyperplanes
+
+    planes = seeded_hyperplanes(dim, reduce_dim, seed)
+
+    def lit(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    rv = "[" + ", ".join(
+        "CAST(round(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"{lit(row)}) * 10000) AS BIGINT)"
+        for row in planes
+    ) + "]"
+    red_cos = (
+        "list_dot_product(CAST(q.rv AS DOUBLE[]), CAST(c.rv AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST(q.rv AS DOUBLE[]), CAST(q.rv AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST(c.rv AS DOUBLE[]), CAST(c.rv AS DOUBLE[]))))"
+    )
+    return f"""
+WITH red AS (
+  SELECT vec_id, {rv} AS rv FROM embeddings
+), cp AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {red_cos} AS cs
+  FROM red c JOIN red q
+    ON q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id
+), cands AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cs DESC, neighbor_id ASC) AS crk
+    FROM cp
+  ) WHERE crk <= {coarse}
+), pairs AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_sql_cosine("l.embedding", "r.embedding")} AS cosine
+  FROM cands c
+  JOIN embeddings l ON c.query_id = l.vec_id
+  JOIN embeddings r ON c.neighbor_id = r.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC)
+            AS INTEGER) AS rank,
+       cosine
+FROM pairs
+QUALIFY rank <= {k}
+"""
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language heavy hitters (reporting.py::group_top_terms): the
+    5 most frequent tokens per lang with counts — one keyed count
+    aggregation + WindowGroupLimit; the exchange carries
+    vocabulary-sized rows, never corpus-sized."""
+    from m3d_engine_spark.operators.reporting import group_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_top_terms(docs, ["lang"], "text", k=5, min_count=2)
+
+
+_SQL_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT lang, unnest({_SQL_TOKS}) AS term FROM documents
+), counts AS (
+  SELECT lang, term, count(*) AS cnt FROM toks GROUP BY lang, term
+  HAVING count(*) >= 2
+)
+SELECT lang, term, cnt,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY cnt DESC, term ASC) AS INTEGER) AS rk
+FROM counts
+QUALIFY rk <= 5
 """
 
 
@@ -3172,6 +3375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scale": q_robust_scale,
         "event_anomaly": q_event_anomaly,
         "session_rollup": q_session_rollup,
+        "curation_pipeline": q_curation_pipeline,
+        "two_stage_ann": q_two_stage_ann,
+        "top_terms": q_top_terms,
     }
 
 
@@ -3251,4 +3457,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_scale": _SQL_ROBUST_SCALE,
         "event_anomaly": _SQL_EVENT_ANOMALY,
         "session_rollup": _SQL_SESSION_ROLLUP,
+        "curation_pipeline": _sql_curation_pipeline(),
+        "two_stage_ann": _sql_two_stage_ann(),
+        "top_terms": _SQL_TOP_TERMS,
     }

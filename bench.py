@@ -44,9 +44,18 @@ def main() -> int:
     # charged for session bring-up.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # Comma-separated allowlist for supplementary runs (e.g. recording
+    # a baseline for a single new entry without a full sweep).
+    only = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if q.strip()
+    }
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entry_mod.queries().items():
+        if only and name not in only:
+            continue
         best = -1.0
         for _ in range(runs):
             t0 = time.time()

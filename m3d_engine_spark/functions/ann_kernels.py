@@ -25,3 +25,20 @@ def make_bucket_udf(plane_matrix: np.ndarray, tables: int, bits: int):
         return pd.Series(per_table.astype(np.int32).tolist())
 
     return all_buckets
+
+
+def make_project_udf(matrix: "np.ndarray", scale: float = 1e4):
+    """UDF computing a QUANTIZED random projection of a vector batch in
+    one (batch × dim) @ (dim × r) matmul: coordinates are rounded to
+    int64 at ``scale`` so every downstream score derives from exact
+    integers (identical across engines and summation orders; the only
+    residual hazard is a true dot product within ~1e-14 of a grid
+    midpoint — same caveat as the sign kernel, never observed)."""
+
+    @pandas_udf("array<bigint>")
+    def project(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)  # n × dim
+        red = np.round(m @ matrix * scale).astype(np.int64)  # n × r
+        return pd.Series(red.tolist())
+
+    return project

@@ -53,9 +53,11 @@ def rolling_zscore_flags(
         .orderBy(*[F.col(c).asc() for c in order_cols])
         .rowsBetween(-lookback, -1)
     )
+    # count(x), not count(*): a NULL value must not inflate n while
+    # being skipped by the sums, or the variance goes wrong.
     df = events.select(
         "*",
-        F.count(F.lit(1)).over(w).alias("_n"),
+        F.count(x).over(w).alias("_n"),
         F.sum(x).over(w).alias("_sx"),
         F.sum(x * x).over(w).alias("_sxx"),
     )

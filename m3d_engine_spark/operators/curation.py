@@ -336,3 +336,67 @@ def dedup_paragraphs(
         F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
         F.col("n_total"),
     )
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 20,
+    min_distinct_ratio: float = 0.33,
+    dedup_prefix: int = 8,
+    split_weights: Sequence[float] = (0.8, 0.1, 0.1),
+) -> DataFrame:
+    """End-to-end curation: quality gate → PII scrub → exact
+    prefix-fingerprint dedup → train/val/test split — the whole
+    raw-corpus-to-training-shards pass as ONE lazy plan.
+
+    Stages (each individually oracled by its own entry; this operator
+    pins their composition):
+
+    1. gate: ≥ ``min_tokens`` whitespace tokens AND distinct-token
+       ratio ≥ ``min_distinct_ratio`` (cheap fluency/repetition gate);
+    2. scrub: emails → IPs → phones replaced by typed tokens, with
+       per-pattern hit counts (functions/redact.py);
+    3. dedup: md5 fingerprint of the first ``dedup_prefix`` tokens of
+       the SCRUBBED text; only each fingerprint's minimum id survives
+       (map-side-combinable min election keyed on the fingerprint —
+       the paragraph_dedup topology, one agg + one keyed join);
+    4. split: deterministic md5 train/val/test assignment
+       (sampling.py::hash_split — pure projection).
+
+    Returns (id, split, n_pii, fp) per surviving document. Everything
+    before the dedup election is projection over the scan; the whole
+    pipeline exchanges data exactly twice (election agg + join), both
+    keyed on the 32-hex fingerprint — at 100 TB the text column rides
+    only to the fingerprint projection, never through an exchange.
+    """
+    from m3d_engine_spark.functions.redact import pii_scrub
+    from m3d_engine_spark.functions.text import distinct_token_ratio, tokens
+    from m3d_engine_spark.operators.sampling import hash_split
+
+    t = tokens(F.col(text_col))
+    # no rounding in the gate: the ratio is a small-integer division —
+    # bit-identical across engines — and the threshold is a literal
+    gated = docs.filter(
+        (F.size(t) >= min_tokens)
+        & (distinct_token_ratio(F.col(text_col)) >= min_distinct_ratio)
+    )
+    scrubbed = pii_scrub(gated, id_col, text_col)
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(tokens(F.col("scrubbed")), 1, dedup_prefix))
+    )
+    with_fp = scrubbed.select(
+        F.col(id_col),
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("n_pii"),
+        fp.alias("fp"),
+    )
+    winners = with_fp.groupBy("fp").agg(F.min(id_col).alias("_win"))
+    survivors = (
+        with_fp.join(winners, on="fp")
+        .filter(F.col(id_col) == F.col("_win"))
+        .drop("_win")
+    )
+    return hash_split(survivors, id_col, list(split_weights)).select(
+        id_col, "split", "n_pii", "fp"
+    )

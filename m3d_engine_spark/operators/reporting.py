@@ -44,3 +44,41 @@ def group_distinct_report(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         n_distinct.cast("long").alias("n_distinct"),
     )
+
+
+def group_top_terms(
+    docs: DataFrame,
+    group_cols: Sequence[str],
+    text_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-group heavy hitters: the ``k`` most frequent tokens of each
+    group with their counts — the "what does each slice talk about"
+    dashboard primitive (and the exact tier a count-min-sketch variant
+    would be checked against).
+
+    Topology: explode → ONE map-side-combinable count aggregation keyed
+    on (group, term) → WindowGroupLimit keeps k rows per group per task
+    before the final exchange. The aggregation exchange carries
+    vocabulary-sized rows per group, never corpus-sized; nothing
+    quadratic. Returns (group_cols…, term, cnt, rk); ties break on term
+    ASC for a total, engine-stable order."""
+    from m3d_engine_spark.functions.text import tokens
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    counts = (
+        docs.select(*group_cols, F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(*group_cols, "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .withColumn("rk", F.col("rk").cast("int"))
+    )

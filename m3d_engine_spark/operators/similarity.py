@@ -301,3 +301,97 @@ def seeded_ann_topk(
         )
     )
     return _ranked_topk(scored, "query_id", "neighbor_id", k)
+
+
+def projected_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    reduce_dim: int = 32,
+    coarse: int = 50,
+    seed: int = 7,
+) -> DataFrame:
+    """Two-stage retrieval: seeded random-projection REDUCTION (the
+    Johnson-Lindenstrauss coarse space) → top-``coarse`` candidates per
+    query by reduced-space cosine → EXACT cosine re-rank of only those
+    candidates → top-``k``. The classic coarse-then-exact pattern
+    (IVF/PQ re-rank shape) expressed as one lazy plan.
+
+    Why it scales: the full-dimension vectors are touched only (a) once
+    in the projection kernel (Arrow matmul, one pass over the corpus)
+    and (b) for |queries|·coarse candidate rows in the re-rank join —
+    the corpus-wide scoring scan runs entirely in the reduce_dim-sized
+    integer space (reduce_dim/dim of the FLOPs and bytes; at dim=1024,
+    r=16 that is a 64× cut). Candidate generation broadcasts the
+    reduced queries exactly like brute_force_topk, so the corpus still
+    never shuffles; the re-rank join is keyed on the corpus id.
+
+    Determinism: reduced coordinates are integers (quantized at 1e4 in
+    the kernel), so coarse scores are identical across engines; both
+    stages tie-break on neighbor id; exact cosine rounds at 4dp.
+    """
+    import numpy as np
+
+    from m3d_engine_spark.functions.ann_kernels import make_project_udf
+
+    planes = seeded_hyperplanes(dim, reduce_dim, seed)
+    project = make_project_udf(np.array(planes, dtype=np.float64).T)
+
+    # norms are computed ONCE per side (projection output), never per
+    # pair — the pair expression is a single reduce_dim-length fold.
+    red_c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        project(F.col(vec_col)).alias("rv"),
+    ).withColumn("rn", norm(F.col("rv")))
+    red_q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            project(F.col(vec_col)).alias("qv"),
+        ).withColumn("qn", norm(F.col("qv")))
+    )
+    coarse_pairs = (
+        red_c.crossJoin(red_q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("rv")) / (F.col("qn") * F.col("rn"))).alias(
+                "_cs"
+            ),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("_cs").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        coarse_pairs.withColumn("_crk", F.row_number().over(wc))
+        .filter(F.col("_crk") <= coarse)
+        .select("query_id", "neighbor_id")
+    )
+    full_c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    full_q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("fqv"),
+            norm(F.col(vec_col)).alias("qn"),
+        )
+    )
+    pairs = (
+        cands.join(full_c, on="neighbor_id")
+        .join(full_q, on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("fqv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cosine"),
+        )
+    )
+    return _ranked_topk(pairs, "query_id", "neighbor_id", k)

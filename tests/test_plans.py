@@ -612,3 +612,48 @@ def test_session_rollup_uses_native_session_aggregation(spark, sf_dir):
     assert "MergingSessions" in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_curation_pipeline_two_keyed_exchanges(spark, sf_dir):
+    """curation_pipeline: gate+scrub+fingerprint+split are all
+    projection — only the dedup election exchanges data (agg + join,
+    both keyed on the fingerprint). No Python, no cartesian."""
+    from m3d_engine_spark.operators.curation import curation_pipeline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan_simple(
+        curation_pipeline(docs.select("doc_id", "text"), "doc_id", "text")
+    )
+    assert plan.count("Exchange") <= 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_two_stage_ann_corpus_never_shuffles_before_coarse(spark, sf_dir):
+    """projected_rerank_topk: the coarse scan must be a broadcast
+    nested-loop against the reduced queries (corpus unexchanged), the
+    only Python the ONE Arrow projection kernel per side, and no
+    CartesianProduct anywhere."""
+    from m3d_engine_spark.operators.similarity import projected_rerank_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    plan = _plan_simple(
+        projected_rerank_topk(emb, q, "vec_id", "embedding", dim=64)
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # Arrow kernels: the quantized projection only (corpus + query sides)
+    assert plan.count("ArrowEvalPython") <= 4, plan
+
+
+def test_top_terms_single_count_aggregation(spark, sf_dir):
+    """group_top_terms: one keyed count aggregation + WindowGroupLimit;
+    no Python, nothing quadratic."""
+    from m3d_engine_spark.operators.reporting import group_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan_simple(group_top_terms(docs, ["lang"], "text", k=5))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -134,3 +134,40 @@ def test_session_rollup_streaming_matches_batch(spark, tmp_path):
         for r in session_rollup(df, gap="30 minutes").collect()
     }
     assert got == want and len(want) == 15
+
+
+def test_projected_rerank_score_quality(spark, sf_dir):
+    """Two-stage retrieval must find neighbors whose mean exact cosine
+    is ≥ 0.9× the brute-force tier's (set-recall is near-tie-dominated
+    on this corpus, so score ratio is the meaningful gate)."""
+    from m3d_engine_spark.operators.similarity import (
+        brute_force_topk,
+        projected_rerank_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    brute = brute_force_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    proj = projected_rerank_topk(
+        emb, q, "vec_id", "embedding", dim=64, k=5
+    ).collect()
+    assert len(proj) == len(brute) > 0
+    ratio = (sum(r.cosine for r in proj) / len(proj)) / (
+        sum(r.cosine for r in brute) / len(brute)
+    )
+    assert ratio >= 0.9, ratio
+
+
+def test_group_top_terms_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "x x x y y z"), (2, "a", "x y q"), (3, "b", "w w")],
+        "doc_id long, lang string, text string",
+    )
+    from m3d_engine_spark.operators.reporting import group_top_terms
+
+    out = {
+        (r.lang, r.term): (r.cnt, r.rk)
+        for r in group_top_terms(docs, ["lang"], "text", k=2, min_count=2).collect()
+    }
+    # lang a: x→4, y→3; z/q below min_count; lang b: w→2
+    assert out == {("a", "x"): (4, 1), ("a", "y"): (3, 2), ("b", "w"): (2, 1)}
