@@ -147,3 +147,74 @@ def test_hash_split_boundaries_and_exhaustiveness(spark):
         h = hashlib.md5(str(i).encode()).hexdigest()[:8]
         want = 0 if h < bounds[0] else (1 if h < bounds[1] else 2)
         assert got[i] == want, (i, h, got[i], want)
+
+
+def test_gumbel_resample_matches_python_reference(spark):
+    """The Gumbel top-n on random weights must equal a pure-Python
+    re-derivation of key = log_w − ln(−ln(u)), u = (md5(id)[:8]+0.5)/2³²."""
+    import hashlib
+    import math
+
+    from m3d_engine_spark.operators.selection import gumbel_resample
+
+    rng = random.Random(SEED)
+    rows = [(i, round(rng.uniform(-5, 5), 4)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, log_w double")
+    got = sorted(r.doc_id for r in gumbel_resample(df, "doc_id", n=60).collect())
+
+    def key(i: int, w: float) -> tuple:
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 0.5) / (1 << 32)
+        return (round(w - math.log(-math.log(u)), 4), -i)
+
+    want = sorted(i for i, w in sorted(rows, key=lambda t: key(*t), reverse=True)[:60])
+    assert got == want
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """dsir_log_weights on a random corpus == a pure-Python model with
+    the same md5 bucketing, add-α smoothing, and fixed-point rounding."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    from m3d_engine_spark.operators.selection import dsir_log_weights
+
+    rng = random.Random(SEED + 1)
+    vocab = [f"w{j}" for j in range(50)]
+    rows = []
+    for i in range(120):
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+        rows.append((i, text, rng.random() < 0.4))
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    B, alpha = 32, 0.5
+    got = {
+        r.doc_id: r.log_w
+        for r in dsir_log_weights(
+            df, F.col("is_t"), "doc_id", "text", n_buckets=B, alpha=alpha
+        ).collect()
+    }
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    raw, tgt = Counter(), Counter()
+    per_doc = defaultdict(Counter)
+    for i, text, is_t in rows:
+        for tok in text.split():
+            b = bucket(tok)
+            raw[b] += 1
+            per_doc[i][b] += 1
+            if is_t:
+                tgt[b] += 1
+    rtot, ttot = sum(raw.values()), sum(tgt.values())
+    ratio = {
+        b: round(
+            (math.log((tgt.get(b, 0) + alpha) / (ttot + alpha * B))
+             - math.log((raw[b] + alpha) / (rtot + alpha * B))) * 1_000_000
+        )
+        for b in raw
+    }
+    for i, _, _ in rows:
+        wsum = sum(c * ratio[b] for b, c in per_doc[i].items())
+        lw4 = (1 if wsum >= 0 else -1) * ((abs(wsum) + 50) // 100)
+        assert got[i] == lw4 / 10000.0, (i, got[i], lw4 / 10000.0)

@@ -52,6 +52,13 @@ HEADLINERS = {
     "bigram_lm": "Bigram LM fluency proxy: one guarded zip_with explode to transition rows, pair and context counts as map-side-combinable aggs joined back on their keys, V as the only BNLJ (broadcast 1-row vocabulary aggregate, pinned ≤ 1) — same lazy-totals discipline as unigram_lm; context counts derive from pair counts, so the corpus is tokenized exactly twice (transitions + vocabulary), never more.",
     "distinct_report": "Grouped cardinality report (exact twin shown; the production HLL++ tier is pinned separately): the sketch path partial-aggregates fixed-size sketches map-side — ONE exchange carrying one sketch per (task, group), no Expand, no second distinct pass — so the report is O(groups), not O(distinct values), at any corpus size.",
     "kmeans_train": "Deterministic Lloyd k-means (final round shown; earlier rounds are driver-collected k·dim centroid relations re-broadcast per iteration): per-round assignment is the broadcast-centroid max_by argmax (one keyed exchange row per vector, never N×k), centroid update is a posexplode (cluster, dim) mean with DECIMAL sums — exact, order-independent, so centroids are bit-stable across runs/engines and the rounding cascade cannot diverge over iterations.",
+    "dsir_select": "DSIR importance resampling: the two hashed-unigram distribution relations stay B rows at any corpus size and the per-bucket log-ratio table BROADCASTS onto the doc-bucket counts (pinned); per-doc weights are exact integer sums (map-side combinable); the Gumbel top-n compiles to TakeOrderedAndProject — per-partition limit + single ordered take, never a global sort (pinned).",
+    "robust_scale": "Median/IQR scaling: one aggregation exchange builds the groups-sized quartile relation (exact percentile buffers — approx_percentile is the extreme-width drop-in), which broadcasts back onto the rows (pinned) — same no-window topology as quality_zscores.",
+    "event_anomaly": "Rolling anomaly z-scores: ONE exchange (hash on the entity key) feeds the window; the three trailing-frame aggregates (n, Σx, Σx² over integers) evaluate in a single Window node; everything else is projection (pinned). At 10⁹ users the exchange is the job and it is keyed on the natural entity.",
+    "session_rollup": "Native session windows: MergingSessions aggregation with map-side partial merge — ONE keyed exchange carrying partially-merged sessions, not raw events (pinned); the same operator compiles to UpdatingSessions with watermark-bounded state on a stream.",
+    "curation_pipeline": "End-to-end curation: gate + scrub + fingerprint + split are all projection over the scan; ONLY the dedup election exchanges data (min agg + join, both keyed on the 32-hex fingerprint, pinned ≤ 2 exchanges) — document text never crosses an exchange.",
+    "two_stage_ann": "Two-stage retrieval: the Arrow projection kernel runs once per side; the coarse scan is a BroadcastNestedLoopJoin against the reduced queries (corpus unexchanged, pinned) scoring in the quantized integer space with per-side precomputed norms; the exact re-rank touches full vectors only for |Q|·coarse candidate rows via keyed joins.",
+    "top_terms": "Per-group heavy hitters: explode → ONE map-side-combinable count aggregation keyed on (group, term) → WindowGroupLimit bounds the per-group top-k before its exchange (pinned) — vocabulary-sized exchanges, never corpus-sized.",
 }
 
 # Plans not reachable through queries() verbatim: built by a callable.
