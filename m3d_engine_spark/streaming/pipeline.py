@@ -373,6 +373,87 @@ def sessionize(
     )
 
 
+ANOMALY_OUTPUT_SCHEMA = (
+    "user_id bigint, ts timestamp, value double, z double, is_anomaly boolean"
+)
+ANOMALY_STATE_SCHEMA = "buf array<bigint>"
+
+
+def streaming_rolling_zscore(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lookback: int = 20,
+    min_history: int = 8,
+    z_cut: float = 3.0,
+    value_decimals: int = 2,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``operators/anomaly.py::rolling_zscore_flags``:
+    each event scored against the key's trailing ``lookback`` values
+    via ``applyInPandasWithState``. State per key is the bounded ring
+    buffer of the last ``lookback`` fixed-point values — O(lookback),
+    never the event history — so the state store stays flat at any
+    stream length.
+
+    The buffer holds INTEGERS (``value_decimals`` fixed point) and the
+    kernel derives mean/std with the identical expression sequence the
+    batch operator's window form uses, so on in-order input the two
+    produce bit-identical scores (equivalence-pinned). Cross-batch
+    ordering is the source's contract, as with any per-key stateful
+    op: within a micro-batch the kernel sorts by event time; late
+    records beyond ``watermark`` are dropped by the runtime."""
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    scale = 10 ** value_decimals
+
+    def stateful(key, batches, state):
+        (uid,) = key
+        buf = list(state.get[0]) if state.exists else []
+        out = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col])
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                n = len(buf)
+                z = None
+                if n >= min_history:
+                    sx = float(sum(buf)) / scale
+                    sxx = float(sum(v * v for v in buf)) / (scale * scale)
+                    nd = float(n)
+                    var = (sxx - sx * sx / nd) / (nd - 1.0)
+                    if var > 0:
+                        z = round((float(val) - sx / nd) / math.sqrt(var), 4)
+                flag = z is not None and abs(z) > z_cut
+                out.append((uid, ts, float(val), z, flag))
+                buf.append(int(round(float(val) * scale)))
+                if len(buf) > lookback:
+                    buf.pop(0)
+        state.update((buf,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "ts", "value", "z", "is_anomaly"]
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            stateful,
+            outputStructType=ANOMALY_OUTPUT_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def _duration_seconds(s: str) -> float:
     qty, unit = s.split()
     mult = {

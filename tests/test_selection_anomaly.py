@@ -171,3 +171,47 @@ def test_group_top_terms_values(spark):
     }
     # lang a: x→4, y→3; z/q below min_count; lang b: w→2
     assert out == {("a", "x"): (4, 1), ("a", "y"): (3, 2), ("b", "w"): (2, 1)}
+
+
+def test_streaming_rolling_zscore_matches_batch(spark, tmp_path):
+    """The stateful streaming kernel must produce bit-identical scores
+    to the batch window operator on in-order input."""
+    from m3d_engine_spark.streaming.pipeline import streaming_rolling_zscore
+
+    rows = []
+    eid = 0
+    for u in range(4):
+        for k in range(30):
+            val = 10.0 + (k % 5) + (25.0 if k == 27 else 0.0)
+            rows.append((eid, _ts(u + k * 2), u, val))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    src = tmp_path / "anom_src"
+    df.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).parquet(str(src))
+    q = (
+        streaming_rolling_zscore(stream.select("user_id", "ts", "value"))
+        .writeStream.format("memory")
+        .queryName("anom_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "anom_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r.user_id, r.ts, r.z, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM anom_out").collect()
+    }
+    want = {
+        (r.user_id, r.ts, r.z, r.is_anomaly)
+        for r in rolling_zscore_flags(
+            df, "user_id", ["ts", "event_id"], "value"
+        ).collect()
+    }
+    assert got == want and len(want) == 120
+    assert any(f for (_, _, _, f) in want), "spike must flag"
