@@ -3240,6 +3240,8 @@ WITH red AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {red_cos} AS cs
   FROM red c JOIN red q
     ON q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id
+   AND list_dot_product(CAST(c.rv AS DOUBLE[]), CAST(c.rv AS DOUBLE[])) > 0
+   AND list_dot_product(CAST(q.rv AS DOUBLE[]), CAST(q.rv AS DOUBLE[])) > 0
 ), cands AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,

@@ -115,17 +115,21 @@ def ivf_topk(
     k: int = 5,
     centroid_stride: int = 125,
     n_probe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: a coarse quantizer partitions the
     corpus into inverted lists; each query probes only its ``n_probe``
     nearest centroids' lists.
 
-    The coarse quantizer here is SAMPLED, not trained: every
+    The default coarse quantizer is SAMPLED, not trained: every
     ``centroid_stride``-th corpus vector (by id) is a centroid — fully
     deterministic, so the whole operator is oracle-checkable, and the
     centroid count grows with the corpus (√N is the classical target;
-    pick the stride accordingly). Swapping in k-means centroids changes
-    only the centroid relation, not the assignment/probe topology.
+    pick the stride accordingly). Pass ``centroids`` — any
+    (cent_id, centv) relation, e.g. ``train_kmeans`` output renamed —
+    to swap in a TRAINED quantizer; only the centroid relation
+    changes, the assignment/probe topology is identical (pinned by
+    tests/test_dedup_similarity.py).
 
     Topology: assignment is a broadcast join corpus × centroids →
     argmax cosine. The corpus side takes the argmax with ``max_by`` over
@@ -143,13 +147,22 @@ def ivf_topk(
     shuffle-partitioned by inverted list — bucket the corpus table by
     ``cluster`` at write time and the probe becomes a pruned scan.
     """
-    cents = F.broadcast(
-        corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("centv"),
-            norm(F.col(vec_col)).alias("centn"),
+    if centroids is not None:
+        cents = F.broadcast(
+            centroids.select(
+                F.col("cent_id"),
+                F.col("centv"),
+                norm(F.col("centv")).alias("centn"),
+            )
         )
-    )
+    else:
+        cents = F.broadcast(
+            corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).alias("centv"),
+                norm(F.col(vec_col)).alias("centn"),
+            )
+        )
 
     def assigned(df: DataFrame, idc: str, keep: int) -> DataFrame:
         sim = F.round(
@@ -342,15 +355,24 @@ def projected_rerank_topk(
 
     # norms are computed ONCE per side (projection output), never per
     # pair — the pair expression is a single reduce_dim-length fold.
-    red_c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        project(F.col(vec_col)).alias("rv"),
-    ).withColumn("rn", norm(F.col("rv")))
+    # zero-norm reduced vectors (degenerate inputs) are excluded rather
+    # than scored: NaN coarse scores sort FIRST under Spark's
+    # descending order and would displace real candidates.
+    red_c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            project(F.col(vec_col)).alias("rv"),
+        )
+        .withColumn("rn", norm(F.col("rv")))
+        .filter(F.col("rn") > 0)
+    )
     red_q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             project(F.col(vec_col)).alias("qv"),
-        ).withColumn("qn", norm(F.col("qv")))
+        )
+        .withColumn("qn", norm(F.col("qv")))
+        .filter(F.col("qn") > 0)
     )
     coarse_pairs = (
         red_c.crossJoin(red_q)

@@ -421,6 +421,12 @@ def streaming_rolling_zscore(
                 continue
             pdf = pdf.sort_values([ts_col])
             for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                if pd.isna(val):
+                    # mirror the batch operator: NULL values score NULL,
+                    # flag false, and never enter the history buffer
+                    # (count(x)/sum(x) skip them there)
+                    out.append((uid, ts, None, None, False))
+                    continue
                 n = len(buf)
                 z = None
                 if n >= min_history:

@@ -359,3 +359,27 @@ def test_fuzzy_dedup_corpus_end_to_end(spark):
         corpus, "doc_id", "text", quality=-F.col("doc_id"), threshold=0.3
     )
     assert {r.doc_id for r in flipped.collect()} == {1, 4}
+
+
+def test_ivf_accepts_trained_kmeans_quantizer(spark, sf_dir):
+    """The documented quantizer swap-in point: train_kmeans centroids
+    (renamed to (cent_id, centv)) drive ivf_topk with the identical
+    assignment/probe topology, and the trained quantizer's found
+    neighbors score ≥ 0.8× the brute-force tier's mean cosine."""
+    from m3d_engine_spark.operators.kmeans import train_kmeans
+    from m3d_engine_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    cents = train_kmeans(emb, "vec_id", "embedding", k=8, iterations=2).select(
+        F.col("cluster").alias("cent_id"), F.col("centroid").alias("centv")
+    )
+    out = ivf_topk(
+        emb, q, "vec_id", "embedding", k=5, n_probe=3, centroids=cents
+    ).collect()
+    brute = brute_force_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    assert len(out) == len(brute) > 0
+    ratio = (sum(r.cosine for r in out) / len(out)) / (
+        sum(r.cosine for r in brute) / len(brute)
+    )
+    assert ratio >= 0.8, ratio
