@@ -3292,6 +3292,90 @@ QUALIFY rk <= 5
 """
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (curation.py::ccnet_buckets;
+    Wenzek et al., LREC 2020): unigram-LM score per doc, head/middle/
+    tail terciles PER LANGUAGE via exact-integer rank cuts over the
+    score histogram, broadcast back (interpolated percentiles here are
+    a cross-engine ulp trap — see the operator docstring)."""
+    from m3d_engine_spark.operators.curation import ccnet_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_buckets(docs, "doc_id", "text", "lang")
+
+
+_SQL_CCNET_BUCKETS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+), freqs AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V
+  FROM freqs
+), scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(ln((f.c + 1.0) / (tot.N + tot.V))), 4) AS avg_logprob
+  FROM toks t JOIN freqs f ON t.w = f.w CROSS JOIN tot
+  GROUP BY t.doc_id
+), sl AS (
+  SELECT s.doc_id, d.lang, s.n_tokens, s.avg_logprob,
+         CAST(round(s.avg_logprob * 10000) AS BIGINT) AS sc
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+), hist AS (
+  SELECT lang, sc, count(*) AS c FROM sl GROUP BY lang, sc
+), ranked AS (
+  SELECT lang, sc,
+         SUM(c) OVER (PARTITION BY lang ORDER BY sc DESC
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+), cuts AS (
+  SELECT lang,
+         max(CASE WHEN cum >= ceil(n / 3.0) THEN sc END) AS c2,
+         max(CASE WHEN cum >= ceil(n * 2 / 3.0) THEN sc END) AS c1
+  FROM ranked GROUP BY lang
+)
+SELECT sl.doc_id, sl.lang, sl.n_tokens, sl.avg_logprob,
+       CASE WHEN sl.sc >= cuts.c2 THEN 'head'
+            WHEN sl.sc >= cuts.c1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sl JOIN cuts ON sl.lang = cuts.lang
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.py::hard_negative_topk): each
+    query's top-3 most-similar vectors with a DIFFERENT label — the
+    contrastive-training near-misses; brute_force_topk topology with a
+    pair-local label filter (corpus never shuffles)."""
+    from m3d_engine_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = hard_negative_topk(emb, queries, "vec_id", "embedding", "label", k=3)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+_SQL_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 25 = 0
+), pairs AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         {_sql_cosine("q.embedding", "r.embedding")} AS cosine
+  FROM embeddings r CROSS JOIN q
+  WHERE r.vec_id != q.vec_id AND r.label != q.label
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC)
+            AS INTEGER) AS rank,
+       cosine
+FROM pairs
+QUALIFY rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3380,6 +3464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "two_stage_ann": q_two_stage_ann,
         "top_terms": q_top_terms,
+        "ccnet_buckets": q_ccnet_buckets,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -3462,4 +3548,6 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _sql_curation_pipeline(),
         "two_stage_ann": _sql_two_stage_ann(),
         "top_terms": _SQL_TOP_TERMS,
+        "ccnet_buckets": _SQL_CCNET_BUCKETS,
+        "hard_negatives": _SQL_HARD_NEGATIVES,
     }

@@ -400,3 +400,77 @@ def curation_pipeline(
     return hash_split(survivors, id_col, list(split_weights)).select(
         id_col, "split", "n_pii", "fp"
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    score every document with the corpus' own unigram LM
+    (``unigram_logprob``), then split EACH LANGUAGE into head / middle
+    / tail terciles by score — the standard "keep the head, maybe the
+    middle" quality-mixture prior to pre-training.
+
+    The tercile cuts are EXACT-INTEGER rank arithmetic, not
+    interpolated percentiles: scores quantize to a 1e-4 grid, a
+    per-language score HISTOGRAM (distinct-scores-sized, tiny)
+    cumulates descending, and the cut is the score of the ceil(n/3)-th
+    ranked document. Interpolated percentile() here is a cross-engine
+    ulp trap — with p=1/3 and n-1 divisible by 3, the interpolation
+    fraction lands within an ulp of 1.0 and the >= comparison at the
+    cut flips between engines (observed); integer ranks cannot.
+    All docs sharing the cut score share its bucket (value cutoffs,
+    as CCNet itself applies them).
+
+    Topology: LM scoring (token explode → vocabulary-sized frequency
+    join → per-doc mean) → histogram aggregation (one keyed exchange,
+    distinct-scores-sized output) → window over the HISTOGRAM (tiny)
+    → languages-sized cut relation broadcast back. No window over the
+    corpus. Returns (id, lang, n_tokens, avg_logprob, bucket)."""
+    scored = unigram_logprob(docs, id_col, text_col, alpha=alpha).join(
+        docs.select(F.col(id_col), F.col(lang_col)), on=id_col
+    )
+    sc = F.round(F.col("avg_logprob") * 10000).cast("long")
+    hist = (
+        scored.select(F.col(lang_col), sc.alias("_sc"))
+        .groupBy(lang_col, "_sc")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wdesc = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.col("_sc").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(lang_col)
+    ranked = hist.select(
+        F.col(lang_col),
+        F.col("_sc"),
+        F.sum("_c").over(wdesc).alias("_cum"),
+        F.sum("_c").over(wn).alias("_n"),
+    )
+    cuts = ranked.groupBy(lang_col).agg(
+        # head cut: score of the ceil(n/3)-th doc (descending ranks)
+        F.max(
+            F.when(F.col("_cum") >= F.ceil(F.col("_n") / 3), F.col("_sc"))
+        ).alias("_c2"),
+        F.max(
+            F.when(F.col("_cum") >= F.ceil(F.col("_n") * 2 / 3), F.col("_sc"))
+        ).alias("_c1"),
+    )
+    return (
+        scored.join(F.broadcast(cuts), on=lang_col)
+        .select(
+            id_col,
+            lang_col,
+            "n_tokens",
+            "avg_logprob",
+            F.when(sc >= F.col("_c2"), F.lit("head"))
+            .when(sc >= F.col("_c1"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

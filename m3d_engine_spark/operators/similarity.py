@@ -417,3 +417,51 @@ def projected_rerank_topk(
         )
     )
     return _ranked_topk(pairs, "query_id", "neighbor_id", k)
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: each
+    query's top-``k`` most-similar corpus vectors with a DIFFERENT
+    label — the near-misses a bi-encoder learns the most from.
+
+    Same zero-corpus-shuffle topology as ``brute_force_topk`` (queries
+    broadcast, ranking via WindowGroupLimit); the label inequality is
+    a pair-local filter, so at 10⁹ vectors this still streams the
+    corpus shard once per executor. For the approximate tier, feed the
+    candidate pairs of any ANN operator through the same filter."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qn"),
+            F.col(label_col).alias("qlabel"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+        F.col(label_col).alias("clabel"),
+    )
+    pairs = (
+        c.crossJoin(q)
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("clabel") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cosine"),
+        )
+    )
+    return _ranked_topk(pairs, "query_id", "neighbor_id", k)

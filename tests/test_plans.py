@@ -657,3 +657,33 @@ def test_top_terms_single_count_aggregation(spark, sf_dir):
     plan = _plan_simple(group_top_terms(docs, ["lang"], "text", k=5))
     assert "WindowGroupLimit" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ccnet_buckets_no_corpus_window(spark, sf_dir):
+    """ccnet_buckets: the tercile machinery must window over the tiny
+    score HISTOGRAM, never the corpus — so the plan's Window nodes sit
+    above an aggregate, the cut relation broadcasts back, and the doc
+    relation itself is never sorted per language."""
+    from m3d_engine_spark.operators.curation import ccnet_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan_simple(ccnet_buckets(docs, "doc_id", "text", "lang"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hard_negatives_corpus_never_shuffles(spark, sf_dir):
+    """hard_negative_topk: brute topology — broadcast queries, corpus
+    side unexchanged below the ranking window."""
+    from m3d_engine_spark.operators.similarity import hard_negative_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    plan = _plan_simple(
+        hard_negative_topk(emb, q, "vec_id", "embedding", "label", k=3)
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the ranking window's hash exchange only (broadcasts aside)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -215,3 +215,38 @@ def test_streaming_rolling_zscore_matches_batch(spark, tmp_path):
     }
     assert got == want and len(want) == 120
     assert any(f for (_, _, _, f) in want), "spike must flag"
+
+
+def test_ccnet_buckets_terciles_and_ties(spark):
+    from m3d_engine_spark.operators.curation import ccnet_buckets
+
+    # 9 docs, one lang; the three quality dialects separate cleanly:
+    # common tokens score high, rare tokens low.
+    rows = (
+        [(i, "a a a a", "en") for i in range(3)]
+        + [(i, "a b b c", "en") for i in range(3, 6)]
+        + [(i, f"z{i} y{i} w{i} v{i}", "en") for i in range(6, 9)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r.bucket for r in ccnet_buckets(docs, "doc_id", "text", "lang").collect()}
+    assert [out[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    # value-cutoff tie behavior: identical scores share one bucket
+    tied = spark.createDataFrame(
+        [(i, "same text here", "en") for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    tb = {r.bucket for r in ccnet_buckets(tied, "doc_id", "text", "lang").collect()}
+    assert tb == {"head"}
+
+
+def test_hard_negatives_exclude_same_label(spark, sf_dir):
+    from m3d_engine_spark.operators.similarity import hard_negative_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    out = hard_negative_topk(emb, q, "vec_id", "embedding", "label", k=3)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert labels[r.query_id] != labels[r.neighbor_id]
