@@ -59,6 +59,8 @@ HEADLINERS = {
     "curation_pipeline": "End-to-end curation: gate + scrub + fingerprint + split are all projection over the scan; ONLY the dedup election exchanges data (min agg + join, both keyed on the 32-hex fingerprint, pinned ≤ 2 exchanges) — document text never crosses an exchange.",
     "two_stage_ann": "Two-stage retrieval: the Arrow projection kernel runs once per side; the coarse scan is a BroadcastNestedLoopJoin against the reduced queries (corpus unexchanged, pinned) scoring in the quantized integer space with per-side precomputed norms; the exact re-rank touches full vectors only for |Q|·coarse candidate rows via keyed joins.",
     "top_terms": "Per-group heavy hitters: explode → ONE map-side-combinable count aggregation keyed on (group, term) → WindowGroupLimit bounds the per-group top-k before its exchange (pinned) — vocabulary-sized exchanges, never corpus-sized.",
+    "ccnet_buckets": "CCNet perplexity buckets: the LM-scoring topology, then tercile cuts by EXACT-INTEGER rank arithmetic over a per-language score histogram — the Window runs over the distinct-scores-sized histogram, never the corpus (pinned), and the languages-sized cut relation broadcasts back. Interpolated percentile() here flips boundary comparisons between engines (frac within an ulp of 1.0 when n-1 % 3 == 0).",
+    "hard_negatives": "Hard-negative mining: brute topology (broadcast queries, BroadcastNestedLoopJoin — corpus unexchanged) with the label inequality as a pair-local filter; ranking is the only hash exchange (pinned).",
 }
 
 # Plans not reachable through queries() verbatim: built by a callable.
