@@ -2303,46 +2303,17 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from m3d_engine_spark.functions.redact import pii_scrub
 
     docs = _t(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    injected = F.concat(
-        F.col("text"),
-        F.when(
-            did % 4 == 0,
-            F.concat(F.lit(" contact user"), did.cast("string"),
-                     F.lit("@mail.example.org now")),
-        ).otherwise(F.lit("")),
-        F.when(
-            did % 5 == 0,
-            F.concat(F.lit(" call +1 555 "),
-                     F.lpad((did % 10000).cast("string"), 4, "0")),
-        ).otherwise(F.lit("")),
-        F.when(
-            did % 3 == 0,
-            F.concat(F.lit(" from 10."), (did % 256).cast("string"),
-                     F.lit(".0."), (did % 250).cast("string"),
-                     F.lit(" today")),
-        ).otherwise(F.lit("")),
-    )
+    injected = _injected(F.col("doc_id"))
     return pii_scrub(
         docs.select("doc_id", injected.alias("text")), "doc_id", "text"
     )
 
 
 def _sql_pii_scrub() -> str:
-    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+"
-    ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    phone = "\\+?\\d{1,3}[- ]\\d{3}[- ]\\d{4}\\b"
+    email, ip, phone = _RE_EMAIL, _RE_IP, _RE_PHONE
     return f"""
 WITH base AS (
-  SELECT doc_id,
-    text ||
-    CASE WHEN doc_id % 4 = 0 THEN ' contact user' ||
-      CAST(doc_id AS VARCHAR) || '@mail.example.org now' ELSE '' END ||
-    CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 ' ||
-      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
-    CASE WHEN doc_id % 3 = 0 THEN ' from 10.' ||
-      CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
-      CAST(doc_id % 250 AS VARCHAR) || ' today' ELSE '' END AS t0
+  SELECT doc_id, {_SQL_INJECTED} AS t0
   FROM documents
 ), s1 AS (
   SELECT doc_id, t0,
@@ -3012,31 +2983,35 @@ def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_EVENT_ANOMALY = """
-WITH f AS (
-  SELECT event_id, user_id, value,
-         count(CAST(round(value * 100) AS BIGINT)) OVER w AS n,
-         sum(CAST(round(value * 100) AS BIGINT)) OVER w AS sx,
-         sum(CAST(round(value * 100) AS BIGINT)
-             * CAST(round(value * 100) AS BIGINT)) OVER w AS sxx
+WITH g AS (
+  SELECT event_id, ts, user_id, value,
+         CASE WHEN value IS NOT NULL AND NOT isnan(value)
+              THEN CAST(round(value * 100) AS BIGINT) END AS xv
   FROM events
+), f AS (
+  SELECT event_id, user_id, value, xv,
+         count(xv) OVER w AS n,
+         sum(xv) OVER w AS sx,
+         sum(xv * xv) OVER w AS sxx
+  FROM g
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
 ), s AS (
-  SELECT event_id, user_id, value,
+  SELECT event_id, user_id, value, xv,
          CAST(n AS DOUBLE) AS nd,
          CAST(sx AS DOUBLE) / 100 AS sxd,
          CAST(sxx AS DOUBLE) / 10000 AS sxxd,
          n AS nn
   FROM f
 ), v AS (
-  SELECT event_id, user_id, value, nd, sxd, nn,
+  SELECT event_id, user_id, value, xv, nd, sxd, nn,
          (sxxd - sxd * sxd / nd) / (nd - 1.0) AS var
   FROM s
 )
 SELECT event_id, user_id,
-       CASE WHEN nn >= 8 AND var > 0
+       CASE WHEN xv IS NOT NULL AND nn >= 8 AND var > 0
             THEN round((value - sxd / nd) / sqrt(var), 4) END AS z,
-       coalesce(abs(CASE WHEN nn >= 8 AND var > 0
+       coalesce(abs(CASE WHEN xv IS NOT NULL AND nn >= 8 AND var > 0
                          THEN round((value - sxd / nd) / sqrt(var), 4) END) > 3.0,
                 false) AS is_anomaly
 FROM v
@@ -3111,6 +3086,11 @@ def _injected(did) -> "F.Column":
     )
 
 
+# DuckDB-side PII regexes (RE2-compatible, mirror functions/redact.py)
+_RE_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+"
+_RE_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_RE_PHONE = "\\+?\\d{1,3}[- ]\\d{3}[- ]\\d{4}\\b"
+
 _SQL_INJECTED = """
     text ||
     CASE WHEN doc_id % 4 = 0 THEN ' contact user' ||
@@ -3139,9 +3119,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_curation_pipeline() -> str:
-    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+"
-    ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    phone = "\\+?\\d{1,3}[- ]\\d{3}[- ]\\d{4}\\b"
+    email, ip, phone = _RE_EMAIL, _RE_IP, _RE_PHONE
     toks_of = (
         "CASE WHEN length(trim({c})) = 0 THEN CAST([] AS VARCHAR[]) "
         "ELSE regexp_split_to_array(trim({c}), '\\s+') END"

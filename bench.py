@@ -51,9 +51,17 @@ def main() -> int:
         for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
         if q.strip()
     }
+    registry = entry_mod.queries()
+    unknown = only - set(registry)
+    if unknown:
+        # a typo'd allowlist would otherwise skip everything and
+        # "succeed" having timed nothing
+        print(f"unknown SPARK_GRAFT_BENCH_ONLY entries: {sorted(unknown)}",
+              file=sys.stderr)
+        return 2
     timings: dict[str, float] = {}
     total = 0.0
-    for name, fn in entry_mod.queries().items():
+    for name, fn in registry.items():
         if only and name not in only:
             continue
         best = -1.0

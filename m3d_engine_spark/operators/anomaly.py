@@ -44,10 +44,15 @@ def rolling_zscore_flags(
     excludes the current row — the score is "versus history", not
     self-contaminated) and ``is_anomaly`` = |z| > ``z_cut``. Rows with
     fewer than ``min_history`` prior events get NULL z / false flag.
-    ``order_cols`` must be a total order per key (e.g. ts + event id)
-    or the frame contents are nondeterministic."""
+    NULL and NaN values score NULL / false and are excluded from every
+    frame (a NaN would otherwise become 0 under the non-ANSI cast and
+    silently corrupt the statistics). ``order_cols`` must be a total
+    order per key (e.g. ts + event id) or the frame contents are
+    nondeterministic."""
     scale = 10 ** value_decimals
-    x = F.round(F.col(value_col) * scale).cast("long")
+    v = F.col(value_col)
+    valid = v.isNotNull() & ~F.isnan(v)
+    x = F.when(valid, F.round(v * scale).cast("long"))
     w = (
         Window.partitionBy(key_col)
         .orderBy(*[F.col(c).asc() for c in order_cols])
@@ -67,7 +72,7 @@ def rolling_zscore_flags(
     var = (sxx - sx * sx / n) / (n - F.lit(1.0))
     mean = sx / n
     z = F.when(
-        (F.col("_n") >= min_history) & (var > 0),
+        valid & (F.col("_n") >= min_history) & (var > 0),
         F.round((F.col(value_col) - mean) / F.sqrt(var), 4),
     )
     return (

@@ -78,11 +78,16 @@ def dsir_log_weights(
         # constant within a doc; first() avoids re-joining docs
         F.first("_is_target").alias("_is_target"),
     )
-    raw = toks.groupBy("_b").agg(F.count(F.lit(1)).alias("_rc"))
+    # raw/target totals derive from doc_buckets, NOT from a fresh pass
+    # over toks: the expensive tokenize+hash+aggregate subtree is then
+    # IDENTICAL in all three consumers, so AQE's exchange reuse
+    # evaluates it once (re-deriving from toks would tokenize the
+    # corpus three times).
+    raw = doc_buckets.groupBy("_b").agg(F.sum("_c").alias("_rc"))
     tgt = (
-        toks.filter(F.col("_is_target"))
+        doc_buckets.filter(F.col("_is_target"))
         .groupBy("_b")
-        .agg(F.count(F.lit(1)).alias("_tc"))
+        .agg(F.sum("_c").alias("_tc"))
     )
     totals = raw.agg(
         F.sum("_rc").alias("_rtot"),

@@ -373,9 +373,6 @@ def sessionize(
     )
 
 
-ANOMALY_OUTPUT_SCHEMA = (
-    "user_id bigint, ts timestamp, value double, z double, is_anomaly boolean"
-)
 ANOMALY_STATE_SCHEMA = "buf array<bigint>"
 
 
@@ -389,6 +386,7 @@ def streaming_rolling_zscore(
     z_cut: float = 3.0,
     value_decimals: int = 2,
     watermark: str = "1 hour",
+    order_cols: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """Streaming twin of ``operators/anomaly.py::rolling_zscore_flags``:
     each event scored against the key's trailing ``lookback`` values
@@ -402,8 +400,13 @@ def streaming_rolling_zscore(
     batch operator's window form uses, so on in-order input the two
     produce bit-identical scores (equivalence-pinned). Cross-batch
     ordering is the source's contract, as with any per-key stateful
-    op: within a micro-batch the kernel sorts by event time; late
-    records beyond ``watermark`` are dropped by the runtime."""
+    op: within a micro-batch the kernel sorts STABLY by
+    ``order_cols`` (default: event time — pass a tiebreaking column
+    such as an event id when equal timestamps are possible, exactly as
+    the batch operator's order_cols demands); late records beyond
+    ``watermark`` are dropped by the runtime. Output columns are named
+    after ``key_col``/``ts_col``/``value_col`` with the input's own
+    key/timestamp types."""
     import math
 
     import pandas as pd
@@ -411,6 +414,14 @@ def streaming_rolling_zscore(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     scale = 10 ** value_decimals
+    sort_cols = list(order_cols) if order_cols else [ts_col]
+    out_cols = [key_col, ts_col, value_col, "z", "is_anomaly"]
+    schema = events.schema
+    out_schema = (
+        f"{key_col} {schema[key_col].dataType.simpleString()}, "
+        f"{ts_col} {schema[ts_col].dataType.simpleString()}, "
+        f"{value_col} double, z double, is_anomaly boolean"
+    )
 
     def stateful(key, batches, state):
         (uid,) = key
@@ -419,12 +430,14 @@ def streaming_rolling_zscore(
         for pdf in batches:
             if not len(pdf):
                 continue
-            pdf = pdf.sort_values([ts_col])
+            # mergesort = stable: equal sort keys keep source order, so
+            # scoring order is deterministic for a deterministic source
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
             for ts, val in zip(pdf[ts_col], pdf[value_col]):
                 if pd.isna(val):
-                    # mirror the batch operator: NULL values score NULL,
-                    # flag false, and never enter the history buffer
-                    # (count(x)/sum(x) skip them there)
+                    # mirror the batch operator: NULL/NaN values score
+                    # NULL, flag false, and never enter the history
+                    # buffer (count(x)/sum(x) skip them there)
                     out.append((uid, ts, None, None, False))
                     continue
                 n = len(buf)
@@ -443,16 +456,14 @@ def streaming_rolling_zscore(
                     buf.pop(0)
         state.update((buf,))
         if out:
-            yield pd.DataFrame(
-                out, columns=["user_id", "ts", "value", "z", "is_anomaly"]
-            )
+            yield pd.DataFrame(out, columns=out_cols)
 
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(key_col)
         .applyInPandasWithState(
             stateful,
-            outputStructType=ANOMALY_OUTPUT_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=ANOMALY_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -250,3 +250,27 @@ def test_hard_negatives_exclude_same_label(spark, sf_dir):
     assert len(rows) > 0
     for r in rows:
         assert labels[r.query_id] != labels[r.neighbor_id]
+
+
+def test_rolling_zscore_nan_and_null_values_are_inert(spark):
+    """NaN/NULL values must score NULL/false and stay OUT of every
+    frame (a NaN would become 0 under the non-ANSI long cast and
+    corrupt the statistics) — and the streaming kernel agrees."""
+    rows = [(i, _ts(i), 1, 10.0 + (0.1 if i % 2 else -0.1)) for i in range(12)]
+    rows.append((12, _ts(12), 1, float("nan")))
+    rows.append((13, _ts(13), 1, None))
+    rows.append((14, _ts(14), 1, 10.05))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = {
+        r.event_id: (r.z, r.is_anomaly)
+        for r in rolling_zscore_flags(
+            df, "user_id", ["ts", "event_id"], "value"
+        ).collect()
+    }
+    assert out[12] == (None, False) and out[13] == (None, False)
+    # the clean event after the bad ones scores against the 12 clean
+    # predecessors only — a NaN-as-zero in the frame would blow |z| up
+    z, flag = out[14]
+    assert z is not None and abs(z) < 3 and not flag
