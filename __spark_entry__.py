@@ -3354,6 +3354,52 @@ QUALIFY rank <= 3
 """
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial temperature sampling
+    (curation.py::temperature_mixture, α=0.5): per-source keep rates
+    (n_min/n_g)^0.5 — sqrt is correctly-rounded IEEE, so rates and
+    keep bounds are bit-identical across engines; the rarest source
+    keeps everything, frequent sources flatten. Corpus never
+    exchanges (counts + rates broadcast back)."""
+    from m3d_engine_spark.operators.curation import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    # testdata sources are uniform (rate 1 everywhere — nothing to
+    # flatten), so synthesize the skew a real crawl has: 60/30/10
+    skewed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 6, F.lit("common"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("mid"))
+        .otherwise(F.lit("rare"))
+        .alias("src"),
+    )
+    out = temperature_mixture(skewed, "doc_id", "src", alpha=0.5)
+    return out.select("doc_id", "src", "n_g", "rate")
+
+
+_SQL_TEMPERATURE_MIXTURE = """
+WITH skewed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 6 THEN 'common'
+              WHEN doc_id % 10 < 9 THEN 'mid'
+              ELSE 'rare' END AS src
+  FROM documents
+), counts AS (
+  SELECT src, count(*) AS n_g FROM skewed GROUP BY src
+), nm AS (
+  SELECT min(n_g) AS n_min FROM counts
+), rates AS (
+  SELECT src, n_g, sqrt(CAST(n_min AS DOUBLE) / n_g) AS rate
+  FROM counts CROSS JOIN nm
+)
+SELECT d.doc_id, d.src, r.n_g, round(r.rate, 6) AS rate
+FROM skewed d JOIN rates r ON d.src = r.src
+WHERE r.rate >= 1.0
+   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+      printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT))
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3444,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "ccnet_buckets": q_ccnet_buckets,
         "hard_negatives": q_hard_negatives,
+        "temperature_mixture": q_temperature_mixture,
     }
 
 
@@ -3528,4 +3575,5 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": _SQL_TOP_TERMS,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "hard_negatives": _SQL_HARD_NEGATIVES,
+        "temperature_mixture": _SQL_TEMPERATURE_MIXTURE,
     }

@@ -474,3 +474,42 @@ def ccnet_buckets(
             .alias("bucket"),
         )
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    id_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Multinomial temperature sampling over sources (the XLM-R/mBERT
+    recipe): target sampling probability q_g ∝ p_g^alpha flattens the
+    source distribution, realized here as deterministic per-group keep
+    rates r_g = (n_min/n_g)^(1−alpha) — the rarest group keeps
+    everything, frequent groups downsample, and the kept set is a pure
+    function of the data (md5-threshold Bernoulli via
+    ``hash_mixture``).
+
+    alpha=0.5 computes the rate with sqrt — correctly-rounded IEEE, so
+    both engines derive bit-identical rates and keep bounds from the
+    integer counts. Other alphas go through pow, whose last ulp is
+    implementation-defined; a rate whose 2³²-scaled value lands within
+    that ulp of an integer could flip one document's keep bit across
+    engines (same class of caveat as the seeded-LSH sign decisions).
+
+    Topology: one count aggregation to a groups-sized relation, the
+    1-row n_min aggregate and the rates broadcast back, keep decision
+    a pure projection — the corpus never exchanges. Returns the kept
+    rows + (n_g, rate)."""
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    nmin = F.broadcast(counts.agg(F.min("n_g").alias("_n_min")))
+    frac = F.col("_n_min").cast("double") / F.col("n_g")
+    if alpha == 0.5:
+        rate = F.sqrt(frac)
+    else:
+        rate = F.pow(frac, F.lit(1.0 - float(alpha)))
+    rates = F.broadcast(
+        counts.crossJoin(nmin).select(group_col, "n_g", rate.alias("_rate"))
+    )
+    kept = hash_mixture(docs.join(rates, on=group_col), id_col, F.col("_rate"))
+    return kept.withColumn("rate", F.round(F.col("_rate"), 6)).drop("_rate")

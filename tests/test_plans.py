@@ -687,3 +687,19 @@ def test_hard_negatives_corpus_never_shuffles(spark, sf_dir):
     # the ranking window's hash exchange only (broadcasts aside)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_mixture_corpus_never_exchanges(spark, sf_dir):
+    """temperature_mixture: the only hash exchange is the groups-sized
+    count aggregation; rates broadcast back onto the corpus and the
+    keep decision is projection."""
+    from m3d_engine_spark.operators.curation import temperature_mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan_simple(temperature_mixture(docs, "doc_id", "source"))
+    assert "BroadcastHashJoin" in plan, plan
+    # the counts subtree prints twice statically (rates + n_min sides);
+    # both are the IDENTICAL group-key exchange, which AQE's exchange
+    # reuse collapses at runtime — the corpus itself never exchanges
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -274,3 +274,22 @@ def test_rolling_zscore_nan_and_null_values_are_inert(spark):
     # predecessors only — a NaN-as-zero in the frame would blow |z| up
     z, flag = out[14]
     assert z is not None and abs(z) < 3 and not flag
+
+
+def test_temperature_mixture_rates_and_flattening(spark):
+    from m3d_engine_spark.operators.curation import temperature_mixture
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = temperature_mixture(df, "doc_id", "src", alpha=0.5).collect()
+    rates = {r.src: r.rate for r in out}
+    # r_small = 1 (rarest keeps all), r_big = sqrt(100/400) = 0.5
+    assert rates["small"] == 1.0 and rates["big"] == 0.5
+    kept = {"big": 0, "small": 0}
+    for r in out:
+        kept[r.src] += 1
+    assert kept["small"] == 100  # rate 1 keeps everything
+    # md5-Bernoulli at 0.5 over 400 docs: near half, deterministic
+    assert 170 <= kept["big"] <= 230
+    again = temperature_mixture(df, "doc_id", "src", alpha=0.5).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in out}
