@@ -3400,6 +3400,47 @@ WHERE r.rate >= 1.0
 """
 
 
+def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window activity rollup
+    (streaming/pipeline.py::sliding_rollup): 1-hour windows sliding
+    15 min — each event fans into 4 overlapping windows via the native
+    ``window(ts, w, s)`` Expand, aggregated with a map-side partial so
+    the fan-out never crosses the exchange un-combined. Exact distinct
+    users per window (batch tier; streaming swaps in the HLL)."""
+    from m3d_engine_spark.streaming.pipeline import sliding_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_rollup(ev.select("user_id", "ts"))
+    return out.select(
+        epoch_us_of(out, "window_start").alias("start_us"),
+        epoch_us_of(out, "window_end").alias("end_us"),
+        "n_events",
+        "n_users",
+    )
+
+
+# Window assignment mirrored in exact integer microseconds (epoch_us is
+# a BIGINT in DuckDB): base = floor(us / slide)·slide, the 4 covering
+# starts walk back one slide each.
+_SQL_SLIDING_ROLLUP = """
+WITH ex AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+), fan AS (
+  SELECT user_id, us,
+         (us // 900000000) * 900000000 - k.k * 900000000 AS ws_us
+  FROM ex CROSS JOIN (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS k) k
+  WHERE us >= (us // 900000000) * 900000000 - k.k * 900000000
+    AND us < (us // 900000000) * 900000000 - k.k * 900000000 + 3600000000
+)
+SELECT ws_us AS start_us,
+       ws_us + 3600000000 AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM fan
+GROUP BY ws_us
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3491,6 +3532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "hard_negatives": q_hard_negatives,
         "temperature_mixture": q_temperature_mixture,
+        "sliding_rollup": q_sliding_rollup,
     }
 
 
@@ -3576,4 +3618,5 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
         "hard_negatives": _SQL_HARD_NEGATIVES,
         "temperature_mixture": _SQL_TEMPERATURE_MIXTURE,
+        "sliding_rollup": _SQL_SLIDING_ROLLUP,
     }

@@ -118,6 +118,46 @@ def session_rollup(
     )
 
 
+def sliding_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    user_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window activity rollup via Spark's native overlapping
+    ``window(ts, window, slide)``: events/actives per window where each
+    event lands in window/slide overlapping windows (4 at 1h/15m).
+    Same operator batch and streaming (pass ``watermark`` on a
+    stream — note count_distinct needs ``approx_count_distinct`` under
+    streaming update mode; the batch form is exact).
+
+    The window assignment is a JVM-side Expand (one row per covered
+    window, generated inside the scan task) feeding ONE keyed
+    aggregation exchange — the fan-out never crosses an exchange
+    un-aggregated thanks to the map-side partial."""
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    agg = [
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (
+            F.approx_count_distinct(user_col)
+            if src.isStreaming
+            else F.count_distinct(F.col(user_col))
+        ).cast("long").alias("n_users"),
+    ]
+    return (
+        src.groupBy(F.window(F.col(ts_col), window, slide).alias("_w"))
+        .agg(*agg)
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
 def streaming_dedup(
     docs: DataFrame, ts_col: str, text_col: str = "text", watermark: str = "1 hour"
 ) -> DataFrame:

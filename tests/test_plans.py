@@ -703,3 +703,16 @@ def test_temperature_mixture_corpus_never_exchanges(spark, sf_dir):
     # reuse collapses at runtime — the corpus itself never exchanges
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sliding_rollup_expand_below_single_exchange(spark, sf_dir):
+    """sliding_rollup: the 4x window fan-out is an Expand INSIDE the
+    scan stage; the partial aggregate combines it map-side so one keyed
+    exchange carries per-(task, window) rows, not 4x the events."""
+    from m3d_engine_spark.streaming.pipeline import sliding_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan_simple(sliding_rollup(ev.select("user_id", "ts")))
+    assert "Expand" in plan, plan
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

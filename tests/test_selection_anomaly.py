@@ -293,3 +293,40 @@ def test_temperature_mixture_rates_and_flattening(spark):
     assert 170 <= kept["big"] <= 230
     again = temperature_mixture(df, "doc_id", "src", alpha=0.5).collect()
     assert {r.doc_id for r in again} == {r.doc_id for r in out}
+
+
+def test_sliding_rollup_windows_cover_each_event_four_times(spark):
+    from m3d_engine_spark.streaming.pipeline import sliding_rollup
+
+    df = spark.createDataFrame(
+        [(1, _ts(0)), (2, _ts(0))], "user_id long, ts timestamp"
+    )
+    out = sliding_rollup(df).collect()
+    # one event time → exactly window/slide = 4 covering windows
+    assert len(out) == 4
+    assert all(r.n_events == 2 and r.n_users == 2 for r in out)
+    spans = {(r.window_end - r.window_start) for r in out}
+    assert spans == {datetime.timedelta(hours=1)}
+
+
+def test_sliding_rollup_streaming_builds(spark, tmp_path):
+    from m3d_engine_spark.streaming.pipeline import sliding_rollup
+
+    df = spark.createDataFrame(
+        [(u, _ts(u * 7)) for u in range(10)], "user_id long, ts timestamp"
+    )
+    src = tmp_path / "slide_src"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(str(src))
+    q = (
+        sliding_rollup(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("slide_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "slide_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM slide_out").collect()
+    assert len(rows) > 0 and all(r.n_events >= 1 for r in rows)
