@@ -330,3 +330,19 @@ def test_sliding_rollup_streaming_builds(spark, tmp_path):
     assert q.awaitTermination(180)
     rows = spark.sql("SELECT * FROM slide_out").collect()
     assert len(rows) > 0 and all(r.n_events >= 1 for r in rows)
+
+
+def test_approx_percentile_swap_in_accuracy(spark, sf_dir):
+    """Several operators document approx_percentile as the extreme-
+    scale drop-in for exact percentile (same topology, sketch
+    buffers). Pin the swap is actually sound on real data: the
+    sketch at accuracy 10000 lands within 1% relative error of the
+    exact per-group cuts."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rows = part.groupBy("p_brand").agg(
+        F.expr("percentile(p_retailprice, 0.5)").alias("exact"),
+        F.expr("approx_percentile(p_retailprice, 0.5, 10000)").alias("approx"),
+    ).collect()
+    assert len(rows) > 10
+    for r in rows:
+        assert abs(r.approx - r.exact) <= 0.01 * abs(r.exact) + 1e-9, r

@@ -61,6 +61,8 @@ HEADLINERS = {
     "top_terms": "Per-group heavy hitters: explode → ONE map-side-combinable count aggregation keyed on (group, term) → WindowGroupLimit bounds the per-group top-k before its exchange (pinned) — vocabulary-sized exchanges, never corpus-sized.",
     "ccnet_buckets": "CCNet perplexity buckets: the LM-scoring topology, then tercile cuts by EXACT-INTEGER rank arithmetic over a per-language score histogram — the Window runs over the distinct-scores-sized histogram, never the corpus (pinned), and the languages-sized cut relation broadcasts back. Interpolated percentile() here flips boundary comparisons between engines (frac within an ulp of 1.0 when n-1 % 3 == 0).",
     "hard_negatives": "Hard-negative mining: brute topology (broadcast queries, BroadcastNestedLoopJoin — corpus unexchanged) with the label inequality as a pair-local filter; ranking is the only hash exchange (pinned).",
+    "temperature_mixture": "Temperature mixture: one count aggregation to a groups-sized relation (its subtree prints twice — rates + n_min sides — but both are the identical exchange, collapsed by AQE reuse), rates broadcast back, keep decision a pure md5-threshold projection — the corpus never exchanges (pinned).",
+    "sliding_rollup": "Sliding windows: the 4x overlapping-window fan-out is an Expand INSIDE the scan stage; the partial HashAggregate combines per (task, window) BEFORE the single keyed exchange, so the exchange carries aggregated window rows, never 4x the events (pinned).",
 }
 
 # Plans not reachable through queries() verbatim: built by a callable.
