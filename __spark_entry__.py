@@ -3441,6 +3441,53 @@ GROUP BY ws_us
 """
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span dedup (dedup.py::remove_repeated_spans;
+    Lee et al. 2022): verbatim 8-token windows occurring ≥2 times
+    corpus-wide are removed everywhere but their first occurrence and
+    documents rebuilt — the fixed-window relaxation of the paper's
+    suffix-array spans. Gram relation moves 16-byte md5 keys; every
+    exchange keyed (gram → doc+pos → doc)."""
+    from m3d_engine_spark.operators.dedup import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_repeated_spans(docs, "doc_id", "text", span_tokens=8)
+
+
+_SQL_REPEATED_SPANS = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+), occ AS (
+  SELECT doc_id, u.i AS pos,
+         md5(array_to_string(list_slice(tk, u.i + 1, u.i + 8), ' ')) AS gh
+  FROM t CROSS JOIN unnest(range(0, greatest(len(tk) - 7, 0))) AS u(i)
+), rep AS (
+  SELECT gh, min(doc_id * 1000000 + pos) AS win
+  FROM occ GROUP BY gh HAVING count(*) >= 2
+), covered AS (
+  SELECT DISTINCT o.doc_id, u.cp
+  FROM occ o
+  JOIN rep r ON o.gh = r.gh AND o.doc_id * 1000000 + o.pos <> r.win
+  CROSS JOIN unnest(range(o.pos, o.pos + 8)) AS u(cp)
+), covs AS (
+  SELECT doc_id, list(cp) AS cov FROM covered GROUP BY doc_id
+), clean AS (
+  SELECT t.doc_id, t.tk,
+         list_filter(
+           list_transform(t.tk, (x, i) ->
+             CASE WHEN coalesce(list_contains(c.cov, i - 1), false)
+                  THEN NULL ELSE x END),
+           x -> x IS NOT NULL) AS kt
+  FROM t LEFT JOIN covs c USING (doc_id)
+)
+SELECT doc_id,
+       coalesce(array_to_string(kt, ' '), '') AS clean_text,
+       CAST(len(tk) AS INT) AS n_tokens,
+       CAST(len(tk) - len(kt) AS INT) AS n_removed
+FROM clean
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3533,6 +3580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "temperature_mixture": q_temperature_mixture,
         "sliding_rollup": q_sliding_rollup,
+        "repeated_spans": q_repeated_spans,
     }
 
 
@@ -3619,4 +3667,5 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _SQL_HARD_NEGATIVES,
         "temperature_mixture": _SQL_TEMPERATURE_MIXTURE,
         "sliding_rollup": _SQL_SLIDING_ROLLUP,
+        "repeated_spans": _SQL_REPEATED_SPANS,
     }

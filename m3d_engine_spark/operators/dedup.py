@@ -762,3 +762,86 @@ def semantic_dedup(
             "is_dup"
         ),
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every
+    ``span_tokens``-token window whose verbatim text occurs
+    ≥ ``min_occurrences`` times corpus-wide is removed from every
+    occurrence EXCEPT the canonical first (minimum (doc, pos)), and
+    documents are rebuilt from their surviving token positions.
+    Windows are the fixed-length relaxation of the paper's
+    suffix-array arbitrary-length spans: a repeated region of R ≥ L
+    tokens is covered by its R−L+1 repeated L-windows, so the region
+    is removed end-to-end; only duplicated runs SHORTER than L escape.
+
+    Topology (all keyed, nothing quadratic):
+
+        per-position md5(L-gram) projection              [narrow]
+        → per-gram count + min-occurrence election       [1 shuffle: gram]
+        → join occurrences × repeated grams              [SMJ/broadcast on gram]
+        → covered positions per doc (explode L, distinct)[shuffle: doc+pos]
+        → collect per doc, rebuild by position filter    [shuffle: doc]
+
+    The gram relation carries 16-byte keys, never gram text beyond the
+    hash; document text rides only the first projection and the final
+    rebuild join. Winner election packs (doc, pos) into one integer
+    min — map-side combinable. Returns (id, clean_text, n_tokens,
+    n_removed)."""
+    L = int(span_tokens)
+    t = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), t.alias("_tk"))
+    gram_arr = F.when(
+        F.size(F.col("_tk")) >= L,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_tk")) - L),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_tk"), i + 1, L))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select(
+        F.col(id_col), F.posexplode(gram_arr).alias("_pos", "_gh")
+    )
+    pack = F.col(id_col) * 1_000_000 + F.col("_pos")
+    rep = (
+        occ.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min(pack).alias("_win"))
+        .filter(F.col("_c") >= min_occurrences)
+        .select("_gh", "_win")
+    )
+    covered = (
+        occ.join(rep, on="_gh")
+        .filter(pack != F.col("_win"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(L - 1))
+            ).alias("_cp"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("_cp").alias("_cov"))
+    )
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            F.col("_tk"),
+            lambda x, i: F.when(~F.array_contains(cov, i), x),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        base.join(covered, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.size(F.col("_tk")).cast("int").alias("n_tokens"),
+            (F.size(F.col("_tk")) - F.size(kept)).cast("int").alias("n_removed"),
+        )
+    )

@@ -716,3 +716,16 @@ def test_sliding_rollup_expand_below_single_exchange(spark, sf_dir):
     assert "Expand" in plan, plan
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repeated_spans_all_joins_keyed(spark, sf_dir):
+    """remove_repeated_spans: gram join keyed on the md5 hash, rebuild
+    join keyed on the doc id — no cartesian, no BNLJ, no Python; the
+    winner election is an aggregate, not a window."""
+    from m3d_engine_spark.operators.dedup import remove_repeated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan_simple(remove_repeated_spans(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan, "election must stay an aggregate"

@@ -346,3 +346,31 @@ def test_approx_percentile_swap_in_accuracy(spark, sf_dir):
     assert len(rows) > 10
     for r in rows:
         assert abs(r.approx - r.exact) <= 0.01 * abs(r.exact) + 1e-9, r
+
+
+def test_remove_repeated_spans_semantics(spark):
+    from m3d_engine_spark.operators.dedup import remove_repeated_spans
+
+    shared = "q w e r t y u i o p"  # 10 tokens → 3 repeated 8-windows
+    rows = [
+        (1, shared + " alpha beta gamma"),
+        (2, "x1 x2 " + shared + " delta"),
+        (3, "a b c d e"),          # < 8 tokens: untouched
+        (4, "m b c d e f g h i"),  # unique 9 tokens: untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_repeated_spans(docs, "doc_id", "text").collect()}
+    # first occurrence (doc 1) keeps the region, doc 2 loses all 10 tokens
+    assert out[1].clean_text == shared + " alpha beta gamma"
+    assert out[1].n_removed == 0
+    assert out[2].clean_text == "x1 x2 delta"
+    assert out[2].n_removed == 10
+    assert out[3].n_removed == 0 and out[3].clean_text == "a b c d e"
+    assert out[4].n_removed == 0
+    # exact whole-doc duplicate empties the copy
+    dup = spark.createDataFrame(
+        [(1, "s1 s2 s3 s4 s5 s6 s7 s8"), (2, "s1 s2 s3 s4 s5 s6 s7 s8")],
+        "doc_id long, text string",
+    )
+    d = {r.doc_id: r for r in remove_repeated_spans(dup, "doc_id", "text").collect()}
+    assert d[1].n_removed == 0 and d[2].clean_text == "" and d[2].n_removed == 8
