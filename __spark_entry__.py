@@ -3488,6 +3488,137 @@ FROM clean
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (retrieval.py::bm25_topk): probe queries
+    (first 5 tokens of every 100th doc) scored against the corpus with
+    Lucene-flavored Okapi BM25 — inverted-index topology: postings and
+    df are keyed aggregates, the query-term relation broadcasts, score
+    sum keyed on (query, doc), WindowGroupLimit top-k per query."""
+    from m3d_engine_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5), " "
+        ).alias("qtext"),
+    )
+    return bm25_topk(
+        docs, "doc_id", "text", queries, "query_id", "qtext", k=5
+    )
+
+
+_SQL_BM25_TOPK = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), tok AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d
+), post AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM tok GROUP BY doc_id, dl, term
+), dfs AS (
+  SELECT term, count(*) AS df FROM post GROUP BY term
+), stats AS (
+  SELECT count(*) AS n, sum(len(t)) AS tot FROM d
+), q AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(t[1:5]) AS term
+  FROM d WHERE doc_id % 100 = 0
+), scored AS (
+  SELECT q.query_id, post.doc_id,
+         round(sum(
+           ln(1.0 + (n - df + 0.5) / (df + 0.5))
+           * (tf * 2.2)
+           / (tf + 1.2 * (0.25 + 0.75 * dl * n / tot))
+         ), 4) AS score
+  FROM post JOIN q USING (term) JOIN dfs USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, post.doc_id
+)
+SELECT query_id, doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+       ) AS INTEGER) AS rank,
+       score
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (layout.py::zorder_key): 8-bit Morton
+    interleave of (l_partkey, l_suppkey) — the multi-dimensional
+    data-skipping layout, computed with exact integer arithmetic (long
+    multiply + integral div) so the key is bit-stable across engines;
+    min/max bounds ride as a broadcast 1-row aggregate."""
+    from m3d_engine_spark.sources.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)
+
+
+_SQL_ZORDER_KEY = """
+WITH b AS (
+  SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+         min(l_suppkey) AS mns, max(l_suppkey) AS mxs
+  FROM lineitem
+), s AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+    CASE WHEN mxp - mnp <= 0 THEN 0
+         ELSE (CAST(l_partkey AS BIGINT) - mnp) * 255 // (mxp - mnp) END AS sp,
+    CASE WHEN mxs - mns <= 0 THEN 0
+         ELSE (CAST(l_suppkey AS BIGINT) - mns) * 255 // (mxs - mns) END AS ss
+  FROM lineitem CROSS JOIN b
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+  CAST(list_sum(list_transform(range(0, 8), i ->
+    (((sp >> i) & 1) << (2 * i)) + (((ss >> i) & 1) << (2 * i + 1))
+  )) AS BIGINT) AS zkey
+FROM s
+"""
+
+
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style table profile (reporting.py::profile_table): per
+    column (rows, nulls, distinct, min, max) computed in ONE aggregate
+    pass + a 1-row stack unpivot — exact tier for the oracle; the
+    production tier swaps in HLL++ sketches without touching the
+    topology."""
+    from m3d_engine_spark.operators.reporting import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        exact=True,
+    )
+
+
+_SQL_DATA_PROFILE = """
+SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+       count(*) - count(o_orderkey) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+       count(DISTINCT o_orderdate),
+       CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority),
+       CAST(min(o_orderpriority) AS VARCHAR),
+       CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3581,6 +3712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "sliding_rollup": q_sliding_rollup,
         "repeated_spans": q_repeated_spans,
+        "bm25_topk": q_bm25_topk,
+        "zorder_key": q_zorder_key,
+        "data_profile": q_data_profile,
     }
 
 
@@ -3668,4 +3802,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture": _SQL_TEMPERATURE_MIXTURE,
         "sliding_rollup": _SQL_SLIDING_ROLLUP,
         "repeated_spans": _SQL_REPEATED_SPANS,
+        "bm25_topk": _SQL_BM25_TOPK,
+        "zorder_key": _SQL_ZORDER_KEY,
+        "data_profile": _SQL_DATA_PROFILE,
     }

@@ -46,6 +46,58 @@ def group_distinct_report(
     )
 
 
+def profile_table(
+    df: DataFrame,
+    cols: Sequence[str],
+    exact: bool = False,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Deequ-style per-column profile in ONE pass over the data:
+    (column, n_rows, n_nulls, n_distinct, min_value, max_value) — the
+    dataset-card / data-quality summary a pipeline records next to
+    every write.
+
+    Topology: a single global aggregate computes every metric for every
+    column at once (partial/final HashAggregate — one exchange carrying
+    ONE row per task), then a ``stack`` unpivot reshapes the 1-row
+    result to long form. The reshape runs on one row, so profiling k
+    columns costs exactly one scan and one 1-row exchange regardless of
+    k or corpus size — never k passes.
+
+    ``exact=False`` (default) uses HLL++ ``approx_count_distinct`` for
+    the distinct counts — fixed-size sketch buffers, the 100 TB tier;
+    ``exact=True`` is the oracle-checkable twin (count_distinct plans an
+    Expand but over a 1-row final aggregate it stays cheap at test sf).
+    min/max are cast to string so heterogeneous column types share one
+    report schema; null-only columns report NULL min/max.
+    """
+    cols = list(cols)
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n_rows")]
+    for c in cols:
+        nd = (
+            F.count_distinct(F.col(c))
+            if exact
+            else F.approx_count_distinct(c, rsd)
+        )
+        aggs += [
+            (F.count(F.lit(1)) - F.count(F.col(c))).cast("long").alias(f"_nn_{c}"),
+            nd.cast("long").alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS "
+            "(column, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        F.col("_n_rows").alias("n_rows"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
 def group_top_terms(
     docs: DataFrame,
     group_cols: Sequence[str],

@@ -1,0 +1,129 @@
+"""Lexical retrieval: BM25 top-k scoring of a query set against the
+corpus.
+
+Beyond-reference capability — the sparse-retrieval half of a RAG /
+data-curation stack ("find the corpus documents that answer / leak /
+match this probe set"), and the classic quality re-ranker next to the
+embedding ANN tier in ``operators/similarity.py``.
+
+Scoring is Lucene-flavored Okapi BM25:
+
+    idf(t)      = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score(q, d) = Σ_{t ∈ q ∩ d}  idf(t) · tf · (k1 + 1)
+                                 / (tf + k1·(1 − b + b·dl/avgdl))
+
+Topology (all JVM-side, no UDFs, nothing quadratic):
+
+    explode corpus tokens → postings tf per (doc, term)  [1 shuffle: doc+term]
+    → df per term (count of docs)                        [1 shuffle: term]
+    → (N, avgdl) as a broadcast 1-row aggregate          [no driver action]
+    → postings × query terms equi-join on term           [broadcast: queries]
+    → score sum per (query, doc)                         [1 shuffle: qid+doc]
+    → top-k per query                                    [WindowGroupLimit]
+
+The scale-relevant property is WHAT each exchange carries: postings and
+df rows are (hash-sized key, two ints) — document text never moves past
+the first projection. The query-term relation is query-set-sized, so it
+broadcasts; the posting join therefore never shuffles the corpus a
+second time, and the score aggregation's key space is bounded by
+|queries| × (docs sharing a query term), not the corpus. Top-k per
+query is a row_number window → WindowGroupLimit keeps k rows per query
+per task before the final exchange. At 100 TB the df relation is
+vocabulary-sized and the postings relation is the one big intermediate
+— exactly the inverted-index shape a search engine would build once at
+write time; this operator is the query-time plan over it.
+
+Determinism: counts and lengths are exact integers; the score is one
+double expression summed per (query, doc) and rounded to 4dp — the
+same absorb-the-summation-order-ulps contract as the cosine and
+logprob entries; ranking orders by (score DESC, doc ASC) — total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.functions.text import tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` corpus documents per query by BM25.
+
+    Returns (query_id_col, id_col, rank, score); queries whose terms
+    miss the corpus entirely yield no rows (a scorer, not an outer
+    join). Query terms are DE-DUPLICATED per query (standard for short
+    probes: repeating a word in the query does not double its weight).
+    """
+    d = docs.select(F.col(id_col).alias("_doc"), tokens(F.col(text_col)).alias("_tk"))
+    postings = (
+        d.select("_doc", F.size("_tk").alias("_dl"), F.explode("_tk").alias("term"))
+        .groupBy("_doc", "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfs = postings.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    # Exact-integer corpus stats: carrying avgdl as a float would let a
+    # summation-order ulp shift EVERY score; dl/avgdl is computed as
+    # (dl * n_docs) / total_tokens with long operands instead — one
+    # double rounding, bit-identical across engines.
+    stats = F.broadcast(
+        d.agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(F.size("_tk")).cast("long").alias("_tot"),
+        )
+    )
+    qterms = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.explode(tokens(F.col(query_text_col))).alias("term"),
+        ).distinct()
+    )
+    k1_, b_ = float(k1), float(b)
+    scored = (
+        postings.join(qterms, on="term")
+        .join(dfs, on="term")
+        .crossJoin(stats)
+        .select(
+            "_qid",
+            "_doc",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("_df") + F.lit(0.5))
+                    / (F.col("_df") + F.lit(0.5))
+                )
+                * (F.col("_tf") * F.lit(k1_ + 1.0))
+                / (
+                    F.col("_tf")
+                    + F.lit(k1_)
+                    * (
+                        F.lit(1.0 - b_)
+                        + F.lit(b_) * F.col("_dl") * F.col("_n") / F.col("_tot")
+                    )
+                )
+            ).alias("_s"),
+        )
+        .groupBy("_qid", "_doc")
+        .agg(F.round(F.sum("_s"), 4).alias("score"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("score").desc(), F.col("_doc").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_doc").alias(id_col),
+            "rank",
+            "score",
+        )
+    )

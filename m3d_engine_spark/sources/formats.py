@@ -1,4 +1,4 @@
-"""File-format abstraction: DSV / Parquet / JSON read+write.
+"""File-format abstraction: DSV / Parquet / JSON / ORC / text read+write.
 
 Reference parity: util/DataFormat.scala:18-59 and the reader-options
 surface of config/loads/LoadConfiguration.scala:10-44 (delimiter, header,
@@ -57,7 +57,16 @@ def format_from_params(params: Mapping[str, Any]) -> DataFormat:
     """Build a DataFormat from an acon params dict (file_format + reader
     options + optional inline Spark-JSON schema)."""
     fmt = str(params.get("file_format", "dsv")).lower()
-    spark_format = {"dsv": "csv", "csv": "csv", "parquet": "parquet", "json": "json"}[fmt]
+    spark_format = {
+        "dsv": "csv",
+        "csv": "csv",
+        "parquet": "parquet",
+        "json": "json",
+        # Columnar siblings Spark ships natively; same reader/writer
+        # surface as parquet (schema honored, no inference needed).
+        "orc": "orc",
+        "text": "text",
+    }[fmt]
     schema = None
     if params.get("schema"):
         schema = StructType.fromJson(params["schema"])

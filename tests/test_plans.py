@@ -729,3 +729,81 @@ def test_repeated_spans_all_joins_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan, "election must stay an aggregate"
+
+
+def test_bm25_query_terms_broadcast_topk_grouplimit(spark, sf_dir):
+    """bm25_topk: the query-term relation broadcasts onto the postings
+    (the corpus never shuffles a second time for the probe join); the
+    only BNLJ is the broadcast 1-row stats relation; top-k per query
+    runs as WindowGroupLimit below its exchange; all JVM-side."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["bm25_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("BroadcastNestedLoop") <= 1, plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_key_is_projection_with_broadcast_bounds(spark, sf_dir):
+    """zorder_key: the min/max bounds relation is the single broadcast
+    1-row BNLJ; the scaling + bit interleave are pure projection — the
+    data side has ZERO hash exchanges."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["zorder_key"](spark, sf_dir))
+    assert plan.count("BroadcastNestedLoop") == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_write_range_partitions_on_key(spark, sf_dir, tmp_path):
+    """zorder_write: ONE range exchange on the Z-key (sampled balanced
+    bounds) + in-partition sort — the same cost as a 1-column sorted
+    write; read-back files carry disjoint Z-ranges, which is what makes
+    parquet footer stats prune in every interleaved dimension."""
+    from m3d_engine_spark.sources.layout import zorder_key
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    keyed = zorder_key(li, ["l_partkey", "l_suppkey"], bits=8, key_col="_z")
+    staged = keyed.repartitionByRange(4, F.col("_z")).sortWithinPartitions("_z")
+    assert "rangepartitioning" in _plan_simple(staged).lower()
+    loc = str(tmp_path / "zordered")
+    staged.write.parquet(loc)
+    ranges = (
+        spark.read.parquet(loc)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) > 1
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev.hi <= cur.lo, (prev, cur)
+
+
+def test_data_profile_single_pass(spark, sf_dir):
+    """profile_table: every per-column metric folds into ONE aggregate
+    over one scan — a single hash exchange carrying 1-row partials; the
+    stack unpivot adds no exchange. Profiling k columns costs one pass,
+    not k."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["data_profile"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    sketch = _plan_simple(
+        __import__(
+            "m3d_engine_spark.operators.reporting", fromlist=["profile_table"]
+        ).profile_table(
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            ["o_orderkey", "o_custkey"],
+            exact=False,
+        )
+    )
+    # the sketch tier must not plan the count_distinct Expand
+    assert "Expand" not in sketch, sketch
+    assert sketch.count("Exchange") <= 1, sketch

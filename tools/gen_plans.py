@@ -63,6 +63,10 @@ HEADLINERS = {
     "hard_negatives": "Hard-negative mining: brute topology (broadcast queries, BroadcastNestedLoopJoin — corpus unexchanged) with the label inequality as a pair-local filter; ranking is the only hash exchange (pinned).",
     "temperature_mixture": "Temperature mixture: one count aggregation to a groups-sized relation (its subtree prints twice — rates + n_min sides — but both are the identical exchange, collapsed by AQE reuse), rates broadcast back, keep decision a pure md5-threshold projection — the corpus never exchanges (pinned).",
     "sliding_rollup": "Sliding windows: the 4x overlapping-window fan-out is an Expand INSIDE the scan stage; the partial HashAggregate combines per (task, window) BEFORE the single keyed exchange, so the exchange carries aggregated window rows, never 4x the events (pinned).",
+    "bm25_topk": "BM25 lexical retrieval: inverted-index topology — postings and df are keyed aggregates over one corpus tokenization each, the query-term relation BROADCASTS onto the postings (the corpus never reshuffles for the probe join), (N, total_tokens) ride as the single broadcast 1-row BNLJ with EXACT integer stats (a float avgdl would let a summation-order ulp shift every score), score sum keyed on (query, doc), WindowGroupLimit top-k per query (pinned).",
+    "zorder_key": "Z-order clustering key: the min/max bounds relation is the one broadcast 1-row BNLJ; scaling is exact long arithmetic (multiply + integral div — bit-stable across engines) and the Morton interleave is a pure projection — ZERO hash exchanges on the data side (pinned). zorder_write adds the single range exchange + in-partition sort; read-back files carry disjoint Z-ranges (pinned), tight in EVERY interleaved dimension.",
+    "data_profile": "One-pass table profile: every per-column metric (nulls, distinct, min, max) folds into ONE aggregate over ONE scan (pinned: a single parquet scan), then a stack unpivot reshapes the 1-row result — profiling k columns costs one pass, not k. The production tier swaps count_distinct for HLL++ sketches: no Expand, one exchange (pinned).",
+    "repeated_spans": "ExactSubstr-style span removal (fixed-L window relaxation of the suffix-array spans): per-position md5(L-gram) projection, ONE gram-keyed exchange for the count + packed-integer min winner election (map-side combinable), occurrences x repeated-grams equi-join on the 16-byte hash, covered-position fan-out + rebuild keyed on the doc id — gram TEXT never crosses an exchange, document text rides only the first projection and the final rebuild join; nothing quadratic (pinned).",
 }
 
 # Plans not reachable through queries() verbatim: built by a callable.
