@@ -3619,6 +3619,125 @@ FROM orders
 """
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (dedup.py::containment_pairs):
+    quote/excerpt detection — C(A→B) = |S(A)∩S(B)|/|S(A)| over distinct
+    3-shingles, inside source blocks; inverted-index self-join keyed on
+    (block, xxhash64(shingle)), no size-ratio prune (the asymmetry IS
+    the signal)."""
+    from m3d_engine_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "doc_id", "text", ["source"], shingle_n=3, threshold=0.1
+    )
+
+
+_SQL_CONTAINMENT_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_SQL_TOKS} AS t FROM documents
+), d AS (
+  SELECT doc_id, source, {_SQL_SHINGLES} AS s FROM toks
+), tok AS (
+  SELECT doc_id, source, len(s) AS n_sh, unnest(s) AS sh FROM d
+), pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.n_sh AS na, r.n_sh AS nb, count(*) AS inter
+  FROM tok l JOIN tok r
+    ON l.source = r.source AND l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id, l.n_sh, r.n_sh
+)
+SELECT id_a, id_b, inter, na, nb,
+       round(inter / na, 4) AS cont_a,
+       round(inter / nb, 4) AS cont_b
+FROM pairs
+WHERE greatest(round(inter / na, 4), round(inter / nb, 4)) >= 0.1
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (snapshot_diff.py::snapshot_diff): classify every
+    business key across two table versions (added / removed / changed)
+    via null-safe md5 row fingerprints + ONE full-outer sort-merge join
+    on the key. The 'new' snapshot is derived deterministically from
+    orders: keys %97==0 dropped, %13==0 repriced, a shifted key range
+    appended — so both engines diff the identical pair of relations."""
+    from m3d_engine_spark.operators.snapshot_diff import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_price"),
+        "o_orderstatus",
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_price",
+            F.when(
+                F.col("o_orderkey") % 13 == 0,
+                (F.col("o_price") + F.lit(1).cast("decimal(18,2)")).cast(
+                    "decimal(18,2)"
+                ),
+            ).otherwise(F.col("o_price")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 89 == 0).select(
+                (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+                "o_custkey",
+                "o_price",
+                "o_orderstatus",
+            )
+        )
+    )
+    return snapshot_diff(
+        orders, new, ["o_orderkey"], ["o_custkey", "o_price", "o_orderstatus"]
+    )
+
+
+_SQL_SNAPSHOT_DIFF = """
+WITH old_s AS (
+  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_price,
+         o_orderstatus
+  FROM orders
+), new_s AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 13 = 0
+              THEN CAST(o_price + 1 AS DECIMAL(18,2)) ELSE o_price END AS o_price,
+         o_orderstatus
+  FROM old_s WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_price, o_orderstatus
+  FROM old_s WHERE o_orderkey % 89 = 0
+), o AS (
+  SELECT o_orderkey,
+         md5(concat_ws('|',
+           coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+           coalesce(CAST(o_price AS VARCHAR), chr(0)),
+           coalesce(o_orderstatus, chr(0)))) AS old_fp
+  FROM old_s
+), n AS (
+  SELECT o_orderkey,
+         md5(concat_ws('|',
+           coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+           coalesce(CAST(o_price AS VARCHAR), chr(0)),
+           coalesce(o_orderstatus, chr(0)))) AS new_fp
+  FROM new_s
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.old_fp IS NULL THEN 'added'
+            WHEN n.new_fp IS NULL THEN 'removed'
+            WHEN o.old_fp <> n.new_fp THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.old_fp, n.new_fp
+FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+WHERE CASE WHEN o.old_fp IS NULL THEN 'added'
+           WHEN n.new_fp IS NULL THEN 'removed'
+           WHEN o.old_fp <> n.new_fp THEN 'changed'
+           ELSE 'unchanged' END <> 'unchanged'
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3715,6 +3834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "zorder_key": q_zorder_key,
         "data_profile": q_data_profile,
+        "containment_pairs": q_containment_pairs,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -3805,4 +3926,6 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _SQL_BM25_TOPK,
         "zorder_key": _SQL_ZORDER_KEY,
         "data_profile": _SQL_DATA_PROFILE,
+        "containment_pairs": _SQL_CONTAINMENT_PAIRS,
+        "snapshot_diff": _SQL_SNAPSHOT_DIFF,
     }

@@ -399,6 +399,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    C(A→B) = |S(A)∩S(B)| / |S(A)| — the quote / excerpt / repost
+    signal Jaccard structurally misses (a 50-token post embedded
+    verbatim in a 5000-token page has J ≈ 0.01 but C ≈ 1.0).
+
+    Returns (id_a, id_b, inter, na, nb, cont_a, cont_b) for pairs with
+    ``max(cont_a, cont_b) ≥ threshold`` (> 0), where cont_a is how much
+    of A is inside B. Same inverted-index topology as
+    ``ngram_jaccard_pairs`` — explode distinct shingles, self-equi-join
+    keyed on (block, xxhash64(shingle)), count collisions per pair — so
+    cost is proportional to actual shingle collisions, never O(block²).
+    Unlike Jaccard there is NO size-ratio prune (a tiny doc can be
+    fully contained in a huge one — that asymmetry is the point), so
+    the hot-shingle df-cutoff dial of ``ngram_jaccard_pairs`` is the
+    scale control to port if block-level collision volume bites;
+    blocking (e.g. by source/lang) is the first-line bound either way.
+    """
+    if threshold <= 0:
+        raise ValueError("containment_pairs requires threshold > 0")
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    tok = base.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.col("n_sh"),
+        F.explode("sh").alias("_s"),
+    ).select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.col("n_sh"),
+        F.xxhash64("_s").alias("shingle"),
+    )
+    l, r = tok.alias("l").hint("merge"), tok.alias("r")
+    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
+    cond.append(F.col("l.shingle") == F.col("r.shingle"))
+    cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    inter = (
+        l.join(r, on=cond)
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.n_sh").alias("na"),
+            F.col("r.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont_a = F.round(F.col("inter") / F.col("na"), 4)
+    cont_b = F.round(F.col("inter") / F.col("nb"), 4)
+    return (
+        inter.select(
+            "id_a", "id_b", "inter", "na", "nb",
+            cont_a.alias("cont_a"), cont_b.alias("cont_b"),
+        )
+        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
+    )
+
+
 def _exact_jaccard_on_candidates(
     base: DataFrame, cands: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:

@@ -785,6 +785,32 @@ def test_zorder_write_range_partitions_on_key(spark, sf_dir, tmp_path):
         assert prev.hi <= cur.lo, (prev, cur)
 
 
+def test_containment_pairs_keyed_join_only(spark, sf_dir):
+    """containment_pairs: inverted-index self-join keyed on
+    (block, shingle-hash) — no cartesian, no BNLJ, no Python, no
+    Window (the pair count is an aggregate)."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["containment_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_snapshot_diff_single_keyed_join(spark, sf_dir):
+    """snapshot_diff: fingerprints are map-side projections; the whole
+    diff is ONE full-outer sort-merge join on the business key — one
+    exchange per side, nothing else moves."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["snapshot_diff"](spark, sf_dir))
+    assert "FullOuter" in plan, plan
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_data_profile_single_pass(spark, sf_dir):
     """profile_table: every per-column metric folds into ONE aggregate
     over one scan — a single hash exchange carrying 1-row partials; the

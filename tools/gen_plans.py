@@ -66,6 +66,8 @@ HEADLINERS = {
     "bm25_topk": "BM25 lexical retrieval: inverted-index topology — postings and df are keyed aggregates over one corpus tokenization each, the query-term relation BROADCASTS onto the postings (the corpus never reshuffles for the probe join), (N, total_tokens) ride as the single broadcast 1-row BNLJ with EXACT integer stats (a float avgdl would let a summation-order ulp shift every score), score sum keyed on (query, doc), WindowGroupLimit top-k per query (pinned).",
     "zorder_key": "Z-order clustering key: the min/max bounds relation is the one broadcast 1-row BNLJ; scaling is exact long arithmetic (multiply + integral div — bit-stable across engines) and the Morton interleave is a pure projection — ZERO hash exchanges on the data side (pinned). zorder_write adds the single range exchange + in-partition sort; read-back files carry disjoint Z-ranges (pinned), tight in EVERY interleaved dimension.",
     "data_profile": "One-pass table profile: every per-column metric (nulls, distinct, min, max) folds into ONE aggregate over ONE scan (pinned: a single parquet scan), then a stack unpivot reshapes the 1-row result — profiling k columns costs one pass, not k. The production tier swaps count_distinct for HLL++ sketches: no Expand, one exchange (pinned).",
+    "containment_pairs": "Asymmetric containment (quote/excerpt detection): same inverted-index self-join as jaccard_pairs — keyed on (block, xxhash64(shingle)), SMJ with the shared exchange reused, pair counts as an aggregate — but with NO size-ratio prune (a tiny doc fully contained in a huge one is the signal Jaccard misses); blocking bounds the collision volume, and the hot-shingle df-cutoff dial ports over unchanged if a block runs hot (pinned: keyed join only, no BNLJ, no Window).",
+    "snapshot_diff": "Snapshot diff (what did last night's load change): null-safe md5 row fingerprints are map-side projections on each scan; the ENTIRE diff is one full-outer SortMergeJoin on the business key (pinned == 1) — the minimum any keyed two-corpus comparison can pay; with key-bucketed snapshots even that exchange vanishes. Status classification is a projection; the counts rollup partial-aggregates 4 rows per task.",
     "repeated_spans": "ExactSubstr-style span removal (fixed-L window relaxation of the suffix-array spans): per-position md5(L-gram) projection, ONE gram-keyed exchange for the count + packed-integer min winner election (map-side combinable), occurrences x repeated-grams equi-join on the 16-byte hash, covered-position fan-out + rebuild keyed on the doc id — gram TEXT never crosses an exchange, document text rides only the first projection and the final rebuild join; nothing quadratic (pinned).",
 }
 
