@@ -3738,6 +3738,53 @@ WHERE CASE WHEN o.old_fp IS NULL THEN 'added'
 """
 
 
+def q_sq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (quantization.py::sq8_encode +
+    sq8_reconstruction_error): per-dim min/max bounds from ONE keyed
+    aggregate (dim-sized, broadcast back as two arrays), codes and the
+    midpoint-decode L2 error as zero-exchange projections — the 4×
+    memory tier under the ANN index."""
+    from m3d_engine_spark.operators.quantization import (
+        sq8_encode,
+        sq8_reconstruction_error,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    enc = sq8_encode(emb, "vec_id", "embedding", dim=64)
+    return sq8_reconstruction_error(enc, "vec_id", "embedding", dim=64)
+
+
+_SQL_SQ_QUANTIZE = """
+WITH dims AS (
+  SELECT r.i AS i,
+         min(CAST(e.embedding[r.i] AS DOUBLE)) AS mn,
+         max(CAST(e.embedding[r.i] AS DOUBLE)) AS mx
+  FROM embeddings e CROSS JOIN range(1, 65) r(i)
+  GROUP BY r.i
+), b AS (
+  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims
+), enc AS (
+  SELECT vec_id, embedding, mns, mxs,
+    list_transform(range(1, 65), i -> CASE
+      WHEN mxs[i] <= mns[i] THEN 0
+      ELSE least(greatest(CAST(floor(
+        (CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0 / (mxs[i] - mns[i])
+      ) AS INT), 0), 255) END) AS codes
+  FROM embeddings CROSS JOIN b
+)
+SELECT vec_id,
+       codes[1] AS code0,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       round(sqrt(list_sum(list_transform(range(1, 65), i ->
+         (CAST(embedding[i] AS DOUBLE)
+           - (mns[i] + (codes[i] + 0.5) * (mxs[i] - mns[i]) / 255.0)) *
+         (CAST(embedding[i] AS DOUBLE)
+           - (mns[i] + (codes[i] + 0.5) * (mxs[i] - mns[i]) / 255.0))
+       ))), 4) AS recon_err
+FROM enc
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3836,6 +3883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_profile": q_data_profile,
         "containment_pairs": q_containment_pairs,
         "snapshot_diff": q_snapshot_diff,
+        "sq_quantize": q_sq_quantize,
     }
 
 
@@ -3928,4 +3976,5 @@ def oracle_sql() -> dict[str, str]:
         "data_profile": _SQL_DATA_PROFILE,
         "containment_pairs": _SQL_CONTAINMENT_PAIRS,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "sq_quantize": _SQL_SQ_QUANTIZE,
     }

@@ -1,0 +1,113 @@
+"""Embedding compression: int8 scalar quantization (SQ8).
+
+Beyond-reference capability — the memory tier under the ANN family
+(``operators/similarity.py``): an FP32 embedding column quantized to
+per-dimension int8 codes is 4× smaller on disk and in shuffle, which
+is the difference between an in-memory and a spilling ANN index at
+10⁹ vectors. This is the "SQ8" storage format of the FAISS/Milvus
+lineage, expressed as pure DataFrame ops.
+
+How it runs:
+
+    per-dimension (min, max) — posexplode + ONE keyed aggregate
+      over dim_idx (≤ dim rows out)                         [1 shuffle: dim]
+    → bounds pivoted to two dim-length arrays, broadcast    [1-row relation]
+    → encode: code_i = clamp(floor((x_i − mn_i)·255/(mx_i − mn_i)))
+      as a JVM array transform                              [projection]
+    → decode / error: x̂_i = mn_i + (code_i + 0.5)·Δ_i/255  [projection]
+
+The bounds relation is dim-sized (64 doubles here) regardless of
+corpus size, so it broadcasts as a 1-row array pair and encoding is a
+zero-exchange projection over the scan — the quantizer "trains" in one
+aggregate pass and applies map-side, exactly the shape a write-time
+re-encode of 100 TB of embeddings needs. Degenerate dimensions
+(mx == mn) encode to 0 and decode to the midpoint of their collapsed
+range.
+
+Determinism: min/max are exact selections (no summation); the encode
+expression is the same IEEE double arithmetic in any engine; the
+reconstruction error folds squared diffs in index order and rounds to
+4dp (the cosine-entry contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sq8_bounds(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """ONE-row relation (mns, mxs): per-dimension min/max as two
+    ``dim``-length arrays, ordered by dimension index."""
+    per_dim = (
+        df.select(F.posexplode(F.col(vec_col)).alias("_i", "_x"))
+        .groupBy("_i")
+        .agg(F.min("_x").cast("double").alias("_mn"),
+             F.max("_x").cast("double").alias("_mx"))
+    )
+    return per_dim.agg(
+        F.array_sort(
+            F.collect_list(F.struct("_i", "_mn"))
+        ).alias("_a"),
+        F.array_sort(
+            F.collect_list(F.struct("_i", "_mx"))
+        ).alias("_b"),
+    ).select(
+        F.expr("transform(_a, s -> s._mn)").alias("mns"),
+        F.expr("transform(_b, s -> s._mx)").alias("mxs"),
+    )
+
+
+def sq8_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bounds: DataFrame | None = None,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Append ``codes_col``: the int8 code array (values 0..255 as
+    ints). ``bounds`` defaults to ``sq8_bounds`` over ``df`` itself;
+    pass a precomputed/persisted bounds relation to encode new batches
+    against a frozen quantizer (the production path — train once at
+    index build, apply forever)."""
+    b = F.broadcast(bounds if bounds is not None else sq8_bounds(df, vec_col, dim))
+    code = (
+        f"transform(sequence(1, {int(dim)}), i -> CASE "
+        f"WHEN element_at(mxs, i) <= element_at(mns, i) THEN 0 "
+        f"ELSE least(greatest(CAST(floor("
+        f"(CAST(element_at({vec_col}, i) AS DOUBLE) - element_at(mns, i)) * 255.0D "
+        f"/ (element_at(mxs, i) - element_at(mns, i))) AS INT), 0), 255) END)"
+    )
+    return df.crossJoin(b).withColumn(codes_col, F.expr(code))
+
+
+def sq8_reconstruction_error(
+    encoded: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """(id, code0, code_sum, recon_err): the quantization audit —
+    exact-integer code digest plus the per-vector L2 reconstruction
+    error of the midpoint decode, rounded to 4dp. Expects ``encoded``
+    to still carry the bounds arrays from ``sq8_encode`` (it does
+    unless dropped). Pure projection — zero exchanges."""
+    dec = (
+        "element_at(mns, i) + (element_at({c}, i) + 0.5D) * "
+        "(element_at(mxs, i) - element_at(mns, i)) / 255.0D"
+    ).format(c=codes_col)
+    diff = f"(CAST(element_at({vec_col}, i) AS DOUBLE) - ({dec}))"
+    err = (
+        f"round(sqrt(aggregate(sequence(1, {int(dim)}), 0.0D, "
+        f"(acc, i) -> acc + {diff} * {diff})), 4)"
+    )
+    return encoded.select(
+        F.col(id_col),
+        F.element_at(F.col(codes_col), 1).alias("code0"),
+        F.expr(f"aggregate({codes_col}, 0L, (acc, c) -> acc + c)").alias(
+            "code_sum"
+        ),
+        F.expr(err).alias("recon_err"),
+    )

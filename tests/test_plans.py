@@ -811,6 +811,19 @@ def test_snapshot_diff_single_keyed_join(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_sq8_encode_is_broadcast_projection(spark, sf_dir):
+    """sq_quantize: the dim-sized bounds relation is the single
+    broadcast BNLJ; encode + error are projections — the embedding
+    data side has ZERO hash exchanges (the bounds aggregation's
+    exchange carries <= dim rows, keyed on the dim index)."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["sq_quantize"](spark, sf_dir))
+    assert plan.count("BroadcastNestedLoop") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_data_profile_single_pass(spark, sf_dir):
     """profile_table: every per-column metric folds into ONE aggregate
     over one scan — a single hash exchange carrying 1-row partials; the

@@ -1,0 +1,75 @@
+"""SQ8 scalar quantization semantics and error bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.operators.quantization import (
+    sq8_bounds,
+    sq8_encode,
+    sq8_reconstruction_error,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_sq8_codes_in_range_and_monotone(spark):
+    df = _vecs(
+        spark,
+        [(i, [float(i), float(100 - i), 7.0]) for i in range(101)],
+    )
+    enc = sq8_encode(df, "vec_id", "embedding", dim=3)
+    rows = {r.vec_id: r.codes for r in enc.collect()}
+    for codes in rows.values():
+        assert all(0 <= c <= 255 for c in codes)
+        assert codes[2] == 0  # degenerate dim (constant) -> 0
+    # endpoints of dim 0 hit the code range ends; order is preserved
+    assert rows[0][0] == 0 and rows[100][0] == 255
+    assert all(rows[i][0] <= rows[i + 1][0] for i in range(100))
+
+
+def test_sq8_per_dim_error_bounded_by_cell_width(spark):
+    df = _vecs(
+        spark,
+        [(i, [(i * 13 % 101) / 7.0, (i * 29 % 97) / 3.0]) for i in range(200)],
+    )
+    enc = sq8_encode(df, "vec_id", "embedding", dim=2)
+    # recompute per-dim abs error of the midpoint decode in-plan
+    errs = enc.select(
+        F.expr(
+            "transform(sequence(1, 2), i -> abs("
+            "element_at(embedding, i) - (element_at(mns, i) + "
+            "(element_at(codes, i) + 0.5D) * "
+            "(element_at(mxs, i) - element_at(mns, i)) / 255.0D)))"
+        ).alias("e"),
+        F.expr(
+            "transform(sequence(1, 2), i -> "
+            "(element_at(mxs, i) - element_at(mns, i)) / 255.0D)"
+        ).alias("cell"),
+    ).collect()
+    for r in errs:
+        for e, cell in zip(r.e, r.cell):
+            # midpoint decode of a floor cell: |err| <= cell width
+            # (= 2x the ideal half-cell, covering the clamp ends)
+            assert e <= cell + 1e-12, (e, cell)
+
+
+def test_sq8_frozen_bounds_reused_for_new_batch(spark):
+    train = _vecs(spark, [(1, [0.0, 0.0]), (2, [10.0, 100.0])])
+    bounds = sq8_bounds(train, "embedding", dim=2)
+    batch = _vecs(spark, [(3, [5.0, 50.0]), (4, [999.0, -999.0])])
+    enc = sq8_encode(batch, "vec_id", "embedding", dim=2, bounds=bounds)
+    rows = {r.vec_id: r.codes for r in enc.collect()}
+    assert rows[3] == [127, 127]
+    assert rows[4] == [255, 0]  # out-of-range values clamp, never wrap
+
+
+def test_sq8_audit_shape(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    enc = sq8_encode(emb, "vec_id", "embedding", dim=64)
+    out = sq8_reconstruction_error(enc, "vec_id", "embedding", dim=64)
+    r = out.orderBy("vec_id").first()
+    assert 0 <= r.code0 <= 255 and 0 <= r.code_sum <= 255 * 64
+    assert r.recon_err >= 0.0

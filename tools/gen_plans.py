@@ -68,6 +68,7 @@ HEADLINERS = {
     "data_profile": "One-pass table profile: every per-column metric (nulls, distinct, min, max) folds into ONE aggregate over ONE scan (pinned: a single parquet scan), then a stack unpivot reshapes the 1-row result — profiling k columns costs one pass, not k. The production tier swaps count_distinct for HLL++ sketches: no Expand, one exchange (pinned).",
     "containment_pairs": "Asymmetric containment (quote/excerpt detection): same inverted-index self-join as jaccard_pairs — keyed on (block, xxhash64(shingle)), SMJ with the shared exchange reused, pair counts as an aggregate — but with NO size-ratio prune (a tiny doc fully contained in a huge one is the signal Jaccard misses); blocking bounds the collision volume, and the hot-shingle df-cutoff dial ports over unchanged if a block runs hot (pinned: keyed join only, no BNLJ, no Window).",
     "snapshot_diff": "Snapshot diff (what did last night's load change): null-safe md5 row fingerprints are map-side projections on each scan; the ENTIRE diff is one full-outer SortMergeJoin on the business key (pinned == 1) — the minimum any keyed two-corpus comparison can pay; with key-bucketed snapshots even that exchange vanishes. Status classification is a projection; the counts rollup partial-aggregates 4 rows per task.",
+    "sq_quantize": "SQ8 scalar quantization: per-dim min/max from one keyed aggregate (exchange carries <= dim rows), pivoted to two dim-length arrays and BROADCAST (the single 1-row BNLJ, pinned); encode and midpoint-decode error are zero-exchange array-transform projections — the quantizer trains in one pass and applies map-side, which is what a write-time re-encode of 10^9 vectors needs. Exact IEEE arithmetic both engines (no summation in the bounds), 4dp rounding on the error fold only.",
     "repeated_spans": "ExactSubstr-style span removal (fixed-L window relaxation of the suffix-array spans): per-position md5(L-gram) projection, ONE gram-keyed exchange for the count + packed-integer min winner election (map-side combinable), occurrences x repeated-grams equi-join on the 16-byte hash, covered-position fan-out + rebuild keyed on the doc id — gram TEXT never crosses an exchange, document text rides only the first projection and the final rebuild join; nothing quadratic (pinned).",
 }
 
