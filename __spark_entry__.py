@@ -3785,6 +3785,55 @@ FROM enc
 """
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (quantization.py::pq_encode): dim-64
+    vectors → 8 subspaces × 16-centroid md5-sampled codebook; the
+    argmin is a nested JVM array fold over the BROADCAST codebook —
+    zero-exchange projection, never an exploded N×k×m relation (the
+    DuckDB twin IS that exploded relation — fine at oracle sf, the
+    thing the projection form exists to avoid at 10⁹ vectors)."""
+    from m3d_engine_spark.operators.quantization import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pq_encode(emb, "vec_id", "embedding", dim=64, m=8, k=16)
+    return out.select(
+        "vec_id",
+        F.element_at("codes", 1).alias("code0"),
+        F.expr("CAST(aggregate(codes, 0L, (a, c) -> a + c) AS BIGINT)").alias(
+            "code_sum"
+        ),
+        "pq_err",
+    )
+
+
+_SQL_PQ_ENCODE = """
+WITH cb AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+         CAST(embedding AS DOUBLE[]) AS cent
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16
+), d2 AS (
+  SELECT e.vec_id, j.j, cb.c,
+    list_sum(list_transform(range(1, 9), t ->
+      (CAST(e.embedding[j.j * 8 + t] AS DOUBLE) - cb.cent[j.j * 8 + t]) *
+      (CAST(e.embedding[j.j * 8 + t] AS DOUBLE) - cb.cent[j.j * 8 + t])
+    )) AS dist
+  FROM embeddings e CROSS JOIN range(0, 8) j(j) CROSS JOIN cb
+), best AS (
+  SELECT vec_id, j, c, dist,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rk
+  FROM d2
+)
+SELECT vec_id,
+       CAST(min(CASE WHEN j = 0 THEN c END) AS INTEGER) AS code0,
+       CAST(sum(c) AS BIGINT) AS code_sum,
+       round(sqrt(sum(dist)), 4) AS pq_err
+FROM best
+WHERE rk = 1
+GROUP BY vec_id
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3884,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "snapshot_diff": q_snapshot_diff,
         "sq_quantize": q_sq_quantize,
+        "pq_encode": q_pq_encode,
     }
 
 
@@ -3977,4 +4027,5 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _SQL_CONTAINMENT_PAIRS,
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "sq_quantize": _SQL_SQ_QUANTIZE,
+        "pq_encode": _SQL_PQ_ENCODE,
     }

@@ -82,6 +82,95 @@ def sq8_encode(
     return df.crossJoin(b).withColumn(codes_col, F.expr(code))
 
 
+def pq_codebook(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """ONE-row relation (cents): a deterministic ``k``-vector codebook
+    — the first ``k`` vectors in (md5(id), id) order, the same
+    sampled-quantizer convention as IVF's coarse centroids
+    (``operators/similarity.py``). ``cents[c]`` is centroid ``c-1``
+    (1-based array access); a Lloyd-trained codebook from
+    ``operators/kmeans.py`` is the drop-in upgrade — the encode
+    topology below does not change."""
+    seeds = (
+        df.select(
+            F.md5(F.col(id_col).cast("string")).alias("_o"),
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy("_o", "_id")
+        .limit(int(k))
+    )
+    return seeds.agg(
+        F.array_sort(F.collect_list(F.struct("_o", "_id", "_v"))).alias("_s")
+    ).select(F.expr("transform(_s, s -> s._v)").alias("cents"))
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Product quantization: split each vector into ``m`` subvectors of
+    width dim/m; each subvector is replaced by the id of its nearest
+    codebook subvector (L2², ties to the smallest id). Appends
+    ``codes`` (m ints in [0, k)) and ``pq_err`` (the exact L2
+    reconstruction error of the coded vector, 4dp).
+
+    Scale shape — the billion-vector ANN compression tier: the
+    codebook is k vectors (BROADCAST, the single 1-row BNLJ); the
+    argmin over k centroids per subspace is a nested JVM array fold —
+    a pure zero-exchange projection, NEVER an exploded N×k×m relation
+    (at 10⁹ vectors that relation is 128× the corpus; the projection
+    form keeps encode embarrassingly parallel over the scan). Memory:
+    m bytes per vector vs 4·dim — 32× smaller at dim=64, m=8.
+
+    Determinism: distances are identical IEEE folds in any engine
+    (index order), the argmin keeps the FIRST minimum (smallest
+    centroid id), and the codebook order is md5-pinned.
+    """
+    dim, m, k = int(dim), int(m), int(k)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    cb = F.broadcast(
+        codebook if codebook is not None else pq_codebook(df, id_col, vec_col, k)
+    )
+    d2 = (
+        f"aggregate(sequence(1, {w}), 0.0D, (a, t) -> a + "
+        f"(CAST(element_at({vec_col}, j * {w} + t) AS DOUBLE) - "
+        f"element_at(element_at(cents, c + 1), j * {w} + t)) * "
+        f"(CAST(element_at({vec_col}, j * {w} + t) AS DOUBLE) - "
+        f"element_at(element_at(cents, c + 1), j * {w} + t)))"
+    )
+    asn = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"aggregate(sequence(0, {k - 1}), "
+        f"named_struct('bc', -1, 'bd', CAST('Infinity' AS DOUBLE)), "
+        f"(acc, c) -> CASE WHEN {d2} < acc.bd "
+        f"THEN named_struct('bc', c, 'bd', {d2}) ELSE acc END))"
+    )
+    return (
+        df.crossJoin(cb)
+        .withColumn("_asn", F.expr(asn))
+        .select(
+            "*",
+            F.expr("transform(_asn, s -> s.bc)").alias("codes"),
+            F.expr(
+                "round(sqrt(aggregate(_asn, 0.0D, (a, s) -> a + s.bd)), 4)"
+            ).alias("pq_err"),
+        )
+        .drop("_asn")
+    )
+
+
 def sq8_reconstruction_error(
     encoded: DataFrame,
     id_col: str,

@@ -824,6 +824,20 @@ def test_sq8_encode_is_broadcast_projection(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_pq_encode_projection_no_explode(spark, sf_dir):
+    """pq_encode: the codebook is the single broadcast BNLJ; the
+    per-subspace argmin is a nested array fold — NO Generate (the
+    N×k×m exploded relation the projection form exists to avoid), no
+    hash exchange on the data side, no Python."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["pq_encode"](spark, sf_dir))
+    assert plan.count("BroadcastNestedLoop") == 1, plan
+    assert "Generate" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_data_profile_single_pass(spark, sf_dir):
     """profile_table: every per-column metric folds into ONE aggregate
     over one scan — a single hash exchange carrying 1-row partials; the

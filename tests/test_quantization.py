@@ -66,6 +66,52 @@ def test_sq8_frozen_bounds_reused_for_new_batch(spark):
     assert rows[4] == [255, 0]  # out-of-range values clamp, never wrap
 
 
+def test_pq_seed_vectors_reconstruct_exactly(spark, sf_dir):
+    """The k codebook seed vectors must encode with pq_err == 0 (their
+    subvectors ARE centroids); everything else gets codes in [0, k)."""
+    from m3d_engine_spark.operators.quantization import pq_codebook, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = pq_encode(emb, "vec_id", "embedding", dim=64, m=8, k=16)
+    rows = out.select("vec_id", "codes", "pq_err").collect()
+    assert all(
+        all(0 <= c < 16 for c in r.codes) and len(r.codes) == 8 for r in rows
+    )
+    seed_ids = [
+        r._id
+        for r in emb.selectExpr(
+            "md5(CAST(vec_id AS STRING)) AS _o", "vec_id AS _id"
+        ).orderBy("_o", "_id").limit(16).collect()
+    ]
+    by_id = {r.vec_id: r for r in rows}
+    assert all(by_id[s].pq_err == 0.0 for s in seed_ids)
+    # non-seeds generally do not reconstruct exactly
+    assert sum(1 for r in rows if r.pq_err > 0) > 400
+
+
+def test_pq_frozen_codebook_and_validation(spark, sf_dir):
+    from m3d_engine_spark.operators.quantization import pq_codebook, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_codebook(emb, "vec_id", "embedding", k=16)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    out = pq_encode(
+        batch, "vec_id", "embedding", dim=64, m=8, k=16, codebook=cb
+    )
+    full = pq_encode(emb, "vec_id", "embedding", dim=64, m=8, k=16)
+    lhs = {r.vec_id: r.codes for r in out.collect()}
+    rhs = {
+        r.vec_id: r.codes
+        for r in full.filter(F.col("vec_id") % 7 == 0).collect()
+    }
+    assert lhs == rhs  # frozen codebook == train-on-superset codebook
+    try:
+        pq_encode(emb, "vec_id", "embedding", dim=64, m=7)
+        raise AssertionError("expected dim % m validation")
+    except ValueError:
+        pass
+
+
 def test_sq8_audit_shape(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     enc = sq8_encode(emb, "vec_id", "embedding", dim=64)

@@ -69,6 +69,7 @@ HEADLINERS = {
     "containment_pairs": "Asymmetric containment (quote/excerpt detection): same inverted-index self-join as jaccard_pairs — keyed on (block, xxhash64(shingle)), SMJ with the shared exchange reused, pair counts as an aggregate — but with NO size-ratio prune (a tiny doc fully contained in a huge one is the signal Jaccard misses); blocking bounds the collision volume, and the hot-shingle df-cutoff dial ports over unchanged if a block runs hot (pinned: keyed join only, no BNLJ, no Window).",
     "snapshot_diff": "Snapshot diff (what did last night's load change): null-safe md5 row fingerprints are map-side projections on each scan; the ENTIRE diff is one full-outer SortMergeJoin on the business key (pinned == 1) — the minimum any keyed two-corpus comparison can pay; with key-bucketed snapshots even that exchange vanishes. Status classification is a projection; the counts rollup partial-aggregates 4 rows per task.",
     "sq_quantize": "SQ8 scalar quantization: per-dim min/max from one keyed aggregate (exchange carries <= dim rows), pivoted to two dim-length arrays and BROADCAST (the single 1-row BNLJ, pinned); encode and midpoint-decode error are zero-exchange array-transform projections — the quantizer trains in one pass and applies map-side, which is what a write-time re-encode of 10^9 vectors needs. Exact IEEE arithmetic both engines (no summation in the bounds), 4dp rounding on the error fold only.",
+    "pq_encode": "Product quantization: the md5-sampled k-vector codebook is the single broadcast 1-row BNLJ; the per-subspace argmin over k centroids is a NESTED JVM array fold — a zero-exchange projection with NO Generate (pinned): the exploded N×k×m relation (128× the corpus at these dials) never exists; encode is embarrassingly parallel over the scan and a Lloyd-trained codebook from operators/kmeans.py drops in without changing the topology. The DuckDB twin IS the exploded relation — affordable at oracle sf, which is exactly the cross-check the projection form needs.",
     "repeated_spans": "ExactSubstr-style span removal (fixed-L window relaxation of the suffix-array spans): per-position md5(L-gram) projection, ONE gram-keyed exchange for the count + packed-integer min winner election (map-side combinable), occurrences x repeated-grams equi-join on the 16-byte hash, covered-position fan-out + rebuild keyed on the doc id — gram TEXT never crosses an exchange, document text rides only the first projection and the final rebuild join; nothing quadratic (pinned).",
 }
 
