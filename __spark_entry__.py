@@ -3834,6 +3834,38 @@ GROUP BY vec_id
 """
 
 
+def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (reporting.py::numeric_histogram): 16
+    bins over l_extendedprice — observed-bounds 1-row broadcast, bin
+    assignment as a projection, ONE count aggregate keyed on the bin
+    id (the exchange carries ≤ bins rows per task)."""
+    from m3d_engine_spark.operators.reporting import numeric_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return numeric_histogram(li, "l_extendedprice", bins=16)
+
+
+_SQL_NUMERIC_HISTOGRAM = """
+WITH data AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+), b AS (
+  SELECT min(x) AS lo, max(x) AS hi FROM data
+), binned AS (
+  SELECT CASE WHEN hi <= lo THEN 0
+              ELSE least(greatest(CAST(floor((x - lo) * 16.0 / (hi - lo)) AS INTEGER), 0), 15)
+         END AS bin, lo, hi
+  FROM data CROSS JOIN b
+)
+SELECT bin,
+       round(lo + bin * ((hi - lo) / 16.0), 4) AS lo_edge,
+       round(lo + (bin + 1) * ((hi - lo) / 16.0), 4) AS hi_edge,
+       CAST(count(*) AS BIGINT) AS n
+FROM binned
+GROUP BY bin, lo, hi
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3934,6 +3966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "sq_quantize": q_sq_quantize,
         "pq_encode": q_pq_encode,
+        "numeric_histogram": q_numeric_histogram,
     }
 
 
@@ -4028,4 +4061,5 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "sq_quantize": _SQL_SQ_QUANTIZE,
         "pq_encode": _SQL_PQ_ENCODE,
+        "numeric_histogram": _SQL_NUMERIC_HISTOGRAM,
     }

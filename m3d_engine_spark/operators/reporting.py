@@ -98,6 +98,69 @@ def profile_table(
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
 
 
+def numeric_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equal-width histogram of ``value_col``: (bin, lo_edge, hi_edge,
+    n) with ``bins`` buckets over [lo, hi] (defaults to the observed
+    min/max — ONE extra aggregate, broadcast back as a 1-row relation,
+    same shape as the quantizer bounds). The top edge is inclusive
+    (x == hi lands in the last bin); out-of-range values clamp into the
+    end bins, so provided [lo, hi] windows never drop rows silently.
+
+    Topology: bin assignment is a projection; the count is one
+    map-side-combinable aggregate keyed on the bin id — the exchange
+    carries ≤ ``bins`` rows per task at any corpus size. NULL values
+    are excluded (they have no bin; count them via ``profile_table``).
+    """
+    bins = int(bins)
+    if bins <= 0:
+        raise ValueError("bins must be positive")
+    data = df.select(F.col(value_col).cast("double").alias("_x")).filter(
+        F.col("_x").isNotNull()
+    )
+    if lo is None or hi is None:
+        bounds = F.broadcast(
+            data.agg(F.min("_x").alias("_lo"), F.max("_x").alias("_hi"))
+        )
+        staged = data.crossJoin(bounds)
+    else:
+        staged = data.withColumn("_lo", F.lit(float(lo))).withColumn(
+            "_hi", F.lit(float(hi))
+        )
+    bin_expr = F.when(F.col("_hi") <= F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("_x") - F.col("_lo"))
+                    * F.lit(float(bins))
+                    / (F.col("_hi") - F.col("_lo"))
+                ).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(bins - 1),
+        )
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    return (
+        staged.withColumn("bin", bin_expr)
+        .groupBy("bin")
+        .agg(
+            F.round(F.first(F.col("_lo") + F.col("bin") * width), 4).alias(
+                "lo_edge"
+            ),
+            F.round(
+                F.first(F.col("_lo") + (F.col("bin") + 1) * width), 4
+            ).alias("hi_edge"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
 def group_top_terms(
     docs: DataFrame,
     group_cols: Sequence[str],

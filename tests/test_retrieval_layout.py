@@ -161,6 +161,24 @@ def test_profile_table_sketch_tier_close(spark, sf_dir):
     assert abs(a - e) <= 0.05 * e, (e, a)
 
 
+def test_numeric_histogram_semantics(spark):
+    from m3d_engine_spark.operators.reporting import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)], "x double"
+    )
+    rows = {r.bin: r for r in numeric_histogram(df, "x", bins=10).collect()}
+    # 100 values over [0, 99]: max lands in the last bin (inclusive top)
+    assert sum(r.n for r in rows.values()) == 100  # NULL excluded
+    assert rows[9].n >= 10
+    assert rows[0].lo_edge == 0.0 and rows[9].hi_edge == 99.0
+    # explicit window: out-of-range clamps into end bins, nothing dropped
+    clamped = {r.bin: r.n for r in
+               numeric_histogram(df, "x", bins=4, lo=25.0, hi=75.0).collect()}
+    assert sum(clamped.values()) == 100
+    assert clamped[0] > 25 and clamped[3] > 25  # the clamped tails
+
+
 def test_orc_format_round_trip(spark, tmp_path):
     from m3d_engine_spark.sources.formats import format_from_params
 
