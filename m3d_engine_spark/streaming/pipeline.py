@@ -511,6 +511,81 @@ def streaming_rolling_zscore(
     )
 
 
+def streaming_incremental_dedup(
+    stream: DataFrame,
+    accepted_path: str,
+    checkpoint: str,
+    id_col: str,
+    text_col: str,
+    **dedup_kwargs,
+):
+    """Streaming twin of ``operators/incremental.incremental_dedup``:
+    every micro-batch is deduplicated against the ACCEPTED CORPUS AS OF
+    THAT BATCH (seed + all earlier batches' survivors), then its
+    survivors join the corpus — the continuously-growing-corpus shape a
+    production crawl ingest runs.
+
+    Exactly-once without a transactional sink: each batch's survivors
+    are written with ``mode("overwrite")`` to the partition directory
+    ``accepted_path/batch_id=<id>`` — a retried batch overwrites its own
+    partition instead of appending twice, so the corpus is idempotent
+    under foreachBatch's at-least-once replay. The corpus read inside
+    the batch is a plain partition-discovery parquet read; at 100 TB
+    the corpus-side fingerprint and band relations are the write-time
+    artifacts described in ``operators/incremental.py`` — this function
+    is the orchestration shell, the join topology is identical to the
+    batch operator (new × existing only, nothing quadratic).
+
+    Within a micro-batch, exact duplicates collapse to the minimum id
+    (deterministic) BEFORE the corpus join; intra-batch FUZZY dedup is
+    deliberately out of scope here, same contract as the batch
+    operator (compose with ``fuzzy_dedup_corpus``). To start from an
+    existing corpus, install it with ``seed_accepted_corpus`` BEFORE
+    the first run — the seed then participates in every batch's read
+    like any other partition; with no seed the first batch dedups
+    against an empty corpus.
+
+    Returns the started StreamingQuery (``trigger(availableNow=True)``
+    — call ``awaitTermination()``; re-invoking later processes only new
+    files thanks to the checkpoint).
+    """
+    from m3d_engine_spark.operators.incremental import incremental_dedup
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        # collapse exact dups inside the batch to the min-id winner
+        winners = (
+            batch.withColumn("_fp", F.md5(F.col(text_col)))
+            .groupBy("_fp")
+            .agg(F.min(F.col(id_col)).alias(id_col))
+        )
+        batch = batch.join(winners, on=id_col, how="left_semi")
+        try:
+            existing = spark.read.parquet(accepted_path).drop("batch_id")
+        except Exception:  # first batch, nothing accepted yet
+            existing = batch.limit(0)
+        surv = incremental_dedup(
+            batch, existing, id_col, text_col, **dedup_kwargs
+        )
+        surv.write.mode("overwrite").parquet(
+            f"{accepted_path}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def seed_accepted_corpus(df: DataFrame, accepted_path: str) -> None:
+    """Install ``df`` as the initial accepted corpus for
+    ``streaming_incremental_dedup`` (written under the reserved
+    partition ``batch_id=-1`` so later batch reads discover it)."""
+    df.write.mode("overwrite").parquet(f"{accepted_path}/batch_id=-1")
+
+
 def _duration_seconds(s: str) -> float:
     qty, unit = s.split()
     mult = {

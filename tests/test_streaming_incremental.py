@@ -1,0 +1,111 @@
+"""Streaming incremental dedup: growing-corpus semantics, exactly-once
+partitioned writes, checkpointed catch-up runs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.operators.incremental import incremental_dedup
+from m3d_engine_spark.streaming.pipeline import (
+    seed_accepted_corpus,
+    streaming_incremental_dedup,
+)
+
+_BASE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+)
+
+
+def _doc(i: int, text: str):
+    return (i, text)
+
+
+def _schema():
+    return "doc_id long, text string"
+
+
+def test_streaming_incremental_dedup_grows_corpus(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    accepted = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+
+    seed_rows = [
+        _doc(1, _BASE),
+        _doc(2, _BASE.replace("alpha", "zulu")),
+    ]
+    seed = spark.createDataFrame(seed_rows, _schema())
+    seed_accepted_corpus(seed, accepted)
+
+    # batch 1: exact dup of seed 1, fuzzy near-dup of seed 2 (one token
+    # changed out of 20), one unique doc, one intra-batch exact pair
+    b1 = [
+        _doc(10, _BASE),                                      # exact dup of 1
+        _doc(11, _BASE.replace("alpha", "zulu").replace("tango", "whiskey")),
+        _doc(12, "completely different content about spark engines at scale"),
+        _doc(13, "twin text one two three four five six seven eight nine"),
+        _doc(14, "twin text one two three four five six seven eight nine"),
+    ]
+    spark.createDataFrame(b1, _schema()).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    def run():
+        stream = spark.readStream.schema(_schema()).parquet(landing)
+        q = streaming_incremental_dedup(
+            stream, accepted, ckpt, "doc_id", "text", threshold=0.5
+        )
+        assert q.awaitTermination(180), "availableNow run must terminate"
+
+    run()
+    kept1 = {
+        r.doc_id
+        for r in spark.read.parquet(accepted).filter(
+            F.col("batch_id") >= 0
+        ).collect()
+    }
+    assert kept1 == {12, 13}, kept1  # 10 exact-dropped, 11 fuzzy-dropped,
+    #                                  14 intra-batch-collapsed to min id 13
+
+    # batch 2: exact dup of a batch-1 SURVIVOR, plus one unique — the
+    # corpus the second run joins against must include batch 1's output
+    b2 = [
+        _doc(20, "completely different content about spark engines at scale"),
+        _doc(21, "yet another brand new document body with fresh tokens"),
+    ]
+    spark.createDataFrame(b2, _schema()).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    run()
+    kept2 = {
+        r.doc_id
+        for r in spark.read.parquet(accepted).filter(
+            F.col("batch_id") >= 0
+        ).collect()
+    }
+    assert kept2 == {12, 13, 21}, kept2
+
+    # idempotence: a third catch-up run with nothing new changes nothing
+    run()
+    kept3 = {
+        r.doc_id
+        for r in spark.read.parquet(accepted).filter(
+            F.col("batch_id") >= 0
+        ).collect()
+    }
+    assert kept3 == kept2
+
+    # cross-check: the streaming corpus equals sequential batch
+    # application of the batch operator (same thresholds)
+    seq1 = incremental_dedup(
+        spark.createDataFrame([b1[0], b1[1], b1[2], b1[3]], _schema()),
+        seed, "doc_id", "text", threshold=0.5,
+    )  # 13/14 collapse handled by the stream shell; drop 14 up front
+    seq_kept1 = {r.doc_id for r in seq1.collect()}
+    assert seq_kept1 == {12, 13}
+    seq2 = incremental_dedup(
+        spark.createDataFrame(b2, _schema()),
+        seed.unionByName(seq1.select("doc_id", "text")),
+        "doc_id", "text", threshold=0.5,
+    )
+    assert {r.doc_id for r in seq2.collect()} == {21}
