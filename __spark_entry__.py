@@ -3866,6 +3866,68 @@ GROUP BY bin, lo, hi
 """
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (linkage.py::record_linkage): a deterministically
+    dirtied customer feed (dropped name char, lowercased address,
+    truncated phone, shifted ids) matched back to the clean dimension —
+    nation-blocked candidate equi-join, JVM Levenshtein field
+    similarities, weighted score, best match per dirty record via
+    WindowGroupLimit."""
+    from m3d_engine_spark.operators.linkage import record_linkage
+
+    cust = _t(spark, sf_dir, "customer")
+    dirty = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 9000000).alias("d_id"),
+        "c_nationkey",
+        F.expr("concat(substring(c_name, 1, 2), substring(c_name, 4))").alias(
+            "c_name"
+        ),
+        F.expr(
+            "substring(c_mktsegment, 1, length(c_mktsegment) - 1)"
+        ).alias("c_mktsegment"),
+    )
+    return record_linkage(
+        dirty,
+        cust,
+        "d_id",
+        "c_custkey",
+        ["c_nationkey"],
+        {"c_name": 3.0, "c_mktsegment": 1.0},
+        threshold=0.7,
+        keep=1,
+    )
+
+
+_SQL_RECORD_LINKAGE = """
+WITH dirty AS (
+  SELECT c_custkey + 9000000 AS d_id, c_nationkey,
+         concat(substr(c_name, 1, 2), substr(c_name, 4)) AS c_name,
+         substr(c_mktsegment, 1, length(c_mktsegment) - 1) AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+), pairs AS (
+  SELECT d.d_id, c.c_custkey,
+    round((
+      3.0 * (CASE WHEN d.c_name IS NULL OR c.c_name IS NULL THEN 0.0
+             ELSE 1.0 - levenshtein(d.c_name, c.c_name)
+                  / greatest(length(d.c_name), length(c.c_name), 1) END)
+      + 1.0 * (CASE WHEN d.c_mktsegment IS NULL OR c.c_mktsegment IS NULL
+               THEN 0.0
+               ELSE 1.0 - levenshtein(d.c_mktsegment, c.c_mktsegment)
+                    / greatest(length(d.c_mktsegment),
+                               length(c.c_mktsegment), 1) END)
+    ) / 4.0, 4) AS score
+  FROM dirty d JOIN customer c USING (c_nationkey)
+)
+SELECT d_id, c_custkey, score,
+       CAST(row_number() OVER (
+         PARTITION BY d_id ORDER BY score DESC, c_custkey ASC
+       ) AS INTEGER) AS rank
+FROM pairs
+WHERE score >= 0.7
+QUALIFY rank <= 1
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3967,6 +4029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_quantize": q_sq_quantize,
         "pq_encode": q_pq_encode,
         "numeric_histogram": q_numeric_histogram,
+        "record_linkage": q_record_linkage,
     }
 
 
@@ -4062,4 +4125,5 @@ def oracle_sql() -> dict[str, str]:
         "sq_quantize": _SQL_SQ_QUANTIZE,
         "pq_encode": _SQL_PQ_ENCODE,
         "numeric_histogram": _SQL_NUMERIC_HISTOGRAM,
+        "record_linkage": _SQL_RECORD_LINKAGE,
     }

@@ -1,0 +1,99 @@
+"""Record linkage / entity resolution: fuzzy-match records across two
+tables by weighted multi-field string similarity.
+
+Beyond-reference capability — the master-data half of a curation
+stack: matching a dirty feed (crawled authors, OCR'd vendors, user
+registrations) against the clean dimension it should join to, when no
+shared key exists.
+
+    block on coarse keys (region, zip prefix, soundex, …)
+    → candidate pairs = equi-join on the block key        [1 keyed shuffle/side]
+    → per-field similarity: 1 − lev(a,b)/max(|a|,|b|,1)   [pair-local projection]
+    → weighted score, threshold, best-match ranking       [WindowGroupLimit]
+
+Blocking is the scale contract: the quadratic term is bounded by the
+largest block (pairs = Σ_b |L_b|·|R_b|), and the join is a plain keyed
+equi-join — never an all-pairs cross. Everything after the join is a
+pair-local projection (Levenshtein is a JVM built-in — exact integers),
+so the candidate relation streams through whole-stage codegen without
+a second exchange until the per-record best-match window
+(WindowGroupLimit keeps k rows per left id before its exchange).
+
+Determinism: Levenshtein distances and lengths are exact integers; the
+weighted sum is one fixed-order double expression rounded to 4dp;
+ranking by (score DESC, right id ASC) is total.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def field_similarity(left: Column, right: Column) -> Column:
+    """Normalized edit similarity in [0, 1]:
+    1 − levenshtein/max(len, 1); two NULLs score 0 (no evidence), one
+    NULL scores 0 (mismatch evidence is absent, not negative)."""
+    sim = F.lit(1.0) - F.levenshtein(left, right) / F.greatest(
+        F.length(left), F.length(right), F.lit(1)
+    )
+    return F.when(left.isNull() | right.isNull(), F.lit(0.0)).otherwise(sim)
+
+
+def record_linkage(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    block_cols: Sequence[str],
+    fields: Mapping[str, float],
+    threshold: float = 0.8,
+    keep: int = 1,
+) -> DataFrame:
+    """Match ``left`` records to ``right`` records sharing a block.
+
+    ``fields`` maps column names (present in BOTH inputs) to weights;
+    score = Σ w_f·sim_f / Σ w. Returns (left_id, right_id, score,
+    rank) for pairs with score ≥ ``threshold``, at most ``keep`` best
+    matches per left record (rank 1 = best; ties on score break to the
+    smaller right id)."""
+    block_cols = list(block_cols)
+    if not fields:
+        raise ValueError("record_linkage needs at least one scored field")
+    lsel = left.select(
+        F.col(left_id).alias("_lid"),
+        *[F.col(c).alias(f"_bl_{c}") for c in block_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in fields],
+    )
+    rsel = right.select(
+        F.col(right_id).alias("_rid"),
+        *[F.col(c).alias(f"_bl_{c}") for c in block_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in fields],
+    )
+    pairs = lsel.join(rsel, on=[f"_bl_{c}" for c in block_cols])
+    total_w = float(sum(fields.values()))
+    score = None
+    for c, w in fields.items():
+        term = F.lit(float(w)) * field_similarity(
+            F.col(f"_l_{c}"), F.col(f"_r_{c}")
+        )
+        score = term if score is None else score + term
+    score = F.round(score / F.lit(total_w), 4)
+    scored = pairs.select(
+        F.col("_lid"), F.col("_rid"), score.alias("score")
+    ).filter(F.col("score") >= float(threshold))
+    w_rank = Window.partitionBy("_lid").orderBy(
+        F.col("score").desc(), F.col("_rid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= int(keep))
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            "score",
+            "rank",
+        )
+    )

@@ -1,0 +1,55 @@
+"""Record linkage semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.operators.linkage import field_similarity, record_linkage
+
+
+def test_field_similarity_bounds_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("kitten", "sitting"), ("same", "same"), (None, "x"), (None, None)],
+        "a string, b string",
+    )
+    vals = df.select(
+        F.round(field_similarity(F.col("a"), F.col("b")), 4).alias("s")
+    ).collect()
+    s = [r.s for r in vals]
+    assert s[0] == round(1 - 3 / 7, 4)  # classic kitten/sitting lev=3
+    assert s[1] == 1.0
+    assert s[2] == 0.0 and s[3] == 0.0
+
+
+def test_record_linkage_finds_true_match(spark):
+    clean = spark.createDataFrame(
+        [
+            (1, "east", "Acme Corporation", "12 Main Street"),
+            (2, "east", "Apex Incorporated", "99 High Road"),
+            (3, "west", "Acme Corporation", "12 Main Street"),
+        ],
+        "id long, region string, name string, addr string",
+    )
+    dirty = spark.createDataFrame(
+        [
+            (101, "east", "Acme Corporatoin", "12 Main St"),  # typo'd 1
+            (102, "east", "Zenith Ltd", "1 Nowhere"),         # no real match
+        ],
+        "d long, region string, name string, addr string",
+    )
+    out = record_linkage(
+        dirty, clean, "d", "id", ["region"],
+        {"name": 2.0, "addr": 1.0}, threshold=0.6, keep=1,
+    )
+    rows = {r.d: (r.id, r.rank) for r in out.collect()}
+    assert rows == {101: (1, 1)}  # 3 is blocked away (west); 102 below cut
+
+
+def test_record_linkage_entry_recovers_all_sources(spark, sf_dir):
+    """Every dirtied customer must link back to its own source row as
+    rank 1 (name lev=1 beats any other same-nation candidate's >=2)."""
+    import __spark_entry__ as m
+
+    out = m.queries()["record_linkage"](spark, sf_dir).collect()
+    assert len(out) > 0
+    assert all(r.d_id - 9000000 == r.c_custkey and r.rank == 1 for r in out)

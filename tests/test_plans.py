@@ -838,6 +838,18 @@ def test_pq_encode_projection_no_explode(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_record_linkage_blocked_equi_join(spark, sf_dir):
+    """record_linkage: candidates come from a keyed equi-join on the
+    block columns — never a cross join; similarity scoring is
+    pair-local projection; best-match is WindowGroupLimit."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["record_linkage"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_data_profile_single_pass(spark, sf_dir):
     """profile_table: every per-column metric folds into ONE aggregate
     over one scan — a single hash exchange carrying 1-row partials; the

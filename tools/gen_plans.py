@@ -70,6 +70,8 @@ HEADLINERS = {
     "snapshot_diff": "Snapshot diff (what did last night's load change): null-safe md5 row fingerprints are map-side projections on each scan; the ENTIRE diff is one full-outer SortMergeJoin on the business key (pinned == 1) — the minimum any keyed two-corpus comparison can pay; with key-bucketed snapshots even that exchange vanishes. Status classification is a projection; the counts rollup partial-aggregates 4 rows per task.",
     "sq_quantize": "SQ8 scalar quantization: per-dim min/max from one keyed aggregate (exchange carries <= dim rows), pivoted to two dim-length arrays and BROADCAST (the single 1-row BNLJ, pinned); encode and midpoint-decode error are zero-exchange array-transform projections — the quantizer trains in one pass and applies map-side, which is what a write-time re-encode of 10^9 vectors needs. Exact IEEE arithmetic both engines (no summation in the bounds), 4dp rounding on the error fold only.",
     "pq_encode": "Product quantization: the md5-sampled k-vector codebook is the single broadcast 1-row BNLJ; the per-subspace argmin over k centroids is a NESTED JVM array fold — a zero-exchange projection with NO Generate (pinned): the exploded N×k×m relation (128× the corpus at these dials) never exists; encode is embarrassingly parallel over the scan and a Lloyd-trained codebook from operators/kmeans.py drops in without changing the topology. The DuckDB twin IS the exploded relation — affordable at oracle sf, which is exactly the cross-check the projection form needs.",
+    "numeric_histogram": "Equal-width histogram: observed bounds are a broadcast 1-row relation, bin assignment a projection, and the count one map-side-combinable aggregate keyed on the bin id — the exchange carries <= bins rows per task at any corpus size.",
+    "record_linkage": "Record linkage: candidate pairs from a keyed equi-join on the block columns (the quadratic term is bounded by the largest block — blocking IS the scale contract, pinned: no cartesian); Levenshtein field similarities are pair-local JVM projections streaming through codegen, and the per-record best match is WindowGroupLimit below its exchange. Exact edit-distance tier — swap in a cheap per-field prefilter (length bands, shared-token gate) inside the join condition when blocks run hot.",
     "repeated_spans": "ExactSubstr-style span removal (fixed-L window relaxation of the suffix-array spans): per-position md5(L-gram) projection, ONE gram-keyed exchange for the count + packed-integer min winner election (map-side combinable), occurrences x repeated-grams equi-join on the 16-byte hash, covered-position fan-out + rebuild keyed on the doc id — gram TEXT never crosses an exchange, document text rides only the first projection and the final rebuild join; nothing quadratic (pinned).",
 }
 
