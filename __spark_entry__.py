@@ -3928,6 +3928,48 @@ QUALIFY rank <= 1
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality classifier (classifier.py::score_quality):
+    linear model over the shared text features + sigmoid, applied as a
+    ZERO-EXCHANGE projection — model inference as a map-side concern;
+    trained coefficients swap in as one dict."""
+    from m3d_engine_spark.operators.classifier import score_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return score_quality(docs, "doc_id", "text")
+
+
+_SQL_QUALITY_CLASSIFIER = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents
+), f AS (
+  SELECT doc_id,
+    CAST(len(t) AS INTEGER) AS n_tokens,
+    ln(1.0 + len(t)) AS log_tokens,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE len(list_distinct(t)) / len(t) END AS dr,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE len(list_filter(t, x -> x IN {{STOP}})) / len(t) END AS sr,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+              / length(text) END AS pr,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE list_sum(list_transform(t, x -> length(x))) / len(t) END AS mtl
+  FROM toks
+), scored AS (
+  SELECT doc_id, n_tokens,
+         round(1.0 / (1.0 + exp(-(
+           -3.0 + 0.6 * log_tokens + 2.0 * dr + 1.5 * sr
+           + (-3.0) * pr + (-0.1) * mtl
+         ))), 4) AS score
+  FROM f
+)
+SELECT doc_id, n_tokens, score,
+       CAST(score >= 0.5 AS INTEGER) AS label
+FROM scored
+""".replace("{STOP}", _sql_str_list(T.STOPWORDS))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4030,6 +4072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "numeric_histogram": q_numeric_histogram,
         "record_linkage": q_record_linkage,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -4126,4 +4169,5 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode": _SQL_PQ_ENCODE,
         "numeric_histogram": _SQL_NUMERIC_HISTOGRAM,
         "record_linkage": _SQL_RECORD_LINKAGE,
+        "quality_classifier": _SQL_QUALITY_CLASSIFIER,
     }

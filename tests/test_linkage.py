@@ -45,6 +45,34 @@ def test_record_linkage_finds_true_match(spark):
     assert rows == {101: (1, 1)}  # 3 is blocked away (west); 102 below cut
 
 
+def test_quality_classifier_orders_sensibly(spark):
+    from m3d_engine_spark.operators.classifier import score_quality
+
+    prose = (
+        "the history of the region shows that trade and agriculture "
+        "were the main sources of income for most families there"
+    )
+    garbage = ")(.,;;;; !!?? ((.,- ,,.. ;;!! ?? ..(( ))-- ..;;"
+    docs = spark.createDataFrame(
+        [(1, prose), (2, garbage), (3, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in
+            score_quality(docs, "doc_id", "text").collect()}
+    assert rows[1].score > rows[2].score
+    assert rows[1].label == 1 and rows[2].label == 0
+    assert 0.0 < rows[3].score < 1.0  # empty text scores, never errors
+    # weight override changes the score, unknown features are rejected
+    alt = {r.doc_id: r.score for r in score_quality(
+        docs, "doc_id", "text", weights={"punct_ratio": 0.0}
+    ).collect()}
+    assert alt[2] > rows[2].score
+    try:
+        score_quality(docs, "doc_id", "text", weights={"bogus": 1.0})
+        raise AssertionError("expected unknown-weight rejection")
+    except ValueError:
+        pass
+
+
 def test_record_linkage_entry_recovers_all_sources(spark, sf_dir):
     """Every dirtied customer must link back to its own source row as
     rank 1 (name lev=1 beats any other same-nation candidate's >=2)."""

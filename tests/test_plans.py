@@ -850,6 +850,16 @@ def test_record_linkage_blocked_equi_join(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_quality_classifier_zero_exchange(spark, sf_dir):
+    """score_quality: model inference is a map-side projection — no
+    exchange of any kind, no Python."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["quality_classifier"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_data_profile_single_pass(spark, sf_dir):
     """profile_table: every per-column metric folds into ONE aggregate
     over one scan — a single hash exchange carrying 1-row partials; the

@@ -72,6 +72,7 @@ HEADLINERS = {
     "pq_encode": "Product quantization: the md5-sampled k-vector codebook is the single broadcast 1-row BNLJ; the per-subspace argmin over k centroids is a NESTED JVM array fold — a zero-exchange projection with NO Generate (pinned): the exploded N×k×m relation (128× the corpus at these dials) never exists; encode is embarrassingly parallel over the scan and a Lloyd-trained codebook from operators/kmeans.py drops in without changing the topology. The DuckDB twin IS the exploded relation — affordable at oracle sf, which is exactly the cross-check the projection form needs.",
     "numeric_histogram": "Equal-width histogram: observed bounds are a broadcast 1-row relation, bin assignment a projection, and the count one map-side-combinable aggregate keyed on the bin id — the exchange carries <= bins rows per task at any corpus size.",
     "record_linkage": "Record linkage: candidate pairs from a keyed equi-join on the block columns (the quadratic term is bounded by the largest block — blocking IS the scale contract, pinned: no cartesian); Levenshtein field similarities are pair-local JVM projections streaming through codegen, and the per-record best match is WindowGroupLimit below its exchange. Exact edit-distance tier — swap in a cheap per-field prefilter (length bands, shared-token gate) inside the join condition when blocks run hot.",
+    "quality_classifier": "Logistic quality classifier: model inference as a map-side concern — weights are constants (a broadcast relation when they come from a training job), features are the shared JVM text expressions, sigmoid is one exp; the plan has NO exchange of any kind (pinned). Swapping trained coefficients changes a dict, not the topology.",
     "repeated_spans": "ExactSubstr-style span removal (fixed-L window relaxation of the suffix-array spans): per-position md5(L-gram) projection, ONE gram-keyed exchange for the count + packed-integer min winner election (map-side combinable), occurrences x repeated-grams equi-join on the 16-byte hash, covered-position fan-out + rebuild keyed on the doc id — gram TEXT never crosses an exchange, document text rides only the first projection and the final rebuild join; nothing quadratic (pinned).",
 }
 
