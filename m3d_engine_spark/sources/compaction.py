@@ -1,0 +1,86 @@
+"""Small-files compaction: rewrite a table directory into target-size
+files.
+
+The operational sibling of the reference's Delta compaction
+(``DeltaLakeLoad.scala:318-352``, the ``dataChange=false`` rewrite),
+for the engine's plain parquet tables: streaming appends, per-batch
+partitioned writes, and partition-scoped loads all accrete small files
+until listing time and task-launch overhead dominate scans — the
+classic small-files problem. Compaction is pure layout: same rows,
+fewer, right-sized files.
+
+How it runs:
+
+    measure on-disk bytes (driver-side FS listing — metadata only)
+    → n_files = clamp(ceil(bytes / target_file_bytes))
+    → read → round-robin repartition(n_files)            [1 exchange]
+      (or repartition(n, partition_cols) for Hive-partitioned
+      tables, co-locating each partition's rows)
+    → atomic temp-write → dir swap → backup delete       [AtomicWriter]
+
+The single round-robin exchange is the honest cost of re-laying-out
+data — every engine's OPTIMIZE pays it; it produces evenly-sized
+output files regardless of input skew. The swap inherits the
+engine's backup/restore protocol, so a failed compaction leaves the
+original directory untouched, and readers never observe a half-written
+table. ``zorder_write`` (``sources/layout.py``) is the clustered
+variant of the same rewrite when you also want multi-dimensional
+data skipping.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+from m3d_engine_spark.sources.dfs import DFS
+from m3d_engine_spark.sources.writers import AtomicWriter, LoadMode
+
+
+def dir_bytes(dfs: DFS, path: str) -> int:
+    """Total data bytes under ``path`` (driver-side listing via the
+    Hadoop FS — metadata only, no data read)."""
+    fs = dfs._fs(path)  # noqa: SLF001 — same-package use of the wrapper
+    return int(fs.getContentSummary(dfs._jpath(path)).getLength())  # noqa: SLF001
+
+
+def plan_file_count(
+    total_bytes: int,
+    target_file_bytes: int,
+    max_files: int = 100_000,
+) -> int:
+    """ceil(total/target), clamped to [1, max_files]."""
+    if target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
+    return max(1, min(int(max_files), math.ceil(total_bytes / target_file_bytes)))
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_columns: list[str] | None = None,
+    file_format: str = "parquet",
+) -> int:
+    """Rewrite the table at ``path`` into ~``target_file_bytes`` files
+    (per partition dir when ``partition_columns`` given). Returns the
+    planned file count. Atomic: a failure leaves the original intact.
+
+    Sizing uses the CURRENT on-disk bytes, which over-estimates the
+    output when compression improves with bigger row groups — that
+    bias yields slightly-under-target files, the safe side (a
+    compaction that under-counts would recreate the problem it fixes).
+    """
+    dfs = DFS(spark)
+    n = plan_file_count(dir_bytes(dfs, path), int(target_file_bytes))
+    df = spark.read.format(file_format).load(path)
+    writer = AtomicWriter(
+        spark,
+        path,
+        partition_columns=list(partition_columns or []),
+        format=file_format,
+        output_files_num=n,
+    )
+    writer.write(df, LoadMode.OVERWRITE_TABLE)
+    return n
