@@ -3750,7 +3750,7 @@ def q_sq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    enc = sq8_encode(emb, "vec_id", "embedding", dim=64)
+    enc = sq8_encode(emb, "embedding", dim=64)
     return sq8_reconstruction_error(enc, "vec_id", "embedding", dim=64)
 
 

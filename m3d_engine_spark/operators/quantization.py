@@ -38,9 +38,15 @@ from pyspark.sql import functions as F
 
 def sq8_bounds(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """ONE-row relation (mns, mxs): per-dimension min/max as two
-    ``dim``-length arrays, ordered by dimension index."""
+    ``dim``-length arrays, ordered by dimension index. Vectors are
+    sliced to ``dim`` first, so trailing dimensions beyond the declared
+    width never leak into the bounds."""
     per_dim = (
-        df.select(F.posexplode(F.col(vec_col)).alias("_i", "_x"))
+        df.select(
+            F.posexplode(F.slice(F.col(vec_col), 1, int(dim))).alias(
+                "_i", "_x"
+            )
+        )
         .groupBy("_i")
         .agg(F.min("_x").cast("double").alias("_mn"),
              F.max("_x").cast("double").alias("_mx"))
@@ -60,7 +66,6 @@ def sq8_bounds(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
 
 def sq8_encode(
     df: DataFrame,
-    id_col: str,
     vec_col: str,
     dim: int,
     bounds: DataFrame | None = None,
@@ -150,12 +155,19 @@ def pq_encode(
         f"(CAST(element_at({vec_col}, j * {w} + t) AS DOUBLE) - "
         f"element_at(element_at(cents, c + 1), j * {w} + t)))"
     )
+    # The k distances are materialized ONCE per subspace (bound as the
+    # lambda variable `ds` via the transform(array(...)) trick — the
+    # same Catalyst re-inlining dodge gopher_quality uses), then a
+    # cheap O(k) argmin folds over them; inlining the w-term distance
+    # fold into the CASE would evaluate it twice per centroid.
     asn = (
-        f"transform(sequence(0, {m - 1}), j -> "
-        f"aggregate(sequence(0, {k - 1}), "
+        f"transform(sequence(0, {m - 1}), j -> element_at("
+        f"transform(array(transform(sequence(0, {k - 1}), c -> {d2})), "
+        f"ds -> aggregate(sequence(0, {k - 1}), "
         f"named_struct('bc', -1, 'bd', CAST('Infinity' AS DOUBLE)), "
-        f"(acc, c) -> CASE WHEN {d2} < acc.bd "
-        f"THEN named_struct('bc', c, 'bd', {d2}) ELSE acc END))"
+        f"(acc, c) -> CASE WHEN element_at(ds, c + 1) < acc.bd "
+        f"THEN named_struct('bc', c, 'bd', element_at(ds, c + 1)) "
+        f"ELSE acc END)), 1))"
     )
     return (
         df.crossJoin(cb)

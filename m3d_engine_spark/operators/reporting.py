@@ -72,22 +72,29 @@ def profile_table(
     report schema; null-only columns report NULL min/max.
     """
     cols = list(cols)
+    # Internal aliases are POSITIONAL (_nn_0, …), never derived from the
+    # user's column names — a name with dots/quotes/spaces must not be
+    # able to break the stack() SQL below; the visible label is escaped.
     aggs = [F.count(F.lit(1)).cast("long").alias("_n_rows")]
-    for c in cols:
+    for i, c in enumerate(cols):
+        col = df[c]  # df[...] resolves literal names (dots included)
         nd = (
-            F.count_distinct(F.col(c))
+            F.count_distinct(col)
             if exact
-            else F.approx_count_distinct(c, rsd)
+            else F.approx_count_distinct(col, rsd)
         )
         aggs += [
-            (F.count(F.lit(1)) - F.count(F.col(c))).cast("long").alias(f"_nn_{c}"),
-            nd.cast("long").alias(f"_nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias(f"_nn_{i}"),
+            nd.cast("long").alias(f"_nd_{i}"),
+            F.min(col).cast("string").alias(f"_mn_{i}"),
+            F.max(col).cast("string").alias(f"_mx_{i}"),
         ]
     one = df.agg(*aggs)
     stacked = ", ".join(
-        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+        "'{label}', _nn_{i}, _nd_{i}, _mn_{i}, _mx_{i}".format(
+            label=c.replace("\\", "\\\\").replace("'", "\\'"), i=i
+        )
+        for i, c in enumerate(cols)
     )
     return one.select(
         F.expr(

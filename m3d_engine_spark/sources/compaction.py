@@ -56,6 +56,17 @@ def plan_file_count(
     return max(1, min(int(max_files), math.ceil(total_bytes / target_file_bytes)))
 
 
+def partition_dir_count(dfs: DFS, path: str) -> int:
+    """Number of leaf partition directories = distinct parents of the
+    data files under ``path`` (driver-side listing, metadata only)."""
+    parents = {
+        f.rsplit("/", 1)[0]
+        for f in dfs.list_files(path)
+        if not f.rsplit("/", 1)[-1].startswith("_")
+    }
+    return max(1, len(parents))
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
@@ -63,24 +74,51 @@ def compact_table(
     partition_columns: list[str] | None = None,
     file_format: str = "parquet",
 ) -> int:
-    """Rewrite the table at ``path`` into ~``target_file_bytes`` files
-    (per partition dir when ``partition_columns`` given). Returns the
-    planned file count. Atomic: a failure leaves the original intact.
+    """Rewrite the table at ``path`` into ~``target_file_bytes`` files.
+    Returns the planned TOTAL file count. Atomic: a failure leaves the
+    original intact.
+
+    Non-partitioned: ``repartition(n)`` round-robin — n even files.
+    Partitioned: each partition's rows must land in tasks that write
+    that partition dir, and a plain ``repartition(n, partition_cols)``
+    collapses every partition to ONE file regardless of n — so rows are
+    salted with ``xxhash64(content) % files_per_partition`` and the
+    exchange keys on (partition_cols…, salt): each partition dir gets
+    ~``files_per_partition`` files. files_per_partition is the uniform
+    estimate total_bytes / partition_dirs / target (skew-aware
+    per-partition planning is the refinement — it changes the salt
+    modulus per row via a broadcast join, not the topology).
 
     Sizing uses the CURRENT on-disk bytes, which over-estimates the
     output when compression improves with bigger row groups — that
     bias yields slightly-under-target files, the safe side (a
     compaction that under-counts would recreate the problem it fixes).
     """
+    from pyspark.sql import functions as F
+
     dfs = DFS(spark)
-    n = plan_file_count(dir_bytes(dfs, path), int(target_file_bytes))
+    total = dir_bytes(dfs, path)
     df = spark.read.format(file_format).load(path)
-    writer = AtomicWriter(
-        spark,
-        path,
-        partition_columns=list(partition_columns or []),
-        format=file_format,
-        output_files_num=n,
+    partition_columns = list(partition_columns or [])
+    if not partition_columns:
+        n = plan_file_count(total, int(target_file_bytes))
+        writer = AtomicWriter(
+            spark, path, partition_columns=[], format=file_format,
+            output_files_num=n,
+        )
+        writer.write(df, LoadMode.OVERWRITE_TABLE)
+        return n
+    n_parts = partition_dir_count(dfs, path)
+    fpp = plan_file_count(
+        math.ceil(total / n_parts), int(target_file_bytes)
     )
-    writer.write(df, LoadMode.OVERWRITE_TABLE)
-    return n
+    n_total = n_parts * fpp
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(fpp))
+    ).repartition(n_total, *partition_columns, "_salt").drop("_salt")
+    writer = AtomicWriter(
+        spark, path, partition_columns=partition_columns,
+        format=file_format, output_files_num=None,
+    )
+    writer.write(salted, LoadMode.OVERWRITE_TABLE)
+    return n_total

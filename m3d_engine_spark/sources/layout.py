@@ -24,9 +24,12 @@ range bounds, so output files are even-sized regardless of key skew;
 within a file, rows are Z-sorted so page-level stats prune too.
 
 Scale note: ``bits`` bounds resolution, not correctness — 16 bits per
-column keeps 2 columns in an int32-sized key and 4 columns in int64;
-collisions inside a Z-cell only reduce pruning granularity. Columns
-with mx == mn degenerate to a constant 0 contribution (guarded).
+column keeps 2 columns in an int32-sized key; 4 columns need
+``bits ≤ 15`` (the key must stay under the long's 63 value bits — bit
+63 is the sign and would break range ordering; the guard enforces
+this). Collisions inside a Z-cell only reduce pruning granularity.
+Columns with mx == mn degenerate to a constant 0 contribution
+(guarded).
 """
 
 from __future__ import annotations

@@ -549,26 +549,9 @@ def streaming_incremental_dedup(
     — call ``awaitTermination()``; re-invoking later processes only new
     files thanks to the checkpoint).
     """
-    from m3d_engine_spark.operators.incremental import incremental_dedup
-
     def process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        # collapse exact dups inside the batch to the min-id winner
-        winners = (
-            batch.withColumn("_fp", F.md5(F.col(text_col)))
-            .groupBy("_fp")
-            .agg(F.min(F.col(id_col)).alias(id_col))
-        )
-        batch = batch.join(winners, on=id_col, how="left_semi")
-        try:
-            existing = spark.read.parquet(accepted_path).drop("batch_id")
-        except Exception:  # first batch, nothing accepted yet
-            existing = batch.limit(0)
-        surv = incremental_dedup(
-            batch, existing, id_col, text_col, **dedup_kwargs
-        )
-        surv.write.mode("overwrite").parquet(
-            f"{accepted_path}/batch_id={batch_id}"
+        incremental_dedup_batch(
+            batch, batch_id, accepted_path, id_col, text_col, **dedup_kwargs
         )
 
     return (
@@ -577,6 +560,46 @@ def streaming_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_dedup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    accepted_path: str,
+    id_col: str,
+    text_col: str,
+    **dedup_kwargs,
+) -> None:
+    """One micro-batch of ``streaming_incremental_dedup`` (module-level
+    so the at-least-once REPLAY path is directly testable)."""
+    from m3d_engine_spark.operators.incremental import incremental_dedup
+    from m3d_engine_spark.sources.dfs import DFS
+
+    spark = batch.sparkSession
+    # collapse exact dups inside the batch to the min-id winner
+    winners = (
+        batch.withColumn("_fp", F.md5(F.col(text_col)))
+        .groupBy("_fp")
+        .agg(F.min(F.col(id_col)).alias(id_col))
+    )
+    batch = batch.join(winners, on=id_col, how="left_semi")
+    # Existence probed via the FS, not a blanket except: a transient
+    # read error must FAIL the batch (foreachBatch retries it), not
+    # silently dedup against an empty corpus and admit duplicates.
+    if DFS(spark).exists(accepted_path):
+        existing = (
+            spark.read.parquet(accepted_path)
+            # CRITICAL for replay: a retried batch must not see its
+            # own previous (possibly partial) output — it would
+            # self-match every row and overwrite its partition with
+            # nothing, losing the batch from the corpus.
+            .filter(F.col("batch_id") != batch_id)
+            .drop("batch_id")
+        )
+    else:  # first batch, nothing accepted yet
+        existing = batch.limit(0)
+    surv = incremental_dedup(batch, existing, id_col, text_col, **dedup_kwargs)
+    surv.write.mode("overwrite").parquet(f"{accepted_path}/batch_id={batch_id}")
 
 
 def seed_accepted_corpus(df: DataFrame, accepted_path: str) -> None:

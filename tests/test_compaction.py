@@ -52,6 +52,32 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     assert not glob.glob(f"{loc}__tmp*") and not glob.glob(f"{loc}__bak*")
 
 
+def test_compact_partitioned_respects_target_with_salt(spark, tmp_path):
+    """A small target must yield MULTIPLE files per partition dir (the
+    salted exchange), not one giant file per partition."""
+    from m3d_engine_spark.sources.compaction import dir_bytes
+    from m3d_engine_spark.sources.dfs import DFS
+    import os
+
+    loc = str(tmp_path / "salted")
+    df = spark.range(30_000).select(
+        F.col("id"), (F.col("id") % 2).alias("p"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    df.repartition(50).write.partitionBy("p").parquet(loc)
+    total = dir_bytes(DFS(spark), loc)
+    # target 1/8 of total over 2 partitions -> ~4 files per partition
+    compact_table(spark, loc, target_file_bytes=total // 8,
+                  partition_columns=["p"])
+    per_part: dict[str, int] = {}
+    for f in _data_files(loc):
+        part = "p=0" if "/p=0/" in f else "p=1"
+        per_part[part] = per_part.get(part, 0) + 1
+    assert set(per_part) == {"p=0", "p=1"}
+    assert all(2 <= n <= 8 for n in per_part.values()), per_part
+    assert spark.read.parquet(loc).count() == 30_000
+
+
 def test_compact_partitioned_table_keeps_layout(spark, tmp_path):
     loc = str(tmp_path / "part")
     df = spark.range(9_000).select(

@@ -20,7 +20,7 @@ def test_sq8_codes_in_range_and_monotone(spark):
         spark,
         [(i, [float(i), float(100 - i), 7.0]) for i in range(101)],
     )
-    enc = sq8_encode(df, "vec_id", "embedding", dim=3)
+    enc = sq8_encode(df, "embedding", dim=3)
     rows = {r.vec_id: r.codes for r in enc.collect()}
     for codes in rows.values():
         assert all(0 <= c <= 255 for c in codes)
@@ -35,7 +35,7 @@ def test_sq8_per_dim_error_bounded_by_cell_width(spark):
         spark,
         [(i, [(i * 13 % 101) / 7.0, (i * 29 % 97) / 3.0]) for i in range(200)],
     )
-    enc = sq8_encode(df, "vec_id", "embedding", dim=2)
+    enc = sq8_encode(df, "embedding", dim=2)
     # recompute per-dim abs error of the midpoint decode in-plan
     errs = enc.select(
         F.expr(
@@ -60,7 +60,7 @@ def test_sq8_frozen_bounds_reused_for_new_batch(spark):
     train = _vecs(spark, [(1, [0.0, 0.0]), (2, [10.0, 100.0])])
     bounds = sq8_bounds(train, "embedding", dim=2)
     batch = _vecs(spark, [(3, [5.0, 50.0]), (4, [999.0, -999.0])])
-    enc = sq8_encode(batch, "vec_id", "embedding", dim=2, bounds=bounds)
+    enc = sq8_encode(batch, "embedding", dim=2, bounds=bounds)
     rows = {r.vec_id: r.codes for r in enc.collect()}
     assert rows[3] == [127, 127]
     assert rows[4] == [255, 0]  # out-of-range values clamp, never wrap
@@ -114,7 +114,7 @@ def test_pq_frozen_codebook_and_validation(spark, sf_dir):
 
 def test_sq8_audit_shape(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    enc = sq8_encode(emb, "vec_id", "embedding", dim=64)
+    enc = sq8_encode(emb, "embedding", dim=64)
     out = sq8_reconstruction_error(enc, "vec_id", "embedding", dim=64)
     r = out.orderBy("vec_id").first()
     assert 0 <= r.code0 <= 255 and 0 <= r.code_sum <= 255 * 64

@@ -25,6 +25,33 @@ def _schema():
     return "doc_id long, text string"
 
 
+def test_replayed_batch_does_not_lose_its_own_output(spark, tmp_path):
+    """At-least-once replay: a retried micro-batch must not dedup
+    against its OWN previous partition (it would self-match every row
+    and overwrite the partition with nothing)."""
+    from m3d_engine_spark.streaming.pipeline import incremental_dedup_batch
+
+    accepted = str(tmp_path / "accepted")
+    seed_accepted_corpus(
+        spark.createDataFrame([_doc(1, _BASE)], _schema()), accepted
+    )
+    batch = spark.createDataFrame(
+        [_doc(10, "a fresh unique document body"), _doc(11, _BASE)], _schema()
+    )
+    incremental_dedup_batch(batch, 7, accepted, "doc_id", "text",
+                            threshold=0.5)
+    first = {r.doc_id for r in spark.read.parquet(
+        f"{accepted}/batch_id=7").collect()}
+    assert first == {10}
+    # simulate the foreachBatch retry: same batch, same id, corpus now
+    # already contains batch_id=7
+    incremental_dedup_batch(batch, 7, accepted, "doc_id", "text",
+                            threshold=0.5)
+    replay = {r.doc_id for r in spark.read.parquet(
+        f"{accepted}/batch_id=7").collect()}
+    assert replay == {10}, "replay must reproduce, not erase, survivors"
+
+
 def test_streaming_incremental_dedup_grows_corpus(spark, tmp_path):
     landing = str(tmp_path / "landing")
     accepted = str(tmp_path / "accepted")
