@@ -3970,6 +3970,94 @@ FROM scored
 """.replace("{STOP}", _sql_str_list(T.STOPWORDS))
 
 
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year —
+    lineitem ⋈ supplier ⋈ orders ⋈ customer with the either-direction
+    nation-pair predicate, yearly decimal-exact revenue. Both dimension
+    sides broadcast; the fact-side joins are keyed equi-joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        (F.col("s_nationkey") == 1) & (F.col("c_nationkey") == 2)
+    ) | ((F.col("s_nationkey") == 2) & (F.col("c_nationkey") == 1))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            F.col("s_nationkey").alias("supp_nation"),
+            F.col("c_nationkey").alias("cust_nation"),
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(_dsum(rev), 4).alias("revenue"))
+    )
+
+
+_SQL_NATION_VOLUME = f"""
+SELECT s_nationkey AS supp_nation,
+       c_nationkey AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round({_sql_dsum("l_extendedprice * (1 - l_discount)")}, 4) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE (s_nationkey = 1 AND c_nationkey = 2)
+   OR (s_nationkey = 2 AND c_nationkey = 1)
+GROUP BY s_nationkey, c_nationkey, year(l_shipdate)
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue
+    — per-supplier decimal-exact revenue aggregate, the max as a
+    broadcast 1-row aggregate (no driver action), equality filter, name
+    join. Exercises the agg → scalar-subquery-style max → filter plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    mx = F.broadcast(rev.agg(F.max("total_revenue").alias("_mx")))
+    return (
+        rev.crossJoin(mx)
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_SQL_TOP_SUPPLIER = f"""
+WITH r AS (
+  SELECT l_suppkey,
+         round({_sql_dsum("l_extendedprice * (1 - l_discount)")}, 4)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4073,6 +4161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_histogram": q_numeric_histogram,
         "record_linkage": q_record_linkage,
         "quality_classifier": q_quality_classifier,
+        "nation_volume": q_nation_volume,
+        "top_supplier": q_top_supplier,
     }
 
 
@@ -4170,4 +4260,6 @@ def oracle_sql() -> dict[str, str]:
         "numeric_histogram": _SQL_NUMERIC_HISTOGRAM,
         "record_linkage": _SQL_RECORD_LINKAGE,
         "quality_classifier": _SQL_QUALITY_CLASSIFIER,
+        "nation_volume": _SQL_NATION_VOLUME,
+        "top_supplier": _SQL_TOP_SUPPLIER,
     }
