@@ -860,6 +860,30 @@ def test_quality_classifier_zero_exchange(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_nation_volume_broadcasts_dims(spark, sf_dir):
+    """nation_volume: supplier and customer broadcast (two BHJs); the
+    fact-side joins stay keyed; no BNLJ, no cartesian."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["nation_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_top_supplier_max_is_broadcast_not_window(spark, sf_dir):
+    """top_supplier: the scalar max arrives as a broadcast 1-row
+    aggregate — Catalyst even turns the equality filter into a
+    BroadcastHashJoin on the (normalized) revenue value; assert the
+    broadcast family and that NO global Window over the revenue
+    relation (and no cartesian) sneaks in."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["top_supplier"](spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, plan
+
+
 def test_data_profile_single_pass(spark, sf_dir):
     """profile_table: every per-column metric folds into ONE aggregate
     over one scan — a single hash exchange carrying 1-row partials; the
