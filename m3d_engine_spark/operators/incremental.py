@@ -33,6 +33,119 @@ from pyspark.sql import functions as F
 from m3d_engine_spark.operators.dedup import lsh_bands, shingle_array
 
 
+def materialize_dedup_artifacts(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    base_path: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> dict[str, str]:
+    """Write the corpus-side dedup artifacts the module docstring
+    designs for — ONCE, at corpus-accept time, so every nightly batch
+    join reads precomputed relations instead of re-hashing 100 TB:
+
+    * ``{base}/fingerprints`` — DISTINCT md5 text fingerprints,
+    * ``{base}/bands`` — LSH (band, band_key, id) rows,
+    * ``{base}/shingles`` — per-doc distinct shingle arrays (the
+      exact-Jaccard verification side).
+
+    Returns the three paths. Production refinement: write ``bands``
+    bucketed on (band, band_key) via ``sources/bucketing`` to make the
+    nightly batch join shuffle-free on the corpus side — that needs a
+    metastore table; the path form here keeps the artifact contract
+    engine-local.
+    """
+    fp = f"{base_path}/fingerprints"
+    bd = f"{base_path}/bands"
+    sh = f"{base_path}/shingles"
+    corpus.select(F.md5(F.col(text_col)).alias("_fp")).distinct().write.mode(
+        "overwrite"
+    ).parquet(fp)
+    lsh_bands(corpus, id_col, text_col, num_hashes, bands, shingle_n).select(
+        F.col(id_col), "band", "band_key"
+    ).write.mode("overwrite").parquet(bd)
+    corpus.select(
+        F.col(id_col),
+        F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias("sh"),
+    ).write.mode("overwrite").parquet(sh)
+    return {"fingerprints": fp, "bands": bd, "shingles": sh}
+
+
+def incremental_dedup_against_artifacts(
+    new: DataFrame,
+    artifacts: dict[str, str],
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """``incremental_dedup`` reading the corpus side from materialized
+    artifacts: the nightly-batch form — corpus text is NEVER touched,
+    only its fingerprint / band / shingle relations (each a fraction of
+    the corpus bytes, written once at accept time). Join topology is
+    identical to the from-scratch operator (new × existing only);
+    equivalence is pinned by test. The batch side still pays its own
+    LSH pipeline — that cost is batch-sized, not corpus-sized.
+    """
+    spark = new.sparkSession
+    fp_old = spark.read.parquet(artifacts["fingerprints"])
+    exact_surv = (
+        new.withColumn("_fp", F.md5(F.col(text_col)))
+        .join(fp_old, on="_fp", how="left_anti")
+        .drop("_fp")
+    )
+    nb = lsh_bands(exact_surv, id_col, text_col, num_hashes, bands, shingle_n)
+    ob = spark.read.parquet(artifacts["bands"])
+    cand = (
+        nb.alias("n")
+        .join(
+            ob.alias("o"),
+            on=[F.col("n.band") == F.col("o.band"),
+                F.col("n.band_key") == F.col("o.band_key")],
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"o.{id_col}").alias("old_id"),
+        )
+        .distinct()
+    )
+    sh_old = spark.read.parquet(artifacts["shingles"])
+    jac = F.round(
+        F.size(F.array_intersect(F.col("sh_n"), F.col("sh_o")))
+        / F.size(F.array_union(F.col("sh_n"), F.col("sh_o"))),
+        4,
+    )
+    dup_ids = (
+        cand.join(
+            exact_surv.select(
+                F.col(id_col).alias("new_id"),
+                F.array_distinct(
+                    shingle_array(F.col(text_col), shingle_n)
+                ).alias("sh_n"),
+            ),
+            on="new_id",
+        )
+        .join(
+            sh_old.select(
+                F.col(id_col).alias("old_id"), F.col("sh").alias("sh_o")
+            ),
+            on="old_id",
+        )
+        .filter(jac >= threshold)
+        .select("new_id")
+        .distinct()
+    )
+    return exact_surv.join(
+        dup_ids.select(F.col("new_id").alias(id_col)), on=id_col, how="left_anti"
+    )
+
+
 def incremental_dedup(
     new: DataFrame,
     existing: DataFrame,
