@@ -73,6 +73,7 @@ def compact_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_columns: list[str] | None = None,
     file_format: str = "parquet",
+    skew_aware: bool = False,
 ) -> int:
     """Rewrite the table at ``path`` into ~``target_file_bytes`` files.
     Returns the planned TOTAL file count. Atomic: a failure leaves the
@@ -84,10 +85,13 @@ def compact_table(
     collapses every partition to ONE file regardless of n — so rows are
     salted with ``xxhash64(content) % files_per_partition`` and the
     exchange keys on (partition_cols…, salt): each partition dir gets
-    ~``files_per_partition`` files. files_per_partition is the uniform
-    estimate total_bytes / partition_dirs / target (skew-aware
-    per-partition planning is the refinement — it changes the salt
-    modulus per row via a broadcast join, not the topology).
+    ~``files_per_partition`` files. By default files_per_partition is
+    the uniform estimate total_bytes / partition_dirs / target;
+    ``skew_aware=True`` plans it PER PARTITION from per-partition row
+    counts × the table's bytes/row (one extra count aggregate, its
+    partitions-sized result broadcast back as the salt modulus) — a
+    10× partition then gets ~10× the files instead of 10×-oversized
+    ones; the topology is unchanged.
 
     Sizing uses the CURRENT on-disk bytes, which over-estimates the
     output when compression improves with bigger row groups — that
@@ -109,13 +113,41 @@ def compact_table(
         writer.write(df, LoadMode.OVERWRITE_TABLE)
         return n
     n_parts = partition_dir_count(dfs, path)
-    fpp = plan_file_count(
-        math.ceil(total / n_parts), int(target_file_bytes)
-    )
-    n_total = n_parts * fpp
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(fpp))
-    ).repartition(n_total, *partition_columns, "_salt").drop("_salt")
+    if skew_aware:
+        counts = df.groupBy(*partition_columns).agg(
+            F.count(F.lit(1)).alias("_prows")
+        )
+        total_rows = max(1, df.count())
+        bytes_per_row = total / total_rows
+        fpp_rel = counts.select(
+            *partition_columns,
+            F.greatest(
+                F.lit(1),
+                F.ceil(
+                    F.col("_prows") * F.lit(bytes_per_row)
+                    / F.lit(int(target_file_bytes))
+                ),
+            ).cast("int").alias("_fpp"),
+        )
+        n_total = int(
+            fpp_rel.agg(F.sum("_fpp")).first()[0] or 1
+        )
+        salted = (
+            df.join(F.broadcast(fpp_rel), on=partition_columns)
+            .withColumn(
+                "_salt", F.pmod(F.xxhash64(*df.columns), F.col("_fpp"))
+            )
+            .repartition(n_total, *partition_columns, "_salt")
+            .drop("_salt", "_fpp")
+        )
+    else:
+        fpp = plan_file_count(
+            math.ceil(total / n_parts), int(target_file_bytes)
+        )
+        n_total = n_parts * fpp
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(fpp))
+        ).repartition(n_total, *partition_columns, "_salt").drop("_salt")
     writer = AtomicWriter(
         spark, path, partition_columns=partition_columns,
         format=file_format, output_files_num=None,

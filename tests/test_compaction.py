@@ -78,6 +78,35 @@ def test_compact_partitioned_respects_target_with_salt(spark, tmp_path):
     assert spark.read.parquet(loc).count() == 30_000
 
 
+def test_compact_skew_aware_scales_files_to_partition_size(spark, tmp_path):
+    """skew_aware: a partition with ~9x the data gets ~9x the files,
+    instead of 9x-oversized files from the uniform estimate."""
+    loc = str(tmp_path / "skewed")
+    big = spark.range(45_000).select(
+        F.col("id"), F.lit(0).alias("p"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    small = spark.range(5_000).select(
+        (F.col("id") + 100_000).alias("id"), F.lit(1).alias("p"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    big.unionByName(small).repartition(40).write.partitionBy("p").parquet(loc)
+    from m3d_engine_spark.sources.compaction import dir_bytes
+    from m3d_engine_spark.sources.dfs import DFS
+
+    total = dir_bytes(DFS(spark), loc)
+    # target ~1/10 of total: uniform planning would give each partition
+    # 5 files; skew-aware should give p=0 most of them
+    compact_table(spark, loc, target_file_bytes=total // 10,
+                  partition_columns=["p"], skew_aware=True)
+    per_part: dict[str, int] = {}
+    for f in _data_files(loc):
+        part = "p=0" if "/p=0/" in f else "p=1"
+        per_part[part] = per_part.get(part, 0) + 1
+    assert per_part["p=0"] >= 4 * per_part.get("p=1", 1), per_part
+    assert spark.read.parquet(loc).count() == 50_000
+
+
 def test_compact_partitioned_table_keeps_layout(spark, tmp_path):
     loc = str(tmp_path / "part")
     df = spark.range(9_000).select(
