@@ -4058,6 +4058,99 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM r)
 """
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel (view → click → purchase): each step's
+    first-occurrence time must FOLLOW the previous step's — three
+    per-user min aggregates chained by keyed joins with the ts > prev
+    condition inside the join, then three 1-row counts unioned. The
+    cascade is |users|-sized after the first aggregate; nothing
+    re-scans events per step pair."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def n(df: DataFrame, step: int) -> DataFrame:
+        return df.agg(
+            F.lit(step).cast("int").alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return n(v, 1).unionByName(n(c, 2)).unionByName(n(p, 3))
+
+
+_SQL_FUNNEL_STEPS = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST(1 AS INTEGER) AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT CAST(2 AS INTEGER), CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT CAST(3 AS INTEGER), CAST(count(*) AS BIGINT) FROM p
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity DAY
+    (the testdata spans one month), counted distinct in each later day
+    — first-touch aggregate, distinct (user, day) activity relation,
+    one keyed join, day offsets as exact epoch-day integer arithmetic
+    (unix_micros div 86400e6 — no calendar functions to disagree on)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    first = ev.groupBy("user_id").agg(F.min(day).alias("cohort_d"))
+    active = ev.select("user_id", day.alias("d")).distinct()
+    return (
+        active.join(first, on="user_id")
+        .groupBy(
+            F.col("cohort_d").cast("int").alias("cohort_d"),
+            (F.col("d") - F.col("cohort_d")).cast("int").alias("offset_d"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+_SQL_COHORT_RETENTION = """
+WITH first AS (
+  SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_d
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+)
+SELECT CAST(cohort_d AS INTEGER) AS cohort_d,
+       CAST(d - cohort_d AS INTEGER) AS offset_d,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY cohort_d, d - cohort_d
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4163,6 +4256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "nation_volume": q_nation_volume,
         "top_supplier": q_top_supplier,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -4262,4 +4357,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _SQL_QUALITY_CLASSIFIER,
         "nation_volume": _SQL_NATION_VOLUME,
         "top_supplier": _SQL_TOP_SUPPLIER,
+        "funnel_steps": _SQL_FUNNEL_STEPS,
+        "cohort_retention": _SQL_COHORT_RETENTION,
     }
