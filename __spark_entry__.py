@@ -4151,6 +4151,35 @@ GROUP BY cohort_d, d - cohort_d
 """
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (shuffle.py::epoch_shuffle):
+    md5(epoch:id) drives both shard placement and within-shard order —
+    the reproducible training-order pass; one exchange keyed on the
+    shard id, no RNG state anywhere."""
+    from m3d_engine_spark.operators.shuffle import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, "doc_id", epoch=3, num_shards=8)
+
+
+_SQL_EPOCH_SHUFFLE = """
+WITH k AS (
+  SELECT doc_id, md5(concat('3:', CAST(doc_id AS VARCHAR))) AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, h,
+         CAST(CAST(('0x' || substr(h, 1, 8)) AS UBIGINT) % 8 AS INTEGER)
+           AS shard
+  FROM k
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY h, doc_id
+       ) AS INTEGER) AS rk
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4258,6 +4287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
+        "epoch_shuffle": q_epoch_shuffle,
     }
 
 
@@ -4359,4 +4389,5 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier": _SQL_TOP_SUPPLIER,
         "funnel_steps": _SQL_FUNNEL_STEPS,
         "cohort_retention": _SQL_COHORT_RETENTION,
+        "epoch_shuffle": _SQL_EPOCH_SHUFFLE,
     }

@@ -1,0 +1,85 @@
+"""Deterministic epoch shuffling: the training-order preparation pass.
+
+Beyond-reference capability — after curation, packing and splitting,
+a training run needs each epoch's documents in a different,
+REPRODUCIBLE pseudo-random order, sharded for parallel readers. RNG
+state is the wrong tool at 10⁹ documents (engine- and
+partitioning-dependent); the hash trick from ``hash_split`` is the
+right one: order and placement derive from md5(epoch ":" id), so every
+engine, every run, and every partitioning produces the identical
+epoch permutation, and changing ``epoch`` reshuffles everything.
+
+    h     = md5(epoch ":" id)            [projection]
+    shard = int(h[:8]) mod num_shards    [projection]
+    order = (h, id) within the shard     [1 exchange keyed on shard
+                                          + in-partition sort]
+
+Scale shape: the one exchange is keyed on the shard id — choose
+``num_shards`` ≥ cluster parallelism (shards are uniform by
+construction: md5 is balanced, no skew possible). The production
+write path is ``partitionBy(shard)`` with ``sortWithinPartitions(h)``
+— readers stream each shard file in order and no explicit rank column
+is ever materialized; ``rank=True`` materializes it anyway
+(row_number per shard) for audits and the equivalence oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    num_shards: int = 256,
+    rank: bool = True,
+) -> DataFrame:
+    """Append ``shard`` (int in [0, num_shards)) and — with
+    ``rank=True`` — ``rk`` (1-based position within the shard's epoch
+    order). Deterministic: same (epoch, id) → same placement
+    everywhere."""
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    h = F.md5(
+        F.concat(F.lit(f"{int(epoch)}:"), F.col(id_col).cast("string"))
+    )
+    key = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    out = df.withColumn("_h", h).withColumn(
+        "shard", F.pmod(key, F.lit(int(num_shards))).cast("int")
+    )
+    if rank:
+        w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+        out = out.withColumn("rk", F.row_number().over(w).cast("int"))
+    return out.drop("_h")
+
+
+def epoch_shuffle_write(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    epoch: int,
+    num_shards: int = 256,
+) -> None:
+    """The production form: shard dirs (``shard=N``) each holding the
+    epoch's documents PHYSICALLY SORTED in shuffle order — readers
+    stream files sequentially, no rank column, no extra pass. One
+    keyed exchange + in-partition sort, like any sorted write."""
+    keyed = epoch_shuffle(df, id_col, epoch, num_shards, rank=False)
+    h = F.md5(
+        F.concat(F.lit(f"{int(epoch)}:"), F.col(id_col).cast("string"))
+    )
+    (
+        keyed.repartition(int(num_shards), "shard")
+        # Lead the sort with the partition column: the partitioned
+        # writer requires rows grouped by partition value and will
+        # inject its own (non-stable) sort on `shard` if the incoming
+        # order doesn't already satisfy it — silently destroying the
+        # shuffle order. Sorting (shard, h, id) satisfies the writer's
+        # requirement, so OUR order survives into the files.
+        .sortWithinPartitions("shard", h, F.col(id_col))
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
