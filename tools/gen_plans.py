@@ -73,6 +73,11 @@ HEADLINERS = {
     "numeric_histogram": "Equal-width histogram: observed bounds are a broadcast 1-row relation, bin assignment a projection, and the count one map-side-combinable aggregate keyed on the bin id — the exchange carries <= bins rows per task at any corpus size.",
     "record_linkage": "Record linkage: candidate pairs from a keyed equi-join on the block columns (the quadratic term is bounded by the largest block — blocking IS the scale contract, pinned: no cartesian); Levenshtein field similarities are pair-local JVM projections streaming through codegen, and the per-record best match is WindowGroupLimit below its exchange. Exact edit-distance tier — swap in a cheap per-field prefilter (length bands, shared-token gate) inside the join condition when blocks run hot.",
     "quality_classifier": "Logistic quality classifier: model inference as a map-side concern — weights are constants (a broadcast relation when they come from a training job), features are the shared JVM text expressions, sigmoid is one exp; the plan has NO exchange of any kind (pinned). Swapping trained coefficients changes a dict, not the topology.",
+    "nation_volume": "Q7-shape nation volume: supplier and customer BROADCAST (pinned >= 2 BHJs), the fact-side lineitem-orders join stays keyed, the either-direction nation-pair predicate is a pair-local filter, revenue sums in exact decimal.",
+    "top_supplier": "Q15-shape max-revenue supplier: per-supplier decimal revenue aggregate; the scalar max rides as a broadcast 1-row aggregate and Catalyst turns the equality filter into a BroadcastHashJoin on the normalized value — no global Window over the revenue relation, no driver action (pinned).",
+    "funnel_steps": "Strict ordered funnel: per-step first-occurrence minimums chained by keyed joins carrying the ts > prev condition — after the first aggregate every relation is |users|-sized; the three step counts are 1-row aggregates unioned.",
+    "cohort_retention": "Cohort retention: first-touch aggregate + distinct (user, day) activity relation + ONE keyed join; day offsets are exact epoch-day integer arithmetic (unix_micros div 86400e6) — no calendar functions for engines to disagree on.",
+    "epoch_shuffle": "Deterministic epoch shuffle: md5(epoch:id) is both the shard key and the within-shard order — placement is a projection, the one exchange keys on the shard id, and the sorted-shard write leads its sort with the partition column so the writer's own sort requirement cannot destroy the permutation. No RNG state anywhere; same epoch order on any engine/partitioning.",
     "repeated_spans": "ExactSubstr-style span removal (fixed-L window relaxation of the suffix-array spans): per-position md5(L-gram) projection, ONE gram-keyed exchange for the count + packed-integer min winner election (map-side combinable), occurrences x repeated-grams equi-join on the 16-byte hash, covered-position fan-out + rebuild keyed on the doc id — gram TEXT never crosses an exchange, document text rides only the first projection and the final rebuild join; nothing quadratic (pinned).",
 }
 
