@@ -4180,6 +4180,106 @@ FROM s
 """
 
 
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction over the events ``props`` JSON
+    column: typed get_json_object → int, bucketed rollup — the query
+    side of the engine's semistructured JSON loads (the golden
+    mParticle/NestedFlattener scenarios are the load side). Parsing is
+    a projection; the rollup is one keyed count aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select(k.alias("k"), "event_type")
+        .filter(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).cast("int").alias("k_bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("k").cast("int").alias("k_min"),
+            F.max("k").cast("int").alias("k_max"),
+        )
+    )
+
+
+_SQL_PROPS_EXTRACT = """
+WITH x AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, event_type
+  FROM events
+)
+SELECT CAST(k % 10 AS INTEGER) AS k_bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(k) AS INTEGER) AS k_min,
+       CAST(max(k) AS INTEGER) AS k_max
+FROM x
+WHERE k IS NOT NULL
+GROUP BY k % 10, event_type
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (graph.py::triangle_count) over the
+    co-purchase graph (parts sharing an order): degree orientation
+    caps every wedge fan-out at O(√m) — the Suri-Vassilvitskii
+    last-reducer bound; all joins keyed, one semi-join closes wedges."""
+    from m3d_engine_spark.operators.graph import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        # Quarter of the orders: the graph stays dense enough for a
+        # meaningful triangle census while the wedge relation (the
+        # O(m^1.5) term this entry exists to demonstrate control of)
+        # stays bench-sized. The filter pushes to the scan.
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            on=[
+                F.col("x.l_orderkey") == F.col("y.l_orderkey"),
+                F.col("x.l_partkey") < F.col("y.l_partkey"),
+            ],
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+    )
+    return triangle_count(pairs, "a", "b")
+
+
+_SQL_TRIANGLE_COUNT = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+), e0 AS (
+  SELECT x.l_partkey AS u, y.l_partkey AS v
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+), e AS (
+  SELECT DISTINCT u, v FROM e0
+), deg AS (
+  SELECT x, count(*) AS d
+  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+  GROUP BY x
+), o AS (
+  SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t
+  FROM e JOIN deg d1 ON e.u = d1.x JOIN deg d2 ON e.v = d2.x
+), wedges AS (
+  SELECT w1.s, w1.t AS b, w2.t AS c
+  FROM o w1 JOIN o w2 ON w1.s = w2.s AND w1.t < w2.t
+), tri AS (
+  SELECT w.s FROM wedges w
+  JOIN e ON least(w.b, w.c) = e.u AND greatest(w.b, w.c) = e.v
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_vertices,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM wedges) AS BIGINT) AS n_wedges,
+       CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4288,6 +4388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
         "epoch_shuffle": q_epoch_shuffle,
+        "props_extract": q_props_extract,
+        "triangle_count": q_triangle_count,
     }
 
 
@@ -4390,4 +4492,6 @@ def oracle_sql() -> dict[str, str]:
         "funnel_steps": _SQL_FUNNEL_STEPS,
         "cohort_retention": _SQL_COHORT_RETENTION,
         "epoch_shuffle": _SQL_EPOCH_SHUFFLE,
+        "props_extract": _SQL_PROPS_EXTRACT,
+        "triangle_count": _SQL_TRIANGLE_COUNT,
     }

@@ -266,3 +266,75 @@ def cluster_survivors(
         ).alias("survivor_id"),
         F.count(F.lit(1)).cast("int").alias("cluster_size"),
     )
+
+
+def triangle_count(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Exact triangle count via DEGREE ORIENTATION — the classic
+    bound on the otherwise-quadratic wedge join (Suri & Vassilvitskii,
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer").
+
+    Input: an undirected edge list (any direction, duplicates fine).
+    Returns ONE row (n_vertices, n_edges, n_wedges, n_triangles).
+
+    Why orientation is the scale contract: counting by joining raw
+    adjacency explodes on hubs — a degree-d vertex contributes d² wedge
+    rows (the "last reducer" holds the biggest hub). Orienting every
+    edge from the (degree, id)-smaller endpoint to the larger caps
+    every out-degree at O(√m), so the wedge relation is O(m^1.5) WORST
+    case instead of Σd² — and each triangle survives exactly once (its
+    orientation-minimal vertex is the only wedge apex whose closing
+    edge is oriented b→c).
+
+    Topology: dedup to canonical (lo, hi) edges [1 keyed exchange] →
+    degree aggregate [1 keyed exchange, vertex-sized] → two broadcast-
+    or-SMJ joins hang degrees on the edge relation → wedge self-join on
+    the apex [keyed] → closing-edge semi-join on (b, c) [keyed] → count
+    (map-side combinable). No cartesian anywhere; every join keyed.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = (
+        e.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    # orient from the (degree, id)-smaller endpoint to the larger
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    w1 = oriented.select(F.col("s"), F.col("t").alias("b"))
+    w2 = oriented.select(F.col("s"), F.col("t").alias("c"))
+    wedges = w1.join(w2, on="s").filter(F.col("b") < F.col("c"))
+    closing = e.select(
+        F.col("u").alias("_cb"), F.col("v").alias("_cc")
+    )
+    tri = wedges.join(
+        closing,
+        on=[
+            F.least(F.col("b"), F.col("c")) == F.col("_cb"),
+            F.greatest(F.col("b"), F.col("c")) == F.col("_cc"),
+        ],
+        how="left_semi",
+    )
+    stats = (
+        e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .crossJoin(deg.agg(F.count(F.lit(1)).cast("long").alias("n_vertices")))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+    )
+    return stats.select("n_vertices", "n_edges", "n_wedges", "n_triangles")
