@@ -4280,6 +4280,61 @@ SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_vertices,
 """
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: the per-language summary a corpus release
+    ships — doc/token counts, token-length band, mean heuristic
+    quality, high-quality fraction — ONE keyed aggregate over a pure
+    projection (token counts and quality are the shared JVM feature
+    expressions; the exchange carries languages-sized partials)."""
+    from m3d_engine_spark.functions.text import quality_score, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    n_tok = token_count(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.min(n_tok).cast("int").alias("min_tokens"),
+        F.max(n_tok).cast("int").alias("max_tokens"),
+        F.round(
+            F.sum(q.cast("decimal(20,4)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_quality"),
+        F.sum(F.when(q >= 0.8, 1).otherwise(0)).cast("long").alias("n_high_q"),
+    )
+
+
+_SQL_DATASET_CARD = f"""
+WITH toks AS (
+  SELECT lang, text, {_SQL_TOKS} AS t FROM documents
+), f AS (
+  SELECT lang,
+    CAST(len(t) AS INTEGER) AS n_tokens,
+    round((CASE WHEN len(t) BETWEEN 10 AND 5000 THEN 1.0
+                WHEN len(t) > 0 THEN 0.5 ELSE 0.0 END
+           + CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE len(list_distinct(t)) / len(t) END
+           + CASE WHEN (CASE WHEN len(t) = 0 THEN 0.0
+                        ELSE len(list_filter(t, x -> x IN {{STOP}})) / len(t) END) > 0.01
+                   AND (CASE WHEN len(t) = 0 THEN 0.0
+                        ELSE len(list_filter(t, x -> x IN {{STOP}})) / len(t) END) < 0.6
+                  THEN 1.0 ELSE 0.5 END) / 3.0, 4) AS q
+  FROM toks
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(n_tokens) AS INTEGER) AS min_tokens,
+       CAST(max(n_tokens) AS INTEGER) AS max_tokens,
+       round(CAST(sum(CAST(q AS DECIMAL(20,4))) AS DOUBLE) / count(*), 4)
+         AS mean_quality,
+       CAST(sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_q
+FROM f
+GROUP BY lang
+""".replace("{STOP}", _sql_str_list(T.STOPWORDS))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4390,6 +4445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "props_extract": q_props_extract,
         "triangle_count": q_triangle_count,
+        "dataset_card": q_dataset_card,
     }
 
 
@@ -4494,4 +4550,5 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": _SQL_EPOCH_SHUFFLE,
         "props_extract": _SQL_PROPS_EXTRACT,
         "triangle_count": _SQL_TRIANGLE_COUNT,
+        "dataset_card": _SQL_DATASET_CARD,
     }
