@@ -78,6 +78,9 @@ HEADLINERS = {
     "funnel_steps": "Strict ordered funnel: per-step first-occurrence minimums chained by keyed joins carrying the ts > prev condition — after the first aggregate every relation is |users|-sized; the three step counts are 1-row aggregates unioned.",
     "cohort_retention": "Cohort retention: first-touch aggregate + distinct (user, day) activity relation + ONE keyed join; day offsets are exact epoch-day integer arithmetic (unix_micros div 86400e6) — no calendar functions for engines to disagree on.",
     "epoch_shuffle": "Deterministic epoch shuffle: md5(epoch:id) is both the shard key and the within-shard order — placement is a projection, the one exchange keys on the shard id, and the sorted-shard write leads its sort with the partition column so the writer's own sort requirement cannot destroy the permutation. No RNG state anywhere; same epoch order on any engine/partitioning.",
+    "props_extract": "Semi-structured extraction: get_json_object parses inside the projection (no flatten pass, no Python); the rollup is one keyed count aggregate — JSON parsing rides the scan at any corpus size.",
+    "triangle_count": "Exact triangle census with DEGREE ORIENTATION (Suri-Vassilvitskii): orienting each edge from the (degree,id)-smaller endpoint caps every wedge fan-out at O(sqrt m), so the wedge relation is O(m^1.5) worst-case instead of sum-of-degree-squares — the last-reducer hub problem is designed out; every join keyed, the closing edge a semi-join, counts map-side combinable. The entry scopes to quarter-orders because the UNSCOPED wedge term measured 4x the cost — the bound being load-bearing is the demonstration.",
+    "dataset_card": "Dataset-card rollup: token counts and quality are the shared JVM feature projections; ONE keyed aggregate with decimal-exact quality sums — the exchange carries languages-sized partials, never documents.",
     "repeated_spans": "ExactSubstr-style span removal (fixed-L window relaxation of the suffix-array spans): per-position md5(L-gram) projection, ONE gram-keyed exchange for the count + packed-integer min winner election (map-side combinable), occurrences x repeated-grams equi-join on the 16-byte hash, covered-position fan-out + rebuild keyed on the doc id — gram TEXT never crosses an exchange, document text rides only the first projection and the final rebuild join; nothing quadratic (pinned).",
 }
 
