@@ -298,6 +298,10 @@ def triangle_count(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # e feeds the degree agg, the orientation join, the closing
+        # side and the edge count — checkpoint it lazily so the
+        # (possibly expensive) upstream edge derivation runs ONCE.
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("x"))
@@ -321,20 +325,27 @@ def triangle_count(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
     w2 = oriented.select(F.col("s"), F.col("t").alias("c"))
     wedges = w1.join(w2, on="s").filter(F.col("b") < F.col("c"))
     closing = e.select(
-        F.col("u").alias("_cb"), F.col("v").alias("_cc")
+        F.col("u").alias("_cb"), F.col("v").alias("_cc"), F.lit(1).alias("_m")
     )
-    tri = wedges.join(
+    # ONE pass over the O(m^1.5) wedge relation computes BOTH counts:
+    # left-join the (unique) closing edges with a marker and aggregate
+    # count(*) / count(marker) together — a separate semi-join for the
+    # triangle count would execute the wedge join twice.
+    marked = wedges.join(
         closing,
         on=[
             F.least(F.col("b"), F.col("c")) == F.col("_cb"),
             F.greatest(F.col("b"), F.col("c")) == F.col("_cc"),
         ],
-        how="left_semi",
+        how="left",
+    )
+    wcounts = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_wedges"),
+        F.count(F.col("_m")).cast("long").alias("n_triangles"),
     )
     stats = (
         e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
         .crossJoin(deg.agg(F.count(F.lit(1)).cast("long").alias("n_vertices")))
-        .crossJoin(wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges")))
-        .crossJoin(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+        .crossJoin(wcounts)
     )
     return stats.select("n_vertices", "n_edges", "n_wedges", "n_triangles")

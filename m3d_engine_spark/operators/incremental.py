@@ -58,6 +58,10 @@ def materialize_dedup_artifacts(
     metastore table; the path form here keeps the artifact contract
     engine-local.
     """
+    import json
+
+    from m3d_engine_spark.sources.dfs import DFS
+
     fp = f"{base_path}/fingerprints"
     bd = f"{base_path}/bands"
     sh = f"{base_path}/shingles"
@@ -71,7 +75,26 @@ def materialize_dedup_artifacts(
         F.col(id_col),
         F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias("sh"),
     ).write.mode("overwrite").parquet(sh)
-    return {"fingerprints": fp, "bands": bd, "shingles": sh}
+    # The LSH parameters are BAKED INTO the band/shingle relations; a
+    # batch joining with different dials would silently match nothing.
+    # Record them next to the data so the read side derives them.
+    DFS(corpus.sparkSession).write_text(
+        f"{base_path}/_meta.json",
+        json.dumps(
+            {
+                "num_hashes": int(num_hashes),
+                "bands": int(bands),
+                "shingle_n": int(shingle_n),
+                "id_col": id_col,
+            }
+        ),
+    )
+    return {
+        "fingerprints": fp,
+        "bands": bd,
+        "shingles": sh,
+        "meta": f"{base_path}/_meta.json",
+    }
 
 
 def incremental_dedup_against_artifacts(
@@ -80,9 +103,6 @@ def incremental_dedup_against_artifacts(
     id_col: str,
     text_col: str,
     *,
-    num_hashes: int = 16,
-    bands: int = 8,
-    shingle_n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
     """``incremental_dedup`` reading the corpus side from materialized
@@ -92,8 +112,22 @@ def incremental_dedup_against_artifacts(
     identical to the from-scratch operator (new × existing only);
     equivalence is pinned by test. The batch side still pays its own
     LSH pipeline — that cost is batch-sized, not corpus-sized.
+
+    The LSH dials (num_hashes / bands / shingle_n) are NOT parameters:
+    they are read from the artifacts' ``_meta.json`` — a batch hashed
+    with different dials than the stored bands would candidate-match
+    nothing and silently admit duplicates, so the only safe source of
+    truth is the artifact itself.
     """
+    import json
+
+    from m3d_engine_spark.sources.dfs import DFS
+
     spark = new.sparkSession
+    meta = json.loads(DFS(spark).read_text(artifacts["meta"]))
+    num_hashes = int(meta["num_hashes"])
+    bands = int(meta["bands"])
+    shingle_n = int(meta["shingle_n"])
     fp_old = spark.read.parquet(artifacts["fingerprints"])
     exact_surv = (
         new.withColumn("_fp", F.md5(F.col(text_col)))

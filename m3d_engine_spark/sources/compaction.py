@@ -114,26 +114,43 @@ def compact_table(
         return n
     n_parts = partition_dir_count(dfs, path)
     if skew_aware:
+        # ONE extra job: the partitions-sized count relation is
+        # collected to the driver (metadata scale), everything else —
+        # total rows, bytes/row, per-partition file counts, n_total —
+        # is computed from that single result; the write job then sees
+        # a literal broadcast relation instead of re-deriving the
+        # aggregate a second and third time.
         counts = df.groupBy(*partition_columns).agg(
             F.count(F.lit(1)).alias("_prows")
-        )
-        total_rows = max(1, df.count())
+        ).collect()
+        total_rows = max(1, sum(r["_prows"] for r in counts))
         bytes_per_row = total / total_rows
-        fpp_rel = counts.select(
-            *partition_columns,
-            F.greatest(
-                F.lit(1),
-                F.ceil(
-                    F.col("_prows") * F.lit(bytes_per_row)
-                    / F.lit(int(target_file_bytes))
+        fpp_rows = [
+            tuple(r[c] for c in partition_columns)
+            + (
+                max(
+                    1,
+                    math.ceil(
+                        r["_prows"] * bytes_per_row / int(target_file_bytes)
+                    ),
                 ),
-            ).cast("int").alias("_fpp"),
+            )
+            for r in counts
+        ]
+        n_total = sum(r[-1] for r in fpp_rows)
+        fpp_rel = spark.createDataFrame(
+            fpp_rows,
+            df.select(*partition_columns).schema.add("_fpp", "integer"),
         )
-        n_total = int(
-            fpp_rel.agg(F.sum("_fpp")).first()[0] or 1
-        )
+        # eqNullSafe join keys: a NULL partition value (Hive default
+        # partition) must still match its fpp row — a plain equi-join
+        # would silently DROP those rows from the rewrite.
+        cond = [
+            df[c].eqNullSafe(fpp_rel[c]) for c in partition_columns
+        ]
         salted = (
-            df.join(F.broadcast(fpp_rel), on=partition_columns)
+            df.join(F.broadcast(fpp_rel), on=cond)
+            .drop(*[fpp_rel[c] for c in partition_columns])
             .withColumn(
                 "_salt", F.pmod(F.xxhash64(*df.columns), F.col("_fpp"))
             )

@@ -54,3 +54,11 @@ def multiset_equal(df_a, df_b) -> bool:
     a = df_a.groupBy(*df_a.columns).count()
     b = df_b.groupBy(*df_b.columns).count()
     return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def plan_simple(df) -> str:
+    """One line per physical node of ``df``'s plan (shared helper —
+    keep the PySpark-internal incantation in ONE place)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "simple"
+    )

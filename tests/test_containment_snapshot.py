@@ -68,9 +68,9 @@ def test_compression_ratio_signal(spark):
     assert rows[2].ratio > 0.5   # prose barely compresses at this size
     assert rows[3] .ratio == 1.0 and rows[3].n_bytes == 0
     assert rows[1].n_bytes == len("spam ham " * 400)
-    plan = compression_ratio(docs, "doc_id", "text")._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        compression_ratio(docs, "doc_id", "text")._jdf.queryExecution(), "simple"
-    )
+    from conftest import plan_simple
+
+    plan = plan_simple(compression_ratio(docs, "doc_id", "text"))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan  # Arrow kernel, not row-at-a-time
 

@@ -22,7 +22,7 @@ def test_artifact_path_equals_from_scratch(spark, tmp_path, sf_dir):
     arts = materialize_dedup_artifacts(
         corpus, "doc_id", "text", str(tmp_path / "arts")
     )
-    assert set(arts) == {"fingerprints", "bands", "shingles"}
+    assert set(arts) == {"fingerprints", "bands", "shingles", "meta"}
     batch = spark.createDataFrame(
         [
             # exact dup of an existing doc (copy text from the corpus)

@@ -37,22 +37,6 @@ def test_epoch_shuffle_deterministic_and_epoch_sensitive(spark):
         assert sorted(rks) == list(range(1, len(rks) + 1))
 
 
-def test_triangle_count_known_graphs(spark):
-    from m3d_engine_spark.operators.graph import triangle_count
-
-    # K4 (4 triangles) + a disjoint 4-cycle (0 triangles), with
-    # duplicate and reversed edges thrown in
-    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
-    square = [(10, 11), (11, 12), (12, 13), (13, 10)]
-    noise = [(1, 0), (2, 1), (10, 11)]  # reversed + duplicates
-    edges = spark.createDataFrame(k4 + square + noise, "a long, b long")
-    r = triangle_count(edges, "a", "b").first()
-    assert (r.n_vertices, r.n_edges, r.n_triangles) == (8, 10, 4)
-    # wedge relation is orientation-bounded: K4 has 4 apex wedges + 0
-    # from the square's oriented paths' meeting points <= C(2,2)-style
-    assert r.n_wedges >= r.n_triangles
-
-
 def test_epoch_shuffle_write_sorted_shards(spark, tmp_path):
     docs = spark.range(1000).select(F.col("id").alias("doc_id"))
     loc = str(tmp_path / "epoch0")
