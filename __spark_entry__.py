@@ -4335,6 +4335,142 @@ GROUP BY lang
 """.replace("{STOP}", _sql_str_list(T.STOPWORDS))
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes (quantization.py::pq_topk): each query
+    builds its m×k subspace-distance table against the broadcast
+    codebook once; corpus scoring is m table lookups per row over the
+    32×-smaller codes — full vectors never read at query time; per-query
+    top-5 via WindowGroupLimit."""
+    from m3d_engine_spark.operators.quantization import (
+        pq_codebook,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, "vec_id", "embedding", k=16)
+    codes = pq_encode(
+        emb, "vec_id", "embedding", dim=64, m=8, k=16, codebook=cb
+    ).select("vec_id", "codes")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return pq_topk(
+        codes, queries, "vec_id", "embedding", cb, dim=64, m=8, k=16, topk=5
+    )
+
+
+_SQL_PQ_TOPK = """
+WITH cb AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+         CAST(embedding AS DOUBLE[]) AS cent
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16
+), d2 AS (
+  SELECT e.vec_id, j.j, cb.c,
+    list_sum(list_transform(range(1, 9), t ->
+      (CAST(e.embedding[j.j * 8 + t] AS DOUBLE) - cb.cent[j.j * 8 + t]) *
+      (CAST(e.embedding[j.j * 8 + t] AS DOUBLE) - cb.cent[j.j * 8 + t])
+    )) AS dist
+  FROM embeddings e CROSS JOIN range(0, 8) j(j) CROSS JOIN cb
+), codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rk
+    FROM d2
+  ) WHERE rk = 1
+), q AS (
+  SELECT vec_id AS qid FROM embeddings WHERE vec_id % 25 = 0
+), tbl AS (
+  SELECT d2.vec_id AS qid, d2.j, d2.c, d2.dist
+  FROM d2 JOIN q ON d2.vec_id = q.qid
+), adc AS (
+  SELECT t.qid, codes.vec_id, round(sum(t.dist), 4) AS adc_dist
+  FROM codes JOIN tbl t ON t.j = codes.j AND t.c = codes.c
+  WHERE t.qid <> codes.vec_id
+  GROUP BY t.qid, codes.vec_id
+)
+SELECT qid AS query_id, vec_id,
+       CAST(row_number() OVER (
+         PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC
+       ) AS INTEGER) AS rank,
+       adc_dist
+FROM adc
+QUALIFY rank <= 5
+"""
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PQ retrieval (quantization.py::pq_search): ADC over codes
+    prunes to a 100-candidate shortlist per query (codes-only scan),
+    exact L2 re-ranks just the candidates — recall@5 ≥ 0.9 pinned by
+    test; the pure-ADC tier alone ranks ~0.3 on these embeddings,
+    which is why the re-rank stage exists."""
+    from m3d_engine_spark.operators.quantization import pq_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return pq_search(
+        emb, queries, "vec_id", "embedding", dim=64, m=16, k=16,
+        shortlist=100, topk=5,
+    )
+
+
+_SQL_PQ_SEARCH = """
+WITH cb AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+         CAST(embedding AS DOUBLE[]) AS cent
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16
+), d2 AS (
+  SELECT e.vec_id, j.j, cb.c,
+    list_sum(list_transform(range(1, 5), t ->
+      (CAST(e.embedding[j.j * 4 + t] AS DOUBLE) - cb.cent[j.j * 4 + t]) *
+      (CAST(e.embedding[j.j * 4 + t] AS DOUBLE) - cb.cent[j.j * 4 + t])
+    )) AS dist
+  FROM embeddings e CROSS JOIN range(0, 16) j(j) CROSS JOIN cb
+), codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rk
+    FROM d2
+  ) WHERE rk = 1
+), q AS (
+  SELECT vec_id AS qid FROM embeddings WHERE vec_id % 25 = 0
+), tbl AS (
+  SELECT d2.vec_id AS qid, d2.j, d2.c, d2.dist
+  FROM d2 JOIN q ON d2.vec_id = q.qid
+), adc AS (
+  SELECT t.qid, codes.vec_id, round(sum(t.dist), 4) AS adc_dist
+  FROM codes JOIN tbl t ON t.j = codes.j AND t.c = codes.c
+  WHERE t.qid <> codes.vec_id
+  GROUP BY t.qid, codes.vec_id
+), cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC
+           ) AS rk
+    FROM adc
+  ) WHERE rk <= 100
+), rer AS (
+  SELECT cand.qid AS query_id, cand.vec_id,
+    round(list_sum(list_transform(range(1, 65), t ->
+      (CAST(eq.embedding[t] AS DOUBLE) - CAST(ec.embedding[t] AS DOUBLE)) *
+      (CAST(eq.embedding[t] AS DOUBLE) - CAST(ec.embedding[t] AS DOUBLE))
+    )), 4) AS l2_dist
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.qid
+  JOIN embeddings ec ON ec.vec_id = cand.vec_id
+)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY l2_dist ASC, vec_id ASC
+       ) AS INTEGER) AS rank,
+       l2_dist
+FROM rer
+QUALIFY rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4446,6 +4582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_extract": q_props_extract,
         "triangle_count": q_triangle_count,
         "dataset_card": q_dataset_card,
+        "pq_topk": q_pq_topk,
+        "pq_search": q_pq_search,
     }
 
 
@@ -4551,4 +4689,6 @@ def oracle_sql() -> dict[str, str]:
         "props_extract": _SQL_PROPS_EXTRACT,
         "triangle_count": _SQL_TRIANGLE_COUNT,
         "dataset_card": _SQL_DATASET_CARD,
+        "pq_topk": _SQL_PQ_TOPK,
+        "pq_search": _SQL_PQ_SEARCH,
     }

@@ -32,7 +32,7 @@ reconstruction error folds squared diffs in index order and rounds to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -180,6 +180,148 @@ def pq_encode(
             ).alias("pq_err"),
         )
         .drop("_asn")
+    )
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    topk: int = 5,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes — the
+    search half of product quantization: each query computes its m×k
+    table of exact subspace distances to the codebook ONCE; a corpus
+    vector's approximate distance is then m table lookups summed —
+    O(m) per corpus row instead of O(dim), over codes that are 32×
+    smaller than the vectors.
+
+    Topology: the query×codebook distance tables are
+    (|queries|·m·k)-sized — broadcast; scoring the corpus is a
+    zero-shuffle projection over the codes scan (lookups via
+    element_at into the broadcast table array); per-query top-k runs
+    as WindowGroupLimit. The corpus' full vectors are never read —
+    that is the point: at 10⁹ vectors the codes fit where the vectors
+    do not. Returns (query_id, id, rank, adc_dist) with
+    round(·, 4) distances, ties broken by id.
+    """
+    dim, m, k, topk = int(dim), int(m), int(k), int(topk)
+    w = dim // m
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    # per-query flat distance table: entry (j*k + c) = L2² between the
+    # query's subvector j and centroid c's subvector j
+    d2 = (
+        f"aggregate(sequence(1, {w}), 0.0D, (a, t) -> a + "
+        f"(CAST(element_at(_qv, j * {w} + t) AS DOUBLE) - "
+        f"element_at(element_at(cents, c + 1), j * {w} + t)) * "
+        f"(CAST(element_at(_qv, j * {w} + t) AS DOUBLE) - "
+        f"element_at(element_at(cents, c + 1), j * {w} + t)))"
+    )
+    table = (
+        f"flatten(transform(sequence(0, {m - 1}), j -> "
+        f"transform(sequence(0, {k - 1}), c -> {d2})))"
+    )
+    qt = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+        )
+        .crossJoin(F.broadcast(codebook))
+        .select("_qid", F.expr(table).alias("_tbl"))
+    )
+    adc = (
+        f"round(aggregate(sequence(0, {m - 1}), 0.0D, (a, j) -> "
+        f"a + element_at(_tbl, j * {k} + element_at(codes, j + 1) + 1)), 4)"
+    )
+    scored = (
+        corpus_codes.select(F.col(id_col), F.col("codes"))
+        .crossJoin(qt)
+        .select(
+            "_qid", F.col(id_col), F.expr(adc).alias("adc_dist")
+        )
+        .filter(F.col("_qid") != F.col(id_col))
+    )
+    w_rank = Window.partitionBy("_qid").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("_qid").alias("query_id"), F.col(id_col), "rank", "adc_dist"
+        )
+    )
+
+
+def pq_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 16,
+    k: int = 16,
+    shortlist: int = 100,
+    topk: int = 5,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """PQ search the way production uses it: the lossy ADC ranking is a
+    SHORTLIST generator, not the answer — ADC over codes prunes the
+    corpus to ``shortlist`` candidates per query (codes-only scan, full
+    vectors untouched), then an exact L2 re-rank reads real vectors for
+    only |queries|·shortlist rows. At 10⁹ vectors stage 1 touches 32×
+    less data than a brute-force scan and stage 2 is candidate-sized;
+    recall@5 ≥ 0.9 at the default dials is pinned by test (pure ADC
+    ranks these synthetic near-random embeddings at ~0.3-0.4 — the
+    re-rank stage is not optional, which is exactly the design lesson).
+
+    Returns (query_id, id, rank, l2_dist) — rank by EXACT distance,
+    4dp, ties to the smaller id."""
+    dim, topk = int(dim), int(topk)
+    cb = codebook if codebook is not None else pq_codebook(
+        corpus, id_col, vec_col, k
+    )
+    codes = pq_encode(
+        corpus, id_col, vec_col, dim=dim, m=m, k=k, codebook=cb
+    ).select(F.col(id_col), F.col("codes"))
+    cand = pq_topk(
+        codes, queries, id_col, vec_col, cb, dim=dim, m=m, k=k,
+        topk=int(shortlist),
+    ).select("query_id", F.col(id_col))
+    l2 = (
+        f"round(aggregate(sequence(1, {dim}), 0.0D, (a, t) -> a + "
+        f"(CAST(element_at(_qv, t) AS DOUBLE) - CAST(element_at(_cv, t) AS DOUBLE)) * "
+        f"(CAST(element_at(_qv, t) AS DOUBLE) - CAST(element_at(_cv, t) AS DOUBLE)))"
+        f", 4)"
+    )
+    rer = (
+        cand.join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("_qv"),
+                )
+            ),
+            on="query_id",
+        )
+        .join(
+            corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")),
+            on=id_col,
+        )
+        .select("query_id", F.col(id_col), F.expr(l2).alias("l2_dist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", id_col, "rank", "l2_dist")
     )
 
 

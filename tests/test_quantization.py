@@ -112,6 +112,55 @@ def test_pq_frozen_codebook_and_validation(spark, sf_dir):
         pass
 
 
+def test_pq_search_recall_floor(spark, sf_dir):
+    """ADC shortlist (100) + exact re-rank must recover ≥ 0.9 of the
+    true L2 top-5 at the default dials (measured 0.94 on this corpus);
+    the pure-ADC tier alone ranks ~0.3 here — the re-rank is the
+    design, not an optimization."""
+    from m3d_engine_spark.operators.quantization import pq_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    got: dict[int, set[int]] = {}
+    for r in pq_search(
+        emb, queries, "vec_id", "embedding", dim=64, m=16, k=16,
+        shortlist=100, topk=5,
+    ).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    # exact L2 top-5 via a broadcast cross join (500 x 20 — test-sized)
+    l2 = (
+        "aggregate(sequence(1, 64), 0.0D, (a, t) -> a + "
+        "(CAST(element_at(qv, t) AS DOUBLE) - CAST(element_at(cv, t) AS DOUBLE)) * "
+        "(CAST(element_at(qv, t) AS DOUBLE) - CAST(element_at(cv, t) AS DOUBLE)))"
+    )
+    from pyspark.sql import Window
+
+    pairs = (
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qv"),
+                )
+            )
+        )
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", F.expr(l2).alias("d"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("cid").asc())
+    exact: dict[int, set[int]] = {}
+    for r in (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    ):
+        exact.setdefault(r.qid, set()).add(r.cid)
+    hits = sum(len(got[q] & exact[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.9, hits / total
+
+
 def test_sq8_audit_shape(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     enc = sq8_encode(emb, "embedding", dim=64)
