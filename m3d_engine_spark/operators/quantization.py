@@ -114,6 +114,86 @@ def pq_codebook(
     ).select(F.expr("transform(_s, s -> s._v)").alias("cents"))
 
 
+def pq_codebook_trained(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 16,
+    k: int = 16,
+    iterations: int = 2,
+) -> DataFrame:
+    """Per-subspace Lloyd-trained PQ codebook — the quality upgrade
+    over the md5-sampled seeds (``pq_codebook``), same output shape so
+    ``pq_encode``/``pq_topk``/``pq_search`` take it unchanged.
+
+    ALL m subspaces train in the SAME job each round: vectors explode
+    once into (subspace, subvector) rows, assignment is an argmin fold
+    against the broadcast all-subspace codebook, and the centroid
+    update is one (subspace, cluster, dim) mean aggregate whose
+    m·k·(dim/m) = k·dim-row result is collected (model-sized — the
+    only driver traffic). Per round: one explode-scan + one keyed
+    aggregate; ``iterations`` rounds total. Empty clusters keep their
+    previous centroid (Lloyd degenerate-case handling). Deterministic:
+    md5-ranked init, exact argmin tie-break to the smaller id, means
+    over fixed membership."""
+    dim, m, k = int(dim), int(m), int(k)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    spark = df.sparkSession
+    seeds = (
+        df.select(
+            F.md5(F.col(id_col).cast("string")).alias("_o"),
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy("_o", "_id")
+        .limit(k)
+        .collect()
+    )
+    # cents[j][c] = subvector j of seed c
+    cents = [
+        [list(r["_v"][j * w : (j + 1) * w]) for r in seeds] for j in range(m)
+    ]
+    subs = F.expr(
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"slice(CAST({vec_col} AS array<double>), j * {w} + 1, {w}))"
+    )
+    rows = df.select(F.posexplode(subs).alias("j", "sv"))
+    d2 = (
+        f"aggregate(sequence(1, {w}), 0.0D, (a, t) -> a + "
+        f"(element_at(sv, t) - element_at(element_at(element_at(cb, j + 1), c + 1), t)) * "
+        f"(element_at(sv, t) - element_at(element_at(element_at(cb, j + 1), c + 1), t)))"
+    )
+    argmin = (
+        f"element_at(transform(array(transform(sequence(0, {k - 1}), c -> {d2})), "
+        f"ds -> aggregate(sequence(0, {k - 1}), "
+        f"named_struct('bc', -1, 'bd', CAST('Infinity' AS DOUBLE)), "
+        f"(acc, c) -> CASE WHEN element_at(ds, c + 1) < acc.bd "
+        f"THEN named_struct('bc', c, 'bd', element_at(ds, c + 1)) "
+        f"ELSE acc END).bc), 1)"
+    )
+    for _ in range(int(iterations)):
+        cb_df = spark.createDataFrame(
+            [(cents,)], "cb array<array<array<double>>>"
+        )
+        means = (
+            rows.crossJoin(F.broadcast(cb_df))
+            .select("j", "sv", F.expr(argmin).alias("c"))
+            .select("j", "c", F.posexplode("sv").alias("t", "x"))
+            .groupBy("j", "c", "t")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        for r in means:
+            cents[r["j"]][r["c"]][r["t"]] = float(r["mu"])
+    full = [
+        [x for j in range(m) for x in cents[j][c]] for c in range(k)
+    ]
+    return spark.createDataFrame([(full,)], "cents array<array<double>>")
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str,

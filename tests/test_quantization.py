@@ -161,6 +161,39 @@ def test_pq_search_recall_floor(spark, sf_dir):
     assert hits / total >= 0.9, hits / total
 
 
+def test_pq_trained_codebook_beats_sampled_adc(spark, sf_dir):
+    """The Lloyd-trained per-subspace codebook must reduce total
+    quantization error vs the md5-sampled seeds (same m/k), and slot
+    into pq_encode unchanged."""
+    from m3d_engine_spark.operators.quantization import (
+        pq_codebook,
+        pq_codebook_trained,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sampled = pq_codebook(emb, "vec_id", "embedding", k=16)
+    trained = pq_codebook_trained(
+        emb, "vec_id", "embedding", dim=64, m=16, k=16, iterations=2
+    )
+    err_s = (
+        pq_encode(emb, "vec_id", "embedding", dim=64, m=16, k=16,
+                  codebook=sampled)
+        .agg(F.sum(F.col("pq_err") * F.col("pq_err"))).first()[0]
+    )
+    err_t = (
+        pq_encode(emb, "vec_id", "embedding", dim=64, m=16, k=16,
+                  codebook=trained)
+        .agg(F.sum(F.col("pq_err") * F.col("pq_err"))).first()[0]
+    )
+    assert err_t < err_s, (err_t, err_s)
+    # training is deterministic: same codebook on a rerun
+    trained2 = pq_codebook_trained(
+        emb, "vec_id", "embedding", dim=64, m=16, k=16, iterations=2
+    )
+    assert trained.first()["cents"] == trained2.first()["cents"]
+
+
 def test_sq8_audit_shape(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     enc = sq8_encode(emb, "embedding", dim=64)
