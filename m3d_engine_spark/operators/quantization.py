@@ -87,6 +87,45 @@ def sq8_encode(
     return df.crossJoin(b).withColumn(codes_col, F.expr(code))
 
 
+def _md5_seed_rows(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """The first ``k`` vectors in (md5(id), id) order — the shared
+    deterministic seed sample behind both codebook builders."""
+    return (
+        df.select(
+            F.md5(F.col(id_col).cast("string")).alias("_o"),
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy("_o", "_id")
+        .limit(int(k))
+    )
+
+
+def _argmin_struct_over_k(d2_expr: str, k: int) -> str:
+    """SQL fragment: struct('bc', 'bd') = (0-based index, value) of
+    the minimum of ``d2_expr`` evaluated at c = 0..k-1; ties keep the
+    SMALLEST c; degenerate inputs (NaN distances) keep the -1
+    sentinel. The k distances are materialized ONCE and bound as the
+    lambda variable ``ds`` via the transform(array(...)) trick
+    (Catalyst would otherwise re-inline — and re-evaluate — the
+    distance fold per comparison)."""
+    return (
+        f"element_at(transform(array(transform(sequence(0, {int(k) - 1}), c -> {d2_expr})), "
+        f"ds -> aggregate(sequence(0, {int(k) - 1}), "
+        f"named_struct('bc', -1, 'bd', CAST('Infinity' AS DOUBLE)), "
+        f"(acc, c) -> CASE WHEN element_at(ds, c + 1) < acc.bd "
+        f"THEN named_struct('bc', c, 'bd', element_at(ds, c + 1)) "
+        f"ELSE acc END)), 1)"
+    )
+
+
+def _argmin_over_k(d2_expr: str, k: int) -> str:
+    """Index-only form of ``_argmin_struct_over_k``."""
+    return _argmin_struct_over_k(d2_expr, k) + ".bc"
+
+
 def pq_codebook(
     df: DataFrame,
     id_col: str,
@@ -97,18 +136,9 @@ def pq_codebook(
     — the first ``k`` vectors in (md5(id), id) order, the same
     sampled-quantizer convention as IVF's coarse centroids
     (``operators/similarity.py``). ``cents[c]`` is centroid ``c-1``
-    (1-based array access); a Lloyd-trained codebook from
-    ``operators/kmeans.py`` is the drop-in upgrade — the encode
-    topology below does not change."""
-    seeds = (
-        df.select(
-            F.md5(F.col(id_col).cast("string")).alias("_o"),
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).cast("array<double>").alias("_v"),
-        )
-        .orderBy("_o", "_id")
-        .limit(int(k))
-    )
+    (1-based array access); ``pq_codebook_trained`` is the drop-in
+    upgrade — the encode topology below does not change."""
+    seeds = _md5_seed_rows(df, id_col, vec_col, k)
     return seeds.agg(
         F.array_sort(F.collect_list(F.struct("_o", "_id", "_v"))).alias("_s")
     ).select(F.expr("transform(_s, s -> s._v)").alias("cents"))
@@ -142,16 +172,7 @@ def pq_codebook_trained(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     w = dim // m
     spark = df.sparkSession
-    seeds = (
-        df.select(
-            F.md5(F.col(id_col).cast("string")).alias("_o"),
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).cast("array<double>").alias("_v"),
-        )
-        .orderBy("_o", "_id")
-        .limit(k)
-        .collect()
-    )
+    seeds = _md5_seed_rows(df, id_col, vec_col, k).collect()
     # cents[j][c] = subvector j of seed c
     cents = [
         [list(r["_v"][j * w : (j + 1) * w]) for r in seeds] for j in range(m)
@@ -166,14 +187,7 @@ def pq_codebook_trained(
         f"(element_at(sv, t) - element_at(element_at(element_at(cb, j + 1), c + 1), t)) * "
         f"(element_at(sv, t) - element_at(element_at(element_at(cb, j + 1), c + 1), t)))"
     )
-    argmin = (
-        f"element_at(transform(array(transform(sequence(0, {k - 1}), c -> {d2})), "
-        f"ds -> aggregate(sequence(0, {k - 1}), "
-        f"named_struct('bc', -1, 'bd', CAST('Infinity' AS DOUBLE)), "
-        f"(acc, c) -> CASE WHEN element_at(ds, c + 1) < acc.bd "
-        f"THEN named_struct('bc', c, 'bd', element_at(ds, c + 1)) "
-        f"ELSE acc END).bc), 1)"
-    )
+    argmin = _argmin_over_k(d2, k)
     for _ in range(int(iterations)):
         cb_df = spark.createDataFrame(
             [(cents,)], "cb array<array<array<double>>>"
@@ -181,9 +195,21 @@ def pq_codebook_trained(
         means = (
             rows.crossJoin(F.broadcast(cb_df))
             .select("j", "sv", F.expr(argmin).alias("c"))
+            # the argmin sentinel (-1) survives only for degenerate
+            # inputs (NaN values, short vectors); letting it through
+            # would negative-index INTO centroid k-1 below — drop it
+            .filter(F.col("c") >= 0)
             .select("j", "c", F.posexplode("sv").alias("t", "x"))
             .groupBy("j", "c", "t")
-            .agg(F.avg("x").alias("mu"))
+            # decimal-exact mean (same discipline as kmeans.py): a
+            # double avg's partial-merge order would make centroids
+            # run-dependent, breaking the deterministic-retrain pin
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(27,10)"))
+                    / F.count(F.lit(1))
+                ).cast("double").alias("mu")
+            )
             .collect()
         )
         for r in means:
@@ -241,13 +267,8 @@ def pq_encode(
     # cheap O(k) argmin folds over them; inlining the w-term distance
     # fold into the CASE would evaluate it twice per centroid.
     asn = (
-        f"transform(sequence(0, {m - 1}), j -> element_at("
-        f"transform(array(transform(sequence(0, {k - 1}), c -> {d2})), "
-        f"ds -> aggregate(sequence(0, {k - 1}), "
-        f"named_struct('bc', -1, 'bd', CAST('Infinity' AS DOUBLE)), "
-        f"(acc, c) -> CASE WHEN element_at(ds, c + 1) < acc.bd "
-        f"THEN named_struct('bc', c, 'bd', element_at(ds, c + 1)) "
-        f"ELSE acc END)), 1))"
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"{_argmin_struct_over_k(d2, k)})"
     )
     return (
         df.crossJoin(cb)
@@ -354,8 +375,9 @@ def pq_search(
     SHORTLIST generator, not the answer — ADC over codes prunes the
     corpus to ``shortlist`` candidates per query (codes-only scan, full
     vectors untouched), then an exact L2 re-rank reads real vectors for
-    only |queries|·shortlist rows. At 10⁹ vectors stage 1 touches 32×
-    less data than a brute-force scan and stage 2 is candidate-sized;
+    only |queries|·shortlist rows. At 10⁹ vectors stage 1 touches 16×
+    less data than a brute-force scan at the default m=16 dials (32×
+    at m=8) and stage 2 is candidate-sized;
     recall@5 ≥ 0.9 at the default dials is pinned by test (pure ADC
     ranks these synthetic near-random embeddings at ~0.3-0.4 — the
     re-rank stage is not optional, which is exactly the design lesson).
@@ -363,9 +385,17 @@ def pq_search(
     Returns (query_id, id, rank, l2_dist) — rank by EXACT distance,
     4dp, ties to the smaller id."""
     dim, topk = int(dim), int(topk)
-    cb = codebook if codebook is not None else pq_codebook(
-        corpus, id_col, vec_col, k
-    )
+    if codebook is None:
+        # Materialize the default codebook ONCE (model-sized collect +
+        # local 1-row relation): the lazy pq_codebook subtree is
+        # consumed by BOTH pq_encode's broadcast and pq_topk's
+        # query-table broadcast — left lazy, its full-corpus
+        # TakeOrdered seed sample would execute twice in one query.
+        cents = pq_codebook(corpus, id_col, vec_col, k).first()["cents"]
+        codebook = corpus.sparkSession.createDataFrame(
+            [(cents,)], "cents array<array<double>>"
+        )
+    cb = codebook
     codes = pq_encode(
         corpus, id_col, vec_col, dim=dim, m=m, k=k, codebook=cb
     ).select(F.col(id_col), F.col("codes"))

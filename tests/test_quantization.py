@@ -156,7 +156,7 @@ def test_pq_search_recall_floor(spark, sf_dir):
         .collect()
     ):
         exact.setdefault(r.qid, set()).add(r.cid)
-    hits = sum(len(got[q] & exact[q]) for q in exact)
+    hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
     total = sum(len(exact[q]) for q in exact)
     assert hits / total >= 0.9, hits / total
 

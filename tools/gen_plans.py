@@ -82,7 +82,7 @@ HEADLINERS = {
     "triangle_count": "Exact triangle census with DEGREE ORIENTATION (Suri-Vassilvitskii): orienting each edge from the (degree,id)-smaller endpoint caps every wedge fan-out at O(sqrt m), so the wedge relation is O(m^1.5) worst-case instead of sum-of-degree-squares — the last-reducer hub problem is designed out; every join keyed, the closing edge a semi-join, counts map-side combinable. The entry scopes to quarter-orders because the UNSCOPED wedge term measured 4x the cost — the bound being load-bearing is the demonstration.",
     "dataset_card": "Dataset-card rollup: token counts and quality are the shared JVM feature projections; ONE keyed aggregate with decimal-exact quality sums — the exchange carries languages-sized partials, never documents.",
     "pq_topk": "ADC ranking over PQ codes: each query's m x k subspace-distance table is computed ONCE against the broadcast codebook (queries x codebook, tiny) and broadcast; corpus scoring is m element_at lookups per row over the 32x-smaller codes relation — a zero-shuffle projection; per-query top-k is WindowGroupLimit. Corpus vectors are never read at query time.",
-    "pq_search": "Production PQ retrieval: the lossy ADC ranking generates a SHORTLIST (top-100 per query over codes), then exact L2 re-ranks only |Q| x 100 candidate rows against real vectors (broadcast queries, keyed candidate join). Recall@5 >= 0.9 pinned; pure ADC ranks ~0.3 on this corpus — the re-rank stage IS the design.",
+    "pq_search": "Production PQ retrieval: the lossy ADC ranking generates a SHORTLIST (top-100 per query over codes), then exact L2 re-ranks only |Q| x 100 candidate rows against real vectors (broadcast queries, keyed candidate join; the default codebook is collected once as a model-sized local relation so its seed-sample subtree cannot execute twice). Recall@5 >= 0.9 pinned; pure ADC ranks ~0.3 on this corpus — the re-rank stage IS the design.",
     "repeated_spans": "ExactSubstr-style span removal (fixed-L window relaxation of the suffix-array spans): per-position md5(L-gram) projection, ONE gram-keyed exchange for the count + packed-integer min winner election (map-side combinable), occurrences x repeated-grams equi-join on the 16-byte hash, covered-position fan-out + rebuild keyed on the doc id — gram TEXT never crosses an exchange, document text rides only the first projection and the final rebuild join; nothing quadratic (pinned).",
 }
 
