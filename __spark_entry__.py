@@ -4471,6 +4471,105 @@ QUALIFY rank <= 5
 """
 
 
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ retrieval (quantization.py::ivfpq_search) — the FAISS
+    ``IVF8,PQ8`` shape: coarse cells prune WHICH vectors are ADC-scored
+    (equi-join on the probed cell, 2/8 of the corpus here), PQ codes
+    prune HOW MUCH of each is read, exact L2 re-ranks the shortlist-50;
+    corpus prep (cell + codes) is one zero-exchange projection."""
+    from m3d_engine_spark.operators.quantization import ivfpq_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return ivfpq_search(
+        emb, queries, "vec_id", "embedding", dim=64,
+        n_cells=8, n_probe=2, m=8, k=16, shortlist=50, topk=5,
+    )
+
+
+_SQL_IVFPQ_SEARCH = """
+WITH cb AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+         CAST(embedding AS DOUBLE[]) AS cent
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16
+), cells AS (
+  SELECT c, cent FROM cb WHERE c < 8
+), celld AS (
+  SELECT e.vec_id, cells.c,
+    list_sum(list_transform(range(1, 65), t ->
+      (CAST(e.embedding[t] AS DOUBLE) - cells.cent[t]) *
+      (CAST(e.embedding[t] AS DOUBLE) - cells.cent[t])
+    )) AS dist
+  FROM embeddings e CROSS JOIN cells
+), assign AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
+    FROM celld
+  ) WHERE rk = 1
+), d2 AS (
+  SELECT e.vec_id, j.j, cb.c,
+    list_sum(list_transform(range(1, 9), t ->
+      (CAST(e.embedding[j.j * 8 + t] AS DOUBLE) - cb.cent[j.j * 8 + t]) *
+      (CAST(e.embedding[j.j * 8 + t] AS DOUBLE) - cb.cent[j.j * 8 + t])
+    )) AS dist
+  FROM embeddings e CROSS JOIN range(0, 8) j(j) CROSS JOIN cb
+), codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rk
+    FROM d2
+  ) WHERE rk = 1
+), q AS (
+  SELECT vec_id AS qid FROM embeddings WHERE vec_id % 25 = 0
+), probe AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, celld.c AS cell,
+           row_number() OVER (
+             PARTITION BY q.qid ORDER BY celld.dist, celld.c
+           ) AS rk
+    FROM celld JOIN q ON celld.vec_id = q.qid
+  ) WHERE rk <= 2
+), tbl AS (
+  SELECT d2.vec_id AS qid, d2.j, d2.c, d2.dist
+  FROM d2 JOIN q ON d2.vec_id = q.qid
+), adc AS (
+  SELECT t.qid, codes.vec_id, round(sum(t.dist), 4) AS adc_dist
+  FROM codes
+  JOIN assign ON assign.vec_id = codes.vec_id
+  JOIN probe ON probe.cell = assign.cell
+  JOIN tbl t ON t.qid = probe.qid AND t.j = codes.j AND t.c = codes.c
+  WHERE t.qid <> codes.vec_id
+  GROUP BY t.qid, codes.vec_id
+), cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC
+           ) AS rk
+    FROM adc
+  ) WHERE rk <= 50
+), rer AS (
+  SELECT cand.qid AS query_id, cand.vec_id,
+    round(list_sum(list_transform(range(1, 65), t ->
+      (CAST(eq.embedding[t] AS DOUBLE) - CAST(ec.embedding[t] AS DOUBLE)) *
+      (CAST(eq.embedding[t] AS DOUBLE) - CAST(ec.embedding[t] AS DOUBLE))
+    )), 4) AS l2_dist
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.qid
+  JOIN embeddings ec ON ec.vec_id = cand.vec_id
+)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY l2_dist ASC, vec_id ASC
+       ) AS INTEGER) AS rank,
+       l2_dist
+FROM rer
+QUALIFY rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4584,6 +4683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": q_dataset_card,
         "pq_topk": q_pq_topk,
         "pq_search": q_pq_search,
+        "ivfpq_search": q_ivfpq_search,
     }
 
 
@@ -4691,4 +4791,5 @@ def oracle_sql() -> dict[str, str]:
         "dataset_card": _SQL_DATASET_CARD,
         "pq_topk": _SQL_PQ_TOPK,
         "pq_search": _SQL_PQ_SEARCH,
+        "ivfpq_search": _SQL_IVFPQ_SEARCH,
     }

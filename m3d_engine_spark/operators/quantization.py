@@ -403,6 +403,24 @@ def pq_search(
         codes, queries, id_col, vec_col, cb, dim=dim, m=m, k=k,
         topk=int(shortlist),
     ).select("query_id", F.col(id_col))
+    return _exact_l2_rerank(cand, corpus, queries, id_col, vec_col, dim, topk)
+
+
+def _exact_l2_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    topk: int,
+) -> DataFrame:
+    """Stage 2 shared by ``pq_search`` and ``ivfpq_search``: exact L2
+    over the (query_id, id) candidate relation only — the full vectors
+    are read for |queries|·shortlist rows, never the corpus. Returns
+    (query_id, id, rank, l2_dist), rank by exact distance, 4dp, ties
+    to the smaller id."""
+    dim, topk = int(dim), int(topk)
     l2 = (
         f"round(aggregate(sequence(1, {dim}), 0.0D, (a, t) -> a + "
         f"(CAST(element_at(_qv, t) AS DOUBLE) - CAST(element_at(_cv, t) AS DOUBLE)) * "
@@ -464,3 +482,158 @@ def sq8_reconstruction_error(
         ),
         F.expr(err).alias("recon_err"),
     )
+
+
+def ivfpq_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k: int = 16,
+    shortlist: int = 100,
+    topk: int = 5,
+    cells: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ retrieval — the production billion-vector ANN shape
+    (FAISS ``IVFx,PQy`` lineage): a coarse quantizer prunes WHICH rows
+    are scored, product quantization prunes HOW MUCH of each row is
+    read, and an exact re-rank restores accuracy on the shortlist.
+
+        coarse: cell(v) = argmin_c L2²(v, cells[c])   — inverted lists
+        probe:  each query scores only its n_probe nearest cells
+        ADC:    m table lookups per candidate over the 32×-smaller codes
+        rerank: exact L2 over |queries|·shortlist candidate vectors
+
+    Topology (the reason this survives 10⁹ vectors where ``pq_topk``'s
+    full-corpus ADC scan does not):
+
+    * Corpus prep is ONE zero-exchange projection: the cell argmin and
+      the PQ encode both fold against broadcast 1-row relations
+      (coarse cells + codebook), so (id, cell, codes) is computed in a
+      single scan — at write time this materializes as a table
+      partitioned by ``cell``.
+    * The probe stage is an EQUI-JOIN on ``cell`` between the codes
+      relation and the exploded (query, probed-cell) list — candidates
+      are n_probe/n_cells of the corpus, not all of it; against a
+      cell-partitioned codes table the join is a pruned scan.
+    * ADC tables (|queries|·m·k doubles) and probe lists ride the same
+      broadcast; scoring is a projection on the join output; per-query
+      shortlist is a WindowGroupLimit; stage-2 re-rank reads real
+      vectors for candidates only (shared with ``pq_search``).
+
+    Both quantizers default to the md5-sampled convention (
+    ``pq_codebook``) so the whole operator is oracle-checkable; pass
+    ``cells`` / ``codebook`` (any 1-row ``cents array<array<double>>``
+    relation, e.g. ``pq_codebook_trained`` output) to swap in trained
+    models — the topology does not change. Codes here quantize RAW
+    vectors, not residuals (residual PQ needs a per-cell codebook —
+    a model change, not a topology change; documented trade-off).
+
+    Returns (query_id, id, rank, l2_dist) — rank by EXACT distance,
+    4dp, ties to the smaller id.
+    """
+    dim, n_cells, n_probe = int(dim), int(n_cells), int(n_probe)
+    m, k, shortlist, topk = int(m), int(k), int(shortlist), int(topk)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    spark = corpus.sparkSession
+
+    def _materialized(model: DataFrame | None, kk: int) -> DataFrame:
+        # Materialize each default model ONCE (model-sized collect +
+        # local 1-row relation) — the lazy pq_codebook subtree would
+        # otherwise re-run its full-corpus TakeOrdered seed sample in
+        # every consumer (same discipline as pq_search).
+        if model is not None:
+            return model
+        cents = pq_codebook(corpus, id_col, vec_col, kk).first()["cents"]
+        return spark.createDataFrame(
+            [(cents,)], "cents array<array<double>>"
+        )
+
+    cells_df = F.broadcast(
+        _materialized(cells, n_cells).select(F.col("cents").alias("cells"))
+    )
+    cb = _materialized(codebook, k)
+
+    # --- corpus side: (id, cell, codes) in one scan, zero exchanges
+    def _cell_d2(vc: str) -> str:
+        return (
+            f"aggregate(sequence(1, {dim}), 0.0D, (a, t) -> a + "
+            f"(CAST(element_at({vc}, t) AS DOUBLE) - "
+            f"element_at(element_at(cells, c + 1), t)) * "
+            f"(CAST(element_at({vc}, t) AS DOUBLE) - "
+            f"element_at(element_at(cells, c + 1), t)))"
+        )
+
+    cell_expr = _argmin_over_k(_cell_d2(vec_col), n_cells)
+    codes = (
+        pq_encode(corpus, id_col, vec_col, dim=dim, m=m, k=k, codebook=cb)
+        .select(F.col(id_col), F.col(vec_col), F.col("codes"))
+        .crossJoin(cells_df)
+        .select(
+            F.col(id_col),
+            F.expr(cell_expr).alias("cell"),
+            F.col("codes"),
+        )
+    )
+
+    # --- query side: ADC table + n_probe nearest cells, one broadcast
+    w = dim // m
+    q_sub_d2 = (
+        f"aggregate(sequence(1, {w}), 0.0D, (a, t) -> a + "
+        f"(CAST(element_at(_qv, j * {w} + t) AS DOUBLE) - "
+        f"element_at(element_at(cents, c + 1), j * {w} + t)) * "
+        f"(CAST(element_at(_qv, j * {w} + t) AS DOUBLE) - "
+        f"element_at(element_at(cents, c + 1), j * {w} + t)))"
+    )
+    table = (
+        f"flatten(transform(sequence(0, {m - 1}), j -> "
+        f"transform(sequence(0, {k - 1}), c -> {q_sub_d2})))"
+    )
+    q_cell_d2 = _cell_d2("_qv")
+    probes = (
+        f"transform(slice(array_sort(transform(sequence(0, {n_cells - 1}), "
+        f"c -> named_struct('d', {q_cell_d2}, 'c', c))), 1, {n_probe}), "
+        f"s -> s.c)"
+    )
+    qt = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+        )
+        .crossJoin(F.broadcast(cb))
+        .crossJoin(cells_df)
+        .select(
+            "_qid",
+            F.expr(table).alias("_tbl"),
+            F.explode(F.expr(probes)).alias("cell"),
+        )
+    )
+
+    # --- probe join + ADC shortlist
+    adc = (
+        f"round(aggregate(sequence(0, {m - 1}), 0.0D, (a, j) -> "
+        f"a + element_at(_tbl, j * {k} + element_at(codes, j + 1) + 1)), 4)"
+    )
+    scored = (
+        codes.join(qt, on="cell")
+        .filter(F.col("_qid") != F.col(id_col))
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col(id_col),
+            F.expr(adc).alias("adc_dist"),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w_short))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", F.col(id_col))
+    )
+    return _exact_l2_rerank(cand, corpus, queries, id_col, vec_col, dim, topk)

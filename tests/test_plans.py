@@ -906,3 +906,18 @@ def test_data_profile_single_pass(spark, sf_dir):
     # the sketch tier must not plan the count_distinct Expand
     assert "Expand" not in sketch, sketch
     assert sketch.count("Exchange") <= 1, sketch
+
+
+def test_ivfpq_probe_is_keyed_equi_join(spark, sf_dir):
+    """ivfpq_search: candidates come from the cell-keyed equi-join
+    between the codes relation and the broadcast (query, probed-cell)
+    list — a BroadcastHashJoin, never a corpus-wide cross join (the
+    only BNLJs are the 1-row model broadcasts of corpus/query prep);
+    the ADC shortlist runs as WindowGroupLimit; zero Python."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["ivfpq_search"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
