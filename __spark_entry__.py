@@ -4570,6 +4570,84 @@ QUALIFY rank <= 5
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (graph.py::pagerank), 5 rounds at
+    d=0.85 over the symmetrized co-purchase graph (parts sharing an
+    order, quarter of orders). Exact long arithmetic on a 10¹² lattice
+    — bit-identical across engines/partitionings, where float PageRank
+    diverges on summation order; one keyed join + one sum per round,
+    edge relation persisted once."""
+    from m3d_engine_spark.operators.graph import pagerank
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            on=[
+                F.col("x.l_orderkey") == F.col("y.l_orderkey"),
+                F.col("x.l_partkey") < F.col("y.l_partkey"),
+            ],
+        )
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iterations=5)
+
+
+_SQL_PAGERANK = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+), p AS (
+  SELECT x.l_partkey AS src, y.l_partkey AS dst
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+), e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p
+  )
+), deg AS (
+  SELECT src, count(*) AS outdeg FROM e0 GROUP BY src
+), e AS (
+  SELECT e0.src, e0.dst, deg.outdeg FROM e0 JOIN deg ON deg.src = e0.src
+), r0 AS (
+  SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg
+), r1 AS (
+  SELECT e.dst AS node,
+         150000000000 + (85 * sum(r.r // e.outdeg)) // 100 AS r
+  FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst
+), r2 AS (
+  SELECT e.dst AS node,
+         150000000000 + (85 * sum(r.r // e.outdeg)) // 100 AS r
+  FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst
+), r3 AS (
+  SELECT e.dst AS node,
+         150000000000 + (85 * sum(r.r // e.outdeg)) // 100 AS r
+  FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst
+), r4 AS (
+  SELECT e.dst AS node,
+         150000000000 + (85 * sum(r.r // e.outdeg)) // 100 AS r
+  FROM e JOIN r3 r ON e.src = r.node GROUP BY e.dst
+), r5 AS (
+  SELECT e.dst AS node,
+         150000000000 + (85 * sum(r.r // e.outdeg)) // 100 AS r
+  FROM e JOIN r4 r ON e.src = r.node GROUP BY e.dst
+)
+SELECT node, CAST(r AS BIGINT) AS rank_int,
+       round(CAST(r AS DOUBLE) / 1000000000000, 6) AS rank
+FROM r5
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4684,6 +4762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "pq_search": q_pq_search,
         "ivfpq_search": q_ivfpq_search,
+        "pagerank": q_pagerank,
     }
 
 
@@ -4792,4 +4871,5 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _SQL_PQ_TOPK,
         "pq_search": _SQL_PQ_SEARCH,
         "ivfpq_search": _SQL_IVFPQ_SEARCH,
+        "pagerank": _SQL_PAGERANK,
     }

@@ -106,3 +106,55 @@ def test_triangle_count_known_graphs(spark):
     # wedge relation is orientation-bounded: K4 has 4 apex wedges + 0
     # from the square's oriented paths' meeting points <= C(2,2)-style
     assert r.n_wedges >= r.n_triangles
+
+
+def test_pagerank_regular_graph_is_stationary(spark):
+    """On a regular graph (all outdegrees equal, symmetric) the
+    per-node-normalized lattice init IS the fixpoint: every round
+    returns exactly ``scale`` — the invariant that pins both the
+    recurrence constants and the integer arithmetic."""
+    from m3d_engine_spark.operators.graph import pagerank
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)],
+        "src long, dst long",
+    )
+    out = {r.node: r.rank_int for r in pagerank(cyc, iterations=5).collect()}
+    assert out == {1: 10**12, 2: 10**12, 3: 10**12}
+
+
+def test_pagerank_hand_computed_and_deterministic(spark):
+    """2 rounds on a 3-node asymmetric graph match the hand-run
+    recurrence exactly (integer div, floor semantics), sinks decay
+    to the teleport base, and a rerun is bit-identical."""
+    from m3d_engine_spark.operators.graph import pagerank
+
+    st = spark.createDataFrame(
+        [(2, 1), (3, 1), (1, 2)], "src long, dst long"
+    )
+    out = {r.node: r.rank_int for r in pagerank(st, iterations=2).collect()}
+    # r1 = {1: 1.85e12, 2: 1e12, 3: 0.15e12}; r2 below
+    assert out == {
+        1: 1_127_500_000_000,
+        2: 1_722_500_000_000,
+        3: 150_000_000_000,
+    }
+    again = {r.node: r.rank_int for r in pagerank(st, iterations=2).collect()}
+    assert again == out
+
+
+def test_pagerank_authority_ordering(spark):
+    """A hub-and-spoke graph must rank the hub above every spoke —
+    the qualitative property the operator exists for."""
+    from m3d_engine_spark.operators.graph import pagerank
+
+    spokes = [(i, 0) for i in range(1, 9)] + [(0, i) for i in range(1, 9)]
+    out = {
+        r.node: r.rank_int
+        for r in pagerank(
+            spark.createDataFrame(spokes, "src long, dst long"),
+            iterations=5,
+        ).collect()
+    }
+    hub = out.pop(0)
+    assert all(hub > v for v in out.values()), (hub, out)

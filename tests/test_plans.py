@@ -921,3 +921,22 @@ def test_ivfpq_probe_is_keyed_equi_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pagerank_rounds_are_keyed_joins(spark):
+    """pagerank (checkpoint=False exposes the full lazy recurrence):
+    every round is an equi-join on src plus a sum aggregate on dst —
+    no cartesian/BNLJ anywhere in the 5-round plan, no Python, and
+    the persisted edge relation is read from cache per round
+    (InMemoryTableScan), never recomputed."""
+    from m3d_engine_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)],
+        "src long, dst long",
+    )
+    plan = _plan_simple(pagerank(edges, iterations=5, checkpoint=False))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
