@@ -4648,6 +4648,39 @@ FROM r5
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample (sampling.py::
+    weighted_sample): 20 docs per language with selection probability
+    ∝ n_chars — priority = md5-integer / weight, exact integer + IEEE
+    division so the draw is bit-identical across engines; per-stratum
+    top-n runs as WindowGroupLimit."""
+    from m3d_engine_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_sample(docs, ["lang"], 20, "doc_id", "n_chars")
+
+
+_SQL_WEIGHTED_SAMPLE = """
+WITH s AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, lang, n_chars, round(priority, 6) AS priority, rk
+FROM (
+  SELECT doc_id, lang, n_chars, priority,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY priority, doc_id
+         ) AS INTEGER) AS rk
+  FROM s
+) WHERE rk <= 20
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4763,6 +4796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_search": q_pq_search,
         "ivfpq_search": q_ivfpq_search,
         "pagerank": q_pagerank,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -4872,4 +4906,5 @@ def oracle_sql() -> dict[str, str]:
         "pq_search": _SQL_PQ_SEARCH,
         "ivfpq_search": _SQL_IVFPQ_SEARCH,
         "pagerank": _SQL_PAGERANK,
+        "weighted_sample": _SQL_WEIGHTED_SAMPLE,
     }

@@ -241,3 +241,56 @@ def chunk_documents(
         F.size(F.split(F.col("chunk"), " ")).alias("n_tokens"),
         F.col("chunk"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n: int,
+    id_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Deterministic WEIGHTED priority sample: the first ``n`` rows of
+    each stratum by priority = h/w, where h is the md5-of-id integer
+    (first 8 hex digits, uniform on [0, 2³²)) and w the row's weight —
+    the sampling dial curation uses for "prefer longer/higher-quality
+    documents, but keep the draw reproducible".
+
+    Law: a row survives a priority threshold t iff h < t·w, so
+    selection probability is ∝ w exactly while t·w ≤ 2³² — i.e. in
+    the small-fraction regime (n ≪ stratum size) this matches the
+    exponential-race A-ES sampler to first order. At large fractions
+    the uniform race is flatter than the exponential one (top-1 of a
+    {w, 3w} pair goes to the heavy row with p = 5/6, vs 3/4 for
+    exponential keys — pinned by test). We take that documented bias
+    in exchange for EXACTNESS: h is an exact integer and IEEE division
+    is correctly rounded, so the sample is bit-identical across
+    engines and reruns — keys built from ln/pow (true A-ES) are
+    implementation-defined in their last ulp and can flip a boundary
+    row between engines.
+
+    Rows with NULL or non-positive weight are excluded (a weight of 0
+    means "never sample"; negative weights have no sampling meaning).
+
+    Scale: same WindowGroupLimit shape as ``stratified_sample`` —
+    each task keeps its local top-n per stratum BEFORE the exchange,
+    so the shuffle carries n·tasks rows per stratum, never the
+    stratum. Output = surviving input rows + ``priority`` (6dp) +
+    ``rk`` (1-based rank within the stratum).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    base = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn(
+        "priority", h.cast("double") / F.col(weight_col).cast("double")
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.col("priority").asc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= int(n))
+        .withColumn("priority", F.round(F.col("priority"), 6))
+    )

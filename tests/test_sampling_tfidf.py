@@ -223,3 +223,50 @@ class TestGreedyPacking:
             F.col("nt"), budget=100, shard_budget=300,
         )
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_weighted_sample_law_and_exclusions(spark):
+    """Pins the uniform-race law: over many independent {w, 3w} pairs,
+    the heavy row takes top-1 with p = P(u_b/3 < u_a) = 5/6 (NOT the
+    exponential-race 3/4 — the documented large-fraction bias of the
+    division-form keys), measured here against md5's empirical
+    uniforms. Also: zero/negative/null weights never selected;
+    reruns bit-identical."""
+    from m3d_engine_spark.operators.sampling import weighted_sample
+
+    rows = []
+    for g in range(1200):
+        rows.append((g * 2, g, 1.0))       # light
+        rows.append((g * 2 + 1, g, 3.0))   # heavy
+    df = spark.createDataFrame(rows, "id long, grp int, w double")
+    top1 = weighted_sample(df, ["grp"], 1, "id", "w")
+    heavy_wins = top1.filter(F.col("id") % 2 == 1).count()
+    frac = heavy_wins / 1200
+    assert abs(frac - 5 / 6) < 0.04, frac  # ±3.5σ band around 5/6
+    # weight exclusions: 0, negative, and null rows can never appear
+    bad = spark.createDataFrame(
+        [(1, 0, 0.0), (2, 0, -5.0), (3, 0, None), (4, 0, 2.0)],
+        "id long, grp int, w double",
+    )
+    kept = weighted_sample(bad, ["grp"], 10, "id", "w").collect()
+    assert [r.id for r in kept] == [4]
+    # deterministic rerun
+    a = sorted(map(tuple, top1.collect()))
+    b = sorted(map(tuple, weighted_sample(df, ["grp"], 1, "id", "w").collect()))
+    assert a == b
+
+
+def test_weighted_sample_uses_window_group_limit(spark):
+    """Same pre-exchange top-n shape as stratified_sample: the rank
+    filter must compile to WindowGroupLimit so the shuffle carries at
+    most n rows per stratum per task."""
+    from m3d_engine_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i + 1)) for i in range(100)],
+        "id long, grp int, w double",
+    )
+    plan = weighted_sample(df, ["grp"], 5, "id", "w")._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        weighted_sample(df, ["grp"], 5, "id", "w")._jdf.queryExecution(), "simple"
+    )
+    assert "WindowGroupLimit" in plan, plan
