@@ -4681,6 +4681,97 @@ FROM (
 """
 
 
+def q_rank_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: importance-weighted corpus selection — PageRank
+    over the co-purchase graph becomes the sampling weight (the
+    link-aware curation pass: crawl/keep documents in proportion to
+    the centrality of their node). 50 parts drawn by exact-lattice
+    rank weight; both stages bit-deterministic, so the composition
+    is too."""
+    from m3d_engine_spark.operators.graph import pagerank
+    from m3d_engine_spark.operators.sampling import weighted_sample
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            on=[
+                F.col("x.l_orderkey") == F.col("y.l_orderkey"),
+                F.col("x.l_partkey") < F.col("y.l_partkey"),
+            ],
+        )
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=5).select("node", "rank_int")
+    return weighted_sample(ranks, [], 50, "node", "rank_int").select(
+        "node", "rank_int", "priority", "rk"
+    )
+
+
+_SQL_RANK_WEIGHTED_SAMPLE = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+), p AS (
+  SELECT x.l_partkey AS src, y.l_partkey AS dst
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+), e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p
+  )
+), deg AS (
+  SELECT src, count(*) AS outdeg FROM e0 GROUP BY src
+), e AS (
+  SELECT e0.src, e0.dst, deg.outdeg FROM e0 JOIN deg ON deg.src = e0.src
+), r0 AS (
+  SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg
+), r1 AS (
+  SELECT e.dst AS node,
+         150000000000 + (85 * sum(r.r // e.outdeg)) // 100 AS r
+  FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst
+), r2 AS (
+  SELECT e.dst AS node,
+         150000000000 + (85 * sum(r.r // e.outdeg)) // 100 AS r
+  FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst
+), r3 AS (
+  SELECT e.dst AS node,
+         150000000000 + (85 * sum(r.r // e.outdeg)) // 100 AS r
+  FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst
+), r4 AS (
+  SELECT e.dst AS node,
+         150000000000 + (85 * sum(r.r // e.outdeg)) // 100 AS r
+  FROM e JOIN r3 r ON e.src = r.node GROUP BY e.dst
+), r5 AS (
+  SELECT e.dst AS node,
+         150000000000 + (85 * sum(r.r // e.outdeg)) // 100 AS r
+  FROM e JOIN r4 r ON e.src = r.node GROUP BY e.dst
+), s AS (
+  SELECT node, CAST(r AS BIGINT) AS rank_int,
+         CAST(CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8))
+              AS UBIGINT) AS DOUBLE) / CAST(r AS DOUBLE) AS priority
+  FROM r5
+  WHERE r > 0
+)
+SELECT node, rank_int, round(priority, 6) AS priority, rk
+FROM (
+  SELECT node, rank_int, priority,
+         CAST(row_number() OVER (ORDER BY priority, node) AS INTEGER) AS rk
+  FROM s
+) WHERE rk <= 50
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4797,6 +4888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_search": q_ivfpq_search,
         "pagerank": q_pagerank,
         "weighted_sample": q_weighted_sample,
+        "rank_weighted_sample": q_rank_weighted_sample,
     }
 
 
@@ -4907,4 +4999,5 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_search": _SQL_IVFPQ_SEARCH,
         "pagerank": _SQL_PAGERANK,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
+        "rank_weighted_sample": _SQL_RANK_WEIGHTED_SAMPLE,
     }
