@@ -4772,6 +4772,64 @@ FROM (
 """
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script census (functions/text.py::script_counts +
+    main_script): per-document code-point counts for
+    latin/cyrillic/han/arabic/digit classes plus the dominant script
+    (fixed precedence tie-break) and the main-script character share —
+    the pre-tokenization signal that catches mixed-script spam and
+    wrong-language routing. Pure JVM regexp projections, zero
+    exchanges."""
+    from m3d_engine_spark.functions.text import main_script, script_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    c = script_counts(F.col("text"))
+    n = F.length(F.col("text"))
+    best = F.greatest(
+        c["latin"], c["cyrillic"], c["han"], c["arabic"]
+    )
+    return docs.select(
+        "doc_id",
+        c["latin"].alias("n_latin"),
+        c["cyrillic"].alias("n_cyrillic"),
+        c["han"].alias("n_han"),
+        c["arabic"].alias("n_arabic"),
+        c["digit"].alias("n_digit"),
+        main_script(c).alias("main_script"),
+        F.when(n > 0, F.round(best.cast("double") / n, 4))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("script_share"),
+    )
+
+
+_SQL_SCRIPT_PROFILE = r"""
+WITH c AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[^\p{Latin}]', '', 'g'))    AS n_latin,
+         length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g')) AS n_cyrillic,
+         length(regexp_replace(text, '[^\p{Han}]', '', 'g'))      AS n_han,
+         length(regexp_replace(text, '[^\p{Arabic}]', '', 'g'))   AS n_arabic,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))          AS n_digit,
+         length(text) AS n
+  FROM documents
+)
+SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_digit,
+       CASE
+         WHEN n_latin >= n_cyrillic AND n_latin >= n_han
+              AND n_latin >= n_arabic AND n_latin > 0 THEN 'latin'
+         WHEN n_cyrillic >= n_han AND n_cyrillic >= n_arabic
+              AND n_cyrillic > 0 THEN 'cyrillic'
+         WHEN n_han >= n_arabic AND n_han > 0 THEN 'han'
+         WHEN n_arabic > 0 THEN 'arabic'
+         ELSE 'none'
+       END AS main_script,
+       CASE WHEN n > 0 THEN round(
+         CAST(greatest(n_latin, n_cyrillic, n_han, n_arabic) AS DOUBLE) / n, 4)
+       END AS script_share
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4889,6 +4947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "weighted_sample": q_weighted_sample,
         "rank_weighted_sample": q_rank_weighted_sample,
+        "script_profile": q_script_profile,
     }
 
 
@@ -5000,4 +5059,5 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _SQL_PAGERANK,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "rank_weighted_sample": _SQL_RANK_WEIGHTED_SAMPLE,
+        "script_profile": _SQL_SCRIPT_PROFILE,
     }

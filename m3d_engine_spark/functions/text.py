@@ -123,3 +123,50 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized, lowercased
     text. Content-addressable identity for exact dedup."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+# Unicode-script census — the multilingual-curation signal language_id
+# does NOT give you: language_id scores stopword membership (needs the
+# text to be in a known language), while the script census works on ANY
+# text and catches mixed-script spam, mojibake, and wrong-language
+# routing before tokenization. Java regex spells script classes
+# \p{IsXxx}; RE2 (DuckDB) spells them \p{Xxx} — both count the same
+# code points (pinned by the oracle entry).
+_SCRIPTS = [
+    ("latin", r"[^\p{IsLatin}]"),
+    ("cyrillic", r"[^\p{IsCyrillic}]"),
+    ("han", r"[^\p{IsHan}]"),
+    ("arabic", r"[^\p{IsArabic}]"),
+]
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script character counts (code points, not bytes) as JVM
+    regexp_replace+length projections — one pass per script class over
+    the string, zero exchanges, no Python."""
+    out = {
+        name: F.length(F.regexp_replace(text, pat, ""))
+        for name, pat in _SCRIPTS
+    }
+    out["digit"] = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    return out
+
+
+def main_script(counts: dict[str, Column]) -> Column:
+    """Dominant script with a FIXED precedence tie-break
+    (latin > cyrillic > han > arabic — deterministic, engine-portable;
+    an array_max over structs would tie-break on the count only) and
+    'none' when no script character occurs at all."""
+    lat, cyr, han, ara = (
+        counts["latin"], counts["cyrillic"], counts["han"], counts["arabic"]
+    )
+    return (
+        F.when(
+            (lat >= cyr) & (lat >= han) & (lat >= ara) & (lat > 0),
+            F.lit("latin"),
+        )
+        .when((cyr >= han) & (cyr >= ara) & (cyr > 0), F.lit("cyrillic"))
+        .when((han >= ara) & (han > 0), F.lit("han"))
+        .when(ara > 0, F.lit("arabic"))
+        .otherwise(F.lit("none"))
+    )

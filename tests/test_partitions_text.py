@@ -165,3 +165,48 @@ def test_pii_scrub_counts_and_order(spark):
     assert (r[2].n_ips, r[2].n_phones) == (1, 1)
     assert r[2].scrubbed == "ip <IP> vs phone <PHONE>"
     assert r[3].scrubbed == "nothing here"
+
+
+def test_script_census_multilingual(spark):
+    """Script counts and dominant-script election on genuinely
+    multilingual strings (the parquet testdata is ASCII-only, so the
+    oracle entry exercises the latin path — this pins the rest):
+    counts are code points not bytes, mixed-script text elects by
+    majority with the fixed latin>cyrillic>han>arabic tie-break, and
+    scriptless text reports 'none'."""
+    from pyspark.sql import functions as F
+
+    from m3d_engine_spark.functions.text import main_script, script_counts
+
+    rows = [
+        (1, "hello world"),
+        (2, "привет мир"),
+        (3, "你好世界"),
+        (4, "مرحبا بالعالم"),
+        (5, "héllo мир"),       # 5 latin vs 3 cyrillic -> latin
+        (6, "код code"),        # 3 cyrillic vs 4 latin -> latin
+        (7, "123 !?"),          # digits only -> none
+        (8, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    c = script_counts(F.col("t"))
+    got = {
+        r.id: (r.lat, r.cyr, r.han, r.ara, r.dig, r.main)
+        for r in df.select(
+            "id",
+            c["latin"].alias("lat"),
+            c["cyrillic"].alias("cyr"),
+            c["han"].alias("han"),
+            c["arabic"].alias("ara"),
+            c["digit"].alias("dig"),
+            main_script(c).alias("main"),
+        ).collect()
+    }
+    assert got[1] == (10, 0, 0, 0, 0, "latin")
+    assert got[2] == (0, 9, 0, 0, 0, "cyrillic")
+    assert got[3] == (0, 0, 4, 0, 0, "han")
+    assert got[4][3] > 0 and got[4][5] == "arabic"
+    assert got[5] == (5, 3, 0, 0, 0, "latin")
+    assert got[6] == (4, 3, 0, 0, 0, "latin")
+    assert got[7] == (0, 0, 0, 0, 3, "none")
+    assert got[8] == (0, 0, 0, 0, 0, "none")
