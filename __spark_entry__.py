@@ -4830,6 +4830,81 @@ FROM c
 """
 
 
+def q_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shape double correlation (EXISTS + NOT EXISTS on the same
+    fact table), adapted to the testdata columns: suppliers SOLELY
+    responsible for a returned line in multi-supplier finalized
+    orders. Spark-first translation: correlated EXISTS becomes a
+    LEFT SEMI join on (orderkey, suppkey≠), NOT EXISTS a LEFT ANTI on
+    the same key shape — both keyed equi-joins on l_orderkey with the
+    suppkey inequality as join-condition refine, never a cartesian;
+    orders and supplier broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    sole = (
+        l1.join(
+            l2,
+            on=[
+                F.col("l1.l_orderkey") == F.col("l2.l_orderkey"),
+                F.col("l1.l_suppkey") != F.col("l2.l_suppkey"),
+            ],
+            how="leftsemi",
+        )
+        .join(
+            l3,
+            on=[
+                F.col("l1.l_orderkey") == F.col("l3.l_orderkey"),
+                F.col("l1.l_suppkey") != F.col("l3.l_suppkey"),
+            ],
+            how="leftanti",
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sole.join(
+            F.broadcast(orders.select("o_orderkey")),
+            on=F.col("l1.l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(sup),
+            on=F.col("l1.l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+_SQL_BLAME_SUPPLIER = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4948,6 +5023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "rank_weighted_sample": q_rank_weighted_sample,
         "script_profile": q_script_profile,
+        "blame_supplier": q_blame_supplier,
     }
 
 
@@ -5060,4 +5136,5 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "rank_weighted_sample": _SQL_RANK_WEIGHTED_SAMPLE,
         "script_profile": _SQL_SCRIPT_PROFILE,
+        "blame_supplier": _SQL_BLAME_SUPPLIER,
     }

@@ -940,3 +940,16 @@ def test_pagerank_rounds_are_keyed_joins(spark):
     assert "BroadcastNestedLoop" not in plan, plan
     assert "InMemoryTableScan" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_blame_supplier_semi_anti_keyed(spark, sf_dir):
+    """blame_supplier (Q21 shape): both correlations compile to KEYED
+    semi/anti joins on l_orderkey (suppkey inequality as the join
+    refine) — no cartesian; orders and supplier broadcast."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["blame_supplier"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
