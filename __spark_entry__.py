@@ -4905,6 +4905,32 @@ LIMIT 20
 """
 
 
+def q_session_transcript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving sequence assembly (curation.py::
+    assemble_sequences): each user's event types concatenated in
+    (ts, event_id) order — the multi-turn SFT/transcript prep step.
+    One keyed exchange; the order is restored INSIDE the aggregated
+    value by array_sort over (key, text) structs, so the result is
+    deterministic under any partitioning without a global sort."""
+    from m3d_engine_spark.operators.curation import assemble_sequences
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return assemble_sequences(
+        ev, ["user_id"], ["ts", "event_id"], "event_type"
+    )
+
+
+_SQL_SESSION_TRANSCRIPT = """
+SELECT user_id,
+       CAST(count(*) AS INTEGER) AS n_turns,
+       string_agg(event_type, ' > ' ORDER BY ts, event_id) AS transcript
+FROM events
+GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5024,6 +5050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_weighted_sample": q_rank_weighted_sample,
         "script_profile": q_script_profile,
         "blame_supplier": q_blame_supplier,
+        "session_transcript": q_session_transcript,
     }
 
 
@@ -5137,4 +5164,5 @@ def oracle_sql() -> dict[str, str]:
         "rank_weighted_sample": _SQL_RANK_WEIGHTED_SAMPLE,
         "script_profile": _SQL_SCRIPT_PROFILE,
         "blame_supplier": _SQL_BLAME_SUPPLIER,
+        "session_transcript": _SQL_SESSION_TRANSCRIPT,
     }

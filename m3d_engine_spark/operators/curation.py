@@ -513,3 +513,52 @@ def temperature_mixture(
     )
     kept = hash_mixture(docs.join(rates, on=group_col), id_col, F.col("_rate"))
     return kept.withColumn("rate", F.round(F.col("_rate"), 6)).drop("_rate")
+
+
+def assemble_sequences(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    text_col: str,
+    sep: str = " > ",
+) -> DataFrame:
+    """Order-preserving per-group text assembly — the step between
+    "cleaned events/turns" and "training sequence" for multi-turn data
+    (SFT conversations, session transcripts, clickstream contexts):
+    concatenate each group's ``text_col`` values in ``order_cols``
+    order into one string.
+
+    The order survives distribution WITHOUT a sort-before-aggregate:
+    ``collect_list`` gathers in arbitrary partition order, then
+    ``array_sort`` over (order keys, text) structs restores the total
+    order inside the aggregated value — struct comparison is
+    lexicographic, so appending the text itself makes ties total and
+    the output deterministic under any partitioning. (A global
+    ``orderBy`` before the groupBy would cost a full sort exchange AND
+    still not guarantee collect order across map tasks — this shape is
+    both cheaper and actually correct.)
+
+    ONE keyed exchange (the groupBy); partial aggregation ships each
+    task's local lists. Memory: a group's turns must fit in one
+    aggregation buffer — true for conversations/sessions by
+    construction; cap pathological groups upstream (sessionize's gap
+    splitting already bounds them). NULL texts are dropped by
+    ``array_join`` — filter or coalesce upstream if they must be
+    preserved.
+
+    Returns group_cols + n_turns + ``transcript``.
+    """
+    order_structs = F.struct(
+        *[F.col(c) for c in order_cols], F.col(text_col).alias("_t")
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list(order_structs)).alias("_p"))
+        .select(
+            *group_cols,
+            F.size(F.col("_p")).alias("n_turns"),
+            F.array_join(
+                F.expr("transform(_p, s -> s._t)"), sep
+            ).alias("transcript"),
+        )
+    )

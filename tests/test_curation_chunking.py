@@ -225,3 +225,33 @@ def test_semantic_dedup_with_trained_centroids(spark):
     }
     flagged = {k for k, r in out.items() if r["is_dup"]}
     assert flagged == {max(0, 1), max(2, 3)} == {1, 3}
+
+
+def test_assemble_sequences_order_survives_partitioning(spark):
+    """The struct-sort-inside-the-aggregate design must produce the
+    SAME transcript under any input partitioning (the property a
+    plain collect_list after orderBy does NOT have), restore the true
+    event order, and drop nothing."""
+    from pyspark.sql import functions as F
+
+    from m3d_engine_spark.operators.curation import assemble_sequences
+
+    rows = [
+        (u, t, u * 100 + t, f"e{t}") for u in range(5) for t in range(7)
+    ]
+    df = spark.createDataFrame(rows, "u int, t int, eid long, txt string")
+    want = {
+        r.u: (r.n_turns, r.transcript)
+        for r in assemble_sequences(
+            df, ["u"], ["t", "eid"], "txt"
+        ).collect()
+    }
+    assert want[0] == (7, "e0 > e1 > e2 > e3 > e4 > e5 > e6")
+    for parts in (1, 7):
+        got = {
+            r.u: (r.n_turns, r.transcript)
+            for r in assemble_sequences(
+                df.repartition(parts, "eid"), ["u"], ["t", "eid"], "txt"
+            ).collect()
+        }
+        assert got == want, parts
