@@ -549,7 +549,7 @@ def assemble_sequences(
     Returns group_cols + n_turns + ``transcript``.
     """
     order_structs = F.struct(
-        *[F.col(c) for c in order_cols], F.col(text_col).alias("_t")
+        *[F.col(c) for c in order_cols], F.col(text_col).alias("__seq_txt")
     )
     return (
         df.groupBy(*group_cols)
@@ -558,7 +558,7 @@ def assemble_sequences(
             *group_cols,
             F.size(F.col("_p")).alias("n_turns"),
             F.array_join(
-                F.expr("transform(_p, s -> s._t)"), sep
+                F.expr("transform(_p, s -> s.__seq_txt)"), sep
             ).alias("transcript"),
         )
     )

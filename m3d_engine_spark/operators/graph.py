@@ -403,10 +403,15 @@ def pagerank(
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = e.join(deg, on="src").persist()
+    # nodes is read EVERY round (the left side of the rank rebuild) —
+    # derive it from the PERSISTED relation and cache it, or each
+    # round's plan re-executes the full upstream edge pipeline just to
+    # re-distinct the endpoints.
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     base = ((100 - damping_pct) * scale) // 100
     ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("r"))
@@ -439,10 +444,11 @@ def pagerank(
     )
     if checkpoint:
         # One eager materialization runs the whole loop; afterwards the
-        # result carries no lineage into the cached edge relation, so
-        # it can be released. checkpoint=False keeps the full lazy plan
+        # result carries no lineage into the cached relations, so they
+        # can be released. checkpoint=False keeps the full lazy plan
         # (plan inspection / composition into a larger job) — caller
-        # owns the ed lifetime implicitly via lineage then.
+        # owns the cache lifetimes implicitly via lineage then.
         out = out.localCheckpoint(eager=True)
         ed.unpersist()
+        nodes.unpersist()
     return out
