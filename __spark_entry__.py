@@ -4931,6 +4931,94 @@ GROUP BY user_id
 """
 
 
+def q_ppr_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph.py::pagerank with ``seeds``):
+    teleport concentrated on a seed set (every 50th part), so rank
+    measures graph proximity to the seeds — the topic-seed → corpus
+    -subset expansion primitive. Same integer-exact recurrence as
+    `pagerank`; the seed mask rides the cached nodes relation."""
+    from m3d_engine_spark.operators.graph import pagerank
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            on=[
+                F.col("x.l_orderkey") == F.col("y.l_orderkey"),
+                F.col("x.l_partkey") < F.col("y.l_partkey"),
+            ],
+        )
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = edges.select(F.col("src").alias("node")).filter(
+        F.col("node") % 50 == 0
+    )
+    return pagerank(edges, iterations=5, seeds=seeds)
+
+
+_SQL_PPR_EXPAND = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0
+), p AS (
+  SELECT x.l_partkey AS src, y.l_partkey AS dst
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+), e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p
+  )
+), deg AS (
+  SELECT src, count(*) AS outdeg FROM e0 GROUP BY src
+), e AS (
+  SELECT e0.src, e0.dst, deg.outdeg FROM e0 JOIN deg ON deg.src = e0.src
+), r0 AS (
+  SELECT src AS node,
+         CAST(CASE WHEN src % 50 = 0 THEN 1000000000000 ELSE 0 END
+              AS BIGINT) AS r
+  FROM deg
+), r1 AS (
+  SELECT e.dst AS node,
+         CAST(CASE WHEN e.dst % 50 = 0 THEN 150000000000 ELSE 0 END
+              AS BIGINT) + (85 * sum(r.r // e.outdeg)) // 100 AS r
+  FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst
+), r2 AS (
+  SELECT e.dst AS node,
+         CAST(CASE WHEN e.dst % 50 = 0 THEN 150000000000 ELSE 0 END
+              AS BIGINT) + (85 * sum(r.r // e.outdeg)) // 100 AS r
+  FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst
+), r3 AS (
+  SELECT e.dst AS node,
+         CAST(CASE WHEN e.dst % 50 = 0 THEN 150000000000 ELSE 0 END
+              AS BIGINT) + (85 * sum(r.r // e.outdeg)) // 100 AS r
+  FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst
+), r4 AS (
+  SELECT e.dst AS node,
+         CAST(CASE WHEN e.dst % 50 = 0 THEN 150000000000 ELSE 0 END
+              AS BIGINT) + (85 * sum(r.r // e.outdeg)) // 100 AS r
+  FROM e JOIN r3 r ON e.src = r.node GROUP BY e.dst
+), r5 AS (
+  SELECT e.dst AS node,
+         CAST(CASE WHEN e.dst % 50 = 0 THEN 150000000000 ELSE 0 END
+              AS BIGINT) + (85 * sum(r.r // e.outdeg)) // 100 AS r
+  FROM e JOIN r4 r ON e.src = r.node GROUP BY e.dst
+)
+SELECT node, CAST(r AS BIGINT) AS rank_int,
+       round(CAST(r AS DOUBLE) / 1000000000000, 6) AS rank
+FROM r5
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5051,6 +5139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "blame_supplier": q_blame_supplier,
         "session_transcript": q_session_transcript,
+        "ppr_expand": q_ppr_expand,
     }
 
 
@@ -5165,4 +5254,5 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _SQL_SCRIPT_PROFILE,
         "blame_supplier": _SQL_BLAME_SUPPLIER,
         "session_transcript": _SQL_SESSION_TRANSCRIPT,
+        "ppr_expand": _SQL_PPR_EXPAND,
     }

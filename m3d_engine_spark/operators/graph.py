@@ -359,11 +359,21 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 10**12,
     checkpoint: bool = True,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """Fixed-point PageRank over a DIRECTED edge list — the importance
     signal behind link-aware corpus weighting (sample web documents by
     the rank of their host, weight seeds for a crawl frontier).
     Symmetrize first (union both directions) for an undirected graph.
+
+    Pass ``seeds`` (a relation of node ids) for PERSONALIZED PageRank:
+    the teleport term concentrates on the seed set (base and init are
+    nonzero only for seeds), so rank measures proximity to the seeds —
+    the "expand a topic seed into a corpus subset" primitive. Same
+    recurrence, same exactness; seeds ride the cached nodes relation
+    as a flag column (one semi-style left join at build time, nothing
+    per-round).
 
         r_{t+1}(v) = (100-d)·scale/100
                      + d · Σ_{u→v} (r_t(u) div outdeg(u)) / 100
@@ -406,15 +416,40 @@ def pagerank(
     # nodes is read EVERY round (the left side of the rank rebuild) —
     # derive it from the PERSISTED relation and cache it, or each
     # round's plan re-executes the full upstream edge pipeline just to
-    # re-distinct the endpoints.
-    nodes = (
+    # re-distinct the endpoints. Carries the per-node teleport base
+    # (constant for uniform PageRank, seed-masked for personalized).
+    base = ((100 - damping_pct) * scale) // 100
+    endpoints = (
         ed.select(F.col("src").alias("node"))
         .union(ed.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
-    base = ((100 - damping_pct) * scale) // 100
-    ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("r"))
+    if seeds is None:
+        nodes = endpoints.select(
+            "node",
+            F.lit(base).cast("long").alias("b"),
+            F.lit(int(scale)).cast("long").alias("r0"),
+        ).persist()
+    else:
+        sd = seeds.select(
+            F.col(seed_col).cast("long").alias("node")
+        ).distinct().withColumn("_is_seed", F.lit(True))
+        nodes = (
+            endpoints.join(sd, on="node", how="left")
+            .select(
+                "node",
+                F.when(F.col("_is_seed"), F.lit(base))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("b"),
+                F.when(F.col("_is_seed"), F.lit(int(scale)))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("r0"),
+            )
+            .persist()
+        )
+    ranks = nodes.select("node", F.col("r0").alias("r"))
     for _ in range(iterations):
         contrib = (
             ed.join(
@@ -431,7 +466,7 @@ def pagerank(
         ranks = nodes.join(contrib, on="node", how="left").select(
             "node",
             (
-                F.lit(base).cast("long")
+                F.col("b")
                 + F.expr(f"{damping_pct} * coalesce(s, 0L) div 100")
             ).alias("r"),
         )

@@ -158,3 +158,27 @@ def test_pagerank_authority_ordering(spark):
     }
     hub = out.pop(0)
     assert all(hub > v for v in out.values()), (hub, out)
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    """Seeded teleport: on a symmetrized path 1-2-3-4-5 with seed {1},
+    rank mass concentrates near the seed (strict per-node decay does
+    NOT hold — mass oscillates between even/odd path positions, the
+    textbook parity effect — so assert on the seed-end vs far-end
+    AGGREGATE), every reachable node gets some mass within 5 rounds,
+    and a component containing no seed scores exactly 0."""
+    from m3d_engine_spark.operators.graph import pagerank
+
+    path = [(i, i + 1) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        path + [(b, a) for a, b in path] + [(9, 10), (10, 9)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r.node: r.rank_int
+        for r in pagerank(edges, iterations=5, seeds=seeds).collect()
+    }
+    assert all(out[i] > 0 for i in range(1, 6)), out
+    assert out[1] + out[2] > out[4] + out[5], out
+    assert out[9] == 0 and out[10] == 0
