@@ -83,6 +83,10 @@ HEADLINERS = {
     "dataset_card": "Dataset-card rollup: token counts and quality are the shared JVM feature projections; ONE keyed aggregate with decimal-exact quality sums — the exchange carries languages-sized partials, never documents.",
     "pq_topk": "ADC ranking over PQ codes: each query's m x k subspace-distance table is computed ONCE against the broadcast codebook (queries x codebook, tiny) and broadcast; corpus scoring is m element_at lookups per row over the 32x-smaller codes relation — a zero-shuffle projection; per-query top-k is WindowGroupLimit. Corpus vectors are never read at query time.",
     "pq_search": "Production PQ retrieval: the lossy ADC ranking generates a SHORTLIST (top-100 per query over codes), then exact L2 re-ranks only |Q| x 100 candidate rows against real vectors (broadcast queries, keyed candidate join; the default codebook is collected once as a model-sized local relation so its seed-sample subtree cannot execute twice). Recall@5 >= 0.9 pinned; pure ADC ranks ~0.3 on this corpus — the re-rank stage IS the design.",
+    "script_profile": "Unicode-script census: five regexp_replace+length projections (one per script class) over the scan — zero exchanges, no Python; the dominant-script election is a CASE chain with a fixed precedence tie-break (engine-portable, unlike an array_max over structs).",
+    "session_transcript": "Order-preserving assembly: ONE keyed exchange (groupBy user) with partial aggregation; the turn order is restored INSIDE the aggregated value by array_sort over (ts, event_id, text) structs — deterministic under any partitioning, where orderBy-then-collect_list is neither guaranteed nor cheaper (it adds a full sort exchange).",
+    "blame_supplier": "Q21-shape double correlation: EXISTS -> LeftSemi and NOT EXISTS -> LeftAnti, both KEYED on l_orderkey with the suppkey inequality as join-condition refine (never a cartesian); orders and supplier broadcast; one final count aggregate.",
+    "ppr_expand": "Personalized PageRank: identical per-round topology to pagerank (one keyed join + one sum off the cached edge relation); the seed mask is a flag column on the cached nodes relation — built with one left join at setup, ZERO per-round cost for personalization.",
     "rank_weighted_sample": "PageRank -> weighted-sample composition: the rank loop's eager checkpoint materializes once, then selection is a priority projection + one global WindowGroupLimit top-50 (each task pre-limits to 50 rows, so the single-partition final window receives 50 x tasks rows, not the corpus). Both stages are bit-deterministic, so the composition is too.",
     "weighted_sample": "Weighted deterministic sampling: priority = exact md5 integer / weight — IEEE division is correctly rounded, so the draw is bit-identical across engines (ln/pow A-ES keys are not); selection probability is proportional to weight in the small-fraction regime (the 5/6-vs-3/4 large-fraction bias is pinned by test). One projection + the same WindowGroupLimit top-n-per-stratum shape as stratified_sample: the exchange carries n rows per stratum per task, never the stratum.",
     "pagerank": "Integer fixed-point PageRank: the (src, dst, outdeg) relation is persisted once and read from cache in each of the 5 rounds (InMemoryTableScan, pinned); a round is ONE equi-join on src + ONE sum aggregate on dst — state never exceeds one long per node, nothing quadratic. Exact long arithmetic on a 10^12 lattice makes the result bit-identical across engines/partitionings — float PageRank loses to summation order in round 2. NOTE: the committed PLANS.md shows the post-checkpoint scan (the entry materializes eagerly); the recurrence shape is pinned from the checkpoint=False form in tests/test_plans.py.",
