@@ -5019,6 +5019,41 @@ FROM r5
 """
 
 
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-capped selection (selection.py::budget_select):
+    per language, take documents longest-first until ~50k chars — one
+    cumulative-sum window per group, budget cut as a post-window
+    filter (may overshoot by the one straddling doc, the documented
+    pack_sequences-style relaxation)."""
+    from m3d_engine_spark.operators.selection import budget_select
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return budget_select(
+        docs, ["lang"], "doc_id",
+        order_col=F.col("n_chars"),
+        token_count_col=F.col("n_chars"),
+        budget=50_000,
+    )
+
+
+_SQL_BUDGET_SELECT = """
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(n_chars AS BIGINT) AS n_tokens,
+         sum(CAST(n_chars AS BIGINT)) OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, n_tokens, cum_tokens
+FROM w
+WHERE cum_tokens - n_tokens < 50000
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5140,6 +5175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blame_supplier": q_blame_supplier,
         "session_transcript": q_session_transcript,
         "ppr_expand": q_ppr_expand,
+        "budget_select": q_budget_select,
     }
 
 
@@ -5255,4 +5291,5 @@ def oracle_sql() -> dict[str, str]:
         "blame_supplier": _SQL_BLAME_SUPPLIER,
         "session_transcript": _SQL_SESSION_TRANSCRIPT,
         "ppr_expand": _SQL_PPR_EXPAND,
+        "budget_select": _SQL_BUDGET_SELECT,
     }

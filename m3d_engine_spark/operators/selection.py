@@ -35,7 +35,9 @@ reformulation of sampling ∝ exp(log_w) without replacement.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from m3d_engine_spark.functions.text import tokens
@@ -159,3 +161,52 @@ def gumbel_resample(
         F.round(F.col(weight_col) - F.log(-F.log(u)), 4).alias("sel_key"),
     )
     return keyed.orderBy(F.col("sel_key").desc(), F.col(id_col).asc()).limit(n)
+
+
+def budget_select(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    order_col,
+    token_count_col,
+    budget: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Token-budget-capped selection — the "give me ~N tokens per
+    language, best first" curation cut: within each group, rows are
+    taken in ``order_col`` order (DESC by default: best quality /
+    longest first; ``id_col`` breaks ties) until the group's
+    cumulative ``token_count_col`` reaches ``budget``.
+
+    The cut keeps every row whose PRECEDING cumulative total is below
+    the budget, so a group may overshoot by exactly its one straddling
+    document (the same window-expressible relaxation as
+    ``pack_sequences`` — a close-on-overflow cut is a sequential
+    recurrence, and the overshoot is bounded by one document, which is
+    noise at corpus budgets). The ordering signal is pluggable — any
+    deterministic Column (quality score, md5 priority, length).
+
+    ONE exchange: the per-group cumulative-sum window; the budget
+    filter is a post-window projection. Unlike top-n windows this
+    cannot WindowGroupLimit (the cut depends on the running SUM, not
+    the rank), so the exchange carries each group in full — cap
+    pathological group sizes upstream if groups exceed task memory.
+
+    Output = input + ``n_tokens`` + ``cum_tokens`` (inclusive).
+    """
+    toks = token_count_col.cast("long").alias("n_tokens")
+    base = df.select("*", toks)
+    ordering = (
+        F.col("_ord").desc() if descending else F.col("_ord").asc()
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(ordering, F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("_ord", order_col)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < int(budget))
+        .drop("_ord")
+    )

@@ -270,3 +270,38 @@ def test_weighted_sample_uses_window_group_limit(spark):
         weighted_sample(df, ["grp"], 5, "id", "w")._jdf.queryExecution(), "simple"
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_budget_select_overshoot_bounded_by_one_doc(spark):
+    """Every selected group's total stays under budget + its one
+    straddling document; removing each group's LAST selected row
+    always lands under budget (i.e. the cut is tight, not early); and
+    selection order is the requested one (best-first)."""
+    from m3d_engine_spark.operators.selection import budget_select
+
+    rows = [(g * 100 + i, g, (i * 37) % 90 + 10) for g in range(4)
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, grp int, nt int")
+    out = budget_select(
+        df, ["grp"], "id",
+        order_col=F.col("nt"),
+        token_count_col=F.col("nt"),
+        budget=300,
+    ).collect()
+    by_grp: dict[int, list] = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert set(by_grp) == {0, 1, 2, 3}
+    for g, sel in by_grp.items():
+        total = sum(r.n_tokens for r in sel)
+        last = max(sel, key=lambda r: r.cum_tokens)
+        # under budget before the straddling doc; at/over after it
+        # (unless the whole group fits)
+        assert total - last.n_tokens < 300, (g, total)
+        assert total >= 300 or len(sel) == 30, (g, total)
+        # best-first: the smallest selected nt is >= the largest
+        # unselected nt (strictly ordered inputs per group, no ties)
+        chosen = {r.id for r in sel}
+        unsel = [nt for (i, gg, nt) in rows if gg == g and i not in chosen]
+        if unsel:
+            assert min(r.n_tokens for r in sel) >= max(unsel), g
