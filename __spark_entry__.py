@@ -5054,6 +5054,50 @@ WHERE cum_tokens - n_tokens < 50000
 """
 
 
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-fusion quality blending (normalize.py::rank_fuse): token
+    count and lexical diversity — incomparable units — fused per
+    language as equal-weight percent ranks over (signal, doc_id)
+    total orders; one exchange on lang, one extra sort per signal."""
+    from m3d_engine_spark.operators.normalize import rank_fuse
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    t = F.col("text")
+    return rank_fuse(
+        docs,
+        ["lang"],
+        "doc_id",
+        signals={
+            "len": T.token_count(t).cast("int"),
+            "div": T.distinct_token_ratio(t),
+        },
+    ).select("doc_id", "lang", "blended")
+
+
+_SQL_RANK_FUSION = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents
+), sig AS (
+  SELECT doc_id, lang,
+         CAST(len(t) AS INTEGER) AS s_len,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE len(list_distinct(t)) / len(t) END AS s_div
+  FROM toks
+), pr AS (
+  SELECT doc_id, lang,
+         percent_rank() OVER (
+           PARTITION BY lang ORDER BY s_len ASC, doc_id ASC
+         ) AS pr_len,
+         percent_rank() OVER (
+           PARTITION BY lang ORDER BY s_div ASC, doc_id ASC
+         ) AS pr_div
+  FROM sig
+)
+SELECT doc_id, lang, round(0.5 * pr_len + 0.5 * pr_div, 6) AS blended
+FROM pr
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5176,6 +5220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_transcript": q_session_transcript,
         "ppr_expand": q_ppr_expand,
         "budget_select": q_budget_select,
+        "rank_fusion": q_rank_fusion,
     }
 
 
@@ -5292,4 +5337,5 @@ def oracle_sql() -> dict[str, str]:
         "session_transcript": _SQL_SESSION_TRANSCRIPT,
         "ppr_expand": _SQL_PPR_EXPAND,
         "budget_select": _SQL_BUDGET_SELECT,
+        "rank_fusion": _SQL_RANK_FUSION,
     }

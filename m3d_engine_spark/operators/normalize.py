@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -99,3 +99,49 @@ def robust_scale(
         F.round((F.col(value_col) - F.col("_med")) / iqr, 4),
     )
     return joined.withColumn(out_col, r).drop("_q1", "_med", "_q3")
+
+
+def rank_fuse(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    signals: dict[str, Column],
+    weights: dict[str, float] | None = None,
+    out_col: str = "blended",
+) -> DataFrame:
+    """Rank-fusion score blending — combine heterogeneous quality
+    signals (length, diversity, model scores) on a COMMON scale by
+    replacing each with its within-group percent rank, then averaging
+    with ``weights`` (uniform by default). Rank fusion is the standard
+    answer to "these signals have incomparable units and outliers":
+    a percent rank is scale-free and outlier-immune where a z-score is
+    neither.
+
+    Determinism: each rank orders by (signal, id) — a TOTAL order, so
+    percent_rank degenerates to (row_number−1)/(n−1) and is exact;
+    the weighted average of exact double ranks is the same IEEE
+    arithmetic in any engine. Single-member groups rank 0.0 (the
+    percent_rank convention).
+
+    Topology: all ranks share the SAME partition keys, so Catalyst
+    plans ONE hash exchange on the group and stacks the per-signal
+    sort+Window operators on top of it — adding a signal adds a sort,
+    never a shuffle. Output = input + ``out_col`` (6dp).
+    """
+    if weights is None:
+        weights = {k: 1.0 for k in signals}
+    total_w = float(sum(weights[k] for k in signals))
+    base = df.select(
+        "*", *[v.alias(f"_s_{k}") for k, v in signals.items()]
+    )
+    blended = None
+    for k in signals:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col(f"_s_{k}").asc(), F.col(id_col).asc()
+        )
+        term = F.lit(float(weights[k]) / total_w) * F.percent_rank().over(w)
+        blended = term if blended is None else blended + term
+    return (
+        base.withColumn(out_col, F.round(blended, 6))
+        .drop(*[f"_s_{k}" for k in signals])
+    )

@@ -305,3 +305,31 @@ def test_budget_select_overshoot_bounded_by_one_doc(spark):
         unsel = [nt for (i, gg, nt) in rows if gg == g and i not in chosen]
         if unsel:
             assert min(r.n_tokens for r in sel) >= max(unsel), g
+
+
+def test_rank_fuse_semantics_and_single_exchange(spark):
+    """Percent ranks over total orders: known 3-row group blends to
+    exact thirds; single-member group ranks 0.0; and BOTH signal
+    windows share ONE hash exchange on the group key (adding a signal
+    adds a sort, never a shuffle)."""
+    from m3d_engine_spark.operators.normalize import rank_fuse
+
+    df = spark.createDataFrame(
+        [(1, "a", 10, 0.9), (2, "a", 20, 0.5), (3, "a", 30, 0.1),
+         (4, "b", 5, 0.5)],
+        "id long, grp string, s1 int, s2 double",
+    )
+    out = rank_fuse(
+        df, ["grp"], "id",
+        signals={"s1": F.col("s1"), "s2": F.col("s2")},
+    )
+    got = {r.id: r.blended for r in out.collect()}
+    # id=1: s1 rank 0.0, s2 rank 1.0 -> 0.5; id=2: 0.5,0.5 -> 0.5;
+    # id=3: 1.0,0.0 -> 0.5; id=4: singleton -> 0.0
+    assert got == {1: 0.5, 2: 0.5, 3: 0.5, 4: 0.0}, got
+    plan = out._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        out._jdf.queryExecution(), "simple"
+    )
+    # AQE prints Final + Initial sections — count the executed one
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Exchange hashpartitioning") == 1, plan
