@@ -83,6 +83,8 @@ HEADLINERS = {
     "dataset_card": "Dataset-card rollup: token counts and quality are the shared JVM feature projections; ONE keyed aggregate with decimal-exact quality sums — the exchange carries languages-sized partials, never documents.",
     "pq_topk": "ADC ranking over PQ codes: each query's m x k subspace-distance table is computed ONCE against the broadcast codebook (queries x codebook, tiny) and broadcast; corpus scoring is m element_at lookups per row over the 32x-smaller codes relation — a zero-shuffle projection; per-query top-k is WindowGroupLimit. Corpus vectors are never read at query time.",
     "pq_search": "Production PQ retrieval: the lossy ADC ranking generates a SHORTLIST (top-100 per query over codes), then exact L2 re-ranks only |Q| x 100 candidate rows against real vectors (broadcast queries, keyed candidate join; the default codebook is collected once as a model-sized local relation so its seed-sample subtree cannot execute twice). Recall@5 >= 0.9 pinned; pure ADC ranks ~0.3 on this corpus — the re-rank stage IS the design.",
+    "budget_select": "Token-budget cut: ONE per-group cumulative-sum window (order by signal DESC, id), budget filter as a post-window projection. Cannot WindowGroupLimit (the cut depends on the running SUM, not a rank) so the exchange carries full groups — the documented contrast with stratified/weighted_sample; one-straddler overshoot relaxation, same as pack_sequences.",
+    "rank_fusion": "Rank fusion: every percent-rank window shares the SAME partition key, so Catalyst plans ONE hash exchange and stacks sort+Window pairs on it (pinned: 1 exchange for 2 signals) — adding a signal adds a local sort, never a shuffle. Ranks over (signal, id) total orders make percent_rank exact across engines.",
     "script_profile": "Unicode-script census: five regexp_replace+length projections (one per script class) over the scan — zero exchanges, no Python; the dominant-script election is a CASE chain with a fixed precedence tie-break (engine-portable, unlike an array_max over structs).",
     "session_transcript": "Order-preserving assembly: ONE keyed exchange (groupBy user) with partial aggregation; the turn order is restored INSIDE the aggregated value by array_sort over (ts, event_id, text) structs — deterministic under any partitioning, where orderBy-then-collect_list is neither guaranteed nor cheaper (it adds a full sort exchange).",
     "blame_supplier": "Q21-shape double correlation: EXISTS -> LeftSemi and NOT EXISTS -> LeftAnti, both KEYED on l_orderkey with the suppkey inequality as join-condition refine (never a cartesian); orders and supplier broadcast; one final count aggregate.",
