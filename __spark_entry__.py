@@ -5098,6 +5098,46 @@ FROM pr
 """
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (collocations.py::association_rules) over
+    order baskets: support/confidence/lift for part pairs bought
+    together ≥3 times — keyed basket self-join, min-count filter
+    BEFORE the item-count joins, N as a broadcast 1-row aggregate."""
+    from m3d_engine_spark.operators.collocations import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_count=3, top=50
+    )
+
+
+_SQL_BASKET_RULES = """
+WITH m AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+), nb AS (
+  SELECT count(DISTINCT bk) AS n FROM m
+), ic AS (
+  SELECT it, count(*) AS c FROM m GROUP BY it
+), p AS (
+  SELECT x.it AS a, y.it AS b, count(*) AS n_pair
+  FROM m x JOIN m y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY x.it, y.it
+  HAVING count(*) >= 3
+)
+SELECT p.a, p.b, p.n_pair,
+       round(p.n_pair / nb.n, 4) AS support,
+       round(p.n_pair / ca.c, 4) AS conf_ab,
+       round(p.n_pair / cb.c, 4) AS conf_ba,
+       round((p.n_pair * nb.n) / (ca.c * cb.c), 4) AS lift
+FROM p
+JOIN ic ca ON ca.it = p.a
+JOIN ic cb ON cb.it = p.b
+CROSS JOIN nb
+ORDER BY lift DESC, a ASC, b ASC
+LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5221,6 +5261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_expand": q_ppr_expand,
         "budget_select": q_budget_select,
         "rank_fusion": q_rank_fusion,
+        "basket_rules": q_basket_rules,
     }
 
 
@@ -5338,4 +5379,5 @@ def oracle_sql() -> dict[str, str]:
         "ppr_expand": _SQL_PPR_EXPAND,
         "budget_select": _SQL_BUDGET_SELECT,
         "rank_fusion": _SQL_RANK_FUSION,
+        "basket_rules": _SQL_BASKET_RULES,
     }

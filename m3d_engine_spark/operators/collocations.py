@@ -92,3 +92,90 @@ def pmi_bigrams(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1"), F.col("w2")
     ).limit(top)
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 3,
+    top: int = 50,
+) -> DataFrame:
+    """Pairwise association rules over baskets — support / confidence
+    / lift for item pairs (the market-basket classic; in curation the
+    same census over (document, source/tag/domain) baskets surfaces
+    co-occurrence structure a pointwise score hides). PMI is ln(lift)
+    over token adjacency; this operator works on BASKET membership
+    and reports the thresholded rule metrics.
+
+        support(a,b) = c_ab / N            (N = distinct baskets)
+        conf(a→b)    = c_ab / c_a
+        lift(a,b)    = c_ab · N / (c_a · c_b)
+
+    Topology (the pmi_bigrams discipline): membership is
+    de-duplicated ONCE to distinct (basket, item); pairs come from a
+    keyed self-equi-join on the basket id (a < b orients, never
+    all-pairs across baskets); the min-count filter bounds the pair
+    relation BEFORE the two item-count lookups join back (broadcast
+    when vocabulary-sized); N rides a broadcast 1-row aggregate — no
+    driver count. All counts exact longs; metrics are single IEEE
+    divisions of exact integers (engine-identical), 4dp.
+
+    Returns (a, b, n_pair, support, conf_ab, conf_ba, lift) ordered
+    by (lift DESC, a, b), limited to ``top``.
+    """
+    m = (
+        baskets.select(
+            F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+        )
+        .distinct()
+    )
+    n_baskets = F.broadcast(
+        m.agg(F.count_distinct(F.col("_bk")).alias("_n"))
+    )
+    item_counts = m.groupBy("_it").agg(F.count(F.lit(1)).alias("_c"))
+    pairs = (
+        m.alias("x")
+        .join(
+            m.alias("y"),
+            on=[
+                F.col("x._bk") == F.col("y._bk"),
+                F.col("x._it") < F.col("y._it"),
+            ],
+        )
+        .select(F.col("x._it").alias("a"), F.col("y._it").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_count))
+    )
+    scored = (
+        pairs.join(
+            item_counts.select(
+                F.col("_it").alias("a"), F.col("_c").alias("_ca")
+            ),
+            on="a",
+        )
+        .join(
+            item_counts.select(
+                F.col("_it").alias("b"), F.col("_c").alias("_cb")
+            ),
+            on="b",
+        )
+        .crossJoin(n_baskets)
+        .select(
+            "a",
+            "b",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("_n"), 4).alias("support"),
+            F.round(F.col("n_pair") / F.col("_ca"), 4).alias("conf_ab"),
+            F.round(F.col("n_pair") / F.col("_cb"), 4).alias("conf_ba"),
+            F.round(
+                (F.col("n_pair") * F.col("_n"))
+                / (F.col("_ca") * F.col("_cb")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(int(top))

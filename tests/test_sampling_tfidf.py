@@ -333,3 +333,29 @@ def test_rank_fuse_semantics_and_single_exchange(spark):
     # AQE prints Final + Initial sections — count the executed one
     final = plan.split("Initial Plan")[0]
     assert final.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_association_rules_known_baskets(spark):
+    """Hand-checkable census: {1,2} co-occur in 3 of 4 baskets
+    (lift > 1 — positively associated), {1,3} in only 1 (below
+    min_count, dropped); confidence is directional."""
+    from m3d_engine_spark.operators.collocations import association_rules
+
+    baskets = [
+        (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2),
+        (3, 1), (3, 2),
+        (4, 4), (4, 1), (4, 1),  # duplicate membership de-duplicates
+    ]
+    df = spark.createDataFrame(baskets, "bk long, it long")
+    out = {(r.a, r.b): r for r in association_rules(
+        df, "bk", "it", min_count=3, top=10
+    ).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    # c_12=3, c_1=4, c_2=3, N=4
+    assert r.n_pair == 3
+    assert r.support == 0.75
+    assert r.conf_ab == 0.75      # 3/4
+    assert r.conf_ba == 1.0       # 3/3
+    assert r.lift == 1.0          # 3*4/(4*3)
