@@ -5149,56 +5149,6 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "pricing_summary": q_pricing_summary,
-        "order_revenue": q_order_revenue,
-        "order_priority_check": q_order_priority_check,
-        "regional_revenue": q_regional_revenue,
-        "full_load_dates": q_full_load_dates,
-        "sales_rollup": q_sales_rollup,
-        "running_total": q_running_total,
-        "dedup_pipeline": q_dedup_pipeline,
-        "append_load_regex": q_append_load_regex,
-        "delta_condense": q_delta_condense,
-        "delta_merge": q_delta_merge,
-        "transpose_pivot": q_transpose_pivot,
-        "fixed_width": q_fixed_width,
-        "flatten_explode": q_flatten_explode,
-        "flatten_struct": q_flatten_struct,
-        "side_flatten": q_side_flatten,
-        "flatten_full": q_flatten_full,
-        "schema_evolution_union": q_schema_evolution_union,
-        "append_join": q_append_join,
-        "range_materialization": q_range_materialization,
-        "query_materialization": q_query_materialization,
-        "distinct_partitions": q_distinct_partitions,
-        "sql_runner": q_sql_runner,
-        "event_rollup": q_event_rollup,
-        "text_stats": q_text_stats,
-        "language_id": q_language_id,
-        "exact_dups": q_exact_dups,
-        "simhash_dedup": q_simhash_dedup,
-        "simhash64_hamming": q_simhash64_hamming,
-        "seeded_ann": q_seeded_ann,
-        "minhash_lsh": q_minhash_lsh,
-        "jaccard_pairs": q_jaccard_pairs,
-        "embedding_dups": q_embedding_dups,
-        "sessionize": q_sessionize,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "brute_topk": q_brute_topk,
-        "ann_topk": q_ann_topk,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "dedup_clusters": q_dedup_clusters,
-        "price_quantiles": q_price_quantiles,
-        "ivf_topk": q_ivf_topk,
-        "stratified_sample": q_stratified_sample,
-        "hash_split": q_hash_split,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "dedup_survivors": q_dedup_survivors,
-        "pmi_bigrams": q_pmi_bigrams,
-        "quality_zscores": q_quality_zscores,
         "contamination_check": q_contamination_check,
         "repetition_stats": q_repetition_stats,
         "frame_sample": q_frame_sample,
@@ -5262,61 +5212,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "rank_fusion": q_rank_fusion,
         "basket_rules": q_basket_rules,
+        "pricing_summary": q_pricing_summary,
+        "order_revenue": q_order_revenue,
+        "order_priority_check": q_order_priority_check,
+        "regional_revenue": q_regional_revenue,
+        "full_load_dates": q_full_load_dates,
+        "sales_rollup": q_sales_rollup,
+        "running_total": q_running_total,
+        "dedup_pipeline": q_dedup_pipeline,
+        "append_load_regex": q_append_load_regex,
+        "delta_condense": q_delta_condense,
+        "delta_merge": q_delta_merge,
+        "transpose_pivot": q_transpose_pivot,
+        "fixed_width": q_fixed_width,
+        "flatten_explode": q_flatten_explode,
+        "flatten_struct": q_flatten_struct,
+        "side_flatten": q_side_flatten,
+        "flatten_full": q_flatten_full,
+        "schema_evolution_union": q_schema_evolution_union,
+        "append_join": q_append_join,
+        "range_materialization": q_range_materialization,
+        "query_materialization": q_query_materialization,
+        "distinct_partitions": q_distinct_partitions,
+        "sql_runner": q_sql_runner,
+        "event_rollup": q_event_rollup,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "exact_dups": q_exact_dups,
+        "simhash_dedup": q_simhash_dedup,
+        "simhash64_hamming": q_simhash64_hamming,
+        "seeded_ann": q_seeded_ann,
+        "minhash_lsh": q_minhash_lsh,
+        "jaccard_pairs": q_jaccard_pairs,
+        "embedding_dups": q_embedding_dups,
+        "sessionize": q_sessionize,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "brute_topk": q_brute_topk,
+        "ann_topk": q_ann_topk,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "dedup_clusters": q_dedup_clusters,
+        "price_quantiles": q_price_quantiles,
+        "ivf_topk": q_ivf_topk,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "dedup_survivors": q_dedup_survivors,
+        "pmi_bigrams": q_pmi_bigrams,
+        "quality_zscores": q_quality_zscores,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "pricing_summary": _SQL_PRICING_SUMMARY,
-        "order_revenue": _SQL_ORDER_REVENUE,
-        "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
-        "regional_revenue": _SQL_REGIONAL_REVENUE,
-        "full_load_dates": _SQL_FULL_LOAD_DATES,
-        "sales_rollup": _SQL_SALES_ROLLUP,
-        "running_total": _SQL_RUNNING_TOTAL,
-        "dedup_pipeline": _SQL_DEDUP_PIPELINE,
-        "append_load_regex": _SQL_APPEND_LOAD_REGEX,
-        "delta_condense": _SQL_DELTA_CONDENSE,
-        "delta_merge": _SQL_DELTA_MERGE,
-        "transpose_pivot": _SQL_TRANSPOSE_PIVOT,
-        "fixed_width": _SQL_FIXED_WIDTH,
-        "flatten_explode": _SQL_FLATTEN_EXPLODE,
-        "flatten_struct": _SQL_FLATTEN_STRUCT,
-        "side_flatten": _SQL_SIDE_FLATTEN,
-        "flatten_full": _SQL_FLATTEN_FULL,
-        "schema_evolution_union": _SQL_SCHEMA_EVOLUTION_UNION,
-        "append_join": _SQL_APPEND_JOIN,
-        "range_materialization": _SQL_RANGE_MATERIALIZATION,
-        "query_materialization": _SQL_QUERY_MATERIALIZATION,
-        "distinct_partitions": _SQL_DISTINCT_PARTITIONS,
-        "sql_runner": _SQL_RUNNER_STMT,
-        "event_rollup": _SQL_EVENT_ROLLUP,
-        "text_stats": _SQL_TEXT_STATS,
-        "language_id": _sql_language_id(),
-        "exact_dups": _SQL_EXACT_DUPS,
-        "simhash_dedup": _sql_simhash_dedup(),
-        "simhash64_hamming": _sql_simhash64_hamming(),
-        "seeded_ann": _sql_seeded_ann(),
-        "minhash_lsh": _sql_minhash_lsh(),
-        "jaccard_pairs": _SQL_JACCARD_PAIRS,
-        "embedding_dups": _SQL_EMBEDDING_DUPS,
-        "sessionize": _SQL_SESSIONIZE,
-        "multimodal_meta": _SQL_MULTIMODAL_META,
-        "multimodal_decode": _SQL_MULTIMODAL_DECODE,
-        "brute_topk": _SQL_BRUTE_TOPK,
-        "ann_topk": _SQL_ANN_TOPK,
-        "asof_join": _SQL_ASOF_JOIN,
-        "range_join": _SQL_RANGE_JOIN,
-        "winnow_fingerprints": _SQL_WINNOW_FINGERPRINTS,
-        "dedup_clusters": _sql_dedup_clusters(),
-        "price_quantiles": _SQL_PRICE_QUANTILES,
-        "ivf_topk": _SQL_IVF_TOPK,
-        "stratified_sample": _SQL_STRATIFIED_SAMPLE,
-        "hash_split": _SQL_HASH_SPLIT,
-        "tfidf_top_terms": _SQL_TFIDF,
-        "dedup_survivors": _SQL_DEDUP_SURVIVORS,
-        "pmi_bigrams": _SQL_PMI_BIGRAMS,
-        "quality_zscores": _SQL_QUALITY_ZSCORES,
         "contamination_check": _SQL_CONTAMINATION,
         "repetition_stats": _SQL_REPETITION,
         "frame_sample": _SQL_FRAME_SAMPLE,
@@ -5380,4 +5330,54 @@ def oracle_sql() -> dict[str, str]:
         "budget_select": _SQL_BUDGET_SELECT,
         "rank_fusion": _SQL_RANK_FUSION,
         "basket_rules": _SQL_BASKET_RULES,
+        "pricing_summary": _SQL_PRICING_SUMMARY,
+        "order_revenue": _SQL_ORDER_REVENUE,
+        "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
+        "regional_revenue": _SQL_REGIONAL_REVENUE,
+        "full_load_dates": _SQL_FULL_LOAD_DATES,
+        "sales_rollup": _SQL_SALES_ROLLUP,
+        "running_total": _SQL_RUNNING_TOTAL,
+        "dedup_pipeline": _SQL_DEDUP_PIPELINE,
+        "append_load_regex": _SQL_APPEND_LOAD_REGEX,
+        "delta_condense": _SQL_DELTA_CONDENSE,
+        "delta_merge": _SQL_DELTA_MERGE,
+        "transpose_pivot": _SQL_TRANSPOSE_PIVOT,
+        "fixed_width": _SQL_FIXED_WIDTH,
+        "flatten_explode": _SQL_FLATTEN_EXPLODE,
+        "flatten_struct": _SQL_FLATTEN_STRUCT,
+        "side_flatten": _SQL_SIDE_FLATTEN,
+        "flatten_full": _SQL_FLATTEN_FULL,
+        "schema_evolution_union": _SQL_SCHEMA_EVOLUTION_UNION,
+        "append_join": _SQL_APPEND_JOIN,
+        "range_materialization": _SQL_RANGE_MATERIALIZATION,
+        "query_materialization": _SQL_QUERY_MATERIALIZATION,
+        "distinct_partitions": _SQL_DISTINCT_PARTITIONS,
+        "sql_runner": _SQL_RUNNER_STMT,
+        "event_rollup": _SQL_EVENT_ROLLUP,
+        "text_stats": _SQL_TEXT_STATS,
+        "language_id": _sql_language_id(),
+        "exact_dups": _SQL_EXACT_DUPS,
+        "simhash_dedup": _sql_simhash_dedup(),
+        "simhash64_hamming": _sql_simhash64_hamming(),
+        "seeded_ann": _sql_seeded_ann(),
+        "minhash_lsh": _sql_minhash_lsh(),
+        "jaccard_pairs": _SQL_JACCARD_PAIRS,
+        "embedding_dups": _SQL_EMBEDDING_DUPS,
+        "sessionize": _SQL_SESSIONIZE,
+        "multimodal_meta": _SQL_MULTIMODAL_META,
+        "multimodal_decode": _SQL_MULTIMODAL_DECODE,
+        "brute_topk": _SQL_BRUTE_TOPK,
+        "ann_topk": _SQL_ANN_TOPK,
+        "asof_join": _SQL_ASOF_JOIN,
+        "range_join": _SQL_RANGE_JOIN,
+        "winnow_fingerprints": _SQL_WINNOW_FINGERPRINTS,
+        "dedup_clusters": _sql_dedup_clusters(),
+        "price_quantiles": _SQL_PRICE_QUANTILES,
+        "ivf_topk": _SQL_IVF_TOPK,
+        "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        "hash_split": _SQL_HASH_SPLIT,
+        "tfidf_top_terms": _SQL_TFIDF,
+        "dedup_survivors": _SQL_DEDUP_SURVIVORS,
+        "pmi_bigrams": _SQL_PMI_BIGRAMS,
+        "quality_zscores": _SQL_QUALITY_ZSCORES,
     }

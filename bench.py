@@ -82,14 +82,36 @@ def main() -> int:
         if best > 0:
             total += best
     spark.stop()
-    print(json.dumps({
+    # The driver records only the tail of this process's log (~2.9 KB in
+    # round 6, which truncated the 113-entry line and left BENCH_r06.json
+    # with parsed:null).  Keep the printed line parseable at any registry
+    # size: full per-query detail goes to BENCH_FULL.json next to this
+    # script, and the printed line carries as many entries as fit a
+    # conservative byte budget, slowest first (the ones that matter for
+    # perf grading), with an explicit omitted-count.
+    full = {
         "metric": "total_query_runtime",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "protocol": f"min_of_{runs}",
-    }))
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f)
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BYTES", "2400"))
+    by_cost = sorted(timings, key=lambda k: -timings[k])
+    line_obj = dict(full)
+    for n in range(len(by_cost), -1, -1):
+        line_obj["queries"] = {k: timings[k] for k in by_cost[:n]}
+        line_obj["queries_total"] = len(timings)
+        line_obj["queries_omitted"] = len(timings) - n
+        line_obj["detail"] = "BENCH_FULL.json"
+        line = json.dumps(line_obj, separators=(",", ":"))
+        if len(line) <= budget:
+            break
+    print(line)
     return 0
 
 

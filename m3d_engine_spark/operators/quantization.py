@@ -294,6 +294,7 @@ def pq_topk(
     m: int = 8,
     k: int = 16,
     topk: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over PQ codes — the
     search half of product quantization: each query computes its m×k
@@ -310,6 +311,21 @@ def pq_topk(
     that is the point: at 10⁹ vectors the codes fit where the vectors
     do not. Returns (query_id, id, rank, adc_dist) with
     round(·, 4) distances, ties broken by id.
+
+    ``exclude_self`` (default True) drops corpus rows whose id equals
+    the query id — correct when queries are DRAWN FROM the corpus (the
+    self-match is a trivial 0-distance hit). Pass False when the query
+    table is a separate relation whose id space merely overlaps the
+    corpus ids: there the "self" row is a legitimate — possibly the
+    true nearest — neighbor. (``bm25_topk`` has no such exclusion; the
+    flag keeps the retrieval APIs reconcilable.)
+
+    Degenerate vectors (NaN dims, short arrays) encode to the -1
+    argmin sentinel; those rows are excluded from scoring — an
+    element_at lookup with code -1 would read index 0 (an ANSI
+    INVALID_ARRAY_INDEX crash for subspace 0, a silently wrong-table
+    entry for the rest), mirroring the c >= 0 guard in
+    ``pq_codebook_trained``.
     """
     dim, m, k, topk = int(dim), int(m), int(k), int(topk)
     w = dim // m
@@ -341,12 +357,16 @@ def pq_topk(
     )
     scored = (
         corpus_codes.select(F.col(id_col), F.col("codes"))
+        # -1 sentinel codes (degenerate vectors) are non-candidates:
+        # they cannot be ADC-scored (see docstring).
+        .filter(F.expr("forall(codes, c -> c >= 0)"))
         .crossJoin(qt)
         .select(
             "_qid", F.col(id_col), F.expr(adc).alias("adc_dist")
         )
-        .filter(F.col("_qid") != F.col(id_col))
     )
+    if exclude_self:
+        scored = scored.filter(F.col("_qid") != F.col(id_col))
     w_rank = Window.partitionBy("_qid").orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     )
@@ -370,6 +390,7 @@ def pq_search(
     shortlist: int = 100,
     topk: int = 5,
     codebook: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """PQ search the way production uses it: the lossy ADC ranking is a
     SHORTLIST generator, not the answer — ADC over codes prunes the
@@ -401,7 +422,7 @@ def pq_search(
     ).select(F.col(id_col), F.col("codes"))
     cand = pq_topk(
         codes, queries, id_col, vec_col, cb, dim=dim, m=m, k=k,
-        topk=int(shortlist),
+        topk=int(shortlist), exclude_self=exclude_self,
     ).select("query_id", F.col(id_col))
     return _exact_l2_rerank(cand, corpus, queries, id_col, vec_col, dim, topk)
 
@@ -498,6 +519,7 @@ def ivfpq_search(
     topk: int = 5,
     cells: DataFrame | None = None,
     codebook: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-PQ retrieval — the production billion-vector ANN shape
     (FAISS ``IVFx,PQy`` lineage): a coarse quantizer prunes WHICH rows
@@ -535,7 +557,8 @@ def ivfpq_search(
     a model change, not a topology change; documented trade-off).
 
     Returns (query_id, id, rank, l2_dist) — rank by EXACT distance,
-    4dp, ties to the smaller id.
+    4dp, ties to the smaller id. ``exclude_self`` semantics and the
+    -1-sentinel candidate guard are as documented on ``pq_topk``.
     """
     dim, n_cells, n_probe = int(dim), int(n_cells), int(n_probe)
     m, k, shortlist, topk = int(m), int(k), int(shortlist), int(topk)
@@ -619,9 +642,16 @@ def ivfpq_search(
         f"round(aggregate(sequence(0, {m - 1}), 0.0D, (a, j) -> "
         f"a + element_at(_tbl, j * {k} + element_at(codes, j + 1) + 1)), 4)"
     )
+    # -1 sentinel codes / cells (degenerate vectors) are
+    # non-candidates — same guard as pq_topk.
+    codes = codes.filter(
+        F.expr("cell >= 0 AND forall(codes, c -> c >= 0)")
+    )
+    scored = codes.join(qt, on="cell")
+    if exclude_self:
+        scored = scored.filter(F.col("_qid") != F.col(id_col))
     scored = (
-        codes.join(qt, on="cell")
-        .filter(F.col("_qid") != F.col(id_col))
+        scored
         .select(
             F.col("_qid").alias("query_id"),
             F.col(id_col),

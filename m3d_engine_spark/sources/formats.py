@@ -31,6 +31,20 @@ class DataFormat:
     schema: StructType | None = None
     options: dict[str, Any] = field(default_factory=dict)
 
+    def __post_init__(self) -> None:
+        # Spark's text source reads/writes exactly one string column —
+        # a multi-field schema fails only at run time with an opaque
+        # analysis error, so validate eagerly here. (The reference's
+        # DataFormat.scala has no text format; this surface is an
+        # addition, constrained to what the Spark source supports.)
+        if self.format == "text" and self.schema is not None:
+            fields = self.schema.fields
+            if len(fields) != 1 or fields[0].dataType.typeName() != "string":
+                raise ValueError(
+                    "format 'text' supports exactly one STRING column; got "
+                    f"schema {self.schema.simpleString()}"
+                )
+
     def reader(self, spark: SparkSession) -> DataFrameReader:
         r = spark.read.format(self.format).options(**{k: v for k, v in self.options.items() if v is not None})
         if self.schema is not None:
@@ -45,6 +59,16 @@ class DataFormat:
 
     def write(self, df: DataFrame, path: str, mode: str = "overwrite",
               partition_by: list[str] | None = None) -> None:
+        if self.format == "text":
+            data_cols = [
+                f for f in df.schema.fields
+                if not partition_by or f.name not in partition_by
+            ]
+            if len(data_cols) != 1 or data_cols[0].dataType.typeName() != "string":
+                raise ValueError(
+                    "format 'text' writes exactly one STRING column; got "
+                    f"{df.schema.simpleString()}"
+                )
         w = df.write.format(self.format).mode(mode).options(
             **{k: v for k, v in self.options.items() if v is not None}
         )
@@ -62,8 +86,10 @@ def format_from_params(params: Mapping[str, Any]) -> DataFormat:
         "csv": "csv",
         "parquet": "parquet",
         "json": "json",
-        # Columnar siblings Spark ships natively; same reader/writer
-        # surface as parquet (schema honored, no inference needed).
+        # orc: columnar sibling Spark ships natively; same
+        # reader/writer surface as parquet (schema honored, no
+        # inference needed). text: line-oriented, exactly ONE string
+        # column (validated in DataFormat).
         "orc": "orc",
         "text": "text",
     }[fmt]
