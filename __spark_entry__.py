@@ -3624,12 +3624,17 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quote/excerpt detection — C(A→B) = |S(A)∩S(B)|/|S(A)| over distinct
     3-shingles, inside source blocks; inverted-index self-join keyed on
     (block, xxhash64(shingle)), no size-ratio prune (the asymmetry IS
-    the signal)."""
+    the signal). The hot-shingle df-cutoff dial runs here exactly as in
+    jaccard_pairs (candidate generation only; |A∩B| stays exact via the
+    hot-set correction join); 32 is far above this corpus's max
+    per-block df (6 at sf0.1), so the output is provably identical to
+    the uncut join."""
     from m3d_engine_spark.operators.dedup import containment_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return containment_pairs(
-        docs, "doc_id", "text", ["source"], shingle_n=3, threshold=0.1
+        docs, "doc_id", "text", ["source"], shingle_n=3, threshold=0.1,
+        max_shingle_df=32,
     )
 
 
@@ -5102,12 +5107,17 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules (collocations.py::association_rules) over
     order baskets: support/confidence/lift for part pairs bought
     together ≥3 times — keyed basket self-join, min-count filter
-    BEFORE the item-count joins, N as a broadcast 1-row aggregate."""
+    BEFORE the item-count joins, N as a broadcast 1-row aggregate. The
+    basket-size cap (per-basket md5-ranked top-k, pair generation only)
+    is the dial against a single hot basket's quadratic fan-out; TPC-H
+    orders carry ≤7 lineitems, so 64 is provably a no-op here and the
+    output matches the uncapped oracle exactly."""
     from m3d_engine_spark.operators.collocations import association_rules
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return association_rules(
-        li, "l_orderkey", "l_partkey", min_count=3, top=50
+        li, "l_orderkey", "l_partkey", min_count=3, top=50,
+        max_basket_size=64,
     )
 
 

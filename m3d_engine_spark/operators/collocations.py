@@ -22,7 +22,7 @@ exact rational, rounded to 4dp; ranking by (pmi DESC, w1, w2) is total.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from m3d_engine_spark.functions.text import tokens
@@ -100,6 +100,7 @@ def association_rules(
     item_col: str,
     min_count: int = 3,
     top: int = 50,
+    max_basket_size: int | None = None,
 ) -> DataFrame:
     """Pairwise association rules over baskets — support / confidence
     / lift for item pairs (the market-basket classic; in curation the
@@ -121,6 +122,19 @@ def association_rules(
     driver count. All counts exact longs; metrics are single IEEE
     divisions of exact integers (engine-identical), 4dp.
 
+    ``max_basket_size`` is the scale dial: the self-join emits
+    k·(k−1)/2 rows for a k-item basket — quadratic per basket, so ONE
+    hot basket (a crawl dump tagged with 10⁴ labels) dominates the
+    whole job. With the cap set, each basket keeps its deterministic
+    md5-ranked top-k items (the ``stratified_sample`` discipline —
+    seed-free, engine-reproducible) for PAIR GENERATION ONLY; item
+    counts and the basket total N stay exact over full membership.
+    Documented relaxation: for pairs touching an over-cap basket,
+    ``n_pair`` (hence support/conf/lift) becomes a lower bound — a
+    uniform-at-random one, since md5 ranking is independent of item
+    identity. Baskets at or under the cap are unaffected; with
+    cap ≥ max basket size the output is provably identical (pinned).
+
     Returns (a, b, n_pair, support, conf_ab, conf_ba, lift) ordered
     by (lift DESC, a, b), limited to ``top``.
     """
@@ -130,14 +144,30 @@ def association_rules(
         )
         .distinct()
     )
+    pair_src = m
+    if max_basket_size is not None:
+        # Per-basket deterministic top-k, executing as WindowGroupLimit:
+        # each task forwards at most k rows per basket BELOW the
+        # self-join's exchange — the quadratic fan-out is capped at
+        # k·(k−1)/2 per basket before any join input materializes.
+        w_cap = Window.partitionBy("_bk").orderBy(
+            F.md5(F.concat_ws("|", F.col("_bk").cast("string"),
+                              F.col("_it").cast("string"))),
+            F.col("_it"),
+        )
+        pair_src = (
+            m.withColumn("_rn", F.row_number().over(w_cap))
+            .filter(F.col("_rn") <= int(max_basket_size))
+            .drop("_rn")
+        )
     n_baskets = F.broadcast(
         m.agg(F.count_distinct(F.col("_bk")).alias("_n"))
     )
     item_counts = m.groupBy("_it").agg(F.count(F.lit(1)).alias("_c"))
     pairs = (
-        m.alias("x")
+        pair_src.alias("x")
         .join(
-            m.alias("y"),
+            pair_src.alias("y"),
             on=[
                 F.col("x._bk") == F.col("y._bk"),
                 F.col("x._it") < F.col("y._it"),

@@ -406,6 +406,7 @@ def containment_pairs(
     block_cols: Sequence[str],
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: shingle containment
     C(A→B) = |S(A)∩S(B)| / |S(A)| — the quote / excerpt / repost
@@ -420,9 +421,20 @@ def containment_pairs(
     cost is proportional to actual shingle collisions, never O(block²).
     Unlike Jaccard there is NO size-ratio prune (a tiny doc can be
     fully contained in a huge one — that asymmetry is the point), so
-    the hot-shingle df-cutoff dial of ``ngram_jaccard_pairs`` is the
-    scale control to port if block-level collision volume bites;
-    blocking (e.g. by source/lang) is the first-line bound either way.
+    ``max_shingle_df`` is the ONLY scale dial beyond blocking itself:
+    shingles whose per-block document frequency exceeds it are dropped
+    from candidate generation (a df-k shingle alone fans out k·(k−1)/2
+    join rows — quadratic in df — and ultra-frequent shingles carry no
+    containment signal). Values stay EXACT via the same hot-set
+    correction join as ``ngram_jaccard_pairs``: the kept-shingle join
+    count plus ``|hot_A ∩ hot_B|`` is exactly |A∩B| (both documents of
+    a pair share the pair's block, so a shingle's hot/kept status is
+    identical on both sides), and |A| / |B| come from the full distinct
+    sizes, which the cutoff never touches. The only relaxation is
+    recall — a pair whose entire overlap is hot shingles is not
+    generated. Containment only needs the |A∩B| correction since na/nb
+    are already exact; with cutoff ≥ max df the output is identical to
+    the uncut path (pinned).
     """
     if threshold <= 0:
         raise ValueError("containment_pairs requires threshold > 0")
@@ -438,6 +450,23 @@ def containment_pairs(
         F.col(id_col), *[F.col(c) for c in block_cols], F.col("n_sh"),
         F.xxhash64("_s").alias("shingle"),
     )
+    hot_sets = None
+    if max_shingle_df is not None:
+        # Per-(block, shingle) df via a window count — same key as the
+        # self-join, so it reads the join's own exchange (no extra
+        # agg+join pass); see ngram_jaccard_pairs.
+        tok = tok.withColumn(
+            "_df",
+            F.count(F.lit(1)).over(
+                Window.partitionBy(*block_cols, "shingle")
+            ),
+        )
+        hot_sets = (
+            tok.filter(F.col("_df") > max_shingle_df)
+            .groupBy(id_col)
+            .agg(F.collect_set("shingle").alias("hot_sh"))
+        )
+        tok = tok.filter(F.col("_df") <= max_shingle_df).drop("_df")
     l, r = tok.alias("l").hint("merge"), tok.alias("r")
     cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
     cond.append(F.col("l.shingle") == F.col("r.shingle"))
@@ -452,6 +481,40 @@ def containment_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    if hot_sets is not None:
+        # Exact-|A∩B| correction: add back the overlap among each
+        # pair's dropped hot shingles (tiny per-document sets; only
+        # hot-shingle-bearing documents appear in the table).
+        inter = (
+            inter.join(
+                hot_sets.select(
+                    F.col(id_col).alias("id_a"), F.col("hot_sh").alias("hot_a")
+                ),
+                on="id_a",
+                how="left",
+            )
+            .join(
+                hot_sets.select(
+                    F.col(id_col).alias("id_b"), F.col("hot_sh").alias("hot_b")
+                ),
+                on="id_b",
+                how="left",
+            )
+            .select(
+                "id_a", "id_b", "na", "nb",
+                (
+                    F.col("inter")
+                    + F.when(
+                        F.col("hot_a").isNull() | F.col("hot_b").isNull(),
+                        F.lit(0),
+                    ).otherwise(
+                        F.size(
+                            F.array_intersect(F.col("hot_a"), F.col("hot_b"))
+                        )
+                    )
+                ).alias("inter"),
+            )
+        )
     cont_a = F.round(F.col("inter") / F.col("na"), 4)
     cont_b = F.round(F.col("inter") / F.col("nb"), 4)
     return (

@@ -105,3 +105,64 @@ def test_snapshot_diff_column_shift_not_aliased(spark):
     new = spark.createDataFrame([(1, "a", "bc")], "k long, x string, y string")
     out = snapshot_diff(old, new, ["k"], ["x", "y"]).collect()
     assert len(out) == 1 and out[0].status == "changed"
+
+
+def test_containment_df_cutoff_equals_uncut_below_cutoff(spark):
+    """With no shingle above the cutoff, the df-cutoff path must return
+    exactly the uncut output (na/nb are full distinct sizes either way;
+    only candidate recall could differ — and below the cutoff it
+    cannot)."""
+    from m3d_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    key = lambda r: (r.id_a, r.id_b, r.inter, r.na, r.nb, r.cont_a, r.cont_b)
+    uncut = {
+        key(r)
+        for r in containment_pairs(
+            docs, "doc_id", "text", ["source"], 3, 0.5
+        ).collect()
+    }
+    cut = {
+        key(r)
+        for r in containment_pairs(
+            docs, "doc_id", "text", ["source"], 3, 0.5, max_shingle_df=64
+        ).collect()
+    }
+    assert cut == uncut and uncut
+
+
+def test_containment_df_cutoff_hot_shingle_behavior(spark):
+    """Worst-case corpus: one shingle in every doc. The cutoff must
+    (a) keep pairs that also share rare shingles with EXACT inter/cont
+    values via the hot-set correction join, and (b) drop pairs whose
+    only overlap is the hot shingle — the documented recall dial."""
+    hot = "h h h"  # a single 3-shingle present in every doc
+    rows = []
+    for i in range(30):
+        rows.append((100 + i, f"{hot} u{i}a u{i}b u{i}c u{i}d", "b0"))
+    # embedded-quote pair: doc 1 fully inside doc 2, plus the hot shingle
+    rows.append((1, f"{hot} r1 r2 r3 r4", "b0"))
+    rows.append((2, f"{hot} r1 r2 r3 r4 r5 r6 r7 r8 r9 r10", "b0"))
+    # hot-only overlap pair
+    rows.append((3, hot, "b0"))
+    rows.append((4, hot, "b0"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    uncut = {
+        (r.id_a, r.id_b): (r.inter, r.na, r.nb, r.cont_a, r.cont_b)
+        for r in containment_pairs(
+            docs, "doc_id", "text", ["source"], 3, 0.5
+        ).collect()
+    }
+    cut = {
+        (r.id_a, r.id_b): (r.inter, r.na, r.nb, r.cont_a, r.cont_b)
+        for r in containment_pairs(
+            docs, "doc_id", "text", ["source"], 3, 0.5, max_shingle_df=5
+        ).collect()
+    }
+    # (a) exact values survive the cutoff: hot shingle re-added to inter
+    assert cut[(1, 2)] == uncut[(1, 2)]
+    assert cut[(1, 2)][3] == 1.0  # cont_a: doc 1 fully contained
+    # (b) hot-only pair generated uncut (cont over tiny sets ≥ 0.5),
+    # dropped by the cutoff
+    assert (3, 4) in uncut and (3, 4) not in cut

@@ -786,15 +786,21 @@ def test_zorder_write_range_partitions_on_key(spark, sf_dir, tmp_path):
 
 
 def test_containment_pairs_keyed_join_only(spark, sf_dir):
-    """containment_pairs: inverted-index self-join keyed on
-    (block, shingle-hash) — no cartesian, no BNLJ, no Python, no
-    Window (the pair count is an aggregate)."""
+    """containment_pairs with the df-cutoff ON: inverted-index
+    self-join keyed on (block, shingle-hash) — no cartesian, no BNLJ,
+    no Python. The hot-shingle df window count partitions on the SAME
+    (block, shingle) key the SMJ shuffles on (exchange reusable), and
+    the exact-|A∩B| correction arrives as left joins ABOVE the pair
+    aggregate, never a join back to full shingle arrays."""
     import __spark_entry__ as m
 
     plan = _plan_simple(m.queries()["containment_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" in plan, plan
+    # the df window keys on the join's own (block, shingle) columns
+    assert "Window" in plan, plan
+    assert "array_union" not in plan  # no full-array recompute path
 
 
 def test_snapshot_diff_single_keyed_join(spark, sf_dir):
@@ -953,3 +959,28 @@ def test_blame_supplier_semi_anti_keyed(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_weighted_sample_empty_strata_no_global_sort(spark):
+    """weighted_sample with EMPTY strata (a global top-n race): this
+    Spark build plans the rank-filtered single-partition window as
+    TakeOrderedAndProject — each task keeps its local top-n and only
+    n·tasks rows are merged; the corpus is never globally sorted and
+    never crosses a SinglePartition exchange. Pinned for the global
+    form (the stratified form has its own WindowGroupLimit pin) so a
+    Spark upgrade cannot silently regress this to a full
+    single-partition sort. rank_weighted_sample (__spark_entry__) is
+    the consuming entry."""
+    from m3d_engine_spark.operators.sampling import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("w")
+    )
+    out = weighted_sample(df, [], 50, "k", "w")
+    plan = _plan(out)
+    # the per-task top-n + bounded merge shape; either node bounds the
+    # rows that reach the single partition
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, plan
+    # and nothing may sort or exchange the full relation globally
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "\n(0) Sort" not in plan and "+- Sort" not in plan, plan

@@ -359,3 +359,62 @@ def test_association_rules_known_baskets(spark):
     assert r.conf_ab == 0.75      # 3/4
     assert r.conf_ba == 1.0       # 3/3
     assert r.lift == 1.0          # 3*4/(4*3)
+
+
+def test_association_rules_basket_cap_noop_and_hot_basket(spark):
+    """The basket-size dial: with cap >= max basket size the output is
+    identical to the uncapped run (pinned); with a hot basket over the
+    cap, pair generation is bounded at k·(k−1)/2 while item counts and
+    N stay exact over full membership."""
+    from m3d_engine_spark.operators.collocations import association_rules
+
+    baskets = [
+        (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2),
+        (3, 1), (3, 2),
+        (4, 4), (4, 1),
+    ]
+    df = spark.createDataFrame(baskets, "bk long, it long")
+    key = lambda r: (r.a, r.b, r.n_pair, r.support, r.conf_ab, r.conf_ba, r.lift)
+    uncapped = {key(r) for r in association_rules(
+        df, "bk", "it", min_count=3, top=10
+    ).collect()}
+    capped = {key(r) for r in association_rules(
+        df, "bk", "it", min_count=3, top=10, max_basket_size=3
+    ).collect()}
+    assert capped == uncapped and uncapped
+
+    # hot basket: basket 99 carries 100 items; cap 5 bounds its pair
+    # fan-out to C(5,2)=10 rows instead of C(100,2)=4950.
+    hot = df.union(spark.createDataFrame(
+        [(99, 1000 + i) for i in range(100)], "bk long, it long"
+    ))
+    out = association_rules(hot, "bk", "it", min_count=1, top=10_000,
+                            max_basket_size=5)
+    rows = out.collect()
+    hot_pairs = [r for r in rows if r.a >= 1000]
+    assert len(hot_pairs) == 10  # C(5,2), not C(100,2)
+    # exactness preserved for under-cap baskets: (1,2) metrics over
+    # FULL membership (N=5 baskets now)
+    r12 = next(r for r in rows if (r.a, r.b) == (1, 2))
+    assert r12.n_pair == 3 and r12.conf_ba == 1.0 and r12.support == 0.6
+
+
+def test_association_rules_cap_window_group_limit_below_join(spark):
+    """Plan pin: the cap's per-basket top-k executes as WindowGroupLimit
+    BELOW the basket self-join — each task forwards at most k rows per
+    basket before any join input materializes."""
+    from m3d_engine_spark.operators.collocations import association_rules
+
+    df = spark.createDataFrame([(1, 1), (1, 2)], "bk long, it long")
+    out = association_rules(df, "bk", "it", min_count=1, top=10,
+                            max_basket_size=5)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowGroupLimit" in plan, plan
+    join_pos = plan.find("Join")
+    wgl_pos = plan.find("WindowGroupLimit")
+    # formatted plans print top-down: the join node appears before
+    # (above) the WindowGroupLimit feeding it
+    assert 0 <= join_pos < wgl_pos, plan
