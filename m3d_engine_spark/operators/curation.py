@@ -346,6 +346,8 @@ def curation_pipeline(
     min_distinct_ratio: float = 0.33,
     dedup_prefix: int = 8,
     split_weights: Sequence[float] = (0.8, 0.1, 0.1),
+    scrub: bool = True,
+    keep_text: bool = False,
 ) -> DataFrame:
     """End-to-end curation: quality gate → PII scrub → exact
     prefix-fingerprint dedup → train/val/test split — the whole
@@ -370,6 +372,13 @@ def curation_pipeline(
     pipeline exchanges data exactly twice (election agg + join), both
     keyed on the 32-hex fingerprint — at 100 TB the text column rides
     only to the fingerprint projection, never through an exchange.
+
+    ``scrub=False`` skips stage 2 (fingerprints over raw text,
+    n_pii = 0). ``keep_text=True`` appends the surviving document's
+    (scrubbed) ``text`` — the cleaned-corpus-table shape the
+    CurationPipeline CLI algorithm writes; the text then rides the
+    election join's exchange, which is the honest cost of
+    materializing a corpus rather than a manifest.
     """
     from m3d_engine_spark.functions.redact import pii_scrub
     from m3d_engine_spark.functions.text import distinct_token_ratio, tokens
@@ -382,24 +391,29 @@ def curation_pipeline(
         (F.size(t) >= min_tokens)
         & (distinct_token_ratio(F.col(text_col)) >= min_distinct_ratio)
     )
-    scrubbed = pii_scrub(gated, id_col, text_col)
-    fp = F.md5(
-        F.concat_ws(" ", F.slice(tokens(F.col("scrubbed")), 1, dedup_prefix))
-    )
-    with_fp = scrubbed.select(
-        F.col(id_col),
-        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("n_pii"),
-        fp.alias("fp"),
-    )
+    if scrub:
+        scrubbed = pii_scrub(gated, id_col, text_col)
+        n_pii = (
+            F.col("n_emails") + F.col("n_ips") + F.col("n_phones")
+        ).alias("n_pii")
+        txt = F.col("scrubbed")
+    else:
+        scrubbed = gated.select(F.col(id_col), F.col(text_col))
+        n_pii = F.lit(0).cast("int").alias("n_pii")
+        txt = F.col(text_col)
+    fp = F.md5(F.concat_ws(" ", F.slice(tokens(txt), 1, dedup_prefix)))
+    carried = [txt.alias("text")] if keep_text else []
+    with_fp = scrubbed.select(F.col(id_col), n_pii, fp.alias("fp"), *carried)
     winners = with_fp.groupBy("fp").agg(F.min(id_col).alias("_win"))
     survivors = (
         with_fp.join(winners, on="fp")
         .filter(F.col(id_col) == F.col("_win"))
         .drop("_win")
     )
-    return hash_split(survivors, id_col, list(split_weights)).select(
-        id_col, "split", "n_pii", "fp"
+    out_cols = [id_col, "split", "n_pii", "fp"] + (
+        ["text"] if keep_text else []
     )
+    return hash_split(survivors, id_col, list(split_weights)).select(*out_cols)
 
 
 def ccnet_buckets(
@@ -562,3 +576,71 @@ def assemble_sequences(
             ).alias("transcript"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CLI algorithm: the params-driven dispatch surface
+# --------------------------------------------------------------------------
+
+from m3d_engine_spark.operators.base import Algorithm, register  # noqa: E402
+
+
+@register("CurationPipeline")
+class CurationPipelineAlgorithm(Algorithm):
+    """``curation_pipeline`` behind the reference's JSON-params dispatch
+    (AlgorithmFactory.scala:66-83 pattern, like StreamingAppendLoad) —
+    the whole raw-corpus → cleaned-training-corpus pass as one
+    spark-submit-able job:
+
+        python -m m3d_engine_spark CurationPipeline params.json
+
+    Config keys:
+      source_location (parquet dir) OR source_table
+      id_column (default "doc_id"), text_column (default "text")
+      min_tokens (default 20), min_distinct_ratio (default 0.33)
+      scrub (bool, default true — PII redaction on/off)
+      dedup_prefix (default 8), split_weights (default [0.8, 0.1, 0.1])
+      target_location OR target_table (+ target_partitions,
+      output_files_num, load_mode — the full write_output surface;
+      defaults to partitioning the cleaned corpus by ``split``)
+
+    The written table carries (id, split, n_pii, fp, text) — the
+    cleaned corpus itself (keep_text=True), not just a manifest.
+    """
+
+    def read(self) -> list[DataFrame]:
+        if self.params.has("source_table"):
+            return [self.spark.table(self.params.get_string("source_table"))]
+        return [
+            self.spark.read.parquet(self.params.get_string("source_location"))
+        ]
+
+    def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
+        p = self.params
+        return [
+            curation_pipeline(
+                dfs[0],
+                p.get_optional("id_column", "doc_id"),
+                p.get_optional("text_column", "text"),
+                min_tokens=int(p.get_optional("min_tokens", 20)),
+                min_distinct_ratio=float(
+                    p.get_optional("min_distinct_ratio", 0.33)
+                ),
+                dedup_prefix=int(p.get_optional("dedup_prefix", 8)),
+                split_weights=[
+                    float(w)
+                    for w in p.get_optional("split_weights", [0.8, 0.1, 0.1])
+                ],
+                scrub=bool(p.get_optional("scrub", True)),
+                keep_text=True,
+            )
+        ]
+
+    def write(self, dfs: list[DataFrame]) -> None:
+        from m3d_engine_spark.sources.writers import write_output
+
+        if not self.params.has("target_partitions"):
+            # default: a corpus readers consume split-by-split prunes
+            # on the split dir
+            self.params.params.setdefault("target_partitions", ["split"])
+        write_output(self.spark, dfs[0], self.params)

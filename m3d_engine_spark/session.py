@@ -30,6 +30,18 @@ SCALE_DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Runtime bloom-filter join pruning: a selective (but too big to
+    # broadcast) join side builds a bloom filter over its keys that is
+    # pushed into the other side's scan — at 100 TB this is the
+    # difference between shuffling the whole fact table and shuffling
+    # the ~matching fraction. Default-on in this Spark, pinned here so
+    # a cluster profile can't silently disable it. The injection
+    # thresholds are left at their defaults (creation side ≤ 10 MB,
+    # application-side scan ≥ 10 GB): at local test scale no scan
+    # clears 10 GB, so injection is observed in tests by lowering
+    # applicationSideScanSizeThreshold (tests/test_plans.py pins the
+    # injected bloom_filter_agg + scan-side Filter shape).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.cbo.enabled": "true",
     "spark.sql.parquet.compression.codec": "snappy",
     "spark.sql.parquet.filterPushdown": "true",

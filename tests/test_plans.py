@@ -984,3 +984,39 @@ def test_weighted_sample_empty_strata_no_global_sort(spark):
     # and nothing may sort or exchange the full relation globally
     assert "Exchange SinglePartition" not in plan, plan
     assert "\n(0) Sort" not in plan and "+- Sort" not in plan, plan
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark, sf_dir):
+    """Runtime bloom-filter join pruning (session default, pinned in
+    session.py): a selective non-broadcast build side must inject
+    bloom_filter_agg over its join keys and a might_contain filter on
+    the probe side's scan. The injection thresholds are sized for
+    cluster scale (probe scan >= 10 GB), so this pin lowers the
+    application-side threshold to observe the shape locally; the conf
+    being default-on is asserted separately. order_revenue is the
+    consuming shape (selective orders vs lineitem-sized probe)."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_extendedprice"
+        )
+        plan = _plan(j)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan, plan
+    assert "might_contain" in plan, plan
