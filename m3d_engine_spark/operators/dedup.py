@@ -972,3 +972,53 @@ def remove_repeated_spans(
             (F.size(F.col("_tk")) - F.size(kept)).cast("int").alias("n_removed"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT ``shingle_n``-gram shingles that occur in NO other
+    document — the inverse of the near-dup signal, and the selection
+    score for "how much does this document add that the corpus does
+    not already have" (novelty-weighted curation picks high-novelty
+    docs first; boilerplate and templated pages score ≈ 0).
+
+    Topology: the inverted-index backbone shared with
+    ``ngram_jaccard_pairs`` — explode distinct shingles, aggregate
+    corpus document-frequency per 64-bit shingle hash (map-side
+    combinable, vocabulary-sized), equi-join back on the hash, ONE
+    per-doc aggregate. Shingle text never crosses an exchange (8-byte
+    xxhash64 keys, same collision budget as the Jaccard join).
+    Returns (id, n_shingles, n_novel, novelty) with novelty =
+    round(n_novel / n_shingles, 4); empty/short docs collapse to
+    their whole-text single shingle (shingle_array contract).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingle_array(F.col(text_col), shingle_n))
+        ).alias("_s"),
+    ).select(F.col(id_col), F.xxhash64("_s").alias("sh"))
+    corpus_df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        sh.join(corpus_df, on="sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 4).alias(
+                "novelty"
+            ),
+        )
+    )

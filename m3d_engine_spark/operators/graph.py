@@ -487,3 +487,105 @@ def pagerank(
         ed.unpersist()
         nodes.unpersist()
     return out
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    scale: int = 10**6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """HITS hubs & authorities over a DIRECTED edge list (Kleinberg's
+    link-analysis pair to PageRank): authority(v) sums the hub scores
+    pointing at it, hub(u) sums the authority scores it points to —
+    the "good list page vs good content page" decomposition, and in
+    corpus curation the citing-page/cited-page split PageRank's single
+    score conflates.
+
+        a_{t+1}(v) = Σ_{u→v} h_t(u),  then  a ← a·scale div max(a)
+        h_{t+1}(u) = Σ_{u→v} a_{t+1}(v), then h ← h·scale div max(h)
+
+    INTEGER fixed-point on a ``scale`` lattice, like ``pagerank``: the
+    per-round normalization is L∞ (divide by the max, the natural
+    norm on an integer lattice — same fixed point direction as the
+    textbook L2 form, reached at the same rate) computed as exact
+    DECIMAL(38,0) multiply-then-integer-divide, so every score is
+    bit-identical across engines, partitionings, and reruns at ANY
+    graph size — n·scale² has 38 digits of headroom instead of
+    long overflow at 10⁷ nodes.
+
+    Topology (the pagerank discipline): the distinct edge relation is
+    persisted once; each half-round is ONE equi-join of the
+    node-keyed score relation against it plus ONE sum aggregate on
+    the opposite endpoint; the round max is a broadcast 1-row
+    aggregate (no driver traffic); ``iterations`` is fixed, and one
+    terminal eager checkpoint executes the whole loop. Nodes with no
+    in-edges hold authority 0; no out-edges, hub 0.
+
+    Returns (node, auth_int, hub_int, authority, hub): exact lattice
+    values and their 6dp decodes (1.0 = the round's max).
+    """
+    iterations, scale = int(iterations), int(scale)
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    renorm = (
+        f"CAST(CAST(v AS DECIMAL(38,0)) * {scale} div mx AS BIGINT)"
+    )
+    hubs = nodes.select("node", F.lit(int(scale)).cast("long").alias("h"))
+    auths = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs.select(F.col("node").alias("src"), "h"), on="src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("v"))
+        )
+        a_norm = a_raw.crossJoin(
+            F.broadcast(a_raw.agg(F.max("v").alias("mx")))
+        ).select("node", F.expr(renorm).alias("a"))
+        auths = nodes.join(a_norm, on="node", how="left").select(
+            "node", F.coalesce(F.col("a"), F.lit(0).cast("long")).alias("a")
+        )
+        h_raw = (
+            e.join(auths.select(F.col("node").alias("dst"), "a"), on="dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("v"))
+        )
+        h_norm = h_raw.crossJoin(
+            F.broadcast(h_raw.agg(F.max("v").alias("mx")))
+        ).select("node", F.expr(renorm).alias("h"))
+        hubs = nodes.join(h_norm, on="node", how="left").select(
+            "node", F.coalesce(F.col("h"), F.lit(0).cast("long")).alias("h")
+        )
+    out = (
+        auths.join(hubs, on="node")
+        .select(
+            "node",
+            F.col("a").alias("auth_int"),
+            F.col("h").alias("hub_int"),
+            F.round(F.col("a").cast("double") / F.lit(float(scale)), 6).alias(
+                "authority"
+            ),
+            F.round(F.col("h").cast("double") / F.lit(float(scale)), 6).alias(
+                "hub"
+            ),
+        )
+    )
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        e.unpersist()
+        nodes.unpersist()
+    return out

@@ -1,0 +1,70 @@
+"""Event-sequence transition analytics (first-order Markov census).
+
+Beyond-reference capability (the reference is batch ELT only): the
+"what happens after X" census every product/clickstream pipeline runs —
+and, in a training-data context, the state-transition audit over
+session transcripts (turn-type sequences) that surfaces degenerate
+interaction loops before they reach a fine-tuning mix.
+
+Scale shape: sequences order WITHIN a user partition (one hash
+exchange + window sort — the sessionize topology), transitions
+aggregate map-side on the (from, to) pair key, and per-from totals
+come from a second tiny aggregate over the PAIR RELATION (states² ≤
+small), never a second pass over events. No driver traffic, no
+windows over anything bigger than one user's events.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    state_col: str,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """First-order transition census over per-key ordered event
+    sequences: for every observed (from_state, to_state) pair, the
+    transition count and the row-conditional probability
+    ``p = n / Σ_to n`` (4dp; exact-integer counts, one IEEE division).
+
+    Ordering is (order_col, *tie_cols) within each key partition —
+    pass a unique tiebreaker (event id) so runs are deterministic when
+    timestamps collide; ties left unbroken would make `lead` pick an
+    engine-dependent successor. The last event of each sequence has no
+    successor and contributes nothing.
+
+    Topology: ONE exchange on the key columns feeds the ordered window
+    (lead); transitions then partial-aggregate map-side on the
+    (from, to) key; the per-from totals reuse the aggregated pair
+    relation (states²-sized, tiny) via a window over it — the corpus is
+    scanned exactly once. Returns (from_state, to_state, n, p).
+    """
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        F.col(order_col), *[F.col(c) for c in tie_cols]
+    )
+    pairs = (
+        events.select(
+            *[F.col(c) for c in key_cols],
+            F.col(order_col),
+            *[F.col(c) for c in tie_cols],
+            F.col(state_col).alias("from_state"),
+        )
+        .withColumn("to_state", F.lead("from_state").over(w))
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_tot = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_tot), 4).alias("p"),
+    )

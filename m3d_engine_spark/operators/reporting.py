@@ -204,3 +204,64 @@ def group_top_terms(
         .filter(F.col("rk") <= k)
         .withColumn("rk", F.col("rk").cast("int"))
     )
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """First-significant-digit census vs Benford's law — the standard
+    fabricated-/synthetic-numbers screen for a numeric column (amounts,
+    populations, file sizes): naturally-occurring multi-magnitude data
+    follows P(d) = log10(1 + 1/d); manufactured data rarely does.
+
+    Emits one row per (group, digit 1-9): the count, observed
+    fraction, Benford expectation, and the digit's chi-square
+    contribution n·(obs−exp)²/exp — Σ over digits vs the χ²(8)
+    critical value is the audit. Rows with NULL/zero values are
+    excluded (they have no first significant digit).
+
+    Determinism: the first digit comes from the DECIMAL STRING form of
+    |value| (regexp for the first 1-9), not from log/pow float
+    arithmetic, so bucketing is bit-exact across engines; fractions
+    and chi-square round to 6dp after exact-integer counts. Topology:
+    one projection + one (group, digit)-keyed aggregate; per-group
+    totals reuse the 9-row-per-group aggregate via a tiny window —
+    the column is scanned once, nothing exchanges but digit counts.
+    """
+    import math
+
+    gc = [F.col(c) for c in group_cols]
+    digit = F.regexp_extract(
+        F.abs(F.col(value_col)).cast("decimal(38,12)").cast("string"),
+        "[1-9]", 0,
+    )
+    counted = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gc, digit.alias("digit"))
+        .filter(F.col("digit") != "")
+        .groupBy(*gc, "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w_tot = Window.partitionBy(*gc) if gc else Window.partitionBy(F.lit(1))
+    expected = F.element_at(
+        F.array(*[
+            F.lit(round(math.log10(1.0 + 1.0 / d), 6)) for d in range(1, 10)
+        ]),
+        F.col("digit").cast("int"),
+    )
+    tot = F.sum("n").over(w_tot)
+    obs = F.col("n") / tot
+    return counted.select(
+        *gc,
+        F.col("digit").cast("int").alias("digit"),
+        "n",
+        F.round(obs, 6).alias("obs_frac"),
+        expected.alias("benford_frac"),
+        F.round(
+            tot * (obs - expected) * (obs - expected) / expected, 6
+        ).alias("chi2_part"),
+    )

@@ -5,6 +5,8 @@ lowest-id-wins flagging)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from m3d_engine_spark.operators.curation import dedup_paragraphs
@@ -181,6 +183,7 @@ def test_group_distinct_report_sketch_vs_exact(spark, sf_dir):
         ), (k, a["n_distinct"], e["n_distinct"])
 
 
+@pytest.mark.slow
 def test_train_kmeans_separates_obvious_clusters(spark):
     """Two tight orthogonal groups, k=2, 2 rounds: centroids converge
     to the group means and memberships split 3/3 — and the result is

@@ -3,6 +3,8 @@ equivalence with the from-scratch operator."""
 
 from __future__ import annotations
 
+import pytest
+
 from m3d_engine_spark.operators.incremental import (
     incremental_dedup,
     incremental_dedup_against_artifacts,
@@ -15,6 +17,7 @@ _BASE = (
 )
 
 
+@pytest.mark.slow
 def test_artifact_path_equals_from_scratch(spark, tmp_path, sf_dir):
     corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"

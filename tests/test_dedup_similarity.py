@@ -146,6 +146,7 @@ def test_seeded_ann_recall_vs_brute_force(spark):
     assert recall >= 0.9, f"recall@5 {recall:.3f} below the 0.9 gate"
 
 
+@pytest.mark.slow
 def test_prefix_filtered_jaccard_equals_plain(spark):
     """AllPairs prefix filtering must return the exact same pairs as the
     plain inverted-index join at its target (high) threshold."""
@@ -323,6 +324,7 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.9, f"recall@5 {recall:.3f} below the 0.9 gate"
 
 
+@pytest.mark.slow
 def test_fuzzy_dedup_corpus_end_to_end(spark):
     """The chained pipeline (LSH → Jaccard verify → CC → survivors →
     cleaned corpus): near-dup family {1,2,3,5} collapses to ONE
@@ -361,6 +363,7 @@ def test_fuzzy_dedup_corpus_end_to_end(spark):
     assert {r.doc_id for r in flipped.collect()} == {1, 4}
 
 
+@pytest.mark.slow
 def test_ivf_accepts_trained_kmeans_quantizer(spark, sf_dir):
     """The documented quantizer swap-in point: train_kmeans centroids
     (renamed to (cent_id, centv)) drive ivf_topk with the identical

@@ -3,6 +3,8 @@ stage."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Row
 
 from m3d_engine_spark.operators.graph import connected_components
@@ -50,6 +52,7 @@ def test_components_converge_within_max_iterations(spark):
 from m3d_engine_spark.operators.graph import connected_components_star  # noqa: E402
 
 
+@pytest.mark.slow
 def test_star_matches_label_prop_on_mixed_graph(spark):
     nodes = spark.createDataFrame([Row(id=i) for i in range(9)])
     edges = spark.createDataFrame(

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from m3d_engine_spark.operators.quantization import (
@@ -161,6 +162,7 @@ def test_pq_search_recall_floor(spark, sf_dir):
     assert hits / total >= 0.9, hits / total
 
 
+@pytest.mark.slow
 def test_pq_trained_codebook_beats_sampled_adc(spark, sf_dir):
     """The Lloyd-trained per-subspace codebook must reduce total
     quantization error vs the md5-sampled seeds (same m/k), and slot
@@ -207,13 +209,14 @@ def test_ivfpq_full_probe_equals_pq_search(spark, sf_dir):
     """n_probe = n_cells makes the coarse stage a no-op: every cell is
     probed, so IVF-PQ must return EXACTLY pq_search's rows at the same
     m/k/shortlist dials — the probe stage only ever removes candidates,
-    never reorders them. Also pins that recall is monotone in n_probe
-    on the (deterministic) test corpus: the probe dial trades cost for
-    recall in one direction only."""
+    never reorders them. (Dials m=4/k=8 keep the codegen'd expression
+    tree — the actual cost driver at test scale — small; the equality
+    property is dial-independent. The production-dial monotonicity
+    check lives in the slow lane below.)"""
     from m3d_engine_spark.operators.quantization import ivfpq_search, pq_search
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
 
     def rows(df):
         return sorted(
@@ -223,16 +226,28 @@ def test_ivfpq_full_probe_equals_pq_search(spark, sf_dir):
     full = rows(
         ivfpq_search(
             emb, queries, "vec_id", "embedding", dim=64,
-            n_cells=8, n_probe=8, m=8, k=16, shortlist=50, topk=5,
+            n_cells=4, n_probe=4, m=4, k=8, shortlist=30, topk=5,
         )
     )
     ref = rows(
         pq_search(
             emb, queries, "vec_id", "embedding", dim=64,
-            m=8, k=16, shortlist=50, topk=5,
+            m=4, k=8, shortlist=30, topk=5,
         )
     )
     assert full == ref
+
+
+@pytest.mark.slow
+def test_ivfpq_probe_recall_monotone(spark, sf_dir):
+    """Recall is monotone in n_probe at the production dials on the
+    deterministic test corpus — the probe dial trades cost for recall
+    in one direction only. Slow lane: three full IVF-PQ plans at
+    m=8/k=16 are the heaviest codegen in the suite."""
+    from m3d_engine_spark.operators.quantization import ivfpq_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
 
     def hitset(n_probe: int) -> dict[int, set[int]]:
         got: dict[int, set[int]] = {}
@@ -243,9 +258,7 @@ def test_ivfpq_full_probe_equals_pq_search(spark, sf_dir):
             got.setdefault(r.query_id, set()).add(r.vec_id)
         return got
 
-    truth: dict[int, set[int]] = {}
-    for qid, vid, _, _ in full:
-        truth.setdefault(qid, set()).add(vid)
+    truth = hitset(8)  # full probe = the reference answer
     r2 = sum(len(hitset(2).get(q, set()) & truth[q]) for q in truth)
     r4 = sum(len(hitset(4).get(q, set()) & truth[q]) for q in truth)
     assert r2 <= r4, (r2, r4)

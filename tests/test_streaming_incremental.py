@@ -3,6 +3,8 @@ partitioned writes, checkpointed catch-up runs."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from m3d_engine_spark.operators.incremental import incremental_dedup
@@ -52,6 +54,7 @@ def test_replayed_batch_does_not_lose_its_own_output(spark, tmp_path):
     assert replay == {10}, "replay must reproduce, not erase, survivors"
 
 
+@pytest.mark.slow
 def test_streaming_incremental_dedup_grows_corpus(spark, tmp_path):
     landing = str(tmp_path / "landing")
     accepted = str(tmp_path / "accepted")
