@@ -5149,6 +5149,218 @@ LIMIT 50
 
 
 # --------------------------------------------------------------------------
+# round-7 additions: transition census, Benford audit, HITS, novelty,
+# LSH calibration
+# --------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition census
+    (markov.py::transition_matrix) over per-user event sequences:
+    (from, to) counts + row-conditional probabilities, ordered within
+    user by (ts, event_id) so timestamp ties cannot flip the successor.
+    One exchange on user_id for the lead window, then a map-side
+    (from, to) count; per-from totals reuse the tiny pair relation."""
+    from m3d_engine_spark.operators.markov import transition_matrix
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return transition_matrix(
+        ev, ["user_id"], "ts", "event_type", tie_cols=["event_id"]
+    )
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_state,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_state
+  FROM events
+), p AS (
+  SELECT from_state, to_state, count(*) AS n
+  FROM seq WHERE to_state IS NOT NULL
+  GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n,
+       round(n / (SUM(n) OVER (PARTITION BY from_state)), 4) AS p
+FROM p
+"""
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (reporting.py::benford_audit) of
+    lineitem extended prices: digit census, observed vs Benford
+    fraction, per-digit chi-square contribution. TPC-H prices are
+    formula-generated, so the audit correctly screams — which is the
+    demo: the screen detects synthetic numbers. First digits come from
+    the decimal STRING (no float log bucketing)."""
+    from m3d_engine_spark.operators.reporting import benford_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_audit(li, "l_extendedprice")
+
+
+_SQL_BENFORD_AUDIT = """
+WITH d AS (
+  SELECT regexp_extract(CAST(abs(l_extendedprice) AS VARCHAR), '[1-9]') AS dg
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), c AS (
+  SELECT dg, count(*) AS n FROM d WHERE dg <> '' GROUP BY dg
+), e AS (
+  SELECT dg, n,
+         CAST(SUM(n) OVER () AS DOUBLE) AS t,
+         CAST(CASE WHEN dg = '1' THEN 0.30103 WHEN dg = '2' THEN 0.176091 WHEN dg = '3' THEN 0.124939 WHEN dg = '4' THEN 0.09691 WHEN dg = '5' THEN 0.079181 WHEN dg = '6' THEN 0.066947 WHEN dg = '7' THEN 0.057992 WHEN dg = '8' THEN 0.051153 WHEN dg = '9' THEN 0.045757 END AS DOUBLE) AS exp
+  FROM c
+)
+SELECT CAST(dg AS INTEGER) AS digit, n,
+       round(n / t, 6) AS obs_frac,
+       exp AS benford_frac,
+       round(t * (n / t - exp) * (n / t - exp) / exp, 6) AS chi2_part
+FROM e
+"""
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (graph.py::hits), 3 rounds on the
+    supplier→part bipartite graph from lineitem (part node ids offset
+    by 10M to keep the id spaces disjoint). Exact DECIMAL(38)
+    fixed-point with per-round L-infinity lattice normalization —
+    bit-identical across engines at any graph size; one keyed join +
+    one sum per half-round off the persisted edge relation."""
+    from m3d_engine_spark.operators.graph import hits
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey").cast("long") + F.lit(10_000_000)).alias("dst"),
+    )
+    return hits(li, "src", "dst", iterations=3, scale=10**6)
+
+
+def _sql_hits_scores() -> str:
+    scale = 10**6
+    rounds = 3
+    out = ["""
+WITH e AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+         CAST(l_partkey AS BIGINT) + 10000000 AS dst
+  FROM lineitem
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), h0 AS (
+  SELECT node, CAST(%d AS BIGINT) AS h FROM nodes
+)""" % scale]
+    for i in range(1, rounds + 1):
+        out.append(""", a%dr AS (
+  SELECT e.dst AS node, SUM(h) AS v
+  FROM e JOIN h%d ON e.src = h%d.node GROUP BY e.dst
+), a%d AS (
+  SELECT n.node,
+         COALESCE(CAST(CAST(v AS HUGEINT) * %d // (SELECT MAX(v) FROM a%dr) AS BIGINT),
+                  CAST(0 AS BIGINT)) AS a
+  FROM nodes n LEFT JOIN a%dr USING (node)
+), h%dr AS (
+  SELECT e.src AS node, SUM(a) AS v
+  FROM e JOIN a%d ON e.dst = a%d.node GROUP BY e.src
+), h%d AS (
+  SELECT n.node,
+         COALESCE(CAST(CAST(v AS HUGEINT) * %d // (SELECT MAX(v) FROM h%dr) AS BIGINT),
+                  CAST(0 AS BIGINT)) AS h
+  FROM nodes n LEFT JOIN h%dr USING (node)
+)""" % (i, i - 1, i - 1, i, scale, i, i, i, i, i, i, scale, i, i))
+    out.append("""
+SELECT a%d.node, a AS auth_int, h AS hub_int,
+       round(a / %d.0, 6) AS authority,
+       round(h / %d.0, 6) AS hub
+FROM a%d JOIN h%d USING (node)
+""" % (rounds, scale, scale, rounds, rounds))
+    return "".join(out)
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (dedup.py::ngram_novelty): fraction
+    of a doc's distinct 3-shingles unseen anywhere else in the corpus —
+    the inverse dedup signal for novelty-weighted selection. Inverted-
+    index topology on xxhash64 shingle keys; shingle text never
+    crosses an exchange."""
+    from m3d_engine_spark.operators.dedup import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", shingle_n=3)
+
+
+_SQL_NGRAM_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), d AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+), sh AS (
+  SELECT doc_id, unnest(s) AS g FROM d
+), dfc AS (
+  SELECT g, count(*) AS c FROM sh GROUP BY g
+)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / count(*), 4) AS novelty
+FROM sh JOIN dfc USING (g)
+GROUP BY sh.doc_id
+"""
+
+
+def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash dial audit (dedup.py::lsh_calibration): for every LSH
+    candidate pair, the 16-hash signature estimate of Jaccard next to
+    the exact value and the absolute error — the measured feedback
+    loop for choosing (num_hashes, bands). Signatures hash each
+    shingle once; full arrays ride only to candidate pairs."""
+    from m3d_engine_spark.operators.dedup import lsh_calibration
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_calibration(docs, "doc_id", "text", num_hashes=16, bands=8)
+
+
+def _sql_lsh_calibration() -> str:
+    hashes = ", ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{j}|' || x)), 'min')"
+        for j in range(16)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(sig[{2 * b + 1}] || '|' || sig[{2 * b + 2}]) AS band_key FROM sigs"
+        for b in range(8)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+), sigs AS (
+  SELECT doc_id, s, [{hashes}] AS sig FROM sh
+), bands AS (
+{band_rows}
+), cands AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_filter(range(1, 17),
+                 i -> sa.sig[i] = sb.sig[i])) / 16.0, 4) AS est_j,
+       round(len(list_intersect(sa.s, sb.s)) /
+             len(list_distinct(list_concat(sa.s, sb.s))), 4) AS exact_j,
+       round(abs(round(len(list_filter(range(1, 17),
+                 i -> sa.sig[i] = sb.sig[i])) / 16.0, 4)
+               - round(len(list_intersect(sa.s, sb.s)) /
+                       len(list_distinct(list_concat(sa.s, sb.s))), 4)),
+             4) AS abs_err
+FROM cands
+JOIN sigs sa ON sa.doc_id = cands.id_a
+JOIN sigs sb ON sb.doc_id = cands.id_b
+"""
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -5222,6 +5434,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "rank_fusion": q_rank_fusion,
         "basket_rules": q_basket_rules,
+        "event_transitions": q_event_transitions,
+        "benford_audit": q_benford_audit,
+        "hits_scores": q_hits_scores,
+        "ngram_novelty": q_ngram_novelty,
+        "lsh_calibration": q_lsh_calibration,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -5340,6 +5557,11 @@ def oracle_sql() -> dict[str, str]:
         "budget_select": _SQL_BUDGET_SELECT,
         "rank_fusion": _SQL_RANK_FUSION,
         "basket_rules": _SQL_BASKET_RULES,
+        "event_transitions": _SQL_EVENT_TRANSITIONS,
+        "benford_audit": _SQL_BENFORD_AUDIT,
+        "hits_scores": _sql_hits_scores(),
+        "ngram_novelty": _SQL_NGRAM_NOVELTY,
+        "lsh_calibration": _sql_lsh_calibration(),
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -1022,3 +1022,122 @@ def ngram_novelty(
             ),
         )
     )
+
+
+def lsh_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash dial audit — for every LSH candidate pair, the
+    signature's Jaccard ESTIMATE (matching minhash positions /
+    num_hashes) next to the EXACT shingle-set Jaccard and their
+    absolute error. This is the "measure, don't guess" loop for the
+    (num_hashes, bands) dials: run it on a corpus sample, read the
+    error distribution and the estimate threshold that corresponds to
+    the exact threshold you actually want, then set the production
+    dials. E[est] = J and Var = J(1−J)/num_hashes, so the observed
+    spread directly exposes whether num_hashes is big enough.
+
+    Topology: signatures via the hash-once explode→min aggregation of
+    ``lsh_bands`` (each md5 computed exactly once), kept as columns;
+    band keys posexplode from the SAME signature relation; candidates
+    from the banded self-equi-join; the signature compare and the
+    exact verify are candidate-sized equi-joins back to node-keyed
+    relations. Full shingle arrays ride ONLY to candidate pairs (the
+    fuzzy-dedup verify discipline), never the banded join.
+
+    Returns (id_a, id_b, est_j, exact_j, abs_err), 4dp.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingle_array(F.col(text_col), shingle_n))
+        ).alias("shingle"),
+    )
+    hashed = exploded.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
+    )
+    bands_rel = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    )
+                )
+                for b in range(bands)
+            ])
+        ).alias("band", "band_key"),
+    )
+    cands = (
+        bands_rel.alias("l")
+        .join(
+            bands_rel.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sig_arr = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"),
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b
+                ),
+                lambda x: x,
+            )
+        )
+        / F.lit(float(num_hashes)),
+        4,
+    )
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias(
+            "sh"
+        ),
+    )
+    exact = _exact_jaccard_on_candidates(base, cands, id_col, threshold=0.0)
+    return (
+        cands.join(
+            sig_arr.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
+            on="id_a",
+        )
+        .join(
+            sig_arr.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
+            on="id_b",
+        )
+        .select("id_a", "id_b", est.alias("est_j"))
+        .join(exact, on=["id_a", "id_b"])
+        .select(
+            "id_a", "id_b", "est_j",
+            F.col("jaccard").alias("exact_j"),
+            F.round(F.abs(F.col("est_j") - F.col("jaccard")), 4).alias(
+                "abs_err"
+            ),
+        )
+    )

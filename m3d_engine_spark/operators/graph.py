@@ -548,10 +548,18 @@ def hits(
     hubs = nodes.select("node", F.lit(int(scale)).cast("long").alias("h"))
     auths = None
     for _ in range(iterations):
+        # Each raw score relation is referenced TWICE (row side + its
+        # own broadcast max) — left lazy that doubles the logical plan
+        # every half-round (64x the base tree by round 3, an
+        # OutOfMemory in plan stringification alone). A LAZY
+        # localCheckpoint collapses the subtree to one RDD-backed scan
+        # at build time while deferring execution to the terminal
+        # action, preserving the run-the-loop-once discipline.
         a_raw = (
             e.join(hubs.select(F.col("node").alias("src"), "h"), on="src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").alias("v"))
+            .localCheckpoint(eager=False)
         )
         a_norm = a_raw.crossJoin(
             F.broadcast(a_raw.agg(F.max("v").alias("mx")))
@@ -563,6 +571,7 @@ def hits(
             e.join(auths.select(F.col("node").alias("dst"), "a"), on="dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a").alias("v"))
+            .localCheckpoint(eager=False)
         )
         h_norm = h_raw.crossJoin(
             F.broadcast(h_raw.agg(F.max("v").alias("mx")))

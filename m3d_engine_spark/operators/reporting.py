@@ -222,10 +222,14 @@ def benford_audit(
     critical value is the audit. Rows with NULL/zero values are
     excluded (they have no first significant digit).
 
-    Determinism: the first digit comes from the DECIMAL STRING form of
-    |value| (regexp for the first 1-9), not from log/pow float
-    arithmetic, so bucketing is bit-exact across engines; fractions
-    and chi-square round to 6dp after exact-integer counts. Topology:
+    Determinism: the first digit comes from the STRING form of |value|
+    (regexp for the first 1-9), not from log/pow float arithmetic —
+    any faithful decimal rendering of the same value (plain or
+    scientific, either engine) starts with its first significant
+    digit, so bucketing is bit-exact across engines and safe at any
+    magnitude (a fixed-precision decimal cast would overflow ~1e26);
+    fractions and chi-square round to 6dp after exact-integer counts.
+    Topology:
     one projection + one (group, digit)-keyed aggregate; per-group
     totals reuse the 9-row-per-group aggregate via a tiny window —
     the column is scanned once, nothing exchanges but digit counts.
@@ -234,8 +238,7 @@ def benford_audit(
 
     gc = [F.col(c) for c in group_cols]
     digit = F.regexp_extract(
-        F.abs(F.col(value_col)).cast("decimal(38,12)").cast("string"),
-        "[1-9]", 0,
+        F.abs(F.col(value_col)).cast("string"), "[1-9]", 0
     )
     counted = (
         df.filter(F.col(value_col).isNotNull())
