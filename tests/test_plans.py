@@ -1020,3 +1020,81 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark, sf_dir):
             spark.conf.set(k, v)
     assert "bloom_filter_agg" in plan, plan
     assert "might_contain" in plan, plan
+
+
+def test_event_transitions_single_corpus_exchange(spark, sf_dir):
+    """transition_matrix: one hash exchange on the key feeds the lead
+    window; the per-from totals window runs over the aggregated pair
+    relation (states²-sized), never the events scan. Pin: no Python,
+    no cartesian, and the only SinglePartition-free exchanges are
+    keyed."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["event_transitions"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    final = plan.split("Initial Plan")[0]
+    # user_id window exchange + pair-agg exchange + from_state totals
+    # window exchange (tiny, over the aggregate) — and nothing more
+    assert final.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_benford_audit_window_over_census_not_scan(spark, sf_dir):
+    """benford_audit: the digit census aggregate sits BELOW the global
+    totals window, so the single-partition exchange carries 9 rows per
+    group, never the column scan. Pin: HashAggregate appears before
+    the SinglePartition exchange in the bottom-up chain, and no float
+    log/pow bucketing exists anywhere."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["benford_audit"](spark, sf_dir))
+    assert "LOG" not in plan and "POWER" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # top-down tree: Window above its exchange above the census
+    # aggregate — the window's exchange moves aggregate output only
+    tree = plan.split("(1) Scan")[0]
+    w = tree.find("Window")
+    ex = tree.find("Exchange", w)
+    agg = tree.find("HashAggregate", ex)
+    assert 0 <= w < ex < agg, tree
+
+
+def test_ngram_novelty_keyed_join_no_text_exchange(spark, sf_dir):
+    """ngram_novelty: df aggregation and join move 8-byte xxhash64
+    keys; shingle text never crosses an exchange. Pin: keyed joins
+    only, and no exchange output carries the shingle string column."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["ngram_novelty"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "xxhash64" in plan, plan
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        first_line = seg.splitlines()[0]
+        assert "_s#" not in first_line, first_line
+
+
+def test_lsh_calibration_candidate_sized_verify(spark, sf_dir):
+    """lsh_calibration: candidates from the banded self-equi-join;
+    signature compare + exact verify are keyed joins; no cartesian,
+    no Python, no global window."""
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["lsh_calibration"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_hits_checkpointed_rounds_stay_bounded(spark):
+    """hits(): the lazy per-half-round checkpoints must keep the plan
+    SIZE linear in iterations — the doubly-referenced normalization
+    aggregate would otherwise double the tree per half-round (OOM in
+    stringification by round 3). Pin: the 3-round plan string stays
+    under a generous fixed bound and contains checkpoint scans."""
+    from m3d_engine_spark.operators.graph import hits
+
+    e = spark.range(200).selectExpr("id % 14 AS src", "(id * id) % 23 + 100 AS dst")
+    out = hits(e, iterations=3, checkpoint=False)
+    plan = _plan_simple(out)
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan[:500]
+    assert len(plan) < 200_000, len(plan)

@@ -66,6 +66,11 @@ HEADLINERS = {
     "bm25_topk": "BM25 lexical retrieval: inverted-index topology — postings and df are keyed aggregates over one corpus tokenization each, the query-term relation BROADCASTS onto the postings (the corpus never reshuffles for the probe join), (N, total_tokens) ride as the single broadcast 1-row BNLJ with EXACT integer stats (a float avgdl would let a summation-order ulp shift every score), score sum keyed on (query, doc), WindowGroupLimit top-k per query (pinned).",
     "zorder_key": "Z-order clustering key: the min/max bounds relation is the one broadcast 1-row BNLJ; scaling is exact long arithmetic (multiply + integral div — bit-stable across engines) and the Morton interleave is a pure projection — ZERO hash exchanges on the data side (pinned). zorder_write adds the single range exchange + in-partition sort; read-back files carry disjoint Z-ranges (pinned), tight in EVERY interleaved dimension.",
     "data_profile": "One-pass table profile: every per-column metric (nulls, distinct, min, max) folds into ONE aggregate over ONE scan (pinned: a single parquet scan), then a stack unpivot reshapes the 1-row result — profiling k columns costs one pass, not k. The production tier swaps count_distinct for HLL++ sketches: no Expand, one exchange (pinned).",
+    "event_transitions": "First-order Markov census: ONE hash exchange on user_id feeds the ordered lead window; transitions partial-aggregate map-side on the (from, to) pair key; the per-from totals window runs over the aggregated pair relation (states^2-sized), never the corpus.",
+    "benford_audit": "Benford first-digit audit: digit from the string form (no float log bucketing) -> one (digit)-keyed partial/final HashAggregate; the global totals window runs over the 9-row digit census above the aggregate, so the single-partition exchange carries 9 rows, not the scan.",
+    "hits_scores": "HITS hubs/authorities, 3 exact-integer rounds: each half-round is one keyed join + one sum off the persisted edge relation; the L-infinity renormalization references each round aggregate twice, so each half-round is collapsed to a lazy localCheckpoint (ExistingRDD scans here) - left lazy the logical plan doubles per half-round and OOMs in stringification alone by round 3.",
+    "ngram_novelty": "Per-doc shingle novelty: the inverted-index backbone - explode distinct shingles, corpus df as a map-side-combinable aggregate on the 64-bit xxhash key, equi-join back on the hash, one per-doc aggregate. Shingle TEXT never crosses an exchange.",
+    "lsh_calibration": "MinHash dial audit: signatures via the hash-once explode->min aggregation (each md5 computed exactly once), band keys posexplode from the same signature relation, banded self-equi-join for candidates; signature compare and exact-Jaccard verify are candidate-sized keyed joins - full shingle arrays ride only to candidate pairs, never the banded join.",
     "containment_pairs": "Asymmetric containment (quote/excerpt detection): same inverted-index self-join as jaccard_pairs — keyed on (block, xxhash64(shingle)), SMJ with the shared exchange reused, pair counts as an aggregate — but with NO size-ratio prune (a tiny doc fully contained in a huge one is the signal Jaccard misses). The hot-shingle df-cutoff is ON (the only scale dial beyond blocking, since no size prune is possible): the per-(block, shingle) df window count reads the SAME exchange the SMJ self-join shuffles on, and |A∩B| stays exact via the hot-set correction left-joins above the pair aggregate (pinned: keyed join only, no BNLJ).",
     "snapshot_diff": "Snapshot diff (what did last night's load change): null-safe md5 row fingerprints are map-side projections on each scan; the ENTIRE diff is one full-outer SortMergeJoin on the business key (pinned == 1) — the minimum any keyed two-corpus comparison can pay; with key-bucketed snapshots even that exchange vanishes. Status classification is a projection; the counts rollup partial-aggregates 4 rows per task.",
     "sq_quantize": "SQ8 scalar quantization: per-dim min/max from one keyed aggregate (exchange carries <= dim rows), pivoted to two dim-length arrays and BROADCAST (the single 1-row BNLJ, pinned); encode and midpoint-decode error are zero-exchange array-transform projections — the quantizer trains in one pass and applies map-side, which is what a write-time re-encode of 10^9 vectors needs. Exact IEEE arithmetic both engines (no summation in the bounds), 4dp rounding on the error fold only.",
