@@ -5360,6 +5360,159 @@ JOIN sigs sb ON sb.doc_id = cands.id_b
 """
 
 
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (classifier.py::calibration_bins) for the
+    logistic quality classifier against an INDEPENDENT proxy label
+    (the curation gate: >= 20 tokens AND distinct ratio >= 0.33) —
+    per score-decile prediction count, exact-lattice mean score,
+    observed pass rate, and the calibration gap (the ECE integrand).
+    One bin-keyed map-side aggregate over the zero-exchange scoring
+    projection."""
+    from m3d_engine_spark.functions.text import (
+        distinct_token_ratio,
+        token_count,
+    )
+    from m3d_engine_spark.operators.classifier import (
+        calibration_bins,
+        score_quality,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = score_quality(docs, "doc_id", "text").join(
+        docs.select(
+            F.col("doc_id"),
+            (
+                (token_count(F.col("text")) >= 20)
+                & (distinct_token_ratio(F.col("text")) >= 0.33)
+            )
+            .cast("int")
+            .alias("gate"),
+        ),
+        on="doc_id",
+    )
+    return calibration_bins(scored, "score", "gate", bins=10)
+
+
+_SQL_CLASSIFIER_CALIBRATION = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents
+), f AS (
+  SELECT doc_id,
+    CAST(len(t) AS INTEGER) AS n_tokens,
+    ln(1.0 + len(t)) AS log_tokens,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE len(list_distinct(t)) / len(t) END AS dr,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE len(list_filter(t, x -> x IN {{STOP}})) / len(t) END AS sr,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+              / length(text) END AS pr,
+    CASE WHEN len(t) = 0 THEN 0.0
+         ELSE list_sum(list_transform(t, x -> length(x))) / len(t) END AS mtl
+  FROM toks
+), scored AS (
+  SELECT doc_id, n_tokens, dr,
+         round(1.0 / (1.0 + exp(-(
+           -3.0 + 0.6 * log_tokens + 2.0 * dr + 1.5 * sr
+           + (-3.0) * pr + (-0.1) * mtl
+         ))), 4) AS score
+  FROM f
+), labeled AS (
+  SELECT doc_id,
+         least(CAST(floor(score * 10) AS INTEGER), 9) AS bin,
+         CAST(round(score * 10000) AS BIGINT) AS s4,
+         CAST(n_tokens >= 20 AND dr >= 0.33 AS BIGINT) AS y
+  FROM scored
+), agg AS (
+  SELECT bin, count(*) AS n, sum(s4) AS ss, sum(y) AS pos
+  FROM labeled GROUP BY bin
+)
+SELECT bin,
+       round(bin / 10.0, 4) AS lo,
+       round((bin + 1) / 10.0, 4) AS hi,
+       n,
+       round(ss / (n * 10000.0), 6) AS mean_score,
+       round(pos / n, 6) AS obs_rate,
+       round(round(pos / n, 6) - round(ss / (n * 10000.0), 6), 6) AS gap
+FROM agg
+""".replace("{STOP}", _sql_str_list(T.STOPWORDS))
+
+
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (similarity.py::mmr_diversify):
+    greedy λ·relevance − (1−λ)·max-similarity-to-selected top-5 from a
+    brute top-20 shortlist — the de-duplicated RAG answer set. The
+    expensive relations (relevance scan, candidate-pair sim matrix)
+    compute once; each of the 5 greedy rounds is one keyed join + agg
+    + candidate-sized window, lineage kept linear by lazy
+    checkpoints."""
+    from m3d_engine_spark.operators.similarity import mmr_diversify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return mmr_diversify(
+        emb, queries, "vec_id", "embedding", shortlist=20, k=5,
+        lambda_pct=70,
+    )
+
+
+def _sql_mmr_diversify() -> str:
+    cos_ab = (
+        "round(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(a.v AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST(b.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])))), 4)"
+    )
+    out = [f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+rels AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS id, {_SQL_COSINE.replace('l.embedding', 'q.embedding').replace('r.embedding', 'r.embedding')} AS rel
+  FROM embeddings r CROSS JOIN q
+  WHERE r.vec_id != q.vec_id
+),
+cand AS (
+  SELECT query_id, id, rel FROM rels
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id ASC) <= 20
+),
+cv AS (
+  SELECT c.query_id, c.id, c.rel, e.embedding AS v
+  FROM cand c JOIN embeddings e ON e.vec_id = c.id
+),
+ps AS (
+  SELECT a.query_id, a.id AS id_a, b.id AS id_b, {cos_ab} AS sim
+  FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.id != b.id
+),
+sel1 AS (
+  SELECT query_id, id, rel, rel AS mmr, 1 AS pick FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id ASC) = 1
+)"""]
+    prev = "sel1"
+    for t_ in range(2, 6):
+        out.append(f""", pen{t_} AS (
+  SELECT ps.query_id, ps.id_a AS id, max(sim) AS mx
+  FROM ps JOIN {prev} s ON s.query_id = ps.query_id AND s.id = ps.id_b
+  GROUP BY ps.query_id, ps.id_a
+), sc{t_} AS (
+  SELECT c.query_id, c.id, c.rel,
+         round((70 / 100.0) * c.rel - ((100 - 70) / 100.0) * p.mx, 4) AS mmr
+  FROM cand c
+  JOIN pen{t_} p ON p.query_id = c.query_id AND p.id = c.id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {prev} s WHERE s.query_id = c.query_id AND s.id = c.id
+  )
+), w{t_} AS (
+  SELECT query_id, id, rel, mmr, {t_} AS pick FROM sc{t_}
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, id ASC) = 1
+), sel{t_} AS (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM w{t_}
+)""")
+        prev = f"sel{t_}"
+    out.append(f"""
+SELECT query_id, id AS neighbor_id, CAST(pick AS INTEGER) AS pick, rel, mmr
+FROM {prev}
+""")
+    return "".join(out)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5439,6 +5592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "ngram_novelty": q_ngram_novelty,
         "lsh_calibration": q_lsh_calibration,
+        "classifier_calibration": q_classifier_calibration,
+        "mmr_diversify": q_mmr_diversify,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -5562,6 +5717,8 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _sql_hits_scores(),
         "ngram_novelty": _SQL_NGRAM_NOVELTY,
         "lsh_calibration": _sql_lsh_calibration(),
+        "classifier_calibration": _SQL_CLASSIFIER_CALIBRATION,
+        "mmr_diversify": _sql_mmr_diversify(),
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

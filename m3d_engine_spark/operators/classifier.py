@@ -89,3 +89,59 @@ def score_quality(
         score.alias("score"),
         (score >= F.lit(float(cut))).cast("int").alias("label"),
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier — the
+    measured answer to "can I threshold this score at 0.7 and trust
+    it": bucket predictions into ``bins`` equal-width score bins and
+    report, per bin, the prediction count, the mean predicted score,
+    the observed positive rate of ``label_col`` (0/1 reference
+    labels), and the gap. A calibrated classifier tracks the diagonal;
+    the per-bin |gap| is the ECE integrand. Scores ≥ 1.0 clamp into
+    the top bin.
+
+    Determinism: bin assignment is floor(score·bins) on the already-
+    4dp-rounded score (never a float boundary within an ulp of a bin
+    edge); the mean score is an EXACT integer sum of the 1e-4-lattice
+    scores divided once (no float accumulation order); rates are
+    single IEEE divisions of exact counts. Topology: ONE map-side
+    combinable aggregate on the bin key — bins-sized output, nothing
+    else moves. Returns (bin, lo, hi, n, mean_score, obs_rate, gap).
+    """
+    b = int(bins)
+    s = F.col(score_col)
+    bin_ = F.least(F.floor(s * b).cast("int"), F.lit(b - 1)).alias("bin")
+    agg = (
+        scored.select(
+            bin_,
+            F.round(s * 10000).cast("long").alias("_s4"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_s4").alias("_ss"),
+            F.sum("_y").alias("_pos"),
+        )
+    )
+    mean_score = F.round(F.col("_ss") / (F.col("n") * F.lit(10000.0)), 6)
+    obs = F.round(F.col("_pos") / F.col("n"), 6)
+    return agg.select(
+        "bin",
+        F.round(F.col("bin") / F.lit(float(b)), 4).alias("lo"),
+        F.round((F.col("bin") + 1) / F.lit(float(b)), 4).alias("hi"),
+        "n",
+        mean_score.alias("mean_score"),
+        obs.alias("obs_rate"),
+        F.round(
+            F.round(F.col("_pos") / F.col("n"), 6)
+            - F.round(F.col("_ss") / (F.col("n") * F.lit(10000.0)), 6),
+            6,
+        ).alias("gap"),
+    )

@@ -465,3 +465,129 @@ def hard_negative_topk(
         )
     )
     return _ranked_topk(pairs, "query_id", "neighbor_id", k)
+
+
+def mmr_diversify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    shortlist: int = 20,
+    k: int = 5,
+    lambda_pct: int = 70,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein '98) — the
+    diversified top-k every retrieval-augmented pipeline wants when
+    plain top-k returns five near-copies of the same passage: greedily
+    pick the candidate maximizing
+
+        mmr(c) = λ·rel(c) − (1−λ)·max_{s∈Selected} sim(c, s)
+
+    Topology — greedy is inherently sequential in k, so the job is
+    structured to make each of the k rounds TRIVIAL instead of trying
+    to parallelize the recurrence: the expensive work (relevance scan +
+    candidate-pair similarity matrix) happens ONCE up front on
+    candidate-sized relations, and each greedy round is one keyed
+    join + one aggregate + one candidate-sized window over ≤
+    |queries|·shortlist rows. Candidates come from the exact brute
+    top-``shortlist`` (broadcast queries, corpus unexchanged); the
+    pair matrix is |queries|·shortlist² rows. Every pre-computed
+    relation is collapsed by a LAZY localCheckpoint so the k-round
+    lineage stays linear (the hits() discipline) and nothing
+    re-executes per round.
+
+    Determinism: rel and sim are the 4dp cosine contract; λ enters as
+    ``lambda_pct/100`` computed identically in any engine; the mmr
+    score rounds to 4dp and ties break to the smaller id. Returns
+    (query_id, neighbor_id, pick, rel, mmr) — pick = selection order
+    1..k, with mmr = rel for the seed pick.
+    """
+    shortlist, k, lam = int(shortlist), int(k), int(lambda_pct)
+    cand = (
+        brute_force_topk(corpus, queries, id_col, vec_col, k=shortlist)
+        .select("query_id", F.col("neighbor_id").alias("id"),
+                F.col("cosine").alias("rel"))
+        .localCheckpoint(eager=False)
+    )
+    cv = cand.join(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("n"),
+        ),
+        on="id",
+    )
+    ps = (
+        cv.alias("a")
+        .join(
+            cv.alias("b"),
+            on=[
+                F.col("a.query_id") == F.col("b.query_id"),
+                F.col("a.id") != F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.n") * F.col("b.n")),
+                4,
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lam_c = F.lit(lam) / F.lit(100.0)
+    com_c = F.lit(100 - lam) / F.lit(100.0)
+    w0 = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("id").asc()
+    )
+    selected = (
+        cand.withColumn("_rn", F.row_number().over(w0))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id", "id", "rel", F.col("rel").alias("mmr"),
+            F.lit(1).cast("int").alias("pick"),
+        )
+    )
+    for t in range(2, k + 1):
+        pen = (
+            ps.join(
+                selected.select(
+                    F.col("query_id"), F.col("id").alias("id_b")
+                ),
+                on=["query_id", "id_b"],
+            )
+            .groupBy("query_id", F.col("id_a").alias("id"))
+            .agg(F.max("sim").alias("_mx"))
+        )
+        scoredc = (
+            cand.join(pen, on=["query_id", "id"])
+            .join(
+                selected.select("query_id", "id", F.lit(1).alias("_sel")),
+                on=["query_id", "id"],
+                how="left_anti",
+            )
+            .select(
+                "query_id", "id", "rel",
+                F.round(
+                    lam_c * F.col("rel") - com_c * F.col("_mx"), 4
+                ).alias("mmr"),
+            )
+        )
+        wt = Window.partitionBy("query_id").orderBy(
+            F.col("mmr").desc(), F.col("id").asc()
+        )
+        winner = (
+            scoredc.withColumn("_rn", F.row_number().over(wt))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id", "id", "rel", "mmr",
+                F.lit(t).cast("int").alias("pick"),
+            )
+        )
+        selected = selected.unionByName(winner).localCheckpoint(eager=False)
+    return selected.select(
+        "query_id", F.col("id").alias("neighbor_id"), "pick", "rel", "mmr"
+    )

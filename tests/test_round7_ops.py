@@ -129,3 +129,100 @@ def test_lsh_calibration_exact_match_and_bounds(spark):
     # can appear — the disjoint doc 4 must never pair with anything
     assert set(by_pair) <= {(1, 2), (1, 3), (2, 3)}
     assert not any(4 in p for p in by_pair)
+
+
+def test_calibration_bins_hand_data(spark):
+    """Hand-checkable reliability diagram: bin 2 holds two predictions
+    (0.20, 0.30 → mean 0.25) with one positive (rate 0.5); score 1.0
+    clamps into bin 9."""
+    from m3d_engine_spark.operators.classifier import calibration_bins
+
+    df = spark.createDataFrame(
+        [(0.20, 1), (0.2999, 0), (0.95, 1), (1.0, 1)],
+        "score double, y int",
+    )
+    out = {r.bin: r for r in calibration_bins(df, "score", "y").collect()}
+    assert set(out) == {2, 9}
+    b2 = out[2]
+    assert b2.n == 2 and b2.obs_rate == 0.5
+    assert b2.mean_score == round((2000 + 2999) / 20000.0, 6)
+    assert b2.lo == 0.2 and b2.hi == 0.3
+    b9 = out[9]
+    assert b9.n == 2 and b9.obs_rate == 1.0  # the 1.0 score clamped in
+    assert b9.gap == round(1.0 - b9.mean_score, 6)
+
+
+def test_calibration_perfectly_calibrated_synthetic(spark):
+    """Labels drawn to match the scores exactly per bin ⇒ gap ≈ 0 in
+    every bin (deterministic construction, no RNG)."""
+    from m3d_engine_spark.operators.classifier import calibration_bins
+
+    rows = []
+    for b in range(10):
+        score = b / 10.0 + 0.05
+        for i in range(100):
+            rows.append((score, 1 if i < round(score * 100) else 0))
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = calibration_bins(df, "score", "y").collect()
+    assert len(out) == 10
+    for r in out:
+        assert abs(r.gap) <= 0.005, (r.bin, r.gap)
+
+
+def test_mmr_diversify_prefers_diverse_over_redundant(spark):
+    """Corpus with two tight near-dup groups + one outlier: plain
+    top-3 would take both near-dups of the best group; MMR must pick
+    one per group before doubling up, and pick 1 is always the top
+    relevance."""
+    from m3d_engine_spark.operators.similarity import mmr_diversify
+
+    def vec(base, eps):
+        return [float(b) + eps for b in base]
+
+    g1 = [1.0, 0.0, 0.0, 0.0]
+    g2 = [0.8, 0.59, 0.0, 0.0]   # still relevant, different direction
+    out_dir = [0.0, 0.0, 1.0, 0.0]
+    rows = [
+        (100, vec(g1, 0.0)), (101, vec(g1, 0.001)), (102, vec(g1, 0.002)),
+        (200, vec(g2, 0.0)), (201, vec(g2, 0.001)),
+        (300, out_dir),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(999, [1.0, 0.1, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    sel = (
+        mmr_diversify(corpus, queries, "vec_id", "embedding",
+                      shortlist=6, k=3, lambda_pct=50)
+        .orderBy("pick").collect()
+    )
+    picks = [r.neighbor_id for r in sel]
+    assert picks[0] in (100, 101, 102)  # most relevant group seeds
+    # second pick must leave group 1 (near-dups are penalized)
+    assert picks[1] // 100 != picks[0] // 100, picks
+    # three picks cover three distinct groups
+    assert len({p // 100 for p in picks}) == 3, picks
+
+
+def test_mmr_lambda_1_equals_plain_topk(spark, sf_dir):
+    """λ = 100% removes the diversity term: MMR must reproduce the
+    brute top-k exactly (pick order = rank order)."""
+    from m3d_engine_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_diversify,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    mmr = {
+        (r.query_id, r.pick): r.neighbor_id
+        for r in mmr_diversify(
+            emb, q, "vec_id", "embedding", shortlist=10, k=4,
+            lambda_pct=100,
+        ).collect()
+    }
+    plain = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_topk(emb, q, "vec_id", "embedding", k=4).collect()
+    }
+    assert mmr == plain
