@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from m3d_engine_spark.functions import text as T
@@ -5513,6 +5513,190 @@ FROM {prev}
     return "".join(out)
 
 
+def q_kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction (graph.py::kcore): 4 fixed peeling rounds at
+    k=3 over the symmetrized supplier–part graph — the dense-
+    substructure filter. Each round is one degree aggregate + two
+    semi-joins; rounds beyond the peel depth are no-ops, and the
+    oracle unrolls identical rounds so the contract is exact."""
+    from m3d_engine_spark.operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey").cast("long") + F.lit(10_000_000)).alias("dst"),
+    )
+    return kcore(li, "src", "dst", k=3, rounds=4)
+
+
+def _sql_kcore_nodes() -> str:
+    out = ["""
+WITH base AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+         CAST(l_partkey AS BIGINT) + 10000000 AS dst
+  FROM lineitem
+), e0 AS (
+  SELECT src AS a, dst AS b FROM base WHERE src != dst
+  UNION
+  SELECT dst AS a, src AS b FROM base WHERE src != dst
+)"""]
+    for i in range(4):
+        out.append(f""", k{i} AS (
+  SELECT a FROM e{i} GROUP BY a HAVING count(*) >= 3
+), e{i + 1} AS (
+  SELECT e.a, e.b FROM e{i} e
+  WHERE EXISTS (SELECT 1 FROM k{i} WHERE k{i}.a = e.a)
+    AND EXISTS (SELECT 1 FROM k{i} WHERE k{i}.a = e.b)
+)""")
+    out.append("""
+SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+FROM e4 GROUP BY a HAVING count(*) >= 3
+""")
+    return "".join(out)
+
+
+def q_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution census: every purchase event is credited
+    to the most recent PRECEDING non-purchase event of the same user
+    ((ts, event_id) order — deterministic under timestamp ties;
+    purchases with no preceding touch credit 'none'). One exchange on
+    user_id for the carry-forward window, then a tiny type-keyed
+    census with exact-count shares."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.withColumn(
+        "touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    ).filter(F.col("event_type") == "purchase")
+    census = touched.groupBy(
+        F.coalesce(F.col("touch"), F.lit("none")).alias("touch_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_tot = Window.partitionBy(F.lit(1))
+    return census.select(
+        "touch_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_tot), 4).alias("share"),
+    )
+
+
+_SQL_LAST_TOUCH = """
+WITH touched AS (
+  SELECT user_id, event_type,
+         last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS touch
+  FROM events
+), census AS (
+  SELECT COALESCE(touch, 'none') AS touch_type, count(*) AS n
+  FROM touched WHERE event_type = 'purchase'
+  GROUP BY COALESCE(touch, 'none')
+)
+SELECT touch_type, n, round(n / (SUM(n) OVER ()), 4) AS share
+FROM census
+"""
+
+
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio sliding-window segmentation (multimodal.py::chunk_audio):
+    Whisper-style fixed windows (2 s, 1 s hop, half-window tail rule)
+    as pure JVM sequence+explode fan-out — zero Python in the
+    row-multiplying path. Duration derives deterministically from the
+    stub decode (a real decoder replaces one projected column)."""
+    from m3d_engine_spark.operators.multimodal import (
+        chunk_audio,
+        decode_media,
+        synthesize_media_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    decoded = decode_media(
+        synthesize_media_from_documents(docs), decode_stub=True
+    )
+    return chunk_audio(decoded, window_ms=2000, hop_ms=1000, ms_per_byte=8)
+
+
+_SQL_AUDIO_CHUNKS = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         sha256(text) AS sha256,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+  FROM documents
+), aud AS (
+  SELECT media_id, sha256, byte_len * 8 AS dur
+  FROM h WHERE media_type = 'audio' AND byte_len > 0
+), g AS (
+  SELECT media_id, sha256, dur, unnest(range(0, dur, 1000)) AS start_ms
+  FROM aud
+)
+SELECT media_id,
+       CAST(start_ms // 1000 AS INTEGER) AS chunk_idx,
+       start_ms,
+       least(start_ms + 2000, dur) AS end_ms,
+       md5(sha256 || '|' || CAST(start_ms // 1000 AS VARCHAR)) AS chunk_key
+FROM g
+WHERE (least(start_ms + 2000, dur) - start_ms) * 2 >= 2000
+"""
+
+
+def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image tile-grid fan-out (multimodal.py::tile_images): ViT-style
+    64px patch grid with edge clamping, two nested JVM explodes —
+    ceil(w/64)·ceil(h/64) rows per image inside whole-stage codegen."""
+    from m3d_engine_spark.operators.multimodal import (
+        decode_media,
+        synthesize_media_from_documents,
+        tile_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    decoded = decode_media(
+        synthesize_media_from_documents(docs), decode_stub=True
+    )
+    return tile_images(decoded, tile=64)
+
+
+_SQL_IMAGE_TILES = f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         sha256(text) AS sha256,
+         md5(text) AS hh
+  FROM documents
+), img AS (
+  SELECT media_id, sha256,
+         CAST(16 + {_sql_md5_byte(0)} % 240 AS INT) AS width,
+         CAST(16 + {_sql_md5_byte(1)} % 240 AS INT) AS height
+  FROM h WHERE media_type = 'image'
+), rows_ AS (
+  SELECT media_id, sha256, width, height,
+         CAST(unnest(range(0, CAST(ceil(height / 64.0) AS BIGINT))) AS INTEGER) AS tile_row
+  FROM img WHERE width > 0 AND height > 0
+), grid AS (
+  SELECT media_id, sha256, width, height, tile_row,
+         CAST(unnest(range(0, CAST(ceil(width / 64.0) AS BIGINT))) AS INTEGER) AS tile_col
+  FROM rows_
+)
+SELECT media_id, tile_row, tile_col,
+       tile_col * 64 AS x0,
+       tile_row * 64 AS y0,
+       least(tile_col * 64 + 64, width) AS x1,
+       least(tile_row * 64 + 64, height) AS y1,
+       md5(sha256 || '|' || CAST(tile_row AS VARCHAR) || '|' || CAST(tile_col AS VARCHAR)) AS tile_key
+FROM grid
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5594,6 +5778,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_calibration": q_lsh_calibration,
         "classifier_calibration": q_classifier_calibration,
         "mmr_diversify": q_mmr_diversify,
+        "kcore_nodes": q_kcore_nodes,
+        "last_touch": q_last_touch,
+        "audio_chunks": q_audio_chunks,
+        "image_tiles": q_image_tiles,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -5719,6 +5907,10 @@ def oracle_sql() -> dict[str, str]:
         "lsh_calibration": _sql_lsh_calibration(),
         "classifier_calibration": _SQL_CLASSIFIER_CALIBRATION,
         "mmr_diversify": _sql_mmr_diversify(),
+        "kcore_nodes": _sql_kcore_nodes(),
+        "last_touch": _SQL_LAST_TOUCH,
+        "audio_chunks": _SQL_AUDIO_CHUNKS,
+        "image_tiles": _SQL_IMAGE_TILES,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

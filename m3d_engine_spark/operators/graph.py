@@ -598,3 +598,56 @@ def hits(
         e.unpersist()
         nodes.unpersist()
     return out
+
+
+def kcore(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 3,
+    rounds: int = 8,
+) -> DataFrame:
+    """k-core extraction by fixed-round degree peeling: repeatedly
+    remove nodes of degree < k (and their incident edges) from the
+    symmetrized graph — the standard dense-substructure filter
+    (spam-farm detection, community seeds, "only keep nodes with
+    enough corroborating links" curation).
+
+    ``rounds`` is FIXED, the pagerank/hits discipline — no per-round
+    driver action, the whole peel executes in one job. A round on an
+    already-peeled graph is a no-op, so the result equals the true
+    k-core whenever the graph's peel depth ≤ rounds (peel depth grows
+    with diameter, not size: 8 covers typical web/co-occurrence
+    graphs; raise it for pathological chains — a chain peels one layer
+    per round). The matching oracle unrolls identical rounds, so the
+    contract is exact at any rounds value.
+
+    Topology: each round is ONE degree aggregate (map-side
+    combinable) + two semi-joins keying the edge relation on
+    surviving endpoints; the edge relation is collapsed per round by
+    a lazy localCheckpoint (referenced by both the aggregate and the
+    joins — left lazy the plan doubles per round). Returns the
+    surviving (node, degree) — degree measured IN the core.
+    """
+    k, rounds = int(k), int(rounds)
+    e = (
+        _symmetrize(edges, src_col, dst_col)
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.filter(F.col("_d") >= k).select("a")
+        e = (
+            e.join(keep, on="a", how="leftsemi")
+            .join(
+                keep.select(F.col("a").alias("b")),
+                on="b",
+                how="leftsemi",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .filter(F.col("degree") >= k)
+    )

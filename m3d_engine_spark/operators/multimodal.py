@@ -187,3 +187,125 @@ def sample_frames(
             )
 
     return fanned.mapInPandas(extract, schema=FRAME_SCHEMA)
+
+
+def chunk_audio(
+    decoded: DataFrame,
+    window_ms: int = 2000,
+    hop_ms: int = 1000,
+    ms_per_byte: int = 8,
+) -> DataFrame:
+    """Sliding-window segmentation for audio payloads — the
+    Whisper-style prep step (fixed windows, overlapping hop) expressed
+    as pure JVM fan-out: one row per (media, window), computed with
+    ``sequence``+``explode`` inside whole-stage codegen, so a 10⁹-clip
+    corpus fans out without any Python in the row-multiplying path.
+
+    The stub decoder reports no duration, so duration_ms derives
+    deterministically from the payload byte length (``ms_per_byte``);
+    a real decoder (torchaudio/ffprobe) replaces ONE projected column,
+    not the topology. The final window is kept iff it covers at least
+    half a window (the standard drop-tail-sliver rule). ``chunk_key``
+    is the JVM-side md5 of (sha256, chunk_idx) — the deterministic
+    handle a downstream Arrow extraction kernel (the ``sample_frames``
+    slot) would key its decoded tensors by.
+
+    Returns (media_id, chunk_idx, start_ms, end_ms, chunk_key).
+    """
+    window_ms, hop_ms = int(window_ms), int(hop_ms)
+    if window_ms <= 0 or hop_ms <= 0:
+        raise ValueError("window_ms and hop_ms must be positive")
+    dur = (F.col("byte_len").cast("long") * F.lit(int(ms_per_byte))).alias(
+        "_dur"
+    )
+    fanned = (
+        decoded.filter(F.col("media_type") == "audio")
+        .select("media_id", F.col("sha256").alias("_sha"), dur)
+        .filter(F.col("_dur") > 0)
+        .select(
+            "media_id",
+            "_sha",
+            "_dur",
+            F.posexplode(
+                F.expr(f"sequence(0L, _dur - 1, {hop_ms}L)")
+            ).alias("chunk_idx", "start_ms"),
+        )
+        .select(
+            "media_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "start_ms",
+            F.least(
+                F.col("start_ms") + F.lit(window_ms), F.col("_dur")
+            ).alias("end_ms"),
+            "_sha",
+        )
+        .filter(
+            (F.col("end_ms") - F.col("start_ms")) * 2 >= F.lit(window_ms)
+        )
+    )
+    return fanned.select(
+        "media_id",
+        "chunk_idx",
+        "start_ms",
+        "end_ms",
+        F.md5(
+            F.concat_ws("|", F.col("_sha"), F.col("chunk_idx").cast("string"))
+        ).alias("chunk_key"),
+    )
+
+
+def tile_images(decoded: DataFrame, tile: int = 64) -> DataFrame:
+    """Tile-grid fan-out for image payloads — the ViT-style patching
+    prep (and the detection-crop prep) as pure JVM row multiplication:
+    ceil(w/tile) × ceil(h/tile) rows per image via two nested
+    ``sequence``+``explode`` generators in whole-stage codegen. Edge
+    tiles clamp to the image bounds (never padded here — padding is a
+    kernel concern, and whether to pad is model-specific). ``tile_key``
+    is the md5 handle the extraction kernel keys decoded pixel batches
+    by, exactly as in ``chunk_audio``/``sample_frames``.
+
+    Returns (media_id, tile_row, tile_col, x0, y0, x1, y1, tile_key).
+    """
+    t = int(tile)
+    if t <= 0:
+        raise ValueError("tile must be positive")
+    return (
+        decoded.filter(F.col("media_type") == "image")
+        .filter((F.col("width") > 0) & (F.col("height") > 0))
+        .select(
+            "media_id",
+            F.col("sha256").alias("_sha"),
+            "width",
+            "height",
+            F.explode(
+                F.expr(f"sequence(0, CAST(ceil(height / {t}.0) AS INT) - 1)")
+            ).alias("tile_row"),
+        )
+        .select(
+            "media_id",
+            "_sha",
+            "width",
+            "height",
+            "tile_row",
+            F.explode(
+                F.expr(f"sequence(0, CAST(ceil(width / {t}.0) AS INT) - 1)")
+            ).alias("tile_col"),
+        )
+        .select(
+            "media_id",
+            "tile_row",
+            "tile_col",
+            (F.col("tile_col") * t).alias("x0"),
+            (F.col("tile_row") * t).alias("y0"),
+            F.least(F.col("tile_col") * t + t, F.col("width")).alias("x1"),
+            F.least(F.col("tile_row") * t + t, F.col("height")).alias("y1"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("_sha"),
+                    F.col("tile_row").cast("string"),
+                    F.col("tile_col").cast("string"),
+                )
+            ).alias("tile_key"),
+        )
+    )

@@ -226,3 +226,104 @@ def test_mmr_lambda_1_equals_plain_topk(spark, sf_dir):
         for r in brute_force_topk(emb, q, "vec_id", "embedding", k=4).collect()
     }
     assert mmr == plain
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle
+    (chain peels away layer by layer); degrees measured IN the core."""
+    from m3d_engine_spark.operators.graph import kcore
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3),          # triangle
+         (3, 4), (4, 5), (5, 6)],         # pendant chain
+        "src long, dst long",
+    )
+    out = {r.node: r.degree for r in kcore(e, k=2, rounds=5).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_extra_rounds_are_noop(spark):
+    """Rounds beyond the peel depth change nothing (the fixed-round
+    contract)."""
+    from m3d_engine_spark.operators.graph import kcore
+
+    e = spark.createDataFrame(
+        [(i, j) for i in range(6) for j in range(i + 1, 6)]  # K6
+        + [(5, 10), (10, 11)],
+        "src long, dst long",
+    )
+    a = sorted(tuple(r) for r in kcore(e, k=3, rounds=2).collect())
+    b = sorted(tuple(r) for r in kcore(e, k=3, rounds=6).collect())
+    assert a == b
+    assert {n for n, _ in a} == set(range(6))  # the K6 survives
+
+
+def test_last_touch_hand_sequence(spark):
+    """view → click → purchase → purchase credits click twice; a
+    user whose first event is a purchase credits 'none'."""
+    import __spark_entry__  # noqa: F401 — entry-level operator
+    from pyspark.sql import Window as W
+
+    ev = spark.createDataFrame(
+        [(1, 1, 1, "view"), (1, 2, 2, "click"),
+         (1, 3, 3, "purchase"), (1, 4, 4, "purchase"),
+         (2, 1, 5, "purchase")],
+        "user_id long, ts long, event_id long, event_type string",
+    )
+    w = (
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touched = ev.withColumn(
+        "touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    ).filter(F.col("event_type") == "purchase")
+    got = {
+        (r.user_id, r.event_id): r.touch for r in touched.collect()
+    }
+    assert got == {(1, 3): "click", (1, 4): "click", (2, 5): None}
+
+
+def test_audio_chunks_window_arithmetic(spark):
+    """A 5000 ms clip at 2 s windows / 1 s hop: starts 0..4000, the
+    4000 tail (1 s < half window? no — exactly half) is kept, and a
+    4500 start would be dropped. chunk_idx == start/hop."""
+    from m3d_engine_spark.operators.multimodal import chunk_audio
+
+    decoded = spark.createDataFrame(
+        [(1, "audio", 625, "sh")],  # 625 bytes * 8 ms = 5000 ms
+        "media_id long, media_type string, byte_len int, sha256 string",
+    )
+    rows = sorted(
+        (r.chunk_idx, r.start_ms, r.end_ms)
+        for r in chunk_audio(decoded).collect()
+    )
+    assert rows == [
+        (0, 0, 2000), (1, 1000, 3000), (2, 2000, 4000),
+        (3, 3000, 5000), (4, 4000, 5000),  # exactly half-window tail kept
+    ]
+    # a 4600 ms clip: the 4000 tail is 600 ms < 1000 → dropped
+    short = spark.createDataFrame(
+        [(2, "audio", 575, "sh")], decoded.schema
+    )
+    tails = [r.start_ms for r in chunk_audio(short).collect()]
+    assert max(tails) == 3000
+
+
+def test_image_tiles_grid_and_clamp(spark):
+    """A 100×130 image at 64px tiles → 2×3 grid with edge clamping."""
+    from m3d_engine_spark.operators.multimodal import tile_images
+
+    decoded = spark.createDataFrame(
+        [(1, "image", "sh", 100, 130)],
+        "media_id long, media_type string, sha256 string, width int, height int",
+    )
+    tiles = {(r.tile_row, r.tile_col): r for r in
+             tile_images(decoded, tile=64).collect()}
+    assert set(tiles) == {(r, c) for r in range(3) for c in range(2)}
+    assert tiles[(0, 0)].x1 == 64 and tiles[(0, 1)].x1 == 100  # clamp
+    assert tiles[(2, 0)].y1 == 130
+    assert len({t.tile_key for t in tiles.values()}) == 6
