@@ -116,6 +116,7 @@ def test_simhash64_hamming_finds_near_dup(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+@pytest.mark.slow
 def test_simhash64_identical_docs_identical_sigs(spark):
     docs = spark.createDataFrame(
         [(1, "same text here"), (2, "same text here")], "doc_id long, text string"

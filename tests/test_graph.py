@@ -36,6 +36,7 @@ def test_components_undirected_and_duplicate_edges(spark):
     assert out == {10: 10, 20: 10, 30: 10}
 
 
+@pytest.mark.slow
 def test_components_converge_within_max_iterations(spark):
     # A 12-chain needs several propagation rounds; max_iterations must
     # cover realistic dedup-cluster diameters with room to spare.
@@ -70,6 +71,7 @@ def test_star_matches_label_prop_on_mixed_graph(spark):
                             5: 5, 6: 5, 7: 5, 8: 8}
 
 
+@pytest.mark.slow
 def test_star_long_chain_beats_diameter(spark):
     # A 21-node path has diameter 20: label propagation would need 20
     # rounds. Star contraction must finish in O(log^2 n) — pin a bound

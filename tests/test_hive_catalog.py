@@ -9,7 +9,15 @@ build and the suite's shared session is in-memory-catalog."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import assert_hive_markers
+
+# Slow lane: the shared Derby+Hive subprocess fixture is ~60 s of JVM
+# bring-up — the single heaviest item in the suite. All catalog
+# scenarios still run, in the slow lane, every session
+# (`pytest tests/ -m slow`).
+pytestmark = pytest.mark.slow
 
 
 def test_catalog_ops_against_hive_metastore(hive_golden_stdout):

@@ -26,9 +26,14 @@ import pytest
 from tests.conftest import assert_hive_markers
 from tests.hive_scripts import INTEGRATION_REF
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(INTEGRATION_REF), reason="reference fixtures not present"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(INTEGRATION_REF),
+        reason="reference fixtures not present",
+    ),
+    # Slow lane: consumes the ~60 s Derby+Hive subprocess fixture.
+    pytest.mark.slow,
+]
 
 
 def test_recover_partitions_custom_golden(hive_golden_stdout):

@@ -203,6 +203,7 @@ def test_streaming_append_load_algorithm_incremental(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_streaming_interval_join_matches_batch_and_bounds_state(spark, tmp_path, sf_dir):
     """Stream-stream event-time join: the availableNow streaming run
     over file sources must produce exactly the batch result of the same

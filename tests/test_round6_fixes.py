@@ -87,6 +87,7 @@ def test_epoch_us_rejects_integer_type():
     epoch_us(F.col("ts"), LongType())
 
 
+@pytest.mark.slow
 def test_star_cc_raises_on_truncated_iterations(spark):
     # ADVICE low: exiting the fingerprint loop before the fixpoint used
     # to return internally inconsistent components silently.

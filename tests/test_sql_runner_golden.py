@@ -12,7 +12,12 @@ share one subprocess session."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import assert_hive_markers
+
+# Slow lane: consumes the ~60 s Derby+Hive subprocess fixture.
+pytestmark = pytest.mark.slow
 
 
 def test_sql_runner_swap_sequence_golden(hive_golden_stdout):

@@ -71,6 +71,12 @@ HEADLINERS = {
     "hits_scores": "HITS hubs/authorities, 3 exact-integer rounds: each half-round is one keyed join + one sum off the persisted edge relation; the L-infinity renormalization references each round aggregate twice, so each half-round is collapsed to a lazy localCheckpoint (ExistingRDD scans here) - left lazy the logical plan doubles per half-round and OOMs in stringification alone by round 3.",
     "ngram_novelty": "Per-doc shingle novelty: the inverted-index backbone - explode distinct shingles, corpus df as a map-side-combinable aggregate on the 64-bit xxhash key, equi-join back on the hash, one per-doc aggregate. Shingle TEXT never crosses an exchange.",
     "lsh_calibration": "MinHash dial audit: signatures via the hash-once explode->min aggregation (each md5 computed exactly once), band keys posexplode from the same signature relation, banded self-equi-join for candidates; signature compare and exact-Jaccard verify are candidate-sized keyed joins - full shingle arrays ride only to candidate pairs, never the banded join.",
+    "classifier_calibration": "Reliability diagram: zero-exchange scoring projection -> ONE bin-keyed map-side-combinable aggregate (exact 1e-4-lattice sums); output is bins-sized, nothing else moves.",
+    "mmr_diversify": "Greedy MMR: relevance scan (broadcast queries, corpus unexchanged) and the candidate-pair sim matrix compute ONCE into lazy checkpoints; each of the 4 greedy rounds is a keyed join + max aggregate + candidate-sized window over <= |Q|*shortlist rows - the recurrence is sequential by nature, so the design makes rounds trivial instead of parallel.",
+    "kcore_nodes": "k-core peel: per round one map-side-combinable degree aggregate + two semi-joins keyed on the surviving endpoints; the edge relation collapses to a lazy checkpoint per round (referenced by aggregate AND joins - left lazy the plan doubles per round).",
+    "last_touch": "Attribution: one exchange on user_id feeds the carry-forward window (last ignorenulls over preceding rows); the census and its share window run over the touch-type-sized aggregate, never the events scan.",
+    "audio_chunks": "Audio windowing: sequence+explode fan-out inside whole-stage codegen over the stub-decoded duration; zero Python, zero exchanges below the noop write.",
+    "image_tiles": "Tile grid: two nested sequence+explode generators (rows then cols) in codegen; the md5 tile keys are plain projections - zero exchanges.",
     "containment_pairs": "Asymmetric containment (quote/excerpt detection): same inverted-index self-join as jaccard_pairs — keyed on (block, xxhash64(shingle)), SMJ with the shared exchange reused, pair counts as an aggregate — but with NO size-ratio prune (a tiny doc fully contained in a huge one is the signal Jaccard misses). The hot-shingle df-cutoff is ON (the only scale dial beyond blocking, since no size prune is possible): the per-(block, shingle) df window count reads the SAME exchange the SMJ self-join shuffles on, and |A∩B| stays exact via the hot-set correction left-joins above the pair aggregate (pinned: keyed join only, no BNLJ).",
     "snapshot_diff": "Snapshot diff (what did last night's load change): null-safe md5 row fingerprints are map-side projections on each scan; the ENTIRE diff is one full-outer SortMergeJoin on the business key (pinned == 1) — the minimum any keyed two-corpus comparison can pay; with key-bucketed snapshots even that exchange vanishes. Status classification is a projection; the counts rollup partial-aggregates 4 rows per task.",
     "sq_quantize": "SQ8 scalar quantization: per-dim min/max from one keyed aggregate (exchange carries <= dim rows), pivoted to two dim-length arrays and BROADCAST (the single 1-row BNLJ, pinned); encode and midpoint-decode error are zero-exchange array-transform projections — the quantizer trains in one pass and applies map-side, which is what a write-time re-encode of 10^9 vectors needs. Exact IEEE arithmetic both engines (no summation in the bounds), 4dp rounding on the error fold only.",
