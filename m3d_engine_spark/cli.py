@@ -16,6 +16,8 @@ from m3d_engine_spark.operators import (  # noqa: F401 — populate REGISTRY
     delta_load,
     fixed_size_extractor,
     full_load,
+    fuzzy_dedup,
+    incremental,
     gzip_decompressor,
     materialization,
     nested_flattener,

@@ -115,3 +115,59 @@ def fuzzy_dedup_corpus(
         ),
         on=id_col,
     )
+
+
+# --------------------------------------------------------------------------
+# CLI algorithm: params-driven dispatch (the CurationPipeline pattern)
+# --------------------------------------------------------------------------
+
+from m3d_engine_spark.operators.base import Algorithm, register  # noqa: E402
+
+
+@register("FuzzyDedup")
+class FuzzyDedupAlgorithm(Algorithm):
+    """``fuzzy_dedup_corpus`` behind the reference's JSON-params
+    dispatch — the whole raw-corpus → near-dedup'd-corpus pass as one
+    spark-submit-able job:
+
+        python -m m3d_engine_spark FuzzyDedup params.json
+
+    Config keys:
+      source_location (parquet dir) OR source_table
+      id_column (default "doc_id"), text_column (default "text")
+      num_hashes (16), bands (8), shingle_n (3) — the LSH dials
+      threshold (0.5) — the exact-Jaccard duplicate floor
+      use_star (false) — large/small-star CC for long-chain graphs
+      target_location OR target_table (+ target_partitions,
+      output_files_num, load_mode — the full write_output surface)
+
+    The written table is the cleaned corpus: every input column of the
+    surviving rows plus ``component`` and ``cluster_size``.
+    """
+
+    def read(self) -> list[DataFrame]:
+        if self.params.has("source_table"):
+            return [self.spark.table(self.params.get_string("source_table"))]
+        return [
+            self.spark.read.parquet(self.params.get_string("source_location"))
+        ]
+
+    def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
+        p = self.params
+        return [
+            fuzzy_dedup_corpus(
+                dfs[0],
+                p.get_optional("id_column", "doc_id"),
+                p.get_optional("text_column", "text"),
+                num_hashes=int(p.get_optional("num_hashes", 16)),
+                bands=int(p.get_optional("bands", 8)),
+                shingle_n=int(p.get_optional("shingle_n", 3)),
+                threshold=float(p.get_optional("threshold", 0.5)),
+                use_star=bool(p.get_optional("use_star", False)),
+            )
+        ]
+
+    def write(self, dfs: list[DataFrame]) -> None:
+        from m3d_engine_spark.sources.writers import write_output
+
+        write_output(self.spark, dfs[0], self.params)

@@ -251,3 +251,77 @@ def incremental_dedup(
     return exact_surv.join(
         dup_ids.select(F.col("new_id").alias(id_col)), on=id_col, how="left_anti"
     )
+
+
+# --------------------------------------------------------------------------
+# CLI algorithm: params-driven dispatch (the CurationPipeline pattern)
+# --------------------------------------------------------------------------
+
+from m3d_engine_spark.operators.base import Algorithm, register  # noqa: E402
+
+
+@register("IncrementalDedup")
+class IncrementalDedupAlgorithm(Algorithm):
+    """The nightly-batch dedup shape behind the JSON-params dispatch —
+    two actions sharing one artifact contract:
+
+        python -m m3d_engine_spark IncrementalDedup params.json
+
+    ``action: "materialize"`` — read the accepted corpus
+    (source_location / source_table) and write its dedup artifacts
+    (fingerprints / LSH bands / shingle sets + _meta.json dials) under
+    ``artifact_location``; run ONCE at corpus-accept time.
+
+    ``action: "batch"`` (default) — read the new batch, keep only rows
+    with no exact or fuzzy duplicate in the artifacts (corpus text
+    never read), and write survivors through the full write_output
+    surface (target_location / target_table). LSH dials come from the
+    artifacts' _meta.json — a batch hashed with different dials than
+    the stored bands would silently admit duplicates, so params carry
+    dials only for "materialize".
+
+    Config keys: action, source_location OR source_table,
+    artifact_location, id_column ("doc_id"), text_column ("text"),
+    threshold (0.5, batch), num_hashes/bands/shingle_n (materialize),
+    target_location OR target_table (+ write_output extras, batch).
+    """
+
+    def read(self) -> list[DataFrame]:
+        if self.params.has("source_table"):
+            return [self.spark.table(self.params.get_string("source_table"))]
+        return [
+            self.spark.read.parquet(self.params.get_string("source_location"))
+        ]
+
+    def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
+        p = self.params
+        id_col = p.get_optional("id_column", "doc_id")
+        text_col = p.get_optional("text_column", "text")
+        base = p.get_string("artifact_location")
+        if p.get_optional("action", "batch") == "materialize":
+            materialize_dedup_artifacts(
+                dfs[0], id_col, text_col, base,
+                num_hashes=int(p.get_optional("num_hashes", 16)),
+                bands=int(p.get_optional("bands", 8)),
+                shingle_n=int(p.get_optional("shingle_n", 3)),
+            )
+            return []
+        artifacts = {
+            "fingerprints": f"{base}/fingerprints",
+            "bands": f"{base}/bands",
+            "shingles": f"{base}/shingles",
+            "meta": f"{base}/_meta.json",
+        }
+        return [
+            incremental_dedup_against_artifacts(
+                dfs[0], artifacts, id_col, text_col,
+                threshold=float(p.get_optional("threshold", 0.5)),
+            )
+        ]
+
+    def write(self, dfs: list[DataFrame]) -> None:
+        if not dfs:
+            return  # materialize action wrote its artifacts in transform
+        from m3d_engine_spark.sources.writers import write_output
+
+        write_output(self.spark, dfs[0], self.params)

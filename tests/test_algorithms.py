@@ -286,3 +286,75 @@ def test_curation_pipeline_scrub_off(spark, sf_dir):
     assert rows and all(r.n_pii == 0 for r in rows)
     raw = {r.doc_id: r.text for r in docs.collect()}
     assert all(raw[r.doc_id] == r.text for r in rows)
+
+
+def test_fuzzy_dedup_cli_roundtrip(spark, tmp_path, sf_dir):
+    """FuzzyDedup through the params.json dispatch: near-dedup the
+    documents fixture, write the cleaned corpus, and match the library
+    call exactly."""
+    target = str(tmp_path / "deduped")
+    pfile = tmp_path / "fd_params.json"
+    pfile.write_text(json.dumps({
+        "source_location": f"{sf_dir}/documents.parquet",
+        "threshold": 0.5,
+        "target_location": target,
+    }))
+    from m3d_engine_spark.operators.base import run_algorithm
+
+    run_algorithm(spark, "FuzzyDedup", str(pfile))
+    out = spark.read.parquet(target)
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert set(out.columns) == set(src.columns) | {"component", "cluster_size"}
+    n = out.count()
+    assert 0 < n <= src.count()
+    from m3d_engine_spark.operators.fuzzy_dedup import fuzzy_dedup_corpus
+
+    lib = fuzzy_dedup_corpus(src, "doc_id", "text", threshold=0.5)
+    assert {tuple(r) for r in lib.select(*sorted(lib.columns)).collect()} == {
+        tuple(r) for r in out.select(*sorted(lib.columns)).collect()
+    }
+
+
+def test_incremental_dedup_cli_two_actions(spark, tmp_path, sf_dir):
+    """IncrementalDedup through the params dispatch: materialize the
+    corpus artifacts, then run a batch against them — equal to the
+    library composition."""
+    from m3d_engine_spark.operators.base import run_algorithm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_loc = str(tmp_path / "corpus")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(corpus_loc)
+    batch_loc = str(tmp_path / "batch")
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(batch_loc)
+    art = str(tmp_path / "artifacts")
+    target = str(tmp_path / "accepted")
+
+    p1 = tmp_path / "mat.json"
+    p1.write_text(json.dumps({
+        "action": "materialize",
+        "source_location": corpus_loc,
+        "artifact_location": art,
+    }))
+    run_algorithm(spark, "IncrementalDedup", str(p1))
+    import os
+
+    assert os.path.isdir(f"{art}/bands") and os.path.exists(f"{art}/_meta.json")
+
+    p2 = tmp_path / "batch.json"
+    p2.write_text(json.dumps({
+        "source_location": batch_loc,
+        "artifact_location": art,
+        "threshold": 0.5,
+        "target_location": target,
+    }))
+    run_algorithm(spark, "IncrementalDedup", str(p2))
+    out = spark.read.parquet(target)
+
+    from m3d_engine_spark.operators.incremental import incremental_dedup
+
+    lib = incremental_dedup(
+        spark.read.parquet(batch_loc), spark.read.parquet(corpus_loc),
+        "doc_id", "text", threshold=0.5,
+    )
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in lib.collect()}
+    assert out.count() > 0
