@@ -5697,6 +5697,53 @@ FROM grid
 """
 
 
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed skip-gram PMI (collocations.py::skipgram_pairs):
+    ±4-token co-occurrence collocations — the word2vec counting
+    kernel. Pair generation is 4 zip_with-over-slices explodes in one
+    flatten (never a positional self-join); downstream is the
+    pmi_bigrams discipline."""
+    from m3d_engine_spark.operators.collocations import skipgram_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return skipgram_pairs(docs, "text", window=4, min_count=5, top=50)
+
+
+def _sql_skipgram_pairs() -> str:
+    per_d = "\n  UNION ALL\n".join(
+        f"  SELECT t[g] AS w1, t[g+{d}] AS w2, {d} AS dist\n"
+        f"  FROM (SELECT t, unnest(range(1, len(t) - {d - 1})) AS g FROM toks) s{d}"
+        for d in range(1, 5)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {_SQL_TOKS} AS t FROM documents
+), pg AS (
+{per_d}
+), pc AS (
+  SELECT w1, w2, CAST(min(dist) AS INTEGER) AS dist_min, count(*) AS n_pair
+  FROM pg GROUP BY w1, w2
+  HAVING count(*) >= 5
+), uni AS (
+  SELECT unnest(t) AS w FROM toks
+), uc AS (
+  SELECT w, count(*) AS n_w FROM uni GROUP BY w
+), tot AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM pg) AS n_pairs,
+         (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS n_tokens
+)
+SELECT pc.w1, pc.w2, pc.dist_min, pc.n_pair,
+       round(ln((pc.n_pair / t.n_pairs) /
+                ((u1.n_w / t.n_tokens) * (u2.n_w / t.n_tokens))), 4) AS pmi
+FROM pc
+JOIN uc u1 ON pc.w1 = u1.w
+JOIN uc u2 ON pc.w2 = u2.w
+CROSS JOIN tot t
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5782,6 +5829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_touch": q_last_touch,
         "audio_chunks": q_audio_chunks,
         "image_tiles": q_image_tiles,
+        "skipgram_pairs": q_skipgram_pairs,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -5911,6 +5959,7 @@ def oracle_sql() -> dict[str, str]:
         "last_touch": _SQL_LAST_TOUCH,
         "audio_chunks": _SQL_AUDIO_CHUNKS,
         "image_tiles": _SQL_IMAGE_TILES,
+        "skipgram_pairs": _sql_skipgram_pairs(),
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -209,3 +209,94 @@ def association_rules(
     return scored.orderBy(
         F.col("lift").desc(), F.col("a").asc(), F.col("b").asc()
     ).limit(int(top))
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    text_col: str,
+    window: int = 4,
+    min_count: int = 5,
+    top: int = 50,
+) -> DataFrame:
+    """Windowed skip-gram collocations — ``pmi_bigrams`` generalized
+    from adjacency to a ±``window`` context (the word2vec counting
+    kernel, and the phrase/topic-association census a 1-distance
+    bigram misses):
+
+        PMI(x, y) = ln( (c_xy / N_pairs) / ((c_x/N)·(c_y/N)) )
+
+    over FORWARD pairs (t[i], t[i+d]), 1 ≤ d ≤ window (each unordered
+    co-occurrence counted once, in document order — the symmetric
+    census is this relation plus its mirror, a projection away).
+
+    Topology: pair generation is ``window`` zip_with-over-slices
+    explodes unioned in ONE flatten expression — never a positional
+    self-join (which at 100 TB would shuffle token positions; this
+    form is a pure projection over the scan). Everything downstream is
+    the pmi_bigrams discipline: map-side-combinable counts, min-count
+    filter BEFORE the unigram joins, totals as a broadcast 1-row
+    aggregate, one ln of an exact rational, 4dp. ANSI-safe on short
+    documents by the same greatest(size-d, 0) slice guard.
+
+    Returns (w1, w2, dist_min, n_pair, pmi) ordered by
+    (pmi DESC, w1, w2): ``dist_min`` is the smallest token distance at
+    which the pair co-occurs (1 = also adjacent).
+    """
+    window = int(window)
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = docs.select(tokens(F.col(text_col)).alias("t"))
+    per_d = ", ".join(
+        "zip_with("
+        f"slice(t, 1, greatest(size(t) - {d}, 0)), "
+        f"slice(t, {d + 1}, greatest(size(t) - {d}, 0)), "
+        f"(x, y) -> struct(x AS w1, y AS w2, {d} AS dist))"
+        for d in range(1, window + 1)
+    )
+    pairs = toks.select(
+        F.explode(F.expr(f"flatten(array({per_d}))")).alias("pg")
+    ).select("pg.w1", "pg.w2", "pg.dist")
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(
+            F.count(F.lit(1)).alias("n_pair"),
+            F.min("dist").cast("int").alias("dist_min"),
+        )
+        .filter(F.col("n_pair") >= int(min_count))
+    )
+    unigrams = toks.select(F.explode(F.col("t")).alias("w"))
+    uni_counts = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    totals = F.broadcast(
+        pairs.agg(F.count(F.lit(1)).cast("double").alias("n_pairs")).crossJoin(
+            unigrams.agg(F.count(F.lit(1)).cast("double").alias("n_tokens"))
+        )
+    )
+    return (
+        pair_counts.join(
+            uni_counts.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")),
+            on="w1",
+        )
+        .join(
+            uni_counts.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")),
+            on="w2",
+        )
+        .crossJoin(totals)
+        .select(
+            "w1",
+            "w2",
+            "dist_min",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("n_pairs"))
+                    / (
+                        (F.col("n_w1") / F.col("n_tokens"))
+                        * (F.col("n_w2") / F.col("n_tokens"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+        .limit(int(top))
+    )

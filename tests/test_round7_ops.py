@@ -327,3 +327,24 @@ def test_image_tiles_grid_and_clamp(spark):
     assert tiles[(0, 0)].x1 == 64 and tiles[(0, 1)].x1 == 100  # clamp
     assert tiles[(2, 0)].y1 == 130
     assert len({t.tile_key for t in tiles.values()}) == 6
+
+
+def test_skipgram_window_vs_bigram(spark):
+    """window=1 must reproduce the adjacency census; window=3 finds
+    the skip pair ('new', 'city') in 'new york city' that bigrams
+    miss; short/empty docs contribute nothing (ANSI-safe)."""
+    from m3d_engine_spark.operators.collocations import skipgram_pairs
+
+    docs = spark.createDataFrame(
+        [("new york city",), ("new york city",), ("new york city",),
+         ("",), ("solo",)],
+        ["text"],
+    )
+    w1 = {(r.w1, r.w2): r.n_pair for r in
+          skipgram_pairs(docs, "text", window=1, min_count=1, top=50).collect()}
+    assert w1 == {("new", "york"): 3, ("york", "city"): 3}
+    w3 = {(r.w1, r.w2): (r.n_pair, r.dist_min) for r in
+          skipgram_pairs(docs, "text", window=3, min_count=1, top=50).collect()}
+    assert w3[("new", "city")] == (3, 2)  # the skip pair, distance 2
+    assert w3[("new", "york")] == (3, 1)
+    assert len(w3) == 3
