@@ -1098,3 +1098,26 @@ def test_hits_checkpointed_rounds_stay_bounded(spark):
     plan = _plan_simple(out)
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan[:500]
     assert len(plan) < 200_000, len(plan)
+
+
+def test_skipgram_pair_generation_is_projection(spark, sf_dir):
+    """skipgram_pairs: the ±w pair fan-out must be a flatten
+    PROJECTION over the token scan — a positional self-join would
+    shuffle token positions (at 100 TB, the corpus ×w). Pin: no join
+    below the pair-count aggregate; the only joins are the two
+    vocabulary-sized unigram lookups + the broadcast totals."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["skipgram_pairs"](spark, sf_dir))
+    final = plan.split("Initial Plan")[0]
+    # 2 unigram joins + 1 broadcast-totals BNLJ and nothing else
+    joins = (
+        final.count("SortMergeJoin")
+        + final.count("BroadcastHashJoin")
+        + final.count("ShuffledHashJoin")
+    )
+    assert joins == 2, final
+    # totals ride as two 1-row broadcast BNLJs (n_pairs × n_tokens,
+    # then onto the scored relation) — anything more is a regression
+    assert final.count("BroadcastNestedLoopJoin") <= 2, final
+    assert "CartesianProduct" not in final

@@ -218,3 +218,110 @@ def test_dsir_weights_match_python_reference(spark):
         wsum = sum(c * ratio[b] for b, c in per_doc[i].items())
         lw4 = (1 if wsum >= 0 else -1) * ((abs(wsum) + 50) // 100)
         assert got[i] == lw4 / 10000.0, (i, got[i], lw4 / 10000.0)
+
+
+def test_transition_matrix_rows_are_distributions(spark):
+    """Random event streams: per from_state, probabilities sum to ~1
+    (4dp rounding slack) and counts equal a Python reference."""
+    from collections import Counter
+
+    from m3d_engine_spark.operators.markov import transition_matrix
+
+    rng = random.Random(SEED)
+    rows = []
+    for u in range(40):
+        for t in range(rng.randint(0, 12)):
+            rows.append((u, t, rng.randint(0, 10_000),
+                         rng.choice("abcde")))
+    if not rows:
+        rows = [(0, 0, 0, "a")]
+    df = spark.createDataFrame(rows, "u long, t long, eid long, s string")
+    got = {(r.from_state, r.to_state): (r.n, r.p) for r in
+           transition_matrix(df, ["u"], "t", "s", tie_cols=["eid"]).collect()}
+
+    ref = Counter()
+    by_user = {}
+    for u, t, eid, s in rows:
+        by_user.setdefault(u, []).append((t, eid, s))
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            ref[(a, b)] += 1
+    assert {k: v for k, (v, _) in got.items()} == dict(ref)
+    from_totals = Counter()
+    for (a, _), n in ref.items():
+        from_totals[a] += n
+    for (a, b), (n, p) in got.items():
+        assert abs(p - n / from_totals[a]) < 5e-5
+
+
+def test_kcore_is_subgraph_fixpoint(spark):
+    """Random graphs: every returned node has degree >= k measured
+    within the returned node set, and the result is a fixpoint (all
+    peeling already finished — verified against a Python peeler)."""
+    from m3d_engine_spark.operators.graph import kcore
+
+    rng = random.Random(SEED + 1)
+    edges = {(rng.randint(0, 25), rng.randint(0, 25)) for _ in range(80)}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.degree for r in kcore(df, k=3, rounds=12).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = set(adj)
+    while True:
+        drop = {v for v in nodes
+                if len(adj[v] & nodes) < 3}
+        if not drop:
+            break
+        nodes -= drop
+    ref = {v: len(adj[v] & nodes) for v in nodes}
+    assert got == ref
+
+
+def test_benford_fractions_partition_unity(spark):
+    """Any numeric column: obs fractions sum to 1 (±rounding) and
+    counts partition the non-null non-zero rows."""
+    from m3d_engine_spark.operators.reporting import benford_audit
+
+    rng = random.Random(SEED + 2)
+    vals = [rng.uniform(-1e6, 1e6) for _ in range(500)] + [None, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = benford_audit(df, "v").collect()
+    assert sum(r.n for r in out) == 500
+    assert abs(sum(r.obs_frac for r in out) - 1.0) < 1e-4
+    assert abs(sum(r.benford_frac for r in out) - 1.0) < 1e-5
+
+
+def test_mmr_picks_are_distinct_shortlist_members(spark):
+    """Random embeddings: the k picks per query are distinct, drawn
+    from the brute shortlist, and pick 1 equals the relevance top-1."""
+    from m3d_engine_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_diversify,
+    )
+
+    rng = random.Random(SEED + 3)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") % 20 == 0)
+    sel = mmr_diversify(corpus, queries, "vec_id", "embedding",
+                        shortlist=10, k=4).collect()
+    short = {}
+    for r in brute_force_topk(corpus, queries, "vec_id", "embedding",
+                              k=10).collect():
+        short.setdefault(r.query_id, {}).update({r.neighbor_id: r.rank})
+    by_q = {}
+    for r in sel:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, picks in by_q.items():
+        ids = [p.neighbor_id for p in picks]
+        assert len(ids) == len(set(ids)) == 4
+        assert all(i in short[q] for i in ids)
+        seed_pick = min(picks, key=lambda p: p.pick)
+        assert short[q][seed_pick.neighbor_id] == 1
