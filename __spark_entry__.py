@@ -5744,6 +5744,123 @@ LIMIT 50
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (reporting.py::join_skew_report): the
+    20 heaviest event user_ids with shares and cumulative share — the
+    pre-join "will this key melt a reducer" check, costing exactly one
+    build-side count pass; top-k via TakeOrderedAndProject, shares
+    windowed over the 20-row result only."""
+    from m3d_engine_spark.operators.reporting import join_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return join_skew_report(ev, ["user_id"], top=20)
+
+
+_SQL_SKEW_REPORT = """
+WITH c AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+), tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS t FROM c
+), topk AS (
+  SELECT user_id, n FROM c ORDER BY n DESC, user_id ASC LIMIT 20
+)
+SELECT user_id, n,
+       round(n / t, 6) AS share,
+       round(SUM(n) OVER (ORDER BY n DESC, user_id ASC
+                          ROWS UNBOUNDED PRECEDING) / t, 6) AS cum_share
+FROM topk CROSS JOIN tot
+"""
+
+
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (reporting.py::fk_audit):
+    lineitem.l_orderkey → orders.o_orderkey with every 7th order
+    deterministically removed from the parent side, so the audit must
+    COUNT the orphans it exists to catch. One anti-join + two
+    map-side aggregates."""
+    from m3d_engine_spark.operators.reporting import fk_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 != 0
+    )
+    return fk_audit(li, orders, ["l_orderkey"], ["o_orderkey"])
+
+
+_SQL_FK_AUDIT = """
+WITH parent AS (
+  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 7 != 0
+), base AS (
+  SELECT count(*) AS n_rows,
+         COALESCE(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS n_null_fk
+  FROM lineitem
+), orph AS (
+  SELECT count(*) AS n_orphans
+  FROM lineitem l
+  WHERE l.l_orderkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM parent p WHERE p.o_orderkey = l.l_orderkey)
+)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_null_fk AS BIGINT) AS n_null_fk,
+       CAST(n_orphans AS BIGINT) AS n_orphans,
+       round(n_orphans / n_rows, 6) AS orphan_rate
+FROM base CROSS JOIN orph
+"""
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (reporting.py::psi_drift) between
+    two deterministic order-price snapshots (even keys vs odd keys
+    repriced +10%): per-bin expected/actual fractions and PSI
+    contributions over explicit production bounds — the
+    distribution-drift monitor. One bin-keyed aggregate per side, a
+    bins-sized full-outer join, broadcast totals."""
+    from m3d_engine_spark.operators.reporting import psi_drift
+
+    orders = _t(spark, sf_dir, "orders")
+    expected = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_totalprice").cast("double").alias("price")
+    )
+    actual = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        (F.col("o_totalprice").cast("double") * 1.1).alias("price")
+    )
+    return psi_drift(expected, actual, "price", bins=10, lo=0.0, hi=600000.0)
+
+
+_SQL_PSI_DRIFT = """
+WITH e AS (
+  SELECT least(greatest(CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 60000.0) AS BIGINT), 0), 9) AS bin,
+         count(*) AS n_expected
+  FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), a AS (
+  SELECT least(greatest(CAST(floor(((CAST(o_totalprice AS DOUBLE) * 1.1) - 0.0) / 60000.0) AS BIGINT), 0), 9) AS bin,
+         count(*) AS n_actual
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), j AS (
+  SELECT CAST(COALESCE(e.bin, a.bin) AS INTEGER) AS bin,
+         COALESCE(n_expected, 0) AS n_expected,
+         COALESCE(n_actual, 0) AS n_actual
+  FROM e FULL OUTER JOIN a ON e.bin = a.bin
+), tot AS (
+  SELECT CAST(SUM(n_expected) AS DOUBLE) AS te,
+         CAST(SUM(n_actual) AS DOUBLE) AS ta
+  FROM j
+), p AS (
+  SELECT bin, n_expected, n_actual,
+         (n_expected + 0.5) / (te + 0.5 * 10) AS pe,
+         (n_actual + 0.5) / (ta + 0.5 * 10) AS pa
+  FROM j CROSS JOIN tot
+)
+SELECT bin, n_expected, n_actual,
+       round(pe, 6) AS p_expected,
+       round(pa, 6) AS p_actual,
+       round((pa - pe) * ln(pa / pe), 6) AS psi_part
+FROM p
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5830,6 +5947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_chunks": q_audio_chunks,
         "image_tiles": q_image_tiles,
         "skipgram_pairs": q_skipgram_pairs,
+        "skew_report": q_skew_report,
+        "fk_audit": q_fk_audit,
+        "psi_drift": q_psi_drift,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -5960,6 +6080,9 @@ def oracle_sql() -> dict[str, str]:
         "audio_chunks": _SQL_AUDIO_CHUNKS,
         "image_tiles": _SQL_IMAGE_TILES,
         "skipgram_pairs": _sql_skipgram_pairs(),
+        "skew_report": _SQL_SKEW_REPORT,
+        "fk_audit": _SQL_FK_AUDIT,
+        "psi_drift": _SQL_PSI_DRIFT,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -268,3 +268,183 @@ def benford_audit(
             tot * (obs - expected) * (obs - expected) / expected, 6
         ).alias("chi2_part"),
     )
+
+
+def join_skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top: int = 20,
+) -> DataFrame:
+    """Pre-join skew diagnostic — the "will this key melt a reducer"
+    check run BEFORE shipping a 100 TB join: per join-key row counts
+    reduced to the ``top`` heaviest keys, each with its share of the
+    relation and the running cumulative share. A top-1 share over a
+    few percent says salt this key (plans/skew.salted_join) or switch
+    on AQE skew handling and check the plan; a long flat tail says
+    the hash partitioner is fine.
+
+    Topology: ONE map-side-combinable count aggregate on the key
+    (exactly the exchange the real join would pay, so the report costs
+    what one build-side pass costs); the top-k runs as
+    TakeOrderedAndProject (per-task top-k, no global sort) and the
+    shares/cumulative window run over the top-k relation only.
+    Returns (key..., n, share, cum_share) ordered by n DESC, 6dp,
+    deterministic tie-break on the key columns.
+    """
+    from pyspark.sql import Window
+
+    gc = [F.col(c) for c in key_cols]
+    counted = df.groupBy(*gc).agg(F.count(F.lit(1)).alias("n"))
+    total = F.broadcast(
+        counted.agg(F.sum("n").cast("double").alias("_tot"))
+    )
+    order = [F.col("n").desc()] + [F.col(c).asc() for c in key_cols]
+    topk = counted.orderBy(*order).limit(int(top))
+    w_cum = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        topk.crossJoin(total)
+        .select(
+            *[F.col(c) for c in key_cols],
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("share"),
+            F.round(
+                F.sum("n").over(w_cum) / F.col("_tot"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+def fk_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_cols: Sequence[str],
+    pk_cols: Sequence[str],
+) -> DataFrame:
+    """Referential-integrity audit for a child→parent relationship:
+    one row with total child rows, rows with NULL foreign keys, orphan
+    rows (non-null FK with no matching parent), and the orphan rate —
+    the join-before-the-join sanity gate that catches a bad ingest
+    before it silently drops (inner join) or null-pads (left join)
+    downstream.
+
+    Topology: NULL census is a map-side aggregate; orphans are ONE
+    left-anti join on the key (the cheapest possible containment
+    check — no row multiplication, parent side reduced to distinct
+    keys) followed by a count. Returns
+    (n_rows, n_null_fk, n_orphans, orphan_rate), exact longs + one
+    6dp division.
+    """
+    fk = [F.col(c) for c in fk_cols]
+    null_pred = fk[0].isNull()
+    for c in fk[1:]:
+        null_pred = null_pred | c.isNull()
+    keys = parent.select(
+        *[F.col(p).alias(f) for p, f in zip(pk_cols, fk_cols)]
+    ).distinct()
+    non_null = child.filter(~null_pred)
+    orphans = non_null.join(keys, on=list(fk_cols), how="left_anti")
+    base = F.broadcast(
+        child.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(null_pred.cast("long")).alias("n_null_fk"),
+        )
+    )
+    return (
+        orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        .crossJoin(base)
+        .select(
+            "n_rows",
+            F.coalesce(F.col("n_null_fk"), F.lit(0).cast("long")).alias(
+                "n_null_fk"
+            ),
+            "n_orphans",
+            F.round(F.col("n_orphans") / F.col("n_rows"), 6).alias(
+                "orphan_rate"
+            ),
+        )
+    )
+
+
+def psi_drift(
+    expected: DataFrame,
+    actual: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard "did this feature's distribution move"
+    monitor (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted):
+
+        PSI = Σ_bins (p_actual − p_expected) · ln(p_actual / p_expected)
+
+    Bin edges are ``bins`` equal-width cuts over [lo, hi] (pass the
+    training-time bounds for a production monitor; defaults to the
+    EXPECTED side's exact min/max — never the actual side, which would
+    let drift move its own goalposts). Out-of-range values clamp into
+    the edge bins; both fractions are Laplace-smoothed by half a count
+    so an empty bin cannot produce ±inf.
+
+    Determinism: bin assignment is floor on a single IEEE expression
+    of exact counts/bounds; fractions are exact-integer counts over
+    totals; one ln per bin, 6dp. Topology: one bin-keyed aggregate
+    per side (map-side combinable), a bins-sized full-outer join, a
+    broadcast 1-row totals relation. Returns one row per bin
+    (bin, n_expected, n_actual, p_expected, p_actual, psi_part);
+    Σ psi_part is the index.
+    """
+    b = int(bins)
+    if lo is None or hi is None:
+        bounds = expected.agg(
+            F.min(value_col).cast("double").alias("lo"),
+            F.max(value_col).cast("double").alias("hi"),
+        ).first()
+        lo = bounds["lo"] if lo is None else lo
+        hi = bounds["hi"] if hi is None else hi
+    lo, hi = float(lo), float(hi)
+    if not hi > lo:
+        raise ValueError(f"degenerate bounds [{lo}, {hi}]")
+    width = (hi - lo) / b
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        bin_ = F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+                F.lit(0),
+            ),
+            F.lit(b - 1),
+        ).cast("int")
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(bin_.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    e = binned(expected, "n_expected")
+    a = binned(actual, "n_actual")
+    joined = e.join(a, on="bin", how="full_outer").select(
+        "bin",
+        F.coalesce("n_expected", F.lit(0)).alias("n_expected"),
+        F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+    )
+    totals = F.broadcast(
+        joined.agg(
+            F.sum("n_expected").cast("double").alias("_te"),
+            F.sum("n_actual").cast("double").alias("_ta"),
+        )
+    )
+    pe = (F.col("n_expected") + F.lit(0.5)) / (F.col("_te") + F.lit(0.5) * b)
+    pa = (F.col("n_actual") + F.lit(0.5)) / (F.col("_ta") + F.lit(0.5) * b)
+    return joined.crossJoin(totals).select(
+        "bin",
+        "n_expected",
+        "n_actual",
+        F.round(pe, 6).alias("p_expected"),
+        F.round(pa, 6).alias("p_actual"),
+        F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_part"),
+    )

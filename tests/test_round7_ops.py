@@ -348,3 +348,45 @@ def test_skipgram_window_vs_bigram(spark):
     assert w3[("new", "city")] == (3, 2)  # the skip pair, distance 2
     assert w3[("new", "york")] == (3, 1)
     assert len(w3) == 3
+
+
+def test_join_skew_report_hand_counts(spark):
+    from m3d_engine_spark.operators.reporting import join_skew_report
+
+    rows = [(1,)] * 50 + [(2,)] * 30 + [(3,)] * 15 + [(4,)] * 5
+    df = spark.createDataFrame(rows, "k long")
+    out = join_skew_report(df, ["k"], top=3).collect()
+    assert [(r.k, r.n) for r in out] == [(1, 50), (2, 30), (3, 15)]
+    assert out[0].share == 0.5
+    assert out[2].cum_share == 0.95  # top-3 carry 95% of the relation
+
+
+def test_fk_audit_counts_orphans_and_nulls(spark):
+    from m3d_engine_spark.operators.reporting import fk_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, None)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = fk_audit(child, parent, ["fk"], ["pk"]).first()
+    assert (r.n_rows, r.n_null_fk, r.n_orphans) == (5, 1, 1)
+    assert r.orphan_rate == 0.2
+
+
+def test_psi_zero_on_identical_and_large_on_shift(spark):
+    from m3d_engine_spark.operators.reporting import psi_drift
+
+    base = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "v double"
+    )
+    same = psi_drift(base, base, "v", bins=10, lo=0.0, hi=100.0)
+    assert abs(sum(r.psi_part for r in same.collect())) < 1e-9
+    shifted = base.select((F.col("v") + 60.0).alias("v"))
+    drift = psi_drift(base, shifted, "v", bins=10, lo=0.0, hi=100.0)
+    assert sum(r.psi_part for r in drift.collect()) > 0.25  # "shifted" band
+    # default bounds come from the EXPECTED side (drift cannot move
+    # its own goalposts): shifted values clamp into the top bin
+    auto = psi_drift(base, shifted, "v", bins=10).collect()
+    top_bin = max(auto, key=lambda r: r.bin)
+    assert top_bin.n_actual > top_bin.n_expected
