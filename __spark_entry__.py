@@ -5861,6 +5861,43 @@ FROM p
 """
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (normalize.py::quantile_normalize):
+    per-language document lengths mapped onto the pooled length
+    distribution at their own within-group quantile — after this a
+    90th-percentile length means the same thing in every language.
+    Scale form: the sorted-reference join is replaced by a 101-point
+    exact-percentile grid broadcast (one aggregate), so the only
+    corpus-wide work is the within-group rank window."""
+    from m3d_engine_spark.operators.normalize import quantile_normalize
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("n_chars")
+    )
+    return quantile_normalize(docs, ["lang"], "n_chars", "doc_id", grid=100)
+
+
+def _sql_quantile_normalize() -> str:
+    pcts = ", ".join(str(i / 100) for i in range(101))
+    return f"""
+WITH src AS (
+  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS n_chars
+  FROM documents WHERE n_chars IS NOT NULL
+), g AS (
+  SELECT quantile_cont(n_chars, [{pcts}]) AS grid FROM src
+), ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM src
+)
+SELECT doc_id, lang, n_chars,
+       round((r - 0.5) / n, 4) AS q,
+       round(grid[CAST(round(((r - 0.5) / n) * 100) AS INT) + 1], 4) AS normalized
+FROM ranked CROSS JOIN g
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5950,6 +5987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "fk_audit": q_fk_audit,
         "psi_drift": q_psi_drift,
+        "quantile_normalize": q_quantile_normalize,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -6083,6 +6121,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_report": _SQL_SKEW_REPORT,
         "fk_audit": _SQL_FK_AUDIT,
         "psi_drift": _SQL_PSI_DRIFT,
+        "quantile_normalize": _sql_quantile_normalize(),
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

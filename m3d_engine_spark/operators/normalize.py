@@ -145,3 +145,71 @@ def rank_fuse(
         base.withColumn(out_col, F.round(blended, 6))
         .drop(*[f"_s_{k}" for k in signals])
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    grid: int = 100,
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """Quantile normalization: map every value onto the REFERENCE
+    distribution at its own within-group quantile, so all groups share
+    one marginal distribution afterwards — the microarray/feature-
+    harmonization standard, and in curation the fix for "domain A's
+    quality scores run hot": after normalization a 90th-percentile
+    score means the same thing in every group.
+
+    Scale shape — the textbook construction (join each rank to the
+    globally SORTED reference) needs a corpus-wide row_number, i.e. a
+    single-partition sort. This operator replaces the sorted reference
+    with its ``grid``-point exact-percentile summary (one aggregate,
+    price_quantiles contract), broadcast back as a (grid+1)-array:
+
+        q       = (rank_in_group − 0.5) / n_group      (midpoint rule)
+        target  = grid[round(q · grid)]
+
+    so the only per-row work above the within-group rank window is an
+    array lookup. Rank ties break on ``id_col`` (total order);
+    grid resolution is the documented approximation dial — groups
+    larger than ``grid`` points map through interpolation plateaus,
+    exactly like using percentile summaries anywhere else.
+
+    ``reference`` defaults to ``df`` itself (normalize groups to the
+    pooled distribution); pass a frozen relation to normalize against
+    a training-time target. Returns input + (q, normalized), 4dp on q
+    and 4dp on the normalized value.
+    """
+    grid = int(grid)
+    if grid < 1:
+        raise ValueError("grid must be >= 1")
+    ref = df if reference is None else reference
+    pcts = ", ".join(str(i / grid) for i in range(grid + 1))
+    grid_rel = F.broadcast(
+        ref.agg(
+            F.expr(f"percentile({value_col}, array({pcts}))").alias("_grid")
+        )
+    )
+    w_rank = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    w_n = Window.partitionBy(*[F.col(c) for c in group_cols])
+    ranked = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("_r", F.row_number().over(w_rank))
+        .withColumn("_n", F.count(F.lit(1)).over(w_n))
+    )
+    q = (F.col("_r") - F.lit(0.5)) / F.col("_n")
+    idx = F.round(q * grid).cast("int")
+    return (
+        ranked.crossJoin(grid_rel)
+        .select(
+            *df.columns,
+            F.round(q, 4).alias("q"),
+            F.round(
+                F.element_at(F.col("_grid"), idx + 1), 4
+            ).alias("normalized"),
+        )
+    )

@@ -658,3 +658,136 @@ class StreamingAppendLoadAlgorithm(Algorithm):
         )
         query = writer.start()
         query.awaitTermination()
+
+
+def transition_census_batch(
+    batch: DataFrame,
+    batch_id: int,
+    census_path: str,
+    state_path: str,
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    state_col: str,
+) -> None:
+    """One micro-batch of the streaming transition census (the
+    foreachBatch body, exposed for direct testing like
+    ``incremental_dedup_batch``).
+
+    Cross-batch correctness: a user's last event of an earlier batch
+    and first event of this batch form a REAL transition the per-batch
+    window would miss, so each batch (a) prepends every affected
+    user's carried last event (read from the state relation) before
+    the lead window, and (b) writes its own users' latest events to
+    ``state_path/batch_id=<id>``. "Latest carried event" is the
+    max_by over all earlier state partitions — append-only, and
+    idempotent under replay because both writes overwrite their own
+    batch partition. Assumes the stream is time-ordered per key across
+    batches (the file-stream contract); late events would need the
+    watermarked ``session_rollup`` machinery instead, documented
+    trade-off.
+
+    At 100 TB-of-history scale the state relation is one row per key
+    per batch that key appeared in — compact it periodically with the
+    same max_by (an idempotent rewrite); the census relation is
+    states²-sized per batch, negligible.
+    """
+    from pyspark.sql import Window
+
+    spark = batch.sparkSession
+    ev = batch.select(
+        F.col(key_col), F.col(order_col), F.col(tie_col), F.col(state_col)
+    )
+    try:
+        carried = (
+            spark.read.parquet(state_path)
+            .filter(F.col("batch_id") < batch_id)
+            .groupBy(key_col)
+            .agg(
+                F.max_by(
+                    F.struct(order_col, tie_col, state_col),
+                    F.struct(order_col, tie_col),
+                ).alias("_s")
+            )
+            .select(key_col, "_s.*")
+        )
+        ev = ev.unionByName(carried)
+    except Exception:  # AnalysisException: first batch, no state yet
+        pass
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col), F.col(tie_col))
+    pairs = (
+        ev.withColumn("_next", F.lead(state_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(state_col).alias("from_state"),
+            F.col("_next").alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs.write.mode("overwrite").parquet(f"{census_path}/batch_id={batch_id}")
+    latest = (
+        batch.groupBy(key_col)
+        .agg(
+            F.max_by(
+                F.struct(order_col, tie_col, state_col),
+                F.struct(order_col, tie_col),
+            ).alias("_s")
+        )
+        .select(key_col, "_s.*")
+    )
+    latest.write.mode("overwrite").parquet(f"{state_path}/batch_id={batch_id}")
+
+
+def streaming_transition_census(
+    stream: DataFrame,
+    census_path: str,
+    state_path: str,
+    checkpoint: str,
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    state_col: str,
+):
+    """Streaming twin of ``operators/markov.transition_matrix``: the
+    first-order transition census maintained incrementally over an
+    append-only event stream — per-batch partial counts plus a carried
+    per-key last-event state so cross-batch transitions are never
+    lost. Read the census with ``read_transition_census``; equivalence
+    with the batch operator over the same data is pinned by test.
+
+    Returns the started availableNow StreamingQuery (call
+    ``awaitTermination()``; later invocations process only new files).
+    """
+    def process(batch: DataFrame, batch_id: int) -> None:
+        transition_census_batch(
+            batch, batch_id, census_path, state_path,
+            key_col, order_col, tie_col, state_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_transition_census(spark, census_path: str) -> DataFrame:
+    """Fold the per-batch partial counts into the same
+    (from_state, to_state, n, p) relation the batch operator returns —
+    one keyed aggregate over the (tiny, states²·batches) census
+    relation, probabilities from the folded exact counts."""
+    from pyspark.sql import Window
+
+    totals = (
+        spark.read.parquet(census_path)
+        .groupBy("from_state", "to_state")
+        .agg(F.sum("n").alias("n"))
+    )
+    w_tot = Window.partitionBy("from_state")
+    return totals.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_tot), 4).alias("p"),
+    )

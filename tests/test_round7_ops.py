@@ -390,3 +390,30 @@ def test_psi_zero_on_identical_and_large_on_shift(spark):
     auto = psi_drift(base, shifted, "v", bins=10).collect()
     top_bin = max(auto, key=lambda r: r.bin)
     assert top_bin.n_actual > top_bin.n_expected
+
+
+def test_quantile_normalize_aligns_group_marginals(spark):
+    """Two groups with the same shape at different scales: after
+    normalization the per-rank values are identical across groups (one
+    shared marginal), and within-group order is preserved."""
+    from m3d_engine_spark.operators.normalize import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b",
+          float(i * (2 if i % 2 else 5))) for i in range(1, 21)],
+        "id int, g string, v double",
+    )
+    out = quantile_normalize(df, ["g"], "v", "id", grid=10).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.g, []).append((r.q, r.normalized))
+    a = sorted(by_group["a"])
+    b = sorted(by_group["b"])
+    assert a == b  # identical marginal after normalization
+    vals = [n for _, n in a]
+    assert vals == sorted(vals)  # order preserved
+    # frozen reference: normalizing against a constant relation maps
+    # everything into that relation's value range
+    ref = spark.createDataFrame([(float(i),) for i in range(101)], "v double")
+    frozen = quantile_normalize(df, ["g"], "v", "id", grid=10, reference=ref)
+    assert all(0.0 <= r.normalized <= 100.0 for r in frozen.collect())

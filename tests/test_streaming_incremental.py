@@ -139,3 +139,63 @@ def test_streaming_incremental_dedup_grows_corpus(spark, tmp_path):
         "doc_id", "text", threshold=0.5,
     )
     assert {r.doc_id for r in seq2.collect()} == {21}
+
+
+def test_streaming_transition_census_equals_batch(spark, tmp_path):
+    """Streaming census over time-chunked files (one file per trigger)
+    must fold to EXACTLY the batch transition_matrix — including the
+    cross-batch transitions the carried per-key state exists for, and
+    idempotently under batch replay."""
+    from m3d_engine_spark.operators.markov import transition_matrix
+    from m3d_engine_spark.streaming.pipeline import (
+        read_transition_census,
+        streaming_transition_census,
+        transition_census_batch,
+    )
+
+    landing = str(tmp_path / "tc_landing")
+    census = str(tmp_path / "tc_census")
+    state = str(tmp_path / "tc_state")
+    ckpt = str(tmp_path / "tc_ckpt")
+
+    rows = []
+    eid = 0
+    for u in range(6):
+        for t in range(9):
+            rows.append((u, t, eid, "abcd"[(u + t) % 4]))
+            eid += 1
+    schema = "u long, t long, eid long, s string"
+    # chunk by TIME so each user's events stay ordered across batches
+    full = spark.createDataFrame(rows, schema)
+    for chunk, (lo, hi) in enumerate([(0, 3), (3, 6), (6, 9)]):
+        full.filter((F.col("t") >= lo) & (F.col("t") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+        q = streaming_transition_census(
+            spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(landing),
+            census, state, ckpt, "u", "t", "eid", "s",
+        )
+        assert q.awaitTermination(180)
+
+    got = {
+        (r.from_state, r.to_state): (r.n, r.p)
+        for r in read_transition_census(spark, census).collect()
+    }
+    want = {
+        (r.from_state, r.to_state): (r.n, r.p)
+        for r in transition_matrix(full, ["u"], "t", "s",
+                                   tie_cols=["eid"]).collect()
+    }
+    assert got == want and got  # cross-batch pairs present and exact
+
+    # replaying a batch overwrites its own partitions (exactly-once)
+    replay = spark.read.parquet(f"{landing}")
+    b1 = replay.filter((F.col("t") >= 3) & (F.col("t") < 6))
+    transition_census_batch(b1, 1, census, state, "u", "t", "eid", "s")
+    again = {
+        (r.from_state, r.to_state): (r.n, r.p)
+        for r in read_transition_census(spark, census).collect()
+    }
+    assert again == want
