@@ -5898,6 +5898,59 @@ FROM ranked CROSS JOIN g
 """
 
 
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering key (layout.py::hilbert_key): the
+    locality-preserving sibling of zorder_key over the same
+    (l_partkey, l_suppkey) pair at 8 bits — every step of the sorted
+    key moves to a Manhattan-adjacent cell (pinned), so range scans
+    touch fewer value rectangles than the Morton seam-jumps. Exact
+    integer arithmetic end to end; bounds ride a broadcast 1-row
+    aggregate."""
+    from m3d_engine_spark.sources.layout import hilbert_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return hilbert_key(li, ["l_partkey", "l_suppkey"], bits=8)
+
+
+def _sql_hilbert_key() -> str:
+    bits = 8
+    nmax = (1 << bits) - 1
+    out = [f"""
+WITH b AS (
+  SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+         min(l_suppkey) AS mns, max(l_suppkey) AS mxs
+  FROM lineitem
+), l0 AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         CASE WHEN mxp - mnp <= 0 THEN CAST(0 AS BIGINT)
+              ELSE (CAST(l_partkey AS BIGINT) - mnp) * {nmax} // (mxp - mnp) END AS x,
+         CASE WHEN mxs - mns <= 0 THEN CAST(0 AS BIGINT)
+              ELSE (CAST(l_suppkey AS BIGINT) - mns) * {nmax} // (mxs - mns) END AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM lineitem CROSS JOIN b
+)"""]
+    for k in range(bits):
+        s = 1 << (bits - 1 - k)
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        out.append(f""", l{k + 1} AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         CASE WHEN {ry} = 1 THEN x
+              ELSE CASE WHEN {rx} = 1 THEN {s} - 1 - y ELSE y END END AS x,
+         CASE WHEN {ry} = 1 THEN y
+              ELSE CASE WHEN {rx} = 1 THEN {s} - 1 - x ELSE x END END AS y,
+         d + {s} * {s} * (3 * {rx} + {ry} - 2 * {rx} * {ry}) AS d
+  FROM l{k}
+)""")
+    out.append(f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, d AS hkey
+FROM l{bits}
+""")
+    return "".join(out)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5988,6 +6041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_audit": q_fk_audit,
         "psi_drift": q_psi_drift,
         "quantile_normalize": q_quantile_normalize,
+        "hilbert_key": q_hilbert_key,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -6122,6 +6176,7 @@ def oracle_sql() -> dict[str, str]:
         "fk_audit": _SQL_FK_AUDIT,
         "psi_drift": _SQL_PSI_DRIFT,
         "quantile_normalize": _sql_quantile_normalize(),
+        "hilbert_key": _sql_hilbert_key(),
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

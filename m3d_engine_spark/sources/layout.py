@@ -123,3 +123,86 @@ def zorder_write(
         .mode("overwrite")
         .save(path)
     )
+
+
+def hilbert_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    key_col: str = "hkey",
+) -> DataFrame:
+    """Append ``key_col``: the 2-D Hilbert-curve index of ``cols`` —
+    the locality-preserving sibling of ``zorder_key``. Z-order takes
+    2^(bits)-sized jumps where its bit interleave wraps (the top-right
+    / bottom-left seam); the Hilbert walk moves to a Manhattan-adjacent
+    cell at EVERY step (pinned by test), so range scans over the sorted
+    key touch strictly fewer distinct value rectangles — the layout
+    Databricks moved to for liquid clustering, here as an explicit key.
+
+    Same scaling contract as ``zorder_key``: min/max-shift each column
+    onto ``bits`` bits with exact integer arithmetic (broadcast 1-row
+    bounds, plan stays lazy). The curve walk is the classic xy→d loop
+    expressed as ONE JVM aggregate fold over bit levels with a struct
+    accumulator — quadrant = (3·rx) XOR ry written as the polynomial
+    3rx + ry − 2·rx·ry and the conditional rotate/flip as arithmetic
+    blends, so every step is engine-portable exact integer math (the
+    DuckDB oracle unrolls identical levels). 2-D only by design: the
+    >2-D "Hilbert" generalizations trade away exactly the adjacency
+    guarantee this key exists for — use ``zorder_key`` there.
+    """
+    cols = list(cols)
+    if len(cols) != 2:
+        raise ValueError("hilbert_key is 2-D; use zorder_key for other arities")
+    bits = int(bits)
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    nmax = (1 << bits) - 1
+    bounds = F.broadcast(
+        df.agg(
+            *[
+                a
+                for c in cols
+                for a in (
+                    F.min(c).cast("long").alias(f"_mn_{c}"),
+                    F.max(c).cast("long").alias(f"_mx_{c}"),
+                )
+            ]
+        )
+    )
+    staged = df.crossJoin(bounds).select(
+        "*",
+        *[
+            F.expr(
+                f"CASE WHEN _mx_{c} - _mn_{c} <= 0 THEN 0L "
+                f"ELSE ((CAST({c} AS BIGINT) - _mn_{c}) * {nmax}) "
+                f"div (_mx_{c} - _mn_{c}) END"
+            ).alias(f"_s_{i}")
+            for i, c in enumerate(cols)
+        ],
+    )
+    step = (
+        "named_struct("
+        "'x', CASE WHEN (CASE WHEN (st.y & s) > 0 THEN 1 ELSE 0 END) = 1 "
+        "THEN st.x ELSE (CASE WHEN (st.x & s) > 0 THEN s - 1 - st.y "
+        "ELSE st.y END) END, "
+        "'y', CASE WHEN (CASE WHEN (st.y & s) > 0 THEN 1 ELSE 0 END) = 1 "
+        "THEN st.y ELSE (CASE WHEN (st.x & s) > 0 THEN s - 1 - st.x "
+        "ELSE st.x END) END, "
+        "'d', st.d + s * s * ("
+        "3 * (CASE WHEN (st.x & s) > 0 THEN 1 ELSE 0 END) "
+        "+ (CASE WHEN (st.y & s) > 0 THEN 1 ELSE 0 END) "
+        "- 2 * (CASE WHEN (st.x & s) > 0 THEN 1 ELSE 0 END) "
+        "* (CASE WHEN (st.y & s) > 0 THEN 1 ELSE 0 END)))"
+    )
+    fold = (
+        f"aggregate(transform(sequence({bits - 1}, 0, -1), "
+        f"i -> shiftleft(1L, i)), "
+        f"named_struct('x', _s_0, 'y', _s_1, 'd', 0L), "
+        f"(st, s) -> {step}, st -> st.d)"
+    )
+    return staged.withColumn(key_col, F.expr(fold)).drop(
+        *[f"_mn_{c}" for c in cols],
+        *[f"_mx_{c}" for c in cols],
+        "_s_0",
+        "_s_1",
+    )

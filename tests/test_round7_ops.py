@@ -417,3 +417,48 @@ def test_quantile_normalize_aligns_group_marginals(spark):
     ref = spark.createDataFrame([(float(i),) for i in range(101)], "v double")
     frozen = quantile_normalize(df, ["g"], "v", "id", grid=10, reference=ref)
     assert all(0.0 <= r.normalized <= 100.0 for r in frozen.collect())
+
+
+def test_hilbert_curve_is_adjacent_permutation(spark):
+    """The defining property Z-order lacks: over the full 8x8 grid the
+    Hilbert keys are a permutation of 0..63 and EVERY consecutive key
+    step moves to a Manhattan-adjacent cell. The Morton key on the
+    same grid provably violates adjacency (the seam jumps) — pinned as
+    the reason this operator exists."""
+    from m3d_engine_spark.sources.layout import hilbert_key, zorder_key
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x int, y int"
+    )
+    cells = sorted(
+        (r.hkey, r.x, r.y)
+        for r in hilbert_key(grid, ["x", "y"], bits=3).collect()
+    )
+    assert [k for k, _, _ in cells] == list(range(64))
+    assert all(
+        abs(a[1] - b[1]) + abs(a[2] - b[2]) == 1
+        for a, b in zip(cells, cells[1:])
+    )
+    zcells = sorted(
+        (r.zkey, r.x, r.y)
+        for r in zorder_key(grid, ["x", "y"], bits=3).collect()
+    )
+    z_jumps = [
+        abs(a[1] - b[1]) + abs(a[2] - b[2])
+        for a, b in zip(zcells, zcells[1:])
+    ]
+    assert max(z_jumps) > 1  # Morton seam jumps — Hilbert's raison d'etre
+
+
+def test_hilbert_key_degenerate_and_bounds(spark):
+    from m3d_engine_spark.sources.layout import hilbert_key
+    import pytest as _pytest
+
+    # constant column → scaled 0, whole relation keyed deterministically
+    df = spark.createDataFrame([(5, i) for i in range(4)], "a int, b int")
+    out = hilbert_key(df, ["a", "b"], bits=4).collect()
+    assert len({r.hkey for r in out}) == 4
+    with _pytest.raises(ValueError):
+        hilbert_key(df, ["a"], bits=4)
+    with _pytest.raises(ValueError):
+        hilbert_key(df, ["a", "b"], bits=40)
