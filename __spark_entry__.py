@@ -5951,6 +5951,129 @@ FROM l{bits}
     return "".join(out)
 
 
+def q_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility census per language: BPE-ish pretokens per
+    whitespace word and bytes per pretoken — the "how expensive is
+    this language under the tokenizer" signal that drives mixture
+    re-weighting (high-fertility languages consume budget faster).
+    Exact long sums (order-independent), one IEEE division each, 4dp;
+    ONE map-side-combinable aggregate on lang."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_doc = docs.select(
+        "lang",
+        T.token_count(t).cast("long").alias("_w"),
+        T.bpe_like_token_count(t).cast("long").alias("_b"),
+        F.octet_length(F.encode(t, "UTF-8")).cast("long").alias("_y"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").alias("n_words"),
+            F.sum("_b").alias("n_bpe"),
+            F.sum("_y").alias("n_bytes"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe",
+            "n_bytes",
+            F.round(F.col("n_bpe") / F.col("n_words"), 4).alias("fertility"),
+            F.round(F.col("n_bytes") / F.col("n_bpe"), 4).alias(
+                "bytes_per_bpe"
+            ),
+        )
+    )
+
+
+_SQL_FERTILITY_STATS = f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS b,
+         CAST(octet_length(encode(text)) AS BIGINT) AS y
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS n_words,
+       CAST(SUM(b) AS BIGINT) AS n_bpe,
+       CAST(SUM(y) AS BIGINT) AS n_bytes,
+       round(SUM(b) / SUM(w), 4) AS fertility,
+       round(SUM(y) / SUM(b), 4) AS bytes_per_bpe
+FROM per_doc
+GROUP BY lang
+"""
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two deterministic corpus snapshots
+    (even doc ids = reference, odd = target): per language, the
+    target's token volume, its out-of-vocabulary token count vs the
+    reference vocabulary, distinct type counts and new types — the
+    text sibling of psi_drift (a rising OOV rate flags a domain shift
+    or a scraper regression before perplexity does). Topology: token
+    explode per side, vocabulary-sized distinct aggregates, ONE
+    left-anti-style null-flag join on (lang, token)."""
+    docs = _t(spark, sf_dir, "documents")
+    ref_vocab = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("lang", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .withColumn("_known", F.lit(1))
+    )
+    tgt = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("lang", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    )
+    tagged = tgt.join(ref_vocab, on=["lang", "tok"], how="left")
+    return (
+        tagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_known").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.count_distinct("tok").alias("n_types"),
+            F.count_distinct(
+                F.when(F.col("_known").isNull(), F.col("tok"))
+            ).alias("n_new_types"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            "n_types",
+            "n_new_types",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+_SQL_VOCAB_DRIFT = f"""
+WITH ref AS (
+  SELECT DISTINCT lang, unnest({_SQL_TOKS}) AS tok
+  FROM documents WHERE doc_id % 2 = 0
+), tgt AS (
+  SELECT lang, unnest({_SQL_TOKS}) AS tok
+  FROM documents WHERE doc_id % 2 = 1
+), tagged AS (
+  SELECT t.lang, t.tok, r.tok IS NOT NULL AS known
+  FROM tgt t LEFT JOIN ref r ON t.lang = r.lang AND t.tok = r.tok
+)
+SELECT lang,
+       count(*) AS n_tokens,
+       CAST(SUM(CASE WHEN NOT known THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+       CAST(count(DISTINCT CASE WHEN NOT known THEN tok END) AS BIGINT) AS n_new_types,
+       round(SUM(CASE WHEN NOT known THEN 1 ELSE 0 END) / count(*), 6) AS oov_rate
+FROM tagged
+GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6042,6 +6165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "quantile_normalize": q_quantile_normalize,
         "hilbert_key": q_hilbert_key,
+        "fertility_stats": q_fertility_stats,
+        "vocab_drift": q_vocab_drift,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -6177,6 +6302,8 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _SQL_PSI_DRIFT,
         "quantile_normalize": _sql_quantile_normalize(),
         "hilbert_key": _sql_hilbert_key(),
+        "fertility_stats": _SQL_FERTILITY_STATS,
+        "vocab_drift": _SQL_VOCAB_DRIFT,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -21,6 +21,7 @@ from m3d_engine_spark.operators import (  # noqa: F401 — populate REGISTRY
     gzip_decompressor,
     materialization,
     nested_flattener,
+    retrieval,
     sql_runner,
     template,
     transpose,

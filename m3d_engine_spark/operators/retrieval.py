@@ -127,3 +127,60 @@ def bm25_topk(
             "score",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CLI algorithm: params-driven dispatch (the CurationPipeline pattern)
+# --------------------------------------------------------------------------
+
+from m3d_engine_spark.operators.base import Algorithm, register  # noqa: E402
+
+
+@register("BM25Retrieval")
+class BM25RetrievalAlgorithm(Algorithm):
+    """``bm25_topk`` behind the JSON-params dispatch — batch lexical
+    retrieval as one spark-submit-able job (the offline eval / mining
+    shape: score a fixed query set against a corpus snapshot, write
+    the ranked run):
+
+        python -m m3d_engine_spark BM25Retrieval params.json
+
+    Config keys:
+      corpus_location OR corpus_table (+ id_column "doc_id",
+      text_column "text")
+      queries_location OR queries_table (+ query_id_column "query_id",
+      query_text_column "query_text")
+      k (5), k1 (1.2), b (0.75)
+      target_location OR target_table (+ the write_output surface)
+    """
+
+    def read(self) -> list[DataFrame]:
+        p = self.params
+
+        def load(kind: str) -> DataFrame:
+            if p.has(f"{kind}_table"):
+                return self.spark.table(p.get_string(f"{kind}_table"))
+            return self.spark.read.parquet(p.get_string(f"{kind}_location"))
+
+        return [load("corpus"), load("queries")]
+
+    def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
+        p = self.params
+        return [
+            bm25_topk(
+                dfs[0],
+                p.get_optional("id_column", "doc_id"),
+                p.get_optional("text_column", "text"),
+                dfs[1],
+                p.get_optional("query_id_column", "query_id"),
+                p.get_optional("query_text_column", "query_text"),
+                k=int(p.get_optional("k", 5)),
+                k1=float(p.get_optional("k1", 1.2)),
+                b=float(p.get_optional("b", 0.75)),
+            )
+        ]
+
+    def write(self, dfs: list[DataFrame]) -> None:
+        from m3d_engine_spark.sources.writers import write_output
+
+        write_output(self.spark, dfs[0], self.params)

@@ -358,3 +358,37 @@ def test_incremental_dedup_cli_two_actions(spark, tmp_path, sf_dir):
     )
     assert {r.doc_id for r in out.collect()} == {r.doc_id for r in lib.collect()}
     assert out.count() > 0
+
+
+def test_bm25_retrieval_cli_roundtrip(spark, tmp_path, sf_dir):
+    """BM25Retrieval through the params dispatch == the library call."""
+    from m3d_engine_spark.operators.base import run_algorithm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qloc = str(tmp_path / "queries")
+    docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5), " "
+        ).alias("query_text"),
+    ).write.parquet(qloc)
+    target = str(tmp_path / "run")
+    pfile = tmp_path / "bm25.json"
+    pfile.write_text(json.dumps({
+        "corpus_location": f"{sf_dir}/documents.parquet",
+        "queries_location": qloc,
+        "k": 5,
+        "target_location": target,
+    }))
+    run_algorithm(spark, "BM25Retrieval", str(pfile))
+    out = spark.read.parquet(target)
+
+    from m3d_engine_spark.operators.retrieval import bm25_topk
+
+    lib = bm25_topk(
+        docs, "doc_id", "text", spark.read.parquet(qloc),
+        "query_id", "query_text", k=5,
+    )
+    assert {tuple(r) for r in lib.collect()} == {
+        tuple(r) for r in out.select(*lib.columns).collect()
+    }

@@ -462,3 +462,23 @@ def test_hilbert_key_degenerate_and_bounds(spark):
         hilbert_key(df, ["a"], bits=4)
     with _pytest.raises(ValueError):
         hilbert_key(df, ["a", "b"], bits=40)
+
+
+def test_fertility_and_vocab_drift_hand_data(spark):
+    """Hand-checkable fertility (punctuation inflates pretokens) and
+    OOV accounting."""
+    import __spark_entry__  # noqa: F401
+    from m3d_engine_spark.functions.text import (
+        bpe_like_token_count,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [("don't stop, now!",)], ["text"]
+    )
+    r = df.select(
+        token_count(F.col("text")).alias("w"),
+        bpe_like_token_count(F.col("text")).alias("b"),
+    ).first()
+    assert r.w == 3
+    assert r.b == 7  # don ' t | stop , | now !  -> 7 pretokens
