@@ -6074,6 +6074,53 @@ GROUP BY lang
 """
 
 
+def q_interp_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek–Mercer interpolated LM fluency proxy
+    (curation.py::interpolated_logprob): λ·P_bigram + (1−λ)·P_unigram
+    per transition — the backoff fix separating unseen-but-plausible
+    transitions from typo soup; one extra vocabulary join over
+    bigram_lm, same lazy broadcast totals."""
+    from m3d_engine_spark.operators.curation import interpolated_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return interpolated_logprob(docs, "doc_id", "text", alpha=1.0,
+                                lambda_pct=70)
+
+
+_SQL_INTERP_LM = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), bg AS (
+  SELECT doc_id, t[g] AS w1, t[g+1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS g FROM toks) s
+), pc AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), cc AS (
+  SELECT w1, SUM(c12) AS c1 FROM pc GROUP BY w1
+), uni AS (
+  SELECT unnest(t) AS w FROM toks
+), uc AS (
+  SELECT w, count(*) AS cw FROM uni GROUP BY w
+), tot AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS N,
+         (SELECT CAST(count(DISTINCT w) AS DOUBLE) FROM uni) AS V
+), lp AS (
+  SELECT bg.doc_id,
+         ln((70 / 100.0) * ((c12 + 1.0) / (c1 + 1.0 * V))
+            + ((100 - 70) / 100.0) * ((cw + 1.0) / (N + 1.0 * V))) AS lp
+  FROM bg
+  JOIN pc ON bg.w1 = pc.w1 AND bg.w2 = pc.w2
+  JOIN cc ON bg.w1 = cc.w1
+  JOIN uc ON bg.w2 = uc.w
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 4) AS avg_logprob
+FROM lp
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6167,6 +6214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_key": q_hilbert_key,
         "fertility_stats": q_fertility_stats,
         "vocab_drift": q_vocab_drift,
+        "interp_lm": q_interp_lm,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -6304,6 +6352,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_key": _sql_hilbert_key(),
         "fertility_stats": _SQL_FERTILITY_STATS,
         "vocab_drift": _SQL_VOCAB_DRIFT,
+        "interp_lm": _SQL_INTERP_LM,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -644,3 +644,72 @@ class CurationPipelineAlgorithm(Algorithm):
             # on the split dir
             self.params.params.setdefault("target_partitions", ["split"])
         write_output(self.spark, dfs[0], self.params)
+
+
+def interpolated_logprob(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+    lambda_pct: int = 70,
+) -> DataFrame:
+    """(id, n_bigrams, avg_logprob): mean ln of the Jelinek–Mercer
+    interpolated transition probability
+
+        P(w₂ | w₁) = λ·P_bigram(w₂ | w₁) + (1−λ)·P_unigram(w₂)
+
+    — the standard backoff fix for the add-α bigram model's blind spot
+    (an UNSEEN transition between two common words scores as badly as
+    one between two typos; the unigram floor separates them), and the
+    closest cheap proxy to a real KenLM before swapping in trained
+    counts. λ = ``lambda_pct``/100 enters as one engine-portable
+    double.
+
+    Topology is ``bigram_logprob``'s with ONE extra vocabulary-sized
+    join (the w₂ unigram count): transition explode → pair/context/
+    unigram count joins → one ln per transition → per-doc mean, 4dp
+    (summation-order ulps absorbed, same contract as every LM entry).
+    Documents with <2 tokens emit no row.
+    """
+    from m3d_engine_spark.functions.text import tokens
+
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    bg = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " slice(t, 2, greatest(size(t) - 1, 0)),"
+                " (x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("b"),
+    ).select(F.col(id_col), "b.w1", "b.w2")
+    pair_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx_counts = pair_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    unigrams = toks.select(F.explode("t").alias("w"))
+    uni_counts = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    totals = F.broadcast(
+        unigrams.agg(
+            F.count(F.lit(1)).cast("double").alias("N"),
+            F.count_distinct(F.col("w")).cast("double").alias("V"),
+        )
+    )
+    a = float(alpha)
+    lam = F.lit(int(lambda_pct)) / F.lit(100.0)
+    com = F.lit(100 - int(lambda_pct)) / F.lit(100.0)
+    p_bi = (F.col("c12") + F.lit(a)) / (F.col("c1") + F.lit(a) * F.col("V"))
+    p_uni = (F.col("cw") + F.lit(a)) / (F.col("N") + F.lit(a) * F.col("V"))
+    scored = (
+        bg.join(pair_counts, on=["w1", "w2"])
+        .join(ctx_counts, on="w1")
+        .join(uni_counts.select(F.col("w").alias("w2"), "cw"), on="w2")
+        .crossJoin(totals)
+        .select(
+            F.col(id_col),
+            F.log(lam * p_bi + com * p_uni).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("_lp"), 4).alias("avg_logprob"),
+    )

@@ -482,3 +482,33 @@ def test_fertility_and_vocab_drift_hand_data(spark):
     ).first()
     assert r.w == 3
     assert r.b == 7  # don ' t | stop , | now !  -> 7 pretokens
+
+
+def test_interp_lm_floors_unseen_transitions(spark):
+    """The backoff property: a doc whose transitions are UNSEEN
+    bigrams between COMMON words must outscore one of equally-unseen
+    bigrams between hapax typos — pure bigram_logprob scores them
+    identically (both back off to alpha), the interpolated unigram
+    term separates them."""
+    from m3d_engine_spark.operators.curation import (
+        bigram_logprob,
+        interpolated_logprob,
+    )
+
+    common = " ".join(["the cat sat on the mat"] * 5)
+    docs = spark.createDataFrame(
+        [(1, common),
+         (2, "mat the on sat cat the"),     # unseen transitions, common words
+         (3, "zxq1 vbn2 wer3 tyu4 iop5 asd6")],  # unseen transitions, typos
+        "doc_id long, text string",
+    )
+    interp = {r.doc_id: r.avg_logprob for r in
+              interpolated_logprob(docs, "doc_id", "text").collect()}
+    assert interp[1] > interp[2] > interp[3]
+    bi = {r.doc_id: r.avg_logprob for r in
+          bigram_logprob(docs, "doc_id", "text").collect()}
+    # the bigram-only model ranks them WRONG (hapax contexts have
+    # smaller smoothing denominators, so typo soup scores HIGHER);
+    # interpolation flips the order to the right one
+    assert bi[2] < bi[3]
+    assert interp[2] > interp[3]
