@@ -6121,6 +6121,54 @@ GROUP BY doc_id
 """
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus (graph.py::random_walks):
+    3-step DeepWalk-style walks from every node of the symmetrized
+    supplier–part graph, next hop = md5(walk:step) mod outdeg over
+    id-sorted neighbors — seed-free, bit-identical across engines.
+    Neighbor relation ranked once; one keyed join per step."""
+    from m3d_engine_spark.operators.graph import random_walks
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey").cast("long") + F.lit(10_000_000)).alias("dst"),
+    )
+    sym = li.union(li.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return random_walks(sym, "src", "dst", length=3)
+
+
+def _sql_random_walks() -> str:
+    out = ["""
+WITH base AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+         CAST(l_partkey AS BIGINT) + 10000000 AS dst
+  FROM lineitem
+), e AS (
+  SELECT src, dst FROM base UNION SELECT dst, src FROM base
+), nb AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
+         count(*) OVER (PARTITION BY src) AS outdeg
+  FROM e
+), w0 AS (
+  SELECT node AS walk_id, node
+  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+)"""]
+    for t_ in range(1, 4):
+        out.append(f""", w{t_} AS (
+  SELECT w.walk_id, nb.dst AS node
+  FROM w{t_ - 1} w JOIN nb ON nb.src = w.node
+   AND nb.rk = CAST(CAST(('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) || ':{t_}'), 1, 8)) AS UBIGINT) % nb.outdeg AS BIGINT) + 1
+)""")
+    out.append("""
+SELECT walk_id, CAST(0 AS INTEGER) AS step, node FROM w0
+UNION ALL SELECT walk_id, CAST(1 AS INTEGER), node FROM w1
+UNION ALL SELECT walk_id, CAST(2 AS INTEGER), node FROM w2
+UNION ALL SELECT walk_id, CAST(3 AS INTEGER), node FROM w3
+""")
+    return "".join(out)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6215,6 +6263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fertility_stats": q_fertility_stats,
         "vocab_drift": q_vocab_drift,
         "interp_lm": q_interp_lm,
+        "random_walks": q_random_walks,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -6353,6 +6402,7 @@ def oracle_sql() -> dict[str, str]:
         "fertility_stats": _SQL_FERTILITY_STATS,
         "vocab_drift": _SQL_VOCAB_DRIFT,
         "interp_lm": _SQL_INTERP_LM,
+        "random_walks": _sql_random_walks(),
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

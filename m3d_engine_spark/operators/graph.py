@@ -36,7 +36,7 @@ engine-portable and oracle-checkable with a recursive CTE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -651,3 +651,74 @@ def kcore(
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .filter(F.col("degree") >= k)
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    length: int = 4,
+) -> DataFrame:
+    """Deterministic random-walk corpus over the DIRECTED edge list —
+    the DeepWalk/node2vec data-prep step: one walk per start node,
+    ``length`` steps, each step choosing the
+    ``md5(walk_id:step) mod outdeg``-th neighbor (sorted by id). The
+    walk "randomness" is the same seed-free md5 convention every
+    sampler in this repo uses, so the corpus is bit-identical across
+    engines, partitionings, and reruns — which is exactly what you
+    want when the walks feed a training run you may need to reproduce.
+    Symmetrize first for an undirected graph; walks stop early at
+    dead-end nodes (inner join semantics).
+
+    Topology: the neighbor relation is ranked ONCE (row_number + count
+    over one (src)-keyed exchange) and persisted; each step is ONE
+    equi-join on the current node with the pick condition
+    ``rk = idx + 1`` evaluated inside the join; the per-step state is
+    one row per live walk, collapsed by a lazy checkpoint (the state
+    feeds both the output union and the next step — the hits()
+    lineage discipline). ``length`` is fixed: the whole walk executes
+    in one job, no per-step driver action.
+
+    Returns (walk_id, step, node): step 0 is the start node itself.
+    """
+    length = int(length)
+    if length < 1:
+        raise ValueError("length must be >= 1")
+    w_rank = Window.partitionBy("src").orderBy("dst")
+    w_deg = Window.partitionBy("src")
+    nb = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("outdeg", F.count(F.lit(1)).over(w_deg))
+        .persist()
+    )
+    state = (
+        nb.select(F.col("src").alias("node"))
+        .union(nb.select(F.col("dst").alias("node")))
+        .distinct()
+        .select(F.col("node").alias("walk_id"), F.col("node"))
+    )
+    out = state.select(
+        "walk_id", F.lit(0).cast("int").alias("step"), "node"
+    )
+    for t in range(1, length + 1):
+        idx = F.expr(
+            f"pmod(CAST(conv(substring(md5(concat(CAST(walk_id AS STRING), "
+            f"':', '{t}')), 1, 8), 16, 10) AS BIGINT), outdeg)"
+        )
+        state = (
+            state.join(nb, on=[state["node"] == nb["src"]])
+            .filter(F.col("rk") == idx + 1)
+            .select("walk_id", F.col("dst").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(
+            state.select(
+                "walk_id", F.lit(t).cast("int").alias("step"), "node"
+            )
+        )
+    return out

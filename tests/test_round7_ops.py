@@ -512,3 +512,31 @@ def test_interp_lm_floors_unseen_transitions(spark):
     # interpolation flips the order to the right one
     assert bi[2] < bi[3]
     assert interp[2] > interp[3]
+
+
+def test_random_walks_valid_edges_and_determinism(spark):
+    """Every consecutive (step t → t+1) pair is a real edge; walks
+    stop at dead ends; reruns are bit-identical."""
+    from m3d_engine_spark.operators.graph import random_walks
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 4), (4, 5)], "src long, dst long"
+    )
+    edges = {(1, 2), (2, 3), (3, 1), (2, 4), (4, 5)}
+    rows = random_walks(e, length=3).collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r.walk_id, {})[r.step] = r.node
+    for wid, steps in by_walk.items():
+        assert steps[0] == wid
+        for t in range(1, 4):
+            if t in steps:
+                assert (steps[t - 1], steps[t]) in edges
+            else:
+                # dead end: earlier node had no out-edges
+                assert all(s != steps.get(t - 1, -1) for s, _ in edges) or \
+                    steps.get(t - 1) == 5
+    # node 5 has no out-edges: its walk is only step 0
+    assert set(by_walk[5]) == {0}
+    rerun = random_walks(e, length=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
