@@ -6169,6 +6169,40 @@ UNION ALL SELECT walk_id, CAST(3 AS INTEGER), node FROM w3
     return "".join(out)
 
 
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table
+    (sampling.py::negative_sampling_table): count^0.75-weighted slot
+    allocation over the corpus vocabulary, exact everywhere libm pow
+    would flake — c^0.75 as two CORRECTLY-ROUNDED sqrts, weights on a
+    10⁶ lattice, slots by exact integer multiply-divide."""
+    from m3d_engine_spark.operators.sampling import negative_sampling_table
+
+    docs = _t(spark, sf_dir, "documents")
+    return negative_sampling_table(docs, "text", table_size=1 << 16,
+                                   min_count=2)
+
+
+_SQL_NEGATIVE_SAMPLING = f"""
+WITH toks AS (
+  SELECT {_SQL_TOKS} AS t FROM documents
+), uni AS (
+  SELECT unnest(t) AS token FROM toks
+), c AS (
+  SELECT token, count(*) AS n FROM uni GROUP BY token HAVING count(*) >= 2
+), w AS (
+  SELECT token, n,
+         CAST(round(sqrt(sqrt(CAST(n AS DOUBLE) * n * n)) * 1000000) AS BIGINT) AS wl
+  FROM c
+), tot AS (
+  SELECT SUM(wl) AS tw FROM w
+)
+SELECT token, n,
+       CAST(CAST({1 << 16} AS HUGEINT) * wl // tw AS BIGINT) AS slots,
+       round(wl / CAST(tw AS DOUBLE), 8) AS prob
+FROM w CROSS JOIN tot
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6264,6 +6298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "interp_lm": q_interp_lm,
         "random_walks": q_random_walks,
+        "negative_sampling": q_negative_sampling,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -6403,6 +6438,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_drift": _SQL_VOCAB_DRIFT,
         "interp_lm": _SQL_INTERP_LM,
         "random_walks": _sql_random_walks(),
+        "negative_sampling": _SQL_NEGATIVE_SAMPLING,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

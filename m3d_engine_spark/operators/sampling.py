@@ -294,3 +294,60 @@ def weighted_sample(
         .filter(F.col("rk") <= int(n))
         .withColumn("priority", F.round(F.col("priority"), 6))
     )
+
+
+def negative_sampling_table(
+    docs: DataFrame,
+    text_col: str,
+    table_size: int = 1 << 16,
+    min_count: int = 1,
+) -> DataFrame:
+    """word2vec negative-sampling table: each vocabulary word gets
+    ``slots`` ∝ count^0.75 of a ``table_size``-slot table — the
+    smoothed-unigram proposal distribution negative sampling draws
+    from (the 3/4 power famously up-weights the tail).
+
+    Exactness where it matters: ``c^0.75`` is computed as
+    ``sqrt(sqrt(c³))`` — IEEE sqrt is CORRECTLY ROUNDED, unlike libm
+    ``pow``, so the weight is bit-identical in any engine — then
+    snapped to a 10⁶ lattice long; the total is an exact long sum
+    (order-independent) and slots are one exact integer
+    multiply-divide: ``slots = (table_size · w) div Σw``. Words whose
+    share rounds below one slot get 0 (standard; raise ``table_size``
+    for a longer tail). Σslots ≤ table_size by construction
+    (floor division), short by at most |vocab| slots.
+
+    Topology: one vocabulary-sized count aggregate, the lattice totals
+    as a broadcast 1-row aggregate, slots as a projection. Returns
+    (token, n, slots, prob) with prob = round(w/Σw, 8), ordered
+    nowhere (sort at consumption).
+    """
+    from m3d_engine_spark.functions.text import tokens
+
+    table_size = int(table_size)
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= int(min_count))
+    )
+    w = F.expr(
+        "CAST(round(sqrt(sqrt(CAST(n AS DOUBLE) * n * n)) * 1000000) AS BIGINT)"
+    )
+    weighted = counts.withColumn("_w", w)
+    total = F.broadcast(weighted.agg(F.sum("_w").alias("_tw")))
+    return (
+        weighted.crossJoin(total)
+        .select(
+            "token",
+            "n",
+            # DECIMAL(38,0) multiply: table_size · w overflows a long
+            # once per-word counts pass ~10¹² (w on the 10⁶ lattice) —
+            # the hits() headroom discipline
+            F.expr(
+                f"CAST(CAST({table_size} AS DECIMAL(38,0)) * _w div _tw "
+                "AS BIGINT)"
+            ).alias("slots"),
+            F.round(F.col("_w") / F.col("_tw"), 8).alias("prob"),
+        )
+    )

@@ -540,3 +540,23 @@ def test_random_walks_valid_edges_and_determinism(spark):
     assert set(by_walk[5]) == {0}
     rerun = random_walks(e, length=3).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
+
+
+def test_negative_sampling_table_power_law(spark):
+    """Slots track count^0.75: doubling the count multiplies slots by
+    ~2^0.75 (not 2), totals stay within |vocab| of table_size, and the
+    allocation is deterministic."""
+    from m3d_engine_spark.operators.sampling import negative_sampling_table
+
+    text = " ".join(["a"] * 160 + ["b"] * 80 + ["c"] * 10 + ["d"])
+    docs = spark.createDataFrame([(text,)], ["text"])
+    out = {r.token: r for r in
+           negative_sampling_table(docs, "text", table_size=10_000).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    ratio = out["a"].slots / out["b"].slots
+    assert abs(ratio - 2 ** 0.75) < 0.01, ratio
+    total = sum(r.slots for r in out.values())
+    assert 10_000 - len(out) <= total <= 10_000
+    # tail up-weighting: d has 1/160 of a's count but 160^-0.75 ≈
+    # 1/45 of its slots — ~3.5x the raw count share
+    assert abs(out["d"].slots / out["a"].slots - 160 ** -0.75) < 0.002
