@@ -77,6 +77,17 @@ HEADLINERS = {
     "last_touch": "Attribution: one exchange on user_id feeds the carry-forward window (last ignorenulls over preceding rows); the census and its share window run over the touch-type-sized aggregate, never the events scan.",
     "audio_chunks": "Audio windowing: sequence+explode fan-out inside whole-stage codegen over the stub-decoded duration; zero Python, zero exchanges below the noop write.",
     "image_tiles": "Tile grid: two nested sequence+explode generators (rows then cols) in codegen; the md5 tile keys are plain projections - zero exchanges.",
+    "skipgram_pairs": "Windowed skip-gram PMI: pair generation is w zip_with-over-slices explodes in ONE flatten projection - never a positional self-join; min-count filter bounds the tail BEFORE the two vocabulary joins; totals ride 1-row broadcast BNLJs (pinned <= 2).",
+    "skew_report": "Pre-join skew diagnostic: one map-side-combinable count aggregate on the key (the exchange the real join would pay), top-k as TakeOrderedAndProject (per-task top-k, no global sort), shares windowed over the k-row result only.",
+    "fk_audit": "Referential-integrity audit: one left-anti join against distinct parent keys + two map-side aggregates - no row multiplication anywhere.",
+    "psi_drift": "PSI drift monitor: one bin-keyed map-side aggregate per side, a bins-sized full-outer join, broadcast 1-row totals; Laplace smoothing keeps empty bins finite.",
+    "quantile_normalize": "Quantile normalization: within-group rank window + broadcast 101-point exact-percentile grid - the textbook global-sort join replaced by an array lookup; no corpus-wide sort anywhere (pinned by absence of a SinglePartition sort).",
+    "hilbert_key": "Hilbert layout key: 8-level struct fold per row over broadcast min/max bounds - a pure projection; the rotate/flip blends are arithmetic, so the whole walk stays inside whole-stage codegen.",
+    "fertility_stats": "Tokenizer fertility census: ONE lang-keyed map-side-combinable aggregate of exact long sums; divisions happen on the 5-row result.",
+    "vocab_drift": "Vocabulary drift: token explode per side, one (lang, token) left join against the distinct reference vocabulary, one lang-keyed census aggregate.",
+    "interp_lm": "Interpolated LM: bigram_lm topology + one extra vocabulary-sized join (the unigram floor); totals as broadcast 1-row aggregates keep the plan lazy.",
+    "random_walks": "Random-walk corpus: neighbor relation ranked once (one keyed exchange) and persisted; each step is ONE equi-join with the md5-mod pick inside the join condition; per-step state collapses to a lazy checkpoint (ExistingRDD scans).",
+    "negative_sampling": "Negative-sampling table: one vocabulary aggregate, broadcast lattice totals, slot projection - correctly-rounded sqrts instead of libm pow keep it engine-exact.",
     "containment_pairs": "Asymmetric containment (quote/excerpt detection): same inverted-index self-join as jaccard_pairs — keyed on (block, xxhash64(shingle)), SMJ with the shared exchange reused, pair counts as an aggregate — but with NO size-ratio prune (a tiny doc fully contained in a huge one is the signal Jaccard misses). The hot-shingle df-cutoff is ON (the only scale dial beyond blocking, since no size prune is possible): the per-(block, shingle) df window count reads the SAME exchange the SMJ self-join shuffles on, and |A∩B| stays exact via the hot-set correction left-joins above the pair aggregate (pinned: keyed join only, no BNLJ).",
     "snapshot_diff": "Snapshot diff (what did last night's load change): null-safe md5 row fingerprints are map-side projections on each scan; the ENTIRE diff is one full-outer SortMergeJoin on the business key (pinned == 1) — the minimum any keyed two-corpus comparison can pay; with key-bucketed snapshots even that exchange vanishes. Status classification is a projection; the counts rollup partial-aggregates 4 rows per task.",
     "sq_quantize": "SQ8 scalar quantization: per-dim min/max from one keyed aggregate (exchange carries <= dim rows), pivoted to two dim-length arrays and BROADCAST (the single 1-row BNLJ, pinned); encode and midpoint-decode error are zero-exchange array-transform projections — the quantizer trains in one pass and applies map-side, which is what a write-time re-encode of 10^9 vectors needs. Exact IEEE arithmetic both engines (no summation in the bounds), 4dp rounding on the error fold only.",
