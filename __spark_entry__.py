@@ -6203,6 +6203,57 @@ FROM w CROSS JOIN tot
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history build (temporal.py::scd2_history): the event
+    stream condensed to one row per *state change* of each user's
+    event_type, each carrying its validity interval [valid_from,
+    valid_to), a 1-based version and the is_current flag — the
+    warehouse-dimension staple one step past the reference's DeltaLoad
+    latest-record condensation. ONE exchange on user_id feeds both the
+    change-detect lag and the validity lead (the filter between them
+    preserves partitioning and order)."""
+    from m3d_engine_spark.operators.temporal import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        epoch_us_of(ev, "ts").alias("ts_us"),
+    )
+    return scd2_history(
+        src,
+        key_cols=["user_id"],
+        order_cols=["ts_us", "event_id"],
+        attr_cols=["event_type"],
+        ts_col="ts_us",
+    )
+
+
+_SQL_SCD2_HISTORY = """
+WITH src AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+), flagged AS (
+  SELECT *, lag(event_type)
+         OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+  FROM src
+), chg AS (
+  SELECT * FROM flagged
+  WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type,
+       ts_us AS valid_from,
+       lead(ts_us) OVER w AS valid_to,
+       CAST(row_number() OVER w AS INT) AS version,
+       CAST(CASE WHEN lead(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+         AS is_current
+FROM chg
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6299,6 +6350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_lm": q_interp_lm,
         "random_walks": q_random_walks,
         "negative_sampling": q_negative_sampling,
+        "scd2_history": q_scd2_history,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -6439,6 +6491,7 @@ def oracle_sql() -> dict[str, str]:
         "interp_lm": _SQL_INTERP_LM,
         "random_walks": _sql_random_walks(),
         "negative_sampling": _SQL_NEGATIVE_SAMPLING,
+        "scd2_history": _SQL_SCD2_HISTORY,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

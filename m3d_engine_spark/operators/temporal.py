@@ -148,3 +148,63 @@ def bucketed_range_join(
         (F.col("_p") >= F.col("_s")) & (F.col("_p") <= F.col("_e"))
     )
     return joined.drop("_bucket", "_p", "_s", "_e")
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str | Column | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change stream:
+    condense consecutive rows whose tracked attributes did not change,
+    then derive the validity interval of each surviving version.
+
+    The warehouse staple the reference's DeltaLoad condensation stops
+    one step short of (DeltaLoadActor.scala keeps only the LATEST
+    record per key; SCD2 keeps every distinct state with its validity
+    window): given one row per observed state of a key ordered by
+    ``order_cols``, emit one row per *state change* carrying
+
+    * ``valid_from`` — the change's own ordering value,
+    * ``valid_to``   — the next change's ordering value (NULL while
+      current, the half-open ``[from, to)`` convention),
+    * ``version``    — 1-based change sequence per key,
+    * ``is_current`` — 1 on the open row.
+
+    ``ts_col`` (default: the first of ``order_cols``) is the column the
+    validity bounds are read from. Attribute comparison is null-safe on
+    the struct of ``attr_cols``, so NULL→value and value→NULL both count
+    as changes.
+
+    Scale: both windows (the change-detect lag and the validity lead /
+    version number) partition on ``key_cols`` with the same ordering,
+    and the filter between them preserves partitioning and order — ONE
+    exchange on the key for the whole history build, no join anywhere.
+    At 100 TB this is the same repartition+sort any per-key condensation
+    pays, which is the floor.
+    """
+    keys = list(key_cols)
+    order = [F.col(c) for c in order_cols]
+    attrs = list(attr_cols)
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    if ts is None:
+        ts = F.col(list(order_cols)[0])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in attrs])
+    changed = df.withColumn(
+        "_prev", F.lag(state).over(w)
+    ).filter(F.col("_prev").isNull() | ~state.eqNullSafe(F.col("_prev")))
+    return (
+        changed.withColumn("valid_from", ts)
+        .withColumn("valid_to", F.lead(ts).over(w))
+        .withColumn("version", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("int"),
+        )
+        .select(
+            *keys, *attrs, "valid_from", "valid_to", "version", "is_current"
+        )
+    )

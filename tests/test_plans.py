@@ -1121,3 +1121,15 @@ def test_skipgram_pair_generation_is_projection(spark, sf_dir):
     # then onto the scored relation) — anything more is a regression
     assert final.count("BroadcastNestedLoopJoin") <= 2, final
     assert "CartesianProduct" not in final
+
+
+def test_scd2_history_single_exchange(spark, sf_dir):
+    """SCD2 build: the change-detect lag window and the validity
+    lead/version window share ONE exchange on the key (the filter
+    between them preserves partitioning and ordering), and the whole
+    history build stays JVM-side."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["scd2_history"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -560,3 +560,37 @@ def test_negative_sampling_table_power_law(spark):
     # tail up-weighting: d has 1/160 of a's count but 160^-0.75 ≈
     # 1/45 of its slots — ~3.5x the raw count share
     assert abs(out["d"].slots / out["a"].slots - 160 ** -0.75) < 0.002
+
+
+def test_scd2_history_condenses_and_versions(spark):
+    """Consecutive identical states collapse; NULL→value and
+    value→NULL transitions count as changes; validity intervals tile
+    [first_ts, ∞) per key with exactly one open row."""
+    from m3d_engine_spark.operators.temporal import scd2_history
+
+    rows = [
+        # key 1: a a b b a  -> versions a[1,3) b[3,5) a[5,∞)
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "b"), (1, 5, "a"),
+        # key 2: NULL NULL x NULL -> NULL[1,3) x[3,4) NULL[4,∞)
+        (2, 1, None), (2, 2, None), (2, 3, "x"), (2, 4, None),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, state string")
+    out = scd2_history(df, ["k"], ["ts"], ["state"]).collect()
+    hist = {}
+    for r in out:
+        hist.setdefault(r.k, []).append(
+            (r.version, r.state, r.valid_from, r.valid_to, r.is_current)
+        )
+    for k in hist:
+        hist[k].sort()
+    assert hist[1] == [
+        (1, "a", 1, 3, 0), (2, "b", 3, 5, 0), (3, "a", 5, None, 1)
+    ]
+    assert hist[2] == [
+        (1, None, 1, 3, 0), (2, "x", 3, 4, 0), (3, None, 4, None, 1)
+    ]
+    # intervals tile: each valid_to equals the next valid_from
+    for vers in hist.values():
+        for (_, _, _, to_, _), (_, _, frm, _, _) in zip(vers, vers[1:]):
+            assert to_ == frm
+        assert sum(v[4] for v in vers) == 1
