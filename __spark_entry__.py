@@ -6254,6 +6254,37 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 """
 
 
+def q_kanon_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate (curation.py::k_anonymity_suppress):
+    equivalence classes over the (event_type, user_id)
+    quasi-identifier with under-k classes pooled into one masked class
+    — the privacy sibling of pii_scrub. One census aggregate on the
+    quasi key + a class-count-sized re-aggregate."""
+    from m3d_engine_spark.operators.curation import k_anonymity_suppress
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select("event_type", "user_id")
+    return k_anonymity_suppress(src, ["event_type", "user_id"], k=10)
+
+
+_SQL_KANON_CENSUS = """
+WITH src AS (
+  SELECT CAST(event_type AS VARCHAR) AS event_type,
+         CAST(user_id AS VARCHAR) AS user_id
+  FROM events
+), c AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM src GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, n, CAST(0 AS INT) AS suppressed
+FROM c WHERE n >= 10
+UNION ALL
+SELECT '*', '*', SUM(n), CAST(1 AS INT)
+FROM c WHERE n < 10
+HAVING SUM(n) IS NOT NULL
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6351,6 +6382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "negative_sampling": q_negative_sampling,
         "scd2_history": q_scd2_history,
+        "kanon_census": q_kanon_census,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -6492,6 +6524,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _sql_random_walks(),
         "negative_sampling": _SQL_NEGATIVE_SAMPLING,
         "scd2_history": _SQL_SCD2_HISTORY,
+        "kanon_census": _SQL_KANON_CENSUS,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

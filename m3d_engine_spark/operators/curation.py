@@ -713,3 +713,50 @@ def interpolated_logprob(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("_lp"), 4).alias("avg_logprob"),
     )
+
+
+def k_anonymity_suppress(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+    mask: str = "*",
+) -> DataFrame:
+    """k-anonymity by full-class suppression: the census of equivalence
+    classes over the quasi-identifier columns, with every class smaller
+    than ``k`` collapsed into ONE masked class.
+
+    The release-gate sibling of ``scrub_pii`` (this file): scrub removes
+    direct identifiers from text, this guards against re-identification
+    by quasi-identifier combination — a class of fewer than ``k`` rows
+    means those rows are ``1/n``-identifiable by (quasi...) alone, so
+    their quasi values are replaced with ``mask`` and the rows pool into
+    a single anonymous class. Returns one row per surviving class:
+    the quasi columns (as strings, masked for the pooled class),
+    ``n`` (class size) and ``suppressed`` (1 on the pooled class).
+
+    Scale: one map-side-combinable count aggregate on the quasi key —
+    the exchange carries one row per class, not per input row; the
+    under-k classes are re-aggregated to a single row, a second exchange
+    over class-count rows only (≤ the first's output, typically tiny).
+    No joins, no windows; at 100 TB this is a plain census.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    quasi = list(quasi_cols)
+    counts = df.groupBy(*[F.col(c).cast("string").alias(c) for c in quasi]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ok = counts.filter(F.col("n") >= k).select(
+        *quasi, "n", F.lit(0).cast("int").alias("suppressed")
+    )
+    pooled = (
+        counts.filter(F.col("n") < k)
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n").isNotNull())  # no under-k classes -> no row
+        .select(
+            *[F.lit(mask).alias(c) for c in quasi],
+            "n",
+            F.lit(1).cast("int").alias("suppressed"),
+        )
+    )
+    return ok.unionByName(pooled)

@@ -594,3 +594,24 @@ def test_scd2_history_condenses_and_versions(spark):
         for (_, _, _, to_, _), (_, _, frm, _, _) in zip(vers, vers[1:]):
             assert to_ == frm
         assert sum(v[4] for v in vers) == 1
+
+
+def test_k_anonymity_suppress_pools_under_k(spark):
+    """Classes under k collapse into one masked class whose n is the
+    sum of suppressed rows; nothing is lost or double-counted; with no
+    violations the masked row is absent; k=1 passes everything."""
+    from m3d_engine_spark.operators.curation import k_anonymity_suppress
+
+    rows = [("a", 1)] * 5 + [("a", 2)] * 3 + [("b", 1)] * 2 + [("b", 3)]
+    df = spark.createDataFrame(rows, "g string, u long")
+    out = k_anonymity_suppress(df, ["g", "u"], k=3).collect()
+    by_cls = {(r.g, r.u): (r.n, r.suppressed) for r in out}
+    assert by_cls[("a", "1")] == (5, 0)
+    assert by_cls[("a", "2")] == (3, 0)
+    assert by_cls[("*", "*")] == (3, 1)  # the 2+1 under-k rows pooled
+    assert sum(n for n, _ in by_cls.values()) == len(rows)
+    # no violations -> no masked row
+    clean = k_anonymity_suppress(df, ["g"], k=2).collect()
+    assert all(r.suppressed == 0 for r in clean)
+    # k=1 keeps every class
+    assert len(k_anonymity_suppress(df, ["g", "u"], k=1).collect()) == 4
