@@ -6285,6 +6285,97 @@ HAVING SUM(n) IS NOT NULL
 """
 
 
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (retrieval.py::rrf_fusion): reciprocal-rank fusion
+    of the lexical BM25 run and the embedding cosine run over the same
+    probe set — the production hybrid-retrieval combiner, rank-only so
+    the two score scales never need calibration. The fused score is
+    exact (lattice div (60+rank) summed as longs — no float summation);
+    the fusion itself is one aggregate over two already-top-k-bounded
+    runs + a WindowGroupLimit re-rank, cheaper than either input run.
+    The lexical run naturally contains the probe doc itself (queries
+    are its own first tokens) while the cosine run excludes
+    self-matches — RRF handles the asymmetry by construction."""
+    from m3d_engine_spark.operators.retrieval import bm25_topk, rrf_fusion
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5), " "
+        ).alias("qtext"),
+    )
+    lex = bm25_topk(
+        docs, "doc_id", "text", probes, "query_id", "qtext", k=10
+    ).select("query_id", "doc_id", "rank")
+    sem = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), "vec_id", "embedding", k=10
+    ).select(
+        F.col("query_id"), F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fusion([lex, sem], "query_id", "doc_id", k=10)
+
+
+_SQL_HYBRID_RETRIEVAL = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), tok AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d
+), post AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM tok GROUP BY doc_id, dl, term
+), dfs AS (
+  SELECT term, count(*) AS df FROM post GROUP BY term
+), stats AS (
+  SELECT count(*) AS n, sum(len(t)) AS tot FROM d
+), q AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(t[1:5]) AS term
+  FROM d WHERE doc_id % 100 = 0
+), scored AS (
+  SELECT q.query_id, post.doc_id,
+         round(sum(
+           ln(1.0 + (n - df + 0.5) / (df + 0.5))
+           * (tf * 2.2)
+           / (tf + 1.2 * (0.25 + 0.75 * dl * n / tot))
+         ), 4) AS score
+  FROM post JOIN q USING (term) JOIN dfs USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, post.doc_id
+), bm AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS r
+  FROM scored QUALIFY r <= 10
+), eq AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+), pairs AS (
+  SELECT l.vec_id AS query_id, r.vec_id AS doc_id, {_SQL_COSINE} AS cosine
+  FROM embeddings r CROSS JOIN eq l
+  WHERE r.vec_id != l.vec_id
+), co AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC
+         ) AS r
+  FROM pairs QUALIFY r <= 10
+), u AS (
+  SELECT query_id, doc_id, r FROM bm
+  UNION ALL SELECT query_id, doc_id, r FROM co
+), f AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(1000000000 // (60 + r)) AS BIGINT) AS rrf
+  FROM u GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC
+       ) AS INTEGER) AS rank,
+       rrf
+FROM f
+QUALIFY rank <= 10
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6383,6 +6474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sampling": q_negative_sampling,
         "scd2_history": q_scd2_history,
         "kanon_census": q_kanon_census,
+        "hybrid_retrieval": q_hybrid_retrieval,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -6525,6 +6617,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_sampling": _SQL_NEGATIVE_SAMPLING,
         "scd2_history": _SQL_SCD2_HISTORY,
         "kanon_census": _SQL_KANON_CENSUS,
+        "hybrid_retrieval": _SQL_HYBRID_RETRIEVAL,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -129,6 +129,62 @@ def bm25_topk(
     )
 
 
+def rrf_fusion(
+    runs: list[DataFrame],
+    query_col: str,
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 10,
+    c: int = 60,
+    lattice: int = 10**9,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval runs — the standard
+    hybrid-search combiner (lexical BM25 + embedding ANN, or any mix):
+    ``rrf(d) = Σ_runs 1/(c + rank_run(d))``, documents missing from a
+    run contribute nothing, output re-ranked by the fused score.
+
+    RRF is rank-only (score scales never have to be calibrated across
+    runs, which is why it wins in practice), so the fused score is kept
+    EXACT on an integer lattice: each term is ``lattice div (c+rank)``
+    (integer division, engine-identical), and the sum of longs is
+    order-independent — no float summation anywhere. The returned
+    ``rrf`` column is that lattice value (divide by ``lattice`` for the
+    textbook score; ordering is identical).
+
+    Scale: every input run is already top-k-per-query bounded, so the
+    union carries Σ|runs|·k·queries rows; ONE aggregate on
+    (query, doc) and a WindowGroupLimit-bounded rank window — the
+    fusion costs less than any single run that feeds it.
+    """
+    if not runs:
+        raise ValueError("rrf_fusion needs at least one run")
+    tagged = [
+        r.select(
+            F.col(query_col).alias("_q"),
+            F.col(id_col).alias("_d"),
+            F.col(rank_col).cast("long").alias("_r"),
+        )
+        for r in runs
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    fused = u.groupBy("_q", "_d").agg(
+        F.sum(F.expr(f"{int(lattice)} div ({int(c)} + _r)")).alias("rrf")
+    )
+    w = Window.partitionBy("_q").orderBy(F.col("rrf").desc(), F.col("_d").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("_q").alias(query_col),
+            F.col("_d").alias(id_col),
+            "rank",
+            "rrf",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # CLI algorithm: params-driven dispatch (the CurationPipeline pattern)
 # --------------------------------------------------------------------------

@@ -615,3 +615,28 @@ def test_k_anonymity_suppress_pools_under_k(spark):
     assert all(r.suppressed == 0 for r in clean)
     # k=1 keeps every class
     assert len(k_anonymity_suppress(df, ["g", "u"], k=1).collect()) == 4
+
+
+def test_rrf_fusion_exact_and_rank_only(spark):
+    """RRF: docs in both runs beat docs in one; the fused score is the
+    exact lattice value; missing-from-run docs still fuse; ties break
+    on id."""
+    from m3d_engine_spark.operators.retrieval import rrf_fusion
+
+    run1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "q long, d long, rank long"
+    )
+    run2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "q long, d long, rank long"
+    )
+    out = rrf_fusion([run1, run2], "q", "d", k=10)
+    rows = {r.d: (r.rank, r.rrf) for r in out.collect()}
+    L = 10**9
+    assert rows[11] == (1, L // 61 + L // 62)   # in both runs -> wins
+    assert rows[10] == (2, L // 61)             # rank-1 in one run
+    assert rows[13][1] == L // 62
+    assert rows[12][1] == L // 63
+    # rank-only: scaling one run's scores cannot change anything (ranks
+    # are the only input); and k truncates
+    top1 = rrf_fusion([run1, run2], "q", "d", k=1).collect()
+    assert len(top1) == 1 and top1[0].d == 11
