@@ -6376,6 +6376,58 @@ QUALIFY rank <= 10
 """
 
 
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static-shape bucketed batch assembly
+    (sampling.py::length_bucketed_batches): documents assigned to
+    padded-length buckets [16,32,64,96] (overlong truncated to the
+    last cap), md5-sharded, and numbered into fixed-size batches
+    within (bucket, shard) in the epoch-shuffle order — the
+    accelerator batching pass that bounds padding waste at the bucket
+    granularity. Pure projections + ONE (bucket, shard) window."""
+    from m3d_engine_spark.operators.sampling import length_bucketed_batches
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    return length_bucketed_batches(
+        src, "doc_id", "n_tok", [16, 32, 64, 96], batch_size=8,
+        num_shards=2,
+    )
+
+
+_SQL_LENGTH_BATCHES = f"""
+WITH src AS (
+  SELECT doc_id, len({_SQL_TOKS}) AS n FROM documents
+), b AS (
+  SELECT doc_id, least(n, 96) AS len_eff,
+         CAST((CASE WHEN least(n, 96) > 16 THEN 1 ELSE 0 END)
+            + (CASE WHEN least(n, 96) > 32 THEN 1 ELSE 0 END)
+            + (CASE WHEN least(n, 96) > 64 THEN 1 ELSE 0 END) AS INT)
+           AS bucket,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM src
+), s AS (
+  SELECT doc_id, len_eff, bucket,
+         CAST(([16, 32, 64, 96])[bucket + 1] AS INT) AS cap,
+         CAST(CAST(('0x' || substr(h, 1, 8)) AS UBIGINT) % 2 AS INT)
+           AS shard,
+         h
+  FROM b
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY bucket, shard ORDER BY h, doc_id
+  ) - 1 AS seq
+  FROM s
+)
+SELECT doc_id, CAST(len_eff AS BIGINT) AS len_eff, bucket, cap, shard,
+       CAST(seq // 8 AS BIGINT) AS batch_id,
+       CAST(seq % 8 AS INT) AS pos,
+       CAST(cap - len_eff AS BIGINT) AS waste
+FROM r
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6475,6 +6527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "kanon_census": q_kanon_census,
         "hybrid_retrieval": q_hybrid_retrieval,
+        "length_batches": q_length_batches,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -6618,6 +6671,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SQL_SCD2_HISTORY,
         "kanon_census": _SQL_KANON_CENSUS,
         "hybrid_retrieval": _SQL_HYBRID_RETRIEVAL,
+        "length_batches": _SQL_LENGTH_BATCHES,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

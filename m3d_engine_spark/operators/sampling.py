@@ -351,3 +351,74 @@ def negative_sampling_table(
             F.round(F.col("_w") / F.col("_tw"), 8).alias("prob"),
         )
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    boundaries: Sequence[int],
+    batch_size: int,
+    num_shards: int = 1,
+) -> DataFrame:
+    """Static-shape batch assembly: assign each document to a length
+    bucket (padded shape), shard it deterministically, and number
+    fixed-size batches within each (bucket, shard).
+
+    The accelerator-side reason this exists: training kernels compile
+    per tensor shape, so batches must hold same-cap sequences —
+    batching by arrival order pads everything to the longest outlier
+    (often 10-50% wasted FLOPs), while bucketed batching bounds waste
+    at the bucket granularity. ``boundaries`` (ascending caps, e.g.
+    [32, 64, 128, 512]) define the shapes; documents longer than the
+    last cap are truncated to it (the max-sequence-length rule), so
+    ``len_eff = least(len, caps[-1])`` and the bucket is the first cap
+    ≥ len_eff. Within (bucket, shard) documents take the md5 epoch-
+    shuffle order (``epoch_shuffle`` discipline: engine- and
+    partitioning-independent), and ``batch_id = seq div batch_size``.
+
+    Returns one row per document: ``bucket`` (0-based), ``cap`` (the
+    padded length), ``shard``, ``batch_id``, ``pos`` (0-based slot),
+    ``waste`` (cap − len_eff, the padding tokens this document costs).
+
+    Scale: bucket/cap/shard/waste are pure projections; the only
+    exchange is the (bucket, shard) window for the batch numbering —
+    and batches never cross shards, so parallelism is num_shards per
+    bucket, not 1. At 100 TB choose num_shards ≥ cluster parallelism;
+    md5 sharding is uniform by construction, so no skew.
+    """
+    caps = [int(b) for b in boundaries]
+    if not caps or caps != sorted(caps) or len(set(caps)) != len(caps):
+        raise ValueError("boundaries must be ascending and distinct")
+    if batch_size <= 0 or num_shards <= 0:
+        raise ValueError("batch_size and num_shards must be positive")
+    ln = F.col(len_col).cast("long")
+    len_eff = F.least(ln, F.lit(caps[-1]))
+    # bucket = count of caps strictly below len_eff (first cap >= len)
+    bucket = sum(
+        (len_eff > F.lit(c)).cast("int") for c in caps[:-1]
+    ) + F.lit(0) if len(caps) > 1 else F.lit(0)
+    cap_arr = F.array(*[F.lit(c) for c in caps])
+    h = F.md5(F.col(id_col).cast("string"))
+    key = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    out = (
+        df.select(
+            F.col(id_col),
+            len_eff.alias("len_eff"),
+            bucket.cast("int").alias("bucket"),
+            h.alias("_h"),
+        )
+        .withColumn("cap", F.element_at(cap_arr, F.col("bucket") + 1))
+        .withColumn("shard", F.pmod(key, F.lit(int(num_shards))).cast("int"))
+    )
+    w = Window.partitionBy("bucket", "shard").orderBy(F.col("_h"), F.col(id_col))
+    return (
+        out.withColumn("_seq", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("batch_id", F.expr(f"_seq div {int(batch_size)}"))
+        .withColumn("pos", (F.col("_seq") % F.lit(int(batch_size))).cast("int"))
+        .withColumn("waste", (F.col("cap") - F.col("len_eff")).cast("long"))
+        .select(
+            id_col, "len_eff", "bucket", "cap", "shard", "batch_id",
+            "pos", "waste",
+        )
+    )

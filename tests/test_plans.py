@@ -1133,3 +1133,14 @@ def test_scd2_history_single_exchange(spark, sf_dir):
     plan = _plan_simple(m.queries()["scd2_history"](spark, sf_dir))
     assert plan.count("Exchange") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_length_batches_single_exchange_jvm_side(spark, sf_dir):
+    """Bucketed batch assembly: bucket/cap/shard/waste are projections;
+    the ONLY exchange is the (bucket, shard) window for batch
+    numbering; no Python anywhere."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["length_batches"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -640,3 +640,36 @@ def test_rrf_fusion_exact_and_rank_only(spark):
     # are the only input); and k truncates
     top1 = rrf_fusion([run1, run2], "q", "d", k=1).collect()
     assert len(top1) == 1 and top1[0].d == 11
+
+
+def test_length_bucketed_batches_shapes(spark):
+    """Every batch holds ≤ batch_size docs of ONE (bucket, shard);
+    positions are dense 0..n-1; overlong docs truncate into the last
+    bucket; waste = cap − len_eff; assignment is partitioning-
+    independent (rerun on repartitioned input is identical)."""
+    from m3d_engine_spark.operators.sampling import length_bucketed_batches
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, 5 + (i * 7) % 120) for i in range(100)], "id long, n long"
+    )
+    out = length_bucketed_batches(df, "id", "n", [16, 32, 64, 96],
+                                  batch_size=4, num_shards=2)
+    rows = out.collect()
+    assert len(rows) == 100
+    by_batch = {}
+    for r in rows:
+        assert r.cap in (16, 32, 64, 96) and r.cap >= r.len_eff
+        assert r.len_eff <= 96 and r.waste == r.cap - r.len_eff
+        by_batch.setdefault((r.bucket, r.shard, r.batch_id), []).append(r.pos)
+    for pos_list in by_batch.values():
+        assert sorted(pos_list) == list(range(len(pos_list)))
+        assert len(pos_list) <= 4
+    rerun = length_bucketed_batches(
+        df.repartition(7), "id", "n", [16, 32, 64, 96],
+        batch_size=4, num_shards=2,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
+    with pytest.raises(ValueError):
+        length_bucketed_batches(df, "id", "n", [32, 16], batch_size=4)
