@@ -6428,6 +6428,66 @@ FROM r
 """
 
 
+def q_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch audit (reporting.py::countmin_sketch /
+    countmin_estimate): the corpus token stream summarized into a
+    4×256 constant-memory sketch, point-estimated for every token with
+    true count ≥ 40, against the exact census — est never
+    under-counts (overcount ≥ 0, pinned), and the deliberately small
+    width makes real collisions visible. Build = one scan + one
+    bounded aggregate (exchange ≤ depth·width rows/task); estimate =
+    broadcast sketch, no corpus shuffle."""
+    from m3d_engine_spark.operators.reporting import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    sk = countmin_sketch(tok, "token", width=256, depth=4)
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .filter(F.col("true_n") >= 40)
+    )
+    est = countmin_estimate(
+        sk, exact.select("token"), "token", width=256, depth=4
+    )
+    return exact.join(est, "token").select(
+        "token",
+        "true_n",
+        "est",
+        (F.col("est") - F.col("true_n")).alias("overcount"),
+    )
+
+
+_SQL_COUNTMIN_AUDIT = f"""
+WITH toks AS (
+  SELECT unnest({_SQL_TOKS}) AS token FROM documents
+), fan AS (
+  SELECT token, d,
+         CAST(CAST(('0x' || substr(
+           md5(CAST(d AS VARCHAR) || ':' || token), 1, 8
+         )) AS UBIGINT) % 256 AS BIGINT) AS col
+  FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)
+), sk AS (
+  SELECT d, col, count(*) AS cnt FROM fan GROUP BY d, col
+), exact AS (
+  SELECT token, count(*) AS true_n FROM toks
+  GROUP BY token HAVING count(*) >= 40
+), probe AS (
+  SELECT DISTINCT f.token, f.d, f.col
+  FROM fan f JOIN exact USING (token)
+), est AS (
+  SELECT token, min(coalesce(cnt, 0)) AS est
+  FROM probe LEFT JOIN sk USING (d, col)
+  GROUP BY token
+)
+SELECT e.token, e.true_n, est.est, est.est - e.true_n AS overcount
+FROM exact e JOIN est USING (token)
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6528,6 +6588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kanon_census": q_kanon_census,
         "hybrid_retrieval": q_hybrid_retrieval,
         "length_batches": q_length_batches,
+        "countmin_audit": q_countmin_audit,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -6672,6 +6733,7 @@ def oracle_sql() -> dict[str, str]:
         "kanon_census": _SQL_KANON_CENSUS,
         "hybrid_retrieval": _SQL_HYBRID_RETRIEVAL,
         "length_batches": _SQL_LENGTH_BATCHES,
+        "countmin_audit": _SQL_COUNTMIN_AUDIT,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -448,3 +448,97 @@ def psi_drift(
         F.round(pa, 6).alias("p_actual"),
         F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_part"),
     )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch of an item stream: the constant-memory
+    frequency summary (``depth`` rows × ``width`` counters) whose
+    point estimate ``min_d sketch[d][h_d(x)]`` never under-counts and
+    over-counts by ≤ ε·N with probability 1−δ (ε = e/width,
+    δ = e^−depth) — the approximate tier under ``group_top_terms``'s
+    exact heavy hitters.
+
+    Returns the sketch as a relation ``(d, col, cnt)`` — only occupied
+    counters are materialized (absent = 0), so the result is
+    min(distinct items, width)·depth rows at most. Hashes are
+    md5-derived (``d ":" item``), the engine's cross-engine
+    determinism workhorse — same sketch everywhere, mergeable across
+    corpus shards by summing ``cnt``.
+
+    Scale: ONE scan (the depth hashes fan out per row via posexplode,
+    a generator inside codegen, not a union of scans) + ONE
+    map-side-combinable count aggregate whose exchange carries at most
+    depth·width rows per task — frequency summarization of a 100 TB
+    stream with a bounded shuffle.
+    """
+    if width <= 0 or depth <= 0:
+        raise ValueError("width and depth must be positive")
+    item = F.col(item_col).cast("string")
+    hashes = F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{d}:"), item)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(int(width)),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.filter(item.isNotNull())
+        .select(F.posexplode(hashes).alias("d", "col"))
+        .groupBy(F.col("d").cast("int").alias("d"), "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-estimate item frequencies from a ``countmin_sketch``
+    relation: ``est(x) = min_d cnt[d][h_d(x)]`` (0 when a probed
+    counter was never touched). ``width``/``depth`` must match the
+    sketch's build parameters.
+
+    Scale: probes fan out to their depth counters (projection), the
+    sketch side is ≤ depth·width rows — broadcast it — and the min
+    re-aggregates per probe. No shuffle of anything corpus-sized.
+    """
+    item = F.col(item_col).cast("string")
+    hashes = F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{d}:"), item)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(int(width)),
+            )
+            for d in range(depth)
+        ]
+    )
+    fan = probes.select(
+        item.alias("_item"), F.posexplode(hashes).alias("d", "col")
+    ).withColumn("d", F.col("d").cast("int"))
+    joined = fan.join(F.broadcast(sketch), on=["d", "col"], how="left")
+    return (
+        joined.groupBy(F.col("_item").alias(item_col))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -673,3 +673,46 @@ def test_length_bucketed_batches_shapes(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
     with pytest.raises(ValueError):
         length_bucketed_batches(df, "id", "n", [32, 16], batch_size=4)
+
+
+def test_countmin_never_undercounts_and_merges(spark):
+    """CMS guarantees: est ≥ true for every item; with width ≥ vocab
+    and no collisions est == true; sketches of two shards merged by
+    summing cnt estimate the union exactly like a one-pass sketch."""
+    from m3d_engine_spark.operators.reporting import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    items = ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"]
+    df = spark.createDataFrame([(x,) for x in items], ["token"])
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["token"])
+
+    wide = countmin_sketch(df, "token", width=4096, depth=4)
+    est = {r.token: r.est for r in
+           countmin_estimate(wide, probes, "token", 4096, 4).collect()}
+    assert est == {"a": 50, "b": 20, "c": 5, "d": 1}
+
+    # tiny width forces collisions: still never under
+    tight = countmin_sketch(df, "token", width=2, depth=2)
+    t = {r.token: r.est for r in
+         countmin_estimate(tight, probes, "token", 2, 2).collect()}
+    assert t["a"] >= 50 and t["b"] >= 20 and t["c"] >= 5 and t["d"] >= 1
+
+    # shard-merge: sum of two half-sketches == sketch of the whole
+    from pyspark.sql import functions as F
+
+    h1 = countmin_sketch(
+        spark.createDataFrame([(x,) for x in items[:40]], ["token"]),
+        "token", width=64, depth=3,
+    )
+    h2 = countmin_sketch(
+        spark.createDataFrame([(x,) for x in items[40:]], ["token"]),
+        "token", width=64, depth=3,
+    )
+    merged = (
+        h1.unionByName(h2).groupBy("d", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = countmin_sketch(df, "token", width=64, depth=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
