@@ -6488,6 +6488,49 @@ FROM exact e JOIN est USING (token)
 """
 
 
+def q_embedding_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance matrix (pca.py::embedding_covariance):
+    the d×d PCA precursor as one bounded aggregate — two generator
+    fan-outs produce the upper-triangle products per row, the exchange
+    carries ≤ d(d+1)/2 rows per task, per-dim sums ride a d-row
+    broadcast. float×float products in double are exact and the sums
+    are decimal, so the matrix is bit-stable across engines (6dp)."""
+    from m3d_engine_spark.operators.pca import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding")
+
+
+_SQL_EMBEDDING_COV = """
+WITH v AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+), stats AS (
+  SELECT count(*) AS n FROM v
+), e1 AS (
+  SELECT v, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS xi FROM v
+), e2 AS (
+  SELECT i,
+         i + generate_subscripts(list_slice(v, i + 1, len(v)), 1) - 1 AS j,
+         xi * unnest(list_slice(v, i + 1, len(v))) AS xy
+  FROM e1
+), sxy AS (
+  SELECT i, j,
+         CAST(SUM(CAST(xy AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM e2 GROUP BY i, j
+), sums AS (
+  SELECT i, CAST(SUM(CAST(xi AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM e1 GROUP BY i
+)
+SELECT CAST(sxy.i AS INT) AS i, CAST(sxy.j AS INT) AS j, stats.n,
+       round((sxy.sxy - si.s * sj.s / stats.n) / stats.n, 6) + 0.0 AS cov
+FROM sxy
+JOIN sums si ON si.i = sxy.i
+JOIN sums sj ON sj.i = sxy.j
+CROSS JOIN stats
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6589,6 +6632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval": q_hybrid_retrieval,
         "length_batches": q_length_batches,
         "countmin_audit": q_countmin_audit,
+        "embedding_cov": q_embedding_cov,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -6734,6 +6778,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_retrieval": _SQL_HYBRID_RETRIEVAL,
         "length_batches": _SQL_LENGTH_BATCHES,
         "countmin_audit": _SQL_COUNTMIN_AUDIT,
+        "embedding_cov": _SQL_EMBEDDING_COV,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -1,0 +1,149 @@
+"""Distributed covariance / PCA for embedding columns.
+
+Beyond-reference capability. Embedding post-processing (whitening,
+dimensionality reduction before clustering or dedup, the "remove the
+dominant direction" trick for sentence embeddings) starts with the
+d×d covariance matrix of a corpus-sized vector column. The shape of
+the computation at 100 TB:
+
+* the covariance needs ``Σ x_i·x_j`` for every dim pair — N·d²/2
+  multiply-adds no matter how it is written. Here it is written as two
+  chained ``posexplode`` generators (upper triangle per row) feeding
+  ONE map-side-combinable aggregate, so the exchange carries at most
+  d·(d+1)/2 rows per task — the FLOPs distribute, the shuffle does
+  not grow with N. (An Arrow kernel computing per-partition numpy
+  Gram partials would trade JVM fan-out CPU for Python dispatch; the
+  aggregate topology — tiny keyed exchange — would be identical.)
+* the eigendecomposition of a d×d matrix is a DRIVER-side numpy call
+  (d ≤ a few thousand — microscopic next to the corpus): exactly the
+  k-row-collect discipline of ``kmeans.py``. The resulting components
+  broadcast back as literals and projection is a zero-exchange JVM
+  fold per row.
+
+Determinism: embedding floats cast to double are exact; a float×float
+product in double is EXACT (24+24 mantissa bits < 53), and the sums go
+through DECIMAL(38,12) — order-independent — so the covariance matrix
+is bit-identical across engines and partitionings up to the final
+(identically-associated) IEEE division, rounded at 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str, out_dp: int = 6
+) -> DataFrame:
+    """Upper-triangle covariance matrix of an ``array<float|double>``
+    column: one row per dim pair ``(i, j)`` with ``i <= j`` (0-based),
+    columns ``(i, j, n, cov)`` where
+    ``cov = (Σ x_i·x_j − Σx_i·Σx_j / n) / n`` (population covariance).
+
+    Scale: two generator fan-outs (no join, no second scan) + one
+    aggregate keyed on the (i, j) pair — map-side combine collapses
+    each task to ≤ d(d+1)/2 partial rows; per-dim sums ride a d-row
+    broadcast join; n is a broadcast 1-row aggregate.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+    stats = base.agg(F.count(F.lit(1)).alias("_n"))
+    e1 = base.select("_v", F.posexplode("_v").alias("i", "_xi"))
+    e2 = e1.select(
+        "i",
+        "_xi",
+        F.posexplode(
+            F.slice(F.col("_v"), F.col("i") + F.lit(1), F.size("_v"))
+        ).alias("_p", "_xj"),
+    ).select(
+        F.col("i"),
+        (F.col("i") + F.col("_p")).alias("j"),
+        (F.col("_xi") * F.col("_xj")).alias("_xy"),
+    )
+    sxy = e2.groupBy("i", "j").agg(
+        F.sum(F.col("_xy").cast("decimal(38,12)")).cast("double").alias("_sxy")
+    )
+    sums = (
+        base.select(F.posexplode("_v").alias("i", "_x"))
+        .groupBy("i")
+        .agg(F.sum(F.col("_x").cast("decimal(38,12)")).cast("double").alias("_s"))
+    )
+    si = F.broadcast(sums.select(F.col("i").alias("_di"), F.col("_s").alias("_sxi")))
+    sj = F.broadcast(sums.select(F.col("i").alias("_dj"), F.col("_s").alias("_sxj")))
+    return (
+        sxy.join(si, F.col("i") == F.col("_di"))
+        .join(sj, F.col("j") == F.col("_dj"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.col("_n").alias("n"),
+            (
+                F.round(
+                    (F.col("_sxy") - F.col("_sxi") * F.col("_sxj") / F.col("_n"))
+                    / F.col("_n"),
+                    out_dp,
+                )
+                + F.lit(0.0)  # IEEE: -0.0 + 0.0 = +0.0, so zero is one value
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components.
+
+    Covariance via ``embedding_covariance`` (distributed, exact
+    lattice), eigendecomposition of the d×d matrix driver-side
+    (numpy.linalg.eigh — symmetric, deterministic; the k-row-collect
+    discipline), components broadcast as literals, projection a
+    zero-exchange ``zip_with``+``aggregate`` fold per row (no Python
+    in the per-row path). Component sign is normalized (largest-|w|
+    coordinate positive) so results don't flip run to run.
+
+    Returns ``(id_col, pc)`` where ``pc`` is the length-k projection
+    array, each coordinate rounded at ``out_dp``.
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(df, vec_col, out_dp=12).collect()
+    d = max(r.j for r in cov_rows) + 1
+    if not 0 < k <= d:
+        raise ValueError(f"k must be in 1..{d}")
+    mat = np.zeros((d, d))
+    for r in cov_rows:
+        mat[r.i, r.j] = r.cov
+        mat[r.j, r.i] = r.cov
+    vals, vecs = np.linalg.eigh(mat)  # ascending eigenvalues
+    comps = []
+    for c in range(1, k + 1):
+        w = vecs[:, -c]
+        # sign convention: the largest-magnitude coordinate is positive
+        w = w * (1.0 if w[int(np.argmax(np.abs(w)))] >= 0 else -1.0)
+        comps.append([float(x) for x in w])
+    v = F.col(vec_col).cast("array<double>")
+    pcs = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(x) for x in comp]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                out_dp,
+            )
+            for comp in comps
+        ]
+    )
+    return df.select(F.col(id_col), pcs.alias("pc"))

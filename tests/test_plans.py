@@ -1144,3 +1144,16 @@ def test_length_batches_single_exchange_jvm_side(spark, sf_dir):
     plan = _plan_simple(m.queries()["length_batches"](spark, sf_dir))
     assert plan.count("Exchange") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_cov_bounded_aggregate_broadcast_joins(spark, sf_dir):
+    """Covariance matrix: the pair aggregate is the only
+    hashpartitioning exchange carrying d²-bounded rows; the per-dim
+    sums and n attach via broadcast (no SortMergeJoin anywhere); no
+    Python."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["embedding_cov"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

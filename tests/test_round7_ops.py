@@ -716,3 +716,48 @@ def test_countmin_never_undercounts_and_merges(spark):
     )
     whole = countmin_sketch(df, "token", width=64, depth=3)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Covariance matrix equals numpy's population covariance at 6dp;
+    partitioning-independent."""
+    import numpy as np
+    from m3d_engine_spark.operators.pca import embedding_covariance
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 5).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "id long, v array<float>",
+    )
+    out = {(r.i, r.j): r.cov for r in embedding_covariance(df, "v").collect()}
+    C = np.cov(X.astype("float64").T, bias=True)
+    assert len(out) == 15
+    for (i, j), c in out.items():
+        assert abs(c - C[i, j]) < 2e-6, (i, j, c, C[i, j])
+    rerun = {(r.i, r.j): r.cov for r in
+             embedding_covariance(df.repartition(7), "v").collect()}
+    assert rerun == out
+
+
+def test_pca_project_finds_dominant_direction(spark):
+    """Data stretched 10× along a known axis: PC1 aligns with it
+    (|corr| ≈ 1 between pc[0] and that coordinate), and projection
+    variance is non-increasing across components."""
+    import numpy as np
+    from m3d_engine_spark.operators.pca import pca_project
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(200, 4)
+    base[:, 2] *= 10.0  # dominant direction = e2
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "id long, v array<float>",
+    )
+    rows = pca_project(df, "id", "v", k=3).collect()
+    P = np.array([r.pc for r in sorted(rows, key=lambda r: r.id)])
+    x2 = np.array(sorted(zip(range(200), base[:, 2])))[:, 1]
+    corr = np.corrcoef(P[:, 0], x2)[0, 1]
+    assert abs(corr) > 0.99, corr
+    var = P.var(axis=0)
+    assert var[0] >= var[1] >= var[2]
