@@ -6531,6 +6531,88 @@ CROSS JOIN stats
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join
+    (temporal.py::interval_overlap_join): which activity sessions
+    overlapped an error episode of the same user — both interval sets
+    derived by gap-sessionization, then the bucketed overlap join
+    (both sides explode into 6-hour buckets, equi-join on (user,
+    bucket), exactly-once via the first-shared-bucket ownership rule).
+    Never BroadcastNestedLoop, never post-join dedup."""
+    from m3d_engine_spark.operators.temporal import interval_overlap_join
+    from m3d_engine_spark.streaming.pipeline import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    acts = sessionize(
+        ev.filter(F.col("event_type") != "error").select(
+            "user_id", "ts", "value"
+        ),
+        gap="6 hours",
+    )
+    errs = sessionize(
+        ev.filter(F.col("event_type") == "error").select(
+            "user_id", "ts", "value"
+        ),
+        gap="6 hours",
+    )
+    left = acts.select(
+        "user_id",
+        epoch_us_of(acts, "session_start").alias("a_start"),
+        epoch_us_of(acts, "session_end").alias("a_end"),
+        F.col("n_events").cast("int").alias("a_n"),
+    )
+    right = errs.select(
+        "user_id",
+        epoch_us_of(errs, "session_start").alias("e_start"),
+        epoch_us_of(errs, "session_end").alias("e_end"),
+        F.col("n_events").cast("int").alias("e_n"),
+    )
+    return interval_overlap_join(
+        left, right, ["user_id"], "a_start", "a_end", "e_start", "e_end",
+        bucket_width=21_600_000_000,
+    )
+
+
+_SQL_INTERVAL_JOIN = """
+WITH cl AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '6 hours' THEN 1 ELSE 0 END AS brk
+  FROM events WHERE event_type != 'error'
+), cs AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM cl
+), ca AS (
+  SELECT user_id, epoch_us(min(ts)) AS a_start,
+         epoch_us(max(ts)) AS a_end,
+         CAST(count(*) AS INTEGER) AS a_n
+  FROM cs GROUP BY user_id, sid
+), el AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '6 hours' THEN 1 ELSE 0 END AS brk
+  FROM events WHERE event_type = 'error'
+), es AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM el
+), eb AS (
+  SELECT user_id, epoch_us(min(ts)) AS e_start,
+         epoch_us(max(ts)) AS e_end,
+         CAST(count(*) AS INTEGER) AS e_n
+  FROM es GROUP BY user_id, sid
+)
+SELECT ca.user_id, a_start, a_end, a_n, e_start, e_end, e_n
+FROM ca JOIN eb ON ca.user_id = eb.user_id
+WHERE a_start <= e_end AND e_start <= a_end
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6633,6 +6715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batches": q_length_batches,
         "countmin_audit": q_countmin_audit,
         "embedding_cov": q_embedding_cov,
+        "interval_join": q_interval_join,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -6779,6 +6862,7 @@ def oracle_sql() -> dict[str, str]:
         "length_batches": _SQL_LENGTH_BATCHES,
         "countmin_audit": _SQL_COUNTMIN_AUDIT,
         "embedding_cov": _SQL_EMBEDDING_COV,
+        "interval_join": _SQL_INTERVAL_JOIN,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

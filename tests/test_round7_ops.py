@@ -761,3 +761,54 @@ def test_pca_project_finds_dominant_direction(spark):
     assert abs(corr) > 0.99, corr
     var = P.var(axis=0)
     assert var[0] >= var[1] >= var[2]
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    """Bucketed overlap join: every truly-overlapping same-key pair
+    appears EXACTLY once regardless of how many buckets the pair
+    shares (long intervals = many shared buckets); non-overlapping
+    and cross-key pairs never appear; touching endpoints count
+    (closed intervals); clashing column names raise."""
+    import pytest
+    from m3d_engine_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 100, "L0"), (1, 250, 260, "L1"), (2, 0, 100, "L2")],
+        "k long, ls long, le long, ltag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 400, "R0"),   # overlaps L0 (51 shared buckets @ w=10)
+         (1, 100, 110, "R1"),  # touches L0 at 100 exactly
+         (1, 150, 200, "R2"),  # overlaps nothing on key 1
+         (2, 90, 95, "R3")],   # overlaps L2 on key 2 only
+        "k long, rs long, re long, rtag string",
+    )
+    out = interval_overlap_join(
+        left, right, ["k"], "ls", "le", "rs", "re", bucket_width=10
+    )
+    pairs = sorted((r.ltag, r.rtag) for r in out.collect())
+    assert pairs == [
+        ("L0", "R0"), ("L0", "R1"), ("L1", "R0"), ("L2", "R3")
+    ]
+    # brute-force equivalence on a denser random-ish lattice
+    lrows = [(1, (i * 37) % 500, (i * 37) % 500 + (i * 13) % 90, f"l{i}")
+             for i in range(40)]
+    rrows = [(1, (i * 53) % 500, (i * 53) % 500 + (i * 17) % 70, f"r{i}")
+             for i in range(40)]
+    L = spark.createDataFrame(lrows, "k long, ls long, le long, ltag string")
+    R = spark.createDataFrame(rrows, "k long, rs long, re long, rtag string")
+    got = sorted((r.ltag, r.rtag) for r in interval_overlap_join(
+        L, R, ["k"], "ls", "le", "rs", "re", bucket_width=64
+    ).collect())
+    want = sorted(
+        (lt, rt)
+        for (_, ls, le, lt) in lrows
+        for (_, rs, re_, rt) in rrows
+        if ls <= re_ and rs <= le
+    )
+    assert got == want
+    with pytest.raises(ValueError):
+        interval_overlap_join(
+            L, R.withColumnRenamed("rtag", "ltag"),
+            ["k"], "ls", "le", "rs", "re", bucket_width=64,
+        )
