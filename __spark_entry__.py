@@ -6613,6 +6613,43 @@ WHERE a_start <= e_end AND e_start <= a_end
 """
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-round-0 pair census (tokenizer.py::pair_census over
+    word_vocabulary): adjacent-character pair counts weighted by word
+    occurrences — the aggregate every BPE training round argmaxes
+    over. The corpus collapses to the (word, n) vocabulary first
+    (the vocabulary-iteration discipline that makes training cost
+    independent of corpus size); the census itself is one generator
+    fan-out + one map-side-combinable aggregate."""
+    from m3d_engine_spark.operators.tokenizer import (
+        _to_symbols,
+        pair_census,
+        word_vocabulary,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = word_vocabulary(docs, "text").select(
+        _to_symbols("word").alias("syms"), "n"
+    )
+    return pair_census(vocab)
+
+
+_SQL_BPE_PAIRS = f"""
+WITH w AS (
+  SELECT word, count(*) AS n
+  FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+  GROUP BY word
+), p AS (
+  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, n
+  FROM (
+    SELECT word, n, unnest(range(1, length(word))) AS i
+    FROM w WHERE length(word) >= 2
+  )
+)
+SELECT a, b, SUM(n) AS cnt FROM p GROUP BY a, b
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6716,6 +6753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_audit": q_countmin_audit,
         "embedding_cov": q_embedding_cov,
         "interval_join": q_interval_join,
+        "bpe_pairs": q_bpe_pairs,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -6863,6 +6901,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_audit": _SQL_COUNTMIN_AUDIT,
         "embedding_cov": _SQL_EMBEDDING_COV,
         "interval_join": _SQL_INTERVAL_JOIN,
+        "bpe_pairs": _SQL_BPE_PAIRS,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

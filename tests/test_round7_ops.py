@@ -812,3 +812,39 @@ def test_interval_overlap_join_exactly_once(spark):
             L, R.withColumnRenamed("rtag", "ltag"),
             ["k"], "ls", "le", "rs", "re", bucket_width=64,
         )
+
+
+def test_bpe_train_classic_corpus(spark):
+    """Sennrich's hugging-face-docs corpus shape: 'low'×5 'lower'×2
+    'newest'×6 'widest'×3. First merges must follow pair frequencies:
+    (e,s)=9 wins round 1, then (es,t)=9; determinism pinned by rerun."""
+    from m3d_engine_spark.operators.tokenizer import bpe_segment, bpe_train
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(text,)], ["text"])
+    merges = bpe_train(df, "text", num_merges=4)
+    assert merges[0] == ("e", "s")   # 6 newest + 3 widest = 9
+    assert merges[1] == ("es", "t")  # es followed by t in all 9
+    assert merges == bpe_train(df, "text", num_merges=4)
+
+    seg = bpe_segment(df, "text", "text", merges)
+    pieces = {r.word: r.pieces for r in seg.collect()}
+    assert pieces["newest"][-1] == "est" or "est" in pieces["newest"]
+    # fertility never increases with more merges
+    seg0 = bpe_segment(df, "text", "text", [])
+    n0 = sum(len(r.pieces) for r in seg0.collect())
+    n4 = sum(len(r.pieces) for r in seg.collect())
+    assert n4 < n0
+
+
+def test_bpe_merge_application_greedy_nonoverlap(spark):
+    """Greedy left-to-right: 'aaaa' under merge (a,a) → [aa, aa];
+    'aaa' → [aa, a]; early-stop when min_count unreachable."""
+    from m3d_engine_spark.operators.tokenizer import bpe_segment, bpe_train
+
+    df = spark.createDataFrame([("aaaa aaa",)], ["text"])
+    seg = bpe_segment(df, "text", "text", [("a", "a")])
+    got = {r.word: r.pieces for r in seg.collect()}
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aaa"] == ["aa", "a"]
+    assert bpe_train(df, "text", num_merges=5, min_count=100) == []
