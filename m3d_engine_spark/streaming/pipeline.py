@@ -791,3 +791,132 @@ def read_transition_census(spark, census_path: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w_tot), 4).alias("p"),
     )
+
+
+def scd2_batch(
+    batch: DataFrame,
+    batch_id: int,
+    changes_path: str,
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    attr_col: str,
+) -> None:
+    """One micro-batch of the streaming SCD2 dimension (the
+    foreachBatch body, exposed for direct testing like
+    ``transition_census_batch``).
+
+    Incremental type-2 dimension maintenance: each batch condenses its
+    own events to state CHANGES (the ``operators/temporal.scd2_history``
+    change-detect step) — but a key whose first event of this batch
+    repeats its last carried state is NOT a change, so the change
+    detection runs against the carried last state (max_by over earlier
+    ``changes_path`` partitions, the ``transition_census_batch`` state
+    discipline; here the change log IS the state — no second relation).
+    Writes this batch's changes to ``changes_path/batch_id=<id>``
+    (overwrite → idempotent under foreachBatch replay). Validity
+    intervals are assembled at READ time by ``read_scd2_dimension`` —
+    a fold over the CONDENSED change log (one row per state change
+    ever), not the event stream, which is what keeps the write path
+    append-only and the read cheap.
+
+    Same ordering contract as the census: the stream is time-ordered
+    per key across batches; late events need the watermarked machinery
+    instead.
+    """
+    from pyspark.sql import Window
+
+    spark = batch.sparkSession
+    ev = batch.select(
+        F.col(key_col), F.col(order_col), F.col(tie_col), F.col(attr_col)
+    )
+    try:
+        carried = (
+            spark.read.parquet(changes_path)
+            .filter(F.col("batch_id") < batch_id)
+            .groupBy(key_col)
+            .agg(
+                F.max_by(
+                    F.struct(order_col, tie_col, attr_col),
+                    F.struct(order_col, tie_col),
+                ).alias("_s")
+            )
+            .select(key_col, "_s.*")
+            .withColumn("_carried", F.lit(1))
+        )
+        ev = ev.withColumn("_carried", F.lit(0)).unionByName(carried)
+    except Exception:  # AnalysisException: first batch, no changes yet
+        ev = ev.withColumn("_carried", F.lit(0))
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col), F.col(tie_col))
+    state = F.struct(F.col(attr_col))
+    changes = (
+        ev.withColumn("_prev", F.lag(state).over(w))
+        .filter(F.col("_prev").isNull() | ~state.eqNullSafe(F.col("_prev")))
+        # the carried row itself was written by an earlier batch
+        .filter(F.col("_carried") == 0)
+        .select(key_col, order_col, tie_col, attr_col)
+    )
+    changes.write.mode("overwrite").parquet(
+        f"{changes_path}/batch_id={batch_id}"
+    )
+
+
+def streaming_scd2(
+    stream: DataFrame,
+    changes_path: str,
+    checkpoint: str,
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    attr_col: str,
+):
+    """Streaming twin of ``operators/temporal.scd2_history``: the
+    type-2 dimension maintained incrementally over an append-only
+    change stream. Read the dimension with ``read_scd2_dimension``;
+    equivalence with the batch operator over the same data is pinned
+    by test. Returns the started availableNow StreamingQuery."""
+    def process(batch: DataFrame, batch_id: int) -> None:
+        scd2_batch(
+            batch, batch_id, changes_path,
+            key_col, order_col, tie_col, attr_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_scd2_dimension(
+    spark,
+    changes_path: str,
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    attr_col: str,
+) -> DataFrame:
+    """Assemble the SCD2 dimension from the incremental change log:
+    one lead/row_number window over the CONDENSED changes (a row per
+    state change ever — orders of magnitude smaller than the event
+    stream), producing the exact columns of the batch operator:
+    (key, attr, valid_from, valid_to, version, is_current)."""
+    from pyspark.sql import Window
+
+    ch = spark.read.parquet(changes_path).drop("batch_id")
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col), F.col(tie_col))
+    return (
+        ch.withColumn("valid_from", F.col(order_col))
+        .withColumn("valid_to", F.lead(order_col).over(w))
+        .withColumn("version", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to").isNull(), F.lit(1))
+            .otherwise(F.lit(0)).cast("int"),
+        )
+        .select(
+            key_col, attr_col, "valid_from", "valid_to", "version",
+            "is_current",
+        )
+    )

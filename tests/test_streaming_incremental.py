@@ -199,3 +199,68 @@ def test_streaming_transition_census_equals_batch(spark, tmp_path):
         for r in read_transition_census(spark, census).collect()
     }
     assert again == want
+
+
+@pytest.mark.slow
+def test_streaming_scd2_equals_batch(spark, tmp_path):
+    """Streaming SCD2 over time-chunked files must assemble to EXACTLY
+    the batch scd2_history — cross-batch condensation included (a key
+    repeating its carried state across a batch boundary must NOT open
+    a new version), idempotently under batch replay."""
+    from m3d_engine_spark.operators.temporal import scd2_history
+    from m3d_engine_spark.streaming.pipeline import (
+        read_scd2_dimension,
+        scd2_batch,
+        streaming_scd2,
+    )
+
+    landing = str(tmp_path / "scd_landing")
+    changes = str(tmp_path / "scd_changes")
+    ckpt = str(tmp_path / "scd_ckpt")
+
+    rows = []
+    eid = 0
+    for u in range(5):
+        for t in range(9):
+            # long runs of equal states + boundary-straddling repeats
+            rows.append((u, t, eid, "xyz"[(u + t // 2) % 3]))
+            eid += 1
+    schema = "u long, t long, eid long, s string"
+    full = spark.createDataFrame(rows, schema)
+    for lo, hi in [(0, 3), (3, 6), (6, 9)]:
+        full.filter((F.col("t") >= lo) & (F.col("t") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+        q = streaming_scd2(
+            spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(landing),
+            changes, ckpt, "u", "t", "eid", "s",
+        )
+        assert q.awaitTermination(180)
+
+    got = sorted(
+        tuple(r)
+        for r in read_scd2_dimension(spark, changes, "u", "t", "eid", "s")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in scd2_history(full, ["u"], ["t", "eid"], ["s"], ts_col="t")
+        .select("u", "s", "valid_from", "valid_to", "version", "is_current")
+        .collect()
+    )
+    assert got == want and got
+    # versions actually condensed: far fewer rows than events
+    assert len(got) < len(rows)
+
+    # replay of a middle batch rewrites only its own partition
+    replay = spark.read.parquet(landing)
+    b1 = replay.filter((F.col("t") >= 3) & (F.col("t") < 6))
+    scd2_batch(b1, 1, changes, "u", "t", "eid", "s")
+    again = sorted(
+        tuple(r)
+        for r in read_scd2_dimension(spark, changes, "u", "t", "eid", "s")
+        .collect()
+    )
+    assert again == want
