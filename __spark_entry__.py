@@ -6650,6 +6650,73 @@ SELECT a, b, SUM(n) AS cnt FROM p GROUP BY a, b
 """
 
 
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter semi-join pruning (bloom.py::bloom_build /
+    bloom_probe): the which-customers-have-orders filter built from
+    orders' custkeys into a fixed 4096-bit / 3-hash filter (63-bit
+    packed words via bit_or), probed per customer with k map-side
+    BROADCAST joins — the probed side is never shuffled. Output pairs
+    the bloom verdict with the exact semi-join truth: false negatives
+    are impossible (maybe ≥ actual, pinned by the oracle equality);
+    the deliberately tight m makes false positives visible."""
+    from m3d_engine_spark.operators.bloom import bloom_build, bloom_probe
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    bl = bloom_build(
+        orders.select(F.col("o_custkey").alias("k")).distinct(),
+        "k", m_bits=4096, k=3,
+    )
+    probed = bloom_probe(cust, bl, "c_custkey", m_bits=4096, k=3)
+    actual = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        probed.join(
+            actual.withColumn("_has", F.lit(1)), on="c_custkey", how="left"
+        )
+        .select(
+            "c_custkey",
+            "maybe",
+            F.coalesce(F.col("_has"), F.lit(0)).cast("int").alias("actual"),
+        )
+    )
+
+
+_SQL_BLOOM_PRUNE = """
+WITH ck AS (
+  SELECT DISTINCT o_custkey AS k2 FROM orders
+), ks AS (SELECT unnest([0, 1, 2]) AS j
+), pos AS (
+  SELECT k2,
+         CAST(CAST(('0x' || substr(
+           md5(CAST(j AS VARCHAR) || ':' || CAST(k2 AS VARCHAR)), 1, 15
+         )) AS UBIGINT) % 4096 AS BIGINT) AS p
+  FROM ck CROSS JOIN ks
+), bw AS (
+  SELECT p // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+  FROM pos GROUP BY 1
+), probe AS (
+  SELECT c_custkey,
+         CAST(CAST(('0x' || substr(
+           md5(CAST(j AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)), 1, 15
+         )) AS UBIGINT) % 4096 AS BIGINT) AS p
+  FROM customer CROSS JOIN ks
+), hit AS (
+  SELECT c_custkey,
+         min(CASE WHEN (coalesce(bits, 0)
+                        & (CAST(1 AS BIGINT) << CAST(p % 63 AS INT))) != 0
+                  THEN 1 ELSE 0 END) AS maybe
+  FROM probe LEFT JOIN bw ON probe.p // 63 = bw.word
+  GROUP BY c_custkey
+)
+SELECT c.c_custkey, CAST(hit.maybe AS INT) AS maybe,
+       CAST(CASE WHEN ck.k2 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS actual
+FROM customer c
+JOIN hit USING (c_custkey)
+LEFT JOIN ck ON c.c_custkey = ck.k2
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6754,6 +6821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cov": q_embedding_cov,
         "interval_join": q_interval_join,
         "bpe_pairs": q_bpe_pairs,
+        "bloom_prune": q_bloom_prune,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -6902,6 +6970,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cov": _SQL_EMBEDDING_COV,
         "interval_join": _SQL_INTERVAL_JOIN,
         "bpe_pairs": _SQL_BPE_PAIRS,
+        "bloom_prune": _SQL_BLOOM_PRUNE,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

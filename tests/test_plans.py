@@ -1157,3 +1157,25 @@ def test_embedding_cov_bounded_aggregate_broadcast_joins(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_probe_never_shuffles_probed_side(spark, sf_dir):
+    """The Bloom probe is k map-side broadcast joins: the probed
+    relation reaches the AND projection with ZERO hashpartitioning
+    exchanges on its side (only the build aggregate shuffles, inside
+    the checkpointed filter relation), and no SortMergeJoin exists."""
+    from pyspark.sql import functions as F
+
+    from m3d_engine_spark.operators.bloom import bloom_build, bloom_probe
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bl = bloom_build(
+        orders.select(F.col("o_custkey").alias("k")).distinct(),
+        "k", m_bits=4096, k=3,
+    )
+    plan = _plan_simple(bloom_probe(cust, bl, "c_custkey", m_bits=4096, k=3))
+    assert "SortMergeJoin" not in plan
+    # filter is a checkpointed RDD; probe side plans only broadcasts
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("BroadcastHashJoin") == 3

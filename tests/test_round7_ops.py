@@ -848,3 +848,28 @@ def test_bpe_merge_application_greedy_nonoverlap(spark):
     assert got["aaaa"] == ["aa", "aa"]
     assert got["aaa"] == ["aa", "a"]
     assert bpe_train(df, "text", num_merges=5, min_count=100) == []
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Every built key probes maybe=1 (no false negatives — the Bloom
+    contract); with a roomy filter most absent keys probe 0; a tiny
+    filter still never loses a key; NULL keys probe 0."""
+    from m3d_engine_spark.operators.bloom import bloom_build, bloom_probe
+
+    keys = spark.createDataFrame([(i * 3,) for i in range(200)], ["k"])
+    probes = spark.createDataFrame(
+        [(i,) for i in range(600)] + [(None,)], "k long"
+    )
+    bl = bloom_build(keys, "k", m_bits=1 << 14, k=5)
+    out = {r.k: r.maybe for r in
+           bloom_probe(probes, bl, "k", m_bits=1 << 14, k=5).collect()}
+    assert all(out[i * 3] == 1 for i in range(200))
+    assert out[None] == 0
+    absent = [out[i] for i in range(600) if i % 3 != 0]
+    # m=16384 bits, n·k=1000 set bits -> fp ≈ (1-e^-0.061)^5 ~ 1e-6
+    assert sum(absent) <= 2, sum(absent)
+    # tiny filter: false positives abound but never false negatives
+    tiny = bloom_build(keys, "k", m_bits=64, k=2)
+    tout = {r.k: r.maybe for r in
+            bloom_probe(probes, tiny, "k", m_bits=64, k=2).collect()}
+    assert all(tout[i * 3] == 1 for i in range(200))
