@@ -6717,6 +6717,48 @@ LEFT JOIN ck ON c.c_custkey = ck.k2
 """
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit (reporting.py::zipf_fit) over the corpus
+    token frequencies: ln-ln least squares on the top-200 ranks —
+    the corpus-health dial next to fertility/vocab-drift (natural text
+    sits near alpha ≈ 1). Census aggregate + TakeOrderedAndProject
+    top-r + a 1-row regression on an exact 10⁻⁹ ln lattice in
+    DECIMAL(38,0) — order-independent to the final IEEE division."""
+    from m3d_engine_spark.operators.reporting import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    return zipf_fit(tok, "token", top_r=200)
+
+
+_SQL_ZIPF_FIT = f"""
+WITH toks AS (
+  SELECT unnest({_SQL_TOKS}) AS token FROM documents
+), c AS (
+  SELECT token, count(*) AS n FROM toks GROUP BY token
+), top AS (
+  SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 200
+), r AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+  FROM top
+), lat AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e9) AS HUGEINT) AS x,
+         CAST(round(ln(CAST(n AS DOUBLE)) * 1e9) AS HUGEINT) AS y
+  FROM r
+), a AS (
+  SELECT CAST(count(*) AS HUGEINT) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM lat
+)
+SELECT CAST(k AS INT) AS n_points,
+       round(-(CAST(k * sxy - sx * sy AS DOUBLE)
+               / CAST(k * sxx - sx * sx AS DOUBLE)), 6) AS alpha,
+       round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(k * sxx - sx * sx AS DOUBLE) / 1e9, 6) AS intercept
+FROM a
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6822,6 +6864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "bpe_pairs": q_bpe_pairs,
         "bloom_prune": q_bloom_prune,
+        "zipf_fit": q_zipf_fit,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -6971,6 +7014,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": _SQL_INTERVAL_JOIN,
         "bpe_pairs": _SQL_BPE_PAIRS,
         "bloom_prune": _SQL_BLOOM_PRUNE,
+        "zipf_fit": _SQL_ZIPF_FIT,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -873,3 +873,21 @@ def test_bloom_no_false_negatives_and_prunes(spark):
     tout = {r.k: r.maybe for r in
             bloom_probe(probes, tiny, "k", m_bits=64, k=2).collect()}
     assert all(tout[i * 3] == 1 for i in range(200))
+
+
+def test_zipf_fit_recovers_exponent(spark):
+    """Synthetic counts n(r) = round(10^6 · r^-1.2) are an exact
+    power law: the fitted alpha must land on 1.2 (ln-lattice noise
+    ≪ 1e-3) with the right intercept; deterministic across reruns."""
+    from m3d_engine_spark.operators.reporting import zipf_fit
+
+    rows = []
+    for r in range(1, 101):
+        n = round(2000 * r ** -1.2)
+        rows.extend((f"tok{r:03d}",) for _ in range(n))
+    df = spark.createDataFrame(rows, ["token"])
+    out = zipf_fit(df, "token", top_r=100).collect()[0]
+    assert out.n_points == 100
+    assert abs(out.alpha - 1.2) < 0.02, out.alpha
+    rerun = zipf_fit(df.repartition(13), "token", top_r=100).collect()[0]
+    assert (rerun.alpha, rerun.intercept) == (out.alpha, out.intercept)
