@@ -6759,6 +6759,61 @@ FROM a
 """
 
 
+def q_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join cardinality estimator (reporting.py::join_size_estimate):
+    orders⋈lineitem size predicted per md5 key bucket under the
+    planner's containment assumption vs the exact per-key ground
+    truth — the divergence localizes skew/correlation the uniform
+    assumption misses. One per-key aggregate per side, bucket rollups
+    of 32 rows, exact via the key-count join."""
+    from m3d_engine_spark.operators.reporting import join_size_estimate
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return join_size_estimate(orders, li, "o_orderkey", "l_orderkey",
+                              buckets=32)
+
+
+_SQL_JOIN_ESTIMATE = """
+WITH a2 AS (
+  SELECT k, n,
+         CAST(CAST(('0x' || substr(md5(k), 1, 8)) AS UBIGINT) % 32 AS INT)
+           AS bucket
+  FROM (SELECT CAST(o_orderkey AS VARCHAR) AS k, count(*) AS n
+        FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1)
+), b2 AS (
+  SELECT k, n,
+         CAST(CAST(('0x' || substr(md5(k), 1, 8)) AS UBIGINT) % 32 AS INT)
+           AS bucket
+  FROM (SELECT CAST(l_orderkey AS VARCHAR) AS k, count(*) AS n
+        FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1)
+), ab AS (
+  SELECT bucket, CAST(SUM(n) AS BIGINT) AS na,
+         CAST(count(*) AS BIGINT) AS da
+  FROM a2 GROUP BY bucket
+), bb AS (
+  SELECT bucket, CAST(SUM(n) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) AS db
+  FROM b2 GROUP BY bucket
+), ex AS (
+  SELECT a2.bucket, CAST(SUM(a2.n * b2.n) AS BIGINT) AS exact_rows
+  FROM a2 JOIN b2 USING (k) GROUP BY a2.bucket
+)
+SELECT bucket,
+       coalesce(na, 0) AS na, coalesce(da, 0) AS da,
+       coalesce(nb, 0) AS nb, coalesce(db, 0) AS db,
+       CASE WHEN greatest(coalesce(da, 0), coalesce(db, 0)) > 0
+            THEN round(CAST(coalesce(na, 0) AS DOUBLE)
+                       * CAST(coalesce(nb, 0) AS DOUBLE)
+                       / CAST(greatest(coalesce(da, 0), coalesce(db, 0))
+                              AS DOUBLE), 2)
+            ELSE 0.0 END AS est_rows,
+       coalesce(ex.exact_rows, 0) AS exact_rows
+FROM ab FULL JOIN bb USING (bucket)
+LEFT JOIN ex USING (bucket)
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6865,6 +6920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "bloom_prune": q_bloom_prune,
         "zipf_fit": q_zipf_fit,
+        "join_estimate": q_join_estimate,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -7015,6 +7071,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": _SQL_BPE_PAIRS,
         "bloom_prune": _SQL_BLOOM_PRUNE,
         "zipf_fit": _SQL_ZIPF_FIT,
+        "join_estimate": _SQL_JOIN_ESTIMATE,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -609,3 +609,88 @@ def zipf_fit(
             icpt_num.cast("double") / den.cast("double") / 1e9, 6
         ).alias("intercept"),
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """Histogram-based equi-join cardinality estimate vs ground truth
+    — the what-will-this-join-cost diagnostic next to
+    ``join_skew_report``/``fk_audit``. Keys hash (md5) into
+    ``buckets``; per bucket the estimate applies the classic
+    containment assumption ``rows_a · rows_b / max(distinct_a,
+    distinct_b)``, and the exact size joins the two PER-KEY count
+    relations (distinct-key-sized — still far cheaper than running
+    the join). Returns one row per occupied bucket:
+    ``(bucket, na, da, nb, db, est_rows, exact_rows)`` — the buckets
+    where est and exact diverge are exactly the skewed/correlated key
+    ranges a planner's uniform assumption gets wrong.
+
+    Scale: one map-side-combinable per-key aggregate per side, bucket
+    rollups carry ``buckets`` rows, and the exact comparison is an
+    equi-join of the two key-count relations.
+    """
+    if buckets <= 0:
+        raise ValueError("buckets must be positive")
+
+    def per_key(df: DataFrame, key: str) -> DataFrame:
+        k = F.col(key).cast("string")
+        return (
+            df.filter(k.isNotNull())
+            .groupBy(k.alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .withColumn(
+                "bucket",
+                F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.col("_k")), 1, 8), 16, 10
+                    ).cast("long"),
+                    F.lit(int(buckets)),
+                ).cast("int"),
+            )
+        )
+    a = per_key(left, left_key)
+    b = per_key(right, right_key)
+    ab = a.groupBy("bucket").agg(
+        F.sum("_n").alias("na"), F.count(F.lit(1)).alias("da")
+    )
+    bb = b.groupBy("bucket").agg(
+        F.sum("_n").alias("nb"), F.count(F.lit(1)).alias("db")
+    )
+    exact = (
+        a.select("bucket", "_k", F.col("_n").alias("_na"))
+        .join(
+            b.select(F.col("_k"), F.col("_n").alias("_nb")), on="_k",
+            how="inner",
+        )
+        .groupBy("bucket")
+        .agg(F.sum(F.col("_na") * F.col("_nb")).alias("exact_rows"))
+    )
+    out = (
+        ab.join(bb, on="bucket", how="full")
+        .join(exact, on="bucket", how="left")
+        .select(
+            "bucket",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("da", F.lit(0)).alias("da"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+            F.coalesce("db", F.lit(0)).alias("db"),
+            F.when(
+                F.greatest(F.coalesce("da", F.lit(0)), F.coalesce("db", F.lit(0))) > 0,
+                F.round(
+                    F.coalesce("na", F.lit(0)).cast("double")
+                    * F.coalesce("nb", F.lit(0)).cast("double")
+                    / F.greatest(
+                        F.coalesce("da", F.lit(0)), F.coalesce("db", F.lit(0))
+                    ).cast("double"),
+                    2,
+                ),
+            ).otherwise(F.lit(0.0)).alias("est_rows"),
+            F.coalesce("exact_rows", F.lit(0)).alias("exact_rows"),
+        )
+    )
+    return out

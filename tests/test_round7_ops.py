@@ -891,3 +891,35 @@ def test_zipf_fit_recovers_exponent(spark):
     assert abs(out.alpha - 1.2) < 0.02, out.alpha
     rerun = zipf_fit(df.repartition(13), "token", top_r=100).collect()[0]
     assert (rerun.alpha, rerun.intercept) == (out.alpha, out.intercept)
+
+
+def test_join_size_estimate_uniform_vs_skew(spark):
+    """Uniform 1:N keys: the containment estimate is EXACT per bucket.
+    A skewed hot key inflates exact far above the uniform estimate in
+    its bucket only; totals always reconcile with the real join."""
+    from m3d_engine_spark.operators.reporting import join_size_estimate
+
+    left = spark.createDataFrame([(k,) for k in range(100)], ["k"])
+    right = spark.createDataFrame(
+        [(k,) for k in range(100) for _ in range(3)], ["k"]
+    )
+    out = join_size_estimate(left, right, "k", "k", buckets=8).collect()
+    for r in out:
+        # 1 left row/key, 3 right rows/key, da==db ⇒ est == exact
+        assert r.est_rows == float(r.exact_rows), r
+    assert sum(r.exact_rows for r in out) == 300
+
+    # correlated skew needs multiplicity on BOTH sides (with a
+    # unique-keyed side the containment estimate is provably exact):
+    # key 7 becomes hot on both sides at once
+    hot_left = left.union(
+        spark.createDataFrame([(7,) for _ in range(9)], ["k"])
+    )
+    hot = right.union(
+        spark.createDataFrame([(7,) for _ in range(500)], ["k"])
+    )
+    skewed = join_size_estimate(hot_left, hot, "k", "k", buckets=8).collect()
+    # exact = 99 keys × 1×3 + key 7 at 10×503
+    assert sum(r.exact_rows for r in skewed) == 99 * 3 + 10 * 503
+    bad = [r for r in skewed if r.exact_rows > r.est_rows * 2]
+    assert len(bad) == 1  # only the hot key's bucket diverges
