@@ -6814,6 +6814,40 @@ LEFT JOIN ex USING (bucket)
 """
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval (retrieval.py::phrase_search): every
+    occurrence of "slow hash batch" as consecutive tokens, via the
+    positional inverted index — term-filtered posting slices joined on
+    (doc, adjusted position), phrase_len−1 joins, posting-list-sized
+    inputs (the filters push to the scan). The positional sibling of
+    bm25_topk for find-this-exact-quote at corpus scale."""
+    from m3d_engine_spark.operators.retrieval import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(docs, "doc_id", "text", "slow hash batch")
+
+
+_SQL_PHRASE_SEARCH = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+), p AS (
+  SELECT doc_id, unnest(tk) AS term,
+         generate_subscripts(tk, 1) - 1 AS pos
+  FROM t
+), t0 AS (
+  SELECT doc_id, pos AS start FROM p WHERE term = 'slow'
+), t1 AS (
+  SELECT doc_id, pos - 1 AS start FROM p WHERE term = 'hash'
+), t2 AS (
+  SELECT doc_id, pos - 2 AS start FROM p WHERE term = 'batch'
+)
+SELECT t0.doc_id, CAST(t0.start AS INTEGER) AS start_pos
+FROM t0
+JOIN t1 USING (doc_id, start)
+JOIN t2 USING (doc_id, start)
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6921,6 +6955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune": q_bloom_prune,
         "zipf_fit": q_zipf_fit,
         "join_estimate": q_join_estimate,
+        "phrase_search": q_phrase_search,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -7072,6 +7107,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prune": _SQL_BLOOM_PRUNE,
         "zipf_fit": _SQL_ZIPF_FIT,
         "join_estimate": _SQL_JOIN_ESTIMATE,
+        "phrase_search": _SQL_PHRASE_SEARCH,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

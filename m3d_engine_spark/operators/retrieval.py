@@ -240,3 +240,49 @@ class BM25RetrievalAlgorithm(Algorithm):
         from m3d_engine_spark.sources.writers import write_output
 
         write_output(self.spark, dfs[0], self.params)
+
+
+def phrase_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+) -> DataFrame:
+    """Exact phrase retrieval over a positional inverted index: every
+    occurrence of the (whitespace-tokenized) ``phrase`` as CONSECUTIVE
+    tokens, returned as ``(id_col, start_pos)`` (0-based). The
+    positional sibling of ``bm25_topk``'s bag-of-words scoring — what
+    "find this exact quote in 10⁹ documents" needs, where a full-text
+    substring scan would read every byte of the corpus.
+
+    Scale: the postings relation ``(doc, pos, term)`` is one generator
+    fan-out; each phrase term beyond the first adds ONE equi-join on
+    (doc, adjusted position) between term-filtered slices — the term
+    filters are pushed to the scan side, so join inputs are
+    posting-list-sized (df(term) rows), never corpus-sized. Join
+    count = phrase length − 1, the standard positional-index plan.
+    """
+    terms = phrase.strip().split()
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    postings = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_term"),
+    )
+    out = postings.filter(F.col("_term") == terms[0]).select(
+        "_doc", F.col("_pos").alias("_start")
+    )
+    for j, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("_term") == t).select(
+            F.col("_doc").alias("_doc2"),
+            (F.col("_pos") - F.lit(j)).alias("_start2"),
+        )
+        out = out.join(
+            nxt,
+            (F.col("_doc") == F.col("_doc2"))
+            & (F.col("_start") == F.col("_start2")),
+            "inner",
+        ).select("_doc", "_start")
+    return out.select(
+        F.col("_doc").alias(id_col), F.col("_start").alias("start_pos")
+    )

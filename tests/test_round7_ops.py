@@ -923,3 +923,33 @@ def test_join_size_estimate_uniform_vs_skew(spark):
     assert sum(r.exact_rows for r in skewed) == 99 * 3 + 10 * 503
     bad = [r for r in skewed if r.exact_rows > r.est_rows * 2]
     assert len(bad) == 1  # only the hot key's bucket diverges
+
+
+def test_phrase_search_positions_and_overlaps(spark):
+    """All start positions of the exact token sequence — including
+    overlapping matches; no match across a gap; single-term phrases
+    fall back to posting lookup; empty phrase raises."""
+    import pytest
+    from m3d_engine_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),     # 'a b a' at 0 and 2 (overlap)
+            (2, "a b c a b a x"),   # 'a b a' at 3 only
+            (3, "a c b a"),         # never
+            (4, "b a b a"),         # at 1
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r.doc_id, r.start_pos)
+        for r in phrase_search(docs, "doc_id", "text", "a b a").collect()
+    )
+    assert out == [(1, 0), (1, 2), (2, 3), (4, 1)]
+    ones = sorted(
+        (r.doc_id, r.start_pos)
+        for r in phrase_search(docs, "doc_id", "text", "c").collect()
+    )
+    assert ones == [(2, 2), (3, 1)]
+    with pytest.raises(ValueError):
+        phrase_search(docs, "doc_id", "text", "   ")
