@@ -6848,6 +6848,76 @@ JOIN t2 USING (doc_id, start)
 """
 
 
+def q_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (graph.py::label_spread) on
+    the part–supplier bipartite graph: HALF the suppliers seeded with
+    their nation, 2 clamped-majority rounds — parts take the majority
+    nation of their seeded suppliers, then the unseeded suppliers
+    inherit from their labeled parts (a genuine 2-hop spread). One
+    equi-join + one vote aggregate + a WindowGroupLimit argmax per
+    round; labels checkpointed per round."""
+    from m3d_engine_spark.operators.graph import label_spread
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+    ).distinct()
+    seeds = sup.filter(F.col("s_suppkey") % 2 == 0).select(
+        (F.col("s_suppkey") + F.lit(1000000)).alias("node"),
+        F.col("s_nationkey").cast("long").alias("label"),
+    )
+    return label_spread(edges, seeds, rounds=2)
+
+
+_SQL_LABEL_SPREAD = """
+WITH e0 AS (
+  SELECT DISTINCT l_partkey AS a, l_suppkey + 1000000 AS b FROM lineitem
+), e AS (
+  SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+), sd AS (
+  SELECT s_suppkey + 1000000 AS n, CAST(s_nationkey AS BIGINT) AS l
+  FROM supplier WHERE s_suppkey % 2 = 0
+), v1 AS (
+  SELECT e.a AS n, sd.l, count(*) AS c
+  FROM e JOIN sd ON e.b = sd.n GROUP BY 1, 2
+), n1 AS (
+  SELECT n, l FROM (
+    SELECT n, l, row_number() OVER (
+      PARTITION BY n ORDER BY c DESC, l ASC
+    ) AS rn FROM v1
+  ) WHERE rn = 1
+), l1 AS (
+  SELECT n, l FROM sd
+  UNION ALL
+  SELECT n, l FROM n1
+  WHERE NOT EXISTS (SELECT 1 FROM sd WHERE sd.n = n1.n)
+), v2 AS (
+  SELECT e.a AS n, l1.l, count(*) AS c
+  FROM e JOIN l1 ON e.b = l1.n GROUP BY 1, 2
+), n2 AS (
+  SELECT n, l FROM (
+    SELECT n, l, row_number() OVER (
+      PARTITION BY n ORDER BY c DESC, l ASC
+    ) AS rn FROM v2
+  ) WHERE rn = 1
+), l2 AS (
+  SELECT n, l FROM sd
+  UNION ALL
+  SELECT n, l FROM n2
+  WHERE NOT EXISTS (SELECT 1 FROM sd WHERE sd.n = n2.n)
+  UNION ALL
+  SELECT n, l FROM l1
+  WHERE NOT EXISTS (SELECT 1 FROM sd WHERE sd.n = l1.n)
+    AND NOT EXISTS (SELECT 1 FROM n2 WHERE n2.n = l1.n)
+)
+SELECT l2.n AS node, l2.l AS label,
+       CAST(CASE WHEN sd.n IS NOT NULL THEN 1 ELSE 0 END AS INT) AS seeded
+FROM l2 LEFT JOIN sd ON l2.n = sd.n
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -6956,6 +7026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "join_estimate": q_join_estimate,
         "phrase_search": q_phrase_search,
+        "label_spread": q_label_spread,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -7108,6 +7179,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": _SQL_ZIPF_FIT,
         "join_estimate": _SQL_JOIN_ESTIMATE,
         "phrase_search": _SQL_PHRASE_SEARCH,
+        "label_spread": _SQL_LABEL_SPREAD,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -722,3 +722,83 @@ def random_walks(
             )
         )
     return out
+
+
+def label_spread(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    rounds: int = 3,
+) -> DataFrame:
+    """Semi-supervised label propagation: spread the seed labels over
+    the (symmetrized) graph for a fixed number of rounds — each node
+    takes the majority label of its labeled neighbors, seeds stay
+    CLAMPED, a node with no labeled neighbor keeps its previous label
+    (NULL until first reached). The classification sibling of
+    ``connected_components``' propagation (there the "label" is the
+    min component id; here it is a clamped majority vote) — how a few
+    thousand hand-labeled documents classify a billion-node
+    similarity graph.
+
+    Deterministic: the vote argmax orders by (count DESC, label ASC)
+    — a total order — and fixed rounds mean no convergence race.
+
+    Scale: per round ONE equi-join (neighbor labels) + one vote
+    aggregate keyed on the node + a WindowGroupLimit argmax — the
+    ``propagation_round`` topology with a vote instead of a min; the
+    label relation is checkpointed per round (the plan-growth rule
+    every iterative operator here follows).
+
+    Returns ``(node, label, seeded)`` for every node that has a label
+    after ``rounds`` rounds.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e0 = edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+    sym = e0.unionByName(
+        e0.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    ).distinct().localCheckpoint()
+    sd = seeds.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_l")
+    ).localCheckpoint()
+    labels = sd  # round 0: only seeds are labeled
+    for _ in range(int(rounds)):
+        votes = (
+            sym.join(labels, sym["_b"] == labels["_n"], "inner")
+            .groupBy(F.col("_a"), F.col("_l"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        w = Window.partitionBy("_a").orderBy(
+            F.col("_c").desc(), F.col("_l").asc()
+        )
+        voted = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("_a").alias("_n"), F.col("_l"))
+        )
+        # seeds clamp; voted nodes update; previously-labeled,
+        # unvoted nodes carry forward
+        labels = (
+            sd.withColumn("_src", F.lit(0))
+            .unionByName(voted.withColumn("_src", F.lit(1)))
+            .unionByName(labels.withColumn("_src", F.lit(2)))
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("_n").orderBy(F.col("_src").asc())
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+            .select("_n", "_l")
+            .localCheckpoint()
+        )
+    return labels.join(
+        sd.select(F.col("_n"), F.lit(1).alias("seeded")), on="_n", how="left"
+    ).select(
+        F.col("_n").alias(node_col),
+        F.col("_l").alias(label_col),
+        F.coalesce(F.col("seeded"), F.lit(0)).cast("int").alias("seeded"),
+    )

@@ -953,3 +953,40 @@ def test_phrase_search_positions_and_overlaps(spark):
     assert ones == [(2, 2), (3, 1)]
     with pytest.raises(ValueError):
         phrase_search(docs, "doc_id", "text", "   ")
+
+
+def test_label_spread_clamps_and_majority(spark):
+    """Hand graph: two seed islands (label 1, 2) joined by a chain.
+    Seeds never change; the middle node takes the majority side;
+    unreachable nodes stay unlabeled; tie breaks to the smaller
+    label; deterministic across reruns."""
+    from m3d_engine_spark.operators.graph import label_spread
+
+    #   1s-3, 1s-4 (two seeds of label 1), 2s-5, mid 6: 3,4,5 -> two
+    #   label-1 neighbors vs one label-2 after round 1
+    edges = spark.createDataFrame(
+        [(10, 3), (11, 4), (20, 5), (3, 6), (4, 6), (5, 6), (98, 99)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame(
+        [(10, 1), (11, 1), (20, 2)], "node long, label long"
+    )
+    out = {r.node: (r.label, r.seeded) for r in
+           label_spread(edges, seeds, rounds=2).collect()}
+    assert out[10] == (1, 1) and out[11] == (1, 1) and out[20] == (2, 1)
+    assert out[3] == (1, 0) and out[4] == (1, 0) and out[5] == (2, 0)
+    assert out[6][0] == 1  # majority of labeled neighbors (1,1,2)
+    assert 98 not in out and 99 not in out  # disconnected from seeds
+    # round 3: node 5 now sees {20:2, 6:1} — a tie, and the
+    # deterministic tiebreak flips it to the smaller label (textbook
+    # LP oscillation; fixed rounds keep it reproducible)
+    r3 = {r.node: r.label for r in
+          label_spread(edges, seeds, rounds=3).collect()}
+    assert r3[5] == 1
+    # tie: node with one neighbor of each label -> smaller label wins
+    e2 = spark.createDataFrame([(10, 7), (20, 7)], "src long, dst long")
+    t = {r.node: r.label for r in label_spread(e2, seeds, rounds=1).collect()}
+    assert t[7] == 1
+    rerun = {r.node: (r.label, r.seeded) for r in
+             label_spread(edges, seeds, rounds=2).collect()}
+    assert rerun == out
