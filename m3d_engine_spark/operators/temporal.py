@@ -283,3 +283,49 @@ def interval_overlap_join(
         )
     )
     return joined.drop("_bucket")
+
+
+# --------------------------------------------------------------------------
+# CLI algorithm: params-driven dispatch (the load-algorithm pattern)
+# --------------------------------------------------------------------------
+
+from m3d_engine_spark.operators.base import Algorithm, register  # noqa: E402
+
+
+@register("Scd2History")
+class Scd2HistoryAlgorithm(Algorithm):
+    """``scd2_history`` behind the JSON-params dispatch — the
+    dimension-building sibling of DeltaLoad's latest-record
+    condensation, invocable like any load algorithm:
+
+        python -m m3d_engine_spark Scd2History params.json
+
+    Config keys: source_location OR source_table; key_columns (list),
+    order_columns (list), attr_columns (list); ts_column (optional,
+    defaults to the first order column); target_location OR
+    target_table (+ the shared write_output extras).
+    """
+
+    def read(self) -> list[DataFrame]:
+        if self.params.has("source_table"):
+            return [self.spark.table(self.params.get_string("source_table"))]
+        return [
+            self.spark.read.parquet(self.params.get_string("source_location"))
+        ]
+
+    def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
+        p = self.params
+        return [
+            scd2_history(
+                dfs[0],
+                key_cols=[str(c) for c in p.get_list("key_columns")],
+                order_cols=[str(c) for c in p.get_list("order_columns")],
+                attr_cols=[str(c) for c in p.get_list("attr_columns")],
+                ts_col=p.get_optional("ts_column", None),
+            )
+        ]
+
+    def write(self, dfs: list[DataFrame]) -> None:
+        from m3d_engine_spark.sources.writers import write_output
+
+        write_output(self.spark, dfs[0], self.params)

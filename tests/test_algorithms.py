@@ -392,3 +392,38 @@ def test_bm25_retrieval_cli_roundtrip(spark, tmp_path, sf_dir):
     assert {tuple(r) for r in lib.collect()} == {
         tuple(r) for r in out.select(*lib.columns).collect()
     }
+
+
+def test_scd2_history_cli_roundtrip(spark, tmp_path):
+    """Scd2History through the params.json CLI dispatch equals the
+    library call: a change stream condenses to versioned validity
+    intervals and writes to the target location."""
+    from m3d_engine_spark.operators.base import run_algorithm
+    from m3d_engine_spark.operators.temporal import scd2_history
+
+    src = str(tmp_path / "changes")
+    rows = [
+        (1, 10, "bronze"), (1, 20, "bronze"), (1, 30, "gold"),
+        (2, 10, "silver"), (2, 40, "gold"), (2, 50, "silver"),
+    ]
+    df = spark.createDataFrame(rows, "cust long, ts long, tier string")
+    df.write.mode("overwrite").parquet(src)
+
+    target = str(tmp_path / "dim")
+    params = {
+        "source_location": src,
+        "key_columns": ["cust"],
+        "order_columns": ["ts"],
+        "attr_columns": ["tier"],
+        "target_location": target,
+    }
+    pfile = tmp_path / "scd_params.json"
+    pfile.write_text(json.dumps(params))
+    run_algorithm(spark, "Scd2History", str(pfile))
+
+    got = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    want = sorted(
+        tuple(r) for r in scd2_history(df, ["cust"], ["ts"], ["tier"]).collect()
+    )
+    assert got == want
+    assert len(got) == 5  # (1: bronze, gold) + (2: silver, gold, silver)
