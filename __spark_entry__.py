@@ -6918,6 +6918,53 @@ FROM l2 LEFT JOIN sd ON l2.n = sd.n
 """
 
 
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (normalize.py::grouped_ols): price-vs-quantity
+    regression per return flag — the groupby-polyfit pattern as ONE
+    map-side-combinable aggregate on a 2-decimal integer lattice
+    (exact normal-equation sums in DECIMAL(38,0); only the final
+    slope/intercept/r² divisions are IEEE)."""
+    from m3d_engine_spark.operators.normalize import grouped_ols
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_ols(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
+_SQL_GROUPED_OLS = """
+WITH src AS (
+  SELECT l_returnflag,
+         CAST(round(CAST(l_quantity AS DOUBLE) * 100) AS HUGEINT) AS x,
+         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS HUGEINT) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), a AS (
+  SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS k,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM src GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(k AS BIGINT) AS n,
+       CASE WHEN k >= 2 AND CAST(k * sxx - sx * sx AS DOUBLE) != 0.0
+            THEN round(CAST(k * sxy - sx * sy AS DOUBLE)
+                       / CAST(k * sxx - sx * sx AS DOUBLE), 6)
+       END AS slope,
+       CASE WHEN k >= 2 AND CAST(k * sxx - sx * sx AS DOUBLE) != 0.0
+            THEN round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                       / CAST(k * sxx - sx * sx AS DOUBLE) / 100.0, 6)
+       END AS intercept,
+       CASE WHEN k >= 2 AND CAST(k * sxx - sx * sx AS DOUBLE) != 0.0
+                 AND CAST(k * syy - sy * sy AS DOUBLE) != 0.0
+            THEN round(CAST(k * sxy - sx * sy AS DOUBLE)
+                       * CAST(k * sxy - sx * sy AS DOUBLE)
+                       / (CAST(k * sxx - sx * sx AS DOUBLE)
+                          * CAST(k * syy - sy * sy AS DOUBLE)), 6)
+       END AS r2
+FROM a
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -7027,6 +7074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_estimate": q_join_estimate,
         "phrase_search": q_phrase_search,
         "label_spread": q_label_spread,
+        "grouped_ols": q_grouped_ols,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -7180,6 +7228,7 @@ def oracle_sql() -> dict[str, str]:
         "join_estimate": _SQL_JOIN_ESTIMATE,
         "phrase_search": _SQL_PHRASE_SEARCH,
         "label_spread": _SQL_LABEL_SPREAD,
+        "grouped_ols": _SQL_GROUPED_OLS,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -213,3 +213,68 @@ def quantile_normalize(
             ).alias("normalized"),
         )
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 100,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression ``y ≈ slope·x + intercept``
+    with exact arithmetic: one row per group with ``(n, slope,
+    intercept, r2)``. The per-segment trend primitive (elasticity per
+    product class, drift per source, throughput per shard) that pandas
+    users reach for groupby-apply-polyfit on — here it is ONE
+    map-side-combinable aggregate, no Python, no per-group collect.
+
+    ``scale`` lifts x and y onto an integer lattice (100 = exact for
+    2-decimal business values); the normal-equation sums then run in
+    DECIMAL(38,0) — order-independent — and only the final
+    slope/intercept/r² divisions are IEEE (identical in any engine),
+    rounded at ``out_dp``. NULL x or y rows are excluded; groups with
+    fewer than 2 points or zero x-variance return NULL slope.
+    """
+    gs = [F.col(c) for c in group_cols]
+    lx = F.round(F.col(x_col).cast("double") * scale).cast("decimal(38,0)")
+    ly = F.round(F.col(y_col).cast("double") * scale).cast("decimal(38,0)")
+    src = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*gs, lx.alias("_x"), ly.alias("_y"))
+    agg = src.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_k"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    den = F.col("_k") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dny = F.col("_k") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    num = F.col("_k") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = num.cast("double") / den.cast("double")
+    # intercept in original units: lattice scale cancels in slope,
+    # divides out once for the intercept
+    icpt = (
+        (F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy"))
+        .cast("double")
+        / den.cast("double")
+        / F.lit(float(scale))
+    )
+    # r² in double: num² would overflow DECIMAL(38) on big groups —
+    # exact decimals cast to (identical) doubles first, then one IEEE
+    # expression per group
+    r2 = (num.cast("double") * num.cast("double")) / (
+        den.cast("double") * dny.cast("double")
+    )
+    guard = (F.col("_k") >= 2) & (den.cast("double") != 0.0)
+    return agg.select(
+        *group_cols,
+        F.col("_k").cast("long").alias("n"),
+        F.when(guard, F.round(slope, out_dp)).alias("slope"),
+        F.when(guard, F.round(icpt, out_dp)).alias("intercept"),
+        F.when(guard & (dny.cast("double") != 0.0), F.round(r2, out_dp))
+        .alias("r2"),
+    )

@@ -990,3 +990,34 @@ def test_label_spread_clamps_and_majority(spark):
     rerun = {r.node: (r.label, r.seeded) for r in
              label_spread(edges, seeds, rounds=2).collect()}
     assert rerun == out
+
+
+def test_grouped_ols_exact_lines_and_guards(spark):
+    """A perfectly linear group recovers its exact (slope, intercept,
+    r2=1); a noisy group matches numpy polyfit; degenerate groups
+    (n<2, zero x-variance) return NULL slope; partitioning-
+    independent."""
+    import numpy as np
+    from m3d_engine_spark.operators.normalize import grouped_ols
+
+    rows = []
+    for i in range(50):
+        rows.append(("lin", float(i), 2.5 * i + 7.0))
+        rows.append(("noisy", float(i), 3.0 * i + ((i * 31) % 11 - 5.0)))
+    rows.append(("single", 1.0, 5.0))
+    rows.extend([("flat", 4.0, float(v)) for v in (1, 2, 3)])
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in grouped_ols(df, ["g"], "x", "y").collect()}
+    assert (out["lin"].slope, out["lin"].intercept, out["lin"].r2) == (
+        2.5, 7.0, 1.0
+    )
+    xs = np.array([float(i) for i in range(50)])
+    ys = np.array([3.0 * i + ((i * 31) % 11 - 5.0) for i in range(50)])
+    sl, ic = np.polyfit(xs, ys, 1)
+    assert abs(out["noisy"].slope - sl) < 1e-4
+    assert abs(out["noisy"].intercept - ic) < 1e-4
+    assert out["single"].slope is None
+    assert out["flat"].slope is None  # zero x-variance
+    rerun = {r.g: tuple(r) for r in
+             grouped_ols(df.repartition(9), ["g"], "x", "y").collect()}
+    assert rerun == {r.g: tuple(r) for r in out.values()}
