@@ -6965,6 +6965,62 @@ FROM a
 """
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap-fill (temporal.py::linear_interpolate): every 7th
+    event's value masked NULL, then interpolated per user between its
+    temporal neighbors — the imputation sibling of asof_join. Two
+    frames over ONE key exchange; boundary NULLs stay NULL."""
+    from m3d_engine_spark.operators.temporal import linear_interpolate
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        "user_id",
+        epoch_us_of(ev, "ts").alias("ts_us"),
+        F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("value"),
+    )
+    out = linear_interpolate(src, ["user_id"], "ts_us", "value",
+                             tie_cols=["event_id"])
+    return out.select(
+        "event_id", "user_id", "ts_us", "value", "value_filled",
+        "interpolated",
+    )
+
+
+_SQL_GAP_FILL = """
+WITH src AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         CASE WHEN event_id % 7 != 0 THEN value END AS value
+  FROM events
+), fr AS (
+  SELECT *,
+         last_value(CASE WHEN value IS NOT NULL THEN ts_us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pts,
+         last_value(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         first_value(CASE WHEN value IS NOT NULL THEN ts_us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nts,
+         first_value(CASE WHEN value IS NOT NULL THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM src
+)
+SELECT event_id, user_id, ts_us, value,
+       CASE WHEN value IS NOT NULL THEN CAST(value AS DOUBLE)
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              round(CASE WHEN nts = pts THEN pv
+                         ELSE pv + (nv - pv) * CAST(ts_us - pts AS DOUBLE)
+                              / CAST(nts - pts AS DOUBLE) END, 4)
+       END AS value_filled,
+       CAST(CASE WHEN value IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+                 THEN 1 ELSE 0 END AS INT) AS interpolated
+FROM fr
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -7075,6 +7131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "label_spread": q_label_spread,
         "grouped_ols": q_grouped_ols,
+        "gap_fill": q_gap_fill,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -7229,6 +7286,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _SQL_PHRASE_SEARCH,
         "label_spread": _SQL_LABEL_SPREAD,
         "grouped_ols": _SQL_GROUPED_OLS,
+        "gap_fill": _SQL_GAP_FILL,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -285,6 +285,75 @@ def interval_overlap_join(
     return joined.drop("_bucket")
 
 
+def linear_interpolate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tie_cols: Sequence[str] = (),
+    out_dp: int = 4,
+) -> DataFrame:
+    """Gap-fill a sparse per-key time series: every NULL value between
+    two known points takes the linear blend of its neighbors,
+    ``prev + (next − prev)·(t − t_prev)/(t_next − t_prev)`` — the
+    imputation sibling of ``asof_join``'s carry-forward (asof answers
+    "last known state", this answers "best estimate between
+    samples"; sensor/feature pipelines need both). NULLs before the
+    first or after the last known point stay NULL (no
+    extrapolation).
+
+    Appends ``<value>_filled`` and ``interpolated`` (1 on filled
+    rows). ``ts_col`` must be numeric (convert timestamps with
+    ``functions/epoch.epoch_us``).
+
+    Scale: two frames (last-known-before, first-known-after) over ONE
+    key-partitioned sort — Spark plans both directions on a single
+    exchange; the blend is a projection. The textbook
+    groupby-apply-pandas-interpolate, with no Python and no per-key
+    memory.
+    """
+    keys = [F.col(c) for c in key_cols]
+    ts = F.col(ts_col)
+    v = F.col(value_col)
+    # tie columns pin the frame order under duplicate timestamps —
+    # without them, which neighbor "precedes" a tied row is
+    # partitioning luck and the fill is nondeterministic
+    order = [ts.asc()] + [F.col(c).asc() for c in tie_cols]
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_ts = F.when(v.isNotNull(), ts)
+    known_v = F.when(v.isNotNull(), v)
+    prev_ts = F.last(known_ts, ignorenulls=True).over(wb)
+    prev_v = F.last(known_v, ignorenulls=True).over(wb)
+    next_ts = F.first(known_ts, ignorenulls=True).over(wf)
+    next_v = F.first(known_v, ignorenulls=True).over(wf)
+    blend = F.when(
+        next_ts == prev_ts, prev_v
+    ).otherwise(
+        prev_v
+        + (next_v - prev_v)
+        * (ts - prev_ts).cast("double")
+        / (next_ts - prev_ts).cast("double")
+    )
+    filled = F.when(v.isNotNull(), v.cast("double")).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(), F.round(blend, out_dp)
+        )
+    )
+    return df.withColumn(f"{value_col}_filled", filled).withColumn(
+        "interpolated",
+        (v.isNull() & filled.isNotNull()).cast("int"),
+    )
+
+
 # --------------------------------------------------------------------------
 # CLI algorithm: params-driven dispatch (the load-algorithm pattern)
 # --------------------------------------------------------------------------

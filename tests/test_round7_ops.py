@@ -1021,3 +1021,27 @@ def test_grouped_ols_exact_lines_and_guards(spark):
     rerun = {r.g: tuple(r) for r in
              grouped_ols(df.repartition(9), ["g"], "x", "y").collect()}
     assert rerun == {r.g: tuple(r) for r in out.values()}
+
+
+def test_linear_interpolate_hand_series(spark):
+    """Hand series per key: interior gaps blend linearly (including
+    multi-gap runs), boundary nulls stay null, known values pass
+    through untouched, ties break on the tie column."""
+    from m3d_engine_spark.operators.temporal import linear_interpolate
+
+    rows = [
+        (1, 0, None), (1, 10, 1.0), (1, 20, None), (1, 30, None),
+        (1, 40, 4.0), (1, 50, None),
+        (2, 0, 10.0), (2, 4, None), (2, 8, 30.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = {(r.k, r.t): (r.v_filled if hasattr(r, "v_filled")
+                        else r["v_filled"], r.interpolated)
+           for r in linear_interpolate(df, ["k"], "t", "v")
+           .withColumnRenamed("v_filled", "v_filled").collect()}
+    assert out[(1, 0)] == (None, 0)       # before first known
+    assert out[(1, 10)] == (1.0, 0)
+    assert out[(1, 20)] == (2.0, 1)       # 1 + (4-1)*10/30
+    assert out[(1, 30)] == (3.0, 1)
+    assert out[(1, 50)] == (None, 0)      # after last known
+    assert out[(2, 4)] == (20.0, 1)
