@@ -88,6 +88,21 @@ HEADLINERS = {
     "interp_lm": "Interpolated LM: bigram_lm topology + one extra vocabulary-sized join (the unigram floor); totals as broadcast 1-row aggregates keep the plan lazy.",
     "random_walks": "Random-walk corpus: neighbor relation ranked once (one keyed exchange) and persisted; each step is ONE equi-join with the md5-mod pick inside the join condition; per-step state collapses to a lazy checkpoint (ExistingRDD scans).",
     "negative_sampling": "Negative-sampling table: one vocabulary aggregate, broadcast lattice totals, slot projection - correctly-rounded sqrts instead of libm pow keep it engine-exact.",
+    "scd2_history": "Type-2 SCD build: ONE exchange on the key feeds BOTH windows (change-detect lag, validity lead/version) - the filter between them preserves partitioning and order, so no second sort or shuffle (pinned == 1 exchange); no join anywhere.",
+    "kanon_census": "k-anonymity gate: one map-side-combinable census on the quasi key (exchange carries one row per class) + a class-count-sized re-aggregate pooling the under-k classes - a plain census at any corpus size.",
+    "hybrid_retrieval": "Hybrid RRF fusion: both runs arrive top-k-bounded, union + ONE (query, doc) aggregate of exact lattice-div terms (no float summation), WindowGroupLimit re-rank - the fusion costs less than either input run.",
+    "length_batches": "Static-shape batching: bucket/cap/shard/waste are pure projections; the ONLY exchange is the (bucket, shard) window numbering batches (pinned == 1) - batches never cross shards, so parallelism is num_shards per bucket, not 1.",
+    "countmin_audit": "Count-min sketch: depth hashes fan out per row via posexplode INSIDE codegen (one scan, not a union of scans); the sketch aggregate's exchange is bounded at depth*width rows per task; the estimate side broadcasts the sketch - nothing corpus-sized shuffles twice.",
+    "embedding_cov": "Covariance matrix: two chained generators produce the upper-triangle products per row; ONE pair-keyed aggregate whose exchange is bounded at d(d+1)/2 rows/task; dim sums and n attach by broadcast (pinned: no SortMergeJoin). The N*d^2/2 multiply-adds are the FLOPs floor of any Gram computation - the shuffle just doesn't grow with N.",
+    "interval_join": "Interval-overlap join: both interval sets explode into covered buckets, equi-join on (key, bucket), exactly-once via the first-shared-bucket ownership predicate - never BroadcastNestedLoop, never post-join dedup.",
+    "bpe_pairs": "BPE round-0 census: the corpus collapses to the (word, n) vocabulary first (training cost thereafter independent of corpus size); the pair census is one generator fan-out + one map-side-combinable aggregate.",
+    "bloom_prune": "Explicit Bloom probe: k consecutive BROADCAST joins of the checkpointed <= ceil(m/63)-row word relation - the probed side reaches the AND projection with ZERO hashpartitioning exchanges (pinned); the build is one bit_or aggregate bounded by the filter size, not the key count.",
+    "zipf_fit": "Zipf fit: census aggregate -> TakeOrderedAndProject top-200 (per-task top-k, no global sort) -> 1-row normal-equation aggregate on the 1e-9 ln lattice in DECIMAL(38,0).",
+    "join_estimate": "Join size estimate: one per-key aggregate per side (map-side combinable), bucket rollups carry `buckets` rows, exact ground truth via the distinct-key-sized count join - the diagnostic costs a census, not the join.",
+    "phrase_search": "Phrase search: positional postings from one generator fan-out; each extra phrase term is ONE equi-join on (doc, adjusted pos) between term-FILTERED posting slices (filters pushed to the scan) - join inputs are posting-list-sized, never corpus-sized.",
+    "label_spread": "Label propagation: per round one neighbor-label equi-join + one vote aggregate keyed on the node + a WindowGroupLimit argmax; the label relation checkpoints per round (ExistingRDD here) so the plan cannot double per round.",
+    "grouped_ols": "Grouped OLS: ONE map-side-combinable aggregate of exact DECIMAL(38,0) normal-equation sums on the 2-decimal lattice; slope/intercept/r2 are per-group projections over the groups-sized result.",
+    "gap_fill": "Linear gap-fill: last-known-before and first-known-after frames share ONE key exchange and one sort; the blend is a projection - groupby-apply-interpolate with no Python and no per-key memory.",
     "containment_pairs": "Asymmetric containment (quote/excerpt detection): same inverted-index self-join as jaccard_pairs — keyed on (block, xxhash64(shingle)), SMJ with the shared exchange reused, pair counts as an aggregate — but with NO size-ratio prune (a tiny doc fully contained in a huge one is the signal Jaccard misses). The hot-shingle df-cutoff is ON (the only scale dial beyond blocking, since no size prune is possible): the per-(block, shingle) df window count reads the SAME exchange the SMJ self-join shuffles on, and |A∩B| stays exact via the hot-set correction left-joins above the pair aggregate (pinned: keyed join only, no BNLJ).",
     "snapshot_diff": "Snapshot diff (what did last night's load change): null-safe md5 row fingerprints are map-side projections on each scan; the ENTIRE diff is one full-outer SortMergeJoin on the business key (pinned == 1) — the minimum any keyed two-corpus comparison can pay; with key-bucketed snapshots even that exchange vanishes. Status classification is a projection; the counts rollup partial-aggregates 4 rows per task.",
     "sq_quantize": "SQ8 scalar quantization: per-dim min/max from one keyed aggregate (exchange carries <= dim rows), pivoted to two dim-length arrays and BROADCAST (the single 1-row BNLJ, pinned); encode and midpoint-decode error are zero-exchange array-transform projections — the quantizer trains in one pass and applies map-side, which is what a write-time re-encode of 10^9 vectors needs. Exact IEEE arithmetic both engines (no summation in the bounds), 4dp rounding on the error fold only.",
