@@ -7021,6 +7021,76 @@ FROM fr
 """
 
 
+def q_rolling_med(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window median (anomaly.py::rolling_median): per-user
+    last-10-events median of value — the robust monitoring baseline
+    next to the rolling z-score. One key exchange, one sort, one
+    Window node; the frame buffer is bounded at 10 values."""
+    from m3d_engine_spark.operators.anomaly import rolling_median
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id", "user_id", epoch_us_of(ev, "ts").alias("ts_us"),
+        "value",
+    )
+    return rolling_median(
+        src, ["user_id"], ["ts_us", "event_id"], "value", window_rows=10
+    )
+
+
+_SQL_ROLLING_MED = """
+SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+       round(median(CAST(value AS DOUBLE)) OVER (
+         PARTITION BY user_id
+         ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+       ), 4) AS rolling_median
+FROM events
+"""
+
+
+def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test (anomaly.py::ab_test): per event type,
+    users split into two deterministic cohorts (user_id parity) and
+    the value metric compared — the experimentation readout as ONE
+    map-side-combinable sufficient-statistics aggregate (exact
+    decimal n/Σx/Σx²) + per-group arithmetic."""
+    from m3d_engine_spark.operators.anomaly import ab_test
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("cohort"),
+        "value",
+    )
+    return ab_test(src, ["event_type"], "cohort", "value")
+
+
+_SQL_AB_WELCH = """
+WITH src AS (
+  SELECT event_type, user_id % 2 AS v, value
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+), pv AS (
+  SELECT event_type, v, count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value * value AS DECIMAL(30,12))) AS DOUBLE) AS sxx
+  FROM src GROUP BY event_type, v
+)
+SELECT p0.event_type,
+       p0.v AS variant_a, p1.v AS variant_b,
+       p0.n AS n_a, p1.n AS n_b,
+       round(p0.sx / p0.n, 6) AS mean_a,
+       round(p1.sx / p1.n, 6) AS mean_b,
+       round(p1.sx / p1.n - p0.sx / p0.n, 6) AS lift,
+       round((p1.sx / p1.n - p0.sx / p0.n)
+             / sqrt(((p0.sxx - p0.sx * p0.sx / p0.n) / (p0.n - 1)) / p0.n
+                    + ((p1.sxx - p1.sx * p1.sx / p1.n) / (p1.n - 1)) / p1.n),
+             6) AS t_welch
+FROM pv p0 JOIN pv p1
+  ON p0.event_type = p1.event_type AND p0.v = 0 AND p1.v = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -7132,6 +7202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_spread": q_label_spread,
         "grouped_ols": q_grouped_ols,
         "gap_fill": q_gap_fill,
+        "rolling_med": q_rolling_med,
+        "ab_welch": q_ab_welch,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -7287,6 +7359,8 @@ def oracle_sql() -> dict[str, str]:
         "label_spread": _SQL_LABEL_SPREAD,
         "grouped_ols": _SQL_GROUPED_OLS,
         "gap_fill": _SQL_GAP_FILL,
+        "rolling_med": _SQL_ROLLING_MED,
+        "ab_welch": _SQL_AB_WELCH,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

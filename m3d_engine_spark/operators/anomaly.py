@@ -83,3 +83,109 @@ def rolling_zscore_flags(
         )
         .drop("_n", "_sx", "_sxx")
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    window_rows: int = 10,
+    out_dp: int = 4,
+) -> DataFrame:
+    """Trailing-window median per key: the robust sibling of
+    ``rolling_zscore_flags``'s mean — one outlier in the window moves
+    the mean but not the median, so median-based baselines are what
+    monitoring pipelines actually deploy. Appends ``rolling_median``
+    over the last ``window_rows`` rows (current inclusive), with the
+    standard even-count interpolation (mean of the two middle
+    values).
+
+    Implementation: Spark has no exact-percentile WINDOW function, so
+    the frame's values ride a ``collect_list`` window buffer and the
+    median is array arithmetic on the sorted buffer — bounded by
+    ``window_rows`` (a trailing frame is small by construction; this
+    is NOT the unbounded-window trap). One exchange on the key, one
+    sort, one Window node.
+    """
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    keys = [F.col(c) for c in key_cols]
+    order = [F.col(c).asc() for c in order_cols]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-(int(window_rows) - 1), Window.currentRow)
+    )
+    buf = F.array_sort(
+        F.collect_list(F.col(value_col).cast("double")).over(w)
+    )
+    n = F.size(buf)
+    mid_hi = F.get(buf, (n / 2).cast("int"))          # 0-based upper middle
+    mid_lo = F.get(buf, ((n - 1) / 2).cast("int"))    # == mid_hi when odd
+    return df.withColumn(
+        "rolling_median",
+        F.round((mid_lo + mid_hi) / F.lit(2.0), out_dp),
+    )
+
+
+def ab_test(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    variant_col: str,
+    metric_col: str,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Two-sample Welch t-test per group: one row per group with both
+    variants' ``(n, mean)``, the mean lift, and the Welch t statistic
+    — the experimentation-readout primitive (is variant B's metric
+    move real or noise), computed the warehouse way: exact decimal
+    sufficient statistics (n, Σx, Σx²) per (group, variant) in ONE
+    map-side-combinable aggregate, then pure per-group arithmetic.
+    Exactly two variants per group are required (violators return
+    NULL t). Welch (unequal variances) because variant populations
+    rarely match; sample variance uses n−1.
+    """
+    gs = list(group_cols)
+    src = df.filter(
+        F.col(metric_col).isNotNull() & F.col(variant_col).isNotNull()
+    )
+    per_variant = src.groupBy(
+        *gs, F.col(variant_col).alias("_v")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(metric_col).cast("decimal(30,12)")).cast("double").alias("_sx"),
+        F.sum(
+            (F.col(metric_col) * F.col(metric_col)).cast("decimal(30,12)")
+        ).cast("double").alias("_sxx"),
+    )
+    # exactly-two-variants pivot: min/max variant per group, stats via
+    # conditional aggregation — one tiny aggregate over the
+    # (groups × variants)-sized relation
+    agg = per_variant.groupBy(*gs).agg(
+        F.count(F.lit(1)).alias("_nv"),
+        F.min("_v").alias("variant_a"),
+        F.max("_v").alias("variant_b"),
+        F.min_by(F.struct("_n", "_sx", "_sxx"), F.col("_v")).alias("_a"),
+        F.max_by(F.struct("_n", "_sx", "_sxx"), F.col("_v")).alias("_b"),
+    )
+    na, nb = F.col("_a._n").cast("double"), F.col("_b._n").cast("double")
+    ma = F.col("_a._sx") / na
+    mb = F.col("_b._sx") / nb
+    va = (F.col("_a._sxx") - F.col("_a._sx") * F.col("_a._sx") / na) / (na - 1)
+    vb = (F.col("_b._sxx") - F.col("_b._sx") * F.col("_b._sx") / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    ok = (F.col("_nv") == 2) & (na > 1) & (nb > 1)
+    return agg.select(
+        *gs,
+        "variant_a",
+        "variant_b",
+        F.col("_a._n").alias("n_a"),
+        F.col("_b._n").alias("n_b"),
+        F.round(ma, out_dp).alias("mean_a"),
+        F.round(mb, out_dp).alias("mean_b"),
+        F.when(ok, F.round(mb - ma, out_dp)).alias("lift"),
+        F.when(
+            ok & (se2 > 0), F.round((mb - ma) / F.sqrt(se2), out_dp)
+        ).alias("t_welch"),
+    )

@@ -1045,3 +1045,46 @@ def test_linear_interpolate_hand_series(spark):
     assert out[(1, 30)] == (3.0, 1)
     assert out[(1, 50)] == (None, 0)      # after last known
     assert out[(2, 4)] == (20.0, 1)
+
+
+def test_rolling_median_hand_frames(spark):
+    """Window-3 median over a hand series: robust to the spike the
+    mean would absorb; even-size prefix frames interpolate."""
+    from m3d_engine_spark.operators.anomaly import rolling_median
+
+    rows = [(1, t, v) for t, v in
+            enumerate([1.0, 3.0, 2.0, 100.0, 4.0, 5.0])]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = {r.t: r.rolling_median for r in
+           rolling_median(df, ["k"], ["t"], "v", window_rows=3).collect()}
+    assert out[0] == 1.0
+    assert out[1] == 2.0          # frame {1,3}: interpolated
+    assert out[2] == 2.0          # {1,3,2}
+    assert out[3] == 3.0          # {3,2,100}: spike rejected
+    assert out[4] == 4.0          # {2,100,4}
+    assert out[5] == 5.0          # {100,4,5}
+
+
+def test_ab_test_known_lift_and_guards(spark):
+    """Cohorts with a constructed +2.0 lift and known variances match
+    the hand-computed Welch t; one-variant and n=1 groups yield NULL
+    t."""
+    import math
+
+    from m3d_engine_spark.operators.anomaly import ab_test
+
+    rows = []
+    for i in range(100):
+        rows.append(("g", 0, float(i % 5)))          # mean 2, var 2.02..
+        rows.append(("g", 1, float(i % 5) + 2.0))    # mean 4
+    rows.append(("solo", 0, 1.0))
+    rows.extend([("tiny", 0, 1.0), ("tiny", 1, 2.0)])
+    df = spark.createDataFrame(rows, "g string, v long, x double")
+    out = {r.g: r for r in ab_test(df, ["g"], "v", "x").collect()}
+    g = out["g"]
+    assert (g.n_a, g.n_b, g.mean_a, g.mean_b, g.lift) == (100, 100, 2.0, 4.0, 2.0)
+    var = sum((x - 2.0) ** 2 for x in [float(i % 5) for i in range(100)]) / 99
+    t_want = 2.0 / math.sqrt(var / 100 + var / 100)
+    assert abs(g.t_welch - t_want) < 1e-4
+    assert out["solo"].t_welch is None
+    assert out["tiny"].t_welch is None  # n=1 per side
