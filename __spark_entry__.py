@@ -7091,6 +7091,102 @@ FROM pv p0 JOIN pv p1
 """
 
 
+def q_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (retrieval.py::rbo_overlap): how
+    differently BM25 and the embedding run rank the corpus, per probe
+    query — p=1/2 RBO@10 with exact integer rational weights (one
+    join of two top-k runs + one aggregate; IEEE only in the final
+    division)."""
+    from m3d_engine_spark.operators.retrieval import (
+        bm25_topk,
+        rbo_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5), " "
+        ).alias("qtext"),
+    )
+    lex = bm25_topk(
+        docs, "doc_id", "text", probes, "query_id", "qtext", k=10
+    ).select("query_id", "doc_id", "rank")
+    sem = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), "vec_id", "embedding",
+        k=10,
+    ).select(
+        F.col("query_id"), F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rbo_overlap(lex, sem, "query_id", "doc_id", k=10)
+
+
+def _sql_rbo_overlap() -> str:
+    from math import lcm
+
+    k = 10
+    denom = lcm(*range(1, k + 1)) * (1 << k)
+    w = [0] * (k + 2)
+    for m in range(k, 0, -1):
+        w[m] = w[m + 1] + denom // (m * (1 << m))
+    wlist = ", ".join(str(w[m]) for m in range(1, k + 1))
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), tok AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d
+), post AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM tok GROUP BY doc_id, dl, term
+), dfs AS (
+  SELECT term, count(*) AS df FROM post GROUP BY term
+), stats AS (
+  SELECT count(*) AS n, sum(len(t)) AS tot FROM d
+), q AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(t[1:5]) AS term
+  FROM d WHERE doc_id % 100 = 0
+), scored AS (
+  SELECT q.query_id, post.doc_id,
+         round(sum(
+           ln(1.0 + (n - df + 0.5) / (df + 0.5))
+           * (tf * 2.2)
+           / (tf + 1.2 * (0.25 + 0.75 * dl * n / tot))
+         ), 4) AS score
+  FROM post JOIN q USING (term) JOIN dfs USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, post.doc_id
+), bm AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS ra
+  FROM scored QUALIFY ra <= 10
+), eq AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+), pairs AS (
+  SELECT l.vec_id AS query_id, r.vec_id AS doc_id, {_SQL_COSINE} AS cosine
+  FROM embeddings r CROSS JOIN eq l
+  WHERE r.vec_id != l.vec_id
+), co AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC
+         ) AS rb
+  FROM pairs QUALIFY rb <= 10
+), contrib AS (
+  SELECT bm.query_id,
+         ([{wlist}])[greatest(bm.ra, co.rb)] AS w
+  FROM bm JOIN co USING (query_id, doc_id)
+), s AS (
+  SELECT query_id, SUM(w) AS sw FROM contrib GROUP BY query_id
+)
+SELECT q2.query_id,
+       round(CAST(coalesce(s.sw, 0) AS DOUBLE)
+             / {denom - denom // (1 << k)}.0, 6) AS rbo
+FROM (SELECT DISTINCT query_id FROM bm) q2
+LEFT JOIN s USING (query_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -7204,6 +7300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": q_gap_fill,
         "rolling_med": q_rolling_med,
         "ab_welch": q_ab_welch,
+        "rbo_overlap": q_rbo_overlap,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -7361,6 +7458,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill": _SQL_GAP_FILL,
         "rolling_med": _SQL_ROLLING_MED,
         "ab_welch": _SQL_AB_WELCH,
+        "rbo_overlap": _sql_rbo_overlap(),
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -286,3 +286,75 @@ def phrase_search(
     return out.select(
         F.col("_doc").alias(id_col), F.col("_start").alias("start_pos")
     )
+
+
+def rbo_overlap(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    query_col: str,
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 10,
+    out_dp: int = 6,
+) -> DataFrame:
+    """Rank-biased overlap (p = 1/2, truncated at depth ``k``) between
+    two ranked runs, per query — the ranking-similarity readout for
+    retrieval A/B work ("how differently do BM25 and the embedding
+    run order the corpus"), top-weighted so rank-1 disagreements
+    dominate tail shuffles.
+
+        RBO@k = (1−p) · Σ_{d=1..k} p^(d−1) · |A_d ∩ B_d| / d
+              = Σ_docs w(max(rank_a, rank_b))          [p = 1/2]
+
+    where the per-doc weight ``w(m) = Σ_{d=m..k} 1/(d·2^d)`` counts
+    every depth at which the doc is inside both prefixes. With
+    p = 1/2 every term is the rational ``1/(d·2^d)``, so the weights
+    are EXACT integers over the common denominator lcm(1..k)·2^k —
+    the whole score is one integer sum per query, IEEE only in the
+    final division. That exactness is why p is fixed rather than a
+    parameter: an arbitrary p would put a float power inside an
+    unordered sum.
+
+    The truncated sum maxes at 1 − 2^−k (the tail mass RBO_min never
+    sees), so the score is normalized by that factor — identical
+    top-k rankings read exactly 1.0 at any k; the normalizer
+    ``denom − denom/2^k`` is still an exact integer.
+
+    Scale: one (query, doc) equi-join of two already-top-k runs + one
+    aggregate keyed on the query — strictly cheaper than either run.
+    Queries with NO shared top-k docs yield rbo = 0 via the left join
+    against run_a's query set.
+    """
+    from math import lcm
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    denom = lcm(*range(1, k + 1)) * (1 << k)
+    w = [0] * (k + 2)
+    for m in range(k, 0, -1):
+        w[m] = w[m + 1] + denom // (m * (1 << m))
+    weights = F.array(*[F.lit(w[m]) for m in range(1, k + 1)])
+    a = run_a.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_d"),
+        F.col(rank_col).cast("int").alias("_ra"),
+    ).filter(F.col("_ra") <= k)
+    b = run_b.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_d"),
+        F.col(rank_col).cast("int").alias("_rb"),
+    ).filter(F.col("_rb") <= k)
+    contrib = a.join(b, on=["_q", "_d"], how="inner").select(
+        "_q",
+        F.element_at(weights, F.greatest("_ra", "_rb")).alias("_w"),
+    )
+    scores = contrib.groupBy("_q").agg(F.sum("_w").alias("_s"))
+    qs = a.select("_q").distinct()
+    return qs.join(scores, on="_q", how="left").select(
+        F.col("_q").alias(query_col),
+        F.round(
+            F.coalesce(F.col("_s"), F.lit(0)).cast("double")
+            / F.lit(float(denom - denom // (1 << k))),
+            out_dp,
+        ).alias("rbo"),
+    )

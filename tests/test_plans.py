@@ -1179,3 +1179,15 @@ def test_bloom_probe_never_shuffles_probed_side(spark, sf_dir):
     # filter is a checkpointed RDD; probe side plans only broadcasts
     assert plan.count("Exchange hashpartitioning") == 0, plan
     assert plan.count("BroadcastHashJoin") == 3
+
+
+def test_gap_fill_and_rolling_median_single_exchange(spark, sf_dir):
+    """Both trailing-frame operators: ONE exchange on the key — the
+    two interpolation frames (and the median's collect_list buffer)
+    share the same partitioning+sort; no Python anywhere."""
+    import __spark_entry__ as m
+
+    for entry in ("gap_fill", "rolling_med"):
+        plan = _plan_simple(m.queries()[entry](spark, sf_dir))
+        assert plan.count("Exchange") == 1, (entry, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

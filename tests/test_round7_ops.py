@@ -1088,3 +1088,33 @@ def test_ab_test_known_lift_and_guards(spark):
     assert abs(g.t_welch - t_want) < 1e-4
     assert out["solo"].t_welch is None
     assert out["tiny"].t_welch is None  # n=1 per side
+
+
+def test_rbo_overlap_exact_values(spark):
+    """Hand-checkable RBO@k: identical rankings score 1.0; disjoint
+    rankings 0.0; a known partial agreement matches the closed-form
+    rational value exactly."""
+    from math import lcm
+
+    from m3d_engine_spark.operators.retrieval import rbo_overlap
+
+    ident = spark.createDataFrame(
+        [(1, d, r) for r, d in enumerate([10, 11, 12], 1)],
+        "q long, d long, rank long",
+    )
+    out = rbo_overlap(ident, ident, "q", "d", k=3).collect()
+    assert out[0].rbo == 1.0
+    disjoint = spark.createDataFrame(
+        [(1, 99, 1), (1, 98, 2), (1, 97, 3)], "q long, d long, rank long"
+    )
+    assert rbo_overlap(ident, disjoint, "q", "d", k=3).collect()[0].rbo == 0.0
+    # run B = A with top-2 swapped: doc10 m=2, doc11 m=2, doc12 m=3
+    swapped = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2), (1, 12, 3)], "q long, d long, rank long"
+    )
+    denom = lcm(1, 2, 3) * 8
+    w2 = denom // (2 * 4) + denom // (3 * 8)   # depths 2,3
+    w3 = denom // (3 * 8)
+    want = round((2 * w2 + w3) / (denom - denom // 8), 6)
+    got = rbo_overlap(ident, swapped, "q", "d", k=3).collect()[0].rbo
+    assert got == want
