@@ -7187,6 +7187,45 @@ LEFT JOIN s USING (query_id)
 """
 
 
+def q_fastss_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 string join (linkage.py::fastss_pairs) over the
+    distinct part names: deletion-neighborhood blocking — two strings
+    within distance 1 always share a one-deletion variant, so
+    candidates come from ONE equi-join on the md5'd variant key and
+    Levenshtein verifies only collisions (recall 1.0 by construction,
+    never all-pairs)."""
+    from m3d_engine_spark.operators.linkage import fastss_pairs
+
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(
+        F.min("p_partkey").alias("name_id")
+    )
+    return fastss_pairs(names, "name_id", "p_name")
+
+
+_SQL_FASTSS_PAIRS = """
+WITH nm AS (
+  SELECT p_name AS s, min(p_partkey) AS id FROM part GROUP BY p_name
+), var AS (
+  SELECT id, s,
+         md5(unnest(list_distinct(list_prepend(s,
+           list_transform(range(1, length(s) + 1),
+             i -> substr(s, 1, i - 1) || substr(s, i + 1, length(s)))
+         )))) AS vk
+  FROM nm
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.s AS str_a, b.s AS str_b
+  FROM var a JOIN var b USING (vk)
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, str_a, str_b,
+       CAST(levenshtein(str_a, str_b) AS INT) AS dist
+FROM cand
+WHERE levenshtein(str_a, str_b) <= 1
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -7301,6 +7340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_med": q_rolling_med,
         "ab_welch": q_ab_welch,
         "rbo_overlap": q_rbo_overlap,
+        "fastss_pairs": q_fastss_pairs,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -7459,6 +7499,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_med": _SQL_ROLLING_MED,
         "ab_welch": _SQL_AB_WELCH,
         "rbo_overlap": _sql_rbo_overlap(),
+        "fastss_pairs": _SQL_FASTSS_PAIRS,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

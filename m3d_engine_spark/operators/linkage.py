@@ -97,3 +97,65 @@ def record_linkage(
             "rank",
         )
     )
+
+
+def fastss_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+) -> DataFrame:
+    """All pairs of rows whose strings are within edit distance 1
+    (insert/delete/substitute one character), via deletion-
+    neighborhood blocking (the FastSS trick): every string generates
+    its |s|+1 one-deletion variants (itself included), two strings
+    within distance 1 ALWAYS share a variant, so candidates come from
+    ONE equi-join on the variant key and the exact ``levenshtein``
+    runs only on collisions — never the all-pairs matrix that makes
+    naive fuzzy joins quadratic.
+
+    The complement of ``record_linkage``'s coarse blocking: this one
+    is EXACT for distance ≤ 1 (typo pairs, near-identical titles/SKUs)
+    with recall 1.0 by construction, at ~|s| join keys per row.
+
+    Returns ``(id_a, id_b, str_a, str_b, dist)`` with ``id_a < id_b``,
+    deduplicated. Scale: the variant relation is Σ(len+1) rows keyed
+    by an md5 of the variant (fixed-width key, text never joins); the
+    self-join is keyed; the Levenshtein verify touches only
+    collisions.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
+    ).filter(F.col("_s").isNotNull())
+    variants = base.select(
+        "_id",
+        "_s",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("_s")),
+                    F.expr(
+                        "transform(sequence(1, length(_s)),"
+                        " i -> concat(substring(_s, 1, i - 1),"
+                        " substring(_s, i + 1, length(_s))))"
+                    ),
+                )
+            )
+        ).alias("_v"),
+    ).select("_id", "_s", F.md5(F.col("_v")).alias("_vk"))
+    a = variants.select(
+        F.col("_id").alias("id_a"), F.col("_s").alias("str_a"), "_vk"
+    )
+    b = variants.select(
+        F.col("_id").alias("id_b"), F.col("_s").alias("str_b"), "_vk"
+    )
+    pairs = (
+        a.join(b, on="_vk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "str_a", "str_b")
+        .distinct()
+        .withColumn(
+            "dist", F.levenshtein(F.col("str_a"), F.col("str_b")).cast("int")
+        )
+        .filter(F.col("dist") <= 1)
+    )
+    return pairs

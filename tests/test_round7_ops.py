@@ -1118,3 +1118,44 @@ def test_rbo_overlap_exact_values(spark):
     want = round((2 * w2 + w3) / (denom - denom // 8), 6)
     got = rbo_overlap(ident, swapped, "q", "d", k=3).collect()[0].rbo
     assert got == want
+
+
+def test_fastss_pairs_complete_and_exact(spark):
+    """Recall 1.0 vs a brute-force distance-1 census on a hand
+    vocabulary covering substitution, insertion, deletion, and
+    dist-0 duplicates; dist-2 pairs never appear."""
+    from m3d_engine_spark.operators.linkage import fastss_pairs
+
+    words = ["cat", "bat", "cart", "ca", "dog", "dig", "dug", "cat"]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id long, s string"
+    )
+    got = {(r.id_a, r.id_b): r.dist for r in
+           fastss_pairs(df, "id", "s").collect()}
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(None)
+        def d(i, j):
+            if i == 0 or j == 0:
+                return i + j
+            return min(
+                d(i - 1, j) + 1, d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+        return d(len(a), len(b))
+
+    want = {
+        (i, j): lev(words[i], words[j])
+        for i in range(len(words))
+        for j in range(i + 1, len(words))
+        if lev(words[i], words[j]) <= 1
+    }
+    assert got == want
+    assert got[(0, 7)] == 0      # exact duplicate
+    assert got[(0, 1)] == 1      # substitution
+    assert got[(0, 2)] == 1      # insertion
+    assert got[(0, 3)] == 1      # deletion
+    assert (4, 6) in got and (5, 6) in got  # dog~dug, dig~dug
+    assert (1, 2) not in got     # bat vs cart is dist 2
