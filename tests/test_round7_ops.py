@@ -1159,3 +1159,32 @@ def test_fastss_pairs_complete_and_exact(spark):
     assert got[(0, 3)] == 1      # deletion
     assert (4, 6) in got and (5, 6) in got  # dog~dug, dig~dug
     assert (1, 2) not in got     # bat vs cart is dist 2
+
+
+def test_erase_keys_atomic_idempotent(spark, tmp_path):
+    """Erasure removes exactly the requested keys, preserves every
+    other row byte-for-byte, reports a correct audit, and re-running
+    the same request is a no-op with n_before = 0."""
+    from m3d_engine_spark.operators.erasure import erase_keys
+
+    loc = str(tmp_path / "events_table")
+    rows = [(i, i % 10, f"payload-{i}") for i in range(200)]
+    spark.createDataFrame(rows, "id long, user long, payload string").write.parquet(loc)
+    keys = spark.createDataFrame([(3,), (7,), (99,)], ["user"])
+
+    audit = {r.key: (r.n_before, r.n_after) for r in
+             erase_keys(spark, loc, "user", keys).collect()}
+    assert audit["3"] == (20, 0) and audit["7"] == (20, 0)
+    assert audit["99"] == (0, 0)  # unknown key: clean no-op
+    left = spark.read.parquet(loc)
+    assert left.count() == 160
+    assert left.filter(F.col("user").isin(3, 7)).count() == 0
+    kept = {(r.id, r.user, r.payload) for r in left.collect()}
+    want = {(i, i % 10, f"payload-{i}") for i in range(200)
+            if i % 10 not in (3, 7)}
+    assert kept == want
+    # idempotent: second run reports nothing to erase
+    again = {r.key: (r.n_before, r.n_after) for r in
+             erase_keys(spark, loc, "user", keys).collect()}
+    assert all(v == (0, 0) for v in again.values())
+    assert spark.read.parquet(loc).count() == 160
