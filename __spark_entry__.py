@@ -7226,6 +7226,53 @@ WHERE levenshtein(str_a, str_b) <= 1
 """
 
 
+def q_deepwalk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END DeepWalk prep (graph.py::random_walks composed with
+    the window-2 skip-gram census): walks over the supplier–part
+    graph become training sentences, and the (center, context) pair
+    counts are exactly what word2vec-style node-embedding training
+    consumes next to the negative_sampling table. The pair stage is
+    one walk_id-keyed self-join with the step-offset predicate (walks
+    are length-4, so the join fan-out is bounded by construction) +
+    one map-side-combinable pair aggregate."""
+    from m3d_engine_spark.operators.graph import random_walks
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey").cast("long") + F.lit(10_000_000)).alias("dst"),
+    )
+    sym = li.union(
+        li.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    walks = random_walks(sym, "src", "dst", length=3)
+    a = walks.select(
+        "walk_id", F.col("step").alias("_sa"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("_sb"), F.col("node").alias("context")
+    )
+    pairs = a.join(b, on="walk_id").filter(
+        (F.col("_sb") > F.col("_sa")) & (F.col("_sb") - F.col("_sa") <= 2)
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _sql_deepwalk_pairs() -> str:
+    base = _sql_random_walks().rstrip()
+    return f"""
+WITH walks AS (
+{base}
+)
+SELECT a.node AS center, b.node AS context, count(*) AS n
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id
+ AND b.step > a.step AND b.step - a.step <= 2
+GROUP BY a.node, b.node
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -7341,6 +7388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_welch": q_ab_welch,
         "rbo_overlap": q_rbo_overlap,
         "fastss_pairs": q_fastss_pairs,
+        "deepwalk_pairs": q_deepwalk_pairs,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -7500,6 +7548,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_welch": _SQL_AB_WELCH,
         "rbo_overlap": _sql_rbo_overlap(),
         "fastss_pairs": _SQL_FASTSS_PAIRS,
+        "deepwalk_pairs": _sql_deepwalk_pairs(),
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
