@@ -7273,6 +7273,45 @@ GROUP BY a.node, b.node
 """
 
 
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization (tfidf.py::feature_hash): 1024-dim
+    signed hashed counts per document, no vocabulary pass — the
+    shard-stable sparse featurizer. One (doc, bucket) aggregate + one
+    per-doc rebuild."""
+    from m3d_engine_spark.operators.tfidf import feature_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    return feature_hash(docs, "doc_id", "text", dim_bits=10)
+
+
+_SQL_FEATURE_HASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents
+), cells AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5('b:' || t), 1, 8)) AS UBIGINT)
+              % 1024 AS BIGINT) AS b,
+         SUM(CASE WHEN substr(md5('s:' || t), 1, 1) < '8'
+                  THEN 1 ELSE -1 END) AS v
+  FROM tok
+  GROUP BY doc_id,
+           CAST(CAST(('0x' || substr(md5('b:' || t), 1, 8)) AS UBIGINT)
+                % 1024 AS BIGINT)
+  HAVING SUM(CASE WHEN substr(md5('s:' || t), 1, 1) < '8'
+                  THEN 1 ELSE -1 END) != 0
+)
+SELECT doc_id, CAST(count(*) AS INT) AS nnz,
+       array_to_string(list_transform(
+         array_agg(struct_pack(b := b, v := v) ORDER BY b), s -> CAST(s.b AS VARCHAR)
+       ), ',') AS indices,
+       array_to_string(list_transform(
+         array_agg(struct_pack(b := b, v := v) ORDER BY b), s -> CAST(s.v AS VARCHAR)
+       ), ',') AS "values"
+FROM cells
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -7389,6 +7428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbo_overlap": q_rbo_overlap,
         "fastss_pairs": q_fastss_pairs,
         "deepwalk_pairs": q_deepwalk_pairs,
+        "feature_hash": q_feature_hash,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -7549,6 +7589,7 @@ def oracle_sql() -> dict[str, str]:
         "rbo_overlap": _sql_rbo_overlap(),
         "fastss_pairs": _SQL_FASTSS_PAIRS,
         "deepwalk_pairs": _sql_deepwalk_pairs(),
+        "feature_hash": _SQL_FEATURE_HASH,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

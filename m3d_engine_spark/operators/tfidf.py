@@ -63,3 +63,69 @@ def tfidf_top_terms(
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= k)
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim_bits: int = 10,
+) -> DataFrame:
+    """Hashing-trick vectorizer (sklearn's HashingVectorizer, the
+    distributed way): each token hashes to one of ``2^dim_bits``
+    buckets with an md5-derived ±1 sign, per-document signed counts
+    form the sparse feature vector — NO vocabulary pass, NO global
+    state, so the mapping is identical across corpus shards, engines
+    and time (the property that makes the trick deployable: train and
+    inference can never disagree on feature ids). The signed sum makes
+    collision noise zero-mean (Weinberger et al. 2009).
+
+    Returns one row per document: ``(id, nnz, indices, values)`` with
+    the sparse coordinates as comma-joined strings sorted by bucket
+    (string form keeps the relation engine-portable; split to arrays
+    at the consumer).
+
+    Scale: token explode → ONE (doc, bucket) map-side-combinable
+    aggregate → one per-doc rebuild aggregate. Bucket count bounds
+    nothing here (it is a hash range, not a relation), so dim_bits=20
+    costs the same as 10.
+    """
+    if dim_bits < 1 or dim_bits > 30:
+        raise ValueError("dim_bits must be in 1..30")
+    dim = 1 << dim_bits
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("b:"), F.col("_t"))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(dim),
+    )
+    sign = F.when(
+        F.substring(F.md5(F.concat(F.lit("s:"), F.col("_t"))), 1, 1) < "8",
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    cells = (
+        tok.select("_id", bucket.alias("_b"), sign.alias("_sg"))
+        .groupBy("_id", "_b")
+        .agg(F.sum("_sg").alias("_v"))
+        .filter(F.col("_v") != 0)
+    )
+    packed = cells.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("int").alias("nnz"),
+        F.array_sort(F.collect_list(F.struct("_b", "_v"))).alias("_arr"),
+    )
+    return packed.select(
+        F.col("_id").alias(id_col),
+        "nnz",
+        F.array_join(
+            F.expr("transform(_arr, s -> CAST(s._b AS STRING))"), ","
+        ).alias("indices"),
+        F.array_join(
+            F.expr("transform(_arr, s -> CAST(s._v AS STRING))"), ","
+        ).alias("values"),
+    )

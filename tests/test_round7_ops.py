@@ -1188,3 +1188,32 @@ def test_erase_keys_atomic_idempotent(spark, tmp_path):
              erase_keys(spark, loc, "user", keys).collect()}
     assert all(v == (0, 0) for v in again.values())
     assert spark.read.parquet(loc).count() == 160
+
+
+def test_feature_hash_stability_and_sign_cancellation(spark):
+    """The hashed vector of a document is identical regardless of
+    corpus contents or partitioning (the trick's deployability
+    property); token counts scale values linearly; nnz ≤ distinct
+    tokens; indices sorted ascending."""
+    from m3d_engine_spark.operators.tfidf import feature_hash
+
+    d1 = spark.createDataFrame([(1, "alpha beta alpha")], "id long, text string")
+    d2 = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "totally different words here")],
+        "id long, text string",
+    )
+    v1 = feature_hash(d1, "id", "text").collect()[0]
+    v2 = [r for r in feature_hash(d2.repartition(4), "id", "text").collect()
+          if r.id == 1][0]
+    assert (v1.indices, v1.values) == (v2.indices, v2.values)
+    # doubling a token doubles its value at the same index
+    dd = spark.createDataFrame(
+        [(1, "alpha beta alpha alpha beta alpha")], "id long, text string"
+    )
+    vd = feature_hash(dd, "id", "text").collect()[0]
+    assert vd.indices == v1.indices
+    assert [int(x) for x in vd.values.split(",")] == [
+        2 * int(x) for x in v1.values.split(",")
+    ]
+    idx = [int(x) for x in v1.indices.split(",")]
+    assert idx == sorted(idx) and v1.nnz == len(idx) <= 2
