@@ -7312,6 +7312,41 @@ GROUP BY doc_id
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (dedup.py::source_overlap):
+    pairwise distinct-shingle jaccard + small-side containment
+    between corpus sources — "is source A a re-crawl of source B"
+    before any per-document work. Inverted-index backbone; per-source
+    totals broadcast."""
+    from m3d_engine_spark.operators.dedup import source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_overlap(docs, "source", "text")
+
+
+_SQL_SOURCE_OVERLAP = f"""
+WITH toks AS (
+  SELECT source, {_SQL_TOKS} AS t FROM documents
+), sh AS (
+  SELECT DISTINCT source, unnest({_SQL_SHINGLES}) AS s FROM toks
+), sizes AS (
+  SELECT source, count(*) AS n FROM sh GROUP BY source
+), common AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_common,
+       round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4)
+         AS jaccard,
+       round(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 4)
+         AS containment
+FROM common
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -7429,6 +7464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastss_pairs": q_fastss_pairs,
         "deepwalk_pairs": q_deepwalk_pairs,
         "feature_hash": q_feature_hash,
+        "source_overlap": q_source_overlap,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -7590,6 +7626,7 @@ def oracle_sql() -> dict[str, str]:
         "fastss_pairs": _SQL_FASTSS_PAIRS,
         "deepwalk_pairs": _sql_deepwalk_pairs(),
         "feature_hash": _SQL_FEATURE_HASH,
+        "source_overlap": _SQL_SOURCE_OVERLAP,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

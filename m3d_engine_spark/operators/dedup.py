@@ -1141,3 +1141,66 @@ def lsh_calibration(
             ),
         )
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, how much distinct ``shingle_n``-gram content they share —
+    ``jaccard`` (symmetric overlap) and ``containment`` (share of the
+    SMALLER side, the leakage-detection number: a small source fully
+    quoted inside a big crawl shows containment ≈ 1 at tiny jaccard).
+    The corpus-level rollup of the per-document novelty/containment
+    tier: "is source A secretly a re-crawl of source B" answered
+    before any per-document work.
+
+    Topology: the inverted-index backbone once more — distinct
+    (source, shingle-hash) relation, self-equi-join on the 64-bit
+    hash with ``source_a < source_b``, pair counts + per-source
+    totals via broadcast (sources are few by definition). Shingle
+    text never crosses an exchange.
+    """
+    sh = (
+        df.select(
+            F.col(source_col).alias("_src"),
+            F.explode(
+                F.array_distinct(shingle_array(F.col(text_col), shingle_n))
+            ).alias("_s"),
+        )
+        .select("_src", F.xxhash64("_s").alias("_h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col("_src").alias("source_a"), "_h")
+    b = sh.select(F.col("_src").alias("source_b"), "_h")
+    common = (
+        a.join(b, on="_h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("_src").alias("source_a"), F.col("_n").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("_src").alias("source_b"), F.col("_n").alias("n_b")))
+    return (
+        common.join(sa, on="source_a")
+        .join(sb, on="source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common") / F.least(F.col("n_a"), F.col("n_b")), 4
+            ).alias("containment"),
+        )
+    )

@@ -1217,3 +1217,25 @@ def test_feature_hash_stability_and_sign_cancellation(spark):
     ]
     idx = [int(x) for x in v1.indices.split(",")]
     assert idx == sorted(idx) and v1.nnz == len(idx) <= 2
+
+
+def test_source_overlap_containment_vs_jaccard(spark):
+    """A tiny source fully quoted inside a big one: containment 1.0 at
+    small jaccard; disjoint sources never pair; symmetric dedup of
+    (a, b) ordering."""
+    from m3d_engine_spark.operators.dedup import source_overlap
+
+    big = " ".join(f"w{i}" for i in range(40))
+    quote = " ".join(f"w{i}" for i in range(10))  # strict subset
+    docs = spark.createDataFrame(
+        [(1, big, "crawl"), (2, quote, "wiki"), (3, "x y z q r s", "other")],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.source_a, r.source_b): r for r in
+           source_overlap(docs, "source", "text").collect()}
+    cw = out[("crawl", "wiki")]
+    assert cw.containment == 1.0      # the quote is fully contained
+    assert cw.jaccard == round(cw.n_common / (cw.n_a + cw.n_b - cw.n_common), 4)
+    assert cw.jaccard < 0.3
+    assert not any("other" in k for k in out)  # disjoint never pairs
+    assert all(a < b for a, b in out)
