@@ -157,3 +157,43 @@ def copy_dir(dfs: DFS, src: str, dst: str, overwrite: bool = True) -> bool:
             False, overwrite, conf,
         )
     )
+
+
+def version_as_of(
+    dfs: DFS, base: str, as_of: float | str | None = None
+) -> str:
+    """Time-travel over the engine's timestamped version directories:
+    the path of the newest version at-or-before ``as_of`` (a unix
+    timestamp, a ``YYYYmmdd_HHMMSS`` stamp string, or None for
+    latest). The read-side complement of ``next_version_dir`` +
+    retention: every materialization under this layout is already a
+    snapshot log, so "what did the table look like before last
+    night's load" is a directory pick, not a storage-format feature.
+    Raises FileNotFoundError when no version is old enough (or none
+    exist). Dirs whose names aren't version stamps are ignored — the
+    same tolerance the retention sweep applies.
+    """
+    import re
+
+    if as_of is None:
+        stamp = "99999999_999999"
+    elif isinstance(as_of, str):
+        if not re.fullmatch(r"\d{8}_\d{6}", as_of):
+            raise ValueError(f"not a version stamp: {as_of!r}")
+        stamp = as_of
+    else:
+        stamp = time.strftime("%Y%m%d_%H%M%S", time.gmtime(as_of))
+    versions = sorted(
+        d for d in dfs.list_dirs(base)
+        if re.fullmatch(r"\d{8}_\d{6}", d.rstrip("/").rsplit("/", 1)[-1])
+    )
+    eligible = [
+        d for d in versions
+        if d.rstrip("/").rsplit("/", 1)[-1] <= stamp
+    ]
+    if not eligible:
+        raise FileNotFoundError(
+            f"no version of {base} at or before {stamp}"
+        )
+    # list_dirs yields bare names; return a readable path
+    return f"{base.rstrip('/')}/{eligible[-1].rstrip('/').rsplit('/', 1)[-1]}"

@@ -1191,3 +1191,28 @@ def test_gap_fill_and_rolling_median_single_exchange(spark, sf_dir):
         plan = _plan_simple(m.queries()[entry](spark, sf_dir))
         assert plan.count("Exchange") == 1, (entry, plan)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_session4_entries_no_cartesian_no_python(spark, sf_dir):
+    """Blanket shape pin for every session-4 registry entry: no
+    CartesianProduct anywhere, and no row-at-a-time or Arrow Python
+    operator (every one of these is a pure-JVM plan). BNLJ is allowed
+    only where a broadcast probe is the documented design
+    (hybrid/rbo's brute cosine run; 1-row stats broadcasts)."""
+    import __spark_entry__ as m
+
+    entries = [
+        "scd2_history", "kanon_census", "hybrid_retrieval",
+        "length_batches", "countmin_audit", "embedding_cov",
+        "interval_join", "bpe_pairs", "bloom_prune", "zipf_fit",
+        "join_estimate", "phrase_search", "label_spread", "grouped_ols",
+        "gap_fill", "rolling_med", "ab_welch", "rbo_overlap",
+        "fastss_pairs", "deepwalk_pairs", "feature_hash",
+        "source_overlap",
+    ]
+    qs = m.queries()
+    for name in entries:
+        plan = _plan_simple(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name

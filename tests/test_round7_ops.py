@@ -1239,3 +1239,30 @@ def test_source_overlap_containment_vs_jaccard(spark):
     assert cw.jaccard < 0.3
     assert not any("other" in k for k in out)  # disjoint never pairs
     assert all(a < b for a, b in out)
+
+
+def test_version_as_of_time_travel(spark, tmp_path):
+    """Three materialized versions: as_of picks the newest at-or-before
+    the cut (inclusive), latest with no cut, raises before the first;
+    non-version litter in the base dir is ignored."""
+    import pytest
+
+    from m3d_engine_spark.sources.dfs import DFS, next_version_dir, version_as_of
+
+    base = str(tmp_path / "mat")
+    dfs = DFS(spark)
+    stamps = []
+    for i, ts in enumerate([1_000_000_000, 1_000_100_000, 1_000_200_000]):
+        path = next_version_dir(base, ts)
+        stamps.append(path.rsplit("/", 1)[-1])
+        spark.range(i + 1).write.mode("overwrite").parquet(path)
+    dfs.mkdirs(f"{base}/year=2024")  # pre-version layout litter
+
+    assert version_as_of(dfs, base).endswith(stamps[2])
+    assert spark.read.parquet(version_as_of(dfs, base, 1_000_150_000)).count() == 2
+    assert version_as_of(dfs, base, 1_000_100_000).endswith(stamps[1])  # inclusive
+    assert version_as_of(dfs, base, stamps[0]).endswith(stamps[0])
+    with pytest.raises(FileNotFoundError):
+        version_as_of(dfs, base, 999_999_000)
+    with pytest.raises(ValueError):
+        version_as_of(dfs, base, "yesterday")
