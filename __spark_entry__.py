@@ -7347,6 +7347,86 @@ JOIN sizes sb ON sb.source = source_b
 """
 
 
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pipeline (multimodal.py::perceptual_hash +
+    banded_hamming_pairs): payloads → locality-preserving 64-bit
+    dHash via the Arrow decode-stand-in kernel (average-pool the byte
+    stream into the 8×9 grid a real dHash pools pixels into) → 4×16
+    banded Hamming join at distance ≤ 3. The image-dedup topology
+    with the codec stubbed: swap the kernel for PIL in a
+    codec-equipped container and the plan is unchanged."""
+    from m3d_engine_spark.operators.multimodal import (
+        banded_hamming_pairs,
+        perceptual_hash,
+        synthesize_media_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # every-50th payload gets a same-length one-byte-substituted twin
+    # (the corpus itself has no byte-near payloads) — the pairs the
+    # banded join must recover are (original, twin)
+    twins = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.concat(F.lit("z"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    media = synthesize_media_from_documents(
+        docs.unionByName(twins)
+    ).filter(F.octet_length(F.col("payload")) >= 72)
+    ph = perceptual_hash(media)
+    return banded_hamming_pairs(ph, "media_id", "dhash", max_dist=3,
+                                bands=4)
+
+
+_SQL_PHASH_DEDUP = """
+WITH un AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, 'z' || substr(text, 2)
+  FROM documents WHERE doc_id % 50 = 0
+), src AS (
+  SELECT doc_id AS media_id, text, length(text) AS L
+  FROM un WHERE octet_length(encode(text)) >= 72
+), by AS (
+  SELECT media_id, ((i - 1) * 72) // L AS j,
+         ascii(substr(text, i, 1)) AS v
+  FROM src CROSS JOIN unnest(range(1, L + 1)) AS u(i)
+), m AS (
+  SELECT media_id, j, SUM(v) // count(*) AS mv
+  FROM by GROUP BY media_id, j
+), g AS (
+  SELECT media_id, list(mv ORDER BY j) AS arr FROM m GROUP BY media_id
+), hq AS (
+  SELECT media_id,
+         SUM(CASE WHEN arr[(k // 8) * 9 + (k % 8) + 1]
+                       < arr[(k // 8) * 9 + (k % 8) + 2]
+                  THEN CAST(1 AS HUGEINT) << (63 - k)
+                  ELSE CAST(0 AS HUGEINT) END) AS hu
+  FROM g CROSS JOIN unnest(range(0, 64)) AS u(k)
+  GROUP BY media_id
+), hh AS (
+  SELECT media_id,
+         CAST(CASE WHEN hu >= CAST(1 AS HUGEINT) << 63
+                   THEN hu - (CAST(1 AS HUGEINT) << 64)
+                   ELSE hu END AS BIGINT) AS dhash
+  FROM hq
+), bd AS (
+  SELECT media_id, dhash, b,
+         CAST(((CASE WHEN dhash < 0
+                     THEN CAST(dhash AS HUGEINT) + (CAST(1 AS HUGEINT) << 64)
+                     ELSE CAST(dhash AS HUGEINT) END)
+               >> (b * 16)) % 65536 AS BIGINT) AS k
+  FROM hh CROSS JOIN unnest(range(0, 4)) AS u(b)
+), cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b,
+         a.dhash AS da, b2.dhash AS db
+  FROM bd a JOIN bd b2
+    ON a.b = b2.b AND a.k = b2.k AND a.media_id < b2.media_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(da, db)) AS INT) AS dist
+FROM cand WHERE bit_count(xor(da, db)) <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -7465,6 +7545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deepwalk_pairs": q_deepwalk_pairs,
         "feature_hash": q_feature_hash,
         "source_overlap": q_source_overlap,
+        "phash_dedup": q_phash_dedup,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -7627,6 +7708,7 @@ def oracle_sql() -> dict[str, str]:
         "deepwalk_pairs": _sql_deepwalk_pairs(),
         "feature_hash": _SQL_FEATURE_HASH,
         "source_overlap": _SQL_SOURCE_OVERLAP,
+        "phash_dedup": _SQL_PHASH_DEDUP,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -309,3 +309,116 @@ def tile_images(decoded: DataFrame, tile: int = 64) -> DataFrame:
             ).alias("tile_key"),
         )
     )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def _phash_batch_stub(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in for a real dHash (PIL resize→gray→
+    difference hash): average-pool the PAYLOAD BYTE STREAM into the
+    8×9 grid a real dHash pools pixels into, then take the standard
+    horizontal-difference bits. Locality-preserving by construction —
+    payloads differing in a few bytes pool to nearly identical grids,
+    so near-duplicate payloads land within small Hamming distance,
+    which is the property the downstream banded join needs and a
+    plain content hash destroys. Byte i belongs to cell i·72//len
+    (invertible floor rule, same in the SQL twin)."""
+    def dhash(b) -> int:
+        b = b or b""
+        L = len(b)
+        sums = [0] * 72
+        cnts = [0] * 72
+        for i, byte in enumerate(b):
+            j = i * 72 // L
+            sums[j] += byte
+            cnts[j] += 1
+        m = [sums[j] // cnts[j] if cnts[j] else 0 for j in range(72)]
+        h = 0
+        for r in range(8):
+            for c in range(8):
+                h = (h << 1) | (1 if m[r * 9 + c] < m[r * 9 + c + 1] else 0)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "dhash": pdf["payload"].map(dhash).astype("int64"),
+        }
+    )
+
+
+def perceptual_hash(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """64-bit perceptual difference-hash per media payload via the
+    Arrow kernel (the decode stand-in; swap ``_phash_batch_stub`` for
+    a PIL-based kernel in a codec-equipped container — the Spark plan
+    around it is identical). Returns (media_id, dhash)."""
+    if not decode_stub:
+        raise NotImplementedError(
+            "real perceptual hashing needs PIL, not present here"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _phash_batch_stub(pdf)
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )
+
+
+def banded_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_dist: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """All id pairs whose 64-bit signatures are within ``max_dist``
+    Hamming bits — the generic banded join behind
+    ``dedup.simhash64_hamming_pairs``, exposed for ANY precomputed
+    signature column (perceptual hashes here). Pigeonhole: with
+    ``max_dist < bands`` equal-width bands, a qualifying pair shares
+    at least one full band, so candidates come from ``bands``
+    equi-joins (one posexplode + one keyed self-join) and
+    ``bit_count(xor)`` verifies only collisions. Never all-pairs.
+    """
+    if not 0 < bands <= 64 or 64 % bands:
+        raise ValueError("bands must divide 64")
+    if max_dist >= bands:
+        raise ValueError("pigeonhole needs max_dist < bands")
+    width = 64 // bands
+    keys = F.array(
+        *[
+            F.shiftrightunsigned(F.col("_sig"), b * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig")
+    ).select("_id", "_sig", F.posexplode(keys).alias("_b", "_k"))
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"), "_b", "_k"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"), "_b", "_k"
+    )
+    return (
+        a.join(b, on=["_b", "_k"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+        .withColumn(
+            "dist",
+            F.bit_count(F.expr("_sa ^ _sb")).cast("int"),
+        )
+        .filter(F.col("dist") <= int(max_dist))
+        .select("id_a", "id_b", "dist")
+    )

@@ -1266,3 +1266,33 @@ def test_version_as_of_time_travel(spark, tmp_path):
         version_as_of(dfs, base, 999_999_000)
     with pytest.raises(ValueError):
         version_as_of(dfs, base, "yesterday")
+
+
+def test_perceptual_hash_locality_and_banded_pairs(spark):
+    """The byte-pooling dHash is locality-preserving: a one-byte
+    substitution stays within a few Hamming bits while a different
+    payload is far; banded_hamming_pairs recovers exactly the close
+    pairs and validates its dials."""
+    import pytest
+    from m3d_engine_spark.operators.multimodal import (
+        banded_hamming_pairs,
+        perceptual_hash,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog " * 4).encode()
+    near = b"Z" + base[1:]
+    far = bytes(range(72)) * 3
+    media = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "media_id long, payload binary"
+    )
+    ph = perceptual_hash(media)
+    h = {r.media_id: r.dhash for r in ph.collect()}
+    assert bin((h[1] ^ h[2]) & ((1 << 64) - 1)).count("1") <= 3
+    assert bin((h[1] ^ h[3]) & ((1 << 64) - 1)).count("1") > 10
+    pairs = {(r.id_a, r.id_b): r.dist
+             for r in banded_hamming_pairs(ph, "media_id", "dhash").collect()}
+    assert set(pairs) == {(1, 2)}
+    with pytest.raises(ValueError):
+        banded_hamming_pairs(ph, "media_id", "dhash", max_dist=4, bands=4)
+    with pytest.raises(ValueError):
+        banded_hamming_pairs(ph, "media_id", "dhash", bands=5)
