@@ -7427,6 +7427,51 @@ FROM cand WHERE bit_count(xor(da, db)) <= 3
 """
 
 
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous sharding (shuffle.py::rendezvous_assign): customers
+    assigned under 8 AND 9 shards in one pass — the census shows the
+    HRW property directly (only ~1/9 of each shard's keys move on
+    grow, vs ~8/9 under mod-sharding). Pure projection argmax, zero
+    exchanges below the census aggregate."""
+    from m3d_engine_spark.operators.shuffle import rendezvous_assign
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    a8 = rendezvous_assign(cust, "c_custkey", 8).withColumnRenamed(
+        "shard", "shard8"
+    )
+    both = rendezvous_assign(a8, "c_custkey", 9).withColumnRenamed(
+        "shard", "shard9"
+    )
+    return both.groupBy("shard8").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("shard9") != F.col("shard8")).cast("int")
+        ).cast("long").alias("n_moved"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+_SQL_RENDEZVOUS_SHARDS = """
+WITH w AS (
+  SELECT c_custkey, s,
+         substr(md5(':' || CAST(s AS VARCHAR) || ':'
+                    || CAST(c_custkey AS VARCHAR)), 1, 16) AS w
+  FROM customer CROSS JOIN unnest(range(0, 9)) AS u(s)
+), a AS (
+  SELECT c_custkey,
+         CAST(arg_max(s, w) FILTER (WHERE s < 8) AS INT) AS shard8,
+         CAST(arg_max(s, w) AS INT) AS shard9
+  FROM w GROUP BY c_custkey
+)
+SELECT shard8, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN shard9 != shard8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved,
+       min(c_custkey) AS min_key, max(c_custkey) AS max_key
+FROM a GROUP BY shard8
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -7546,6 +7591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash": q_feature_hash,
         "source_overlap": q_source_overlap,
         "phash_dedup": q_phash_dedup,
+        "rendezvous_shards": q_rendezvous_shards,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -7709,6 +7755,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_hash": _SQL_FEATURE_HASH,
         "source_overlap": _SQL_SOURCE_OVERLAP,
         "phash_dedup": _SQL_PHASH_DEDUP,
+        "rendezvous_shards": _SQL_RENDEZVOUS_SHARDS,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -83,3 +83,43 @@ def epoch_shuffle_write(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each key
+    goes to ``argmax_s md5(salt ":" s ":" key)`` — the stability
+    upgrade over mod-sharding that matters when shard counts change:
+    growing S → S+1 moves only the ~1/(S+1) of keys the new shard
+    wins, while ``pmod(hash, S)`` reshuffles almost everything (an
+    epoch-shuffle or bucketed-corpus resize under mod-sharding is a
+    full rewrite; under HRW it is an incremental move).
+
+    Pure projection: the S candidate weights evaluate per row inside
+    codegen (array argmax over md5 prefixes — lowercase hex compares
+    lexicographically == numerically, no integer conversion), zero
+    exchanges, deterministic everywhere. S beyond a few hundred wants
+    the two-level variant (HRW over shard GROUPS, then within); the
+    argmax cost is S md5s per row.
+    """
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    key = F.col(id_col).cast("string")
+    weights = F.array(
+        *[
+            F.struct(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}:{s}:"), key)), 1, 16
+                ).alias("w"),
+                F.lit(s).cast("int").alias("s"),
+            )
+            for s in range(int(num_shards))
+        ]
+    )
+    return df.withColumn(
+        "shard", F.array_max(weights).getField("s")
+    )

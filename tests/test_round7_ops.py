@@ -1296,3 +1296,27 @@ def test_perceptual_hash_locality_and_banded_pairs(spark):
         banded_hamming_pairs(ph, "media_id", "dhash", max_dist=4, bands=4)
     with pytest.raises(ValueError):
         banded_hamming_pairs(ph, "media_id", "dhash", bands=5)
+
+
+def test_rendezvous_minimal_movement_and_balance(spark):
+    """HRW's defining property on 5000 keys: growing 8 → 9 shards
+    moves ≈ 1/9 of keys (vs ≈ 8/9 under mod-sharding), every moved
+    key lands on the NEW shard, and occupancy is roughly balanced."""
+    from m3d_engine_spark.operators.shuffle import rendezvous_assign
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], ["k"])
+    a = rendezvous_assign(df, "k", 8).withColumnRenamed("shard", "s8")
+    b = rendezvous_assign(a, "k", 9).withColumnRenamed("shard", "s9")
+    rows = b.collect()
+    moved = [r for r in rows if r.s8 != r.s9]
+    frac = len(moved) / len(rows)
+    assert 0.08 < frac < 0.15, frac          # ~1/9 ± noise
+    assert all(r.s9 == 8 for r in moved)     # movers go to the new shard
+    from collections import Counter
+
+    occ = Counter(r.s8 for r in rows)
+    assert len(occ) == 8
+    assert max(occ.values()) < 2.0 * min(occ.values())
+    # determinism across partitionings
+    rerun = rendezvous_assign(df.repartition(7), "k", 8).collect()
+    assert {(r.k, r.shard) for r in rerun} == {(r.k, r.s8) for r in rows}
