@@ -7472,6 +7472,54 @@ FROM a GROUP BY shard8
 """
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract gate (expectations.py::expectations_check): five
+    named SQL rules over lineitem evaluated in ONE aggregate pass —
+    the great-expectations pattern as a relation (NULL fails closed).
+    Checking 50 rules costs the same single scan."""
+    from m3d_engine_spark.operators.expectations import expectations_check
+
+    li = _t(spark, sf_dir, "lineitem")
+    return expectations_check(
+        li,
+        {
+            "qty_range": "l_quantity BETWEEN 1 AND 50",
+            "price_positive": "l_extendedprice > 0",
+            "discount_bound": "l_discount BETWEEN 0 AND 0.4",
+            "flag_domain": "l_returnflag IN ('A', 'N', 'R')",
+            "line_number_positive": "l_linenumber >= 1",
+        },
+    )
+
+
+_SQL_EXPECTATIONS = """
+WITH a AS (
+  SELECT count(*) AS n,
+         SUM(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+                  THEN 0 ELSE 1 END) AS v0,
+         SUM(CASE WHEN coalesce(l_extendedprice > 0, FALSE)
+                  THEN 0 ELSE 1 END) AS v1,
+         SUM(CASE WHEN coalesce(l_discount BETWEEN 0 AND 0.4, FALSE)
+                  THEN 0 ELSE 1 END) AS v2,
+         SUM(CASE WHEN coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE)
+                  THEN 0 ELSE 1 END) AS v3,
+         SUM(CASE WHEN coalesce(l_linenumber >= 1, FALSE)
+                  THEN 0 ELSE 1 END) AS v4
+  FROM lineitem
+), u AS (
+  SELECT 'qty_range' AS rule, n, v0 AS v FROM a
+  UNION ALL SELECT 'price_positive', n, v1 FROM a
+  UNION ALL SELECT 'discount_bound', n, v2 FROM a
+  UNION ALL SELECT 'flag_domain', n, v3 FROM a
+  UNION ALL SELECT 'line_number_positive', n, v4 FROM a
+)
+SELECT rule, n AS n_rows, CAST(v AS BIGINT) AS n_violations,
+       round(CAST(v AS DOUBLE) / n, 6) AS violation_rate,
+       CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS INT) AS passed
+FROM u
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -7592,6 +7640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "phash_dedup": q_phash_dedup,
         "rendezvous_shards": q_rendezvous_shards,
+        "expectations": q_expectations,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -7756,6 +7805,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": _SQL_SOURCE_OVERLAP,
         "phash_dedup": _SQL_PHASH_DEDUP,
         "rendezvous_shards": _SQL_RENDEZVOUS_SHARDS,
+        "expectations": _SQL_EXPECTATIONS,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -1320,3 +1320,34 @@ def test_rendezvous_minimal_movement_and_balance(spark):
     # determinism across partitionings
     rerun = rendezvous_assign(df.repartition(7), "k", 8).collect()
     assert {(r.k, r.shard) for r in rerun} == {(r.k, r.s8) for r in rows}
+
+
+def test_expectations_null_fails_closed_single_pass(spark):
+    """NULL predicate results count as violations (fail-closed); rates
+    and flags are exact; a NULL-tolerant rule written explicitly
+    passes; empty rules raise; the whole check is one scan (one
+    aggregate in the plan)."""
+    import pytest
+    from m3d_engine_spark.operators.expectations import expectations_check
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0), (4, 0.0)],
+        "id long, v double",
+    )
+    out = {r.rule: r for r in expectations_check(
+        df,
+        {
+            "v_positive": "v > 0",                       # NULL row fails
+            "v_ok_or_null": "v IS NULL OR v >= -10",
+            "id_positive": "id > 0",
+        },
+    ).collect()}
+    assert out["v_positive"].n_violations == 3   # NULL, -5, 0
+    assert out["v_positive"].passed == 0
+    assert out["v_positive"].violation_rate == 0.75
+    assert out["v_ok_or_null"].n_violations == 0
+    assert out["v_ok_or_null"].passed == 1
+    assert out["id_positive"].passed == 1
+    assert all(r.n_rows == 4 for r in out.values())
+    with pytest.raises(ValueError):
+        expectations_check(df, {})
