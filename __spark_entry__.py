@@ -7520,6 +7520,41 @@ FROM u
 """
 
 
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint
+    (expectations.py::table_checksum) over lineitem's key/flag/date
+    columns: one commutative decimal sum of per-row md5 lattice
+    hashes — the cheap are-these-snapshots-identical probe in front
+    of snapshot_diff. One map-side-combinable aggregate."""
+    from m3d_engine_spark.operators.expectations import table_checksum
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus",
+        F.col("l_shipdate").cast("string").alias("l_shipdate"),
+    )
+    return table_checksum(li)
+
+
+_SQL_TABLE_CHECKSUM = """
+WITH h AS (
+  SELECT CAST(CAST(('0x' || substr(md5(concat_ws(chr(31),
+           coalesce(CAST(l_orderkey AS VARCHAR), chr(0) || 'null'),
+           coalesce(CAST(l_partkey AS VARCHAR), chr(0) || 'null'),
+           coalesce(CAST(l_suppkey AS VARCHAR), chr(0) || 'null'),
+           coalesce(CAST(l_linenumber AS VARCHAR), chr(0) || 'null'),
+           coalesce(CAST(l_returnflag AS VARCHAR), chr(0) || 'null'),
+           coalesce(CAST(l_linestatus AS VARCHAR), chr(0) || 'null'),
+           coalesce(CAST(l_shipdate AS VARCHAR), chr(0) || 'null')
+         )), 1, 15)) AS UBIGINT) AS BIGINT) AS hv
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(hv AS HUGEINT)) AS VARCHAR) AS checksum
+FROM h
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -7641,6 +7676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dedup": q_phash_dedup,
         "rendezvous_shards": q_rendezvous_shards,
         "expectations": q_expectations,
+        "table_checksum": q_table_checksum,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -7806,6 +7842,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_dedup": _SQL_PHASH_DEDUP,
         "rendezvous_shards": _SQL_RENDEZVOUS_SHARDS,
         "expectations": _SQL_EXPECTATIONS,
+        "table_checksum": _SQL_TABLE_CHECKSUM,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

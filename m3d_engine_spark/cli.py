@@ -14,6 +14,7 @@ from m3d_engine_spark.operators import (  # noqa: F401 — populate REGISTRY
     curation,
     delta_lake_load,
     delta_load,
+    expectations,
     fixed_size_extractor,
     full_load,
     fuzzy_dedup,
@@ -23,6 +24,7 @@ from m3d_engine_spark.operators import (  # noqa: F401 — populate REGISTRY
     nested_flattener,
     retrieval,
     sql_runner,
+    temporal,
     template,
     transpose,
 )

@@ -65,3 +65,85 @@ def expectations_check(
         F.when(F.col("n_violations") == 0, 1).otherwise(0).cast("int")
         .alias("passed"),
     )
+
+
+def table_checksum(df: DataFrame) -> DataFrame:
+    """Order-independent relation fingerprint: one row
+    ``(n_rows, checksum)`` where the checksum is the sum of per-row
+    64-bit hashes in DECIMAL(38,0) — commutative, so ANY partitioning,
+    ordering, or engine produces the same value for the same multiset
+    of rows. The cheap are-these-tables-identical probe in front of
+    ``snapshot_diff``'s full per-row comparison: equal checksums +
+    equal counts ⇒ almost surely identical (64-bit collision odds);
+    different ⇒ certainly different, and the expensive diff runs only
+    then.
+
+    Rows hash via the engine's md5 discipline (first 15 hex digits →
+    60-bit int) over every column cast to string with a NULL sentinel
+    and a unit-separator join — the same null-safe fingerprinting as
+    snapshot_diff, and md5-of-identical-bytes makes the checksum
+    CROSS-ENGINE comparable too (mind float columns: engines format
+    doubles differently, so canonicalize or exclude them when
+    comparing across engines; within one engine any column is fine).
+    One map-side-combinable aggregate; nothing shuffles but partial
+    sums.
+    """
+    cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+        for c in df.columns
+    ]
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *cols)), 1, 15), 16, 10
+    ).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CLI algorithm: params-driven dispatch (the CurationPipeline pattern)
+# --------------------------------------------------------------------------
+
+from m3d_engine_spark.operators.base import Algorithm, register  # noqa: E402
+
+
+@register("ExpectationsCheck")
+class ExpectationsCheckAlgorithm(Algorithm):
+    """``expectations_check`` behind the JSON-params dispatch — the
+    contract gate as a schedulable job:
+
+        python -m m3d_engine_spark ExpectationsCheck params.json
+
+    Config keys: source_location OR source_table; rules (object:
+    name → SQL predicate); target_location OR target_table (the
+    report relation, via the shared write_output surface);
+    fail_on_violation (default true) — raise AFTER writing the report
+    when any rule fails, so schedulers stop the pipeline but the
+    evidence is on disk.
+    """
+
+    def read(self) -> list[DataFrame]:
+        if self.params.has("source_table"):
+            return [self.spark.table(self.params.get_string("source_table"))]
+        return [
+            self.spark.read.parquet(self.params.get_string("source_location"))
+        ]
+
+    def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
+        rules = self.params.get_optional("rules", None)
+        if not isinstance(rules, dict) or not rules:
+            raise ValueError("params must carry a non-empty 'rules' object")
+        return [expectations_check(dfs[0], rules)]
+
+    def write(self, dfs: list[DataFrame]) -> None:
+        from m3d_engine_spark.sources.writers import write_output
+
+        report = dfs[0].localCheckpoint()
+        write_output(self.spark, report, self.params)
+        if self.params.get_optional("fail_on_violation", True):
+            failed = [r.rule for r in report.collect() if r.passed == 0]
+            if failed:
+                raise RuntimeError(
+                    f"data contract violated by rules: {sorted(failed)}"
+                )

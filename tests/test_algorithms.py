@@ -427,3 +427,54 @@ def test_scd2_history_cli_roundtrip(spark, tmp_path):
     )
     assert got == want
     assert len(got) == 5  # (1: bronze, gold) + (2: silver, gold, silver)
+
+
+def test_expectations_check_cli_gate(spark, tmp_path):
+    """ExpectationsCheck through the params CLI: writes the report,
+    raises on violation when fail_on_violation (default), passes
+    cleanly on a satisfied contract."""
+    import pytest
+
+    from m3d_engine_spark.operators.base import run_algorithm
+
+    src = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, 7.0)], "id long, v double"
+    ).write.parquet(src)
+
+    report = str(tmp_path / "report")
+    params = {
+        "source_location": src,
+        "rules": {"v_positive": "v > 0", "id_positive": "id > 0"},
+        "target_location": report,
+    }
+    pfile = tmp_path / "exp_params.json"
+    pfile.write_text(json.dumps(params))
+    with pytest.raises(RuntimeError, match="v_positive"):
+        run_algorithm(spark, "ExpectationsCheck", str(pfile))
+    rep = {r.rule: r for r in spark.read.parquet(report).collect()}
+    assert rep["v_positive"].passed == 0 and rep["v_positive"].n_violations == 1
+    assert rep["id_positive"].passed == 1
+
+    params["rules"] = {"v_bound": "v > -5"}
+    pfile.write_text(json.dumps(params))
+    run_algorithm(spark, "ExpectationsCheck", str(pfile))  # no raise
+    assert all(r.passed == 1 for r in spark.read.parquet(report).collect())
+
+
+def test_table_checksum_partition_and_order_independent(spark):
+    """Same multiset of rows → same checksum under any partitioning or
+    order; one changed row changes it; n_rows exact."""
+    from m3d_engine_spark.operators.expectations import table_checksum
+
+    rows = [(i, f"s{i % 7}") for i in range(500)]
+    a = spark.createDataFrame(rows, "id long, s string")
+    b = spark.createDataFrame(list(reversed(rows)), "id long, s string").repartition(13)
+    ca = table_checksum(a).collect()[0]
+    cb = table_checksum(b).collect()[0]
+    assert (ca.n_rows, ca.checksum) == (cb.n_rows, cb.checksum)
+    mut = spark.createDataFrame(
+        rows[:-1] + [(499, "MUTATED")], "id long, s string"
+    )
+    cm = table_checksum(mut).collect()[0]
+    assert cm.n_rows == ca.n_rows and cm.checksum != ca.checksum
