@@ -7555,6 +7555,155 @@ FROM h
 """
 
 
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 (evaluation.py::ndcg_at_k) of the bucketed-LSH ANN run
+    against label-match relevance — the graded offline-eval readout
+    for the retrieval family. DCG weights are python-computed 10^12
+    integer lattice literals (no query-time libm), per-query sums
+    exact, one IEEE division at the end."""
+    from m3d_engine_spark.operators.evaluation import ndcg_at_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    run = bucketed_ann_topk(
+        emb, queries, "vec_id", "embedding", k=10, lsh_bits=4
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    truth = (
+        q.join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label")
+            ),
+            F.col("label") == F.col("_ql"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.lit(1).alias("rel"))
+    )
+    return ndcg_at_k(
+        run, truth, "query_id", "neighbor_id", "rank", "rel", k=10
+    )
+
+
+def _sql_ndcg_eval() -> str:
+    from m3d_engine_spark.operators.evaluation import _dcg_weights
+
+    w = _dcg_weights(10)
+    warr = ", ".join(str(x) for x in w)
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding, label, {_SQL_BUCKET} AS bucket FROM embeddings
+), q AS (
+  SELECT * FROM base WHERE vec_id % 25 = 0
+), pairs AS (
+  SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+         {_SQL_COSINE} AS cosine
+  FROM base r JOIN q l ON r.bucket = l.bucket
+  WHERE r.vec_id != l.vec_id
+), ann AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS rank
+  FROM pairs QUALIFY rank <= 10
+), truth AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id
+  FROM embeddings r JOIN q ON r.label = q.label
+  WHERE r.vec_id != q.vec_id
+), dcg AS (
+  SELECT a.query_id,
+         SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                  THEN ([{warr}])[a.rank] ELSE 0 END) AS dl
+  FROM ann a LEFT JOIN truth t
+    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+  GROUP BY a.query_id
+), ideal AS (
+  SELECT query_id, CAST(count(*) AS INT) AS n_rel,
+         SUM(il) AS idl
+  FROM (
+    SELECT query_id,
+           ([{warr}])[row_number() OVER (
+             PARTITION BY query_id ORDER BY neighbor_id ASC
+           )] AS il,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY neighbor_id ASC
+           ) AS rr
+    FROM truth QUALIFY rr <= 10
+  ) GROUP BY query_id
+)
+SELECT ideal.query_id, ideal.n_rel,
+       round(coalesce(dcg.dl, 0) / 1e12, 6) AS dcg,
+       round(ideal.idl / 1e12, 6) AS idcg,
+       round(CAST(coalesce(dcg.dl, 0) AS DOUBLE)
+             / CAST(ideal.idl AS DOUBLE), 6) AS ndcg
+FROM ideal LEFT JOIN dcg ON ideal.query_id = dcg.query_id
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 (evaluation.py::recall_at_k) of the bucketed-LSH run
+    against the exact brute-force top-5 — the ANN quality dial as a
+    per-query relation (the suite's recall floors aggregate exactly
+    this). Two bounded runs, one join, one aggregate."""
+    from m3d_engine_spark.operators.evaluation import recall_at_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    approx = bucketed_ann_topk(
+        emb, queries, "vec_id", "embedding", k=5, lsh_bits=4
+    )
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    return recall_at_k(
+        approx, exact, "query_id", "neighbor_id", "rank", k=5
+    )
+
+
+_SQL_ANN_RECALL = f"""
+WITH base AS (
+  SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings
+), q AS (
+  SELECT * FROM base WHERE vec_id % 25 = 0
+), apairs AS (
+  SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+         {_SQL_COSINE} AS cosine
+  FROM base r JOIN q l ON r.bucket = l.bucket
+  WHERE r.vec_id != l.vec_id
+), ann AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS rank
+  FROM apairs QUALIFY rank <= 5
+), epairs AS (
+  SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+         {_SQL_COSINE} AS cosine
+  FROM embeddings r CROSS JOIN (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0
+  ) l
+  WHERE r.vec_id != l.vec_id
+), ex AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+         ) AS rank
+  FROM epairs QUALIFY rank <= 5
+), hits AS (
+  SELECT a.query_id, count(*) AS h
+  FROM ann a JOIN ex e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT ex.query_id,
+       CAST(count(*) AS INT) AS n_exact,
+       CAST(coalesce(any_value(h), 0) AS INT) AS n_hit,
+       round(CAST(coalesce(any_value(h), 0) AS DOUBLE) / count(*), 6)
+         AS recall
+FROM ex LEFT JOIN hits ON ex.query_id = hits.query_id
+GROUP BY ex.query_id
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -7677,6 +7826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": q_rendezvous_shards,
         "expectations": q_expectations,
         "table_checksum": q_table_checksum,
+        "ndcg_eval": q_ndcg_eval,
+        "ann_recall": q_ann_recall,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -7843,6 +7994,8 @@ def oracle_sql() -> dict[str, str]:
         "rendezvous_shards": _SQL_RENDEZVOUS_SHARDS,
         "expectations": _SQL_EXPECTATIONS,
         "table_checksum": _SQL_TABLE_CHECKSUM,
+        "ndcg_eval": _sql_ndcg_eval(),
+        "ann_recall": _SQL_ANN_RECALL,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

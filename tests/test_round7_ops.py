@@ -1351,3 +1351,43 @@ def test_expectations_null_fails_closed_single_pass(spark):
     assert all(r.n_rows == 4 for r in out.values())
     with pytest.raises(ValueError):
         expectations_check(df, {})
+
+
+def test_ndcg_and_recall_hand_cases(spark):
+    """Hand-checkable eval: a perfect run scores ndcg 1.0 and recall
+    1.0; a run with the relevant doc at rank 2 scores the exact
+    log2 ratio; missing queries and zero-overlap runs score 0."""
+    import math
+
+    from m3d_engine_spark.operators.evaluation import ndcg_at_k, recall_at_k
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 1), (2, 20, 1)], "q long, d long, rel long"
+    )
+    perfect = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1)], "q long, d long, rank long"
+    )
+    out = {r.q: r for r in
+           ndcg_at_k(perfect, truth, "q", "d", "rank", "rel", k=10).collect()}
+    assert out[1].ndcg == 1.0 and out[2].ndcg == 1.0
+    assert out[1].n_rel == 2
+
+    # relevant doc at rank 2 only: dcg = 1/log2(3), idcg = 1
+    late = spark.createDataFrame(
+        [(2, 99, 1), (2, 20, 2)], "q long, d long, rank long"
+    )
+    got = {r.q: r for r in
+           ndcg_at_k(late, truth, "q", "d", "rank", "rel", k=10).collect()}
+    assert abs(got[2].ndcg - 1 / math.log2(3)) < 1e-6
+    assert got[1].ndcg == 0.0  # query 1 absent from the run
+
+    rec = {r.q: r for r in
+           recall_at_k(late, perfect, "q", "d", "rank", k=2).collect()}
+    assert rec[2].recall == 1.0   # found the one exact neighbor
+    assert rec[1].recall == 0.0   # query absent from the approx run
+    partial = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2)], "q long, d long, rank long"
+    )
+    pr = {r.q: r for r in
+          recall_at_k(partial, perfect, "q", "d", "rank", k=2).collect()}
+    assert pr[1].n_exact == 2 and pr[1].n_hit == 1 and pr[1].recall == 0.5

@@ -103,6 +103,17 @@ HEADLINERS = {
     "label_spread": "Label propagation: per round one neighbor-label equi-join + one vote aggregate keyed on the node + a WindowGroupLimit argmax; the label relation checkpoints per round (ExistingRDD here) so the plan cannot double per round.",
     "grouped_ols": "Grouped OLS: ONE map-side-combinable aggregate of exact DECIMAL(38,0) normal-equation sums on the 2-decimal lattice; slope/intercept/r2 are per-group projections over the groups-sized result.",
     "gap_fill": "Linear gap-fill: last-known-before and first-known-after frames share ONE key exchange and one sort; the blend is a projection - groupby-apply-interpolate with no Python and no per-key memory.",
+    "rolling_med": "Rolling median: the trailing frame's collect_list buffer is bounded by window_rows (NOT the unbounded-window trap); one key exchange, one sort, one Window node.",
+    "ab_welch": "Welch t-test: ONE map-side-combinable sufficient-statistics aggregate (exact decimal n/Sx/Sxx per variant) + per-group arithmetic over the groups-sized result.",
+    "rbo_overlap": "RBO: one (query, doc) equi-join of two top-k-bounded runs + one query-keyed aggregate of exact integer rational weights; IEEE only in the final normalized division.",
+    "fastss_pairs": "FastSS: deletion-neighborhood variants keyed by md5 (fixed-width join key, text never joins); ONE keyed self-join; Levenshtein verifies collisions only - exact distance-1 recall without all-pairs.",
+    "deepwalk_pairs": "DeepWalk prep: the walk pipeline's per-step checkpoints are read once by BOTH sides of the walk_id-keyed pair self-join (bounded step-offset predicate); the pair census partial-aggregates map-side.",
+    "feature_hash": "Hashing trick: token explode -> ONE (doc, bucket) map-side-combinable aggregate -> per-doc rebuild; no vocabulary pass, so feature ids are shard- and time-stable by construction.",
+    "source_overlap": "Source contamination: distinct (source, shingle-hash) relation, hash-keyed self-join (cost = real cross-source collisions), per-source totals broadcast.",
+    "phash_dedup": "Perceptual dedup: the ONLY Python is the Arrow dHash kernel (the decode stand-in); banding, the 4x16 equi-joins and bit_count verify are JVM - swap the kernel for PIL and the plan is unchanged.",
+    "rendezvous_shards": "HRW sharding: the S-candidate argmax is a pure projection (md5 hex compares, no integer conversion) - zero exchanges below the census; growing S moves ~1/(S+1) of keys by construction.",
+    "expectations": "Data contract: every rule folds into ONE map-side-combinable aggregate over ONE scan; the unpivot reshapes the 1-row result - 50 rules cost one pass.",
+    "table_checksum": "Table fingerprint: commutative md5-lattice sum in DECIMAL(38,0) - one aggregate, order/partitioning/engine-independent; the cheap equality probe before snapshot_diff.",
     "containment_pairs": "Asymmetric containment (quote/excerpt detection): same inverted-index self-join as jaccard_pairs — keyed on (block, xxhash64(shingle)), SMJ with the shared exchange reused, pair counts as an aggregate — but with NO size-ratio prune (a tiny doc fully contained in a huge one is the signal Jaccard misses). The hot-shingle df-cutoff is ON (the only scale dial beyond blocking, since no size prune is possible): the per-(block, shingle) df window count reads the SAME exchange the SMJ self-join shuffles on, and |A∩B| stays exact via the hot-set correction left-joins above the pair aggregate (pinned: keyed join only, no BNLJ).",
     "snapshot_diff": "Snapshot diff (what did last night's load change): null-safe md5 row fingerprints are map-side projections on each scan; the ENTIRE diff is one full-outer SortMergeJoin on the business key (pinned == 1) — the minimum any keyed two-corpus comparison can pay; with key-bucketed snapshots even that exchange vanishes. Status classification is a projection; the counts rollup partial-aggregates 4 rows per task.",
     "sq_quantize": "SQ8 scalar quantization: per-dim min/max from one keyed aggregate (exchange carries <= dim rows), pivoted to two dim-length arrays and BROADCAST (the single 1-row BNLJ, pinned); encode and midpoint-decode error are zero-exchange array-transform projections — the quantizer trains in one pass and applies map-side, which is what a write-time re-encode of 10^9 vectors needs. Exact IEEE arithmetic both engines (no summation in the bounds), 4dp rounding on the error fold only.",
