@@ -264,3 +264,53 @@ def test_streaming_scd2_equals_batch(spark, tmp_path):
         .collect()
     )
     assert again == want
+
+
+@pytest.mark.slow
+def test_streaming_agg_maintenance_with_retractions(spark, tmp_path):
+    """CDC stream with inserts, updates (retract+insert pairs) and
+    deletes over 3 batches folds to EXACTLY the batch aggregate of
+    the surviving rows; fully-retracted keys vanish; batch replay is
+    idempotent."""
+    from m3d_engine_spark.streaming.pipeline import (
+        agg_maintenance_batch,
+        read_maintained_agg,
+        streaming_agg_maintenance,
+    )
+
+    landing = str(tmp_path / "cdc_landing")
+    deltas = str(tmp_path / "cdc_deltas")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "b long, k string, v double, op int"
+
+    batches = [
+        # batch 0: inserts
+        [(0, "a", 10.0, 1), (0, "a", 5.0, 1), (0, "b", 3.0, 1),
+         (0, "c", 7.0, 1)],
+        # batch 1: update a's 5.0 -> 6.0 (retract + insert), delete c
+        [(1, "a", 5.0, -1), (1, "a", 6.0, 1), (1, "c", 7.0, -1)],
+        # batch 2: new key d, delete b entirely
+        [(2, "d", 1.5, 1), (2, "b", 3.0, -1)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        q = streaming_agg_maintenance(
+            spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(landing),
+            deltas, ckpt, ["k"], "v", "op",
+        )
+        assert q.awaitTermination(180)
+
+    got = {r.k: (r.sum_value, r.n) for r in
+           read_maintained_agg(spark, deltas, ["k"]).collect()}
+    assert got == {"a": (16.0, 2), "d": (1.5, 1)}  # b, c fully gone
+
+    # replaying batch 1 rewrites only its own partition
+    b1 = spark.createDataFrame(batches[1], schema)
+    agg_maintenance_batch(b1, 1, deltas, ["k"], "v", "op")
+    again = {r.k: (r.sum_value, r.n) for r in
+             read_maintained_agg(spark, deltas, ["k"]).collect()}
+    assert again == got
