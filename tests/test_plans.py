@@ -1216,3 +1216,16 @@ def test_session4_entries_no_cartesian_no_python(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_rendezvous_projection_and_expectations_single_scan(spark, sf_dir):
+    """HRW assignment is a pure projection (zero exchanges below the
+    census aggregate — exactly one Exchange in the whole entry);
+    the expectations gate reads its table exactly ONCE no matter how
+    many rules it checks."""
+    import __spark_entry__ as m
+
+    hrw = _plan_simple(m.queries()["rendezvous_shards"](spark, sf_dir))
+    assert hrw.count("Exchange") == 1, hrw
+    exp = _plan_simple(m.queries()["expectations"](spark, sf_dir))
+    assert exp.count("FileScan parquet") == 1, exp
