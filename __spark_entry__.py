@@ -7704,6 +7704,108 @@ GROUP BY ex.query_id
 """
 
 
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-customer query: orders whose
+    lineitem quantity total exceeds 250, with customer attribution —
+    the HAVING-subquery-join classic. Aggregate-then-semi-join shape:
+    the quantity rollup runs FIRST (map-side combinable, orderkey
+    keyed), the orders/customer joins see only qualifying keys, and
+    the customer side broadcasts."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.round(F.col("_q"), 2).alias("total_qty"),
+        )
+    )
+    return (
+        big.join(orders, on="o_orderkey")
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+_SQL_LARGE_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey AS o_orderkey,
+         round({_sql_dsum("l_quantity")}, 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {_sql_dsum("l_quantity")} > 250
+)
+SELECT big.o_orderkey, c.c_custkey, c.c_name,
+       CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice, big.total_qty
+FROM big
+JOIN orders o USING (o_orderkey)
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_brand_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share per part brand: two-level aggregate — revenue per
+    brand (one keyed exchange; part broadcasts onto lineitem), then
+    shares via a window over the brands-sized rollup, never the fact
+    table. The market-share rollup every BI layer asks for."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .groupBy("p_brand")
+        .agg(
+            # stay DECIMAL through the window total: a double window
+            # sum would be order-dependent across engines
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(30,12)")
+            ).alias("_rd"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "p_brand",
+        "n_lines",
+        F.round(F.col("_rd").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("_rd").cast("double")
+            / F.sum("_rd").over(w).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+_SQL_BRAND_SHARE = f"""
+WITH rev AS (
+  SELECT p_brand,
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(30,12))) AS rd,
+         count(*) AS n_lines
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, n_lines, round(CAST(rd AS DOUBLE), 2) AS revenue,
+       round(CAST(rd AS DOUBLE) / CAST(SUM(rd) OVER () AS DOUBLE), 6)
+         AS share
+FROM rev
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -7828,6 +7930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksum": q_table_checksum,
         "ndcg_eval": q_ndcg_eval,
         "ann_recall": q_ann_recall,
+        "large_orders": q_large_orders,
+        "brand_share": q_brand_share,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -7996,6 +8100,8 @@ def oracle_sql() -> dict[str, str]:
         "table_checksum": _SQL_TABLE_CHECKSUM,
         "ndcg_eval": _sql_ndcg_eval(),
         "ann_recall": _SQL_ANN_RECALL,
+        "large_orders": _SQL_LARGE_ORDERS,
+        "brand_share": _SQL_BRAND_SHARE,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -123,3 +123,62 @@ def rendezvous_assign(
     return df.withColumn(
         "shard", F.array_max(weights).getField("s")
     )
+
+
+def rendezvous_assign_two_level(
+    df: DataFrame,
+    id_col: str,
+    num_groups: int,
+    shards_per_group: int,
+    salt: str = "",
+) -> DataFrame:
+    """Two-level rendezvous assignment for LARGE shard counts: HRW
+    over ``num_groups`` groups, then HRW over ``shards_per_group``
+    within the chosen group (inner weights salted by the group, so
+    placements are independent across groups). Cost per row is
+    G + W md5s instead of the flat form's G·W — 1024 shards as
+    32 + 32 — with the same minimal-movement property at each level:
+    growing W moves ~1/(W+1) of every group's keys and never moves a
+    key across groups; growing G moves ~1/(G+1) of all keys.
+
+    Returns ``group``, ``subshard`` and the flat ``shard = group ·
+    shards_per_group + subshard``. Pure projection, zero exchanges.
+    """
+    if num_groups < 1 or shards_per_group < 1:
+        raise ValueError("num_groups and shards_per_group must be >= 1")
+    key = F.col(id_col).cast("string")
+
+    def argmax(prefix: str, n: int):
+        return F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{prefix}{s}:"), key)),
+                            1,
+                            16,
+                        ).alias("w"),
+                        F.lit(s).cast("int").alias("s"),
+                    )
+                    for s in range(int(n))
+                ]
+            )
+        ).getField("s")
+
+    out = df.withColumn("group", argmax(f"{salt}:g:", num_groups))
+    # inner salt depends on the chosen group: one expression per group,
+    # dispatched by the group value — still a projection
+    inner = None
+    for g in range(int(num_groups)):
+        cand = argmax(f"{salt}:w:{g}:", shards_per_group)
+        inner = (
+            F.when(F.col("group") == g, cand)
+            if inner is None
+            else inner.when(F.col("group") == g, cand)
+        )
+    return out.withColumn("subshard", inner).withColumn(
+        "shard",
+        (F.col("group") * int(shards_per_group) + F.col("subshard")).cast(
+            "int"
+        ),
+    )

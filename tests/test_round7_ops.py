@@ -1391,3 +1391,26 @@ def test_ndcg_and_recall_hand_cases(spark):
     pr = {r.q: r for r in
           recall_at_k(partial, perfect, "q", "d", "rank", k=2).collect()}
     assert pr[1].n_exact == 2 and pr[1].n_hit == 1 and pr[1].recall == 0.5
+
+
+def test_two_level_hrw_stability_and_independence(spark):
+    """Two-level HRW: growing the within-group width moves ~1/(W+1)
+    of keys and NEVER changes any key's group; flat shard ids are
+    dense in [0, G·W); deterministic."""
+    from m3d_engine_spark.operators.shuffle import (
+        rendezvous_assign_two_level,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], ["k"])
+    a = rendezvous_assign_two_level(df, "k", 4, 4)
+    b = rendezvous_assign_two_level(df, "k", 4, 5)
+    ja = {r.k: (r.group, r.subshard, r.shard) for r in a.collect()}
+    jb = {r.k: (r.group, r.subshard) for r in b.collect()}
+    assert all(ja[k][0] == jb[k][0] for k in ja)  # groups never move
+    moved = sum(ja[k][1] != jb[k][1] for k in ja) / len(ja)
+    assert 0.13 < moved < 0.28, moved             # ~1/5 ± noise
+    shards = {v[2] for v in ja.values()}
+    assert shards <= set(range(16)) and len(shards) == 16
+    rerun = {r.k: r.shard for r in
+             rendezvous_assign_two_level(df.repartition(5), "k", 4, 4).collect()}
+    assert rerun == {k: v[2] for k, v in ja.items()}
