@@ -7806,6 +7806,44 @@ FROM rev
 """
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey mining (markov.py::top_paths): the 20 most common
+    first-8-event type sequences across users — the whole-route
+    complement of the one-step transition census. Order restored
+    inside the aggregate (any partitioning), census on the path
+    string, TakeOrderedAndProject top-k."""
+    from m3d_engine_spark.operators.markov import top_paths
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id", "event_type",
+        epoch_us_of(ev, "ts").alias("ts_us"), "event_id",
+    )
+    return top_paths(
+        src, ["user_id"], "ts_us", "event_type",
+        tie_cols=["event_id"], k=20, max_len=8,
+    )
+
+
+_SQL_TOP_PATHS = """
+WITH per_user AS (
+  SELECT array_to_string(
+           list_slice(
+             list(event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                  event_id),
+             1, 8
+           ), '>') AS path,
+         CAST(least(count(*), 8) AS INT) AS path_len
+  FROM events GROUP BY user_id
+)
+SELECT path, path_len, count(*) AS n_keys
+FROM per_user
+GROUP BY path, path_len
+ORDER BY n_keys DESC, path ASC
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -7932,6 +7970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "large_orders": q_large_orders,
         "brand_share": q_brand_share,
+        "top_paths": q_top_paths,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -8102,6 +8141,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _SQL_ANN_RECALL,
         "large_orders": _SQL_LARGE_ORDERS,
         "brand_share": _SQL_BRAND_SHARE,
+        "top_paths": _SQL_TOP_PATHS,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

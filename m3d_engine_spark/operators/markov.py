@@ -68,3 +68,50 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / F.sum("n").over(w_tot), 4).alias("p"),
     )
+
+
+def top_paths(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    state_col: str,
+    tie_cols: Sequence[str] = (),
+    k: int = 20,
+    max_len: int = 10,
+) -> DataFrame:
+    """Most common full journeys: each key's ordered state sequence
+    (truncated at ``max_len``) becomes a path string, and the census
+    returns the top ``k`` paths by frequency — the whole-journey
+    complement of ``transition_matrix``'s one-step census (funnels
+    show WHERE users go next; paths show the routes that actually
+    dominate).
+
+    Order is restored INSIDE the aggregate (array_sort over
+    (order, ties, state) structs — the assemble_sequences discipline),
+    so the path is correct under any partitioning; truncation bounds
+    the path string against unbounded sessions. One exchange on the
+    key, one census aggregate on the path, TakeOrderedAndProject for
+    the top-k (per-task top-k, no global sort).
+
+    Returns (path, n_keys, path_len).
+    """
+    order_fields = [F.col(order_col)] + [F.col(c) for c in tie_cols]
+    packed = F.array_sort(
+        F.collect_list(F.struct(*order_fields, F.col(state_col).alias("_s")))
+    )
+    seq = F.slice(F.expr("transform(_p, x -> x._s)"), 1, int(max_len))
+    per_key = (
+        df.groupBy(*key_cols)
+        .agg(packed.alias("_p"))
+        .select(seq.alias("_seq"))
+        .select(
+            F.array_join(F.col("_seq"), ">").alias("path"),
+            F.size("_seq").cast("int").alias("path_len"),
+        )
+    )
+    return (
+        per_key.groupBy("path", "path_len")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy(F.col("n_keys").desc(), F.col("path").asc())
+        .limit(int(k))
+    )

@@ -1414,3 +1414,22 @@ def test_two_level_hrw_stability_and_independence(spark):
     rerun = {r.k: r.shard for r in
              rendezvous_assign_two_level(df.repartition(5), "k", 4, 4).collect()}
     assert rerun == {k: v[2] for k, v in ja.items()}
+
+
+def test_top_paths_order_truncation_census(spark):
+    """Paths are built in event order regardless of input order,
+    truncate at max_len, and the census counts identical journeys."""
+    from m3d_engine_spark.operators.markov import top_paths
+
+    rows = []
+    for u in (1, 2):             # two users with the same journey
+        rows += [(u, 3, u * 10 + 3, "c"), (u, 1, u * 10 + 1, "a"),
+                 (u, 2, u * 10 + 2, "b")]
+    rows += [(3, t, 30 + t, "x") for t in range(5)]  # long -> truncated
+    df = spark.createDataFrame(rows, "u long, t long, eid long, s string")
+    out = {r.path: (r.n_keys, r.path_len) for r in
+           top_paths(df.repartition(5), ["u"], "t", "s",
+                     tie_cols=["eid"], k=10, max_len=3).collect()}
+    assert out["a>b>c"] == (2, 3)
+    assert out["x>x>x"] == (1, 3)  # truncated from 5 events
+    assert len(out) == 2
