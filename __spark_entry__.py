@@ -7844,6 +7844,34 @@ LIMIT 20
 """
 
 
+def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (reporting.py::histogram2d): the
+    quantity×discount joint distribution of lineitem over a 10×8
+    fixed-range grid — cell assignment is a projection, one bounded
+    aggregate (≤ 80 rows per task in the exchange)."""
+    from m3d_engine_spark.operators.reporting import histogram2d
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram2d(
+        li, "l_quantity", "l_discount",
+        x_bins=10, y_bins=8, x_range=(0.0, 50.0), y_range=(0.0, 0.4),
+    )
+
+
+_SQL_HISTOGRAM2D = """
+SELECT CAST(least(greatest(CAST(floor(
+           (CAST(l_quantity AS DOUBLE) - 0.0) * 10.0 / 50.0
+         ) AS INT), 0), 9) AS INT) AS bx,
+       CAST(least(greatest(CAST(floor(
+           (CAST(l_discount AS DOUBLE) - 0.0) * 8.0 / 0.4
+         ) AS INT), 0), 7) AS INT) AS by,
+       count(*) AS n
+FROM lineitem
+WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -7971,6 +7999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "brand_share": q_brand_share,
         "top_paths": q_top_paths,
+        "histogram2d": q_histogram2d,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -8142,6 +8171,7 @@ def oracle_sql() -> dict[str, str]:
         "large_orders": _SQL_LARGE_ORDERS,
         "brand_share": _SQL_BRAND_SHARE,
         "top_paths": _SQL_TOP_PATHS,
+        "histogram2d": _SQL_HISTOGRAM2D,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -694,3 +694,69 @@ def join_size_estimate(
         )
     )
     return out
+
+
+def histogram2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_bins: int = 10,
+    y_bins: int = 10,
+    x_range: tuple | None = None,
+    y_range: tuple | None = None,
+) -> DataFrame:
+    """Equal-width 2-D histogram — the joint-distribution heatmap
+    behind correlation triage (is quantity×discount banded? does
+    price scale with size?): ``(bx, by, n)`` over x_bins × y_bins
+    cells, same clamp-into-end-bins / inclusive-top-edge semantics as
+    ``numeric_histogram``, applied per axis. Ranges default to the
+    observed min/max (one broadcast 1-row aggregate).
+
+    Scale: cell assignment is a projection; ONE map-side-combinable
+    aggregate whose exchange carries ≤ x_bins·y_bins rows per task.
+    Rows with a NULL on either axis are excluded.
+    """
+    xb, yb = int(x_bins), int(y_bins)
+    if xb <= 0 or yb <= 0:
+        raise ValueError("bins must be positive")
+    data = df.select(
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    if x_range is None or y_range is None:
+        bounds = F.broadcast(
+            data.agg(
+                F.min("_x").alias("_xlo"), F.max("_x").alias("_xhi"),
+                F.min("_y").alias("_ylo"), F.max("_y").alias("_yhi"),
+            )
+        )
+        staged = data.crossJoin(bounds)
+    else:
+        staged = (
+            data.withColumn("_xlo", F.lit(float(x_range[0])))
+            .withColumn("_xhi", F.lit(float(x_range[1])))
+            .withColumn("_ylo", F.lit(float(y_range[0])))
+            .withColumn("_yhi", F.lit(float(y_range[1])))
+        )
+
+    def bin_of(v, lo, hi, n):
+        return F.when(F.col(hi) <= F.col(lo), F.lit(0)).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col(v) - F.col(lo))
+                        * F.lit(float(n))
+                        / (F.col(hi) - F.col(lo))
+                    ).cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(n - 1),
+            )
+        )
+
+    return (
+        staged.withColumn("bx", bin_of("_x", "_xlo", "_xhi", xb))
+        .withColumn("by", bin_of("_y", "_ylo", "_yhi", yb))
+        .groupBy("bx", "by")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1433,3 +1433,25 @@ def test_top_paths_order_truncation_census(spark):
     assert out["a>b>c"] == (2, 3)
     assert out["x>x>x"] == (1, 3)  # truncated from 5 events
     assert len(out) == 2
+
+
+def test_histogram2d_clamps_and_counts(spark):
+    """Cell assignment: interior points bin by equal width, the top
+    edges are inclusive, out-of-range values clamp into end bins,
+    NULLs drop, and total count is preserved."""
+    from m3d_engine_spark.operators.reporting import histogram2d
+
+    rows = [
+        (0.0, 0.0), (4.9, 0.9), (5.0, 1.0),     # lo cell, hi-interior, top edges
+        (10.0, 2.0), (-3.0, -1.0),              # above/below range clamp
+        (None, 0.5), (2.5, None),               # dropped
+        (2.5, 0.5), (2.5, 0.5),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = {(r.bx, r.by): r.n for r in histogram2d(
+        df, "x", "y", x_bins=5, y_bins=2, x_range=(0, 5), y_range=(0, 1)
+    ).collect()}
+    assert out[(0, 0)] == 2     # (0,0) and the clamped (-3,-1)
+    assert out[(4, 1)] == 3     # (4.9,.9), inclusive top (5,1), clamped (10,2)
+    assert out[(2, 1)] == 2     # the two (2.5, 0.5)
+    assert sum(out.values()) == 7

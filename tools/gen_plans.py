@@ -114,6 +114,11 @@ HEADLINERS = {
     "rendezvous_shards": "HRW sharding: the S-candidate argmax is a pure projection (md5 hex compares, no integer conversion) - zero exchanges below the census; growing S moves ~1/(S+1) of keys by construction.",
     "expectations": "Data contract: every rule folds into ONE map-side-combinable aggregate over ONE scan; the unpivot reshapes the 1-row result - 50 rules cost one pass.",
     "table_checksum": "Table fingerprint: commutative md5-lattice sum in DECIMAL(38,0) - one aggregate, order/partitioning/engine-independent; the cheap equality probe before snapshot_diff.",
+    "ndcg_eval": "nDCG@10: the ANN run left-joins broadcast label-truth; DCG weights are 10^12 integer lattice literals (no query-time libm), per-query sums exact, one IEEE division.",
+    "ann_recall": "Recall@k: two top-k-bounded runs, ONE (query, doc) equi-join, one query-keyed aggregate - the ANN quality dial costs less than either run.",
+    "large_orders": "Q18 shape: the quantity rollup runs FIRST (map-side combinable on the orderkey), joins see only qualifying keys, customer broadcasts - aggregate-then-join, never join-then-aggregate.",
+    "brand_share": "Market share: one keyed rollup (part broadcasts onto the fact), then the share window runs over the 25-row brand relation in exact DECIMAL - the single-partition window carries brands, never lineitem.",
+    "top_paths": "Journey census: order restored INSIDE the per-user aggregate (array_sort over structs - correct under any partitioning), path census map-side combinable, TakeOrderedAndProject top-k.",
     "containment_pairs": "Asymmetric containment (quote/excerpt detection): same inverted-index self-join as jaccard_pairs — keyed on (block, xxhash64(shingle)), SMJ with the shared exchange reused, pair counts as an aggregate — but with NO size-ratio prune (a tiny doc fully contained in a huge one is the signal Jaccard misses). The hot-shingle df-cutoff is ON (the only scale dial beyond blocking, since no size prune is possible): the per-(block, shingle) df window count reads the SAME exchange the SMJ self-join shuffles on, and |A∩B| stays exact via the hot-set correction left-joins above the pair aggregate (pinned: keyed join only, no BNLJ).",
     "snapshot_diff": "Snapshot diff (what did last night's load change): null-safe md5 row fingerprints are map-side projections on each scan; the ENTIRE diff is one full-outer SortMergeJoin on the business key (pinned == 1) — the minimum any keyed two-corpus comparison can pay; with key-bucketed snapshots even that exchange vanishes. Status classification is a projection; the counts rollup partial-aggregates 4 rows per task.",
     "sq_quantize": "SQ8 scalar quantization: per-dim min/max from one keyed aggregate (exchange carries <= dim rows), pivoted to two dim-length arrays and BROADCAST (the single 1-row BNLJ, pinned); encode and midpoint-decode error are zero-exchange array-transform projections — the quantizer trains in one pass and applies map-side, which is what a write-time re-encode of 10^9 vectors needs. Exact IEEE arithmetic both engines (no summation in the bounds), 4dp rounding on the error fold only.",
