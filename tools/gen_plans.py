@@ -119,6 +119,7 @@ HEADLINERS = {
     "large_orders": "Q18 shape: the quantity rollup runs FIRST (map-side combinable on the orderkey), joins see only qualifying keys, customer broadcasts - aggregate-then-join, never join-then-aggregate.",
     "brand_share": "Market share: one keyed rollup (part broadcasts onto the fact), then the share window runs over the 25-row brand relation in exact DECIMAL - the single-partition window carries brands, never lineitem.",
     "top_paths": "Journey census: order restored INSIDE the per-user aggregate (array_sort over structs - correct under any partitioning), path census map-side combinable, TakeOrderedAndProject top-k.",
+    "histogram2d": "2-D histogram: cell assignment is a projection over the broadcast (or literal) bounds; ONE map-side-combinable aggregate whose exchange carries <= x_bins*y_bins rows per task.",
     "containment_pairs": "Asymmetric containment (quote/excerpt detection): same inverted-index self-join as jaccard_pairs — keyed on (block, xxhash64(shingle)), SMJ with the shared exchange reused, pair counts as an aggregate — but with NO size-ratio prune (a tiny doc fully contained in a huge one is the signal Jaccard misses). The hot-shingle df-cutoff is ON (the only scale dial beyond blocking, since no size prune is possible): the per-(block, shingle) df window count reads the SAME exchange the SMJ self-join shuffles on, and |A∩B| stays exact via the hot-set correction left-joins above the pair aggregate (pinned: keyed join only, no BNLJ).",
     "snapshot_diff": "Snapshot diff (what did last night's load change): null-safe md5 row fingerprints are map-side projections on each scan; the ENTIRE diff is one full-outer SortMergeJoin on the business key (pinned == 1) — the minimum any keyed two-corpus comparison can pay; with key-bucketed snapshots even that exchange vanishes. Status classification is a projection; the counts rollup partial-aggregates 4 rows per task.",
     "sq_quantize": "SQ8 scalar quantization: per-dim min/max from one keyed aggregate (exchange carries <= dim rows), pivoted to two dim-length arrays and BROADCAST (the single 1-row BNLJ, pinned); encode and midpoint-decode error are zero-exchange array-transform projections — the quantizer trains in one pass and applies map-side, which is what a write-time re-encode of 10^9 vectors needs. Exact IEEE arithmetic both engines (no summation in the bounds), 4dp rounding on the error fold only.",
