@@ -7872,6 +7872,335 @@ GROUP BY 1, 2
 """
 
 
+def q_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution ("how many
+    customers placed exactly k orders?"). Aggregate-BEFORE-outer-join:
+    orders roll up to one row per customer first (one keyed exchange on
+    o_custkey, map-side combinable), so the customer left join carries
+    |customers| rows instead of |orders| — at 100 TB the join input
+    shrinks by the orders-per-customer factor before any wide relation
+    forms. The final census aggregate's exchange is bounded by the
+    distinct-count domain (≤ max orders per customer rows per task)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+_SQL_ORDER_DIST = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n
+  FROM orders WHERE o_orderpriority <> '1-URGENT'
+  GROUP BY o_custkey
+)
+SELECT CAST(coalesce(n, 0) AS BIGINT) AS c_count, count(*) AS custdist
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion-revenue share for one ship month —
+    the conditional-aggregate classic. part broadcasts onto the
+    date-pruned lineitem scan (the month predicate reaches the parquet
+    scan as a pushed filter); both sums stay DECIMAL so the one-row
+    share is exact before the final double division."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    lo = F.lit("1998-01-01").cast("timestamp")
+    hi = F.lit("1998-02-01").cast("timestamp")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,12)"
+    )
+    agg = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("_p"),
+            F.sum(rev).alias("_t"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return agg.select(
+        F.round(F.col("_p").cast("double"), 2).alias("promo_revenue"),
+        F.round(F.col("_t").cast("double"), 2).alias("total_revenue"),
+        F.round(
+            F.col("_p").cast("double") / F.col("_t").cast("double"), 6
+        ).alias("promo_share"),
+        "n_lines",
+    )
+
+
+_SQL_PROMO_SHARE = """
+WITH agg AS (
+  SELECT SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,12))
+             END) AS p,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,12))) AS t,
+         count(*) AS n_lines
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1998-02-01'
+)
+SELECT round(CAST(p AS DOUBLE), 2) AS promo_revenue,
+       round(CAST(t AS DOUBLE), 2) AS total_revenue,
+       round(CAST(p AS DOUBLE) / CAST(t AS DOUBLE), 6) AS promo_share,
+       n_lines
+FROM agg
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity-order revenue: lineitems of one
+    brand whose quantity is below 20% of that part's average quantity.
+    The correlated-scalar-subquery classic, planned as
+    aggregate-then-rejoin: per-part (sum, count) stats aggregate on the
+    brand-pruned fact ONCE (one keyed exchange on l_partkey), then
+    BROADCAST back onto the second brand-pruned scan — the fact table
+    never shuffles for the comparison. The 0.2·avg threshold is decided
+    entirely in DECIMAL (qty·5·n < Σqty ⇔ qty < 0.2·Σqty/n), so
+    membership is bit-identical across engines — no double division
+    before the cut."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    branded = li.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    stats = branded.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_sumq"),
+        F.count(F.lit(1)).alias("_cnt"),
+    ).select(
+        F.col("l_partkey").alias("_pk"), "_sumq",
+        (F.col("_cnt") * 5).cast("decimal(18,0)").alias("_cnt5"),
+    )
+    small = branded.join(
+        F.broadcast(stats), F.col("l_partkey") == F.col("_pk")
+    ).filter(
+        F.col("l_quantity").cast("decimal(18,6)") * F.col("_cnt5")
+        < F.col("_sumq")
+    )
+    return small.agg(
+        F.round(_dsum(F.col("l_extendedprice")) / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_SQL_SMALL_QTY_REVENUE = f"""
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+), stats AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sumq,
+         CAST(count(*) * 5 AS DECIMAL(18,0)) AS cnt5
+  FROM branded GROUP BY l_partkey
+)
+SELECT round({_sql_dsum('l_extendedprice')} / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM branded JOIN stats ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(18,6)) * cnt5 < sumq
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: the 20 customers who
+    returned the most revenue in one order quarter, with nation
+    attribution. The quarter predicate prunes orders at the scan; the
+    revenue rollup is keyed on custkey (map-side combinable);
+    customer⋈nation broadcast onto the per-customer rollup. Top-20 is
+    TakeOrderedAndProject on the EXACT decimal revenue with a custkey
+    tiebreak, so the selected set is engine-independent; rounding
+    happens only in the projection above the limit."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    lo = F.lit("2000-10-01").cast("timestamp")
+    hi = F.lit("2001-01-01").cast("timestamp")
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,12)"
+                )
+            ).alias("_rd")
+        )
+    )
+    dim = cust.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        rev.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.col("_rd").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name",
+            F.round(F.col("_rd").cast("double"), 2).alias("revenue"),
+            F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+_SQL_RETURNED_ITEMS = """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,12))) AS rd
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '2000-10-01'
+    AND o_orderdate < TIMESTAMP '2001-01-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, round(CAST(rd AS DOUBLE), 2) AS revenue,
+       round(c_acctbal, 2) AS c_acctbal, n_name
+FROM rev
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY rd DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_untapped_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped dormant-high-balance report: per nation, the
+    customers whose account balance beats the positive-balance average
+    but who placed no order in the final data year. Scalar-subquery +
+    anti-join classic: the global (Σ, n) stats are a 1-row broadcast;
+    the above-average cut is decided in DECIMAL (bal·n > Σ — no double
+    division); "no recent order" is a LEFT ANTI against the
+    date-pruned DISTINCT buyer set, which is ≤ |customers| and
+    broadcasts — the customer table never shuffles."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("_sumb"),
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("_nb"),
+    )
+    recent = (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    rich = (
+        cust.join(F.broadcast(stats))
+        .filter(
+            F.col("c_acctbal").cast("decimal(18,6)") * F.col("_nb")
+            > F.col("_sumb")
+        )
+        .join(
+            F.broadcast(recent),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+    )
+    return (
+        rich.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"),
+                2,
+            ).alias("totacctbal"),
+        )
+    )
+
+
+_SQL_UNTAPPED_CUSTOMERS = """
+WITH stats AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS sumb,
+         CAST(count(*) AS DECIMAL(18,0)) AS nb
+  FROM customer WHERE c_acctbal > 0
+), recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+)
+SELECT n_name, count(*) AS numcust,
+       round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS totacctbal
+FROM customer CROSS JOIN stats
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(18,6)) * nb > sumb
+  AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+
+def q_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped OR-of-ANDs join: revenue from three
+    (brand, size-range, quantity-range) bundles. The part-only
+    implication of the disjunction (brand ∈ {12,23,34}, size ≤ the
+    per-brand cap) is applied BEFORE the join so the broadcast side
+    carries only candidate parts and the scan prunes on the pushed
+    brand/size predicates; the full three-way disjunction remains as
+    the join residual. This is the query shape that punishes engines
+    which can't split a disjunction into pushable and residual
+    parts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    b12 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+    b23 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+    b34 = (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+    cand = part.filter(b12 | b23 | b34).select("p_partkey", "p_brand")
+    q = F.col("l_quantity")
+    resid = (
+        ((F.col("p_brand") == "Brand#12") & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & q.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(cand), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(resid)
+        .agg(
+            F.round(
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_SQL_DISJUNCT_REVENUE = f"""
+SELECT round({_sql_dsum('l_extendedprice * (1 - l_discount)')}, 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -8000,6 +8329,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_share": q_brand_share,
         "top_paths": q_top_paths,
         "histogram2d": q_histogram2d,
+        "order_dist": q_order_dist,
+        "promo_share": q_promo_share,
+        "small_qty_revenue": q_small_qty_revenue,
+        "returned_items": q_returned_items,
+        "untapped_customers": q_untapped_customers,
+        "disjunct_revenue": q_disjunct_revenue,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -8172,6 +8507,12 @@ def oracle_sql() -> dict[str, str]:
         "brand_share": _SQL_BRAND_SHARE,
         "top_paths": _SQL_TOP_PATHS,
         "histogram2d": _SQL_HISTOGRAM2D,
+        "order_dist": _SQL_ORDER_DIST,
+        "promo_share": _SQL_PROMO_SHARE,
+        "small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
+        "returned_items": _SQL_RETURNED_ITEMS,
+        "untapped_customers": _SQL_UNTAPPED_CUSTOMERS,
+        "disjunct_revenue": _SQL_DISJUNCT_REVENUE,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -1229,3 +1229,76 @@ def test_rendezvous_projection_and_expectations_single_scan(spark, sf_dir):
     assert hrw.count("Exchange") == 1, hrw
     exp = _plan_simple(m.queries()["expectations"](spark, sf_dir))
     assert exp.count("FileScan parquet") == 1, exp
+
+
+def test_tpch_sweep_shapes(spark, sf_dir):
+    """The round-7 TPC-H completion sweep (Q10/Q13/Q14/Q17/Q19/Q22
+    shapes) pins, per query, the one plan property that makes it
+    scale:
+
+    - order_dist: orders aggregate BEFORE the outer join (the join
+      carries |customers| rows, never |orders|) — the per-custkey
+      HashAggregate must sit below the join, and nothing is
+      cartesian/Python.
+    - returned_items: top-20 is TakeOrderedAndProject (never a global
+      sort of the rollup).
+    - untapped_customers: the "no recent order" cut is a BROADCAST
+      anti join (the customer table never shuffles for it).
+    - small_qty_revenue: the fact table is never hash-exchanged — the
+      only keyed exchange is the per-part stats aggregate; the stats
+      rejoin is broadcast.
+    - disjunct_revenue: the part-only implication of the OR-of-ANDs
+      reaches the part scan as pushed filters.
+    - promo_share: single scan of lineitem with the ship-month
+      predicate pushed.
+    """
+    import __spark_entry__ as m
+
+    qs = m.queries()
+
+    od = qs["order_dist"](spark, sf_dir)
+    od_simple = _plan_simple(od)
+    assert "CartesianProduct" not in od_simple
+    assert "BatchEvalPython" not in od_simple and "ArrowEvalPython" not in od_simple
+    # aggregate-below-join: the orders scan's partial aggregate on
+    # o_custkey appears deeper (further indented) than the outer join
+    od_final = od_simple.split("Initial Plan")[0]
+    join_depth = min(
+        line.index("SortMergeJoin") if "SortMergeJoin" in line else line.index("BroadcastHashJoin")
+        for line in od_final.splitlines()
+        if ("SortMergeJoin" in line or "BroadcastHashJoin" in line)
+    )
+    agg_depths = [
+        len(line) - len(line.lstrip(" +:-"))
+        for line in od_final.splitlines()
+        if "HashAggregate" in line and "o_custkey" in line
+    ]
+    assert agg_depths and max(agg_depths) > join_depth, od_final
+
+    ri = _plan_simple(qs["returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in ri, ri
+
+    uc = _plan_simple(qs["untapped_customers"](spark, sf_dir))
+    assert "LeftAnti, BuildRight" in uc.replace("LeftAnti BuildRight", "LeftAnti, BuildRight"), uc
+    assert "SortMergeJoin LeftAnti" not in uc, uc
+
+    sq = _plan_simple(qs["small_qty_revenue"](spark, sf_dir))
+    sq_final = sq.split("Initial Plan")[0]
+    keyed = [
+        ln for ln in sq_final.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(keyed) == 1 and "l_partkey" in keyed[0], sq_final
+
+    dj = _plan(qs["disjunct_revenue"](spark, sf_dir))
+    part_scan = [
+        blk for blk in dj.split("\n\n")
+        if "part.parquet" in blk and "PushedFilters" in blk
+    ]
+    assert part_scan and "p_brand" in part_scan[0], dj[:4000]
+
+    ps = _plan(qs["promo_share"](spark, sf_dir))
+    li_scan = [
+        blk for blk in ps.split("\n\n")
+        if "lineitem.parquet" in blk and "PushedFilters" in blk
+    ]
+    assert li_scan and "l_shipdate" in li_scan[0], ps[:4000]
