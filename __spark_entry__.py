@@ -8201,6 +8201,216 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q_grouping_sets_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS census over the corpus — the general
+    grouping-sets surface beyond sales_rollup's ROLLUP hierarchy:
+    (lang, source), (lang), (source) and the grand total in ONE pass.
+    Catalyst plans this as a single Expand (4× row fan-out before the
+    partial aggregate, map-side combinable) — one scan, one keyed
+    exchange, never four separate jobs; GROUPING() markers
+    disambiguate subtotal rows from genuine NULL groups."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupingSets(
+            [["lang", "source"], ["lang"], ["source"], []], "lang", "source"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.grouping("source").cast("int").alias("g_source"),
+        )
+    )
+
+
+_SQL_GROUPING_SETS_CENSUS = """
+SELECT lang, source, count(*) AS n_docs, SUM(n_chars) AS total_chars,
+       CAST(GROUPING(lang) AS INTEGER) AS g_lang,
+       CAST(GROUPING(source) AS INTEGER) AS g_source
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+"""
+
+
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/navigation window surface over ONE window spec
+    (per-language, ordered by length with a doc_id tiebreak): rank,
+    dense_rank, percent_rank, cume_dist, ntile, lag and lead. All
+    seven functions share the same (partition, order) spec, so
+    Catalyst fuses them into a SINGLE Window node over a single
+    exchange — adding a function to a report costs a column, never a
+    shuffle. The total order (tiebreak included) makes every output —
+    ntile cuts included — engine-independent; the rank-family ratios
+    are exact small-integer divisions."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("n_chars", 1).over(w).alias("prev_chars"),
+        F.lead("n_chars", 1).over(w).alias("next_chars"),
+    )
+
+
+_SQL_WINDOW_SUITE = """
+SELECT doc_id, lang, n_chars,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       round(percent_rank() OVER w, 6) AS prnk,
+       round(cume_dist()    OVER w, 6) AS cdist,
+       CAST(ntile(4)  OVER w AS INTEGER) AS quartile,
+       lag(n_chars, 1)  OVER w AS prev_chars,
+       lead(n_chars, 1) OVER w AS next_chars
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC)
+"""
+
+
+def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue
+    (α = 1/2, 20-day window) on an EXACT power-of-two integer lattice:
+    daily cents (decimal-exact) × 2^(19−lag) summed as BIGINT, so the
+    smoothed value is a single deterministic cast+division — no
+    order-dependent double accumulation anywhere. Shape: the fact
+    table collapses to the per-day rollup FIRST (one keyed map-side
+    combinable exchange; the day relation is tiny no matter the
+    corpus), and the 20-day weighting is a bounded range self-join on
+    that rollup — ≤ 20× fan-out of an already-day-sized relation."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    a = daily.select(
+        F.col("d").alias("d_a"), F.col("day_cents").alias("cents_a")
+    )
+    b = daily.select(
+        F.col("d").alias("d_b"), F.col("day_cents").alias("cents_b")
+    )
+    gap = F.datediff(F.col("d_a"), F.col("d_b"))
+    # the a-side carries its own cents through the join so the result
+    # needs no third reference to the daily rollup (two identical
+    # rollup subtrees -> one shuffle via ReuseExchange); the ≤20-day
+    # band over the day-sized relation is a deliberate broadcast
+    # nested-loop — the relation is tiny no matter the corpus size
+    return (
+        a.join(b, (gap >= 0) & (gap <= 19))
+        .select(
+            "d_a",
+            "cents_a",
+            (
+                F.col("cents_b")
+                * F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), 19 - datediff(d_a, d_b))"
+                )
+            ).alias("_w"),
+        )
+        .groupBy("d_a", "cents_a")
+        .agg(F.sum("_w").alias("_e"))
+        .select(
+            F.col("d_a").cast("string").alias("day"),
+            (F.col("cents_a").cast("double") / 100).alias("revenue"),
+            # 4dp round performed ON the integer lattice (half-up in
+            # exact BIGINT, then one exact double division) — a double
+            # round() here would be the only engine-divergent step
+            F.expr(
+                "CAST((_e * 100 + 524288) DIV 1048576 AS DOUBLE) / 10000"
+            ).alias("ewma"),
+        )
+    )
+
+
+_SQL_EWMA_REVENUE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS day_cents
+  FROM orders GROUP BY 1
+), ew AS (
+  SELECT a.d AS d,
+         SUM(b.day_cents *
+             (CAST(1 AS BIGINT) << (19 - date_diff('day', b.d, a.d))))
+           AS e
+  FROM daily a JOIN daily b
+    ON date_diff('day', b.d, a.d) BETWEEN 0 AND 19
+  GROUP BY a.d
+)
+SELECT CAST(daily.d AS VARCHAR) AS day,
+       CAST(day_cents AS DOUBLE) / 100 AS revenue,
+       CAST((e * 100 + 524288) // 1048576 AS DOUBLE) / 10000 AS ewma
+FROM ew JOIN daily ON ew.d = daily.d
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: median, MAD (median
+    absolute deviation) and the count beyond the 3-MAD fence — the
+    z-score screen's heavy-tail-safe sibling. Two exact-median passes
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, the
+    price_quantiles parity premise), each reduced per type and
+    BROADCAST back — the events relation is scanned, never shuffled,
+    and the per-type stats relations are ≤ |event types| rows."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    # eager checkpoint of the |event types|-row median relation: dev
+    # is consumed twice (MAD pass + fence pass) and without the
+    # checkpoint each consumer would inline the median aggregate's
+    # full events scan again (4 scans instead of 2)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("_med")
+    ).localCheckpoint()
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "_med",
+        F.abs(F.col("value") - F.col("_med")).alias("_ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(_ad, 0.5)").alias("_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("_med"), 4).alias("med"),
+            F.round(F.first("_mad"), 4).alias("mad"),
+            F.sum(
+                (F.col("_ad") > 3 * F.col("_mad")).cast("bigint")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+_SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, med.m, abs(e.value - med.m) AS ad
+  FROM events e JOIN med ON e.event_type = med.event_type
+), mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS md
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type, count(*) AS n,
+       round(any_value(dev.m), 4) AS med,
+       round(any_value(mad.md), 4) AS mad,
+       SUM(CAST(dev.ad > 3 * mad.md AS BIGINT)) AS n_outliers
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+GROUP BY dev.event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -8335,6 +8545,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items": q_returned_items,
         "untapped_customers": q_untapped_customers,
         "disjunct_revenue": q_disjunct_revenue,
+        "grouping_sets_census": q_grouping_sets_census,
+        "window_suite": q_window_suite,
+        "ewma_revenue": q_ewma_revenue,
+        "mad_outliers": q_mad_outliers,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -8513,6 +8727,10 @@ def oracle_sql() -> dict[str, str]:
         "returned_items": _SQL_RETURNED_ITEMS,
         "untapped_customers": _SQL_UNTAPPED_CUSTOMERS,
         "disjunct_revenue": _SQL_DISJUNCT_REVENUE,
+        "grouping_sets_census": _SQL_GROUPING_SETS_CENSUS,
+        "window_suite": _SQL_WINDOW_SUITE,
+        "ewma_revenue": _SQL_EWMA_REVENUE,
+        "mad_outliers": _SQL_MAD_OUTLIERS,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -1302,3 +1302,48 @@ def test_tpch_sweep_shapes(spark, sf_dir):
         if "lineitem.parquet" in blk and "PushedFilters" in blk
     ]
     assert li_scan and "l_shipdate" in li_scan[0], ps[:4000]
+
+
+def test_analytics_batch_shapes(spark, sf_dir):
+    """Round-7 analytics-completeness batch pins:
+
+    - grouping_sets_census: ONE Expand (single-pass 4× fan-out) and
+      ONE keyed exchange — four grouping sets never become four jobs.
+    - window_suite: all seven window functions share one spec → ONE
+      Window node over ONE exchange.
+    - ewma_revenue: the fact table appears exactly twice (the two
+      day-rollup subtrees) and the weighted band join is the
+      documented broadcast nested-loop over the day-sized relation;
+      exactly the two rollup keyed exchanges — the final per-day
+      aggregate reuses the rollup's partitioning (alias-aware), no
+      third exchange.
+    - mad_outliers: both stats rejoins broadcast — the events relation
+      is never hash-exchanged.
+    """
+    import __spark_entry__ as m
+
+    qs = m.queries()
+
+    gs = _plan_simple(qs["grouping_sets_census"](spark, sf_dir))
+    gs_final = gs.split("Initial Plan")[0]
+    assert gs_final.count("Expand") == 1, gs_final
+    assert gs_final.count("Exchange hashpartitioning") == 1, gs_final
+
+    ws = _plan_simple(qs["window_suite"](spark, sf_dir))
+    ws_final = ws.split("Initial Plan")[0]
+    assert ws_final.count("Window") == 1, ws_final
+    assert ws_final.count("Exchange hashpartitioning") == 1, ws_final
+
+    ew = _plan_simple(qs["ewma_revenue"](spark, sf_dir))
+    ew_final = ew.split("Initial Plan")[0]
+    assert ew_final.count("FileScan parquet") == 2, ew_final
+    assert "BroadcastNestedLoopJoin" in ew_final, ew_final
+    assert ew_final.count("Exchange hashpartitioning") == 2, ew_final
+
+    mo = _plan_simple(qs["mad_outliers"](spark, sf_dir))
+    mo_final = mo.split("Initial Plan")[0]
+    assert "SortMergeJoin" not in mo_final, mo_final
+    # med is checkpointed (k rows), so events is scanned exactly twice
+    # (MAD pass + fence pass) and every stats rejoin is broadcast
+    assert mo_final.count("FileScan parquet") == 2, mo_final
+    assert mo_final.count("BroadcastHashJoin") == 3, mo_final
