@@ -120,6 +120,15 @@ HEADLINERS = {
     "brand_share": "Market share: one keyed rollup (part broadcasts onto the fact), then the share window runs over the 25-row brand relation in exact DECIMAL - the single-partition window carries brands, never lineitem.",
     "top_paths": "Journey census: order restored INSIDE the per-user aggregate (array_sort over structs - correct under any partitioning), path census map-side combinable, TakeOrderedAndProject top-k.",
     "histogram2d": "2-D histogram: cell assignment is a projection over the broadcast (or literal) bounds; ONE map-side-combinable aggregate whose exchange carries <= x_bins*y_bins rows per task.",
+    "order_dist": "Q13 shape: orders aggregate BEFORE the outer join (one keyed map-side-combinable exchange), so the join carries |customers| rows instead of |orders|; the census aggregate's exchange is bounded by the count domain.",
+    "returned_items": "Q10 shape: quarter predicate pushed to the orders scan; per-custkey rollup map-side combinable; customer+nation broadcast onto the rollup; top-20 is TakeOrderedAndProject on the EXACT decimal revenue (rounding only above the limit).",
+    "untapped_customers": "Q22 shape: 1-row balance stats broadcast; the above-average cut decided in DECIMAL (bal*n > sum, no double division); 'no recent order' is a BROADCAST LEFT ANTI on the distinct recent-buyer set - the customer table never shuffles.",
+    "small_qty_revenue": "Q17 shape: per-part stats are the ONLY keyed exchange; the stats rejoin broadcasts back onto the second brand-pruned scan; the 0.2*avg threshold is decided in DECIMAL (qty*5*n < sum) so membership is engine-exact.",
+    "disjunct_revenue": "Q19 shape: the part-only implication of the OR-of-ANDs (brand+size) reaches the part scan as PushedFilters; the full three-way disjunction stays as the broadcast join residual.",
+    "grouping_sets_census": "Arbitrary GROUPING SETS: ONE Expand (4x fan-out before the partial aggregate, map-side combinable) and ONE keyed exchange - four grouping sets never become four jobs.",
+    "window_suite": "Seven ranking/navigation functions share one (partition, order) spec -> Catalyst fuses them into a SINGLE Window node over a single exchange; adding a function costs a column, never a shuffle.",
+    "ewma_revenue": "EWMA on an exact 2^k integer lattice: the fact collapses to the day rollup FIRST (both rollup subtrees are the only scans); the <=20-day weighted band is a deliberate broadcast nested-loop over the day-sized relation; the final per-day aggregate reuses the rollup's partitioning (alias-aware - no third exchange); the 4dp round happens in BIGINT.",
+    "mad_outliers": "Median/MAD/3-MAD fences: the k-row median relation is eagerly checkpointed so the events table scans exactly TWICE (MAD pass + fence pass); every stats rejoin is a broadcast hash join; exchanges exist only under the tiny per-type aggregates.",
     "containment_pairs": "Asymmetric containment (quote/excerpt detection): same inverted-index self-join as jaccard_pairs — keyed on (block, xxhash64(shingle)), SMJ with the shared exchange reused, pair counts as an aggregate — but with NO size-ratio prune (a tiny doc fully contained in a huge one is the signal Jaccard misses). The hot-shingle df-cutoff is ON (the only scale dial beyond blocking, since no size prune is possible): the per-(block, shingle) df window count reads the SAME exchange the SMJ self-join shuffles on, and |A∩B| stays exact via the hot-set correction left-joins above the pair aggregate (pinned: keyed join only, no BNLJ).",
     "snapshot_diff": "Snapshot diff (what did last night's load change): null-safe md5 row fingerprints are map-side projections on each scan; the ENTIRE diff is one full-outer SortMergeJoin on the business key (pinned == 1) — the minimum any keyed two-corpus comparison can pay; with key-bucketed snapshots even that exchange vanishes. Status classification is a projection; the counts rollup partial-aggregates 4 rows per task.",
     "sq_quantize": "SQ8 scalar quantization: per-dim min/max from one keyed aggregate (exchange carries <= dim rows), pivoted to two dim-length arrays and BROADCAST (the single 1-row BNLJ, pinned); encode and midpoint-decode error are zero-exchange array-transform projections — the quantizer trains in one pass and applies map-side, which is what a write-time re-encode of 10^9 vectors needs. Exact IEEE arithmetic both engines (no summation in the bounds), 4dp rounding on the error fold only.",
