@@ -8411,6 +8411,58 @@ GROUP BY dev.event_type
 """
 
 
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (similarity.py::margin_mine,
+    the LASER/CCMatrix criterion): best cross-side cosine match kept
+    only when it stands out against both local neighborhoods
+    (margin > 1.02). Label halves stand in for the two languages.
+    Cosines live on the 1e4 integer lattice, both k-NN denominators
+    are exact integer sums, and the margin cut is an exact integer
+    comparison — doubles only in the reported columns."""
+    from m3d_engine_spark.operators.similarity import margin_mine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return margin_mine(
+        emb.filter(F.col("label") < 5),
+        emb.filter(F.col("label") >= 5),
+        "vec_id",
+        "embedding",
+        knn=4,
+        ratio=(51, 50),
+    )
+
+
+_SQL_BITEXT_MINE = """
+WITH a AS (
+  SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label < 5
+), b AS (
+  SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label >= 5
+), pairs AS (
+  SELECT a_id, b_id,
+         CAST(round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) * 10000, 0)
+              AS BIGINT) AS ci
+  FROM a CROSS JOIN b
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY a_id ORDER BY ci DESC, b_id) AS ra,
+         row_number() OVER (PARTITION BY b_id ORDER BY ci DESC, a_id) AS rb
+  FROM pairs
+), ka AS (
+  SELECT a_id, SUM(ci) AS ska FROM ranked WHERE ra <= 4 GROUP BY a_id
+), kb AS (
+  SELECT b_id, SUM(ci) AS skb FROM ranked WHERE rb <= 4 GROUP BY b_id
+)
+SELECT r.a_id, r.b_id, CAST(ci AS DOUBLE) / 10000 AS cosine,
+       round(CAST(ci AS DOUBLE) * 8 / CAST(ska + skb AS DOUBLE), 6) AS margin
+FROM ranked r JOIN ka USING (a_id) JOIN kb USING (b_id)
+WHERE ra = 1 AND ci * 400 > (ska + skb) * 51
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -8549,6 +8601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_suite": q_window_suite,
         "ewma_revenue": q_ewma_revenue,
         "mad_outliers": q_mad_outliers,
+        "bitext_mine": q_bitext_mine,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -8731,6 +8784,7 @@ def oracle_sql() -> dict[str, str]:
         "window_suite": _SQL_WINDOW_SUITE,
         "ewma_revenue": _SQL_EWMA_REVENUE,
         "mad_outliers": _SQL_MAD_OUTLIERS,
+        "bitext_mine": _SQL_BITEXT_MINE,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -591,3 +591,100 @@ def mmr_diversify(
     return selected.select(
         "query_id", F.col("id").alias("neighbor_id"), "pick", "rel", "mmr"
     )
+
+
+def margin_mine(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    id_col: str,
+    vec_col: str,
+    knn: int = 4,
+    ratio: tuple[int, int] = (51, 50),
+) -> DataFrame:
+    """Margin-based parallel-pair mining (the LASER/CCMatrix shape):
+    for every vector on side A, its best cosine match on side B kept
+    only when the pair "stands out" against the local neighborhood —
+    margin(x, y) = cos(x, y) / (½·(avgₖ(x→B) + avgₖ(y→A))) with the
+    ratio criterion margin > ratio[0]/ratio[1].
+
+    Determinism discipline: cosines are projected onto a 1e4 integer
+    lattice (the 4dp-rounding premise the whole similarity family
+    uses), so both k-NN denominators are EXACT integer sums — no
+    order-dependent double accumulation — and the margin cut is
+    decided as the exact integer comparison
+    ``ci·2·knn·ratio[1] > (skA+skB)·ratio[0]``; doubles appear only
+    in the reported columns.
+
+    Scale: the pair tier below is pluggable — here exact with side B
+    BROADCAST (zero shuffle of the bigger side A; the one topology
+    that matters at 10⁹×10⁶), swap in the seeded-LSH banded join
+    (seeded_ann_topk's candidate stage) for two web-scale sides. The
+    k-NN stats and best-match windows are keyed exchanges of the
+    PAIR relation only.
+
+    Returns (a_id, b_id, cosine, margin).
+    """
+    a = side_a.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("av"),
+        norm(F.col(vec_col)).alias("an"),
+    )
+    b = F.broadcast(
+        side_b.select(
+            F.col(id_col).alias("b_id"),
+            F.col(vec_col).alias("bv"),
+            norm(F.col(vec_col)).alias("bn"),
+        )
+    )
+    pairs = a.crossJoin(b).select(
+        "a_id",
+        "b_id",
+        F.round(
+            dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")) * 10000,
+            0,
+        )
+        .cast("bigint")
+        .alias("ci"),
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.col("ci").desc(), F.col("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.col("ci").desc(), F.col("a_id"))
+    # eager checkpoint: the scored candidate relation feeds THREE
+    # consumers (k-NN stats per side + best match); without it each
+    # consumer re-executes the cosine cross join — the fuzzy_dedup
+    # checkpoint discipline, applied to the candidate tier
+    ranked = (
+        pairs.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rb", F.row_number().over(wb))
+        .localCheckpoint()
+    )
+    ka = (
+        ranked.filter(F.col("_ra") <= knn)
+        .groupBy("a_id")
+        .agg(F.sum("ci").alias("_ska"))
+    )
+    kb = (
+        ranked.filter(F.col("_rb") <= knn)
+        .groupBy("b_id")
+        .agg(F.sum("ci").alias("_skb"))
+    )
+    best = ranked.filter(F.col("_ra") == 1)
+    num, den = ratio
+    return (
+        best.join(ka, "a_id")
+        .join(F.broadcast(kb), "b_id")
+        .filter(
+            F.col("ci") * (2 * knn * den)
+            > (F.col("_ska") + F.col("_skb")) * num
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("ci").cast("double") / 10000).alias("cosine"),
+            F.round(
+                F.col("ci").cast("double")
+                * (2 * knn)
+                / (F.col("_ska") + F.col("_skb")).cast("double"),
+                6,
+            ).alias("margin"),
+        )
+    )

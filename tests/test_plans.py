@@ -1347,3 +1347,17 @@ def test_analytics_batch_shapes(spark, sf_dir):
     # (MAD pass + fence pass) and every stats rejoin is broadcast
     assert mo_final.count("FileScan parquet") == 2, mo_final
     assert mo_final.count("BroadcastHashJoin") == 3, mo_final
+
+
+def test_bitext_mine_candidate_checkpoint(spark, sf_dir):
+    """margin_mine: the scored candidate relation is checkpointed once,
+    so the final plan reads it as ExistingRDD three times (k-NN stats
+    per side + best match) and contains NO parquet scan and no Python
+    operator — the cosine cross join executes exactly once."""
+    import __spark_entry__ as m
+
+    plan = _plan_simple(m.queries()["bitext_mine"](spark, sf_dir))
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Scan ExistingRDD") == 3, final
+    assert final.count("FileScan parquet") == 0, final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
