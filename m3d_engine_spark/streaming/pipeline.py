@@ -995,3 +995,191 @@ def read_maintained_agg(spark, deltas_path: str, key_cols: list) -> DataFrame:
         )
         .filter(F.col("n") != 0)
     )
+
+
+MEDIAN_STATE_SCHEMA = "buf array<double>"
+
+
+def streaming_rolling_median(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_rows: int = 10,
+    out_dp: int = 4,
+    watermark: str = "1 hour",
+    order_cols: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """Streaming twin of ``operators/anomaly.py::rolling_median``: the
+    trailing-``window_rows`` median per key, maintained with
+    ``applyInPandasWithState``. State per key is the bounded buffer of
+    the last ``window_rows − 1`` ROW slots (NaN marks a NULL row —
+    the batch window frame counts rows, while ``collect_list`` skips
+    NULLs, and the kernel reproduces exactly that), so the state
+    store is O(window_rows) at any stream length.
+
+    The median expression mirrors the batch operator's sorted-buffer
+    arithmetic (mean of the two middle values, ``out_dp`` rounding);
+    on in-order input the two are equivalence-pinned. Ordering/late
+    data contract identical to ``streaming_rolling_zscore``."""
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sort_cols = list(order_cols) if order_cols else [ts_col]
+    out_cols = [key_col, ts_col, value_col, "rolling_median"]
+    schema = events.schema
+    out_schema = (
+        f"{key_col} {schema[key_col].dataType.simpleString()}, "
+        f"{ts_col} {schema[ts_col].dataType.simpleString()}, "
+        f"{value_col} double, rolling_median double"
+    )
+    keep = int(window_rows) - 1
+
+    def stateful(key, batches, state):
+        (uid,) = key
+        buf = list(state.get[0]) if state.exists else []
+        out = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                null = pd.isna(val)
+                vals = [v for v in buf if not math.isnan(v)]
+                if not null:
+                    vals.append(float(val))
+                if vals:
+                    vals.sort()
+                    n = len(vals)
+                    med = round(
+                        (vals[(n - 1) // 2] + vals[n // 2]) / 2.0, out_dp
+                    )
+                else:
+                    med = None
+                out.append((uid, ts, None if null else float(val), med))
+                buf.append(math.nan if null else float(val))
+                if len(buf) > keep:
+                    buf.pop(0)
+        state.update((buf,))
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            stateful,
+            outputStructType=out_schema,
+            stateStructType=MEDIAN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+GAPFILL_STATE_SCHEMA = (
+    "prev_ts bigint, prev_v double, pend_ts array<bigint>, "
+    "pend_tie array<bigint>"
+)
+
+
+def streaming_gap_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+    out_dp: int = 4,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``operators/temporal.py::linear_interpolate``
+    in its causal form: a NULL-valued row cannot be interpolated until
+    the NEXT present value arrives, so gap rows wait in per-key state
+    and are emitted — with the identical interpolation expression the
+    batch operator uses — the moment a closing anchor shows up.
+
+    Emission contract vs the batch operator on in-order input:
+    * present rows and leading-boundary NULLs (no prior anchor — the
+      batch operator leaves these NULL too) emit immediately;
+    * interior gap rows emit when their closing anchor arrives,
+      bit-identical to the batch fill (equivalence-pinned);
+    * trailing-boundary NULLs stay pending (a stream cannot know the
+      future the batch operator also has no answer for); they emit
+      only if a later value closes them.
+
+    State per key is (last anchor, pending gap row ids): O(gap
+    length), independent of stream length. Timestamps ride as epoch
+    microseconds (the batch entry's ``ts_us`` convention)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_cols = [key_col, "ts_us", tie_col, value_col, "value_filled",
+                "interpolated"]
+    schema = events.schema
+    out_schema = (
+        f"{key_col} {schema[key_col].dataType.simpleString()}, "
+        f"ts_us bigint, {tie_col} {schema[tie_col].dataType.simpleString()},"
+        f" {value_col} double, value_filled double, interpolated int"
+    )
+
+    def stateful(key, batches, state):
+        (uid,) = key
+        if state.exists:
+            prev_ts, prev_v, pend_ts, pend_tie = state.get
+            pend = list(zip(pend_ts, pend_tie))
+        else:
+            prev_ts, prev_v, pend = None, None, []
+        out = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, tie_col], kind="mergesort")
+            for ts, tie, val in zip(pdf[ts_col], pdf[tie_col], pdf[value_col]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if pd.isna(val):
+                    if prev_ts is None:
+                        # leading boundary: the batch operator leaves
+                        # these NULL as well — emit now
+                        out.append((uid, ts_us, tie, None, None, 0))
+                    else:
+                        pend.append((ts_us, int(tie)))
+                    continue
+                v = float(val)
+                for gts, gtie in pend:
+                    # identical op order to the batch expression:
+                    # pv + (nv - pv) * Δt₁ / Δt₂, then round
+                    fill = round(
+                        prev_v
+                        + (v - prev_v)
+                        * float(gts - prev_ts)
+                        / float(ts_us - prev_ts),
+                        out_dp,
+                    )
+                    out.append((uid, gts, gtie, None, fill, 1))
+                pend = []
+                out.append((uid, ts_us, tie, v, v, 0))
+                prev_ts, prev_v = ts_us, v
+        state.update((
+            prev_ts,
+            prev_v,
+            [t for t, _ in pend],
+            [i for _, i in pend],
+        ))
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            stateful,
+            outputStructType=out_schema,
+            stateStructType=GAPFILL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
