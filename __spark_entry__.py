@@ -8463,6 +8463,204 @@ WHERE ra = 1 AND ci * 400 > (ska + skb) * 51
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-equity rollup: per
+    customer recency (days since last order, vs the corpus max date),
+    frequency (order count) and monetary (exact decimal revenue),
+    quintiled into R/F/M scores and a named segment. One keyed rollup
+    of orders (map-side combinable); the reference date is a 1-row
+    broadcast; the three ntile windows run over the CUSTOMER-sized
+    rollup (never the fact) with custkey tiebreaks so every quintile
+    cut is engine-deterministic. The global ntile is a deliberate
+    single-partition sort of the ROLLUP (WindowExec warns; fine at
+    |customers| ≪ |orders|) — at 10⁹ customers swap it for the
+    percentile-threshold broadcast join (quantile_normalize's grid
+    discipline) without touching the rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("_ref"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,12)")).alias("_m"),
+        )
+        .join(F.broadcast(ref))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.datediff(F.col("_ref"), F.col("_last")).alias("recency_days"),
+            "frequency",
+            "_m",
+        )
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("c_custkey"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("c_custkey"))
+    wm = Window.orderBy(F.col("_m").desc(), F.col("c_custkey"))
+    scored = per_cust.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        F.round(F.col("_m").cast("double"), 2).alias("monetary"),
+        F.ntile(5).over(wr).alias("r_q"),
+        F.ntile(5).over(wf).alias("f_q"),
+        F.ntile(5).over(wm).alias("m_q"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.when((F.col("r_q") <= 2) & (F.col("f_q") <= 2) & (F.col("m_q") <= 2),
+               F.lit("champion"))
+        .when(F.col("r_q") >= 4, F.lit("at_risk"))
+        .when(F.col("m_q") <= 2, F.lit("big_spender"))
+        .otherwise(F.lit("regular")),
+    )
+
+
+_SQL_RFM_SEGMENTS = """
+WITH per_cust AS (
+  SELECT o_custkey AS c_custkey,
+         date_diff('day', max(o_orderdate),
+                   (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+         count(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(30,12))) AS m
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT c_custkey, recency_days, frequency,
+         round(CAST(m AS DOUBLE), 2) AS monetary,
+         ntile(5) OVER (ORDER BY recency_days ASC, c_custkey) AS r_q,
+         ntile(5) OVER (ORDER BY frequency DESC, c_custkey) AS f_q,
+         ntile(5) OVER (ORDER BY m DESC, c_custkey) AS m_q
+  FROM per_cust
+)
+SELECT *, CASE WHEN r_q <= 2 AND f_q <= 2 AND m_q <= 2 THEN 'champion'
+               WHEN r_q >= 4 THEN 'at_risk'
+               WHEN m_q <= 2 THEN 'big_spender'
+               ELSE 'regular' END AS segment
+FROM scored
+"""
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 audit): customers ranked by
+    exact decimal revenue into deciles; per decile the customer
+    count, revenue, share and CUMULATIVE share. The fact table pays
+    one keyed rollup; every window (decile cut, total, running sum)
+    runs over customer- or decile-sized relations, all in DECIMAL
+    until the final projection."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,12)")).alias("_r")
+    )
+    wd = Window.orderBy(F.col("_r").desc(), F.col("o_custkey"))
+    deciles = (
+        per_cust.select("_r", F.ntile(10).over(wd).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("_r").alias("_dr"),
+        )
+    )
+    wt = Window.partitionBy()
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return deciles.select(
+        "decile",
+        "n_cust",
+        F.round(F.col("_dr").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("_dr").cast("double")
+            / F.sum("_dr").over(wt).cast("double"),
+            6,
+        ).alias("share"),
+        F.round(
+            F.sum("_dr").over(wc).cast("double")
+            / F.sum("_dr").over(wt).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+_SQL_REVENUE_CONCENTRATION = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(30,12))) AS r
+  FROM orders GROUP BY o_custkey
+), deciles AS (
+  SELECT decile, count(*) AS n_cust, SUM(r) AS dr
+  FROM (SELECT r, ntile(10) OVER (ORDER BY r DESC, o_custkey) AS decile
+        FROM per_cust)
+  GROUP BY decile
+)
+SELECT decile, n_cust, round(CAST(dr AS DOUBLE), 2) AS revenue,
+       round(CAST(dr AS DOUBLE) / CAST(SUM(dr) OVER () AS DOUBLE), 6)
+         AS share,
+       round(CAST(SUM(dr) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(dr) OVER () AS DOUBLE), 6) AS cum_share
+FROM deciles
+"""
+
+
+def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence per market segment: the day gaps between
+    each customer's consecutive orders (one lag window over the
+    per-customer order sequence, orderkey tiebreak), rolled up to
+    median / p90 / mean gap per segment. The lag window is ONE keyed
+    exchange of (custkey, date) pairs — never the full orders rows;
+    the percentile rollup reduces gap integers per segment. The
+    churn-model feature pipeline's first query."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate"), F.col("o_orderkey")
+    )
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("_prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.col("o_orderdate"), F.col("_prev")).alias("gap_days"),
+        )
+    )
+    return (
+        gaps.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            gaps["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 4).alias("med_gap"),
+            F.round(F.expr("percentile(gap_days, 0.9)"), 4).alias("p90_gap"),
+            F.round(
+                F.sum("gap_days").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("mean_gap"),
+        )
+    )
+
+
+_SQL_ORDER_GAP_STATS = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment, count(*) AS n_gaps,
+       round(quantile_cont(gap_days, 0.5), 4) AS med_gap,
+       round(quantile_cont(gap_days, 0.9), 4) AS p90_gap,
+       round(CAST(SUM(gap_days) AS DOUBLE) / count(*), 4) AS mean_gap
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -8602,6 +8800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_revenue": q_ewma_revenue,
         "mad_outliers": q_mad_outliers,
         "bitext_mine": q_bitext_mine,
+        "rfm_segments": q_rfm_segments,
+        "revenue_concentration": q_revenue_concentration,
+        "order_gap_stats": q_order_gap_stats,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -8785,6 +8986,9 @@ def oracle_sql() -> dict[str, str]:
         "ewma_revenue": _SQL_EWMA_REVENUE,
         "mad_outliers": _SQL_MAD_OUTLIERS,
         "bitext_mine": _SQL_BITEXT_MINE,
+        "rfm_segments": _SQL_RFM_SEGMENTS,
+        "revenue_concentration": _SQL_REVENUE_CONCENTRATION,
+        "order_gap_stats": _SQL_ORDER_GAP_STATS,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

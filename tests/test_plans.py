@@ -1361,3 +1361,35 @@ def test_bitext_mine_candidate_checkpoint(spark, sf_dir):
     assert final.count("Scan ExistingRDD") == 3, final
     assert final.count("FileScan parquet") == 0, final
     assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+def test_customer_analytics_shapes(spark, sf_dir):
+    """Customer-analytics batch pins: the fact table pays exactly ONE
+    keyed exchange in each entry; every window runs over rollup-sized
+    relations.
+
+    - rfm_segments: one o_custkey rollup exchange; the quintile
+      windows sort the customer rollup (SinglePartition exchanges),
+      never the orders scan.
+    - revenue_concentration: one o_custkey rollup exchange; decile
+      cut + shares over customer/decile-sized relations.
+    - order_gap_stats: the lag window and the per-segment percentile
+      rollup share/bound their exchanges; customer broadcast.
+    """
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    for name in ("rfm_segments", "revenue_concentration"):
+        plan = _plan_simple(qs[name](spark, sf_dir))
+        final = plan.split("Initial Plan")[0]
+        keyed = [
+            ln for ln in final.splitlines()
+            if "Exchange hashpartitioning" in ln
+        ]
+        assert len(keyed) == 1 and "o_custkey" in keyed[0], (name, final)
+        assert "BatchEvalPython" not in final and "CartesianProduct" not in final
+
+    gp = _plan_simple(qs["order_gap_stats"](spark, sf_dir))
+    gp_final = gp.split("Initial Plan")[0]
+    assert "BroadcastHashJoin" in gp_final, gp_final
+    assert gp_final.count("Exchange hashpartitioning") <= 2, gp_final

@@ -129,6 +129,9 @@ HEADLINERS = {
     "window_suite": "Seven ranking/navigation functions share one (partition, order) spec -> Catalyst fuses them into a SINGLE Window node over a single exchange; adding a function costs a column, never a shuffle.",
     "ewma_revenue": "EWMA on an exact 2^k integer lattice: the fact collapses to the day rollup FIRST (both rollup subtrees are the only scans); the <=20-day weighted band is a deliberate broadcast nested-loop over the day-sized relation; the final per-day aggregate reuses the rollup's partitioning (alias-aware - no third exchange); the 4dp round happens in BIGINT.",
     "mad_outliers": "Median/MAD/3-MAD fences: the k-row median relation is eagerly checkpointed so the events table scans exactly TWICE (MAD pass + fence pass); every stats rejoin is a broadcast hash join; exchanges exist only under the tiny per-type aggregates.",
+    "rfm_segments": "RFM: one o_custkey rollup exchange on the fact; the three quintile windows sort the CUSTOMER rollup (deliberate single-partition over the small relation; the 1e9-customer swap is a percentile-threshold grid join); custkey tiebreaks make every cut deterministic.",
+    "revenue_concentration": "80/20 audit: one keyed rollup on the fact; the decile cut runs over the customer rollup, the share/cumulative windows over the 10-row decile relation - DECIMAL end to end, doubles only in the projection.",
+    "order_gap_stats": "Purchase cadence: lag window over (custkey, date) pairs - one keyed exchange of the slim projection, never full orders rows; per-segment percentile rollup; customer broadcast.",
     "bitext_mine": "Margin-criterion bitext mining: the scored candidate relation (cosine cross join, side B broadcast - at web scale swap in the seeded-LSH banded candidate stage) is checkpointed ONCE and read back three times (per-side k-NN stats + best match); cosines live on a 1e4 integer lattice so the k-NN denominators are exact integer sums and the margin cut is an exact integer comparison.",
     "containment_pairs": "Asymmetric containment (quote/excerpt detection): same inverted-index self-join as jaccard_pairs — keyed on (block, xxhash64(shingle)), SMJ with the shared exchange reused, pair counts as an aggregate — but with NO size-ratio prune (a tiny doc fully contained in a huge one is the signal Jaccard misses). The hot-shingle df-cutoff is ON (the only scale dial beyond blocking, since no size prune is possible): the per-(block, shingle) df window count reads the SAME exchange the SMJ self-join shuffles on, and |A∩B| stays exact via the hot-set correction left-joins above the pair aggregate (pinned: keyed join only, no BNLJ).",
     "snapshot_diff": "Snapshot diff (what did last night's load change): null-safe md5 row fingerprints are map-side projections on each scan; the ENTIRE diff is one full-outer SortMergeJoin on the business key (pinned == 1) — the minimum any keyed two-corpus comparison can pay; with key-bucketed snapshots even that exchange vanishes. Status classification is a projection; the counts rollup partial-aggregates 4 rows per task.",
