@@ -8661,6 +8661,124 @@ GROUP BY c_mktsegment
 """
 
 
+def q_metrics_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (the inverse of transpose_pivot's pivot):
+    per-segment customer metrics melted to (segment, metric, value)
+    rows — the shape every metrics store and plotting layer ingests.
+    One keyed rollup, then ``DataFrame.unpivot`` — Catalyst's Expand
+    again (k× fan-out of the SEGMENT-sized rollup, no extra
+    exchange); values unified to double before the melt, as unpivot
+    requires one value type."""
+    cust = _t(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("total_acctbal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+    )
+    return wide.unpivot(
+        ["c_mktsegment"],
+        ["n_customers", "total_acctbal", "max_acctbal"],
+        "metric",
+        "value",
+    )
+
+
+_SQL_METRICS_MELT = """
+WITH wide AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS DOUBLE) AS n_customers,
+         round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2)
+           AS total_acctbal,
+         round(max(c_acctbal), 2) AS max_acctbal
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, metric, value FROM (
+  SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS value
+  FROM wide
+  UNION ALL
+  SELECT c_mktsegment, 'total_acctbal', total_acctbal FROM wide
+  UNION ALL
+  SELECT c_mktsegment, 'max_acctbal', max_acctbal FROM wide
+)
+"""
+
+
+def q_daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine monthly report: a generated day sequence
+    (min→max order date) LEFT-joined to the daily revenue rollup so
+    zero-activity days exist as rows — the gap every naive GROUP BY
+    date silently hides — then rolled up per month with active-day /
+    missing-day counts. The spine is ``sequence``+``explode`` off the
+    1-row bounds aggregate (JVM fan-out, corpus-independent size);
+    the fact pays its one rollup exchange; the spine join is a
+    broadcast of the day rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.col("o_totalprice").cast("decimal(30,12)").alias("_p"),
+        )
+        .groupBy("d")
+        .agg(F.sum("_p").alias("_rev"), F.count(F.lit(1)).alias("_n"))
+    )
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("_lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("_hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("_lo", "_hi")).alias("d")
+    )
+    return (
+        spine.join(F.broadcast(daily), "d", "left")
+        .groupBy(F.date_trunc("month", F.col("d")).cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum((F.col("_n").isNotNull()).cast("int")).alias("active_days"),
+            F.sum((F.col("_n").isNull()).cast("int")).alias("missing_days"),
+            F.round(
+                F.coalesce(F.sum("_rev"), F.lit(0).cast("decimal(30,12)"))
+                .cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+        .select(
+            F.col("month").cast("string").alias("month"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("active_days").cast("bigint").alias("active_days"),
+            F.col("missing_days").cast("bigint").alias("missing_days"),
+            "revenue",
+        )
+    )
+
+
+_SQL_DAILY_SPINE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(30,12))) AS rev,
+         count(*) AS n
+  FROM orders GROUP BY 1
+), bounds AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+         max(CAST(o_orderdate AS DATE)) AS hi
+  FROM orders
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+)
+SELECT CAST(CAST(date_trunc('month', spine.d) AS DATE) AS VARCHAR) AS month,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN daily.n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS active_days,
+       CAST(SUM(CASE WHEN daily.n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS missing_days,
+       round(CAST(coalesce(SUM(rev), 0) AS DOUBLE), 2) AS revenue
+FROM spine LEFT JOIN daily ON spine.d = daily.d
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -8803,6 +8921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "revenue_concentration": q_revenue_concentration,
         "order_gap_stats": q_order_gap_stats,
+        "metrics_melt": q_metrics_melt,
+        "daily_spine": q_daily_spine,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -8989,6 +9109,8 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": _SQL_RFM_SEGMENTS,
         "revenue_concentration": _SQL_REVENUE_CONCENTRATION,
         "order_gap_stats": _SQL_ORDER_GAP_STATS,
+        "metrics_melt": _SQL_METRICS_MELT,
+        "daily_spine": _SQL_DAILY_SPINE,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -1393,3 +1393,25 @@ def test_customer_analytics_shapes(spark, sf_dir):
     gp_final = gp.split("Initial Plan")[0]
     assert "BroadcastHashJoin" in gp_final, gp_final
     assert gp_final.count("Exchange hashpartitioning") <= 2, gp_final
+
+
+def test_melt_and_spine_shapes(spark, sf_dir):
+    """metrics_melt: the unpivot is an Expand over the segment-sized
+    rollup — one keyed exchange total, no extra exchange for the
+    melt. daily_spine: the generated calendar is a Generate (explode
+    of sequence) over the 1-row bounds aggregate; the day-rollup join
+    is broadcast; the fact pays keyed rollup exchanges only."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+
+    mm = _plan_simple(qs["metrics_melt"](spark, sf_dir))
+    mm_final = mm.split("Initial Plan")[0]
+    assert "Expand" in mm_final, mm_final
+    assert mm_final.count("Exchange hashpartitioning") == 1, mm_final
+
+    ds = _plan_simple(qs["daily_spine"](spark, sf_dir))
+    ds_final = ds.split("Initial Plan")[0]
+    assert "Generate explode" in ds_final, ds_final
+    assert "BroadcastHashJoin" in ds_final, ds_final
+    assert "CartesianProduct" not in ds_final, ds_final
