@@ -140,3 +140,186 @@ def bpe_segment(
     for a, b in merges:
         out = out.withColumn("pieces", _apply_merge(F.col("pieces"), a, b))
     return out
+
+
+def piece_candidates(
+    vocab: DataFrame, max_piece_len: int = 6, min_count: int = 2,
+    seed_size: int = 4096,
+) -> DataFrame:
+    """Seed vocabulary for unigram-LM training: every substring of
+    length 1..``max_piece_len`` of every vocabulary word, weighted by
+    word occurrences — one generator fan-out over the VOCABULARY
+    relation (≤ L·max_piece_len rows per word, corpus-independent),
+    one census. Single characters are always kept (the alphabet
+    fallback that guarantees every word segments); multi-char pieces
+    need ``min_count`` and must win a (count DESC, piece ASC) cut to
+    ``seed_size`` — a deterministic total order.
+    Returns ``(piece, cnt)``."""
+    subs = vocab.filter(F.length("word") >= 1).select(
+        "n",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(word)),"
+                f" i -> transform(sequence(i, least(i + {int(max_piece_len) - 1},"
+                " length(word))), j -> substring(word, i, j - i + 1))))"
+            )
+        ).alias("piece"),
+    )
+    census = subs.groupBy("piece").agg(F.sum("n").alias("cnt"))
+    singles = census.filter(F.length("piece") == 1)
+    multi = (
+        census.filter(
+            (F.length("piece") > 1) & (F.col("cnt") >= int(min_count))
+        )
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(int(seed_size))
+    )
+    return singles.unionByName(multi)
+
+
+def _viterbi_segmenter(scores: dict, max_piece_len: int, floor: float):
+    """Best-path unigram segmentation of one word under piece
+    log-probs. Ties prefer the longer piece, then the
+    lexicographically smaller one — a total order, so training is
+    deterministic. Out-of-vocabulary single chars score ``floor``."""
+    def segment(word: str) -> list[str]:
+        L = len(word)
+        # dp[i] = (score, start, piece) of the best parse of word[:i]
+        dp = [None] * (L + 1)
+        dp[0] = (0.0, -1, "")
+        for i in range(1, L + 1):
+            best = None
+            for j in range(max(0, i - max_piece_len), i):
+                if dp[j] is None:
+                    continue
+                piece = word[j:i]
+                lp = scores.get(piece)
+                if lp is None:
+                    if i - j > 1:
+                        continue
+                    lp = floor
+                cand = (dp[j][0] + lp, j, piece)
+                if (
+                    best is None
+                    or cand[0] > best[0]
+                    or (
+                        cand[0] == best[0]
+                        and (
+                            len(cand[2]) > len(best[2])
+                            or (len(cand[2]) == len(best[2])
+                                and cand[2] < best[2])
+                        )
+                    )
+                ):
+                    best = cand
+            dp[i] = best
+        pieces: list[str] = []
+        i = L
+        while i > 0:
+            _, j, piece = dp[i]
+            pieces.append(piece)
+            i = j
+        pieces.reverse()
+        return pieces
+
+    return segment
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    text_col: str,
+    n_iters: int = 2,
+    max_piece_len: int = 6,
+    min_count: int = 2,
+    seed_size: int = 4096,
+    floor_logp: float = -23.0,
+):
+    """SentencePiece-style unigram-LM tokenizer training (Kudo 2018),
+    hard-EM (Viterbi) variant, distributed the same way ``bpe_train``
+    is: the corpus is scanned ONCE into the word vocabulary; every EM
+    round iterates over the VOCABULARY relation — Viterbi
+    re-segmentation of each distinct word under the current piece
+    scores, usage counts weighted by word frequency, scores
+    re-estimated as log relative usage. Hard EM (count only the best
+    parse) instead of full forward-backward expectations — the
+    documented relaxation; it keeps every number a plain count and
+    the re-estimation a single aggregate.
+
+    Python appears ONLY in the per-distinct-word Viterbi kernel
+    (vocabulary-sized input, Arrow-batched) — the corpus itself never
+    crosses the Arrow boundary, mirroring the ann_kernels discipline.
+    The piece table is broadcast into the kernel closure (it is
+    ``seed_size``-bounded by construction).
+
+    Returns ``(pieces, vocab)``: the final ``(piece, logp)`` score
+    relation (driver-side list of Rows re-parallelized by the caller
+    if needed) and the checkpointed word vocabulary."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    vocab = word_vocabulary(df, text_col).localCheckpoint()
+    spark = df.sparkSession
+    cand = piece_candidates(
+        vocab, max_piece_len=max_piece_len, min_count=min_count,
+        seed_size=seed_size,
+    ).collect()
+    total = float(sum(r.cnt for r in cand))
+    scores = {r.piece: math.log(r.cnt / total) for r in cand}
+
+    for _ in range(int(n_iters)):
+        seg = _viterbi_segmenter(dict(scores), int(max_piece_len),
+                                 float(floor_logp))
+
+        @pandas_udf("array<string>")
+        def seg_udf(words):
+            return words.map(seg)
+
+        usage = (
+            vocab.select(F.col("n"), F.explode(seg_udf("word")).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("n").alias("u"))
+            .collect()
+        )
+        used = {r.piece: r.u for r in usage}
+        # alphabet floor: single chars survive at count 1 even when no
+        # best parse uses them, so every future word still segments
+        counts = {
+            p: used.get(p, 1 if len(p) == 1 else 0) for p in scores
+        }
+        counts = {p: c for p, c in counts.items() if c > 0}
+        tot = float(sum(counts.values()))
+        scores = {p: math.log(c / tot) for p, c in counts.items()}
+
+    pieces = spark.createDataFrame(
+        sorted(scores.items()), "piece string, logp double"
+    )
+    return pieces, vocab
+
+
+def unigram_segment(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pieces: DataFrame,
+    max_piece_len: int = 6,
+    floor_logp: float = -23.0,
+) -> DataFrame:
+    """Tokenize with a trained unigram LM: Viterbi best parse of each
+    word under the piece log-probs. Same kernel discipline as
+    training: the corpus explodes to words JVM-side, the Arrow kernel
+    sees one row per word occurrence. Apply to the distinct-word
+    relation and join back when fertility is the only question.
+    Returns ``(id_col, word, pieces)``."""
+    from pyspark.sql.functions import pandas_udf
+
+    scores = {r.piece: r.logp for r in pieces.collect()}
+    seg = _viterbi_segmenter(scores, int(max_piece_len), float(floor_logp))
+
+    @pandas_udf("array<string>")
+    def seg_udf(words):
+        return words.map(seg)
+
+    return df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    ).withColumn("pieces", seg_udf("word"))

@@ -1455,3 +1455,52 @@ def test_histogram2d_clamps_and_counts(spark):
     assert out[(4, 1)] == 3     # (4.9,.9), inclusive top (5,1), clamped (10,2)
     assert out[(2, 1)] == 2     # the two (2.5, 0.5)
     assert sum(out.values()) == 7
+
+
+def test_unigram_lm_train_learns_pieces(spark):
+    """Hard-EM unigram training must promote the repeated multi-char
+    pieces, keep the single-char alphabet as fallback, segment via
+    the trained scores, and be run-over-run deterministic."""
+    from m3d_engine_spark.operators.tokenizer import (
+        unigram_lm_train,
+        unigram_segment,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abab abab abab xy"), (2, "abab ab xy xy"), (3, "zq abab")],
+        "doc_id long, text string",
+    )
+    pieces, _ = unigram_lm_train(
+        df, "text", n_iters=2, max_piece_len=4, min_count=2, seed_size=64
+    )
+    scores = {r.piece: r.logp for r in pieces.collect()}
+    # the dominant whole-word piece wins the highest probability
+    assert max(scores, key=scores.get) == "abab"
+    # alphabet fallback chars survive training
+    assert {"z", "q", "a", "b"} <= set(scores)
+    seg = unigram_segment(df, "doc_id", "text", pieces, max_piece_len=4)
+    out = {(r.doc_id, r.word): list(r.pieces) for r in seg.collect()}
+    assert out[(1, "abab")] == ["abab"]
+    assert out[(2, "xy")] == ["xy"]
+    # below-min-count word falls back to the alphabet
+    assert out[(3, "zq")] == ["z", "q"]
+    # determinism: identical scores on a re-train
+    pieces2, _ = unigram_lm_train(
+        df, "text", n_iters=2, max_piece_len=4, min_count=2, seed_size=64
+    )
+    assert scores == {r.piece: r.logp for r in pieces2.collect()}
+
+
+def test_unigram_viterbi_tiebreaks_and_floor(spark):
+    """The segmenter's tie rule (longer piece first, then lexicographic)
+    and the OOV single-char floor are part of the training contract —
+    pin them directly on the kernel."""
+    from m3d_engine_spark.operators.tokenizer import _viterbi_segmenter
+
+    seg = _viterbi_segmenter(
+        {"a": -1.0, "b": -1.0, "ab": -2.0}, max_piece_len=4, floor=-23.0
+    )
+    # "ab" as one piece (-2.0) ties "a"+"b" (-2.0): longer piece wins
+    assert seg("ab") == ["ab"]
+    # OOV char floors instead of failing
+    assert seg("aXb") == ["a", "X", "b"]
