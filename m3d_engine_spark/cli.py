@@ -26,6 +26,7 @@ from m3d_engine_spark.operators import (  # noqa: F401 — populate REGISTRY
     sql_runner,
     temporal,
     template,
+    tokenizer,
     transpose,
 )
 from m3d_engine_spark.operators.base import REGISTRY, run_algorithm

@@ -323,3 +323,63 @@ def unigram_segment(
     return df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
     ).withColumn("pieces", seg_udf("word"))
+
+
+from m3d_engine_spark.operators.base import Algorithm, register  # noqa: E402
+
+
+@register("TokenizerTrain")
+class TokenizerTrainAlgorithm(Algorithm):
+    """Tokenizer training behind the JSON-params dispatch — the same
+    schedulable-job surface every load algorithm has:
+
+        python -m m3d_engine_spark TokenizerTrain params.json
+
+    Config keys: source_location OR source_table; text_column
+    (default "text"); method — "bpe" (writes the ordered merge table
+    ``(idx, a, b)``) or "unigram" (writes the score table
+    ``(piece, logp)``); per-method dials num_merges / min_count /
+    n_iters / max_piece_len / seed_size; target_location OR
+    target_table via the shared write_output surface."""
+
+    def read(self) -> list[DataFrame]:
+        if self.params.has("source_table"):
+            return [self.spark.table(self.params.get_string("source_table"))]
+        return [
+            self.spark.read.parquet(self.params.get_string("source_location"))
+        ]
+
+    def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
+        text_col = self.params.get_optional("text_column", "text")
+        method = self.params.get_optional("method", "bpe")
+        if method == "bpe":
+            merges = bpe_train(
+                dfs[0],
+                text_col,
+                num_merges=int(self.params.get_optional("num_merges", 64)),
+                min_count=int(self.params.get_optional("min_count", 2)),
+            )
+            return [
+                self.spark.createDataFrame(
+                    [(i, a, b) for i, (a, b) in enumerate(merges)],
+                    "idx int, a string, b string",
+                )
+            ]
+        if method == "unigram":
+            pieces, _ = unigram_lm_train(
+                dfs[0],
+                text_col,
+                n_iters=int(self.params.get_optional("n_iters", 2)),
+                max_piece_len=int(
+                    self.params.get_optional("max_piece_len", 6)
+                ),
+                min_count=int(self.params.get_optional("min_count", 2)),
+                seed_size=int(self.params.get_optional("seed_size", 4096)),
+            )
+            return [pieces]
+        raise ValueError(f"unknown tokenizer method {method!r}")
+
+    def write(self, dfs: list[DataFrame]) -> None:
+        from m3d_engine_spark.sources.writers import write_output
+
+        write_output(self.spark, dfs[0], self.params)

@@ -478,3 +478,59 @@ def test_table_checksum_partition_and_order_independent(spark):
     )
     cm = table_checksum(mut).collect()[0]
     assert cm.n_rows == ca.n_rows and cm.checksum != ca.checksum
+
+
+def test_tokenizer_train_cli_roundtrip(spark, tmp_path, sf_dir):
+    """TokenizerTrain through the params.json dispatch, both methods:
+    bpe writes the ordered merge table equal to the library call;
+    unigram writes the score table equal to the library call."""
+    from m3d_engine_spark.operators.base import run_algorithm
+    from m3d_engine_spark.operators.tokenizer import (
+        bpe_train,
+        unigram_lm_train,
+    )
+
+    src = f"{sf_dir}/documents.parquet"
+
+    bpe_target = str(tmp_path / "merges")
+    pfile = tmp_path / "params_bpe.json"
+    pfile.write_text(json.dumps({
+        "source_location": src,
+        "text_column": "text",
+        "method": "bpe",
+        "num_merges": 6,
+        "min_count": 2,
+        "target_location": bpe_target,
+    }))
+    run_algorithm(spark, "TokenizerTrain", str(pfile))
+    got = [
+        (r.a, r.b)
+        for r in spark.read.parquet(bpe_target).orderBy("idx").collect()
+    ]
+    df = spark.read.parquet(src)
+    assert got == bpe_train(df, "text", num_merges=6, min_count=2)
+
+    uni_target = str(tmp_path / "pieces")
+    pfile2 = tmp_path / "params_uni.json"
+    pfile2.write_text(json.dumps({
+        "source_location": src,
+        "text_column": "text",
+        "method": "unigram",
+        "n_iters": 1,
+        "max_piece_len": 4,
+        "min_count": 3,
+        "seed_size": 256,
+        "target_location": uni_target,
+    }))
+    run_algorithm(spark, "TokenizerTrain", str(pfile2))
+    got_pieces = {
+        (r.piece, round(r.logp, 10))
+        for r in spark.read.parquet(uni_target).collect()
+    }
+    lib_pieces, _ = unigram_lm_train(
+        df, "text", n_iters=1, max_piece_len=4, min_count=3, seed_size=256
+    )
+    assert got_pieces == {
+        (r.piece, round(r.logp, 10)) for r in lib_pieces.collect()
+    }
+    assert len(got_pieces) > 0
