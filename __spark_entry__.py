@@ -8779,6 +8779,58 @@ GROUP BY 1
 """
 
 
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (retail price ↓, size ↓) — q dominates p when q is ≤ on both and
+    strictly better on one. NOT the textbook O(n²) dominance
+    self-join: prices collapse to per-price groups (one keyed
+    exchange), a running-min window over the price-ordered GROUP
+    relation gives the strictly-cheaper minimum size, and dominance
+    is two exact comparisons — sort-based skyline, O(n log n), the
+    join-free plan a 10⁹-row frontier needs. All comparisons in
+    DECIMAL/INT, no doubles anywhere."""
+    part = _t(spark, sf_dir, "part")
+    src = part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("decimal(18,2)").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    grp = src.groupBy("price").agg(F.min("size").alias("_gmin"))
+    wg = Window.orderBy("price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    grp = grp.withColumn("_mstrict", F.min("_gmin").over(wg))
+    return (
+        src.join(F.broadcast(grp), "price")
+        .filter(
+            (F.col("_mstrict").isNull() | (F.col("_mstrict") > F.col("size")))
+            & (F.col("_gmin") >= F.col("size"))
+        )
+        .select(
+            "p_partkey",
+            F.round(F.col("price").cast("double"), 2).alias("price"),
+            "size",
+        )
+    )
+
+
+_SQL_SKYLINE_PARTS = """
+WITH src AS (
+  SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+         CAST(p_size AS INTEGER) AS size
+  FROM part
+), grp AS (
+  SELECT price, min(size) AS gmin,
+         min(min(size)) OVER (ORDER BY price
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mstrict
+  FROM src GROUP BY price
+)
+SELECT p_partkey, round(CAST(src.price AS DOUBLE), 2) AS price, size
+FROM src JOIN grp ON src.price = grp.price
+WHERE (mstrict IS NULL OR mstrict > size) AND gmin >= size
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -8923,6 +8975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_gap_stats": q_order_gap_stats,
         "metrics_melt": q_metrics_melt,
         "daily_spine": q_daily_spine,
+        "skyline_parts": q_skyline_parts,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -9111,6 +9164,7 @@ def oracle_sql() -> dict[str, str]:
         "order_gap_stats": _SQL_ORDER_GAP_STATS,
         "metrics_melt": _SQL_METRICS_MELT,
         "daily_spine": _SQL_DAILY_SPINE,
+        "skyline_parts": _SQL_SKYLINE_PARTS,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

@@ -1504,3 +1504,40 @@ def test_unigram_viterbi_tiebreaks_and_floor(spark):
     assert seg("ab") == ["ab"]
     # OOV char floors instead of failing
     assert seg("aXb") == ["a", "X", "b"]
+
+
+def test_skyline_window_form_equals_brute_dominance(spark, sf_dir):
+    """The sort-based skyline (per-price groups + running-min window)
+    must equal the textbook O(n²) NOT-EXISTS dominance definition —
+    pinned against the brute self-join on the same data."""
+    import __spark_entry__ as m
+
+    fast = {
+        r.p_partkey
+        for r in m.queries()["skyline_parts"](spark, sf_dir).collect()
+    }
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("decimal(18,2)").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    q = part.alias("q")
+    p = part.alias("p")
+    dominated = (
+        p.join(
+            q,
+            (F.col("q.price") <= F.col("p.price"))
+            & (F.col("q.size") <= F.col("p.size"))
+            & (
+                (F.col("q.price") < F.col("p.price"))
+                | (F.col("q.size") < F.col("p.size"))
+            ),
+            "left_semi",
+        )
+        .select("p_partkey")
+    )
+    brute = {
+        r.p_partkey
+        for r in part.join(dominated, "p_partkey", "left_anti").collect()
+    }
+    assert fast == brute and len(fast) > 0
