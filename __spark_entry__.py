@@ -8831,6 +8831,100 @@ WHERE (mstrict IS NULL OR mstrict > size) AND gmin >= size
 """
 
 
+def q_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution
+    (markov.py::removal_attribution): per channel, how much the
+    K-step conversion probability drops when the channel is deleted
+    from the first-order journey chain — the data-driven complement
+    of last_touch. Journeys truncate at first purchase; the census is
+    the one corpus-sized job; the absorption solve is 12
+    value-iteration rounds in EXACT integers on the 1e12 lattice
+    (floor division), so both engines agree bit-for-bit."""
+    from m3d_engine_spark.operators.markov import removal_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id", "event_type",
+        epoch_us_of(ev, "ts").alias("ts_us"), "event_id",
+    )
+    return removal_attribution(
+        src, ["user_id"], "ts_us", "event_type", "purchase",
+        tie_cols=["event_id"], k_steps=12,
+    )
+
+
+def _sql_attribution_removal() -> str:
+    scale = 10**12
+    parts = [f"""
+WITH src AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS o, event_id,
+         event_type AS s
+  FROM events
+), trunc AS (
+  SELECT *, COALESCE(SUM(CASE WHEN s = 'purchase' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY o, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM src
+), seq AS (
+  SELECT user_id, s,
+         row_number() OVER w AS rn, lead(s) OVER w AS t
+  FROM trunc WHERE cb = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY o, event_id)
+), trans AS (
+  SELECT s AS f, t, count(*) AS n FROM seq WHERE t IS NOT NULL GROUP BY 1, 2
+), starts AS (
+  SELECT s AS state, count(*) AS n FROM seq WHERE rn = 1 GROUP BY 1
+), njc AS (SELECT SUM(n) AS nj FROM starts),
+states AS (
+  SELECT DISTINCT state FROM (
+    SELECT f AS state FROM trans UNION
+    SELECT t FROM trans UNION
+    SELECT state FROM starts)
+), rowsum AS (SELECT f, SUM(n) AS total FROM trans GROUP BY f),
+ropts AS (
+  SELECT CAST(NULL AS VARCHAR) AS removed
+  UNION ALL
+  SELECT state FROM states WHERE state <> 'purchase'
+), v0 AS (
+  SELECT r.removed, s.state,
+         CASE WHEN s.state = 'purchase'
+              THEN CAST({scale} AS BIGINT) ELSE CAST(0 AS BIGINT) END AS v
+  FROM states s CROSS JOIN ropts r
+)"""]
+    for k in range(12):
+        parts.append(f""", v{k + 1} AS (
+  SELECT r.removed, s.state,
+         CAST(CASE WHEN s.state = 'purchase' THEN {scale}
+              WHEN s.state IS NOT DISTINCT FROM r.removed THEN 0
+              WHEN rs.total IS NULL THEN 0
+              ELSE COALESCE(agg.acc, 0) // rs.total END AS BIGINT) AS v
+  FROM states s CROSS JOIN ropts r
+  LEFT JOIN rowsum rs ON rs.f = s.state
+  LEFT JOIN (
+    SELECT t.f, vv.removed, SUM(t.n * vv.v) AS acc
+    FROM trans t JOIN v{k} vv ON vv.state = t.t
+    WHERE vv.removed IS NULL OR t.t <> vv.removed
+    GROUP BY t.f, vv.removed
+  ) agg ON agg.f = s.state AND agg.removed IS NOT DISTINCT FROM r.removed
+)""")
+    parts.append(f""", cvr AS (
+  SELECT vv.removed,
+         CAST(SUM(st.n * vv.v) // (SELECT nj FROM njc) AS BIGINT) AS cv
+  FROM starts st JOIN v12 vv ON vv.state = st.state
+  WHERE vv.removed IS NULL OR st.state <> vv.removed
+  GROUP BY vv.removed
+)
+SELECT c.removed AS channel,
+       CAST(b.cv AS DOUBLE) / {scale} AS base_cvr,
+       CAST(c.cv AS DOUBLE) / {scale} AS removed_cvr,
+       round(CAST(b.cv - c.cv AS DOUBLE) / CAST(b.cv AS DOUBLE), 6)
+         AS removal_effect
+FROM cvr c
+CROSS JOIN (SELECT cv FROM cvr WHERE removed IS NULL) b
+WHERE c.removed IS NOT NULL""")
+    return "".join(parts)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -8976,6 +9070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_melt": q_metrics_melt,
         "daily_spine": q_daily_spine,
         "skyline_parts": q_skyline_parts,
+        "attribution_removal": q_attribution_removal,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -9165,6 +9260,7 @@ def oracle_sql() -> dict[str, str]:
         "metrics_melt": _SQL_METRICS_MELT,
         "daily_spine": _SQL_DAILY_SPINE,
         "skyline_parts": _SQL_SKYLINE_PARTS,
+        "attribution_removal": _sql_attribution_removal(),
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

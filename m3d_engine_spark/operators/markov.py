@@ -115,3 +115,122 @@ def top_paths(
         .orderBy(F.col("n_keys").desc(), F.col("path").asc())
         .limit(int(k))
     )
+
+
+def removal_attribution(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    state_col: str,
+    conv_state: str,
+    tie_cols: Sequence[str] = (),
+    k_steps: int = 12,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Markov removal-effect attribution: each channel's credit is how
+    much the journey-level conversion probability DROPS when the
+    channel is deleted from the first-order chain (transitions into a
+    removed channel become lost mass; nothing renormalizes) — the
+    data-driven alternative to last-touch.
+
+    Distributed part (the only corpus-sized work): journeys truncate
+    at their FIRST conversion (no post-conversion transitions), then
+    ONE transition census + ONE start census + the journey count —
+    the ``transition_matrix`` topology. The absorption solve runs on
+    the collected states²-sized matrix (driver-side METADATA by this
+    engine's standard — the kmeans-centroid discipline) as ``k_steps``
+    value-iteration rounds in EXACT integers on the ``scale``
+    lattice: v'_i = (Σ_j cnt_ij · v_j) // rowsum_i with the
+    conversion state pinned at ``scale``. Every number is an integer
+    until the reported doubles, so results are bit-identical across
+    engines and reruns (floor division == truncation on the
+    non-negative lattice).
+
+    Returns one row per non-conversion channel:
+    (channel, base_cvr, removed_cvr, removal_effect).
+    """
+    keys = [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col), *[F.col(c) for c in tie_cols]
+    )
+    conv_before = F.coalesce(
+        F.sum((F.col("s") == conv_state).cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    trunc = (
+        events.select(
+            *keys, F.col(order_col), *[F.col(c) for c in tie_cols],
+            F.col(state_col).alias("s"),
+        )
+        .withColumn("_cb", conv_before)
+        .filter(F.col("_cb") == 0)
+    )
+    seq = trunc.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_to", F.lead("s").over(w)
+    )
+    trans = (
+        seq.filter(F.col("_to").isNotNull())
+        .groupBy(F.col("s").alias("from_state"), F.col("_to").alias("to_state"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    starts = (
+        seq.filter(F.col("_rn") == 1)
+        .groupBy(F.col("s").alias("state"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_journeys = sum(r.n for r in starts)
+    cnt = {(r.from_state, r.to_state): int(r.n) for r in trans}
+    rowsum = {}
+    for (a, _), n in cnt.items():
+        rowsum[a] = rowsum.get(a, 0) + n
+    states = sorted(
+        {s for s, _ in cnt} | {t for _, t in cnt} | {r.state for r in starts}
+    )
+
+    def absorb(removed: str | None) -> int:
+        v = {s: (scale if s == conv_state else 0) for s in states}
+        for _ in range(int(k_steps)):
+            nv = {}
+            for s in states:
+                if s == conv_state:
+                    nv[s] = scale
+                    continue
+                if s == removed or s not in rowsum:
+                    nv[s] = 0
+                    continue
+                acc = 0
+                for t in states:
+                    if t == removed:
+                        continue
+                    acc += cnt.get((s, t), 0) * v[t]
+                nv[s] = acc // rowsum[s]
+            v = nv
+        num = sum(
+            int(r.n) * v[r.state]
+            for r in starts
+            if r.state != removed
+        )
+        return num // n_journeys
+
+    base = absorb(None)
+    rows = []
+    for c in states:
+        if c == conv_state:
+            continue
+        rem = absorb(c)
+        rows.append((
+            c,
+            float(base) / float(scale),
+            float(rem) / float(scale),
+            round(float(base - rem) / float(base), 6) if base else None,
+        ))
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_cvr double, removed_cvr double,"
+        " removal_effect double",
+    )

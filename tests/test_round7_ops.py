@@ -1541,3 +1541,34 @@ def test_skyline_window_form_equals_brute_dominance(spark, sf_dir):
         for r in part.join(dominated, "p_partkey", "left_anti").collect()
     }
     assert fast == brute and len(fast) > 0
+
+
+def test_removal_attribution_exact_chain(spark):
+    """Hand-built chain with exactly computable removal effects:
+    journeys click→P, view→click→P, view→error, P. Base CVR 3/4;
+    removing click leaves only the direct conversion (1/4, effect
+    2/3); removing view breaks one path (1/2, effect 1/3); removing
+    error changes nothing. Also pins truncation: events after the
+    first purchase must not create transitions."""
+    from m3d_engine_spark.operators.markov import removal_attribution
+
+    rows = [
+        (1, 1, "click"), (1, 2, "purchase"), (1, 3, "click"),  # post-conv tail ignored
+        (2, 1, "view"), (2, 2, "click"), (2, 3, "purchase"),
+        (3, 1, "view"), (3, 2, "error"),
+        (4, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, o, s, u * 100 + o) for (u, o, s) in rows],
+        "user_id long, o long, state string, event_id long",
+    )
+    out = {
+        r.channel: (r.base_cvr, r.removed_cvr, r.removal_effect)
+        for r in removal_attribution(
+            df, ["user_id"], "o", "state", "purchase",
+            tie_cols=["event_id"], k_steps=8,
+        ).collect()
+    }
+    assert out["click"] == (0.75, 0.25, 0.666667)
+    assert out["view"] == (0.75, 0.5, 0.333333)
+    assert out["error"] == (0.75, 0.75, 0.0)

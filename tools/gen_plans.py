@@ -129,6 +129,7 @@ HEADLINERS = {
     "window_suite": "Seven ranking/navigation functions share one (partition, order) spec -> Catalyst fuses them into a SINGLE Window node over a single exchange; adding a function costs a column, never a shuffle.",
     "ewma_revenue": "EWMA on an exact 2^k integer lattice: the fact collapses to the day rollup FIRST (both rollup subtrees are the only scans); the <=20-day weighted band is a deliberate broadcast nested-loop over the day-sized relation; the final per-day aggregate reuses the rollup's partitioning (alias-aware - no third exchange); the 4dp round happens in BIGINT.",
     "mad_outliers": "Median/MAD/3-MAD fences: the k-row median relation is eagerly checkpointed so the events table scans exactly TWICE (MAD pass + fence pass); every stats rejoin is a broadcast hash join; exchanges exist only under the tiny per-type aggregates.",
+    "attribution_removal": "Removal-effect attribution: journeys truncate at first conversion (running-count window), ONE transition census + ONE start census are the only corpus-sized jobs; the K-step absorption solve runs on the collected states^2 matrix (kmeans-centroid discipline) in exact 1e12-lattice integers - bit-identical across engines and reruns.",
     "skyline_parts": "Skyline (Pareto frontier): NOT the O(n^2) dominance self-join - prices collapse to per-price groups (one keyed exchange), a running-min window over the group relation yields the strictly-cheaper minimum, dominance is two exact comparisons, and the frontier rejoin broadcasts. Sort-based O(n log n); pinned equal to brute dominance by test.",
     "metrics_melt": "UNPIVOT (wide to long): Catalyst plans the melt as an Expand over the SEGMENT-sized rollup - k-fold fan-out of a tiny relation, zero additional exchange beyond the one keyed rollup.",
     "daily_spine": "Calendar spine: sequence+explode off the 1-row bounds aggregate generates the day relation JVM-side (corpus-independent size); the day-rollup join broadcasts; zero-activity days become rows BEFORE the monthly rollup, so missing-day counts are first-class.",
