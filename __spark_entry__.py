@@ -8925,6 +8925,106 @@ WHERE c.removed IS NOT NULL""")
     return "".join(parts)
 
 
+def q_identity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity resolution end-to-end (the MDM golden-record
+    composition): fuzzy record_linkage matches become edges, every
+    record (clean + dirty) a vertex, connected_components assigns the
+    canonical id (cluster minimum) — record_linkage tells you WHO
+    matches, this turns it into the stable customer identity a
+    warehouse joins on. Same composition discipline as
+    fuzzy_dedup_corpus: blocked equi-join candidates → scored edges →
+    label propagation; the closure never re-executes the Levenshtein
+    pipeline (edge relation checkpointed inside
+    connected_components). Oracle: the linkage SQL twin + a
+    recursive-CTE reachability closure."""
+    from m3d_engine_spark.operators.graph import connected_components
+    from m3d_engine_spark.operators.linkage import record_linkage
+    from pyspark.sql.window import Window as W
+
+    cust = _t(spark, sf_dir, "customer")
+    dirty = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 9000000).alias("d_id"),
+        "c_nationkey",
+        F.expr("concat(substring(c_name, 1, 2), substring(c_name, 4))").alias(
+            "c_name"
+        ),
+        F.expr(
+            "substring(c_mktsegment, 1, length(c_mktsegment) - 1)"
+        ).alias("c_mktsegment"),
+    )
+    matches = record_linkage(
+        dirty, cust, "d_id", "c_custkey", ["c_nationkey"],
+        {"c_name": 3.0, "c_mktsegment": 1.0}, threshold=0.7, keep=1,
+    )
+    edges = matches.select(
+        F.col("d_id").alias("id_a"), F.col("c_custkey").alias("id_b")
+    )
+    vertices = cust.select(F.col("c_custkey").alias("rec_id")).unionByName(
+        dirty.select(F.col("d_id").alias("rec_id"))
+    )
+    comp = connected_components(
+        vertices, edges, id_col="rec_id", src_col="id_a", dst_col="id_b"
+    )
+    return comp.select(
+        "rec_id",
+        F.col("component").alias("canonical_id"),
+        F.count(F.lit(1)).over(W.partitionBy("component"))
+        .cast("int").alias("cluster_size"),
+    )
+
+
+_SQL_IDENTITY_CLUSTERS = """
+WITH RECURSIVE dirty AS (
+  SELECT c_custkey + 9000000 AS d_id, c_nationkey,
+         concat(substr(c_name, 1, 2), substr(c_name, 4)) AS c_name,
+         substr(c_mktsegment, 1, length(c_mktsegment) - 1) AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+), pairs AS (
+  SELECT d.d_id, c.c_custkey,
+    round((
+      3.0 * (CASE WHEN d.c_name IS NULL OR c.c_name IS NULL THEN 0.0
+             ELSE 1.0 - levenshtein(d.c_name, c.c_name)
+                  / greatest(length(d.c_name), length(c.c_name), 1) END)
+      + 1.0 * (CASE WHEN d.c_mktsegment IS NULL OR c.c_mktsegment IS NULL
+               THEN 0.0
+               ELSE 1.0 - levenshtein(d.c_mktsegment, c.c_mktsegment)
+                    / greatest(length(d.c_mktsegment),
+                               length(c.c_mktsegment), 1) END)
+    ) / 4.0, 4) AS score
+  FROM dirty d JOIN customer c USING (c_nationkey)
+), matches AS (
+  SELECT d_id, c_custkey,
+         row_number() OVER (
+           PARTITION BY d_id ORDER BY score DESC, c_custkey ASC
+         ) AS rank
+  FROM pairs
+  WHERE score >= 0.7
+  QUALIFY rank <= 1
+), e AS (
+  SELECT d_id AS a, c_custkey AS b FROM matches
+  UNION
+  SELECT c_custkey AS a, d_id AS b FROM matches
+), verts AS (
+  SELECT c_custkey AS rec_id FROM customer
+  UNION ALL
+  SELECT d_id FROM dirty
+), reach AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+), comp AS (
+  SELECT v.rec_id,
+         least(v.rec_id, coalesce(min(r.b), v.rec_id)) AS canonical_id
+  FROM verts v LEFT JOIN reach r ON v.rec_id = r.a
+  GROUP BY v.rec_id
+)
+SELECT rec_id, canonical_id,
+       CAST(count(*) OVER (PARTITION BY canonical_id) AS INT)
+         AS cluster_size
+FROM comp
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -9071,6 +9171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_spine": q_daily_spine,
         "skyline_parts": q_skyline_parts,
         "attribution_removal": q_attribution_removal,
+        "identity_clusters": q_identity_clusters,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -9261,6 +9362,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_spine": _SQL_DAILY_SPINE,
         "skyline_parts": _SQL_SKYLINE_PARTS,
         "attribution_removal": _sql_attribution_removal(),
+        "identity_clusters": _SQL_IDENTITY_CLUSTERS,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
