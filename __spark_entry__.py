@@ -9025,6 +9025,53 @@ FROM comp
 """
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (temporal.py::asof_join,
+    direction='forward'): each non-purchase event attached to its
+    user's NEXT purchase at-or-after — time-to-conversion's lookup
+    primitive, the mirror of asof_join's carry-backward. Same
+    join-free union+window plan (one key exchange, descending order,
+    no join operator); oracle is DuckDB's native forward ASOF
+    (``l.ts <= r.ts``)."""
+    from m3d_engine_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value"], direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "event_type",
+        epoch_us_of(out, "ts").alias("ts_us"),
+        epoch_us_of(out, "_matched_ts").alias("next_purchase_ts_us"),
+        "purchase_value",
+    )
+
+
+_SQL_ASOF_FORWARD = """
+WITH l AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type <> 'purchase'
+), r AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.event_type,
+       epoch_us(l.ts) AS ts_us,
+       epoch_us(r.ts) AS next_purchase_ts_us,
+       r.purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -9172,6 +9219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_parts": q_skyline_parts,
         "attribution_removal": q_attribution_removal,
         "identity_clusters": q_identity_clusters,
+        "asof_forward": q_asof_forward,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -9363,6 +9411,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline_parts": _SQL_SKYLINE_PARTS,
         "attribution_removal": _sql_attribution_removal(),
         "identity_clusters": _SQL_IDENTITY_CLUSTERS,
+        "asof_forward": _SQL_ASOF_FORWARD,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
