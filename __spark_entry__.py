@@ -9072,6 +9072,181 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
 """
 
 
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's revenue
+    with the value 7 days earlier (the baseline every real forecaster
+    must beat), then score MAPE / bias per month. One day rollup (the
+    only fact-sized job), a lag window over the DAY relation, exact
+    integer cents everywhere; the two error ratios are single
+    deterministic divisions per month."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("c"))
+    )
+    w = Window.orderBy("d")
+    bt = (
+        daily.withColumn("_pred", F.lag("c", 7).over(w))
+        .filter(F.col("_pred").isNotNull())
+        .select(
+            F.date_trunc("month", F.col("d")).cast("date").alias("month"),
+            "c",
+            "_pred",
+            F.abs(F.col("c") - F.col("_pred")).alias("_ae"),
+            (F.col("_pred") - F.col("c")).alias("_err"),
+        )
+    )
+    # per-day |err|/actual ratios ride a 1e6 integer lattice (DIV; the
+    # scale keeps ae*1e6 inside BIGINT up to $1e10/day) so the month
+    # sum is EXACT integers — a double sum here would be
+    # partition-order-dependent in the last ulp
+    return (
+        bt.withColumn(
+            "_r", F.expr("(_ae * 1000000) DIV c")
+        )
+        .groupBy(F.col("month").cast("string").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.sum("_r").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1.0e6),
+                6,
+            ).alias("mape"),
+            F.round(
+                F.sum("_err").cast("double") / F.sum("c").cast("double"), 6
+            ).alias("bias"),
+        )
+    )
+
+
+_SQL_FORECAST_BACKTEST = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+), bt AS (
+  SELECT CAST(date_trunc('month', d) AS DATE) AS month, c,
+         lag(c, 7) OVER (ORDER BY d) AS pred
+  FROM daily
+  QUALIFY pred IS NOT NULL
+)
+SELECT CAST(month AS VARCHAR) AS month, count(*) AS n_days,
+       round(CAST(SUM(abs(c - pred) * 1000000 // c) AS DOUBLE)
+             / count(*) / 1e6, 6) AS mape,
+       round(CAST(SUM(pred - c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+         AS bias
+FROM bt GROUP BY month
+"""
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase (users
+    with no purchase censor at their last event) — the churn
+    analyst's product-limit estimator. One per-user rollup (the only
+    fact-sized job), one census over the distinct-day relation, and
+    the cumulative product folds LEFT-TO-RIGHT over the sorted times
+    array — fixed association order, so the survival doubles are
+    engine-identical (the pmi slice-fold discipline); risk counts are
+    exact integers throughout."""
+    ev = _t(spark, sf_dir, "events")
+    us = ev.select(
+        "user_id", "event_type", epoch_us_of(ev, "ts").alias("us")
+    )
+    per_user = us.groupBy("user_id").agg(
+        F.min("us").alias("_t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).alias("_fp"),
+        F.max("us").alias("_le"),
+    )
+    obs = per_user.select(
+        F.expr(
+            "CAST((coalesce(_fp, _le) - _t0) DIV 86400000000 AS INT)"
+        ).alias("t"),
+        F.when(F.col("_fp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    times = obs.groupBy("t").agg(
+        F.sum("ev").alias("d"),
+        F.sum(1 - F.col("ev")).alias("c"),
+    )
+    n_total = obs.agg(F.count(F.lit(1)).alias("_n"))
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wn = times.join(F.broadcast(n_total)).select(
+        "t", "d", "c",
+        (
+            F.col("_n")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wt), F.lit(0))
+        ).alias("n"),
+    )
+    arr = wn.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "c", "n"))).alias("a")
+    )
+    return (
+        arr.select(
+            F.explode(
+                F.expr(
+                    """
+transform(a, (x, i) -> struct(
+  x.t AS t_days, x.n AS n_risk, x.d AS n_events, x.c AS n_censored,
+  round(aggregate(slice(a, 1, i + 1), CAST(1.0 AS DOUBLE),
+        (acc, y) -> acc * (1.0 - CAST(y.d AS DOUBLE)
+                               / CAST(y.n AS DOUBLE))), 6) AS survival))
+"""
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+
+
+_SQL_KAPLAN_MEIER = """
+WITH per_user AS (
+  SELECT user_id,
+         min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+         min(CASE WHEN event_type = 'purchase'
+             THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fp,
+         max(epoch_us(CAST(ts AS TIMESTAMP))) AS le
+  FROM events GROUP BY user_id
+), obs AS (
+  SELECT CAST((coalesce(fp, le) - t0) // 86400000000 AS INT) AS t,
+         CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per_user
+), times AS (
+  SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(1 - ev) AS BIGINT) AS c
+  FROM obs GROUP BY t
+), wn AS (
+  SELECT t, d, c,
+         CAST((SELECT count(*) FROM obs)
+              - COALESCE(SUM(d + c) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n
+  FROM times
+), arr AS (
+  SELECT list(struct_pack(t := t, d := d, c := c, n := n) ORDER BY t) AS a
+  FROM wn
+)
+SELECT s.t AS t_days, s.n AS n_risk, s.d AS n_events, s.c AS n_censored,
+       s.survival
+FROM (
+  SELECT unnest(list_transform(range(1, len(a) + 1), i -> struct_pack(
+    t := a[i].t, n := a[i].n, d := a[i].d, c := a[i].c,
+    survival := round(list_reduce(
+      list_transform(list_slice(a, 1, i),
+                     y -> 1.0 - CAST(y.d AS DOUBLE) / CAST(y.n AS DOUBLE)),
+      (acc, v) -> acc * v), 6)))) AS s
+  FROM arr
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -9220,6 +9395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_removal": q_attribution_removal,
         "identity_clusters": q_identity_clusters,
         "asof_forward": q_asof_forward,
+        "forecast_backtest": q_forecast_backtest,
+        "kaplan_meier": q_kaplan_meier,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -9412,6 +9589,8 @@ def oracle_sql() -> dict[str, str]:
         "attribution_removal": _sql_attribution_removal(),
         "identity_clusters": _SQL_IDENTITY_CLUSTERS,
         "asof_forward": _SQL_ASOF_FORWARD,
+        "forecast_backtest": _SQL_FORECAST_BACKTEST,
+        "kaplan_meier": _SQL_KAPLAN_MEIER,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,

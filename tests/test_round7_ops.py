@@ -1572,3 +1572,38 @@ def test_removal_attribution_exact_chain(spark):
     assert out["click"] == (0.75, 0.25, 0.666667)
     assert out["view"] == (0.75, 0.5, 0.333333)
     assert out["error"] == (0.75, 0.75, 0.0)
+
+
+def test_kaplan_meier_hand_computed(spark, tmp_path):
+    """Product-limit estimator on a 3-user toy: censored-at-0 user
+    leaves the risk set without a death (S stays 1), then deaths at
+    t=1 and t=2 drive S to 0.5 and 0.0 exactly."""
+    import __spark_entry__ as m
+
+    base = "2020-01-01 00:00:00"
+    rows = [
+        (1, 10, base, "view"),
+        (2, 10, "2020-01-03 00:00:00", "purchase"),  # u10: T=2, event
+        (3, 20, base, "view"),                        # u20: T=0, censored
+        (4, 30, base, "view"),
+        (5, 30, "2020-01-02 00:00:00", "purchase"),  # u30: T=1, event
+    ]
+    df = spark.createDataFrame(
+        [(e, u, ts, t) for (e, u, ts, t) in rows],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = tmp_path / "km_events"
+    df.write.parquet(str(src))
+
+    # route the entry at a fake sf_dir layout
+    d = tmp_path
+    (d / "events.parquet").symlink_to(src)
+    out = {
+        r.t_days: (r.n_risk, r.n_events, r.n_censored, r.survival)
+        for r in m.q_kaplan_meier(spark, str(d)).collect()
+    }
+    assert out == {
+        0: (3, 0, 1, 1.0),
+        1: (2, 1, 0, 0.5),
+        2: (1, 1, 0, 0.0),
+    }
