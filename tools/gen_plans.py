@@ -129,6 +129,10 @@ HEADLINERS = {
     "window_suite": "Seven ranking/navigation functions share one (partition, order) spec -> Catalyst fuses them into a SINGLE Window node over a single exchange; adding a function costs a column, never a shuffle.",
     "ewma_revenue": "EWMA on an exact 2^k integer lattice: the fact collapses to the day rollup FIRST (both rollup subtrees are the only scans); the <=20-day weighted band is a deliberate broadcast nested-loop over the day-sized relation; the final per-day aggregate reuses the rollup's partitioning (alias-aware - no third exchange); the 4dp round happens in BIGINT.",
     "mad_outliers": "Median/MAD/3-MAD fences: the k-row median relation is eagerly checkpointed so the events table scans exactly TWICE (MAD pass + fence pass); every stats rejoin is a broadcast hash join; exchanges exist only under the tiny per-type aggregates.",
+    "asof_forward": "Forward as-of: the same join-free union+window plan as asof_join, ordered DESCENDING so last(ignorenulls) carries the NEXT right value backward - one key exchange, no join operator.",
+    "forecast_backtest": "Seasonal-naive backtest: day rollup first (one keyed map-side-combinable exchange), lag-7 window over the DAY relation, per-day error ratios on a 1e6 integer lattice so the month sums are exact integers.",
+    "kaplan_meier": "Kaplan-Meier: per-user rollup is the only fact-sized job; the distinct-day census and risk window run over day-sized relations; the survival product folds left-to-right over the sorted times array (fixed association order - engine-identical doubles).",
+    "identity_clusters": "Identity resolution: blocked Levenshtein linkage emits edges, connected components assigns canonical ids off a checkpointed edge relation - the fuzzy_dedup composition applied to entity identity; propagation rounds never re-execute the linkage pipeline.",
     "attribution_removal": "Removal-effect attribution: journeys truncate at first conversion (running-count window), ONE transition census + ONE start census are the only corpus-sized jobs; the K-step absorption solve runs on the collected states^2 matrix (kmeans-centroid discipline) in exact 1e12-lattice integers - bit-identical across engines and reruns.",
     "skyline_parts": "Skyline (Pareto frontier): NOT the O(n^2) dominance self-join - prices collapse to per-price groups (one keyed exchange), a running-min window over the group relation yields the strictly-cheaper minimum, dominance is two exact comparisons, and the frontier rejoin broadcasts. Sort-based O(n log n); pinned equal to brute dominance by test.",
     "metrics_melt": "UNPIVOT (wide to long): Catalyst plans the melt as an Expand over the SEGMENT-sized rollup - k-fold fan-out of a tiny relation, zero additional exchange beyond the one keyed rollup.",
