@@ -9247,6 +9247,300 @@ FROM (
 """
 
 
+def q_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: view → click → purchase where each
+    step must land within 48 h of the previous one — the
+    time-bounded funnel dial product analytics actually uses (an
+    unbounded funnel overcounts stale journeys). Same
+    |users|-sized cascade as funnel_steps; the window is one extra
+    exact timestamp comparison inside each keyed join."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    win_us = 48 * 3600 * 1000000
+    us = ev.select(
+        "user_id", "event_type", epoch_us_of(ev, "ts").alias("us")
+    )
+    v = (
+        us.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        us.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter(
+            (F.col("us") > F.col("t1"))
+            & (F.col("us") <= F.col("t1") + F.lit(win_us))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        us.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(
+            (F.col("us") > F.col("t2"))
+            & (F.col("us") <= F.col("t2") + F.lit(win_us))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+
+    def n(df: DataFrame, step: int) -> DataFrame:
+        return df.agg(
+            F.lit(step).cast("int").alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return n(v, 1).unionByName(n(c, 2)).unionByName(n(p, 3))
+
+
+_SQL_WINDOWED_FUNNEL = """
+WITH src AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+), v AS (
+  SELECT user_id, min(us) AS t1 FROM src
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT s.user_id, min(s.us) AS t2
+  FROM src s JOIN v ON s.user_id = v.user_id
+  WHERE s.event_type = 'click' AND s.us > v.t1
+    AND s.us <= v.t1 + 172800000000
+  GROUP BY s.user_id
+), p AS (
+  SELECT s.user_id, min(s.us) AS t3
+  FROM src s JOIN c ON s.user_id = c.user_id
+  WHERE s.event_type = 'purchase' AND s.us > c.t2
+    AND s.us <= c.t2 + 172800000000
+  GROUP BY s.user_id
+)
+SELECT CAST(1 AS INT) AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 2, count(*) FROM c
+UNION ALL
+SELECT 3, count(*) FROM p
+"""
+
+
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate per first-touch channel with the Wilson 95%
+    interval — the correct small-n CI (a normal interval goes
+    negative at low rates). Converters and totals are exact integer
+    counts off two |users|-sized aggregates; the closed-form bounds
+    are single-expression doubles over those integers, identical in
+    both engines."""
+    ev = _t(spark, sf_dir, "events")
+    us = ev.select(
+        "user_id", "event_type", epoch_us_of(ev, "ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    first_touch = (
+        us.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("event_type").alias("channel"))
+    )
+    conv = (
+        us.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    counts = (
+        first_touch.join(conv, "user_id", "left")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).alias("k"),
+        )
+    )
+    z = 1.959963984540054
+    nn = F.col("n").cast("double")
+    kk = F.col("k").cast("double")
+    p = kk / nn
+    denom = 1.0 + z * z / nn
+    center = (p + z * z / (2 * nn)) / denom
+    half = (
+        z
+        * F.sqrt(p * (1 - p) / nn + z * z / (4 * nn * nn))
+        / denom
+    )
+    return counts.select(
+        "channel", "n", "k",
+        F.round(p, 6).alias("rate"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    )
+
+
+_SQL_WILSON_CI = """
+WITH src AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         event_id
+  FROM events
+), first_touch AS (
+  SELECT user_id, event_type AS channel
+  FROM (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS rn
+        FROM src)
+  WHERE rn = 1
+), conv AS (
+  SELECT DISTINCT user_id FROM src WHERE event_type = 'purchase'
+), counts AS (
+  SELECT channel, count(*) AS n,
+         SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS k
+  FROM first_touch LEFT JOIN conv USING (user_id)
+  GROUP BY channel
+)
+SELECT channel, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       round(CAST(k AS DOUBLE) / n, 6) AS rate,
+       round(((CAST(k AS DOUBLE) / n) + 1.959963984540054 * 1.959963984540054
+              / (2 * CAST(n AS DOUBLE)))
+             / (1.0 + 1.959963984540054 * 1.959963984540054
+                / CAST(n AS DOUBLE))
+             - 1.959963984540054
+               * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n)
+                      / CAST(n AS DOUBLE)
+                      + 1.959963984540054 * 1.959963984540054
+                        / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / (1.0 + 1.959963984540054 * 1.959963984540054
+                  / CAST(n AS DOUBLE)), 6) AS ci_lo,
+       round(((CAST(k AS DOUBLE) / n) + 1.959963984540054 * 1.959963984540054
+              / (2 * CAST(n AS DOUBLE)))
+             / (1.0 + 1.959963984540054 * 1.959963984540054
+                / CAST(n AS DOUBLE))
+             + 1.959963984540054
+               * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n)
+                      / CAST(n AS DOUBLE)
+                      + 1.959963984540054 * 1.959963984540054
+                        / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / (1.0 + 1.959963984540054 * 1.959963984540054
+                  / CAST(n AS DOUBLE)), 6) AS ci_hi
+FROM counts
+"""
+
+
+def q_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout: per-user
+    pre-period spend (covariate x) and post-period spend (metric y),
+    variant assigned by deterministic md5 parity (the hash_split
+    discipline), θ = cov(x,y)/var(x) from EXACT decimal sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) in ONE aggregate — the adjusted
+    means and the variance-reduction ratio are pure arithmetic over
+    those exact sums, so the readout is engine-identical. The
+    experimentation sibling of ab_welch: same topology, tighter
+    confidence for the same traffic."""
+    ev = _t(spark, sf_dir, "events")
+    us = ev.select(
+        "user_id",
+        epoch_us_of(ev, "ts").alias("us"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    cutoff = F.lit("2024-01-15").cast("timestamp").cast("long") * 1000000
+    per_user = us.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("us") < cutoff, F.col("v"))),
+            F.lit(0).cast("decimal(28,6)"),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("us") >= cutoff, F.col("v"))),
+            F.lit(0).cast("decimal(28,6)"),
+        ).alias("y"),
+    ).select(
+        "user_id", "x", "y",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 32, 1).isin(
+                "1", "3", "5", "7", "9", "b", "d", "f"
+            ),
+            1,
+        ).otherwise(0).alias("variant"),
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            (F.col("x") * F.col("y")).cast("decimal(38,6)")
+        ).alias("sxy"),
+        F.sum(
+            (F.col("x") * F.col("x")).cast("decimal(38,6)")
+        ).alias("sxx"),
+    ).select(
+        F.col("n").cast("double").alias("nn"),
+        F.col("sx").cast("double").alias("sx"),
+        F.col("sy").cast("double").alias("sy"),
+        F.col("sxy").cast("double").alias("sxy"),
+        F.col("sxx").cast("double").alias("sxx"),
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.sum("x").alias("sx_v"),
+        F.sum("y").alias("sy_v"),
+    )
+    theta = (
+        (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("nn"))
+        / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("nn"))
+    )
+    return (
+        per_variant.join(F.broadcast(stats))
+        .select(
+            F.col("variant").cast("int").alias("variant"),
+            F.col("n_v").alias("n"),
+            F.round(
+                F.col("sy_v").cast("double") / F.col("n_v").cast("double"), 6
+            ).alias("mean_y"),
+            F.round(
+                F.col("sy_v").cast("double") / F.col("n_v").cast("double")
+                - theta
+                * (
+                    F.col("sx_v").cast("double") / F.col("n_v").cast("double")
+                    - F.col("sx") / F.col("nn")
+                ),
+                6,
+            ).alias("mean_y_adj"),
+            F.round(theta, 6).alias("theta"),
+        )
+    )
+
+
+_SQL_CUPED_LIFT = """
+WITH src AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+), per_user AS (
+  SELECT user_id,
+         COALESCE(SUM(CASE WHEN us < epoch_us(TIMESTAMP '2024-01-15')
+                  THEN v END), 0) AS x,
+         COALESCE(SUM(CASE WHEN us >= epoch_us(TIMESTAMP '2024-01-15')
+                  THEN v END), 0) AS y,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 32, 1)
+              IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END
+           AS variant
+  FROM src GROUP BY user_id
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nn,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM per_user
+), per_variant AS (
+  SELECT variant, count(*) AS n_v, SUM(x) AS sx_v, SUM(y) AS sy_v
+  FROM per_user GROUP BY variant
+)
+SELECT CAST(variant AS INT) AS variant, CAST(n_v AS BIGINT) AS n,
+       round(CAST(sy_v AS DOUBLE) / CAST(n_v AS DOUBLE), 6) AS mean_y,
+       round(CAST(sy_v AS DOUBLE) / CAST(n_v AS DOUBLE)
+             - ((sxy - sx * sy / nn) / (sxx - sx * sx / nn))
+               * (CAST(sx_v AS DOUBLE) / CAST(n_v AS DOUBLE) - sx / nn),
+             6) AS mean_y_adj,
+       round((sxy - sx * sy / nn) / (sxx - sx * sx / nn), 6) AS theta
+FROM per_variant CROSS JOIN stats
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -9397,6 +9691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "forecast_backtest": q_forecast_backtest,
         "kaplan_meier": q_kaplan_meier,
+        "windowed_funnel": q_windowed_funnel,
+        "wilson_ci": q_wilson_ci,
+        "cuped_lift": q_cuped_lift,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -9591,6 +9888,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_forward": _SQL_ASOF_FORWARD,
         "forecast_backtest": _SQL_FORECAST_BACKTEST,
         "kaplan_meier": _SQL_KAPLAN_MEIER,
+        "windowed_funnel": _SQL_WINDOWED_FUNNEL,
+        "wilson_ci": _SQL_WILSON_CI,
+        "cuped_lift": _SQL_CUPED_LIFT,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
