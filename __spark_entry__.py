@@ -9541,6 +9541,194 @@ FROM per_variant CROSS JOIN stats
 """
 
 
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (market segment × order
+    priority): is priority mix independent of segment? Per-cell
+    contributions are computed as (N·O − r·c)² / (N·r·c) — every
+    factor an EXACT integer from three rollups of one contingency
+    census — and the 25-cell sum folds left-to-right over the sorted
+    cells array (the kaplan_meier discipline), so the statistic is
+    engine-identical. Returns one row: chi2, dof, n."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cells = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    wr = Window.partitionBy("seg")
+    wc = Window.partitionBy("pri")
+    wt = Window.partitionBy()
+    enriched = cells.select(
+        "seg", "pri", "o",
+        F.sum("o").over(wr).alias("r"),
+        F.sum("o").over(wc).alias("c"),
+        F.sum("o").over(wt).alias("n"),
+    )
+    arr = enriched.agg(
+        F.sort_array(
+            F.collect_list(F.struct("seg", "pri", "o", "r", "c", "n"))
+        ).alias("a"),
+        F.countDistinct("seg").alias("_ns"),
+        F.countDistinct("pri").alias("_np"),
+    )
+    return arr.select(
+        F.round(
+            F.expr(
+                """
+aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) ->
+  acc + CAST((x.n * x.o - x.r * x.c) * (x.n * x.o - x.r * x.c) AS DOUBLE)
+        / CAST(x.n * x.r * x.c AS DOUBLE))
+"""
+            ),
+            4,
+        ).alias("chi2"),
+        ((F.col("_ns") - 1) * (F.col("_np") - 1)).cast("int").alias("dof"),
+        F.expr("a[0].n").alias("n"),
+    )
+
+
+_SQL_CHI2_INDEPENDENCE = """
+WITH cells AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS pri, count(*) AS o
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), enriched AS (
+  SELECT seg, pri, o,
+         CAST(SUM(o) OVER (PARTITION BY seg) AS BIGINT) AS r,
+         CAST(SUM(o) OVER (PARTITION BY pri) AS BIGINT) AS c,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cells
+), arr AS (
+  SELECT list(struct_pack(seg := seg, pri := pri, o := o, r := r,
+                          c := c, n := n)
+              ORDER BY seg, pri) AS a,
+         count(DISTINCT seg) AS ns, count(DISTINCT pri) AS np
+  FROM enriched
+)
+SELECT round(list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(a, x ->
+             CAST((x.n * x.o - x.r * x.c) * (x.n * x.o - x.r * x.c)
+                  AS DOUBLE) / CAST(x.n * x.r * x.c AS DOUBLE))),
+         (acc, v) -> acc + v), 4) AS chi2,
+       CAST((ns - 1) * (np - 1) AS INT) AS dof,
+       a[1].n AS n
+FROM arr
+"""
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test per event type: the
+    nonparametric sibling of ab_welch for the same md5-parity
+    variants — heavy-tailed metrics break the t-test's normality
+    premise, ranks don't care. Doubled average ranks
+    (2·avg = 2·rank + tiecount − 1) keep every rank sum an EXACT
+    integer; the tie-correction Σ(t³−t) is an exact integer sum over
+    distinct values; U and the z approximation are fixed-order
+    arithmetic over those integers. One pooled-rank window + one
+    tie census per event type — nothing bigger than the events
+    relation shuffles, and only on the event-type key."""
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        F.col("value").alias("v"),
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 32, 1).isin(
+                "1", "3", "5", "7", "9", "b", "d", "f"
+            ),
+            1,
+        ).otherwise(0).alias("grp"),
+    ).filter(F.col("v").isNotNull())
+    wrank = Window.partitionBy("event_type").orderBy("v")
+    wtie = Window.partitionBy("event_type", "v")
+    ranked = src.select(
+        "event_type", "grp",
+        (
+            2 * F.rank().over(wrank) + F.count(F.lit(1)).over(wtie) - 1
+        ).alias("r2"),
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("r2"))).alias("_r2a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("nb"),
+    )
+    ties = (
+        src.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tc")
+        )
+    )
+    j = per_type.join(ties, "event_type")
+    na, nb, tc = F.col("na"), F.col("nb"), F.col("tc")
+    nn = na + nb
+    u2 = F.col("_r2a") - na * (na + 1)  # == 2·U_A, exact integer
+    mean2 = na * nb  # == 2·E[U]
+    var = (
+        na.cast("double")
+        * nb.cast("double")
+        / 12.0
+        * (
+            (nn + 1).cast("double")
+            - tc.cast("double")
+            / (nn.cast("double") * (nn - 1).cast("double"))
+        )
+    )
+    return j.select(
+        "event_type",
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        (u2.cast("double") / 2).alias("u_a"),
+        F.round(
+            (u2 - mean2).cast("double") / (2.0 * F.sqrt(var)), 4
+        ).alias("z"),
+    )
+
+
+_SQL_MANN_WHITNEY = """
+WITH src AS (
+  SELECT event_type, value AS v,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 32, 1)
+              IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END AS grp
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT event_type, grp,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+           + count(*) OVER (PARTITION BY event_type, v) - 1 AS r2
+  FROM src
+), per_type AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN grp = 1 THEN r2 END) AS BIGINT) AS r2a,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM ranked GROUP BY event_type
+), ties AS (
+  SELECT event_type, CAST(SUM(t * t * t - t) AS BIGINT) AS tc
+  FROM (SELECT event_type, v, count(*) AS t FROM src GROUP BY 1, 2)
+  GROUP BY event_type
+)
+SELECT p.event_type, na AS n_a, nb AS n_b,
+       CAST(r2a - na * (na + 1) AS DOUBLE) / 2 AS u_a,
+       round(CAST((r2a - na * (na + 1)) - na * nb AS DOUBLE)
+             / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                * (CAST(na + nb + 1 AS DOUBLE)
+                   - CAST(tc AS DOUBLE)
+                     / (CAST(na + nb AS DOUBLE)
+                        * CAST(na + nb - 1 AS DOUBLE))))), 4) AS z
+FROM per_type p JOIN ties USING (event_type)
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -9694,6 +9882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_funnel": q_windowed_funnel,
         "wilson_ci": q_wilson_ci,
         "cuped_lift": q_cuped_lift,
+        "chi2_independence": q_chi2_independence,
+        "mann_whitney": q_mann_whitney,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -9891,6 +10081,8 @@ def oracle_sql() -> dict[str, str]:
         "windowed_funnel": _SQL_WINDOWED_FUNNEL,
         "wilson_ci": _SQL_WILSON_CI,
         "cuped_lift": _SQL_CUPED_LIFT,
+        "chi2_independence": _SQL_CHI2_INDEPENDENCE,
+        "mann_whitney": _SQL_MANN_WHITNEY,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
