@@ -325,3 +325,31 @@ def test_mmr_picks_are_distinct_shortlist_members(spark):
         assert all(i in short[q] for i in ids)
         seed_pick = min(picks, key=lambda p: p.pick)
         assert short[q][seed_pick.neighbor_id] == 1
+
+
+def test_viterbi_segmentation_properties():
+    """Pure-kernel property sweep (no Spark): for random words and
+    random piece score tables, the Viterbi parse (a) concatenates
+    back to the word, (b) only uses known pieces or floor single
+    chars, and (c) never scores below the all-singles parse (the
+    fallback is always available, so the optimum can't be worse)."""
+    from m3d_engine_spark.operators.tokenizer import _viterbi_segmenter
+
+    rng = random.Random(SEED)
+    alphabet = "abcd"
+    for _ in range(200):
+        pieces = {}
+        for ch in alphabet:
+            pieces[ch] = -rng.uniform(1.0, 5.0)
+        for _ in range(rng.randint(0, 12)):
+            ln = rng.randint(2, 4)
+            p = "".join(rng.choice(alphabet) for _ in range(ln))
+            pieces[p] = -rng.uniform(0.5, 8.0)
+        seg = _viterbi_segmenter(pieces, max_piece_len=4, floor=-23.0)
+        word = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+        parse = seg(word)
+        assert "".join(parse) == word
+        assert all(p in pieces or len(p) == 1 for p in parse)
+        score = sum(pieces.get(p, -23.0) for p in parse)
+        singles = sum(pieces.get(ch, -23.0) for ch in word)
+        assert score >= singles - 1e-9

@@ -129,6 +129,10 @@ HEADLINERS = {
     "window_suite": "Seven ranking/navigation functions share one (partition, order) spec -> Catalyst fuses them into a SINGLE Window node over a single exchange; adding a function costs a column, never a shuffle.",
     "ewma_revenue": "EWMA on an exact 2^k integer lattice: the fact collapses to the day rollup FIRST (both rollup subtrees are the only scans); the <=20-day weighted band is a deliberate broadcast nested-loop over the day-sized relation; the final per-day aggregate reuses the rollup's partitioning (alias-aware - no third exchange); the 4dp round happens in BIGINT.",
     "mad_outliers": "Median/MAD/3-MAD fences: the k-row median relation is eagerly checkpointed so the events table scans exactly TWICE (MAD pass + fence pass); every stats rejoin is a broadcast hash join; exchanges exist only under the tiny per-type aggregates.",
+    "windowed_funnel": "Conversion-window funnel: the |users|-sized cascade of funnel_steps with the 48h bound as one extra exact timestamp comparison inside each keyed join - no window functions, no re-scan per step pair.",
+    "cuped_lift": "CUPED: one sufficient-statistics aggregate (exact decimal n/Sx/Sy/Sxy/Sxx) broadcast as a 1-row relation; adjusted means are pure arithmetic over exact sums - the variance-reduced readout costs one extra aggregate over ab_welch's topology.",
+    "chi2_independence": "Chi-square: three rollups of ONE contingency census (cell, row, column totals as window sums over the cells relation); per-cell (N*O-r*c)^2/(N*r*c) over exact integers; the cell sum folds in sorted order so the statistic is engine-identical.",
+    "mann_whitney": "Mann-Whitney U: pooled rank window + tie census per event type (doubled average ranks keep rank sums exact integers); only the events relation shuffles, only on the event-type key; tie-corrected z from exact integer factors.",
     "asof_forward": "Forward as-of: the same join-free union+window plan as asof_join, ordered DESCENDING so last(ignorenulls) carries the NEXT right value backward - one key exchange, no join operator.",
     "forecast_backtest": "Seasonal-naive backtest: day rollup first (one keyed map-side-combinable exchange), lag-7 window over the DAY relation, per-day error ratios on a 1e6 integer lattice so the month sums are exact integers.",
     "kaplan_meier": "Kaplan-Meier: per-user rollup is the only fact-sized job; the distinct-day census and risk window run over day-sized relations; the survival product folds left-to-right over the sorted times array (fixed association order - engine-identical doubles).",
