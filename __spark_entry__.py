@@ -9729,6 +9729,138 @@ FROM per_type p JOIN ties USING (event_type)
 """
 
 
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the scalar
+    inequality companion of revenue_concentration's decile table.
+    G = (2·Σ iᵢxᵢ)/(n·Σx) − (n+1)/n over ascending-sorted exact
+    cents: the rank weights and both sums are EXACT integers (ties
+    contribute identically under any permutation, so the custkey
+    tiebreak is for determinism of the plan, not the value), and the
+    final expression is fixed-order arithmetic over three integers.
+    One fact rollup + one window over the customer-sized relation."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey"))
+    ranked = per_cust.select(
+        "cents", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).alias("six"),
+    )
+    nn = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("sx").cast("double") / 100, 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.col("six").cast("double")
+            / (nn * F.col("sx").cast("double"))
+            - (nn + 1.0) / nn,
+            6,
+        ).alias("gini"),
+    )
+
+
+_SQL_GINI_REVENUE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents ASC, o_custkey) AS BIGINT)
+           AS i
+  FROM per_cust
+), agg AS (
+  SELECT count(*) AS n, CAST(SUM(cents) AS BIGINT) AS sx,
+         CAST(SUM(i * cents) AS BIGINT) AS six
+  FROM ranked
+)
+SELECT n AS n_customers,
+       round(CAST(sx AS DOUBLE) / 100, 2) AS total_revenue,
+       round(2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE)
+             * CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM agg
+"""
+
+
+def q_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index per region:
+    HHI = Σ shareᵢ² over the nations of each region, computed as
+    (Σ cᵢ²)/(Σ cᵢ)² — both sums EXACT integers from one keyed
+    rollup, so no share is ever materialized as a float before the
+    single final division. The regulator's concentration screen, one
+    rollup + one tiny aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    per_nation = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+            ).alias("c")
+        )
+    )
+    dim = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "r_name")
+    return (
+        per_nation.join(
+            F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("c").alias("_s"),
+            F.sum(
+                (F.col("c").cast("decimal(38,0)")
+                 * F.col("c").cast("decimal(38,0)")).cast("decimal(38,0)")
+            ).alias("_ss"),
+        )
+        .select(
+            "r_name",
+            "n_nations",
+            F.round(
+                F.col("_ss").cast("double")
+                / (F.col("_s").cast("double") * F.col("_s").cast("double")),
+                6,
+            ).alias("hhi"),
+        )
+    )
+
+
+_SQL_HERFINDAHL = """
+WITH per_nation AS (
+  SELECT c_nationkey,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey
+)
+SELECT r_name, count(*) AS n_nations,
+       round(CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                  AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)), 6) AS hhi
+FROM per_nation
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -9884,6 +10016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_lift": q_cuped_lift,
         "chi2_independence": q_chi2_independence,
         "mann_whitney": q_mann_whitney,
+        "gini_revenue": q_gini_revenue,
+        "herfindahl": q_herfindahl,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -10083,6 +10217,8 @@ def oracle_sql() -> dict[str, str]:
         "cuped_lift": _SQL_CUPED_LIFT,
         "chi2_independence": _SQL_CHI2_INDEPENDENCE,
         "mann_whitney": _SQL_MANN_WHITNEY,
+        "gini_revenue": _SQL_GINI_REVENUE,
+        "herfindahl": _SQL_HERFINDAHL,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
