@@ -9861,6 +9861,92 @@ GROUP BY r_name
 """
 
 
+def q_ledger_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running ledger per user (credits = purchases, debits =
+    everything else, balance floored at zero): the NON-LINEAR
+    recurrence b_t = max(0, b_{t-1} + δ_t) that no window sum can
+    express — a window gives Σδ, but the clamp makes history
+    path-dependent. Pattern: per-key ordered struct array + a
+    LEFT-TO-RIGHT fold with a (balance, clamp-count) struct
+    accumulator, all in EXACT integer cents — the kaplan_meier fold
+    discipline applied to a stateful per-key recurrence. Group sizes
+    are per-user event counts (bounded); the one exchange is the
+    per-user collect."""
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id",
+        epoch_us_of(ev, "ts").alias("us"),
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
+        )
+        .otherwise(
+            -(F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .alias("delta"),
+    ).filter(F.col("delta").isNotNull())
+    per_user = src.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("us", "event_id", "delta"))
+        ).alias("a")
+    )
+    return per_user.select(
+        "user_id",
+        F.size("a").alias("n_events"),
+        F.expr(
+            """
+aggregate(a,
+  struct(CAST(0 AS BIGINT) AS bal, CAST(0 AS BIGINT) AS clamps),
+  (acc, x) -> struct(
+    greatest(CAST(0 AS BIGINT), acc.bal + x.delta) AS bal,
+    acc.clamps + CASE WHEN acc.bal + x.delta < 0 THEN 1 ELSE 0 END
+      AS clamps),
+  acc -> acc)
+"""
+        ).alias("_f"),
+    ).select(
+        "user_id",
+        "n_events",
+        (F.col("_f.bal").cast("double") / 100).alias("final_balance"),
+        F.col("_f.clamps").cast("bigint").alias("n_clamps"),
+    )
+
+
+_SQL_LEDGER_BALANCE = """
+WITH src AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         END AS delta
+  FROM events
+  WHERE value IS NOT NULL
+), per_user AS (
+  SELECT user_id, list(delta ORDER BY us, event_id) AS a
+  FROM src GROUP BY user_id
+)
+-- (balance, clamp count) packed into ONE BIGINT (bal*1e6 + clamps):
+-- DuckDB's list_reduce mutates a struct accumulator field-by-field,
+-- so a second struct field's expression would see the already-updated
+-- first field; a scalar accumulator has no partial state to leak.
+SELECT user_id, CAST(len(a) AS INT) AS n_events,
+       CAST(f // 1000000 AS DOUBLE) / 100 AS final_balance,
+       CAST(f % 1000000 AS BIGINT) AS n_clamps
+FROM (
+  SELECT user_id, a,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT), a),
+           (acc, d) -> greatest(CAST(0 AS BIGINT), (acc // 1000000) + d)
+                         * 1000000
+                       + acc % 1000000
+                       + CASE WHEN (acc // 1000000) + d < 0
+                              THEN 1 ELSE 0 END) AS f
+  FROM per_user
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -10018,6 +10104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "gini_revenue": q_gini_revenue,
         "herfindahl": q_herfindahl,
+        "ledger_balance": q_ledger_balance,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -10219,6 +10306,7 @@ def oracle_sql() -> dict[str, str]:
         "mann_whitney": _SQL_MANN_WHITNEY,
         "gini_revenue": _SQL_GINI_REVENUE,
         "herfindahl": _SQL_HERFINDAHL,
+        "ledger_balance": _SQL_LEDGER_BALANCE,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
