@@ -9947,6 +9947,67 @@ FROM (
 """
 
 
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU and DAU:MAU stickiness per day — the product
+    health dashboard's backbone. The corpus collapses ONCE to the
+    distinct (day, user) relation (one keyed exchange); each trailing
+    window is then a bounded band self-join of that day-sized
+    relation (≤ 7× / 30× fan-out of already-distinct rows) feeding an
+    exact distinct count — never a sliding DISTINCT over raw events,
+    which Spark windows cannot do and a 100 TB stream could not
+    afford. Stickiness is one division of exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.col("ts").cast("date").alias("d"), "user_id"
+        )
+        .distinct()
+    )
+    days = du.select("d").distinct()
+    gap = F.datediff(F.col("d"), F.col("d2"))
+    band = days.join(
+        du.select(F.col("d").alias("d2"), "user_id"),
+        (gap >= 0) & (gap <= 29),
+    )
+    per_day = band.groupBy("d").agg(
+        F.countDistinct(
+            F.when(gap == 0, F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct(
+            F.when(gap <= 6, F.col("user_id"))
+        ).alias("wau"),
+        F.countDistinct("user_id").alias("mau"),
+    )
+    return per_day.select(
+        F.col("d").cast("string").alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        F.round(
+            F.col("dau").cast("double") / F.col("mau").cast("double"), 6
+        ).alias("stickiness"),
+    )
+
+
+_SQL_ACTIVE_USERS = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), days AS (SELECT DISTINCT d FROM du),
+band AS (
+  SELECT days.d, du.user_id, date_diff('day', du.d, days.d) AS gap
+  FROM days JOIN du ON date_diff('day', du.d, days.d) BETWEEN 0 AND 29
+)
+SELECT CAST(d AS VARCHAR) AS day,
+       count(DISTINCT CASE WHEN gap = 0 THEN user_id END) AS dau,
+       count(DISTINCT CASE WHEN gap <= 6 THEN user_id END) AS wau,
+       count(DISTINCT user_id) AS mau,
+       round(CAST(count(DISTINCT CASE WHEN gap = 0 THEN user_id END)
+                  AS DOUBLE)
+             / count(DISTINCT user_id), 6) AS stickiness
+FROM band GROUP BY d
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -10105,6 +10166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_revenue": q_gini_revenue,
         "herfindahl": q_herfindahl,
         "ledger_balance": q_ledger_balance,
+        "active_users": q_active_users,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -10307,6 +10369,7 @@ def oracle_sql() -> dict[str, str]:
         "gini_revenue": _SQL_GINI_REVENUE,
         "herfindahl": _SQL_HERFINDAHL,
         "ledger_balance": _SQL_LEDGER_BALANCE,
+        "active_users": _SQL_ACTIVE_USERS,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
