@@ -10008,6 +10008,99 @@ FROM band GROUP BY d
 """
 
 
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices of daily revenue — classical
+    ratio-to-moving-average decomposition, the Monday-dip /
+    weekend-spike quantifier. Trend is the CENTERED 7-day sum (full
+    coverage required, edges dropped) via the ewma-style bounded band
+    join over the day rollup; each day's ratio-to-trend rides a 1e6
+    integer lattice (cents·7e6 DIV trend) so per-weekday means are
+    exact integer sums; the final index and its sum-normalized form
+    are single divisions. ISO weekday keys match across engines
+    (Spark weekday()+1 == DuckDB isodow)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("c"))
+    )
+    a = daily.select(F.col("d").alias("d_a"), F.col("c").alias("c_a"))
+    b = daily.select(F.col("d").alias("d_b"), F.col("c").alias("c_b"))
+    gap = F.datediff(F.col("d_b"), F.col("d_a"))
+    trend = (
+        a.join(b, (gap >= -3) & (gap <= 3))
+        .groupBy("d_a", "c_a")
+        .agg(
+            F.count(F.lit(1)).alias("_n7"),
+            F.sum("c_b").alias("_t7"),
+        )
+        .filter(F.col("_n7") == 7)
+    )
+    ratios = trend.select(
+        F.expr("weekday(d_a) + 1").cast("int").alias("dow"),
+        F.expr("(c_a * 7000000) DIV _t7").alias("_r"),
+    )
+    per_dow = ratios.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("_r").alias("_sr"),
+    )
+    wt = Window.partitionBy()
+    return per_dow.select(
+        "dow",
+        "n_days",
+        F.round(
+            F.col("_sr").cast("double")
+            / F.col("n_days").cast("double")
+            / 1.0e6,
+            6,
+        ).alias("index"),
+        F.round(
+            (F.col("_sr").cast("double") / F.col("n_days").cast("double"))
+            * 7.0
+            / F.sum(
+                F.expr("(_sr * 1000000) DIV n_days")
+            ).over(wt).cast("double")
+            * 1.0e6
+            / 1.0e6,
+            6,
+        ).alias("norm_index"),
+    )
+
+
+_SQL_SEASONAL_INDEX = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+), trend AS (
+  SELECT a.d AS d_a, a.c AS c_a, count(*) AS n7,
+         CAST(SUM(b.c) AS BIGINT) AS t7
+  FROM daily a JOIN daily b
+    ON date_diff('day', a.d, b.d) BETWEEN -3 AND 3
+  GROUP BY a.d, a.c
+  HAVING count(*) = 7
+), ratios AS (
+  SELECT CAST(isodow(d_a) AS INT) AS dow,
+         CAST((c_a * 7000000) // t7 AS BIGINT) AS r
+  FROM trend
+), per_dow AS (
+  SELECT dow, count(*) AS n_days, CAST(SUM(r) AS BIGINT) AS sr
+  FROM ratios GROUP BY dow
+)
+SELECT dow, n_days,
+       round(CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE) / 1e6, 6) AS index,
+       round((CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE)) * 7.0
+             / CAST(SUM((sr * 1000000) // n_days) OVER () AS DOUBLE)
+             * 1e6 / 1e6, 6) AS norm_index
+FROM per_dow
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -10167,6 +10260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "herfindahl": q_herfindahl,
         "ledger_balance": q_ledger_balance,
         "active_users": q_active_users,
+        "seasonal_index": q_seasonal_index,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -10370,6 +10464,7 @@ def oracle_sql() -> dict[str, str]:
         "herfindahl": _SQL_HERFINDAHL,
         "ledger_balance": _SQL_LEDGER_BALANCE,
         "active_users": _SQL_ACTIVE_USERS,
+        "seasonal_index": _SQL_SEASONAL_INDEX,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
