@@ -10101,6 +10101,76 @@ FROM per_dow
 """
 
 
+def q_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix Shannon entropy per source + the effective
+    language count 2^H — the mixture-diversity monitor a multilingual
+    corpus release reports next to its dataset card. One contingency
+    census; per-source cells ride a SORTED array and the −Σ p·log₂p
+    sum folds left-to-right (the chi2/kaplan_meier fold discipline:
+    both engines' ln agree only term-by-term, so association order
+    must be pinned). Counts stay exact integers until each term's
+    single division."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    wt = Window.partitionBy("source")
+    arr = (
+        cells.withColumn("n", F.sum("k").over(wt))
+        .groupBy("source")
+        .agg(
+            F.first("n").alias("n_docs"),
+            F.count(F.lit(1)).cast("int").alias("n_langs"),
+            F.sort_array(F.collect_list(F.struct("lang", "k", "n"))).alias("a"),
+        )
+    )
+    h = F.expr(
+        """
+aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) ->
+  acc - (CAST(x.k AS DOUBLE) / CAST(x.n AS DOUBLE))
+        * ln(CAST(x.k AS DOUBLE) / CAST(x.n AS DOUBLE))
+        / 0.6931471805599453)
+"""
+    )
+    return arr.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.round(h, 6).alias("entropy_bits"),
+        F.round(F.pow(F.lit(2.0), h), 6).alias("effective_langs"),
+    )
+
+
+_SQL_MIX_ENTROPY = """
+WITH cells AS (
+  SELECT source, lang, count(*) AS k FROM documents GROUP BY 1, 2
+), totals AS (
+  SELECT source, CAST(SUM(k) AS BIGINT) AS n FROM cells GROUP BY source
+), arr AS (
+  SELECT cells.source,
+         CAST(any_value(n) AS BIGINT) AS n_docs,
+         CAST(count(*) AS INT) AS n_langs,
+         list(struct_pack(lang := lang, k := CAST(k AS BIGINT),
+                          n := n)
+              ORDER BY lang) AS a
+  FROM cells JOIN totals USING (source) GROUP BY cells.source
+)
+SELECT source, n_docs, n_langs, round(h, 6) AS entropy_bits,
+       round(pow(2.0, h), 6) AS effective_langs
+FROM (
+  SELECT source, n_docs, n_langs,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(a, x ->
+               -(CAST(x.k AS DOUBLE) / CAST(x.n AS DOUBLE))
+               * ln(CAST(x.k AS DOUBLE) / CAST(x.n AS DOUBLE))
+               / 0.6931471805599453)),
+           (acc, v) -> acc + v) AS h
+  FROM arr
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -10261,6 +10331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ledger_balance": q_ledger_balance,
         "active_users": q_active_users,
         "seasonal_index": q_seasonal_index,
+        "mix_entropy": q_mix_entropy,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -10465,6 +10536,7 @@ def oracle_sql() -> dict[str, str]:
         "ledger_balance": _SQL_LEDGER_BALANCE,
         "active_users": _SQL_ACTIVE_USERS,
         "seasonal_index": _SQL_SEASONAL_INDEX,
+        "mix_entropy": _SQL_MIX_ENTROPY,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
