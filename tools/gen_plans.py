@@ -129,6 +129,11 @@ HEADLINERS = {
     "window_suite": "Seven ranking/navigation functions share one (partition, order) spec -> Catalyst fuses them into a SINGLE Window node over a single exchange; adding a function costs a column, never a shuffle.",
     "ewma_revenue": "EWMA on an exact 2^k integer lattice: the fact collapses to the day rollup FIRST (both rollup subtrees are the only scans); the <=20-day weighted band is a deliberate broadcast nested-loop over the day-sized relation; the final per-day aggregate reuses the rollup's partitioning (alias-aware - no third exchange); the 4dp round happens in BIGINT.",
     "mad_outliers": "Median/MAD/3-MAD fences: the k-row median relation is eagerly checkpointed so the events table scans exactly TWICE (MAD pass + fence pass); every stats rejoin is a broadcast hash join; exchanges exist only under the tiny per-type aggregates.",
+    "ledger_balance": "Clamped ledger: the non-linear max(0, b+delta) recurrence as a per-key sorted-array fold in exact integer cents - windows give plain sums, path-dependent state needs the fold; ONE exchange (the per-user collect).",
+    "active_users": "DAU/WAU/MAU: corpus collapses ONCE to distinct (day,user); each trailing window is a bounded band self-join of that day-sized relation feeding an exact distinct count - never a sliding DISTINCT over raw events.",
+    "seasonal_index": "Seasonal indices: centered 7-day trend via the bounded band join over the day rollup; ratio-to-trend on a 1e6 integer lattice so per-weekday means are exact integer sums.",
+    "mix_entropy": "Language-mix entropy: one contingency census; the -sum(p*log2 p) fold runs in sorted order (engines' ln agrees term-by-term only) with ln(2) pinned to its literal double.",
+    "gini_revenue": "Gini: one fact rollup + one rank window over the customer relation; G computed from three exact integers (n, sum x, sum i*x) - tie permutations provably value-invariant.",
     "windowed_funnel": "Conversion-window funnel: the |users|-sized cascade of funnel_steps with the 48h bound as one extra exact timestamp comparison inside each keyed join - no window functions, no re-scan per step pair.",
     "cuped_lift": "CUPED: one sufficient-statistics aggregate (exact decimal n/Sx/Sy/Sxy/Sxx) broadcast as a 1-row relation; adjusted means are pure arithmetic over exact sums - the variance-reduced readout costs one extra aggregate over ab_welch's topology.",
     "chi2_independence": "Chi-square: three rollups of ONE contingency census (cell, row, column totals as window sums over the cells relation); per-cell (N*O-r*c)^2/(N*r*c) over exact integers; the cell sum folds in sorted order so the statistic is engine-identical.",
