@@ -10171,6 +10171,70 @@ FROM (
 """
 
 
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price elasticity per brand: the log-log regression
+    ln(qty) ~ ln(unit price) whose slope IS the elasticity — the
+    pricing team's first model, composed from the engine's
+    exact-lattice OLS (normalize.py::grouped_ols). ln() is a per-row
+    projection (term-by-term parity across engines, the LM-entry
+    premise); the lattice quantization and the DECIMAL(38,0)
+    normal-equation sums then make the regression itself
+    order-independent. One broadcast dim join + one aggregate."""
+    from m3d_engine_spark.operators.normalize import grouped_ols
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    src = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.log(
+            F.col("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+        ).alias("ln_price"),
+        F.log(F.col("l_quantity").cast("double")).alias("ln_qty"),
+    )
+    out = grouped_ols(
+        src, ["p_brand"], "ln_price", "ln_qty", scale=10**6
+    )
+    return out.select(
+        "p_brand", "n",
+        F.col("slope").alias("elasticity"),
+        "intercept", "r2",
+    )
+
+
+_SQL_PRICE_ELASTICITY = """
+WITH src AS (
+  SELECT p_brand,
+         CAST(round(ln(CAST(l_extendedprice AS DOUBLE)
+                       / CAST(l_quantity AS DOUBLE)) * 1000000) AS HUGEINT)
+           AS x,
+         CAST(round(ln(CAST(l_quantity AS DOUBLE)) * 1000000) AS HUGEINT)
+           AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+), a AS (
+  SELECT p_brand, CAST(count(*) AS HUGEINT) AS k,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM src GROUP BY p_brand
+)
+SELECT p_brand, CAST(k AS BIGINT) AS n,
+       round(CAST(k * sxy - sx * sy AS DOUBLE)
+             / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS elasticity,
+       round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(k * sxx - sx * sx AS DOUBLE) / 1000000.0, 6)
+         AS intercept,
+       round(CAST(k * sxy - sx * sy AS DOUBLE)
+             * CAST(k * sxy - sx * sy AS DOUBLE)
+             / (CAST(k * sxx - sx * sx AS DOUBLE)
+                * CAST(k * syy - sy * sy AS DOUBLE)), 6) AS r2
+FROM a
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -10332,6 +10396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users": q_active_users,
         "seasonal_index": q_seasonal_index,
         "mix_entropy": q_mix_entropy,
+        "price_elasticity": q_price_elasticity,
         "pricing_summary": q_pricing_summary,
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
@@ -10537,6 +10602,7 @@ def oracle_sql() -> dict[str, str]:
         "active_users": _SQL_ACTIVE_USERS,
         "seasonal_index": _SQL_SEASONAL_INDEX,
         "mix_entropy": _SQL_MIX_ENTROPY,
+        "price_elasticity": _SQL_PRICE_ELASTICITY,
         "pricing_summary": _SQL_PRICING_SUMMARY,
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
