@@ -2797,11 +2797,20 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means (kmeans.py::train_kmeans): k=4,
     2 iterations, md5-ranked init, decimal-summed centroid means —
     the trained swap-in for the sampled coarse quantizers in ivf_topk
-    and semantic_dedup."""
+    and semantic_dedup. The entry posexplodes the centroid into the
+    scalar relation (cluster, dim, value, n_members): driver-side
+    canonicalization sorts rows via pandas and cannot hash array
+    cells, so every registry output column must be scalar (pinned by
+    tests/test_registry_contract.py)."""
     from m3d_engine_spark.operators.kmeans import train_kmeans
 
     emb = _t(spark, sf_dir, "embeddings")
-    return train_kmeans(emb, "vec_id", "embedding", k=4, iterations=2)
+    model = train_kmeans(emb, "vec_id", "embedding", k=4, iterations=2)
+    return model.select(
+        "cluster",
+        F.posexplode("centroid").alias("dim", "value"),
+        "n_members",
+    ).select("cluster", "dim", "value", "n_members")
 
 
 def _sql_kmeans_train() -> str:
@@ -2865,9 +2874,15 @@ WITH base AS (
 ), sizes AS (
   SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM a3 GROUP BY cluster
 )
-SELECT c.cluster, c.centv AS centroid,
+SELECT c.cluster,
+       CAST(c.u['d'] - 1 AS INT) AS dim,
+       c.u['x'] AS value,
        coalesce(s.n_members, 0) AS n_members
-FROM c2f c LEFT JOIN sizes s ON c.cluster = s.cluster
+FROM (
+  SELECT cluster,
+         unnest(list_transform(centv, (x, i) -> {{'d': i, 'x': x}})) AS u
+  FROM c2f
+) c LEFT JOIN sizes s ON c.cluster = s.cluster
 """
 
 
@@ -10244,7 +10259,66 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# The round driver records correctness rows for the FIRST 50 entries of
+# queries() only, so the registry rotates each round: never-driver-checked
+# entries are fronted until all 201 have a driver row. Round-8 window
+# (this list) = kmeans_train (round-7's one red row, re-checked after the
+# scalar-shape fix) + the 13 round-7 tail entries + the 22 session-3
+# additions + the first 14 session-4 additions. The written plan for
+# rounds 9-10 (SURVEY.md §Round-8 plan) fronts the remaining 14
+# session-4, the 4 rotation orphans (large_orders brand_share top_paths
+# histogram2d) and the 34 session-5 entries: r9 = 14 + 4 + 32, r10 = the
+# final 2 (mix_entropy, price_elasticity) + re-check spares. Sums to the
+# full 101-entry backlog identified in VERDICT r7.
+_ROTATION_FRONT = [
+    "kmeans_train",
+    # round-7 tail (13)
+    "pq_topk", "pq_search", "ivfpq_search", "pagerank", "weighted_sample",
+    "rank_weighted_sample", "script_profile", "blame_supplier",
+    "session_transcript", "ppr_expand", "budget_select", "rank_fusion",
+    "basket_rules",
+    # session-3 additions (22)
+    "event_transitions", "benford_audit", "hits_scores", "ngram_novelty",
+    "lsh_calibration", "classifier_calibration", "mmr_diversify",
+    "kcore_nodes", "last_touch", "audio_chunks", "image_tiles",
+    "skipgram_pairs", "skew_report", "fk_audit", "psi_drift",
+    "quantile_normalize", "hilbert_key", "fertility_stats", "vocab_drift",
+    "interp_lm", "random_walks", "negative_sampling",
+    # session-4 additions, first 14 (grouped_ols closes the window at 50)
+    "scd2_history", "kanon_census", "hybrid_retrieval", "length_batches",
+    "countmin_audit", "embedding_cov", "interval_join", "bpe_pairs",
+    "bloom_prune", "zipf_fit", "join_estimate", "phrase_search",
+    "label_spread", "grouped_ols",
+    # ---- round-9 window starts here: session-4 remainder (14) ----
+    "gap_fill", "rolling_med", "ab_welch", "rbo_overlap", "fastss_pairs",
+    "deepwalk_pairs", "feature_hash", "source_overlap", "phash_dedup",
+    "rendezvous_shards", "expectations", "table_checksum", "ndcg_eval",
+    "ann_recall",
+    # rotation orphans (4) — session-5 entries missed by the r7 memo
+    "large_orders", "brand_share", "top_paths", "histogram2d",
+    # session-5 additions (34); r9 covers through seasonal_index,
+    # r10 fronts mix_entropy + price_elasticity
+    "order_dist", "promo_share", "small_qty_revenue", "returned_items",
+    "untapped_customers", "disjunct_revenue", "grouping_sets_census",
+    "window_suite", "ewma_revenue", "mad_outliers", "bitext_mine",
+    "rfm_segments", "revenue_concentration", "order_gap_stats",
+    "metrics_melt", "daily_spine", "skyline_parts", "attribution_removal",
+    "identity_clusters", "asof_forward", "forecast_backtest",
+    "kaplan_meier", "windowed_funnel", "wilson_ci", "cuped_lift",
+    "chi2_independence", "mann_whitney", "gini_revenue", "herfindahl",
+    "ledger_balance", "active_users", "seasonal_index", "mix_entropy",
+    "price_elasticity",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    full = _all_queries()
+    ordered = {name: full[name] for name in _ROTATION_FRONT}
+    ordered.update((n, f) for n, f in full.items() if n not in ordered)
+    return ordered
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "contamination_check": q_contamination_check,
         "repetition_stats": q_repetition_stats,

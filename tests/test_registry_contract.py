@@ -1,0 +1,54 @@
+"""Registry-wide driver-contract guards.
+
+The round driver canonicalizes each ``queries()`` result with pandas
+(sort over all columns, then hash); non-scalar cells (array / struct /
+map) are unhashable there and turn a mathematically-correct entry into
+a red driver row — exactly what happened to ``kmeans_train`` in round
+7 (``CORRECTNESS_r07.json``: ``TypeError: unhashable type: 'list'``)
+while the tuple-izing local gate stayed green. This walk pins the
+contract the local gate cannot see: every output column of every
+registry entry must be scalar.
+
+Construction is done on a thread pool: building a registry DataFrame
+is mostly driver-side analysis, and the handful of entries that run
+collects at build time (kmeans, pagerank, calibration) overlap, so the
+full 200-entry walk costs ~20 s on the shared session instead of ~95 s
+serial — cheap enough for the default lane, which is where a guard
+against future registry additions has to live.
+"""
+
+from concurrent.futures import ThreadPoolExecutor
+
+import __spark_entry__ as entry
+
+_NON_SCALAR = ("array", "struct", "map")
+
+
+def test_every_registry_entry_has_scalar_only_schema(spark, sf_dir):
+    queries = entry.queries()
+
+    def offenders(item):
+        name, fn = item
+        df = fn(spark, sf_dir)
+        return [
+            (name, f.name, f.dataType.typeName())
+            for f in df.schema.fields
+            if f.dataType.typeName() in _NON_SCALAR
+        ]
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        results = list(ex.map(offenders, queries.items()))
+    bad = [o for r in results for o in r]
+    assert bad == [], (
+        "driver canonicalizer cannot hash non-scalar cells; "
+        f"explode/flatten these columns: {bad}"
+    )
+
+
+def test_oracle_keys_subset_of_queries_and_no_duplicates():
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert set(o) <= set(q), sorted(set(o) - set(q))
+    # dict literals silently drop duplicate keys only in CPython >=3.7
+    # when identical; guard against a paste error shrinking the registry.
+    assert len(q) >= 201, len(q)
