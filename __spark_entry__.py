@@ -7647,12 +7647,13 @@ WITH base AS (
     FROM truth QUALIFY rr <= 10
   ) GROUP BY query_id
 )
-SELECT ideal.query_id, ideal.n_rel,
+SELECT coalesce(ideal.query_id, dcg.query_id) AS query_id,
+       coalesce(ideal.n_rel, 0) AS n_rel,
        round(coalesce(dcg.dl, 0) / 1e12, 6) AS dcg,
        round(ideal.idl / 1e12, 6) AS idcg,
        round(CAST(coalesce(dcg.dl, 0) AS DOUBLE)
              / CAST(ideal.idl AS DOUBLE), 6) AS ndcg
-FROM ideal LEFT JOIN dcg ON ideal.query_id = dcg.query_id
+FROM ideal FULL JOIN dcg ON ideal.query_id = dcg.query_id
 """
 
 

@@ -95,6 +95,17 @@ def bloom_probe(
     exact join it protects. Rows with NULL keys probe to 0."""
     key = F.col(key_col)
     cols = list(df.columns)
+    if "maybe" in cols:
+        raise ValueError(
+            "bloom_probe appends a 'maybe' column; rename the existing one"
+        )
+    # Temp/join column names must not clobber user data: derive a
+    # prefix no existing column starts with (a df already carrying
+    # `_pos`/`_w0`/… would otherwise lose it in the intermediate
+    # projections).
+    pre = "_bp"
+    while any(c.startswith(pre) for c in cols):
+        pre += "x"
     # The filter relation is referenced once per hash; without a
     # checkpoint each broadcast branch re-executes the whole build
     # subtree (measured 6× slower at sf0.01). It is ≤ ceil(m/63) rows
@@ -104,28 +115,29 @@ def bloom_probe(
     hit_cols = []
     for j, pos in enumerate(_positions(key, m_bits, k)):
         out = (
-            out.withColumn("_pos", pos)
-            .withColumn(f"_w{j}", F.expr(f"_pos div {_WORD_BITS}"))
+            out.withColumn(f"{pre}pos", pos)
+            .withColumn(f"{pre}w{j}", F.expr(f"`{pre}pos` div {_WORD_BITS}"))
             .withColumn(
-                f"_m{j}",
+                f"{pre}m{j}",
                 F.expr(
                     f"shiftleft(CAST(1 AS BIGINT),"
-                    f" CAST(_pos % {_WORD_BITS} AS INT))"
+                    f" CAST(`{pre}pos` % {_WORD_BITS} AS INT))"
                 ),
             )
-            .drop("_pos")
+            .drop(f"{pre}pos")
         )
         bl = bloom.select(
-            F.col("word").alias(f"_bw{j}"), F.col("bits").alias(f"_bb{j}")
+            F.col("word").alias(f"{pre}bw{j}"),
+            F.col("bits").alias(f"{pre}bb{j}"),
         )
         out = out.join(
-            F.broadcast(bl), F.col(f"_w{j}") == F.col(f"_bw{j}"), "left"
+            F.broadcast(bl), F.col(f"{pre}w{j}") == F.col(f"{pre}bw{j}"), "left"
         )
         hit_cols.append(
             F.coalesce(  # NULL key -> NULL mask -> probe to 0, not NULL
                 (
-                    F.coalesce(F.col(f"_bb{j}"), F.lit(0)).bitwiseAND(
-                        F.col(f"_m{j}")
+                    F.coalesce(F.col(f"{pre}bb{j}"), F.lit(0)).bitwiseAND(
+                        F.col(f"{pre}m{j}")
                     )
                     != 0
                 ).cast("int"),

@@ -47,8 +47,12 @@ def ndcg_at_k(
     absent pairs count 0. IDCG uses the ideal ordering of the query's
     OWN truth grades (top-k by grade), so a query with fewer than k
     relevant documents is not penalized for the impossible tail.
-    Returns (query, n_rel, dcg, idcg, ndcg); queries with zero
-    relevant docs yield NULL ndcg.
+    Returns (query, n_rel, dcg, idcg, ndcg) for every query present
+    in the run or the truth: queries with zero relevant docs (or
+    absent from truth entirely) emit a row with n_rel=0 and NULL
+    idcg/ndcg, so per-query averages see them instead of silently
+    skipping them; queries with truth but missing from the run emit
+    dcg=0.
     """
     w = _dcg_weights(k)
     warr = F.array(*[F.lit(x) for x in w])
@@ -87,10 +91,10 @@ def ndcg_at_k(
         )
     )
     return (
-        ideal.join(dcg, on="_q", how="left")
+        ideal.join(dcg, on="_q", how="full")
         .select(
             F.col("_q").alias(query_col),
-            "n_rel",
+            F.coalesce(F.col("n_rel"), F.lit(0).cast("int")).alias("n_rel"),
             F.round(
                 F.coalesce(F.col("_dcg_l"), F.lit(0)) / F.lit(float(_LATTICE)), out_dp
             ).alias("dcg"),

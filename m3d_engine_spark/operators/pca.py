@@ -108,6 +108,14 @@ def pca_project(
     in the per-row path). Component sign is normalized (largest-|w|
     coordinate positive) so results don't flip run to run.
 
+    Scores are CENTERED: the fold computes ``x·w`` and the constant
+    ``μ·w`` (per-dim means from one d-row aggregate, dotted with each
+    component driver-side) is subtracted before rounding, so the
+    returned coordinates are ``(x−μ)·w`` — what whitening and
+    remove-the-dominant-direction expect. (Uncentered ``x·w`` would be
+    offset by ``μ·w`` per component: harmless for pairwise distances,
+    wrong for everything that treats 0 as the corpus center.)
+
     Returns ``(id_col, pc)`` where ``pc`` is the length-k projection
     array, each coordinate rounded at ``out_dp``.
     """
@@ -121,13 +129,35 @@ def pca_project(
     for r in cov_rows:
         mat[r.i, r.j] = r.cov
         mat[r.j, r.i] = r.cov
+    # per-dim means: one d-row decimal-summed aggregate (same exactness
+    # discipline as the covariance pass), collected driver-side so the
+    # μ·w offset enters the plan as a literal.
+    v0 = F.col(vec_col).cast("array<double>")
+    mean_rows = (
+        df.select(v0.alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .select(F.posexplode("_v").alias("_i", "_x"))
+        .groupBy("_i")
+        .agg(
+            (
+                F.sum(F.col("_x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_m")
+        )
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in mean_rows:
+        mu[r._i] = r._m
     vals, vecs = np.linalg.eigh(mat)  # ascending eigenvalues
     comps = []
+    offsets = []
     for c in range(1, k + 1):
         w = vecs[:, -c]
         # sign convention: the largest-magnitude coordinate is positive
         w = w * (1.0 if w[int(np.argmax(np.abs(w)))] >= 0 else -1.0)
         comps.append([float(x) for x in w])
+        offsets.append(float(mu @ w))
     v = F.col(vec_col).cast("array<double>")
     pcs = F.array(
         *[
@@ -140,10 +170,11 @@ def pca_project(
                     ),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
-                ),
+                )
+                - F.lit(off),
                 out_dp,
             )
-            for comp in comps
+            for comp, off in zip(comps, offsets)
         ]
     )
     return df.select(F.col(id_col), pcs.alias("pc"))

@@ -17,6 +17,7 @@ equivalents of its load semantics, built on Structured Streaming:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
@@ -712,7 +713,12 @@ def transition_census_batch(
             .select(key_col, "_s.*")
         )
         ev = ev.unionByName(carried)
-    except Exception:  # AnalysisException: first batch, no state yet
+    except AnalysisException:
+        # First batch only: the state path does not exist yet. Anything
+        # else (transient storage error, corrupt partition, permissions)
+        # must propagate and fail the micro-batch — silently treating it
+        # as "no prior state" would drop cross-batch transitions and
+        # commit wrong output.
         pass
     w = Window.partitionBy(key_col).orderBy(F.col(order_col), F.col(tie_col))
     pairs = (
@@ -845,7 +851,10 @@ def scd2_batch(
             .withColumn("_carried", F.lit(1))
         )
         ev = ev.withColumn("_carried", F.lit(0)).unionByName(carried)
-    except Exception:  # AnalysisException: first batch, no changes yet
+    except AnalysisException:
+        # First batch only (missing changes path); genuine read errors
+        # propagate so the micro-batch retries instead of re-emitting
+        # unchanged states as changes.
         ev = ev.withColumn("_carried", F.lit(0))
     w = Window.partitionBy(key_col).orderBy(F.col(order_col), F.col(tie_col))
     state = F.struct(F.col(attr_col))

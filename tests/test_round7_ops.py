@@ -761,6 +761,10 @@ def test_pca_project_finds_dominant_direction(spark):
     assert abs(corr) > 0.99, corr
     var = P.var(axis=0)
     assert var[0] >= var[1] >= var[2]
+    # scores are centered: (x−μ)·w, not x·w — each component's mean
+    # projection must be ~0 (offset-invariant checks above can't see
+    # the μ·w shift that breaks whitening / direction-removal uses)
+    assert np.abs(P.mean(axis=0)).max() < 1e-4, P.mean(axis=0)
 
 
 def test_interval_overlap_join_exactly_once(spark):
@@ -873,6 +877,29 @@ def test_bloom_no_false_negatives_and_prunes(spark):
     tout = {r.k: r.maybe for r in
             bloom_probe(probes, tiny, "k", m_bits=64, k=2).collect()}
     assert all(tout[i * 3] == 1 for i in range(200))
+
+
+def test_bloom_probe_preserves_clashing_user_columns(spark):
+    """A probed df already carrying `_pos`/`_w0`/`_m0`-style names must
+    come through untouched (the probe derives collision-free temp
+    names); an existing `maybe` column is an explicit error, never a
+    silent overwrite."""
+    import pytest
+    from m3d_engine_spark.operators.bloom import bloom_build, bloom_probe
+
+    keys = spark.createDataFrame([(i,) for i in range(50)], ["k"])
+    bl = bloom_build(keys, "k", m_bits=1 << 12, k=3)
+    probes = spark.createDataFrame(
+        [(i, f"p{i}", i * 10, i * 100) for i in range(60)],
+        "k long, _pos string, _w0 long, _m1 long",
+    )
+    rows = {r.k: r for r in
+            bloom_probe(probes, bl, "k", m_bits=1 << 12, k=3).collect()}
+    assert set(rows[7].asDict()) == {"k", "_pos", "_w0", "_m1", "maybe"}
+    assert (rows[7]._pos, rows[7]._w0, rows[7]._m1) == ("p7", 70, 700)
+    assert all(rows[i].maybe == 1 for i in range(50))
+    with pytest.raises(ValueError, match="maybe"):
+        bloom_probe(probes.withColumnRenamed("_pos", "maybe"), bl, "k")
 
 
 def test_zipf_fit_recovers_exponent(spark):
@@ -1380,6 +1407,18 @@ def test_ndcg_and_recall_hand_cases(spark):
            ndcg_at_k(late, truth, "q", "d", "rank", "rel", k=10).collect()}
     assert abs(got[2].ndcg - 1 / math.log2(3)) < 1e-6
     assert got[1].ndcg == 0.0  # query 1 absent from the run
+
+    # a run-only query (no relevant docs in truth) emits a row with
+    # n_rel=0 and NULL idcg/ndcg instead of vanishing — per-query
+    # averages must SEE it (ADVICE r7)
+    run_only = spark.createDataFrame(
+        [(3, 30, 1), (2, 20, 1)], "q long, d long, rank long"
+    )
+    ro = {r.q: r for r in
+          ndcg_at_k(run_only, truth, "q", "d", "rank", "rel", k=10).collect()}
+    assert set(ro) == {1, 2, 3}
+    assert ro[3].n_rel == 0 and ro[3].dcg == 0.0
+    assert ro[3].idcg is None and ro[3].ndcg is None
 
     rec = {r.q: r for r in
            recall_at_k(late, perfect, "q", "d", "rank", k=2).collect()}
