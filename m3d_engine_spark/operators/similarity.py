@@ -593,6 +593,84 @@ def mmr_diversify(
     )
 
 
+def margin_candidate_pairs(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    id_col: str,
+    vec_col: str,
+    candidates: str = "broadcast",
+    bits: int = 3,
+    tables: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """The pluggable pair tier under ``margin_mine`` (exposed so the
+    plan suite can pin each tier's UNCHECKPOINTED shape): returns
+    scored candidate pairs ``(a_id, b_id, ci)`` with ``ci`` the cosine
+    on the 1e4 integer lattice.
+
+    ``"broadcast"`` — exact A×B, side B broadcast (one web-scale side).
+    ``"seeded_lsh"`` — multi-table random-hyperplane candidates (two
+    web-scale sides): one Arrow matmul per side, posexplode to
+    (table, bucket) rows, ONE banded equi-join, dedup, then hash-join
+    the vectors back — no cartesian/nested-loop node in the plan.
+    """
+    if candidates not in ("broadcast", "seeded_lsh"):
+        raise ValueError(f"unknown candidates tier: {candidates!r}")
+    a = side_a.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("av"),
+        norm(F.col(vec_col)).alias("an"),
+    )
+    b_plain = side_b.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("bv"),
+        norm(F.col(vec_col)).alias("bn"),
+    )
+    ci = (
+        F.round(
+            dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")) * 10000,
+            0,
+        )
+        .cast("bigint")
+        .alias("ci")
+    )
+    if candidates == "seeded_lsh":
+        if dim is None:
+            first = side_a.select(F.col(vec_col)).first()
+            dim = len(first[0]) if first else 0
+        if dim > 0:
+            import numpy as np
+
+            from m3d_engine_spark.functions.ann_kernels import make_bucket_udf
+
+            planes = seeded_hyperplanes(dim, bits * tables, seed)
+            plane_matrix = np.array(planes, dtype=np.float64).T
+            all_buckets = make_bucket_udf(plane_matrix, tables, bits)
+
+            def exploded(df: DataFrame, idc: str) -> DataFrame:
+                return df.select(
+                    F.col(id_col).alias(idc),
+                    F.posexplode(all_buckets(F.col(vec_col))).alias(
+                        "t", "bucket"
+                    ),
+                )
+
+            cand = (
+                exploded(side_a, "a_id")
+                .join(exploded(side_b, "b_id"), on=["t", "bucket"])
+                .select("a_id", "b_id")
+                .distinct()
+            )
+            return (
+                cand.join(a, on="a_id")
+                .join(b_plain, on="b_id")
+                .select("a_id", "b_id", ci)
+            )
+        # degenerate empty side: fall through to the exact tier
+    return a.crossJoin(F.broadcast(b_plain)).select("a_id", "b_id", ci)
+
+
 def margin_mine(
     side_a: DataFrame,
     side_b: DataFrame,
@@ -600,6 +678,11 @@ def margin_mine(
     vec_col: str,
     knn: int = 4,
     ratio: tuple[int, int] = (51, 50),
+    candidates: str = "broadcast",
+    bits: int = 3,
+    tables: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Margin-based parallel-pair mining (the LASER/CCMatrix shape):
     for every vector on side A, its best cosine match on side B kept
@@ -615,36 +698,38 @@ def margin_mine(
     ``ci·2·knn·ratio[1] > (skA+skB)·ratio[0]``; doubles appear only
     in the reported columns.
 
-    Scale: the pair tier below is pluggable — here exact with side B
-    BROADCAST (zero shuffle of the bigger side A; the one topology
-    that matters at 10⁹×10⁶), swap in the seeded-LSH banded join
-    (seeded_ann_topk's candidate stage) for two web-scale sides. The
-    k-NN stats and best-match windows are keyed exchanges of the
-    PAIR relation only.
+    The pair tier is selected by ``candidates``:
+
+    * ``"broadcast"`` (default) — exact: every A×B pair scored, side B
+      BROADCAST (zero shuffle of the bigger side A; the right topology
+      at 10⁹×10⁶, i.e. one web-scale side and one corpus-sized side).
+    * ``"seeded_lsh"`` — two web-scale sides: ``seeded_ann_topk``'s
+      multi-table random-hyperplane candidate stage (one Arrow matmul
+      per side, posexplode to (table, bucket) rows, ONE banded
+      equi-join — no cross join anywhere in the plan, pinned in
+      tests/test_plans.py). k-NN denominators and best-match are then
+      computed over the candidate pairs; with (bits, tables) at
+      full-recall settings for the corpus the output equals the exact
+      tier bit for bit (pinned), and at production settings the usual
+      LSH recall/cost dial applies. ``bits``/``tables``/``seed``/
+      ``dim`` mirror seeded_ann_topk and are ignored by the exact
+      tier.
+
+    The k-NN stats and best-match windows are keyed exchanges of the
+    PAIR relation only, identical in both tiers.
 
     Returns (a_id, b_id, cosine, margin).
     """
-    a = side_a.select(
-        F.col(id_col).alias("a_id"),
-        F.col(vec_col).alias("av"),
-        norm(F.col(vec_col)).alias("an"),
-    )
-    b = F.broadcast(
-        side_b.select(
-            F.col(id_col).alias("b_id"),
-            F.col(vec_col).alias("bv"),
-            norm(F.col(vec_col)).alias("bn"),
-        )
-    )
-    pairs = a.crossJoin(b).select(
-        "a_id",
-        "b_id",
-        F.round(
-            dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")) * 10000,
-            0,
-        )
-        .cast("bigint")
-        .alias("ci"),
+    pairs = margin_candidate_pairs(
+        side_a,
+        side_b,
+        id_col,
+        vec_col,
+        candidates=candidates,
+        bits=bits,
+        tables=tables,
+        seed=seed,
+        dim=dim,
     )
     wa = Window.partitionBy("a_id").orderBy(F.col("ci").desc(), F.col("b_id"))
     wb = Window.partitionBy("b_id").orderBy(F.col("ci").desc(), F.col("a_id"))

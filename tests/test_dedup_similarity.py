@@ -387,3 +387,31 @@ def test_ivf_accepts_trained_kmeans_quantizer(spark, sf_dir):
         sum(r.cosine for r in brute) / len(brute)
     )
     assert ratio >= 0.8, ratio
+
+
+def test_margin_mine_lsh_tier_equals_exact_at_full_recall(spark, sf_dir):
+    """margin_mine(candidates='seeded_lsh') at full-recall settings
+    (bits=1, tables=32: per-pair miss probability ≈ (θ/π)^32 ≲ 1e-9)
+    returns EXACTLY the broadcast tier's output — same pairs, same
+    lattice cosines, same margins — so the only thing the LSH dial
+    changes at production settings is recall, never scoring."""
+    from m3d_engine_spark.operators.similarity import margin_mine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sa = emb.filter(F.col("vec_id") % 2 == 0).limit(80)
+    sb = emb.filter(F.col("vec_id") % 2 == 1).limit(80)
+
+    def key(rows):
+        return sorted(
+            (r.a_id, r.b_id, r.cosine, r.margin) for r in rows
+        )
+
+    exact = key(margin_mine(sa, sb, "vec_id", "embedding").collect())
+    lsh = key(
+        margin_mine(
+            sa, sb, "vec_id", "embedding",
+            candidates="seeded_lsh", bits=1, tables=32, dim=64,
+        ).collect()
+    )
+    assert len(exact) > 0
+    assert lsh == exact

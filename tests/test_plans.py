@@ -1363,6 +1363,33 @@ def test_bitext_mine_candidate_checkpoint(spark, sf_dir):
     assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
 
 
+def test_margin_mine_lsh_tier_has_no_cross_join(spark, sf_dir):
+    """margin_candidate_pairs(candidates='seeded_lsh') — the exact
+    relation margin_mine checkpoints — must contain no nested-loop /
+    cartesian node: pairs come from the banded (table, bucket)
+    equi-join and the vectors hash-join back. The broadcast tier, by
+    contrast, IS the (broadcast-bounded) nested-loop — pinned too so a
+    silent tier mixup fails loudly."""
+    from pyspark.sql import functions as F
+
+    from m3d_engine_spark.operators.similarity import margin_candidate_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sa = emb.filter(F.col("vec_id") % 2 == 0)
+    sb = emb.filter(F.col("vec_id") % 2 == 1)
+    lsh = _plan_simple(
+        margin_candidate_pairs(
+            sa, sb, "vec_id", "embedding", candidates="seeded_lsh", dim=64
+        )
+    )
+    assert "NestedLoop" not in lsh and "Cartesian" not in lsh, lsh
+    assert "ArrowEvalPython" in lsh, lsh  # the one matmul per side
+    exact = _plan_simple(
+        margin_candidate_pairs(sa, sb, "vec_id", "embedding")
+    )
+    assert "BroadcastNestedLoopJoin" in exact, exact
+
+
 def test_customer_analytics_shapes(spark, sf_dir):
     """Customer-analytics batch pins: the fact table pays exactly ONE
     keyed exchange in each entry; every window runs over rollup-sized

@@ -2,12 +2,16 @@
 
 Pins: (1) pq_topk / ivfpq_search must not ADC-score -1 sentinel codes
 from degenerate vectors (ANSI INVALID_ARRAY_INDEX for subspace 0,
-silent wrong-table reads otherwise); (2) the query-id self-exclusion in
-the PQ retrieval APIs is now an opt-out flag — with a separate query
-table, exclude_self=False keeps the overlapping-id corpus row as a
-legitimate neighbor; (3) the 'text' file format validates its
-one-STRING-column constraint eagerly instead of failing opaquely at
-read/write time.
+silent wrong-table reads otherwise) — since round 8 the guard is a
+lazy CASE inside the scoring projection (a Filter was predicate-pushed
+through the encode projection, re-inlining the argmin per pair:
+measured 1.4× at sf0.1), so degenerate rows rank LAST at +Infinity in
+pq_topk and are dropped by the cell equi-join in ivfpq_search; (2) the
+query-id self-exclusion in the PQ retrieval APIs is now an opt-out
+flag — with a separate query table, exclude_self=False keeps the
+overlapping-id corpus row as a legitimate neighbor; (3) the 'text'
+file format validates its one-STRING-column constraint eagerly instead
+of failing opaquely at read/write time.
 """
 
 import math
@@ -48,17 +52,29 @@ def pq_world(spark):
     return corpus, codebook, codes
 
 
-def test_pq_topk_skips_sentinel_codes(spark, pq_world):
+def test_pq_topk_sentinel_codes_rank_last(spark, pq_world):
     corpus, codebook, codes = pq_world
     assert codes.filter("id = 99").first()["codes"] == [-1, -1]
     queries = corpus.filter("id <= 2")
-    out = pq_topk(
+    # wide topk (> healthy corpus): the degenerate row surfaces, but
+    # LAST, at +Infinity — and no ANSI element_at crash reaching it
+    wide = pq_topk(
         codes.select("id", "codes"), queries, "id", "emb", codebook,
         dim=8, m=2, k=4, topk=25,
-    )
-    ids = {r["id"] for r in out.collect()}
-    assert 99 not in ids  # non-candidate, and no ANSI crash reaching it
-    assert ids  # the healthy corpus is still scored
+    ).collect()
+    assert wide
+    for qid in {r["query_id"] for r in wide}:
+        rows = sorted((r for r in wide if r["query_id"] == qid),
+                      key=lambda r: r["rank"])
+        assert rows[-1]["id"] == 99
+        assert rows[-1]["adc_dist"] == float("inf")
+        assert all(r["adc_dist"] < float("inf") for r in rows[:-1])
+    # normal topk (< healthy corpus): the degenerate row never surfaces
+    tight = pq_topk(
+        codes.select("id", "codes"), queries, "id", "emb", codebook,
+        dim=8, m=2, k=4, topk=5,
+    ).collect()
+    assert tight and all(r["id"] != 99 for r in tight)
 
 
 def test_pq_topk_exclude_self_flag(spark, pq_world):
