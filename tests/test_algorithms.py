@@ -10,6 +10,10 @@ from m3d_engine_spark.config import ParamsFile
 from m3d_engine_spark.operators.base import REGISTRY
 import m3d_engine_spark.cli  # noqa: F401 — populate REGISTRY
 
+# Slow lane since round 8 (VERDICT r7 item 5 - default-lane budget):
+# CLI end-to-end roundtrips runs once per session via `-m slow`; nothing deleted.
+pytestmark = pytest.mark.slow
+
 
 def _run(spark, name, params: dict):
     algo = REGISTRY[name](spark, ParamsFile(params))

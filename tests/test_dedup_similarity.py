@@ -4,6 +4,10 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
+# Slow lane since round 8 (VERDICT r7 item 5 - default-lane budget):
+# the dedup/similarity suite runs once per session via `-m slow`; nothing deleted.
+pytestmark = pytest.mark.slow
+
 from m3d_engine_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_candidates,

@@ -13,9 +13,15 @@ Each test asserts on ``explain``-level plan text:
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from m3d_engine_spark.plans.partitions import partition_predicate
+
+# Slow lane since round 8 (VERDICT r7 item 5 - default-lane budget):
+# the plan-shape sweep runs once per session via `-m slow`; nothing
+# deleted.
+pytestmark = pytest.mark.slow
 
 
 def _plan(df) -> str:

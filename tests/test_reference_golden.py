@@ -22,9 +22,15 @@ from m3d_engine_spark.operators.full_load import FullLoad
 
 REF = "/root/reference/src/test/resources/com/adidas/analytics/feature/loads/FullLoadTestRes"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference fixtures not present"
-)
+# Slow lane since round 8 (VERDICT r7 item 5 — default-lane budget):
+# golden replication runs once per session via `-m slow`; per-commit
+# parity for SQL-expressible ops stays on the oracle gate.
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(REF), reason="reference fixtures not present"
+    ),
+]
 
 
 def _schema(path: str) -> StructType:

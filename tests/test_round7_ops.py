@@ -5,7 +5,13 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
+
+# Slow lane since round 8 (VERDICT r7 item 5 - default-lane budget):
+# the round-7 operator suite runs once per session via `-m slow`;
+# nothing deleted.
+pytestmark = pytest.mark.slow
 
 from m3d_engine_spark.operators.dedup import lsh_calibration, ngram_novelty
 from m3d_engine_spark.operators.graph import hits

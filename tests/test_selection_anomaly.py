@@ -6,6 +6,10 @@ import datetime
 import pytest
 from pyspark.sql import functions as F
 
+# Slow lane since round 8 (VERDICT r7 item 5 - default-lane budget):
+# the selection/anomaly suite runs once per session via `-m slow`; nothing deleted.
+pytestmark = pytest.mark.slow
+
 from m3d_engine_spark.operators.anomaly import rolling_zscore_flags
 from m3d_engine_spark.operators.normalize import robust_scale
 from m3d_engine_spark.operators.selection import (

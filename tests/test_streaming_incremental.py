@@ -5,6 +5,10 @@ from __future__ import annotations
 
 import pytest
 
+# Slow lane since round 8 (VERDICT r7 item 5 - default-lane budget):
+# streaming==batch equivalence runs once per session via `-m slow`; nothing deleted.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from m3d_engine_spark.operators.incremental import incremental_dedup
