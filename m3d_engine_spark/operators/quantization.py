@@ -611,7 +611,14 @@ def ivfpq_search(
         .crossJoin(cells_df)
         .select(
             F.col(id_col),
-            F.expr(cell_expr).alias("cell"),
+            # coalesce with a non-null literal makes the column
+            # NON-NULLABLE to Catalyst: without it the probe equi-join
+            # derives isnotnull(cell), pushdown substitutes the whole
+            # cell-argmin into that predicate, and the re-inlined
+            # expression fuses into the cells BNLJ — the assignment
+            # evaluated twice per corpus row (the pq_topk pushdown
+            # hazard, BASELINE.md round-8). -1 never matches a probe.
+            F.coalesce(F.expr(cell_expr), F.lit(-1)).alias("cell"),
             F.col("codes"),
         )
     )

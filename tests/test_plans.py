@@ -1448,3 +1448,48 @@ def test_melt_and_spine_shapes(spark, sf_dir):
     assert "Generate explode" in ds_final, ds_final
     assert "BroadcastHashJoin" in ds_final, ds_final
     assert "CartesianProduct" not in ds_final, ds_final
+
+
+def test_no_registry_entry_reinlines_expensive_exprs_into_predicates(
+    spark, sf_dir
+):
+    """The round-8 pushdown-hazard sweep, made permanent: Catalyst
+    substitutes aliases through Projects when pushing predicates, at
+    ANY expression cost — a Filter (or a derived equi-join null check)
+    over an expensive projection column re-evaluates it per row, and
+    when the predicate fuses into a BroadcastNestedLoopJoin condition,
+    per PAIR. That is how pq_topk lost 1.4× in round 7 (the forall
+    guard) and ivfpq_search re-ran its cell argmin per corpus row (the
+    join-derived isnotnull). This walks every registry entry's
+    optimized plan and flags:
+
+    * any nested-loop join whose condition carries heavy lambda
+      machinery (the per-pair catastrophe), and
+    * any Filter stuffed with >6 lambda nodes (a re-inlined fold).
+
+    Known bounded exception: curation_pipeline's min-length Filter
+    inlines the (lambda-free) tokenize expression — a per-row 2×
+    documented in PLANS.md, not a per-pair blowup, so the lambda
+    heuristic deliberately does not fire on it.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import __spark_entry__ as m
+
+    def offenders(item):
+        name, fn = item
+        plan = _plan_simple(fn(spark, sf_dir))
+        hits = []
+        for raw in plan.split("\n"):
+            line = raw.strip()
+            heavy = line.count("lambdafunction") > 6
+            if "NestedLoopJoin" in line and (heavy or len(line) > 1500):
+                hits.append((name, "bnlj", len(line), line[:140]))
+            elif line.startswith(("Filter", "+- Filter")) and heavy:
+                hits.append((name, "filter", len(line), line[:140]))
+        return hits
+
+    with ThreadPoolExecutor(max_workers=10) as ex:
+        results = list(ex.map(offenders, m.queries().items()))
+    bad = [h for r in results for h in r]
+    assert bad == [], bad
