@@ -8489,9 +8489,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup (never the fact) with custkey tiebreaks so every quintile
     cut is engine-deterministic. The global ntile is a deliberate
     single-partition sort of the ROLLUP (WindowExec warns; fine at
-    |customers| ≪ |orders|) — at 10⁹ customers swap it for the
-    percentile-threshold broadcast join (quantile_normalize's grid
-    discipline) without touching the rollup."""
+    |customers| ≪ |orders|) — at 10⁹ customers swap it for
+    ``normalize.grid_quantile_scores`` (one percentile_approx 1-row
+    aggregate + broadcast threshold join, zero sorts; equals ntile on
+    clean data and groups ties by value — pinned in
+    tests/test_round7_ops.py) without touching the rollup."""
     orders = _t(spark, sf_dir, "orders")
     ref = orders.agg(F.max("o_orderdate").alias("_ref"))
     per_cust = (

@@ -278,3 +278,62 @@ def grouped_ols(
         F.when(guard & (dny.cast("double") != 0.0), F.round(r2, out_dp))
         .alias("r2"),
     )
+
+
+def grid_quantile_scores(
+    df: DataFrame,
+    specs: dict[str, tuple[str, bool]],
+    q: int = 5,
+    accuracy: int = 1_000_000,
+) -> DataFrame:
+    """Quantile scores 1..``q`` per row WITHOUT a global sort — the
+    documented 10⁹-row swap for ``ntile(q)`` windows (rfm_segments'
+    scale caveat): ``specs`` maps each output column to
+    ``(value_col, ascending)``; score 1 is the "best" end (smallest
+    values when ascending, largest when descending — ntile's
+    convention under the matching ORDER BY).
+
+    Topology: ONE 1-row aggregate computes the q−1 boundary values for
+    every spec'd column at once (``percentile_approx``, sketch memory
+    bounded by ``accuracy`` — the recall/cost dial at 10⁹ rows), a
+    broadcast join lands them on the rows, and assignment is a fixed
+    O(q) comparison fold per row. No WindowExec, no single-partition
+    sort, nothing exchanged but the 1-row threshold relation.
+
+    Semantics vs ntile: identical when bucket boundaries fall between
+    distinct values (pinned for the clean divisible case); TIED values
+    always share a bucket here, where ntile splits ties across buckets
+    by its ORDER BY tiebreak — by-value buckets are usually what the
+    business question means ("same spend, same score"), and the
+    divergence is deliberate and pinned.
+    """
+    if q < 2:
+        raise ValueError("q must be >= 2")
+    ps = [i / q for i in range(1, q)]
+    p_arr = "array(" + ", ".join(repr(p) for p in ps) + ")"
+    thr_cols = []
+    for out, (col, asc) in specs.items():
+        pl = p_arr if asc else (
+            "array(" + ", ".join(repr(1 - p) for p in ps) + ")"
+        )
+        thr_cols.append(
+            F.expr(
+                f"percentile_approx({col}, {pl}, {int(accuracy)})"
+            ).alias(f"_thr_{out}")
+        )
+    thresholds = F.broadcast(df.agg(*thr_cols))
+    out_df = df.join(thresholds)
+    score_cols = []
+    for out, (col, asc) in specs.items():
+        # ascending: threshold i is the LAST value of bucket i (rank
+        # ceil(p·n)), so strictly-greater advances the bucket;
+        # descending: threshold i (at percentile 1−p) is the FIRST
+        # value past bucket i, so less-or-equal advances it.
+        cmp_op = ">" if asc else "<="
+        score_cols.append(
+            F.expr(
+                f"1 + aggregate(_thr_{out}, 0, (a, t) -> "
+                f"a + IF({col} {cmp_op} t, 1, 0))"
+            ).cast("int").alias(out)
+        )
+    return out_df.select(*df.columns, *score_cols)

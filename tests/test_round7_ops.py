@@ -1652,3 +1652,111 @@ def test_kaplan_meier_hand_computed(spark, tmp_path):
         1: (2, 1, 0, 0.5),
         2: (1, 1, 0, 0.0),
     }
+
+
+def test_unigram_lm_train_soft_em(spark):
+    """Soft-EM (forward-backward) trainer: promotes the dominant
+    multi-char piece like hard-EM, keeps the alphabet fallback,
+    spreads posterior mass across AMBIGUOUS parses (the thing Viterbi
+    cannot do: with 'abab' both the ab-ab parse and the abab parse
+    carry mass, so 'ab' retains probability even where hard-EM's best
+    parse is the whole word), and retrains bit-identically under
+    repartitioning (the decimal-lattice aggregation pin)."""
+    from m3d_engine_spark.operators.tokenizer import (
+        unigram_lm_train,
+        unigram_lm_train_soft,
+        unigram_segment,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abab abab abab xy"), (2, "abab ab xy xy"), (3, "zq abab")],
+        "doc_id long, text string",
+    )
+    pieces, _ = unigram_lm_train_soft(
+        df, "text", n_iters=2, max_piece_len=4, min_count=2, seed_size=64
+    )
+    scores = {r.piece: r.logp for r in pieces.collect()}
+    assert max(scores, key=scores.get) == "abab"
+    assert {"z", "q", "a", "b"} <= set(scores)
+    # posterior mass keeps 'ab' materially probable: hard-EM gives it
+    # only the one standalone occurrence, soft-EM also credits the
+    # ab-ab parses of every 'abab'
+    hard, _ = unigram_lm_train(
+        df, "text", n_iters=2, max_piece_len=4, min_count=2, seed_size=64
+    )
+    hard_scores = {r.piece: r.logp for r in hard.collect()}
+    assert scores["ab"] > hard_scores["ab"]
+    # the trained scores still drive the shared Viterbi segmenter
+    seg = unigram_segment(df, "doc_id", "text", pieces, max_piece_len=4)
+    out = {(r.doc_id, r.word): list(r.pieces) for r in seg.collect()}
+    assert out[(1, "abab")] == ["abab"]
+    assert out[(3, "zq")] == ["z", "q"]
+    # determinism: identical under repartitioning
+    pieces2, _ = unigram_lm_train_soft(
+        df.repartition(7), "text",
+        n_iters=2, max_piece_len=4, min_count=2, seed_size=64,
+    )
+    assert scores == {r.piece: r.logp for r in pieces2.collect()}
+
+
+def test_fb_expectation_kernel_exact_lattice(spark):
+    """Hand-checkable forward-backward: word 'ab' with P(a)=P(b)=p1,
+    P(ab)=p2 has exactly two parses; expected counts must match the
+    closed form e(ab)=P2/(P1+P2), e(a)=e(b)=P1/(P1+P2) where
+    P1=p1², P2=p2."""
+    import math
+
+    from m3d_engine_spark.operators.tokenizer import _fb_expectation_kernel
+
+    lp = {"a": math.log(0.3), "b": math.log(0.3), "ab": math.log(0.4)}
+    kern = _fb_expectation_kernel(lp, 2, -23.0)
+    got = dict(kern("ab"))
+    p1, p2 = 0.3 * 0.3, 0.4
+    z = p1 + p2
+    assert abs(got["ab"] - p2 / z) < 1e-9
+    assert abs(got["a"] - p1 / z) < 1e-9
+    assert abs(got["b"] - p1 / z) < 1e-9
+
+
+def test_grid_quantile_scores_match_ntile_and_group_ties(spark):
+    """The sort-free ntile swap (rfm_segments' 10⁹-customer path):
+    on clean data (n divisible by q, distinct values) the broadcast
+    threshold-grid scores equal ntile(q) exactly, ascending and
+    descending; tied values always share a bucket (the documented
+    by-value divergence from ntile's tiebreak splitting); the plan has
+    no Window node and exactly one broadcast join."""
+    from pyspark.sql import Window as W
+
+    from m3d_engine_spark.operators.normalize import grid_quantile_scores
+    from tests.conftest import plan_simple
+
+    df = spark.createDataFrame(
+        [(i, float(i * 3 % 101), float(1000 - i * 7 % 97)) for i in range(100)],
+        "id long, x double, y double",
+    ).withColumn("x", F.col("x") + F.col("id") / 1000.0)  # make x distinct
+    df = df.withColumn("y", F.col("y") + F.col("id") / 1000.0)
+    got = grid_quantile_scores(
+        df, {"xq": ("x", True), "yq": ("y", False)}, q=5
+    )
+    wnt = df.select(
+        "id",
+        F.ntile(5).over(W.orderBy(F.col("x").asc(), F.col("id"))).alias("xq"),
+        F.ntile(5).over(W.orderBy(F.col("y").desc(), F.col("id"))).alias("yq"),
+    )
+    a = {r.id: (r.xq, r.yq) for r in got.collect()}
+    b = {r.id: (r.xq, r.yq) for r in wnt.collect()}
+    assert a == b
+    # ties share a bucket
+    tied = spark.createDataFrame(
+        [(i, 1.0 if i < 50 else 2.0) for i in range(100)], "id long, v double"
+    )
+    ts = grid_quantile_scores(tied, {"vq": ("v", True)}, q=5).collect()
+    by_val = {}
+    for r in ts:
+        by_val.setdefault(r.v, set()).add(r.vq)
+    assert all(len(s) == 1 for s in by_val.values()), by_val
+    # plan shape: no Window sort, one broadcast join (pre-AQE section;
+    # the executed AQE plan echoes the node once more)
+    plan = plan_simple(got).split("Initial Plan")[0]
+    assert "Window" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
