@@ -182,13 +182,43 @@ def removal_attribution(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    n_journeys = sum(r.n for r in starts)
-    cnt = {(r.from_state, r.to_state): int(r.n) for r in trans}
-    rowsum = {}
+    rows = solve_removal(
+        [(r.from_state, r.to_state, int(r.n)) for r in trans],
+        [(r.state, int(r.n)) for r in starts],
+        conv_state,
+        k_steps=k_steps,
+        scale=scale,
+    )
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_cvr double, removed_cvr double,"
+        " removal_effect double",
+    )
+
+
+def solve_removal(
+    trans: Sequence[tuple[str, str, int]],
+    starts: Sequence[tuple[str, int]],
+    conv_state: str,
+    k_steps: int = 12,
+    scale: int = 10**12,
+) -> list[tuple]:
+    """The driver-side exact-integer absorption solve shared by the
+    batch operator above and the streaming twin
+    (``streaming.pipeline.removal_attribution_batch``): the censuses
+    are states²-sized metadata; everything stays on the integer
+    lattice (floor division) until the reported doubles, so any two
+    paths that accumulate the SAME censuses report bit-identical
+    attributions — which is exactly what the streaming==batch
+    equivalence test pins."""
+    n_journeys = sum(n for _, n in starts)
+    cnt = {(a, b): int(n) for a, b, n in trans}
+    rowsum: dict[str, int] = {}
     for (a, _), n in cnt.items():
         rowsum[a] = rowsum.get(a, 0) + n
     states = sorted(
-        {s for s, _ in cnt} | {t for _, t in cnt} | {r.state for r in starts}
+        {s for s, _ in cnt} | {t for _, t in cnt} | {s for s, _ in starts}
     )
 
     def absorb(removed: str | None) -> int:
@@ -210,9 +240,9 @@ def removal_attribution(
                 nv[s] = acc // rowsum[s]
             v = nv
         num = sum(
-            int(r.n) * v[r.state]
-            for r in starts
-            if r.state != removed
+            int(n) * v[s]
+            for s, n in starts
+            if s != removed
         )
         return num // n_journeys
 
@@ -228,9 +258,4 @@ def removal_attribution(
             float(rem) / float(scale),
             round(float(base - rem) / float(base), 6) if base else None,
         ))
-    spark = events.sparkSession
-    return spark.createDataFrame(
-        rows,
-        "channel string, base_cvr double, removed_cvr double,"
-        " removal_effect double",
-    )
+    return rows

@@ -1192,3 +1192,192 @@ def streaming_gap_fill(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def removal_attribution_batch(
+    batch: DataFrame,
+    batch_id: int,
+    census_path: str,
+    state_path: str,
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    state_col: str,
+    conv_state: str,
+) -> None:
+    """One micro-batch of streaming Markov removal-effect attribution —
+    the incremental twin of ``operators.markov.removal_attribution``
+    (a foreachBatch body, exposed for direct testing like
+    ``transition_census_batch``, whose carried-state machinery it
+    extends with the journey-truncation flag).
+
+    The distributed work per batch is census-sized: the per-key carried
+    state here is ``(last order, tie, state, conv)`` where ``conv``
+    marks an already-converted journey — such keys drop their entire
+    batch (post-conversion events never count, exactly the batch
+    operator's truncation), unconverted keys prepend their carried last
+    event so the cross-batch transition is counted once, in-batch
+    truncation runs the same cumulative-conversions window, and only
+    keys with NO prior state contribute their first event to the start
+    census. Both census deltas (transition pairs, starts) and the state
+    rewrite overwrite their own ``batch_id`` partition — idempotent
+    under replay.
+
+    The attribution itself is NOT computed per batch: censuses are
+    additive, so ``read_removal_attribution`` sums the deltas and runs
+    the shared exact-integer solve (``markov.solve_removal``) whenever
+    asked; because both paths feed identical censuses into an
+    integer-lattice solve, streaming == batch is bit-exact (pinned).
+    """
+    from pyspark.sql import Window
+
+    spark = batch.sparkSession
+    ev = batch.select(
+        F.col(key_col), F.col(order_col), F.col(tie_col),
+        F.col(state_col), F.lit(0).alias("_carried"),
+    )
+    carried = None
+    try:
+        carried = (
+            spark.read.parquet(state_path)
+            .filter(F.col("batch_id") < batch_id)
+            .groupBy(key_col)
+            .agg(
+                F.max_by(
+                    F.struct(order_col, tie_col, state_col, "conv"),
+                    F.struct(order_col, tie_col),
+                ).alias("_s")
+            )
+            .select(key_col, "_s.*")
+        )
+    except AnalysisException:
+        pass  # first batch only: no state path yet (see census batch)
+    if carried is not None:
+        done = carried.filter(F.col("conv") == 1).select(key_col)
+        ev = ev.join(done, on=key_col, how="left_anti")
+        live = (
+            carried.filter(F.col("conv") == 0)
+            .select(
+                key_col, order_col, tie_col, state_col,
+                F.lit(1).alias("_carried"),
+            )
+        )
+        seq = ev.unionByName(live)
+        known = carried.select(key_col, F.lit(1).alias("_known"))
+    else:
+        seq = ev
+        known = None
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col), F.col(tie_col))
+    conv_before = F.coalesce(
+        F.sum((F.col(state_col) == conv_state).cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    kept = (
+        seq.withColumn("_cb", conv_before)
+        .filter(F.col("_cb") == 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_to", F.lead(state_col).over(w))
+    )
+    trans = (
+        kept.filter(F.col("_to").isNotNull())
+        .groupBy(
+            F.col(state_col).alias("from_state"),
+            F.col("_to").alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    trans.write.mode("overwrite").parquet(
+        f"{census_path}/trans/batch_id={batch_id}"
+    )
+    first = kept.filter(F.col("_rn") == 1)
+    if known is not None:
+        first = first.join(known, on=key_col, how="left_anti")
+    starts = first.groupBy(F.col(state_col).alias("state")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    starts.write.mode("overwrite").parquet(
+        f"{census_path}/starts/batch_id={batch_id}"
+    )
+    new_state = (
+        kept.filter(F.col("_carried") == 0)
+        .groupBy(key_col)
+        .agg(
+            F.max_by(
+                F.struct(order_col, tie_col, state_col),
+                F.struct(order_col, tie_col),
+            ).alias("_s")
+        )
+        .select(key_col, "_s.*")
+        .withColumn(
+            "conv", (F.col(state_col) == conv_state).cast("int")
+        )
+    )
+    new_state.write.mode("overwrite").parquet(
+        f"{state_path}/batch_id={batch_id}"
+    )
+
+
+def streaming_removal_attribution(
+    events: DataFrame,
+    census_path: str,
+    state_path: str,
+    checkpoint: str,
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    state_col: str,
+    conv_state: str,
+):
+    """foreachBatch wiring for ``removal_attribution_batch`` (same
+    availableNow/trigger contract as ``streaming_transition_census``)."""
+    return (
+        events.writeStream.foreachBatch(
+            lambda b, i: removal_attribution_batch(
+                b, i, census_path, state_path,
+                key_col, order_col, tie_col, state_col, conv_state,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_removal_attribution(
+    spark: SparkSession,
+    census_path: str,
+    conv_state: str,
+    k_steps: int = 12,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Sum the accumulated per-batch census deltas (additive by
+    construction) and run the shared exact-integer absorption solve.
+    The collected relations are states²-sized metadata."""
+    from m3d_engine_spark.operators.markov import solve_removal
+
+    trans = (
+        spark.read.parquet(f"{census_path}/trans")
+        .groupBy("from_state", "to_state")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .collect()
+    )
+    starts = (
+        spark.read.parquet(f"{census_path}/starts")
+        .groupBy("state")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .collect()
+    )
+    rows = solve_removal(
+        [(r.from_state, r.to_state, int(r.n)) for r in trans],
+        [(r.state, int(r.n)) for r in starts],
+        conv_state,
+        k_steps=k_steps,
+        scale=scale,
+    )
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_cvr double, removed_cvr double,"
+        " removal_effect double",
+    )

@@ -318,3 +318,75 @@ def test_streaming_agg_maintenance_with_retractions(spark, tmp_path):
     again = {r.k: (r.sum_value, r.n) for r in
              read_maintained_agg(spark, deltas, ["k"]).collect()}
     assert again == got
+
+
+def test_streaming_removal_attribution_equals_batch(spark, tmp_path):
+    """Streaming Markov removal-effect attribution over time-chunked
+    files must fold to EXACTLY the batch operator — journeys that
+    convert in an early batch contribute no later transitions, the
+    cross-batch carried event closes the pair the per-batch window
+    would miss, starts count each key once, and the shared
+    integer-lattice solve makes the equality bit-exact. Replaying the
+    last batch changes nothing (idempotent overwrite-by-batch)."""
+    from m3d_engine_spark.operators.markov import removal_attribution
+    from m3d_engine_spark.streaming.pipeline import (
+        read_removal_attribution,
+        removal_attribution_batch,
+        streaming_removal_attribution,
+    )
+
+    landing = str(tmp_path / "ra_landing")
+    census = str(tmp_path / "ra_census")
+    state = str(tmp_path / "ra_state")
+    ckpt = str(tmp_path / "ra_ckpt")
+
+    rows = []
+    eid = 0
+    # user journeys with conversions at varying depths; 'buy' converts
+    paths = [
+        ["ad", "email", "buy", "ad", "email"],   # converts batch 1
+        ["email", "ad", "ad", "buy", "email"],   # converts batch 2
+        ["ad", "ad", "email", "ad", "ad"],       # never converts
+        ["email", "buy", "email", "buy", "ad"],  # converts batch 0
+        ["ad", "email", "ad", "email", "buy"],   # converts batch 2
+        ["buy", "ad", "ad", "email", "email"],   # converts at start
+    ]
+    for u, p in enumerate(paths):
+        for t, s in enumerate(p):
+            rows.append((u, t, eid, s))
+            eid += 1
+    schema = "u long, t long, eid long, s string"
+    full = spark.createDataFrame(rows, schema)
+    for lo, hi in [(0, 2), (2, 4), (4, 5)]:
+        full.filter((F.col("t") >= lo) & (F.col("t") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+        q = streaming_removal_attribution(
+            spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(landing),
+            census, state, ckpt, "u", "t", "eid", "s", "buy",
+        )
+        assert q.awaitTermination(180)
+
+    got = {
+        r.channel: (r.base_cvr, r.removed_cvr, r.removal_effect)
+        for r in read_removal_attribution(spark, census, "buy").collect()
+    }
+    want = {
+        r.channel: (r.base_cvr, r.removed_cvr, r.removal_effect)
+        for r in removal_attribution(
+            full, ["u"], "t", "s", "buy", tie_cols=["eid"]
+        ).collect()
+    }
+    assert got == want and got
+    # replay the final batch directly: overwrite-by-batch idempotency
+    last = full.filter((F.col("t") >= 4) & (F.col("t") < 5))
+    removal_attribution_batch(
+        last, 2, census, state, "u", "t", "eid", "s", "buy"
+    )
+    again = {
+        r.channel: (r.base_cvr, r.removed_cvr, r.removal_effect)
+        for r in read_removal_attribution(spark, census, "buy").collect()
+    }
+    assert again == want
