@@ -90,8 +90,18 @@ def ndcg_at_k(
             ).alias("_idcg_l"),
         )
     )
+    # Universe of queries BEFORE the rel>0 / rank<=k filters: a query
+    # whose truth rows are all rel=0 (and which the run missed) must
+    # still emit its n_rel=0 row — the full join of the filtered CTEs
+    # alone can't see it.
+    qs = (
+        run.select(F.col(query_col).alias("_q"))
+        .union(truth.select(F.col(query_col).alias("_q")))
+        .distinct()
+    )
     return (
-        ideal.join(dcg, on="_q", how="full")
+        qs.join(ideal, on="_q", how="left")
+        .join(dcg, on="_q", how="left")
         .select(
             F.col("_q").alias(query_col),
             F.coalesce(F.col("n_rel"), F.lit(0).cast("int")).alias("n_rel"),

@@ -309,6 +309,17 @@ def grid_quantile_scores(
     """
     if q < 2:
         raise ValueError("q must be >= 2")
+    clash = [out for out in specs if out in df.columns]
+    if clash:
+        raise ValueError(
+            f"grid_quantile_scores output names collide with input "
+            f"columns: {clash}; pick fresh output names"
+        )
+    # Threshold column names must not clobber user data (the bloom_probe
+    # convention): derive a prefix no existing column starts with.
+    pre = "_thr"
+    while any(c.startswith(pre) for c in df.columns):
+        pre += "x"
     ps = [i / q for i in range(1, q)]
     p_arr = "array(" + ", ".join(repr(p) for p in ps) + ")"
     thr_cols = []
@@ -316,10 +327,11 @@ def grid_quantile_scores(
         pl = p_arr if asc else (
             "array(" + ", ".join(repr(1 - p) for p in ps) + ")"
         )
+        vq = "`" + col.replace("`", "``") + "`"
         thr_cols.append(
             F.expr(
-                f"percentile_approx({col}, {pl}, {int(accuracy)})"
-            ).alias(f"_thr_{out}")
+                f"percentile_approx({vq}, {pl}, {int(accuracy)})"
+            ).alias(f"{pre}_{out}")
         )
     thresholds = F.broadcast(df.agg(*thr_cols))
     out_df = df.join(thresholds)
@@ -330,10 +342,12 @@ def grid_quantile_scores(
         # descending: threshold i (at percentile 1−p) is the FIRST
         # value past bucket i, so less-or-equal advances it.
         cmp_op = ">" if asc else "<="
+        vq = "`" + col.replace("`", "``") + "`"
+        tq = "`" + f"{pre}_{out}".replace("`", "``") + "`"
         score_cols.append(
             F.expr(
-                f"1 + aggregate(_thr_{out}, 0, (a, t) -> "
-                f"a + IF({col} {cmp_op} t, 1, 0))"
+                f"1 + aggregate({tq}, 0, (a, t) -> "
+                f"a + IF({vq} {cmp_op} t, 1, 0))"
             ).cast("int").alias(out)
         )
     return out_df.select(*df.columns, *score_cols)

@@ -33,6 +33,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _vec_base(df: DataFrame, vec_col: str) -> DataFrame:
+    """Non-null vectors cast to double — the corpus both moment
+    passes scan."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+
+
+def _pair_products(base: DataFrame) -> DataFrame:
+    """Upper-triangle second moments: one row per dim pair (i <= j)
+    with the exact decimal-summed ``Σ x_i·x_j`` (as double). Two
+    chained generators, one map-side-combinable aggregate — the
+    exchange is ≤ d(d+1)/2 rows per task regardless of N."""
+    e1 = base.select("_v", F.posexplode("_v").alias("i", "_xi"))
+    e2 = e1.select(
+        "i",
+        "_xi",
+        F.posexplode(
+            F.slice(F.col("_v"), F.col("i") + F.lit(1), F.size("_v"))
+        ).alias("_p", "_xj"),
+    ).select(
+        F.col("i"),
+        (F.col("i") + F.col("_p")).alias("j"),
+        (F.col("_xi") * F.col("_xj")).alias("_xy"),
+    )
+    return e2.groupBy("i", "j").agg(
+        F.sum(F.col("_xy").cast("decimal(38,12)")).cast("double").alias("_sxy")
+    )
+
+
+def _dim_sums(base: DataFrame) -> DataFrame:
+    """First moments: d rows of exact decimal-summed ``Σ x_i``."""
+    return (
+        base.select(F.posexplode("_v").alias("i", "_x"))
+        .groupBy("i")
+        .agg(F.sum(F.col("_x").cast("decimal(38,12)")).cast("double").alias("_s"))
+    )
+
+
 def embedding_covariance(
     df: DataFrame, vec_col: str, out_dp: int = 6
 ) -> DataFrame:
@@ -46,29 +84,10 @@ def embedding_covariance(
     each task to ≤ d(d+1)/2 partial rows; per-dim sums ride a d-row
     broadcast join; n is a broadcast 1-row aggregate.
     """
-    v = F.col(vec_col).cast("array<double>")
-    base = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+    base = _vec_base(df, vec_col)
     stats = base.agg(F.count(F.lit(1)).alias("_n"))
-    e1 = base.select("_v", F.posexplode("_v").alias("i", "_xi"))
-    e2 = e1.select(
-        "i",
-        "_xi",
-        F.posexplode(
-            F.slice(F.col("_v"), F.col("i") + F.lit(1), F.size("_v"))
-        ).alias("_p", "_xj"),
-    ).select(
-        F.col("i"),
-        (F.col("i") + F.col("_p")).alias("j"),
-        (F.col("_xi") * F.col("_xj")).alias("_xy"),
-    )
-    sxy = e2.groupBy("i", "j").agg(
-        F.sum(F.col("_xy").cast("decimal(38,12)")).cast("double").alias("_sxy")
-    )
-    sums = (
-        base.select(F.posexplode("_v").alias("i", "_x"))
-        .groupBy("i")
-        .agg(F.sum(F.col("_x").cast("decimal(38,12)")).cast("double").alias("_s"))
-    )
+    sxy = _pair_products(base)
+    sums = _dim_sums(base)
     si = F.broadcast(sums.select(F.col("i").alias("_di"), F.col("_s").alias("_sxi")))
     sj = F.broadcast(sums.select(F.col("i").alias("_dj"), F.col("_s").alias("_sxj")))
     return (
@@ -100,55 +119,52 @@ def pca_project(
 ) -> DataFrame:
     """Project embeddings onto their top-``k`` principal components.
 
-    Covariance via ``embedding_covariance`` (distributed, exact
-    lattice), eigendecomposition of the d×d matrix driver-side
-    (numpy.linalg.eigh — symmetric, deterministic; the k-row-collect
-    discipline), components broadcast as literals, projection a
+    Moments via the shared ``embedding_covariance`` relations — ONE
+    d-row first-moment pass (which also yields the per-dim means the
+    centering needs, no extra corpus scan) and ONE d²/2-row
+    second-moment pass; the covariance matrix is assembled driver-side
+    from those exact decimal sums (the k-row-collect discipline),
+    eigendecomposed with numpy.linalg.eigh (symmetric, deterministic),
+    and the components broadcast back as literals; projection is a
     zero-exchange ``zip_with``+``aggregate`` fold per row (no Python
     in the per-row path). Component sign is normalized (largest-|w|
     coordinate positive) so results don't flip run to run.
 
     Scores are CENTERED: the fold computes ``x·w`` and the constant
-    ``μ·w`` (per-dim means from one d-row aggregate, dotted with each
-    component driver-side) is subtracted before rounding, so the
-    returned coordinates are ``(x−μ)·w`` — what whitening and
-    remove-the-dominant-direction expect. (Uncentered ``x·w`` would be
-    offset by ``μ·w`` per component: harmless for pairwise distances,
-    wrong for everything that treats 0 as the corpus center.)
+    ``μ·w`` (per-dim means dotted with each component driver-side) is
+    subtracted before rounding, so the returned coordinates are
+    ``(x−μ)·w`` — what whitening and remove-the-dominant-direction
+    expect. (Uncentered ``x·w`` would be offset by ``μ·w`` per
+    component: harmless for pairwise distances, wrong for everything
+    that treats 0 as the corpus center.)
 
     Returns ``(id_col, pc)`` where ``pc`` is the length-k projection
     array, each coordinate rounded at ``out_dp``.
     """
     import numpy as np
 
-    cov_rows = embedding_covariance(df, vec_col, out_dp=12).collect()
-    d = max(r.j for r in cov_rows) + 1
-    if not 0 < k <= d:
-        raise ValueError(f"k must be in 1..{d}")
-    mat = np.zeros((d, d))
-    for r in cov_rows:
-        mat[r.i, r.j] = r.cov
-        mat[r.j, r.i] = r.cov
-    # per-dim means: one d-row decimal-summed aggregate (same exactness
-    # discipline as the covariance pass), collected driver-side so the
-    # μ·w offset enters the plan as a literal.
-    v0 = F.col(vec_col).cast("array<double>")
-    mean_rows = (
-        df.select(v0.alias("_v"))
-        .filter(F.col("_v").isNotNull())
-        .select(F.posexplode("_v").alias("_i", "_x"))
-        .groupBy("_i")
-        .agg(
-            (
-                F.sum(F.col("_x").cast("decimal(38,12)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("_m")
-        )
+    base = _vec_base(df, vec_col)
+    sum_rows = (
+        _dim_sums(base)
+        .crossJoin(F.broadcast(base.agg(F.count(F.lit(1)).alias("_n"))))
         .collect()
     )
-    mu = np.zeros(d)
-    for r in mean_rows:
-        mu[r._i] = r._m
+    if not sum_rows:
+        raise ValueError("pca_project: no non-null vectors")
+    n = sum_rows[0]._n
+    d = max(r.i for r in sum_rows) + 1
+    if not 0 < k <= d:
+        raise ValueError(f"k must be in 1..{d}")
+    s = np.zeros(d)
+    for r in sum_rows:
+        s[r.i] = r._s
+    mu = s / n
+    sxy_rows = _pair_products(base).collect()
+    mat = np.zeros((d, d))
+    for r in sxy_rows:
+        cov = (r._sxy - s[r.i] * s[r.j] / n) / n
+        mat[r.i, r.j] = cov
+        mat[r.j, r.i] = cov
     vals, vecs = np.linalg.eigh(mat)  # ascending eigenvalues
     comps = []
     offsets = []

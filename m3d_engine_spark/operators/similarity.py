@@ -229,6 +229,64 @@ def ivf_topk(
     return _ranked_topk(scored, "query_id", "neighbor_id", k)
 
 
+def _probe_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector width from one NON-NULL row (array columns carry no
+    length in the schema). 0 when the column is empty/all-NULL —
+    callers fall back to their exact tier. A driver round-trip and a
+    silent uniform-width assumption: prefer passing ``dim``."""
+    first = (
+        df.select(F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())
+        .first()
+    )
+    return len(first[0]) if first else 0
+
+
+def _lsh_candidate_pairs(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    id_col: str,
+    vec_col: str,
+    a_out: str,
+    b_out: str,
+    bits: int,
+    tables: int,
+    seed: int,
+    dim: int,
+    broadcast_b: bool = False,
+) -> DataFrame:
+    """The shared OR-construction candidate stage under
+    ``seeded_ann_topk`` and ``margin_candidate_pairs``: ``tables``
+    independent seeded hyperplane bucketings per vector from ONE
+    Arrow-batched matmul, ``posexplode`` to (table, bucket) rows, and
+    candidate generation as a SINGLE banded equi-join on that
+    composite key, deduped. Returns distinct ``(a_out, b_out)`` id
+    pairs — no cartesian/nested-loop node, no persisted relation."""
+    import numpy as np
+
+    from m3d_engine_spark.functions.ann_kernels import make_bucket_udf
+
+    planes = seeded_hyperplanes(dim, bits * tables, seed)
+    plane_matrix = np.array(planes, dtype=np.float64).T  # dim × (tables*bits)
+    all_buckets = make_bucket_udf(plane_matrix, tables, bits)
+
+    def exploded(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(idc),
+            F.posexplode(all_buckets(F.col(vec_col))).alias("t", "bucket"),
+        )
+
+    eb = exploded(side_b, b_out)
+    if broadcast_b:
+        eb = F.broadcast(eb)
+    return (
+        exploded(side_a, a_out)
+        .join(eb, on=["t", "bucket"])
+        .select(a_out, b_out)
+        .distinct()
+    )
+
+
 def seeded_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -267,33 +325,14 @@ def seeded_ann_topk(
     assumption — prefer passing it).
     """
     if dim is None:
-        first = corpus.select(F.col(vec_col)).first()
-        dim = len(first[0]) if first else 0
+        dim = _probe_dim(corpus, vec_col)
     if dim == 0:
         return brute_force_topk(corpus, queries, id_col, vec_col, k)
     # Table t uses planes [t*bits, (t+1)*bits).
-    planes = seeded_hyperplanes(dim, bits * tables, seed)
-
-    import numpy as np
-
-    from m3d_engine_spark.functions.ann_kernels import make_bucket_udf
-
-    plane_matrix = np.array(planes, dtype=np.float64).T  # dim × (tables*bits)
-    all_buckets = make_bucket_udf(plane_matrix, tables, bits)
-
-    def exploded(df: DataFrame, idc: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(idc),
-            F.posexplode(all_buckets(F.col(vec_col))).alias("t", "bucket"),
-        )
-
-    cands = (
-        exploded(corpus, "neighbor_id")
-        .join(F.broadcast(exploded(queries, "query_id")), on=["t", "bucket"])
-        .select("query_id", "neighbor_id")
-        .distinct()
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-    )
+    cands = _lsh_candidate_pairs(
+        corpus, queries, id_col, vec_col, "neighbor_id", "query_id",
+        bits, tables, seed, dim, broadcast_b=True,
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
     c_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -637,30 +676,11 @@ def margin_candidate_pairs(
     )
     if candidates == "seeded_lsh":
         if dim is None:
-            first = side_a.select(F.col(vec_col)).first()
-            dim = len(first[0]) if first else 0
+            dim = _probe_dim(side_a, vec_col)
         if dim > 0:
-            import numpy as np
-
-            from m3d_engine_spark.functions.ann_kernels import make_bucket_udf
-
-            planes = seeded_hyperplanes(dim, bits * tables, seed)
-            plane_matrix = np.array(planes, dtype=np.float64).T
-            all_buckets = make_bucket_udf(plane_matrix, tables, bits)
-
-            def exploded(df: DataFrame, idc: str) -> DataFrame:
-                return df.select(
-                    F.col(id_col).alias(idc),
-                    F.posexplode(all_buckets(F.col(vec_col))).alias(
-                        "t", "bucket"
-                    ),
-                )
-
-            cand = (
-                exploded(side_a, "a_id")
-                .join(exploded(side_b, "b_id"), on=["t", "bucket"])
-                .select("a_id", "b_id")
-                .distinct()
+            cand = _lsh_candidate_pairs(
+                side_a, side_b, id_col, vec_col, "a_id", "b_id",
+                bits, tables, seed, dim,
             )
             return (
                 cand.join(a, on="a_id")

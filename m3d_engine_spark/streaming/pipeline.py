@@ -1228,6 +1228,17 @@ def removal_attribution_batch(
     the shared exact-integer solve (``markov.solve_removal``) whenever
     asked; because both paths feed identical censuses into an
     integer-lattice solve, streaming == batch is bit-exact (pinned).
+
+    Like ``transition_census_batch``, this assumes the stream is
+    time-ordered per key ACROSS batches (the file-stream contract) —
+    and the converted-key truncation makes the dependence strict: a
+    late event arriving after its key's conversion was recorded is
+    dropped by the ``done`` anti-join even if its order precedes the
+    conversion, where the batch operator would have counted it.
+    Restoring bit-exactness under arbitrary out-of-order arrival would
+    require carrying full journeys (not census-sized state); late data
+    needs the watermarked ``session_rollup`` machinery instead — same
+    documented trade-off as the census twin.
     """
     from pyspark.sql import Window
 

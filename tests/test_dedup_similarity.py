@@ -402,8 +402,10 @@ def test_margin_mine_lsh_tier_equals_exact_at_full_recall(spark, sf_dir):
     from m3d_engine_spark.operators.similarity import margin_mine
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    sa = emb.filter(F.col("vec_id") % 2 == 0).limit(80)
-    sb = emb.filter(F.col("vec_id") % 2 == 1).limit(80)
+    # deterministic subsets: limit() without an ordering can pick a
+    # different 80 rows on each of the two collects below
+    sa = emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 160))
+    sb = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 160))
 
     def key(rows):
         return sorted(

@@ -1426,6 +1426,18 @@ def test_ndcg_and_recall_hand_cases(spark):
     assert ro[3].n_rel == 0 and ro[3].dcg == 0.0
     assert ro[3].idcg is None and ro[3].ndcg is None
 
+    # a truth-only query whose truth rows are ALL rel=0 must also emit
+    # its n_rel=0 row — the rel>0 filter alone would drop it from both
+    # CTEs, so the query universe is taken before any filtering
+    truth_z = spark.createDataFrame(
+        [(1, 10, 1), (9, 90, 0)], "q long, d long, rel long"
+    )
+    tz = {r.q: r for r in
+          ndcg_at_k(perfect, truth_z, "q", "d", "rank", "rel", k=10).collect()}
+    assert set(tz) == {1, 2, 9}
+    assert tz[9].n_rel == 0 and tz[9].dcg == 0.0
+    assert tz[9].idcg is None and tz[9].ndcg is None
+
     rec = {r.q: r for r in
            recall_at_k(late, perfect, "q", "d", "rank", k=2).collect()}
     assert rec[2].recall == 1.0   # found the one exact neighbor
@@ -1760,3 +1772,16 @@ def test_grid_quantile_scores_match_ntile_and_group_ties(spark):
     plan = plan_simple(got).split("Initial Plan")[0]
     assert "Window" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    # collision safety: user columns starting with the temp prefix
+    # survive, value columns needing backticks parse, and an output
+    # name shadowing an input column is rejected loudly
+    awk = tied.withColumnRenamed("v", "order total").withColumn(
+        "_thr_vq", F.lit(7)
+    )
+    rs = grid_quantile_scores(awk, {"vq": ("order total", True)}, q=5)
+    assert set(rs.columns) == {"id", "order total", "_thr_vq", "vq"}
+    assert all(r["_thr_vq"] == 7 for r in rs.collect())
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="collide"):
+        grid_quantile_scores(tied, {"v": ("v", True)}, q=5)
