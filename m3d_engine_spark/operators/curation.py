@@ -39,6 +39,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from m3d_engine_spark.functions.idents import qident
+
 
 def keep_bound(rate: Column) -> Column:
     """8-hex-digit keep bound for ``hash_mixture``: lowercase hex of
@@ -126,7 +128,7 @@ def percentile_filter(
     ``quantile_cont`` contract price_quantiles pins). Output = input +
     ``cut`` (the group's threshold)."""
     cuts = df.groupBy(*group_cols).agg(
-        F.expr(f"percentile({score_col}, {float(p)})").alias("cut")
+        F.expr(f"percentile({qident(score_col)}, {float(p)})").alias("cut")
     )
     return (
         df.join(F.broadcast(cuts), on=list(group_cols))

@@ -29,6 +29,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from m3d_engine_spark.functions.idents import qident
+
 
 def group_zscore(
     df: DataFrame,
@@ -87,10 +89,11 @@ def robust_scale(
     ``percentile`` is the bound; swap in approx_percentile there and
     keep the topology."""
     group_cols = list(group_cols)
+    vq = qident(value_col)
     cuts = df.groupBy(*group_cols).agg(
-        F.expr(f"percentile({value_col}, 0.25)").alias("_q1"),
-        F.expr(f"percentile({value_col}, 0.5)").alias("_med"),
-        F.expr(f"percentile({value_col}, 0.75)").alias("_q3"),
+        F.expr(f"percentile({vq}, 0.25)").alias("_q1"),
+        F.expr(f"percentile({vq}, 0.5)").alias("_med"),
+        F.expr(f"percentile({vq}, 0.75)").alias("_q3"),
     )
     joined = df.join(F.broadcast(cuts), on=group_cols)
     iqr = F.col("_q3") - F.col("_q1")
@@ -189,7 +192,9 @@ def quantile_normalize(
     pcts = ", ".join(str(i / grid) for i in range(grid + 1))
     grid_rel = F.broadcast(
         ref.agg(
-            F.expr(f"percentile({value_col}, array({pcts}))").alias("_grid")
+            F.expr(
+                f"percentile({qident(value_col)}, array({pcts}))"
+            ).alias("_grid")
         )
     )
     w_rank = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
@@ -327,7 +332,7 @@ def grid_quantile_scores(
         pl = p_arr if asc else (
             "array(" + ", ".join(repr(1 - p) for p in ps) + ")"
         )
-        vq = "`" + col.replace("`", "``") + "`"
+        vq = qident(col)
         thr_cols.append(
             F.expr(
                 f"percentile_approx({vq}, {pl}, {int(accuracy)})"
@@ -342,8 +347,8 @@ def grid_quantile_scores(
         # descending: threshold i (at percentile 1−p) is the FIRST
         # value past bucket i, so less-or-equal advances it.
         cmp_op = ">" if asc else "<="
-        vq = "`" + col.replace("`", "``") + "`"
-        tq = "`" + f"{pre}_{out}".replace("`", "``") + "`"
+        vq = qident(col)
+        tq = qident(f"{pre}_{out}")
         score_cols.append(
             F.expr(
                 f"1 + aggregate({tq}, 0, (a, t) -> "

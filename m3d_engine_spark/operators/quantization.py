@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from m3d_engine_spark.functions.idents import qident
+
 
 def sq8_bounds(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """ONE-row relation (mns, mxs): per-dimension min/max as two
@@ -500,8 +502,8 @@ def sq8_reconstruction_error(
     dec = (
         "element_at(mns, i) + (element_at({c}, i) + 0.5D) * "
         "(element_at(mxs, i) - element_at(mns, i)) / 255.0D"
-    ).format(c=codes_col)
-    diff = f"(CAST(element_at({vec_col}, i) AS DOUBLE) - ({dec}))"
+    ).format(c=qident(codes_col))
+    diff = f"(CAST(element_at({qident(vec_col)}, i) AS DOUBLE) - ({dec}))"
     err = (
         f"round(sqrt(aggregate(sequence(1, {int(dim)}), 0.0D, "
         f"(acc, i) -> acc + {diff} * {diff})), 4)"
@@ -509,7 +511,9 @@ def sq8_reconstruction_error(
     return encoded.select(
         F.col(id_col),
         F.element_at(F.col(codes_col), 1).alias("code0"),
-        F.expr(f"aggregate({codes_col}, 0L, (acc, c) -> acc + c)").alias(
+        F.expr(
+            f"aggregate({qident(codes_col)}, 0L, (acc, c) -> acc + c)"
+        ).alias(
             "code_sum"
         ),
         F.expr(err).alias("recon_err"),

@@ -483,3 +483,29 @@ def test_streaming_gap_fill_matches_batch(spark, tmp_path):
     }
     assert got == want and len(want) == 60
     assert sum(1 for t in want if t[5] == 1) > 0, "must interpolate"
+
+
+def test_awkward_column_names_survive_sql_string_operators(spark):
+    """Operators that interpolate a user column name into a SQL
+    expression string (percentile, higher-order aggregate) must
+    backtick-quote it: a name with a space or hyphen would otherwise
+    fail to parse — or silently parse as arithmetic (`a-b`)."""
+    from m3d_engine_spark.operators.curation import percentile_filter
+
+    rows = [("a", v) for v in [1, 2, 3, 4, 5]]
+    df = (
+        spark.createDataFrame(rows, "g string, x int")
+        .withColumnRenamed("x", "order total")
+        .withColumn("a", F.lit(100))
+        .withColumn("b", F.lit(1))
+        .withColumnRenamed("a", "a-b")  # keep plain a, b absent
+        .drop("b")
+    )
+    out = {
+        r["order total"]: r.r
+        for r in robust_scale(df, ["g"], "order total").collect()
+    }
+    assert out[5] == 1.0 and out[3] == 0.0
+
+    kept = percentile_filter(df, ["g"], "order total", p=0.5)
+    assert sorted(r["order total"] for r in kept.collect()) == [3, 4, 5]
