@@ -130,10 +130,17 @@ def _unescape_hive_partition_value(v: str) -> str | None:
 
 def list_table_partitions(spark: SparkSession, table: str) -> list[list[tuple[str, str | None]]]:
     """SHOW PARTITIONS → criteria lists with UNESCAPED values (NULL
-    partitions come back as None). Empty for unpartitioned tables."""
+    partitions come back as None). Empty for unpartitioned tables.
+
+    Only AnalysisException (SHOW PARTITIONS on an unpartitioned table)
+    maps to []; transient metastore/storage errors propagate — callers
+    like per-partition ANALYZE must fail loudly rather than silently
+    treat the table as partitionless (the streaming state-read rule)."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.sql(f"SHOW PARTITIONS {table}").collect()
-    except Exception:
+    except AnalysisException:
         return []
     out = []
     for row in rows:
