@@ -310,7 +310,15 @@ def grid_quantile_scores(
     always share a bucket here, where ntile splits ties across buckets
     by its ORDER BY tiebreak — by-value buckets are usually what the
     business question means ("same spend, same score"), and the
-    divergence is deliberate and pinned.
+    divergence is deliberate and pinned. NULLs follow ntile's ordering
+    convention explicitly: bucket 1 ascending (NULLS FIRST), bucket
+    ``q`` descending (NULLS LAST) — missing data must never score as
+    the best quantile of a descending metric. NaN agrees with ntile
+    for free (Spark's SQL total order puts NaN above every value in
+    both the sort and the ``>``/``<=`` folds). NULL rows do not count
+    toward the percentile boundaries (percentile_approx skips them),
+    where ntile's equal-size buckets would include them — part of the
+    same by-value approximation as the tie handling.
     """
     if q < 2:
         raise ValueError("q must be >= 2")
@@ -347,12 +355,14 @@ def grid_quantile_scores(
         # descending: threshold i (at percentile 1−p) is the FIRST
         # value past bucket i, so less-or-equal advances it.
         cmp_op = ">" if asc else "<="
+        null_score = 1 if asc else q
         vq = qident(col)
         tq = qident(f"{pre}_{out}")
         score_cols.append(
             F.expr(
-                f"1 + aggregate({tq}, 0, (a, t) -> "
-                f"a + IF({vq} {cmp_op} t, 1, 0))"
+                f"CASE WHEN {vq} IS NULL THEN {null_score} "
+                f"ELSE 1 + aggregate({tq}, 0, (a, t) -> "
+                f"a + IF({vq} {cmp_op} t, 1, 0)) END"
             ).cast("int").alias(out)
         )
     return out_df.select(*df.columns, *score_cols)

@@ -83,7 +83,7 @@ def sq8_encode(
         f"transform(sequence(1, {int(dim)}), i -> CASE "
         f"WHEN element_at(mxs, i) <= element_at(mns, i) THEN 0 "
         f"ELSE least(greatest(CAST(floor("
-        f"(CAST(element_at({vec_col}, i) AS DOUBLE) - element_at(mns, i)) * 255.0D "
+        f"(CAST(element_at({qident(vec_col)}, i) AS DOUBLE) - element_at(mns, i)) * 255.0D "
         f"/ (element_at(mxs, i) - element_at(mns, i))) AS INT), 0), 255) END)"
     )
     return df.crossJoin(b).withColumn(codes_col, F.expr(code))
@@ -181,7 +181,7 @@ def pq_codebook_trained(
     ]
     subs = F.expr(
         f"transform(sequence(0, {m - 1}), j -> "
-        f"slice(CAST({vec_col} AS array<double>), j * {w} + 1, {w}))"
+        f"slice(CAST({qident(vec_col)} AS array<double>), j * {w} + 1, {w}))"
     )
     rows = df.select(F.posexplode(subs).alias("j", "sv"))
     d2 = (
@@ -258,9 +258,9 @@ def pq_encode(
     )
     d2 = (
         f"aggregate(sequence(1, {w}), 0.0D, (a, t) -> a + "
-        f"(CAST(element_at({vec_col}, j * {w} + t) AS DOUBLE) - "
+        f"(CAST(element_at({qident(vec_col)}, j * {w} + t) AS DOUBLE) - "
         f"element_at(element_at(cents, c + 1), j * {w} + t)) * "
-        f"(CAST(element_at({vec_col}, j * {w} + t) AS DOUBLE) - "
+        f"(CAST(element_at({qident(vec_col)}, j * {w} + t) AS DOUBLE) - "
         f"element_at(element_at(cents, c + 1), j * {w} + t)))"
     )
     # The k distances are materialized ONCE per subspace (bound as the
@@ -608,7 +608,7 @@ def ivfpq_search(
             f"element_at(element_at(cells, c + 1), t)))"
         )
 
-    cell_expr = _argmin_over_k(_cell_d2(vec_col), n_cells)
+    cell_expr = _argmin_over_k(_cell_d2(qident(vec_col)), n_cells)
     codes = (
         pq_encode(corpus, id_col, vec_col, dim=dim, m=m, k=k, codebook=cb)
         .select(F.col(id_col), F.col(vec_col), F.col("codes"))

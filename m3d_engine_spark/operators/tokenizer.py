@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from m3d_engine_spark.functions.idents import qident
+
 from m3d_engine_spark.functions.text import tokens
 
 
@@ -45,8 +47,9 @@ def word_vocabulary(df: DataFrame, text_col: str) -> DataFrame:
 
 def _to_symbols(col):
     """word → array of single-character symbols (codepoint split)."""
+    q = qident(col)
     return F.expr(
-        f"transform(sequence(1, length({col})), i -> substring({col}, i, 1))"
+        f"transform(sequence(1, length({q})), i -> substring({q}, i, 1))"
     )
 
 
@@ -343,7 +346,11 @@ def _fb_expectation_kernel(scores: dict, max_piece_len: int, floor: float):
             e = math.exp(alpha[j] + lp + beta[i] - z)
             if e > 0.0:
                 exp[piece] = exp.get(piece, 0.0) + e
-        return [(p, round(e, 9)) for p, e in sorted(exp.items())]
+        # drop entries the 1e-9 lattice rounds to zero — a (piece, 0.0)
+        # row would register the piece as "used" downstream and defeat
+        # the single-char alphabet floor
+        out = [(p, round(e, 9)) for p, e in sorted(exp.items())]
+        return [(p, r) for p, r in out if r > 0.0]
 
     return expect
 
@@ -412,8 +419,15 @@ def unigram_lm_train_soft(
             .collect()
         )
         used = {r.piece: r.u for r in usage}
+        # single characters always survive (alphabet fallback): floor
+        # their usage at 1.0 — as a MAX, not only an absent-key default,
+        # so a char whose posterior mass decimal-sums to ~0 (every word
+        # containing it dominated by whole-word pieces) cannot be
+        # starved out of the vocabulary by self-reinforcing EM rounds
         floor_u = {
-            p: used.get(p, 1.0 if len(p) == 1 else 0.0) for p in scores
+            p: (max(used.get(p, 0.0), 1.0) if len(p) == 1
+                else used.get(p, 0.0))
+            for p in scores
         }
         tot = float(sum(floor_u.values()))
         kept = {

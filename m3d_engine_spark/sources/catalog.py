@@ -132,16 +132,25 @@ def list_table_partitions(spark: SparkSession, table: str) -> list[list[tuple[st
     """SHOW PARTITIONS → criteria lists with UNESCAPED values (NULL
     partitions come back as None). Empty for unpartitioned tables.
 
-    Only AnalysisException (SHOW PARTITIONS on an unpartitioned table)
-    maps to []; transient metastore/storage errors propagate — callers
-    like per-partition ANALYZE must fail loudly rather than silently
-    treat the table as partitionless (the streaming state-read rule)."""
+    Only the SHOW-PARTITIONS-on-an-unpartitioned-table condition
+    (INVALID_PARTITION_OPERATION.*, probed on Spark 4.1) maps to [];
+    everything else — TABLE_OR_VIEW_NOT_FOUND, transient metastore or
+    storage errors — propagates, so callers like per-partition ANALYZE
+    fail loudly instead of silently treating a missing table as an
+    unpartitioned one (the streaming state-read rule)."""
     from pyspark.errors import AnalysisException
 
     try:
         rows = spark.sql(f"SHOW PARTITIONS {table}").collect()
-    except AnalysisException:
-        return []
+    except AnalysisException as e:
+        cond = (
+            e.getCondition()
+            if hasattr(e, "getCondition")
+            else e.getErrorClass()
+        ) or ""
+        if cond.startswith("INVALID_PARTITION_OPERATION"):
+            return []
+        raise
     out = []
     for row in rows:
         crit = []

@@ -27,6 +27,29 @@ from m3d_engine_spark.functions.dates import with_date_components
 from m3d_engine_spark.functions.text import fingerprint
 
 
+def _read_prior_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Carried-state parquet read for foreachBatch operators. Returns
+    None ONLY when the path does not exist yet (first micro-batch,
+    PATH_NOT_FOUND); every other failure — a corrupt or partially
+    written state dir (UNABLE_TO_INFER_SCHEMA), permissions, transient
+    storage errors — propagates so the micro-batch fails and retries
+    instead of silently computing without prior state and committing
+    wrong output. The try is scoped to the read alone; downstream
+    analysis errors (e.g. a unionByName schema mismatch) are bugs and
+    must surface."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = (
+            e.getCondition()
+            if hasattr(e, "getCondition")
+            else e.getErrorClass()
+        ) or ""
+        if cond == "PATH_NOT_FOUND":
+            return None
+        raise
+
+
 def streaming_append_load(
     spark: SparkSession,
     source_dir: str,
@@ -699,10 +722,10 @@ def transition_census_batch(
     ev = batch.select(
         F.col(key_col), F.col(order_col), F.col(tie_col), F.col(state_col)
     )
-    try:
+    prior = _read_prior_state(spark, state_path)
+    if prior is not None:
         carried = (
-            spark.read.parquet(state_path)
-            .filter(F.col("batch_id") < batch_id)
+            prior.filter(F.col("batch_id") < batch_id)
             .groupBy(key_col)
             .agg(
                 F.max_by(
@@ -713,13 +736,6 @@ def transition_census_batch(
             .select(key_col, "_s.*")
         )
         ev = ev.unionByName(carried)
-    except AnalysisException:
-        # First batch only: the state path does not exist yet. Anything
-        # else (transient storage error, corrupt partition, permissions)
-        # must propagate and fail the micro-batch — silently treating it
-        # as "no prior state" would drop cross-batch transitions and
-        # commit wrong output.
-        pass
     w = Window.partitionBy(key_col).orderBy(F.col(order_col), F.col(tie_col))
     pairs = (
         ev.withColumn("_next", F.lead(state_col).over(w))
@@ -836,10 +852,10 @@ def scd2_batch(
     ev = batch.select(
         F.col(key_col), F.col(order_col), F.col(tie_col), F.col(attr_col)
     )
-    try:
+    prior = _read_prior_state(spark, changes_path)
+    if prior is not None:
         carried = (
-            spark.read.parquet(changes_path)
-            .filter(F.col("batch_id") < batch_id)
+            prior.filter(F.col("batch_id") < batch_id)
             .groupBy(key_col)
             .agg(
                 F.max_by(
@@ -851,10 +867,7 @@ def scd2_batch(
             .withColumn("_carried", F.lit(1))
         )
         ev = ev.withColumn("_carried", F.lit(0)).unionByName(carried)
-    except AnalysisException:
-        # First batch only (missing changes path); genuine read errors
-        # propagate so the micro-batch retries instead of re-emitting
-        # unchanged states as changes.
+    else:
         ev = ev.withColumn("_carried", F.lit(0))
     w = Window.partitionBy(key_col).orderBy(F.col(order_col), F.col(tie_col))
     state = F.struct(F.col(attr_col))
@@ -1247,11 +1260,11 @@ def removal_attribution_batch(
         F.col(key_col), F.col(order_col), F.col(tie_col),
         F.col(state_col), F.lit(0).alias("_carried"),
     )
+    prior = _read_prior_state(spark, state_path)
     carried = None
-    try:
+    if prior is not None:
         carried = (
-            spark.read.parquet(state_path)
-            .filter(F.col("batch_id") < batch_id)
+            prior.filter(F.col("batch_id") < batch_id)
             .groupBy(key_col)
             .agg(
                 F.max_by(
@@ -1261,8 +1274,6 @@ def removal_attribution_batch(
             )
             .select(key_col, "_s.*")
         )
-    except AnalysisException:
-        pass  # first batch only: no state path yet (see census batch)
     if carried is not None:
         done = carried.filter(F.col("conv") == 1).select(key_col)
         ev = ev.join(done, on=key_col, how="left_anti")

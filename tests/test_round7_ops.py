@@ -1785,3 +1785,45 @@ def test_grid_quantile_scores_match_ntile_and_group_ties(spark):
 
     with _pt.raises(ValueError, match="collide"):
         grid_quantile_scores(tied, {"v": ("v", True)}, q=5)
+
+
+def test_grid_quantile_scores_null_rows_follow_ntile_ordering(spark):
+    """NULL metric values must land where ntile's ORDER BY puts them:
+    bucket 1 ascending (NULLS FIRST), bucket q descending (NULLS
+    LAST) — a NULL monetary value must never score as a top quintile
+    in the descending rfm swap."""
+    from m3d_engine_spark.operators.normalize import grid_quantile_scores
+
+    rows = [(i, float(i)) for i in range(100)] + [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {
+        r.id: (r.up, r.down)
+        for r in grid_quantile_scores(
+            df, {"up": ("v", True), "down": ("v", False)}, q=5
+        ).collect()
+    }
+    assert out[100] == (1, 5) and out[101] == (1, 5)
+    # non-null rows unaffected: best descending score goes to the max
+    assert out[99][1] == 1 and out[0][0] == 1
+
+
+def test_unigram_lm_train_soft_alphabet_survives_zero_posterior(spark):
+    """A character whose every occurrence sits inside a word dominated
+    by a whole-word piece gets posterior mass below the 1e-9 rounding
+    lattice; the single-char usage floor must be applied as max(u, 1),
+    not only as an absent-key default, or the char is starved out of
+    the vocabulary and the alphabet-fallback invariant breaks."""
+    from m3d_engine_spark.operators.tokenizer import unigram_lm_train_soft
+
+    # 'cd' appears many times; chars c and d appear ONLY inside it, so
+    # after iteration 1 the whole-word piece dominates and the char
+    # arcs' posteriors underflow the lattice.
+    df = spark.createDataFrame(
+        [(1, "cd cd cd cd cd cd cd cd"), (2, "cd cd cd cd cd cd cd cd")],
+        "doc_id long, text string",
+    )
+    pieces, _ = unigram_lm_train_soft(
+        df, "text", n_iters=3, max_piece_len=2, min_count=2, seed_size=64
+    )
+    got = {r.piece for r in pieces.collect()}
+    assert {"c", "d", "cd"} <= got, got
