@@ -86,3 +86,19 @@ def sign_lsh_bucket(a: Column, n_bits: int = 4) -> Column:
     for i in range(n_bits):
         bucket = bucket + F.when(F.element_at(a, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def stride_sample(df, id_col: str, stride: int):
+    """The deterministic sampled-quantizer source shared by
+    ``similarity.ivf_topk`` and ``dedup.semantic_assignments``: every
+    ``stride``-th row by id. Falls back to the single minimum-id row
+    when the stride filter matches NOTHING (ids 1..N with N < stride,
+    or ids never divisible) — an empty centroid relation would
+    otherwise make the downstream crossJoin produce zero assignments
+    and the whole operator silently return an empty result."""
+    from pyspark.sql import functions as F
+
+    sampled = df.filter((F.col(id_col) % stride) == 0)
+    if sampled.isEmpty():
+        return df.orderBy(F.col(id_col).asc()).limit(1)
+    return sampled

@@ -132,6 +132,70 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) ->
     return F.array(*[mh(j) for j in range(num_hashes)])
 
 
+def _minhash_sig_wide(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int, shingle_n: int,
+) -> DataFrame:
+    """Wide (id, h0..h{n-1}) signature relation — THE production
+    minhash pipeline: explode distinct shingles, compute every md5
+    exactly once, min-aggregate keyed on the id (map-side combinable;
+    the shuffle carries only 32-byte hex values, never documents).
+    Shared by ``lsh_bands`` and ``lsh_calibration`` so the calibration
+    audit measures exactly the LSH production runs."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_array(F.col(text_col), shingle_n))).alias("shingle"),
+    )
+    hashed = exploded.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
+    )
+
+
+def _band_keys(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, band_key) from the wide signature relation:
+    band_key = md5 of the band's joined hashes."""
+    rows = num_hashes // bands
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]))
+                for b in range(bands)
+            ])
+        ).alias("band", "band_key"),
+    )
+
+
+def _banded_candidates(bands_rel: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs colliding in ≥1 band. SMJ-hinted so
+    Catalyst reuses ONE shuffle exchange for both self-join sides (a
+    broadcast plan would evaluate the md5 pipeline twice and flips
+    nondeterministically with size estimates)."""
+    left = bands_rel.alias("l").hint("merge")
+    right = bands_rel.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
 def lsh_bands(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 16, bands: int = 8, shingle_n: int = 3,
@@ -149,30 +213,8 @@ def lsh_bands(
     documents, so at 10⁹ docs the agg is map-side-combinable and small.
     """
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingle_array(F.col(text_col), shingle_n))).alias("shingle"),
-    )
-    hashed = exploded.select(
-        F.col(id_col),
-        *[
-            F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h{j}")
-            for j in range(num_hashes)
-        ],
-    )
-    sig = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
-    )
-    return sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(*[
-                F.md5(F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]))
-                for b in range(bands)
-            ])
-        ).alias("band", "band_key"),
-    )
+    sig = _minhash_sig_wide(df, id_col, text_col, num_hashes, shingle_n)
+    return _band_keys(sig, id_col, num_hashes, bands)
 
 
 def minhash_lsh_candidates(
@@ -185,25 +227,7 @@ def minhash_lsh_candidates(
     shuffle moves only (id, 32-byte key) pairs, never documents.
     """
     b = lsh_bands(df, id_col, text_col, num_hashes, bands, shingle_n)
-    # Self-join on an expensive subtree: hint SMJ so Catalyst reuses one
-    # shuffle exchange for both sides (ReusedExchange). A broadcast plan
-    # would evaluate the whole md5 pipeline twice — once to broadcast,
-    # once to stream — and flips nondeterministically with size
-    # estimates.
-    left = b.alias("l").hint("merge")
-    right = b.alias("r")
-    return (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.band_key") == F.col("r.band_key"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return _banded_candidates(b, id_col)
 
 
 # -------------------------------------------------------------- SimHash
@@ -355,9 +379,14 @@ def ngram_jaccard_pairs(
     cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
     # Size filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose
     # sizes differ by more than the threshold ratio can never qualify —
-    # prune it inside the join before the aggregation shuffle.
-    cond.append(F.col("l.n_sh") >= F.col("r.n_sh") * threshold)
-    cond.append(F.col("r.n_sh") >= F.col("l.n_sh") * threshold)
+    # prune it inside the join before the aggregation shuffle. The
+    # margin is the 4dp half-ulp: the OUTPUT filter compares
+    # round(J, 4) >= threshold, so raw J down to threshold - 5e-5 still
+    # qualifies and the prune must not cut it (|A|=19999 contained in
+    # |B|=100000 at t=0.2 rounds up to exactly 0.2).
+    tm = threshold - 0.00005
+    cond.append(F.col("l.n_sh") >= F.col("r.n_sh") * tm)
+    cond.append(F.col("r.n_sh") >= F.col("l.n_sh") * tm)
     inter = (
         l.join(r, on=cond)
         .groupBy(
@@ -586,22 +615,30 @@ def ngram_jaccard_pairs_prefix(
         F.col(id_col), *[F.col(c) for c in block_cols], F.col("n_sh"),
         F.explode("sh").alias("shingle"),
     )
+    # freq is VOCABULARY-sized (one row per distinct shingle) — never
+    # broadcast it: at the corpus scales this module targets that is a
+    # driver-side collect of billions of rows. The equi-join on shingle
+    # rides the same keyed exchange the groupBy planned (AQE picks the
+    # strategy; exchange reuse pinned in PLANS.md).
     freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
     ranked = (
-        exploded.join(F.broadcast(freq), on="shingle")
+        exploded.join(freq, on="shingle")
         .withColumn(
             "rn",
             F.row_number().over(
                 Window.partitionBy(id_col).orderBy("df_count", "shingle")
             ),
         )
-        # prefix length = n - ceil(t*n) + 1. Round before the ceiling:
-        # float upward error (e.g. 100*0.07 = 7.000000000000001) would
-        # otherwise ceil one too high and silently shorten the prefix,
-        # dropping qualifying pairs.
+        # prefix length = n - ceil(t*n) + 1, with t the HALF-ULP-relaxed
+        # threshold (the verify filter compares round(J,4) >= threshold,
+        # so raw J down to threshold - 5e-5 must survive every prune).
+        # Round before the ceiling: float upward error (e.g. 100*0.07 =
+        # 7.000000000000001) would otherwise ceil one too high and
+        # silently shorten the prefix, dropping qualifying pairs.
         .filter(
             F.col("rn")
-            <= F.col("n_sh") - F.ceil(F.round(F.col("n_sh") * threshold, 9)) + 1
+            <= F.col("n_sh")
+            - F.ceil(F.round(F.col("n_sh") * (threshold - 0.00005), 9)) + 1
         )
         .select(id_col, *block_cols, "n_sh", "shingle")
     )
@@ -609,8 +646,9 @@ def ngram_jaccard_pairs_prefix(
     cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
     cond.append(F.col("l.shingle") == F.col("r.shingle"))
     cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-    cond.append(F.col("l.n_sh") >= F.col("r.n_sh") * threshold)
-    cond.append(F.col("r.n_sh") >= F.col("l.n_sh") * threshold)
+    tm = threshold - 0.00005  # 4dp half-ulp, see ngram_jaccard_pairs
+    cond.append(F.col("l.n_sh") >= F.col("r.n_sh") * tm)
+    cond.append(F.col("r.n_sh") >= F.col("l.n_sh") * tm)
     cands = (
         l.join(r, on=cond)
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
@@ -801,8 +839,10 @@ def semantic_assignments(
             )
         )
     else:
+        from m3d_engine_spark.functions.vectors import stride_sample
+
         cents = F.broadcast(
-            df.filter((F.col(id_col) % centroid_stride) == 0).select(
+            stride_sample(df, id_col, centroid_stride).select(
                 F.col(id_col).alias("cent_id"),
                 F.col(vec_col).alias("centv"),
                 norm(F.col(vec_col)).alias("centn"),
@@ -919,9 +959,11 @@ def remove_repeated_spans(
 
     The gram relation carries 16-byte keys, never gram text beyond the
     hash; document text rides only the first projection and the final
-    rebuild join. Winner election packs (doc, pos) into one integer
-    min — map-side combinable. Returns (id, clean_text, n_tokens,
-    n_removed)."""
+    rebuild join. Winner election is a lexicographic STRUCT min over
+    (doc, pos) — map-side combinable, and free of the integer-packing
+    pitfalls (id*1e6+pos collides past 1e6 token positions, overflows
+    64-bit hash ids under ANSI, and cannot express string ids).
+    Returns (id, clean_text, n_tokens, n_removed)."""
     L = int(span_tokens)
     t = tokens(F.col(text_col))
     base = docs.select(F.col(id_col), t.alias("_tk"))
@@ -935,7 +977,9 @@ def remove_repeated_spans(
     occ = base.select(
         F.col(id_col), F.posexplode(gram_arr).alias("_pos", "_gh")
     )
-    pack = F.col(id_col) * 1_000_000 + F.col("_pos")
+    pack = F.struct(
+        F.col(id_col).alias("_wid"), F.col("_pos").alias("_wpos")
+    )
     rep = (
         occ.groupBy("_gh")
         .agg(F.count(F.lit(1)).alias("_c"), F.min(pack).alias("_win"))
@@ -1053,52 +1097,9 @@ def lsh_calibration(
     Returns (id_a, id_b, est_j, exact_j, abs_err), 4dp.
     """
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(shingle_array(F.col(text_col), shingle_n))
-        ).alias("shingle"),
-    )
-    hashed = exploded.select(
-        F.col(id_col),
-        *[
-            F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h{j}")
-            for j in range(num_hashes)
-        ],
-    )
-    sig = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)]
-    )
-    bands_rel = sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(*[
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                    )
-                )
-                for b in range(bands)
-            ])
-        ).alias("band", "band_key"),
-    )
-    cands = (
-        bands_rel.alias("l")
-        .join(
-            bands_rel.alias("r"),
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.band_key") == F.col("r.band_key"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
+    sig = _minhash_sig_wide(df, id_col, text_col, num_hashes, shingle_n)
+    bands_rel = _band_keys(sig, id_col, num_hashes, bands)
+    cands = _banded_candidates(bands_rel, id_col)
     sig_arr = sig.select(
         F.col(id_col),
         F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"),
@@ -1162,7 +1163,11 @@ def source_overlap(
     (source, shingle-hash) relation, self-equi-join on the 64-bit
     hash with ``source_a < source_b``, pair counts + per-source
     totals via broadcast (sources are few by definition). Shingle
-    text never crosses an exchange.
+    text never crosses an exchange. The distinct relation is consumed
+    THREE times (sizes + both self-join sides), so it is checkpointed
+    once — the explode+hash+distinct pass over the corpus runs exactly
+    once (the semantic_dedup/triangle_count discipline), not per
+    consumer.
     """
     sh = (
         df.select(
@@ -1173,6 +1178,7 @@ def source_overlap(
         )
         .select("_src", F.xxhash64("_s").alias("_h"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col("_src").alias("source_a"), "_h")

@@ -91,7 +91,13 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) with component = min id reachable from ``id``
     (including itself); nodes absent from ``edges`` form singleton
-    components. ``edges`` is treated as undirected."""
+    components. ``edges`` is treated as undirected.
+
+    Edge endpoints absent from ``nodes`` still CONDUCT: labels
+    propagate over the full edge set (endpoints unioned in) and only
+    the output is restricted to ``nodes`` — the same semantics as
+    ``connected_components_star``, so the two stay swap-equivalent
+    when ``nodes`` was pre-filtered but ``edges`` was not (pinned)."""
     sym = (
         _symmetrize(edges, src_col, dst_col)
         # The edge list is re-read EVERY round; left lazy, an expensive
@@ -100,9 +106,13 @@ def connected_components(
         # are checkpointed and carry no lineage into sym.
         .persist()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("a"), F.col(id_col).alias("component")
+    labels = (
+        nodes.select(F.col(id_col).alias("a"))
+        .union(sym.select("a"))  # sym is symmetric: "a" covers both ends
+        .distinct()
+        .select("a", F.col("a").alias("component"))
     )
+    converged = False
     for i in range(max_iterations):
         updated = propagation_round(sym, labels)
         if (i + 1) % checkpoint_every == 0:
@@ -114,12 +124,28 @@ def connected_components(
         changed = updated.filter(F.col("_changed")).limit(1).count()
         labels = updated.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Same contract as connected_components_star: an unconverged
+        # labeling is WRONG (a chain longer than max_iterations hops
+        # would be split into fabricated components), never return it.
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"label-propagation rounds (graph diameter exceeds the "
+            f"budget); raise max_iterations or use "
+            f"connected_components_star (O(log^2 n) rounds on chains)"
+        )
     if checkpoint_every != 1:
         # Cut any remaining lineage through sym before releasing it.
         labels = labels.localCheckpoint(eager=True)
     sym.unpersist()
-    return labels.select(F.col("a").alias(id_col), "component")
+    return (
+        nodes.select(F.col(id_col).alias("a"))
+        .join(labels, on="a")
+        .select(F.col("a").alias(id_col), "component")
+    )
 
 
 def _large_star(down: DataFrame) -> DataFrame:
@@ -528,6 +554,10 @@ def hits(
     values and their 6dp decodes (1.0 = the round's max).
     """
     iterations, scale = int(iterations), int(scale)
+    if iterations < 1:
+        # auths is only defined by the loop body; iterations=0 would
+        # crash opaquely on auths.join below.
+        raise ValueError("hits: iterations must be >= 1")
     e = (
         edges.select(
             F.col(src_col).cast("long").alias("src"),
@@ -761,9 +791,18 @@ def label_spread(
     sym = e0.unionByName(
         e0.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
     ).distinct().localCheckpoint()
-    sd = seeds.select(
-        F.col(node_col).alias("_n"), F.col(label_col).alias("_l")
-    ).localCheckpoint()
+    sd = (
+        seeds.select(
+            F.col(node_col).alias("_n"), F.col(label_col).alias("_l")
+        )
+        # A node seeded with two different labels would tie at _src=0 in
+        # the clamp (partition-order-dependent winner) AND fan out the
+        # final left join — resolve conflicts deterministically to the
+        # smallest label up front.
+        .groupBy("_n")
+        .agg(F.min("_l").alias("_l"))
+        .localCheckpoint()
+    )
     labels = sd  # round 0: only seeds are labeled
     for _ in range(int(rounds)):
         votes = (

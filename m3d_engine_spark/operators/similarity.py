@@ -156,8 +156,10 @@ def ivf_topk(
             )
         )
     else:
+        from m3d_engine_spark.functions.vectors import stride_sample
+
         cents = F.broadcast(
-            corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
+            stride_sample(corpus, id_col, centroid_stride).select(
                 F.col(id_col).alias("cent_id"),
                 F.col(vec_col).alias("centv"),
                 norm(F.col(vec_col)).alias("centn"),

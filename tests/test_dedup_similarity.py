@@ -421,3 +421,21 @@ def test_margin_mine_lsh_tier_equals_exact_at_full_recall(spark, sf_dir):
     )
     assert len(exact) > 0
     assert lsh == exact
+
+
+def test_sampled_quantizer_never_empty(spark):
+    """A corpus whose ids never hit the centroid stride must still get
+    a (single-centroid) quantizer — an empty centroid relation would
+    make semantic_dedup / ivf_topk silently return zero rows."""
+    from m3d_engine_spark.operators.dedup import semantic_dedup
+    from m3d_engine_spark.operators.similarity import ivf_topk
+
+    rows = [(i, [float(i), 1.0]) for i in range(1, 8)]  # ids 1..7
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, "vec_id", "embedding", centroid_stride=125)
+    assert out.count() == 7  # one row per input, not zero
+
+    got = ivf_topk(
+        df, df.limit(2), "vec_id", "embedding", k=2, centroid_stride=125
+    )
+    assert got.count() > 0

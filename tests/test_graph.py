@@ -191,3 +191,33 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
     assert all(out[i] > 0 for i in range(1, 6)), out
     assert out[1] + out[2] > out[4] + out[5], out
     assert out[9] == 0 and out[10] == 0
+
+
+def test_components_edges_through_missing_vertices_conduct(spark):
+    """Both implementations must agree when edges reference vertices
+    absent from nodes (nodes pre-filtered, edges not): the missing
+    vertex CONDUCTS — labels flow through it — and the output is
+    restricted to nodes. Divergence here would make use_star change
+    fuzzy-dedup cluster results."""
+    from m3d_engine_spark.operators.graph import connected_components_star
+
+    nodes = spark.createDataFrame([Row(id=1), Row(id=3)])
+    edges = spark.createDataFrame([Row(src=1, dst=2), Row(src=2, dst=3)])
+    prop = {r.id: r.component for r in
+            connected_components(nodes, edges).collect()}
+    star = {r.id: r.component for r in
+            connected_components_star(nodes, edges).collect()}
+    assert prop == star == {1: 1, 3: 1}
+
+
+def test_components_raise_instead_of_returning_unconverged(spark):
+    """A chain longer than max_iterations hops must raise, never
+    silently return fabricated split components (the star variant's
+    existing contract)."""
+    n = 8
+    nodes = spark.createDataFrame([Row(id=i) for i in range(n)])
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=i + 1) for i in range(n - 1)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iterations=2)
