@@ -8468,14 +8468,28 @@ WITH a AS (
          row_number() OVER (PARTITION BY b_id ORDER BY ci DESC, a_id) AS rb
   FROM pairs
 ), ka AS (
-  SELECT a_id, SUM(ci) AS ska FROM ranked WHERE ra <= 4 GROUP BY a_id
+  SELECT a_id, SUM(ci) AS ska, COUNT(*) AS na
+  FROM ranked WHERE ra <= 4 GROUP BY a_id
 ), kb AS (
-  SELECT b_id, SUM(ci) AS skb FROM ranked WHERE rb <= 4 GROUP BY b_id
+  SELECT b_id, SUM(ci) AS skb, COUNT(*) AS nb
+  FROM ranked WHERE rb <= 4 GROUP BY b_id
 )
+-- margin = 2*ci*na*nb / (ska*nb + skb*na): denominators divide by the
+-- ACTUAL neighborhood sizes, and the integer cut is sign-aware (the
+-- Spark twin's contract; identical to the fixed-2k form when every id
+-- has a full k-neighborhood of positive cosines, as here)
 SELECT r.a_id, r.b_id, CAST(ci AS DOUBLE) / 10000 AS cosine,
-       round(CAST(ci AS DOUBLE) * 8 / CAST(ska + skb AS DOUBLE), 6) AS margin
+       CASE WHEN ska * nb + skb * na != 0
+            THEN round(CAST(ci * 2 * na * nb AS DOUBLE)
+                       / CAST(ska * nb + skb * na AS DOUBLE), 6)
+       END AS margin
 FROM ranked r JOIN ka USING (a_id) JOIN kb USING (b_id)
-WHERE ra = 1 AND ci * 400 > (ska + skb) * 51
+WHERE ra = 1 AND (
+  CASE WHEN ska * nb + skb * na > 0
+       THEN ci * 2 * na * nb * 50 > (ska * nb + skb * na) * 51
+       WHEN ska * nb + skb * na < 0
+       THEN ci * 2 * na * nb * 50 < (ska * nb + skb * na) * 51
+       ELSE ci * 2 * na * nb > 0 END)
 """
 
 

@@ -25,7 +25,13 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+    """L2 norm — NULL (via nullif) for the all-zero vector, so every
+    downstream cosine ``dot/(n1*n2)`` yields NULL instead of an ANSI
+    DIVIDE_BY_ZERO crash (or, ANSI off, a NaN that sorts FIRST in
+    descending similarity order and poisons every top-k). NULL cosines
+    sort last under ``desc`` — a zero-norm embedding degrades to
+    "similar to nothing", never to "rank-1 neighbor of everything"."""
+    return F.nullif(F.sqrt(dot(a, a)), F.lit(0.0))
 
 
 def cosine(a: Column, b: Column) -> Column:

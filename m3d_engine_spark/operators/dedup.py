@@ -861,9 +861,16 @@ def semantic_assignments(
         .withColumn("_sim", sim_to_cent)
         .groupBy(id_col)
         .agg(
-            F.max_by(
+            # min_by over (-cosine, cent_id): highest cosine wins,
+            # ties to the lowest cent_id; negating the score (always
+            # numeric) instead of the id keeps string/trained cluster
+            # ids legal; NULL cosine (zero-norm) sorts worst.
+            F.min_by(
                 "cent_id",
-                F.struct(F.col("_sim").alias("s"), (-F.col("cent_id")).alias("nc")),
+                F.struct(
+                    F.coalesce(-F.col("_sim"), F.lit(2.0)).alias("s"),
+                    F.col("cent_id").alias("c"),
+                ),
             ).alias("cluster"),
             F.first("v").alias("v"),
             F.first("nrm").alias("nrm"),

@@ -79,12 +79,17 @@ def sq8_encode(
     against a frozen quantizer (the production path — train once at
     index build, apply forever)."""
     b = F.broadcast(bounds if bounds is not None else sq8_bounds(df, vec_col, dim))
+    # Degenerate rows (NULL vector, fewer than dim values) encode to
+    # the -1 sentinel array instead of an ANSI INVALID_ARRAY_INDEX
+    # crash on element_at — the pq_topk contract, applied uniformly.
     code = (
+        f"CASE WHEN size({qident(vec_col)}) >= {int(dim)} THEN "
         f"transform(sequence(1, {int(dim)}), i -> CASE "
         f"WHEN element_at(mxs, i) <= element_at(mns, i) THEN 0 "
         f"ELSE least(greatest(CAST(floor("
         f"(CAST(element_at({qident(vec_col)}, i) AS DOUBLE) - element_at(mns, i)) * 255.0D "
-        f"/ (element_at(mxs, i) - element_at(mns, i))) AS INT), 0), 255) END)"
+        f"/ (element_at(mxs, i) - element_at(mns, i))) AS INT), 0), 255) END) "
+        f"ELSE array_repeat(-1, {int(dim)}) END"
     )
     return df.crossJoin(b).withColumn(codes_col, F.expr(code))
 
@@ -141,6 +146,12 @@ def pq_codebook(
     (1-based array access); ``pq_codebook_trained`` is the drop-in
     upgrade — the encode topology below does not change."""
     seeds = _md5_seed_rows(df, id_col, vec_col, k)
+    n = seeds.count()  # k-sized relation; the check is model-sized work
+    if n < k:
+        raise ValueError(
+            f"pq_codebook: k={k} exceeds the corpus row count {n} — "
+            f"the encode argmin would probe missing centroids; lower k"
+        )
     return seeds.agg(
         F.array_sort(F.collect_list(F.struct("_o", "_id", "_v"))).alias("_s")
     ).select(F.expr("transform(_s, s -> s._v)").alias("cents"))
@@ -175,6 +186,11 @@ def pq_codebook_trained(
     w = dim // m
     spark = df.sparkSession
     seeds = _md5_seed_rows(df, id_col, vec_col, k).collect()
+    if len(seeds) < k:
+        raise ValueError(
+            f"pq_codebook_trained: k={k} exceeds the corpus row count "
+            f"{len(seeds)}; lower k"
+        )
     # cents[j][c] = subvector j of seed c
     cents = [
         [list(r["_v"][j * w : (j + 1) * w]) for r in seeds] for j in range(m)
@@ -183,7 +199,13 @@ def pq_codebook_trained(
         f"transform(sequence(0, {m - 1}), j -> "
         f"slice(CAST({qident(vec_col)} AS array<double>), j * {w} + 1, {w}))"
     )
-    rows = df.select(F.posexplode(subs).alias("j", "sv"))
+    # training reads only full-width vectors: a short/NULL vector's
+    # sliced subvectors would OOB the distance fold under ANSI (the
+    # encode path handles degenerates with the -1 sentinel; training
+    # simply excludes them from the means)
+    rows = df.filter(
+        F.expr(f"size({qident(vec_col)}) >= {dim}")
+    ).select(F.posexplode(subs).alias("j", "sv"))
     d2 = (
         f"aggregate(sequence(1, {w}), 0.0D, (a, t) -> a + "
         f"(element_at(sv, t) - element_at(element_at(element_at(cb, j + 1), c + 1), t)) * "
@@ -268,9 +290,15 @@ def pq_encode(
     # same Catalyst re-inlining dodge gopher_quality uses), then a
     # cheap O(k) argmin folds over them; inlining the w-term distance
     # fold into the CASE would evaluate it twice per centroid.
+    # Degenerate rows (NULL vector, fewer than dim values) take the -1
+    # sentinel codes and a NULL pq_err instead of an ANSI
+    # INVALID_ARRAY_INDEX crash inside the distance fold.
     asn = (
+        f"CASE WHEN size({qident(vec_col)}) >= {dim} THEN "
         f"transform(sequence(0, {m - 1}), j -> "
-        f"{_argmin_struct_over_k(d2, k)})"
+        f"{_argmin_struct_over_k(d2, k)}) "
+        f"ELSE transform(sequence(0, {m - 1}), j -> "
+        f"named_struct('bc', -1, 'bd', CAST(NULL AS DOUBLE))) END"
     )
     return (
         df.crossJoin(cb)
@@ -282,7 +310,10 @@ def pq_encode(
                 "round(sqrt(aggregate(_asn, 0.0D, (a, s) -> a + s.bd)), 4)"
             ).alias("pq_err"),
         )
-        .drop("_asn")
+        # the broadcast codebook column must not ride out on every row
+        # (k x dim doubles per row if the caller materializes the
+        # encode output); the docstring promises codes + pq_err only
+        .drop("_asn", "cents")
     )
 
 

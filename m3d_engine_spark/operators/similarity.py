@@ -31,10 +31,13 @@ from m3d_engine_spark.functions.vectors import (
 )
 
 
-def _ranked_topk(
-    pairs: DataFrame, query_id: str, corpus_id: str, k: int
-) -> DataFrame:
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Top-``k`` of the scored pair relation, which by family
+    convention carries (query_id, neighbor_id, cosine). NULL cosines
+    (zero-norm vectors) sort LAST under desc — never rank-1."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -68,7 +71,7 @@ def brute_force_topk(
         "neighbor_id",
         F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
     )
-    return _ranked_topk(pairs, "query_id", "neighbor_id", k)
+    return _ranked_topk(pairs, k)
 
 
 def bucketed_ann_topk(
@@ -104,7 +107,7 @@ def bucketed_ann_topk(
             F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
         )
     )
-    return _ranked_topk(pairs, "query_id", "neighbor_id", k)
+    return _ranked_topk(pairs, k)
 
 
 def ivf_topk(
@@ -178,16 +181,21 @@ def ivf_topk(
             .withColumn("_sim", sim)
         )
         if keep == 1:
-            # Argmax as max_by over a totally-ordered struct: highest
-            # rounded cosine wins, ties to the LOWEST cent_id (hence the
-            # negation — struct comparison is lexicographic max). Same
-            # total order as the window below, but map-side combinable.
+            # Argmax as min_by over a totally-ordered struct: the
+            # NEGATED rounded cosine ascends (so highest cosine wins),
+            # ties to the LOWEST cent_id — negating the always-numeric
+            # score instead of the id keeps string centroid ids legal
+            # (the docstring invites any (cent_id, centv) relation).
+            # NULL cosine (zero-norm vector or centroid) coalesces to
+            # +2.0 — worse than any real negated cosine — matching the
+            # window path's NULLS-LAST descending order. Map-side
+            # combinable like the max_by form.
             return scored.groupBy(idc).agg(
-                F.max_by(
+                F.min_by(
                     "cent_id",
                     F.struct(
-                        F.col("_sim").alias("s"),
-                        (-F.col("cent_id")).alias("nc"),
+                        F.coalesce(-F.col("_sim"), F.lit(2.0)).alias("s"),
+                        F.col("cent_id").alias("c"),
                     ),
                 ).alias("cluster")
             )
@@ -228,7 +236,7 @@ def ivf_topk(
             ).alias("cosine"),
         )
     )
-    return _ranked_topk(scored, "query_id", "neighbor_id", k)
+    return _ranked_topk(scored, k)
 
 
 def _probe_dim(df: DataFrame, vec_col: str) -> int:
@@ -273,7 +281,9 @@ def _lsh_candidate_pairs(
     all_buckets = make_bucket_udf(plane_matrix, tables, bits)
 
     def exploded(df: DataFrame, idc: str) -> DataFrame:
-        return df.select(
+        # NULL vectors never bucket (and would crash the Arrow matmul
+        # kernel's np.array(...) batch construction)
+        return df.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias(idc),
             F.posexplode(all_buckets(F.col(vec_col))).alias("t", "bucket"),
         )
@@ -354,7 +364,7 @@ def seeded_ann_topk(
             F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
         )
     )
-    return _ranked_topk(scored, "query_id", "neighbor_id", k)
+    return _ranked_topk(scored, k)
 
 
 def projected_rerank_topk(
@@ -400,7 +410,8 @@ def projected_rerank_topk(
     # than scored: NaN coarse scores sort FIRST under Spark's
     # descending order and would displace real candidates.
     red_c = (
-        corpus.select(
+        corpus.filter(F.col(vec_col).isNotNull())  # NULLs crash the kernel
+        .select(
             F.col(id_col).alias("neighbor_id"),
             project(F.col(vec_col)).alias("rv"),
         )
@@ -408,7 +419,8 @@ def projected_rerank_topk(
         .filter(F.col("rn") > 0)
     )
     red_q = F.broadcast(
-        queries.select(
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
             F.col(id_col).alias("query_id"),
             project(F.col(vec_col)).alias("qv"),
         )
@@ -457,7 +469,7 @@ def projected_rerank_topk(
             ).alias("cosine"),
         )
     )
-    return _ranked_topk(pairs, "query_id", "neighbor_id", k)
+    return _ranked_topk(pairs, k)
 
 
 def hard_negative_topk(
@@ -505,7 +517,7 @@ def hard_negative_topk(
             ).alias("cosine"),
         )
     )
-    return _ranked_topk(pairs, "query_id", "neighbor_id", k)
+    return _ranked_topk(pairs, k)
 
 
 def mmr_diversify(
@@ -716,9 +728,15 @@ def margin_mine(
     lattice (the 4dp-rounding premise the whole similarity family
     uses), so both k-NN denominators are EXACT integer sums — no
     order-dependent double accumulation — and the margin cut is
-    decided as the exact integer comparison
-    ``ci·2·knn·ratio[1] > (skA+skB)·ratio[0]``; doubles appear only
-    in the reported columns.
+    decided as an exact integer comparison. The denominators divide by
+    the ACTUAL neighborhood sizes nA, nB (≤ knn): margin =
+    2·ci·nA·nB / (skA·nB + skB·nA), so a sparse LSH neighborhood never
+    understates the denominator and inflates margins. The integer cut
+    is SIGN-AWARE (multiplying an inequality by a negative denominator
+    flips it; anti-aligned neighborhoods make skA+skB < 0 legal):
+    s > 0 accepts on p·ratio[1] > s·ratio[0], s < 0 on the flipped
+    comparison, s = 0 on p > 0 (margin → +∞); doubles appear only in
+    the reported columns, and the reported margin is NULL at s = 0.
 
     The pair tier is selected by ``candidates``:
 
@@ -767,31 +785,40 @@ def margin_mine(
     ka = (
         ranked.filter(F.col("_ra") <= knn)
         .groupBy("a_id")
-        .agg(F.sum("ci").alias("_ska"))
+        .agg(F.sum("ci").alias("_ska"), F.count(F.lit(1)).alias("_na"))
     )
     kb = (
         ranked.filter(F.col("_rb") <= knn)
         .groupBy("b_id")
-        .agg(F.sum("ci").alias("_skb"))
+        .agg(F.sum("ci").alias("_skb"), F.count(F.lit(1)).alias("_nb"))
     )
+    if candidates == "broadcast":
+        # kb is one row per distinct b_id — bounded by the broadcast
+        # tier's premise (side B is the corpus-sized side). In the
+        # seeded_lsh tier BOTH sides are web-scale: kb must shuffle,
+        # never collect to the driver.
+        kb = F.broadcast(kb)
     best = ranked.filter(F.col("_ra") == 1)
     num, den = ratio
+    # margin = ci / (½·(skA/nA + skB/nB)) = p/s on the exact lattice
+    p = F.col("ci") * 2 * F.col("_na") * F.col("_nb")
+    sden = F.col("_ska") * F.col("_nb") + F.col("_skb") * F.col("_na")
+    accept = (
+        F.when(sden > 0, p * den > sden * num)
+        .when(sden < 0, p * den < sden * num)
+        .otherwise(p > 0)
+    )
     return (
         best.join(ka, "a_id")
-        .join(F.broadcast(kb), "b_id")
-        .filter(
-            F.col("ci") * (2 * knn * den)
-            > (F.col("_ska") + F.col("_skb")) * num
-        )
+        .join(kb, "b_id")
+        .filter(accept)
         .select(
             "a_id",
             "b_id",
             (F.col("ci").cast("double") / 10000).alias("cosine"),
-            F.round(
-                F.col("ci").cast("double")
-                * (2 * knn)
-                / (F.col("_ska") + F.col("_skb")).cast("double"),
-                6,
+            F.when(
+                sden != 0,
+                F.round(p.cast("double") / sden.cast("double"), 6),
             ).alias("margin"),
         )
     )

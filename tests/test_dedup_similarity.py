@@ -439,3 +439,92 @@ def test_sampled_quantizer_never_empty(spark):
         df, df.limit(2), "vec_id", "embedding", k=2, centroid_stride=125
     )
     assert got.count() > 0
+
+
+def test_degenerate_embeddings_degrade_never_crash(spark):
+    """The session's ANSI-on default made several documented
+    degrade-gracefully paths hard crashes: zero-norm vectors
+    (DIVIDE_BY_ZERO in every cosine), NULL vectors (Arrow kernel batch
+    construction), short vectors (element_at OOB in the PQ/SQ encode
+    folds). Each must degrade: NULL cosine sorts last, NULL vectors
+    never bucket, degenerate rows take the -1 sentinel codes."""
+    from m3d_engine_spark.operators.quantization import pq_encode, sq8_encode
+    from m3d_engine_spark.operators.similarity import (
+        brute_force_topk,
+        seeded_ann_topk,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),   # zero norm
+        (4, None),                   # NULL vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bf = brute_force_topk(df, df.filter("vec_id = 1"), "vec_id", "embedding", k=3)
+    got = {r.neighbor_id: r.rank for r in bf.collect()}
+    assert got[2] == 1                      # the real neighbor ranks first
+    assert got[3] > 1 and got.get(4, 9) > 1  # degenerates never rank-1
+
+    ann = seeded_ann_topk(df, df.filter("vec_id = 1"), "vec_id",
+                          "embedding", k=2, dim=4)
+    assert all(r.neighbor_id != 4 for r in ann.collect())
+
+    short = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    pq = {r.vec_id: r.codes for r in
+          pq_encode(short, "vec_id", "embedding", dim=4, m=2, k=1).collect()}
+    assert pq[2] == [-1, -1] and pq[3] == [-1, -1]
+    assert all(c >= 0 for c in pq[1])
+    sq = {r.vec_id: r.codes for r in
+          sq8_encode(short, "embedding", dim=4).collect()}
+    assert sq[2] == [-1, -1, -1, -1] and all(c >= 0 for c in sq[1])
+
+
+def test_pq_codebook_rejects_k_above_corpus_and_string_centroids_work(spark):
+    """k larger than the corpus must raise loudly (the encode argmin
+    would probe missing centroids); trained/string centroid ids are
+    legal in the ivf argmax (the tie-break negates the score, not the
+    id)."""
+    import pytest as _pt
+
+    from m3d_engine_spark.operators.quantization import pq_codebook
+    from m3d_engine_spark.operators.similarity import ivf_topk
+
+    small = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pt.raises(ValueError, match="exceeds the corpus"):
+        pq_codebook(small, "vec_id", "embedding", k=8)
+
+    cents = spark.createDataFrame(
+        [("x", [1.0, 0.0]), ("y", [0.0, 1.0])],
+        "cent_id string, centv array<double>",
+    )
+    out = ivf_topk(small, small.limit(1), "vec_id", "embedding",
+                   k=2, centroids=cents, n_probe=2)
+    assert out.count() >= 0  # plans + executes with string cent ids
+
+
+def test_margin_mine_sign_aware_cut(spark):
+    """skA+skB can be negative (anti-aligned neighborhoods); the
+    integer cut must flip the comparison instead of silently inverting
+    accept/reject, and a positive-margin pair must survive."""
+    from m3d_engine_spark.operators.similarity import margin_mine
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    b = spark.createDataFrame(
+        [(10, [0.6, -0.8]), (11, [-0.6, -0.8]), (12, [-1.0, 0.0]),
+         (13, [-0.8, 0.6])],
+        "vec_id long, embedding array<double>",
+    )
+    out = margin_mine(a, b, "vec_id", "embedding", knn=2, ratio=(51, 50))
+    rows = out.collect()
+    # best match is b=10 (cos 0.6); neighborhood sums are negative on
+    # the A side, so the naive unsigned cut rejected this pair
+    assert len(rows) == 1 and rows[0].b_id == 10 and rows[0].cosine == 0.6
