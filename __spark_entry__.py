@@ -2634,8 +2634,14 @@ _SQL_DOC_CHUNK = f"""
 WITH toks AS (
   SELECT doc_id, {_SQL_TOKS} AS t FROM documents
 ), starts AS (
+  -- suffix filter mirrors chunk_documents: with stride < chunk a start
+  -- whose PREVIOUS window already reached the document end would emit
+  -- a pure-suffix duplicate chunk; keep start 1 and starts with
+  -- s - stride + chunk - 1 < len(t)  (stride 30, chunk 40)
   SELECT doc_id, t,
-         CASE WHEN len(t) > 0 THEN range(1, len(t) + 1, 30)
+         CASE WHEN len(t) > 0 THEN
+           list_filter(range(1, len(t) + 1, 30),
+                       s -> s = 1 OR s - 30 + 39 < len(t))
               ELSE CAST([] AS BIGINT[]) END AS ss
   FROM toks
 )

@@ -27,6 +27,15 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
 
 
+def md5_uint32(col: Column) -> Column:
+    """First 8 hex digits of md5 as an exact integer in [0, 2^32) —
+    THE deterministic engine-portable hash-to-integer idiom behind the
+    hash-split / weighted-sample / DSIR-bucket family (DuckDB twin:
+    ``CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)``). One definition
+    so the portability contract lives in one place."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization; empty string → empty array."""
     trimmed = F.trim(text)

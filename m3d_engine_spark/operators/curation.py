@@ -42,12 +42,33 @@ from pyspark.sql import functions as F
 from m3d_engine_spark.functions.idents import qident
 
 
+def nullsafe_stat_join(df: DataFrame, stats: DataFrame, keys) -> DataFrame:
+    """Join per-group statistics back onto the rows with NULL-SAFE key
+    equality. groupBy treats NULL as a real group and computes its
+    stats, but a plain ``on=keys`` equi-join never matches NULL==NULL —
+    every NULL-keyed row silently vanishes from the output (corpus
+    loss, not an error). The stats side arrives renamed so the output
+    keeps exactly the input's key columns."""
+    keys = list(keys)
+    st = stats
+    for k in keys:
+        st = st.withColumnRenamed(k, f"_gk_{k}")
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(st[f"_gk_{k}"])
+        cond = c if cond is None else (cond & c)
+    return df.join(F.broadcast(st), on=cond).drop(*[f"_gk_{k}" for k in keys])
+
+
 def keep_bound(rate: Column) -> Column:
     """8-hex-digit keep bound for ``hash_mixture``: lowercase hex of
     floor(rate · 2³²), clamped to ffffffff (rate ≥ 1 keeps everything
     via the explicit short-circuit, not the bound)."""
     n = F.floor(rate * F.lit(float(1 << 32))).cast("bigint")
-    n = F.least(n, F.lit((1 << 32) - 1))
+    # clamp BOTH ends: a negative rate must keep nothing — unclamped,
+    # conv() renders two's-complement hex ('ffffffffffffff85') and the
+    # 8-char lpad truncation turns it into the keep-everything bound
+    n = F.greatest(F.least(n, F.lit((1 << 32) - 1)), F.lit(0))
     return F.lower(F.lpad(F.conv(n.cast("string"), 10, 16), 8, "0"))
 
 
@@ -130,9 +151,8 @@ def percentile_filter(
     cuts = df.groupBy(*group_cols).agg(
         F.expr(f"percentile({qident(score_col)}, {float(p)})").alias("cut")
     )
-    return (
-        df.join(F.broadcast(cuts), on=list(group_cols))
-        .filter(F.col(score_col) >= F.col("cut"))
+    return nullsafe_stat_join(df, cuts, group_cols).filter(
+        F.col(score_col) >= F.col("cut")
     )
 
 
@@ -211,6 +231,28 @@ def unigram_logprob(
     )
 
 
+def _bigram_transitions(docs: DataFrame, id_col: str, text_col: str):
+    """(toks, bg): the tokenized relation and the guarded zip_with
+    transition explode to (doc, w1, w2) rows (the short-doc-safe form
+    from collocations.py) — shared by ``bigram_logprob`` and
+    ``interpolated_logprob`` so the slice guard and struct field names
+    have exactly one definition."""
+    from m3d_engine_spark.functions.text import tokens
+
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    bg = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " slice(t, 2, greatest(size(t) - 1, 0)),"
+                " (x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("b"),
+    ).select(F.col(id_col), "b.w1", "b.w2")
+    return toks, bg
+
+
 def bigram_logprob(
     docs: DataFrame,
     id_col: str,
@@ -235,19 +277,7 @@ def bigram_logprob(
     (vocabulary-sized → broadcast when they fit), V is a broadcast
     1-row aggregate. 4dp rounding absorbs summation-order ulps.
     """
-    from m3d_engine_spark.functions.text import tokens
-
-    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
-    bg = toks.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
-                " slice(t, 2, greatest(size(t) - 1, 0)),"
-                " (x, y) -> struct(x AS w1, y AS w2))"
-            )
-        ).alias("b"),
-    ).select(F.col(id_col), "b.w1", "b.w2")
+    toks, bg = _bigram_transitions(docs, id_col, text_col)
     pair_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ctx_counts = pair_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = F.broadcast(
@@ -298,9 +328,17 @@ def dedup_paragraphs(
     requires (id, pos) to match), at ~n²/2⁶⁴ odds — the standard
     engineering trade, documented here.
     """
+    # F.split takes a Java REGEX: quote the separator so a metachar
+    # sep ('|', '.', '+') splits literally — unquoted, '|' alternation
+    # matches the empty string and shreds documents character-wise
+    # while the array_join rebuild below inserts LITERAL separators.
+    import re as _re
+
     pl = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("pos", "para"),
     ).withColumn("ph", F.xxhash64("para"))
     winners = pl.groupBy("ph").agg(
         F.min_by(
@@ -330,7 +368,9 @@ def dedup_paragraphs(
     )
     totals = df.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_total"),
+        F.size(
+            F.split(F.col(text_col), __import__("re").escape(sep))
+        ).cast("long").alias("n_total"),
     )
     return totals.join(rebuilt, on=id_col, how="left").select(
         F.col(id_col),
@@ -447,8 +487,16 @@ def ccnet_buckets(
     distinct-scores-sized output) → window over the HISTOGRAM (tiny)
     → languages-sized cut relation broadcast back. No window over the
     corpus. Returns (id, lang, n_tokens, avg_logprob, bucket)."""
-    scored = unigram_logprob(docs, id_col, text_col, alpha=alpha).join(
-        docs.select(F.col(id_col), F.col(lang_col)), on=id_col
+    # LEFT join from docs: a zero-token document produces no
+    # unigram_logprob row (explode of an empty token array), and an
+    # inner join would silently drop it from the output — it stays,
+    # scores NULL, and lands in "tail" below (the worst bucket, where
+    # an empty document belongs). Cuts are computed over scored docs
+    # only (the LM is undefined on empty text).
+    scored = docs.select(F.col(id_col), F.col(lang_col)).join(
+        unigram_logprob(docs, id_col, text_col, alpha=alpha),
+        on=id_col,
+        how="left",
     )
     sc = F.round(F.col("avg_logprob") * 10000).cast("long")
     hist = (
@@ -477,18 +525,15 @@ def ccnet_buckets(
             F.when(F.col("_cum") >= F.ceil(F.col("_n") * 2 / 3), F.col("_sc"))
         ).alias("_c1"),
     )
-    return (
-        scored.join(F.broadcast(cuts), on=lang_col)
-        .select(
-            id_col,
-            lang_col,
-            "n_tokens",
-            "avg_logprob",
-            F.when(sc >= F.col("_c2"), F.lit("head"))
-            .when(sc >= F.col("_c1"), F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("bucket"),
-        )
+    return nullsafe_stat_join(scored, cuts, [lang_col]).select(
+        id_col,
+        lang_col,
+        "n_tokens",
+        "avg_logprob",
+        F.when(sc >= F.col("_c2"), F.lit("head"))
+        .when(sc >= F.col("_c1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
 
 
@@ -524,10 +569,12 @@ def temperature_mixture(
         rate = F.sqrt(frac)
     else:
         rate = F.pow(frac, F.lit(1.0 - float(alpha)))
-    rates = F.broadcast(
-        counts.crossJoin(nmin).select(group_col, "n_g", rate.alias("_rate"))
+    rates = counts.crossJoin(nmin).select(
+        group_col, "n_g", rate.alias("_rate")
     )
-    kept = hash_mixture(docs.join(rates, on=group_col), id_col, F.col("_rate"))
+    kept = hash_mixture(
+        nullsafe_stat_join(docs, rates, [group_col]), id_col, F.col("_rate")
+    )
     return kept.withColumn("rate", F.round(F.col("_rate"), 6)).drop("_rate")
 
 
@@ -673,19 +720,7 @@ def interpolated_logprob(
     (summation-order ulps absorbed, same contract as every LM entry).
     Documents with <2 tokens emit no row.
     """
-    from m3d_engine_spark.functions.text import tokens
-
-    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
-    bg = toks.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
-                " slice(t, 2, greatest(size(t) - 1, 0)),"
-                " (x, y) -> struct(x AS w1, y AS w2))"
-            )
-        ).alias("b"),
-    ).select(F.col(id_col), "b.w1", "b.w2")
+    toks, bg = _bigram_transitions(docs, id_col, text_col)
     pair_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ctx_counts = pair_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     unigrams = toks.select(F.explode("t").alias("w"))
@@ -735,6 +770,12 @@ def k_anonymity_suppress(
     a single anonymous class. Returns one row per surviving class:
     the quasi columns (as strings, masked for the pooled class),
     ``n`` (class size) and ``suppressed`` (1 on the pooled class).
+
+    Key on (quasi..., ``suppressed``), never on the quasi tuple alone:
+    a GENUINE class whose quasi values equal the mask literal (e.g. a
+    real ``'*'`` value) is distinguishable from the pooled class only
+    by the flag — pick a ``mask`` outside the columns' value domain if
+    downstream consumers cannot carry it.
 
     Scale: one map-side-combinable count aggregate on the quasi key —
     the exchange carries one row per class, not per input row; the

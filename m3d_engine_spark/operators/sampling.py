@@ -23,6 +23,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from m3d_engine_spark.functions.text import md5_uint32
+
 
 def stratified_sample(
     df: DataFrame,
@@ -113,8 +115,17 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
-    toks = token_count_col.cast("long").alias("n_tokens")
-    base = df.select("*", toks)
+    # If df already carries n_tokens (e.g. chunk_documents or a prior
+    # packing pass feeding back in — the documented precomputed-column
+    # usage), withColumn REPLACES it: a blind select("*", alias) would
+    # duplicate the name and every downstream reference would throw
+    # AMBIGUOUS_REFERENCE.
+    if "n_tokens" in df.columns:
+        base = df.withColumn("n_tokens", token_count_col.cast("long"))
+    else:
+        base = df.select(
+            "*", token_count_col.cast("long").alias("n_tokens")
+        )
     w = (
         Window.partitionBy(*group_cols)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -226,8 +237,19 @@ def chunk_documents(
     if step <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
     t = tokens(F.col(text_col))
+    # With stride < chunk_tokens, a start past size - chunk_tokens + 1
+    # yields a window that is a pure SUFFIX of its predecessor (the
+    # predecessor already reached the document end) — emitting it
+    # duplicates training data. Keep start 1 plus every start whose
+    # PREVIOUS window did not reach the end: s - step + chunk - 1 <
+    # size. With stride == chunk_tokens the filter keeps everything.
     starts = F.when(
-        F.size(t) > 0, F.sequence(F.lit(1), F.size(t), F.lit(step))
+        F.size(t) > 0,
+        F.filter(
+            F.sequence(F.lit(1), F.size(t), F.lit(step)),
+            lambda st: (st == 1)
+            | (st - step + chunk_tokens - 1 < F.size(t)),
+        ),
     ).otherwise(F.array().cast("array<int>"))
     chunks = F.transform(
         starts, lambda s: F.array_join(F.slice(t, s, chunk_tokens), " ")
@@ -278,9 +300,7 @@ def weighted_sample(
     stratum. Output = surviving input rows + ``priority`` (6dp) +
     ``rk`` (1-based rank within the stratum).
     """
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    h = md5_uint32(F.col(id_col).cast("string"))
     base = df.filter(
         F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
     ).withColumn(
@@ -400,7 +420,7 @@ def length_bucketed_batches(
     ) + F.lit(0) if len(caps) > 1 else F.lit(0)
     cap_arr = F.array(*[F.lit(c) for c in caps])
     h = F.md5(F.col(id_col).cast("string"))
-    key = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    key = md5_uint32(F.col(id_col).cast("string"))
     out = (
         df.select(
             F.col(id_col),

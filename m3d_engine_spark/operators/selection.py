@@ -40,7 +40,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from m3d_engine_spark.functions.text import tokens
+from m3d_engine_spark.functions.text import md5_uint32, tokens
 
 RATIO_SCALE = 1_000_000
 
@@ -48,7 +48,7 @@ RATIO_SCALE = 1_000_000
 def _bucket(col: Column, n_buckets: int) -> Column:
     """md5-derived bucket in [0, n_buckets) — portable across engines
     (DuckDB: CAST('0x' || substr(md5(t),1,8) AS BIGINT) % B)."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n_buckets
+    return md5_uint32(col) % n_buckets
 
 
 def dsir_log_weights(
@@ -95,6 +95,25 @@ def dsir_log_weights(
         F.sum("_rc").alias("_rtot"),
     ).crossJoin(
         tgt.agg(F.sum("_tc").alias("_ttot"))
+    )
+    # Empty target slice (predicate matched nothing) would make every
+    # ratio NULL and every log_w NULL — and gumbel_resample downstream
+    # would then "select" the first n ids by tie-break: deterministic
+    # garbage. Fail loudly instead, WITHOUT an extra corpus pass: the
+    # assert_true rides the 1-row totals projection (folded into the
+    # consumed _ttot expression so column pruning cannot drop it).
+    totals = totals.select(
+        "_rtot",
+        F.when(
+            F.assert_true(
+                F.coalesce(F.col("_ttot"), F.lit(0)) > 0,
+                F.lit(
+                    "dsir_log_weights: target_pred selected no tokens "
+                    "(empty target slice) — check the predicate"
+                ),
+            ).isNull(),
+            F.col("_ttot"),
+        ).alias("_ttot"),
     )
     # B-row ratio table; missing target buckets smooth to alpha mass.
     ratios = (
@@ -151,9 +170,7 @@ def gumbel_resample(
     (Gumbel-max trick) with data-derived pseudo-randomness, so both
     engines select the identical set. Returns (id_col, log_w, key)."""
     u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        + 0.5
+        md5_uint32(F.col(id_col).cast("string")).cast("double") + 0.5
     ) / F.lit(float(1 << 32))
     keyed = weights.select(
         id_col,
@@ -194,8 +211,17 @@ def budget_select(
 
     Output = input + ``n_tokens`` + ``cum_tokens`` (inclusive).
     """
-    toks = token_count_col.cast("long").alias("n_tokens")
-    base = df.select("*", toks)
+    # If df already carries n_tokens (e.g. chunk_documents or a prior
+    # packing pass feeding back in — the documented precomputed-column
+    # usage), withColumn REPLACES it: a blind select("*", alias) would
+    # duplicate the name and every downstream reference would throw
+    # AMBIGUOUS_REFERENCE.
+    if "n_tokens" in df.columns:
+        base = df.withColumn("n_tokens", token_count_col.cast("long"))
+    else:
+        base = df.select(
+            "*", token_count_col.cast("long").alias("n_tokens")
+        )
     ordering = (
         F.col("_ord").desc() if descending else F.col("_ord").asc()
     )

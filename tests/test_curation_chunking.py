@@ -58,15 +58,22 @@ def test_chunk_documents_windows_and_overlap(spark):
         docs, "doc_id", "text", chunk_tokens=4, stride=3
     ).collect()
     by_key = {(r["doc_id"], r["chunk_id"]): r for r in rows}
-    # doc 1: starts at tokens 0, 3, 6 → windows of 4, 4, 1.
+    # doc 1: candidate starts 0, 3, 6 — but window 1 (tokens 3-6)
+    # already reaches the end, so the start-6 window ("t6") is a pure
+    # SUFFIX of it and emitting it would duplicate training data.
     assert by_key[(1, 0)]["chunk"] == "t0 t1 t2 t3"
     assert by_key[(1, 1)]["chunk"] == "t3 t4 t5 t6"
-    assert by_key[(1, 2)]["chunk"] == "t6"
-    assert by_key[(1, 2)]["n_tokens"] == 1
+    assert (1, 2) not in by_key
     # empty doc → zero chunks; one-token doc → one chunk.
     assert not any(k[0] == 2 for k in by_key)
     assert by_key[(3, 0)]["chunk"] == "solo"
-    assert len(rows) == 4
+    assert len(rows) == 3
+    # non-overlapping stride keeps its short (non-suffix) tail window
+    tail = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=4, stride=4
+    ).collect()
+    t1 = {r["chunk_id"]: r["chunk"] for r in tail if r["doc_id"] == 1}
+    assert t1 == {0: "t0 t1 t2 t3", 1: "t4 t5 t6"}
 
 
 def test_chunk_documents_rejects_bad_sizes(spark):
@@ -258,3 +265,101 @@ def test_assemble_sequences_order_survives_partitioning(spark):
             ).collect()
         }
         assert got == want, parts
+
+
+def test_null_group_rows_survive_stat_joins(spark):
+    """groupBy treats NULL as a real group, but a plain equi-join back
+    drops NULL-keyed rows — silent corpus loss. percentile_filter and
+    temperature_mixture must keep them (null-safe join)."""
+    from m3d_engine_spark.operators.curation import (
+        percentile_filter,
+        temperature_mixture,
+    )
+
+    rows = [(1, "a", 10), (2, "a", 20), (3, None, 5), (4, None, 15)]
+    df = spark.createDataFrame(rows, "id long, src string, score long")
+    kept = percentile_filter(df, ["src"], "score", p=0.5)
+    ids = {r.id for r in kept.collect()}
+    assert 4 in ids and 2 in ids  # NULL group's upper half survives
+
+    mixed = temperature_mixture(
+        df.withColumnRenamed("score", "n_chars"), "src", "id", alpha=1.0
+    )
+    # alpha=1 -> rate 1 for every group: ALL rows survive, incl. NULLs
+    assert mixed.count() == 4
+
+
+def test_hash_mixture_negative_rate_keeps_nothing(spark):
+    """A negative rate must keep zero rows — unclamped, the
+    two's-complement hex of floor(rate*2^32) truncates to the
+    keep-everything bound."""
+    from m3d_engine_spark.operators.curation import hash_mixture
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    assert hash_mixture(df, "doc_id", F.lit(-0.5)).count() == 0
+    assert hash_mixture(df, "doc_id", F.lit(1.5)).count() == 100
+
+
+def test_dedup_paragraphs_metachar_separator(spark):
+    """The separator must split LITERALLY: '|' as a regex matches the
+    empty string and shreds documents character-wise while the rebuild
+    inserts literal pipes."""
+    from m3d_engine_spark.operators.curation import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "keep me|dup para"), (2, "dup para|other")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           dedup_paragraphs(df, "doc_id", "text", sep="|").collect()}
+    assert out[1].text == "keep me|dup para" and out[1].n_total == 2
+    assert out[2].text == "other"
+
+
+def test_ccnet_buckets_keeps_empty_documents(spark):
+    """A zero-token document emits no LM row; it must still appear in
+    the output, in the tail bucket."""
+    from m3d_engine_spark.operators.curation import ccnet_buckets
+
+    rows = [(i, "en", "some normal words here") for i in range(9)]
+    rows.append((9, "en", ""))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: r.bucket for r in
+           ccnet_buckets(df, "doc_id", "text", "lang").collect()}
+    assert len(out) == 10 and out[9] == "tail"
+
+
+def test_dsir_empty_target_raises(spark):
+    """An empty target slice must fail loudly, not hand gumbel_resample
+    all-NULL weights it resolves by id order."""
+    import pytest as _pt
+
+    from m3d_engine_spark.operators.selection import dsir_log_weights
+
+    df = spark.createDataFrame(
+        [(1, "en", "hello world"), (2, "de", "hallo welt")],
+        "doc_id long, lang string, text string",
+    )
+    with _pt.raises(Exception, match="no tokens"):
+        dsir_log_weights(
+            df, F.col("lang") == "xx", "doc_id", "text"
+        ).collect()
+
+
+def test_budget_select_reuses_existing_n_tokens(spark):
+    """Feeding a relation that already carries n_tokens back in (the
+    documented precomputed-column usage) must not raise
+    AMBIGUOUS_REFERENCE."""
+    from m3d_engine_spark.operators.selection import budget_select
+
+    df = spark.createDataFrame(
+        [(1, "a", 5, 10), (2, "a", 3, 8), (3, "a", 9, 4)],
+        "id long, g string, n_tokens long, score long",
+    )
+    out = budget_select(
+        df, ["g"], "id", F.col("score"), F.col("n_tokens"), budget=6
+    )
+    got = {r.id: r.cum_tokens for r in out.collect()}
+    # score desc: id 1 (cum 5), id 2 straddles (preceding 5 < 6), id 3
+    # cut (preceding 8 >= 6)
+    assert got == {1: 5, 2: 8}
