@@ -140,15 +140,12 @@ def list_table_partitions(spark: SparkSession, table: str) -> list[list[tuple[st
     unpartitioned one (the streaming state-read rule)."""
     from pyspark.errors import AnalysisException
 
+    from m3d_engine_spark.errors import error_condition
+
     try:
         rows = spark.sql(f"SHOW PARTITIONS {table}").collect()
     except AnalysisException as e:
-        cond = (
-            e.getCondition()
-            if hasattr(e, "getCondition")
-            else e.getErrorClass()
-        ) or ""
-        if cond.startswith("INVALID_PARTITION_OPERATION"):
+        if error_condition(e).startswith("INVALID_PARTITION_OPERATION"):
             return []
         raise
     out = []

@@ -29,23 +29,29 @@ from m3d_engine_spark.functions.text import fingerprint
 
 def _read_prior_state(spark: SparkSession, path: str) -> DataFrame | None:
     """Carried-state parquet read for foreachBatch operators. Returns
-    None ONLY when the path does not exist yet (first micro-batch,
-    PATH_NOT_FOUND); every other failure — a corrupt or partially
-    written state dir (UNABLE_TO_INFER_SCHEMA), permissions, transient
-    storage errors — propagates so the micro-batch fails and retries
-    instead of silently computing without prior state and committing
-    wrong output. The try is scoped to the read alone; downstream
-    analysis errors (e.g. a unionByName schema mismatch) are bugs and
-    must surface."""
+    None exactly when NO batch has ever committed state:
+
+    * ``PATH_NOT_FOUND`` — true first micro-batch; or
+    * ``UNABLE_TO_INFER_SCHEMA`` — the dir exists but holds zero
+      VISIBLE data files. Spark's job commit moves part files out of
+      ``_temporary`` atomically, so a crashed first-batch write leaves
+      only invisible remnants; on retry the batch must be able to
+      proceed as no-prior-state rather than wedge permanently behind
+      an unreadable dir (any earlier SUCCESSFUL batch would have left
+      visible files and the read would succeed).
+
+    Every other failure — permissions, transient storage errors,
+    corrupt footers at scan time — propagates so the micro-batch fails
+    and retries instead of silently computing without prior state and
+    committing wrong output. The try is scoped to the read alone;
+    downstream analysis errors (e.g. a unionByName schema mismatch)
+    are bugs and must surface."""
+    from m3d_engine_spark.errors import error_condition
+
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
-        cond = (
-            e.getCondition()
-            if hasattr(e, "getCondition")
-            else e.getErrorClass()
-        ) or ""
-        if cond == "PATH_NOT_FOUND":
+        if error_condition(e) in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             return None
         raise
 
@@ -1261,7 +1267,6 @@ def removal_attribution_batch(
         F.col(state_col), F.lit(0).alias("_carried"),
     )
     prior = _read_prior_state(spark, state_path)
-    carried = None
     if prior is not None:
         carried = (
             prior.filter(F.col("batch_id") < batch_id)
@@ -1274,7 +1279,6 @@ def removal_attribution_batch(
             )
             .select(key_col, "_s.*")
         )
-    if carried is not None:
         done = carried.filter(F.col("conv") == 1).select(key_col)
         ev = ev.join(done, on=key_col, how="left_anti")
         live = (

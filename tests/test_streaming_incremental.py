@@ -390,3 +390,27 @@ def test_streaming_removal_attribution_equals_batch(spark, tmp_path):
         for r in read_removal_attribution(spark, census, "buy").collect()
     }
     assert again == want
+
+
+def test_read_prior_state_contract(spark, tmp_path):
+    """The carried-state read maps exactly two conditions to
+    no-prior-state — a missing path (true first batch) and an
+    existing dir with zero visible data files (crashed first-batch
+    write: only _temporary remnants; the retry must proceed, not wedge
+    behind an unreadable dir) — and propagates everything else."""
+    from m3d_engine_spark.streaming.pipeline import _read_prior_state
+
+    missing = str(tmp_path / "never_written")
+    assert _read_prior_state(spark, missing) is None
+
+    # crashed-first-batch remnant: dir exists, no visible data files
+    remnant = tmp_path / "state" / "batch_id=0" / "_temporary"
+    remnant.mkdir(parents=True)
+    assert _read_prior_state(spark, str(tmp_path / "state")) is None
+
+    # a committed batch makes the read succeed even with remnants
+    spark.createDataFrame([(1, 7)], "k long, v long").write.parquet(
+        str(tmp_path / "state" / "batch_id=1")
+    )
+    got = _read_prior_state(spark, str(tmp_path / "state"))
+    assert got is not None and got.count() == 1
