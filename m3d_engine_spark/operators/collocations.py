@@ -28,6 +28,56 @@ from pyspark.sql import functions as F
 from m3d_engine_spark.functions.text import tokens
 
 
+def _pmi_scored(
+    pairs: DataFrame,
+    unigrams: DataFrame,
+    pair_counts: DataFrame,
+    extra_cols: list[str],
+    top: int,
+) -> DataFrame:
+    """The shared PMI score-and-rank tail under ``pmi_bigrams`` and
+    ``skipgram_pairs``: join both unigram marginals onto the
+    min-count-filtered pair counts, normalize by the broadcast pair and
+    token totals, ln + 4dp, rank by (pmi desc, w1, w2), keep ``top``.
+    One definition so a denominator or rounding change cannot drift
+    between the two operators' oracle twins."""
+    uni_counts = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    totals = F.broadcast(
+        pairs.agg(F.count(F.lit(1)).cast("double").alias("n_pairs")).crossJoin(
+            unigrams.agg(F.count(F.lit(1)).cast("double").alias("n_tokens"))
+        )
+    )
+    return (
+        pair_counts.join(
+            uni_counts.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")),
+            on="w1",
+        )
+        .join(
+            uni_counts.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")),
+            on="w2",
+        )
+        .crossJoin(totals)
+        .select(
+            "w1",
+            "w2",
+            *extra_cols,
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("n_pairs"))
+                    / (
+                        (F.col("n_w1") / F.col("n_tokens"))
+                        * (F.col("n_w2") / F.col("n_tokens"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+        .limit(int(top))
+    )
+
+
 def pmi_bigrams(
     docs: DataFrame,
     text_col: str,
@@ -57,41 +107,7 @@ def pmi_bigrams(
         .filter(F.col("n_pair") >= min_count)
     )
     unigrams = toks.select(F.explode(F.col("t")).alias("w"))
-    uni_counts = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
-    totals = F.broadcast(
-        bigrams.agg(F.count(F.lit(1)).cast("double").alias("n_bigrams")).crossJoin(
-            unigrams.agg(F.count(F.lit(1)).cast("double").alias("n_tokens"))
-        )
-    )
-    scored = (
-        pair_counts.join(
-            uni_counts.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")),
-            on="w1",
-        )
-        .join(
-            uni_counts.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")),
-            on="w2",
-        )
-        .crossJoin(totals)
-        .select(
-            "w1",
-            "w2",
-            "n_pair",
-            F.round(
-                F.log(
-                    (F.col("n_pair") / F.col("n_bigrams"))
-                    / (
-                        (F.col("n_w1") / F.col("n_tokens"))
-                        * (F.col("n_w2") / F.col("n_tokens"))
-                    )
-                ),
-                4,
-            ).alias("pmi"),
-        )
-    )
-    return scored.orderBy(
-        F.col("pmi").desc(), F.col("w1"), F.col("w2")
-    ).limit(top)
+    return _pmi_scored(bigrams, unigrams, pair_counts, [], top)
 
 
 def association_rules(
@@ -265,38 +281,4 @@ def skipgram_pairs(
         .filter(F.col("n_pair") >= int(min_count))
     )
     unigrams = toks.select(F.explode(F.col("t")).alias("w"))
-    uni_counts = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
-    totals = F.broadcast(
-        pairs.agg(F.count(F.lit(1)).cast("double").alias("n_pairs")).crossJoin(
-            unigrams.agg(F.count(F.lit(1)).cast("double").alias("n_tokens"))
-        )
-    )
-    return (
-        pair_counts.join(
-            uni_counts.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")),
-            on="w1",
-        )
-        .join(
-            uni_counts.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")),
-            on="w2",
-        )
-        .crossJoin(totals)
-        .select(
-            "w1",
-            "w2",
-            "dist_min",
-            "n_pair",
-            F.round(
-                F.log(
-                    (F.col("n_pair") / F.col("n_pairs"))
-                    / (
-                        (F.col("n_w1") / F.col("n_tokens"))
-                        * (F.col("n_w2") / F.col("n_tokens"))
-                    )
-                ),
-                4,
-            ).alias("pmi"),
-        )
-        .orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
-        .limit(int(top))
-    )
+    return _pmi_scored(pairs, unigrams, pair_counts, ["dist_min"], top)

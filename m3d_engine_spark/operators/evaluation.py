@@ -56,7 +56,11 @@ def ndcg_at_k(
     """
     w = _dcg_weights(k)
     warr = F.array(*[F.lit(x) for x in w])
-    r = run.filter(F.col(rank_col) <= k).select(
+    # ranks are 1-based: rank 0 would ANSI-crash element_at, and a
+    # negative sentinel rank silently indexes weights from the END
+    r = run.filter(
+        (F.col(rank_col) >= 1) & (F.col(rank_col) <= k)
+    ).select(
         F.col(query_col).alias("_q"),
         F.col(id_col).alias("_d"),
         F.element_at(warr, F.col(rank_col).cast("int")).alias("_w"),

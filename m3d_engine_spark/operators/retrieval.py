@@ -73,9 +73,13 @@ def bm25_topk(
     )
     dfs = postings.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     # Exact-integer corpus stats: carrying avgdl as a float would let a
-    # summation-order ulp shift EVERY score; dl/avgdl is computed as
-    # (dl * n_docs) / total_tokens with long operands instead — one
-    # double rounding, bit-identical across engines.
+    # summation-order ulp shift EVERY score. The inputs (dl, n_docs,
+    # total_tokens) stay exact longs; the b·dl·n/tot term is evaluated
+    # LEFT-ASSOCIATIVE as ((b·dl)·n)/tot — three correctly-rounded
+    # double steps from exact operands, deterministic because the
+    # association is fixed. Any engine twin must use the SAME
+    # association (the DuckDB oracle writes 0.75 * dl * n / tot
+    # verbatim); re-associating can flip a 4dp boundary.
     stats = F.broadcast(
         d.agg(
             F.count(F.lit(1)).cast("long").alias("_n"),
@@ -329,6 +333,11 @@ def rbo_overlap(
 
     if k < 1:
         raise ValueError("k must be >= 1")
+    if k > 26:
+        # denom = lcm(1..k)*2^k crosses int64 at k=27 (~1.08e19): the
+        # per-query weight sum would ANSI-overflow on identical
+        # rankings. The exact-integer-lattice contract holds to k=26.
+        raise ValueError("rbo_overlap: exact integer lattice caps k at 26")
     denom = lcm(*range(1, k + 1)) * (1 << k)
     w = [0] * (k + 2)
     for m in range(k, 0, -1):
@@ -338,12 +347,14 @@ def rbo_overlap(
         F.col(query_col).alias("_q"),
         F.col(id_col).alias("_d"),
         F.col(rank_col).cast("int").alias("_ra"),
-    ).filter(F.col("_ra") <= k)
+        # ranks are 1-based: rank 0 would ANSI-crash element_at, and a
+        # NEGATIVE rank silently indexes the weight array from the END
+    ).filter((F.col("_ra") >= 1) & (F.col("_ra") <= k))
     b = run_b.select(
         F.col(query_col).alias("_q"),
         F.col(id_col).alias("_d"),
         F.col(rank_col).cast("int").alias("_rb"),
-    ).filter(F.col("_rb") <= k)
+    ).filter((F.col("_rb") >= 1) & (F.col("_rb") <= k))
     contrib = a.join(b, on=["_q", "_d"], how="inner").select(
         "_q",
         F.element_at(weights, F.greatest("_ra", "_rb")).alias("_w"),

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from m3d_engine_spark.functions.text import tokens
+from m3d_engine_spark.functions.text import md5_uint32, tokens
 
 
 def tfidf_top_terms(
@@ -98,12 +98,7 @@ def feature_hash(
         F.explode(tokens(F.col(text_col))).alias("_t"),
     )
     bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("b:"), F.col("_t"))), 1, 8),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(dim),
+        md5_uint32(F.concat(F.lit("b:"), F.col("_t"))), F.lit(dim)
     )
     sign = F.when(
         F.substring(F.md5(F.concat(F.lit("s:"), F.col("_t"))), 1, 1) < "8",
@@ -119,13 +114,26 @@ def feature_hash(
         F.count(F.lit(1)).cast("int").alias("nnz"),
         F.array_sort(F.collect_list(F.struct("_b", "_v"))).alias("_arr"),
     )
+    # LEFT join from the input ids: a document with no tokens (or whose
+    # every bucket sign-cancelled to 0) still gets its row — nnz=0,
+    # empty strings — honoring the one-row-per-document contract
+    # instead of silently dropping it from downstream feature joins.
+    packed = df.select(F.col(id_col).alias("_id")).join(
+        packed, on="_id", how="left"
+    )
     return packed.select(
         F.col("_id").alias(id_col),
-        "nnz",
-        F.array_join(
-            F.expr("transform(_arr, s -> CAST(s._b AS STRING))"), ","
+        F.coalesce("nnz", F.lit(0)).alias("nnz"),
+        F.coalesce(
+            F.array_join(
+                F.expr("transform(_arr, s -> CAST(s._b AS STRING))"), ","
+            ),
+            F.lit(""),
         ).alias("indices"),
-        F.array_join(
-            F.expr("transform(_arr, s -> CAST(s._v AS STRING))"), ","
+        F.coalesce(
+            F.array_join(
+                F.expr("transform(_arr, s -> CAST(s._v AS STRING))"), ","
+            ),
+            F.lit(""),
         ).alias("values"),
     )

@@ -1827,3 +1827,43 @@ def test_unigram_lm_train_soft_alphabet_survives_zero_posterior(spark):
     )
     got = {r.piece for r in pieces.collect()}
     assert {"c", "d", "cd"} <= got, got
+
+
+def test_feature_hash_emits_row_for_empty_documents(spark):
+    """One row per document, even with no tokens — an inner-join-back
+    consumer must not silently lose empty docs."""
+    from m3d_engine_spark.operators.tfidf import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           feature_hash(df, "doc_id", "text", dim_bits=8).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2].nnz == 0 and out[2].indices == "" and out[2].values == ""
+    assert out[3].nnz == 0
+    assert out[1].nnz > 0
+
+
+def test_rank_metrics_guard_rank_domain(spark):
+    """0-based or sentinel-negative ranks must be excluded, not crash
+    element_at (rank 0, ANSI) or silently index the weight array from
+    the end (negative ranks)."""
+    from m3d_engine_spark.operators.evaluation import ndcg_at_k
+    from m3d_engine_spark.operators.retrieval import rbo_overlap
+
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 0), (1, 12, -1)], "q long, d long, rank long"
+    )
+    truth = spark.createDataFrame([(1, 10, 1)], "q long, d long, rel long")
+    out = ndcg_at_k(run, truth, "q", "d", "rank", "rel", k=5).collect()
+    assert len(out) == 1 and out[0].ndcg == 1.0  # only rank 1 counted
+
+    got = rbo_overlap(run, run, "q", "d", "rank", k=5).collect()
+    assert len(got) == 1  # ranks 0/-1 dropped from both sides, no crash
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="caps k at 26"):
+        rbo_overlap(run, run, "q", "d", "rank", k=27)
