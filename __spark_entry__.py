@@ -2152,7 +2152,7 @@ WITH toks AS (
   FROM toks
 ), arrs AS (
   SELECT doc_id, text,
-    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+    list_filter(list_transform(regexp_split_to_array(text, '\r?\n'), x -> trim(x)),
                 x -> x != '') AS l,
     CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
          ELSE regexp_split_to_array(trim(text), '\\s+') END AS t2
@@ -7094,7 +7094,7 @@ WITH src AS (
 ), pv AS (
   SELECT event_type, v, count(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(value * value AS DECIMAL(30,12))) AS DOUBLE) AS sxx
+         CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx
   FROM src GROUP BY event_type, v
 )
 SELECT p0.event_type,

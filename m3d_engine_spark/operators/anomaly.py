@@ -51,8 +51,16 @@ def rolling_zscore_flags(
     nondeterministic."""
     scale = 10 ** value_decimals
     v = F.col(value_col)
-    valid = v.isNotNull() & ~F.isnan(v)
+    # infinities pass an isnan-only gate and would crash the long cast
+    # (ANSI) or saturate to Long.Max (non-ANSI), corrupting every frame
+    # that contains them — exclude them like NaN
+    valid = (
+        v.isNotNull() & ~F.isnan(v) & (F.abs(v) < F.lit(float("inf")))
+    )
     x = F.when(valid, F.round(v * scale).cast("long"))
+    # the square accumulates in decimal: long*long overflows 64 bits at
+    # |v| ~ 3e7 with 2 decimals (ANSI abort / silent wraparound)
+    xd = x.cast("decimal(19,0)")
     w = (
         Window.partitionBy(key_col)
         .orderBy(*[F.col(c).asc() for c in order_cols])
@@ -64,7 +72,7 @@ def rolling_zscore_flags(
         "*",
         F.count(x).over(w).alias("_n"),
         F.sum(x).over(w).alias("_sx"),
-        F.sum(x * x).over(w).alias("_sxx"),
+        F.sum(xd * xd).over(w).alias("_sxx"),
     )
     n = F.col("_n").cast("double")
     sx = F.col("_sx").cast("double") / scale
@@ -117,9 +125,12 @@ def rolling_median(
         .orderBy(*order)
         .rowsBetween(-(int(window_rows) - 1), Window.currentRow)
     )
-    buf = F.array_sort(
-        F.collect_list(F.col(value_col).cast("double")).over(w)
-    )
+    vc = F.col(value_col).cast("double")
+    # NaN sorts LAST in array_sort and poisons the median whenever it
+    # reaches the middle indices; infinities skew it the same way —
+    # map both to NULL so collect_list skips them (the zscore guard)
+    clean = F.when(~F.isnan(vc) & (F.abs(vc) < F.lit(float("inf"))), vc)
+    buf = F.array_sort(F.collect_list(clean).over(w))
     n = F.size(buf)
     mid_hi = F.get(buf, (n / 2).cast("int"))          # 0-based upper middle
     mid_lo = F.get(buf, ((n - 1) / 2).cast("int"))    # == mid_hi when odd
@@ -155,8 +166,11 @@ def ab_test(
     ).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col(metric_col).cast("decimal(30,12)")).cast("double").alias("_sx"),
+        # (38,12): 26 integer digits — a metric around 1e9 squares to
+        # 1e18, which overflows (30,12)'s 18 integer digits (silent
+        # NULL-drop from the sum with _n still counting, or ANSI abort)
         F.sum(
-            (F.col(metric_col) * F.col(metric_col)).cast("decimal(30,12)")
+            (F.col(metric_col) * F.col(metric_col)).cast("decimal(38,12)")
         ).cast("double").alias("_sxx"),
     )
     # exactly-two-variants pivot: min/max variant per group, stats via

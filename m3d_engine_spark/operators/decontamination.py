@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from m3d_engine_spark.functions.text import tokens
 from m3d_engine_spark.operators.dedup import shingle_array
 
 
@@ -228,14 +229,16 @@ def gopher_quality_stats(
     d = docs.select(F.col(id_col), F.col(text_col).alias("_txt"))
     d = d.withColumn(
         "_lines",
+        # \r?\n, not chr(10): a CRLF crawl otherwise keeps '\r' on
+        # every line — blank lines survive as '\r' (inflating n_lines
+        # and diluting every per-line fraction) and
+        # endswith(line, '...') never matches '...\r', so the ellipsis
+        # rule silently never fires
         F.expr(
-            "filter(transform(split(_txt, chr(10)), x -> trim(x)), "
+            "filter(transform(split(_txt, '\\\\r?\\\\n'), x -> trim(x)), "
             "x -> x != '')"
         ),
-    ).withColumn("_t", F.expr(
-        "CASE WHEN length(trim(_txt)) = 0 THEN CAST(array() AS ARRAY<STRING>) "
-        "ELSE split(trim(_txt), '\\\\s+') END"
-    ))
+    ).withColumn("_t", tokens(F.col("_txt")))
     def gram_expr(k: int) -> str:
         return (
             f"CASE WHEN size(_t) >= {k} THEN "

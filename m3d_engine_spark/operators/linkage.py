@@ -62,6 +62,20 @@ def record_linkage(
     block_cols = list(block_cols)
     if not fields:
         raise ValueError("record_linkage needs at least one scored field")
+    if not block_cols:
+        # join(on=[]) degenerates into the all-pairs cross product the
+        # blocking contract exists to prevent — refuse loudly
+        raise ValueError(
+            "record_linkage needs at least one blocking column; "
+            "an unblocked link is |L|x|R| comparisons"
+        )
+    if left_id == right_id:
+        # two identically named output columns make every downstream
+        # by-name select/join ambiguous
+        raise ValueError(
+            f"left_id and right_id are both {left_id!r}; rename one "
+            f"side (the output carries both id columns by name)"
+        )
     lsel = left.select(
         F.col(left_id).alias("_lid"),
         *[F.col(c).alias(f"_bl_{c}") for c in block_cols],

@@ -101,7 +101,11 @@ def top_paths(
     )
     seq = F.slice(F.expr("transform(_p, x -> x._s)"), 1, int(max_len))
     per_key = (
-        df.groupBy(*key_cols)
+        # NULL states are dropped up front: array_join would skip them
+        # from the path string while size() counts them, so path and
+        # path_len desynchronize and distinct journeys collide
+        df.filter(F.col(state_col).isNotNull())
+        .groupBy(*key_cols)
         .agg(packed.alias("_p"))
         .select(seq.alias("_seq"))
         .select(
@@ -167,8 +171,12 @@ def removal_attribution(
         .withColumn("_cb", conv_before)
         .filter(F.col("_cb") == 0)
     )
-    seq = trunc.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_to", F.lead("s").over(w)
+    seq = (
+        trunc.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_to", F.lead("s").over(w))
+        # two census collects below consume this corpus-sized window
+        # lineage; materialize once instead of re-running the sort
+        .localCheckpoint(eager=True)
     )
     trans = (
         seq.filter(F.col("_to").isNotNull())
@@ -213,6 +221,11 @@ def solve_removal(
     attributions — which is exactly what the streaming==batch
     equivalence test pins."""
     n_journeys = sum(n for _, n in starts)
+    if n_journeys == 0:
+        # empty events relation / no journeys accumulated yet (first
+        # streaming batch): an empty attribution table, not a
+        # ZeroDivisionError in the absorb() floor division
+        return []
     cnt = {(a, b): int(n) for a, b, n in trans}
     rowsum: dict[str, int] = {}
     for (a, _), n in cnt.items():

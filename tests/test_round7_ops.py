@@ -1867,3 +1867,31 @@ def test_rank_metrics_guard_rank_domain(spark):
 
     with _pt.raises(ValueError, match="caps k at 26"):
         rbo_overlap(run, run, "q", "d", "rank", k=27)
+
+
+def test_gopher_stats_handle_crlf_lines(spark):
+    """CRLF documents must not keep '\\r' on every line: blank lines
+    would survive as '\\r' (inflating n_lines) and the ellipsis rule
+    would never fire against '...\\r'."""
+    from m3d_engine_spark.operators.decontamination import (
+        gopher_quality_stats,
+    )
+
+    lf = "read more...\nplain line\n\nlast"
+    crlf = lf.replace("\n", "\r\n")
+    df = spark.createDataFrame(
+        [(1, lf), (2, crlf)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in
+           gopher_quality_stats(df, "doc_id", "text").collect()}
+    assert out[1].n_lines == out[2].n_lines == 3
+    assert out[1].ellipsis_line_frac == out[2].ellipsis_line_frac > 0
+
+
+def test_solve_removal_empty_census_returns_empty(spark):
+    """An empty events relation (or a first streaming batch with no
+    journeys) must yield an empty attribution table, not a
+    ZeroDivisionError in the absorption solve."""
+    from m3d_engine_spark.operators.markov import solve_removal
+
+    assert solve_removal([], [], "conv") == []
