@@ -173,6 +173,10 @@ class DeltaLoadAlgorithm(Algorithm):
             write_output(
                 self.spark, dfs[0], self.params,
                 default_load_mode="OverwritePartitionsWithAddedColumns",
+                # the DELTA's criteria, not the merged frame's: a
+                # partition whose every active row was deleted has zero
+                # output rows and must still be rewritten (emptied)
+                affected=getattr(self, "affected", None),
             )
             return
         write_output(self.spark, dfs[0], self.params)

@@ -113,6 +113,21 @@ class FullLoad(Algorithm):
     def write(self, dfs: list[DataFrame]) -> None:
         df = dfs[0]
         n = self.params.get_optional("output_files_num", 10)
+        if not self.table:
+            # next_location IS the live target (no versioned swap): an
+            # in-place overwrite would clear the directory first, so a
+            # mid-write failure destroys the previous dataset with
+            # nothing to restore. Route through the temp-write → dir
+            # swap → restore protocol instead.
+            from m3d_engine_spark.sources.writers import AtomicWriter, LoadMode
+
+            AtomicWriter(
+                self.spark,
+                self.next_location,
+                partition_columns=list(self.partition_targets),
+                output_files_num=n,
+            ).write(df, LoadMode.OVERWRITE_TABLE)
+            return
         if self.partition_targets:
             df = df.repartition(n, *self.partition_targets)
         else:
@@ -121,6 +136,8 @@ class FullLoad(Algorithm):
             w = df.write.mode("overwrite").format("parquet")
             if self.partition_targets:
                 w = w.partitionBy(*self.partition_targets)
+            # fresh version dir: in-place save is safe, and failure
+            # cleanup just removes the partial dir
             w.save(self.next_location)
         except Exception:
             self.dfs.delete(self.next_location)  # FullLoad.scala:47-58

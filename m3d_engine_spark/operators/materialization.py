@@ -78,6 +78,10 @@ def date_range_criteria(
 
     start = dt.date.fromisoformat(date_from)
     end = dt.date.fromisoformat(date_to)
+    if start > end:
+        # the short-format paths raise here; a silent empty range would
+        # make RangeMaterialization a no-op "success" on a typo
+        raise ValueError("date_from is after date_to")
     seen: list[list[tuple[str, int]]] = []
     seen_keys: set[tuple] = set()
     d = start
@@ -129,7 +133,16 @@ class FullMaterialization(Algorithm):
         w = df.write.mode("overwrite").format("parquet")
         if parts:
             w = w.partitionBy(*parts)
-        w.save(self.next_location)
+        try:
+            w.save(self.next_location)
+        except Exception:
+            # a partial version dir would be retained by _retain_versions
+            # ordering AND served by version_as_of time-travel as a
+            # valid snapshot — remove it (the FullLoad discipline)
+            from m3d_engine_spark.sources.dfs import DFS
+
+            DFS(self.spark).delete(self.next_location)
+            raise
         if self.params.has("target_table"):
             from m3d_engine_spark.sources import catalog as cat
 

@@ -70,12 +70,26 @@ def partition_rel_path(criteria: Sequence[tuple[str, Any]]) -> str:
     mirroring how Spark names the directories it writes."""
     parts = []
     for c, v in criteria:
-        if v is None:
+        if v is None or v == "":
+            # Spark writes BOTH NULL and empty-string partition values
+            # as __HIVE_DEFAULT_PARTITION__; rendering '' as 'col='
+            # makes the tmp->final rename target a nonexistent path
+            # (verified: FileNotFoundException mid-commit, or silent
+            # row loss on filesystems where rename returns false)
             parts.append(f"{c}={HIVE_DEFAULT_PARTITION}")
         else:
             s = ("true" if v else "false") if isinstance(v, bool) else str(v)
             parts.append(f"{c}={escape_path_name(s)}")
     return "/".join(parts)
+
+
+def _rename_or_raise(dfs: DFS, src: str, dst: str) -> None:
+    """Commit-step rename: HDFS/S3A FileSystem.rename reports missing
+    source / existing destination / permission failures by returning
+    FALSE, not by throwing — treating that as success would let the
+    protocol delete the only backup of a partition it never moved."""
+    if not dfs.rename(src, dst):
+        raise IOError(f"commit rename failed: {src} -> {dst}")
 
 
 @dataclass
@@ -112,7 +126,15 @@ class AtomicWriter:
         w.save(path)
 
     # ------------------------------------------------------------- modes
-    def write(self, df: DataFrame, load_mode: LoadMode) -> None:
+    def write(
+        self, df: DataFrame, load_mode: LoadMode, affected: list | None = None
+    ) -> None:
+        """``affected`` (overwrite modes only): criteria the LOAD
+        touched, which may be a superset of the frame's own partitions —
+        a CDC delta that deletes every row of a partition yields zero
+        output rows there, and deriving criteria from the frame alone
+        would leave the emptied partition's old directory untouched
+        (its deletions silently never applied)."""
         if load_mode is LoadMode.OVERWRITE_TABLE:
             self._overwrite_table(df)
             return
@@ -120,11 +142,11 @@ class AtomicWriter:
             existing_schema = self._existing_schema()
             if existing_schema is not None:
                 df = add_missing_columns(df, existing_schema)
-        elif load_mode is LoadMode.APPEND_JOIN_PARTITIONS:
-            df = self._combine_with_existing(df, how="join")
+        if load_mode is LoadMode.APPEND_JOIN_PARTITIONS:
+            df, affected = self._combine_with_existing(df, how="join")
         elif load_mode is LoadMode.APPEND_UNION_PARTITIONS:
-            df = self._combine_with_existing(df, how="union")
-        self._overwrite_partitions(df)
+            df, affected = self._combine_with_existing(df, how="union")
+        self._overwrite_partitions(df, affected=affected)
 
     def _existing_schema(self):
         """On-disk schema from ONE data-file footer plus the partition
@@ -162,20 +184,42 @@ class AtomicWriter:
             .filter(partition_predicate(criteria))
         )
 
-    def _combine_with_existing(self, df: DataFrame, how: str) -> DataFrame:
+    def _combine_with_existing(self, df: DataFrame, how: str):
+        """Returns (combined, affected): the append criteria are
+        collected ONCE from the new batch and handed to the write —
+        re-deriving them from the combined frame would re-scan the
+        landing data (the existing side is already scoped to exactly
+        these criteria, so the sets are identical)."""
         if not self.partition_columns:
             raise ValueError("append modes require partition columns")
         affected = collect_partitions(df, self.partition_columns)
         existing = self._existing_rows_in(affected)
         if existing is None:
-            return df
+            return df, affected
         if how == "union":
-            # Reference: OutputWriter.scala:177-190 (positional union there;
-            # unionByName here + typed-null padding for evolved schemas).
-            existing = add_missing_columns(existing, df.schema)
-            return df.unionByName(existing)
+            # Reference: OutputWriter.scala:177-190 (positional union
+            # there; unionByName here + typed-null padding BOTH WAYS for
+            # evolved schemas — padding only the existing side to the
+            # new batch's columns would silently PRUNE columns that
+            # exist on disk but are missing from the batch, destroying
+            # their data in every rewritten partition).
+            merged = list(df.schema.fields)
+            have = {f.name.lower() for f in merged}
+            merged += [
+                f for f in existing.schema.fields
+                if f.name.lower() not in have
+            ]
+            from pyspark.sql.types import StructType
+
+            target = StructType(merged)
+            return (
+                add_missing_columns(df, target).unionByName(
+                    add_missing_columns(existing, target)
+                ),
+                affected,
+            )
         shared = [c for c in df.columns if c in existing.columns]
-        return existing.join(df, on=shared, how="full_outer")
+        return existing.join(df, on=shared, how="full_outer"), affected
 
     def _overwrite_table(self, df: DataFrame) -> None:
         """Whole-table overwrite via temp write → dir swap → delete
@@ -192,9 +236,9 @@ class AtomicWriter:
         tmp = f"{base}__tmp_{uuid.uuid4().hex[:12]}"
         backup = f"{base}__bak_{uuid.uuid4().hex[:12]}"
         self._write_dir(df, tmp)
-        dfs.rename(base, backup)
+        _rename_or_raise(dfs, base, backup)
         try:
-            dfs.rename(tmp, base)
+            _rename_or_raise(dfs, tmp, base)
         except Exception:
             if dfs.exists(backup):
                 dfs.delete(base)
@@ -202,9 +246,20 @@ class AtomicWriter:
             raise
         dfs.delete(backup)
 
-    def _overwrite_partitions(self, df: DataFrame) -> None:
+    def _overwrite_partitions(
+        self, df: DataFrame, affected: list | None = None
+    ) -> None:
         """Atomic partition replacement: temp write → backup affected →
-        move in → restore on failure (OutputWriter.scala:96-262)."""
+        move in → restore on failure (OutputWriter.scala:96-262).
+
+        ``affected`` lets the caller hand in pre-collected criteria
+        (append modes, emptied-partition deletes); they may include
+        partitions the frame has NO rows for — those directories are
+        backed up and NOT replaced, i.e. the partition is deleted. Every
+        commit rename is CHECKED (_rename_or_raise), and the restore
+        path also removes partitions that were newly CREATED before the
+        failure — otherwise a retry would union the landing data with
+        its own half-committed copy and duplicate rows."""
         if not self.partition_columns:
             self._write_dir(df, self.target_location)
             return
@@ -212,22 +267,33 @@ class AtomicWriter:
         base = self.target_location.rstrip("/")
         df = df.persist()
         try:
-            affected = collect_partitions(df, self.partition_columns)
+            if affected is None:
+                affected = collect_partitions(df, self.partition_columns)
             self.last_affected = affected
             tmp = f"{base}__tmp_{uuid.uuid4().hex[:12]}"
             backup = f"{base}__bak_{uuid.uuid4().hex[:12]}"
             self._write_dir(df, tmp)
             moved: list[tuple[str, str]] = []  # (final, backup) pairs
+            created: list[str] = []  # moved in with no prior dir
             try:
                 for crit in affected:
                     rel = partition_rel_path(crit)
                     final_dir = f"{base}/{rel}"
-                    if dfs.exists(final_dir):
-                        dfs.rename(final_dir, f"{backup}/{rel}")
+                    had_prior = dfs.exists(final_dir)
+                    if had_prior:
+                        _rename_or_raise(dfs, final_dir, f"{backup}/{rel}")
                         moved.append((final_dir, f"{backup}/{rel}"))
-                    dfs.rename(f"{tmp}/{rel}", final_dir)
+                    if dfs.exists(f"{tmp}/{rel}"):
+                        _rename_or_raise(dfs, f"{tmp}/{rel}", final_dir)
+                        if not had_prior:
+                            created.append(final_dir)
+                    # else: the frame had no rows for this criterion —
+                    # an explicit full-partition delete (the old dir
+                    # stays in the backup and is removed with it)
             except Exception:
                 # Restore: put backups back (OutputWriter.scala:230-261).
+                for final_dir in created:
+                    dfs.delete(final_dir)
                 for final_dir, bak_dir in moved:
                     dfs.delete(final_dir)
                     dfs.rename(bak_dir, final_dir)
@@ -240,7 +306,11 @@ class AtomicWriter:
 
 
 def write_output(
-    spark: SparkSession, df: DataFrame, params, default_load_mode: str | None = None
+    spark: SparkSession,
+    df: DataFrame,
+    params,
+    default_load_mode: str | None = None,
+    affected: list | None = None,
 ) -> None:
     """Generic sink used by the simple algorithms: target_table →
     saveAsTable / partition-scoped insertInto, target_location →
@@ -281,7 +351,42 @@ def write_output(
                 aligned = add_missing_columns(
                     existing.join(aligned, on=shared, how="full_outer"), target_schema
                 )
-            aligned.write.insertInto(table, overwrite=overwrite)
+            # The partition-scoped contract DEPENDS on dynamic
+            # partition-overwrite: under 'static' (Spark's default when
+            # the session builder didn't set it), INSERT OVERWRITE with
+            # no partition spec truncates EVERY partition of the table.
+            # Force it for this write, restore the caller's setting.
+            conf_key = "spark.sql.sources.partitionOverwriteMode"
+            prev = spark.conf.get(conf_key, None)
+            spark.conf.set(conf_key, "dynamic")
+            try:
+                aligned.write.insertInto(table, overwrite=overwrite)
+            finally:
+                if prev is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prev)
+            if affected and overwrite:
+                # dynamic overwrite replaces only partitions PRESENT in
+                # the frame: a partition the load emptied entirely (all
+                # rows deleted by the CDC) must be dropped explicitly or
+                # its stale rows survive
+                from m3d_engine_spark.plans.partitions import sql_literal
+
+                present = {
+                    tuple(crit) for crit in collect_partitions(w, partition_cols)
+                }
+                for crit in affected:
+                    if tuple(crit) in present or any(
+                        v is None for _, v in crit
+                    ):
+                        continue
+                    spec = ", ".join(
+                        f"`{c}`={sql_literal(v)}" for c, v in crit
+                    )
+                    spark.sql(
+                        f"ALTER TABLE {table} DROP IF EXISTS PARTITION({spec})"
+                    )
             return
         writer = w.write.mode(str(params.get_optional("save_mode", "overwrite")))
         if partition_cols:
@@ -294,4 +399,4 @@ def write_output(
         partition_columns=list(partition_cols),
         output_files_num=n_files,
     )
-    writer.write(df, load_mode)
+    writer.write(df, load_mode, affected=affected)

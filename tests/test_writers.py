@@ -76,3 +76,60 @@ def test_output_files_num_controls_file_count(spark, tmp_path):
     )
     files = [f for f in os.listdir(tgt) if f.endswith(".parquet")]
     assert len(files) == 3
+
+
+def test_empty_string_partition_value_commits(spark, tmp_path):
+    """Spark writes '' partition values as __HIVE_DEFAULT_PARTITION__;
+    the rename-based commit must target that directory, not 'col='
+    (which raised FileNotFoundException mid-commit, or silently
+    dropped the rows where rename returns false)."""
+    tgt = str(tmp_path / "t")
+    _write(
+        spark, tgt,
+        [Row(k=1, cust="a"), Row(k=2, cust="")],
+        ["cust"], LoadMode.OVERWRITE_TABLE,
+    )
+    out = _write(
+        spark, tgt, [Row(k=9, cust="")], ["cust"],
+        LoadMode.OVERWRITE_PARTITIONS,
+    )
+    rows = {r.k: r.cust for r in out.collect()}
+    # '' comes back as NULL (Hive default-partition round-trip)
+    assert rows == {1: "a", 9: None}
+
+
+def test_union_append_preserves_on_disk_only_columns(spark, tmp_path):
+    """A batch missing a column that exists on disk must not destroy
+    that column's data in the rewritten partitions."""
+    tgt = str(tmp_path / "t")
+    _write(
+        spark, tgt,
+        [Row(k=1, year=2016, address="x")],
+        ["year"], LoadMode.OVERWRITE_TABLE,
+    )
+    df = spark.createDataFrame([Row(k=2, year=2016)])
+    AtomicWriter(spark, tgt, partition_columns=["year"]).write(
+        df, LoadMode.APPEND_UNION_PARTITIONS
+    )
+    rows = {r.k: r.address for r in spark.read.parquet(tgt).collect()}
+    assert rows == {1: "x", 2: None}
+
+
+def test_affected_criteria_delete_emptied_partition(spark, tmp_path):
+    """A CDC delta that deletes every row of a partition produces zero
+    output rows there; passing the delta's criteria must still rewrite
+    (i.e. remove) the partition instead of leaving its stale rows."""
+    tgt = str(tmp_path / "t")
+    _write(
+        spark, tgt,
+        [Row(k=1, year=2016), Row(k=2, year=2017)],
+        ["year"], LoadMode.OVERWRITE_TABLE,
+    )
+    merged = spark.createDataFrame([Row(k=99, year=2017)])
+    AtomicWriter(spark, tgt, partition_columns=["year"]).write(
+        merged,
+        LoadMode.OVERWRITE_PARTITIONS,
+        affected=[[("year", 2016)], [("year", 2017)]],
+    )
+    rows = {r.year: r.k for r in spark.read.parquet(tgt).collect()}
+    assert rows == {2017: 99}  # 2016 emptied, not stale
