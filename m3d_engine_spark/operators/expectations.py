@@ -46,9 +46,13 @@ def expectations_check(
             ).alias(f"_v{i}")
         )
     row = df.agg(*aggs)
+    # escape backslashes BEFORE quotes: Spark's string-literal parser
+    # eats lone backslashes, mangling the reported rule name
+    def _lit(name: str) -> str:
+        return name.replace("\\", "\\\\").replace(chr(39), chr(39) * 2)
+
     stack = ", ".join(
-        f"'{name.replace(chr(39), chr(39) * 2)}', _v{i}"
-        for i, name in enumerate(rules)
+        f"'{_lit(name)}', _v{i}" for i, name in enumerate(rules)
     )
     return row.select(
         F.expr(
@@ -58,12 +62,21 @@ def expectations_check(
     ).select(
         "rule",
         "n_rows",
-        F.col("n_violations").cast("long").alias("n_violations"),
-        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias(
-            "violation_rate"
-        ),
-        F.when(F.col("n_violations") == 0, 1).otherwise(0).cast("int")
-        .alias("passed"),
+        # F.sum over ZERO rows is NULL: an empty (legitimately!) table
+        # must report 0 violations / passed=1, not fail every rule
+        F.coalesce(F.col("n_violations"), F.lit(0))
+        .cast("long").alias("n_violations"),
+        F.when(
+            F.col("n_rows") > 0,
+            F.round(
+                F.coalesce(F.col("n_violations"), F.lit(0))
+                / F.col("n_rows"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("violation_rate"),
+        F.when(
+            F.coalesce(F.col("n_violations"), F.lit(0)) == 0, 1
+        ).otherwise(0).cast("int").alias("passed"),
     )
 
 

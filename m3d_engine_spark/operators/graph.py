@@ -277,17 +277,20 @@ def cluster_survivors(
     """Survivor selection — the step AFTER clustering in a dedup
     pipeline: per duplicate cluster keep exactly one document, the one
     with the highest ``quality_col`` (ties to the LOWEST id, so the
-    choice is total and engine-portable). One max_by aggregation —
+    choice is total and engine-portable — including STRING ids: the
+    tie-break negates the quality, never the id, so URL/hash doc ids
+    are legal; a ``-id`` form crashed on strings under ANSI and broke
+    the total order silently with ANSI off). One min_by aggregation —
     map-side combinable, one exchange on the component key. Returns
     (component, survivor_id, cluster_size)."""
     joined = labels.join(
         quality.select(F.col(id_col), F.col(quality_col)), on=id_col
     )
     return joined.groupBy(component_col).agg(
-        F.max_by(
+        F.min_by(
             id_col,
             F.struct(
-                F.col(quality_col).alias("q"), (-F.col(id_col)).alias("ni")
+                (-F.col(quality_col)).alias("nq"), F.col(id_col).alias("i")
             ),
         ).alias("survivor_id"),
         F.count(F.lit(1)).cast("int").alias("cluster_size"),

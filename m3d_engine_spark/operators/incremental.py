@@ -128,11 +128,19 @@ def incremental_dedup_against_artifacts(
     num_hashes = int(meta["num_hashes"])
     bands = int(meta["bands"])
     shingle_n = int(meta["shingle_n"])
+    # the artifact relations carry the MATERIALIZE-time id column name
+    # (recorded in _meta.json precisely so a batch run with a different
+    # id_column still resolves them)
+    old_id = meta.get("id_col", id_col)
     fp_old = spark.read.parquet(artifacts["fingerprints"])
     exact_surv = (
         new.withColumn("_fp", F.md5(F.col(text_col)))
         .join(fp_old, on="_fp", how="left_anti")
         .drop("_fp")
+        # three consumers below (bands, shingle verify, final anti-join)
+        # would each replay the corpus fingerprint anti-join — the
+        # checkpoint discipline every sibling operator applies
+        .localCheckpoint(eager=True)
     )
     nb = lsh_bands(exact_surv, id_col, text_col, num_hashes, bands, shingle_n)
     ob = spark.read.parquet(artifacts["bands"])
@@ -145,7 +153,7 @@ def incremental_dedup_against_artifacts(
         )
         .select(
             F.col(f"n.{id_col}").alias("new_id"),
-            F.col(f"o.{id_col}").alias("old_id"),
+            F.col(f"o.{old_id}").alias("old_id"),
         )
         .distinct()
     )
@@ -167,7 +175,7 @@ def incremental_dedup_against_artifacts(
         )
         .join(
             sh_old.select(
-                F.col(id_col).alias("old_id"), F.col("sh").alias("sh_o")
+                F.col(old_id).alias("old_id"), F.col("sh").alias("sh_o")
             ),
             on="old_id",
         )
@@ -205,6 +213,9 @@ def incremental_dedup(
         new.withColumn("_fp", F.md5(F.col(text_col)))
         .join(fp_old, on="_fp", how="left_anti")
         .drop("_fp")
+        # three consumers (bands, shingle verify, final anti-join):
+        # materialize the corpus fingerprint anti-join once, not thrice
+        .localCheckpoint(eager=True)
     )
 
     nb = lsh_bands(exact_surv, id_col, text_col, num_hashes, bands, shingle_n)

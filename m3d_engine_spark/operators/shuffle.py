@@ -166,17 +166,39 @@ def rendezvous_assign_two_level(
         ).getField("s")
 
     out = df.withColumn("group", argmax(f"{salt}:g:", num_groups))
-    # inner salt depends on the chosen group: one expression per group,
-    # dispatched by the group value — still a projection
-    inner = None
-    for g in range(int(num_groups)):
-        cand = argmax(f"{salt}:w:{g}:", shards_per_group)
-        inner = (
-            F.when(F.col("group") == g, cand)
-            if inner is None
-            else inner.when(F.col("group") == g, cand)
-        )
-    return out.withColumn("subshard", inner).withColumn(
+    # inner salt folds the CHOSEN group value into the hashed string —
+    # W expressions total, not a G-branch CASE of G·W expressions (the
+    # when-chain form made the 32×32 plan as large as the flat 1024
+    # one, defeating the two-level construction's whole point).
+    # Placements stay independent across groups because the group
+    # value is part of every inner hash input.
+    def inner_argmax(n: int):
+        return F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{salt}:w:"),
+                                    F.col("group").cast("string"),
+                                    F.lit(f":{s}:"),
+                                    key,
+                                )
+                            ),
+                            1,
+                            16,
+                        ).alias("w"),
+                        F.lit(s).cast("int").alias("s"),
+                    )
+                    for s in range(int(n))
+                ]
+            )
+        ).getField("s")
+
+    return out.withColumn(
+        "subshard", inner_argmax(shards_per_group)
+    ).withColumn(
         "shard",
         (F.col("group") * int(shards_per_group) + F.col("subshard")).cast(
             "int"

@@ -59,14 +59,19 @@ def asof_join(
     # Right rows sort BEFORE left rows at equal ts so the equal-ts right
     # row is visible to the left row (inclusive match), in both
     # directions.
-    r = right.select(
+    # NULL timestamps never participate: a NULL right_ts row sorts
+    # first (nulls-first asc) and its VALUE would be carried to left
+    # rows with a NULL _matched_ts — an inconsistent pair that violates
+    # the no-match-keeps-NULLs contract; a NULL left_ts row would
+    # spuriously match under the forward (desc) ordering.
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         F.col(right_ts).alias("_matched_ts"),
         *[F.col(c) for c in value_cols],
     )
-    l = left.select(
+    l = left.filter(F.col(left_ts).isNotNull()).select(
         *[F.col(c) for c in left_cols],
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
@@ -122,6 +127,26 @@ def bucketed_range_join(
     from m3d_engine_spark.functions.epoch import epoch_us_of
 
     on = list(on)
+    # Non-key column name clashes between the two sides would emit
+    # duplicate output columns (every downstream by-name reference
+    # ambiguous) — refuse loudly, like interval_overlap_join.
+    clash = [
+        c for c in left.columns
+        if c in right.columns and c not in on
+    ]
+    if clash:
+        raise ValueError(
+            f"bucketed_range_join: non-key columns present on both "
+            f"sides: {clash}; rename or drop one side's"
+        )
+    # Temp names must not clobber user data (the bloom_probe
+    # convention): derive a prefix no existing column starts with.
+    pre = "_brj"
+    while any(
+        c.startswith(pre) for c in (*left.columns, *right.columns)
+    ):
+        pre += "x"
+    pc, sc, ec, bc = f"{pre}_p", f"{pre}_s", f"{pre}_e", f"{pre}_bucket"
     # Defaults are type-agnostic (TIMESTAMP / TIMESTAMP_NTZ / epoch-ns
     # long all accepted) so a testdata encoding change cannot break the
     # operator mid-plan.
@@ -129,25 +154,25 @@ def bucketed_range_join(
     s = start_to_long if start_to_long is not None else epoch_us_of(right, right_start)
     e = end_to_long if end_to_long is not None else epoch_us_of(right, right_end)
     width = bucket_width if isinstance(bucket_width, Column) else F.lit(bucket_width)
-    lb = left.withColumn("_p", p).withColumn(
-        "_bucket", F.floor(F.col("_p") / width)
+    lb = left.withColumn(pc, p).withColumn(
+        bc, F.floor(F.col(pc) / width)
     )
     rb = (
-        right.withColumn("_s", s)
-        .withColumn("_e", e)
+        right.withColumn(sc, s)
+        .withColumn(ec, e)
         .withColumn(
-            "_bucket",
+            bc,
             F.explode(
                 F.sequence(
-                    F.floor(F.col("_s") / width), F.floor(F.col("_e") / width)
+                    F.floor(F.col(sc) / width), F.floor(F.col(ec) / width)
                 )
             ),
         )
     )
-    joined = lb.join(rb, on=on + ["_bucket"], how="inner").filter(
-        (F.col("_p") >= F.col("_s")) & (F.col("_p") <= F.col("_e"))
+    joined = lb.join(rb, on=on + [bc], how="inner").filter(
+        (F.col(pc) >= F.col(sc)) & (F.col(pc) <= F.col(ec))
     )
-    return joined.drop("_bucket", "_p", "_s", "_e")
+    return joined.drop(bc, pc, sc, ec)
 
 
 def scd2_history(
