@@ -33,7 +33,15 @@ class FixedField:
 
 def extract_field(source: Column, field: FixedField) -> Column:
     raw = F.substring(source, field.start, field.end - field.start + 1)
-    return F.nullif(F.trim(raw), F.lit("")).cast(field.dtype).alias(field.name)
+    # try_cast, not cast: under this build's ANSI default a single
+    # malformed slot ('12x' in an int field) would abort the whole
+    # scan; the reference (pre-ANSI cast) yielded NULL — same tolerance
+    # the blank→NULL nullif above already promises.
+    return (
+        F.nullif(F.trim(raw), F.lit(""))
+        .try_cast(field.dtype)
+        .alias(field.name)
+    )
 
 
 def extract_fixed_width(
@@ -69,6 +77,15 @@ class FixedSizeStringExtractorAlgorithm(Algorithm):
         positions = self.params.get_list("substring_positions")
         names = self.params.get_list("target_fields")
         types = self.params.get_optional("target_types") or ["string"] * len(names)
+        if not (len(names) == len(positions) == len(types)):
+            from m3d_engine_spark.config import ConfigError
+
+            raise ConfigError(
+                f"target_fields ({len(names)}), substring_positions "
+                f"({len(positions)}) and target_types ({len(types)}) "
+                f"must align — a plain zip would silently drop the "
+                f"unmatched tail fields"
+            )
         fields = []
         for name, pos, dtype in zip(names, positions, types):
             start, end = (int(x) for x in str(pos).split(","))

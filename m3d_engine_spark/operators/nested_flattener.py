@@ -37,15 +37,25 @@ def _cleanse(name: str, chars_to_replace: str, replacement: str) -> str:
     return re.sub(chars_to_replace, replacement, name)
 
 
-def explode_arrays(df: DataFrame, explode_columns: Sequence[str]) -> DataFrame:
-    """explode_outer each listed (possibly nested) array column in order."""
+def explode_arrays(
+    df: DataFrame,
+    explode_columns: Sequence[str],
+    separator: str = DEFAULT_SEPARATOR,
+) -> DataFrame:
+    """explode_outer each listed (possibly nested) array column in
+    order. For a nested path the exploded field is REMOVED from its
+    parent struct (dropFields) rather than the whole parent dropped —
+    sibling fields survive to the struct-flatten pass (the contract:
+    ``column_mapping=None`` keeps everything)."""
     for name in explode_columns:
         parts = name.split(".")
         quoted = ".".join(f"`{p}`" for p in parts)
-        flat = "__".join(parts)
+        flat = separator.join(parts)
         df = df.withColumn(flat, F.explode_outer(F.col(quoted)))
         if flat != name and parts[0] in df.columns:
-            df = df.drop(parts[0])
+            df = df.withColumn(
+                parts[0], F.col(f"`{parts[0]}`").dropFields(".".join(parts[1:]))
+            )
     return df
 
 
@@ -125,9 +135,14 @@ def flat_dataframe(
             if isinstance(f.dataType, StructType):
                 if name in fields_to_flatten:
                     others = [F.col(f"`{c}`") for c in df.columns if c != name]
+                    # the PARENT name is cleansed too (reference
+                    # NestedFlattener.scala:64-93 cleanses every level)
+                    # so a key like 'a.b' yields 'a_b__sub', matching
+                    # mappings written against cleansed names
+                    parent_clean = _cleanse(name, chars_to_replace, replacement)
                     children = [
                         F.col(f"`{name}`.`{sub.name}`").alias(
-                            f"{name}{separator}{_cleanse(sub.name, chars_to_replace, replacement)}"
+                            f"{parent_clean}{separator}{_cleanse(sub.name, chars_to_replace, replacement)}"
                         )
                         for sub in f.dataType.fields
                     ]
@@ -174,7 +189,7 @@ def flatten(
         top = [c for c in remaining if c.split(".")[0] in df.columns]
         if not top:
             break
-        df = explode_arrays(df, top)
+        df = explode_arrays(df, top, separator)
         remaining = [c for c in remaining if c not in top]
         df = flatten_structs(df, separator, chars_to_replace, replacement)
     df = flatten_structs(df, separator, chars_to_replace, replacement)

@@ -35,8 +35,18 @@ def partition_predicate(criteria: Sequence[PartitionCriteria]) -> Column:
     """
     if not criteria:
         return F.lit(False)
+
+    def term(c, v):
+        # NULL partition values (Hive default partition) must match
+        # null-safely: `col == lit(None)` is never true, which silently
+        # excludes the NULL partition's existing rows from append
+        # reads — and dynamic overwrite then deletes them.
+        if v is None:
+            return F.col(c).isNull()
+        return F.col(c) == F.lit(v)
+
     ands = [
-        reduce(lambda a, b: a & b, [F.col(c) == F.lit(v) for c, v in crit])
+        reduce(lambda a, b: a & b, [term(c, v) for c, v in crit])
         for crit in criteria
         if crit
     ]
@@ -55,13 +65,30 @@ def sql_literal(v: Any) -> str:
         return "true" if v else "false"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        # unquoted str(datetime) is a parse error / wrong arithmetic
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        # unquoted 2024-01-05 parses as integer subtraction (= 2018)
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, float) and v != v:
+        return "CAST('NaN' AS DOUBLE)"  # str(nan) = 'nan', a bare name
     return str(v)
 
 
 def partition_where_sql(criteria: Sequence[PartitionCriteria]) -> str:
-    """The same predicate as an ANSI SQL string (for replaceWhere etc.)."""
+    """The same predicate as an ANSI SQL string (for replaceWhere etc.).
+    NULL values render as ``c IS NULL`` — ``c = NULL`` is never true,
+    so a Delta replaceWhere would refuse the write (or strand stale
+    rows) for the Hive default partition."""
+
+    def term(c, v):
+        return f"{c} IS NULL" if v is None else f"{c} = {sql_literal(v)}"
+
     ors = [
-        "(" + " AND ".join(f"{c} = {sql_literal(v)}" for c, v in crit) + ")"
+        "(" + " AND ".join(term(c, v) for c, v in crit) + ")"
         for crit in criteria
         if crit
     ]
@@ -121,11 +148,14 @@ def check_schema(df: DataFrame, target_schema: StructType) -> DataFrame:
     ``checkSchema``): target fields the DataFrame lacks are skipped
     instead of erroring, so in-load reshaping chains can run before all
     derived columns exist. Pure projection."""
-    present = {c for c in df.columns}
+    # case-insensitive like Spark's resolution (and the sibling
+    # add_missing_columns): a df column 'ID' vs target field 'id' is
+    # present, not silently droppable
+    present = {c.lower() for c in df.columns}
     return df.select(
         *[
             F.col(f.name).cast(f.dataType).alias(f.name)
             for f in target_schema.fields
-            if f.name in present
+            if f.name.lower() in present
         ]
     )

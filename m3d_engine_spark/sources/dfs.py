@@ -85,11 +85,21 @@ class DFS:
         p = self._jpath(path)
         if not fs.exists(p):
             return None
+        base = p.toUri().getPath().rstrip("/")
         it = fs.listFiles(p, True)
         while it.hasNext():
             f = it.next().getPath()
-            if not f.getName().startswith(("_", ".")):
-                return f.toString()
+            # EVERY path component below the base must be visible: the
+            # recursive iterator descends into _temporary/.staging dirs
+            # left by aborted or concurrent writes, whose part files
+            # carry uncommitted (possibly truncated) footers — schema
+            # discovery must never read those.
+            rel = f.toUri().getPath()[len(base):].lstrip("/")
+            if any(
+                seg.startswith(("_", ".")) for seg in rel.split("/")
+            ):
+                continue
+            return f.toString()
         return None
 
     def list_files(self, path: str, recursive: bool = True) -> list[str]:

@@ -228,7 +228,8 @@ def test_ivf_assignment_aggregates_before_exchange(spark, sf_dir):
     import __spark_entry__ as m
 
     plan = _plan_simple(m.queries()["ivf_topk"](spark, sf_dir))
-    assert "partial_max_by" in plan, "corpus argmax lost its map-side combine"
+    # min_by since the string-id-safe argmax (negated score, not id)
+    assert "partial_min_by" in plan, "corpus argmax lost its map-side combine"
     # Two windows total: final top-k ranking + query-side n_probe rank.
     # A third would mean the corpus assignment went back to a window.
     assert plan.count("+- Window ") <= 2, plan
@@ -495,7 +496,8 @@ def test_semantic_assignment_broadcast_centroids_single_exchange(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Exchange") == 2, plan  # broadcast + 1 hash
-    assert "partial_max_by" in plan, plan
+    # min_by since the string-id-safe argmax (negated score, not id)
+    assert "partial_min_by" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

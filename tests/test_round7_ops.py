@@ -1895,3 +1895,34 @@ def test_solve_removal_empty_census_returns_empty(spark):
     from m3d_engine_spark.operators.markov import solve_removal
 
     assert solve_removal([], [], "conv") == []
+
+
+def test_fixed_width_malformed_slot_yields_null_not_crash(spark):
+    """A malformed value in a typed fixed-width slot must extract as
+    NULL (the reference's pre-ANSI cast behavior), not abort the scan
+    under this build's ANSI default."""
+    from m3d_engine_spark.operators.fixed_size_extractor import (
+        FixedField,
+        extract_fixed_width,
+    )
+
+    df = spark.createDataFrame([("12x34",), ("567  ",)], "line string")
+    out = extract_fixed_width(
+        df, "line", [FixedField("v", 1, 3, "int")]
+    ).collect()
+    got = sorted((r.v is None, r.v) for r in out)
+    assert got == [(False, 567), (True, None)]
+
+
+def test_flatten_explode_preserves_struct_siblings(spark):
+    """Exploding a nested array must not drop its parent struct's
+    sibling fields (column_mapping=None keeps everything)."""
+    from m3d_engine_spark.operators.nested_flattener import flatten
+
+    df = spark.createDataFrame(
+        [(1, ([10, 20], "keep"))],
+        "id long, a struct<b: array<int>, c: string>",
+    )
+    out = flatten(df, explode_columns=["a.b"])
+    rows = sorted((r.id, r.a__b, r.a__c) for r in out.collect())
+    assert rows == [(1, 10, "keep"), (1, 20, "keep")]
