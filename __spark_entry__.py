@@ -5068,10 +5068,10 @@ _SQL_BUDGET_SELECT = """
 WITH w AS (
   SELECT doc_id, lang, n_chars,
          CAST(n_chars AS BIGINT) AS n_tokens,
-         sum(CAST(n_chars AS BIGINT)) OVER (
+         CAST(sum(CAST(n_chars AS BIGINT)) OVER (
            PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS cum_tokens
+         ) AS BIGINT) AS cum_tokens
   FROM documents
 )
 SELECT doc_id, lang, n_chars, n_tokens, cum_tokens
@@ -6297,10 +6297,10 @@ WITH src AS (
   SELECT event_type, user_id, count(*) AS n
   FROM src GROUP BY event_type, user_id
 )
-SELECT event_type, user_id, n, CAST(0 AS INT) AS suppressed
+SELECT event_type, user_id, CAST(n AS BIGINT) AS n, CAST(0 AS INT) AS suppressed
 FROM c WHERE n >= 10
 UNION ALL
-SELECT '*', '*', SUM(n), CAST(1 AS INT)
+SELECT '*', '*', CAST(SUM(n) AS BIGINT), CAST(1 AS INT)
 FROM c WHERE n < 10
 HAVING SUM(n) IS NOT NULL
 """
@@ -6667,7 +6667,7 @@ WITH w AS (
     FROM w WHERE length(word) >= 2
   )
 )
-SELECT a, b, SUM(n) AS cnt FROM p GROUP BY a, b
+SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt FROM p GROUP BY a, b
 """
 
 
@@ -8246,7 +8246,7 @@ def q_grouping_sets_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_GROUPING_SETS_CENSUS = """
-SELECT lang, source, count(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT lang, source, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(GROUPING(lang) AS INTEGER) AS g_lang,
        CAST(GROUPING(source) AS INTEGER) AS g_source
 FROM documents
@@ -8427,7 +8427,7 @@ WITH med AS (
 SELECT dev.event_type, count(*) AS n,
        round(any_value(dev.m), 4) AS med,
        round(any_value(mad.md), 4) AS mad,
-       SUM(CAST(dev.ad > 3 * mad.md AS BIGINT)) AS n_outliers
+       CAST(SUM(CAST(dev.ad > 3 * mad.md AS BIGINT)) AS BIGINT) AS n_outliers
 FROM dev JOIN mad ON dev.event_type = mad.event_type
 GROUP BY dev.event_type
 """
@@ -10284,43 +10284,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The round driver records correctness rows for the FIRST 50 entries of
 # queries() only, so the registry rotates each round: never-driver-checked
-# entries are fronted until all 201 have a driver row. Round-8 window
-# (this list) = kmeans_train (round-7's one red row, re-checked after the
-# scalar-shape fix) + the 13 round-7 tail entries + the 22 session-3
-# additions + the first 14 session-4 additions. The written plan for
-# rounds 9-10 (SURVEY.md §Round-8 plan) fronts the remaining 14
-# session-4, the 4 rotation orphans (large_orders brand_share top_paths
-# histogram2d) and the 34 session-5 entries: r9 = 14 + 4 + 32, r10 = the
-# final 2 (mix_entropy, price_elasticity) + re-check spares. Sums to the
-# full 101-entry backlog identified in VERDICT r7.
+# entries are fronted until all 201 have a driver row. Round-9 window
+# (first 50 of this list, per VERDICT r8) = the 3 round-8 red rows
+# (hash-only dtype artifacts, oracles now CAST ... AS BIGINT — fronted so
+# the fix gets driver confirmation) + the 14 session-4 remainder + the 4
+# rotation orphans + the first 29 session-5 entries (through herfindahl).
+# r10 window = the last 5 never-checked (ledger_balance active_users
+# seasonal_index mix_entropy price_elasticity) + 45 re-check spares
+# (oldest driver rows first — the displaced r8 window, then r6-era
+# entries from _all_queries order). After r10 every one of the 201
+# entries has a driver row.
 _ROTATION_FRONT = [
-    "kmeans_train",
-    # round-7 tail (13)
-    "pq_topk", "pq_search", "ivfpq_search", "pagerank", "weighted_sample",
-    "rank_weighted_sample", "script_profile", "blame_supplier",
-    "session_transcript", "ppr_expand", "budget_select", "rank_fusion",
-    "basket_rules",
-    # session-3 additions (22)
-    "event_transitions", "benford_audit", "hits_scores", "ngram_novelty",
-    "lsh_calibration", "classifier_calibration", "mmr_diversify",
-    "kcore_nodes", "last_touch", "audio_chunks", "image_tiles",
-    "skipgram_pairs", "skew_report", "fk_audit", "psi_drift",
-    "quantile_normalize", "hilbert_key", "fertility_stats", "vocab_drift",
-    "interp_lm", "random_walks", "negative_sampling",
-    # session-4 additions, first 14 (grouped_ols closes the window at 50)
-    "scd2_history", "kanon_census", "hybrid_retrieval", "length_batches",
-    "countmin_audit", "embedding_cov", "interval_join", "bpe_pairs",
-    "bloom_prune", "zipf_fit", "join_estimate", "phrase_search",
-    "label_spread", "grouped_ols",
-    # ---- round-9 window starts here: session-4 remainder (14) ----
+    # ---- round-9 window: the 3 r8 red rows, re-checked after the
+    # HUGEINT->BIGINT oracle casts ----
+    "budget_select", "kanon_census", "bpe_pairs",
+    # session-4 remainder (14)
     "gap_fill", "rolling_med", "ab_welch", "rbo_overlap", "fastss_pairs",
     "deepwalk_pairs", "feature_hash", "source_overlap", "phash_dedup",
     "rendezvous_shards", "expectations", "table_checksum", "ndcg_eval",
     "ann_recall",
     # rotation orphans (4) — session-5 entries missed by the r7 memo
     "large_orders", "brand_share", "top_paths", "histogram2d",
-    # session-5 additions (34); r9 covers through seasonal_index,
-    # r10 fronts mix_entropy + price_elasticity
+    # session-5 additions, first 29 (herfindahl closes the window at 50)
     "order_dist", "promo_share", "small_qty_revenue", "returned_items",
     "untapped_customers", "disjunct_revenue", "grouping_sets_census",
     "window_suite", "ewma_revenue", "mad_outliers", "bitext_mine",
@@ -10329,8 +10314,25 @@ _ROTATION_FRONT = [
     "identity_clusters", "asof_forward", "forecast_backtest",
     "kaplan_meier", "windowed_funnel", "wilson_ci", "cuped_lift",
     "chi2_independence", "mann_whitney", "gini_revenue", "herfindahl",
+    # ---- round-10 window starts here: the last 5 never-checked ----
     "ledger_balance", "active_users", "seasonal_index", "mix_entropy",
     "price_elasticity",
+    # r10 re-check spares: the displaced round-8 window (oldest rows
+    # after r10's never-checked 5), minus the 3 red entries fronted above
+    "kmeans_train",
+    "pq_topk", "pq_search", "ivfpq_search", "pagerank", "weighted_sample",
+    "rank_weighted_sample", "script_profile", "blame_supplier",
+    "session_transcript", "ppr_expand", "rank_fusion", "basket_rules",
+    "event_transitions", "benford_audit", "hits_scores", "ngram_novelty",
+    "lsh_calibration", "classifier_calibration", "mmr_diversify",
+    "kcore_nodes", "last_touch", "audio_chunks", "image_tiles",
+    "skipgram_pairs", "skew_report", "fk_audit", "psi_drift",
+    "quantile_normalize", "hilbert_key", "fertility_stats", "vocab_drift",
+    "interp_lm", "random_walks", "negative_sampling",
+    "scd2_history", "hybrid_retrieval", "length_batches",
+    "countmin_audit", "embedding_cov", "interval_join",
+    "bloom_prune", "zipf_fit", "join_estimate", "phrase_search",
+    "label_spread", "grouped_ols",
 ]
 
 

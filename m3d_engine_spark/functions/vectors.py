@@ -101,7 +101,16 @@ def stride_sample(df, id_col: str, stride: int):
     when the stride filter matches NOTHING (ids 1..N with N < stride,
     or ids never divisible) — an empty centroid relation would
     otherwise make the downstream crossJoin produce zero assignments
-    and the whole operator silently return an empty result."""
+    and the whole operator silently return an empty result.
+
+    The ``isEmpty`` probe is a deliberate eager driver job (one
+    ``head(1)`` on the filtered relation, which short-circuits at the
+    first surviving row). The lazy alternative — union the min-id row
+    behind an anti-join guard — adds a full TakeOrdered scan of ``df``
+    to EVERY build, including the overwhelmingly common non-empty case;
+    and every caller (ivf_topk, semantic_assignments) immediately runs
+    an eager multi-job quantizer-training phase on the result anyway,
+    so the probe adds no extra pass over what the build already pays."""
     from pyspark.sql import functions as F
 
     sampled = df.filter((F.col(id_col) % stride) == 0)

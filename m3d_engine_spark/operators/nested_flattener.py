@@ -53,10 +53,32 @@ def explode_arrays(
         flat = separator.join(parts)
         df = df.withColumn(flat, F.explode_outer(F.col(quoted)))
         if flat != name and parts[0] in df.columns:
-            df = df.withColumn(
-                parts[0], F.col(f"`{parts[0]}`").dropFields(".".join(parts[1:]))
-            )
+            df = _drop_nested_field(df, parts)
     return df
+
+
+def _drop_nested_field(df: DataFrame, parts: Sequence[str]) -> DataFrame:
+    """Remove the nested field ``parts[0].parts[1]...`` from its parent
+    struct. ``dropFields`` raises CANNOT_DROP_ALL_FIELDS when the field
+    is its struct's ONLY member, so drop at the deepest ancestor that
+    keeps at least one other field — bubbling up to ``df.drop`` when the
+    whole top-level struct is just this one chain."""
+    node = df.schema[parts[0]].dataType
+    counts = []  # field count of the struct at path parts[: i + 1]
+    for p in parts[1:]:
+        if not isinstance(node, StructType) or p not in node.fieldNames():
+            break
+        counts.append(len(node.fields))
+        node = node[p].dataType
+    drop_at = next(
+        (i for i in range(len(counts) - 1, -1, -1) if counts[i] > 1), None
+    )
+    if drop_at is None:
+        return df.drop(parts[0])
+    return df.withColumn(
+        parts[0],
+        F.col(f"`{parts[0]}`").dropFields(".".join(parts[1 : drop_at + 2])),
+    )
 
 
 def side_flatten(df: DataFrame, column: str, size: int) -> DataFrame:

@@ -43,6 +43,12 @@ def partition_predicate(criteria: Sequence[PartitionCriteria]) -> Column:
         # reads — and dynamic overwrite then deletes them.
         if v is None:
             return F.col(c).isNull()
+        if v == "":
+            # '' shares the default-partition directory with NULL and is
+            # read back from disk AS NULL — `col == ''` alone matches
+            # nothing on disk (collect_partitions canonicalizes '' to
+            # None; this covers criteria handed in by callers directly)
+            return F.col(c).isNull() | (F.col(c) == F.lit(""))
         return F.col(c) == F.lit(v)
 
     ands = [
@@ -85,7 +91,12 @@ def partition_where_sql(criteria: Sequence[PartitionCriteria]) -> str:
     rows) for the Hive default partition."""
 
     def term(c, v):
-        return f"{c} IS NULL" if v is None else f"{c} = {sql_literal(v)}"
+        if v is None:
+            return f"{c} IS NULL"
+        if v == "":
+            # same default-partition aliasing as partition_predicate
+            return f"({c} IS NULL OR {c} = '')"
+        return f"{c} = {sql_literal(v)}"
 
     ors = [
         "(" + " AND ".join(term(c, v) for c, v in crit) + ")"
@@ -102,11 +113,28 @@ def collect_partitions(df: DataFrame, partition_columns: Sequence[str]) -> list[
     executors→driver transfer: partition counts are small (thousands) even
     when row counts are huge, so a distinct+collect on just the partition
     columns is cheap and map-side combinable.
+
+    Empty-string values are canonicalized to None: Spark writes both to
+    the same ``__HIVE_DEFAULT_PARTITION__`` directory and reads them
+    back as NULL, so ('col', '') criteria would (a) match nothing in
+    on-disk append reads while dynamic overwrite replaces the shared
+    default dir — silently losing existing NULL-partition rows — and
+    (b) duplicate a ('col', None) criterion for the SAME rel path,
+    aborting the commit on the second rename. Criteria are deduped
+    after canonicalization.
     """
     if not partition_columns:
         return []
     rows = df.select(*partition_columns).distinct().collect()
-    return [[(c, row[c]) for c in partition_columns] for row in rows]
+    out, seen = [], set()
+    for row in rows:
+        crit = tuple(
+            (c, None if row[c] == "" else row[c]) for c in partition_columns
+        )
+        if crit not in seen:
+            seen.add(crit)
+            out.append(list(crit))
+    return out
 
 
 def is_empty(df: DataFrame) -> bool:

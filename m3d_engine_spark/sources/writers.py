@@ -269,6 +269,14 @@ class AtomicWriter:
         try:
             if affected is None:
                 affected = collect_partitions(df, self.partition_columns)
+            # NULL and '' partition values share one on-disk directory
+            # (__HIVE_DEFAULT_PARTITION__): caller-supplied criteria
+            # carrying both would back up the same dir twice and abort
+            # on the second rename — keep one criterion per rel path.
+            by_rel: dict[str, Any] = {}
+            for crit in affected:
+                by_rel.setdefault(partition_rel_path(crit), crit)
+            affected = list(by_rel.values())
             self.last_affected = affected
             tmp = f"{base}__tmp_{uuid.uuid4().hex[:12]}"
             backup = f"{base}__bak_{uuid.uuid4().hex[:12]}"
@@ -377,12 +385,20 @@ def write_output(
                     tuple(crit) for crit in collect_partitions(w, partition_cols)
                 }
                 for crit in affected:
-                    if tuple(crit) in present or any(
-                        v is None for _, v in crit
-                    ):
+                    if tuple(crit) in present:
                         continue
+                    # A NULL (Hive default) partition value has no SQL
+                    # literal spec — `c=NULL` never matches — but the
+                    # metastore stores it as the sentinel string, which
+                    # DROP PARTITION accepts (verified on datasource
+                    # tables): emptied NULL partitions must drop too or
+                    # their stale rows survive the CDC delete.
                     spec = ", ".join(
-                        f"`{c}`={sql_literal(v)}" for c, v in crit
+                        f"`{c}`=" + (
+                            f"'{HIVE_DEFAULT_PARTITION}'" if v is None
+                            else sql_literal(v)
+                        )
+                        for c, v in crit
                     )
                     spark.sql(
                         f"ALTER TABLE {table} DROP IF EXISTS PARTITION({spec})"

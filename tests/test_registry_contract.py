@@ -45,6 +45,35 @@ def test_every_registry_entry_has_scalar_only_schema(spark, sf_dir):
     )
 
 
+def test_no_oracle_column_types_hugeint(sf_dir):
+    """The driver hashes the DuckDB result through pandas ``.df()``,
+    which renders HUGEINT as float64 — so an uncast ``SUM(BIGINT)``
+    (DuckDB types it HUGEINT) dtype-mismatches a Spark int64 column
+    even when every value is identical (round 8: ``budget_select``,
+    ``kanon_census``, ``bpe_pairs``; the fetchall-based local gate is
+    blind to it because Python ints compare equal). ``DESCRIBE`` plans
+    each oracle without executing it, so the whole registry checks in
+    seconds. Rule: always ``CAST(SUM(...) AS BIGINT)`` — window sums
+    and every UNION arm included (UNION type-unifies the column)."""
+    import duckdb
+
+    from m3d_engine_spark.sources.testdata import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    bad = []
+    for name, sql in entry.oracle_sql().items():
+        for col, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+            if "HUGEINT" in typ.upper():
+                bad.append((name, col, typ))
+    con.close()
+    assert bad == [], (
+        "pandas renders HUGEINT as float64 and the driver hashes dtypes; "
+        f"CAST these oracle columns to BIGINT: {bad}"
+    )
+
+
 def test_oracle_keys_subset_of_queries_and_no_duplicates():
     q = entry.queries()
     o = entry.oracle_sql()
