@@ -10290,10 +10290,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the fix gets driver confirmation) + the 14 session-4 remainder + the 4
 # rotation orphans + the first 29 session-5 entries (through herfindahl).
 # r10 window = the last 5 never-checked (ledger_balance active_users
-# seasonal_index mix_entropy price_elasticity) + 45 re-check spares
-# (oldest driver rows first — the displaced r8 window, then r6-era
-# entries from _all_queries order). After r10 every one of the 201
-# entries has a driver row.
+# seasonal_index mix_entropy price_elasticity) + 45 re-check spares,
+# pre-ordered by staleness below (the r6-cohort entries have gone
+# longest without a driver row). After r10 every one of the 201
+# entries has a driver row, and further rounds re-check oldest-first.
 _ROTATION_FRONT = [
     # ---- round-9 window: the 3 r8 red rows, re-checked after the
     # HUGEINT->BIGINT oracle casts ----
@@ -10314,25 +10314,56 @@ _ROTATION_FRONT = [
     "identity_clusters", "asof_forward", "forecast_backtest",
     "kaplan_meier", "windowed_funnel", "wilson_ci", "cuped_lift",
     "chi2_independence", "mann_whitney", "gini_revenue", "herfindahl",
-    # ---- round-10 window starts here: the last 5 never-checked ----
+    # ---- round-10 window starts here: the last 5 never-checked, then
+    # every already-checked entry ordered by staleness (latest driver
+    # row, oldest first) — r10 rotation is mechanical: move the first
+    # 50 names to the tail and the window becomes 5 never-checked +
+    # 45 oldest re-checks ----
     "ledger_balance", "active_users", "seasonal_index", "mix_entropy",
     "price_elasticity",
-    # r10 re-check spares: the displaced round-8 window (oldest rows
-    # after r10's never-checked 5), minus the 3 red entries fronted above
-    "kmeans_train",
-    "pq_topk", "pq_search", "ivfpq_search", "pagerank", "weighted_sample",
-    "rank_weighted_sample", "script_profile", "blame_supplier",
-    "session_transcript", "ppr_expand", "rank_fusion", "basket_rules",
-    "event_transitions", "benford_audit", "hits_scores", "ngram_novelty",
-    "lsh_calibration", "classifier_calibration", "mmr_diversify",
-    "kcore_nodes", "last_touch", "audio_chunks", "image_tiles",
-    "skipgram_pairs", "skew_report", "fk_audit", "psi_drift",
-    "quantile_normalize", "hilbert_key", "fertility_stats", "vocab_drift",
-    "interp_lm", "random_walks", "negative_sampling",
-    "scd2_history", "hybrid_retrieval", "length_batches",
-    "countmin_audit", "embedding_cov", "interval_join",
-    "bloom_prune", "zipf_fit", "join_estimate", "phrase_search",
-    "label_spread", "grouped_ols",
+    # latest driver row r6 (50)
+    "ann_topk", "append_join", "append_load_regex", "asof_join",
+    "brute_topk", "dedup_clusters", "dedup_pipeline", "dedup_survivors",
+    "delta_condense", "delta_merge", "distinct_partitions",
+    "embedding_dups", "event_rollup", "exact_dups", "fixed_width",
+    "flatten_explode", "flatten_full", "flatten_struct", "full_load_dates",
+    "hash_split", "ivf_topk", "jaccard_pairs", "language_id", "minhash_lsh",
+    "multimodal_decode", "multimodal_meta", "order_priority_check",
+    "order_revenue", "pmi_bigrams", "price_quantiles", "pricing_summary",
+    "quality_zscores", "query_materialization", "range_join",
+    "range_materialization", "regional_revenue", "running_total",
+    "sales_rollup", "schema_evolution_union", "seeded_ann", "sessionize",
+    "side_flatten", "simhash64_hamming", "simhash_dedup", "sql_runner",
+    "stratified_sample", "text_stats", "tfidf_top_terms", "transpose_pivot",
+    "winnow_fingerprints",
+    # latest driver row r7 (49)
+    "bigram_lm", "bm25_topk", "boilerplate_lines", "ccnet_buckets",
+    "cohort_retention", "containment_pairs", "contamination_check",
+    "curation_pipeline", "data_profile", "dataset_card", "distinct_report",
+    "doc_chunk", "domain_cap", "dsir_select", "epoch_shuffle",
+    "event_anomaly", "frame_sample", "funnel_steps", "fuzzy_dedup_corpus",
+    "gopher_quality", "hard_negatives", "incremental_dedup",
+    "mixture_sample", "nation_volume", "numeric_histogram",
+    "pack_materialize", "paragraph_dedup", "percentile_quality",
+    "pii_scrub", "pq_encode", "props_extract", "quality_classifier",
+    "record_linkage", "repeated_spans", "repetition_stats", "robust_scale",
+    "semantic_dedup", "sequence_pack", "session_rollup", "sliding_rollup",
+    "snapshot_diff", "sq_quantize", "temperature_mixture", "top_supplier",
+    "top_terms", "triangle_count", "two_stage_ann", "unigram_lm",
+    "zorder_key",
+    # latest driver row r8 (47)
+    "audio_chunks", "basket_rules", "benford_audit", "blame_supplier",
+    "bloom_prune", "classifier_calibration", "countmin_audit",
+    "embedding_cov", "event_transitions", "fertility_stats", "fk_audit",
+    "grouped_ols", "hilbert_key", "hits_scores", "hybrid_retrieval",
+    "image_tiles", "interp_lm", "interval_join", "ivfpq_search",
+    "join_estimate", "kcore_nodes", "kmeans_train", "label_spread",
+    "last_touch", "length_batches", "lsh_calibration", "mmr_diversify",
+    "negative_sampling", "ngram_novelty", "pagerank", "phrase_search",
+    "ppr_expand", "pq_search", "pq_topk", "psi_drift", "quantile_normalize",
+    "random_walks", "rank_fusion", "rank_weighted_sample", "scd2_history",
+    "script_profile", "session_transcript", "skew_report", "skipgram_pairs",
+    "vocab_drift", "weighted_sample", "zipf_fit",
 ]
 
 

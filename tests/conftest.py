@@ -6,6 +6,38 @@ from m3d_engine_spark.session import build_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# The slow lane (~548 s wall) cannot finish under a 600 s per-command
+# cap with any headroom, and a measured two-way split came in at
+# 319 s + 338 s — still over a 5-minute budget once session startup
+# and the Hive subprocess overhead land. Three sub-lanes, balanced
+# from measured per-file durations (round 9; ~200-255 s wall each):
+# `-m "slow and lane_a"` / `lane_b` / `lane_c`. Files not listed
+# default to lane_c (new slow files: re-balance when a lane nears
+# 300 s wall). Plain `-m slow` still runs everything.
+_LANE_FILES = {
+    "lane_a": {
+        "test_round7_ops.py",
+        "test_plans.py",
+        "test_dedup_artifacts.py",
+    },
+    "lane_b": {
+        "test_quantization.py",
+        "test_algorithms.py",
+        "test_graph.py",
+        "test_selection_anomaly.py",
+        "test_curation_chunking.py",
+        "test_round6_fixes.py",
+        "test_multimodal_streaming.py",
+    },
+}
+_FILE_LANE = {f: lane for lane, fs in _LANE_FILES.items() for f in fs}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        lane = _FILE_LANE.get(item.path.name, "lane_c")
+        item.add_marker(getattr(pytest.mark, lane))
+
 
 @pytest.fixture(scope="session")
 def spark():
