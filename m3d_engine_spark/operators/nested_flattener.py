@@ -62,14 +62,33 @@ def _drop_nested_field(df: DataFrame, parts: Sequence[str]) -> DataFrame:
     struct. ``dropFields`` raises CANNOT_DROP_ALL_FIELDS when the field
     is its struct's ONLY member, so drop at the deepest ancestor that
     keeps at least one other field — bubbling up to ``df.drop`` when the
-    whole top-level struct is just this one chain."""
-    node = df.schema[parts[0]].dataType
+    whole top-level struct is just this one chain. The schema walk
+    resolves names case-insensitively (like the analyzer that just
+    resolved the explode); if it cannot follow the path at all (field
+    genuinely absent, or an intermediate node isn't a struct), fall
+    back to plain ``dropFields`` so the failure stays loud instead of
+    silently dropping the whole parent column and its siblings."""
+    folded = [p.casefold() for p in parts]
+    top = next(
+        (f for f in df.schema.fields if f.name.casefold() == folded[0]), None
+    )
+    node = top.dataType if top is not None else None
     counts = []  # field count of the struct at path parts[: i + 1]
-    for p in parts[1:]:
-        if not isinstance(node, StructType) or p not in node.fieldNames():
+    for p in folded[1:]:
+        if not isinstance(node, StructType):
+            break
+        child = next(
+            (f for f in node.fields if f.name.casefold() == p), None
+        )
+        if child is None:
             break
         counts.append(len(node.fields))
-        node = node[p].dataType
+        node = child.dataType
+    if len(counts) != len(parts) - 1:
+        # walk failed — preserve the pre-existing loud behavior
+        return df.withColumn(
+            parts[0], F.col(f"`{parts[0]}`").dropFields(".".join(parts[1:]))
+        )
     drop_at = next(
         (i for i in range(len(counts) - 1, -1, -1) if counts[i] > 1), None
     )

@@ -384,8 +384,18 @@ def write_output(
                 present = {
                     tuple(crit) for crit in collect_partitions(w, partition_cols)
                 }
-                for crit in affected:
-                    if tuple(crit) in present:
+                # Canonicalize caller-supplied criteria the same way
+                # collect_partitions does ('' -> None, both name the
+                # default partition) and dedupe: an un-canonicalized
+                # ('c','') would miss `present` and then feed DROP
+                # PARTITION(c='') — an AnalysisException AFTER the
+                # insert already committed.
+                canon = {
+                    tuple((c, None if v == "" else v) for c, v in crit)
+                    for crit in affected
+                }
+                for crit in canon:
+                    if crit in present:
                         continue
                     # A NULL (Hive default) partition value has no SQL
                     # literal spec — `c=NULL` never matches — but the

@@ -59,6 +59,29 @@ def test_explode_arrays_sibling_still_preserved(spark):
     assert out.collect()[0].meta.lang == "en"
 
 
+def test_explode_arrays_case_insensitive_path_keeps_siblings(spark):
+    # the analyzer resolves 'meta.Tags' against field 'tags'; the
+    # schema walk must do the same or it silently drops the parent
+    df = spark.createDataFrame(
+        [Row(id=1, meta=Row(tags=["a"], lang="en"))],
+    )
+    out = explode_arrays(df, ["meta.Tags"])
+    assert out.collect()[0].meta.lang == "en"
+
+
+def test_explode_arrays_unfollowable_path_fails_loud(spark):
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    # a is array<struct<b,c>>: the walk cannot follow a.b into a
+    # struct — must raise (old behavior), never silently drop a's data
+    df = spark.createDataFrame(
+        [Row(id=1, a=[Row(b=[1], c="keep")])],
+    )
+    with _pytest.raises(AnalysisException):
+        explode_arrays(df, ["a.b"]).schema
+
+
 # ---------------------------------------------------------------- (2)
 def test_collect_partitions_canonicalizes_empty_string(spark):
     df = spark.createDataFrame(
@@ -124,5 +147,35 @@ def test_write_output_drops_emptied_null_partition(spark):
         spark.catalog.refreshTable(table)
         got = sorted((r.id, r.p) for r in spark.table(table).collect())
         assert got == [(9, "x")], "stale NULL-partition rows survived"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_write_output_empty_string_affected_criterion(spark):
+    # caller-supplied ('p','') criteria must canonicalize to the
+    # default partition, not feed DROP PARTITION(p='') (an
+    # AnalysisException AFTER the insert committed)
+    table = "t_r9_empty_drop"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        spark.createDataFrame(
+            [(1, "x"), (2, None)], "id INT, p STRING"
+        ).write.partitionBy("p").saveAsTable(table)
+        batch = spark.createDataFrame([(9, "x")], "id INT, p STRING")
+        write_output(
+            spark,
+            batch,
+            ParamsFile(
+                {
+                    "target_table": table,
+                    "target_partitions": ["p"],
+                    "load_mode": "OverwritePartitions",
+                }
+            ),
+            affected=[[("p", "x")], [("p", "")]],
+        )
+        spark.catalog.refreshTable(table)
+        got = sorted((r.id, r.p) for r in spark.table(table).collect())
+        assert got == [(9, "x")]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
