@@ -121,6 +121,54 @@ def test_atomic_writer_dedupes_aliased_default_partition(spark, tmp_path):
     assert got == [(1, "x"), (3, None)]
 
 
+def test_append_union_empty_string_batch_keeps_null_rows(spark, tmp_path):
+    # THE ADVICE scenario: an APPEND_UNION batch carrying '' partition
+    # values previously collected ('p','') criteria that matched no
+    # on-disk rows, then dynamic overwrite replaced the shared default
+    # dir — existing NULL-partition rows silently lost in an append
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "x"), (2, None)], "id INT, p STRING"
+    )
+    AtomicWriter(spark, target, ["p"]).write(base, LoadMode.OVERWRITE_TABLE)
+    batch = spark.createDataFrame([(3, "")], "id INT, p STRING")
+    AtomicWriter(spark, target, ["p"]).write(
+        batch, LoadMode.APPEND_UNION_PARTITIONS
+    )
+    got = sorted(
+        (r.id, r.p) for r in spark.read.parquet(target).collect()
+    )
+    # row 2 (NULL partition) survives; row 3's '' reads back as NULL
+    assert got == [(1, "x"), (2, None), (3, None)]
+
+
+def test_atomic_writer_roundtrip_adversarial_partition_values(spark, tmp_path):
+    # end-to-end commit protocol over values whose escaped directory
+    # names differ from the raw strings: the rename-based commit must
+    # target exactly the dirs Spark wrote
+    values = ["plain", "with space", "q=r", "pct%20", "uni_äöü", None]
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id INT, p STRING"
+    )
+    AtomicWriter(spark, target, ["p"]).write(base, LoadMode.OVERWRITE_TABLE)
+    # overwrite two of the partitions (one escaped, one NULL)
+    batch = spark.createDataFrame(
+        [(100, "with space"), (101, None)], "id INT, p STRING"
+    )
+    AtomicWriter(spark, target, ["p"]).write(
+        batch, LoadMode.OVERWRITE_PARTITIONS
+    )
+    got = sorted(
+        (r.id, r.p) for r in spark.read.parquet(target).collect()
+    )
+    expect = sorted(
+        [(i, v) for i, v in enumerate(values) if v not in ("with space", None)]
+        + [(100, "with space"), (101, None)]
+    )
+    assert got == expect
+
+
 # ---------------------------------------------------------------- (3)
 def test_write_output_drops_emptied_null_partition(spark):
     table = "t_r9_null_drop"
