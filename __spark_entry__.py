@@ -10284,44 +10284,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The round driver records correctness rows for the FIRST 50 entries of
 # queries() only, so the registry rotates each round: never-driver-checked
-# entries are fronted until all 201 have a driver row. Round-9 window
-# (first 50 of this list, per VERDICT r8) = the 3 round-8 red rows
-# (hash-only dtype artifacts, oracles now CAST ... AS BIGINT — fronted so
-# the fix gets driver confirmation) + the 14 session-4 remainder + the 4
-# rotation orphans + the first 29 session-5 entries (through herfindahl).
-# r10 window = the last 5 never-checked (ledger_balance active_users
-# seasonal_index mix_entropy price_elasticity) + 45 re-check spares,
-# pre-ordered by staleness below (the r6-cohort entries have gone
-# longest without a driver row). After r10 every one of the 201
-# entries has a driver row, and further rounds re-check oldest-first.
+# entries are fronted until all 201 have a driver row. Round-10 window
+# (first 50 of this list, per VERDICT r9) = the last 5 never-checked
+# entries + the 45 stalest re-checks (the r6-cohort entries have gone
+# longest without a driver row). After r10 every one of the 201 entries
+# has a driver row; further rounds re-check oldest-first — each round's
+# rotation is mechanical: move the first 50 names to the tail, and the
+# next window is the next-stalest 50.
 _ROTATION_FRONT = [
-    # ---- round-9 window: the 3 r8 red rows, re-checked after the
-    # HUGEINT->BIGINT oracle casts ----
-    "budget_select", "kanon_census", "bpe_pairs",
-    # session-4 remainder (14)
-    "gap_fill", "rolling_med", "ab_welch", "rbo_overlap", "fastss_pairs",
-    "deepwalk_pairs", "feature_hash", "source_overlap", "phash_dedup",
-    "rendezvous_shards", "expectations", "table_checksum", "ndcg_eval",
-    "ann_recall",
-    # rotation orphans (4) — session-5 entries missed by the r7 memo
-    "large_orders", "brand_share", "top_paths", "histogram2d",
-    # session-5 additions, first 29 (herfindahl closes the window at 50)
-    "order_dist", "promo_share", "small_qty_revenue", "returned_items",
-    "untapped_customers", "disjunct_revenue", "grouping_sets_census",
-    "window_suite", "ewma_revenue", "mad_outliers", "bitext_mine",
-    "rfm_segments", "revenue_concentration", "order_gap_stats",
-    "metrics_melt", "daily_spine", "skyline_parts", "attribution_removal",
-    "identity_clusters", "asof_forward", "forecast_backtest",
-    "kaplan_meier", "windowed_funnel", "wilson_ci", "cuped_lift",
-    "chi2_independence", "mann_whitney", "gini_revenue", "herfindahl",
-    # ---- round-10 window starts here: the last 5 never-checked, then
-    # every already-checked entry ordered by staleness (latest driver
-    # row, oldest first) — r10 rotation is mechanical: move the first
-    # 50 names to the tail and the window becomes 5 never-checked +
-    # 45 oldest re-checks ----
+    # ---- round-10 window: the last 5 never-driver-checked entries ----
     "ledger_balance", "active_users", "seasonal_index", "mix_entropy",
     "price_elasticity",
-    # latest driver row r6 (50)
+    # + 45 staleness-ordered re-checks: latest driver row r6 (first 45)
     "ann_topk", "append_join", "append_load_regex", "asof_join",
     "brute_topk", "dedup_clusters", "dedup_pipeline", "dedup_survivors",
     "delta_condense", "delta_merge", "distinct_partitions",
@@ -10334,6 +10308,8 @@ _ROTATION_FRONT = [
     "range_materialization", "regional_revenue", "running_total",
     "sales_rollup", "schema_evolution_union", "seeded_ann", "sessionize",
     "side_flatten", "simhash64_hamming", "simhash_dedup", "sql_runner",
+    # ---- round-11 window starts here ----
+    # latest driver row r6 (remaining 5)
     "stratified_sample", "text_stats", "tfidf_top_terms", "transpose_pivot",
     "winnow_fingerprints",
     # latest driver row r7 (49)
@@ -10364,6 +10340,20 @@ _ROTATION_FRONT = [
     "random_walks", "rank_fusion", "rank_weighted_sample", "scd2_history",
     "script_profile", "session_transcript", "skew_report", "skipgram_pairs",
     "vocab_drift", "weighted_sample", "zipf_fit",
+    # latest driver row r9 (50)
+    "budget_select", "kanon_census", "bpe_pairs", "gap_fill", "rolling_med",
+    "ab_welch", "rbo_overlap", "fastss_pairs", "deepwalk_pairs",
+    "feature_hash", "source_overlap", "phash_dedup", "rendezvous_shards",
+    "expectations", "table_checksum", "ndcg_eval", "ann_recall",
+    "large_orders", "brand_share", "top_paths", "histogram2d", "order_dist",
+    "promo_share", "small_qty_revenue", "returned_items",
+    "untapped_customers", "disjunct_revenue", "grouping_sets_census",
+    "window_suite", "ewma_revenue", "mad_outliers", "bitext_mine",
+    "rfm_segments", "revenue_concentration", "order_gap_stats",
+    "metrics_melt", "daily_spine", "skyline_parts", "attribution_removal",
+    "identity_clusters", "asof_forward", "forecast_backtest",
+    "kaplan_meier", "windowed_funnel", "wilson_ci", "cuped_lift",
+    "chi2_independence", "mann_whitney", "gini_revenue", "herfindahl",
 ]
 
 

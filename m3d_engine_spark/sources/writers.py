@@ -272,9 +272,15 @@ class AtomicWriter:
             # NULL and '' partition values share one on-disk directory
             # (__HIVE_DEFAULT_PARTITION__): caller-supplied criteria
             # carrying both would back up the same dir twice and abort
-            # on the second rename — keep one criterion per rel path.
+            # on the second rename — keep one criterion per rel path,
+            # canonicalizing '' -> None FIRST (mirrors
+            # collect_partitions) so last_affected never leaks a
+            # ('col','') criterion into downstream ADD PARTITION /
+            # ANALYZE specs when the '' variant happens to win the
+            # setdefault.
             by_rel: dict[str, Any] = {}
             for crit in affected:
+                crit = [(c, None if v == "" else v) for c, v in crit]
                 by_rel.setdefault(partition_rel_path(crit), crit)
             affected = list(by_rel.values())
             self.last_affected = affected
@@ -410,9 +416,23 @@ def write_output(
                         )
                         for c, v in crit
                     )
-                    spark.sql(
-                        f"ALTER TABLE {table} DROP IF EXISTS PARTITION({spec})"
-                    )
+                    try:
+                        spark.sql(
+                            f"ALTER TABLE {table} "
+                            f"DROP IF EXISTS PARTITION({spec})"
+                        )
+                    except Exception as exc:  # noqa: BLE001
+                        # The insert already committed; a metastore
+                        # cleanup failure (partition-spec value
+                        # resolution varies per catalog/ANSI setting,
+                        # esp. the NULL sentinel on non-string
+                        # partition columns) must not fail the load.
+                        # Worst case a stale empty partition entry
+                        # lingers in the metastore.
+                        print(
+                            f"WARN write_output: post-commit DROP "
+                            f"PARTITION({spec}) on {table} failed: {exc}"
+                        )
             return
         writer = w.write.mode(str(params.get_optional("save_mode", "overwrite")))
         if partition_cols:
