@@ -301,6 +301,8 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.2,
     max_shingle_df: int | None = None,
+    salt_df: int | None = None,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for pairs inside a
     block, with round(jaccard,4) ≥ threshold (must be > 0).
@@ -328,9 +330,27 @@ def ngram_jaccard_pairs(
     shingle exceeds the cutoff (pinned); cost over the uncut path is
     one window count plus a join against the (hot-documents-only)
     correction table, NOT a per-pair array recompute.
+
+    ``salt_df``/``salt_buckets`` close the residual straggler below
+    the cutoff: a shingle with df = k fans its k·(k−1)/2 candidate
+    rows into ONE SMJ task (one (block, shingle) key = one task's
+    stream), so at 100 TB a boilerplate shingle just under the cutoff
+    stalls the stage on a single core even though total work is
+    bounded. With ``salt_df`` set, shingles whose df exceeds it are
+    routed through a salted self-join: the left side gets a
+    deterministic bucket ``pmod(xxhash64(id), salt_buckets)``, the
+    right side is replicated once per bucket, and the join key gains
+    the bucket — every intra-key pair still meets exactly once (in
+    the left row's bucket), but the per-task stream shrinks from
+    k·k to k·k/salt_buckets. OUTPUT IS IDENTICAL to the unsalted
+    path (pinned): salting only re-partitions the same matches, at
+    the cost of replicating hot-shingle rows ``salt_buckets``×.
+    Cold shingles (df ≤ salt_df) keep today's exchange-reused plan.
     """
     if threshold <= 0:
         raise ValueError("ngram_jaccard_pairs requires threshold > 0")
+    if salt_df is not None and salt_buckets < 2:
+        raise ValueError("salt_buckets must be ≥ 2 when salt_df is set")
     base = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
@@ -351,7 +371,7 @@ def ngram_jaccard_pairs(
         F.xxhash64("_shingle_str").alias("shingle"),
     )
     hot_sets = None
-    if max_shingle_df is not None:
+    if max_shingle_df is not None or salt_df is not None:
         # Per-(block, shingle) document frequency — same key as the
         # self-join, so the exchange is reusable. The window form (one
         # count over a partition) avoids a separate agg+join pass.
@@ -361,6 +381,7 @@ def ngram_jaccard_pairs(
                 Window.partitionBy(*block_cols, "shingle")
             ),
         )
+    if max_shingle_df is not None:
         # Correction table: each hot document's dropped shingles. Only
         # documents that contain a hot shingle appear, and each carries
         # only its hot shingles — tiny next to the full shingle sets,
@@ -370,13 +391,8 @@ def ngram_jaccard_pairs(
             .groupBy(id_col)
             .agg(F.collect_set("shingle").alias("hot_sh"))
         )
-        tok = tok.filter(F.col("_df") <= max_shingle_df).drop("_df")
-    # SMJ hint: one shuffle of the exploded-shingle subtree, reused for
-    # both sides (see minhash_lsh_candidates).
-    l, r = tok.alias("l").hint("merge"), tok.alias("r")
-    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
-    cond.append(F.col("l.shingle") == F.col("r.shingle"))
-    cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        tok = tok.filter(F.col("_df") <= max_shingle_df)
+
     # Size filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose
     # sizes differ by more than the threshold ratio can never qualify —
     # prune it inside the join before the aggregation shuffle. The
@@ -385,17 +401,50 @@ def ngram_jaccard_pairs(
     # qualifies and the prune must not cut it (|A|=19999 contained in
     # |B|=100000 at t=0.2 rounds up to exactly 0.2).
     tm = threshold - 0.00005
-    cond.append(F.col("l.n_sh") >= F.col("r.n_sh") * tm)
-    cond.append(F.col("r.n_sh") >= F.col("l.n_sh") * tm)
-    inter = (
-        l.join(r, on=cond)
-        .groupBy(
+
+    def _pair_matches(left: DataFrame, right: DataFrame, *extra_keys: str):
+        # SMJ hint: one shuffle of the exploded-shingle subtree, reused
+        # for both sides (see minhash_lsh_candidates). Salted calls add
+        # the bucket to the equi-key.
+        l, r = left.alias("l").hint("merge"), right.alias("r")
+        cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
+        cond.append(F.col("l.shingle") == F.col("r.shingle"))
+        cond.extend(F.col(f"l.{k}") == F.col(f"r.{k}") for k in extra_keys)
+        cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        cond.append(F.col("l.n_sh") >= F.col("r.n_sh") * tm)
+        cond.append(F.col("r.n_sh") >= F.col("l.n_sh") * tm)
+        return l.join(r, on=cond).select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
             F.col("l.n_sh").alias("na"),
             F.col("r.n_sh").alias("nb"),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+
+    if salt_df is None:
+        if max_shingle_df is not None:
+            tok = tok.drop("_df")
+        matches = _pair_matches(tok, tok)
+    else:
+        # Cold shingles keep the plain (exchange-reused) self-join;
+        # shingles hotter than salt_df go through the salted join so no
+        # single (block, shingle) key owns a quadratic task. A shingle
+        # is cold or hot for BOTH sides of a pair (df is a key-level
+        # property), so every (pair, shingle) match lands in exactly
+        # one stream — and in the salted stream exactly once, in the
+        # left row's deterministic bucket.
+        cold = tok.filter(F.col("_df") <= salt_df).drop("_df")
+        hot = tok.filter(F.col("_df") > salt_df).drop("_df")
+        hot_l = hot.withColumn(
+            "bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        )
+        hot_r = hot.withColumn(
+            "bkt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        ).withColumn("bkt", F.col("bkt").cast("long"))
+        matches = _pair_matches(cold, cold).unionByName(
+            _pair_matches(hot_l, hot_r, "bkt")
+        )
+    inter = matches.groupBy("id_a", "id_b", "na", "nb").agg(
+        F.count(F.lit(1)).alias("inter")
     )
     inter_total = F.col("inter")
     if hot_sets is not None:
@@ -436,6 +485,8 @@ def containment_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    salt_df: int | None = None,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: shingle containment
     C(A→B) = |S(A)∩S(B)| / |S(A)| — the quote / excerpt / repost
@@ -464,9 +515,20 @@ def containment_pairs(
     generated. Containment only needs the |A∩B| correction since na/nb
     are already exact; with cutoff ≥ max df the output is identical to
     the uncut path (pinned).
+
+    ``salt_df``/``salt_buckets`` are the same sub-cutoff straggler fix
+    as ``ngram_jaccard_pairs``: shingles with df > salt_df self-join
+    through a bucketed key (left bucketed by ``pmod(xxhash64(id),
+    salt_buckets)``, right replicated per bucket) so one hot
+    (block, shingle) key's k² pair stream spreads over salt_buckets
+    tasks instead of one. Output identical to the unsalted plan
+    (pinned) — containment needs this dial MORE than Jaccard, since
+    it has no size-ratio prune inside the join.
     """
     if threshold <= 0:
         raise ValueError("containment_pairs requires threshold > 0")
+    if salt_df is not None and salt_buckets < 2:
+        raise ValueError("salt_buckets must be ≥ 2 when salt_df is set")
     base = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
@@ -480,7 +542,7 @@ def containment_pairs(
         F.xxhash64("_s").alias("shingle"),
     )
     hot_sets = None
-    if max_shingle_df is not None:
+    if max_shingle_df is not None or salt_df is not None:
         # Per-(block, shingle) df via a window count — same key as the
         # self-join, so it reads the join's own exchange (no extra
         # agg+join pass); see ngram_jaccard_pairs.
@@ -490,25 +552,48 @@ def containment_pairs(
                 Window.partitionBy(*block_cols, "shingle")
             ),
         )
+    if max_shingle_df is not None:
         hot_sets = (
             tok.filter(F.col("_df") > max_shingle_df)
             .groupBy(id_col)
             .agg(F.collect_set("shingle").alias("hot_sh"))
         )
-        tok = tok.filter(F.col("_df") <= max_shingle_df).drop("_df")
-    l, r = tok.alias("l").hint("merge"), tok.alias("r")
-    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
-    cond.append(F.col("l.shingle") == F.col("r.shingle"))
-    cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-    inter = (
-        l.join(r, on=cond)
-        .groupBy(
+        tok = tok.filter(F.col("_df") <= max_shingle_df)
+
+    def _pair_matches(left: DataFrame, right: DataFrame, *extra_keys: str):
+        l, r = left.alias("l").hint("merge"), right.alias("r")
+        cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
+        cond.append(F.col("l.shingle") == F.col("r.shingle"))
+        cond.extend(F.col(f"l.{k}") == F.col(f"r.{k}") for k in extra_keys)
+        cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        return l.join(r, on=cond).select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
             F.col("l.n_sh").alias("na"),
             F.col("r.n_sh").alias("nb"),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+
+    if salt_df is None:
+        if max_shingle_df is not None:
+            tok = tok.drop("_df")
+        matches = _pair_matches(tok, tok)
+    else:
+        # Exactly-once routing: df is a (block, shingle)-key property,
+        # so each (pair, shingle) match lands in one stream only — and
+        # in the salted stream once, in the left row's bucket.
+        cold = tok.filter(F.col("_df") <= salt_df).drop("_df")
+        hot = tok.filter(F.col("_df") > salt_df).drop("_df")
+        hot_l = hot.withColumn(
+            "bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        )
+        hot_r = hot.withColumn(
+            "bkt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        ).withColumn("bkt", F.col("bkt").cast("long"))
+        matches = _pair_matches(cold, cold).unionByName(
+            _pair_matches(hot_l, hot_r, "bkt")
+        )
+    inter = matches.groupBy("id_a", "id_b", "na", "nb").agg(
+        F.count(F.lit(1)).alias("inter")
     )
     if hot_sets is not None:
         # Exact-|A∩B| correction: add back the overlap among each

@@ -528,3 +528,111 @@ def test_margin_mine_sign_aware_cut(spark):
     # best match is b=10 (cos 0.6); neighborhood sums are negative on
     # the A side, so the naive unsigned cut rejected this pair
     assert len(rows) == 1 and rows[0].b_id == 10 and rows[0].cosine == 0.6
+
+
+def test_jaccard_salted_equals_unsalted(spark):
+    """salt_df routes hot shingles through the bucketed self-join; the
+    OUTPUT contract is bit-identical to the unsalted plan — salting
+    only re-partitions the same (pair, shingle) matches. salt_df=2
+    forces most real shingles through the salted stream; a second read
+    combines the df-cutoff (exactness correction) with salting."""
+    from m3d_engine_spark.operators.dedup import ngram_jaccard_pairs
+    from m3d_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plain = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["source"], 3, 0.2
+        ).collect()
+    }
+    salted = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["source"], 3, 0.2,
+            salt_df=2, salt_buckets=4,
+        ).collect()
+    }
+    assert salted == plain
+    with_cutoff = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["source"], 3, 0.2,
+            max_shingle_df=32, salt_df=2, salt_buckets=4,
+        ).collect()
+    }
+    assert with_cutoff == plain  # nothing exceeds 32 at sf0.001
+
+
+def test_jaccard_salted_hot_key_spread_and_exactly_once(spark):
+    """Worst-case corpus (one shingle in every doc): every intra-key
+    pair must appear EXACTLY once post-salt (the left row meets each
+    right replica in one bucket only), values exact."""
+    from m3d_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "h h h"
+    rows = [(i, f"{hot} u{i}a u{i}b", "b0") for i in range(30)]
+    rows.append((100, f"{hot} r1 r2 r3 r4 r5 r6", "b0"))
+    rows.append((101, f"{hot} r1 r2 r3 r4 r5 r7", "b0"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plain = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["source"], 3, 0.1
+        ).collect()
+    }
+    salted = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["source"], 3, 0.1,
+            salt_df=5, salt_buckets=4,
+        ).collect()
+    }
+    assert salted == plain
+    assert salted[(100, 101)] == round(6 / 8, 4)  # double-count would inflate
+
+
+def test_jaccard_salted_rejects_degenerate_buckets(spark):
+    import pytest as _pytest
+
+    from m3d_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s")], "doc_id long, text string, source string"
+    )
+    with _pytest.raises(ValueError, match="salt_buckets"):
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["source"], salt_df=1, salt_buckets=1
+        )
+
+
+def test_containment_salted_equals_unsalted(spark):
+    """Same exactly-once salting contract for the containment join —
+    it has no size prune, so the hot-key dial matters even more."""
+    from m3d_engine_spark.operators.dedup import containment_pairs
+    from m3d_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    key = lambda r: (r.id_a, r.id_b, r.inter, r.na, r.nb, r.cont_a, r.cont_b)  # noqa: E731
+    plain = {
+        key(r)
+        for r in containment_pairs(
+            docs, "doc_id", "text", ["source"], 3, 0.5
+        ).collect()
+    }
+    salted = {
+        key(r)
+        for r in containment_pairs(
+            docs, "doc_id", "text", ["source"], 3, 0.5,
+            salt_df=2, salt_buckets=4,
+        ).collect()
+    }
+    assert salted == plain
+    with_cutoff = {
+        key(r)
+        for r in containment_pairs(
+            docs, "doc_id", "text", ["source"], 3, 0.5,
+            max_shingle_df=32, salt_df=2, salt_buckets=4,
+        ).collect()
+    }
+    assert with_cutoff == plain

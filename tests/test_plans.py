@@ -1495,3 +1495,29 @@ def test_no_registry_entry_reinlines_expensive_exprs_into_predicates(
         results = list(ex.map(offenders, m.queries().items()))
     bad = [h for r in results for h in r]
     assert bad == [], bad
+
+
+def test_jaccard_salted_plan_shape(spark):
+    """The hot-shingle salted fallback (ngram_jaccard_pairs salt_df=)
+    must split into exactly two SMJ streams — the cold self-join on
+    (block, shingle) with its exchange still reused, and the salted
+    join whose equi-key GAINS the bucket column (the straggler fix:
+    one hot key's pairs spread over salt_buckets tasks) — with no
+    cartesian/BNLJ anywhere and the pair aggregation above the union."""
+    from m3d_engine_spark.operators.dedup import ngram_jaccard_pairs
+    from m3d_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    df = ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["source"], 3, 0.2, salt_df=2, salt_buckets=4
+    )
+    plan = _plan_simple(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert len(smj) == 2, plan
+    salted = [ln for ln in smj if "bkt#" in ln]
+    assert len(salted) == 1, "exactly one join must carry the salt key"
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "ReusedExchange" in executed, "cold self-join exchange not reused"

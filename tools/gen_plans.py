@@ -21,7 +21,7 @@ HEADLINERS = {
     "seeded_ann": "ArrowEvalPython computes all 12 LSH buckets in one numpy matmul; posexplode turns them into (table, bucket) rows and ONE equi-join generates candidates — no per-table branches, no persisted relations; scoring joins read vectors straight from the scans.",
     "sessionize": "Pure-JVM batch form: one exchange on user_id feeds Window (lag + running sum), then partial+final HashAggregate. No Python/Arrow operator anywhere.",
     "embedding_dups": "Sign-LSH bucketed self-join: SMJ pinned by hint so both sides reuse one shuffle exchange; cosine evaluated only on bucket collisions.",
-    "jaccard_pairs": "Inverted-index set-similarity with the hot-shingle df-cutoff ON: window count over the same (block, shingle) key the SMJ self-join shuffles on (exchange reused); Jaccard comes from the kept-collision count plus the hot-set correction left-joins — NO array_union and no join back to full shingle arrays anywhere (the round-3 regression shape). Size filter prunes inside the join condition.",
+    "jaccard_pairs": "Inverted-index set-similarity with the hot-shingle df-cutoff ON: window count over the same (block, shingle) key the SMJ self-join shuffles on (exchange reused); Jaccard comes from the kept-collision count plus the hot-set correction left-joins — NO array_union and no join back to full shingle arrays anywhere (the round-3 regression shape). Size filter prunes inside the join condition. For skew BELOW the cutoff (one boilerplate shingle = one SMJ task owning k² pair rows) the salt_df/salt_buckets fallback splits hot shingles into a bucketed second join — output pinned identical, plan pinned two-SMJ with the salt in the equi-key (tests/test_plans.py::test_jaccard_salted_plan_shape).",
     "simhash64_hamming": "Banded Hamming join: 64-bit signatures aggregated once (hash-once explode topology), pigeonhole band keys drive an SMJ self-equi-join with the shared exchange reused; bit_count(xor) evaluates only on band collisions, never all-pairs.",
     "asof_join": "JOIN-FREE as-of join: union the tagged sides, ONE hash exchange on the key, carry the last right value forward with last(ignorenulls) over the window, keep left rows. No join operator in the plan at all (pinned).",
     "range_join": "Bucketed interval join: intervals explode into covered time buckets, the join is a plain equi-join on (user, bucket) with the exact BETWEEN refine as a post-join filter — never the BroadcastNestedLoopJoin raw inequality predicates get (pinned).",
@@ -150,7 +150,7 @@ HEADLINERS = {
     "revenue_concentration": "80/20 audit: one keyed rollup on the fact; the decile cut runs over the customer rollup, the share/cumulative windows over the 10-row decile relation - DECIMAL end to end, doubles only in the projection.",
     "order_gap_stats": "Purchase cadence: lag window over (custkey, date) pairs - one keyed exchange of the slim projection, never full orders rows; per-segment percentile rollup; customer broadcast.",
     "bitext_mine": "Margin-criterion bitext mining: the scored candidate relation (cosine cross join, side B broadcast - at web scale swap in the seeded-LSH banded candidate stage) is checkpointed ONCE and read back three times (per-side k-NN stats + best match); cosines live on a 1e4 integer lattice so the k-NN denominators are exact integer sums and the margin cut is an exact integer comparison.",
-    "containment_pairs": "Asymmetric containment (quote/excerpt detection): same inverted-index self-join as jaccard_pairs — keyed on (block, xxhash64(shingle)), SMJ with the shared exchange reused, pair counts as an aggregate — but with NO size-ratio prune (a tiny doc fully contained in a huge one is the signal Jaccard misses). The hot-shingle df-cutoff is ON (the only scale dial beyond blocking, since no size prune is possible): the per-(block, shingle) df window count reads the SAME exchange the SMJ self-join shuffles on, and |A∩B| stays exact via the hot-set correction left-joins above the pair aggregate (pinned: keyed join only, no BNLJ).",
+    "containment_pairs": "Asymmetric containment (quote/excerpt detection): same inverted-index self-join as jaccard_pairs — keyed on (block, xxhash64(shingle)), SMJ with the shared exchange reused, pair counts as an aggregate — but with NO size-ratio prune (a tiny doc fully contained in a huge one is the signal Jaccard misses). The hot-shingle df-cutoff is ON (the only scale dial beyond blocking, since no size prune is possible): the per-(block, shingle) df window count reads the SAME exchange the SMJ self-join shuffles on, and |A∩B| stays exact via the hot-set correction left-joins above the pair aggregate (pinned: keyed join only, no BNLJ). The salt_df/salt_buckets hot-key fallback (same exactly-once bucketed second join as jaccard_pairs, output pinned identical) matters MOST here since no size prune exists.",
     "snapshot_diff": "Snapshot diff (what did last night's load change): null-safe md5 row fingerprints are map-side projections on each scan; the ENTIRE diff is one full-outer SortMergeJoin on the business key (pinned == 1) — the minimum any keyed two-corpus comparison can pay; with key-bucketed snapshots even that exchange vanishes. Status classification is a projection; the counts rollup partial-aggregates 4 rows per task.",
     "sq_quantize": "SQ8 scalar quantization: per-dim min/max from one keyed aggregate (exchange carries <= dim rows), pivoted to two dim-length arrays and BROADCAST (the single 1-row BNLJ, pinned); encode and midpoint-decode error are zero-exchange array-transform projections — the quantizer trains in one pass and applies map-side, which is what a write-time re-encode of 10^9 vectors needs. Exact IEEE arithmetic both engines (no summation in the bounds), 4dp rounding on the error fold only.",
     "pq_encode": "Product quantization: the md5-sampled k-vector codebook is the single broadcast 1-row BNLJ; the per-subspace argmin over k centroids is a NESTED JVM array fold — a zero-exchange projection with NO Generate (pinned): the exploded N×k×m relation (128× the corpus at these dials) never exists; encode is embarrassingly parallel over the scan and a Lloyd-trained codebook from operators/kmeans.py drops in without changing the topology. The DuckDB twin IS the exploded relation — affordable at oracle sf, which is exactly the cross-check the projection form needs.",
