@@ -175,25 +175,74 @@ def _band_keys(
     )
 
 
-def _banded_candidates(bands_rel: DataFrame, id_col: str) -> DataFrame:
+def _banded_candidates(
+    bands_rel: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None = None,
+    salt_size: int | None = None,
+    salt_parts: int = 8,
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs colliding in ≥1 band. SMJ-hinted so
     Catalyst reuses ONE shuffle exchange for both self-join sides (a
     broadcast plan would evaluate the md5 pipeline twice and flips
-    nondeterministically with size estimates)."""
-    left = bands_rel.alias("l").hint("merge")
-    right = bands_rel.alias("r")
-    return (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.band_key") == F.col("r.band_key"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
+    nondeterministically with size estimates).
+
+    Scale dials for giant buckets (a 10⁵-copy boilerplate page is one
+    (band, band_key) bucket = one SMJ task owning k²/2 pair rows):
+
+    - ``max_bucket_size`` DROPS buckets larger than it from candidate
+      generation entirely — the standard web-dedup recall dial
+      (ultra-large buckets are boilerplate, and their members usually
+      also collide in rarer buckets). Changes output (documented).
+    - ``salt_size`` keeps every pair but routes buckets larger than it
+      through a salted join — left bucketed by
+      ``pmod(xxhash64(id), salt_parts)``, right replicated per part,
+      the part in the equi-key — so the k² stream spreads over
+      ``salt_parts`` tasks. Output IDENTICAL to the unsalted join
+      (each intra-bucket pair meets exactly once, in the left row's
+      part; multi-band collisions collapse in the final distinct).
+    """
+    rel = bands_rel
+    if max_bucket_size is not None or salt_size is not None:
+        # Bucket size via a window count on the join's own key — the
+        # exchange is shared with the self-join below.
+        rel = rel.withColumn(
+            "_bsz",
+            F.count(F.lit(1)).over(Window.partitionBy("band", "band_key")),
         )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    if max_bucket_size is not None:
+        rel = rel.filter(F.col("_bsz") <= max_bucket_size)
+
+    def _pairs(left: DataFrame, right: DataFrame, *extra_keys: str):
+        l, r = left.alias("l").hint("merge"), right.alias("r")
+        cond = [
+            F.col("l.band") == F.col("r.band"),
+            F.col("l.band_key") == F.col("r.band_key"),
+        ]
+        cond.extend(F.col(f"l.{k}") == F.col(f"r.{k}") for k in extra_keys)
+        cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        return l.join(r, on=cond).select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+
+    if salt_size is None:
+        if max_bucket_size is not None:
+            rel = rel.drop("_bsz")
+        out = _pairs(rel, rel)
+    else:
+        if salt_parts < 2:
+            raise ValueError("salt_parts must be ≥ 2 when salt_size is set")
+        cold = rel.filter(F.col("_bsz") <= salt_size).drop("_bsz")
+        hot = rel.filter(F.col("_bsz") > salt_size).drop("_bsz")
+        hot_l = hot.withColumn(
+            "bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts))
+        )
+        hot_r = hot.withColumn(
+            "bkt", F.explode(F.sequence(F.lit(0), F.lit(salt_parts - 1)))
+        ).withColumn("bkt", F.col("bkt").cast("long"))
+        out = _pairs(cold, cold).unionByName(_pairs(hot_l, hot_r, "bkt"))
+    return out.distinct()
 
 
 def lsh_bands(
@@ -220,14 +269,25 @@ def lsh_bands(
 def minhash_lsh_candidates(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 16, bands: int = 8, shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+    salt_size: int | None = None,
+    salt_parts: int = 8,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) colliding in ≥1 LSH band.
 
     The self-join key (band, band_key) co-partitions both sides: the
     shuffle moves only (id, 32-byte key) pairs, never documents.
+    ``max_bucket_size`` / ``salt_size`` are the giant-bucket dials —
+    see ``_banded_candidates`` (cap = recall dial; salt = exact, same
+    pairs spread over ``salt_parts`` tasks).
     """
     b = lsh_bands(df, id_col, text_col, num_hashes, bands, shingle_n)
-    return _banded_candidates(b, id_col)
+    return _banded_candidates(
+        b, id_col,
+        max_bucket_size=max_bucket_size,
+        salt_size=salt_size,
+        salt_parts=salt_parts,
+    )
 
 
 # -------------------------------------------------------------- SimHash
@@ -749,11 +809,19 @@ def embedding_near_dupes(
     vec_col: str,
     threshold: float = 0.95,
     lsh_bits: int = 4,
+    salt_size: int | None = None,
+    salt_parts: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, candidate-limited to
     sign-LSH buckets (co-partitioned self-join, not a cross join).
     Norms are precomputed per vector (one sqrt each) instead of per
-    candidate pair."""
+    candidate pair.
+
+    ``lsh_bits`` is the primary scale dial (2^lsh_bits buckets — grow
+    it with the corpus); ``salt_size``/``salt_parts`` is the residual
+    straggler fix (same exactly-once bucketed second join as
+    ``_banded_candidates``: identical output, a hot bucket's pair
+    stream spread over ``salt_parts`` tasks)."""
     from m3d_engine_spark.functions.vectors import dot, norm
 
     base = df.select(
@@ -762,23 +830,40 @@ def embedding_near_dupes(
         norm(F.col(vec_col)).alias("nrm"),
         sign_lsh_bucket(F.col(vec_col), lsh_bits).alias("bucket"),
     )
-    l, r = base.alias("l").hint("merge"), base.alias("r")
-    sim = F.round(dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 4)
-    return (
-        l.join(
-            r,
-            on=[
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
+
+    def _pairs(left: DataFrame, right: DataFrame, *extra_keys: str):
+        l, r = left.alias("l").hint("merge"), right.alias("r")
+        cond = [F.col("l.bucket") == F.col("r.bucket")]
+        cond.extend(F.col(f"l.{k}") == F.col(f"r.{k}") for k in extra_keys)
+        cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        sim = F.round(
+            dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")),
+            4,
         )
-        .select(
+        return l.join(r, on=cond).select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
             sim.alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold)
-    )
+
+    if salt_size is None:
+        out = _pairs(base, base)
+    else:
+        if salt_parts < 2:
+            raise ValueError("salt_parts must be ≥ 2 when salt_size is set")
+        sized = base.withColumn(
+            "_bsz", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+        )
+        cold = sized.filter(F.col("_bsz") <= salt_size).drop("_bsz")
+        hot = sized.filter(F.col("_bsz") > salt_size).drop("_bsz")
+        hot_l = hot.withColumn(
+            "bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts))
+        )
+        hot_r = hot.withColumn(
+            "bkt", F.explode(F.sequence(F.lit(0), F.lit(salt_parts - 1)))
+        ).withColumn("bkt", F.col("bkt").cast("long"))
+        out = _pairs(cold, cold).unionByName(_pairs(hot_l, hot_r, "bkt"))
+    return out.filter(F.col("cosine") >= threshold)
 
 
 # ---------------------------------------------------- 64-bit SimHash
@@ -836,6 +921,8 @@ def simhash64_hamming_pairs(
     text_col: str,
     hamming_k: int = 3,
     bands: int = 4,
+    salt_size: int | None = None,
+    salt_parts: int = 8,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(simhash64) ≤ k.
 
@@ -845,6 +932,11 @@ def simhash64_hamming_pairs(
     on (band_idx, band_value) — co-partitioned, never all-pairs — and
     the exact ``bit_count(xor)`` filter runs only on collisions.
     Requires hamming_k ≤ bands − 1 for completeness.
+
+    ``salt_size``/``salt_parts``: a hot (band, band_val) slice value —
+    inevitable at 10⁸+ docs with 16-bit slices — routes through the
+    exactly-once salted second join (identical output; the final
+    distinct collapses multi-band collisions exactly as before).
     """
     if hamming_k > bands - 1:
         raise ValueError(
@@ -865,26 +957,41 @@ def simhash64_hamming_pairs(
             ])
         ).alias("band", "band_val"),
     )
-    l, r = banded.alias("l").hint("merge"), banded.alias("r")
-    pairs = (
-        l.join(
-            r,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.band_val") == F.col("r.band_val"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
+    def _pairs(left: DataFrame, right: DataFrame, *extra_keys: str):
+        l, r = left.alias("l").hint("merge"), right.alias("r")
+        cond = [
+            F.col("l.band") == F.col("r.band"),
+            F.col("l.band_val") == F.col("r.band_val"),
+        ]
+        cond.extend(F.col(f"l.{k}") == F.col(f"r.{k}") for k in extra_keys)
+        cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        return l.join(r, on=cond).select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
             F.bit_count(
                 F.col("l.simhash64").bitwiseXOR(F.col("r.simhash64"))
             ).alias("hamming"),
         )
-        .distinct()
-    )
-    return pairs.filter(F.col("hamming") <= hamming_k)
+
+    if salt_size is None:
+        matched = _pairs(banded, banded)
+    else:
+        if salt_parts < 2:
+            raise ValueError("salt_parts must be ≥ 2 when salt_size is set")
+        sized = banded.withColumn(
+            "_bsz",
+            F.count(F.lit(1)).over(Window.partitionBy("band", "band_val")),
+        )
+        cold = sized.filter(F.col("_bsz") <= salt_size).drop("_bsz")
+        hot = sized.filter(F.col("_bsz") > salt_size).drop("_bsz")
+        hot_l = hot.withColumn(
+            "bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts))
+        )
+        hot_r = hot.withColumn(
+            "bkt", F.explode(F.sequence(F.lit(0), F.lit(salt_parts - 1)))
+        ).withColumn("bkt", F.col("bkt").cast("long"))
+        matched = _pairs(cold, cold).unionByName(_pairs(hot_l, hot_r, "bkt"))
+    return matched.distinct().filter(F.col("hamming") <= hamming_k)
 
 
 # ---------------------------------------------------- semantic dedup

@@ -636,3 +636,89 @@ def test_containment_salted_equals_unsalted(spark):
         ).collect()
     }
     assert with_cutoff == plain
+
+
+def test_lsh_candidates_salted_equals_unsalted(spark):
+    """_banded_candidates salt_size: identical pair set, spread over
+    salt parts — including a giant bucket (every doc identical in one
+    band) and multi-band collisions collapsing in the distinct."""
+    from m3d_engine_spark.operators.dedup import minhash_lsh_candidates
+    from m3d_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plain = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    salted = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            docs, "doc_id", "text", salt_size=2, salt_parts=4
+        ).collect()
+    }
+    assert salted == plain and plain  # non-empty at sf0.001
+
+
+def test_lsh_candidates_bucket_cap_drops_giant_buckets(spark):
+    """max_bucket_size is the recall dial: a bucket of k identical docs
+    stops producing its k²/2 pairs; pairs from small buckets remain."""
+    from m3d_engine_spark.operators.dedup import minhash_lsh_candidates
+
+    rows = [(i, "boiler plate page body text", ) for i in range(20)]
+    rows += [(100, "a rare near dup document xx"), (101, "a rare near dup document yy")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            docs, "doc_id", "text", max_bucket_size=10
+        ).collect()
+    }
+    assert (100, 101) in uncapped and (100, 101) in capped
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    assert any(a < 100 and b < 100 for a, b in uncapped)
+
+
+def test_embedding_near_dupes_salted_equals_unsalted(spark):
+    # synthetic clusters so pairs actually exist: one hot sign-bucket
+    # (12 near-identical vectors), one cold pair, lone noise vectors
+    from m3d_engine_spark.operators.dedup import embedding_near_dupes
+
+    rows = [(i, [1.0, 0.5, 0.25, 0.1 + i * 1e-3]) for i in range(12)]
+    rows += [(20, [-1.0, 0.8, -0.6, 0.4]), (21, [-1.0, 0.8, -0.6, 0.41])]
+    rows += [(30, [0.1, -0.9, 0.2, -0.5]), (31, [-0.3, 0.2, 0.9, -0.7])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plain = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dupes(emb, "vec_id", "embedding", 0.9).collect()
+    }
+    salted = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dupes(
+            emb, "vec_id", "embedding", 0.9, salt_size=4, salt_parts=4
+        ).collect()
+    }
+    assert salted == plain
+    assert sum(a < 12 and b < 12 for a, b, _ in plain) == 12 * 11 / 2
+    assert (20, 21) in {(a, b) for a, b, _ in plain}
+
+
+def test_simhash64_salted_equals_unsalted(spark):
+    from m3d_engine_spark.operators.dedup import simhash64_hamming_pairs
+    from m3d_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    plain = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash64_hamming_pairs(docs, "doc_id", "text").collect()
+    }
+    salted = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash64_hamming_pairs(
+            docs, "doc_id", "text", salt_size=2, salt_parts=4
+        ).collect()
+    }
+    assert salted == plain

@@ -1521,3 +1521,22 @@ def test_jaccard_salted_plan_shape(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "ReusedExchange" in executed, "cold self-join exchange not reused"
+
+
+def test_lsh_candidates_salted_plan_shape(spark):
+    """Salted banded-candidate join: two SMJ streams (cold exchange
+    reused; salted key carries the part column), no cartesian/BNLJ."""
+    from m3d_engine_spark.operators.dedup import minhash_lsh_candidates
+    from m3d_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    df = minhash_lsh_candidates(docs, "doc_id", "text", salt_size=2, salt_parts=4)
+    plan = _plan_simple(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert len(smj) == 2, plan
+    assert sum("bkt#" in ln for ln in smj) == 1
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "ReusedExchange" in executed
