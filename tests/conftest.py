@@ -6,11 +6,12 @@ from m3d_engine_spark.session import build_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
-# The slow lane (~548 s wall) cannot finish under a 600 s per-command
+# The slow lane (~12 min wall) cannot finish under a 600 s per-command
 # cap with any headroom, and a measured two-way split came in at
 # 319 s + 338 s — still over a 5-minute budget once session startup
 # and the Hive subprocess overhead land. Three sub-lanes, balanced
-# from measured per-file durations (round 9; ~200-255 s wall each):
+# from measured per-file durations (round 10: lane_a 221 s, lane_b
+# 213 s, lane_c 285 s wall — matches the pytest.ini header):
 # `-m "slow and lane_a"` / `lane_b` / `lane_c`. Files not listed
 # default to lane_c (new slow files: re-balance when a lane nears
 # 300 s wall). Plain `-m slow` still runs everything.
