@@ -51,6 +51,8 @@ def record_linkage(
     fields: Mapping[str, float],
     threshold: float = 0.8,
     keep: int = 1,
+    salt_size: int | None = None,
+    salt_parts: int = 8,
 ) -> DataFrame:
     """Match ``left`` records to ``right`` records sharing a block.
 
@@ -58,7 +60,19 @@ def record_linkage(
     score = Σ w_f·sim_f / Σ w. Returns (left_id, right_id, score,
     rank) for pairs with score ≥ ``threshold``, at most ``keep`` best
     matches per left record (rank 1 = best; ties on score break to the
-    smaller right id)."""
+    smaller right id).
+
+    ``salt_size``/``salt_parts`` is the hot-block straggler dial: a
+    block whose larger side exceeds ``salt_size`` rows is routed
+    through a salted join — its BIGGER side gets a deterministic part
+    ``pmod(xxhash64(id), salt_parts)``, its smaller side replicates
+    once per part, and the equi-key gains the part — so one hot
+    block's |L_b|·|R_b| comparison stream spreads over ``salt_parts``
+    tasks instead of one. Which side salts is decided per block from
+    a broadcast block-count relation (≤ N/salt_size rows by
+    construction). Output identical to the unsalted join: per block
+    exactly one side is salted and the other replicated, so every
+    (l, r) pair meets exactly once, in the salted row's part."""
     block_cols = list(block_cols)
     if not fields:
         raise ValueError("record_linkage needs at least one scored field")
@@ -86,7 +100,59 @@ def record_linkage(
         *[F.col(c).alias(f"_bl_{c}") for c in block_cols],
         *[F.col(c).alias(f"_r_{c}") for c in fields],
     )
-    pairs = lsel.join(rsel, on=[f"_bl_{c}" for c in block_cols])
+    join_keys = [f"_bl_{c}" for c in block_cols]
+    if salt_size is None:
+        pairs = lsel.join(rsel, on=join_keys)
+    else:
+        if salt_parts < 2:
+            raise ValueError("salt_parts must be ≥ 2 when salt_size is set")
+        # Hot blocks (larger side > salt_size) and which side salts:
+        # one small agg per side, joined into a ≤ N/salt_size-row
+        # relation that broadcasts back onto both inputs.
+        bc_hot = (
+            lsel.groupBy(join_keys).agg(F.count(F.lit(1)).alias("_cl"))
+            .join(
+                rsel.groupBy(join_keys).agg(F.count(F.lit(1)).alias("_cr")),
+                on=join_keys,
+            )
+            .filter(F.greatest("_cl", "_cr") > salt_size)
+            .select(*join_keys, (F.col("_cl") >= F.col("_cr")).alias("_lsalts"))
+        )
+        one = F.array(F.lit(0).cast("long"))
+        allp = F.sequence(
+            F.lit(0).cast("long"), F.lit(salt_parts - 1).cast("long")
+        )
+        l2 = (
+            lsel.join(F.broadcast(bc_hot), on=join_keys, how="left")
+            .withColumn(
+                "_part",
+                F.explode(
+                    F.when(F.col("_lsalts").isNull(), one)  # cold block
+                    .when(
+                        F.col("_lsalts"),
+                        F.array(F.pmod(F.xxhash64("_lid"), F.lit(salt_parts))),
+                    )
+                    .otherwise(allp)  # right salts → left replicates
+                ),
+            )
+            .drop("_lsalts")
+        )
+        r2 = (
+            rsel.join(F.broadcast(bc_hot), on=join_keys, how="left")
+            .withColumn(
+                "_part",
+                F.explode(
+                    F.when(F.col("_lsalts").isNull(), one)
+                    .when(
+                        ~F.col("_lsalts"),
+                        F.array(F.pmod(F.xxhash64("_rid"), F.lit(salt_parts))),
+                    )
+                    .otherwise(allp)  # left salts → right replicates
+                ),
+            )
+            .drop("_lsalts")
+        )
+        pairs = l2.join(r2, on=join_keys + ["_part"]).drop("_part")
     total_w = float(sum(fields.values()))
     score = None
     for c, w in fields.items():
@@ -117,6 +183,8 @@ def fastss_pairs(
     df: DataFrame,
     id_col: str,
     str_col: str,
+    salt_size: int | None = None,
+    salt_parts: int = 8,
 ) -> DataFrame:
     """All pairs of rows whose strings are within edit distance 1
     (insert/delete/substitute one character), via deletion-
@@ -136,6 +204,13 @@ def fastss_pairs(
     by an md5 of the variant (fixed-width key, text never joins); the
     self-join is keyed; the Levenshtein verify touches only
     collisions.
+
+    ``salt_size``/``salt_parts``: k identical strings share ALL their
+    variant keys, so each key is a k-row bucket whose k²/2 pairs land
+    in one task. Variant keys hotter than ``salt_size`` route through
+    the exactly-once salted self-join (left bucketed by
+    ``pmod(xxhash64(id), salt_parts)``, right replicated per part) —
+    identical output, hot key spread over ``salt_parts`` tasks.
     """
     base = df.select(
         F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
@@ -156,17 +231,40 @@ def fastss_pairs(
             )
         ).alias("_v"),
     ).select("_id", "_s", F.md5(F.col("_v")).alias("_vk"))
-    a = variants.select(
-        F.col("_id").alias("id_a"), F.col("_s").alias("str_a"), "_vk"
-    )
-    b = variants.select(
-        F.col("_id").alias("id_b"), F.col("_s").alias("str_b"), "_vk"
-    )
+    def _cand(va: DataFrame, vb: DataFrame, *extra_keys: str) -> DataFrame:
+        a = va.select(
+            F.col("_id").alias("id_a"), F.col("_s").alias("str_a"), "_vk",
+            *extra_keys,
+        )
+        b = vb.select(
+            F.col("_id").alias("id_b"), F.col("_s").alias("str_b"), "_vk",
+            *extra_keys,
+        )
+        return (
+            a.join(b, on=["_vk", *extra_keys])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "str_a", "str_b")
+        )
+
+    if salt_size is None:
+        cands = _cand(variants, variants)
+    else:
+        if salt_parts < 2:
+            raise ValueError("salt_parts must be ≥ 2 when salt_size is set")
+        sized = variants.withColumn(
+            "_bsz", F.count(F.lit(1)).over(Window.partitionBy("_vk"))
+        )
+        cold = sized.filter(F.col("_bsz") <= salt_size).drop("_bsz")
+        hot = sized.filter(F.col("_bsz") > salt_size).drop("_bsz")
+        hot_a = hot.withColumn(
+            "_part", F.pmod(F.xxhash64("_id"), F.lit(salt_parts))
+        )
+        hot_b = hot.withColumn(
+            "_part", F.explode(F.sequence(F.lit(0), F.lit(salt_parts - 1)))
+        ).withColumn("_part", F.col("_part").cast("long"))
+        cands = _cand(cold, cold).unionByName(_cand(hot_a, hot_b, "_part"))
     pairs = (
-        a.join(b, on="_vk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "str_a", "str_b")
-        .distinct()
+        cands.distinct()
         .withColumn(
             "dist", F.levenshtein(F.col("str_a"), F.col("str_b")).cast("int")
         )

@@ -81,3 +81,60 @@ def test_record_linkage_entry_recovers_all_sources(spark, sf_dir):
     out = m.queries()["record_linkage"](spark, sf_dir).collect()
     assert len(out) > 0
     assert all(r.d_id - 9000000 == r.c_custkey and r.rank == 1 for r in out)
+
+
+def test_record_linkage_salted_equals_unsalted(spark):
+    """Hot-block salting (bigger side salted, smaller side replicated,
+    per-block choice from the broadcast count relation) must return the
+    exact unsalted output — including blocks where LEFT is bigger,
+    blocks where RIGHT is bigger, and cold blocks."""
+    from m3d_engine_spark.operators.linkage import record_linkage
+
+    left = spark.createDataFrame(
+        # block b1: left-heavy (6 vs 2); block b2: right-heavy (2 vs 6);
+        # block b3: cold (1 vs 1)
+        [(i, "b1", f"alice smith {i % 3}") for i in range(6)]
+        + [(10, "b2", "bob jones"), (11, "b2", "bob jonez")]
+        + [(20, "b3", "carol white")],
+        "lid long, blk string, name string",
+    )
+    right = spark.createDataFrame(
+        [(100, "b1", "alice smith 0"), (101, "b1", "alice smith 1")]
+        + [(200 + i, "b2", f"bob jone{i}") for i in range(6)]
+        + [(300, "b3", "carol whyte")],
+        "rid long, blk string, name string",
+    )
+    kw = dict(
+        left_id="lid", right_id="rid", block_cols=["blk"],
+        fields={"name": 1.0}, threshold=0.5, keep=3,
+    )
+    plain = {
+        (r.lid, r.rid, r.score, r.rank)
+        for r in record_linkage(left, right, **kw).collect()
+    }
+    salted = {
+        (r.lid, r.rid, r.score, r.rank)
+        for r in record_linkage(
+            left, right, **kw, salt_size=3, salt_parts=4
+        ).collect()
+    }
+    assert salted == plain and plain
+
+
+def test_fastss_salted_equals_unsalted(spark):
+    """k identical strings = k-row buckets on every variant key; the
+    salted self-join must return the identical deduped pair set."""
+    from m3d_engine_spark.operators.linkage import fastss_pairs
+
+    rows = [(i, "kitten") for i in range(8)]  # identical-string hot keys
+    rows += [(20, "kitte"), (21, "sitten"), (22, "mitten"), (30, "zebra")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    key = lambda r: (r.id_a, r.id_b, r.str_a, r.str_b, r.dist)  # noqa: E731
+    plain = {key(r) for r in fastss_pairs(df, "id", "s").collect()}
+    salted = {
+        key(r)
+        for r in fastss_pairs(df, "id", "s", salt_size=3, salt_parts=4).collect()
+    }
+    assert salted == plain
+    # the 8 identical strings pair completely; typo neighbours attach
+    assert sum(a < 8 and b < 8 for a, b, *_ in plain) == 8 * 7 / 2

@@ -1540,3 +1540,28 @@ def test_lsh_candidates_salted_plan_shape(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "ReusedExchange" in executed
+
+
+def test_record_linkage_salted_plan_shape(spark):
+    """Salted record linkage: the block-count relation joins back via
+    BROADCAST joins (bounded at N/salt_size rows), the pair join stays
+    a keyed equi-join carrying the part column, and nothing degrades
+    to a cartesian/BNLJ."""
+    from m3d_engine_spark.operators.linkage import record_linkage
+
+    left = spark.createDataFrame(
+        [(i, "b", f"n{i}") for i in range(6)], "lid long, blk string, name string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, "b", f"n{i}") for i in range(6)],
+        "rid long, blk string, name string",
+    )
+    df = record_linkage(
+        left, right, "lid", "rid", ["blk"], {"name": 1.0},
+        threshold=0.1, keep=2, salt_size=2, salt_parts=4,
+    )
+    plan = _plan_simple(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # bc_hot onto both sides
+    assert "_part" in plan  # the salted equi-key
