@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from m3d_engine_spark.functions.text import fingerprint, tokens
 from m3d_engine_spark.functions.vectors import sign_lsh_bucket
+from m3d_engine_spark.plans.skew import SALT_PART_COL, salted_self_join_streams
 
 
 # ---------------------------------------------------------------- exact
@@ -201,6 +202,13 @@ def _banded_candidates(
       ``salt_parts`` tasks. Output IDENTICAL to the unsalted join
       (each intra-bucket pair meets exactly once, in the left row's
       part; multi-band collisions collapse in the final distinct).
+
+    Why AQE doesn't cover this: these self-joins deliberately pin
+    ReusedExchange (one evaluation of the signature pipeline), and
+    AQE's skew-join split skips joins whose shuffle is reused —
+    repartitioning one consumer would invalidate the other. Explicit
+    salting is the only straggler control compatible with the
+    exchange-reuse plan.
     """
     rel = bands_rel
     if max_bucket_size is not None or salt_size is not None:
@@ -231,17 +239,13 @@ def _banded_candidates(
             rel = rel.drop("_bsz")
         out = _pairs(rel, rel)
     else:
-        if salt_parts < 2:
-            raise ValueError("salt_parts must be ≥ 2 when salt_size is set")
-        cold = rel.filter(F.col("_bsz") <= salt_size).drop("_bsz")
-        hot = rel.filter(F.col("_bsz") > salt_size).drop("_bsz")
-        hot_l = hot.withColumn(
-            "bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts))
+        cold, hot_l, hot_r = salted_self_join_streams(
+            rel, ["band", "band_key"], id_col, salt_size, salt_parts,
+            size_col="_bsz",
         )
-        hot_r = hot.withColumn(
-            "bkt", F.explode(F.sequence(F.lit(0), F.lit(salt_parts - 1)))
-        ).withColumn("bkt", F.col("bkt").cast("long"))
-        out = _pairs(cold, cold).unionByName(_pairs(hot_l, hot_r, "bkt"))
+        out = _pairs(cold, cold).unionByName(
+            _pairs(hot_l, hot_r, SALT_PART_COL)
+        )
     return out.distinct()
 
 
@@ -491,17 +495,13 @@ def ngram_jaccard_pairs(
         # is cold or hot for BOTH sides of a pair (df is a key-level
         # property), so every (pair, shingle) match lands in exactly
         # one stream — and in the salted stream exactly once, in the
-        # left row's deterministic bucket.
-        cold = tok.filter(F.col("_df") <= salt_df).drop("_df")
-        hot = tok.filter(F.col("_df") > salt_df).drop("_df")
-        hot_l = hot.withColumn(
-            "bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        # left row's deterministic part.
+        cold, hot_l, hot_r = salted_self_join_streams(
+            tok, [*block_cols, "shingle"], id_col, salt_df, salt_buckets,
+            size_col="_df",
         )
-        hot_r = hot.withColumn(
-            "bkt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
-        ).withColumn("bkt", F.col("bkt").cast("long"))
         matches = _pair_matches(cold, cold).unionByName(
-            _pair_matches(hot_l, hot_r, "bkt")
+            _pair_matches(hot_l, hot_r, SALT_PART_COL)
         )
     inter = matches.groupBy("id_a", "id_b", "na", "nb").agg(
         F.count(F.lit(1)).alias("inter")
@@ -640,17 +640,13 @@ def containment_pairs(
     else:
         # Exactly-once routing: df is a (block, shingle)-key property,
         # so each (pair, shingle) match lands in one stream only — and
-        # in the salted stream once, in the left row's bucket.
-        cold = tok.filter(F.col("_df") <= salt_df).drop("_df")
-        hot = tok.filter(F.col("_df") > salt_df).drop("_df")
-        hot_l = hot.withColumn(
-            "bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        # in the salted stream once, in the left row's part.
+        cold, hot_l, hot_r = salted_self_join_streams(
+            tok, [*block_cols, "shingle"], id_col, salt_df, salt_buckets,
+            size_col="_df",
         )
-        hot_r = hot.withColumn(
-            "bkt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
-        ).withColumn("bkt", F.col("bkt").cast("long"))
         matches = _pair_matches(cold, cold).unionByName(
-            _pair_matches(hot_l, hot_r, "bkt")
+            _pair_matches(hot_l, hot_r, SALT_PART_COL)
         )
     inter = matches.groupBy("id_a", "id_b", "na", "nb").agg(
         F.count(F.lit(1)).alias("inter")
@@ -849,20 +845,12 @@ def embedding_near_dupes(
     if salt_size is None:
         out = _pairs(base, base)
     else:
-        if salt_parts < 2:
-            raise ValueError("salt_parts must be ≥ 2 when salt_size is set")
-        sized = base.withColumn(
-            "_bsz", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+        cold, hot_l, hot_r = salted_self_join_streams(
+            base, ["bucket"], id_col, salt_size, salt_parts
         )
-        cold = sized.filter(F.col("_bsz") <= salt_size).drop("_bsz")
-        hot = sized.filter(F.col("_bsz") > salt_size).drop("_bsz")
-        hot_l = hot.withColumn(
-            "bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts))
+        out = _pairs(cold, cold).unionByName(
+            _pairs(hot_l, hot_r, SALT_PART_COL)
         )
-        hot_r = hot.withColumn(
-            "bkt", F.explode(F.sequence(F.lit(0), F.lit(salt_parts - 1)))
-        ).withColumn("bkt", F.col("bkt").cast("long"))
-        out = _pairs(cold, cold).unionByName(_pairs(hot_l, hot_r, "bkt"))
     return out.filter(F.col("cosine") >= threshold)
 
 
@@ -976,21 +964,12 @@ def simhash64_hamming_pairs(
     if salt_size is None:
         matched = _pairs(banded, banded)
     else:
-        if salt_parts < 2:
-            raise ValueError("salt_parts must be ≥ 2 when salt_size is set")
-        sized = banded.withColumn(
-            "_bsz",
-            F.count(F.lit(1)).over(Window.partitionBy("band", "band_val")),
+        cold, hot_l, hot_r = salted_self_join_streams(
+            banded, ["band", "band_val"], id_col, salt_size, salt_parts
         )
-        cold = sized.filter(F.col("_bsz") <= salt_size).drop("_bsz")
-        hot = sized.filter(F.col("_bsz") > salt_size).drop("_bsz")
-        hot_l = hot.withColumn(
-            "bkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts))
+        matched = _pairs(cold, cold).unionByName(
+            _pairs(hot_l, hot_r, SALT_PART_COL)
         )
-        hot_r = hot.withColumn(
-            "bkt", F.explode(F.sequence(F.lit(0), F.lit(salt_parts - 1)))
-        ).withColumn("bkt", F.col("bkt").cast("long"))
-        matched = _pairs(cold, cold).unionByName(_pairs(hot_l, hot_r, "bkt"))
     return matched.distinct().filter(F.col("hamming") <= hamming_k)
 
 

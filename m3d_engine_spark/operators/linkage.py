@@ -31,6 +31,8 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from m3d_engine_spark.plans.skew import SALT_PART_COL, salted_self_join_streams
+
 
 def field_similarity(left: Column, right: Column) -> Column:
     """Normalized edit similarity in [0, 1]:
@@ -249,20 +251,12 @@ def fastss_pairs(
     if salt_size is None:
         cands = _cand(variants, variants)
     else:
-        if salt_parts < 2:
-            raise ValueError("salt_parts must be ≥ 2 when salt_size is set")
-        sized = variants.withColumn(
-            "_bsz", F.count(F.lit(1)).over(Window.partitionBy("_vk"))
+        cold, hot_a, hot_b = salted_self_join_streams(
+            variants, ["_vk"], "_id", salt_size, salt_parts
         )
-        cold = sized.filter(F.col("_bsz") <= salt_size).drop("_bsz")
-        hot = sized.filter(F.col("_bsz") > salt_size).drop("_bsz")
-        hot_a = hot.withColumn(
-            "_part", F.pmod(F.xxhash64("_id"), F.lit(salt_parts))
+        cands = _cand(cold, cold).unionByName(
+            _cand(hot_a, hot_b, SALT_PART_COL)
         )
-        hot_b = hot.withColumn(
-            "_part", F.explode(F.sequence(F.lit(0), F.lit(salt_parts - 1)))
-        ).withColumn("_part", F.col("_part").cast("long"))
-        cands = _cand(cold, cold).unionByName(_cand(hot_a, hot_b, "_part"))
     pairs = (
         cands.distinct()
         .withColumn(

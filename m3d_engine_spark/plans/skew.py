@@ -1,20 +1,28 @@
-"""Skew mitigation: salted joins and two-stage aggregations.
+"""Skew mitigation: salted joins, two-stage aggregations, and
+exactly-once salted SELF-joins for pair generation.
 
 AQE's skew-join splitting (enabled in session.py) handles most skew at
 runtime by splitting oversized partitions; these explicit forms cover
 the cases AQE cannot: a broadcast-ineligible join against a *hot key*
-(one key ≫ one partition), and high-cardinality aggregation states.
+(one key ≫ one partition), high-cardinality aggregation states, and
+the pair-generating self-joins that deliberately pin ReusedExchange
+(AQE skips splitting a join whose shuffle is reused — repartitioning
+one consumer would invalidate the other).
 
-Both are deterministic — the salt comes from hashing existing columns,
-never ``rand()``, so results are reproducible and oracle-checkable.
+All forms are deterministic — the salt comes from hashing existing
+columns, never ``rand()``, so results are reproducible and
+oracle-checkable.
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+SALT_PART_COL = "_salt_part"
+_SIZE_COL = "_salt_bsz"
 
 
 def deterministic_salt(cols: Sequence[str], buckets: int) -> Column:
@@ -80,3 +88,69 @@ def two_stage_agg(
     return partial.groupBy(*keys).agg(
         *[merge_fn[fn](name).alias(name) for name, (c, fn) in aggs.items()]
     )
+
+
+def salted_self_join_streams(
+    rel: DataFrame,
+    key_cols: Sequence[str],
+    id_col: str,
+    salt_size: int,
+    salt_parts: int,
+    size_col: str | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split ``rel`` into (cold, hot_left, hot_right) for an
+    exactly-once salted SELF-join on ``key_cols`` — the pair-generation
+    counterpart of ``salted_join``.
+
+    Every banded/blocked dedup self-join in this package shares one
+    straggler mode: a single join key (a shingle, an LSH bucket, a
+    SimHash band slice, a deletion variant) with k rows fans its
+    k·(k−1)/2 candidate pairs into ONE sort-merge-join task. AQE
+    cannot split these — the plans pin ReusedExchange so the signature
+    pipeline evaluates once, and AQE skips joins whose shuffle is
+    reused. Rows of keys hotter than ``salt_size`` are split off: the
+    LEFT copy gets a deterministic part ``pmod(xxhash64(id),
+    salt_parts)``, the RIGHT copy replicates once per part, and the
+    caller adds ``SALT_PART_COL`` to its equi-key. Every intra-key
+    (id_a < id_b) pair still meets exactly once — in the left row's
+    part — so the joined output is IDENTICAL to the unsalted join
+    while the hot key's pair stream spreads over ``salt_parts`` tasks.
+    Cold keys keep the original (exchange-reused) self-join; callers
+    union the two match streams.
+
+    ``size_col`` names a per-key row count already present on ``rel``
+    (pass it when the caller computes one anyway — e.g. for a df
+    cutoff — so the plan keeps a single window); when None the count
+    is computed here as a window over ``key_cols``, reading the same
+    exchange the self-join shuffles on. The size column is consumed:
+    none of the returned frames carry it.
+    """
+    if salt_parts < 2:
+        raise ValueError("salt_parts must be ≥ 2 when salt_size is set")
+    reserved = {SALT_PART_COL} | ({_SIZE_COL} if size_col is None else set())
+    clash = reserved & set(rel.columns)
+    if clash:
+        # a caller column silently clobbered by withColumn would turn
+        # into corrupted pair output, not an error — refuse loudly
+        raise ValueError(
+            f"salted self-join reserves column name(s) {sorted(clash)}; "
+            "rename the conflicting input column(s)"
+        )
+    if size_col is None:
+        size_col = _SIZE_COL
+        rel = rel.withColumn(
+            size_col,
+            F.count(F.lit(1)).over(Window.partitionBy(*key_cols)),
+        )
+    cold = rel.filter(F.col(size_col) <= salt_size).drop(size_col)
+    hot = rel.filter(F.col(size_col) > salt_size).drop(size_col)
+    hot_left = hot.withColumn(
+        SALT_PART_COL, F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts))
+    )
+    hot_right = hot.withColumn(
+        SALT_PART_COL,
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(salt_parts - 1).cast("long"))
+        ),
+    )
+    return cold, hot_left, hot_right

@@ -426,12 +426,19 @@ def write_output(
                         # cleanup failure (partition-spec value
                         # resolution varies per catalog/ANSI setting,
                         # esp. the NULL sentinel on non-string
-                        # partition columns) must not fail the load.
-                        # Worst case a stale empty partition entry
-                        # lingers in the metastore.
+                        # partition columns) must not fail the load —
+                        # raising here would mark a committed load
+                        # failed and a blind retry would re-insert.
+                        # NOTE the consequence is real: the emptied
+                        # partition's OLD ROWS stay queryable until
+                        # the DROP is repeated, so the warning below
+                        # is the operator's signal to re-run the drop
+                        # (or MSCK) out of band.
                         print(
                             f"WARN write_output: post-commit DROP "
-                            f"PARTITION({spec}) on {table} failed: {exc}"
+                            f"PARTITION({spec}) on {table} failed — "
+                            f"stale rows remain queryable until the "
+                            f"drop is retried: {exc}"
                         )
             return
         writer = w.write.mode(str(params.get_optional("save_mode", "overwrite")))

@@ -1516,7 +1516,7 @@ def test_jaccard_salted_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
     assert len(smj) == 2, plan
-    salted = [ln for ln in smj if "bkt#" in ln]
+    salted = [ln for ln in smj if "_salt_part#" in ln]
     assert len(salted) == 1, "exactly one join must carry the salt key"
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
@@ -1536,7 +1536,7 @@ def test_lsh_candidates_salted_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
     assert len(smj) == 2, plan
-    assert sum("bkt#" in ln for ln in smj) == 1
+    assert sum("_salt_part#" in ln for ln in smj) == 1
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "ReusedExchange" in executed
