@@ -1056,6 +1056,8 @@ def semantic_dedup(
     centroid_stride: int = 125,
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
+    salt_size: int | None = None,
+    salt_parts: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): partition the embedding space with a coarse
@@ -1074,31 +1076,42 @@ def semantic_dedup(
     self-equi-join on the cluster id; the quadratic term is bounded by
     the largest cluster (N/k target; at 10⁹ docs pick stride ≈ √N so
     clusters stay ~√N) — the published SemDeDup cost model, and the
-    stride is the dial. Exchanges: one groupBy(id) inside the
-    checkpoint, one cluster join, one groupBy(id) max — all keyed,
-    nothing all-pairs.
+    stride is the dial. ``salt_size``/``salt_parts`` is the residual
+    straggler fix when assignments skew anyway (real embeddings
+    cluster unevenly): clusters larger than ``salt_size`` route
+    through the exactly-once salted self-join, identical output.
+    Exchanges: one groupBy(id) inside the checkpoint, one cluster
+    join, one groupBy(id) max — all keyed, nothing all-pairs.
     """
     from m3d_engine_spark.functions.vectors import dot
 
     asg = semantic_assignments(
         df, id_col, vec_col, centroid_stride, centroids=centroids
     ).localCheckpoint(eager=True)
-    l, r = asg.alias("l"), asg.alias("r")
-    pair_sim = F.round(
-        dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 4
-    )
-    dup_sim = (
-        l.join(
-            r,
-            on=[
-                F.col("l.cluster") == F.col("r.cluster"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
+
+    def _mates(left: DataFrame, right: DataFrame, *extra_keys: str):
+        l, r = left.alias("l"), right.alias("r")
+        cond = [F.col("l.cluster") == F.col("r.cluster")]
+        cond.extend(F.col(f"l.{k}") == F.col(f"r.{k}") for k in extra_keys)
+        cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        pair_sim = F.round(
+            dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")),
+            4,
         )
-        .select(F.col(f"r.{id_col}").alias(id_col), pair_sim.alias("_ps"))
-        .groupBy(id_col)
-        .agg(F.max("_ps").alias("max_sim"))
-    )
+        return l.join(r, on=cond).select(
+            F.col(f"r.{id_col}").alias(id_col), pair_sim.alias("_ps")
+        )
+
+    if salt_size is None:
+        sims = _mates(asg, asg)
+    else:
+        cold, hot_l, hot_r = salted_self_join_streams(
+            asg, ["cluster"], id_col, salt_size, salt_parts
+        )
+        sims = _mates(cold, cold).unionByName(
+            _mates(hot_l, hot_r, SALT_PART_COL)
+        )
+    dup_sim = sims.groupBy(id_col).agg(F.max("_ps").alias("max_sim"))
     return asg.join(dup_sim, on=id_col, how="left").select(
         F.col(id_col),
         F.col("cluster"),

@@ -70,6 +70,9 @@ def fuzzy_dedup_corpus(
     shingle_n: int = 3,
     threshold: float = 0.5,
     use_star: bool = False,
+    max_bucket_size: int | None = None,
+    salt_size: int | None = None,
+    salt_parts: int = 8,
 ) -> DataFrame:
     """The cleaned corpus: every input column of ``docs`` for the rows
     that survive near-dedup, plus ``component`` (duplicate-cluster id =
@@ -78,13 +81,17 @@ def fuzzy_dedup_corpus(
     ``quality`` ranks survivors within a cluster (highest wins, ties to
     lowest id); defaults to ``length(text_col)``. ``threshold`` is the
     exact-Jaccard floor a candidate pair must clear to count as a
-    duplicate edge.
+    duplicate edge. ``max_bucket_size``/``salt_size``/``salt_parts``
+    pass through to the LSH candidate join (``_banded_candidates``):
+    cap = drop giant boilerplate buckets (recall dial), salt = same
+    pairs, hot bucket spread over ``salt_parts`` tasks.
     """
     if quality is None:
         quality = F.length(F.col(text_col))
     cands = minhash_lsh_candidates(
         docs, id_col, text_col, num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n,
+        shingle_n=shingle_n, max_bucket_size=max_bucket_size,
+        salt_size=salt_size, salt_parts=salt_parts,
     )
     sets = docs.select(
         F.col(id_col),
@@ -138,6 +145,8 @@ class FuzzyDedupAlgorithm(Algorithm):
       num_hashes (16), bands (8), shingle_n (3) — the LSH dials
       threshold (0.5) — the exact-Jaccard duplicate floor
       use_star (false) — large/small-star CC for long-chain graphs
+      max_bucket_size (null) — drop LSH buckets larger than this
+      salt_size (null), salt_parts (8) — hot-bucket salted join
       target_location OR target_table (+ target_partitions,
       output_files_num, load_mode — the full write_output surface)
 
@@ -164,6 +173,11 @@ class FuzzyDedupAlgorithm(Algorithm):
                 shingle_n=int(p.get_optional("shingle_n", 3)),
                 threshold=float(p.get_optional("threshold", 0.5)),
                 use_star=bool(p.get_optional("use_star", False)),
+                max_bucket_size=(
+                    int(p.get_optional("max_bucket_size", 0)) or None
+                ),
+                salt_size=int(p.get_optional("salt_size", 0)) or None,
+                salt_parts=int(p.get_optional("salt_parts", 8)),
             )
         ]
 

@@ -722,3 +722,45 @@ def test_simhash64_salted_equals_unsalted(spark):
         ).collect()
     }
     assert salted == plain
+
+
+def test_semantic_dedup_salted_equals_unsalted(spark):
+    """Hot-cluster salting in the SemDeDup intra-cluster join: same
+    (id, cluster, max_sim, is_dup) output."""
+    from m3d_engine_spark.operators.dedup import semantic_dedup
+    from m3d_engine_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    key = lambda r: (r.vec_id, r.cluster, r.max_sim, r.is_dup)  # noqa: E731
+    plain = {
+        key(r)
+        for r in semantic_dedup(emb, "vec_id", "embedding", 25, 0.5).collect()
+    }
+    salted = {
+        key(r)
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", 25, 0.5, salt_size=3, salt_parts=4
+        ).collect()
+    }
+    assert salted == plain and plain
+
+
+def test_fuzzy_dedup_salted_equals_unsalted(spark):
+    """salt_size passes through fuzzy_dedup_corpus to the LSH candidate
+    join; the cleaned corpus is identical."""
+    from m3d_engine_spark.operators.fuzzy_dedup import fuzzy_dedup_corpus
+    from m3d_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(300)
+    key = lambda r: (r.doc_id, r.component, r.cluster_size)  # noqa: E731
+    plain = {
+        key(r)
+        for r in fuzzy_dedup_corpus(docs, "doc_id", "text").collect()
+    }
+    salted = {
+        key(r)
+        for r in fuzzy_dedup_corpus(
+            docs, "doc_id", "text", salt_size=2, salt_parts=4
+        ).collect()
+    }
+    assert salted == plain and plain
