@@ -1466,8 +1466,12 @@ def test_no_registry_entry_reinlines_expensive_exprs_into_predicates(
     optimized plan and flags:
 
     * any nested-loop join whose condition carries heavy lambda
-      machinery (the per-pair catastrophe), and
-    * any Filter stuffed with >6 lambda nodes (a re-inlined fold).
+      machinery (the per-pair catastrophe),
+    * any Filter stuffed with >6 lambda nodes (a re-inlined fold), and
+    * (round 10) any CartesianProduct anywhere — a non-broadcast cross
+      join is never the intended plan in this repo (intentional
+      broadcast-scalar crossJoins compile to BroadcastNestedLoopJoin);
+      verified 0/201 when the guard was added.
 
     Known bounded exception: curation_pipeline's min-length Filter
     inlines the (lambda-free) tokenize expression — a per-row 2×
@@ -1485,7 +1489,9 @@ def test_no_registry_entry_reinlines_expensive_exprs_into_predicates(
         for raw in plan.split("\n"):
             line = raw.strip()
             heavy = line.count("lambdafunction") > 6
-            if "NestedLoopJoin" in line and (heavy or len(line) > 1500):
+            if "CartesianProduct" in line:
+                hits.append((name, "cartesian", len(line), line[:140]))
+            elif "NestedLoopJoin" in line and (heavy or len(line) > 1500):
                 hits.append((name, "bnlj", len(line), line[:140]))
             elif line.startswith(("Filter", "+- Filter")) and heavy:
                 hits.append((name, "filter", len(line), line[:140]))
