@@ -764,3 +764,65 @@ def test_fuzzy_dedup_salted_equals_unsalted(spark):
         ).collect()
     }
     assert salted == plain and plain
+
+
+def test_salting_randomized_stress_all_shapes(spark):
+    """Seeded randomized corpus (mixed duplicates, hot boilerplate,
+    singletons) through every salted self-join shape at aggressive
+    thresholds (most keys hot, parts > bucket sizes, parts that don't
+    divide sizes): output must equal the unsalted plan everywhere."""
+    import random
+
+    from m3d_engine_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        simhash64_hamming_pairs,
+    )
+    from m3d_engine_spark.operators.linkage import fastss_pairs
+
+    rng = random.Random(20260815)
+    vocab = [f"tok{i}" for i in range(25)]
+    rows = []
+    did = 0
+    for _ in range(40):  # duplicate clusters of size 1-6
+        words = " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 12)))
+        for _ in range(rng.randint(1, 6)):
+            rows.append((did, words, "b0"))
+            did += 1
+    boiler = "common header boilerplate line"
+    for _ in range(25):  # hot-shingle carriers
+        rows.append((did, boiler + " " + rng.choice(vocab), "b0"))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    for plain_fn, salted_fn in [
+        (
+            lambda: ngram_jaccard_pairs(docs, "doc_id", "text", ["source"], 3, 0.3),
+            lambda: ngram_jaccard_pairs(
+                docs, "doc_id", "text", ["source"], 3, 0.3,
+                salt_df=1, salt_buckets=3,
+            ),
+        ),
+        (
+            lambda: minhash_lsh_candidates(docs, "doc_id", "text"),
+            lambda: minhash_lsh_candidates(
+                docs, "doc_id", "text", salt_size=1, salt_parts=5
+            ),
+        ),
+        (
+            lambda: simhash64_hamming_pairs(docs, "doc_id", "text"),
+            lambda: simhash64_hamming_pairs(
+                docs, "doc_id", "text", salt_size=1, salt_parts=3
+            ),
+        ),
+        (
+            lambda: fastss_pairs(docs.select("doc_id", "text"), "doc_id", "text"),
+            lambda: fastss_pairs(
+                docs.select("doc_id", "text"), "doc_id", "text",
+                salt_size=1, salt_parts=7,
+            ),
+        ),
+    ]:
+        plain = {tuple(r) for r in plain_fn().collect()}
+        salted = {tuple(r) for r in salted_fn().collect()}
+        assert salted == plain, (len(plain), len(salted))
