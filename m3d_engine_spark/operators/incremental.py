@@ -42,6 +42,8 @@ def materialize_dedup_artifacts(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    bands_table: str | None = None,
+    num_buckets: int = 64,
 ) -> dict[str, str]:
     """Write the corpus-side dedup artifacts the module docstring
     designs for — ONCE, at corpus-accept time, so every nightly batch
@@ -52,11 +54,14 @@ def materialize_dedup_artifacts(
     * ``{base}/shingles`` — per-doc distinct shingle arrays (the
       exact-Jaccard verification side).
 
-    Returns the three paths. Production refinement: write ``bands``
-    bucketed on (band, band_key) via ``sources/bucketing`` to make the
-    nightly batch join shuffle-free on the corpus side — that needs a
-    metastore table; the path form here keeps the artifact contract
-    engine-local.
+    Returns the three paths. ``bands_table``/``num_buckets`` is the
+    production refinement the module docstring designs for: when set,
+    the band relation is ALSO written as a metastore table BUCKETED on
+    (band, band_key) via ``sources/bucketing`` — the nightly batch
+    join then reads the corpus side straight from its buckets with NO
+    exchange (only the batch-sized side shuffles, into the bucket
+    layout), pinned in tests/test_plans.py. The parquet path is still
+    written so the artifact contract stays engine-local.
     """
     import json
 
@@ -68,9 +73,17 @@ def materialize_dedup_artifacts(
     corpus.select(F.md5(F.col(text_col)).alias("_fp")).distinct().write.mode(
         "overwrite"
     ).parquet(fp)
-    lsh_bands(corpus, id_col, text_col, num_hashes, bands, shingle_n).select(
-        F.col(id_col), "band", "band_key"
-    ).write.mode("overwrite").parquet(bd)
+    band_rel = lsh_bands(
+        corpus, id_col, text_col, num_hashes, bands, shingle_n
+    ).select(F.col(id_col), "band", "band_key")
+    band_rel.write.mode("overwrite").parquet(bd)
+    if bands_table is not None:
+        from m3d_engine_spark.sources.bucketing import write_bucketed_table
+
+        write_bucketed_table(
+            band_rel, bands_table, ["band", "band_key"],
+            num_buckets=num_buckets, sort_cols=["band", "band_key"],
+        )
     corpus.select(
         F.col(id_col),
         F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias("sh"),
@@ -86,9 +99,18 @@ def materialize_dedup_artifacts(
                 "bands": int(bands),
                 "shingle_n": int(shingle_n),
                 "id_col": id_col,
+                **({"bands_table": bands_table} if bands_table else {}),
             }
         ),
     )
+    if bands_table is not None:
+        return {
+            "fingerprints": fp,
+            "bands": bd,
+            "bands_table": bands_table,
+            "shingles": sh,
+            "meta": f"{base_path}/_meta.json",
+        }
     return {
         "fingerprints": fp,
         "bands": bd,
@@ -143,7 +165,15 @@ def incremental_dedup_against_artifacts(
         .localCheckpoint(eager=True)
     )
     nb = lsh_bands(exact_surv, id_col, text_col, num_hashes, bands, shingle_n)
-    ob = spark.read.parquet(artifacts["bands"])
+    # Prefer the bucketed metastore form when the artifacts carry one:
+    # the corpus-side scan then feeds the SMJ straight from its
+    # (band, band_key) buckets with NO exchange — only the batch side
+    # shuffles, into the bucket layout (pinned in tests/test_plans.py).
+    bands_table = meta.get("bands_table")
+    if bands_table is not None:
+        ob = spark.table(bands_table)
+    else:
+        ob = spark.read.parquet(artifacts["bands"])
     cand = (
         nb.alias("n")
         .join(
