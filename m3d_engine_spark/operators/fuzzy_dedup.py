@@ -128,6 +128,24 @@ def fuzzy_dedup_corpus(
 # CLI algorithm: params-driven dispatch (the CurationPipeline pattern)
 # --------------------------------------------------------------------------
 
+def _positive_or_none(p, key: str) -> int | None:
+    """Parse an optional positive-int dial: unset → None (disabled),
+    set → validated >0. An explicit 0/negative raises instead of
+    silently disabling the dial (conflating 'unset' with a degenerate
+    user value would hide a config typo at 100 TB, where a disabled
+    bucket cap means an unbounded pair stream)."""
+    raw = p.get_optional(key, None)
+    if raw is None:
+        return None
+    val = int(raw)
+    if val <= 0:
+        raise ValueError(
+            f"{key} must be a positive integer when set, got {raw!r}; "
+            f"omit the parameter to disable the dial"
+        )
+    return val
+
+
 from m3d_engine_spark.operators.base import Algorithm, register  # noqa: E402
 
 
@@ -173,10 +191,8 @@ class FuzzyDedupAlgorithm(Algorithm):
                 shingle_n=int(p.get_optional("shingle_n", 3)),
                 threshold=float(p.get_optional("threshold", 0.5)),
                 use_star=bool(p.get_optional("use_star", False)),
-                max_bucket_size=(
-                    int(p.get_optional("max_bucket_size", 0)) or None
-                ),
-                salt_size=int(p.get_optional("salt_size", 0)) or None,
+                max_bucket_size=_positive_or_none(p, "max_bucket_size"),
+                salt_size=_positive_or_none(p, "salt_size"),
                 salt_parts=int(p.get_optional("salt_parts", 8)),
             )
         ]

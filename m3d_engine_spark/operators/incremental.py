@@ -80,8 +80,14 @@ def materialize_dedup_artifacts(
     if bands_table is not None:
         from m3d_engine_spark.sources.bucketing import write_bucketed_table
 
+        # Feed the bucketed copy from the parquet just written, not
+        # from band_rel: re-using the logical plan would re-run the
+        # whole LSH signature pipeline (minhash over every shingle of
+        # the corpus — the most expensive stage of materialization) a
+        # second time just to lay the same rows into buckets.
         write_bucketed_table(
-            band_rel, bands_table, ["band", "band_key"],
+            corpus.sparkSession.read.parquet(bd),
+            bands_table, ["band", "band_key"],
             num_buckets=num_buckets, sort_cols=["band", "band_key"],
         )
     corpus.select(

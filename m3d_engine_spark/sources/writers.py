@@ -23,6 +23,7 @@ reference's row-lambda filter which scanned the whole table (SURVEY §4).
 
 from __future__ import annotations
 
+import logging
 import uuid
 from dataclasses import dataclass, field
 from enum import Enum
@@ -36,6 +37,22 @@ from m3d_engine_spark.plans.partitions import (
     partition_predicate,
 )
 from m3d_engine_spark.sources.dfs import DFS
+
+logger = logging.getLogger(__name__)
+
+# The exception classes a metastore/catalog operation can legitimately
+# fail with (partition-spec literal resolution varies per catalog and
+# ANSI setting). Anything OUTSIDE this tuple is a programming error and
+# must still raise — see the post-commit DROP PARTITION handler.
+try:  # py4j only exists under classic (non-Connect) PySpark
+    from py4j.protocol import Py4JError as _Py4JError
+except ImportError:  # pragma: no cover - Connect-only environments
+    class _Py4JError(Exception):
+        ...
+
+from pyspark.errors import AnalysisException
+
+_METASTORE_ERRORS = (AnalysisException, _Py4JError)
 
 
 class LoadMode(Enum):
@@ -325,10 +342,15 @@ def write_output(
     params,
     default_load_mode: str | None = None,
     affected: list | None = None,
-) -> None:
+) -> list[str] | None:
     """Generic sink used by the simple algorithms: target_table →
     saveAsTable / partition-scoped insertInto, target_location →
     (atomic) file write.
+
+    Returns the partition specs whose post-commit DROP PARTITION
+    cleanup failed (stale rows stay queryable until the caller retries
+    the drop), or None when nothing failed — the common case, so
+    callers that ignore the return keep their semantics.
 
     ``default_load_mode`` lets an algorithm that partition-scoped its
     result (DeltaLoad & co.) force a partition-respecting default so an
@@ -380,6 +402,7 @@ def write_output(
                     spark.conf.unset(conf_key)
                 else:
                     spark.conf.set(conf_key, prev)
+            failed_drops: list[str] = []
             if affected and overwrite:
                 # dynamic overwrite replaces only partitions PRESENT in
                 # the frame: a partition the load emptied entirely (all
@@ -421,7 +444,7 @@ def write_output(
                             f"ALTER TABLE {table} "
                             f"DROP IF EXISTS PARTITION({spec})"
                         )
-                    except Exception as exc:  # noqa: BLE001
+                    except _METASTORE_ERRORS as exc:
                         # The insert already committed; a metastore
                         # cleanup failure (partition-spec value
                         # resolution varies per catalog/ANSI setting,
@@ -429,18 +452,23 @@ def write_output(
                         # partition columns) must not fail the load —
                         # raising here would mark a committed load
                         # failed and a blind retry would re-insert.
-                        # NOTE the consequence is real: the emptied
-                        # partition's OLD ROWS stay queryable until
-                        # the DROP is repeated, so the warning below
-                        # is the operator's signal to re-run the drop
-                        # (or MSCK) out of band.
-                        print(
-                            f"WARN write_output: post-commit DROP "
-                            f"PARTITION({spec}) on {table} failed — "
-                            f"stale rows remain queryable until the "
-                            f"drop is retried: {exc}"
+                        # Only the metastore error classes are caught;
+                        # programming errors (typos, closed session)
+                        # still raise. NOTE the consequence is real:
+                        # the emptied partition's OLD ROWS stay
+                        # queryable until the DROP is repeated, so the
+                        # warning + returned spec are the operator's
+                        # signal to re-run the drop (or MSCK) out of
+                        # band.
+                        failed_drops.append(spec)
+                        logger.warning(
+                            "write_output: post-commit DROP "
+                            "PARTITION(%s) on %s failed — stale rows "
+                            "remain queryable until the drop is "
+                            "retried: %s",
+                            spec, table, exc,
                         )
-            return
+            return failed_drops or None
         writer = w.write.mode(str(params.get_optional("save_mode", "overwrite")))
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)

@@ -11,6 +11,10 @@ DROP PARTITION failure downgrades to a warning instead of failing the
 load after the insert already committed.
 """
 
+import logging
+
+import pytest
+
 from m3d_engine_spark.config import ParamsFile
 from m3d_engine_spark.sources.writers import AtomicWriter, LoadMode, write_output
 
@@ -62,7 +66,7 @@ def test_write_output_drops_emptied_null_partition_int_column(spark):
 
 
 def test_write_output_post_commit_drop_failure_does_not_fail_load(
-    spark, monkeypatch, capsys
+    spark, monkeypatch, caplog
 ):
     # a metastore DROP PARTITION failure after the insert committed
     # must warn, not raise — the data is already live
@@ -74,32 +78,51 @@ def test_write_output_post_commit_drop_failure_does_not_fail_load(
         ).write.partitionBy("p").saveAsTable(table)
         batch = spark.createDataFrame([(9, "x")], "id INT, p STRING")
 
+        from pyspark.errors import AnalysisException
+
         real_sql = spark.sql
 
         def flaky_sql(q, *a, **kw):
             if "DROP IF EXISTS PARTITION" in q:
-                raise RuntimeError("simulated metastore failure")
+                raise AnalysisException("simulated metastore failure")
             return real_sql(q, *a, **kw)
 
         monkeypatch.setattr(spark, "sql", flaky_sql)
-        write_output(
-            spark,
-            batch,
-            ParamsFile(
-                {
-                    "target_table": table,
-                    "target_partitions": ["p"],
-                    "load_mode": "OverwritePartitions",
-                }
-            ),
-            affected=[[("p", "x")], [("p", None)]],
+        params = ParamsFile(
+            {
+                "target_table": table,
+                "target_partitions": ["p"],
+                "load_mode": "OverwritePartitions",
+            }
         )
+        with caplog.at_level(logging.WARNING, logger="m3d_engine_spark.sources.writers"):
+            failed = write_output(
+                spark, batch, params, affected=[[("p", "x")], [("p", None)]]
+            )
         monkeypatch.undo()
         spark.catalog.refreshTable(table)
         # the insert committed; only the cleanup was skipped, so the
         # emptied NULL partition's stale row survives under the guard
         got = sorted((r.id, r.p) for r in spark.table(table).collect())
         assert (9, "x") in got
-        assert "WARN write_output" in capsys.readouterr().out
+        # the failure is a structured WARNING plus a returned spec the
+        # caller can retry — not a bare print
+        assert any("post-commit DROP" in r.message for r in caplog.records)
+        assert failed and len(failed) == 1 and "__HIVE_DEFAULT_PARTITION__" in failed[0]
+
+        # a NON-metastore error class (programming error: typo, closed
+        # session) must NOT be swallowed by the narrowed catch
+        def broken_sql(q, *a, **kw):
+            if "DROP IF EXISTS PARTITION" in q:
+                raise TypeError("programming error")
+            return real_sql(q, *a, **kw)
+
+        monkeypatch.setattr(spark, "sql", broken_sql)
+        batch2 = spark.createDataFrame([(10, "x")], "id INT, p STRING")
+        with pytest.raises(TypeError):
+            write_output(
+                spark, batch2, params, affected=[[("p", "x")], [("p", None)]]
+            )
+        monkeypatch.undo()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
