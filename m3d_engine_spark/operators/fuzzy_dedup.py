@@ -48,8 +48,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from m3d_engine_spark.operators.dedup import (
+    _banded_candidates,
     _exact_jaccard_on_candidates,
-    minhash_lsh_candidates,
+    lsh_bands,
     shingle_array,
 )
 from m3d_engine_spark.operators.graph import (
@@ -57,6 +58,7 @@ from m3d_engine_spark.operators.graph import (
     connected_components,
     connected_components_star,
 )
+from m3d_engine_spark.plans.skew import derive_salt_size
 
 
 def fuzzy_dedup_corpus(
@@ -71,7 +73,7 @@ def fuzzy_dedup_corpus(
     threshold: float = 0.5,
     use_star: bool = False,
     max_bucket_size: int | None = None,
-    salt_size: int | None = None,
+    salt_size: int | None | str = "auto",
     salt_parts: int = 8,
 ) -> DataFrame:
     """The cleaned corpus: every input column of ``docs`` for the rows
@@ -85,12 +87,33 @@ def fuzzy_dedup_corpus(
     pass through to the LSH candidate join (``_banded_candidates``):
     cap = drop giant boilerplate buckets (recall dial), salt = same
     pairs, hot bucket spread over ``salt_parts`` tasks.
+
+    ``salt_size`` defaults to ``"auto"`` — the self-tuning form: the
+    band relation is checkpointed (the LSH signature pipeline runs
+    exactly once either way; this only moves the materialization point
+    ahead of candidate generation) and the hot-bucket threshold is
+    derived from the observed per-bucket count distribution
+    (``plans/skew.py::derive_salt_size``). When no bucket is hot — the
+    common case — the candidate join keeps the lean single-exchange
+    plan, bit-identical routing to the manual ``salt_size=None``; when
+    a boilerplate bucket IS hot, its pair stream spreads over
+    ``salt_parts`` tasks with output pinned identical. Pass an int to
+    force the threshold or None to disable salting entirely.
     """
     if quality is None:
         quality = F.length(F.col(text_col))
-    cands = minhash_lsh_candidates(
-        docs, id_col, text_col, num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n, max_bucket_size=max_bucket_size,
+    band_rel = lsh_bands(
+        docs, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    if isinstance(salt_size, str):
+        if salt_size != "auto":
+            raise ValueError(
+                f"salt_size must be an int, None, or 'auto'; got {salt_size!r}"
+            )
+        band_rel = band_rel.localCheckpoint(eager=True)
+        salt_size = derive_salt_size(band_rel, ["band", "band_key"])
+    cands = _banded_candidates(
+        band_rel, id_col, max_bucket_size=max_bucket_size,
         salt_size=salt_size, salt_parts=salt_parts,
     )
     sets = docs.select(
@@ -146,6 +169,25 @@ def _positive_or_none(p, key: str) -> int | None:
     return val
 
 
+def _salt_size_param(p) -> int | None | str:
+    """``salt_size`` CLI tri-state: absent / "auto" → self-tuning
+    (the composition default), "off"/"none"/null → salting disabled,
+    positive int → manual threshold, 0/negative → error (a typo must
+    not silently disable the straggler control)."""
+    raw = p.get_optional("salt_size", "auto")
+    if raw is None or (isinstance(raw, str) and raw.lower() in ("off", "none")):
+        return None
+    if isinstance(raw, str) and raw.lower() == "auto":
+        return "auto"
+    val = int(raw)
+    if val <= 0:
+        raise ValueError(
+            f"salt_size must be a positive integer, 'auto', or "
+            f"'off'; got {raw!r}"
+        )
+    return val
+
+
 from m3d_engine_spark.operators.base import Algorithm, register  # noqa: E402
 
 
@@ -164,7 +206,9 @@ class FuzzyDedupAlgorithm(Algorithm):
       threshold (0.5) — the exact-Jaccard duplicate floor
       use_star (false) — large/small-star CC for long-chain graphs
       max_bucket_size (null) — drop LSH buckets larger than this
-      salt_size (null), salt_parts (8) — hot-bucket salted join
+      salt_size ("auto") — hot-bucket salted join: "auto" derives the
+        threshold from the per-bucket count distribution, an int
+        forces it, "off" disables; salt_parts (8) — spread factor
       target_location OR target_table (+ target_partitions,
       output_files_num, load_mode — the full write_output surface)
 
@@ -192,7 +236,7 @@ class FuzzyDedupAlgorithm(Algorithm):
                 threshold=float(p.get_optional("threshold", 0.5)),
                 use_star=bool(p.get_optional("use_star", False)),
                 max_bucket_size=_positive_or_none(p, "max_bucket_size"),
-                salt_size=_positive_or_none(p, "salt_size"),
+                salt_size=_salt_size_param(p),
                 salt_parts=int(p.get_optional("salt_parts", 8)),
             )
         ]

@@ -31,6 +31,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from m3d_engine_spark.operators.dedup import lsh_bands, shingle_array
+from m3d_engine_spark.plans.skew import (
+    SALT_PART_COL,
+    derive_salt_size,
+    salted_two_sided_streams,
+)
 
 
 def materialize_dedup_artifacts(
@@ -44,6 +49,7 @@ def materialize_dedup_artifacts(
     shingle_n: int = 3,
     bands_table: str | None = None,
     num_buckets: int = 64,
+    salt_size: int | None | str = "auto",
 ) -> dict[str, str]:
     """Write the corpus-side dedup artifacts the module docstring
     designs for — ONCE, at corpus-accept time, so every nightly batch
@@ -62,6 +68,19 @@ def materialize_dedup_artifacts(
     exchange (only the batch-sized side shuffles, into the bucket
     layout), pinned in tests/test_plans.py. The parquet path is still
     written so the artifact contract stays engine-local.
+
+    ``salt_size`` precomputes the hot-bucket skew artifact the batch
+    join self-tunes from: ``"auto"`` (default) derives the threshold
+    from the written band relation's per-bucket count distribution
+    (``plans/skew.py::derive_salt_size`` — one cheap agg over the
+    just-written parquet, NOT a second LSH pass); an int forces the
+    threshold; None skips the stats entirely. When any bucket is hot,
+    ``{base}/hot_bands`` — the (band, band_key) rows above the
+    threshold, ≤ N/threshold rows by construction — is written and the
+    threshold recorded in ``_meta.json``, so the nightly batch can
+    split hot buckets off its join with ZERO derivation cost at batch
+    time (the corpus count distribution only changes when the corpus
+    does — exactly when this function re-runs).
     """
     import json
 
@@ -94,6 +113,30 @@ def materialize_dedup_artifacts(
         F.col(id_col),
         F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias("sh"),
     ).write.mode("overwrite").parquet(sh)
+    # Hot-bucket skew artifact: derive (or take) the threshold over the
+    # written bands, and persist the hot (band, band_key) rows so the
+    # batch join can split them off without counting anything.
+    hot_path = None
+    written_bands = corpus.sparkSession.read.parquet(bd)
+    if isinstance(salt_size, str):
+        if salt_size != "auto":
+            raise ValueError(
+                f"salt_size must be an int, None, or 'auto'; got {salt_size!r}"
+            )
+        salt_size = derive_salt_size(written_bands, ["band", "band_key"])
+    if salt_size is not None:
+        hot = (
+            written_bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("bucket_rows"))
+            .filter(F.col("bucket_rows") > int(salt_size))
+        )
+        hot_path = f"{base_path}/hot_bands"
+        hot.write.mode("overwrite").parquet(hot_path)
+        if len(corpus.sparkSession.read.parquet(hot_path).take(1)) == 0:
+            # a forced threshold nothing exceeds: don't make every
+            # batch pay the split machinery for an empty relation
+            hot_path = None
+            salt_size = None
     # The LSH parameters are BAKED INTO the band/shingle relations; a
     # batch joining with different dials would silently match nothing.
     # Record them next to the data so the read side derives them.
@@ -106,22 +149,21 @@ def materialize_dedup_artifacts(
                 "shingle_n": int(shingle_n),
                 "id_col": id_col,
                 **({"bands_table": bands_table} if bands_table else {}),
+                **(
+                    {"salt_size": int(salt_size)}
+                    if hot_path is not None
+                    else {}
+                ),
             }
         ),
     )
-    if bands_table is not None:
-        return {
-            "fingerprints": fp,
-            "bands": bd,
-            "bands_table": bands_table,
-            "shingles": sh,
-            "meta": f"{base_path}/_meta.json",
-        }
     return {
         "fingerprints": fp,
         "bands": bd,
         "shingles": sh,
         "meta": f"{base_path}/_meta.json",
+        **({"bands_table": bands_table} if bands_table is not None else {}),
+        **({"hot_bands": hot_path} if hot_path is not None else {}),
     }
 
 
@@ -132,6 +174,7 @@ def incremental_dedup_against_artifacts(
     text_col: str,
     *,
     threshold: float = 0.5,
+    salt_parts: int = 8,
 ) -> DataFrame:
     """``incremental_dedup`` reading the corpus side from materialized
     artifacts: the nightly-batch form — corpus text is NEVER touched,
@@ -145,7 +188,19 @@ def incremental_dedup_against_artifacts(
     they are read from the artifacts' ``_meta.json`` — a batch hashed
     with different dials than the stored bands would candidate-match
     nothing and silently admit duplicates, so the only safe source of
-    truth is the artifact itself.
+    truth is the artifact itself. The hot-bucket skew control follows
+    the same rule: when the artifacts carry ``hot_bands`` (+ its
+    ``salt_size`` in _meta.json, precomputed by
+    ``materialize_dedup_artifacts``), those buckets are split off the
+    band join — the batch rows of a hot bucket replicate over
+    ``salt_parts`` parts and the corpus rows salt by
+    ``pmod(xxhash64(id), salt_parts)``, so one boilerplate bucket's
+    n·m pair stream spreads over ``salt_parts`` tasks; cold buckets
+    keep the exchange-free bucketed join. Every (new, old) pair meets
+    exactly once (a pair's bucket is either hot or cold), so output is
+    identical to the unsalted form — pinned by test. Zero derivation
+    cost here: the hot relation was counted when the corpus was
+    accepted, the only time its distribution can change.
     """
     import json
 
@@ -180,19 +235,56 @@ def incremental_dedup_against_artifacts(
         ob = spark.table(bands_table)
     else:
         ob = spark.read.parquet(artifacts["bands"])
-    cand = (
-        nb.alias("n")
-        .join(
-            ob.alias("o"),
-            on=[F.col("n.band") == F.col("o.band"),
-                F.col("n.band_key") == F.col("o.band_key")],
+    salt_size = meta.get("salt_size")
+    hot_loc = artifacts.get("hot_bands")
+    if salt_size is None or hot_loc is None:
+        cand = (
+            nb.alias("n")
+            .join(
+                ob.alias("o"),
+                on=[F.col("n.band") == F.col("o.band"),
+                    F.col("n.band_key") == F.col("o.band_key")],
+            )
+            .select(
+                F.col(f"n.{id_col}").alias("new_id"),
+                F.col(f"o.{old_id}").alias("old_id"),
+            )
+            .distinct()
         )
-        .select(
-            F.col(f"n.{id_col}").alias("new_id"),
-            F.col(f"o.{old_id}").alias("old_id"),
+    else:
+        if salt_parts < 2:
+            raise ValueError("salt_parts must be ≥ 2 for the hot split")
+        hot = F.broadcast(
+            spark.read.parquet(hot_loc).select("band", "band_key")
         )
-        .distinct()
-    )
+        n2 = nb.select(F.col(id_col).alias("new_id"), "band", "band_key")
+        o2 = ob.select(F.col(old_id).alias("old_id"), "band", "band_key")
+        keys = ["band", "band_key"]
+        # Cold stream: hot buckets anti-joined off the BATCH side only
+        # — a corpus row of a hot bucket then streams through the SMJ
+        # matching nothing (linear, no pair fan-out), while the corpus
+        # scan keeps its bucket layout (no exchange, pinned).
+        cold = (
+            n2.join(hot, on=keys, how="left_anti")
+            .join(o2, on=keys)
+            .select("new_id", "old_id")
+        )
+        # Hot stream: corpus side salts (it is the side the threshold
+        # was counted on), batch side replicates per part.
+        allp = F.sequence(
+            F.lit(0).cast("long"), F.lit(salt_parts - 1).cast("long")
+        )
+        n_hot = n2.join(hot, on=keys, how="left_semi").withColumn(
+            "_salt_part", F.explode(allp)
+        )
+        o_hot = o2.join(hot, on=keys, how="left_semi").withColumn(
+            "_salt_part", F.pmod(F.xxhash64("old_id"), F.lit(salt_parts))
+        )
+        hot_cand = (
+            n_hot.join(o_hot, on=keys + ["_salt_part"])
+            .select("new_id", "old_id")
+        )
+        cand = cold.unionByName(hot_cand).distinct()
     sh_old = spark.read.parquet(artifacts["shingles"])
     jac = F.round(
         F.size(F.array_intersect(F.col("sh_n"), F.col("sh_o")))
@@ -234,6 +326,8 @@ def incremental_dedup(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    salt_size: int | None | str = "auto",
+    salt_parts: int = 8,
 ) -> DataFrame:
     """Rows of ``new`` that survive exact + fuzzy dedup against
     ``existing``: no identical text (md5 fingerprint) and no
@@ -243,6 +337,19 @@ def incremental_dedup(
     Intra-batch duplicates are deliberately NOT touched here — run
     ``fuzzy_dedup_corpus`` on the batch first (or after); keeping the
     passes separate keeps each one's oracle exact.
+
+    ``salt_size`` is the hot-bucket straggler dial for the new × old
+    band join — a boilerplate (band, band_key) bucket with n new and m
+    old rows fans n·m candidate pairs into one task. Default ``"auto"``
+    self-tunes: the corpus-side band relation is checkpointed (it is
+    evaluated in full by the join either way) and the threshold is
+    derived from its observed per-bucket count distribution
+    (``plans/skew.py::derive_salt_size``); when no bucket is hot — the
+    common case — the join keeps the lean unsalted plan. When hot, the
+    bucket routes through ``plans/skew.py::salted_two_sided_streams``:
+    per bucket the bigger side salts and the smaller replicates, every
+    (new, old) pair meets exactly once, output pinned identical. Pass
+    an int to force the threshold, None to disable.
     """
     fp_old = existing.select(F.md5(F.col(text_col)).alias("_fp")).distinct()
     exact_surv = (
@@ -256,19 +363,39 @@ def incremental_dedup(
 
     nb = lsh_bands(exact_surv, id_col, text_col, num_hashes, bands, shingle_n)
     ob = lsh_bands(existing, id_col, text_col, num_hashes, bands, shingle_n)
-    cand = (
-        nb.alias("n")
-        .join(
-            ob.alias("o"),
-            on=[F.col("n.band") == F.col("o.band"),
-                F.col("n.band_key") == F.col("o.band_key")],
+    if isinstance(salt_size, str):
+        if salt_size != "auto":
+            raise ValueError(
+                f"salt_size must be an int, None, or 'auto'; got {salt_size!r}"
+            )
+        ob = ob.localCheckpoint(eager=True)
+        salt_size = derive_salt_size(ob, ["band", "band_key"])
+    if salt_size is None:
+        cand = (
+            nb.alias("n")
+            .join(
+                ob.alias("o"),
+                on=[F.col("n.band") == F.col("o.band"),
+                    F.col("n.band_key") == F.col("o.band_key")],
+            )
+            .select(
+                F.col(f"n.{id_col}").alias("new_id"),
+                F.col(f"o.{id_col}").alias("old_id"),
+            )
+            .distinct()
         )
-        .select(
-            F.col(f"n.{id_col}").alias("new_id"),
-            F.col(f"o.{id_col}").alias("old_id"),
+    else:
+        n2 = nb.select(F.col(id_col).alias("new_id"), "band", "band_key")
+        o2 = ob.select(F.col(id_col).alias("old_id"), "band", "band_key")
+        l2, r2 = salted_two_sided_streams(
+            n2, o2, ["band", "band_key"], "new_id", "old_id",
+            salt_size, salt_parts,
         )
-        .distinct()
-    )
+        cand = (
+            l2.join(r2, on=["band", "band_key", SALT_PART_COL])
+            .select("new_id", "old_id")
+            .distinct()
+        )
     sh = lambda df: df.select(  # noqa: E731
         F.col(id_col),
         F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias("sh"),
@@ -329,7 +456,10 @@ class IncrementalDedupAlgorithm(Algorithm):
 
     Config keys: action, source_location OR source_table,
     artifact_location, id_column ("doc_id"), text_column ("text"),
-    threshold (0.5, batch), num_hashes/bands/shingle_n (materialize),
+    threshold (0.5, batch), num_hashes/bands/shingle_n and
+    salt_size ("auto" — hot-bucket threshold: "auto" derives it from
+    the per-bucket count distribution, int forces, "off" disables;
+    materialize), salt_parts (8, batch — hot-bucket spread factor),
     target_location OR target_table (+ write_output extras, batch).
     """
 
@@ -346,11 +476,14 @@ class IncrementalDedupAlgorithm(Algorithm):
         text_col = p.get_optional("text_column", "text")
         base = p.get_string("artifact_location")
         if p.get_optional("action", "batch") == "materialize":
+            from m3d_engine_spark.operators.fuzzy_dedup import _salt_size_param
+
             materialize_dedup_artifacts(
                 dfs[0], id_col, text_col, base,
                 num_hashes=int(p.get_optional("num_hashes", 16)),
                 bands=int(p.get_optional("bands", 8)),
                 shingle_n=int(p.get_optional("shingle_n", 3)),
+                salt_size=_salt_size_param(p),
             )
             return []
         artifacts = {
@@ -358,11 +491,15 @@ class IncrementalDedupAlgorithm(Algorithm):
             "bands": f"{base}/bands",
             "shingles": f"{base}/shingles",
             "meta": f"{base}/_meta.json",
+            # only consulted when _meta.json carries a salt_size (i.e.
+            # materialize found hot buckets and wrote this relation)
+            "hot_bands": f"{base}/hot_bands",
         }
         return [
             incremental_dedup_against_artifacts(
                 dfs[0], artifacts, id_col, text_col,
                 threshold=float(p.get_optional("threshold", 0.5)),
+                salt_parts=int(p.get_optional("salt_parts", 8)),
             )
         ]
 

@@ -106,55 +106,20 @@ def record_linkage(
     if salt_size is None:
         pairs = lsel.join(rsel, on=join_keys)
     else:
-        if salt_parts < 2:
-            raise ValueError("salt_parts must be ≥ 2 when salt_size is set")
-        # Hot blocks (larger side > salt_size) and which side salts:
-        # one small agg per side, joined into a ≤ N/salt_size-row
-        # relation that broadcasts back onto both inputs.
-        bc_hot = (
-            lsel.groupBy(join_keys).agg(F.count(F.lit(1)).alias("_cl"))
-            .join(
-                rsel.groupBy(join_keys).agg(F.count(F.lit(1)).alias("_cr")),
-                on=join_keys,
-            )
-            .filter(F.greatest("_cl", "_cr") > salt_size)
-            .select(*join_keys, (F.col("_cl") >= F.col("_cr")).alias("_lsalts"))
+        # Hot blocks (larger side > salt_size) and which side salts are
+        # decided per block from a broadcast count relation — the
+        # shared two-sided helper (plans/skew.py), extracted from this
+        # operator in round 11 so the incremental-dedup composition
+        # reuses the same exactly-once construction.
+        from m3d_engine_spark.plans.skew import (
+            SALT_PART_COL,
+            salted_two_sided_streams,
         )
-        one = F.array(F.lit(0).cast("long"))
-        allp = F.sequence(
-            F.lit(0).cast("long"), F.lit(salt_parts - 1).cast("long")
+
+        l2, r2 = salted_two_sided_streams(
+            lsel, rsel, join_keys, "_lid", "_rid", salt_size, salt_parts
         )
-        l2 = (
-            lsel.join(F.broadcast(bc_hot), on=join_keys, how="left")
-            .withColumn(
-                "_part",
-                F.explode(
-                    F.when(F.col("_lsalts").isNull(), one)  # cold block
-                    .when(
-                        F.col("_lsalts"),
-                        F.array(F.pmod(F.xxhash64("_lid"), F.lit(salt_parts))),
-                    )
-                    .otherwise(allp)  # right salts → left replicates
-                ),
-            )
-            .drop("_lsalts")
-        )
-        r2 = (
-            rsel.join(F.broadcast(bc_hot), on=join_keys, how="left")
-            .withColumn(
-                "_part",
-                F.explode(
-                    F.when(F.col("_lsalts").isNull(), one)
-                    .when(
-                        ~F.col("_lsalts"),
-                        F.array(F.pmod(F.xxhash64("_rid"), F.lit(salt_parts))),
-                    )
-                    .otherwise(allp)  # left salts → right replicates
-                ),
-            )
-            .drop("_lsalts")
-        )
-        pairs = l2.join(r2, on=join_keys + ["_part"]).drop("_part")
+        pairs = l2.join(r2, on=join_keys + [SALT_PART_COL]).drop(SALT_PART_COL)
     total_w = float(sum(fields.values()))
     score = None
     for c, w in fields.items():

@@ -90,6 +90,136 @@ def two_stage_agg(
     )
 
 
+def derive_salt_size(
+    rel: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    floor: int = 4096,
+    q: float = 0.95,
+    ratio: float = 8.0,
+) -> int | None:
+    """Data-derived hot-key threshold for the salted joins — the
+    self-tuning form of the manual ``salt_size`` dial, lifted from
+    ``record_linkage``'s per-block count relation into a reusable rule
+    the end-to-end compositions apply by default.
+
+    One aggregation job over ``rel`` (per-key counts → a single
+    collected row of max + the ``q``-quantile). The threshold is
+    ``max(floor, ratio · p_q)``:
+
+    * ``floor`` keeps salting OFF until a key is big enough that its
+      pair stream actually stalls one task — a 4096-row bucket is
+      ~8.4M generated pairs in one sort-merge task, roughly where a
+      straggler becomes visible; below that the salted stream's extra
+      exchange costs more than the spread saves.
+    * ``ratio · p_q`` keeps salting off for distributions that are
+      uniformly chunky (everything near the quantile is not "hot",
+      it's just the workload — salting every key re-shuffles the whole
+      relation for nothing). Only out-of-distribution keys salt.
+      ``q`` is deliberately 0.95, not an extreme tail quantile: with
+      few distinct keys p99.9+ IS the max, and ``ratio · p_max`` can
+      never be exceeded — the rule would go blind exactly when one key
+      dominates. p95 tracks the "typical" key size at every
+      cardinality; at real LSH scale (p95 of bucket sizes ≈ single
+      digits) the ``floor`` term dominates anyway.
+
+    Returns None when no key exceeds the threshold — callers then keep
+    the lean unsalted plan (single reused exchange, no hot branch) —
+    else the threshold to pass as ``salt_size``.
+
+    The threshold only routes rows between two output-identical plans,
+    so the approximate quantile costs nothing in correctness; callers
+    pass a checkpointed ``rel`` when its lineage is expensive (the
+    compositions checkpoint the band relation anyway so the signature
+    pipeline runs once).
+    """
+    row = (
+        rel.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.max("_c").alias("mx"),
+            F.expr(f"approx_percentile(_c, CAST({q} AS DOUBLE))").alias("pq"),
+        )
+        .collect()[0]
+    )
+    if row["mx"] is None:  # empty relation
+        return None
+    thr = max(int(floor), int(float(ratio) * float(row["pq"])))
+    return thr if int(row["mx"]) > thr else None
+
+
+def salted_two_sided_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_id: str,
+    right_id: str,
+    salt_size: int,
+    salt_parts: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Exactly-once salted TWO-SIDED equi-join streams — the
+    ``record_linkage`` hot-block pattern as a reusable helper: per hot
+    key (either side's count > ``salt_size``) the BIGGER side gets a
+    deterministic part ``pmod(xxhash64(id), salt_parts)`` and the
+    smaller side replicates once per part; cold keys carry part 0 on
+    both sides. Callers join on ``key_cols + [SALT_PART_COL]`` and
+    drop the part — output identical to the unsalted join (every
+    (l, r) pair meets exactly once, in the salted row's part).
+
+    Which side salts is decided PER KEY from a broadcast count
+    relation (≤ N/salt_size hot rows by construction) — the caller
+    never has to know which side is skewed, matching how
+    ``record_linkage`` self-tunes. Both inputs must already expose
+    ``key_cols`` under the same names; ``left_id``/``right_id`` seed
+    the deterministic salt.
+    """
+    if salt_parts < 2:
+        raise ValueError("salt_parts must be ≥ 2 when salt_size is set")
+    keys = list(key_cols)
+    for side, df in (("left", left), ("right", right)):
+        clash = {SALT_PART_COL, "_lsalts"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"salted two-sided join reserves column name(s) "
+                f"{sorted(clash)} (clash on the {side} input); rename "
+                f"the conflicting column(s)"
+            )
+    bc_hot = (
+        left.groupBy(keys).agg(F.count(F.lit(1)).alias("_cl"))
+        .join(right.groupBy(keys).agg(F.count(F.lit(1)).alias("_cr")), on=keys)
+        .filter(F.greatest("_cl", "_cr") > salt_size)
+        .select(*keys, (F.col("_cl") >= F.col("_cr")).alias("_lsalts"))
+    )
+    one = F.array(F.lit(0).cast("long"))
+    allp = F.sequence(
+        F.lit(0).cast("long"), F.lit(salt_parts - 1).cast("long")
+    )
+
+    def _tag(df: DataFrame, id_col: str, salts_when: Column) -> DataFrame:
+        return (
+            df.join(F.broadcast(bc_hot), on=keys, how="left")
+            .withColumn(
+                SALT_PART_COL,
+                F.explode(
+                    F.when(F.col("_lsalts").isNull(), one)  # cold key
+                    .when(
+                        salts_when,
+                        F.array(
+                            F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts))
+                        ),
+                    )
+                    .otherwise(allp)  # other side salts → replicate
+                ),
+            )
+            .drop("_lsalts")
+        )
+
+    return (
+        _tag(left, left_id, F.col("_lsalts")),
+        _tag(right, right_id, ~F.col("_lsalts")),
+    )
+
+
 def salted_self_join_streams(
     rel: DataFrame,
     key_cols: Sequence[str],

@@ -22,6 +22,7 @@ _LANE_FILES = {
         "test_dedup_artifacts.py",
     },
     "lane_b": {
+        "test_auto_salt.py",
         "test_quantization.py",
         "test_algorithms.py",
         "test_graph.py",

@@ -1,0 +1,210 @@
+"""Self-tuning skew salting (round 11): the fuzzy/incremental dedup
+compositions derive the hot-bucket ``salt_size`` from the observed
+per-key count distribution by default (``plans/skew.py::
+derive_salt_size``), instead of requiring a user to know the dial at
+100 TB. Pins: the decision rule itself, output-identity of the auto
+paths (hot and cold) against the unsalted plans, the precomputed
+``hot_bands`` artifact contract, and the two-sided helper extraction
+(``salted_two_sided_streams``) that record_linkage and
+incremental_dedup now share.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.plans.skew import (
+    SALT_PART_COL,
+    derive_salt_size,
+    salted_two_sided_streams,
+)
+
+
+# ------------------------------------------------------ decision rule
+def test_derive_salt_size_uniform_distribution_is_none(spark):
+    # 50 keys × 8 rows: nothing is out of distribution — even with a
+    # tiny floor, max == p_q so ratio·p_q exceeds max → no salting
+    rel = spark.range(400).select(
+        (F.col("id") % 50).alias("k"), F.lit(1).alias("v")
+    )
+    assert derive_salt_size(rel, ["k"], floor=4, ratio=4.0) is None
+
+
+def test_derive_salt_size_hot_key_yields_threshold(spark):
+    # 40 keys × 2 rows + one key with 64 rows: hot key is far beyond
+    # ratio·p_q and the floor → threshold returned, and it is below
+    # the hot key's count (so that key actually salts) but above the
+    # cold keys' (so they don't)
+    rel = spark.range(80).select((F.col("id") % 40).alias("k")).unionAll(
+        spark.range(64).select(F.lit(999).alias("k"))
+    )
+    thr = derive_salt_size(rel, ["k"], floor=8, ratio=4.0)
+    assert thr is not None and 8 <= thr < 64
+
+
+def test_derive_salt_size_floor_keeps_small_data_unsalted(spark):
+    # one 64-row key but the default floor (4096) dwarfs it: a bucket
+    # this small cannot stall a task, so no salting
+    rel = spark.range(64).select(F.lit(1).alias("k"))
+    assert derive_salt_size(rel, ["k"]) is None
+
+
+def test_derive_salt_size_empty_relation_is_none(spark):
+    rel = spark.range(10).filter(F.col("id") < 0).select(
+        F.col("id").alias("k")
+    )
+    assert derive_salt_size(rel, ["k"], floor=1) is None
+
+
+# ------------------------------------------- two-sided helper contract
+def test_salted_two_sided_streams_exactly_once(spark):
+    # hot key "h": 6 left × 5 right = 30 pairs; cold key "c": 2 × 3.
+    # Joined output must equal the plain join as a MULTISET (a pair
+    # meeting twice would survive a set compare but corrupt counts).
+    left = spark.createDataFrame(
+        [(i, "h") for i in range(6)] + [(100 + i, "c") for i in range(2)],
+        "lid long, k string",
+    )
+    right = spark.createDataFrame(
+        [(200 + i, "h") for i in range(5)] + [(300 + i, "c") for i in range(3)],
+        "rid long, k string",
+    )
+    plain = sorted(
+        (r.lid, r.rid) for r in left.join(right, on="k").collect()
+    )
+    l2, r2 = salted_two_sided_streams(
+        left, right, ["k"], "lid", "rid", salt_size=4, salt_parts=3
+    )
+    salted = sorted(
+        (r.lid, r.rid)
+        for r in l2.join(r2, on=["k", SALT_PART_COL]).collect()
+    )
+    assert salted == plain and len(plain) == 36
+
+
+def test_salted_two_sided_streams_reserved_name_guard(spark):
+    left = spark.createDataFrame([(1, "a", 0)], f"lid long, k string, {SALT_PART_COL} int")
+    right = spark.createDataFrame([(2, "a")], "rid long, k string")
+    with pytest.raises(ValueError, match="reserve"):
+        salted_two_sided_streams(left, right, ["k"], "lid", "rid", 1, 2)
+
+
+# --------------------------------------- composition output identity
+@pytest.mark.slow
+def test_fuzzy_dedup_auto_default_equals_unsalted(spark, sf_dir):
+    """The new 'auto' default must be output-identical to the old
+    salt_size=None default on the real fixture (where nothing is hot,
+    routing is identical too — this is the driver-entry path)."""
+    from m3d_engine_spark.operators.fuzzy_dedup import fuzzy_dedup_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    auto = fuzzy_dedup_corpus(docs, "doc_id", "text")  # salt_size="auto"
+    off = fuzzy_dedup_corpus(docs, "doc_id", "text", salt_size=None)
+    cols = sorted(auto.columns)
+    assert sorted(r for r in auto.select(cols).collect()) == sorted(
+        r for r in off.select(cols).collect()
+    )
+
+
+@pytest.mark.slow
+def test_fuzzy_dedup_auto_hot_path_equals_unsalted(spark, sf_dir, monkeypatch):
+    """Force the tuner hot (threshold 2 → most LSH buckets route
+    through the salted stream) and pin output identity — the salted
+    plan is a pure re-partitioning of the same pairs."""
+    import m3d_engine_spark.operators.fuzzy_dedup as fd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    off = fd.fuzzy_dedup_corpus(docs, "doc_id", "text", salt_size=None)
+    monkeypatch.setattr(fd, "derive_salt_size", lambda rel, keys, **kw: 2)
+    hot = fd.fuzzy_dedup_corpus(docs, "doc_id", "text")  # auto → 2
+    cols = sorted(off.columns)
+    assert sorted(r for r in hot.select(cols).collect()) == sorted(
+        r for r in off.select(cols).collect()
+    )
+
+
+@pytest.mark.slow
+def test_incremental_auto_hot_path_equals_unsalted(spark, sf_dir, monkeypatch):
+    import m3d_engine_spark.operators.incremental as inc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    off = inc.incremental_dedup(new, old, "doc_id", "text", salt_size=None)
+    monkeypatch.setattr(inc, "derive_salt_size", lambda rel, keys, **kw: 2)
+    hot = inc.incremental_dedup(new, old, "doc_id", "text")  # auto → 2
+    cols = sorted(off.columns)
+    assert sorted(r for r in hot.select(cols).collect()) == sorted(
+        r for r in off.select(cols).collect()
+    )
+    assert off.count() > 0
+
+
+# ------------------------------------------- precomputed hot artifact
+@pytest.mark.slow
+def test_artifact_hot_bands_precomputed_and_batch_equal(spark, tmp_path, sf_dir):
+    """materialize(salt_size=2) writes the hot_bands relation + the
+    threshold in _meta.json; the batch join splits those buckets off
+    and its output is identical to an artifact set materialized with
+    salting disabled."""
+    import json
+
+    from m3d_engine_spark.operators.incremental import (
+        incremental_dedup_against_artifacts,
+        materialize_dedup_artifacts,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 5 != 0
+    )
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    salted_arts = materialize_dedup_artifacts(
+        corpus, "doc_id", "text", str(tmp_path / "a_hot"), salt_size=2
+    )
+    plain_arts = materialize_dedup_artifacts(
+        corpus, "doc_id", "text", str(tmp_path / "a_plain"), salt_size=None
+    )
+    assert "hot_bands" in salted_arts and "hot_bands" not in plain_arts
+    from m3d_engine_spark.sources.dfs import DFS
+
+    meta = json.loads(DFS(spark).read_text(salted_arts["meta"]))
+    assert meta["salt_size"] == 2
+    hot_rel = spark.read.parquet(salted_arts["hot_bands"])
+    assert hot_rel.count() > 0
+    assert set(hot_rel.columns) == {"band", "band_key", "bucket_rows"}
+
+    via_salted = incremental_dedup_against_artifacts(
+        batch, salted_arts, "doc_id", "text", salt_parts=4
+    )
+    via_plain = incremental_dedup_against_artifacts(
+        batch, plain_arts, "doc_id", "text"
+    )
+    cols = sorted(via_plain.columns)
+    assert sorted(r for r in via_salted.select(cols).collect()) == sorted(
+        r for r in via_plain.select(cols).collect()
+    )
+
+
+@pytest.mark.slow
+def test_artifact_auto_salt_small_corpus_writes_nothing(spark, tmp_path, sf_dir):
+    """At fixture scale the auto rule must find nothing hot (floor
+    4096): no hot_bands artifact, no salt_size in meta — so the batch
+    plan stays exactly the pre-round-11 shape."""
+    import json
+
+    from m3d_engine_spark.operators.incremental import (
+        materialize_dedup_artifacts,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arts = materialize_dedup_artifacts(
+        corpus, "doc_id", "text", str(tmp_path / "a_auto")
+    )
+    assert "hot_bands" not in arts
+    from m3d_engine_spark.sources.dfs import DFS
+
+    meta = json.loads(DFS(spark).read_text(arts["meta"]))
+    assert "salt_size" not in meta

@@ -1571,3 +1571,103 @@ def test_record_linkage_salted_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # bc_hot onto both sides
     assert "_part" in plan  # the salted equi-key
+
+
+def test_fuzzy_dedup_auto_unskewed_keeps_lean_plan(spark):
+    """The round-11 'auto' salt default: on un-skewed data the tuner
+    returns None, so the composition's plan carries NO salt machinery
+    — no _salt_part column, no hot branch — and the band relation
+    feeds from its checkpoint (Scan ExistingRDD), i.e. the signature
+    pipeline ran exactly once at derive time."""
+    from m3d_engine_spark.operators.fuzzy_dedup import fuzzy_dedup_corpus
+    from m3d_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    df = fuzzy_dedup_corpus(docs, "doc_id", "text")  # salt_size="auto"
+    plan = _plan_simple(df)
+    assert "_salt_part" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_incremental_artifact_hot_split_plan(spark, tmp_path):
+    """Batch join against artifacts that carry hot_bands: the hot
+    buckets route through the salted stream (equi-key gains
+    _salt_part), the hot relation broadcasts, and with broadcast
+    capped the COLD branch still reads the bucketed corpus side with
+    no Exchange above its scan — splitting hot buckets must not cost
+    the cold path its exchange-free join."""
+    import shutil
+
+    from m3d_engine_spark.operators.incremental import (
+        incremental_dedup_against_artifacts,
+        materialize_dedup_artifacts,
+    )
+    from m3d_engine_spark.sources.testdata import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    table = "t_r11_hot_split_bands"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    batch = corpus.filter(F.col("doc_id") % 7 == 0)
+    try:
+        arts = materialize_dedup_artifacts(
+            corpus, "doc_id", "text", str(tmp_path / "arts"),
+            bands_table=table, num_buckets=4, salt_size=2,
+        )
+        assert "hot_bands" in arts
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        # small enough that the corpus side won't broadcast (the pin
+        # needs the SMJ) but the tiny hot relation still does
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        try:
+            df = incremental_dedup_against_artifacts(
+                batch, arts, "doc_id", "text", salt_parts=4
+            )
+            plan = _plan_simple(df)
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+            assert "_salt_part" in plan, plan  # the hot stream exists
+            # cold branch: bucketed corpus scan feeds its SMJ with no
+            # Exchange in between (formatted tree: walk up from the
+            # bucketed scan node id)
+            fplan = _plan(df)
+            assert "Bucketed: true" in fplan, fplan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+
+
+def test_salted_self_join_inert_under_aqe_skew_split(spark):
+    """AQE-interplay pin (VERDICT r10 item 7): the salted self-join
+    plans deliberately bypass AQE's skew-join splitting — the cold
+    stream pins ReusedExchange, and AQE skips splitting joins whose
+    shuffle is reused. This must stay true even under
+    forceOptimizeSkewedJoin, or a future Spark upgrade could silently
+    double-split what the salt already spread (same pairs computed
+    twice the shuffle). Executed plan: ReusedExchange present, no SMJ
+    marked skew=true."""
+    from m3d_engine_spark.operators.dedup import minhash_lsh_candidates
+    from m3d_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    prev = spark.conf.get("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    try:
+        df = minhash_lsh_candidates(
+            docs, "doc_id", "text", salt_size=2, salt_parts=4
+        )
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "ReusedExchange" in executed, executed
+        for ln in executed.splitlines():
+            if "SortMergeJoin" in ln:
+                assert "skew=true" not in ln, ln
+    finally:
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", prev)
