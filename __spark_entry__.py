@@ -1121,6 +1121,84 @@ FROM bands l JOIN bands r
 """
 
 
+def q_dedup_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight dedup dial advisor (advisor.py::
+    dedup_preflight_report): ONE pass over the corpus's LSH band
+    relation → per-bucket count distribution (exact histogram disc
+    percentiles — nothing bigger than the size histogram is ever
+    sorted), the EXACT candidate-pair total the self-join will
+    generate (Σ k·(k−1) div 2, integer arithmetic), the hottest
+    bucket's pair share (the straggler signal), and the recommended
+    salt_size / salt_parts / max_bucket_size — the same decision rule
+    the compositions' salt_size='auto' applies. floor=2/ratio=2 here
+    so the fixture actually exercises the recommendation branch."""
+    from m3d_engine_spark.operators.advisor import dedup_preflight_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_preflight_report(docs, "doc_id", "text", floor=2, ratio=2)
+
+
+def _sql_dedup_advisor() -> str:
+    hashes = ", ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{j}|' || x)), 'min')"
+        for j in range(16)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(sig[{2 * b + 1}] || '|' || sig[{2 * b + 2}]) AS band_key FROM sigs"
+        for b in range(8)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks
+), sigs AS (
+  SELECT doc_id, [{hashes}] AS sig FROM sh
+), bands AS (
+{band_rows}
+), counts AS (
+  SELECT band, band_key, CAST(COUNT(*) AS BIGINT) AS k
+  FROM bands GROUP BY band, band_key
+), hist AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS nk FROM counts GROUP BY k
+), cum AS (
+  SELECT k, CAST(SUM(nk) OVER (ORDER BY k) AS BIGINT) AS cum FROM hist
+), nb AS (
+  SELECT CAST(SUM(nk) AS BIGINT) AS _nb FROM hist
+), pct AS (
+  SELECT
+    MIN(CASE WHEN cum >= CEIL(0.5 * _nb) THEN k END) AS bucket_p50,
+    MIN(CASE WHEN cum >= CEIL(0.95 * _nb) THEN k END) AS bucket_p95
+  FROM cum, nb
+), pairs AS (
+  SELECT
+    CAST(SUM(k) AS BIGINT) AS n_rows,
+    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+    CAST(MAX(k) AS BIGINT) AS bucket_max,
+    CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS est_pairs,
+    CAST(MAX(k * (k - 1) // 2) AS BIGINT) AS _top_pairs
+  FROM counts
+), dialed AS (
+  SELECT *, CAST(GREATEST(2, 2 * bucket_p95) AS BIGINT) AS _thr
+  FROM pairs, pct
+)
+SELECT
+  n_rows, n_buckets, bucket_p50, bucket_p95, bucket_max, est_pairs,
+  CASE WHEN est_pairs > 0
+       THEN ROUND(CAST(_top_pairs AS DOUBLE) / est_pairs, 6) END
+    AS top_pair_share,
+  CASE WHEN bucket_max > _thr THEN _thr END AS salt_size,
+  CAST(CASE WHEN bucket_max > _thr
+       THEN LEAST(64, GREATEST(2, (bucket_max + _thr - 1) // _thr)) END
+    AS INTEGER) AS salt_parts,
+  CASE WHEN est_pairs > 0
+        AND CAST(_top_pairs AS DOUBLE) / est_pairs > 0.5
+        AND bucket_max > 16 * bucket_p95
+       THEN CAST(16 * bucket_p95 AS BIGINT) END AS max_bucket_size
+FROM dialed
+"""
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard (dedup.py::ngram_jaccard_pairs): exact pairwise
     Jaccard inside source blocks — the LSH verifier. The hot-shingle
@@ -10289,8 +10367,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # the tail so the next window is always the 50 stalest driver rows.
 # Round-11 window = the r6 remainder (5) + the head of the r7 cohort (45).
 _ROTATION_FRONT = [
-    # ---- round-11 window (first 50): stalest driver rows — the r6
-    # remainder (5) + the head of the r7 cohort (45) ----
+    # ---- round-11 window (first 50): the one new never-driver-checked
+    # entry (dedup_advisor, added r11) fronts per the original policy,
+    # then the stalest driver rows — the r6 remainder (5) + the head of
+    # the r7 cohort (44; top_terms slips to the r12 window) ----
+    "dedup_advisor",
     "stratified_sample", "text_stats", "tfidf_top_terms", "transpose_pivot",
     "winnow_fingerprints", "bigram_lm", "bm25_topk", "boilerplate_lines",
     "ccnet_buckets", "cohort_retention", "containment_pairs",
@@ -10540,6 +10621,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64_hamming": q_simhash64_hamming,
         "seeded_ann": q_seeded_ann,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_advisor": q_dedup_advisor,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_dups": q_embedding_dups,
         "sessionize": q_sessionize,
@@ -10746,6 +10828,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash64_hamming": _sql_simhash64_hamming(),
         "seeded_ann": _sql_seeded_ann(),
         "minhash_lsh": _sql_minhash_lsh(),
+        "dedup_advisor": _sql_dedup_advisor(),
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
         "embedding_dups": _SQL_EMBEDDING_DUPS,
         "sessionize": _SQL_SESSIONIZE,

@@ -97,21 +97,22 @@ def bucket_dial_report(
             ).alias("bucket_p95"),
         )
     )
+    # integer-exact pair arithmetic (k·(k−1) is always even, so DIV 2
+    # is exact; a double intermediate would drift at extreme sums and
+    # break oracle determinism)
+    kk = F.expr("k * (k - 1) DIV 2")
     pairs = counts.agg(
         F.sum("k").alias("n_rows"),
         F.count(F.lit(1)).alias("n_buckets"),
         F.max("k").alias("bucket_max"),
-        F.sum(F.col("k") * (F.col("k") - 1) / 2).cast("bigint").alias(
-            "est_pairs"
-        ),
-        F.max(F.col("k") * (F.col("k") - 1) / 2).cast("bigint").alias(
-            "_top_pairs"
-        ),
+        F.sum(kk).cast("bigint").alias("est_pairs"),
+        F.max(kk).cast("bigint").alias("_top_pairs"),
     )
     thr = F.greatest(F.lit(int(floor)), F.lit(int(ratio)) * F.col("bucket_p95"))
     boiler = F.lit(int(boilerplate_factor)) * F.col("bucket_p95")
     return (
         pairs.crossJoin(F.broadcast(pct))
+        .withColumn("_thr", thr.cast("bigint"))
         .select(
             "n_rows",
             "n_buckets",
@@ -123,14 +124,18 @@ def bucket_dial_report(
                 F.col("est_pairs") > 0,
                 F.round(F.col("_top_pairs") / F.col("est_pairs"), 6),
             ).alias("top_pair_share"),
-            F.when(F.col("bucket_max") > thr, thr)
+            F.when(F.col("bucket_max") > F.col("_thr"), F.col("_thr"))
             .cast("bigint")
             .alias("salt_size"),
             F.when(
-                F.col("bucket_max") > thr,
+                F.col("bucket_max") > F.col("_thr"),
                 F.least(
-                    F.lit(int(max_parts)),
-                    F.greatest(F.lit(2), F.ceil(F.col("bucket_max") / thr)),
+                    F.lit(int(max_parts)).cast("bigint"),
+                    F.greatest(
+                        F.lit(2).cast("bigint"),
+                        # integer ceil-division: exact in both engines
+                        F.expr("(bucket_max + _thr - 1) DIV _thr"),
+                    ),
                 ),
             )
             .cast("int")

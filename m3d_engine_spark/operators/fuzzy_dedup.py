@@ -200,6 +200,9 @@ class FuzzyDedupAlgorithm(Algorithm):
         python -m m3d_engine_spark FuzzyDedup params.json
 
     Config keys:
+      advise (false) — pre-flight mode: report the recommended dials
+        for this corpus (operators/advisor.py) instead of deduping;
+        printed when no target is configured, written otherwise
       source_location (parquet dir) OR source_table
       id_column (default "doc_id"), text_column (default "text")
       num_hashes (16), bands (8), shingle_n (3) — the LSH dials
@@ -225,6 +228,27 @@ class FuzzyDedupAlgorithm(Algorithm):
 
     def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
         p = self.params
+        if bool(p.get_optional("advise", False)):
+            # Pre-flight mode: ONE diagnostic pass that reports the
+            # dials this corpus needs (salt_size / salt_parts /
+            # max_bucket_size + the distribution that justifies them)
+            # instead of running the dedup — point a cluster at this
+            # first, read the row, then submit the real job (or trust
+            # the built-in "auto", which applies the same rule).
+            from m3d_engine_spark.operators.advisor import (
+                dedup_preflight_report,
+            )
+
+            return [
+                dedup_preflight_report(
+                    dfs[0],
+                    p.get_optional("id_column", "doc_id"),
+                    p.get_optional("text_column", "text"),
+                    num_hashes=int(p.get_optional("num_hashes", 16)),
+                    bands=int(p.get_optional("bands", 8)),
+                    shingle_n=int(p.get_optional("shingle_n", 3)),
+                )
+            ]
         return [
             fuzzy_dedup_corpus(
                 dfs[0],
@@ -242,6 +266,13 @@ class FuzzyDedupAlgorithm(Algorithm):
         ]
 
     def write(self, dfs: list[DataFrame]) -> None:
+        p = self.params
+        if bool(p.get_optional("advise", False)) and not (
+            p.has("target_location") or p.has("target_table")
+        ):
+            # advisory runs are usually eyeballed, not persisted
+            dfs[0].show(truncate=False)
+            return
         from m3d_engine_spark.sources.writers import write_output
 
         write_output(self.spark, dfs[0], self.params)

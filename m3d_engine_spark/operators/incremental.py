@@ -446,6 +446,13 @@ class IncrementalDedupAlgorithm(Algorithm):
     (fingerprints / LSH bands / shingle sets + _meta.json dials) under
     ``artifact_location``; run ONCE at corpus-accept time.
 
+    ``action: "advise"`` — pre-flight: read the corpus and report the
+    recommended dedup dials (operators/advisor.py — salt_size /
+    salt_parts / max_bucket_size plus the bucket distribution and
+    exact pair-count estimate that justify them); printed when no
+    target is configured, written otherwise. Run BEFORE "materialize"
+    commits a threshold into the artifacts.
+
     ``action: "batch"`` (default) — read the new batch, keep only rows
     with no exact or fuzzy duplicate in the artifacts (corpus text
     never read), and write survivors through the full write_output
@@ -475,6 +482,22 @@ class IncrementalDedupAlgorithm(Algorithm):
         id_col = p.get_optional("id_column", "doc_id")
         text_col = p.get_optional("text_column", "text")
         base = p.get_string("artifact_location")
+        if p.get_optional("action", "batch") == "advise":
+            # Pre-flight: report the dials the corpus needs (same
+            # report as FuzzyDedup's advise=true) before materialize
+            # commits a threshold into the artifacts.
+            from m3d_engine_spark.operators.advisor import (
+                dedup_preflight_report,
+            )
+
+            return [
+                dedup_preflight_report(
+                    dfs[0], id_col, text_col,
+                    num_hashes=int(p.get_optional("num_hashes", 16)),
+                    bands=int(p.get_optional("bands", 8)),
+                    shingle_n=int(p.get_optional("shingle_n", 3)),
+                )
+            ]
         if p.get_optional("action", "batch") == "materialize":
             from m3d_engine_spark.operators.fuzzy_dedup import _salt_size_param
 
@@ -506,6 +529,12 @@ class IncrementalDedupAlgorithm(Algorithm):
     def write(self, dfs: list[DataFrame]) -> None:
         if not dfs:
             return  # materialize action wrote its artifacts in transform
+        p = self.params
+        if p.get_optional("action", "batch") == "advise" and not (
+            p.has("target_location") or p.has("target_table")
+        ):
+            dfs[0].show(truncate=False)
+            return
         from m3d_engine_spark.sources.writers import write_output
 
         write_output(self.spark, dfs[0], self.params)

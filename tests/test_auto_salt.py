@@ -208,3 +208,86 @@ def test_artifact_auto_salt_small_corpus_writes_nothing(spark, tmp_path, sf_dir)
 
     meta = json.loads(DFS(spark).read_text(arts["meta"]))
     assert "salt_size" not in meta
+
+
+# -------------------------------------------------- pre-flight advisor
+@pytest.mark.slow
+def test_advisor_report_values_and_rule_parity(spark, sf_dir):
+    """The report's numbers must be internally consistent and its
+    salt_size must follow the same rule shape the compositions'
+    'auto' mode applies (max(floor, ratio·p95), NULL when nothing
+    exceeds it)."""
+    from m3d_engine_spark.operators.advisor import dedup_preflight_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = dedup_preflight_report(
+        docs, "doc_id", "text", floor=2, ratio=2
+    ).collect()[0]
+    assert row.n_rows > 0 and row.n_buckets <= row.n_rows
+    assert row.bucket_p50 <= row.bucket_p95 <= row.bucket_max
+    assert row.est_pairs >= 0
+    thr = max(2, 2 * row.bucket_p95)
+    if row.bucket_max > thr:
+        assert row.salt_size == thr
+        assert 2 <= row.salt_parts <= 64
+    else:
+        assert row.salt_size is None and row.salt_parts is None
+    # default floor (4096): fixture-scale corpora must recommend
+    # NO salting — the dial report agrees with what auto mode does
+    quiet = dedup_preflight_report(docs, "doc_id", "text").collect()[0]
+    assert quiet.salt_size is None and quiet.max_bucket_size is None
+
+
+@pytest.mark.slow
+def test_advisor_cli_roundtrips(spark, tmp_path, sf_dir):
+    """advise=true on FuzzyDedup and action=advise on IncrementalDedup
+    both write the library report when a target is set."""
+    import json
+
+    import m3d_engine_spark.cli  # noqa: F401 — populate REGISTRY
+    from m3d_engine_spark.operators.advisor import dedup_preflight_report
+    from m3d_engine_spark.operators.base import run_algorithm
+
+    lib = dedup_preflight_report(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text"
+    ).collect()
+
+    fz_target = str(tmp_path / "fz_advice")
+    pfile = tmp_path / "fz.json"
+    pfile.write_text(json.dumps({
+        "source_location": f"{sf_dir}/documents.parquet",
+        "advise": True,
+        "target_location": fz_target,
+    }))
+    run_algorithm(spark, "FuzzyDedup", str(pfile))
+    got = spark.read.parquet(fz_target).collect()
+    assert got == lib
+
+    inc_target = str(tmp_path / "inc_advice")
+    pfile2 = tmp_path / "inc.json"
+    pfile2.write_text(json.dumps({
+        "source_location": f"{sf_dir}/documents.parquet",
+        "artifact_location": str(tmp_path / "unused_arts"),
+        "action": "advise",
+        "target_location": inc_target,
+    }))
+    run_algorithm(spark, "IncrementalDedup", str(pfile2))
+    got2 = spark.read.parquet(inc_target).collect()
+    assert got2 == lib
+
+
+@pytest.mark.slow
+def test_advisor_cli_prints_without_target(spark, tmp_path, sf_dir, capsys):
+    import json
+
+    import m3d_engine_spark.cli  # noqa: F401 — populate REGISTRY
+    from m3d_engine_spark.operators.base import run_algorithm
+
+    pfile = tmp_path / "fz_print.json"
+    pfile.write_text(json.dumps({
+        "source_location": f"{sf_dir}/documents.parquet",
+        "advise": True,
+    }))
+    run_algorithm(spark, "FuzzyDedup", str(pfile))
+    out = capsys.readouterr().out
+    assert "salt_size" in out and "est_pairs" in out
