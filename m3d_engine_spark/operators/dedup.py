@@ -180,7 +180,7 @@ def _banded_candidates(
     bands_rel: DataFrame,
     id_col: str,
     max_bucket_size: int | None = None,
-    salt_size: int | None = None,
+    salt_size: int | None | str = None,
     salt_parts: int = 8,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs colliding in ≥1 band. SMJ-hinted so
@@ -202,6 +202,11 @@ def _banded_candidates(
       ``salt_parts`` tasks. Output IDENTICAL to the unsalted join
       (each intra-bucket pair meets exactly once, in the left row's
       part; multi-band collisions collapse in the final distinct).
+      ``salt_size="auto"`` derives the threshold IN-PLAN from the
+      per-bucket count distribution (``plans/skew.py::
+      auto_salt_threshold`` — a histogram branch over the same reused
+      exchange plus a 1-row broadcast; zero extra passes, no driver
+      collect) — the self-tuning default the compositions use.
 
     Why AQE doesn't cover this: these self-joins deliberately pin
     ReusedExchange (one evaluation of the signature pipeline), and
@@ -274,7 +279,7 @@ def minhash_lsh_candidates(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 16, bands: int = 8, shingle_n: int = 3,
     max_bucket_size: int | None = None,
-    salt_size: int | None = None,
+    salt_size: int | None | str = None,
     salt_parts: int = 8,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) colliding in ≥1 LSH band.

@@ -48,9 +48,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from m3d_engine_spark.operators.dedup import (
-    _banded_candidates,
     _exact_jaccard_on_candidates,
-    lsh_bands,
+    minhash_lsh_candidates,
     shingle_array,
 )
 from m3d_engine_spark.operators.graph import (
@@ -58,7 +57,6 @@ from m3d_engine_spark.operators.graph import (
     connected_components,
     connected_components_star,
 )
-from m3d_engine_spark.plans.skew import derive_salt_size
 
 
 def fuzzy_dedup_corpus(
@@ -89,31 +87,23 @@ def fuzzy_dedup_corpus(
     pairs, hot bucket spread over ``salt_parts`` tasks.
 
     ``salt_size`` defaults to ``"auto"`` — the self-tuning form: the
-    band relation is checkpointed (the LSH signature pipeline runs
-    exactly once either way; this only moves the materialization point
-    ahead of candidate generation) and the hot-bucket threshold is
-    derived from the observed per-bucket count distribution
-    (``plans/skew.py::derive_salt_size``). When no bucket is hot — the
-    common case — the candidate join keeps the lean single-exchange
-    plan, bit-identical routing to the manual ``salt_size=None``; when
-    a boilerplate bucket IS hot, its pair stream spreads over
+    hot-bucket threshold is derived IN-PLAN from the observed
+    per-bucket count distribution (``plans/skew.py::
+    auto_salt_threshold`` — a size-histogram branch over the same
+    reused exchange the candidate self-join shuffles on, broadcast
+    back as one row; zero extra passes over the corpus, no driver
+    collect, no checkpoint). When no bucket is hot — the common case —
+    the hot streams are empty at runtime and every pair flows through
+    the same exchange-reused cold join as ``salt_size=None``; when a
+    boilerplate bucket IS hot, its pair stream spreads over
     ``salt_parts`` tasks with output pinned identical. Pass an int to
     force the threshold or None to disable salting entirely.
     """
     if quality is None:
         quality = F.length(F.col(text_col))
-    band_rel = lsh_bands(
-        docs, id_col, text_col, num_hashes, bands, shingle_n
-    )
-    if isinstance(salt_size, str):
-        if salt_size != "auto":
-            raise ValueError(
-                f"salt_size must be an int, None, or 'auto'; got {salt_size!r}"
-            )
-        band_rel = band_rel.localCheckpoint(eager=True)
-        salt_size = derive_salt_size(band_rel, ["band", "band_key"])
-    cands = _banded_candidates(
-        band_rel, id_col, max_bucket_size=max_bucket_size,
+    cands = minhash_lsh_candidates(
+        docs, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, max_bucket_size=max_bucket_size,
         salt_size=salt_size, salt_parts=salt_parts,
     )
     sets = docs.select(

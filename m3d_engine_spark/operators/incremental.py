@@ -34,7 +34,7 @@ from m3d_engine_spark.operators.dedup import lsh_bands, shingle_array
 from m3d_engine_spark.plans.skew import (
     SALT_PART_COL,
     derive_salt_size,
-    salted_two_sided_streams,
+    salted_big_side_streams,
 )
 
 
@@ -341,15 +341,17 @@ def incremental_dedup(
     ``salt_size`` is the hot-bucket straggler dial for the new × old
     band join — a boilerplate (band, band_key) bucket with n new and m
     old rows fans n·m candidate pairs into one task. Default ``"auto"``
-    self-tunes: the corpus-side band relation is checkpointed (it is
-    evaluated in full by the join either way) and the threshold is
-    derived from its observed per-bucket count distribution
-    (``plans/skew.py::derive_salt_size``); when no bucket is hot — the
-    common case — the join keeps the lean unsalted plan. When hot, the
-    bucket routes through ``plans/skew.py::salted_two_sided_streams``:
-    per bucket the bigger side salts and the smaller replicates, every
-    (new, old) pair meets exactly once, output pinned identical. Pass
-    an int to force the threshold, None to disable.
+    self-tunes IN-PLAN via ``plans/skew.py::salted_big_side_streams``:
+    the corpus side's per-bucket count is a window over the same
+    exchange its join shuffles on, the threshold folds from a
+    size-histogram branch of that window (``auto_salt_threshold``),
+    and the batch side learns hotness from a broadcast hot-bucket set
+    — the corpus LSH pipeline is evaluated ONCE, with no checkpoint,
+    no driver collect, and no second corpus exchange for cold buckets.
+    Hot buckets salt the corpus rows by ``pmod(xxhash64(id), parts)``
+    and replicate the batch rows; every (new, old) pair meets exactly
+    once, output pinned identical. Pass an int to force the threshold,
+    None to disable.
     """
     fp_old = existing.select(F.md5(F.col(text_col)).alias("_fp")).distinct()
     exact_surv = (
@@ -363,13 +365,6 @@ def incremental_dedup(
 
     nb = lsh_bands(exact_surv, id_col, text_col, num_hashes, bands, shingle_n)
     ob = lsh_bands(existing, id_col, text_col, num_hashes, bands, shingle_n)
-    if isinstance(salt_size, str):
-        if salt_size != "auto":
-            raise ValueError(
-                f"salt_size must be an int, None, or 'auto'; got {salt_size!r}"
-            )
-        ob = ob.localCheckpoint(eager=True)
-        salt_size = derive_salt_size(ob, ["band", "band_key"])
     if salt_size is None:
         cand = (
             nb.alias("n")
@@ -387,13 +382,18 @@ def incremental_dedup(
     else:
         n2 = nb.select(F.col(id_col).alias("new_id"), "band", "band_key")
         o2 = ob.select(F.col(id_col).alias("old_id"), "band", "band_key")
-        l2, r2 = salted_two_sided_streams(
-            n2, o2, ["band", "band_key"], "new_id", "old_id",
-            salt_size, salt_parts,
+        keys = ["band", "band_key"]
+        cold_n, cold_o, hot_n, hot_o = salted_big_side_streams(
+            n2, o2, keys, "old_id", salt_size, salt_parts,
         )
         cand = (
-            l2.join(r2, on=["band", "band_key", SALT_PART_COL])
+            cold_n.join(cold_o, on=keys)
             .select("new_id", "old_id")
+            .unionByName(
+                hot_n.join(hot_o, on=keys + [SALT_PART_COL]).select(
+                    "new_id", "old_id"
+                )
+            )
             .distinct()
         )
     sh = lambda df: df.select(  # noqa: E731

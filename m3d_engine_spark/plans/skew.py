@@ -148,6 +148,152 @@ def derive_salt_size(
     return thr if int(row["mx"]) > thr else None
 
 
+def auto_salt_threshold(
+    rel_w: DataFrame,
+    size_col: str,
+    *,
+    floor: int = 4096,
+    ratio: int = 8,
+) -> DataFrame:
+    """The ``derive_salt_size`` decision rule as a 1-ROW RELATION
+    (column ``_thr``) computed entirely inside the plan — no driver
+    collect, no checkpoint, no extra pass over the data:
+
+    ``rel_w`` must already carry ``size_col`` = the per-key row count
+    (the window the salted joins compute anyway, riding the join's own
+    exchange). Bucket-level statistics come from a SIZE HISTOGRAM:
+    ``groupBy(size).count()`` counts ROWS per size, and rows-with-size-k
+    = (buckets of size k) · k, so bucket counts are the exact integer
+    division — one tiny aggregate whose input is one small int per row
+    and whose output is one row per distinct size (hundreds at any
+    scale). p95 and the threshold ``max(floor, ratio·p95)`` then fold
+    over the histogram. Callers ``crossJoin(broadcast(...))`` the
+    result and compare ``size_col > _thr`` per row — the only join this
+    adds is a 1-row broadcast.
+
+    The quantile here is EXACT (disc, value at the first cumulative
+    bucket count reaching ceil(0.95·n)) where ``derive_salt_size`` uses
+    ``approx_percentile`` — exactness is free once the histogram
+    exists, and it keeps the in-plan form oracle-checkable.
+    """
+    hist = (
+        rel_w.groupBy(F.col(size_col).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_rows"))
+        .select("_k", F.expr("_rows DIV _k").alias("_nk"))
+    )
+    w_cum = Window.orderBy(F.col("_k").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.col("_k").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "_k",
+        F.sum("_nk").over(w_cum).alias("_cum"),
+        F.sum("_nk").over(w_all).alias("_nb"),
+    )
+    return cum.agg(
+        F.greatest(
+            F.lit(int(floor)).cast("bigint"),
+            F.lit(int(ratio))
+            * F.min(
+                F.when(
+                    F.col("_cum") >= F.ceil(F.lit(0.95) * F.col("_nb")),
+                    F.col("_k"),
+                )
+            ),
+        ).alias("_thr")
+    )
+
+
+def salted_big_side_streams(
+    small: DataFrame,
+    big: DataFrame,
+    key_cols: Sequence[str],
+    big_id: str,
+    salt_size: int | str,
+    salt_parts: int,
+    *,
+    floor: int = 4096,
+    ratio: int = 8,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Exactly-once salted two-sided equi-join streams for the
+    ASYMMETRIC case — one side is known big (a corpus-derived
+    relation whose lineage is expensive), the other small (a batch).
+    Returns ``(cold_small, cold_big, hot_small, hot_big)``; callers
+    join the cold pair on ``key_cols``, the hot pair on ``key_cols +
+    [SALT_PART_COL]``, and union — output identical to the plain join
+    (a pair's key is either hot or cold, and within a hot key every
+    pair meets exactly once, in the big row's part).
+
+    Where ``salted_two_sided_streams`` derives hotness from groupBy
+    count relations of BOTH sides (fine when both sides are cheap
+    scans, as in record_linkage), this form never re-evaluates the big
+    side: its per-key count is a WINDOW over the same exchange its
+    cold join shuffles on, the hot-key set (tiny by construction) and
+    — under ``salt_size="auto"`` — the threshold histogram are derived
+    from that same window, and the small side learns hotness from the
+    broadcast hot-key set. The big side's expensive lineage is
+    evaluated ONCE; cold big rows reach their join with no second
+    exchange (window + filter preserve the partitioning); only the
+    hot slice re-shuffles, on (key..., part).
+
+    The big side always salts and the small side always replicates —
+    correct by the caller's contract that ``small`` ≪ ``big`` per key
+    (replicating a few batch rows ``salt_parts``× is cheaper than
+    counting both sides to pick a winner; use
+    ``salted_two_sided_streams`` when the sides are symmetric).
+    """
+    if salt_parts < 2:
+        raise ValueError("salt_parts must be ≥ 2 when salt_size is set")
+    keys = list(key_cols)
+    for side, df in (("small", small), ("big", big)):
+        clash = {SALT_PART_COL, _SIZE_COL, "_thr"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"salted big-side join reserves column name(s) "
+                f"{sorted(clash)} (clash on the {side} input); rename "
+                f"the conflicting column(s)"
+            )
+    big_w = big.withColumn(
+        _SIZE_COL, F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    if isinstance(salt_size, str):
+        if salt_size != "auto":
+            raise ValueError(
+                f"salt_size must be an int or 'auto'; got {salt_size!r}"
+            )
+        thr_rel = F.broadcast(
+            auto_salt_threshold(big_w, _SIZE_COL, floor=floor, ratio=ratio)
+        )
+        big_w = big_w.crossJoin(thr_rel)
+        is_hot = F.col(_SIZE_COL) > F.col("_thr")
+        drop_cols = [_SIZE_COL, "_thr"]
+    else:
+        is_hot = F.col(_SIZE_COL) > int(salt_size)
+        drop_cols = [_SIZE_COL]
+    cold_big = big_w.filter(~is_hot).drop(*drop_cols)
+    hot_big = (
+        big_w.filter(is_hot)
+        .drop(*drop_cols)
+        .withColumn(
+            SALT_PART_COL,
+            F.pmod(F.xxhash64(F.col(big_id)), F.lit(salt_parts)),
+        )
+    )
+    hot_keys = F.broadcast(
+        big_w.filter(is_hot).select(*keys).distinct()
+    )
+    cold_small = small.join(hot_keys, on=keys, how="left_anti")
+    hot_small = small.join(hot_keys, on=keys, how="left_semi").withColumn(
+        SALT_PART_COL,
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(salt_parts - 1).cast("long"))
+        ),
+    )
+    return cold_small, cold_big, hot_small, hot_big
+
+
 def salted_two_sided_streams(
     left: DataFrame,
     right: DataFrame,
@@ -224,9 +370,11 @@ def salted_self_join_streams(
     rel: DataFrame,
     key_cols: Sequence[str],
     id_col: str,
-    salt_size: int,
+    salt_size: int | str,
     salt_parts: int,
     size_col: str | None = None,
+    floor: int = 4096,
+    ratio: int = 8,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Split ``rel`` into (cold, hot_left, hot_right) for an
     exactly-once salted SELF-join on ``key_cols`` — the pair-generation
@@ -254,10 +402,21 @@ def salted_self_join_streams(
     is computed here as a window over ``key_cols``, reading the same
     exchange the self-join shuffles on. The size column is consumed:
     none of the returned frames carry it.
+
+    ``salt_size="auto"`` is the self-tuning form: the threshold is
+    ``auto_salt_threshold``'s 1-row relation (``max(floor, ratio·p95)``
+    of the per-key count distribution), broadcast-joined back so every
+    row compares against it IN-PLAN — zero extra passes (the histogram
+    branch re-reads the same exchange the window count rides), no
+    driver collect, no checkpoint. On un-skewed data the hot streams
+    are empty at runtime and the cold stream carries everything — the
+    split itself costs only the broadcast of one row.
     """
     if salt_parts < 2:
         raise ValueError("salt_parts must be ≥ 2 when salt_size is set")
-    reserved = {SALT_PART_COL} | ({_SIZE_COL} if size_col is None else set())
+    reserved = {SALT_PART_COL, "_thr"} | (
+        {_SIZE_COL} if size_col is None else set()
+    )
     clash = reserved & set(rel.columns)
     if clash:
         # a caller column silently clobbered by withColumn would turn
@@ -272,8 +431,24 @@ def salted_self_join_streams(
             size_col,
             F.count(F.lit(1)).over(Window.partitionBy(*key_cols)),
         )
-    cold = rel.filter(F.col(size_col) <= salt_size).drop(size_col)
-    hot = rel.filter(F.col(size_col) > salt_size).drop(size_col)
+    if isinstance(salt_size, str):
+        if salt_size != "auto":
+            raise ValueError(
+                f"salt_size must be an int or 'auto'; got {salt_size!r}"
+            )
+        thr_rel = F.broadcast(
+            auto_salt_threshold(rel, size_col, floor=floor, ratio=ratio)
+        )
+        rel = rel.crossJoin(thr_rel)
+        cold = rel.filter(F.col(size_col) <= F.col("_thr")).drop(
+            size_col, "_thr"
+        )
+        hot = rel.filter(F.col(size_col) > F.col("_thr")).drop(
+            size_col, "_thr"
+        )
+    else:
+        cold = rel.filter(F.col(size_col) <= salt_size).drop(size_col)
+        hot = rel.filter(F.col(size_col) > salt_size).drop(size_col)
     hot_left = hot.withColumn(
         SALT_PART_COL, F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts))
     )

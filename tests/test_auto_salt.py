@@ -109,15 +109,23 @@ def test_fuzzy_dedup_auto_default_equals_unsalted(spark, sf_dir):
 
 @pytest.mark.slow
 def test_fuzzy_dedup_auto_hot_path_equals_unsalted(spark, sf_dir, monkeypatch):
-    """Force the tuner hot (threshold 2 → most LSH buckets route
-    through the salted stream) and pin output identity — the salted
-    plan is a pure re-partitioning of the same pairs."""
+    """Force the in-plan tuner hot (threshold relation pinned to 2 →
+    most LSH buckets route through the salted stream) and pin output
+    identity — the salted plan is a pure re-partitioning of the same
+    pairs."""
     import m3d_engine_spark.operators.fuzzy_dedup as fd
+    import m3d_engine_spark.plans.skew as skew
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
     off = fd.fuzzy_dedup_corpus(docs, "doc_id", "text", salt_size=None)
-    monkeypatch.setattr(fd, "derive_salt_size", lambda rel, keys, **kw: 2)
-    hot = fd.fuzzy_dedup_corpus(docs, "doc_id", "text")  # auto → 2
+    monkeypatch.setattr(
+        skew,
+        "auto_salt_threshold",
+        lambda rel, size_col, **kw: rel.sparkSession.range(1).select(
+            F.lit(2).cast("bigint").alias("_thr")
+        ),
+    )
+    hot = fd.fuzzy_dedup_corpus(docs, "doc_id", "text")  # auto → thr 2
     cols = sorted(off.columns)
     assert sorted(r for r in hot.select(cols).collect()) == sorted(
         r for r in off.select(cols).collect()
@@ -127,18 +135,30 @@ def test_fuzzy_dedup_auto_hot_path_equals_unsalted(spark, sf_dir, monkeypatch):
 @pytest.mark.slow
 def test_incremental_auto_hot_path_equals_unsalted(spark, sf_dir, monkeypatch):
     import m3d_engine_spark.operators.incremental as inc
+    import m3d_engine_spark.plans.skew as skew
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     new = docs.filter(F.col("doc_id") % 5 == 0)
     old = docs.filter(F.col("doc_id") % 5 != 0)
     off = inc.incremental_dedup(new, old, "doc_id", "text", salt_size=None)
-    monkeypatch.setattr(inc, "derive_salt_size", lambda rel, keys, **kw: 2)
-    hot = inc.incremental_dedup(new, old, "doc_id", "text")  # auto → 2
+    monkeypatch.setattr(
+        skew,
+        "auto_salt_threshold",
+        lambda rel, size_col, **kw: rel.sparkSession.range(1).select(
+            F.lit(2).cast("bigint").alias("_thr")
+        ),
+    )
+    hot = inc.incremental_dedup(new, old, "doc_id", "text")  # auto → thr 2
     cols = sorted(off.columns)
     assert sorted(r for r in hot.select(cols).collect()) == sorted(
         r for r in off.select(cols).collect()
     )
     assert off.count() > 0
+    # the manual int dial routes through the same helper
+    forced = inc.incremental_dedup(new, old, "doc_id", "text", salt_size=2)
+    assert sorted(r for r in forced.select(cols).collect()) == sorted(
+        r for r in off.select(cols).collect()
+    )
 
 
 # ------------------------------------------- precomputed hot artifact
@@ -291,3 +311,68 @@ def test_advisor_cli_prints_without_target(spark, tmp_path, sf_dir, capsys):
     run_algorithm(spark, "FuzzyDedup", str(pfile))
     out = capsys.readouterr().out
     assert "salt_size" in out and "est_pairs" in out
+
+
+# ----------------------------------------------- in-plan threshold fold
+def test_auto_salt_threshold_value(spark):
+    """The in-plan histogram fold must produce max(floor, ratio·p95)
+    exactly: 40 cold keys of size 2 + one 64-row key → p95 = 2 (the
+    hot key is past the 95th bucket), thr = max(8, 4·2) = 8."""
+    from pyspark.sql import Window as W
+
+    from m3d_engine_spark.plans.skew import auto_salt_threshold
+
+    rel = spark.range(80).select((F.col("id") % 40).alias("k")).unionAll(
+        spark.range(64).select(F.lit(999).alias("k"))
+    )
+    rel_w = rel.withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("k")))
+    row = auto_salt_threshold(rel_w, "sz", floor=8, ratio=4).collect()
+    assert len(row) == 1 and row[0]["_thr"] == 8
+
+
+def test_auto_salt_threshold_floor_dominates(spark):
+    from pyspark.sql import Window as W
+
+    from m3d_engine_spark.plans.skew import auto_salt_threshold
+
+    rel = spark.range(64).select(F.lit(1).alias("k"))
+    rel_w = rel.withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("k")))
+    row = auto_salt_threshold(rel_w, "sz").collect()  # defaults 4096/8
+    assert row[0]["_thr"] == 4096
+
+
+def test_salted_self_join_streams_auto_exactly_once(spark):
+    """salt_size='auto' with a tiny floor must split the hot key and
+    keep every intra-key pair exactly once."""
+    from m3d_engine_spark.plans.skew import salted_self_join_streams
+
+    rel = spark.createDataFrame(
+        [(i, "h") for i in range(12)] + [(100 + i, f"c{i}") for i in range(6)],
+        "rid long, k string",
+    )
+    plain = sorted(
+        (a.rid, b.rid)
+        for a in rel.collect()
+        for b in rel.collect()
+        if a.k == b.k and a.rid < b.rid
+    )
+    cold, hot_l, hot_r = salted_self_join_streams(
+        rel, ["k"], "rid", "auto", 4, floor=2, ratio=4
+    )
+
+    def pairs(l, r, *extra):
+        cond = [F.col(f"l.k") == F.col(f"r.k")]
+        cond += [F.col(f"l.{e}") == F.col(f"r.{e}") for e in extra]
+        cond.append(F.col("l.rid") < F.col("r.rid"))
+        return (
+            l.alias("l").join(r.alias("r"), on=cond)
+            .select(F.col("l.rid").alias("a"), F.col("r.rid").alias("b"))
+        )
+
+    got = sorted(
+        (r.a, r.b)
+        for r in pairs(cold, cold)
+        .unionByName(pairs(hot_l, hot_r, "_salt_part"))
+        .collect()
+    )
+    assert got == plain and len(plain) == 66 + 0  # 12C2 hot only

@@ -385,7 +385,10 @@ def test_fuzzy_dedup_corpus_plan(spark):
     df = m.queries()["fuzzy_dedup_corpus"](spark, "/root/testdata/sf0.001")
     plan = _plan_simple(df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the only nested-loop joins are the in-plan auto-salt threshold
+    # broadcasts (1-row sides) — their plan lines must stay tiny
+    bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert all(len(ln.strip()) < 400 for ln in bnlj), bnlj
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # labels come back from the CC loop's checkpoint: the final plan
     # joins docs against ExistingRDD scans, not a re-derivation of LSH
@@ -524,8 +527,12 @@ def test_incremental_dedup_keyed_joins_only(spark, sf_dir):
 
     plan = _plan_simple(m.queries()["incremental_dedup"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # in-plan auto-salt: the threshold broadcast is the only permitted
+    # nested-loop join (1-row side, tiny plan line)
+    bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert all(len(ln.strip()) < 400 for ln in bnlj), bnlj
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "_salt_part" in plan, plan  # the salted stream exists
 
 
 def test_bigram_lm_broadcast_vocab_only_bnlj(spark, sf_dir):
@@ -1573,22 +1580,30 @@ def test_record_linkage_salted_plan_shape(spark):
     assert "_part" in plan  # the salted equi-key
 
 
-def test_fuzzy_dedup_auto_unskewed_keeps_lean_plan(spark):
-    """The round-11 'auto' salt default: on un-skewed data the tuner
-    returns None, so the composition's plan carries NO salt machinery
-    — no _salt_part column, no hot branch — and the band relation
-    feeds from its checkpoint (Scan ExistingRDD), i.e. the signature
-    pipeline ran exactly once at derive time."""
-    from m3d_engine_spark.operators.fuzzy_dedup import fuzzy_dedup_corpus
+def test_fuzzy_dedup_auto_inplan_shape(spark):
+    """The round-11 'auto' salt default is fully IN-PLAN: the candidate
+    stage carries the two-stream salted shape (cold SMJ + salted SMJ
+    with the part key) with the threshold arriving as a 1-ROW broadcast
+    (BNLJ of the histogram fold — the only nested-loop joins allowed,
+    and their plan lines must stay tiny), no CartesianProduct, no
+    Python, no checkpoint of the band relation (the only ExistingRDD is
+    the composition's edge checkpoint), and at runtime the cold
+    exchange is still REUSED (the LSH pipeline evaluates once)."""
+    from m3d_engine_spark.operators.dedup import minhash_lsh_candidates
     from m3d_engine_spark.sources.testdata import load_table
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-    df = fuzzy_dedup_corpus(docs, "doc_id", "text")  # salt_size="auto"
+    df = minhash_lsh_candidates(docs, "doc_id", "text", salt_size="auto")
     plan = _plan_simple(df)
-    assert "_salt_part" not in plan, plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "ExistingRDD" in plan
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert len(smj) == 2, plan
+    assert sum("_salt_part#" in ln for ln in smj) == 1
+    bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert bnlj and all(len(ln.strip()) < 400 for ln in bnlj), bnlj
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "ReusedExchange" in executed
 
 
 def test_incremental_artifact_hot_split_plan(spark, tmp_path):
@@ -1671,3 +1686,25 @@ def test_salted_self_join_inert_under_aqe_skew_split(spark):
                 assert "skew=true" not in ln, ln
     finally:
         spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", prev)
+
+
+def test_dedup_advisor_histogram_window_only(spark, sf_dir):
+    """The pre-flight advisor must never sort or single-partition the
+    bucket relation: its only Window runs over the SIZE histogram
+    (rows = distinct bucket sizes), the scalar stat relations meet via
+    broadcast nested-loop joins of 1-row sides, and the bucket counts
+    partial-aggregate map-side."""
+    import __spark_entry__ as m
+
+    df = m.queries()["dedup_advisor"](spark, sf_dir)
+    plan = _plan_simple(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Window") == 1, plan
+    # the Window's child chain must contain the histogram aggregate
+    # (HashAggregate keyed on k) — i.e. the window input is the
+    # histogram, not the raw bucket relation
+    win_idx = plan.find("Window")
+    below = plan[win_idx:]
+    agg_idx = below.find("HashAggregate")
+    assert agg_idx != -1, plan
