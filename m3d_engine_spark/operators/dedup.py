@@ -370,7 +370,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.2,
     max_shingle_df: int | None = None,
-    salt_df: int | None = None,
+    salt_df: int | None | str = None,
     salt_buckets: int = 8,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for pairs inside a
@@ -415,6 +415,9 @@ def ngram_jaccard_pairs(
     path (pinned): salting only re-partitions the same matches, at
     the cost of replicating hot-shingle rows ``salt_buckets``×.
     Cold shingles (df ≤ salt_df) keep today's exchange-reused plan.
+    ``salt_df="auto"`` derives the threshold in-plan from the df
+    distribution (``plans/skew.py::auto_salt_threshold`` over the
+    same window count — no extra pass, no collect).
     """
     if threshold <= 0:
         raise ValueError("ngram_jaccard_pairs requires threshold > 0")
@@ -550,7 +553,7 @@ def containment_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
-    salt_df: int | None = None,
+    salt_df: int | None | str = None,
     salt_buckets: int = 8,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: shingle containment
@@ -810,7 +813,7 @@ def embedding_near_dupes(
     vec_col: str,
     threshold: float = 0.95,
     lsh_bits: int = 4,
-    salt_size: int | None = None,
+    salt_size: int | None | str = None,
     salt_parts: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, candidate-limited to
@@ -914,7 +917,7 @@ def simhash64_hamming_pairs(
     text_col: str,
     hamming_k: int = 3,
     bands: int = 4,
-    salt_size: int | None = None,
+    salt_size: int | None | str = None,
     salt_parts: int = 8,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(simhash64) ≤ k.
@@ -1061,7 +1064,7 @@ def semantic_dedup(
     centroid_stride: int = 125,
     threshold: float = 0.95,
     centroids: DataFrame | None = None,
-    salt_size: int | None = None,
+    salt_size: int | None | str = None,
     salt_parts: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,

@@ -53,7 +53,7 @@ def record_linkage(
     fields: Mapping[str, float],
     threshold: float = 0.8,
     keep: int = 1,
-    salt_size: int | None = None,
+    salt_size: int | None | str = None,
     salt_parts: int = 8,
 ) -> DataFrame:
     """Match ``left`` records to ``right`` records sharing a block.
@@ -74,7 +74,9 @@ def record_linkage(
     a broadcast block-count relation (≤ N/salt_size rows by
     construction). Output identical to the unsalted join: per block
     exactly one side is salted and the other replicated, so every
-    (l, r) pair meets exactly once, in the salted row's part."""
+    (l, r) pair meets exactly once, in the salted row's part.
+    ``salt_size="auto"`` derives the threshold in-plan from the
+    distribution of per-block larger-side counts."""
     block_cols = list(block_cols)
     if not fields:
         raise ValueError("record_linkage needs at least one scored field")
@@ -150,7 +152,7 @@ def fastss_pairs(
     df: DataFrame,
     id_col: str,
     str_col: str,
-    salt_size: int | None = None,
+    salt_size: int | None | str = None,
     salt_parts: int = 8,
 ) -> DataFrame:
     """All pairs of rows whose strings are within edit distance 1

@@ -154,6 +154,7 @@ def auto_salt_threshold(
     *,
     floor: int = 4096,
     ratio: int = 8,
+    bucket_level: bool = False,
 ) -> DataFrame:
     """The ``derive_salt_size`` decision rule as a 1-ROW RELATION
     (column ``_thr``) computed entirely inside the plan — no driver
@@ -175,11 +176,20 @@ def auto_salt_threshold(
     bucket count reaching ceil(0.95·n)) where ``derive_salt_size`` uses
     ``approx_percentile`` — exactness is free once the histogram
     exists, and it keeps the in-plan form oracle-checkable.
+
+    ``bucket_level=True`` says ``rel_w`` already carries ONE ROW PER
+    KEY (e.g. a groupBy count relation) — the histogram then counts
+    rows directly instead of dividing by the size.
     """
     hist = (
         rel_w.groupBy(F.col(size_col).alias("_k"))
         .agg(F.count(F.lit(1)).alias("_rows"))
-        .select("_k", F.expr("_rows DIV _k").alias("_nk"))
+        .select(
+            "_k",
+            (F.col("_rows") if bucket_level else F.expr("_rows DIV _k")).alias(
+                "_nk"
+            ),
+        )
     )
     w_cum = Window.orderBy(F.col("_k").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -300,7 +310,7 @@ def salted_two_sided_streams(
     key_cols: Sequence[str],
     left_id: str,
     right_id: str,
-    salt_size: int,
+    salt_size: int | str,
     salt_parts: int,
 ) -> tuple[DataFrame, DataFrame]:
     """Exactly-once salted TWO-SIDED equi-join streams — the
@@ -317,7 +327,10 @@ def salted_two_sided_streams(
     never has to know which side is skewed, matching how
     ``record_linkage`` self-tunes. Both inputs must already expose
     ``key_cols`` under the same names; ``left_id``/``right_id`` seed
-    the deterministic salt.
+    the deterministic salt. ``salt_size="auto"`` derives the threshold
+    in-plan from the distribution of the per-key LARGER-side counts
+    (``auto_salt_threshold`` over the count relation itself — exactly
+    the quantity the hot filter tests).
     """
     if salt_parts < 2:
         raise ValueError("salt_parts must be ≥ 2 when salt_size is set")
@@ -330,11 +343,29 @@ def salted_two_sided_streams(
                 f"{sorted(clash)} (clash on the {side} input); rename "
                 f"the conflicting column(s)"
             )
-    bc_hot = (
+    cnt = (
         left.groupBy(keys).agg(F.count(F.lit(1)).alias("_cl"))
         .join(right.groupBy(keys).agg(F.count(F.lit(1)).alias("_cr")), on=keys)
-        .filter(F.greatest("_cl", "_cr") > salt_size)
-        .select(*keys, (F.col("_cl") >= F.col("_cr")).alias("_lsalts"))
+        .withColumn("_cmax", F.greatest("_cl", "_cr"))
+    )
+    if isinstance(salt_size, str):
+        if salt_size != "auto":
+            raise ValueError(
+                f"salt_size must be an int or 'auto'; got {salt_size!r}"
+            )
+        # self-tuning threshold from the distribution of the per-key
+        # larger-side counts — the exact quantity the hot filter tests;
+        # the count relation is already one row per key (bucket_level)
+        cnt = cnt.crossJoin(
+            F.broadcast(
+                auto_salt_threshold(cnt, "_cmax", bucket_level=True)
+            )
+        )
+        hot_pred = F.col("_cmax") > F.col("_thr")
+    else:
+        hot_pred = F.col("_cmax") > int(salt_size)
+    bc_hot = cnt.filter(hot_pred).select(
+        *keys, (F.col("_cl") >= F.col("_cr")).alias("_lsalts")
     )
     one = F.array(F.lit(0).cast("long"))
     allp = F.sequence(

@@ -376,3 +376,76 @@ def test_salted_self_join_streams_auto_exactly_once(spark):
         .collect()
     )
     assert got == plain and len(plain) == 66 + 0  # 12C2 hot only
+
+
+# ----------------------------------- 'auto' across the primitive dials
+@pytest.mark.slow
+def test_primitive_auto_dials_output_identity(spark, sf_dir, monkeypatch):
+    """Every pair-generating primitive's salt dial accepts 'auto' and
+    stays output-identical to the unsalted plan, with the tuner forced
+    hot so the salted streams actually carry rows."""
+    import m3d_engine_spark.plans.skew as skew
+    from m3d_engine_spark.operators.dedup import ngram_jaccard_pairs
+    from m3d_engine_spark.operators.linkage import fastss_pairs, record_linkage
+
+    from m3d_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def forced(rel, size_col, **kw):
+        return rel.sparkSession.range(1).select(
+            F.lit(2).cast("bigint").alias("_thr")
+        )
+
+    # ngram_jaccard_pairs: salt_df="auto"
+    plain = sorted(
+        map(tuple, ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["source"], 3, 0.2
+        ).collect())
+    )
+    monkeypatch.setattr(skew, "auto_salt_threshold", forced)
+    auto = sorted(
+        map(tuple, ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["source"], 3, 0.2,
+            salt_df="auto", salt_buckets=4,
+        ).collect())
+    )
+    monkeypatch.undo()
+    assert auto == plain and len(plain) > 0
+
+    # fastss_pairs: salt_size="auto"
+    strs = spark.createDataFrame(
+        [(1, "abcd"), (2, "abcd"), (3, "abcd"), (4, "abce"), (5, "zzzz")],
+        "sid long, s string",
+    )
+    plain_f = sorted(
+        map(tuple, fastss_pairs(strs, "sid", "s").collect())
+    )
+    monkeypatch.setattr(skew, "auto_salt_threshold", forced)
+    auto_f = sorted(
+        map(tuple, fastss_pairs(
+            strs, "sid", "s", salt_size="auto", salt_parts=3
+        ).collect())
+    )
+    monkeypatch.undo()
+    assert auto_f == plain_f and len(plain_f) > 0
+
+    # record_linkage: salt_size="auto" (two-sided bigger-side choice)
+    left = spark.createDataFrame(
+        [(i, "b", f"n{i}") for i in range(6)], "lid long, blk string, name string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, "b", f"n{i}") for i in range(6)],
+        "rid long, blk string, name string",
+    )
+    plain_r = sorted(map(tuple, record_linkage(
+        left, right, "lid", "rid", ["blk"], {"name": 1.0},
+        threshold=0.1, keep=3,
+    ).collect()))
+    monkeypatch.setattr(skew, "auto_salt_threshold", forced)
+    auto_r = sorted(map(tuple, record_linkage(
+        left, right, "lid", "rid", ["blk"], {"name": 1.0},
+        threshold=0.1, keep=3, salt_size="auto", salt_parts=3,
+    ).collect()))
+    monkeypatch.undo()
+    assert auto_r == plain_r and len(plain_r) > 0
