@@ -1138,6 +1138,51 @@ def q_dedup_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_preflight_report(docs, "doc_id", "text", floor=2, ratio=2)
 
 
+def _sql_dial_tail(floor: int, ratio: int) -> str:
+    """Shared oracle tail for the dial reports: consumes a CTE named
+    ``counts`` with a BIGINT column ``k`` (per-key row count) and emits
+    the exact histogram percentiles + recommended dials — mirrors
+    operators/advisor.py::bucket_dial_report."""
+    return f""" hist AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS nk FROM counts GROUP BY k
+), cum AS (
+  SELECT k, CAST(SUM(nk) OVER (ORDER BY k) AS BIGINT) AS cum FROM hist
+), nb AS (
+  SELECT CAST(SUM(nk) AS BIGINT) AS _nb FROM hist
+), pct AS (
+  SELECT
+    MIN(CASE WHEN cum >= CEIL(0.5 * _nb) THEN k END) AS bucket_p50,
+    MIN(CASE WHEN cum >= CEIL(0.95 * _nb) THEN k END) AS bucket_p95
+  FROM cum, nb
+), pairs AS (
+  SELECT
+    CAST(SUM(k) AS BIGINT) AS n_rows,
+    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+    CAST(MAX(k) AS BIGINT) AS bucket_max,
+    CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS est_pairs,
+    CAST(MAX(k * (k - 1) // 2) AS BIGINT) AS _top_pairs
+  FROM counts
+), dialed AS (
+  SELECT *, CAST(GREATEST({floor}, {ratio} * bucket_p95) AS BIGINT) AS _thr
+  FROM pairs, pct
+)
+SELECT
+  n_rows, n_buckets, bucket_p50, bucket_p95, bucket_max, est_pairs,
+  CASE WHEN est_pairs > 0
+       THEN ROUND(CAST(_top_pairs AS DOUBLE) / est_pairs, 6) END
+    AS top_pair_share,
+  CASE WHEN bucket_max > _thr THEN _thr END AS salt_size,
+  CAST(CASE WHEN bucket_max > _thr
+       THEN LEAST(64, GREATEST(2, (bucket_max + _thr - 1) // _thr)) END
+    AS INTEGER) AS salt_parts,
+  CASE WHEN est_pairs > 0
+        AND CAST(_top_pairs AS DOUBLE) / est_pairs > 0.5
+        AND bucket_max > 16 * bucket_p95
+       THEN CAST(16 * bucket_p95 AS BIGINT) END AS max_bucket_size
+FROM dialed
+"""
+
+
 def _sql_dedup_advisor() -> str:
     hashes = ", ".join(
         f"list_aggregate(list_transform(s, x -> md5('{j}|' || x)), 'min')"
@@ -1159,44 +1204,42 @@ WITH toks AS (
 ), counts AS (
   SELECT band, band_key, CAST(COUNT(*) AS BIGINT) AS k
   FROM bands GROUP BY band, band_key
-), hist AS (
-  SELECT k, CAST(COUNT(*) AS BIGINT) AS nk FROM counts GROUP BY k
-), cum AS (
-  SELECT k, CAST(SUM(nk) OVER (ORDER BY k) AS BIGINT) AS cum FROM hist
-), nb AS (
-  SELECT CAST(SUM(nk) AS BIGINT) AS _nb FROM hist
-), pct AS (
-  SELECT
-    MIN(CASE WHEN cum >= CEIL(0.5 * _nb) THEN k END) AS bucket_p50,
-    MIN(CASE WHEN cum >= CEIL(0.95 * _nb) THEN k END) AS bucket_p95
-  FROM cum, nb
-), pairs AS (
-  SELECT
-    CAST(SUM(k) AS BIGINT) AS n_rows,
-    CAST(COUNT(*) AS BIGINT) AS n_buckets,
-    CAST(MAX(k) AS BIGINT) AS bucket_max,
-    CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS est_pairs,
-    CAST(MAX(k * (k - 1) // 2) AS BIGINT) AS _top_pairs
-  FROM counts
-), dialed AS (
-  SELECT *, CAST(GREATEST(2, 2 * bucket_p95) AS BIGINT) AS _thr
-  FROM pairs, pct
-)
-SELECT
-  n_rows, n_buckets, bucket_p50, bucket_p95, bucket_max, est_pairs,
-  CASE WHEN est_pairs > 0
-       THEN ROUND(CAST(_top_pairs AS DOUBLE) / est_pairs, 6) END
-    AS top_pair_share,
-  CASE WHEN bucket_max > _thr THEN _thr END AS salt_size,
-  CAST(CASE WHEN bucket_max > _thr
-       THEN LEAST(64, GREATEST(2, (bucket_max + _thr - 1) // _thr)) END
-    AS INTEGER) AS salt_parts,
-  CASE WHEN est_pairs > 0
-        AND CAST(_top_pairs AS DOUBLE) / est_pairs > 0.5
-        AND bucket_max > 16 * bucket_p95
-       THEN CAST(16 * bucket_p95 AS BIGINT) END AS max_bucket_size
-FROM dialed
-"""
+),{_sql_dial_tail(2, 2)}"""
+
+
+def q_jaccard_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-side pre-flight dial report (advisor.py::
+    jaccard_dial_report): the bucket_dial_report machinery over the
+    (source, shingle) POSTING relation — the exact key
+    ngram_jaccard_pairs' inverted-index self-join explodes on.
+    bucket_max = hottest per-block shingle df; est_pairs = exactly the
+    candidate rows that join generates; salt_size/salt_parts map to
+    the operator's salt_df/salt_buckets dials and max_bucket_size to
+    the max_shingle_df df-cutoff. floor=2/ratio=2 so the fixture
+    exercises the recommendation branch."""
+    from m3d_engine_spark.operators.advisor import jaccard_dial_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_dial_report(
+        docs, "doc_id", "text", ["source"], shingle_n=3, floor=2, ratio=2
+    )
+
+
+def _sql_jaccard_advisor() -> str:
+    # df per (source, shingle STRING) == Spark's per (source,
+    # xxhash64(shingle)) up to 64-bit collisions within one block —
+    # negligible, and the same argument jaccard_pairs' join key makes.
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {_SQL_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, source, {_SQL_SHINGLES} AS s FROM toks
+), post AS (
+  SELECT source, UNNEST(s) AS shingle FROM sh
+), counts AS (
+  SELECT source, shingle, CAST(COUNT(*) AS BIGINT) AS k
+  FROM post GROUP BY source, shingle
+),{_sql_dial_tail(2, 2)}"""
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10367,11 +10410,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the tail so the next window is always the 50 stalest driver rows.
 # Round-11 window = the r6 remainder (5) + the head of the r7 cohort (45).
 _ROTATION_FRONT = [
-    # ---- round-11 window (first 50): the one new never-driver-checked
-    # entry (dedup_advisor, added r11) fronts per the original policy,
-    # then the stalest driver rows — the r6 remainder (5) + the head of
-    # the r7 cohort (44; top_terms slips to the r12 window) ----
-    "dedup_advisor",
+    # ---- round-11 window (first 50): the two new never-driver-checked
+    # entries (dedup_advisor + jaccard_advisor, added r11) front per the
+    # original policy, then the stalest driver rows — the r6 remainder
+    # (5) + the head of the r7 cohort (43; top_supplier and top_terms
+    # slip to the r12 window) ----
+    "dedup_advisor", "jaccard_advisor",
     "stratified_sample", "text_stats", "tfidf_top_terms", "transpose_pivot",
     "winnow_fingerprints", "bigram_lm", "bm25_topk", "boilerplate_lines",
     "ccnet_buckets", "cohort_retention", "containment_pairs",
@@ -10622,6 +10666,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seeded_ann": q_seeded_ann,
         "minhash_lsh": q_minhash_lsh,
         "dedup_advisor": q_dedup_advisor,
+        "jaccard_advisor": q_jaccard_advisor,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_dups": q_embedding_dups,
         "sessionize": q_sessionize,
@@ -10829,6 +10874,7 @@ def oracle_sql() -> dict[str, str]:
         "seeded_ann": _sql_seeded_ann(),
         "minhash_lsh": _sql_minhash_lsh(),
         "dedup_advisor": _sql_dedup_advisor(),
+        "jaccard_advisor": _sql_jaccard_advisor(),
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
         "embedding_dups": _SQL_EMBEDDING_DUPS,
         "sessionize": _SQL_SESSIONIZE,

@@ -2,11 +2,11 @@
 prints the dials a 100 TB fuzzy/incremental dedup run should use —
 before the run melts a reducer.
 
-The compositions self-tune at build time (``fuzzy_dedup_corpus`` /
-``incremental_dedup`` default ``salt_size="auto"`` →
-``plans/skew.py::derive_salt_size``, a cheap approx-quantile probe).
-This module is the HUMAN-facing twin: the same decision rule computed
-with exact-rank statistics plus the quantities an operator wants to see
+The compositions self-tune inside their own plans
+(``fuzzy_dedup_corpus`` / ``incremental_dedup`` default
+``salt_size="auto"`` → ``plans/skew.py::auto_salt_threshold``, an
+in-plan histogram fold). This module is the HUMAN-facing twin: the
+same decision rule plus the quantities an operator wants to see
 before committing a cluster — bucket-size distribution, total candidate
 pairs the LSH join will generate, how concentrated they are in the
 hottest bucket, and the recommended ``salt_size`` / ``salt_parts`` /
@@ -166,15 +166,62 @@ def dedup_preflight_report(
     """The FuzzyDedup/IncrementalDedup pre-flight: LSH band relation →
     ``bucket_dial_report`` on (band, band_key) — the exact join key
     the dedup compositions self-join on, with the same LSH dials, so
-    the report describes the actual job. One LSH pass + one sort of
-    the bucket relation; run it at corpus scale BEFORE the dedup run
-    and feed the printed dials to the params file (or trust the
-    compositions' built-in "auto", which applies the same rule with an
-    approximate quantile)."""
+    the report describes the actual job. One LSH pass + histogram-sized
+    statistics; run it at corpus scale BEFORE the dedup run and feed
+    the printed dials to the params file (or trust the compositions'
+    built-in "auto", which folds the same rule inside the dedup plan
+    itself)."""
     band_rel = lsh_bands(docs, id_col, text_col, num_hashes, bands, shingle_n)
     return bucket_dial_report(
         band_rel.select("band", "band_key"),
         ["band", "band_key"],
         floor=floor,
         ratio=ratio,
+    )
+
+
+def jaccard_dial_report(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    *,
+    shingle_n: int = 3,
+    floor: int = 4096,
+    ratio: int = 8,
+) -> DataFrame:
+    """The ``ngram_jaccard_pairs`` pre-flight: the same
+    ``bucket_dial_report`` over the (block..., shingle) POSTING
+    relation — the exact key the inverted-index self-join explodes on,
+    so the report describes that job's pair stream:
+
+    * ``bucket_max`` = the hottest shingle's per-block document
+      frequency; ``est_pairs`` = Σ df·(df−1)/2, exactly the candidate
+      rows the join generates.
+    * ``salt_size`` maps to the operator's ``salt_df`` dial (spread a
+      hot shingle's pairs over ``salt_buckets`` tasks, output
+      identical) and ``salt_parts`` to ``salt_buckets``.
+    * ``max_bucket_size`` maps to ``max_shingle_df`` — the df-cutoff
+      recall dial (drops ultra-frequent shingles from candidate
+      generation; exact values preserved via the hot-set correction
+      join, see ngram_jaccard_pairs) — recommended only when one
+      boilerplate shingle alone carries most of the pair stream.
+
+    Shingles are hashed to 64-bit before counting, mirroring the
+    operator's join key (df is identical up to xxhash64 collisions
+    within a block — negligible, and the operator itself joins on the
+    same hash)."""
+    from m3d_engine_spark.operators.dedup import shingle_array
+
+    tok = docs.select(
+        *[F.col(c) for c in block_cols],
+        F.explode(
+            F.array_distinct(shingle_array(F.col(text_col), shingle_n))
+        ).alias("_shingle_str"),
+    ).select(
+        *[F.col(c) for c in block_cols],
+        F.xxhash64("_shingle_str").alias("shingle"),
+    )
+    return bucket_dial_report(
+        tok, [*block_cols, "shingle"], floor=floor, ratio=ratio
     )

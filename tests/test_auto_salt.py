@@ -449,3 +449,40 @@ def test_primitive_auto_dials_output_identity(spark, sf_dir, monkeypatch):
     ).collect()))
     monkeypatch.undo()
     assert auto_r == plain_r and len(plain_r) > 0
+
+
+@pytest.mark.slow
+def test_jaccard_dial_report_matches_operator_reality(spark):
+    """The jaccard-side report's bucket_max/est_pairs must equal the
+    true per-block shingle-df facts of the corpus (checked directly),
+    and its dials follow the shared rule."""
+    from m3d_engine_spark.operators.advisor import jaccard_dial_report
+    from m3d_engine_spark.operators.dedup import shingle_array
+    from m3d_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    row = jaccard_dial_report(
+        docs, "doc_id", "text", ["source"], floor=2, ratio=2
+    ).collect()[0]
+    truth = (
+        docs.select(
+            "source",
+            F.explode(F.array_distinct(shingle_array(F.col("text"), 3))).alias("sh"),
+        )
+        .groupBy("source", "sh")
+        .count()
+        .agg(
+            F.max("count").alias("mx"),
+            F.sum(F.expr("count * (count - 1) DIV 2")).alias("pairs"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        .collect()[0]
+    )
+    assert row.bucket_max == truth.mx
+    assert row.est_pairs == truth.pairs
+    assert row.n_buckets == truth.nb
+    thr = max(2, 2 * row.bucket_p95)
+    if row.bucket_max > thr:
+        assert row.salt_size == thr
+    else:
+        assert row.salt_size is None
