@@ -264,6 +264,8 @@ def _lsh_candidate_pairs(
     seed: int,
     dim: int,
     broadcast_b: bool = False,
+    salt_size: int | None | str = None,
+    salt_parts: int = 8,
 ) -> DataFrame:
     """The shared OR-construction candidate stage under
     ``seeded_ann_topk`` and ``margin_candidate_pairs``: ``tables``
@@ -271,7 +273,20 @@ def _lsh_candidate_pairs(
     Arrow-batched matmul, ``posexplode`` to (table, bucket) rows, and
     candidate generation as a SINGLE banded equi-join on that
     composite key, deduped. Returns distinct ``(a_out, b_out)`` id
-    pairs — no cartesian/nested-loop node, no persisted relation."""
+    pairs — no cartesian/nested-loop node, no persisted relation.
+
+    ``salt_size``/``salt_parts`` is the hot-bucket straggler dial for
+    the non-broadcast (two web-scale sides) path — a degenerate
+    hyperplane bucket (e.g. many near-zero or duplicated embeddings
+    sharing one sign pattern) fans n·m candidate rows into a single
+    SMJ task. Routed through ``plans/skew.py::salted_big_side_streams``
+    with side_a as the big/salted side (the corpus-scale side by the
+    callers' convention): side_a's bucket count is a window over its
+    own join exchange (the Arrow matmul is never re-evaluated), side_b
+    learns hotness from the broadcast hot-key set. ``"auto"`` derives
+    the threshold in-plan; output identical either way (pinned).
+    Ignored under ``broadcast_b`` — a broadcast join spreads a hot
+    bucket across the streamed side's partitions naturally."""
     import numpy as np
 
     from m3d_engine_spark.functions.ann_kernels import make_bucket_udf
@@ -291,10 +306,28 @@ def _lsh_candidate_pairs(
     eb = exploded(side_b, b_out)
     if broadcast_b:
         eb = F.broadcast(eb)
+    ea = exploded(side_a, a_out)
+    if salt_size is None or broadcast_b:
+        return (
+            ea.join(eb, on=["t", "bucket"])
+            .select(a_out, b_out)
+            .distinct()
+        )
+    from m3d_engine_spark.plans.skew import (
+        SALT_PART_COL,
+        salted_big_side_streams,
+    )
+
+    keys = ["t", "bucket"]
+    cold_b, cold_a, hot_b, hot_a = salted_big_side_streams(
+        eb, ea, keys, a_out, salt_size, salt_parts
+    )
     return (
-        exploded(side_a, a_out)
-        .join(eb, on=["t", "bucket"])
+        cold_b.join(cold_a, on=keys)
         .select(a_out, b_out)
+        .unionByName(
+            hot_b.join(hot_a, on=keys + [SALT_PART_COL]).select(a_out, b_out)
+        )
         .distinct()
     )
 
@@ -656,6 +689,8 @@ def margin_candidate_pairs(
     tables: int = 12,
     seed: int = 42,
     dim: int | None = None,
+    salt_size: int | None | str = None,
+    salt_parts: int = 8,
 ) -> DataFrame:
     """The pluggable pair tier under ``margin_mine`` (exposed so the
     plan suite can pin each tier's UNCHECKPOINTED shape): returns
@@ -695,6 +730,7 @@ def margin_candidate_pairs(
             cand = _lsh_candidate_pairs(
                 side_a, side_b, id_col, vec_col, "a_id", "b_id",
                 bits, tables, seed, dim,
+                salt_size=salt_size, salt_parts=salt_parts,
             )
             return (
                 cand.join(a, on="a_id")
@@ -717,6 +753,8 @@ def margin_mine(
     tables: int = 12,
     seed: int = 42,
     dim: int | None = None,
+    salt_size: int | None | str = None,
+    salt_parts: int = 8,
 ) -> DataFrame:
     """Margin-based parallel-pair mining (the LASER/CCMatrix shape):
     for every vector on side A, its best cosine match on side B kept
@@ -770,6 +808,8 @@ def margin_mine(
         tables=tables,
         seed=seed,
         dim=dim,
+        salt_size=salt_size,
+        salt_parts=salt_parts,
     )
     wa = Window.partitionBy("a_id").orderBy(F.col("ci").desc(), F.col("b_id"))
     wb = Window.partitionBy("b_id").orderBy(F.col("ci").desc(), F.col("a_id"))

@@ -486,3 +486,35 @@ def test_jaccard_dial_report_matches_operator_reality(spark):
         assert row.salt_size == thr
     else:
         assert row.salt_size is None
+
+
+@pytest.mark.slow
+def test_lsh_candidate_pairs_salted_identity(spark, sf_dir, monkeypatch):
+    """The seeded-LSH ANN pair tier's hot-bucket dial: salted (manual
+    int AND forced-hot auto) candidate sets are identical to the
+    unsalted join, and the composed margin_mine output is unchanged."""
+    import m3d_engine_spark.plans.skew as skew
+    from m3d_engine_spark.operators.similarity import margin_mine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    kw = dict(candidates="seeded_lsh", bits=2, tables=4, knn=3)
+    plain = sorted(map(tuple, margin_mine(
+        a, b, "vec_id", "embedding", **kw
+    ).collect()))
+    manual = sorted(map(tuple, margin_mine(
+        a, b, "vec_id", "embedding", salt_size=2, salt_parts=3, **kw
+    ).collect()))
+    assert manual == plain and len(plain) > 0
+    monkeypatch.setattr(
+        skew,
+        "auto_salt_threshold",
+        lambda rel, size_col, **k2: rel.sparkSession.range(1).select(
+            F.lit(2).cast("bigint").alias("_thr")
+        ),
+    )
+    auto = sorted(map(tuple, margin_mine(
+        a, b, "vec_id", "embedding", salt_size="auto", **kw
+    ).collect()))
+    assert auto == plain
