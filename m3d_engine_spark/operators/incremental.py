@@ -118,18 +118,24 @@ def materialize_dedup_artifacts(
     # batch join can split them off without counting anything.
     hot_path = None
     written_bands = corpus.sparkSession.read.parquet(bd)
+    if salt_size is not None:
+        # ONE per-bucket count aggregation serves both the threshold
+        # derivation and the hot relation — the band relation is
+        # corpus-sized, so a second groupBy over it would double the
+        # most expensive post-write job.
+        bucket_counts = written_bands.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("bucket_rows")
+        )
     if isinstance(salt_size, str):
         if salt_size != "auto":
             raise ValueError(
                 f"salt_size must be an int, None, or 'auto'; got {salt_size!r}"
             )
-        salt_size = derive_salt_size(written_bands, ["band", "band_key"])
-    if salt_size is not None:
-        hot = (
-            written_bands.groupBy("band", "band_key")
-            .agg(F.count(F.lit(1)).alias("bucket_rows"))
-            .filter(F.col("bucket_rows") > int(salt_size))
+        salt_size = derive_salt_size(
+            bucket_counts, [], size_col="bucket_rows"
         )
+    if salt_size is not None:
+        hot = bucket_counts.filter(F.col("bucket_rows") > int(salt_size))
         hot_path = f"{base_path}/hot_bands"
         hot.write.mode("overwrite").parquet(hot_path)
         if len(corpus.sparkSession.read.parquet(hot_path).take(1)) == 0:
@@ -275,13 +281,13 @@ def incremental_dedup_against_artifacts(
             F.lit(0).cast("long"), F.lit(salt_parts - 1).cast("long")
         )
         n_hot = n2.join(hot, on=keys, how="left_semi").withColumn(
-            "_salt_part", F.explode(allp)
+            SALT_PART_COL, F.explode(allp)
         )
         o_hot = o2.join(hot, on=keys, how="left_semi").withColumn(
-            "_salt_part", F.pmod(F.xxhash64("old_id"), F.lit(salt_parts))
+            SALT_PART_COL, F.pmod(F.xxhash64("old_id"), F.lit(salt_parts))
         )
         hot_cand = (
-            n_hot.join(o_hot, on=keys + ["_salt_part"])
+            n_hot.join(o_hot, on=keys + [SALT_PART_COL])
             .select("new_id", "old_id")
         )
         cand = cold.unionByName(hot_cand).distinct()
@@ -481,11 +487,12 @@ class IncrementalDedupAlgorithm(Algorithm):
         p = self.params
         id_col = p.get_optional("id_column", "doc_id")
         text_col = p.get_optional("text_column", "text")
-        base = p.get_string("artifact_location")
         if p.get_optional("action", "batch") == "advise":
             # Pre-flight: report the dials the corpus needs (same
             # report as FuzzyDedup's advise=true) before materialize
-            # commits a threshold into the artifacts.
+            # commits a threshold into the artifacts. No
+            # artifact_location required — this runs BEFORE any
+            # artifact directory exists.
             from m3d_engine_spark.operators.advisor import (
                 dedup_preflight_report,
             )
@@ -498,6 +505,7 @@ class IncrementalDedupAlgorithm(Algorithm):
                     shingle_n=int(p.get_optional("shingle_n", 3)),
                 )
             ]
+        base = p.get_string("artifact_location")
         if p.get_optional("action", "batch") == "materialize":
             from m3d_engine_spark.operators.fuzzy_dedup import _salt_size_param
 

@@ -97,6 +97,7 @@ def derive_salt_size(
     floor: int = 4096,
     q: float = 0.95,
     ratio: float = 8.0,
+    size_col: str | None = None,
 ) -> int | None:
     """Data-derived hot-key threshold for the salted joins — the
     self-tuning form of the manual ``salt_size`` dial, lifted from
@@ -129,14 +130,19 @@ def derive_salt_size(
 
     The threshold only routes rows between two output-identical plans,
     so the approximate quantile costs nothing in correctness; callers
-    pass a checkpointed ``rel`` when its lineage is expensive (the
-    compositions checkpoint the band relation anyway so the signature
-    pipeline runs once).
+    pass a checkpointed ``rel`` when its lineage is expensive. When the
+    caller already holds the per-key COUNT relation (one row per key),
+    pass it with ``size_col`` naming the count column — the groupBy is
+    skipped, so the count aggregation runs once, not twice.
     """
+    if size_col is None:
+        counts = rel.groupBy(*[F.col(c) for c in key_cols]).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+    else:
+        counts = rel.select(F.col(size_col).alias("_c"))
     row = (
-        rel.groupBy(*[F.col(c) for c in key_cols])
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .agg(
+        counts.agg(
             F.max("_c").alias("mx"),
             F.expr(f"approx_percentile(_c, CAST({q} AS DOUBLE))").alias("pq"),
         )
@@ -336,7 +342,12 @@ def salted_two_sided_streams(
         raise ValueError("salt_parts must be ≥ 2 when salt_size is set")
     keys = list(key_cols)
     for side, df in (("left", left), ("right", right)):
-        clash = {SALT_PART_COL, "_lsalts"} & set(df.columns)
+        # reserve every internal name this construction introduces —
+        # a clash would surface as an AMBIGUOUS_REFERENCE deep in the
+        # plan instead of this deliberate error
+        clash = {SALT_PART_COL, "_lsalts", "_cl", "_cr", "_cmax", "_thr"} & set(
+            df.columns
+        )
         if clash:
             raise ValueError(
                 f"salted two-sided join reserves column name(s) "

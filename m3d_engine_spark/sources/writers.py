@@ -41,18 +41,26 @@ from m3d_engine_spark.sources.dfs import DFS
 logger = logging.getLogger(__name__)
 
 # The exception classes a metastore/catalog operation can legitimately
-# fail with (partition-spec literal resolution varies per catalog and
-# ANSI setting). Anything OUTSIDE this tuple is a programming error and
-# must still raise — see the post-commit DROP PARTITION handler.
+# fail with. PySparkException is the base of EVERY engine error the
+# capture layer converts (AnalysisException, QueryExecutionException,
+# SparkRuntimeException, the ANSI cast errors a
+# '__HIVE_DEFAULT_PARTITION__' sentinel can raise on non-string
+# partition columns, UnknownException...) — narrowing to
+# AnalysisException alone would re-raise real metastore failures AFTER
+# the insert committed, marking a committed load failed and inviting a
+# duplicating retry. Py4JError covers raw JVM throws that bypass the
+# converter. Python-side programming errors (TypeError, closed-session
+# AttributeError, ...) are outside both and still raise — the intent of
+# the narrowed catch.
 try:  # py4j only exists under classic (non-Connect) PySpark
     from py4j.protocol import Py4JError as _Py4JError
 except ImportError:  # pragma: no cover - Connect-only environments
     class _Py4JError(Exception):
         ...
 
-from pyspark.errors import AnalysisException
+from pyspark.errors import PySparkException
 
-_METASTORE_ERRORS = (AnalysisException, _Py4JError)
+_METASTORE_ERRORS = (PySparkException, _Py4JError)
 
 
 class LoadMode(Enum):

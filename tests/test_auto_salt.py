@@ -518,3 +518,34 @@ def test_lsh_candidate_pairs_salted_identity(spark, sf_dir, monkeypatch):
         a, b, "vec_id", "embedding", salt_size="auto", **kw
     ).collect()))
     assert auto == plain
+
+
+@pytest.mark.slow
+def test_incremental_advise_needs_no_artifact_location(spark, tmp_path, sf_dir):
+    """action=advise runs BEFORE any artifact directory exists — it
+    must not require artifact_location (round-11 review fix)."""
+    import json
+
+    import m3d_engine_spark.cli  # noqa: F401 — populate REGISTRY
+    from m3d_engine_spark.operators.base import run_algorithm
+
+    target = str(tmp_path / "advice")
+    pfile = tmp_path / "inc_noart.json"
+    pfile.write_text(json.dumps({
+        "source_location": f"{sf_dir}/documents.parquet",
+        "action": "advise",
+        "target_location": target,
+    }))
+    run_algorithm(spark, "IncrementalDedup", str(pfile))
+    assert spark.read.parquet(target).count() == 1
+
+
+def test_two_sided_streams_reserves_internal_count_names(spark):
+    """A caller column named _cl/_cr/_cmax/_thr must raise the guard's
+    deliberate ValueError, not an AMBIGUOUS_REFERENCE later."""
+    from m3d_engine_spark.plans.skew import salted_two_sided_streams
+
+    left = spark.createDataFrame([(1, "a", 5)], "lid long, k string, _cl int")
+    right = spark.createDataFrame([(2, "a")], "rid long, k string")
+    with pytest.raises(ValueError, match="reserve"):
+        salted_two_sided_streams(left, right, ["k"], "lid", "rid", 1, 2)

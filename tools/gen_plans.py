@@ -14,6 +14,7 @@ from m3d_engine_spark.session import build_session
 
 HEADLINERS = {
     "dedup_advisor": "Pre-flight dial report (round 11): the band relation aggregates once on (band, band_key); percentiles come from a SIZE-histogram (rows = distinct bucket sizes, a few hundred at any scale) so the only unpartitioned window runs over the histogram, never the bucket relation; the 1-row stats relations meet via broadcast. Nothing larger than the histogram is sorted or single-partitioned.",
+    "jaccard_advisor": "Jaccard-side pre-flight (round 11): the same bucket_dial_report machinery over the (source, shingle) posting relation ngram_jaccard_pairs' inverted-index self-join explodes on — shingle text hashes to 64-bit before counting, the df census partial-aggregates map-side, and all downstream statistics are histogram-sized.",
     "pricing_summary": "One shuffle: map-side partial HashAggregate → exchange on the 2 group cols → final aggregate. Filter pushed to the parquet scan.",
     "order_revenue": "customer broadcasts (BroadcastHashJoin); both date filters sit below the joins as PushedFilters.",
     "range_materialization": "The OR-of-ANDs partition predicate lands in the scan as a plain filter — on a partitioned table this slot becomes PartitionFilters (see tests/test_plans.py).",
