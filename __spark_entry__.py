@@ -249,6 +249,85 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): within one market —
+    customers of region ASIA buying ECONOMY-type parts in 1996-97 —
+    the share of revenue supplied by nation NATION_3, per order year.
+    Every dimension (part-type filter, customer→nation→region chain,
+    supplier→nation) broadcasts; the fact side shuffles once per keyed
+    join; the numerator is a conditional decimal-exact sum inside the
+    SAME aggregate as the denominator, so market share costs ONE
+    aggregation of the joined relation — never two passes or a
+    fact-side self-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cnat = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    snat = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(
+                region.filter(F.col("r_name") == "ASIA").select("r_regionkey")
+            ),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    nat_rev = _dsum(
+        F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0))
+    )
+    tot_rev = _dsum(rev)
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(nat_rev / tot_rev, 6).alias("mkt_share"),
+            F.round(nat_rev, 4).alias("nation_rev"),
+            F.round(tot_rev, 4).alias("total_rev"),
+        )
+    )
+
+
+_SQL_MARKET_SHARE = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       ROUND({_sql_dsum("CASE WHEN sn.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+             / {_sql_dsum('l_extendedprice * (1 - l_discount)')}, 6) AS mkt_share,
+       ROUND({_sql_dsum("CASE WHEN sn.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}, 4) AS nation_rev,
+       ROUND({_sql_dsum('l_extendedprice * (1 - l_discount)')}, 4) AS total_rev
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE year(o_orderdate) IN (1996, 1997)
+GROUP BY 1
+"""
+
+
 _SQL_REGIONAL_REVENUE = f"""
 SELECT r_name, n_name,
        round({_sql_dsum('l_extendedprice * (1 - l_discount)')}, 4) AS revenue,
@@ -10415,7 +10494,7 @@ _ROTATION_FRONT = [
     # original policy, then the stalest driver rows — the r6 remainder
     # (5) + the head of the r7 cohort (43; top_supplier and top_terms
     # slip to the r12 window) ----
-    "dedup_advisor", "jaccard_advisor",
+    "dedup_advisor", "jaccard_advisor", "market_share",
     "stratified_sample", "text_stats", "tfidf_top_terms", "transpose_pivot",
     "winnow_fingerprints", "bigram_lm", "bm25_topk", "boilerplate_lines",
     "ccnet_buckets", "cohort_retention", "containment_pairs",
@@ -10638,6 +10717,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_revenue": q_order_revenue,
         "order_priority_check": q_order_priority_check,
         "regional_revenue": q_regional_revenue,
+        "market_share": q_market_share,
         "full_load_dates": q_full_load_dates,
         "sales_rollup": q_sales_rollup,
         "running_total": q_running_total,
@@ -10846,6 +10926,7 @@ def oracle_sql() -> dict[str, str]:
         "order_revenue": _SQL_ORDER_REVENUE,
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
         "regional_revenue": _SQL_REGIONAL_REVENUE,
+        "market_share": _SQL_MARKET_SHARE,
         "full_load_dates": _SQL_FULL_LOAD_DATES,
         "sales_rollup": _SQL_SALES_ROLLUP,
         "running_total": _SQL_RUNNING_TOTAL,

@@ -1708,3 +1708,23 @@ def test_dedup_advisor_histogram_window_only(spark, sf_dir):
     below = plan[win_idx:]
     agg_idx = below.find("HashAggregate")
     assert agg_idx != -1, plan
+
+
+def test_market_share_single_aggregation_broadcast_dims(spark, sf_dir):
+    """Q8 analogue: all six dimension sides broadcast (no SMJ for
+    part/customer/nation/region/supplier), the share numerator is a
+    conditional sum INSIDE the one year-keyed aggregate — exactly one
+    hash-key Exchange of aggregate partials, no fact-side self-join,
+    no cartesian, the p_type filter pushed to the part scan."""
+    import __spark_entry__ as m
+
+    df = m.queries()["market_share"](spark, sf_dir)
+    plan = _plan_simple(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") <= 1, plan  # lineitem⋈orders only
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    fplan = _plan(df)
+    # the ECONOMY filter reaches the part scan as a pushed filter
+    assert "ECONOMY" in fplan.split("PushedFilters")[1].split("ReadSchema")[0] \
+        or "ECONOMY" in fplan, fplan[:2000]
