@@ -328,6 +328,63 @@ GROUP BY 1
 """
 
 
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year), with
+    ``p_retailprice`` standing in for the absent ``ps_supplycost``
+    (this schema carries no partsupp): profit per line =
+    revenue − 0.6·retailprice·quantity, summed decimal-exact per
+    (supplier nation, order year) over parts whose name matches a
+    pattern ('%red%' — the fixture's color-word names mirror Q9's
+    '%green%'). part/supplier/nation broadcast; lineitem ⋈ orders is the
+    only fact-sized shuffle; the name LIKE filter pushes to the part
+    scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_name").contains("red")).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.round(_dsum(profit), 4).alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_SQL_PRODUCT_PROFIT = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       ROUND({_sql_dsum('l_extendedprice * (1 - l_discount) - CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity')}, 4) AS profit,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
 _SQL_REGIONAL_REVENUE = f"""
 SELECT r_name, n_name,
        round({_sql_dsum('l_extendedprice * (1 - l_discount)')}, 4) AS revenue,
@@ -10494,7 +10551,7 @@ _ROTATION_FRONT = [
     # original policy, then the stalest driver rows — the r6 remainder
     # (5) + the head of the r7 cohort (43; top_supplier and top_terms
     # slip to the r12 window) ----
-    "dedup_advisor", "jaccard_advisor", "market_share",
+    "dedup_advisor", "jaccard_advisor", "market_share", "product_profit",
     "stratified_sample", "text_stats", "tfidf_top_terms", "transpose_pivot",
     "winnow_fingerprints", "bigram_lm", "bm25_topk", "boilerplate_lines",
     "ccnet_buckets", "cohort_retention", "containment_pairs",
@@ -10718,6 +10775,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_check": q_order_priority_check,
         "regional_revenue": q_regional_revenue,
         "market_share": q_market_share,
+        "product_profit": q_product_profit,
         "full_load_dates": q_full_load_dates,
         "sales_rollup": q_sales_rollup,
         "running_total": q_running_total,
@@ -10927,6 +10985,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_check": _SQL_ORDER_PRIORITY_CHECK,
         "regional_revenue": _SQL_REGIONAL_REVENUE,
         "market_share": _SQL_MARKET_SHARE,
+        "product_profit": _SQL_PRODUCT_PROFIT,
         "full_load_dates": _SQL_FULL_LOAD_DATES,
         "sales_rollup": _SQL_SALES_ROLLUP,
         "running_total": _SQL_RUNNING_TOTAL,

@@ -1728,3 +1728,21 @@ def test_market_share_single_aggregation_broadcast_dims(spark, sf_dir):
     # the ECONOMY filter reaches the part scan as a pushed filter
     assert "ECONOMY" in fplan.split("PushedFilters")[1].split("ReadSchema")[0] \
         or "ECONOMY" in fplan, fplan[:2000]
+
+
+def test_product_profit_broadcast_dims_pushed_like(spark, sf_dir):
+    """Q9 analogue: part/supplier/nation broadcast, lineitem⋈orders is
+    the only SMJ, the name pattern pushes to the part scan as a
+    StringContains filter, one keyed aggregation."""
+    import __spark_entry__ as m
+
+    df = m.queries()["product_profit"](spark, sf_dir)
+    plan = _plan_simple(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    fplan = _plan(df)
+    assert "StringContains" in fplan or "red" in fplan.split(
+        "PushedFilters"
+    )[1].split("ReadSchema")[0], fplan[:1500]
