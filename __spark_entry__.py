@@ -10540,34 +10540,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The round driver records correctness rows for the FIRST 50 entries of
-# queries() only, so the registry rotates each round. As of round 10 every
-# one of the 201 entries has a driver row (rotation debt zero); from r11 on
-# the rotation is purely mechanical: each round, move the first 50 names to
-# the tail so the next window is always the 50 stalest driver rows.
-# Round-11 window = the r6 remainder (5) + the head of the r7 cohort (45).
+# queries() only, so the registry rotates each round. As of round 11 every
+# one of the 205 entries has a driver row (rotation debt zero); the rotation
+# is purely mechanical: each round, move the first 50 names to the tail so
+# the next window is always the 50 stalest driver rows (any NEW entry is
+# fronted first, displacing the window tail to the next round).
+# Round-11 recap (per CORRECTNESS_r11.json): four new entries were fronted
+# (dedup_advisor, jaccard_advisor, market_share, product_profit), so only
+# 41 r7-cohort names fit that window and FOUR slipped to this round
+# (sq_quantize, temperature_mixture, top_supplier, top_terms).
 _ROTATION_FRONT = [
-    # ---- round-11 window (first 50): the two new never-driver-checked
-    # entries (dedup_advisor + jaccard_advisor, added r11) front per the
-    # original policy, then the stalest driver rows — the r6 remainder
-    # (5) + the head of the r7 cohort (43; top_supplier and top_terms
-    # slip to the r12 window) ----
-    "dedup_advisor", "jaccard_advisor", "market_share", "product_profit",
-    "stratified_sample", "text_stats", "tfidf_top_terms", "transpose_pivot",
-    "winnow_fingerprints", "bigram_lm", "bm25_topk", "boilerplate_lines",
-    "ccnet_buckets", "cohort_retention", "containment_pairs",
-    "contamination_check", "curation_pipeline", "data_profile",
-    "dataset_card", "distinct_report", "doc_chunk", "domain_cap",
-    "dsir_select", "epoch_shuffle", "event_anomaly", "frame_sample",
-    "funnel_steps", "fuzzy_dedup_corpus", "gopher_quality", "hard_negatives",
-    "incremental_dedup", "mixture_sample", "nation_volume",
-    "numeric_histogram", "pack_materialize", "paragraph_dedup",
-    "percentile_quality", "pii_scrub", "pq_encode", "props_extract",
-    "quality_classifier", "record_linkage", "repeated_spans",
-    "repetition_stats", "robust_scale", "semantic_dedup", "sequence_pack",
-    "session_rollup", "sliding_rollup", "snapshot_diff", "sq_quantize",
-    "temperature_mixture", "top_supplier", "top_terms",
-    # ---- later windows, staleness-ordered (r7 tail, r8, r9, then the
-    # r10 window moved to the tail per the mechanical rotation rule) ----
+    # ---- round-12 window (first 50): the four r7 names that slipped out
+    # of the r11 window, the r7 tail, then the r8 cohort head ----
+    "sq_quantize", "temperature_mixture", "top_supplier", "top_terms",
     "triangle_count", "two_stage_ann", "unigram_lm", "zorder_key",
     "audio_chunks", "basket_rules", "benford_audit", "blame_supplier",
     "bloom_prune", "classifier_calibration", "countmin_audit",
@@ -10579,23 +10564,25 @@ _ROTATION_FRONT = [
     "negative_sampling", "ngram_novelty", "pagerank", "phrase_search",
     "ppr_expand", "pq_search", "pq_topk", "psi_drift", "quantile_normalize",
     "random_walks", "rank_fusion", "rank_weighted_sample", "scd2_history",
-    "script_profile", "session_transcript", "skew_report", "skipgram_pairs",
-    "vocab_drift", "weighted_sample", "zipf_fit", "budget_select",
-    "kanon_census", "bpe_pairs", "gap_fill", "rolling_med", "ab_welch",
-    "rbo_overlap", "fastss_pairs", "deepwalk_pairs", "feature_hash",
-    "source_overlap", "phash_dedup", "rendezvous_shards", "expectations",
-    "table_checksum", "ndcg_eval", "ann_recall", "large_orders",
-    "brand_share", "top_paths", "histogram2d", "order_dist", "promo_share",
-    "small_qty_revenue", "returned_items", "untapped_customers",
-    "disjunct_revenue", "grouping_sets_census", "window_suite",
-    "ewma_revenue", "mad_outliers", "bitext_mine", "rfm_segments",
-    "revenue_concentration", "order_gap_stats", "metrics_melt", "daily_spine",
-    "skyline_parts", "attribution_removal", "identity_clusters",
-    "asof_forward", "forecast_backtest", "kaplan_meier", "windowed_funnel",
-    "wilson_ci", "cuped_lift", "chi2_independence", "mann_whitney",
-    "gini_revenue", "herfindahl", "ledger_balance", "active_users",
-    "seasonal_index", "mix_entropy", "price_elasticity", "ann_topk",
-    "append_join", "append_load_regex", "asof_join", "brute_topk",
+    "script_profile", "session_transcript",
+    # ---- later windows, staleness-ordered (r8 tail, r9, the r10 window,
+    # then the r11 window moved to the tail per the mechanical rule) ----
+    "skew_report", "skipgram_pairs", "vocab_drift", "weighted_sample",
+    "zipf_fit", "budget_select", "kanon_census", "bpe_pairs", "gap_fill",
+    "rolling_med", "ab_welch", "rbo_overlap", "fastss_pairs",
+    "deepwalk_pairs", "feature_hash", "source_overlap", "phash_dedup",
+    "rendezvous_shards", "expectations", "table_checksum", "ndcg_eval",
+    "ann_recall", "large_orders", "brand_share", "top_paths", "histogram2d",
+    "order_dist", "promo_share", "small_qty_revenue", "returned_items",
+    "untapped_customers", "disjunct_revenue", "grouping_sets_census",
+    "window_suite", "ewma_revenue", "mad_outliers", "bitext_mine",
+    "rfm_segments", "revenue_concentration", "order_gap_stats",
+    "metrics_melt", "daily_spine", "skyline_parts", "attribution_removal",
+    "identity_clusters", "asof_forward", "forecast_backtest", "kaplan_meier",
+    "windowed_funnel", "wilson_ci", "cuped_lift", "chi2_independence",
+    "mann_whitney", "gini_revenue", "herfindahl", "ledger_balance",
+    "active_users", "seasonal_index", "mix_entropy", "price_elasticity",
+    "ann_topk", "append_join", "append_load_regex", "asof_join", "brute_topk",
     "dedup_clusters", "dedup_pipeline", "dedup_survivors", "delta_condense",
     "delta_merge", "distinct_partitions", "embedding_dups", "event_rollup",
     "exact_dups", "fixed_width", "flatten_explode", "flatten_full",
@@ -10606,7 +10593,20 @@ _ROTATION_FRONT = [
     "query_materialization", "range_join", "range_materialization",
     "regional_revenue", "running_total", "sales_rollup",
     "schema_evolution_union", "seeded_ann", "sessionize", "side_flatten",
-    "simhash64_hamming", "simhash_dedup", "sql_runner",
+    "simhash64_hamming", "simhash_dedup", "sql_runner", "dedup_advisor",
+    "jaccard_advisor", "market_share", "product_profit", "stratified_sample",
+    "text_stats", "tfidf_top_terms", "transpose_pivot", "winnow_fingerprints",
+    "bigram_lm", "bm25_topk", "boilerplate_lines", "ccnet_buckets",
+    "cohort_retention", "containment_pairs", "contamination_check",
+    "curation_pipeline", "data_profile", "dataset_card", "distinct_report",
+    "doc_chunk", "domain_cap", "dsir_select", "epoch_shuffle",
+    "event_anomaly", "frame_sample", "funnel_steps", "fuzzy_dedup_corpus",
+    "gopher_quality", "hard_negatives", "incremental_dedup", "mixture_sample",
+    "nation_volume", "numeric_histogram", "pack_materialize",
+    "paragraph_dedup", "percentile_quality", "pii_scrub", "pq_encode",
+    "props_extract", "quality_classifier", "record_linkage", "repeated_spans",
+    "repetition_stats", "robust_scale", "semantic_dedup", "sequence_pack",
+    "session_rollup", "sliding_rollup", "snapshot_diff",
 ]
 
 
