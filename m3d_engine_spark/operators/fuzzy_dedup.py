@@ -150,6 +150,13 @@ def _positive_or_none(p, key: str) -> int | None:
     raw = p.get_optional(key, None)
     if raw is None:
         return None
+    if isinstance(raw, bool):
+        # bool is an int subclass: {"key": true} would coerce to 1 and
+        # silently set an aggressive dial instead of flagging the typo.
+        raise ValueError(
+            f"{key} must be a positive integer when set, got {raw!r}; "
+            f"omit the parameter to disable the dial"
+        )
     val = int(raw)
     if val <= 0:
         raise ValueError(
@@ -169,6 +176,13 @@ def _salt_size_param(p) -> int | None | str:
         return None
     if isinstance(raw, str) and raw.lower() == "auto":
         return "auto"
+    if isinstance(raw, bool):
+        # bool is an int subclass: {"salt_size": true} would coerce to
+        # int(True)=1, a threshold that salts nearly every bucket.
+        raise ValueError(
+            f"salt_size must be a positive integer, 'auto', or "
+            f"'off'; got {raw!r}"
+        )
     val = int(raw)
     if val <= 0:
         raise ValueError(

@@ -244,15 +244,30 @@ def salted_big_side_streams(
 
     Where ``salted_two_sided_streams`` derives hotness from groupBy
     count relations of BOTH sides (fine when both sides are cheap
-    scans, as in record_linkage), this form never re-evaluates the big
-    side: its per-key count is a WINDOW over the same exchange its
-    cold join shuffles on, the hot-key set (tiny by construction) and
-    — under ``salt_size="auto"`` — the threshold histogram are derived
-    from that same window, and the small side learns hotness from the
-    broadcast hot-key set. The big side's expensive lineage is
-    evaluated ONCE; cold big rows reach their join with no second
-    exchange (window + filter preserve the partitioning); only the
-    hot slice re-shuffles, on (key..., part).
+    scans, as in record_linkage), this form never re-reads the big
+    side's SOURCE: the expensive prefix of ``big``'s lineage up to its
+    first exchange (for the dedup callers: shingle → minhash, the
+    dominant cost) is canonically identical under every branch, so
+    runtime stage reuse materializes it ONCE — pinned as an
+    executed-plan walk in ``tests/test_plans.py::
+    test_incremental_dedup_auto_reuses_corpus_exchange`` (the corpus
+    file contributes exactly one live scan to this construction).
+    Above that reuse point the streams split in two: (1) the join
+    stream — the per-key count is a WINDOW over the same full-width
+    exchange the cold join shuffles on, so cold and hot filters read
+    ONE exchange and cold big rows reach their join with no second
+    exchange (window + filter preserve the partitioning; only the hot
+    slice re-shuffles, on (key..., part)); (2) the stats stream — the
+    hot-key set AND (under ``salt_size="auto"``) the threshold
+    histogram both fold over ONE ``groupBy(keys)`` count relation,
+    whose partial aggregate map-side combines: only per-key counts
+    ship. Deriving those stats from the window relation instead (the
+    round-11 form) re-SHUFFLED the entire big relation once per stat
+    branch — column pruning specializes each branch's window input, so
+    those exchanges can never match the full-width join exchange; at
+    100 TB that is two extra corpus-wide shuffles purely to learn a
+    threshold and a (tiny) hot-key set. The small side learns hotness
+    from the broadcast hot-key set.
 
     The big side always salts and the small side always replicates —
     correct by the caller's contract that ``small`` ≪ ``big`` per key
@@ -271,6 +286,10 @@ def salted_big_side_streams(
                 f"{sorted(clash)} (clash on the {side} input); rename "
                 f"the conflicting column(s)"
             )
+    # stats stream: ONE groupBy-count lineage shared (via partial-agg
+    # exchange reuse) by the threshold histogram and the hot-key set —
+    # see the docstring for why these must NOT derive from the window
+    stats = big.groupBy(*keys).agg(F.count(F.lit(1)).alias(_SIZE_COL))
     big_w = big.withColumn(
         _SIZE_COL, F.count(F.lit(1)).over(Window.partitionBy(*keys))
     )
@@ -280,14 +299,18 @@ def salted_big_side_streams(
                 f"salt_size must be an int or 'auto'; got {salt_size!r}"
             )
         thr_rel = F.broadcast(
-            auto_salt_threshold(big_w, _SIZE_COL, floor=floor, ratio=ratio)
+            auto_salt_threshold(
+                stats, _SIZE_COL, floor=floor, ratio=ratio, bucket_level=True
+            )
         )
         big_w = big_w.crossJoin(thr_rel)
         is_hot = F.col(_SIZE_COL) > F.col("_thr")
         drop_cols = [_SIZE_COL, "_thr"]
+        hot_stats = stats.crossJoin(thr_rel).filter(is_hot)
     else:
         is_hot = F.col(_SIZE_COL) > int(salt_size)
         drop_cols = [_SIZE_COL]
+        hot_stats = stats.filter(is_hot)
     cold_big = big_w.filter(~is_hot).drop(*drop_cols)
     hot_big = (
         big_w.filter(is_hot)
@@ -297,9 +320,8 @@ def salted_big_side_streams(
             F.pmod(F.xxhash64(F.col(big_id)), F.lit(salt_parts)),
         )
     )
-    hot_keys = F.broadcast(
-        big_w.filter(is_hot).select(*keys).distinct()
-    )
+    # already one row per key (aggregate output) — no distinct needed
+    hot_keys = F.broadcast(hot_stats.select(*keys))
     cold_small = small.join(hot_keys, on=keys, how="left_anti")
     hot_small = small.join(hot_keys, on=keys, how="left_semi").withColumn(
         SALT_PART_COL,
@@ -467,8 +489,20 @@ def salted_self_join_streams(
             f"salted self-join reserves column name(s) {sorted(clash)}; "
             "rename the conflicting input column(s)"
         )
+    thr_src = None
     if size_col is None:
         size_col = _SIZE_COL
+        # the threshold histogram folds over a groupBy-count lineage
+        # instead of the window relation: the per-key counts map-side
+        # combine (only partials ship), where a histogram over the
+        # window output would re-SHUFFLE the whole (column-pruned)
+        # relation a second time just to learn one number — the same
+        # rationale as salted_big_side_streams' stats stream; the
+        # expensive lineage below rel's first exchange is shared with
+        # the join stream by runtime stage reuse either way
+        thr_src = rel.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias(size_col)
+        )
         rel = rel.withColumn(
             size_col,
             F.count(F.lit(1)).over(Window.partitionBy(*key_cols)),
@@ -479,7 +513,12 @@ def salted_self_join_streams(
                 f"salt_size must be an int or 'auto'; got {salt_size!r}"
             )
         thr_rel = F.broadcast(
-            auto_salt_threshold(rel, size_col, floor=floor, ratio=ratio)
+            auto_salt_threshold(thr_src, size_col, floor=floor, ratio=ratio,
+                                bucket_level=True)
+            if thr_src is not None
+            # caller-supplied size_col: its value distribution IS the
+            # quantity the hot filter tests — fold over rel itself
+            else auto_salt_threshold(rel, size_col, floor=floor, ratio=ratio)
         )
         rel = rel.crossJoin(thr_rel)
         cold = rel.filter(F.col(size_col) <= F.col("_thr")).drop(

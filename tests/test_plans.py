@@ -1606,6 +1606,74 @@ def test_fuzzy_dedup_auto_inplan_shape(spark):
     assert "ReusedExchange" in executed
 
 
+def _live_file_scans(df, path_substr: str) -> int:
+    """Count DISTINCT materialized FileSourceScan nodes whose string
+    mentions ``path_substr`` in the EXECUTED (post-AQE) plan — the
+    runtime ground truth for 'how many times did this file's lineage
+    evaluate'. Walks into query stages and ReusedExchange targets,
+    deduping by JVM object identity, so a stage shared by N consumers
+    counts its scan ONCE while a missed reuse (fresh stage, fresh scan
+    node) counts again. String-counting the ``toString()`` output is
+    NOT a substitute: AdaptiveSparkPlan prints an ``== Initial Plan ==``
+    section where every logical occurrence appears un-reused."""
+    jvm = df.sparkSession._jvm  # noqa: SLF001
+    system = jvm.java.lang.System
+    seen: set[int] = set()
+    count = 0
+
+    def walk(node):
+        nonlocal count
+        ident = system.identityHashCode(node)
+        if ident in seen:
+            return
+        seen.add(ident)
+        cls = node.getClass().getSimpleName()
+        if "QueryStage" in cls:
+            walk(node.plan())
+            return
+        if cls.startswith("ReusedExchange"):
+            walk(node.child())
+            return
+        if "FileSourceScan" in cls and path_substr in node.toString():
+            count += 1
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    root = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    if root.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        root = root.executedPlan()
+    walk(root)
+    return count
+
+
+def test_incremental_dedup_auto_reuses_corpus_exchange(spark):
+    """``incremental_dedup(salt_size='auto')``'s big-side path makes the
+    same evaluated-ONCE promise as the self-join helper
+    (``salted_big_side_streams`` docstring), but through a different
+    construction: the corpus band relation feeds the cold SMJ, the hot
+    slice, the broadcast hot-key set AND the broadcast threshold fold.
+    The promise holds through runtime stage reuse at the corpus
+    minhash exchange (canonically identical under every branch) — a
+    silently missed reuse would re-run the corpus shingle → minhash
+    pipeline per branch at scale. Pin the runtime ground truth: the
+    corpus parquet contributes exactly TWO distinct materialized scans
+    (one under the shared LSH lineage, one for the shingle-verify
+    relation) and at least one exchange is reused."""
+    from m3d_engine_spark.operators.incremental import incremental_dedup
+    from m3d_engine_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    df = incremental_dedup(batch, corpus, "doc_id", "text", salt_size="auto")
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "ReusedExchange" in executed, executed[:3000]
+    assert _live_file_scans(df, "documents") == 2, executed[:3000]
+
+
 def test_incremental_artifact_hot_split_plan(spark, tmp_path):
     """Batch join against artifacts that carry hot_bands: the hot
     buckets route through the salted stream (equi-key gains
@@ -1725,9 +1793,15 @@ def test_market_share_single_aggregation_broadcast_dims(spark, sf_dir):
     assert plan.count("SortMergeJoin") <= 1, plan  # lineitem⋈orders only
     assert plan.count("BroadcastHashJoin") >= 5, plan
     fplan = _plan(df)
-    # the ECONOMY filter reaches the part scan as a pushed filter
-    assert "ECONOMY" in fplan.split("PushedFilters")[1].split("ReadSchema")[0] \
-        or "ECONOMY" in fplan, fplan[:2000]
+    # the ECONOMY filter reaches the part scan as a pushed filter: the
+    # literal must appear inside SOME PushedFilters segment (a Filter
+    # node elsewhere in the plan does not count — no fallback here, a
+    # lost pushdown must fail the test)
+    pushed_segments = [
+        seg.split("ReadSchema")[0]
+        for seg in fplan.split("PushedFilters")[1:]
+    ]
+    assert any("ECONOMY" in seg for seg in pushed_segments), fplan[:2000]
 
 
 def test_product_profit_broadcast_dims_pushed_like(spark, sf_dir):
