@@ -180,6 +180,51 @@ def dedup_preflight_report(
     )
 
 
+def dedup_preflight_report_from_artifacts(
+    spark,
+    artifact_location: str,
+    *,
+    floor: int = 4096,
+    ratio: int = 8,
+) -> DataFrame:
+    """``dedup_preflight_report`` fed from materialized dedup artifacts
+    (``operators/incremental.py::materialize_dedup_artifacts``) instead
+    of recomputing the LSH pass: the band relation is already persisted
+    at ``{artifact_location}/bands``, so advising a corpus that has
+    artifacts costs one column-pruned parquet scan of (band, band_key)
+    plus histogram-sized statistics — no shingling, no minhash, no
+    corpus text read. Output is row-identical to the from-scratch
+    report with the dials the artifacts were materialized with (the
+    dials are BAKED INTO the band relation; that is why this function
+    takes none). Equality is pinned in tests.
+
+    The artifacts' ``_meta.json`` is read first — both to fail loudly
+    on a path that is not an artifact directory and because its
+    ``salt_size`` (when present) records the threshold materialize
+    already committed; this report recomputes the recommendation from
+    the same distribution, so a drifted corpus shows up as a changed
+    dial next to the committed one.
+    """
+    import json
+
+    from m3d_engine_spark.sources.dfs import DFS
+
+    meta = json.loads(DFS(spark).read_text(f"{artifact_location}/_meta.json"))
+    for key in ("num_hashes", "bands", "shingle_n"):
+        if key not in meta:
+            raise ValueError(
+                f"{artifact_location}/_meta.json lacks {key!r} — not a "
+                f"dedup artifact directory"
+            )
+    band_rel = spark.read.parquet(f"{artifact_location}/bands")
+    return bucket_dial_report(
+        band_rel.select("band", "band_key"),
+        ["band", "band_key"],
+        floor=floor,
+        ratio=ratio,
+    )
+
+
 def jaccard_dial_report(
     docs: DataFrame,
     id_col: str,

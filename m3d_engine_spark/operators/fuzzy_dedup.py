@@ -206,7 +206,10 @@ class FuzzyDedupAlgorithm(Algorithm):
     Config keys:
       advise (false) — pre-flight mode: report the recommended dials
         for this corpus (operators/advisor.py) instead of deduping;
-        printed when no target is configured, written otherwise
+        printed when no target is configured, written otherwise. With
+        artifact_location set, the report reads the band relation
+        persisted by IncrementalDedup's materialize action instead of
+        recomputing the LSH pass (near-zero cost; no source needed)
       source_location (parquet dir) OR source_table
       id_column (default "doc_id"), text_column (default "text")
       num_hashes (16), bands (8), shingle_n (3) — the LSH dials
@@ -224,6 +227,10 @@ class FuzzyDedupAlgorithm(Algorithm):
     """
 
     def read(self) -> list[DataFrame]:
+        if bool(self.params.get_optional("advise", False)) and (
+            self.params.has("artifact_location")
+        ):
+            return []  # advise-from-artifacts reads no corpus
         if self.params.has("source_table"):
             return [self.spark.table(self.params.get_string("source_table"))]
         return [
@@ -239,6 +246,16 @@ class FuzzyDedupAlgorithm(Algorithm):
             # instead of running the dedup — point a cluster at this
             # first, read the row, then submit the real job (or trust
             # the built-in "auto", which applies the same rule).
+            if p.has("artifact_location"):
+                from m3d_engine_spark.operators.advisor import (
+                    dedup_preflight_report_from_artifacts,
+                )
+
+                return [
+                    dedup_preflight_report_from_artifacts(
+                        self.spark, p.get_string("artifact_location")
+                    )
+                ]
             from m3d_engine_spark.operators.advisor import (
                 dedup_preflight_report,
             )

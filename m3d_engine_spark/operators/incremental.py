@@ -452,12 +452,15 @@ class IncrementalDedupAlgorithm(Algorithm):
     (fingerprints / LSH bands / shingle sets + _meta.json dials) under
     ``artifact_location``; run ONCE at corpus-accept time.
 
-    ``action: "advise"`` — pre-flight: read the corpus and report the
-    recommended dedup dials (operators/advisor.py — salt_size /
-    salt_parts / max_bucket_size plus the bucket distribution and
-    exact pair-count estimate that justify them); printed when no
-    target is configured, written otherwise. Run BEFORE "materialize"
-    commits a threshold into the artifacts.
+    ``action: "advise"`` — pre-flight: report the recommended dedup
+    dials (operators/advisor.py — salt_size / salt_parts /
+    max_bucket_size plus the bucket distribution and exact pair-count
+    estimate that justify them); printed when no target is configured,
+    written otherwise. Run BEFORE "materialize" commits a threshold
+    into the artifacts. When ``artifact_location`` is set the report
+    reads the PERSISTED band relation instead of recomputing the LSH
+    pass over the corpus (near-zero cost; no source needed) — use this
+    form to re-check the dials of an already-accepted corpus.
 
     ``action: "batch"`` (default) — read the new batch, keep only rows
     with no exact or fuzzy duplicate in the artifacts (corpus text
@@ -477,6 +480,12 @@ class IncrementalDedupAlgorithm(Algorithm):
     """
 
     def read(self) -> list[DataFrame]:
+        if self.params.get_optional("action", "batch") == "advise" and (
+            self.params.has("artifact_location")
+        ):
+            # advise-from-artifacts needs no corpus read at all — the
+            # persisted band relation IS the input
+            return []
         if self.params.has("source_table"):
             return [self.spark.table(self.params.get_string("source_table"))]
         return [
@@ -488,6 +497,21 @@ class IncrementalDedupAlgorithm(Algorithm):
         id_col = p.get_optional("id_column", "doc_id")
         text_col = p.get_optional("text_column", "text")
         if p.get_optional("action", "batch") == "advise":
+            if p.has("artifact_location"):
+                # Artifacts exist: advising costs one column-pruned
+                # scan of the persisted band relation — no LSH
+                # recompute, no corpus text read. Output identical to
+                # the from-scratch report at the materialize dials
+                # (they are baked into the bands).
+                from m3d_engine_spark.operators.advisor import (
+                    dedup_preflight_report_from_artifacts,
+                )
+
+                return [
+                    dedup_preflight_report_from_artifacts(
+                        self.spark, p.get_string("artifact_location")
+                    )
+                ]
             # Pre-flight: report the dials the corpus needs (same
             # report as FuzzyDedup's advise=true) before materialize
             # commits a threshold into the artifacts. No
