@@ -12,6 +12,9 @@ map-only scan with full column pruning on the output side.
 
 from __future__ import annotations
 
+import datetime as _dt
+import logging
+import re
 from dataclasses import dataclass
 from typing import Sequence
 
@@ -21,6 +24,78 @@ from pyspark.sql import functions as F
 from m3d_engine_spark.config import ParamsFile
 from m3d_engine_spark.operators.base import Algorithm, register
 from m3d_engine_spark.plans.partitions import partition_predicate
+
+logger = logging.getLogger(__name__)
+
+_CONDITION_RE = re.compile(r"(.+?)[ ]*=[ ]*(.+)")
+_RULE_RE = re.compile(r"(year|month|week|day)([+-])([0-9]+)")
+
+
+def parse_conditions(conditions: Sequence[object]) -> list[tuple[str, object]]:
+    """Reference select_conditions: ["year=2019", "month=2"] →
+    [("year","2019"), ("month","2")]
+    (FixedSizeStringExtractorConfiguration.scala:95-99). Pair form
+    [["year", 2019], ...] is accepted too for callers already on the
+    structured shape."""
+    out: list[tuple[str, object]] = []
+    for cond in conditions:
+        if isinstance(cond, str):
+            m = _CONDITION_RE.fullmatch(cond)
+            if m is None:
+                raise ValueError(f"Wrong select condition: {cond}")
+            out.append((m.group(1).strip(), m.group(2).strip()))
+        else:
+            col, val = cond
+            out.append((str(col), val))
+    return out
+
+
+def parse_select_rules(
+    rules: Sequence[str],
+    target_partitions: Sequence[str],
+    today: _dt.date | None = None,
+) -> list[tuple[str, str]]:
+    """Reference select_rules: ["month-1", "day+2"] shift today by the
+    named periods, then emit one partition criteria for the resulting
+    date over a year/month/day, year/month or year/week scheme
+    (FixedSizeStringExtractorConfiguration.scala:101-137). Parity
+    includes the reference's calendar-year + ISO-week pairing."""
+    date = today or _dt.date.today()
+    allowed = set(target_partitions)
+    for rule in rules:
+        m = _RULE_RE.fullmatch(rule)
+        if m is None:
+            raise ValueError(f"Wrong select rule: {rule}")
+        period, sign, value = m.group(1), m.group(2), int(m.group(3))
+        if period not in allowed:
+            raise ValueError(f"Unsupported period: {period}")
+        delta = -value if sign == "-" else value
+        if period == "day":
+            date = date + _dt.timedelta(days=delta)
+        elif period == "week":
+            date = date + _dt.timedelta(weeks=delta)
+        elif period == "month":
+            # calendar-month arithmetic, day clamped (joda Months.plus)
+            total = date.year * 12 + (date.month - 1) + delta
+            y, mth = divmod(total, 12)
+            last = (_dt.date(y + (mth + 1) // 12, (mth + 1) % 12 + 1, 1)
+                    - _dt.timedelta(days=1)).day
+            date = _dt.date(y, mth + 1, min(date.day, last))
+        else:  # year
+            try:
+                date = date.replace(year=date.year + delta)
+            except ValueError:  # Feb 29 → Feb 28
+                date = date.replace(year=date.year + delta, day=28)
+    tp = list(target_partitions)
+    if tp == ["year", "month", "day"]:
+        return [("year", str(date.year)), ("month", str(date.month)),
+                ("day", str(date.day))]
+    if tp == ["year", "month"]:
+        return [("year", str(date.year)), ("month", str(date.month))]
+    if tp == ["year", "week"]:
+        return [("year", str(date.year)),
+                ("week", str(date.isocalendar()[1]))]
+    raise ValueError(f"Unsupported partitioning schema: {tp}")
 
 
 @dataclass(frozen=True)
@@ -60,40 +135,83 @@ def extract_fixed_width(
 @register("FixedSizeStringExtractor")
 class FixedSizeStringExtractorAlgorithm(Algorithm):
     """Config keys: source_table/source_location, source_field,
-    substring_positions ["1,11", ...], target_schema-ish field list,
-    select_conditions [["year",2019],["month",2]] (partition scope)."""
+    substring_positions ["1,11", ...], and EITHER an explicit
+    target_fields/target_types list OR the reference's target_schema
+    (Spark JSON) + target_partitions pair. Partition scoping:
+    select_conditions as "col=value" strings (the reference format,
+    FixedSizeStringExtractorConfiguration.scala:95-99) or [col, value]
+    pairs, or select_rules date arithmetic (:101-137). Conditions on a
+    non-partitioned config are ignored with a warning (:40-49)."""
+
+    def _criteria(self) -> list[tuple[str, object]] | None:
+        targets = self.params.get_optional("target_partitions", [])
+        if self.params.has("select_conditions"):
+            if not targets:
+                logger.warning(
+                    "Select conditions can be applied to partitioned "
+                    "tables only. Ignoring."
+                )
+                return None
+            return parse_conditions(self.params.get_list("select_conditions"))
+        if self.params.has("select_rules"):
+            if not targets:
+                logger.warning(
+                    "Select rules can be applied to partitioned tables "
+                    "only. Ignoring."
+                )
+                return None
+            return parse_select_rules(self.params.get_list("select_rules"), targets)
+        return None
 
     def read(self) -> list[DataFrame]:
         if self.params.has("source_table"):
             df = self.spark.table(self.params.get_string("source_table"))
         else:
             df = self.spark.read.parquet(self.params.get_string("source_location"))
-        if self.params.has("select_conditions"):
-            crit = [[tuple(c) for c in self.params.get_list("select_conditions")]]
-            df = df.filter(partition_predicate(crit))
+        crit = self._criteria()
+        if crit:
+            df = df.filter(partition_predicate([crit]))
         return [df]
 
     def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
-        positions = self.params.get_list("substring_positions")
-        names = self.params.get_list("target_fields")
-        types = self.params.get_optional("target_types") or ["string"] * len(names)
-        if not (len(names) == len(positions) == len(types)):
-            from m3d_engine_spark.config import ConfigError
+        from m3d_engine_spark.config import ConfigError
 
+        positions = self.params.get_list("substring_positions")
+        schema_order: list[str] | None = None
+        if self.params.has("target_schema"):
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(self.params.get_map("target_schema"))
+            targets = set(self.params.get_optional("target_partitions", []))
+            non_part = [f for f in schema.fields if f.name not in targets]
+            names = [f.name for f in non_part]
+            types = [f.dataType.simpleString() for f in non_part]
+            keep = [f.name for f in schema.fields if f.name in targets]
+            schema_order = [f.name for f in schema.fields]
+        else:
+            names = self.params.get_list("target_fields")
+            types = self.params.get_optional("target_types") or ["string"] * len(names)
+            keep = self.params.get_optional("keep_columns", [])
+        if not (len(names) == len(positions) == len(types)):
+            # reference message (FixedSizeStringExtractor.scala:33-35);
+            # a plain zip would silently drop the unmatched tail fields
             raise ConfigError(
+                "Field positions do not correspond to the target schema: "
                 f"target_fields ({len(names)}), substring_positions "
-                f"({len(positions)}) and target_types ({len(types)}) "
-                f"must align — a plain zip would silently drop the "
-                f"unmatched tail fields"
+                f"({len(positions)}), target_types ({len(types)})"
             )
         fields = []
         for name, pos, dtype in zip(names, positions, types):
             start, end = (int(x) for x in str(pos).split(","))
             fields.append(FixedField(name, start, end, dtype))
-        keep = self.params.get_optional("keep_columns", [])
-        return [
-            extract_fixed_width(dfs[0], self.params.get_string("source_field"), fields, keep)
-        ]
+        out = extract_fixed_width(
+            dfs[0], self.params.get_string("source_field"), fields, keep
+        )
+        if schema_order:
+            # reference emits targetSchema.fieldNames order
+            # (FixedSizeStringExtractor.scala:47)
+            out = out.select(*schema_order)
+        return [out]
 
     def write(self, dfs: list[DataFrame]) -> None:
         from m3d_engine_spark.sources.writers import write_output

@@ -1643,3 +1643,78 @@ def test_semistructured_existing_header_golden(spark, tmp_path):
         [f for f in schema.fields if f.name not in ref["target_partitions"]]
     )
     assert StructType.fromJson(json.loads(hdr_day2.read_text())) == stripped_target
+
+
+# --- FixedSizeStringExtractorTest: remaining scenarios ------------------
+
+FSE = f"{FEAT}/FixedSizeStringExtractorTestRes"
+
+
+def test_fixed_size_extractor_partitioned_golden(spark, tmp_path):
+    """FixedSizeStringExtractorTest 'partitioning type is year/month':
+    select_conditions in the reference's "col=value" string form scope
+    the scan to year=2019/month=2, partition columns pass through, and
+    the output lands in the target schema's column order."""
+    from m3d_engine_spark.operators.fixed_size_extractor import (
+        FixedSizeStringExtractorAlgorithm,
+    )
+
+    t = f"{FSE}/matched_schema_partitioned"
+    with open(f"{t}/params.json") as fh:
+        ref_params = json.load(fh)
+    src_schema = _schema(f"{t}/source_schema.json")
+    tgt_schema = _schema(f"{t}/target_schema.json")
+    (
+        spark.read.schema(src_schema)
+        .option("delimiter", "|")
+        .csv(f"{t}/source_data.psv")
+        .createOrReplaceTempView("golden_fse_part_source")
+    )
+    params = ParamsFile(
+        {
+            "source_table": "golden_fse_part_source",
+            "source_field": ref_params["source_field"],
+            "substring_positions": ref_params["substring_positions"],
+            "target_partitions": ref_params["target_partitions"],
+            "select_conditions": ref_params["select_conditions"],
+            "target_schema": tgt_schema.jsonValue(),
+            "target_location": str(tmp_path / "out"),
+        }
+    )
+    FixedSizeStringExtractorAlgorithm(spark, params).run()
+    got = spark.read.parquet(str(tmp_path / "out")).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tgt_schema.fields]
+    )
+    expected = _read_psv(spark, f"{t}/lake_data_post.psv", tgt_schema)
+    assert _multiset_equal(got, expected)
+
+
+@pytest.mark.parametrize("res_dir", ["non_matched_schema1", "non_matched_schema2"])
+def test_fixed_size_extractor_position_mismatch_raises(spark, tmp_path, res_dir):
+    """FixedSizeStringExtractorTest non_matched_schema1/2: fewer or more
+    substring_positions than non-partition target fields must abort with
+    the reference's 'Field positions do not correspond' failure."""
+    from m3d_engine_spark.operators.fixed_size_extractor import (
+        FixedSizeStringExtractorAlgorithm,
+    )
+
+    t = f"{FSE}/{res_dir}"
+    with open(f"{t}/params.json") as fh:
+        ref_params = json.load(fh)
+    src_schema = _schema(f"{t}/source_schema.json")
+    tgt_schema = _schema(f"{t}/target_schema.json")
+    spark.createDataFrame([], src_schema).createOrReplaceTempView(
+        "golden_fse_mismatch_source"
+    )
+    params = ParamsFile(
+        {
+            "source_table": "golden_fse_mismatch_source",
+            "source_field": ref_params["source_field"],
+            "substring_positions": ref_params["substring_positions"],
+            "target_partitions": ref_params["target_partitions"],
+            "target_schema": tgt_schema.jsonValue(),
+            "target_location": str(tmp_path / "out"),
+        }
+    )
+    with pytest.raises(Exception, match="do not correspond to the target schema"):
+        FixedSizeStringExtractorAlgorithm(spark, params).run()
