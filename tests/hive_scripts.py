@@ -343,6 +343,72 @@ integration_step("new_data_wrong_format.psv", should_fail=True)
 print("FAILFAST_PASS")
 """
 
+# ------------------------------------------- full load: missing location
+# FullLoadTest.scala:165-198 'Previous lake table location folder does
+# not exist.' — the catalog still points at a versioned dir whose files
+# are gone; the swap load must succeed, re-point the table, and keep the
+# catalog schema intact (the restore machinery must tolerate a missing
+# previous version).
+FULL_LOAD_MISSING_LOC = r"""
+from m3d_engine_spark.config import ParamsFile
+from m3d_engine_spark.operators.full_load import FullLoad
+
+def schema_of(path):
+    with open(path) as fh:
+        return StructType.fromJson(json.load(fh))
+
+def read_psv(path, schema):
+    return (
+        spark.read.schema(schema).option("delimiter", "|")
+        .option("nullValue", "XXNULLXXX").csv(path)
+    )
+
+def multiset_equal(a, b):
+    ga = a.groupBy(*a.columns).count()
+    gb = b.groupBy(*b.columns).count()
+    return ga.exceptAll(gb).isEmpty() and gb.exceptAll(ga).isEmpty()
+
+spark.sql("DROP DATABASE IF EXISTS test_lake CASCADE")
+spark.sql("CREATE DATABASE test_lake")
+
+res = ref + "/non_partitioned"
+target_schema = schema_of(res + "/target_schema.json")
+base = tmp + "/test_lake/test_table"
+loc_v1 = base + "/20180505_020927_EDT"
+
+read_psv(res + "/lake_data_pre.psv", target_schema).write.parquet(loc_v1)
+cols = ", ".join(
+    "`%s` %s" % (f.name, f.dataType.simpleString()) for f in target_schema.fields
+)
+spark.sql(
+    "CREATE EXTERNAL TABLE test_lake.test_table (" + cols + ") "
+    "STORED AS PARQUET LOCATION '" + loc_v1 + "'"
+)
+assert spark.table("test_lake.test_table").count() == 19
+
+# Delete the table location folder before the full load (:178-180).
+shutil.rmtree(loc_v1)
+
+FullLoad(spark, ParamsFile({
+    "source_dir": ref + "/landing/new_data.psv",
+    "file_format": "dsv",
+    "delimiter": "|",
+    "has_header": False,
+    "target_table": "test_lake.test_table",
+})).run()
+
+actual = spark.table("test_lake.test_table")
+expected = read_psv(res + "/lake_data_post.psv", target_schema)
+assert multiset_equal(actual, expected), "data diff after missing-location load"
+assert actual.schema == target_schema, actual.schema
+new_loc = cat.table_location(spark, "test_lake.test_table")
+assert not new_loc.endswith("20180505_020927_EDT"), new_loc
+print("FULL_LOAD_MISSING_LOC_PASS")
+"""
+
+FULL_LOAD_REF = (
+    "/root/reference/src/test/resources/com/adidas/analytics/feature/loads/FullLoadTestRes"
+)
 SQL_RUNNER_REF = (
     "/root/reference/src/test/resources/com/adidas/analytics/feature/SQLRunnerTestRes"
 )
@@ -359,6 +425,7 @@ def run_all(tmp_root: str) -> subprocess.CompletedProcess:
         ("hive_smoke", HIVE_SMOKE, ""),
         ("sql_runner", SQL_RUNNER, SQL_RUNNER_REF),
         ("integration", INTEGRATION, INTEGRATION_REF),
+        ("full_load_missing_loc", FULL_LOAD_MISSING_LOC, FULL_LOAD_REF),
     ]
     runner = [
         f"TMP_ROOT = {tmp_root!r}",

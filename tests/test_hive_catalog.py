@@ -22,3 +22,10 @@ pytestmark = pytest.mark.slow
 
 def test_catalog_ops_against_hive_metastore(hive_golden_stdout):
     assert_hive_markers(hive_golden_stdout, "HIVE_SMOKE_PASS")
+
+
+def test_full_load_missing_previous_location(hive_golden_stdout):
+    """FullLoadTest.scala:165-198 'Previous lake table location folder
+    does not exist': the swap load succeeds over a catalog entry whose
+    files are gone, re-points the table and preserves the schema."""
+    assert_hive_markers(hive_golden_stdout, "FULL_LOAD_MISSING_LOC_PASS")

@@ -1718,3 +1718,139 @@ def test_fixed_size_extractor_position_mismatch_raises(spark, tmp_path, res_dir)
     )
     with pytest.raises(Exception, match="do not correspond to the target schema"):
         FixedSizeStringExtractorAlgorithm(spark, params).run()
+
+
+# --- FullLoadTest: reader-mode + failure-restore scenarios --------------
+
+
+def _full_load_params(loc, schema, source, reader_mode=None, partitioned=False):
+    p = {
+        "source_dir": source,
+        "file_format": "dsv",
+        "delimiter": "|",
+        "has_header": False,
+        "target_location": loc,
+        "schema": schema.jsonValue(),
+    }
+    if reader_mode:
+        p["reader_mode"] = reader_mode
+    if partitioned:
+        p.update(
+            target_partitions=["year", "month", "day"],
+            partition_column="date",
+            partition_column_format="yyyyMMdd",
+        )
+    return ParamsFile(p)
+
+
+def test_full_load_failfast_clean_golden(spark, tmp_path):
+    """FullLoadTest 'FailFast and no malformed records': explicit
+    FAILFAST over clean landing data completes and matches the
+    failfast_option expected post-state."""
+    schema = _schema(f"{REF}/failfast_option/target_schema.json")
+    loc = str(tmp_path / "out")
+    FullLoad(
+        spark,
+        _full_load_params(loc, schema, f"{REF}/landing/new_data.psv", "FAILFAST"),
+    ).run()
+    got = spark.read.parquet(loc)
+    expected = _read_psv(spark, f"{REF}/failfast_option/lake_data_post.psv", schema)
+    assert _multiset_equal(got, expected)
+
+
+def test_full_load_dropmalformed_golden(spark, tmp_path):
+    """FullLoadTest 'DROPMALFORMED and malformed records are present':
+    the load succeeds but drops the bad rows — strictly fewer rows than
+    the clean expected post-state (the reference's own assertion)."""
+    schema = _schema(f"{REF}/failfast_option/target_schema.json")
+    loc = str(tmp_path / "out")
+    FullLoad(
+        spark,
+        _full_load_params(
+            loc, schema, f"{REF}/failfast_option/new_data_wrong.psv", "DROPMALFORMED"
+        ),
+    ).run()
+    got = spark.read.parquet(loc)
+    expected = _read_psv(spark, f"{REF}/failfast_option/lake_data_post.psv", schema)
+    assert got.count() < expected.count()
+
+
+def test_full_load_permissive_golden(spark, tmp_path):
+    """FullLoadTest 'PERMISSIVE and malformed records are present':
+    every row loads (same count as expected) but the malformed ones
+    carry NULLed fields, so the multiset differs — both of the
+    reference's assertions."""
+    schema = _schema(f"{REF}/failfast_option/target_schema.json")
+    loc = str(tmp_path / "out")
+    FullLoad(
+        spark,
+        _full_load_params(
+            loc, schema, f"{REF}/failfast_option/new_data_wrong.psv", "PERMISSIVE"
+        ),
+    ).run()
+    got = spark.read.parquet(loc)
+    expected = _read_psv(spark, f"{REF}/failfast_option/lake_data_post.psv", schema)
+    assert got.count() == expected.count()
+    assert not _multiset_equal(got, expected)
+
+
+def _seed_partitioned_lake(spark, loc, schema):
+    """Pre-load the partitioned fixture lake (lake_data_pre.psv) the way
+    the reference's setupInitialState does."""
+    full_schema = _schema(f"{REF}/partitioned/target_schema.json")
+    df = _read_psv(spark, f"{REF}/partitioned/lake_data_pre.psv", full_schema)
+    df.write.partitionBy("year", "month", "day").parquet(loc)
+    return full_schema
+
+
+def test_full_load_source_missing_preserves_lake_golden(spark, tmp_path):
+    """FullLoadTest 'location that does not exist': the load fails on
+    read and the pre-loaded lake still equals lake_data_pre.psv — the
+    restore guarantee replayed against the reference's own fixture
+    (FullLoadTest.scala:400-432, partitioned_not_exist_dir params)."""
+    loc = str(tmp_path / "lake")
+    full_schema = _seed_partitioned_lake(spark, loc, None)
+    landing_schema = StructType(
+        [f for f in full_schema.fields if f.name not in ("year", "month", "day")]
+    )
+    params = _full_load_params(
+        loc, landing_schema, str(tmp_path / "data_not_exists"), partitioned=True
+    )
+    with pytest.raises(Exception):
+        FullLoad(spark, params).run()
+    got = spark.read.parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in full_schema.fields]
+    )
+    expected = _read_psv(spark, f"{REF}/partitioned/lake_data_pre.psv", full_schema)
+    assert _multiset_equal(got, expected)
+
+
+def test_full_load_missing_partition_column_preserves_lake_golden(spark, tmp_path):
+    """FullLoadTest 'partitioning column is missing': transform fails
+    (the named partition_column isn't in the data) and the pre-loaded
+    lake is untouched (FullLoadTest.scala:434-471)."""
+    loc = str(tmp_path / "lake")
+    full_schema = _seed_partitioned_lake(spark, loc, None)
+    landing_schema = StructType(
+        [f for f in full_schema.fields if f.name not in ("year", "month", "day")]
+    )
+    params = ParamsFile(
+        {
+            "source_dir": f"{REF}/landing/new_data.psv",
+            "file_format": "dsv",
+            "delimiter": "|",
+            "has_header": False,
+            "target_location": loc,
+            "schema": landing_schema.jsonValue(),
+            "target_partitions": ["year", "month", "day"],
+            "partition_column": "date_missing_column",
+            "partition_column_format": "yyyyMMdd",
+        }
+    )
+    with pytest.raises(Exception):
+        FullLoad(spark, params).run()
+    got = spark.read.parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in full_schema.fields]
+    )
+    expected = _read_psv(spark, f"{REF}/partitioned/lake_data_pre.psv", full_schema)
+    assert _multiset_equal(got, expected)
