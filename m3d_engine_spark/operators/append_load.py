@@ -220,7 +220,10 @@ class AppendLoad(Algorithm):
             df = with_date_components(
                 df,
                 self.params.get_string("partition_column"),
-                self.params.get_string("partition_column_format"),
+                # default format parity: AppendLoad.scala:50 falls back
+                # to yyyy-MM-dd (date-typed partition sources need no
+                # explicit format — the cast-to-string form is ISO)
+                self.params.get_optional("partition_column_format", "yyyy-MM-dd"),
                 self.targets,
             )
         return [df]

@@ -1854,3 +1854,194 @@ def test_full_load_missing_partition_column_preserves_lake_golden(spark, tmp_pat
     )
     expected = _read_psv(spark, f"{REF}/partitioned/lake_data_pre.psv", full_schema)
     assert _multiset_equal(got, expected)
+
+
+# --- AppendLoadTest: reader-mode + date-column scenarios -----------------
+
+
+def test_append_load_invalid_reader_mode_raises(spark, tmp_path):
+    """AppendLoadTest 'reader_mode is set to an invalid string': the
+    load aborts before writing anything."""
+    with pytest.raises(Exception, match="[Ii]nvalid reader mode"):
+        _run_append_golden(
+            spark, tmp_path, "reader_mode_specification",
+            ["wrong_data_20180422-00001.psv"],
+            extra_params={"reader_mode": "invalid_mode", "has_header": True},
+        )
+
+
+def test_append_load_default_dropmalformed_golden(spark, tmp_path):
+    """AppendLoadTest 'when reader mode is not set, DROPMALFORMED is
+    used': the malformed landing rows silently drop, so the lake
+    DIFFERS from the clean expected post-state (the reference asserts
+    hasDiff == true) but the new partition landed."""
+    got, expected = _run_append_golden(
+        spark, tmp_path, "reader_mode_specification",
+        ["wrong_data_20180422-00001.psv"],
+        extra_params={"has_header": True},
+    )
+    assert not _multiset_equal(got, expected)
+    assert got.count() < expected.count()
+    assert (tmp_path / "lake/year=2018/month=4/day=22").exists()
+    assert (tmp_path / "headers/year=2018/month=4/day=22/header.json").exists()
+
+
+def test_append_load_permissive_golden(spark, tmp_path):
+    """AppendLoadTest 'PERMISSIVE and there are malformed records':
+    every row loads, the bad ones with NULLed fields — data is
+    'incorrectly loaded' (hasDiff == true in the reference)."""
+    got, expected = _run_append_golden(
+        spark, tmp_path, "reader_mode_specification",
+        ["wrong_data_20180422-00001.psv"],
+        extra_params={"reader_mode": "PERMISSIVE", "has_header": True},
+    )
+    assert not _multiset_equal(got, expected)
+
+
+def test_append_load_hierarchical_golden(spark, tmp_path):
+    """AppendLoadTest hierarchical_load: landing files under a
+    hive-style year=/month=/day= tree, one partition pre-seeded with a
+    header whose only landing row is malformed (drops under the default
+    DROPMALFORMED) — the other partition loads and the lake matches the
+    expected post-state."""
+    import shutil
+
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    a = f"{FEAT}/loads/AppendLoadTestRes/hierarchical_load"
+    with open(f"{a}/params.json") as fh:
+        ref_params = json.load(fh)
+    full_schema = _schema(f"{a}/target_schema.json")
+    targets = ref_params["target_partitions"]
+
+    loc = str(tmp_path / "lake")
+    _read_psv(spark, f"{a}/lake_data_pre.psv", full_schema).write.partitionBy(
+        *targets
+    ).parquet(loc)
+
+    landing = tmp_path / "landing"
+    shutil.copytree(f"{a}/year=2018", landing / "year=2018")
+    hdr = tmp_path / "headers" / "year=2018" / "month=1" / "day=1"
+    hdr.mkdir(parents=True)
+    shutil.copy(f"{a}/20180101_schema.json", hdr / "header.json")
+
+    params = ParamsFile(
+        {
+            "source_dir": str(landing),
+            "header_dir": str(tmp_path / "headers"),
+            "file_format": "dsv",
+            "delimiter": ref_params["delimiter"],
+            "has_header": ref_params["has_header"],
+            "regex_filename": ref_params["regex_filename"],
+            "target_partitions": targets,
+            "target_location": loc,
+            "schema": full_schema.jsonValue(),
+        }
+    )
+    AppendLoad(spark, params).run()
+
+    got = spark.read.option("mergeSchema", "true").parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in full_schema.fields]
+    )
+    expected = _read_psv(spark, f"{a}/lake_data_post.psv", full_schema)
+    assert _multiset_equal(got, expected)
+    assert (tmp_path / "headers/year=2018/month=1/day=1/header.json").exists()
+
+
+def _date_columns_params(tmp_path, a, ref_params, full_schema, loc, landing):
+    return ParamsFile(
+        {
+            "source_dir": str(landing),
+            "header_dir": str(tmp_path / "headers"),
+            "file_format": "dsv",
+            "delimiter": ref_params["delimiter"],
+            "has_header": ref_params["has_header"],
+            "date_format": ref_params["date_format"],
+            "partition_column": ref_params["partition_column"],
+            "target_partitions": ref_params["target_partitions"],
+            "target_location": loc,
+            "schema": full_schema.jsonValue(),
+        }
+    )
+
+
+def test_append_load_date_columns_golden(spark, tmp_path):
+    """AppendLoadTest partitioned_and_date_columns: landing dates read
+    with dateFormat MM/dd/yyyy, year/week partitions DERIVED from the
+    date-typed report_date column (no partition_column_format in the
+    params — the reference defaults to yyyy-MM-dd, AppendLoad.scala:50);
+    weeks are the reference's ALIGNED weeks (05/18/2020 → week 20, not
+    ISO 21)."""
+    import shutil
+
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    a = f"{FEAT}/loads/AppendLoadTestRes/partitioned_and_date_columns"
+    with open(f"{a}/params.json") as fh:
+        ref_params = json.load(fh)
+    full_schema = _schema(f"{a}/target_schema.json")
+
+    loc = str(tmp_path / "lake")
+    _read_psv_dates(spark, f"{a}/lake_data_pre.psv", full_schema).write.partitionBy(
+        *ref_params["target_partitions"]
+    ).parquet(loc)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(f"{a}/new_data.psv", landing / "new_data.psv")
+
+    AppendLoad(
+        spark, _date_columns_params(tmp_path, a, ref_params, full_schema, loc, landing)
+    ).run()
+
+    got = spark.read.parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in full_schema.fields]
+    )
+    expected = _read_psv_dates(spark, f"{a}/lake_data_post.psv", full_schema)
+    assert _multiset_equal(got, expected)
+    assert (tmp_path / "lake/year=2020/week=20").exists()
+
+
+def test_append_load_date_columns_invalid_dates_golden(spark, tmp_path):
+    """AppendLoadTest partitioned_and_date_columns_exception: a 00/00/0000
+    date row must not load. The reference's lenient 2.x parser accepted
+    it and crashed in week derivation (SparkException); Spark 4's strict
+    parser classifies the row malformed instead — under FAILFAST the
+    load aborts (replayed here), under the DROPMALFORMED default the bad
+    row drops and the three valid rows land (pinned too)."""
+    import shutil
+
+    from m3d_engine_spark.operators.append_load import AppendLoad
+
+    a = f"{FEAT}/loads/AppendLoadTestRes/partitioned_and_date_columns_exception"
+    with open(f"{a}/params.json") as fh:
+        ref_params = json.load(fh)
+    full_schema = _schema(f"{a}/target_schema.json")
+
+    loc = str(tmp_path / "lake")
+    _read_psv_dates(spark, f"{a}/lake_data_pre.psv", full_schema).write.partitionBy(
+        *ref_params["target_partitions"]
+    ).parquet(loc)
+    pre_count = spark.read.parquet(loc).count()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(f"{a}/new_data.psv", landing / "new_data.psv")
+
+    params = _date_columns_params(tmp_path, a, ref_params, full_schema, loc, landing)
+    failfast = ParamsFile({**params.params, "reader_mode": "FAILFAST"})
+    with pytest.raises(Exception):
+        AppendLoad(spark, failfast).run()
+    assert spark.read.parquet(loc).count() == pre_count
+
+    AppendLoad(spark, params).run()
+    assert spark.read.parquet(loc).count() == pre_count + 3
+
+
+def _read_psv_dates(spark, path: str, schema: StructType):
+    """Fixture PSVs whose date columns are MM/dd/yyyy formatted."""
+    return (
+        spark.read.schema(schema)
+        .option("delimiter", "|")
+        .option("dateFormat", "MM/dd/yyyy")
+        .option("nullValue", "XXNULLXXX")
+        .csv(path)
+    )
