@@ -201,7 +201,18 @@ class _PartitionedMaterialization(Algorithm):
             self.spark,
             self.params.get_string("target_dir"),
             partition_columns=list(self.params.get_list("target_partitions")),
-            output_files_num=self.params.get_optional("output_files_num"),
+            # number_output_partitions is the reference's spelling
+            # (MaterializationConfiguration.scala) and carries the
+            # reference's round-robin semantics (n files per dir);
+            # output_files_num keeps this engine's compacting hash form.
+            output_files_num=self.params.get_optional(
+                "output_files_num",
+                self.params.get_optional("number_output_partitions"),
+            ),
+            spread_output_files=(
+                self.params.has("number_output_partitions")
+                and not self.params.has("output_files_num")
+            ),
         )
         writer.write(dfs[0], LoadMode.OVERWRITE_PARTITIONS)
         if self.params.has("target_table"):
@@ -229,10 +240,21 @@ class RangeMaterialization(_PartitionedMaterialization):
 
 @register("QueryMaterialization")
 class QueryMaterialization(_PartitionedMaterialization):
-    """Config adds: partition_criteria [[["year",2024],["month",2]], ...]."""
+    """Config adds: partition_criteria [[["year",2024],["month",2]], ...]
+    or the reference's select_conditions ["year=2017", "month=2", ...]
+    (one ANDed partition, MaterializationConfiguration.scala:119-123)."""
 
     def prepare(self) -> None:
-        self.criteria = [
-            [tuple(cond) for cond in crit]
-            for crit in self.params.get_list("partition_criteria")
-        ]
+        if self.params.has("partition_criteria"):
+            self.criteria = [
+                [tuple(cond) for cond in crit]
+                for crit in self.params.get_list("partition_criteria")
+            ]
+        else:
+            from m3d_engine_spark.operators.fixed_size_extractor import (
+                parse_conditions,
+            )
+
+            self.criteria = [
+                parse_conditions(self.params.get_list("select_conditions"))
+            ]

@@ -126,6 +126,13 @@ class AtomicWriter:
     partition_columns: list[str] = field(default_factory=list)
     format: str = "parquet"
     output_files_num: int | None = None
+    # Reference semantics for the file-count knob
+    # (MaterializationConfiguration's numberOutputPartitions →
+    # df.repartition(n) round-robin): every written partition dir gets
+    # up to n files and the write runs n-way parallel even for one dir.
+    # Off by default — the hash form below is the scale-friendly shape
+    # (no small-files explosion across thousands of dirs).
+    spread_output_files: bool = False
     # Partition criteria the last write() touched, collected while the
     # frame was persisted — callers needing the ANALYZE scope reuse this
     # instead of re-scanning the source (None for non-partitioned modes).
@@ -137,6 +144,8 @@ class AtomicWriter:
     def _repartitioned(self, df: DataFrame) -> DataFrame:
         if not self.output_files_num:
             return df
+        if self.spread_output_files:
+            return df.repartition(self.output_files_num)
         if self.partition_columns:
             # Co-locate rows of one output partition in one task so each
             # Hive partition dir gets ≤ output_files_num files instead of

@@ -2045,3 +2045,102 @@ def _read_psv_dates(spark, path: str, schema: StructType):
         .option("nullValue", "XXNULLXXX")
         .csv(path)
     )
+
+
+# --- MaterializationTest: query-materialization scenarios ----------------
+
+QM = f"{FEAT}/MaterializationTestRes/query_materialization"
+
+
+def _run_query_mat(spark, tmp_path, with_initial=False, conflicting=False,
+                   params_name="params.json", params_sub=""):
+    """QueryMaterialization golden harness on the reference's
+    select_conditions params: seed the mart (optionally with
+    initial_data or a conflicting row in the selected partition), run,
+    return (got, schema, target)."""
+    from m3d_engine_spark.operators.materialization import QueryMaterialization
+
+    with open(f"{QM}/{params_sub}{params_name}") as fh:
+        ref_params = json.load(fh)
+    schema = _schema(f"{QM}/schema.json")
+    targets = ref_params["target_partitions"]
+    _read_psv(spark, f"{QM}/source_data.psv", schema).createOrReplaceTempView(
+        "golden_query_mat_source"
+    )
+    target = str(tmp_path / "mart")
+    if with_initial:
+        _read_psv(spark, f"{QM}/initial_data.psv", schema).write.partitionBy(
+            *targets
+        ).parquet(target)
+    if conflicting:
+        spark.createDataFrame(
+            [(9999, 1111, "", 20170215, "CUSTOMER99", "ARTICLE", 99, 2017, 2, 15)],
+            schema,
+        ).write.mode("append").partitionBy(*targets).parquet(target)
+
+    params = {
+        "source_table": "golden_query_mat_source",
+        "target_dir": target,
+        "target_partitions": targets,
+        "select_conditions": ref_params["select_conditions"],
+    }
+    if "number_output_partitions" in ref_params:
+        params["number_output_partitions"] = ref_params["number_output_partitions"]
+    QueryMaterialization(spark, ParamsFile(params)).run()
+
+    got = spark.read.parquet(target).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+    return got, schema, target
+
+
+def test_query_materialization_fresh_golden(spark, tmp_path):
+    """MaterializationTest 'same partition does not exist on the
+    filesystem': the selected partition materializes into an empty
+    target and equals expected_data.psv."""
+    got, schema, target = _run_query_mat(spark, tmp_path)
+    expected = _read_psv(spark, f"{QM}/expected_data.psv", schema)
+    assert _multiset_equal(got, expected)
+    assert os.path.isdir(f"{target}/year=2017/month=2/day=15")
+
+
+def test_query_materialization_overwrites_same_partition_golden(spark, tmp_path):
+    """MaterializationTest 'same partition exists on the filesystem': a
+    conflicting pre-existing row in the SELECTED partition is replaced —
+    the result equals expected_data.psv exactly."""
+    got, schema, target = _run_query_mat(spark, tmp_path, conflicting=True)
+    expected = _read_psv(spark, f"{QM}/expected_data.psv", schema)
+    assert _multiset_equal(got, expected)
+    assert os.path.isdir(f"{target}/year=2017/month=2/day=15")
+
+
+def test_query_materialization_preserves_other_partitions_golden(spark, tmp_path):
+    """MaterializationTest 'other partitions exist on the filesystem':
+    partitions outside the select_conditions survive — result equals
+    expected ∪ initial."""
+    got, schema, target = _run_query_mat(spark, tmp_path, with_initial=True)
+    expected = _read_psv(spark, f"{QM}/expected_data.psv", schema).unionByName(
+        _read_psv(spark, f"{QM}/initial_data.psv", schema)
+    )
+    assert _multiset_equal(got, expected)
+    for d in ("year=2017/month=2/day=15", "year=2017/month=3/day=15",
+              "year=2017/month=6/day=15"):
+        assert os.path.isdir(f"{target}/{d}")
+
+
+def test_query_materialization_output_files_golden(spark, tmp_path):
+    """MaterializationTest 'number of output partitions is 5': the
+    reference's number_output_partitions spelling caps the selected
+    partition at exactly 5 parquet files."""
+    got, schema, target = _run_query_mat(
+        spark, tmp_path, with_initial=True, params_sub="output_files_5/"
+    )
+    expected = _read_psv(spark, f"{QM}/expected_data.psv", schema).unionByName(
+        _read_psv(spark, f"{QM}/initial_data.psv", schema)
+    )
+    assert _multiset_equal(got, expected)
+    files = [
+        f for f in os.listdir(f"{target}/year=2017/month=2/day=15")
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 5, files
