@@ -69,10 +69,17 @@ def decompress_directory_hadoop(
     from m3d_engine_spark.sources.dfs import DFS
 
     dfs = DFS(spark)
-    targets = [
-        p for p in dfs.list_files(directory, recursive=False)
-        if p.endswith(_SUFFIXES)
-    ]
+    if not dfs.exists(directory):
+        # GzipDecompressor.scala:38-40
+        raise RuntimeError(f"Directory {directory} does not exist.")
+    targets = dfs.list_files(directory, recursive=False)
+    for p in targets:
+        if not p.endswith(_SUFFIXES):
+            # The reference deliberately fails the whole job when the
+            # landing dir holds a file no codec claims — an uncompressed
+            # leftover means a previous half-finished run
+            # (GzipDecompressor.scala:66-70)
+            raise ValueError(f"No codec found for file {p}.")
 
     def work(path: str) -> str:
         payload = dfs.read_bytes(path)

@@ -2144,3 +2144,134 @@ def test_query_materialization_output_files_golden(spark, tmp_path):
         if f.endswith(".parquet")
     ]
     assert len(files) == 5, files
+
+
+def test_full_materialization_partitioned_double_run_golden(spark, tmp_path):
+    """MaterializationTest 'view is partitioned and there was a previous
+    materialization': two consecutive partitioned materializations over
+    a dir holding stray part files, pre-version partition dirs and old
+    versions — retention keeps num_versions_to_retain-1 old versions
+    plus the newest, the data matches, and the final version dir is the
+    lexicographic max with year=2016/2017/2018 partitions inside."""
+    import time
+
+    from m3d_engine_spark.operators.materialization import FullMaterialization
+
+    m = f"{FEAT}/MaterializationTestRes/full_materialization"
+    with open(f"{m}/params.json") as fh:
+        ref_params = json.load(fh)
+    schema = _schema(f"{m}/schema.json")
+    _read_psv(spark, f"{m}/source_data.psv", schema).createOrReplaceTempView(
+        "golden_mat_full_part_source"
+    )
+    base = tmp_path / "data"
+    base.mkdir()
+    # createPreviousVersionsAndLeftovers (MaterializationTest.scala:471+):
+    # 4 stray part files, 2 pre-version partition dirs, 4 old versions
+    # (dirs + $folder$ markers) = 16 entries
+    for f in ("part-0001.parquet", "part-0002.parquet",
+              "part-0003.parquet", "part-0004.parquet"):
+        (base / f).touch()
+    for d in ("year=2019", "year=2020", "20200101_124514_UTC",
+              "20200102_123012_UTC", "20200103_114329_UTC", "20200201_103210_UTC"):
+        (base / d).mkdir()
+        (base / d / "sample_file.parquet").touch()
+        (base / f"{d}_$folder$").touch()
+    assert len(list(base.iterdir())) == 16
+
+    params = ParamsFile(
+        {
+            "source_table": "golden_mat_full_part_source",
+            "target_dir": str(base),
+            "target_partitions": ref_params["target_partitions"],
+            "num_versions_to_retain": ref_params["num_versions_to_retain"],
+        }
+    )
+    algo1 = FullMaterialization(spark, params)
+    algo1.run()
+    time.sleep(1.1)  # the reference waits 2 s for a distinct version stamp
+    algo2 = FullMaterialization(spark, params)
+    algo2.run()
+    assert algo2.next_location != algo1.next_location
+
+    got = spark.read.parquet(algo2.next_location).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+    expected = _read_psv(spark, f"{m}/expected_data.psv", schema)
+    assert _multiset_equal(got, expected)
+
+    for part_dir in ("year=2016", "year=2017", "year=2018"):
+        assert os.path.isdir(f"{algo2.next_location}/{part_dir}")
+
+    remaining = sorted(p.name for p in base.iterdir())
+    v1 = algo1.next_location.rsplit("/", 1)[1]
+    v2 = algo2.next_location.rsplit("/", 1)[1]
+    # retention=3: after run 2 the newest + two previous survive; the
+    # stray files, pre-version partition dirs and 2 oldest versions die
+    assert remaining == sorted(
+        ["20200103_114329_UTC", "20200103_114329_UTC_$folder$",
+         "20200201_103210_UTC", "20200201_103210_UTC_$folder$", v1, v2]
+    ), remaining
+    assert max(remaining) == v2
+
+
+def test_nested_flattener_partitioned_golden(spark, tmp_path):
+    """NestedFlattenerTest scenario 2: same flatten/explode as scenario
+    1 but written partitioned by device_brand — the registered algorithm
+    runs end-to-end, the partition dirs exist and the data matches the
+    reference's expected PSV."""
+    from m3d_engine_spark.operators.nested_flattener import NestedFlattenerAlgorithm
+
+    n = f"{FEAT}/NestedFlattenerTestRes"
+    with open(f"{n}/scenario2/params.json") as fh:
+        p = json.load(fh)
+    tgt_schema = _schema(f"{n}/target_schema.json")
+    loc = str(tmp_path / "out")
+    params = ParamsFile(
+        {
+            "source_location": f"{n}/nest_test/data",
+            "target_location": loc,
+            "target_partitions": p["target_partitions"],
+            "chars_to_replace": p["chars_to_replace"],
+            "replacement_char": p["replacement_char"],
+            "fields_to_flatten": p["fields_to_flatten"],
+            "column_mapping": p["column_mapping"],
+        }
+    )
+    NestedFlattenerAlgorithm(spark, params).run()
+    got = spark.read.parquet(loc).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tgt_schema.fields]
+    )
+    expected = _read_psv(spark, f"{n}/expected_target_data.psv", tgt_schema)
+    assert _multiset_equal(got, expected)
+    brands = {d for d in os.listdir(loc) if d.startswith("device_brand=")}
+    assert brands, os.listdir(loc)
+
+
+def test_gzip_decompressor_uncompressed_present_raises(spark, tmp_path):
+    """GzipDecompressorTest 'exception if uncompressed files are already
+    present': a file no codec claims fails the whole job (half-finished
+    previous run detection)."""
+    import shutil
+
+    from m3d_engine_spark.operators.gzip_decompressor import (
+        decompress_directory_hadoop,
+    )
+
+    g = f"{FEAT}/GzipDecompressorTestRes"
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(f"{g}/data_20180719111849_data_1-3.gz", landing)
+    shutil.copy(f"{g}/data_20180719111849_data_1-3", landing)  # uncompressed
+    with pytest.raises(Exception, match="No codec found for file"):
+        decompress_directory_hadoop(spark, f"file://{landing}")
+
+
+def test_gzip_decompressor_missing_directory_raises(spark, tmp_path):
+    """GzipDecompressorTest 'exception if directory does not exist'."""
+    from m3d_engine_spark.operators.gzip_decompressor import (
+        decompress_directory_hadoop,
+    )
+
+    with pytest.raises(Exception, match="does not exist"):
+        decompress_directory_hadoop(spark, f"file://{tmp_path}/nope")
