@@ -162,6 +162,14 @@ class FullLoad(Algorithm):
                 raise
             if self.previous_location and self.previous_location != self.next_location:
                 self.dfs.delete(self.previous_location)
+            # Leftover cleanup (FullLoad.scala:73-74 +
+            # HadoopLoadHelper.cleanupDirectoryLeftovers:50-63): stray
+            # version dirs / $folder$ markers from earlier crashed loads
+            # would otherwise accumulate at the table root forever.
+            base, _, keep = self.next_location.rstrip("/").rpartition("/")
+            for entry in self.dfs.list_entries(base):
+                if keep not in entry:
+                    self.dfs.delete(f"{base}/{entry}")
 
     def update_statistics(self) -> None:
         if self.table:

@@ -404,6 +404,73 @@ assert actual.schema == target_schema, actual.schema
 new_loc = cat.table_location(spark, "test_lake.test_table")
 assert not new_loc.endswith("20180505_020927_EDT"), new_loc
 print("FULL_LOAD_MISSING_LOC_PASS")
+
+# FullLoadTest.scala:301-363 'old leftovers are cleansed properly after
+# successful load' — stray version dirs + $folder$ markers at the table
+# root vanish after the swap; only the new location (and its marker
+# pattern) survives.
+spark.sql("DROP DATABASE IF EXISTS test_lake CASCADE")
+spark.sql("CREATE DATABASE test_lake")
+
+res_p = ref + "/partitioned"
+full_schema = schema_of(res_p + "/target_schema.json")
+partitions = ["year", "month", "day"]
+root2 = tmp + "/leftovers/test_lake/test_table"
+loc_seed = root2 + "/data_20180505_020927"
+
+pre = read_psv(res_p + "/lake_data_pre.psv", full_schema)
+pre.write.partitionBy(*partitions).parquet(loc_seed)
+data_cols = ", ".join(
+    "`%s` %s" % (f.name, f.dataType.simpleString())
+    for f in full_schema.fields if f.name not in partitions
+)
+part_cols = ", ".join(
+    "`%s` %s" % (f.name, f.dataType.simpleString())
+    for f in full_schema.fields if f.name in partitions
+)
+spark.sql(
+    "CREATE EXTERNAL TABLE test_lake.test_table (" + data_cols + ") "
+    "PARTITIONED BY (" + part_cols + ") "
+    "STORED AS PARQUET LOCATION '" + loc_seed + "'"
+)
+cat.recover_partitions_native(spark, "test_lake.test_table")
+assert spark.table("test_lake.test_table").count() == 19
+
+# manually create old leftovers (:318-330)
+for d in ("data_20000101124514567/year=2000", "data_20000221124511234/year=2000"):
+    os.makedirs(root2 + "/" + d)
+    open(root2 + "/" + d + "/sample_file1.parquet", "w").close()
+    open(root2 + "/" + d + "/sample_file2.parquet", "w").close()
+open(root2 + "/data_20000101124514567_$folder$", "w").close()
+open(root2 + "/data_20000221124511234_$folder$", "w").close()
+assert len(os.listdir(root2)) == 5
+
+landing_schema = StructType(
+    [f for f in full_schema.fields if f.name not in partitions]
+)
+FullLoad(spark, ParamsFile({
+    "source_dir": ref + "/landing/new_data.psv",
+    "file_format": "dsv",
+    "delimiter": "|",
+    "has_header": False,
+    "target_table": "test_lake.test_table",
+    "schema": landing_schema.jsonValue(),
+    "target_partitions": partitions,
+    "partition_column": "date",
+    "partition_column_format": "yyyyMMdd",
+})).run()
+
+actual = spark.table("test_lake.test_table").select(
+    *[F.col(f.name).cast(f.dataType).alias(f.name) for f in full_schema.fields]
+)
+expected = read_psv(res_p + "/lake_data_post.psv", full_schema)
+assert multiset_equal(actual, expected), "data diff after leftover-cleanup load"
+final_loc = cat.table_location(spark, "test_lake.test_table")
+final_name = final_loc.rstrip("/").rsplit("/", 1)[1]
+left = os.listdir(root2)
+assert all(final_name in e for e in left), left  # only the new version remains
+assert os.path.isdir(final_loc.removeprefix("file:") + "/year=2018/month=1/day=10")
+print("FULL_LOAD_LEFTOVERS_PASS")
 """
 
 FULL_LOAD_REF = (

@@ -29,3 +29,10 @@ def test_full_load_missing_previous_location(hive_golden_stdout):
     does not exist': the swap load succeeds over a catalog entry whose
     files are gone, re-points the table and preserves the schema."""
     assert_hive_markers(hive_golden_stdout, "FULL_LOAD_MISSING_LOC_PASS")
+
+
+def test_full_load_cleans_table_root_leftovers(hive_golden_stdout):
+    """FullLoadTest.scala:301-363: stray version dirs and $folder$
+    markers at the table root are cleansed after a successful swap load;
+    only the new location survives and the data matches."""
+    assert_hive_markers(hive_golden_stdout, "FULL_LOAD_LEFTOVERS_PASS")
