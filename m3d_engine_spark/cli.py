@@ -11,6 +11,7 @@ import sys
 
 from m3d_engine_spark.operators import (  # noqa: F401 — populate REGISTRY
     append_load,
+    chain,
     curation,
     delta_lake_load,
     delta_load,

@@ -1,0 +1,73 @@
+"""Multi-step params pipeline: one params file, N algorithms in order.
+
+The reference's acon surface dispatches exactly ONE algorithm per params
+file (AlgorithmFactory.scala:16-83); production chains — load → curate →
+dedup → materialize — are orchestrated outside the engine (N
+spark-submits). ``Pipeline`` is the algorithm-level sibling of
+SQLRunner's ordered statements (SQLRunner.scala:8-19): an ordered
+``steps`` list of nested acon blocks, each a full params file for a
+registered algorithm, run sequentially in ONE session.
+
+Semantics match N sequential spark-submits exactly: fail-fast (a step
+failure stops the chain; completed steps keep their effects — each
+step's own atomic-swap/restore machinery still governs its safety), no
+implicit state passed between steps (steps communicate through tables /
+locations, like separate jobs do). Running in one session is the scale
+win: the JVM, executors and parquet footer caches warm once instead of
+per step, and a shared AQE-enabled session reuses shuffle statistics
+across the chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from m3d_engine_spark.config import ConfigError, ParamsFile
+from m3d_engine_spark.operators.base import REGISTRY, Algorithm, register
+
+
+def _parse_steps(raw: list) -> list[tuple[str, dict]]:
+    """Validate the whole chain upfront: a typo in step 3 must fail
+    BEFORE step 1 mutates anything."""
+    if not isinstance(raw, list) or not raw:
+        raise ConfigError("Pipeline needs a non-empty 'steps' list")
+    steps: list[tuple[str, dict]] = []
+    for i, step in enumerate(raw):
+        if not isinstance(step, dict) or "algorithm" not in step:
+            raise ConfigError(
+                f"Pipeline step {i}: each step needs an 'algorithm' key"
+            )
+        name = step["algorithm"]
+        if name not in REGISTRY:
+            raise ConfigError(
+                f"Pipeline step {i}: unknown algorithm {name!r}; "
+                f"known: {sorted(REGISTRY)}"
+            )
+        params = step.get("params")
+        if params is None:
+            # inline form: the step block IS the params file
+            params = {k: v for k, v in step.items() if k != "algorithm"}
+        if not isinstance(params, dict):
+            raise ConfigError(f"Pipeline step {i}: 'params' must be an object")
+        steps.append((name, params))
+    return steps
+
+
+@register("Pipeline")
+class Pipeline(Algorithm):
+    """Config: {"steps": [{"algorithm": "FullLoad", "params": {...}},
+    {"algorithm": "QueryMaterialization", "params": {...}}, ...]}.
+    Steps may also inline their params next to the 'algorithm' key."""
+
+    def prepare(self) -> None:
+        self.steps = _parse_steps(self.params.get_list("steps"))
+
+    def read(self) -> list[DataFrame]:
+        return []
+
+    def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
+        return []
+
+    def write(self, dfs: list[DataFrame]) -> None:
+        for name, params in self.steps:
+            REGISTRY[name](self.spark, ParamsFile(params)).run()

@@ -538,3 +538,109 @@ def test_tokenizer_train_cli_roundtrip(spark, tmp_path, sf_dir):
         (r.piece, round(r.logp, 10)) for r in lib_pieces.collect()
     }
     assert len(got_pieces) > 0
+
+
+def test_pipeline_steps_equal_sequential_runs(spark, tmp_path, sf_dir):
+    """Pipeline: an ordered steps list of nested acon blocks runs
+    exactly like the same algorithms dispatched one params file at a
+    time (the reference's N-spark-submit production chain in ONE
+    session)."""
+    landing = str(tmp_path / "landing")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.year("o_orderdate") == 1996)
+        .limit(200)
+        .withColumn("date", F.date_format("o_orderdate", "yyyyMMdd").cast("int"))
+        .write.parquet(landing)
+    )
+    load_params = {
+        "source_dir": landing,
+        "file_format": "parquet",
+        "target_partitions": ["year", "month"],
+        "partition_column": "date",
+        "partition_column_format": "yyyyMMdd",
+    }
+
+    # sequential library calls
+    seq_lake = str(tmp_path / "lake_seq")
+    seq_mart = str(tmp_path / "mart_seq")
+    _run(spark, "FullLoad", {**load_params, "target_location": seq_lake})
+    spark.read.parquet(seq_lake).createOrReplaceTempView("pipeline_seq_lake")
+    _run(spark, "QueryMaterialization", {
+        "source_table": "pipeline_seq_lake",
+        "target_dir": seq_mart,
+        "target_partitions": ["year", "month"],
+        "select_conditions": ["year=1996", "month=3"],
+    })
+
+    # one Pipeline params file (SQLRunner registers the intermediate view
+    # so the chain is self-contained, like production acons)
+    pipe_lake = str(tmp_path / "lake_pipe")
+    pipe_mart = str(tmp_path / "mart_pipe")
+    _run(spark, "Pipeline", {
+        "steps": [
+            {"algorithm": "FullLoad",
+             "params": {**load_params, "target_location": pipe_lake}},
+            {"algorithm": "SQLRunner", "params": {"statements": [
+                "CREATE OR REPLACE TEMPORARY VIEW pipeline_pipe_lake "
+                f"USING parquet OPTIONS (path '{pipe_lake}')"
+            ]}},
+            # inline-params form for the last step
+            {"algorithm": "QueryMaterialization",
+             "source_table": "pipeline_pipe_lake",
+             "target_dir": pipe_mart,
+             "target_partitions": ["year", "month"],
+             "select_conditions": ["year=1996", "month=3"]},
+        ]
+    })
+
+    a = spark.read.parquet(seq_mart)
+    b = spark.read.parquet(pipe_mart).select(*a.columns)
+    assert a.count() > 0
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_pipeline_validates_whole_chain_upfront(spark, tmp_path):
+    """A typo in a LATER step must fail before step 1 mutates anything."""
+    from m3d_engine_spark.config import ConfigError
+
+    out = str(tmp_path / "never_written")
+    src = str(tmp_path / "src")
+    spark.range(3).write.parquet(src)
+    with pytest.raises(ConfigError, match="unknown algorithm"):
+        _run(spark, "Pipeline", {
+            "steps": [
+                {"algorithm": "FullLoad", "params": {
+                    "source_dir": src, "file_format": "parquet",
+                    "target_location": out}},
+                {"algorithm": "NotAnAlgorithm", "params": {}},
+            ]
+        })
+    import os
+    assert not os.path.exists(out)
+    with pytest.raises(ConfigError, match="non-empty 'steps'"):
+        _run(spark, "Pipeline", {"steps": []})
+    with pytest.raises(ConfigError, match="needs an 'algorithm' key"):
+        _run(spark, "Pipeline", {"steps": [{"params": {}}]})
+
+
+def test_pipeline_cli_params_file_roundtrip(spark, tmp_path, sf_dir):
+    """Pipeline through the params.json CLI dispatch, the way
+    spark-submit would run it."""
+    from m3d_engine_spark.operators.base import run_algorithm
+
+    src = str(tmp_path / "src")
+    (
+        spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(src)
+    )
+    lake = str(tmp_path / "lake")
+    pfile = tmp_path / "pipeline_params.json"
+    pfile.write_text(json.dumps({
+        "steps": [
+            {"algorithm": "FullLoad", "params": {
+                "source_dir": src, "file_format": "parquet",
+                "target_location": lake}},
+        ]
+    }))
+    run_algorithm(spark, "Pipeline", str(pfile))
+    assert spark.read.parquet(lake).count() == spark.read.parquet(src).count()
