@@ -65,18 +65,45 @@ def recover_partitions_native(spark: SparkSession, table: str) -> None:
     spark.catalog.recoverPartitions(table)
 
 
+def partition_spec_value(v: Any) -> str:
+    """One HiveQL partition-spec literal
+    (RecoverPartitionsCustom.scala createParameterValue, unit-pinned by
+    RecoverPartitionsCustomTest): strings quote, numbers stay bare, a
+    boolean is always a params typo and raises like the reference's
+    'not supported Value' case. Divergence from the reference: NULL maps
+    to the addressable ``'__HIVE_DEFAULT_PARTITION__'`` spec instead of
+    throwing — this engine's writers legitimately produce NULL
+    partitions (r9/r10 canonicalization chain) and their metadata must
+    be registrable."""
+    from m3d_engine_spark.plans.partitions import sql_literal
+
+    if isinstance(v, bool):
+        raise TypeError(f"unsupported partition value type bool: {v!r}")
+    if v is None:
+        return "'__HIVE_DEFAULT_PARTITION__'"
+    return sql_literal(v)
+
+
+def generate_add_partition_statements(
+    table: str, criteria: Sequence[Sequence[tuple[str, Any]]]
+) -> list[str]:
+    """Typed ADD PARTITION statements for the given criteria — the body
+    of the custom recovery strategy
+    (util/RecoverPartitionsCustom.scala:19-31); pure, so the reference's
+    statement-generation unit contract pins it directly."""
+    return [
+        f"ALTER TABLE {table} ADD IF NOT EXISTS PARTITION("
+        + ", ".join(f"{c}={partition_spec_value(v)}" for c, v in crit)
+        + ")"
+        for crit in criteria
+    ]
+
+
 def add_partitions(
     spark: SparkSession, table: str, criteria: Sequence[Sequence[tuple[str, Any]]]
 ) -> list[str]:
-    """Typed ADD PARTITION statements for the given criteria — the body
-    of the custom recovery strategy. Returns the statements (the
-    reference's unit tests assert on them)."""
-    from m3d_engine_spark.plans.partitions import sql_literal
-
-    stmts = []
-    for crit in criteria:
-        spec = ", ".join(f"{c}={sql_literal(v)}" for c, v in crit)
-        stmts.append(f"ALTER TABLE {table} ADD IF NOT EXISTS PARTITION({spec})")
+    """Generate and execute the custom-recovery ADD PARTITION statements."""
+    stmts = generate_add_partition_statements(table, criteria)
     for s in stmts:
         spark.sql(s)
     return stmts

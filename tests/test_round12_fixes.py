@@ -86,3 +86,43 @@ def test_fse_parse_select_rules_date_arithmetic():
         parse_select_rules(["fortnight-1"], ["year", "month", "day"], today)
     with pytest.raises(ValueError, match="Unsupported partitioning schema"):
         parse_select_rules(["day+0"], ["day"], today)
+
+
+def test_partition_spec_value_reference_unit_cases():
+    """RecoverPartitionsCustomTest's createParameterValue contract:
+    strings quote, short/int stay bare, booleans raise ('not supported
+    Value'); NULL maps to the addressable default-partition spec (the
+    documented divergence — this engine's writers produce NULL
+    partitions legitimately)."""
+    import pytest
+
+    from m3d_engine_spark.sources.catalog import partition_spec_value
+
+    assert partition_spec_value("theValue") == "'theValue'"
+    assert partition_spec_value(2) == "2"
+    assert partition_spec_value(4) == "4"
+    assert partition_spec_value(None) == "'__HIVE_DEFAULT_PARTITION__'"
+    with pytest.raises(TypeError, match="unsupported partition value"):
+        partition_spec_value(False)
+    # quoting safety the reference's UDF never had
+    assert partition_spec_value("O'Brien") == "'O''Brien'"
+
+
+def test_generate_add_partition_statements_reference_unit_case():
+    """RecoverPartitionsCustomTest 'HiveQL statements Generation': the
+    3-row country/district dataset yields exactly the reference's
+    expected statements (modulo the engine's ', ' spec separator)."""
+    from m3d_engine_spark.sources.catalog import generate_add_partition_statements
+
+    criteria = [
+        [("country", "portugal"), ("district", "porto")],
+        [("country", "germany"), ("district", "herzogenaurach")],
+        [("country", "portugal"), ("district", "coimbra")],
+    ]
+    got = {s.replace(", ", ",") for s in
+           generate_add_partition_statements("test", criteria)}
+    assert got == {
+        "ALTER TABLE test ADD IF NOT EXISTS PARTITION(country='portugal',district='porto')",
+        "ALTER TABLE test ADD IF NOT EXISTS PARTITION(country='germany',district='herzogenaurach')",
+        "ALTER TABLE test ADD IF NOT EXISTS PARTITION(country='portugal',district='coimbra')",
+    }
