@@ -43,10 +43,24 @@ def _parse_steps(raw: list) -> list[tuple[str, dict]]:
                 f"Pipeline step {i}: unknown algorithm {name!r}; "
                 f"known: {sorted(REGISTRY)}"
             )
-        params = step.get("params")
-        if params is None:
-            # inline form: the step block IS the params file
-            params = {k: v for k, v in step.items() if k != "algorithm"}
+        if "params_file" in step:
+            # production acons live as separate files; validate the
+            # path upfront so a missing file fails before step 1 runs
+            import json
+            import os
+
+            path = step["params_file"]
+            if not os.path.isfile(path):
+                raise ConfigError(
+                    f"Pipeline step {i}: params_file {path!r} not found"
+                )
+            with open(path) as fh:
+                params = json.load(fh)
+        else:
+            params = step.get("params")
+            if params is None:
+                # inline form: the step block IS the params file
+                params = {k: v for k, v in step.items() if k != "algorithm"}
         if not isinstance(params, dict):
             raise ConfigError(f"Pipeline step {i}: 'params' must be an object")
         steps.append((name, params))

@@ -644,3 +644,33 @@ def test_pipeline_cli_params_file_roundtrip(spark, tmp_path, sf_dir):
     }))
     run_algorithm(spark, "Pipeline", str(pfile))
     assert spark.read.parquet(lake).count() == spark.read.parquet(src).count()
+
+
+def test_pipeline_params_file_steps(spark, tmp_path, sf_dir):
+    """Pipeline steps can reference external params files (the
+    production acon layout); a missing file fails the whole chain
+    before step 1 runs."""
+    from m3d_engine_spark.config import ConfigError
+
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.parquet(src)
+    lake = str(tmp_path / "lake")
+    step_file = tmp_path / "step1.json"
+    step_file.write_text(json.dumps({
+        "source_dir": src, "file_format": "parquet", "target_location": lake,
+    }))
+    _run(spark, "Pipeline", {"steps": [
+        {"algorithm": "FullLoad", "params_file": str(step_file)},
+    ]})
+    assert spark.read.parquet(lake).count() == spark.read.parquet(src).count()
+
+    out2 = str(tmp_path / "never")
+    with pytest.raises(ConfigError, match="params_file .* not found"):
+        _run(spark, "Pipeline", {"steps": [
+            {"algorithm": "FullLoad", "params": {
+                "source_dir": src, "file_format": "parquet",
+                "target_location": out2}},
+            {"algorithm": "FullLoad", "params_file": str(tmp_path / "nope.json")},
+        ]})
+    import os
+    assert not os.path.exists(out2)
