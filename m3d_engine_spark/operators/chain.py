@@ -27,8 +27,12 @@ from m3d_engine_spark.operators.base import REGISTRY, Algorithm, register
 
 
 def _parse_steps(raw: list) -> list[tuple[str, dict]]:
-    """Validate the whole chain upfront: a typo in step 3 must fail
-    BEFORE step 1 mutates anything."""
+    """Validate the chain's SHAPE upfront — algorithm names, step
+    structure, and params files parse — so a typo'd name or a missing
+    acon file in step 3 fails before step 1 mutates anything. Step
+    params CONTENTS are validated by each algorithm at its turn, so a
+    semantically bad step 2 still fails mid-chain with step 1's effects
+    kept: exactly the semantics of N sequential spark-submits."""
     if not isinstance(raw, list) or not raw:
         raise ConfigError("Pipeline needs a non-empty 'steps' list")
     steps: list[tuple[str, dict]] = []
@@ -44,18 +48,16 @@ def _parse_steps(raw: list) -> list[tuple[str, dict]]:
                 f"known: {sorted(REGISTRY)}"
             )
         if "params_file" in step:
-            # production acons live as separate files; validate the
-            # path upfront so a missing file fails before step 1 runs
-            import json
-            import os
-
+            # production acons live as separate files
             path = step["params_file"]
-            if not os.path.isfile(path):
+            try:
+                params = ParamsFile.load(path).params
+            except ConfigError:
+                raise
+            except Exception as e:
                 raise ConfigError(
-                    f"Pipeline step {i}: params_file {path!r} not found"
-                )
-            with open(path) as fh:
-                params = json.load(fh)
+                    f"Pipeline step {i}: cannot load params_file {path!r}: {e}"
+                ) from e
         else:
             params = step.get("params")
             if params is None:

@@ -31,23 +31,10 @@ _CONDITION_RE = re.compile(r"(.+?)[ ]*=[ ]*(.+)")
 _RULE_RE = re.compile(r"(year|month|week|day)([+-])([0-9]+)")
 
 
-def parse_conditions(conditions: Sequence[object]) -> list[tuple[str, object]]:
-    """Reference select_conditions: ["year=2019", "month=2"] →
-    [("year","2019"), ("month","2")]
-    (FixedSizeStringExtractorConfiguration.scala:95-99). Pair form
-    [["year", 2019], ...] is accepted too for callers already on the
-    structured shape."""
-    out: list[tuple[str, object]] = []
-    for cond in conditions:
-        if isinstance(cond, str):
-            m = _CONDITION_RE.fullmatch(cond)
-            if m is None:
-                raise ValueError(f"Wrong select condition: {cond}")
-            out.append((m.group(1).strip(), m.group(2).strip()))
-        else:
-            col, val = cond
-            out.append((str(col), val))
-    return out
+# parse_conditions lives in plans/partitions.py (shared with
+# QueryMaterialization); re-exported here for the parity docstrings and
+# existing importers.
+from m3d_engine_spark.plans.partitions import parse_conditions  # noqa: F401,E402
 
 
 def parse_select_rules(
@@ -59,7 +46,10 @@ def parse_select_rules(
     named periods, then emit one partition criteria for the resulting
     date over a year/month/day, year/month or year/week scheme
     (FixedSizeStringExtractorConfiguration.scala:101-137). Parity
-    includes the reference's calendar-year + ISO-week pairing."""
+    includes the reference's calendar-year + ISO-week pairing and the
+    empty-rules case (no rules → no criteria → no filter, :105-106)."""
+    if not rules:
+        return []
     date = today or _dt.date.today()
     allowed = set(target_partitions)
     for rule in rules:
@@ -144,14 +134,14 @@ class FixedSizeStringExtractorAlgorithm(Algorithm):
     non-partitioned config are ignored with a warning (:40-49)."""
 
     def _criteria(self) -> list[tuple[str, object]] | None:
+        # Divergence from the reference's warn-and-ignore when the
+        # config carries no target_partitions
+        # (FixedSizeStringExtractorConfiguration.scala:40-49): provided
+        # conditions always filter here — silently scanning the whole
+        # table because a partitions key is missing turns a scoped
+        # extract into a full-table overwrite, the worse failure.
         targets = self.params.get_optional("target_partitions", [])
         if self.params.has("select_conditions"):
-            if not targets:
-                logger.warning(
-                    "Select conditions can be applied to partitioned "
-                    "tables only. Ignoring."
-                )
-                return None
             return parse_conditions(self.params.get_list("select_conditions"))
         if self.params.has("select_rules"):
             if not targets:

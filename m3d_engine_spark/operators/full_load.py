@@ -15,6 +15,8 @@ directory; the only serialized step is the metadata re-point.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -166,10 +168,27 @@ class FullLoad(Algorithm):
             # HadoopLoadHelper.cleanupDirectoryLeftovers:50-63): stray
             # version dirs / $folder$ markers from earlier crashed loads
             # would otherwise accumulate at the table root forever.
+            # ONLY when the table demonstrably lives in a versioned
+            # layout: the reference always runs under a dedicated
+            # base_data_dir, but an onboarded external table may sit
+            # flat next to OTHER tables (/lake/db/orders beside
+            # /lake/db/customers) — deleting siblings there would
+            # destroy unrelated datasets, so the cleanup is skipped
+            # unless the old location's own name carries a version
+            # stamp or the caller configured target_dir explicitly.
             base, _, keep = self.next_location.rstrip("/").rpartition("/")
-            for entry in self.dfs.list_entries(base):
-                if keep not in entry:
-                    self.dfs.delete(f"{base}/{entry}")
+            prev_name = (
+                self.previous_location.rstrip("/").rsplit("/", 1)[-1]
+                if self.previous_location
+                else ""
+            )
+            versioned_layout = self.params.has("target_dir") or _re.search(
+                r"\d{8}[_]?\d{6}", prev_name
+            )
+            if versioned_layout:
+                for entry in self.dfs.list_entries(base):
+                    if keep not in entry:
+                        self.dfs.delete(f"{base}/{entry}")
 
     def update_statistics(self) -> None:
         if self.table:

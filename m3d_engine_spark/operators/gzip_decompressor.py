@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from m3d_engine_spark.config import ParamsFile
 from m3d_engine_spark.operators.base import Algorithm, register
 
-_SUFFIXES = (".gz", ".zip")
+# the codecs this engine actually implements; anything else in the
+# landing dir fails loudly (reference: CompressionCodecFactory miss,
+# GzipDecompressor.scala:66-70)
+_SUFFIXES = (".gz", ".zip", ".bz2", ".xz")
 
 
 def _decompress_local(path: str) -> str:
@@ -86,6 +89,16 @@ def decompress_directory_hadoop(
         if path.endswith(".gz"):
             data = gzip.decompress(payload)
             out = path[: -len(".gz")]
+        elif path.endswith(".bz2"):
+            import bz2
+
+            data = bz2.decompress(payload)
+            out = path[: -len(".bz2")]
+        elif path.endswith(".xz"):
+            import lzma
+
+            data = lzma.decompress(payload)
+            out = path[: -len(".xz")]
         else:
             with zipfile.ZipFile(io.BytesIO(payload)) as zf:
                 names = zf.namelist()

@@ -251,9 +251,7 @@ class QueryMaterialization(_PartitionedMaterialization):
                 for crit in self.params.get_list("partition_criteria")
             ]
         else:
-            from m3d_engine_spark.operators.fixed_size_extractor import (
-                parse_conditions,
-            )
+            from m3d_engine_spark.plans.partitions import parse_conditions
 
             self.criteria = [
                 parse_conditions(self.params.get_list("select_conditions"))

@@ -16,6 +16,7 @@ same shape as the reference's ``Seq[Seq[(String, String)]]``.
 
 from __future__ import annotations
 
+import re as _re
 from functools import reduce
 from typing import Any, Sequence
 
@@ -24,6 +25,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 PartitionCriteria = Sequence[tuple[str, Any]]
+
+_CONDITION_RE = _re.compile(r"(.+?)[ ]*=[ ]*(.+)")
+
+
+def parse_conditions(conditions: Sequence[Any]) -> list[tuple[str, Any]]:
+    """Reference select_conditions: ["year=2019", "month=2"] →
+    [("year","2019"), ("month","2")]
+    (FixedSizeStringExtractorConfiguration.scala:95-99,
+    MaterializationConfiguration.scala:119-123). Pair form
+    [["year", 2019], ...] is accepted too for callers already on the
+    structured shape."""
+    out: list[tuple[str, Any]] = []
+    for cond in conditions:
+        if isinstance(cond, str):
+            m = _CONDITION_RE.fullmatch(cond)
+            if m is None:
+                raise ValueError(f"Wrong select condition: {cond}")
+            out.append((m.group(1).strip(), m.group(2).strip()))
+        else:
+            col, val = cond
+            out.append((str(col), val))
+    return out
 
 
 def partition_predicate(criteria: Sequence[PartitionCriteria]) -> Column:

@@ -68,17 +68,19 @@ def recover_partitions_native(spark: SparkSession, table: str) -> None:
 def partition_spec_value(v: Any) -> str:
     """One HiveQL partition-spec literal
     (RecoverPartitionsCustom.scala createParameterValue, unit-pinned by
-    RecoverPartitionsCustomTest): strings quote, numbers stay bare, a
-    boolean is always a params typo and raises like the reference's
-    'not supported Value' case. Divergence from the reference: NULL maps
-    to the addressable ``'__HIVE_DEFAULT_PARTITION__'`` spec instead of
-    throwing — this engine's writers legitimately produce NULL
-    partitions (r9/r10 canonicalization chain) and their metadata must
-    be registrable."""
+    RecoverPartitionsCustomTest): strings quote, numbers stay bare.
+    Two deliberate divergences from the reference's value domain, both
+    because this builder is fed DATA-DERIVED values via
+    collect_partitions (not just params): NULL maps to the addressable
+    ``'__HIVE_DEFAULT_PARTITION__'`` spec instead of throwing (this
+    engine's writers legitimately produce NULL partitions — r9/r10
+    canonicalization chain), and booleans render as bare true/false
+    (a boolean-partitioned table must be registrable; the reference's
+    'not supported Value' throw would fail the metadata update AFTER
+    the data was already written). Params-level typo protection lives
+    in the dial validators, not here."""
     from m3d_engine_spark.plans.partitions import sql_literal
 
-    if isinstance(v, bool):
-        raise TypeError(f"unsupported partition value type bool: {v!r}")
     if v is None:
         return "'__HIVE_DEFAULT_PARTITION__'"
     return sql_literal(v)

@@ -6,15 +6,11 @@ from m3d_engine_spark.session import build_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
-# The slow lane (~12 min wall) cannot finish under a 600 s per-command
-# cap with any headroom, and a measured two-way split came in at
-# 319 s + 338 s — still over a 5-minute budget once session startup
-# and the Hive subprocess overhead land. Three sub-lanes, balanced
-# from measured per-file durations (round 10: lane_a 221 s, lane_b
-# 213 s, lane_c 285 s wall — matches the pytest.ini header):
-# `-m "slow and lane_a"` / `lane_b` / `lane_c`. Files not listed
-# default to lane_c (new slow files: re-balance when a lane nears
-# 300 s wall). Plain `-m slow` still runs everything.
+# The slow lane (~14 min wall) cannot finish under a 600 s per-command
+# cap, so it splits into sub-lanes balanced from measured per-file
+# durations: `-m "slow and lane_a"` / `lane_b` / `lane_c` / `lane_d`.
+# Files not listed below default to lane_d (new slow files: re-balance
+# when any lane nears 300 s wall). Plain `-m slow` runs everything.
 # Round-12 re-lane (four sub-lanes, measured call+setup seconds in
 # parens; each lane ≈195 s of test time + ~35 s session startup):
 _LANE_FILES = {

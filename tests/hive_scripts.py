@@ -471,6 +471,38 @@ left = os.listdir(root2)
 assert all(final_name in e for e in left), left  # only the new version remains
 assert os.path.isdir(final_loc.removeprefix("file:") + "/year=2018/month=1/day=10")
 print("FULL_LOAD_LEFTOVERS_PASS")
+
+# Session-review regression: an onboarded FLAT-layout table (catalog
+# location /db/orders with sibling datasets /db/customers) must NOT
+# trigger leftover cleanup — deleting siblings there would destroy
+# unrelated tables. Cleanup only runs for versioned layouts.
+spark.sql("DROP DATABASE IF EXISTS test_lake CASCADE")
+spark.sql("CREATE DATABASE test_lake")
+
+flat_root = tmp + "/flat_db"
+orders_loc = flat_root + "/orders"
+sibling_loc = flat_root + "/customers"
+read_psv(res + "/lake_data_pre.psv", target_schema).write.parquet(orders_loc)
+spark.range(5).write.parquet(sibling_loc)
+cols = ", ".join(
+    "`%s` %s" % (f.name, f.dataType.simpleString()) for f in target_schema.fields
+)
+spark.sql(
+    "CREATE EXTERNAL TABLE test_lake.orders_flat (" + cols + ") "
+    "STORED AS PARQUET LOCATION '" + orders_loc + "'"
+)
+FullLoad(spark, ParamsFile({
+    "source_dir": ref + "/landing/new_data.psv",
+    "file_format": "dsv",
+    "delimiter": "|",
+    "has_header": False,
+    "target_table": "test_lake.orders_flat",
+})).run()
+expected_flat = read_psv(res + "/lake_data_post.psv", target_schema)
+assert multiset_equal(spark.table("test_lake.orders_flat"), expected_flat)
+assert os.path.isdir(sibling_loc), "sibling dataset was deleted!"
+assert spark.read.parquet(sibling_loc).count() == 5
+print("FULL_LOAD_FLAT_LAYOUT_SAFE_PASS")
 """
 
 FULL_LOAD_REF = (

@@ -665,7 +665,7 @@ def test_pipeline_params_file_steps(spark, tmp_path, sf_dir):
     assert spark.read.parquet(lake).count() == spark.read.parquet(src).count()
 
     out2 = str(tmp_path / "never")
-    with pytest.raises(ConfigError, match="params_file .* not found"):
+    with pytest.raises(ConfigError, match="cannot load params_file"):
         _run(spark, "Pipeline", {"steps": [
             {"algorithm": "FullLoad", "params": {
                 "source_dir": src, "file_format": "parquet",

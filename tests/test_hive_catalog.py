@@ -36,3 +36,10 @@ def test_full_load_cleans_table_root_leftovers(hive_golden_stdout):
     markers at the table root are cleansed after a successful swap load;
     only the new location survives and the data matches."""
     assert_hive_markers(hive_golden_stdout, "FULL_LOAD_LEFTOVERS_PASS")
+
+
+def test_full_load_flat_layout_siblings_survive(hive_golden_stdout):
+    """Session-review regression: leftover cleanup must not run on a
+    flat-layout table — sibling datasets at the same root survive a
+    table-mode FullLoad."""
+    assert_hive_markers(hive_golden_stdout, "FULL_LOAD_FLAT_LAYOUT_SAFE_PASS")

@@ -90,20 +90,19 @@ def test_fse_parse_select_rules_date_arithmetic():
 
 def test_partition_spec_value_reference_unit_cases():
     """RecoverPartitionsCustomTest's createParameterValue contract:
-    strings quote, short/int stay bare, booleans raise ('not supported
-    Value'); NULL maps to the addressable default-partition spec (the
-    documented divergence — this engine's writers produce NULL
-    partitions legitimately)."""
-    import pytest
-
+    strings quote, short/int stay bare. Documented divergences for the
+    data-derived value domain: NULL maps to the addressable
+    default-partition spec and booleans render bare (a
+    boolean-partitioned table's metadata update must not crash after
+    its data is already written)."""
     from m3d_engine_spark.sources.catalog import partition_spec_value
 
     assert partition_spec_value("theValue") == "'theValue'"
     assert partition_spec_value(2) == "2"
     assert partition_spec_value(4) == "4"
     assert partition_spec_value(None) == "'__HIVE_DEFAULT_PARTITION__'"
-    with pytest.raises(TypeError, match="unsupported partition value"):
-        partition_spec_value(False)
+    assert partition_spec_value(True) == "true"
+    assert partition_spec_value(False) == "false"
     # quoting safety the reference's UDF never had
     assert partition_spec_value("O'Brien") == "'O''Brien'"
 
@@ -126,3 +125,65 @@ def test_generate_add_partition_statements_reference_unit_case():
         "ALTER TABLE test ADD IF NOT EXISTS PARTITION(country='germany',district='herzogenaurach')",
         "ALTER TABLE test ADD IF NOT EXISTS PARTITION(country='portugal',district='coimbra')",
     }
+
+
+def test_fse_empty_select_rules_means_no_filter():
+    """Reference parity (FixedSizeStringExtractorConfiguration
+    .scala:105-106): an empty select_rules list yields NO criteria —
+    a today-shaped filter here would silently drop all other data."""
+    from m3d_engine_spark.operators.fixed_size_extractor import parse_select_rules
+
+    assert parse_select_rules([], ["year", "month", "day"]) == []
+
+
+def test_fse_pair_conditions_filter_without_target_partitions(spark, tmp_path):
+    """Regression (session review): select_conditions must filter even
+    when the config carries no target_partitions — the old pair-form
+    surface never required one, and silently scanning everything turns
+    a scoped extract into a full-table overwrite."""
+    from m3d_engine_spark.config import ParamsFile
+    from m3d_engine_spark.operators.fixed_size_extractor import (
+        FixedSizeStringExtractorAlgorithm,
+    )
+
+    spark.createDataFrame(
+        [("AAA 1", 2019), ("BBB 2", 2020)], "value string, year int"
+    ).createOrReplaceTempView("fse_pairform_source")
+    out = str(tmp_path / "out")
+    FixedSizeStringExtractorAlgorithm(
+        spark,
+        ParamsFile(
+            {
+                "source_table": "fse_pairform_source",
+                "source_field": "value",
+                "substring_positions": ["1,3", "5,5"],
+                "target_fields": ["tag", "num"],
+                "target_types": ["string", "int"],
+                "select_conditions": [["year", 2019]],
+                "target_location": out,
+            }
+        ),
+    ).run()
+    rows = spark.read.parquet(out).collect()
+    assert [(r.tag, r.num) for r in rows] == [("AAA", 1)]
+
+
+def test_gzip_bz2_and_xz_roundtrip(spark, tmp_path):
+    """The no-codec guard must not reject codecs the engine implements:
+    bz2 and xz landing files decompress in place like gz."""
+    import bz2
+    import lzma
+
+    from m3d_engine_spark.operators.gzip_decompressor import (
+        decompress_directory_hadoop,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.psv.bz2").write_bytes(bz2.compress(b"1|x\n2|y\n"))
+    (landing / "b.psv.xz").write_bytes(lzma.compress(b"3|z\n"))
+    out = sorted(decompress_directory_hadoop(spark, f"file://{landing}"))
+    assert [p.rsplit("/", 1)[1] for p in out] == ["a.psv", "b.psv"]
+    assert (landing / "a.psv").read_bytes() == b"1|x\n2|y\n"
+    assert (landing / "b.psv").read_bytes() == b"3|z\n"
+    assert not (landing / "a.psv.bz2").exists()
