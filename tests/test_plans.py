@@ -1820,3 +1820,60 @@ def test_product_profit_broadcast_dims_pushed_like(spark, sf_dir):
     assert "StringContains" in fplan or "red" in fplan.split(
         "PushedFilters"
     )[1].split("ReadSchema")[0], fplan[:1500]
+
+
+def test_fse_string_select_conditions_prune_partitioned_scan(spark, tmp_path):
+    """The reference-format "col=value" select_conditions strings (new
+    round 12) must reach the scan as PartitionFilters exactly like the
+    structured pair form — string values against int partition columns
+    included (Catalyst casts the literal, pruning survives)."""
+    from m3d_engine_spark.config import ParamsFile
+    from m3d_engine_spark.operators.fixed_size_extractor import (
+        FixedSizeStringExtractorAlgorithm,
+    )
+
+    loc = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(f"AAA {i}", 2020 + i % 3, 1 + i % 2) for i in range(60)],
+        "value string, year int, month int",
+    ).write.partitionBy("year", "month").parquet(loc)
+    spark.read.parquet(loc).createOrReplaceTempView("fse_prune_source")
+
+    algo = FixedSizeStringExtractorAlgorithm(
+        spark,
+        ParamsFile(
+            {
+                "source_table": "fse_prune_source",
+                "source_field": "value",
+                "substring_positions": ["1,3", "5,6"],
+                "target_fields": ["tag", "num"],
+                "target_types": ["string", "int"],
+                "target_partitions": ["year", "month"],
+                "select_conditions": ["year=2021", "month=1"],
+                "target_location": str(tmp_path / "out"),
+            }
+        ),
+    )
+    out = algo.transform(algo.read())[0]
+    plan = _plan(out)
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "year" in pf and "2021" in pf and "month" in pf, pf
+
+
+def test_spread_output_files_single_roundrobin_exchange(spark, tmp_path):
+    """number_output_partitions (the reference's round-robin knob) must
+    add exactly ONE RoundRobinPartitioning exchange — not a hash
+    shuffle, and nothing extra above it."""
+    from m3d_engine_spark.sources.writers import AtomicWriter
+
+    df = spark.createDataFrame(
+        [(i, 2020 + i % 2) for i in range(50)], "k int, year int"
+    )
+    w = AtomicWriter(
+        spark, str(tmp_path / "t"), partition_columns=["year"],
+        output_files_num=5, spread_output_files=True,
+    )
+    shaped = w._repartitioned(df)
+    plan = shaped._jdf.queryExecution().executedPlan().toString()
+    assert "roundrobin" in plan.lower(), plan
+    assert plan.lower().count("exchange") == 1, plan
