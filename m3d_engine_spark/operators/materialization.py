@@ -128,8 +128,17 @@ class FullMaterialization(Algorithm):
     def write(self, dfs: list[DataFrame]) -> None:
         df = dfs[0]
         parts = self.params.get_optional("target_partitions", [])
-        n = self.params.get_optional("output_files_num", 10)
-        df = df.repartition(n, *parts) if parts else df.repartition(n)
+        if self.params.has("number_output_partitions") and not self.params.has(
+            "output_files_num"
+        ):
+            # reference spelling → reference semantics: plain
+            # round-robin repartition(n) (Algorithm.scala:138,157)
+            df = df.repartition(
+                int(self.params.get_int("number_output_partitions"))
+            )
+        else:
+            n = self.params.get_optional("output_files_num", 10)
+            df = df.repartition(n, *parts) if parts else df.repartition(n)
         w = df.write.mode("overwrite").format("parquet")
         if parts:
             w = w.partitionBy(*parts)
