@@ -44,6 +44,7 @@ def merge_condition(
     affected_partitions: Sequence[Sequence[tuple[str, object]]] = (),
     current_alias: str = "currentData",
     new_alias: str = "newData",
+    operator: str = "AND",
 ) -> str:
     """Merge condition string incl. the partition-pruning predicate and
     null-partition guard (DeltaLakeLoad.scala:213-283). Literals go
@@ -57,7 +58,13 @@ def merge_condition(
         return "`" + name.replace("`", "``") + "`"
 
     parts = [f"{current_alias}.{q(k)} <=> {new_alias}.{q(k)}" for k in business_keys]
-    cond = " AND ".join(parts)
+    # business_key_match_operator (DeltaLakeLoadConfiguration.scala:42-43)
+    op = operator.strip().upper()
+    if op not in ("AND", "OR"):
+        raise ValueError(f"business_key_match_operator must be AND or OR, got {operator!r}")
+    cond = f" {op} ".join(parts)
+    if op == "OR" and len(parts) > 1:
+        cond = f"({cond})"
     if affected_partitions:
         ors = []
         for crit in affected_partitions:
@@ -76,16 +83,21 @@ def merge_into_delta(
     business_keys: Sequence[str],
     record_mode_column: str = "recordmode",
     affected_partitions: Sequence[Sequence[tuple[str, object]]] = (),
+    records_to_delete: Sequence[str] | None = None,
+    match_operator: str = "AND",
 ) -> None:
     """Real Delta Lake MERGE (requires delta-spark):
     whenMatched(delete-mode) → delete; whenMatched → updateAll;
     whenNotMatched(not delete-mode) → insertAll
-    (DeltaLakeLoad.scala:128-146)."""
+    (DeltaLakeLoad.scala:128-146). ``records_to_delete`` /
+    ``match_operator`` are the reference's configurable delete-mode set
+    and business_key_match_operator dials."""
     if not HAS_DELTA:
         raise ModuleNotFoundError("delta-spark not available in this environment")
-    cond = merge_condition(business_keys, affected_partitions)
+    cond = merge_condition(business_keys, affected_partitions, operator=match_operator)
     rm_q = "`" + record_mode_column.replace("`", "``") + "`"
-    is_delete = f"newData.{rm_q} IN ({', '.join(repr(m) for m in DELETE_RECORD_MODES)})"
+    deletes = tuple(records_to_delete) if records_to_delete else DELETE_RECORD_MODES
+    is_delete = f"newData.{rm_q} IN ({', '.join(repr(m) for m in deletes)})"
     (
         DeltaTable.forPath(spark, delta_table_path)
         .alias("currentData")
@@ -210,7 +222,19 @@ class DeltaLakeLoadAlgorithm(Algorithm):
             new_data = new_data.persist()
             self._persisted.append(new_data)
             self.affected = collect_partitions(new_data, targets)
-        condensed = condense(new_data, bk, tk, record_mode_column=rm, init_load=is_init)
+        # Reference condensation dials
+        # (DeltaLakeLoadConfiguration.scala:59-71):
+        rtc = p.get_optional("records_to_condense")
+        init_cond = bool(p.get_optional("init_condensation", True))
+        init_rm = bool(p.get_optional("init_condensation_with_record_mode", True))
+        if is_init and not init_cond:
+            condensed = new_data  # DeltaLakeLoad.scala:84-88
+        else:
+            condensed = condense(
+                new_data, bk, tk, record_mode_column=rm,
+                init_load=is_init and init_rm,
+                records_to_condense=rtc,
+            )
         drop_cols = [c for c in tk if c in condensed.columns] + [rm]
         if targets:
             condensed = condensed.persist()
@@ -222,6 +246,8 @@ class DeltaLakeLoadAlgorithm(Algorithm):
         # so they survive as duplicates; golden-pinned both ways).
         apm = bool(p.get_optional("affected_partitions_merge", True))
         merge_keys = bk if apm else bk + [t for t in targets]
+        rtd = tuple(p.get_optional("records_to_delete") or DELETE_RECORD_MODES)
+        bk_op = str(p.get_optional("business_key_match_operator", "AND"))
 
         if delta_dir is None:
             # Degenerate single-output mode (no persistent delta table):
@@ -229,12 +255,13 @@ class DeltaLakeLoadAlgorithm(Algorithm):
             lake = self.spark.read.parquet(target) if lake_exists else None
             if lake is None:
                 result = condensed.filter(
-                    F.col(rm).isNull() | ~F.col(rm).isin(*DELETE_RECORD_MODES)
+                    F.col(rm).isNull() | ~F.col(rm).isin(*rtd)
                 ).drop(*drop_cols)
                 return [result]
             if targets:
                 lake = lake.filter(partition_predicate(self.affected))
-            return [merge_delta(lake, condensed, merge_keys, record_mode_column=rm)]
+            return [merge_delta(lake, condensed, merge_keys, record_mode_column=rm,
+                                records_to_delete=rtd, match_operator=bk_op)]
 
         from m3d_engine_spark.sources.writers import LoadMode
 
@@ -242,7 +269,7 @@ class DeltaLakeLoadAlgorithm(Algorithm):
             # Init load (DeltaLakeLoad.scala:101-120): deletes dropped,
             # technical/recordmode columns projected away.
             init_df = condensed.filter(
-                F.col(rm).isNull() | ~F.col(rm).isin(*DELETE_RECORD_MODES)
+                F.col(rm).isNull() | ~F.col(rm).isin(*rtd)
             ).drop(*drop_cols)
             if HAS_DELTA:
                 # The init write must itself be format("delta") — a
@@ -263,6 +290,7 @@ class DeltaLakeLoadAlgorithm(Algorithm):
                 self.spark, delta_dir, condensed, merge_keys,
                 record_mode_column=rm,
                 affected_partitions=self.affected if apm else None,
+                records_to_delete=rtd, match_operator=bk_op,
             )
             if p.get_optional("is_to_vacuum", True):
                 DeltaTable.forPath(self.spark, delta_dir).vacuum(

@@ -54,21 +54,27 @@ def condense(
     technical_keys: Sequence[str],
     record_mode_column: str | None = None,
     init_load: bool = False,
+    records_to_condense: Sequence[str] | None = None,
 ) -> DataFrame:
     """Latest change record per business key.
 
     ``init_load`` appends ``record_mode ASC`` to the ordering, matching
     DeltaLakeLoad.scala:166-178 (deletes sort after upserts on ties).
-    """
+    ``records_to_condense`` reproduces the reference's
+    recordModesFilterFunction placement exactly
+    (DeltaLakeLoad.scala:174-178): the filter runs AFTER ranking, so a
+    business key whose NEWEST record carries an excluded record mode is
+    dropped entirely — rank 2 does not get promoted."""
     order = [F.col(k).desc() for k in technical_keys]
     if init_load and record_mode_column:
         order.append(F.col(record_mode_column).asc())
     w = Window.partitionBy(*[F.col(k) for k in business_keys]).orderBy(*order)
-    return (
-        delta.withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") == 1)
-        .drop("__rank")
-    )
+    ranked = delta.withColumn("__rank", F.row_number().over(w))
+    if records_to_condense and record_mode_column:
+        ranked = ranked.filter(
+            F.col(record_mode_column).isin(*records_to_condense)
+        )
+    return ranked.filter(F.col("__rank") == 1).drop("__rank")
 
 
 def merge_delta(
@@ -76,16 +82,35 @@ def merge_delta(
     condensed: DataFrame,
     business_keys: Sequence[str],
     record_mode_column: str = "recordmode",
+    records_to_delete: Sequence[str] | None = None,
+    match_operator: str = "AND",
 ) -> DataFrame:
     """Survivors (active rows whose key has no delta record) ∪ upserts.
 
     Output columns = active's columns: technical keys and the record-mode
     marker are projected away from the delta side.
+    ``records_to_delete`` switches the upsert test from the fixed
+    UPSERT_RECORD_MODES allowlist to the reference's configurable
+    delete-set complement (DeltaLakeLoadConfiguration.scala:61);
+    ``match_operator`` ("AND"/"OR") mirrors business_key_match_operator
+    (:43) — OR matching turns the anti-join non-equi, so it's only the
+    dial for degenerate single-key-ish schemas, same as the reference.
     """
-    survivors = active.join(
-        condensed.select(*business_keys), on=list(business_keys), how="left_anti"
-    )
-    upserts = condensed.filter(_is_upsert(record_mode_column))
+    if match_operator.upper() == "OR" and len(business_keys) > 1:
+        cond = None
+        for k in business_keys:
+            term = active[k].eqNullSafe(condensed[k])
+            cond = term if cond is None else (cond | term)
+        survivors = active.join(condensed, cond, "left_anti")
+    else:
+        survivors = active.join(
+            condensed.select(*business_keys), on=list(business_keys), how="left_anti"
+        )
+    if records_to_delete is not None:
+        c = F.col(record_mode_column)
+        upserts = condensed.filter(c.isNull() | ~c.isin(*records_to_delete))
+    else:
+        upserts = condensed.filter(_is_upsert(record_mode_column))
     aligned = add_missing_columns(upserts, active.schema)
     return survivors.unionByName(aligned)
 

@@ -187,3 +187,120 @@ def test_gzip_bz2_and_xz_roundtrip(spark, tmp_path):
     assert (landing / "a.psv").read_bytes() == b"1|x\n2|y\n"
     assert (landing / "b.psv").read_bytes() == b"3|z\n"
     assert not (landing / "a.psv.bz2").exists()
+
+
+def test_condense_records_to_condense_placement(spark):
+    """DeltaLakeLoad.scala:174-178: the records_to_condense filter runs
+    AFTER ranking — a business key whose NEWEST record carries an
+    excluded record mode is dropped entirely, not replaced by rank 2."""
+    from m3d_engine_spark.operators.delta_load import condense
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "N"), (1, 20, "X"),   # newest is excluded -> key dropped
+            (2, 10, "U"), (2, 5, "X"),    # newest is kept -> survives
+        ],
+        "k int, ts int, recordmode string",
+    )
+    out = condense(
+        df, ["k"], ["ts"], record_mode_column="recordmode",
+        records_to_condense=["N", "U"],
+    ).collect()
+    assert [(r.k, r.ts, r.recordmode) for r in out] == [(2, 10, "U")]
+
+
+def test_delta_lake_condensation_dials(spark, tmp_path):
+    """init_condensation=false passes raw new data through on init;
+    records_to_delete replaces the R/D/X delete set."""
+    from m3d_engine_spark.operators.delta_lake_load import DeltaLakeLoadAlgorithm
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, 100, "N"), (1, 200, "N"), (2, 100, "Z")],
+        "k int, ts int, recordmode string",
+    ).write.parquet(str(src))
+
+    # default init condensation keeps one row per key; with the dial off
+    # both rows of k=1 land
+    out_on = str(tmp_path / "lake_on")
+    DeltaLakeLoadAlgorithm(
+        spark,
+        ParamsFile(
+            {
+                "source_location": str(src),
+                "business_key": ["k"],
+                "technical_key": ["ts"],
+                "target_location": out_on,
+            }
+        ),
+    ).run()
+    assert spark.read.parquet(out_on).count() == 2
+
+    out_off = str(tmp_path / "lake_off")
+    DeltaLakeLoadAlgorithm(
+        spark,
+        ParamsFile(
+            {
+                "source_location": str(src),
+                "business_key": ["k"],
+                "technical_key": ["ts"],
+                "target_location": out_off,
+                "init_condensation": False,
+            }
+        ),
+    ).run()
+    assert spark.read.parquet(out_off).count() == 3
+
+    # custom records_to_delete: 'Z' becomes a delete mode, dropped on init
+    out_z = str(tmp_path / "lake_z")
+    DeltaLakeLoadAlgorithm(
+        spark,
+        ParamsFile(
+            {
+                "source_location": str(src),
+                "business_key": ["k"],
+                "technical_key": ["ts"],
+                "target_location": out_z,
+                "records_to_delete": ["Z"],
+            }
+        ),
+    ).run()
+    rows = spark.read.parquet(out_z).collect()
+    # technical keys + record mode are projected away on init
+    assert [r.k for r in rows] == [1]
+
+
+def test_business_key_match_operator():
+    """business_key_match_operator=OR joins the key equalities with OR
+    in the Delta merge condition (DeltaLakeLoadConfiguration.scala:42-43);
+    anything but AND/OR raises."""
+    import pytest
+
+    from m3d_engine_spark.operators.delta_lake_load import merge_condition
+
+    c = merge_condition(["a", "b"], operator="OR")
+    assert c == "(currentData.`a` <=> newData.`a` OR currentData.`b` <=> newData.`b`)"
+    assert merge_condition(["a"], operator="AND") == "currentData.`a` <=> newData.`a`"
+    with pytest.raises(ValueError, match="AND or OR"):
+        merge_condition(["a"], operator="XOR")
+
+
+def test_merge_delta_or_operator(spark):
+    """Fallback merge with OR matching: an active row matching the delta
+    on EITHER key is replaced."""
+    from m3d_engine_spark.operators.delta_load import merge_delta
+
+    active = spark.createDataFrame(
+        [(1, "x", "old1"), (9, "y", "old2"), (5, "z", "old3")],
+        "k1 int, k2 string, v string",
+    )
+    delta = spark.createDataFrame(
+        [(1, "q", 10, "N", "new1"), (8, "z", 11, "N", "new2")],
+        "k1 int, k2 string, ts int, recordmode string, v string",
+    )
+    out = merge_delta(
+        active, delta.drop("ts"), ["k1", "k2"], match_operator="OR"
+    ).collect()
+    got = sorted((r.k1, r.k2, r.v) for r in out)
+    # (1,x) matched on k1; (5,z) matched on k2; only (9,y) survives
+    assert got == [(1, "q", "new1"), (8, "z", "new2"), (9, "y", "old2")]
