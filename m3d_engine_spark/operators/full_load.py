@@ -49,10 +49,24 @@ class FullLoad(Algorithm):
     def prepare(self) -> None:
         if self.table:
             self.previous_location = cat.table_location(self.spark, self.table)
-            base = self.params.get_optional("target_dir")
-            if base is None and self.previous_location:
-                base = self.previous_location.rsplit("/", 1)[0]
-            self.next_location = next_version_dir(base)
+            root = (
+                self.previous_location.rsplit("/", 1)[0]
+                if self.previous_location
+                else None
+            )
+            if self.params.has("base_data_dir"):
+                # Reference layout (FullLoadConfiguration.scala:36-38 +
+                # HadoopLoadHelper.buildTimestampedTablePath:14-17):
+                # versions are siblings named <base_data_dir>_<stamp>
+                # under the table root, e.g. data_20180505020927123.
+                import time as _time
+
+                name = self.params.get_string("base_data_dir").strip("/")
+                stamp = _time.strftime("%Y%m%d%H%M%S") + f"{int(_time.time()*1000)%1000:03d}"
+                self.next_location = f"{root}/{name}_{stamp}"
+            else:
+                base = self.params.get_optional("target_dir") or root
+                self.next_location = next_version_dir(base)
         else:
             self.next_location = self.params.get_string("target_location")
 
@@ -64,7 +78,28 @@ class FullLoad(Algorithm):
             # With in-load reshaping the source shape differs from the
             # target table by design — never force the target schema
             # onto the raw read then.
-            schema = cat.table_schema(self.spark, self.table, drop_columns=self.partition_targets)
+            mode = str(p.get("reader_mode", "FAILFAST")).upper()
+            drop = set(self.partition_targets)
+            drop_derived = p.get("drop_date_derived_columns")
+            if drop_derived is None:
+                # reference default: derived-name columns drop under
+                # FAILFAST (FullLoadConfiguration.scala:43-45)
+                drop_derived = mode == "FAILFAST"
+            if drop_derived:
+                # ALLOWED_DERIVATIONS (DateComponentDerivation.scala:146)
+                drop |= {"year", "month", "day", "week"}
+            schema = cat.table_schema(self.spark, self.table, drop_columns=drop)
+            if mode == "PERMISSIVE" and p.get("add_corrupt_record_column"):
+                # getSchemaSafely's PERMISSIVE branch
+                # (CatalogTableManager.scala:135-150): malformed rows
+                # keep their raw line in _corrupt_record.
+                from pyspark.sql.types import StringType, StructField
+
+                schema = StructType(
+                    list(schema.fields)
+                    + [StructField("_corrupt_record", StringType(), True)]
+                )
+                p.setdefault("columnNameOfCorruptRecord", "_corrupt_record")
             fmt = format_from_params(p)
             fmt.schema = schema
         else:

@@ -177,10 +177,18 @@ class FullMaterialization(Algorithm):
         keep = self.params.get_optional("num_versions_to_retain")
         if not keep:
             return
+        # sorting_ignore_folder_names: the reference's param override of
+        # the default non-version token list
+        # (MaterializationConfiguration.scala:89-92)
+        ignore = tuple(
+            self.params.get_optional(
+                "sorting_ignore_folder_names", self.SORTING_IGNORE
+            )
+        )
         retained = sorted(
             (
                 d for d in self.dfs.list_dirs(self.base_dir)
-                if not any(tok in d for tok in self.SORTING_IGNORE)
+                if not any(tok in d for tok in ignore)
             ),
             reverse=True,
         )[: int(keep) + 1]

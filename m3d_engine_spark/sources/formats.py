@@ -112,6 +112,10 @@ def format_from_params(params: Mapping[str, Any]) -> DataFormat:
         options["mode"] = validated_mode(str(params.get("reader_mode", "PERMISSIVE")))
         if params.get("multi_line") is not None:
             options["multiLine"] = str(params["multi_line"]).lower()
+        if params.get("columnNameOfCorruptRecord") is not None:
+            # add_corrupt_record_column plumbing (LoadConfiguration
+            # .scala:38 + CatalogTableManager.scala:135-150)
+            options["columnNameOfCorruptRecord"] = params["columnNameOfCorruptRecord"]
     return DataFormat(spark_format, schema, options)
 
 

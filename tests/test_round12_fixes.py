@@ -304,3 +304,117 @@ def test_merge_delta_or_operator(spark):
     got = sorted((r.k1, r.k2, r.v) for r in out)
     # (1,x) matched on k1; (5,z) matched on k2; only (9,y) survives
     assert got == [(1, "q", "new1"), (8, "z", "new2"), (9, "y", "old2")]
+
+
+def test_full_load_base_data_dir_version_naming(spark, tmp_path):
+    """FullLoad table mode with the reference's base_data_dir layout:
+    versions are siblings named <base_data_dir>_<stamp> under the table
+    root (HadoopLoadHelper.buildTimestampedTablePath)."""
+    import os
+    import re
+
+    from m3d_engine_spark.operators.full_load import FullLoad
+
+    root = tmp_path / "tbl_root"
+    loc = str(root / "data_20200101000000000")
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(loc)
+    spark.sql("DROP TABLE IF EXISTS bdd_tbl")
+    spark.sql(f"CREATE TABLE bdd_tbl (k int, v string) USING PARQUET LOCATION '{loc}'")
+
+    src = str(tmp_path / "landing")
+    spark.createDataFrame([(2, "b"), (3, "c")], "k int, v string").write.parquet(src)
+    FullLoad(
+        spark,
+        ParamsFile(
+            {
+                "source_dir": src,
+                "file_format": "parquet",
+                "target_table": "bdd_tbl",
+                "base_data_dir": "data/",
+            }
+        ),
+    ).run()
+    assert spark.table("bdd_tbl").count() == 2
+    entries = os.listdir(root)
+    assert len(entries) == 1 and re.fullmatch(r"data_\d{17}", entries[0]), entries
+    spark.sql("DROP TABLE bdd_tbl")
+
+
+def test_full_load_derived_columns_and_corrupt_record(spark, tmp_path):
+    """Catalog-schema derivation parity (getSchemaSafely):
+    FAILFAST drops derived-name columns (year/month/day/week) from the
+    read schema by default; drop_date_derived_columns=false keeps them;
+    PERMISSIVE + add_corrupt_record_column appends _corrupt_record and
+    captures the malformed raw line."""
+    from m3d_engine_spark.operators.full_load import FullLoad
+
+    loc = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 2020)], "k int, v string, week int"
+    ).write.parquet(loc)
+    spark.sql("DROP TABLE IF EXISTS ddc_tbl")
+    spark.sql(
+        f"CREATE TABLE ddc_tbl (k int, v string, week int) USING PARQUET LOCATION '{loc}'"
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "d.psv").write_text("1|a|5\nBADKEY|b|9\n")
+
+    base = {
+        "source_dir": str(landing),
+        "file_format": "dsv",
+        "delimiter": "|",
+        "has_header": False,
+        "target_table": "ddc_tbl",
+    }
+    algo = FullLoad(spark, ParamsFile(base))
+    df = algo.read()[0]
+    assert df.columns == ["k", "v"]  # week dropped under FAILFAST default
+
+    algo2 = FullLoad(spark, ParamsFile({**base, "drop_date_derived_columns": False}))
+    assert algo2.read()[0].columns == ["k", "v", "week"]
+
+    algo3 = FullLoad(
+        spark,
+        ParamsFile(
+            {**base, "reader_mode": "PERMISSIVE", "add_corrupt_record_column": True}
+        ),
+    )
+    df3 = algo3.read()[0]
+    # PERMISSIVE keeps derived-name columns by default (the reference's
+    # isDropDerivedColumns defaults true only under FAILFAST)
+    assert df3.columns == ["k", "v", "week", "_corrupt_record"]
+    bad = [r for r in df3.collect() if r._corrupt_record is not None]
+    assert len(bad) == 1 and "BADKEY" in bad[0]._corrupt_record
+    spark.sql("DROP TABLE ddc_tbl")
+
+
+def test_full_materialization_sorting_ignore_override(spark, tmp_path):
+    """sorting_ignore_folder_names overrides the non-version token list
+    (MaterializationConfiguration.scala:89-92): a stray dir that sorts
+    above every version stamp poisons retention unless ignored."""
+    from m3d_engine_spark.operators.materialization import FullMaterialization
+
+    spark.createDataFrame([(1,)], "k int").createOrReplaceTempView("sio_source")
+    base = tmp_path / "data"
+    base.mkdir()
+    for d in ("20200103_114329_UTC", "20200201_103210_UTC", "zzz_manual"):
+        (base / d).mkdir()
+        (base / d / "f.parquet").touch()
+
+    params = {
+        "source_table": "sio_source",
+        "target_dir": str(base),
+        "target_partitions": [],
+        "num_versions_to_retain": 1,
+        "sorting_ignore_folder_names": [
+            "_$folder$", "=", ".parquet", "_SUCCESS", "_tmp_", "zzz",
+        ],
+    }
+    algo = FullMaterialization(spark, ParamsFile(params))
+    algo.run()
+    remaining = sorted(p.name for p in base.iterdir())
+    v = algo.next_location.rsplit("/", 1)[1]
+    # zzz_manual is no version: cleaned as a leftover; newest real
+    # version + the new one retained
+    assert remaining == sorted(["20200201_103210_UTC", v]), remaining
