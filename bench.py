@@ -31,6 +31,39 @@ from m3d_engine_spark.session import build_session
 
 
 def main() -> int:
+    # Concurrency guard: two sweeps on one host contaminate each other
+    # (round 12 measured a 1.2-1.3x inflation when a second sweep or the
+    # test lanes overlapped). Refuse to start while another bench holds
+    # the lock; stale locks (dead pid) are reclaimed.
+    lock_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench.lock")
+    try:
+        fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+    except FileExistsError:
+        try:
+            other = int(open(lock_path).read().strip() or "0")
+        except (OSError, ValueError):
+            other = 0
+        alive = False
+        if other:
+            try:
+                os.kill(other, 0)
+                alive = True
+            except (ProcessLookupError, PermissionError):
+                alive = False
+        if alive:
+            print(f"another bench.py (pid {other}) is running; "
+                  "refusing to contaminate its numbers", file=sys.stderr)
+            return 3
+        os.remove(lock_path)  # stale lock from a dead run
+        with open(lock_path, "w") as fh:
+            fh.write(str(os.getpid()))
+    import atexit
+
+    atexit.register(lambda: os.path.exists(lock_path) and os.remove(lock_path))
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
