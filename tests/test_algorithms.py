@@ -674,3 +674,58 @@ def test_pipeline_params_file_steps(spark, tmp_path, sf_dir):
         ]})
     import os
     assert not os.path.exists(out2)
+
+
+def test_pipeline_llm_curation_chain(spark, tmp_path, sf_dir):
+    """A production-shaped LLM chain in ONE Pipeline params file:
+    CurationPipeline (gate+scrub+split) → FuzzyDedup over the cleaned
+    corpus → IncrementalDedup artifact materialization — the three
+    curation CLIs composed fail-fast in one session, equal to the
+    sequential dispatches."""
+    cleaned = str(tmp_path / "cleaned")
+    deduped = str(tmp_path / "deduped")
+    art = str(tmp_path / "artifacts")
+    _run(spark, "Pipeline", {"steps": [
+        {"algorithm": "CurationPipeline", "params": {
+            "source_location": f"{sf_dir}/documents.parquet",
+            "id_column": "doc_id",
+            "text_column": "text",
+            "min_tokens": 10,
+            "scrub": True,
+            "split_weights": [0.8, 0.1, 0.1],
+            "target_location": cleaned,
+        }},
+        {"algorithm": "FuzzyDedup", "params": {
+            "source_location": cleaned,
+            "threshold": 0.5,
+            "target_location": deduped,
+        }},
+        {"algorithm": "IncrementalDedup", "params": {
+            "action": "materialize",
+            "source_location": deduped,
+            "artifact_location": art,
+        }},
+    ]})
+    import os
+
+    n_clean = spark.read.parquet(cleaned).count()
+    n_dedup = spark.read.parquet(deduped).count()
+    assert 0 < n_dedup <= n_clean
+    assert os.path.isdir(f"{art}/bands") and os.path.exists(f"{art}/_meta.json")
+
+    # sequential dispatch of the same three steps matches exactly
+    seq_clean = str(tmp_path / "s_cleaned")
+    seq_dedup = str(tmp_path / "s_deduped")
+    _run(spark, "CurationPipeline", {
+        "source_location": f"{sf_dir}/documents.parquet",
+        "id_column": "doc_id", "text_column": "text", "min_tokens": 10,
+        "scrub": True, "split_weights": [0.8, 0.1, 0.1],
+        "target_location": seq_clean,
+    })
+    _run(spark, "FuzzyDedup", {
+        "source_location": seq_clean, "threshold": 0.5,
+        "target_location": seq_dedup,
+    })
+    a = spark.read.parquet(deduped)
+    b = spark.read.parquet(seq_dedup).select(*a.columns)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
