@@ -180,6 +180,8 @@ HEADLINERS = {
     "pagerank": "Integer fixed-point PageRank: the (src, dst, outdeg) relation is persisted once and read from cache in each of the 5 rounds (InMemoryTableScan, pinned); a round is ONE equi-join on src + ONE sum aggregate on dst — state never exceeds one long per node, nothing quadratic. Exact long arithmetic on a 10^12 lattice makes the result bit-identical across engines/partitionings — float PageRank loses to summation order in round 2. NOTE: the committed PLANS.md shows the post-checkpoint scan (the entry materializes eagerly); the recurrence shape is pinned from the checkpoint=False form in tests/test_plans.py.",
     "ivfpq_search": "IVF-PQ (FAISS IVFx,PQy shape): corpus prep computes (cell, codes) in ONE zero-exchange projection against two broadcast 1-row models (coarse cells + codebook); the probe stage is a cell-keyed BroadcastHashJoin against the exploded (query, probed-cell) list — candidates are n_probe/n_cells of the corpus, never all of it (at write time: a cell-partitioned codes table makes this a pruned scan); ADC shortlist is WindowGroupLimit; exact L2 re-rank reads vectors for candidates only. Full-probe == pq_search equivalence and clustered-data recall >= 0.9 pinned; the near-uniform testdata embeddings are the documented adversarial case for coarse pruning.",
     "repeated_spans": "ExactSubstr-style span removal (fixed-L window relaxation of the suffix-array spans): per-position md5(L-gram) projection, ONE gram-keyed exchange for the count + packed-integer min winner election (map-side combinable), occurrences x repeated-grams equi-join on the 16-byte hash, covered-position fan-out + rebuild keyed on the doc id — gram TEXT never crosses an exchange, document text rides only the first projection and the final rebuild join; nothing quadratic (pinned).",
+    "market_share": "TPC-H Q8 analogue (round 11): six BroadcastHashJoins stack the dimensions onto ONE lineitem scan — the fact table shuffles exactly once, for the year aggregate; the conditional NATION_3 numerator folds into the SAME HashAggregate as the denominator (one pass, no self-join); region/type filters push into their dimension scans.",
+    "product_profit": "TPC-H Q9 analogue (round 11): part's LIKE filter pushes into the part scan (StringContains in PushedFilters, pinned) and broadcasts with supplier+nation; one SMJ against orders carries the fact; profit aggregates per (nation, year) with map-side partials.",
 }
 
 # Plans not reachable through queries() verbatim: built by a callable.
