@@ -37,11 +37,18 @@ def main() -> int:
     # the lock; stale locks (dead pid) are reclaimed.
     lock_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench.lock")
-    try:
-        fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
-    except FileExistsError:
+
+    def _try_acquire() -> bool:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return True
+        except FileExistsError:
+            return False
+
+    acquired = _try_acquire()
+    if not acquired:
         try:
             other = int(open(lock_path).read().strip() or "0")
         except (OSError, ValueError):
@@ -51,18 +58,34 @@ def main() -> int:
             try:
                 os.kill(other, 0)
                 alive = True
-            except (ProcessLookupError, PermissionError):
+            except ProcessLookupError:
                 alive = False
+            except PermissionError:
+                alive = True  # EPERM = exists, owned by another user
         if alive:
             print(f"another bench.py (pid {other}) is running; "
                   "refusing to contaminate its numbers", file=sys.stderr)
             return 3
-        os.remove(lock_path)  # stale lock from a dead run
-        with open(lock_path, "w") as fh:
-            fh.write(str(os.getpid()))
+        try:
+            os.remove(lock_path)  # stale lock from a dead run
+        except FileNotFoundError:
+            pass
+        # re-acquire atomically: if a racing process grabbed it between
+        # remove and here, defer to it rather than double-sweeping
+        if not _try_acquire():
+            print("lost the bench-lock race to another process; exiting",
+                  file=sys.stderr)
+            return 3
     import atexit
 
-    atexit.register(lambda: os.path.exists(lock_path) and os.remove(lock_path))
+    def _release() -> None:
+        try:
+            if open(lock_path).read().strip() == str(os.getpid()):
+                os.remove(lock_path)
+        except OSError:
+            pass
+
+    atexit.register(_release)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

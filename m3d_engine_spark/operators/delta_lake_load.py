@@ -94,10 +94,20 @@ def merge_into_delta(
     and business_key_match_operator dials."""
     if not HAS_DELTA:
         raise ModuleNotFoundError("delta-spark not available in this environment")
+    from m3d_engine_spark.plans.partitions import sql_literal
+
     cond = merge_condition(business_keys, affected_partitions, operator=match_operator)
     rm_q = "`" + record_mode_column.replace("`", "``") + "`"
-    deletes = tuple(records_to_delete) if records_to_delete else DELETE_RECORD_MODES
-    is_delete = f"newData.{rm_q} IN ({', '.join(repr(m) for m in deletes)})"
+    deletes = (
+        tuple(records_to_delete) if records_to_delete is not None
+        else DELETE_RECORD_MODES
+    )
+    # sql_literal, not repr: these are user-configurable values now and
+    # repr('D\'EL') would emit double-quoted (identifier) SQL
+    is_delete = (
+        "false" if not deletes
+        else f"newData.{rm_q} IN ({', '.join(sql_literal(m) for m in deletes)})"
+    )
     (
         DeltaTable.forPath(spark, delta_table_path)
         .alias("currentData")
@@ -246,7 +256,8 @@ class DeltaLakeLoadAlgorithm(Algorithm):
         # so they survive as duplicates; golden-pinned both ways).
         apm = bool(p.get_optional("affected_partitions_merge", True))
         merge_keys = bk if apm else bk + [t for t in targets]
-        rtd = tuple(p.get_optional("records_to_delete") or DELETE_RECORD_MODES)
+        _rtd_raw = p.get_optional("records_to_delete")
+        rtd = tuple(_rtd_raw) if _rtd_raw is not None else DELETE_RECORD_MODES
         bk_op = str(p.get_optional("business_key_match_operator", "AND"))
 
         if delta_dir is None:
@@ -254,9 +265,10 @@ class DeltaLakeLoadAlgorithm(Algorithm):
             # merge directly against the lake target.
             lake = self.spark.read.parquet(target) if lake_exists else None
             if lake is None:
-                result = condensed.filter(
+                result = condensed if not rtd else condensed.filter(
                     F.col(rm).isNull() | ~F.col(rm).isin(*rtd)
-                ).drop(*drop_cols)
+                )
+                result = result.drop(*drop_cols)
                 return [result]
             if targets:
                 lake = lake.filter(partition_predicate(self.affected))
@@ -268,9 +280,10 @@ class DeltaLakeLoadAlgorithm(Algorithm):
         if is_init:
             # Init load (DeltaLakeLoad.scala:101-120): deletes dropped,
             # technical/recordmode columns projected away.
-            init_df = condensed.filter(
+            init_df = condensed if not rtd else condensed.filter(
                 F.col(rm).isNull() | ~F.col(rm).isin(*rtd)
-            ).drop(*drop_cols)
+            )
+            init_df = init_df.drop(*drop_cols)
             if HAS_DELTA:
                 # The init write must itself be format("delta") — a
                 # parquet init would leave a table that never takes the
@@ -337,7 +350,8 @@ class DeltaLakeLoadAlgorithm(Algorithm):
                     on=merge_keys,
                     how="left",
                 )
-            merged = merge_delta(scoped, condensed, merge_keys, record_mode_column=rm)
+            merged = merge_delta(scoped, condensed, merge_keys, record_mode_column=rm,
+                                 records_to_delete=rtd, match_operator=bk_op)
             # Plain OverwritePartitions: schema evolution was applied
             # explicitly above; ...WithAddedColumns would pad the merged
             # result back DOWN to the pre-evolution on-disk schema.

@@ -96,7 +96,15 @@ def merge_delta(
     (:43) — OR matching turns the anti-join non-equi, so it's only the
     dial for degenerate single-key-ish schemas, same as the reference.
     """
-    if match_operator.upper() == "OR" and len(business_keys) > 1:
+    op = match_operator.strip().upper()
+    if op not in ("AND", "OR"):
+        # same validation as merge_condition — a typo'd operator must not
+        # silently run AND matching on this backend while raising on the
+        # delta-spark one
+        raise ValueError(
+            f"business_key_match_operator must be AND or OR, got {match_operator!r}"
+        )
+    if op == "OR" and len(business_keys) > 1:
         cond = None
         for k in business_keys:
             term = active[k].eqNullSafe(condensed[k])
@@ -107,8 +115,11 @@ def merge_delta(
             condensed.select(*business_keys), on=list(business_keys), how="left_anti"
         )
     if records_to_delete is not None:
-        c = F.col(record_mode_column)
-        upserts = condensed.filter(c.isNull() | ~c.isin(*records_to_delete))
+        if not records_to_delete:  # explicit []: nothing is a delete
+            upserts = condensed
+        else:
+            c = F.col(record_mode_column)
+            upserts = condensed.filter(c.isNull() | ~c.isin(*records_to_delete))
     else:
         upserts = condensed.filter(_is_upsert(record_mode_column))
     aligned = add_missing_columns(upserts, active.schema)

@@ -59,10 +59,21 @@ class FullLoad(Algorithm):
                 # HadoopLoadHelper.buildTimestampedTablePath:14-17):
                 # versions are siblings named <base_data_dir>_<stamp>
                 # under the table root, e.g. data_20180505020927123.
+                if root is None:
+                    raise RuntimeError(
+                        f"table {self.table} has no resolvable location; "
+                        "cannot derive the base_data_dir version root"
+                    )
                 import time as _time
 
                 name = self.params.get_string("base_data_dir").strip("/")
-                stamp = _time.strftime("%Y%m%d%H%M%S") + f"{int(_time.time()*1000)%1000:03d}"
+                # one clock read, UTC like next_version_dir — a second
+                # read for the ms part could straddle a second boundary
+                t = _time.time()
+                stamp = (
+                    _time.strftime("%Y%m%d%H%M%S", _time.gmtime(t))
+                    + f"{int(t * 1000) % 1000:03d}"
+                )
                 self.next_location = f"{root}/{name}_{stamp}"
             else:
                 base = self.params.get_optional("target_dir") or root

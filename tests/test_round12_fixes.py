@@ -418,3 +418,50 @@ def test_full_materialization_sorting_ignore_override(spark, tmp_path):
     # zzz_manual is no version: cleaned as a leftover; newest real
     # version + the new one retained
     assert remaining == sorted(["20200201_103210_UTC", v]), remaining
+
+
+def test_merge_delta_empty_delete_set_and_bad_operator(spark):
+    """Second-review regressions: records_to_delete=[] means NOTHING is
+    a delete (not 'use the default set'); an invalid match operator
+    raises on the fallback backend exactly like the delta-spark one."""
+    import pytest
+
+    from m3d_engine_spark.operators.delta_load import merge_delta
+
+    active = spark.createDataFrame([(1, "old")], "k int, v string")
+    delta = spark.createDataFrame(
+        [(1, "R", "kept")], "k int, recordmode string, v string"
+    )
+    # default semantics: R is a delete -> row vanishes
+    out_default = merge_delta(active, delta, ["k"]).collect()
+    assert out_default == []
+    # explicit []: R is NOT a delete -> row upserts
+    out_empty = merge_delta(active, delta, ["k"], records_to_delete=[]).collect()
+    assert [(r.k, r.v) for r in out_empty] == [(1, "kept")]
+    with pytest.raises(ValueError, match="AND or OR"):
+        merge_delta(active, delta, ["k"], match_operator="XOR")
+
+
+def test_delta_lake_empty_records_to_delete_config(spark, tmp_path):
+    """The algorithm-level config {'records_to_delete': []} must reach
+    the init filter as an empty set: delete-mode rows survive."""
+    from m3d_engine_spark.operators.delta_lake_load import DeltaLakeLoadAlgorithm
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, 100, "R")], "k int, ts int, recordmode string"
+    ).write.parquet(str(src))
+    out = str(tmp_path / "lake")
+    DeltaLakeLoadAlgorithm(
+        spark,
+        ParamsFile(
+            {
+                "source_location": str(src),
+                "business_key": ["k"],
+                "technical_key": ["ts"],
+                "target_location": out,
+                "records_to_delete": [],
+            }
+        ),
+    ).run()
+    assert spark.read.parquet(out).count() == 1
