@@ -30,13 +30,14 @@ import __spark_entry__ as entry_mod
 from m3d_engine_spark.session import build_session
 
 
-def main() -> int:
-    # Concurrency guard: two sweeps on one host contaminate each other
-    # (round 12 measured a 1.2-1.3x inflation when a second sweep or the
-    # test lanes overlapped). Refuse to start while another bench holds
-    # the lock; stale locks (dead pid) are reclaimed.
-    lock_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".bench.lock")
+def acquire_bench_lock(lock_path: str) -> int:
+    """Take the single-sweep pid lock. Returns 0 on success, 3 when a
+    live bench holds it (or the reclaim race was lost). Concurrency
+    guard: two sweeps on one host contaminate each other (round 12
+    measured a 1.2-1.3x inflation when a second sweep or the test lanes
+    overlapped). Stale locks (dead pid) are reclaimed via atomic rename
+    so a racing reclaimer can never be tricked into deleting a LIVE
+    lock."""
 
     def _try_acquire() -> bool:
         try:
@@ -66,12 +67,37 @@ def main() -> int:
             print(f"another bench.py (pid {other}) is running; "
                   "refusing to contaminate its numbers", file=sys.stderr)
             return 3
+        # Reclaim the stale lock via atomic rename, not remove: a plain
+        # remove races — another process can reclaim and re-create the
+        # lock between our liveness check and the remove, and we'd then
+        # delete the LIVE lock and double-sweep. rename() moves exactly
+        # the inode we checked; if a racer already renamed it away the
+        # rename fails and we defer.
+        claimed = lock_path + f".reclaim.{os.getpid()}"
         try:
-            os.remove(lock_path)  # stale lock from a dead run
-        except FileNotFoundError:
-            pass
+            os.rename(lock_path, claimed)
+        except OSError:
+            claimed = None  # someone else reclaimed first
+        if claimed is not None:
+            try:
+                still_stale = open(claimed).read().strip() == str(other)
+            except OSError:
+                still_stale = False
+            if not still_stale:
+                # We renamed away a LIVE lock a racer created after our
+                # liveness check — put it back (link fails harmlessly if
+                # yet another lock appeared meanwhile) and defer.
+                try:
+                    os.link(claimed, lock_path)
+                except OSError:
+                    pass
+                os.remove(claimed)
+                print("bench lock changed hands during reclaim; exiting",
+                      file=sys.stderr)
+                return 3
+            os.remove(claimed)
         # re-acquire atomically: if a racing process grabbed it between
-        # remove and here, defer to it rather than double-sweeping
+        # the reclaim and here, defer to it rather than double-sweeping
         if not _try_acquire():
             print("lost the bench-lock race to another process; exiting",
                   file=sys.stderr)
@@ -86,6 +112,15 @@ def main() -> int:
             pass
 
     atexit.register(_release)
+    return 0
+
+
+def main() -> int:
+    lock_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench.lock")
+    rc = acquire_bench_lock(lock_path)
+    if rc:
+        return rc
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -106,11 +106,18 @@ class FullLoad(Algorithm):
                 # keep their raw line in _corrupt_record.
                 from pyspark.sql.types import StringType, StructField
 
+                # The appended field must carry the EFFECTIVE corrupt
+                # column name: a caller-supplied
+                # columnNameOfCorruptRecord wins over the default, and
+                # a schema field under a different name would silently
+                # drop the raw malformed lines.
+                corrupt_col = p.setdefault(
+                    "columnNameOfCorruptRecord", "_corrupt_record"
+                )
                 schema = StructType(
                     list(schema.fields)
-                    + [StructField("_corrupt_record", StringType(), True)]
+                    + [StructField(corrupt_col, StringType(), True)]
                 )
-                p.setdefault("columnNameOfCorruptRecord", "_corrupt_record")
             fmt = format_from_params(p)
             fmt.schema = schema
         else:
@@ -232,8 +239,30 @@ class FullLoad(Algorithm):
                 r"\d{8}[_]?\d{6}", prev_name
             )
             if versioned_layout:
+                # Delete ONLY entries that are themselves engine
+                # version artifacts — a name matching one of the two
+                # version-dir schemes (next_version_dir's
+                # YYYYmmdd_HHMMSS, or base_data_dir's <name>_<17-digit
+                # stamp>), optionally with an EMR '$folder$' marker
+                # suffix. Anything else in the root (an unrelated
+                # sibling dataset on a shared parent, a _SUCCESS file)
+                # is NOT a leftover and must survive: a flat table
+                # whose own dir name happens to look stamped would
+                # otherwise trip versioned_layout on its second run
+                # and wipe every sibling.
+                if self.params.has("base_data_dir"):
+                    stem = _re.escape(
+                        self.params.get_string("base_data_dir").strip("/")
+                    )
+                    version_name = _re.compile(
+                        rf"{stem}_\d{{17}}(_\$folder\$)?"
+                    )
+                else:
+                    version_name = _re.compile(
+                        r"(?:\d{8}_\d{6}|.+_\d{17})(_\$folder\$)?"
+                    )
                 for entry in self.dfs.list_entries(base):
-                    if keep not in entry:
+                    if keep not in entry and version_name.fullmatch(entry):
                         self.dfs.delete(f"{base}/{entry}")
 
     def update_statistics(self) -> None:

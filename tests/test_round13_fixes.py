@@ -1,0 +1,199 @@
+"""Regression tests for the round-12 ADVICE findings.
+
+Pins:
+- FullLoad leftover cleanup deletes ONLY engine version artifacts
+  (stamped dirs / $folder$ markers), never unrelated sibling datasets
+  sharing the table root — the round-12 code deleted every entry except
+  the new version dir once the previous location's name looked stamped,
+  which on a flat onboarded table with a shared parent would wipe other
+  tables on the second run.
+- The PERMISSIVE corrupt-record schema field follows the EFFECTIVE
+  columnNameOfCorruptRecord reader option, not the literal
+  '_corrupt_record'.
+- bench.py stale-lock reclaim is rename-based: a racer re-creating the
+  lock between the liveness check and the reclaim can no longer have
+  its live lock deleted out from under it.
+"""
+
+import os
+import re
+
+import pytest
+
+from m3d_engine_spark.config import ParamsFile
+
+
+def _mk_table(spark, name, loc, rows):
+    spark.createDataFrame(rows, "k int, v string").write.parquet(loc)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} (k int, v string) USING PARQUET LOCATION '{loc}'"
+    )
+
+
+def test_full_load_cleanup_spares_sibling_datasets(spark, tmp_path):
+    """The ADVICE scenario: a flat onboarded table whose dir name looks
+    stamped, base_data_dir configured, shared root. Run 1 versions it;
+    run 2 sees the stamped previous name and runs cleanup — which must
+    remove only data_<stamp> leftovers, not the sibling dataset."""
+    from m3d_engine_spark.operators.full_load import FullLoad
+
+    root = tmp_path / "shared_db_root"
+    # the sibling dataset that must survive
+    sibling = str(root / "customers")
+    spark.createDataFrame([(9, "s")], "k int, v string").write.parquet(sibling)
+    # flat table whose own dir name carries a stamp-looking token
+    _mk_table(spark, "flat_tbl", str(root / "orders_20200101_000000"), [(1, "a")])
+    # plus a stray leftover version dir from a "crashed" earlier load,
+    # and a stray non-version file — only the former may be cleaned
+    (root / "data_20190101000000000").mkdir()
+    (root / "data_20190101000000000_$folder$").write_text("")
+    (root / "notes.txt").write_text("keep me")
+
+    src = str(tmp_path / "landing")
+    spark.createDataFrame([(2, "b")], "k int, v string").write.parquet(src)
+    params = {
+        "source_dir": src,
+        "file_format": "parquet",
+        "target_table": "flat_tbl",
+        "base_data_dir": "data",
+    }
+    FullLoad(spark, ParamsFile(params)).run()
+    # run 1: previous location was flat -> no cleanup; version dir made
+    entries = set(os.listdir(root))
+    assert "customers" in entries and "notes.txt" in entries
+
+    FullLoad(spark, ParamsFile(params)).run()
+    entries = set(os.listdir(root))
+    # run 2: previous name data_<17 digits> -> versioned layout ->
+    # cleanup ran. The sibling dataset and the stray file survive; the
+    # old version dirs, the crash leftover, and its $folder$ marker are
+    # gone; exactly one live version remains.
+    assert "customers" in entries, entries
+    assert "notes.txt" in entries, entries
+    assert "data_20190101000000000" not in entries
+    assert "data_20190101000000000_$folder$" not in entries
+    versions = [e for e in entries if re.fullmatch(r"data_\d{17}", e)]
+    assert len(versions) == 1
+    assert spark.table("flat_tbl").count() == 1
+    spark.sql("DROP TABLE flat_tbl")
+
+
+def test_full_load_cleanup_target_dir_scheme(spark, tmp_path):
+    """target_dir layout (YYYYmmdd_HHMMSS version names): cleanup keeps
+    non-stamped entries even though versioned_layout is explicit."""
+    from m3d_engine_spark.operators.full_load import FullLoad
+
+    vroot = tmp_path / "versions"
+    loc = str(vroot / "20200101_000000")
+    _mk_table(spark, "vd_tbl", loc, [(1, "a")])
+    (vroot / "README").write_text("not a version")
+    (vroot / "20190101_000000").mkdir()  # stale leftover
+
+    src = str(tmp_path / "landing2")
+    spark.createDataFrame([(2, "b")], "k int, v string").write.parquet(src)
+    FullLoad(
+        spark,
+        ParamsFile(
+            {
+                "source_dir": src,
+                "file_format": "parquet",
+                "target_table": "vd_tbl",
+                "target_dir": str(vroot),
+            }
+        ),
+    ).run()
+    entries = set(os.listdir(vroot))
+    assert "README" in entries, entries
+    assert "20190101_000000" not in entries
+    assert len([e for e in entries if re.fullmatch(r"\d{8}_\d{6}", e)]) == 1
+    spark.sql("DROP TABLE vd_tbl")
+
+
+def test_corrupt_record_column_custom_name(spark, tmp_path):
+    """A user-supplied columnNameOfCorruptRecord names the appended
+    schema field too — malformed raw lines land in THAT column."""
+    from m3d_engine_spark.operators.full_load import FullLoad
+
+    loc = str(tmp_path / "t")
+    _mk_table(spark, "ccn_tbl", loc, [(1, "a")])
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "d.psv").write_text("1|a\nBADKEY|b|extra|cols\n")
+
+    algo = FullLoad(
+        spark,
+        ParamsFile(
+            {
+                "source_dir": str(landing),
+                "file_format": "dsv",
+                "delimiter": "|",
+                "has_header": False,
+                "target_table": "ccn_tbl",
+                "reader_mode": "PERMISSIVE",
+                "add_corrupt_record_column": True,
+                "columnNameOfCorruptRecord": "badrow",
+            }
+        ),
+    )
+    df = algo.read()[0]
+    assert "badrow" in df.columns and "_corrupt_record" not in df.columns
+    bad = [r for r in df.collect() if r.badrow is not None]
+    assert len(bad) == 1 and "BADKEY" in bad[0].badrow
+    spark.sql("DROP TABLE ccn_tbl")
+
+
+# ---------------------------------------------------------------- bench lock
+
+
+def test_bench_lock_acquire_and_stale_reclaim(tmp_path):
+    import bench
+
+    lock = str(tmp_path / ".bench.lock")
+    assert bench.acquire_bench_lock(lock) == 0
+    assert open(lock).read().strip() == str(os.getpid())
+    os.remove(lock)
+
+    # stale lock from a dead pid is reclaimed
+    with open(lock, "w") as f:
+        f.write("999999999")  # beyond pid_max -> never alive
+    assert bench.acquire_bench_lock(lock) == 0
+    assert open(lock).read().strip() == str(os.getpid())
+    os.remove(lock)
+
+
+def test_bench_lock_refuses_live_holder(tmp_path):
+    import bench
+
+    lock = str(tmp_path / ".bench.lock")
+    with open(lock, "w") as f:
+        f.write("1")  # pid 1 exists; os.kill(1,0) -> EPERM -> alive
+    assert bench.acquire_bench_lock(lock) == 3
+    assert open(lock).read().strip() == "1"  # untouched
+    os.remove(lock)
+
+
+def test_bench_lock_reclaim_respects_racer(tmp_path, monkeypatch):
+    """The TOCTOU fix: if a racer replaces the stale lock with a LIVE
+    one between our liveness check and the reclaim rename, we must not
+    delete it — we restore it and defer."""
+    import bench
+
+    lock = str(tmp_path / ".bench.lock")
+    with open(lock, "w") as f:
+        f.write("999999999")  # stale
+
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        # simulate the racer winning just before our rename: the stale
+        # lock is gone and a live lock (pid 1) sits at the path
+        with open(lock, "w") as f:
+            f.write("1")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(bench.os, "rename", racing_rename)
+    assert bench.acquire_bench_lock(lock) == 3
+    # the racer's live lock is back in place, not deleted
+    assert os.path.exists(lock) and open(lock).read().strip() == "1"
+    os.remove(lock)
