@@ -3766,6 +3766,65 @@ FROM clean
 """
 
 
+def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr with TRUE suffix ordering (suffix.py::
+    exact_substr_dedup): the same removal contract as repeated_spans —
+    8-token windows repeated corpus-wide stripped everywhere but their
+    first occurrence — but window equality decided by prefix-doubling
+    equality classes over the token lattice (Manber-Myers /
+    Karp-Miller-Rosenberg), not md5: zero collision budget. log2(8)=3
+    rounds, each two keyed exchanges; classes are named by their
+    minimum (doc,pos) member so no global sort or rank packing exists
+    anywhere. The oracle is the md5 formulation — on any corpus
+    without an md5 collision the two are definitionally identical,
+    which the driver check then certifies end-to-end."""
+    from m3d_engine_spark.operators.suffix import exact_substr_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substr_dedup(docs, "doc_id", "text", span_tokens=8)
+
+
+def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated spans (suffix.py::exact_substr_spans): every
+    position inside any corpus-repeated 8-token window (canonical
+    site included), merged into per-document maximal intervals with
+    the islands idiom — the paper's arbitrary-length span report,
+    free of fixed-window truncation. Islands window partitions by
+    doc; exchanges are (class) -> (doc,pos) -> (doc)."""
+    from m3d_engine_spark.operators.suffix import exact_substr_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substr_spans(docs, "doc_id", "text", span_tokens=8)
+
+
+# Islands in SQL: covered positions per doc; pos - row_number is
+# constant along a maximal run. No canonical exclusion — a repeated
+# span exists at every occurrence site.
+_SQL_EXACT_SUBSTR_SPANS = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+), occ AS (
+  SELECT doc_id, u.i AS pos,
+         md5(array_to_string(list_slice(tk, u.i + 1, u.i + 8), ' ')) AS gh
+  FROM t CROSS JOIN unnest(range(0, greatest(len(tk) - 7, 0))) AS u(i)
+), rep AS (
+  SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2
+), covered AS (
+  SELECT DISTINCT o.doc_id, u.cp
+  FROM occ o JOIN rep r ON o.gh = r.gh
+  CROSS JOIN unnest(range(o.pos, o.pos + 8)) AS u(cp)
+), isl AS (
+  SELECT doc_id, cp,
+         cp - row_number() OVER (PARTITION BY doc_id ORDER BY cp) AS grp
+  FROM covered
+)
+SELECT doc_id, CAST(min(cp) AS INT) AS span_start,
+       CAST(max(cp) AS INT) AS span_end,
+       CAST(count(*) AS INT) AS span_len
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval (retrieval.py::bm25_topk): probe queries
     (first 5 tokens of every 100th doc) scored against the corpus with
@@ -10540,45 +10599,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The round driver records correctness rows for the FIRST 50 entries of
-# queries() only, so the registry rotates each round. As of round 11 every
-# one of the 205 entries has a driver row (rotation debt zero); the rotation
-# is purely mechanical: each round, move the first 50 names to the tail so
-# the next window is always the 50 stalest driver rows (any NEW entry is
-# fronted first, displacing the window tail to the next round).
-# Round-11 recap (per CORRECTNESS_r11.json): four new entries were fronted
-# (dedup_advisor, jaccard_advisor, market_share, product_profit), so only
-# 41 r7-cohort names fit that window and FOUR slipped to this round
-# (sq_quantize, temperature_mixture, top_supplier, top_terms).
+# queries() only, so the registry rotates each round. As of round 12 every
+# one of the (then) 205 entries has a green driver row on its latest
+# appearance (rotation debt zero); the rotation is purely mechanical:
+# each round, move the first 50 names to the tail so the next window is
+# always the 50 stalest driver rows (any NEW entry is fronted first,
+# displacing the window tail to the next round). Round 13 fronts the two
+# new suffix-tier entries (exact_substr, exact_substr_spans → 207 total),
+# so two r9-cohort names slip to the r14 window.
 _ROTATION_FRONT = [
-    # ---- round-12 window (first 50): the four r7 names that slipped out
-    # of the r11 window, the r7 tail, then the r8 cohort head ----
-    "sq_quantize", "temperature_mixture", "top_supplier", "top_terms",
-    "triangle_count", "two_stage_ann", "unigram_lm", "zorder_key",
-    "audio_chunks", "basket_rules", "benford_audit", "blame_supplier",
-    "bloom_prune", "classifier_calibration", "countmin_audit",
-    "embedding_cov", "event_transitions", "fertility_stats", "fk_audit",
-    "grouped_ols", "hilbert_key", "hits_scores", "hybrid_retrieval",
-    "image_tiles", "interp_lm", "interval_join", "ivfpq_search",
-    "join_estimate", "kcore_nodes", "kmeans_train", "label_spread",
-    "last_touch", "length_batches", "lsh_calibration", "mmr_diversify",
-    "negative_sampling", "ngram_novelty", "pagerank", "phrase_search",
-    "ppr_expand", "pq_search", "pq_topk", "psi_drift", "quantile_normalize",
-    "random_walks", "rank_fusion", "rank_weighted_sample", "scd2_history",
-    "script_profile", "session_transcript",
-    # ---- later windows, staleness-ordered (r8 tail, r9, the r10 window,
-    # then the r11 window moved to the tail per the mechanical rule) ----
-    "skew_report", "skipgram_pairs", "vocab_drift", "weighted_sample",
-    "zipf_fit", "budget_select", "kanon_census", "bpe_pairs", "gap_fill",
-    "rolling_med", "ab_welch", "rbo_overlap", "fastss_pairs",
-    "deepwalk_pairs", "feature_hash", "source_overlap", "phash_dedup",
-    "rendezvous_shards", "expectations", "table_checksum", "ndcg_eval",
-    "ann_recall", "large_orders", "brand_share", "top_paths", "histogram2d",
-    "order_dist", "promo_share", "small_qty_revenue", "returned_items",
-    "untapped_customers", "disjunct_revenue", "grouping_sets_census",
-    "window_suite", "ewma_revenue", "mad_outliers", "bitext_mine",
-    "rfm_segments", "revenue_concentration", "order_gap_stats",
-    "metrics_melt", "daily_spine", "skyline_parts", "attribution_removal",
-    "identity_clusters", "asof_forward", "forecast_backtest", "kaplan_meier",
+    # ---- round-13 window (first 50): the two NEW suffix-tier
+    # entries fronted per the rotation rule, then the stalest 48
+    # (r8 tail, r9 cohort) ----
+    "exact_substr", "exact_substr_spans", "skew_report", "skipgram_pairs",
+    "vocab_drift", "weighted_sample", "zipf_fit", "budget_select",
+    "kanon_census", "bpe_pairs", "gap_fill", "rolling_med", "ab_welch",
+    "rbo_overlap", "fastss_pairs", "deepwalk_pairs", "feature_hash",
+    "source_overlap", "phash_dedup", "rendezvous_shards", "expectations",
+    "table_checksum", "ndcg_eval", "ann_recall", "large_orders", "brand_share",
+    "top_paths", "histogram2d", "order_dist", "promo_share",
+    "small_qty_revenue", "returned_items", "untapped_customers",
+    "disjunct_revenue", "grouping_sets_census", "window_suite", "ewma_revenue",
+    "mad_outliers", "bitext_mine", "rfm_segments", "revenue_concentration",
+    "order_gap_stats", "metrics_melt", "daily_spine", "skyline_parts",
+    "attribution_removal", "identity_clusters", "asof_forward",
+    "forecast_backtest", "kaplan_meier",
+    # ---- later windows, staleness-ordered; the r12 window moved
+    # to the tail per the mechanical rule ----
     "windowed_funnel", "wilson_ci", "cuped_lift", "chi2_independence",
     "mann_whitney", "gini_revenue", "herfindahl", "ledger_balance",
     "active_users", "seasonal_index", "mix_entropy", "price_elasticity",
@@ -10599,14 +10646,27 @@ _ROTATION_FRONT = [
     "bigram_lm", "bm25_topk", "boilerplate_lines", "ccnet_buckets",
     "cohort_retention", "containment_pairs", "contamination_check",
     "curation_pipeline", "data_profile", "dataset_card", "distinct_report",
-    "doc_chunk", "domain_cap", "dsir_select", "epoch_shuffle",
-    "event_anomaly", "frame_sample", "funnel_steps", "fuzzy_dedup_corpus",
-    "gopher_quality", "hard_negatives", "incremental_dedup", "mixture_sample",
-    "nation_volume", "numeric_histogram", "pack_materialize",
-    "paragraph_dedup", "percentile_quality", "pii_scrub", "pq_encode",
-    "props_extract", "quality_classifier", "record_linkage", "repeated_spans",
+    "doc_chunk", "domain_cap", "dsir_select", "epoch_shuffle", "event_anomaly",
+    "frame_sample", "funnel_steps", "fuzzy_dedup_corpus", "gopher_quality",
+    "hard_negatives", "incremental_dedup", "mixture_sample", "nation_volume",
+    "numeric_histogram", "pack_materialize", "paragraph_dedup",
+    "percentile_quality", "pii_scrub", "pq_encode", "props_extract",
+    "quality_classifier", "record_linkage", "repeated_spans",
     "repetition_stats", "robust_scale", "semantic_dedup", "sequence_pack",
     "session_rollup", "sliding_rollup", "snapshot_diff",
+    "sq_quantize", "temperature_mixture", "top_supplier", "top_terms",
+    "triangle_count", "two_stage_ann", "unigram_lm", "zorder_key",
+    "audio_chunks", "basket_rules", "benford_audit", "blame_supplier",
+    "bloom_prune", "classifier_calibration", "countmin_audit", "embedding_cov",
+    "event_transitions", "fertility_stats", "fk_audit", "grouped_ols",
+    "hilbert_key", "hits_scores", "hybrid_retrieval", "image_tiles",
+    "interp_lm", "interval_join", "ivfpq_search", "join_estimate",
+    "kcore_nodes", "kmeans_train", "label_spread", "last_touch",
+    "length_batches", "lsh_calibration", "mmr_diversify", "negative_sampling",
+    "ngram_novelty", "pagerank", "phrase_search", "ppr_expand", "pq_search",
+    "pq_topk", "psi_drift", "quantile_normalize", "random_walks",
+    "rank_fusion", "rank_weighted_sample", "scd2_history", "script_profile",
+    "session_transcript",
 ]
 
 
@@ -10651,6 +10711,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "sliding_rollup": q_sliding_rollup,
         "repeated_spans": q_repeated_spans,
+        "exact_substr": q_exact_substr,
+        "exact_substr_spans": q_exact_substr_spans,
         "bm25_topk": q_bm25_topk,
         "zorder_key": q_zorder_key,
         "data_profile": q_data_profile,
@@ -10861,6 +10923,11 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture": _SQL_TEMPERATURE_MIXTURE,
         "sliding_rollup": _SQL_SLIDING_ROLLUP,
         "repeated_spans": _SQL_REPEATED_SPANS,
+        # the exact (hash-free) implementation shares the md5 oracle:
+        # absent an md5 collision they are definitionally identical,
+        # and the driver run certifies exactly that equivalence
+        "exact_substr": _SQL_REPEATED_SPANS,
+        "exact_substr_spans": _SQL_EXACT_SUBSTR_SPANS,
         "bm25_topk": _SQL_BM25_TOPK,
         "zorder_key": _SQL_ZORDER_KEY,
         "data_profile": _SQL_DATA_PROFILE,

@@ -1176,17 +1176,42 @@ def remove_repeated_spans(
     occ = base.select(
         F.col(id_col), F.posexplode(gram_arr).alias("_pos", "_gh")
     )
+    return rebuild_without_repeated_windows(
+        base, occ, id_col, L, min_occurrences, window_key="_gh"
+    )
+
+
+def rebuild_without_repeated_windows(
+    base: DataFrame,
+    occ: DataFrame,
+    id_col: str,
+    span_tokens: int,
+    min_occurrences: int,
+    window_key: str,
+) -> DataFrame:
+    """Shared removal tail of the ExactSubstr family: given the
+    tokenized corpus ``base`` (id, _tk) and a window-occurrence
+    relation ``occ`` (id, _pos, key) whose key is EQUAL exactly when
+    two length-``span_tokens`` windows are duplicates (an md5 gram in
+    :func:`remove_repeated_spans`, an exact suffix-order equality
+    class in ``operators/suffix.py``), elect the canonical minimum
+    (doc, pos) occurrence per repeated key, mark every other
+    occurrence's positions covered, and rebuild each document from its
+    surviving tokens. Topology from the covered step down is keyed on
+    doc — the shuffles are (key) → (doc) regardless of how the window
+    key was produced."""
+    L = int(span_tokens)
     pack = F.struct(
         F.col(id_col).alias("_wid"), F.col("_pos").alias("_wpos")
     )
     rep = (
-        occ.groupBy("_gh")
+        occ.groupBy(window_key)
         .agg(F.count(F.lit(1)).alias("_c"), F.min(pack).alias("_win"))
         .filter(F.col("_c") >= min_occurrences)
-        .select("_gh", "_win")
+        .select(window_key, "_win")
     )
     covered = (
-        occ.join(rep, on="_gh")
+        occ.join(rep, on=window_key)
         .filter(pack != F.col("_win"))
         .select(
             F.col(id_col),

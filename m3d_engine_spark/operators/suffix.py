@@ -1,0 +1,200 @@
+"""Exact suffix-ordering tier: ExactSubstr without hashing.
+
+:func:`remove_repeated_spans` (operators/dedup.py) realizes Lee et
+al. 2022 ("Deduplicating Training Data Makes Language Models Better")
+with md5 window fingerprints — probabilistically exact. This module
+removes the hash entirely: window equality is decided by **prefix
+doubling over the token lattice** (Manber & Myers 1990 suffix-array
+construction, the distributed formulation of Karp-Miller-Rosenberg),
+so two windows compare equal iff their token sequences ARE equal. No
+collision budget, no fingerprint width dial.
+
+Equality classes, not ranks. Classic suffix-array construction needs
+a total ORDER over suffixes, whose distributed form costs a global
+sort (single-task dense-rank bottleneck) or an order-preserving
+integer packing (overflows 64 bits past ~4 G positions — a 100 TB
+corpus has ~10^13). ExactSubstr needs only EQUALITY of fixed-length
+prefixes, and equality classes compact without any global order: a
+class is named by its minimum (doc, pos) member — a groupBy + min,
+map-side combinable, any cluster size. Each doubling round is
+
+    cur (doc, pos, cls_k)                              [state]
+    → self-join on (doc, pos+k) for the mate class     [1 shuffle: doc+pos]
+    → key = struct(cls_k(i), cls_k(i+k))               [narrow]
+    → groupBy key, min (doc,pos) = cls_2k name         [1 shuffle: key]
+    → join back on key                                 [reuses the key exchange]
+
+ceil(log2 L) rounds reach prefix length >= L; for non-power-of-two L
+the final window key is the overlapped pair
+(cls_p(i), cls_p(i + L - p)) with p the largest power of two <= L —
+the standard sparse-table equality trick, one extra shifted join.
+Suffixes never cross document boundaries (the paper's separator
+tokens never match anything); truncated tail suffixes carry a null
+mate class, which equals no real class, so a short prefix can never
+be conflated with a full one.
+
+The reference (adidas/m3d-engine) has no dedup tier at all — this
+module is part of the beyond-reference LLM-pipeline surface, sharing
+its removal tail with operators/dedup.py so the two implementations
+stay contract-identical (pytest pins their equivalence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from m3d_engine_spark.functions.text import tokens
+from m3d_engine_spark.operators.dedup import rebuild_without_repeated_windows
+
+
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+    )
+
+
+def suffix_window_classes(
+    base: DataFrame,
+    id_col: str,
+    span_tokens: int,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Exact equality classes of the length-``span_tokens`` windows of
+    a tokenized corpus ``base`` (id, _tk array<string>).
+
+    Returns (id, _pos, _cls) for every FULL window start (``_pos`` +
+    ``span_tokens`` <= token count); ``_cls`` is a struct<_cd,_cp> —
+    the minimum (doc, pos) holding this window's text — equal across
+    rows iff the windows' token sequences are equal. Prefix doubling:
+    ceil(log2 L) rounds of (shift-join, groupBy-min, join-back), each
+    round two keyed exchanges; lineage is cut with a lazy
+    localCheckpoint every ``checkpoint_every`` rounds (house style of
+    the iterative graph tier) so deep L never re-derives the whole
+    cascade."""
+    L = int(span_tokens)
+    if L < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    rep = F.struct(F.col(id_col).alias("_cd"), F.col("_pos").alias("_cp"))
+    pos = base.select(
+        F.col(id_col),
+        F.size("_tk").alias("_n"),
+        F.posexplode("_tk").alias("_pos", "_tok"),
+    )
+    # round 0: the class of a length-1 prefix is its token; compact the
+    # token string to the (doc,pos) representative once (vocab-keyed
+    # shuffle) so every later exchange moves 12-byte structs, not text.
+    tok_cls = pos.groupBy("_tok").agg(F.min(rep).alias("_cls"))
+    cur = pos.join(tok_cls, on="_tok").select(
+        id_col, "_n", "_pos", "_cls"
+    )
+
+    def _combine(cur: DataFrame, shift: int) -> DataFrame:
+        """Classes of prefix length (k + shift) from classes of length
+        >= max(k, shift) — key = (cls(i), cls(i+shift)); a missing
+        mate (suffix ends inside the window) stays null, which joins
+        equal only to other end-truncated suffixes of the same head."""
+        mate = cur.select(
+            F.col(id_col),
+            (F.col("_pos") - F.lit(shift)).alias("_pos"),
+            F.col("_cls").alias("_cls2"),
+        )
+        joined = cur.join(mate, on=[id_col, "_pos"], how="left").select(
+            id_col,
+            "_n",
+            "_pos",
+            F.struct(F.col("_cls").alias("a"), F.col("_cls2").alias("b")).alias(
+                "_key"
+            ),
+        )
+        named = joined.groupBy("_key").agg(F.min(rep).alias("_cls"))
+        return joined.join(named, on="_key").select(
+            id_col, "_n", "_pos", "_cls"
+        )
+
+    k, rounds = 1, 0
+    while k * 2 <= L:
+        cur = _combine(cur, k)
+        k *= 2
+        rounds += 1
+        if checkpoint_every and rounds % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=False)
+    if k < L:
+        # overlapped final step: windows i..i+L share text iff their
+        # length-k prefixes at i and at i+L-k both agree
+        cur = _combine(cur, L - k)
+    return cur.filter(F.col("_pos") + F.lit(L) <= F.col("_n")).select(
+        id_col, "_pos", "_cls"
+    )
+
+
+def exact_substr_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """ExactSubstr dedup with true suffix ordering: byte-for-byte the
+    :func:`remove_repeated_spans` contract — every length-L window
+    whose text occurs >= ``min_occurrences`` times corpus-wide is
+    removed from all but its minimum (doc, pos) occurrence and
+    documents are rebuilt — but window equality comes from the exact
+    prefix-doubling classes, not md5. Returns
+    (id, clean_text, n_tokens, n_removed)."""
+    base = _tokenized(docs, id_col, text_col)
+    occ = suffix_window_classes(base, id_col, span_tokens)
+    return rebuild_without_repeated_windows(
+        base, occ, id_col, span_tokens, min_occurrences, window_key="_cls"
+    )
+
+
+def exact_substr_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Maximal repeated spans — the paper's reporting view. Every
+    position inside ANY window repeated >= ``min_occurrences`` times
+    (canonical occurrence included: a repeated span exists at every
+    site) is covered; runs of covered positions merge into maximal
+    intervals per document via the islands idiom (pos - row_number is
+    constant on a run), so arbitrary-length repeated regions come out
+    as ONE row each — no fixed-window truncation in the output.
+    Returns (id, span_start, span_end, span_len); every span_len >=
+    span_tokens by construction. Islands window partitions by doc —
+    per-document work, no global ordering."""
+    from pyspark.sql import Window
+
+    L = int(span_tokens)
+    base = _tokenized(docs, id_col, text_col)
+    occ = suffix_window_classes(base, id_col, L)
+    rep = (
+        occ.groupBy("_cls")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_occurrences)
+        .select("_cls")
+    )
+    covered = (
+        occ.join(rep, on="_cls")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(L - 1))
+            ).alias("_cp"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("_cp")
+    return (
+        covered.withColumn("_grp", F.col("_cp") - F.row_number().over(w))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("_cp").cast("int").alias("span_start"),
+            F.max("_cp").cast("int").alias("span_end"),
+            F.count(F.lit(1)).cast("int").alias("span_len"),
+        )
+        .drop("_grp")
+    )
