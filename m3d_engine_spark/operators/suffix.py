@@ -58,7 +58,7 @@ def suffix_window_classes(
     base: DataFrame,
     id_col: str,
     span_tokens: int,
-    checkpoint_every: int = 4,
+    initial_gram: int = 4,
 ) -> DataFrame:
     """Exact equality classes of the length-``span_tokens`` windows of
     a tokenized corpus ``base`` (id, _tk array<string>).
@@ -66,24 +66,39 @@ def suffix_window_classes(
     Returns (id, _pos, _cls) for every FULL window start (``_pos`` +
     ``span_tokens`` <= token count); ``_cls`` is a struct<_cd,_cp> —
     the minimum (doc, pos) holding this window's text — equal across
-    rows iff the windows' token sequences are equal. Prefix doubling:
-    ceil(log2 L) rounds of (shift-join, groupBy-min, join-back), each
-    round two keyed exchanges; lineage is cut with a lazy
-    localCheckpoint every ``checkpoint_every`` rounds (house style of
-    the iterative graph tier) so deep L never re-derives the whole
-    cascade."""
+    rows iff the windows' token sequences are equal. Prefix doubling
+    seeded at length g0 = the largest power of two <= min(L,
+    ``initial_gram``): the seed round groups directly on the raw
+    g0-token text (a ~25-byte key at g0=4 — the same order as an md5
+    fingerprint, but exact), which folds the first log2(g0) doubling
+    rounds into one exchange; every later round moves only 12-byte
+    (doc,pos) class structs. Each round is (shift-join, groupBy-min,
+    join-back) — two keyed exchanges plus the reused key exchange —
+    and lineage is cut with lazy localCheckpoints at every self-join
+    (house style of the iterative graph tier) so deep L never
+    re-derives the whole cascade."""
     L = int(span_tokens)
     if L < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    g0 = 1
+    while g0 * 2 <= min(L, int(initial_gram)):
+        g0 *= 2
     rep = F.struct(F.col(id_col).alias("_cd"), F.col("_pos").alias("_cp"))
+    # seed: per-position g0-gram text (truncated at the doc tail — a
+    # short tail gram is its whole suffix and can never equal a full
+    # one, preserving the terminator semantics of the doubling rounds)
+    grams = F.when(
+        F.size("_tk") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_tk") - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i + 1, g0)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     pos = base.select(
         F.col(id_col),
         F.size("_tk").alias("_n"),
-        F.posexplode("_tk").alias("_pos", "_tok"),
+        F.posexplode(grams).alias("_pos", "_tok"),
     )
-    # round 0: the class of a length-1 prefix is its token; compact the
-    # token string to the (doc,pos) representative once (vocab-keyed
-    # shuffle) so every later exchange moves 12-byte structs, not text.
     tok_cls = pos.groupBy("_tok").agg(F.min(rep).alias("_cls"))
     cur = pos.join(tok_cls, on="_tok").select(
         id_col, "_n", "_pos", "_cls"
@@ -93,7 +108,16 @@ def suffix_window_classes(
         """Classes of prefix length (k + shift) from classes of length
         >= max(k, shift) — key = (cls(i), cls(i+shift)); a missing
         mate (suffix ends inside the window) stays null, which joins
-        equal only to other end-truncated suffixes of the same head."""
+        equal only to other end-truncated suffixes of the same head.
+
+        Both the shift join and the name join-back are SELF-joins, so
+        each round pins its inputs with a lazy localCheckpoint (the
+        iterative graph tier's idiom): without the lineage cut the
+        left and right branches re-derive the entire upstream cascade
+        independently — exponential recompute in the round count
+        (measured: zero ReusedExchange across a 32-exchange plan at
+        L=8 before the cut)."""
+        cur = cur.localCheckpoint(eager=False)
         mate = cur.select(
             F.col(id_col),
             (F.col("_pos") - F.lit(shift)).alias("_pos"),
@@ -106,26 +130,25 @@ def suffix_window_classes(
             F.struct(F.col("_cls").alias("a"), F.col("_cls2").alias("b")).alias(
                 "_key"
             ),
-        )
+        ).localCheckpoint(eager=False)
         named = joined.groupBy("_key").agg(F.min(rep).alias("_cls"))
         return joined.join(named, on="_key").select(
             id_col, "_n", "_pos", "_cls"
         )
 
-    k, rounds = 1, 0
+    k = g0
     while k * 2 <= L:
         cur = _combine(cur, k)
         k *= 2
-        rounds += 1
-        if checkpoint_every and rounds % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=False)
     if k < L:
         # overlapped final step: windows i..i+L share text iff their
         # length-k prefixes at i and at i+L-k both agree
         cur = _combine(cur, L - k)
+    # the caller's removal/report tail reads the class relation twice
+    # (count election + join) — pin it once here
     return cur.filter(F.col("_pos") + F.lit(L) <= F.col("_n")).select(
         id_col, "_pos", "_cls"
-    )
+    ).localCheckpoint(eager=False)
 
 
 def exact_substr_dedup(
