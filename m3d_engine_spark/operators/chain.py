@@ -69,11 +69,28 @@ def _parse_steps(raw: list) -> list[tuple[str, dict]]:
     return steps
 
 
+REPORT_SCHEMA = (
+    "step int, algorithm string, status string, wall_seconds double, "
+    "error string"
+)
+
+
 @register("Pipeline")
 class Pipeline(Algorithm):
     """Config: {"steps": [{"algorithm": "FullLoad", "params": {...}},
     {"algorithm": "QueryMaterialization", "params": {...}}, ...]}.
-    Steps may also inline their params next to the 'algorithm' key."""
+    Steps may also inline their params next to the 'algorithm' key.
+
+    Optional ``report_location``: a per-step run report — (step,
+    algorithm, status ok|failed|skipped, wall_seconds, error) — written
+    as parquet, the chain-level sibling of ExpectationsCheck's report
+    contract (operators/expectations.py): on a mid-chain failure the
+    report lands on disk BEFORE the raise, so a scheduler that only
+    sees the non-zero exit still has the evidence of which step died
+    and how long each step ran. Rows-written-per-step is deliberately
+    not reported: no algorithm exposes a count without paying an extra
+    count() job over its output, and the report stays metadata-only by
+    design."""
 
     def prepare(self) -> None:
         self.steps = _parse_steps(self.params.get_list("steps"))
@@ -85,5 +102,36 @@ class Pipeline(Algorithm):
         return []
 
     def write(self, dfs: list[DataFrame]) -> None:
-        for name, params in self.steps:
-            REGISTRY[name](self.spark, ParamsFile(params)).run()
+        import time
+
+        rows: list[tuple] = []
+        failure: Exception | None = None
+        for i, (name, params) in enumerate(self.steps):
+            if failure is not None:
+                rows.append((i, name, "skipped", None, None))
+                continue
+            t0 = time.monotonic()
+            try:
+                REGISTRY[name](self.spark, ParamsFile(params)).run()
+                rows.append(
+                    (i, name, "ok", round(time.monotonic() - t0, 3), None)
+                )
+            except Exception as e:  # fail-fast, but report first
+                rows.append(
+                    (
+                        i,
+                        name,
+                        "failed",
+                        round(time.monotonic() - t0, 3),
+                        f"{type(e).__name__}: {e}",
+                    )
+                )
+                failure = e
+        loc = self.params.get_optional("report_location")
+        if loc:
+            # a chain report is a handful of rows — one file
+            self.spark.createDataFrame(rows, REPORT_SCHEMA).coalesce(
+                1
+            ).write.mode("overwrite").parquet(loc)
+        if failure is not None:
+            raise failure

@@ -676,6 +676,86 @@ def test_pipeline_params_file_steps(spark, tmp_path, sf_dir):
     assert not os.path.exists(out2)
 
 
+def test_pipeline_step_report_success(spark, tmp_path, sf_dir):
+    """report_location: a per-step relation (step, algorithm, status,
+    wall_seconds, error) lands as parquet — the chain-level sibling of
+    ExpectationsCheck's report contract."""
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(src)
+    lake = str(tmp_path / "lake")
+    report = str(tmp_path / "report")
+    _run(spark, "Pipeline", {
+        "report_location": report,
+        "steps": [
+            {"algorithm": "FullLoad", "params": {
+                "source_dir": src, "file_format": "parquet",
+                "target_location": lake}},
+            {"algorithm": "SQLRunner", "params": {
+                "statements": ["SELECT 1"]}},
+        ],
+    })
+    rows = sorted(spark.read.parquet(report).collect(), key=lambda r: r.step)
+    assert [(r.step, r.algorithm, r.status) for r in rows] == [
+        (0, "FullLoad", "ok"), (1, "SQLRunner", "ok"),
+    ]
+    assert all(r.wall_seconds >= 0 and r.error is None for r in rows)
+    assert rows[0].__fields__ == [
+        "step", "algorithm", "status", "wall_seconds", "error",
+    ]
+
+
+def test_pipeline_step_report_on_failure(spark, tmp_path, sf_dir):
+    """Fail-fast keeps its semantics AND the evidence: the failing
+    step's row carries the error, later steps read 'skipped', and the
+    report is on disk BEFORE the chain re-raises."""
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(src)
+    lake = str(tmp_path / "lake")
+    report = str(tmp_path / "report")
+    with pytest.raises(Exception, match="boom_missing_table"):
+        _run(spark, "Pipeline", {
+            "report_location": report,
+            "steps": [
+                {"algorithm": "FullLoad", "params": {
+                    "source_dir": src, "file_format": "parquet",
+                    "target_location": lake}},
+                {"algorithm": "SQLRunner", "params": {
+                    "statements": ["SELECT * FROM boom_missing_table"]}},
+                {"algorithm": "SQLRunner", "params": {
+                    "statements": ["SELECT 1"]}},
+            ],
+        })
+    rows = sorted(spark.read.parquet(report).collect(), key=lambda r: r.step)
+    assert [(r.step, r.status) for r in rows] == [
+        (0, "ok"), (1, "failed"), (2, "skipped"),
+    ]
+    assert "boom_missing_table" in rows[1].error
+    assert rows[2].wall_seconds is None and rows[2].error is None
+    # step 1's effects are kept (N-spark-submit semantics)
+    assert spark.read.parquet(lake).count() > 0
+
+
+def test_pipeline_report_cli_roundtrip(spark, tmp_path, sf_dir):
+    """report_location through the params.json CLI dispatch."""
+    from m3d_engine_spark.operators.base import run_algorithm
+
+    src = str(tmp_path / "src")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.parquet(src)
+    report = str(tmp_path / "report")
+    pfile = tmp_path / "pipeline_params.json"
+    pfile.write_text(json.dumps({
+        "report_location": report,
+        "steps": [
+            {"algorithm": "FullLoad", "params": {
+                "source_dir": src, "file_format": "parquet",
+                "target_location": str(tmp_path / "lake")}},
+        ],
+    }))
+    run_algorithm(spark, "Pipeline", str(pfile))
+    rows = spark.read.parquet(report).collect()
+    assert len(rows) == 1 and rows[0].status == "ok"
+
+
 def test_pipeline_llm_curation_chain(spark, tmp_path, sf_dir):
     """A production-shaped LLM chain in ONE Pipeline params file:
     CurationPipeline (gate+scrub+split) → FuzzyDedup over the cleaned
