@@ -51,9 +51,13 @@ def acquire_bench_lock(lock_path: str) -> int:
     acquired = _try_acquire()
     if not acquired:
         try:
-            other = int(open(lock_path).read().strip() or "0")
-        except (OSError, ValueError):
-            other = 0
+            raw = open(lock_path).read().strip()
+        except OSError:
+            raw = ""
+        try:
+            other = int(raw or "0")
+        except ValueError:
+            other = 0  # garbage content = unknown owner = treat as dead
         alive = False
         if other:
             try:
@@ -79,19 +83,26 @@ def acquire_bench_lock(lock_path: str) -> int:
         except OSError:
             claimed = None  # someone else reclaimed first
         if claimed is not None:
+            # Compare against the RAW content read at the liveness
+            # check, not str(other): an empty/garbage lock (a bench
+            # that crashed between open and write) parses to other=0
+            # and would never compare equal, bricking the lock forever.
             try:
-                still_stale = open(claimed).read().strip() == str(other)
+                reclaimed = open(claimed).read().strip()
             except OSError:
-                still_stale = False
-            if not still_stale:
+                reclaimed = None
+            if reclaimed != raw:
                 # We renamed away a LIVE lock a racer created after our
-                # liveness check — put it back (link fails harmlessly if
-                # yet another lock appeared meanwhile) and defer.
+                # liveness check — put it back and defer. If the link
+                # fails (a third process created yet another lock),
+                # LEAVE the claimed file in place: removing it would
+                # destroy the racer's only lock inode and re-enable the
+                # double-sweep this lock exists to prevent.
                 try:
                     os.link(claimed, lock_path)
+                    os.remove(claimed)
                 except OSError:
                     pass
-                os.remove(claimed)
                 print("bench lock changed hands during reclaim; exiting",
                       file=sys.stderr)
                 return 3
@@ -187,6 +198,18 @@ def main() -> int:
             # Isolate runs: drop any relations the query persisted so a
             # later measurement doesn't pay (or profit from) earlier state.
             spark.catalog.clearCache()
+            # clearCache only drops SQL-cached relations; localCheckpoint
+            # blocks (the graph/suffix tiers' lineage cuts) survive it
+            # and accumulate over a 200+-entry sweep — measured as a
+            # tail-of-registry slowdown (r13: the last 6 entries read
+            # 2-2.4x their quiet values in-sweep, parity once isolated).
+            try:
+                for rdd in list(
+                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                ):
+                    rdd.unpersist()
+            except Exception:
+                pass  # cleanup must never fail the bench
         timings[name] = round(best, 3)
         if best > 0:
             total += best

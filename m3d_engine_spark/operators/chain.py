@@ -129,9 +129,25 @@ class Pipeline(Algorithm):
                 failure = e
         loc = self.params.get_optional("report_location")
         if loc:
-            # a chain report is a handful of rows — one file
-            self.spark.createDataFrame(rows, REPORT_SCHEMA).coalesce(
-                1
-            ).write.mode("overwrite").parquet(loc)
+            try:
+                # a chain report is a handful of rows — one file
+                self.spark.createDataFrame(rows, REPORT_SCHEMA).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(loc)
+            except Exception:
+                # An unwritable report must never MASK the step failure
+                # it exists to document — the step error is the one the
+                # scheduler needs. On a successful chain the write
+                # error is the only failure and does propagate.
+                if failure is None:
+                    raise
+                import sys
+                import traceback
+
+                print(
+                    f"Pipeline: report write to {loc!r} failed:\n"
+                    + traceback.format_exc(),
+                    file=sys.stderr,
+                )
         if failure is not None:
             raise failure

@@ -74,6 +74,22 @@ class FullLoad(Algorithm):
                     _time.strftime("%Y%m%d%H%M%S", _time.gmtime(t))
                     + f"{int(t * 1000) % 1000:03d}"
                 )
+                # Multi-segment base_data_dir ('archive/data'): once the
+                # table is versioned its location already ends in
+                # .../archive/data_<stamp>, and root (= its parent)
+                # already carries the 'archive' prefix — re-appending
+                # the full name would nest a fresh archive/ level per
+                # run. Strip the prefix back off the root in that case.
+                last = name.rsplit("/", 1)[-1]
+                prev_name = self.previous_location.rstrip("/").rsplit(
+                    "/", 1
+                )[-1]
+                if "/" in name and _re.fullmatch(
+                    rf"{_re.escape(last)}_\d{{17}}", prev_name
+                ):
+                    prefix = "/" + name.rsplit("/", 1)[0]
+                    if root.endswith(prefix):
+                        root = root[: -len(prefix)]
                 self.next_location = f"{root}/{name}_{stamp}"
             else:
                 base = self.params.get_optional("target_dir") or root
@@ -251,8 +267,15 @@ class FullLoad(Algorithm):
                 # otherwise trip versioned_layout on its second run
                 # and wipe every sibling.
                 if self.params.has("base_data_dir"):
+                    # only the FINAL path segment: list_entries returns
+                    # bare child names, so a multi-segment base_data_dir
+                    # ('archive/data') must match on 'data_<stamp>' —
+                    # the full path could never fullmatch and would
+                    # silently disable cleanup forever
                     stem = _re.escape(
-                        self.params.get_string("base_data_dir").strip("/")
+                        self.params.get_string("base_data_dir")
+                        .strip("/")
+                        .rsplit("/", 1)[-1]
                     )
                     version_name = _re.compile(
                         rf"{stem}_\d{{17}}(_\$folder\$)?"

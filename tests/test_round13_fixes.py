@@ -197,3 +197,85 @@ def test_bench_lock_reclaim_respects_racer(tmp_path, monkeypatch):
     # the racer's live lock is back in place, not deleted
     assert os.path.exists(lock) and open(lock).read().strip() == "1"
     os.remove(lock)
+
+
+def test_bench_lock_reclaims_empty_or_garbage_lock(tmp_path):
+    """A bench that crashed between open() and write() leaves an empty
+    lock; content that never parses to a pid must also reclaim. Both
+    previously bricked the lock forever (content was compared to
+    str(parsed_pid) = '0', never equal)."""
+    import bench
+
+    for content in ("", "not-a-pid"):
+        lock = str(tmp_path / ".bench.lock")
+        with open(lock, "w") as f:
+            f.write(content)
+        assert bench.acquire_bench_lock(lock) == 0, repr(content)
+        assert open(lock).read().strip() == str(os.getpid())
+        os.remove(lock)
+
+
+def test_pipeline_report_write_failure_does_not_mask_step_error(
+    spark, tmp_path
+):
+    """An unwritable report_location must never replace the step
+    failure with the write error; on a successful chain the write
+    error is the only failure and does propagate."""
+    import m3d_engine_spark.cli  # noqa: F401 (populates the registry)
+    from m3d_engine_spark.operators.base import REGISTRY
+
+    # parent of report path is a FILE -> parquet write must fail
+    blocker = tmp_path / "blocker"
+    blocker.write_text("x")
+    bad_report = str(blocker / "report")
+
+    def _run(params):
+        REGISTRY["Pipeline"](spark, ParamsFile(params)).run()
+
+    with pytest.raises(Exception, match="boom_missing_tbl"):
+        _run({
+            "report_location": bad_report,
+            "steps": [{"algorithm": "SQLRunner", "params": {
+                "statements": ["SELECT * FROM boom_missing_tbl"]}}],
+        })
+    with pytest.raises(Exception, match="(?i)parquet|path|exist|file"):
+        _run({
+            "report_location": bad_report,
+            "steps": [{"algorithm": "SQLRunner", "params": {
+                "statements": ["SELECT 1"]}}],
+        })
+
+
+def test_full_load_cleanup_multi_segment_base_data_dir(spark, tmp_path):
+    """base_data_dir='archive/data': versions live at
+    <root>/archive/data_<stamp>; cleanup lists <root>/archive (bare
+    child names) and must match on the FINAL segment — the full
+    'archive/data_...' pattern could never match and silently
+    disabled cleanup."""
+    from m3d_engine_spark.operators.full_load import FullLoad
+
+    root = tmp_path / "tbl_root"
+    _mk_table(
+        spark, "ms_tbl", str(root / "archive" / "data_20200101000000000"),
+        [(1, "a")],
+    )
+    # stale leftover + a non-version sibling in the version root
+    (root / "archive" / "data_20190101000000000").mkdir(parents=True)
+    (root / "archive" / "unrelated").mkdir()
+
+    src = str(tmp_path / "landing")
+    spark.createDataFrame([(2, "b")], "k int, v string").write.parquet(src)
+    FullLoad(
+        spark,
+        ParamsFile({
+            "source_dir": src,
+            "file_format": "parquet",
+            "target_table": "ms_tbl",
+            "base_data_dir": "archive/data",
+        }),
+    ).run()
+    entries = set(os.listdir(root / "archive"))
+    assert "unrelated" in entries, entries
+    assert "data_20190101000000000" not in entries, entries
+    assert len([e for e in entries if re.fullmatch(r"data_\d{17}", e)]) == 1
+    spark.sql("DROP TABLE ms_tbl")

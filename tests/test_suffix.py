@@ -141,3 +141,37 @@ def test_exact_substr_min_occurrences_dial(spark, corpus):
         corpus, "doc_id", "text", span_tokens=8, min_occurrences=4
     ).collect()
     assert all(r.n_removed == 0 for r in rows4)
+
+
+def test_deep_cascade_paper_scale_L50(spark):
+    """Lee et al.'s production threshold is 50 tokens — a 5-round
+    cascade (4-gram seed -> 8 -> 16 -> 32 -> overlap to 50). Pins the
+    deep-doubling path: equivalence with the md5 formulation, and the
+    sub-threshold boundary (a 49-token repeat stays)."""
+    rep50 = " ".join(f"t{i}" for i in range(50))
+    rep49 = " ".join(f"u{i}" for i in range(49))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{rep50} onlyone"),
+            (2, f"head {rep50}"),
+            (3, f"{rep49} single"),
+            (4, f"pre {rep49}"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in exact_substr_dedup(
+            docs, "doc_id", "text", span_tokens=50
+        ).collect()
+    }
+    assert got[1].n_removed == 0  # canonical
+    assert got[2].n_removed == 50 and got[2].clean_text == "head"
+    # 49-token repeats are below threshold on BOTH sides
+    assert got[3].n_removed == 0 and got[4].n_removed == 0
+    want = sorted(
+        remove_repeated_spans(
+            docs, "doc_id", "text", span_tokens=50
+        ).collect()
+    )
+    assert sorted(got.values()) == want
