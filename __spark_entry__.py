@@ -3825,6 +3825,64 @@ FROM isl GROUP BY doc_id, grp
 """
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical benchmark decontamination (suffix.py::
+    exact_decontaminate, Lee et al. 2022 §6.3): every 8-token train
+    window whose text occurs anywhere in the probe corpus (every 100th
+    doc standing in for a benchmark) is removed from every train
+    occurrence and documents rebuilt — the removal complement of
+    contamination_check's count. Suffix classes computed once over the
+    side-tagged union; the contaminated-class relation is
+    benchmark-sized and broadcasts; removal is the keyed (doc)
+    rebuild. Oracle = the md5 formulation (identical absent a
+    collision)."""
+    from m3d_engine_spark.operators.suffix import exact_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 100 != 0)
+    probes = docs.filter(F.col("doc_id") % 100 == 0)
+    return exact_decontaminate(
+        train, "doc_id", "text", probes, "doc_id", "text", span_tokens=8
+    )
+
+
+_SQL_DECONTAMINATE_SPANS = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+), tr AS (
+  SELECT * FROM t WHERE doc_id % 100 <> 0
+), occ AS (
+  SELECT doc_id, u.i AS pos,
+         md5(array_to_string(list_slice(tk, u.i + 1, u.i + 8), ' ')) AS gh
+  FROM tr CROSS JOIN unnest(range(0, greatest(len(tk) - 7, 0))) AS u(i)
+), pg AS (
+  SELECT DISTINCT
+         md5(array_to_string(list_slice(tk, u.i + 1, u.i + 8), ' ')) AS gh
+  FROM t CROSS JOIN unnest(range(0, greatest(len(tk) - 7, 0))) AS u(i)
+  WHERE doc_id % 100 = 0
+), covered AS (
+  SELECT DISTINCT o.doc_id, u.cp
+  FROM occ o JOIN pg ON o.gh = pg.gh
+  CROSS JOIN unnest(range(o.pos, o.pos + 8)) AS u(cp)
+), covs AS (
+  SELECT doc_id, list(cp) AS cov FROM covered GROUP BY doc_id
+), clean AS (
+  SELECT tr.doc_id, tr.tk,
+         list_filter(
+           list_transform(tr.tk, (x, i) ->
+             CASE WHEN coalesce(list_contains(c.cov, i - 1), false)
+                  THEN NULL ELSE x END),
+           x -> x IS NOT NULL) AS kt
+  FROM tr LEFT JOIN covs c USING (doc_id)
+)
+SELECT doc_id,
+       coalesce(array_to_string(kt, ' '), '') AS clean_text,
+       CAST(len(tk) AS INT) AS n_tokens,
+       CAST(len(tk) - len(kt) AS INT) AS n_removed
+FROM clean
+"""
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval (retrieval.py::bm25_topk): probe queries
     (first 5 tokens of every 100th doc) scored against the corpus with
@@ -10604,13 +10662,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # appearance (rotation debt zero); the rotation is purely mechanical:
 # each round, move the first 50 names to the tail so the next window is
 # always the 50 stalest driver rows (any NEW entry is fronted first,
-# displacing the window tail to the next round). Round 13 fronts the two
-# new suffix-tier entries (exact_substr, exact_substr_spans → 207 total),
-# so two r9-cohort names slip to the r14 window.
+# displacing the window tail to the next round). Round 13 fronts the
+# three new suffix-tier entries (decontaminate_spans, exact_substr,
+# exact_substr_spans → 208 total), so three stale names (through
+# kaplan_meier) slip to the r14 window.
 _ROTATION_FRONT = [
-    # ---- round-13 window (first 50): the two NEW suffix-tier
-    # entries fronted per the rotation rule, then the stalest 48
-    # (r8 tail, r9 cohort) ----
+    # ---- round-13 window (first 50): the three NEW suffix-tier
+    # entries fronted per the rotation rule, then the stalest 47
+    # (r8 tail, r9 cohort); kaplan_meier slips to the r14 window ----
+    "decontaminate_spans",
     "exact_substr", "exact_substr_spans", "skew_report", "skipgram_pairs",
     "vocab_drift", "weighted_sample", "zipf_fit", "budget_select",
     "kanon_census", "bpe_pairs", "gap_fill", "rolling_med", "ab_welch",
@@ -10713,6 +10773,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "exact_substr": q_exact_substr,
         "exact_substr_spans": q_exact_substr_spans,
+        "decontaminate_spans": q_decontaminate_spans,
         "bm25_topk": q_bm25_topk,
         "zorder_key": q_zorder_key,
         "data_profile": q_data_profile,
@@ -10928,6 +10989,7 @@ def oracle_sql() -> dict[str, str]:
         # and the driver run certifies exactly that equivalence
         "exact_substr": _SQL_REPEATED_SPANS,
         "exact_substr_spans": _SQL_EXACT_SUBSTR_SPANS,
+        "decontaminate_spans": _SQL_DECONTAMINATE_SPANS,
         "bm25_topk": _SQL_BM25_TOPK,
         "zorder_key": _SQL_ZORDER_KEY,
         "data_profile": _SQL_DATA_PROFILE,

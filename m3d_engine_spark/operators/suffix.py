@@ -172,6 +172,80 @@ def exact_substr_dedup(
     )
 
 
+def exact_decontaminate(
+    train: DataFrame,
+    train_id: str,
+    train_text: str,
+    probes: DataFrame,
+    probe_id: str,
+    probe_text: str,
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Surgical benchmark decontamination (Lee et al. 2022 §6.3 — the
+    exact-substring scrub GPT-3-style pipelines apply before
+    training): every length-``span_tokens`` train window whose token
+    sequence occurs ANYWHERE in the probe (benchmark) corpus is
+    removed from the train document — every occurrence, no canonical
+    exception — and the documents are rebuilt. The complement of
+    ``contamination_check`` (operators/decontamination.py), which only
+    counts shared shingles: this one performs the removal, and
+    exactly.
+
+    Topology: the suffix equality classes are computed ONCE over the
+    side-tagged union (the probe side rides the same doubling cascade
+    — benchmark corpora are tiny next to train, so the union costs
+    what train alone costs); the contaminated-class relation is
+    benchmark-sized and BROADCASTs into the cover join; removal is the
+    keyed (doc) rebuild. Train and probe id columns must be
+    union-compatible types. Returns (train_id, clean_text, n_tokens,
+    n_removed)."""
+    uid = lambda side, c: F.struct(  # noqa: E731 — two-site literal
+        F.lit(side).alias("s"), F.col(c).alias("i")
+    )
+    base = train.select(
+        uid(0, train_id).alias("_uid"), tokens(F.col(train_text)).alias("_tk")
+    ).unionByName(
+        probes.select(
+            uid(1, probe_id).alias("_uid"),
+            tokens(F.col(probe_text)).alias("_tk"),
+        )
+    )
+    occ = suffix_window_classes(base, "_uid", span_tokens)
+    dirty = (
+        occ.filter(F.col("_uid.s") == 1).select("_cls").distinct()
+    )
+    L = int(span_tokens)
+    covered = (
+        occ.filter(F.col("_uid.s") == 0)
+        .join(F.broadcast(dirty), on="_cls")
+        .select(
+            F.col("_uid.i").alias(train_id),
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(L - 1))
+            ).alias("_cp"),
+        )
+        .distinct()
+        .groupBy(train_id)
+        .agg(F.collect_set("_cp").alias("_cov"))
+    )
+    tbase = train.select(
+        F.col(train_id), tokens(F.col(train_text)).alias("_tk")
+    )
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            F.col("_tk"), lambda x, i: F.when(~F.array_contains(cov, i), x)
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return tbase.join(covered, on=train_id, how="left").select(
+        F.col(train_id),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("_tk").cast("int").alias("n_tokens"),
+        (F.size("_tk") - F.size(kept)).cast("int").alias("n_removed"),
+    )
+
+
 def exact_substr_spans(
     docs: DataFrame,
     id_col: str,

@@ -35,6 +35,7 @@ def corpus(spark):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("L", [8, 5, 3])
 def test_exact_substr_matches_md5_formulation(spark, corpus, L):
     got = sorted(
@@ -143,6 +144,7 @@ def test_exact_substr_min_occurrences_dial(spark, corpus):
     assert all(r.n_removed == 0 for r in rows4)
 
 
+@pytest.mark.slow
 def test_deep_cascade_paper_scale_L50(spark):
     """Lee et al.'s production threshold is 50 tokens — a 5-round
     cascade (4-gram seed -> 8 -> 16 -> 32 -> overlap to 50). Pins the
@@ -175,3 +177,39 @@ def test_deep_cascade_paper_scale_L50(spark):
         ).collect()
     )
     assert sorted(got.values()) == want
+
+
+def test_exact_decontaminate(spark):
+    """Benchmark text is scrubbed from every train occurrence (no
+    canonical exception — unlike dedup, the benchmark copy is not a
+    keeper); clean documents pass through untouched; a probe run
+    shorter than L never triggers."""
+    from m3d_engine_spark.operators.suffix import exact_decontaminate
+
+    bench8 = "q w e r t y u i"  # 8 tokens
+    short7 = "a b c d e f g"   # 7 tokens < L
+    train = spark.createDataFrame(
+        [
+            (1, f"pre {bench8} post"),
+            (2, f"{bench8} {bench8}"),   # two hits in one doc
+            (3, "totally clean text with nothing shared at all"),
+            (4, f"holds {short7} only"),
+        ],
+        "doc_id int, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, f"question {bench8} answer"), (101, short7)],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in exact_decontaminate(
+            train, "doc_id", "text", probes, "doc_id", "text", span_tokens=8
+        ).collect()
+    }
+    assert got[1].clean_text == "pre post" and got[1].n_removed == 8
+    assert got[2].clean_text == "" and got[2].n_removed == 16
+    assert got[3].n_removed == 0
+    # the 7-token probe is below the span threshold: no removal
+    assert got[4].n_removed == 0
+    assert set(got) == {1, 2, 3, 4}  # probes are not in the output
