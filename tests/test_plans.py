@@ -1877,3 +1877,30 @@ def test_spread_output_files_single_roundrobin_exchange(spark, tmp_path):
     plan = shaped._jdf.queryExecution().executedPlan().toString()
     assert "roundrobin" in plan.lower(), plan
     assert plan.lower().count("exchange") == 1, plan
+
+
+def test_suffix_tier_plan_shapes(spark, sf_dir):
+    """The round-13 suffix tier's load-bearing plan properties.
+
+    exact_substr: the doubling cascade is cut by lazy localCheckpoints
+    at every self-join — the final plan hangs off Scan ExistingRDD
+    leaves instead of re-deriving the upstream cascade per branch
+    (zero ReusedExchange + exponential recompute was the measured
+    failure mode), and the removal tail stays keyed: no cartesian, no
+    nested-loop join anywhere.
+
+    decontaminate_spans: the contaminated-class relation is
+    benchmark-sized and must reach the cover join as a BROADCAST —
+    a sort-merge there would shuffle the train-side class relation a
+    second time for a probe that fits in one executor.
+    """
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    es = _plan_simple(qs["exact_substr"](spark, sf_dir))
+    assert "ExistingRDD" in es, es
+    assert "CartesianProduct" not in es and "NestedLoopJoin" not in es, es
+
+    dc = _plan_simple(qs["decontaminate_spans"](spark, sf_dir))
+    assert "BroadcastHashJoin" in dc, dc
+    assert "CartesianProduct" not in dc and "NestedLoopJoin" not in dc, dc
