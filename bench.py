@@ -87,6 +87,15 @@ def acquire_bench_lock(lock_path: str) -> int:
             # check, not str(other): an empty/garbage lock (a bench
             # that crashed between open and write) parses to other=0
             # and would never compare equal, bricking the lock forever.
+            if raw == "":
+                # An EMPTY lock is ambiguous: truly dead, or a LIVE
+                # acquirer descheduled between its os.open and
+                # os.write. Its delayed write lands on the renamed
+                # inode, so waiting makes the two distinguishable —
+                # after the grace the nascent owner's pid is in the
+                # claimed file and the changed-hands branch restores
+                # it.
+                time.sleep(0.2)
             try:
                 reclaimed = open(claimed).read().strip()
             except OSError:

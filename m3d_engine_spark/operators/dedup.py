@@ -1219,10 +1219,22 @@ def rebuild_without_repeated_windows(
                 F.sequence(F.col("_pos"), F.col("_pos") + F.lit(L - 1))
             ).alias("_cp"),
         )
-        .distinct()
-        .groupBy(id_col)
-        .agg(F.collect_set("_cp").alias("_cov"))
     )
+    return rebuild_without_positions(base, covered, id_col)
+
+
+def rebuild_without_positions(
+    base: DataFrame, covered: DataFrame, id_col: str
+) -> DataFrame:
+    """Rebuild each document of ``base`` (id, _tk) dropping the token
+    positions listed in ``covered`` (id, _cp; duplicates welcome —
+    collect_set deduplicates map-side, so NO distinct precedes it:
+    that was a dead extra exchange over the largest intermediate of
+    the removal tail). The single shared exit of the ExactSubstr
+    family — dedup, exact dedup, and decontaminate all produce
+    (id, clean_text, n_tokens, n_removed) through this function, so
+    the output contract cannot diverge between them."""
+    covs = covered.groupBy(id_col).agg(F.collect_set("_cp").alias("_cov"))
     cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
     kept = F.filter(
         F.transform(
@@ -1232,7 +1244,7 @@ def rebuild_without_repeated_windows(
         lambda x: x.isNotNull(),
     )
     return (
-        base.join(covered, on=id_col, how="left")
+        base.join(covs, on=id_col, how="left")
         .select(
             F.col(id_col),
             F.concat_ws(" ", kept).alias("clean_text"),

@@ -45,7 +45,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from m3d_engine_spark.functions.text import tokens
-from m3d_engine_spark.operators.dedup import rebuild_without_repeated_windows
+from m3d_engine_spark.operators.dedup import (
+    rebuild_without_positions,
+    rebuild_without_repeated_windows,
+)
 
 
 def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -224,26 +227,11 @@ def exact_decontaminate(
                 F.sequence(F.col("_pos"), F.col("_pos") + F.lit(L - 1))
             ).alias("_cp"),
         )
-        .distinct()
-        .groupBy(train_id)
-        .agg(F.collect_set("_cp").alias("_cov"))
     )
     tbase = train.select(
         F.col(train_id), tokens(F.col(train_text)).alias("_tk")
     )
-    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.transform(
-            F.col("_tk"), lambda x, i: F.when(~F.array_contains(cov, i), x)
-        ),
-        lambda x: x.isNotNull(),
-    )
-    return tbase.join(covered, on=train_id, how="left").select(
-        F.col(train_id),
-        F.concat_ws(" ", kept).alias("clean_text"),
-        F.size("_tk").cast("int").alias("n_tokens"),
-        (F.size("_tk") - F.size(kept)).cast("int").alias("n_removed"),
-    )
+    return rebuild_without_positions(tbase, covered, train_id)
 
 
 def exact_substr_spans(

@@ -279,3 +279,25 @@ def test_full_load_cleanup_multi_segment_base_data_dir(spark, tmp_path):
     assert "data_20190101000000000" not in entries, entries
     assert len([e for e in entries if re.fullmatch(r"data_\d{17}", e)]) == 1
     spark.sql("DROP TABLE ms_tbl")
+
+
+def test_bench_lock_empty_lock_nascent_writer_grace(tmp_path, monkeypatch):
+    """An empty lock may be a LIVE acquirer descheduled between open
+    and write; its delayed write lands on the renamed inode during the
+    grace sleep and must defer the reclaim, restoring the lock."""
+    import bench
+
+    lock = str(tmp_path / ".bench.lock")
+    with open(lock, "w") as f:
+        pass  # empty = nascent
+
+    def delayed_write(_secs):
+        # the nascent owner's os.write lands (on the renamed inode)
+        claimed = f"{lock}.reclaim.{os.getpid()}"
+        with open(claimed, "w") as f:
+            f.write("1")
+
+    monkeypatch.setattr(bench.time, "sleep", delayed_write)
+    assert bench.acquire_bench_lock(lock) == 3
+    assert open(lock).read().strip() == "1"  # restored, not destroyed
+    os.remove(lock)
