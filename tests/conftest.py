@@ -17,6 +17,7 @@ _LANE_FILES = {
     "lane_a": {
         "test_round7_ops.py",        # 106.7
         "test_quantization.py",      # 81.8
+        "test_suffix.py",            # ~25 (slow-marked subset; r13)
         "test_round6_fixes.py",      # 3.3
     },
     "lane_b": {
