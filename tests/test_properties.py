@@ -353,3 +353,142 @@ def test_viterbi_segmentation_properties():
         score = sum(pieces.get(p, -23.0) for p in parse)
         singles = sum(pieces.get(ch, -23.0) for ch in word)
         assert score >= singles - 1e-9
+
+
+# ---------------------------------------------------------------- suffix tier
+
+
+def _py_tokens(text: str) -> list[str]:
+    t = text.strip()
+    return t.split() if t else []
+
+
+def _py_covered(toks: dict, L: int, min_occ: int, keep_canonical: bool):
+    """Pure-Python ExactSubstr cover oracle: window -> occurrence list,
+    canonical = min (doc, pos); covered positions per doc."""
+    wins: dict = {}
+    for i in sorted(toks):
+        t = toks[i]
+        for p in range(len(t) - L + 1):
+            wins.setdefault(tuple(t[p : p + L]), []).append((i, p))
+    covered = {i: set() for i in toks}
+    for occs in wins.values():
+        if len(occs) < min_occ:
+            continue
+        canon = min(occs) if keep_canonical else None
+        for (i, p) in occs:
+            if (i, p) != canon:
+                covered[i].update(range(p, p + L))
+    return covered
+
+
+def _rand_corpus(rng, n_docs, vocab, max_len):
+    return [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, max_len))))
+        for i in range(n_docs)
+    ]
+
+
+def test_exact_substr_matches_python_oracle_random(spark):
+    """Random tiny-vocabulary corpora (repeats everywhere, adversarial
+    overlaps) at several window lengths: the distributed
+    prefix-doubling removal must equal an independent pure-Python
+    reference — a stronger pin than the md5 twin, since the oracle
+    shares NO code or hashing with either implementation."""
+    import random as _random
+
+    from m3d_engine_spark.operators.suffix import exact_substr_dedup
+
+    rng = _random.Random(SEED)
+    vocab = list("abcdefgh")
+    for L in (3, 5, 8):
+        docs = _rand_corpus(rng, 40, vocab, 25)
+        toks = {i: _py_tokens(t) for i, t in docs}
+        covered = _py_covered(toks, L, 2, keep_canonical=True)
+        want = {}
+        for i, t in toks.items():
+            kept = [x for j, x in enumerate(t) if j not in covered[i]]
+            want[i] = (" ".join(kept), len(t), len(t) - len(kept))
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        got = {
+            r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+            for r in exact_substr_dedup(
+                df, "doc_id", "text", span_tokens=L
+            ).collect()
+        }
+        assert got == want, f"L={L}"
+
+
+def test_exact_decontaminate_matches_python_oracle_random(spark):
+    """Random train/probe splits over a tiny vocabulary: decontaminate
+    removes exactly the train positions covered by probe windows —
+    every occurrence, no canonical keeper."""
+    import random as _random
+
+    from m3d_engine_spark.operators.suffix import exact_decontaminate
+
+    rng = _random.Random(SEED + 1)
+    vocab = list("abcde")
+    L = 4
+    train = _rand_corpus(rng, 30, vocab, 20)
+    probes = [(100 + i, t) for i, t in _rand_corpus(rng, 6, vocab, 15)]
+    ttoks = {i: _py_tokens(t) for i, t in train}
+    pwins = set()
+    for _, t in probes:
+        pt = _py_tokens(t)
+        for p in range(len(pt) - L + 1):
+            pwins.add(tuple(pt[p : p + L]))
+    want = {}
+    for i, t in ttoks.items():
+        cov = set()
+        for p in range(len(t) - L + 1):
+            if tuple(t[p : p + L]) in pwins:
+                cov.update(range(p, p + L))
+        kept = [x for j, x in enumerate(t) if j not in cov]
+        want[i] = (" ".join(kept), len(t), len(t) - len(kept))
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in exact_decontaminate(
+            spark.createDataFrame(train, "doc_id int, text string"),
+            "doc_id",
+            "text",
+            spark.createDataFrame(probes, "doc_id int, text string"),
+            "doc_id",
+            "text",
+            span_tokens=L,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_exact_substr_spans_matches_python_islands_random(spark):
+    """Random corpora: reported spans equal the pure-Python maximal
+    islands over every-occurrence covers."""
+    import random as _random
+
+    from m3d_engine_spark.operators.suffix import exact_substr_spans
+
+    rng = _random.Random(SEED + 2)
+    vocab = list("abcdef")
+    L = 4
+    docs = _rand_corpus(rng, 35, vocab, 22)
+    toks = {i: _py_tokens(t) for i, t in docs}
+    covered = _py_covered(toks, L, 2, keep_canonical=False)
+    want = set()
+    for i, cov in covered.items():
+        for cp in sorted(cov):
+            if cp - 1 not in cov:
+                end = cp
+                while end + 1 in cov:
+                    end += 1
+                want.add((i, cp, end, end - cp + 1))
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in exact_substr_spans(
+            spark.createDataFrame(docs, "doc_id int, text string"),
+            "doc_id",
+            "text",
+            span_tokens=L,
+        ).collect()
+    }
+    assert got == want
