@@ -25,6 +25,7 @@ from m3d_engine_spark.operators import (  # noqa: F401 — populate REGISTRY
     nested_flattener,
     retrieval,
     sql_runner,
+    suffix,
     temporal,
     template,
     tokenizer,

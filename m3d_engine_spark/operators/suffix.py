@@ -283,3 +283,73 @@ def exact_substr_spans(
         )
         .drop("_grp")
     )
+
+
+# --------------------------------------------------------------------------
+# CLI algorithm: params-driven dispatch (the FuzzyDedup pattern)
+# --------------------------------------------------------------------------
+
+from m3d_engine_spark.operators.base import Algorithm, register  # noqa: E402
+
+
+def _span_tokens_param(params) -> int:
+    raw = params.get_optional("span_tokens", 8)
+    # bool is an int subclass: {"span_tokens": true} would coerce to 1
+    # and scrub every token shared with the benchmark VOCABULARY —
+    # flag the config typo instead.
+    if isinstance(raw, bool) or not isinstance(raw, (int, str)):
+        raise ValueError(f"span_tokens must be a positive integer, got {raw!r}")
+    n = int(raw)
+    if n < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {n}")
+    return n
+
+
+@register("Decontaminate")
+class DecontaminateAlgorithm(Algorithm):
+    """``exact_decontaminate`` behind the JSON-params dispatch — the
+    benchmark scrub as a schedulable job (and a Pipeline step):
+
+        python -m m3d_engine_spark Decontaminate params.json
+
+    Config keys: source_location OR source_table (the train corpus);
+    probe_location OR probe_table (the benchmark corpus); id_column /
+    text_column (defaults doc_id/text); probe_id_column /
+    probe_text_column (default to the train names); span_tokens
+    (default 8); target_location OR target_table (+ the shared
+    write_output surface)."""
+
+    def read(self) -> list[DataFrame]:
+        p = self.params
+        train = (
+            self.spark.table(p.get_string("source_table"))
+            if p.has("source_table")
+            else self.spark.read.parquet(p.get_string("source_location"))
+        )
+        probes = (
+            self.spark.table(p.get_string("probe_table"))
+            if p.has("probe_table")
+            else self.spark.read.parquet(p.get_string("probe_location"))
+        )
+        return [train, probes]
+
+    def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
+        p = self.params
+        id_col = p.get_optional("id_column", "doc_id")
+        text_col = p.get_optional("text_column", "text")
+        return [
+            exact_decontaminate(
+                dfs[0],
+                id_col,
+                text_col,
+                dfs[1],
+                p.get_optional("probe_id_column", id_col),
+                p.get_optional("probe_text_column", text_col),
+                span_tokens=_span_tokens_param(p),
+            )
+        ]
+
+    def write(self, dfs: list[DataFrame]) -> None:
+        from m3d_engine_spark.sources.writers import write_output
+
+        write_output(self.spark, dfs[0], self.params)

@@ -809,3 +809,52 @@ def test_pipeline_llm_curation_chain(spark, tmp_path, sf_dir):
     a = spark.read.parquet(deduped)
     b = spark.read.parquet(seq_dedup).select(*a.columns)
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_decontaminate_cli_roundtrip(spark, tmp_path):
+    """Decontaminate through the params.json CLI dispatch equals the
+    library call; span_tokens JSON-boolean typo is rejected."""
+    from m3d_engine_spark.operators.base import run_algorithm
+    from m3d_engine_spark.operators.suffix import (
+        _span_tokens_param,
+        exact_decontaminate,
+    )
+
+    bench = "m n o p q r s t"
+    train_rows = [(1, f"keep {bench} drop"), (2, "all clean here truly")]
+    probe_rows = [(9, f"x {bench} y")]
+    train_loc = str(tmp_path / "train")
+    probe_loc = str(tmp_path / "probe")
+    spark.createDataFrame(train_rows, "doc_id int, text string").write.parquet(
+        train_loc
+    )
+    spark.createDataFrame(probe_rows, "doc_id int, text string").write.parquet(
+        probe_loc
+    )
+    out = str(tmp_path / "scrubbed")
+    pfile = tmp_path / "params.json"
+    pfile.write_text(json.dumps({
+        "source_location": train_loc,
+        "probe_location": probe_loc,
+        "span_tokens": 8,
+        "target_location": out,
+    }))
+    run_algorithm(spark, "Decontaminate", str(pfile))
+    got = sorted(
+        (r.doc_id, r.clean_text, r.n_removed)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.clean_text, r.n_removed)
+        for r in exact_decontaminate(
+            spark.read.parquet(train_loc), "doc_id", "text",
+            spark.read.parquet(probe_loc), "doc_id", "text", span_tokens=8,
+        ).collect()
+    )
+    assert got == want and got[0] == (1, "keep drop", 8)
+
+    from m3d_engine_spark.config import ParamsFile
+
+    for bad in (True, False, 0, -3, 2.5):
+        with pytest.raises(ValueError, match="span_tokens"):
+            _span_tokens_param(ParamsFile({"span_tokens": bad}))
