@@ -285,6 +285,76 @@ def exact_substr_spans(
     )
 
 
+def _md5_window_occ(
+    docs: DataFrame, id_col: str | None, text_col: str, span_tokens: int
+) -> DataFrame:
+    """(id, _pos, gh) md5 fingerprints of every full L-token window —
+    the same formula remove_repeated_spans projects, factored for the
+    artifact path. ``id_col=None`` omits the id (the artifact side
+    needs only the hashes)."""
+    L = int(span_tokens)
+    base = docs.select(
+        *([F.col(id_col)] if id_col else []),
+        tokens(F.col(text_col)).alias("_tk"),
+    )
+    gram_arr = F.when(
+        F.size("_tk") >= L,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_tk") - L),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_tk"), i + 1, L))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cols = [F.col(id_col)] if id_col else []
+    return base.select(*cols, F.posexplode(gram_arr).alias("_pos", "gh"))
+
+
+def probe_gram_artifact(
+    probes: DataFrame, text_col: str, span_tokens: int = 8
+) -> DataFrame:
+    """The shareable decontamination artifact: DISTINCT md5 hashes of
+    every ``span_tokens``-token window of the benchmark corpus — one
+    16-byte-key column ``gh``, at most |benchmark tokens| rows.
+    Materialize it ONCE per benchmark release and scrub any number of
+    corpora against the artifact without re-reading (or even having
+    access to) the benchmark text — the decontamination sibling of the
+    dedup tier's band artifacts (operators/incremental.py). The
+    artifact path is hash-based by necessity (suffix equality classes
+    are corpus-relative and cannot outlive the run); the exact
+    suffix path and this one are equality-pinned on collision-free
+    corpora."""
+    return (
+        _md5_window_occ(probes, None, text_col, span_tokens)
+        .select("gh")
+        .distinct()
+    )
+
+
+def decontaminate_with_artifact(
+    train: DataFrame,
+    train_id: str,
+    train_text: str,
+    artifact: DataFrame,
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Scrub ``train`` against a materialized :func:`probe_gram_artifact`
+    relation (column ``gh``): train windows fingerprint with the same
+    md5 projection, the benchmark-sized artifact BROADCASTS into the
+    cover join, and the shared rebuild tail emits the standard
+    (id, clean_text, n_tokens, n_removed) contract. One corpus scan +
+    one broadcast probe — no benchmark text, no doubling cascade."""
+    L = int(span_tokens)
+    occ = _md5_window_occ(train, train_id, train_text, span_tokens)
+    covered = occ.join(F.broadcast(artifact.select("gh")), on="gh").select(
+        F.col(train_id),
+        F.explode(
+            F.sequence(F.col("_pos"), F.col("_pos") + F.lit(L - 1))
+        ).alias("_cp"),
+    )
+    return rebuild_without_positions(
+        _tokenized(train, train_id, train_text), covered, train_id
+    )
+
+
 # --------------------------------------------------------------------------
 # CLI algorithm: params-driven dispatch (the FuzzyDedup pattern)
 # --------------------------------------------------------------------------
@@ -317,26 +387,71 @@ class DecontaminateAlgorithm(Algorithm):
     text_column (defaults doc_id/text); probe_id_column /
     probe_text_column (default to the train names); span_tokens
     (default 8); target_location OR target_table (+ the shared
-    write_output surface)."""
+    write_output surface).
 
-    def read(self) -> list[DataFrame]:
+    Artifact modes (the production shape — hash the benchmark ONCE
+    per release, scrub any number of corpora without re-reading its
+    text): ``materialize_probe_artifact: true`` reads only the probe
+    side and writes the distinct-window-hash artifact to the target;
+    ``probe_artifact_location`` (instead of probe_location/table)
+    scrubs against a previously materialized artifact via the
+    broadcast md5 path."""
+
+    def _mode(self) -> str:
         p = self.params
-        train = (
+        if bool(p.get_optional("materialize_probe_artifact", False)):
+            return "materialize"
+        if p.has("probe_artifact_location"):
+            return "artifact"
+        return "exact"
+
+    def _read_train(self) -> DataFrame:
+        p = self.params
+        return (
             self.spark.table(p.get_string("source_table"))
             if p.has("source_table")
             else self.spark.read.parquet(p.get_string("source_location"))
         )
+
+    def read(self) -> list[DataFrame]:
+        p = self.params
+        mode = self._mode()
+        if mode == "artifact":
+            return [
+                self._read_train(),
+                self.spark.read.parquet(
+                    p.get_string("probe_artifact_location")
+                ),
+            ]
         probes = (
             self.spark.table(p.get_string("probe_table"))
             if p.has("probe_table")
             else self.spark.read.parquet(p.get_string("probe_location"))
         )
-        return [train, probes]
+        if mode == "materialize":
+            return [probes]
+        return [self._read_train(), probes]
 
     def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
         p = self.params
         id_col = p.get_optional("id_column", "doc_id")
         text_col = p.get_optional("text_column", "text")
+        L = _span_tokens_param(p)
+        mode = self._mode()
+        if mode == "materialize":
+            return [
+                probe_gram_artifact(
+                    dfs[0],
+                    p.get_optional("probe_text_column", text_col),
+                    span_tokens=L,
+                )
+            ]
+        if mode == "artifact":
+            return [
+                decontaminate_with_artifact(
+                    dfs[0], id_col, text_col, dfs[1], span_tokens=L
+                )
+            ]
         return [
             exact_decontaminate(
                 dfs[0],
@@ -345,7 +460,7 @@ class DecontaminateAlgorithm(Algorithm):
                 dfs[1],
                 p.get_optional("probe_id_column", id_col),
                 p.get_optional("probe_text_column", text_col),
-                span_tokens=_span_tokens_param(p),
+                span_tokens=L,
             )
         ]
 

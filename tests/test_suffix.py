@@ -213,3 +213,87 @@ def test_exact_decontaminate(spark):
     # the 7-token probe is below the span threshold: no removal
     assert got[4].n_removed == 0
     assert set(got) == {1, 2, 3, 4}  # probes are not in the output
+
+
+def test_artifact_decontaminate_equals_exact(spark):
+    """The production artifact path (materialize benchmark hashes once,
+    scrub via broadcast md5 join) equals the exact suffix path on a
+    collision-free corpus."""
+    from m3d_engine_spark.operators.suffix import (
+        decontaminate_with_artifact,
+        exact_decontaminate,
+        probe_gram_artifact,
+    )
+
+    bench = "m n o p q r s t"
+    train = spark.createDataFrame(
+        [(1, f"keep {bench} drop"), (2, "clean through and through"),
+         (3, f"{bench} {bench}")],
+        "doc_id int, text string",
+    )
+    probes = spark.createDataFrame(
+        [(9, f"x {bench} y"), (10, "a b c")], "doc_id int, text string"
+    )
+    art = probe_gram_artifact(probes, "text", span_tokens=8)
+    got = sorted(
+        decontaminate_with_artifact(
+            train, "doc_id", "text", art, span_tokens=8
+        ).collect()
+    )
+    want = sorted(
+        exact_decontaminate(
+            train, "doc_id", "text", probes, "doc_id", "text", span_tokens=8
+        ).collect()
+    )
+    assert got == want
+    assert [r.n_removed for r in got] == [8, 0, 16]
+
+
+@pytest.mark.slow
+def test_decontaminate_cli_artifact_roundtrip(spark, tmp_path):
+    """materialize_probe_artifact -> probe_artifact_location chain via
+    the CLI: output equals the direct exact run."""
+    import json
+
+    from m3d_engine_spark.operators.base import run_algorithm
+    from m3d_engine_spark.operators.suffix import exact_decontaminate
+
+    bench = "m n o p q r s t"
+    train_loc, probe_loc = str(tmp_path / "train"), str(tmp_path / "probe")
+    spark.createDataFrame(
+        [(1, f"pre {bench} post"), (2, "nothing shared here at all")],
+        "doc_id int, text string",
+    ).write.parquet(train_loc)
+    spark.createDataFrame(
+        [(9, f"q: {bench} a")], "doc_id int, text string"
+    ).write.parquet(probe_loc)
+
+    art_loc = str(tmp_path / "artifact")
+    p1 = tmp_path / "p1.json"
+    p1.write_text(json.dumps({
+        "materialize_probe_artifact": True,
+        "probe_location": probe_loc,
+        "span_tokens": 8,
+        "target_location": art_loc,
+    }))
+    run_algorithm(spark, "Decontaminate", str(p1))
+    art = spark.read.parquet(art_loc)
+    assert art.columns == ["gh"] and art.count() == 3  # 10-token probe
+
+    out = str(tmp_path / "scrubbed")
+    p2 = tmp_path / "p2.json"
+    p2.write_text(json.dumps({
+        "source_location": train_loc,
+        "probe_artifact_location": art_loc,
+        "span_tokens": 8,
+        "target_location": out,
+    }))
+    run_algorithm(spark, "Decontaminate", str(p2))
+    got = sorted(spark.read.parquet(out).collect())
+    want = sorted(
+        exact_decontaminate(
+            spark.read.parquet(train_loc), "doc_id", "text",
+            spark.read.parquet(probe_loc), "doc_id", "text", span_tokens=8,
+        ).collect()
+    )
+    assert got == want
