@@ -38,7 +38,37 @@ class ParamsFile:
 
     def get_int(self, key: str) -> int:
         v = self._require(key, (int,))
+        if isinstance(v, bool):
+            # bool is an int subclass: {"key": true} would silently
+            # coerce to 1 — a config typo, not a value
+            raise ConfigError(
+                f"parameter {key!r} must be an integer, got JSON boolean {v!r}"
+            )
         return int(v)
+
+    def get_optional_int(
+        self, key: str, default: int, minimum: int | None = None
+    ) -> int:
+        """Integer dial with the JSON-boolean/typo guard, naming the
+        offending key (a bare ``int(p.get_optional(...))`` coerces
+        {"key": true} to 1 and raises key-less errors on garbage).
+        New params-driven dials should read through this."""
+        raw = self.params.get(key, default)
+        if isinstance(raw, bool) or not isinstance(raw, (int, str)):
+            raise ConfigError(
+                f"parameter {key!r} must be an integer, got {raw!r}"
+            )
+        try:
+            n = int(raw)
+        except ValueError:
+            raise ConfigError(
+                f"parameter {key!r} must be an integer, got {raw!r}"
+            ) from None
+        if minimum is not None and n < minimum:
+            raise ConfigError(
+                f"parameter {key!r} must be >= {minimum}, got {n}"
+            )
+        return n
 
     def get_bool(self, key: str) -> bool:
         return self._require(key, bool)

@@ -1164,8 +1164,33 @@ def remove_repeated_spans(
     64-bit hash ids under ANSI, and cannot express string ids).
     Returns (id, clean_text, n_tokens, n_removed)."""
     L = int(span_tokens)
-    t = tokens(F.col(text_col))
-    base = docs.select(F.col(id_col), t.alias("_tk"))
+    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    occ = md5_window_occ(docs, id_col, text_col, L).withColumnRenamed(
+        "gh", "_gh"
+    )
+    return rebuild_without_repeated_windows(
+        base, occ, id_col, L, min_occurrences, window_key="_gh"
+    )
+
+
+def md5_window_occ(
+    docs: DataFrame, id_col: str | None, text_col: str, span_tokens: int
+) -> DataFrame:
+    """(id, _pos, gh) md5 fingerprints of every full
+    ``span_tokens``-token window — THE window-fingerprint projection
+    of the ExactSubstr family, shared by :func:`remove_repeated_spans`
+    and the decontamination artifact path (operators/suffix.py): the
+    two must stay byte-identical or previously materialized artifacts
+    silently stop matching, so there is exactly one copy.
+    ``id_col=None`` omits the id (the artifact side needs only the
+    hashes)."""
+    L = int(span_tokens)
+    if L < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    base = docs.select(
+        *([F.col(id_col)] if id_col else []),
+        tokens(F.col(text_col)).alias("_tk"),
+    )
     gram_arr = F.when(
         F.size(F.col("_tk")) >= L,
         F.transform(
@@ -1173,11 +1198,9 @@ def remove_repeated_spans(
             lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_tk"), i + 1, L))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    occ = base.select(
-        F.col(id_col), F.posexplode(gram_arr).alias("_pos", "_gh")
-    )
-    return rebuild_without_repeated_windows(
-        base, occ, id_col, L, min_occurrences, window_key="_gh"
+    return base.select(
+        *([F.col(id_col)] if id_col else []),
+        F.posexplode(gram_arr).alias("_pos", "gh"),
     )
 
 

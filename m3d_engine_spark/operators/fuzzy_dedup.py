@@ -265,9 +265,9 @@ class FuzzyDedupAlgorithm(Algorithm):
                     dfs[0],
                     p.get_optional("id_column", "doc_id"),
                     p.get_optional("text_column", "text"),
-                    num_hashes=int(p.get_optional("num_hashes", 16)),
-                    bands=int(p.get_optional("bands", 8)),
-                    shingle_n=int(p.get_optional("shingle_n", 3)),
+                    num_hashes=p.get_optional_int("num_hashes", 16, minimum=1),
+                    bands=p.get_optional_int("bands", 8, minimum=1),
+                    shingle_n=p.get_optional_int("shingle_n", 3, minimum=1),
                 )
             ]
         return [
@@ -275,14 +275,14 @@ class FuzzyDedupAlgorithm(Algorithm):
                 dfs[0],
                 p.get_optional("id_column", "doc_id"),
                 p.get_optional("text_column", "text"),
-                num_hashes=int(p.get_optional("num_hashes", 16)),
-                bands=int(p.get_optional("bands", 8)),
-                shingle_n=int(p.get_optional("shingle_n", 3)),
+                num_hashes=p.get_optional_int("num_hashes", 16, minimum=1),
+                bands=p.get_optional_int("bands", 8, minimum=1),
+                shingle_n=p.get_optional_int("shingle_n", 3, minimum=1),
                 threshold=float(p.get_optional("threshold", 0.5)),
                 use_star=bool(p.get_optional("use_star", False)),
                 max_bucket_size=_positive_or_none(p, "max_bucket_size"),
                 salt_size=_salt_size_param(p),
-                salt_parts=int(p.get_optional("salt_parts", 8)),
+                salt_parts=p.get_optional_int("salt_parts", 8, minimum=1),
             )
         ]
 

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from m3d_engine_spark.functions.text import tokens
 from m3d_engine_spark.operators.dedup import (
+    md5_window_occ,
     rebuild_without_positions,
     rebuild_without_repeated_windows,
 )
@@ -285,29 +286,6 @@ def exact_substr_spans(
     )
 
 
-def _md5_window_occ(
-    docs: DataFrame, id_col: str | None, text_col: str, span_tokens: int
-) -> DataFrame:
-    """(id, _pos, gh) md5 fingerprints of every full L-token window —
-    the same formula remove_repeated_spans projects, factored for the
-    artifact path. ``id_col=None`` omits the id (the artifact side
-    needs only the hashes)."""
-    L = int(span_tokens)
-    base = docs.select(
-        *([F.col(id_col)] if id_col else []),
-        tokens(F.col(text_col)).alias("_tk"),
-    )
-    gram_arr = F.when(
-        F.size("_tk") >= L,
-        F.transform(
-            F.sequence(F.lit(0), F.size("_tk") - L),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_tk"), i + 1, L))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    cols = [F.col(id_col)] if id_col else []
-    return base.select(*cols, F.posexplode(gram_arr).alias("_pos", "gh"))
-
-
 def probe_gram_artifact(
     probes: DataFrame, text_col: str, span_tokens: int = 8
 ) -> DataFrame:
@@ -323,7 +301,7 @@ def probe_gram_artifact(
     suffix path and this one are equality-pinned on collision-free
     corpora."""
     return (
-        _md5_window_occ(probes, None, text_col, span_tokens)
+        md5_window_occ(probes, None, text_col, span_tokens)
         .select("gh")
         .distinct()
     )
@@ -343,7 +321,7 @@ def decontaminate_with_artifact(
     (id, clean_text, n_tokens, n_removed) contract. One corpus scan +
     one broadcast probe — no benchmark text, no doubling cascade."""
     L = int(span_tokens)
-    occ = _md5_window_occ(train, train_id, train_text, span_tokens)
+    occ = md5_window_occ(train, train_id, train_text, span_tokens)
     covered = occ.join(F.broadcast(artifact.select("gh")), on="gh").select(
         F.col(train_id),
         F.explode(
@@ -363,16 +341,10 @@ from m3d_engine_spark.operators.base import Algorithm, register  # noqa: E402
 
 
 def _span_tokens_param(params) -> int:
-    raw = params.get_optional("span_tokens", 8)
-    # bool is an int subclass: {"span_tokens": true} would coerce to 1
-    # and scrub every token shared with the benchmark VOCABULARY —
-    # flag the config typo instead.
-    if isinstance(raw, bool) or not isinstance(raw, (int, str)):
-        raise ValueError(f"span_tokens must be a positive integer, got {raw!r}")
-    n = int(raw)
-    if n < 1:
-        raise ValueError(f"span_tokens must be >= 1, got {n}")
-    return n
+    # {"span_tokens": true} would coerce to 1 and scrub every token
+    # shared with the benchmark VOCABULARY — the shared ParamsFile
+    # guard flags the config typo, naming the key.
+    return params.get_optional_int("span_tokens", 8, minimum=1)
 
 
 @register("Decontaminate")
@@ -398,12 +370,45 @@ class DecontaminateAlgorithm(Algorithm):
     broadcast md5 path."""
 
     def _mode(self) -> str:
+        """Resolve the run mode, REJECTING ambiguous combinations — a
+        copy-pasted acon that sets both an artifact location and a
+        probe corpus (or both mode switches) must fail loudly, not
+        silently ignore one of them."""
+        from m3d_engine_spark.config import ConfigError
+
         p = self.params
-        if bool(p.get_optional("materialize_probe_artifact", False)):
+        materialize = bool(p.get_optional("materialize_probe_artifact", False))
+        artifact = p.has("probe_artifact_location")
+        probe_corpus = p.has("probe_location") or p.has("probe_table")
+        if materialize and artifact:
+            raise ConfigError(
+                "materialize_probe_artifact and probe_artifact_location "
+                "are mutually exclusive: one writes the artifact, the "
+                "other consumes it"
+            )
+        if artifact and probe_corpus:
+            raise ConfigError(
+                "probe_artifact_location together with probe_location/"
+                "probe_table is ambiguous: artifact mode never reads "
+                "the probe corpus — drop one"
+            )
+        if materialize:
             return "materialize"
-        if p.has("probe_artifact_location"):
+        if artifact:
             return "artifact"
         return "exact"
+
+    def prepare(self) -> None:
+        # fail on ambiguous mode combos / a sidecar-less materialize
+        # target BEFORE any data is read
+        mode = self._mode()
+        if mode == "materialize" and not self.params.has("target_location"):
+            from m3d_engine_spark.config import ConfigError
+
+            raise ConfigError(
+                "materialize_probe_artifact requires target_location "
+                "(the span_tokens sidecar lives next to the data)"
+            )
 
     def _read_train(self) -> DataFrame:
         p = self.params
@@ -447,6 +452,34 @@ class DecontaminateAlgorithm(Algorithm):
                 )
             ]
         if mode == "artifact":
+            # span_tokens is BAKED INTO the artifact hashes: a scrub
+            # run with a different L would match nothing and emit the
+            # corpus unscrubbed with n_removed=0 — the silent no-op.
+            # The artifact's _meta.json is the source of truth (the
+            # incremental-dedup convention); an explicit conflicting
+            # params value is a config error, and a meta-less
+            # (hand-built) artifact falls back to the params dial.
+            import json as _json
+
+            from m3d_engine_spark.config import ConfigError
+            from m3d_engine_spark.sources.dfs import DFS
+
+            meta_path = (
+                p.get_string("probe_artifact_location").rstrip("/")
+                + "/_meta.json"
+            )
+            dfs_fs = DFS(self.spark)
+            if dfs_fs.exists(meta_path):
+                meta_L = int(
+                    _json.loads(dfs_fs.read_text(meta_path))["span_tokens"]
+                )
+                if p.has("span_tokens") and L != meta_L:
+                    raise ConfigError(
+                        f"span_tokens={L} conflicts with the artifact's "
+                        f"baked-in value {meta_L} ({meta_path}); drop the "
+                        "param or re-materialize the artifact"
+                    )
+                L = meta_L
             return [
                 decontaminate_with_artifact(
                     dfs[0], id_col, text_col, dfs[1], span_tokens=L
@@ -467,4 +500,26 @@ class DecontaminateAlgorithm(Algorithm):
     def write(self, dfs: list[DataFrame]) -> None:
         from m3d_engine_spark.sources.writers import write_output
 
-        write_output(self.spark, dfs[0], self.params)
+        p = self.params
+        if self._mode() == "materialize":
+            # prepare() guaranteed target_location (the _meta.json
+            # sidecar needs a filesystem address)
+            write_output(self.spark, dfs[0], p)
+            import json as _json
+
+            from m3d_engine_spark.sources.dfs import DFS
+
+            # span_tokens is baked into the hashes — record it next to
+            # the artifact so the scrub side derives it (the
+            # incremental-dedup _meta.json convention)
+            DFS(self.spark).write_text(
+                p.get_string("target_location").rstrip("/") + "/_meta.json",
+                _json.dumps(
+                    {
+                        "kind": "probe_gram_artifact",
+                        "span_tokens": _span_tokens_param(p),
+                    }
+                ),
+            )
+            return
+        write_output(self.spark, dfs[0], p)

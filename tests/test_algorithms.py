@@ -853,8 +853,8 @@ def test_decontaminate_cli_roundtrip(spark, tmp_path):
     )
     assert got == want and got[0] == (1, "keep drop", 8)
 
-    from m3d_engine_spark.config import ParamsFile
+    from m3d_engine_spark.config import ConfigError, ParamsFile
 
-    for bad in (True, False, 0, -3, 2.5):
-        with pytest.raises(ValueError, match="span_tokens"):
+    for bad in (True, False, 0, -3, 2.5, "eight"):
+        with pytest.raises(ConfigError, match="span_tokens"):
             _span_tokens_param(ParamsFile({"span_tokens": bad}))

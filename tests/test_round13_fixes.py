@@ -301,3 +301,114 @@ def test_bench_lock_empty_lock_nascent_writer_grace(tmp_path, monkeypatch):
     assert bench.acquire_bench_lock(lock) == 3
     assert open(lock).read().strip() == "1"  # restored, not destroyed
     os.remove(lock)
+
+
+# ------------------------------------------------------- third review pass
+
+
+def test_get_optional_int_guard():
+    """The shared ParamsFile integer guard: JSON booleans, garbage
+    strings, floats, and below-minimum values all raise NAMING the
+    key; valid ints and int-strings pass."""
+    from m3d_engine_spark.config import ConfigError, ParamsFile
+
+    p = ParamsFile({"n": 5, "s": "7", "b": True, "g": "eight", "f": 2.5})
+    assert p.get_optional_int("n", 1) == 5
+    assert p.get_optional_int("s", 1) == 7
+    assert p.get_optional_int("missing", 9) == 9
+    for key in ("b", "g", "f"):
+        with pytest.raises(ConfigError, match=key):
+            p.get_optional_int(key, 1)
+    with pytest.raises(ConfigError, match="n.*>= 10"):
+        p.get_optional_int("n", 1, minimum=10)
+    with pytest.raises(ConfigError, match="boolean"):
+        ParamsFile({"k": True}).get_int("k")
+
+
+def test_md5_window_occ_rejects_zero_span(spark):
+    """span_tokens=0 would hash md5('') at every position (incl. one
+    past the end) and scrub every document to empty — the shared
+    projection raises instead."""
+    from m3d_engine_spark.operators.dedup import md5_window_occ
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="span_tokens"):
+        md5_window_occ(docs, "doc_id", "text", 0)
+
+
+def test_decontaminate_cli_mode_conflicts(spark, tmp_path):
+    """Ambiguous mode combinations raise instead of silently ignoring
+    one of the conflicting keys."""
+    import m3d_engine_spark.cli  # noqa: F401
+    from m3d_engine_spark.config import ConfigError, ParamsFile
+    from m3d_engine_spark.operators.base import REGISTRY
+
+    base = {"source_location": "x", "target_location": "y"}
+    with pytest.raises(ConfigError, match="mutually exclusive"):
+        REGISTRY["Decontaminate"](
+            spark,
+            ParamsFile({**base, "materialize_probe_artifact": True,
+                        "probe_artifact_location": "a", "probe_location": "p"}),
+        ).run()
+    with pytest.raises(ConfigError, match="ambiguous"):
+        REGISTRY["Decontaminate"](
+            spark,
+            ParamsFile({**base, "probe_artifact_location": "a",
+                        "probe_location": "p"}),
+        ).run()
+    # materialize to a table-only target: the _meta.json sidecar has
+    # nowhere to live
+    with pytest.raises(ConfigError, match="target_location"):
+        REGISTRY["Decontaminate"](
+            spark,
+            ParamsFile({"materialize_probe_artifact": True,
+                        "probe_location": str(tmp_path / "nope"),
+                        "target_table": "t"}),
+        ).run()
+
+
+def test_decontaminate_artifact_meta_guards_span_tokens(spark, tmp_path):
+    """The artifact's _meta.json is the span_tokens source of truth:
+    a scrub with no explicit dial adopts it, a CONFLICTING explicit
+    dial raises — never the silent match-nothing no-op."""
+    import json
+
+    from m3d_engine_spark.config import ConfigError, ParamsFile
+    from m3d_engine_spark.operators.base import REGISTRY
+
+    bench5 = "m n o p q"  # 5 tokens
+    train_loc, probe_loc = str(tmp_path / "train"), str(tmp_path / "probe")
+    spark.createDataFrame(
+        [(1, f"pre {bench5} post")], "doc_id int, text string"
+    ).write.parquet(train_loc)
+    spark.createDataFrame(
+        [(9, bench5)], "doc_id int, text string"
+    ).write.parquet(probe_loc)
+    art_loc = str(tmp_path / "art")
+    REGISTRY["Decontaminate"](spark, ParamsFile({
+        "materialize_probe_artifact": True,
+        "probe_location": probe_loc,
+        "span_tokens": 5,
+        "target_location": art_loc,
+    })).run()
+    assert json.loads((tmp_path / "art" / "_meta.json").read_text()) == {
+        "kind": "probe_gram_artifact", "span_tokens": 5,
+    }
+    # no explicit dial -> adopts the artifact's 5 (default 8 would
+    # match nothing); the scrub actually removes the benchmark run
+    out = str(tmp_path / "scrubbed")
+    REGISTRY["Decontaminate"](spark, ParamsFile({
+        "source_location": train_loc,
+        "probe_artifact_location": art_loc,
+        "target_location": out,
+    })).run()
+    rows = spark.read.parquet(out).collect()
+    assert rows[0].clean_text == "pre post" and rows[0].n_removed == 5
+    # explicit conflicting dial -> loud error
+    with pytest.raises(ConfigError, match="baked-in"):
+        REGISTRY["Decontaminate"](spark, ParamsFile({
+            "source_location": train_loc,
+            "probe_artifact_location": art_loc,
+            "span_tokens": 8,
+            "target_location": str(tmp_path / "never"),
+        })).run()
