@@ -18,6 +18,8 @@ import datetime
 import os
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from m3d_engine_spark.functions.dates import with_date_components
@@ -389,6 +391,7 @@ def _rand_corpus(rng, n_docs, vocab, max_len):
     ]
 
 
+@pytest.mark.slow
 def test_exact_substr_matches_python_oracle_random(spark):
     """Random tiny-vocabulary corpora (repeats everywhere, adversarial
     overlaps) at several window lengths: the distributed

@@ -367,6 +367,7 @@ def test_decontaminate_cli_mode_conflicts(spark, tmp_path):
         ).run()
 
 
+@pytest.mark.slow
 def test_decontaminate_artifact_meta_guards_span_tokens(spark, tmp_path):
     """The artifact's _meta.json is the span_tokens source of truth:
     a scrub with no explicit dial adopts it, a CONFLICTING explicit

@@ -215,6 +215,7 @@ def test_exact_decontaminate(spark):
     assert set(got) == {1, 2, 3, 4}  # probes are not in the output
 
 
+@pytest.mark.slow
 def test_artifact_decontaminate_equals_exact(spark):
     """The production artifact path (materialize benchmark hashes once,
     scrub via broadcast md5 join) equals the exact suffix path on a
