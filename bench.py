@@ -40,13 +40,49 @@ def acquire_bench_lock(lock_path: str) -> int:
     lock."""
 
     def _try_acquire() -> bool:
+        # Write the pid to a private temp file FIRST, then hard-link it
+        # into place: link() is atomic, so no observer can ever read an
+        # EMPTY lock. The old O_CREAT|O_EXCL-then-write sequence had a
+        # window where a descheduled acquirer's lock looked dead and
+        # could be reclaimed out from under it (round-13 advice).
+        tmp = lock_path + f".acquire.{os.getpid()}"
         try:
-            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-            return True
-        except FileExistsError:
-            return False
+            with open(tmp, "w") as fh:
+                fh.write(str(os.getpid()))
+            try:
+                os.link(tmp, lock_path)
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+    # Sweep orphans from crashed acquirers/reclaimers whose pid is dead
+    # (a failed restore deliberately leaves its .reclaim.<pid> file in
+    # place rather than risk deleting a racer's live lock inode; this is
+    # where those get collected).
+    lock_dir = os.path.dirname(lock_path) or "."
+    lock_name = os.path.basename(lock_path)
+    try:
+        for fn in os.listdir(lock_dir):
+            for suffix in (".reclaim.", ".acquire."):
+                prefix = lock_name + suffix
+                if fn.startswith(prefix):
+                    try:
+                        pid = int(fn[len(prefix):])
+                        os.kill(pid, 0)
+                    except (ValueError, PermissionError):
+                        pass  # garbage name or live foreign pid: leave it
+                    except ProcessLookupError:
+                        try:
+                            os.remove(os.path.join(lock_dir, fn))
+                        except OSError:
+                            pass
+    except OSError:
+        pass
 
     acquired = _try_acquire()
     if not acquired:
@@ -87,15 +123,10 @@ def acquire_bench_lock(lock_path: str) -> int:
             # check, not str(other): an empty/garbage lock (a bench
             # that crashed between open and write) parses to other=0
             # and would never compare equal, bricking the lock forever.
-            if raw == "":
-                # An EMPTY lock is ambiguous: truly dead, or a LIVE
-                # acquirer descheduled between its os.open and
-                # os.write. Its delayed write lands on the renamed
-                # inode, so waiting makes the two distinguishable —
-                # after the grace the nascent owner's pid is in the
-                # claimed file and the changed-hands branch restores
-                # it.
-                time.sleep(0.2)
+            # An EMPTY lock needs no grace period anymore: acquisition
+            # links a fully-written pid file into place atomically, so
+            # a live acquirer can never be observed mid-write — empty
+            # means dead (pre-link-protocol remnant or manual touch).
             try:
                 reclaimed = open(claimed).read().strip()
             except OSError:
@@ -219,6 +250,24 @@ def main() -> int:
                     rdd.unpersist()
             except Exception:
                 pass  # cleanup must never fail the bench
+        # Broadcast blocks (torrent pieces from the sweep's hundreds of
+        # broadcast joins) are NOT covered by clearCache/RDD-unpersist:
+        # the ContextCleaner frees them only once their JVM references
+        # are garbage — which needs the py4j handles dropped AND a GC
+        # to run. Over a 200+-entry sweep they otherwise accumulate in
+        # the block manager (the suspected residual of the tail-of-
+        # sweep aging after the r13 RDD-unpersist fix; quiet min-of-3
+        # reads of the tail entries show parity, so the inflation is
+        # sweep-accumulated state, not plans). One collect+System.gc
+        # per ENTRY (not per run) costs ~0.1-0.3 s on a mostly-empty
+        # heap — noise against a 2 s median entry.
+        try:
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         timings[name] = round(best, 3)
         if best > 0:
             total += best

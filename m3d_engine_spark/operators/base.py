@@ -44,6 +44,12 @@ class Algorithm(abc.ABC):
         # unpersisted when the run ends so long-lived sessions (thrift
         # server, notebook, test suite) never accumulate cached blocks.
         self._persisted: list[DataFrame] = []
+        # localCheckpoint'd frames (lineage-cut tiers pass this as
+        # their `track` list). Freed separately because
+        # DataFrame.unpersist() only uncaches the plan — checkpoint
+        # blocks live behind the LogicalRDD and need the RDD-level
+        # unpersist (operators/suffix.py:unpersist_checkpoints).
+        self._checkpointed: list[DataFrame] = []
 
     def prepare(self) -> None:
         """Resolve catalog/location state (side-effectful; optional)."""
@@ -71,6 +77,13 @@ class Algorithm(abc.ABC):
             for df in self._persisted:
                 df.unpersist()
             self._persisted.clear()
+            if self._checkpointed:
+                from m3d_engine_spark.operators.suffix import (
+                    unpersist_checkpoints,
+                )
+
+                unpersist_checkpoints(self._checkpointed)
+                self._checkpointed.clear()
 
 
 def run_algorithm(spark: SparkSession, name: str, params_path: str) -> None:

@@ -58,11 +58,39 @@ def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _ck(df: DataFrame, track: "list | None") -> DataFrame:
+    """Lazy localCheckpoint, registered on ``track`` when the caller
+    wants to free the blocks after materializing (long-lived sessions
+    — thrift server, multi-step Pipelines — otherwise accumulate them
+    across runs; only bench.py sweeps getPersistentRDDs, and only for
+    the bench)."""
+    out = df.localCheckpoint(eager=False)
+    if track is not None:
+        track.append(out)
+    return out
+
+
+def unpersist_checkpoints(dfs) -> None:
+    """Free the RDD blocks behind localCheckpoint'd frames. NOTE:
+    ``DataFrame.unpersist()`` is the WRONG tool here — it uncaches the
+    plan via the CacheManager and leaves the checkpoint's persisted
+    RDD untouched; the blocks live behind the plan's LogicalRDD, so we
+    reach through it. Only call after the consumer has materialized
+    its results (a checkpoint's lineage is truncated — the blocks are
+    the only copy)."""
+    for df in dfs:
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass  # non-checkpoint plan shape / already freed: best-effort
+
+
 def suffix_window_classes(
     base: DataFrame,
     id_col: str,
     span_tokens: int,
     initial_gram: int = 4,
+    track: "list | None" = None,
 ) -> DataFrame:
     """Exact equality classes of the length-``span_tokens`` windows of
     a tokenized corpus ``base`` (id, _tk array<string>).
@@ -121,7 +149,7 @@ def suffix_window_classes(
         independently — exponential recompute in the round count
         (measured: zero ReusedExchange across a 32-exchange plan at
         L=8 before the cut)."""
-        cur = cur.localCheckpoint(eager=False)
+        cur = _ck(cur, track)
         mate = cur.select(
             F.col(id_col),
             (F.col("_pos") - F.lit(shift)).alias("_pos"),
@@ -134,7 +162,8 @@ def suffix_window_classes(
             F.struct(F.col("_cls").alias("a"), F.col("_cls2").alias("b")).alias(
                 "_key"
             ),
-        ).localCheckpoint(eager=False)
+        )
+        joined = _ck(joined, track)
         named = joined.groupBy("_key").agg(F.min(rep).alias("_cls"))
         return joined.join(named, on="_key").select(
             id_col, "_n", "_pos", "_cls"
@@ -150,9 +179,12 @@ def suffix_window_classes(
         cur = _combine(cur, L - k)
     # the caller's removal/report tail reads the class relation twice
     # (count election + join) — pin it once here
-    return cur.filter(F.col("_pos") + F.lit(L) <= F.col("_n")).select(
-        id_col, "_pos", "_cls"
-    ).localCheckpoint(eager=False)
+    return _ck(
+        cur.filter(F.col("_pos") + F.lit(L) <= F.col("_n")).select(
+            id_col, "_pos", "_cls"
+        ),
+        track,
+    )
 
 
 def exact_substr_dedup(
@@ -161,6 +193,7 @@ def exact_substr_dedup(
     text_col: str,
     span_tokens: int = 8,
     min_occurrences: int = 2,
+    track: "list | None" = None,
 ) -> DataFrame:
     """ExactSubstr dedup with true suffix ordering: byte-for-byte the
     :func:`remove_repeated_spans` contract — every length-L window
@@ -170,7 +203,7 @@ def exact_substr_dedup(
     prefix-doubling classes, not md5. Returns
     (id, clean_text, n_tokens, n_removed)."""
     base = _tokenized(docs, id_col, text_col)
-    occ = suffix_window_classes(base, id_col, span_tokens)
+    occ = suffix_window_classes(base, id_col, span_tokens, track=track)
     return rebuild_without_repeated_windows(
         base, occ, id_col, span_tokens, min_occurrences, window_key="_cls"
     )
@@ -184,6 +217,7 @@ def exact_decontaminate(
     probe_id: str,
     probe_text: str,
     span_tokens: int = 8,
+    track: "list | None" = None,
 ) -> DataFrame:
     """Surgical benchmark decontamination (Lee et al. 2022 §6.3 — the
     exact-substring scrub GPT-3-style pipelines apply before
@@ -214,7 +248,7 @@ def exact_decontaminate(
             tokens(F.col(probe_text)).alias("_tk"),
         )
     )
-    occ = suffix_window_classes(base, "_uid", span_tokens)
+    occ = suffix_window_classes(base, "_uid", span_tokens, track=track)
     dirty = (
         occ.filter(F.col("_uid.s") == 1).select("_cls").distinct()
     )
@@ -241,6 +275,7 @@ def exact_substr_spans(
     text_col: str,
     span_tokens: int = 8,
     min_occurrences: int = 2,
+    track: "list | None" = None,
 ) -> DataFrame:
     """Maximal repeated spans — the paper's reporting view. Every
     position inside ANY window repeated >= ``min_occurrences`` times
@@ -256,7 +291,7 @@ def exact_substr_spans(
 
     L = int(span_tokens)
     base = _tokenized(docs, id_col, text_col)
-    occ = suffix_window_classes(base, id_col, L)
+    occ = suffix_window_classes(base, id_col, L, track=track)
     rep = (
         occ.groupBy("_cls")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -480,6 +515,29 @@ class DecontaminateAlgorithm(Algorithm):
                         "param or re-materialize the artifact"
                     )
                 L = meta_L
+            elif not p.has("span_tokens"):
+                # A lost/hand-built artifact with no sidecar AND no
+                # explicit dial would silently fall back to the
+                # default, match nothing, and emit the corpus
+                # unchanged with n_removed=0 — the exact silent no-op
+                # the meta guard exists to prevent. Require the dial.
+                raise ConfigError(
+                    f"{meta_path} not found and no explicit span_tokens "
+                    "param: the artifact's window length is unknowable "
+                    "and a wrong guess scrubs NOTHING silently — pass "
+                    "span_tokens matching the artifact's build, or "
+                    "restore/re-materialize the sidecar"
+                )
+            else:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "probe_artifact_location has no _meta.json sidecar "
+                    "(%s); trusting explicit span_tokens=%d — a mismatch "
+                    "with the artifact's build value scrubs nothing",
+                    meta_path,
+                    L,
+                )
             return [
                 decontaminate_with_artifact(
                     dfs[0], id_col, text_col, dfs[1], span_tokens=L
@@ -494,6 +552,7 @@ class DecontaminateAlgorithm(Algorithm):
                 p.get_optional("probe_id_column", id_col),
                 p.get_optional("probe_text_column", text_col),
                 span_tokens=L,
+                track=self._checkpointed,
             )
         ]
 

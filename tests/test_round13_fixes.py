@@ -281,25 +281,37 @@ def test_full_load_cleanup_multi_segment_base_data_dir(spark, tmp_path):
     spark.sql("DROP TABLE ms_tbl")
 
 
-def test_bench_lock_empty_lock_nascent_writer_grace(tmp_path, monkeypatch):
-    """An empty lock may be a LIVE acquirer descheduled between open
-    and write; its delayed write lands on the renamed inode during the
-    grace sleep and must defer the reclaim, restoring the lock."""
+def test_bench_lock_acquire_is_atomic_never_empty(tmp_path):
+    """Acquisition links a fully-written pid file into place: the lock
+    path is never observable empty, so the nascent-writer ambiguity
+    (and its grace sleep) is gone by construction. The temp acquire
+    file must not linger either way."""
     import bench
 
     lock = str(tmp_path / ".bench.lock")
-    with open(lock, "w") as f:
-        pass  # empty = nascent
+    assert bench.acquire_bench_lock(lock) == 0
+    assert open(lock).read().strip() == str(os.getpid())
+    assert not os.path.exists(f"{lock}.acquire.{os.getpid()}")
+    os.remove(lock)
 
-    def delayed_write(_secs):
-        # the nascent owner's os.write lands (on the renamed inode)
-        claimed = f"{lock}.reclaim.{os.getpid()}"
-        with open(claimed, "w") as f:
-            f.write("1")
 
-    monkeypatch.setattr(bench.time, "sleep", delayed_write)
-    assert bench.acquire_bench_lock(lock) == 3
-    assert open(lock).read().strip() == "1"  # restored, not destroyed
+def test_bench_lock_orphan_reclaim_files_cleaned(tmp_path):
+    """Crashed reclaimers/acquirers leave .reclaim.<pid>/.acquire.<pid>
+    files (the failed-restore path leaves them DELIBERATELY); startup
+    collects the ones whose pid is dead and leaves live-pid ones."""
+    import bench
+
+    lock = str(tmp_path / ".bench.lock")
+    dead = f"{lock}.reclaim.999999999"
+    dead2 = f"{lock}.acquire.999999998"
+    live = f"{lock}.reclaim.1"  # pid 1 alive -> EPERM -> leave it
+    for p in (dead, dead2, live):
+        with open(p, "w") as f:
+            f.write("x")
+    assert bench.acquire_bench_lock(lock) == 0
+    assert not os.path.exists(dead) and not os.path.exists(dead2)
+    assert os.path.exists(live)
+    os.remove(live)
     os.remove(lock)
 
 
