@@ -3883,6 +3883,68 @@ FROM clean
 """
 
 
+def q_incremental_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental benchmark decontamination (suffix.py::
+    DecontaminateAlgorithm ``state_location`` composition): the
+    nightly-batch shape — docs already scrubbed by a prior batch (here
+    the even train ids, standing in for the persisted state relation)
+    are ANTI-JOINED out before the scrub, so only new documents pay
+    the suffix-class cascade. Sound because the scrub is per-document
+    given the benchmark; the union of batch outputs equals the
+    from-scratch scrub (equivalence-pinned in tests/test_suffix_cli).
+    The anti-join is the real incremental topology, not a filter."""
+    from m3d_engine_spark.operators.suffix import exact_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 100 != 0)
+    probes = docs.filter(F.col("doc_id") % 100 == 0)
+    state_ids = train.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    todo = train.join(state_ids, on="doc_id", how="left_anti")
+    return exact_decontaminate(
+        todo, "doc_id", "text", probes, "doc_id", "text", span_tokens=8
+    )
+
+
+_SQL_INCREMENTAL_DECONTAMINATE = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+), state AS (
+  SELECT doc_id FROM t WHERE doc_id % 100 <> 0 AND doc_id % 2 = 0
+), tr AS (
+  SELECT * FROM t WHERE doc_id % 100 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM state)
+), occ AS (
+  SELECT doc_id, u.i AS pos,
+         md5(array_to_string(list_slice(tk, u.i + 1, u.i + 8), ' ')) AS gh
+  FROM tr CROSS JOIN unnest(range(0, greatest(len(tk) - 7, 0))) AS u(i)
+), pg AS (
+  SELECT DISTINCT
+         md5(array_to_string(list_slice(tk, u.i + 1, u.i + 8), ' ')) AS gh
+  FROM t CROSS JOIN unnest(range(0, greatest(len(tk) - 7, 0))) AS u(i)
+  WHERE doc_id % 100 = 0
+), covered AS (
+  SELECT DISTINCT o.doc_id, u.cp
+  FROM occ o JOIN pg ON o.gh = pg.gh
+  CROSS JOIN unnest(range(o.pos, o.pos + 8)) AS u(cp)
+), covs AS (
+  SELECT doc_id, list(cp) AS cov FROM covered GROUP BY doc_id
+), clean AS (
+  SELECT tr.doc_id, tr.tk,
+         list_filter(
+           list_transform(tr.tk, (x, i) ->
+             CASE WHEN coalesce(list_contains(c.cov, i - 1), false)
+                  THEN NULL ELSE x END),
+           x -> x IS NOT NULL) AS kt
+  FROM tr LEFT JOIN covs c USING (doc_id)
+)
+SELECT doc_id,
+       coalesce(array_to_string(kt, ' '), '') AS clean_text,
+       CAST(len(tk) AS INT) AS n_tokens,
+       CAST(len(tk) - len(kt) AS INT) AS n_removed
+FROM clean
+"""
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval (retrieval.py::bm25_topk): probe queries
     (first 5 tokens of every 100th doc) scored against the corpus with
@@ -10662,34 +10724,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # appearance (rotation debt zero); the rotation is purely mechanical:
 # each round, move the first 50 names to the tail so the next window is
 # always the 50 stalest driver rows (any NEW entry is fronted first,
-# displacing the window tail to the next round). Round 13 fronts the
-# three new suffix-tier entries (decontaminate_spans, exact_substr,
-# exact_substr_spans → 208 total), so three stale names (through
-# kaplan_meier) slip to the r14 window.
+# displacing the window tail to the next round). Round 14 fronts the
+# new incremental_decontaminate entry (→ 209 total), so the last r13
+# slip (kaplan_meier) plus the stalest 48 make up the rest of the
+# window; one name (running_total) slips to the r15 window.
 _ROTATION_FRONT = [
-    # ---- round-13 window (first 50): the three NEW suffix-tier
-    # entries fronted per the rotation rule, then the stalest 47
-    # (r8 tail, r9 cohort); kaplan_meier slips to the r14 window ----
-    "decontaminate_spans",
-    "exact_substr", "exact_substr_spans", "skew_report", "skipgram_pairs",
-    "vocab_drift", "weighted_sample", "zipf_fit", "budget_select",
-    "kanon_census", "bpe_pairs", "gap_fill", "rolling_med", "ab_welch",
-    "rbo_overlap", "fastss_pairs", "deepwalk_pairs", "feature_hash",
-    "source_overlap", "phash_dedup", "rendezvous_shards", "expectations",
-    "table_checksum", "ndcg_eval", "ann_recall", "large_orders", "brand_share",
-    "top_paths", "histogram2d", "order_dist", "promo_share",
-    "small_qty_revenue", "returned_items", "untapped_customers",
-    "disjunct_revenue", "grouping_sets_census", "window_suite", "ewma_revenue",
-    "mad_outliers", "bitext_mine", "rfm_segments", "revenue_concentration",
-    "order_gap_stats", "metrics_melt", "daily_spine", "skyline_parts",
-    "attribution_removal", "identity_clusters", "asof_forward",
-    "forecast_backtest", "kaplan_meier",
-    # ---- later windows, staleness-ordered; the r12 window moved
-    # to the tail per the mechanical rule ----
-    "windowed_funnel", "wilson_ci", "cuped_lift", "chi2_independence",
-    "mann_whitney", "gini_revenue", "herfindahl", "ledger_balance",
-    "active_users", "seasonal_index", "mix_entropy", "price_elasticity",
-    "ann_topk", "append_join", "append_load_regex", "asof_join", "brute_topk",
+    # ---- round-14 window (first 50): the NEW incremental-
+    # decontaminate entry fronted per the rotation rule, then the
+    # stalest 49 (kaplan_meier — the entry that slipped from r13 —
+    # through the r9/r10 cohort); forecast_backtest's cohort (the
+    # r13 window) moved to the tail per the mechanical rule ----
+    "incremental_decontaminate", "kaplan_meier", "windowed_funnel",
+    "wilson_ci", "cuped_lift", "chi2_independence", "mann_whitney",
+    "gini_revenue", "herfindahl", "ledger_balance", "active_users",
+    "seasonal_index", "mix_entropy", "price_elasticity", "ann_topk",
+    "append_join", "append_load_regex", "asof_join", "brute_topk",
     "dedup_clusters", "dedup_pipeline", "dedup_survivors", "delta_condense",
     "delta_merge", "distinct_partitions", "embedding_dups", "event_rollup",
     "exact_dups", "fixed_width", "flatten_explode", "flatten_full",
@@ -10698,26 +10747,28 @@ _ROTATION_FRONT = [
     "multimodal_meta", "order_priority_check", "order_revenue", "pmi_bigrams",
     "price_quantiles", "pricing_summary", "quality_zscores",
     "query_materialization", "range_join", "range_materialization",
-    "regional_revenue", "running_total", "sales_rollup",
-    "schema_evolution_union", "seeded_ann", "sessionize", "side_flatten",
-    "simhash64_hamming", "simhash_dedup", "sql_runner", "dedup_advisor",
-    "jaccard_advisor", "market_share", "product_profit", "stratified_sample",
-    "text_stats", "tfidf_top_terms", "transpose_pivot", "winnow_fingerprints",
-    "bigram_lm", "bm25_topk", "boilerplate_lines", "ccnet_buckets",
-    "cohort_retention", "containment_pairs", "contamination_check",
-    "curation_pipeline", "data_profile", "dataset_card", "distinct_report",
-    "doc_chunk", "domain_cap", "dsir_select", "epoch_shuffle", "event_anomaly",
+    "regional_revenue",
+    # ---- later windows, staleness-ordered ----
+    "running_total", "sales_rollup", "schema_evolution_union", "seeded_ann",
+    "sessionize", "side_flatten", "simhash64_hamming", "simhash_dedup",
+    "sql_runner", "dedup_advisor", "jaccard_advisor", "market_share",
+    "product_profit", "stratified_sample", "text_stats", "tfidf_top_terms",
+    "transpose_pivot", "winnow_fingerprints", "bigram_lm", "bm25_topk",
+    "boilerplate_lines", "ccnet_buckets", "cohort_retention",
+    "containment_pairs", "contamination_check", "curation_pipeline",
+    "data_profile", "dataset_card", "distinct_report", "doc_chunk",
+    "domain_cap", "dsir_select", "epoch_shuffle", "event_anomaly",
     "frame_sample", "funnel_steps", "fuzzy_dedup_corpus", "gopher_quality",
     "hard_negatives", "incremental_dedup", "mixture_sample", "nation_volume",
     "numeric_histogram", "pack_materialize", "paragraph_dedup",
     "percentile_quality", "pii_scrub", "pq_encode", "props_extract",
     "quality_classifier", "record_linkage", "repeated_spans",
     "repetition_stats", "robust_scale", "semantic_dedup", "sequence_pack",
-    "session_rollup", "sliding_rollup", "snapshot_diff",
-    "sq_quantize", "temperature_mixture", "top_supplier", "top_terms",
-    "triangle_count", "two_stage_ann", "unigram_lm", "zorder_key",
-    "audio_chunks", "basket_rules", "benford_audit", "blame_supplier",
-    "bloom_prune", "classifier_calibration", "countmin_audit", "embedding_cov",
+    "session_rollup", "sliding_rollup", "snapshot_diff", "sq_quantize",
+    "temperature_mixture", "top_supplier", "top_terms", "triangle_count",
+    "two_stage_ann", "unigram_lm", "zorder_key", "audio_chunks",
+    "basket_rules", "benford_audit", "blame_supplier", "bloom_prune",
+    "classifier_calibration", "countmin_audit", "embedding_cov",
     "event_transitions", "fertility_stats", "fk_audit", "grouped_ols",
     "hilbert_key", "hits_scores", "hybrid_retrieval", "image_tiles",
     "interp_lm", "interval_join", "ivfpq_search", "join_estimate",
@@ -10726,7 +10777,19 @@ _ROTATION_FRONT = [
     "ngram_novelty", "pagerank", "phrase_search", "ppr_expand", "pq_search",
     "pq_topk", "psi_drift", "quantile_normalize", "random_walks",
     "rank_fusion", "rank_weighted_sample", "scd2_history", "script_profile",
-    "session_transcript",
+    "session_transcript", "decontaminate_spans", "exact_substr",
+    "exact_substr_spans", "skew_report", "skipgram_pairs", "vocab_drift",
+    "weighted_sample", "zipf_fit", "budget_select", "kanon_census",
+    "bpe_pairs", "gap_fill", "rolling_med", "ab_welch", "rbo_overlap",
+    "fastss_pairs", "deepwalk_pairs", "feature_hash", "source_overlap",
+    "phash_dedup", "rendezvous_shards", "expectations", "table_checksum",
+    "ndcg_eval", "ann_recall", "large_orders", "brand_share", "top_paths",
+    "histogram2d", "order_dist", "promo_share", "small_qty_revenue",
+    "returned_items", "untapped_customers", "disjunct_revenue",
+    "grouping_sets_census", "window_suite", "ewma_revenue", "mad_outliers",
+    "bitext_mine", "rfm_segments", "revenue_concentration", "order_gap_stats",
+    "metrics_melt", "daily_spine", "skyline_parts", "attribution_removal",
+    "identity_clusters", "asof_forward", "forecast_backtest",
 ]
 
 
@@ -10774,6 +10837,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr": q_exact_substr,
         "exact_substr_spans": q_exact_substr_spans,
         "decontaminate_spans": q_decontaminate_spans,
+        "incremental_decontaminate": q_incremental_decontaminate,
         "bm25_topk": q_bm25_topk,
         "zorder_key": q_zorder_key,
         "data_profile": q_data_profile,
@@ -10990,6 +11054,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_substr": _SQL_REPEATED_SPANS,
         "exact_substr_spans": _SQL_EXACT_SUBSTR_SPANS,
         "decontaminate_spans": _SQL_DECONTAMINATE_SPANS,
+        "incremental_decontaminate": _SQL_INCREMENTAL_DECONTAMINATE,
         "bm25_topk": _SQL_BM25_TOPK,
         "zorder_key": _SQL_ZORDER_KEY,
         "data_profile": _SQL_DATA_PROFILE,

@@ -402,7 +402,15 @@ class DecontaminateAlgorithm(Algorithm):
     side and writes the distinct-window-hash artifact to the target;
     ``probe_artifact_location`` (instead of probe_location/table)
     scrubs against a previously materialized artifact via the
-    broadcast md5 path."""
+    broadcast md5 path.
+
+    Incremental mode (either scrub variant): ``state_location`` makes
+    nightly batches pay only for NEW documents — ids already recorded
+    in the state are anti-joined out before the scrub, and this
+    batch's ids are appended to the state after the output commits.
+    Point the target at a per-batch location (or an append-mode
+    table); the union of batch outputs is pinned equal to the
+    from-scratch scrub."""
 
     def _mode(self) -> str:
         """Resolve the run mode, REJECTING ambiguous combinations — a
@@ -443,6 +451,14 @@ class DecontaminateAlgorithm(Algorithm):
             raise ConfigError(
                 "materialize_probe_artifact requires target_location "
                 "(the span_tokens sidecar lives next to the data)"
+            )
+        if mode == "materialize" and self.params.has("state_location"):
+            from m3d_engine_spark.config import ConfigError
+
+            raise ConfigError(
+                "state_location applies to scrub runs (it tracks which "
+                "train docs were already scrubbed); materialize reads "
+                "only the probe corpus — drop one"
             )
 
     def _read_train(self) -> DataFrame:
@@ -486,6 +502,28 @@ class DecontaminateAlgorithm(Algorithm):
                     span_tokens=L,
                 )
             ]
+        # Incremental composition (the incremental-dedup artifact
+        # pattern, operators/incremental.py): with ``state_location``
+        # set, docs already scrubbed by a prior batch are anti-joined
+        # out BEFORE the scrub — only new documents pay the suffix
+        # cascade / artifact probe. Sound because decontamination is
+        # per-document given the benchmark: a doc's scrub result never
+        # depends on the rest of the corpus, so batch-by-batch output
+        # unions to exactly the from-scratch scrub (equivalence-pinned
+        # in tests). write() appends this batch's ids to the state
+        # AFTER the output commit.
+        state_loc = p.get_optional("state_location")
+        train_df = dfs[0]
+        if state_loc:
+            from m3d_engine_spark.sources.dfs import DFS as _DFS
+
+            if _DFS(self.spark).exists(state_loc):
+                seen = self.spark.read.parquet(state_loc).select(id_col)
+                train_df = train_df.join(seen, on=id_col, how="left_anti")
+            # column-pruned id relation of THIS batch (no scrub in its
+            # plan — write() must not re-run the cascade to learn ids)
+            self._batch_ids = train_df.select(id_col)
+        dfs = [train_df] + dfs[1:]
         if mode == "artifact":
             # span_tokens is BAKED INTO the artifact hashes: a scrub
             # run with a different L would match nothing and emit the
@@ -582,3 +620,84 @@ class DecontaminateAlgorithm(Algorithm):
             )
             return
         write_output(self.spark, dfs[0], p)
+        if getattr(self, "_batch_ids", None) is not None:
+            # State update strictly AFTER the output commit: a failed
+            # output write leaves the ids unrecorded, so the batch is
+            # retried in full — never marked done with no output. The
+            # state grows by batch-sized parquet appends (no rewrite of
+            # the accumulated id set — the 100 TB-friendly shape).
+            self._batch_ids.write.mode("append").parquet(
+                p.get_string("state_location")
+            )
+
+
+@register("ExactSubstrDedup")
+class ExactSubstrDedupAlgorithm(Algorithm):
+    """The hash-free ExactSubstr tier behind the JSON-params dispatch
+    (every other production dedup family — FuzzyDedup,
+    IncrementalDedup, Decontaminate — already has an acon twin):
+
+        python -m m3d_engine_spark ExactSubstrDedup params.json
+
+    ``action: "dedup"`` (default) — :func:`exact_substr_dedup`: every
+    length-``span_tokens`` window whose token sequence occurs >=
+    ``min_occurrences`` times corpus-wide is removed from all but its
+    minimum (doc, pos) occurrence and documents are rebuilt; emits
+    (id, clean_text, n_tokens, n_removed).
+
+    ``action: "spans"`` — :func:`exact_substr_spans`: the reporting
+    view — maximal repeated intervals per document, (id, span_start,
+    span_end, span_len), nothing removed.
+
+    Config keys: action; source_location OR source_table; id_column
+    ("doc_id") / text_column ("text"); span_tokens (default 8, >= 1)
+    and min_occurrences (default 2, >= 2 — 1 would delete every
+    window, i.e. the whole corpus) through the shared
+    ``get_optional_int`` guard; target_location OR target_table (+ the
+    shared write_output surface). The doubling cascade's checkpoint
+    blocks are registered on the run's cleanup list — long-lived
+    sessions don't accumulate them."""
+
+    def prepare(self) -> None:
+        action = self.params.get_optional("action", "dedup")
+        if action not in ("dedup", "spans"):
+            from m3d_engine_spark.config import ConfigError
+
+            raise ConfigError(
+                f"unknown action {action!r} for ExactSubstrDedup: "
+                "expected 'dedup' (remove + rebuild) or 'spans' "
+                "(report maximal repeated intervals)"
+            )
+
+    def read(self) -> list[DataFrame]:
+        p = self.params
+        return [
+            self.spark.table(p.get_string("source_table"))
+            if p.has("source_table")
+            else self.spark.read.parquet(p.get_string("source_location"))
+        ]
+
+    def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
+        p = self.params
+        fn = (
+            exact_substr_spans
+            if p.get_optional("action", "dedup") == "spans"
+            else exact_substr_dedup
+        )
+        return [
+            fn(
+                dfs[0],
+                p.get_optional("id_column", "doc_id"),
+                p.get_optional("text_column", "text"),
+                span_tokens=_span_tokens_param(p),
+                min_occurrences=p.get_optional_int(
+                    "min_occurrences", 2, minimum=2
+                ),
+                track=self._checkpointed,
+            )
+        ]
+
+    def write(self, dfs: list[DataFrame]) -> None:
+        from m3d_engine_spark.sources.writers import write_output
+
+        write_output(self.spark, dfs[0], self.params)

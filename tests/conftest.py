@@ -30,6 +30,7 @@ _LANE_FILES = {
         "test_dedup_similarity.py",  # 108.5
         "test_algorithms.py",        # 55.2
         "test_selection_anomaly.py", # 29.6
+        "test_suffix_cli.py",        # ~22 (slow subset; r14)
         "test_curation_chunking.py", # 4.5
     },
     # lane_d (the default for unlisted slow files):

@@ -1,0 +1,195 @@
+"""Round-14 depth: the ExactSubstrDedup params CLI (library==CLI
+round-trips, action validation) and the incremental Decontaminate
+state composition (two-batch equivalence vs from-scratch,
+idempotency, post-commit state ordering)."""
+
+import json
+import os
+
+import pytest
+
+from m3d_engine_spark.config import ConfigError, ParamsFile
+from m3d_engine_spark.operators.base import REGISTRY, run_algorithm
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, "doc_id int, text string").write.parquet(path)
+
+
+REP = "a b c d e f g h"  # the repeated 8-gram
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    loc = str(tmp_path / "corpus")
+    _write_docs(spark, loc, [
+        (1, f"{REP} tail one"),
+        (2, f"lead {REP} tail two"),
+        (3, "entirely unique text with no repeats at all"),
+    ])
+    return loc
+
+
+@pytest.mark.slow
+def test_exact_substr_cli_dedup_matches_library(spark, tmp_path, corpus):
+    from m3d_engine_spark.operators.suffix import exact_substr_dedup
+
+    out = str(tmp_path / "out")
+    p = tmp_path / "p.json"
+    p.write_text(json.dumps({
+        "source_location": corpus,
+        "span_tokens": 8,
+        "min_occurrences": 2,
+        "target_location": out,
+    }))
+    run_algorithm(spark, "ExactSubstrDedup", str(p))
+    got = sorted(spark.read.parquet(out).collect())
+    want = sorted(
+        exact_substr_dedup(
+            spark.read.parquet(corpus), "doc_id", "text",
+            span_tokens=8, min_occurrences=2,
+        ).collect()
+    )
+    assert got == want
+    by_id = {r.doc_id: r for r in got}
+    # doc 1 is the canonical (min doc,pos) occurrence and keeps its
+    # text; doc 2 loses the repeated "<REP>" AND the overlapping
+    # repeated window "b..h tail" = 9 covered tokens
+    assert by_id[1].n_removed == 0 and by_id[2].n_removed == 9
+    assert by_id[2].clean_text == "lead two"
+
+
+@pytest.mark.slow
+def test_exact_substr_cli_spans_action_and_validation(spark, tmp_path, corpus):
+    from m3d_engine_spark.operators.suffix import exact_substr_spans
+
+    out = str(tmp_path / "spans")
+    run_algorithm_params = {
+        "action": "spans",
+        "source_location": corpus,
+        "span_tokens": 8,
+        "target_location": out,
+    }
+    p = tmp_path / "p.json"
+    p.write_text(json.dumps(run_algorithm_params))
+    run_algorithm(spark, "ExactSubstrDedup", str(p))
+    got = sorted(spark.read.parquet(out).collect())
+    want = sorted(
+        exact_substr_spans(
+            spark.read.parquet(corpus), "doc_id", "text", span_tokens=8,
+        ).collect()
+    )
+    assert got == want and len(got) == 2  # one span in each repeating doc
+
+    # unknown action fails in prepare(), before any read
+    with pytest.raises(ConfigError, match="unknown action"):
+        REGISTRY["ExactSubstrDedup"](spark, ParamsFile({
+            "action": "typo", "source_location": corpus,
+            "target_location": out,
+        })).run()
+    # min_occurrences=1 would delete the whole corpus — guarded
+    with pytest.raises(ConfigError, match="min_occurrences"):
+        REGISTRY["ExactSubstrDedup"](spark, ParamsFile({
+            "source_location": corpus, "min_occurrences": 1,
+            "target_location": out,
+        })).run()
+
+
+@pytest.mark.slow
+def test_incremental_decontaminate_two_batches_equal_scratch(spark, tmp_path):
+    """The state composition's equivalence pin: batch1 then batch2
+    with state_location unions to exactly the from-scratch scrub of
+    the full corpus, and a re-run of an already-seen batch is a
+    no-op (idempotent)."""
+    from m3d_engine_spark.operators.suffix import exact_decontaminate
+
+    bench = "m n o p q r s t"
+    probe_loc = str(tmp_path / "probe")
+    _write_docs(spark, probe_loc, [(9, f"q: {bench} a")])
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    _write_docs(spark, b1, [(1, f"pre {bench} post"), (2, "clean doc one")])
+    _write_docs(spark, b2, [(3, f"{bench} leading"), (4, "clean doc two")])
+    full = str(tmp_path / "full")
+    spark.read.parquet(b1).unionByName(
+        spark.read.parquet(b2)
+    ).write.parquet(full)
+
+    state = str(tmp_path / "state")
+    outs = []
+    for i, src in enumerate((b1, full)):
+        # batch 2 arrives as the FULL corpus (the nightly shape: the
+        # lake accretes); the state must pare it down to just b2's docs
+        out = str(tmp_path / f"out{i}")
+        outs.append(out)
+        REGISTRY["Decontaminate"](spark, ParamsFile({
+            "source_location": src,
+            "probe_location": probe_loc,
+            "span_tokens": 8,
+            "state_location": state,
+            "target_location": out,
+        })).run()
+    got1 = spark.read.parquet(outs[0])
+    got2 = spark.read.parquet(outs[1])
+    assert sorted(r.doc_id for r in got2.collect()) == [3, 4]  # only new docs
+    union = sorted(got1.unionByName(got2).collect())
+    scratch = sorted(
+        exact_decontaminate(
+            spark.read.parquet(full), "doc_id", "text",
+            spark.read.parquet(probe_loc), "doc_id", "text", span_tokens=8,
+        ).collect()
+    )
+    assert union == scratch
+    # idempotent: everything seen -> zero rows out, state unchanged
+    out3 = str(tmp_path / "out3")
+    REGISTRY["Decontaminate"](spark, ParamsFile({
+        "source_location": full,
+        "probe_location": probe_loc,
+        "span_tokens": 8,
+        "state_location": state,
+        "target_location": out3,
+    })).run()
+    assert spark.read.parquet(out3).count() == 0
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(state).collect()
+    ) == [1, 2, 3, 4]
+
+
+def test_incremental_state_not_updated_on_failed_write(spark, tmp_path):
+    """State append happens strictly AFTER the output commit: a failed
+    target write must leave the state absent so the batch retries in
+    full."""
+    b1 = str(tmp_path / "b1")
+    _write_docs(spark, b1, [(1, "some text here")])
+    probe_loc = str(tmp_path / "probe")
+    _write_docs(spark, probe_loc, [(9, "other words")])
+    blocker = tmp_path / "blocker"
+    blocker.write_text("x")  # a FILE where the writer needs a dir
+    state = str(tmp_path / "state")
+    with pytest.raises(Exception):
+        REGISTRY["Decontaminate"](spark, ParamsFile({
+            "source_location": b1,
+            "probe_location": probe_loc,
+            "span_tokens": 2,
+            "state_location": state,
+            "target_location": str(blocker / "out"),
+        })).run()
+    assert not os.path.exists(state)
+
+
+def test_state_location_rejected_for_materialize(spark, tmp_path):
+    with pytest.raises(ConfigError, match="state_location"):
+        REGISTRY["Decontaminate"](spark, ParamsFile({
+            "materialize_probe_artifact": True,
+            "probe_location": str(tmp_path / "p"),
+            "state_location": str(tmp_path / "s"),
+            "target_location": str(tmp_path / "t"),
+        })).run()
+
+
+def test_example_acons_parse_and_name_registered_algorithms():
+    import m3d_engine_spark.cli  # noqa: F401 — populates REGISTRY
+
+    ex_dir = os.path.join(os.path.dirname(__file__), "..", "examples")
+    for fn in ("exact_substr_dedup.json", "decontaminate_incremental.json"):
+        cfg = json.loads(open(os.path.join(ex_dir, fn)).read())
+        assert cfg["algorithm"] in REGISTRY, fn
