@@ -3846,11 +3846,15 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_DECONTAMINATE_SPANS = f"""
+def _sql_decontaminate_oracle(extra_cte: str, tr_pred: str) -> str:
+    """ONE copy of the scrub oracle body (the off-by-one-sensitive
+    occ/pg/covered window arithmetic) shared by the exact and the
+    incremental twins — a future fix can never silently miss one."""
+    return f"""
 WITH t AS (
   SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
-), tr AS (
-  SELECT * FROM t WHERE doc_id % 100 <> 0
+){extra_cte}, tr AS (
+  SELECT * FROM t WHERE doc_id % 100 <> 0{tr_pred}
 ), occ AS (
   SELECT doc_id, u.i AS pos,
          md5(array_to_string(list_slice(tk, u.i + 1, u.i + 8), ' ')) AS gh
@@ -3881,6 +3885,9 @@ SELECT doc_id,
        CAST(len(tk) - len(kt) AS INT) AS n_removed
 FROM clean
 """
+
+
+_SQL_DECONTAMINATE_SPANS = _sql_decontaminate_oracle("", "")
 
 
 def q_incremental_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3905,44 +3912,12 @@ def q_incremental_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_INCREMENTAL_DECONTAMINATE = f"""
-WITH t AS (
-  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
-), state AS (
+_SQL_INCREMENTAL_DECONTAMINATE = _sql_decontaminate_oracle(
+    """, state AS (
   SELECT doc_id FROM t WHERE doc_id % 100 <> 0 AND doc_id % 2 = 0
-), tr AS (
-  SELECT * FROM t WHERE doc_id % 100 <> 0
-  AND doc_id NOT IN (SELECT doc_id FROM state)
-), occ AS (
-  SELECT doc_id, u.i AS pos,
-         md5(array_to_string(list_slice(tk, u.i + 1, u.i + 8), ' ')) AS gh
-  FROM tr CROSS JOIN unnest(range(0, greatest(len(tk) - 7, 0))) AS u(i)
-), pg AS (
-  SELECT DISTINCT
-         md5(array_to_string(list_slice(tk, u.i + 1, u.i + 8), ' ')) AS gh
-  FROM t CROSS JOIN unnest(range(0, greatest(len(tk) - 7, 0))) AS u(i)
-  WHERE doc_id % 100 = 0
-), covered AS (
-  SELECT DISTINCT o.doc_id, u.cp
-  FROM occ o JOIN pg ON o.gh = pg.gh
-  CROSS JOIN unnest(range(o.pos, o.pos + 8)) AS u(cp)
-), covs AS (
-  SELECT doc_id, list(cp) AS cov FROM covered GROUP BY doc_id
-), clean AS (
-  SELECT tr.doc_id, tr.tk,
-         list_filter(
-           list_transform(tr.tk, (x, i) ->
-             CASE WHEN coalesce(list_contains(c.cov, i - 1), false)
-                  THEN NULL ELSE x END),
-           x -> x IS NOT NULL) AS kt
-  FROM tr LEFT JOIN covs c USING (doc_id)
+)""",
+    "\n  AND doc_id NOT IN (SELECT doc_id FROM state)",
 )
-SELECT doc_id,
-       coalesce(array_to_string(kt, ' '), '') AS clean_text,
-       CAST(len(tk) AS INT) AS n_tokens,
-       CAST(len(tk) - len(kt) AS INT) AS n_removed
-FROM clean
-"""
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -518,8 +518,30 @@ class DecontaminateAlgorithm(Algorithm):
             from m3d_engine_spark.sources.dfs import DFS as _DFS
 
             if _DFS(self.spark).exists(state_loc):
-                seen = self.spark.read.parquet(state_loc).select(id_col)
-                train_df = train_df.join(seen, on=id_col, how="left_anti")
+                try:
+                    seen = self.spark.read.parquet(state_loc).select(id_col)
+                except Exception:
+                    # The dir exists but holds no committed parquet —
+                    # the FIRST state append was killed between
+                    # directory creation and job commit (only
+                    # _temporary inside). No batch was ever recorded,
+                    # so empty state is the truthful reading; erroring
+                    # here would brick every subsequent nightly run.
+                    # (Once any append has committed, later crashed
+                    # appends leave the committed files readable and
+                    # this path is never taken.)
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "state_location %s exists but holds no readable "
+                        "parquet (a first state append crashed "
+                        "mid-write?); treating as empty state — this "
+                        "batch scrubs in full",
+                        state_loc,
+                    )
+                    seen = None
+                if seen is not None:
+                    train_df = train_df.join(seen, on=id_col, how="left_anti")
             # column-pruned id relation of THIS batch (no scrub in its
             # plan — write() must not re-run the cascade to learn ids)
             self._batch_ids = train_df.select(id_col)
@@ -626,7 +648,25 @@ class DecontaminateAlgorithm(Algorithm):
             # retried in full — never marked done with no output. The
             # state grows by batch-sized parquet appends (no rewrite of
             # the accumulated id set — the 100 TB-friendly shape).
-            self._batch_ids.write.mode("append").parquet(
+            ids_df = self._batch_ids
+            from m3d_engine_spark.sources.writers import LoadMode
+
+            if (
+                p.has("target_location")
+                and LoadMode(p.get_optional("load_mode", "OverwriteTable"))
+                is LoadMode.OVERWRITE_TABLE
+            ):
+                # The common acon shape (per-batch output dir, default
+                # overwrite): the just-committed output IS this batch,
+                # so read the ids back from it — a batch-sized pruned
+                # read, guaranteed consistent with what committed, and
+                # it skips the second source-lake scan the _batch_ids
+                # plan would pay. Append targets / tables hold prior
+                # batches too, so they keep the source-side plan.
+                ids_df = self.spark.read.parquet(
+                    p.get_string("target_location")
+                ).select(p.get_optional("id_column", "doc_id"))
+            ids_df.write.mode("append").parquet(
                 p.get_string("state_location")
             )
 

@@ -7,6 +7,7 @@ import os
 
 import pytest
 
+import m3d_engine_spark.operators.suffix  # noqa: F401 — populates REGISTRY
 from m3d_engine_spark.config import ConfigError, ParamsFile
 
 

@@ -8,6 +8,7 @@ import os
 
 import pytest
 
+import m3d_engine_spark.operators.suffix  # noqa: F401 — populates REGISTRY
 from m3d_engine_spark.config import ConfigError, ParamsFile
 from m3d_engine_spark.operators.base import REGISTRY, run_algorithm
 
@@ -165,7 +166,9 @@ def test_incremental_state_not_updated_on_failed_write(spark, tmp_path):
     blocker = tmp_path / "blocker"
     blocker.write_text("x")  # a FILE where the writer needs a dir
     state = str(tmp_path / "state")
-    with pytest.raises(Exception):
+    # match the WRITE failure specifically — a bare Exception would be
+    # satisfied by any setup error and the test would pass vacuously
+    with pytest.raises(Exception, match="(?i)parquet|path|directory|file"):
         REGISTRY["Decontaminate"](spark, ParamsFile({
             "source_location": b1,
             "probe_location": probe_loc,
@@ -174,6 +177,39 @@ def test_incremental_state_not_updated_on_failed_write(spark, tmp_path):
             "target_location": str(blocker / "out"),
         })).run()
     assert not os.path.exists(state)
+
+
+def test_state_dir_with_no_committed_parquet_treated_as_empty(
+    spark, tmp_path, caplog
+):
+    """A first state append killed between directory creation and job
+    commit leaves state_location existing with no readable parquet;
+    the next run must treat it as EMPTY state (no batch was recorded)
+    with a loud warning — not brick the nightly pipeline with an
+    unreadable-schema error."""
+    import logging
+
+    b1 = str(tmp_path / "b1")
+    _write_docs(spark, b1, [(1, "m n o p q r s t here")])
+    probe_loc = str(tmp_path / "probe")
+    _write_docs(spark, probe_loc, [(9, "m n o p q r s t")])
+    state = tmp_path / "state"
+    (state / "_temporary").mkdir(parents=True)  # the crashed-append shape
+    out = str(tmp_path / "out")
+    with caplog.at_level(logging.WARNING,
+                         logger="m3d_engine_spark.operators.suffix"):
+        REGISTRY["Decontaminate"](spark, ParamsFile({
+            "source_location": b1,
+            "probe_location": probe_loc,
+            "span_tokens": 8,
+            "state_location": str(state),
+            "target_location": out,
+        })).run()
+    assert any("no readable parquet" in r.message for r in caplog.records)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0].n_removed == 8  # scrubbed in full
+    # and the run recorded the batch: state is now readable
+    assert [r.doc_id for r in spark.read.parquet(str(state)).collect()] == [1]
 
 
 def test_state_location_rejected_for_materialize(spark, tmp_path):
