@@ -368,6 +368,53 @@ def decontaminate_with_artifact(
     )
 
 
+def resolve_artifact_span_tokens(
+    spark, artifact_location: str, explicit: "int | None" = None
+) -> int:
+    """The ``_meta.json`` sidecar adoption contract, shared by the
+    batch Algorithm and the streaming scrub. span_tokens is BAKED INTO
+    the artifact's hashes: a scrub run with a different L matches
+    nothing and emits the corpus unscrubbed with n_removed=0 — the
+    silent no-op every branch here exists to prevent. Sidecar present:
+    adopt its value; an explicitly passed CONFLICTING value raises.
+    Sidecar missing (hand-built artifact, or the sidecar was lost):
+    require the explicit value, and log loudly that it is trusted."""
+    import json as _json
+
+    from m3d_engine_spark.config import ConfigError
+    from m3d_engine_spark.sources.dfs import DFS
+
+    meta_path = artifact_location.rstrip("/") + "/_meta.json"
+    dfs_fs = DFS(spark)
+    if dfs_fs.exists(meta_path):
+        meta_L = int(_json.loads(dfs_fs.read_text(meta_path))["span_tokens"])
+        if explicit is not None and int(explicit) != meta_L:
+            raise ConfigError(
+                f"span_tokens={explicit} conflicts with the artifact's "
+                f"baked-in value {meta_L} ({meta_path}); drop the "
+                "param or re-materialize the artifact"
+            )
+        return meta_L
+    if explicit is None:
+        raise ConfigError(
+            f"{meta_path} not found and no explicit span_tokens "
+            "param: the artifact's window length is unknowable "
+            "and a wrong guess scrubs NOTHING silently — pass "
+            "span_tokens matching the artifact's build, or "
+            "restore/re-materialize the sidecar"
+        )
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "probe artifact has no _meta.json sidecar (%s); trusting "
+        "explicit span_tokens=%d — a mismatch with the artifact's "
+        "build value scrubs nothing",
+        meta_path,
+        int(explicit),
+    )
+    return int(explicit)
+
+
 # --------------------------------------------------------------------------
 # CLI algorithm: params-driven dispatch (the FuzzyDedup pattern)
 # --------------------------------------------------------------------------
@@ -547,57 +594,11 @@ class DecontaminateAlgorithm(Algorithm):
             self._batch_ids = train_df.select(id_col)
         dfs = [train_df] + dfs[1:]
         if mode == "artifact":
-            # span_tokens is BAKED INTO the artifact hashes: a scrub
-            # run with a different L would match nothing and emit the
-            # corpus unscrubbed with n_removed=0 — the silent no-op.
-            # The artifact's _meta.json is the source of truth (the
-            # incremental-dedup convention); an explicit conflicting
-            # params value is a config error, and a meta-less
-            # (hand-built) artifact falls back to the params dial.
-            import json as _json
-
-            from m3d_engine_spark.config import ConfigError
-            from m3d_engine_spark.sources.dfs import DFS
-
-            meta_path = (
-                p.get_string("probe_artifact_location").rstrip("/")
-                + "/_meta.json"
+            L = resolve_artifact_span_tokens(
+                self.spark,
+                p.get_string("probe_artifact_location"),
+                explicit=L if p.has("span_tokens") else None,
             )
-            dfs_fs = DFS(self.spark)
-            if dfs_fs.exists(meta_path):
-                meta_L = int(
-                    _json.loads(dfs_fs.read_text(meta_path))["span_tokens"]
-                )
-                if p.has("span_tokens") and L != meta_L:
-                    raise ConfigError(
-                        f"span_tokens={L} conflicts with the artifact's "
-                        f"baked-in value {meta_L} ({meta_path}); drop the "
-                        "param or re-materialize the artifact"
-                    )
-                L = meta_L
-            elif not p.has("span_tokens"):
-                # A lost/hand-built artifact with no sidecar AND no
-                # explicit dial would silently fall back to the
-                # default, match nothing, and emit the corpus
-                # unchanged with n_removed=0 — the exact silent no-op
-                # the meta guard exists to prevent. Require the dial.
-                raise ConfigError(
-                    f"{meta_path} not found and no explicit span_tokens "
-                    "param: the artifact's window length is unknowable "
-                    "and a wrong guess scrubs NOTHING silently — pass "
-                    "span_tokens matching the artifact's build, or "
-                    "restore/re-materialize the sidecar"
-                )
-            else:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "probe_artifact_location has no _meta.json sidecar "
-                    "(%s); trusting explicit span_tokens=%d — a mismatch "
-                    "with the artifact's build value scrubs nothing",
-                    meta_path,
-                    L,
-                )
             return [
                 decontaminate_with_artifact(
                     dfs[0], id_col, text_col, dfs[1], span_tokens=L

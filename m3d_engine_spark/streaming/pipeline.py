@@ -639,6 +639,82 @@ def seed_accepted_corpus(df: DataFrame, accepted_path: str) -> None:
     df.write.mode("overwrite").parquet(f"{accepted_path}/batch_id=-1")
 
 
+def streaming_decontaminate(
+    stream: DataFrame,
+    artifact_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int | None = None,
+):
+    """Streaming twin of the artifact-mode ``Decontaminate`` scrub
+    (operators/suffix.py): every micro-batch of incoming documents is
+    scrubbed against a materialized ``probe_gram_artifact`` — the
+    benchmark-sized hash relation BROADCASTS into each batch's cover
+    join, the benchmark text is never read, and no suffix cascade runs
+    (the artifact carries the equality decisions). The ingest-time
+    complement of the nightly ``state_location`` composition: here new
+    documents are scrubbed as they ARRIVE, so the nightly batch has
+    nothing left to do.
+
+    ``span_tokens`` follows the shared sidecar contract
+    (``resolve_artifact_span_tokens``): adopted from the artifact's
+    ``_meta.json``; an explicit conflicting value raises; a meta-less
+    artifact requires the explicit value. Resolved ONCE at wiring time
+    — a config error fails the start, not the Nth batch.
+
+    Exactly-once without a transactional sink: each batch's scrubbed
+    rows overwrite their own ``out_path/batch_id=<id>`` partition, so a
+    replayed batch (foreachBatch is at-least-once) rewrites the same
+    rows instead of appending twice. Returns the started query
+    (``trigger(availableNow=True)``; re-invoking later processes only
+    new files thanks to the checkpoint)."""
+    from m3d_engine_spark.operators.suffix import (
+        resolve_artifact_span_tokens,
+    )
+
+    L = resolve_artifact_span_tokens(
+        stream.sparkSession, artifact_path, explicit=span_tokens
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        decontaminate_stream_batch(
+            batch, batch_id, artifact_path, out_path, id_col, text_col, L
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def decontaminate_stream_batch(
+    batch: DataFrame,
+    batch_id: int,
+    artifact_path: str,
+    out_path: str,
+    id_col: str,
+    text_col: str,
+    span_tokens: int,
+) -> None:
+    """One micro-batch of ``streaming_decontaminate`` (module-level so
+    the at-least-once REPLAY path is directly testable). The artifact
+    re-reads per batch — it is benchmark-sized and broadcast-bound, and
+    re-reading keeps a mid-stream artifact refresh (a new benchmark
+    release at the same dials) visible without restarting the query."""
+    from m3d_engine_spark.operators.suffix import decontaminate_with_artifact
+
+    spark = batch.sparkSession
+    artifact = spark.read.parquet(artifact_path)
+    out = decontaminate_with_artifact(
+        batch, id_col, text_col, artifact, span_tokens=span_tokens
+    )
+    out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+
 def _duration_seconds(s: str) -> float:
     qty, unit = s.split()
     mult = {

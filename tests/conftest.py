@@ -36,7 +36,8 @@ _LANE_FILES = {
     # lane_d (the default for unlisted slow files):
     #   test_reference_golden.py (69.3), test_streaming_incremental.py
     #   (52.3), test_hive_catalog.py (37.0), test_dedup_artifacts.py
-    #   (33.7) + anything new until the next re-lane
+    #   (33.7), test_streaming_decontaminate.py (~22, r14)
+    #   + anything new until the next re-lane
 }
 _FILE_LANE = {f: lane for lane, fs in _LANE_FILES.items() for f in fs}
 
