@@ -229,3 +229,83 @@ def test_example_acons_parse_and_name_registered_algorithms():
     for fn in ("exact_substr_dedup.json", "decontaminate_incremental.json"):
         cfg = json.loads(open(os.path.join(ex_dir, fn)).read())
         assert cfg["algorithm"] in REGISTRY, fn
+
+
+@pytest.mark.slow
+def test_nightly_ingest_pipeline_composition(spark, tmp_path):
+    """The examples/nightly_ingest.json shape end-to-end, two nights:
+    IncrementalDedup(batch) -> Decontaminate(incremental, artifact
+    mode) in ONE Pipeline run. Night 1 drops the accepted-corpus dup
+    before the scrub ever sees it and scrubs the contaminated
+    survivor; night 2 re-lands an already-scrubbed doc and the state
+    skips it (dedup artifacts are write-time relations of the ACCEPTED
+    corpus — static across nights here, like a weekly
+    re-materialize)."""
+    import m3d_engine_spark.operators.incremental  # noqa: F401
+    import m3d_engine_spark.operators.chain  # noqa: F401
+    from m3d_engine_spark.operators.incremental import (
+        materialize_dedup_artifacts,
+    )
+    from m3d_engine_spark.operators.suffix import probe_gram_artifact
+
+    bench = "m n o p q r s t"
+    corpus = spark.createDataFrame(
+        [(100, "accepted corpus doc body that is already in the lake")],
+        "doc_id int, text string",
+    )
+    arts = str(tmp_path / "arts")
+    materialize_dedup_artifacts(corpus, "doc_id", "text", arts)
+    probes = spark.createDataFrame([(9, bench)], "doc_id int, text string")
+    probe_art = str(tmp_path / "probe_art")
+    probe_gram_artifact(probes, "text", span_tokens=8).write.parquet(probe_art)
+    (tmp_path / "probe_art" / "_meta.json").write_text(
+        json.dumps({"kind": "probe_gram_artifact", "span_tokens": 8})
+    )
+    state = str(tmp_path / "state")
+
+    def night(tag, rows):
+        incoming = str(tmp_path / f"incoming_{tag}")
+        _write_docs(spark, incoming, rows)
+        staged = str(tmp_path / f"staged_{tag}")
+        clean = str(tmp_path / f"clean_{tag}")
+        REGISTRY["Pipeline"](spark, ParamsFile({
+            "report_location": str(tmp_path / f"report_{tag}"),
+            "steps": [
+                {"algorithm": "IncrementalDedup", "params": {
+                    "action": "batch",
+                    "source_location": incoming,
+                    "artifact_location": arts,
+                    "threshold": 0.5,
+                    "target_location": staged,
+                }},
+                {"algorithm": "Decontaminate", "params": {
+                    "source_location": staged,
+                    "probe_artifact_location": probe_art,
+                    "state_location": state,
+                    "target_location": clean,
+                }},
+            ],
+        })).run()
+        return clean
+
+    clean1 = night("n1", [
+        (1, "accepted corpus doc body that is already in the lake"),  # dup
+        (2, f"fresh doc with {bench} contamination inside"),
+        (3, "fresh clean doc with nothing shared"),
+    ])
+    got1 = {r.doc_id: r for r in spark.read.parquet(clean1).collect()}
+    assert set(got1) == {2, 3}  # the corpus dup never reached the scrub
+    assert got1[2].n_removed == 8 and got1[3].n_removed == 0
+
+    # night 2 re-lands doc 3 (already scrubbed — the state skips it)
+    # plus one new clean doc
+    clean2 = night("n2", [
+        (3, "fresh clean doc with nothing shared"),
+        (4, "an entirely new document for night two"),
+    ])
+    got2 = {r.doc_id: r for r in spark.read.parquet(clean2).collect()}
+    assert set(got2) == {4}, got2  # 3 was skipped by the state
+    # both nights' reports exist with one row per step
+    for tag in ("n1", "n2"):
+        rep = spark.read.parquet(str(tmp_path / f"report_{tag}"))
+        assert rep.count() == 2
