@@ -1,0 +1,50 @@
+"""Compute the standing in-sweep drift gate (BASELINE.md comparison
+rule, r13): per-query ratios of a new BENCH_FULL-style sweep vs the
+last committed sweep artifact, the sweep-wide median ratio (host
+weather indicator), and the >1.25x flag list that the quiet ONLY
+min-of-3 protocol then adjudicates.
+
+Usage: python tools/bench_drift.py NEW.json [REF_GIT_SPEC]
+  REF_GIT_SPEC defaults to 3103e06:BENCH_FULL.json (the r13 artifact
+  of record; see BASELINE.md round-14 artifact-identity note).
+"""
+
+import json
+import statistics
+import subprocess
+import sys
+
+
+def load(spec: str) -> dict:
+    """A plain path, or a git object spec like '3103e06:BENCH_FULL.json'."""
+    try:
+        return json.load(open(spec))
+    except FileNotFoundError:
+        out = subprocess.check_output(["git", "show", spec])
+        return json.loads(out)
+
+
+def main() -> int:
+    new_spec = sys.argv[1] if len(sys.argv) > 1 else "BENCH_FULL.json"
+    ref_spec = sys.argv[2] if len(sys.argv) > 2 else "3103e06:BENCH_FULL.json"
+    new, ref = load(new_spec)["queries"], load(ref_spec)["queries"]
+    shared = sorted(set(new) & set(ref))
+    ratios = {q: new[q] / ref[q] for q in shared if ref[q] > 0}
+    med = statistics.median(ratios.values())
+    print(f"shared={len(shared)} new_only={sorted(set(new)-set(ref))}")
+    print(f"median_ratio={med:.3f}  (uniform band = host weather)")
+    flags = {q: r for q, r in ratios.items() if r > 1.25}
+    for q in sorted(flags, key=lambda q: -flags[q]):
+        print(f"FLAG {q}: {ref[q]:.2f} -> {new[q]:.2f}  ({flags[q]:.2f}x)")
+    print(f"flags_over_1.25x={len(flags)}  over_1.5x="
+          f"{sum(1 for r in flags.values() if r > 1.5)}")
+    # tail-aging check: are tail-position entries inside the median band?
+    order = list(load(new_spec)["queries"])
+    tail = order[-15:]
+    tail_med = statistics.median(ratios[q] for q in tail if q in ratios)
+    print(f"tail15_median_ratio={tail_med:.3f} vs sweep {med:.3f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
