@@ -384,10 +384,30 @@ def resolve_artifact_span_tokens(
     from m3d_engine_spark.config import ConfigError
     from m3d_engine_spark.sources.dfs import DFS
 
+    if isinstance(explicit, bool):
+        # the {"span_tokens": true} coercion guard the CLI path gets
+        # from _span_tokens_param, replicated for direct callers
+        # (streaming wiring): True would int() to 1 and scrub every
+        # token shared with the benchmark VOCABULARY
+        raise ConfigError(
+            f"span_tokens must be an integer >= 1, got the boolean "
+            f"{explicit!r}"
+        )
     meta_path = artifact_location.rstrip("/") + "/_meta.json"
     dfs_fs = DFS(spark)
     if dfs_fs.exists(meta_path):
-        meta_L = int(_json.loads(dfs_fs.read_text(meta_path))["span_tokens"])
+        try:
+            meta_L = int(
+                _json.loads(dfs_fs.read_text(meta_path))["span_tokens"]
+            )
+        except (KeyError, ValueError, TypeError) as exc:
+            # a truncated/hand-edited sidecar is a CONFIG problem and
+            # must classify as one, with the remediation in the message
+            raise ConfigError(
+                f"{meta_path} exists but carries no usable span_tokens "
+                f"({exc!r}); restore the sidecar or re-materialize the "
+                "artifact"
+            ) from exc
         if explicit is not None and int(explicit) != meta_L:
             raise ConfigError(
                 f"span_tokens={explicit} conflicts with the artifact's "

@@ -704,10 +704,19 @@ def decontaminate_stream_batch(
     the at-least-once REPLAY path is directly testable). The artifact
     re-reads per batch — it is benchmark-sized and broadcast-bound, and
     re-reading keeps a mid-stream artifact refresh (a new benchmark
-    release at the same dials) visible without restarting the query."""
-    from m3d_engine_spark.operators.suffix import decontaminate_with_artifact
+    release at the same dials) visible without restarting the query.
+    The refresh is only sound at the SAME span_tokens, so the sidecar
+    re-validates per batch against the wiring-time value: a mid-stream
+    refresh at a different L fails the batch loudly instead of hashing
+    incoming docs with the stale L and silently matching nothing (the
+    no-op the sidecar contract exists to prevent)."""
+    from m3d_engine_spark.operators.suffix import (
+        decontaminate_with_artifact,
+        resolve_artifact_span_tokens,
+    )
 
     spark = batch.sparkSession
+    resolve_artifact_span_tokens(spark, artifact_path, explicit=span_tokens)
     artifact = spark.read.parquet(artifact_path)
     out = decontaminate_with_artifact(
         batch, id_col, text_col, artifact, span_tokens=span_tokens

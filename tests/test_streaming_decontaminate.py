@@ -113,3 +113,45 @@ def test_streaming_scrub_sidecar_contract_fails_at_wiring(spark, tmp_path):
             stream, art, str(tmp_path / "o2"), str(tmp_path / "c2"),
             span_tokens=5,
         )
+
+
+def test_mid_stream_artifact_refresh_at_different_L_fails_batch(
+    spark, tmp_path
+):
+    """A mid-stream artifact refresh is only sound at the SAME
+    span_tokens: the batch body re-validates the sidecar and a refresh
+    at a different L fails the batch loudly — never hashes with the
+    stale L and silently matches nothing."""
+    import json
+
+    art = _artifact(spark, tmp_path, span_tokens=8)
+    batch = spark.createDataFrame([(1, f"pre {BENCH} post")], SCHEMA)
+    out = str(tmp_path / "out")
+    decontaminate_stream_batch(batch, 0, art, out, "doc_id", "text", 8)
+    # benchmark re-released at L=5; sidecar updated accordingly
+    (tmp_path / "artifact" / "_meta.json").write_text(
+        json.dumps({"kind": "probe_gram_artifact", "span_tokens": 5})
+    )
+    with pytest.raises(ConfigError, match="baked-in"):
+        decontaminate_stream_batch(batch, 1, art, out, "doc_id", "text", 8)
+
+
+def test_corrupt_sidecar_and_bool_dial_classify_as_config_errors(
+    spark, tmp_path
+):
+    import json
+
+    from m3d_engine_spark.operators.suffix import (
+        resolve_artifact_span_tokens,
+    )
+
+    art = _artifact(spark, tmp_path, span_tokens=8)
+    # truncated sidecar: present but no usable span_tokens
+    (tmp_path / "artifact" / "_meta.json").write_text(
+        json.dumps({"kind": "probe_gram_artifact"})
+    )
+    with pytest.raises(ConfigError, match="no usable span_tokens"):
+        resolve_artifact_span_tokens(spark, art)
+    # the {"span_tokens": true} coercion guard on the direct surface
+    with pytest.raises(ConfigError, match="boolean"):
+        resolve_artifact_span_tokens(spark, art, explicit=True)

@@ -223,12 +223,33 @@ def test_state_location_rejected_for_materialize(spark, tmp_path):
 
 
 def test_example_acons_parse_and_name_registered_algorithms():
+    """EVERY shipped example acon parses and names only registered
+    algorithms — including the algorithms inside Pipeline steps (a
+    typo'd step would otherwise ship undetected while the inline
+    composition test stays green)."""
+    import glob
+
     import m3d_engine_spark.cli  # noqa: F401 — populates REGISTRY
 
+    from m3d_engine_spark.operators.chain import _parse_steps
+
     ex_dir = os.path.join(os.path.dirname(__file__), "..", "examples")
-    for fn in ("exact_substr_dedup.json", "decontaminate_incremental.json"):
-        cfg = json.loads(open(os.path.join(ex_dir, fn)).read())
-        assert cfg["algorithm"] in REGISTRY, fn
+    acons = sorted(glob.glob(os.path.join(ex_dir, "*.json")))
+    assert len(acons) >= 20  # the sweep found the directory
+    for path in acons:
+        fn = os.path.basename(path)
+        cfg = json.loads(open(path).read())
+        # older acons are params-only (the algorithm name is the CLI
+        # argv); newer ones document theirs inline — validate when
+        # present
+        if "algorithm" in cfg:
+            assert cfg["algorithm"] in REGISTRY, fn
+        if isinstance(cfg.get("steps"), list):
+            # the Pipeline's own validator: names registered, step
+            # structure legal (inline keys / params dict / params_file).
+            # (SQLRunner's reference acon shape also uses a "steps" key
+            # — an int statement COUNT — hence the list check.)
+            _parse_steps(cfg["steps"])
 
 
 @pytest.mark.slow

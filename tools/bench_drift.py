@@ -30,8 +30,17 @@ def main() -> int:
     new, ref = load(new_spec)["queries"], load(ref_spec)["queries"]
     shared = sorted(set(new) & set(ref))
     ratios = {q: new[q] / ref[q] for q in shared if ref[q] > 0}
+    if not ratios:
+        print("ERROR: the two sweeps share no comparable queries")
+        return 1
     med = statistics.median(ratios.values())
     print(f"shared={len(shared)} new_only={sorted(set(new)-set(ref))}")
+    missing = sorted(set(ref) - set(new))
+    if missing:
+        # a sweep that lost entries must not pass as a clean gate —
+        # coverage regressions are exactly what this tool exists to
+        # catch
+        print(f"MISSING from new sweep ({len(missing)}): {missing}")
     print(f"median_ratio={med:.3f}  (uniform band = host weather)")
     flags = {q: r for q, r in ratios.items() if r > 1.25}
     for q in sorted(flags, key=lambda q: -flags[q]):
@@ -39,11 +48,13 @@ def main() -> int:
     print(f"flags_over_1.25x={len(flags)}  over_1.5x="
           f"{sum(1 for r in flags.values() if r > 1.5)}")
     # tail-aging check: are tail-position entries inside the median band?
-    order = list(load(new_spec)["queries"])
-    tail = order[-15:]
-    tail_med = statistics.median(ratios[q] for q in tail if q in ratios)
-    print(f"tail15_median_ratio={tail_med:.3f} vs sweep {med:.3f}")
-    return 0
+    tail_ratios = [ratios[q] for q in list(new)[-15:] if q in ratios]
+    if tail_ratios:
+        tail_med = statistics.median(tail_ratios)
+        print(f"tail15_median_ratio={tail_med:.3f} vs sweep {med:.3f}")
+    else:
+        print("tail15: no comparable entries (tail is all-new)")
+    return 1 if missing else 0
 
 
 if __name__ == "__main__":
