@@ -330,3 +330,66 @@ def test_nightly_ingest_pipeline_composition(spark, tmp_path):
     for tag in ("n1", "n2"):
         rep = spark.read.parquet(str(tmp_path / f"report_{tag}"))
         assert rep.count() == 2
+
+
+@pytest.mark.slow
+def test_incremental_scrub_random_corpus_property(spark, tmp_path):
+    """Seeded randomized pin (the test_properties idiom): on a random
+    small-vocabulary corpus — adversarial overlaps, contaminated spans
+    at doc edges, docs that are pure benchmark text, empty-ish docs —
+    the union of two per-batch incremental scrubs equals the
+    from-scratch scrub of the full corpus, row for row."""
+    import random
+
+    from m3d_engine_spark.operators.suffix import exact_decontaminate
+
+    rng = random.Random(1414)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> heavy overlap
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+
+    probes_rows = [(900 + i, doc()) for i in range(4)]
+    docs = [(i, doc()) for i in range(40)]
+    # plant exact probe text mid-doc, at edges, and as a whole doc
+    p0 = probes_rows[0][1]
+    docs[5] = (5, f"{p0} {doc()}")
+    docs[6] = (6, f"{doc()} {p0}")
+    docs[7] = (7, p0)
+    split = rng.sample(range(40), 20)
+    b1 = [d for d in docs if d[0] in split]
+    b2_only = [d for d in docs if d[0] not in split]
+
+    probe_loc = str(tmp_path / "probe")
+    _write_docs(spark, probe_loc, probes_rows)
+    b1_loc, full_loc = str(tmp_path / "b1"), str(tmp_path / "full")
+    _write_docs(spark, b1_loc, b1)
+    _write_docs(spark, full_loc, docs)
+
+    state = str(tmp_path / "state")
+    outs = []
+    for i, src in enumerate((b1_loc, full_loc)):
+        out = str(tmp_path / f"out{i}")
+        outs.append(out)
+        REGISTRY["Decontaminate"](spark, ParamsFile({
+            "source_location": src,
+            "probe_location": probe_loc,
+            "span_tokens": 4,
+            "state_location": state,
+            "target_location": out,
+        })).run()
+    union = sorted(
+        spark.read.parquet(outs[0]).unionByName(
+            spark.read.parquet(outs[1])
+        ).collect()
+    )
+    scratch = sorted(
+        exact_decontaminate(
+            spark.read.parquet(full_loc), "doc_id", "text",
+            spark.read.parquet(probe_loc), "doc_id", "text", span_tokens=4,
+        ).collect()
+    )
+    assert union == scratch
+    assert {r.doc_id for r in spark.read.parquet(outs[1]).collect()} == {
+        d[0] for d in b2_only
+    }
