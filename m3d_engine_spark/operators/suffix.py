@@ -89,7 +89,7 @@ def suffix_window_classes(
     base: DataFrame,
     id_col: str,
     span_tokens: int,
-    initial_gram: int = 4,
+    initial_gram: int = 8,
     track: "list | None" = None,
 ) -> DataFrame:
     """Exact equality classes of the length-``span_tokens`` windows of
@@ -101,14 +101,19 @@ def suffix_window_classes(
     rows iff the windows' token sequences are equal. Prefix doubling
     seeded at length g0 = the largest power of two <= min(L,
     ``initial_gram``): the seed round groups directly on the raw
-    g0-token text (a ~25-byte key at g0=4 — the same order as an md5
-    fingerprint, but exact), which folds the first log2(g0) doubling
-    rounds into one exchange; every later round moves only 12-byte
-    (doc,pos) class structs. Each round is (shift-join, groupBy-min,
-    join-back) — two keyed exchanges plus the reused key exchange —
-    and lineage is cut with lazy localCheckpoints at every self-join
-    (house style of the iterative graph tier) so deep L never
-    re-derives the whole cascade."""
+    g0-token text, which folds the first log2(g0) doubling rounds into
+    one exchange; every later round moves only 12-byte (doc,pos) class
+    structs. The default g0=8 (~50-byte seed keys) collapses the
+    ENTIRE cascade to the seed exchange for L <= 8 and saves one full
+    doubling round at any larger L — measured r14 A/B on the same
+    host, quiet min-of-3 at sf0.1: the four suffix entries read
+    9.06 s at g0=8 vs 11.82 s at g0=4 (-13% to -31% per entry); the
+    doubled key bytes cost less than a (shift-join + groupBy-min +
+    join-back) round at every L tested. Each round is (shift-join,
+    groupBy-min, join-back) — two keyed exchanges plus the reused key
+    exchange — and lineage is cut with lazy localCheckpoints at every
+    self-join (house style of the iterative graph tier) so deep L
+    never re-derives the whole cascade."""
     L = int(span_tokens)
     if L < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")

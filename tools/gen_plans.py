@@ -13,7 +13,7 @@ import __spark_entry__ as m
 from m3d_engine_spark.session import build_session
 
 HEADLINERS = {
-    "exact_substr": "Hash-free ExactSubstr (round 13): prefix-doubling equality classes — the seed groups raw 4-gram text once, then each doubling round is a (doc,pos)-keyed shift self-join + class-keyed groupBy-min + join-back, with BOTH self-join inputs pinned by lazy localCheckpoints (the Scan ExistingRDD leaves below): without the lineage cut the branches re-derive the whole cascade (zero ReusedExchange measured, exponential in rounds). Classes are min-(doc,pos) structs, so NO global sort or dense-rank bottleneck exists at any corpus size; the removal tail is the same keyed rebuild repeated_spans uses.",
+    "exact_substr": "Hash-free ExactSubstr (round 13; r14 re-seed): prefix-doubling equality classes — the seed groups raw 8-gram text once (g0=8 collapses the whole cascade to the seed exchange at L=8 and saves a doubling round at any L; A/B-measured -13 to -31% per entry vs g0=4), then each doubling round is a (doc,pos)-keyed shift self-join + class-keyed groupBy-min + join-back, with BOTH self-join inputs pinned by lazy localCheckpoints (the Scan ExistingRDD leaves below): without the lineage cut the branches re-derive the whole cascade (zero ReusedExchange measured, exponential in rounds). Classes are min-(doc,pos) structs, so NO global sort or dense-rank bottleneck exists at any corpus size; the removal tail is the same keyed rebuild repeated_spans uses.",
     "decontaminate_spans": "Surgical benchmark decontamination (round 13): one suffix-class cascade over the side-tagged train-union-benchmark relation (the benchmark side rides for free); the contaminated-class relation is benchmark-sized and BROADCASTS into the cover join (pinned), so the train side pays exactly one extra broadcast probe beyond the cascade; removal is the (doc)-keyed rebuild.",
     "incremental_decontaminate": "Incremental scrub (round 14): the state anti-join (LeftAnti on the id key) pares the train side BEFORE tokenization, so only unseen documents enter the suffix cascade — the nightly batch pays batch-sized cascade cost regardless of lake size; downstream identical to decontaminate_spans (benchmark-sized broadcast, keyed rebuild).",
     "dedup_advisor": "Pre-flight dial report (round 11): the band relation aggregates once on (band, band_key); percentiles come from a SIZE-histogram (rows = distinct bucket sizes, a few hundred at any scale) so the only unpartitioned window runs over the histogram, never the bucket relation; the 1-row stats relations meet via broadcast. Nothing larger than the histogram is sorted or single-partitioned.",
