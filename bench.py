@@ -77,8 +77,24 @@ def acquire_bench_lock(lock_path: str) -> int:
                     except (ValueError, PermissionError):
                         pass  # garbage name or live foreign pid: leave it
                     except ProcessLookupError:
+                        path = os.path.join(lock_dir, fn)
+                        if suffix == ".reclaim.":
+                            # The changed-hands path leaves a .reclaim
+                            # file holding a RACER's pid because that
+                            # inode may be the racer's only lock (see
+                            # below). The filename pid (the dead
+                            # reclaimer) says nothing about the CONTENT
+                            # pid — sweep only when that one is dead too.
+                            try:
+                                content_pid = int(open(path).read().strip())
+                                os.kill(content_pid, 0)
+                                continue  # content owner alive: keep it
+                            except PermissionError:
+                                continue  # EPERM = alive, foreign user
+                            except (ValueError, OSError):
+                                pass  # empty/garbage or dead: sweepable
                         try:
-                            os.remove(os.path.join(lock_dir, fn))
+                            os.remove(path)
                         except OSError:
                             pass
     except OSError:

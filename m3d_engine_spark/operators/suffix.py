@@ -402,9 +402,15 @@ def resolve_artifact_span_tokens(
     dfs_fs = DFS(spark)
     if dfs_fs.exists(meta_path):
         try:
-            meta_L = int(
-                _json.loads(dfs_fs.read_text(meta_path))["span_tokens"]
-            )
+            raw_L = _json.loads(dfs_fs.read_text(meta_path))["span_tokens"]
+            if isinstance(raw_L, bool):
+                # {"span_tokens": true} int()s to 1 — the same silent
+                # L=1 vocabulary-wide scrub the explicit param is
+                # guarded against; a sidecar value gets no less scrutiny
+                raise ValueError(f"boolean {raw_L!r} is not a length")
+            meta_L = int(raw_L)
+            if meta_L < 1:
+                raise ValueError(f"{meta_L} < 1")
         except (KeyError, ValueError, TypeError) as exc:
             # a truncated/hand-edited sidecar is a CONFIG problem and
             # must classify as one, with the remediation in the message
@@ -532,6 +538,32 @@ class DecontaminateAlgorithm(Algorithm):
                 "train docs were already scrubbed); materialize reads "
                 "only the probe corpus — drop one"
             )
+        if mode != "materialize" and self.params.has("state_location"):
+            from m3d_engine_spark.config import ConfigError
+            from m3d_engine_spark.sources.writers import LoadMode
+
+            lm = LoadMode(
+                self.params.get_optional("load_mode", "OverwriteTable")
+            )
+            if lm in (
+                LoadMode.APPEND_JOIN_PARTITIONS,
+                LoadMode.APPEND_UNION_PARTITIONS,
+            ):
+                # The output commit and the state append are two
+                # separate jobs: a crash between them leaves the batch
+                # unrecorded, and the nightly RETRY re-scrubs it.
+                # Overwrite targets absorb the retry (same rows replace
+                # themselves); an append target would hold the batch's
+                # rows TWICE. Idempotence under retry is part of the
+                # incremental contract, so append modes are rejected
+                # up front rather than documented around.
+                raise ConfigError(
+                    f"load_mode={lm.value} with state_location is not "
+                    "retry-safe: a crash between the output commit and "
+                    "the state append would duplicate the batch's rows "
+                    "on retry — use an overwrite load_mode (per-batch "
+                    "output dir or partition)"
+                )
 
     def _read_train(self) -> DataFrame:
         p = self.params
@@ -692,6 +724,15 @@ class DecontaminateAlgorithm(Algorithm):
                 ids_df = self.spark.read.parquet(
                     p.get_string("target_location")
                 ).select(p.get_optional("id_column", "doc_id"))
+            else:
+                # _batch_ids' plan still holds the left-anti join that
+                # SCANS state_location — appending to the same path the
+                # job reads is append-mode-legal on current Spark but
+                # fragile across committers and racy against a
+                # concurrent run. Pin the ids first so the append job
+                # never touches the state it extends.
+                ids_df = ids_df.localCheckpoint(eager=True)
+                self._checkpointed.append(ids_df)
             ids_df.write.mode("append").parquet(
                 p.get_string("state_location")
             )

@@ -716,7 +716,16 @@ def decontaminate_stream_batch(
     )
 
     spark = batch.sparkSession
-    resolve_artifact_span_tokens(spark, artifact_path, explicit=span_tokens)
+    # Re-validate only when a _meta.json is PRESENT (the refresh case):
+    # a meta-less artifact already paid the trust warning once at
+    # wiring — repeating it every micro-batch is the log noise that
+    # trains operators to ignore the one warning that matters.
+    from m3d_engine_spark.sources.dfs import DFS as _DFS
+
+    if _DFS(spark).exists(artifact_path.rstrip("/") + "/_meta.json"):
+        resolve_artifact_span_tokens(
+            spark, artifact_path, explicit=span_tokens
+        )
     artifact = spark.read.parquet(artifact_path)
     out = decontaminate_with_artifact(
         batch, id_col, text_col, artifact, span_tokens=span_tokens
