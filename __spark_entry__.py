@@ -3732,21 +3732,24 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_spans(docs, "doc_id", "text", span_tokens=8)
 
 
-_SQL_REPEATED_SPANS = f"""
+def _sql_exact_substr_oracle(extra_ctes: str, removed_from: str) -> str:
+    """ONE copy of the ExactSubstr oracle body (window fingerprints +
+    the cover-explode/rebuild tail whose off-by-ones are the bug
+    surface) shared by the from-scratch and the incremental twins —
+    the same single-body discipline as ``_sql_decontaminate_oracle``.
+    The caller supplies the CTEs that elect which (doc_id, pos) window
+    OCCURRENCES are removed and names that relation."""
+    return f"""
 WITH t AS (
   SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
 ), occ AS (
   SELECT doc_id, u.i AS pos,
          md5(array_to_string(list_slice(tk, u.i + 1, u.i + 8), ' ')) AS gh
   FROM t CROSS JOIN unnest(range(0, greatest(len(tk) - 7, 0))) AS u(i)
-), rep AS (
-  SELECT gh, min(doc_id * 1000000 + pos) AS win
-  FROM occ GROUP BY gh HAVING count(*) >= 2
-), covered AS (
-  SELECT DISTINCT o.doc_id, u.cp
-  FROM occ o
-  JOIN rep r ON o.gh = r.gh AND o.doc_id * 1000000 + o.pos <> r.win
-  CROSS JOIN unnest(range(o.pos, o.pos + 8)) AS u(cp)
+){extra_ctes}, covered AS (
+  SELECT DISTINCT rm.doc_id, u.cp
+  FROM {removed_from} rm
+  CROSS JOIN unnest(range(rm.pos, rm.pos + 8)) AS u(cp)
 ), covs AS (
   SELECT doc_id, list(cp) AS cov FROM covered GROUP BY doc_id
 ), clean AS (
@@ -3764,6 +3767,19 @@ SELECT doc_id,
        CAST(len(tk) - len(kt) AS INT) AS n_removed
 FROM clean
 """
+
+
+_SQL_REPEATED_SPANS = _sql_exact_substr_oracle(
+    """, rep AS (
+  SELECT gh, min(doc_id * 1000000 + pos) AS win
+  FROM occ GROUP BY gh HAVING count(*) >= 2
+), rm AS (
+  SELECT o.doc_id, o.pos
+  FROM occ o
+  JOIN rep r ON o.gh = r.gh AND o.doc_id * 1000000 + o.pos <> r.win
+)""",
+    "rm",
+)
 
 
 def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3917,6 +3933,66 @@ _SQL_INCREMENTAL_DECONTAMINATE = _sql_decontaminate_oracle(
   SELECT doc_id FROM t WHERE doc_id % 100 <> 0 AND doc_id % 2 = 0
 )""",
     "\n  AND doc_id NOT IN (SELECT doc_id FROM state)",
+)
+
+
+def q_incremental_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr span dedup (suffix.py::
+    incremental_exact_substr): the nightly-ingest shape for the suffix
+    family — batch 2 (odd ids) is scrubbed against the additive
+    window-count artifact batch 1 (even ids) produced, never against
+    batch 1's text: seen-before windows lose every batch occurrence
+    (keep-first — the canonical site was kept by the batch that first
+    saw it), batch-new windows keep their minimum (doc, pos). The
+    state fold runs AFTER a semi-join down to the batch's own window
+    set, so the accepted lake is never re-tokenized — batch-sized cost
+    at any lake size. Result = the union of the two batch outputs;
+    with id-monotone batches it equals the from-scratch dedup
+    (equivalence-pinned in tests at the parity split too, where both
+    sides compute the same incremental contract)."""
+    from m3d_engine_spark.operators.suffix import incremental_exact_substr
+
+    docs = _t(spark, sf_dir, "documents")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    c1, counts1 = incremental_exact_substr(
+        b1, "doc_id", "text", None, span_tokens=8
+    )
+    c2, _ = incremental_exact_substr(
+        b2, "doc_id", "text", counts1, span_tokens=8
+    )
+    return c1.unionByName(c2)
+
+
+# Incremental removal election over the SAME shared scrub body as the
+# from-scratch twin: batch 1 (even ids) dedups intra-batch; batch 2
+# (odd ids) removes a window occurrence when (batch count + state
+# count) >= 2 AND (seen-before OR not the batch minimum).
+_SQL_INCREMENTAL_EXACT_SUBSTR = _sql_exact_substr_oracle(
+    """, occ1 AS (
+  SELECT * FROM occ WHERE doc_id % 2 = 0
+), occ2 AS (
+  SELECT * FROM occ WHERE doc_id % 2 = 1
+), rep1 AS (
+  SELECT gh, count(*) AS c, min(doc_id * 1000000 + pos) AS win
+  FROM occ1 GROUP BY gh
+), rep2 AS (
+  SELECT gh, count(*) AS c, min(doc_id * 1000000 + pos) AS win
+  FROM occ2 GROUP BY gh
+), rm AS (
+  SELECT o.doc_id, o.pos
+  FROM occ1 o
+  JOIN rep1 r ON o.gh = r.gh
+  WHERE r.c >= 2 AND o.doc_id * 1000000 + o.pos <> r.win
+  UNION ALL
+  SELECT o.doc_id, o.pos
+  FROM occ2 o
+  JOIN rep2 r ON o.gh = r.gh
+  LEFT JOIN rep1 st ON o.gh = st.gh
+  WHERE r.c + coalesce(st.c, 0) >= 2
+    AND (coalesce(st.c, 0) > 0 OR o.doc_id * 1000000 + o.pos <> r.win)
+)""",
+    "rm",
 )
 
 
@@ -10699,72 +10775,68 @@ def entry(spark: SparkSession) -> DataFrame:
 # appearance (rotation debt zero); the rotation is purely mechanical:
 # each round, move the first 50 names to the tail so the next window is
 # always the 50 stalest driver rows (any NEW entry is fronted first,
-# displacing the window tail to the next round). Round 14 fronts the
-# new incremental_decontaminate entry (→ 209 total), so the last r13
-# slip (kaplan_meier) plus the stalest 48 make up the rest of the
-# window; one name (running_total) slips to the r15 window.
+# displacing the window tail to the next round). Round 15 fronts the
+# new incremental_exact_substr entry (→ 210 total), then running_total
+# (the name that slipped from the r14 window) and the stalest 48; the
+# r14 window rotated to the tail.
 _ROTATION_FRONT = [
-    # ---- round-14 window (first 50): the NEW incremental-
-    # decontaminate entry fronted per the rotation rule, then the
-    # stalest 49 (kaplan_meier — the entry that slipped from r13 —
-    # through the r9/r10 cohort); forecast_backtest's cohort (the
-    # r13 window) moved to the tail per the mechanical rule ----
-    "incremental_decontaminate", "kaplan_meier", "windowed_funnel",
-    "wilson_ci", "cuped_lift", "chi2_independence", "mann_whitney",
-    "gini_revenue", "herfindahl", "ledger_balance", "active_users",
-    "seasonal_index", "mix_entropy", "price_elasticity", "ann_topk",
-    "append_join", "append_load_regex", "asof_join", "brute_topk",
-    "dedup_clusters", "dedup_pipeline", "dedup_survivors", "delta_condense",
-    "delta_merge", "distinct_partitions", "embedding_dups", "event_rollup",
-    "exact_dups", "fixed_width", "flatten_explode", "flatten_full",
-    "flatten_struct", "full_load_dates", "hash_split", "ivf_topk",
-    "jaccard_pairs", "language_id", "minhash_lsh", "multimodal_decode",
-    "multimodal_meta", "order_priority_check", "order_revenue", "pmi_bigrams",
-    "price_quantiles", "pricing_summary", "quality_zscores",
-    "query_materialization", "range_join", "range_materialization",
-    "regional_revenue",
-    # ---- later windows, staleness-ordered ----
-    "running_total", "sales_rollup", "schema_evolution_union", "seeded_ann",
-    "sessionize", "side_flatten", "simhash64_hamming", "simhash_dedup",
-    "sql_runner", "dedup_advisor", "jaccard_advisor", "market_share",
-    "product_profit", "stratified_sample", "text_stats", "tfidf_top_terms",
-    "transpose_pivot", "winnow_fingerprints", "bigram_lm", "bm25_topk",
-    "boilerplate_lines", "ccnet_buckets", "cohort_retention",
-    "containment_pairs", "contamination_check", "curation_pipeline",
-    "data_profile", "dataset_card", "distinct_report", "doc_chunk",
-    "domain_cap", "dsir_select", "epoch_shuffle", "event_anomaly",
-    "frame_sample", "funnel_steps", "fuzzy_dedup_corpus", "gopher_quality",
-    "hard_negatives", "incremental_dedup", "mixture_sample", "nation_volume",
-    "numeric_histogram", "pack_materialize", "paragraph_dedup",
-    "percentile_quality", "pii_scrub", "pq_encode", "props_extract",
-    "quality_classifier", "record_linkage", "repeated_spans",
-    "repetition_stats", "robust_scale", "semantic_dedup", "sequence_pack",
-    "session_rollup", "sliding_rollup", "snapshot_diff", "sq_quantize",
-    "temperature_mixture", "top_supplier", "top_terms", "triangle_count",
-    "two_stage_ann", "unigram_lm", "zorder_key", "audio_chunks",
-    "basket_rules", "benford_audit", "blame_supplier", "bloom_prune",
-    "classifier_calibration", "countmin_audit", "embedding_cov",
+    # ---- round-15 window (first 50): the NEW incremental_exact_substr
+    # entry fronted per the rotation rule, then running_total (the r14
+    # slip) and the stalest 48 (the r10 cohort through the r11 window
+    # head); the r14 window moved to the tail per the mechanical rule ----
+    "incremental_exact_substr", "running_total", "sales_rollup", "schema_evolution_union",
+    "seeded_ann", "sessionize", "side_flatten", "simhash64_hamming",
+    "simhash_dedup", "sql_runner", "dedup_advisor", "jaccard_advisor",
+    "market_share", "product_profit", "stratified_sample", "text_stats",
+    "tfidf_top_terms", "transpose_pivot", "winnow_fingerprints", "bigram_lm",
+    "bm25_topk", "boilerplate_lines", "ccnet_buckets", "cohort_retention",
+    "containment_pairs", "contamination_check", "curation_pipeline", "data_profile",
+    "dataset_card", "distinct_report", "doc_chunk", "domain_cap",
+    "dsir_select", "epoch_shuffle", "event_anomaly", "frame_sample",
+    "funnel_steps", "fuzzy_dedup_corpus", "gopher_quality", "hard_negatives",
+    "incremental_dedup", "mixture_sample", "nation_volume", "numeric_histogram",
+    "pack_materialize", "paragraph_dedup", "percentile_quality", "pii_scrub",
+    "pq_encode", "props_extract", "quality_classifier", "record_linkage",
+    "repeated_spans", "repetition_stats", "robust_scale", "semantic_dedup",
+    "sequence_pack", "session_rollup", "sliding_rollup", "snapshot_diff",
+    "sq_quantize", "temperature_mixture", "top_supplier", "top_terms",
+    "triangle_count", "two_stage_ann", "unigram_lm", "zorder_key",
+    "audio_chunks", "basket_rules", "benford_audit", "blame_supplier",
+    "bloom_prune", "classifier_calibration", "countmin_audit", "embedding_cov",
     "event_transitions", "fertility_stats", "fk_audit", "grouped_ols",
     "hilbert_key", "hits_scores", "hybrid_retrieval", "image_tiles",
     "interp_lm", "interval_join", "ivfpq_search", "join_estimate",
     "kcore_nodes", "kmeans_train", "label_spread", "last_touch",
     "length_batches", "lsh_calibration", "mmr_diversify", "negative_sampling",
-    "ngram_novelty", "pagerank", "phrase_search", "ppr_expand", "pq_search",
-    "pq_topk", "psi_drift", "quantile_normalize", "random_walks",
-    "rank_fusion", "rank_weighted_sample", "scd2_history", "script_profile",
-    "session_transcript", "decontaminate_spans", "exact_substr",
+    "ngram_novelty", "pagerank", "phrase_search", "ppr_expand",
+    "pq_search", "pq_topk", "psi_drift", "quantile_normalize",
+    "random_walks", "rank_fusion", "rank_weighted_sample", "scd2_history",
+    "script_profile", "session_transcript", "decontaminate_spans", "exact_substr",
     "exact_substr_spans", "skew_report", "skipgram_pairs", "vocab_drift",
     "weighted_sample", "zipf_fit", "budget_select", "kanon_census",
-    "bpe_pairs", "gap_fill", "rolling_med", "ab_welch", "rbo_overlap",
-    "fastss_pairs", "deepwalk_pairs", "feature_hash", "source_overlap",
-    "phash_dedup", "rendezvous_shards", "expectations", "table_checksum",
-    "ndcg_eval", "ann_recall", "large_orders", "brand_share", "top_paths",
-    "histogram2d", "order_dist", "promo_share", "small_qty_revenue",
-    "returned_items", "untapped_customers", "disjunct_revenue",
-    "grouping_sets_census", "window_suite", "ewma_revenue", "mad_outliers",
-    "bitext_mine", "rfm_segments", "revenue_concentration", "order_gap_stats",
-    "metrics_melt", "daily_spine", "skyline_parts", "attribution_removal",
-    "identity_clusters", "asof_forward", "forecast_backtest",
+    "bpe_pairs", "gap_fill", "rolling_med", "ab_welch",
+    "rbo_overlap", "fastss_pairs", "deepwalk_pairs", "feature_hash",
+    "source_overlap", "phash_dedup", "rendezvous_shards", "expectations",
+    "table_checksum", "ndcg_eval", "ann_recall", "large_orders",
+    "brand_share", "top_paths", "histogram2d", "order_dist",
+    "promo_share", "small_qty_revenue", "returned_items", "untapped_customers",
+    "disjunct_revenue", "grouping_sets_census", "window_suite", "ewma_revenue",
+    "mad_outliers", "bitext_mine", "rfm_segments", "revenue_concentration",
+    "order_gap_stats", "metrics_melt", "daily_spine", "skyline_parts",
+    "attribution_removal", "identity_clusters", "asof_forward", "forecast_backtest",
+    "incremental_decontaminate", "kaplan_meier", "windowed_funnel", "wilson_ci",
+    "cuped_lift", "chi2_independence", "mann_whitney", "gini_revenue",
+    "herfindahl", "ledger_balance", "active_users", "seasonal_index",
+    "mix_entropy", "price_elasticity", "ann_topk", "append_join",
+    "append_load_regex", "asof_join", "brute_topk", "dedup_clusters",
+    "dedup_pipeline", "dedup_survivors", "delta_condense", "delta_merge",
+    "distinct_partitions", "embedding_dups", "event_rollup", "exact_dups",
+    "fixed_width", "flatten_explode", "flatten_full", "flatten_struct",
+    "full_load_dates", "hash_split", "ivf_topk", "jaccard_pairs",
+    "language_id", "minhash_lsh", "multimodal_decode", "multimodal_meta",
+    "order_priority_check", "order_revenue", "pmi_bigrams", "price_quantiles",
+    "pricing_summary", "quality_zscores", "query_materialization", "range_join",
+    "range_materialization", "regional_revenue",
 ]
 
 
@@ -10813,6 +10885,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_spans": q_exact_substr_spans,
         "decontaminate_spans": q_decontaminate_spans,
         "incremental_decontaminate": q_incremental_decontaminate,
+        "incremental_exact_substr": q_incremental_exact_substr,
         "bm25_topk": q_bm25_topk,
         "zorder_key": q_zorder_key,
         "data_profile": q_data_profile,
@@ -11030,6 +11103,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_substr_spans": _SQL_EXACT_SUBSTR_SPANS,
         "decontaminate_spans": _SQL_DECONTAMINATE_SPANS,
         "incremental_decontaminate": _SQL_INCREMENTAL_DECONTAMINATE,
+        "incremental_exact_substr": _SQL_INCREMENTAL_EXACT_SUBSTR,
         "bm25_topk": _SQL_BM25_TOPK,
         "zorder_key": _SQL_ZORDER_KEY,
         "data_profile": _SQL_DATA_PROFILE,

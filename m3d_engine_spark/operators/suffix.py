@@ -198,6 +198,7 @@ def exact_substr_dedup(
     text_col: str,
     span_tokens: int = 8,
     min_occurrences: int = 2,
+    initial_gram: int = 8,
     track: "list | None" = None,
 ) -> DataFrame:
     """ExactSubstr dedup with true suffix ordering: byte-for-byte the
@@ -208,7 +209,9 @@ def exact_substr_dedup(
     prefix-doubling classes, not md5. Returns
     (id, clean_text, n_tokens, n_removed)."""
     base = _tokenized(docs, id_col, text_col)
-    occ = suffix_window_classes(base, id_col, span_tokens, track=track)
+    occ = suffix_window_classes(
+        base, id_col, span_tokens, initial_gram=initial_gram, track=track
+    )
     return rebuild_without_repeated_windows(
         base, occ, id_col, span_tokens, min_occurrences, window_key="_cls"
     )
@@ -222,6 +225,7 @@ def exact_decontaminate(
     probe_id: str,
     probe_text: str,
     span_tokens: int = 8,
+    initial_gram: int = 8,
     track: "list | None" = None,
 ) -> DataFrame:
     """Surgical benchmark decontamination (Lee et al. 2022 §6.3 — the
@@ -253,7 +257,9 @@ def exact_decontaminate(
             tokens(F.col(probe_text)).alias("_tk"),
         )
     )
-    occ = suffix_window_classes(base, "_uid", span_tokens, track=track)
+    occ = suffix_window_classes(
+        base, "_uid", span_tokens, initial_gram=initial_gram, track=track
+    )
     dirty = (
         occ.filter(F.col("_uid.s") == 1).select("_cls").distinct()
     )
@@ -280,6 +286,7 @@ def exact_substr_spans(
     text_col: str,
     span_tokens: int = 8,
     min_occurrences: int = 2,
+    initial_gram: int = 8,
     track: "list | None" = None,
 ) -> DataFrame:
     """Maximal repeated spans — the paper's reporting view. Every
@@ -296,7 +303,9 @@ def exact_substr_spans(
 
     L = int(span_tokens)
     base = _tokenized(docs, id_col, text_col)
-    occ = suffix_window_classes(base, id_col, L, track=track)
+    occ = suffix_window_classes(
+        base, id_col, L, initial_gram=initial_gram, track=track
+    )
     rep = (
         occ.groupBy("_cls")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -324,6 +333,102 @@ def exact_substr_spans(
         )
         .drop("_grp")
     )
+
+
+def incremental_exact_substr(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    state: "DataFrame | None",
+    span_tokens: int = 8,
+    min_occurrences: int = 2,
+    track: "list | None" = None,
+) -> "tuple[DataFrame, DataFrame]":
+    """ExactSubstr span dedup of a NEW ingest batch against the
+    already-accepted corpus — the suffix family's incremental story
+    (exact/MinHash dedup have ``operators/incremental.py``;
+    decontamination has the ``state_location`` composition). A window
+    in a new document is removed when its token sequence occurs >=
+    ``min_occurrences`` times within (accepted corpus ∪ batch),
+    keep-first: the canonical occurrence is the FIRST one ever
+    ingested — if the window was ever seen by an earlier batch
+    (state count >= 1) every batch occurrence is removed; windows new
+    to this batch keep their minimum (doc, pos) occurrence, exactly
+    the intra-batch contract of :func:`exact_substr_dedup`.
+
+    ``state`` is the ADDITIVE window-count artifact: (gh, cnt) rows —
+    md5 window fingerprints with per-batch occurrence counts, md5
+    because suffix equality classes are corpus-relative and cannot
+    outlive a run (:func:`probe_gram_artifact` has the same
+    constraint); the md5 and suffix-class formulations are
+    equality-pinned absent a collision. Multiple rows per gh are
+    expected (one per contributing batch — counts FOLD by sum), and
+    the fold runs AFTER a semi-join down to the batch's own window
+    set, so only state rows the batch can touch are ever aggregated:
+    the accepted lake's text is never read, never tokenized, never
+    re-cascaded — the batch pays batch-sized cost regardless of lake
+    size. At 100 TB, bucket the artifact by gh at write time and the
+    probe join reads the corpus side exchange-free (the
+    ``materialize_dedup_artifacts`` refinement).
+
+    Returns ``(clean, batch_counts)``: the scrubbed batch in the
+    family's (id, clean_text, n_tokens, n_removed) contract, and this
+    batch's ORIGINAL per-window counts (gh, cnt) — pre-removal, so
+    folding them into the artifact reproduces from-scratch counts.
+    Union-of-batch-outputs == from-scratch :func:`exact_substr_dedup`
+    at ``min_occurrences=2`` (the Lee et al. setting) whenever batch
+    order agrees with (doc, pos) order — the ingest convention of
+    monotone ids; pinned in tests. For thresholds > 2 the contract is
+    forward-only: occurrences an earlier batch accepted below the
+    threshold are never retroactively removed (the accepted-corpus
+    convention of ``operators/incremental.py``)."""
+    L = int(span_tokens)
+    occ = md5_window_occ(batch, id_col, text_col, L)
+    pack = F.struct(
+        F.col(id_col).alias("_wid"), F.col("_pos").alias("_wpos")
+    )
+    # Three consumers read this batch-sized relation (the artifact
+    # contribution, the state semi-probe, the removal election) — pin
+    # it once, house style of the cascade's self-joins.
+    agg = _ck(
+        occ.groupBy("gh").agg(
+            F.count(F.lit(1)).alias("_c"), F.min(pack).alias("_win")
+        ),
+        track,
+    )
+    batch_counts = agg.select("gh", F.col("_c").cast("long").alias("cnt"))
+    if state is not None:
+        stc = (
+            state.select("gh", "cnt")
+            .join(agg.select("gh"), on="gh", how="leftsemi")
+            .groupBy("gh")
+            .agg(F.sum("cnt").alias("_s"))
+        )
+        scored = agg.join(stc, on="gh", how="left").withColumn(
+            "_s", F.coalesce(F.col("_s"), F.lit(0))
+        )
+    else:
+        scored = agg.withColumn("_s", F.lit(0))
+    rep = scored.filter(
+        F.col("_c") + F.col("_s") >= int(min_occurrences)
+    ).select("gh", "_win", "_s")
+    covered = (
+        occ.join(rep, on="gh")
+        # seen-before windows lose EVERY batch occurrence (the
+        # canonical one was kept by the batch that first saw it);
+        # batch-new windows keep their minimum (doc, pos)
+        .filter((F.col("_s") > 0) | (pack != F.col("_win")))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(L - 1))
+            ).alias("_cp"),
+        )
+    )
+    clean = rebuild_without_positions(
+        _tokenized(batch, id_col, text_col), covered, id_col
+    )
+    return clean, batch_counts
 
 
 def probe_gram_artifact(
@@ -471,8 +576,12 @@ class DecontaminateAlgorithm(Algorithm):
     probe_location OR probe_table (the benchmark corpus); id_column /
     text_column (defaults doc_id/text); probe_id_column /
     probe_text_column (default to the train names); span_tokens
-    (default 8); target_location OR target_table (+ the shared
-    write_output surface).
+    (default 8); initial_gram (default 8, >= 1 — the prefix-doubling
+    seed width, clamped down to the largest power of two <=
+    min(span_tokens, initial_gram); exact mode only — the
+    artifact/materialize modes are hash-tier and run no cascade);
+    target_location OR target_table (+ the shared write_output
+    surface).
 
     Artifact modes (the production shape — hash the benchmark ONCE
     per release, scrub any number of corpora without re-reading its
@@ -670,6 +779,12 @@ class DecontaminateAlgorithm(Algorithm):
                 p.get_optional("probe_id_column", id_col),
                 p.get_optional("probe_text_column", text_col),
                 span_tokens=L,
+                # doubling-seed width (power-of-two clamped in
+                # suffix_window_classes); only the exact mode runs the
+                # cascade — artifact/materialize are hash-tier
+                initial_gram=p.get_optional_int(
+                    "initial_gram", 8, minimum=1
+                ),
                 track=self._checkpointed,
             )
         ]
@@ -756,25 +871,77 @@ class ExactSubstrDedupAlgorithm(Algorithm):
     view — maximal repeated intervals per document, (id, span_start,
     span_end, span_len), nothing removed.
 
+    Incremental mode (action=dedup only): ``state_location`` +
+    ``batch_tag`` switch to :func:`incremental_exact_substr` — the
+    source is a NEW ingest batch scrubbed against the additive
+    window-count artifact at ``state_location``, and this batch's own
+    counts are written to ``{state_location}/batch_tag=<tag>`` AFTER
+    the output commit, overwrite-style, so a crashed-and-retried
+    nightly rewrites the same rows instead of double-counting (the
+    retry contract the Decontaminate state shares). The state read
+    excludes the batch's OWN tag, so a full re-run of an already
+    recorded batch reproduces its output bit-for-bit. ``batch_tag``
+    values must be per-batch unique (the nightly date is the natural
+    tag); tags never fold into each other — counts do, at read time.
+
     Config keys: action; source_location OR source_table; id_column
     ("doc_id") / text_column ("text"); span_tokens (default 8, >= 1)
     and min_occurrences (default 2, >= 2 — 1 would delete every
     window, i.e. the whole corpus) through the shared
-    ``get_optional_int`` guard; target_location OR target_table (+ the
-    shared write_output surface). The doubling cascade's checkpoint
-    blocks are registered on the run's cleanup list — long-lived
-    sessions don't accumulate them."""
+    ``get_optional_int`` guard; initial_gram (default 8, >= 1 —
+    clamped DOWN to the largest power of two <= min(span_tokens,
+    initial_gram), the prefix-doubling seed width: larger folds more
+    rounds into the seed exchange at wider key bytes, measured
+    fastest at 8); state_location + batch_tag (incremental mode);
+    target_location OR target_table (+ the shared write_output
+    surface). The doubling cascade's checkpoint blocks are registered
+    on the run's cleanup list — long-lived sessions don't accumulate
+    them."""
 
     def prepare(self) -> None:
-        action = self.params.get_optional("action", "dedup")
-        if action not in ("dedup", "spans"):
-            from m3d_engine_spark.config import ConfigError
+        from m3d_engine_spark.config import ConfigError
 
+        p = self.params
+        action = p.get_optional("action", "dedup")
+        if action not in ("dedup", "spans"):
             raise ConfigError(
                 f"unknown action {action!r} for ExactSubstrDedup: "
                 "expected 'dedup' (remove + rebuild) or 'spans' "
                 "(report maximal repeated intervals)"
             )
+        if p.has("state_location") or p.has("batch_tag"):
+            if action != "dedup":
+                raise ConfigError(
+                    "state_location/batch_tag (incremental mode) apply "
+                    "to action='dedup' only: the spans report has no "
+                    "cross-batch removal to track"
+                )
+            if not (p.has("state_location") and p.has("batch_tag")):
+                raise ConfigError(
+                    "incremental mode needs BOTH state_location (the "
+                    "window-count artifact) and batch_tag (this batch's "
+                    "unique, retry-stable name — the nightly date)"
+                )
+            from m3d_engine_spark.sources.writers import LoadMode
+
+            lm = LoadMode(p.get_optional("load_mode", "OverwriteTable"))
+            if lm in (
+                LoadMode.APPEND_JOIN_PARTITIONS,
+                LoadMode.APPEND_UNION_PARTITIONS,
+            ):
+                # same retry contract as the Decontaminate state: the
+                # output commit and the state write are two jobs, and
+                # only overwrite targets absorb the retry in between
+                raise ConfigError(
+                    f"load_mode={lm.value} with state_location is not "
+                    "retry-safe: a crash between the output commit and "
+                    "the state write would duplicate the batch's rows "
+                    "on retry — use an overwrite load_mode (per-batch "
+                    "output dir or partition)"
+                )
+
+    def _initial_gram(self) -> int:
+        return self.params.get_optional_int("initial_gram", 8, minimum=1)
 
     def read(self) -> list[DataFrame]:
         p = self.params
@@ -786,6 +953,49 @@ class ExactSubstrDedupAlgorithm(Algorithm):
 
     def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
         p = self.params
+        id_col = p.get_optional("id_column", "doc_id")
+        text_col = p.get_optional("text_column", "text")
+        L = _span_tokens_param(p)
+        min_occ = p.get_optional_int("min_occurrences", 2, minimum=2)
+        if p.has("state_location"):
+            from m3d_engine_spark.sources.dfs import DFS
+
+            state_loc = p.get_string("state_location")
+            tag = str(p.get_string("batch_tag"))
+            state = None
+            if DFS(self.spark).exists(state_loc):
+                try:
+                    # cast, don't compare raw: partition-column type
+                    # inference may read numeric-looking tags as ints
+                    state = (
+                        self.spark.read.parquet(state_loc)
+                        .filter(F.col("batch_tag").cast("string") != tag)
+                        .select("gh", "cnt")
+                    )
+                except Exception:
+                    # dir exists, no committed parquet (a crashed first
+                    # state write): empty state is the truthful reading
+                    # — same convention as the Decontaminate state
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "state_location %s exists but holds no readable "
+                        "parquet (a first state write crashed "
+                        "mid-write?); treating as empty state — this "
+                        "batch dedups intra-batch only",
+                        state_loc,
+                    )
+            clean, counts = incremental_exact_substr(
+                dfs[0],
+                id_col,
+                text_col,
+                state,
+                span_tokens=L,
+                min_occurrences=min_occ,
+                track=self._checkpointed,
+            )
+            self._batch_counts = counts
+            return [clean]
         fn = (
             exact_substr_spans
             if p.get_optional("action", "dedup") == "spans"
@@ -794,12 +1004,11 @@ class ExactSubstrDedupAlgorithm(Algorithm):
         return [
             fn(
                 dfs[0],
-                p.get_optional("id_column", "doc_id"),
-                p.get_optional("text_column", "text"),
-                span_tokens=_span_tokens_param(p),
-                min_occurrences=p.get_optional_int(
-                    "min_occurrences", 2, minimum=2
-                ),
+                id_col,
+                text_col,
+                span_tokens=L,
+                min_occurrences=min_occ,
+                initial_gram=self._initial_gram(),
                 track=self._checkpointed,
             )
         ]
@@ -808,3 +1017,16 @@ class ExactSubstrDedupAlgorithm(Algorithm):
         from m3d_engine_spark.sources.writers import write_output
 
         write_output(self.spark, dfs[0], self.params)
+        if getattr(self, "_batch_counts", None) is not None:
+            # State write strictly AFTER the output commit (a failed
+            # output leaves the batch unrecorded → retried in full) and
+            # OVERWRITE into this batch's own tag dir: a retry after
+            # both commits rewrites identical rows — counts can never
+            # double, unlike a bare append. The artifact stays
+            # additive: each tag dir is one batch's (gh, cnt)
+            # contribution, folded by sum at read time.
+            tag = str(self.params.get_string("batch_tag"))
+            self._batch_counts.write.mode("overwrite").parquet(
+                self.params.get_string("state_location").rstrip("/")
+                + f"/batch_tag={tag}"
+            )

@@ -1904,3 +1904,47 @@ def test_suffix_tier_plan_shapes(spark, sf_dir):
     dc = _plan_simple(qs["decontaminate_spans"](spark, sf_dir))
     assert "BroadcastHashJoin" in dc, dc
     assert "CartesianProduct" not in dc and "NestedLoopJoin" not in dc, dc
+
+
+def test_incremental_exact_substr_state_probe_plan(spark, tmp_path):
+    """The round-15 incremental ExactSubstr contract, at the plan
+    level: the batch never touches the accepted lake — the state
+    artifact scan is COLUMN-PRUNED to (gh, cnt) plus its partition
+    tag (never a text column), the count fold sits ABOVE a LeftSemi
+    probe down to the batch's own window set (only state rows the
+    batch can touch are aggregated), and the whole job stays keyed:
+    no cartesian, no nested-loop join, no Python."""
+    from m3d_engine_spark.operators.suffix import incremental_exact_substr
+
+    state_loc = str(tmp_path / "state")
+    spark.createDataFrame(
+        [("h1", 2), ("h2", 1)], "gh string, cnt long"
+    ).write.parquet(state_loc + "/batch_tag=n1")
+    batch = spark.createDataFrame(
+        [(10, "a b c d e f g h tail")], "doc_id int, text string"
+    )
+    from pyspark.sql import functions as F
+
+    state = (
+        spark.read.parquet(state_loc)
+        .filter(F.col("batch_tag").cast("string") != "n2")
+        .select("gh", "cnt")
+    )
+    clean, _ = incremental_exact_substr(
+        batch, "doc_id", "text", state, span_tokens=8
+    )
+    plan = _plan(clean)
+    # the only file scan in this job is the state artifact (the batch
+    # is a local relation), and it must be COLUMN-PRUNED to its own
+    # columns — a text/tk column in any ReadSchema would mean the
+    # lake is being re-read
+    scans = [
+        ln for ln in plan.splitlines() if ln.strip().startswith("ReadSchema")
+    ]
+    assert scans, plan
+    for rs in scans:
+        assert "gh" in rs and "text" not in rs, rs
+    simple = _plan_simple(clean)
+    assert "LeftSemi" in simple, simple
+    assert "CartesianProduct" not in simple, simple
+    assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple

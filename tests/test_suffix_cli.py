@@ -256,10 +256,13 @@ def test_example_acons_parse_and_name_registered_algorithms():
 def test_nightly_ingest_pipeline_composition(spark, tmp_path):
     """The examples/nightly_ingest.json shape end-to-end, two nights:
     IncrementalDedup(batch) -> Decontaminate(incremental, artifact
-    mode) in ONE Pipeline run. Night 1 drops the accepted-corpus dup
-    before the scrub ever sees it and scrubs the contaminated
-    survivor; night 2 re-lands an already-scrubbed doc and the state
-    skips it (dedup artifacts are write-time relations of the ACCEPTED
+    mode) -> ExactSubstrDedup(incremental span dedup) in ONE Pipeline
+    run. Night 1 drops the accepted-corpus dup before the scrub ever
+    sees it, scrubs the contaminated survivor, and records the
+    batch's window counts; night 2 re-lands an already-scrubbed doc
+    (the scrub state skips it) and lands a doc repeating a night-1
+    span, which the window-count state removes WITHOUT re-reading
+    night 1 (dedup artifacts are write-time relations of the ACCEPTED
     corpus — static across nights here, like a weekly
     re-materialize)."""
     import m3d_engine_spark.operators.incremental  # noqa: F401
@@ -283,12 +286,14 @@ def test_nightly_ingest_pipeline_composition(spark, tmp_path):
         json.dumps({"kind": "probe_gram_artifact", "span_tokens": 8})
     )
     state = str(tmp_path / "state")
+    wstate = str(tmp_path / "window_counts")
 
     def night(tag, rows):
         incoming = str(tmp_path / f"incoming_{tag}")
         _write_docs(spark, incoming, rows)
         staged = str(tmp_path / f"staged_{tag}")
         clean = str(tmp_path / f"clean_{tag}")
+        final = str(tmp_path / f"final_{tag}")
         REGISTRY["Pipeline"](spark, ParamsFile({
             "report_location": str(tmp_path / f"report_{tag}"),
             "steps": [
@@ -305,31 +310,47 @@ def test_nightly_ingest_pipeline_composition(spark, tmp_path):
                     "state_location": state,
                     "target_location": clean,
                 }},
+                {"algorithm": "ExactSubstrDedup", "params": {
+                    "source_location": clean,
+                    # the scrub's output carries the text as clean_text
+                    "text_column": "clean_text",
+                    "state_location": wstate,
+                    "batch_tag": tag,
+                    "span_tokens": 8,
+                    "target_location": final,
+                }},
             ],
         })).run()
-        return clean
+        return final
 
-    clean1 = night("n1", [
+    final1 = night("n1", [
         (1, "accepted corpus doc body that is already in the lake"),  # dup
         (2, f"fresh doc with {bench} contamination inside"),
-        (3, "fresh clean doc with nothing shared"),
+        (3, "fresh clean doc carrying aa bb cc dd ee ff gg hh once"),
     ])
-    got1 = {r.doc_id: r for r in spark.read.parquet(clean1).collect()}
+    got1 = {r.doc_id: r for r in spark.read.parquet(final1).collect()}
     assert set(got1) == {2, 3}  # the corpus dup never reached the scrub
-    assert got1[2].n_removed == 8 and got1[3].n_removed == 0
+    # step 3 reports removal over the step-2 CLEANED text: doc 2's
+    # benchmark tokens are already gone, doc 3's span is corpus-unique
+    # on night 1 and survives (count 1 recorded in the window state)
+    assert got1[2].n_removed == 0 and got1[3].n_removed == 0
+    assert "aa" in got1[3].clean_text
 
     # night 2 re-lands doc 3 (already scrubbed — the state skips it)
-    # plus one new clean doc
-    clean2 = night("n2", [
-        (3, "fresh clean doc with nothing shared"),
-        (4, "an entirely new document for night two"),
+    # plus a doc repeating night 1's span: the window-count artifact
+    # removes it without re-reading night 1
+    final2 = night("n2", [
+        (3, "fresh clean doc carrying aa bb cc dd ee ff gg hh once"),
+        (4, "night two body aa bb cc dd ee ff gg hh trailing words"),
     ])
-    got2 = {r.doc_id: r for r in spark.read.parquet(clean2).collect()}
-    assert set(got2) == {4}, got2  # 3 was skipped by the state
+    got2 = {r.doc_id: r for r in spark.read.parquet(final2).collect()}
+    assert set(got2) == {4}, got2  # 3 was skipped by the scrub state
+    assert got2[4].n_removed == 8
+    assert got2[4].clean_text == "night two body trailing words"
     # both nights' reports exist with one row per step
     for tag in ("n1", "n2"):
         rep = spark.read.parquet(str(tmp_path / f"report_{tag}"))
-        assert rep.count() == 2
+        assert rep.count() == 3
 
 
 @pytest.mark.slow

@@ -1,0 +1,270 @@
+"""Incremental ExactSubstr (suffix.py::incremental_exact_substr + the
+ExactSubstrDedup state_location CLI mode) and the initial_gram CLI
+dial (round-15 build items)."""
+
+import json
+import os
+
+import pytest
+
+import m3d_engine_spark.operators.suffix  # noqa: F401 — populates REGISTRY
+from m3d_engine_spark.config import ConfigError, ParamsFile
+from m3d_engine_spark.operators.base import REGISTRY
+
+
+ROWS = [
+    (1, "a b c d e f g h tail one"),
+    (2, "unique text here totally clean doc"),
+    (3, "another clean document body words"),
+    (4, "prefix a b c d e f g h more"),
+    (5, "z y x w v u t s common suffix"),
+    (6, "start z y x w v u t s end"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def _out(df):
+    return {r.doc_id: (r.clean_text, r.n_removed) for r in df.collect()}
+
+
+def test_union_of_batches_equals_from_scratch(spark):
+    """The equivalence contract at min_occurrences=2 (the Lee et al.
+    setting): with id-monotone batches — the ingest convention — the
+    union of incremental batch outputs is bit-identical to the
+    from-scratch dedup of the whole corpus. Exercises both removal
+    branches: a window straddling the batches (doc 1 kept, doc 4
+    scrubbed via the state) and an intra-batch-2 repeat (doc 5 kept as
+    the batch minimum, doc 6 scrubbed)."""
+    from m3d_engine_spark.operators.suffix import (
+        exact_substr_dedup,
+        incremental_exact_substr,
+    )
+
+    b1, b2 = _df(spark, ROWS[:3]), _df(spark, ROWS[3:])
+    c1, counts1 = incremental_exact_substr(
+        b1, "doc_id", "text", None, span_tokens=8
+    )
+    c2, _ = incremental_exact_substr(
+        b2, "doc_id", "text", counts1, span_tokens=8
+    )
+    inc = {**_out(c1), **_out(c2)}
+    scratch = _out(
+        exact_substr_dedup(_df(spark, ROWS), "doc_id", "text", span_tokens=8)
+    )
+    assert inc == scratch
+    assert inc[4][1] == 8 and inc[6][1] == 8  # both branches removed
+
+
+def test_counts_fold_across_batches_threshold_three(spark):
+    """The artifact is ADDITIVE: a window seen once per batch crosses
+    min_occurrences=3 only at batch 3, whose occurrence is removed;
+    batches 1 and 2 keep theirs (forward-only — the accepted-corpus
+    convention: already-emitted batches are never retroactively
+    edited)."""
+    from m3d_engine_spark.operators.suffix import incremental_exact_substr
+
+    w = "p q r s t u v w"
+    batches = [
+        [(1, f"{w} first")],
+        [(2, f"{w} second")],
+        [(3, f"{w} third")],
+    ]
+    state, outs = None, []
+    for rows in batches:
+        clean, counts = incremental_exact_substr(
+            _df(spark, rows), "doc_id", "text", state,
+            span_tokens=8, min_occurrences=3,
+        )
+        outs.append(_out(clean))
+        state = counts if state is None else state.unionByName(counts)
+    assert outs[0][1][1] == 0 and outs[1][2][1] == 0
+    assert outs[2][3] == ("third", 8)
+
+
+def test_batch_counts_are_pre_removal(spark):
+    """The returned (gh, cnt) contribution counts the ORIGINAL batch
+    windows, not the survivors — folding contributions must reproduce
+    from-scratch corpus counts (an intra-batch repeat contributes its
+    full multiplicity)."""
+    from m3d_engine_spark.operators.suffix import incremental_exact_substr
+
+    rows = [(1, "a b c d e f g h x a b c d e f g h")]
+    _, counts = incremental_exact_substr(
+        _df(spark, rows), "doc_id", "text", None, span_tokens=8
+    )
+    by_cnt = {r.cnt for r in counts.collect()}
+    assert 2 in by_cnt  # the repeated window counted twice
+
+
+# ------------------------------------------------------- CLI lifecycle
+def _run_cli(spark, tmp_path, rows, tag, extra=None):
+    src = str(tmp_path / f"src_{tag}")
+    out = str(tmp_path / f"out_{tag}")
+    _df(spark, rows).write.mode("overwrite").parquet(src)
+    params = {
+        "source_location": src,
+        "state_location": str(tmp_path / "state"),
+        "batch_tag": tag,
+        "span_tokens": 8,
+        "target_location": out,
+    }
+    params.update(extra or {})
+    REGISTRY["ExactSubstrDedup"](spark, ParamsFile(params)).run()
+    return _out(spark.read.parquet(out))
+
+
+def test_cli_two_batches_and_retry_idempotency(spark, tmp_path):
+    """The acon lifecycle: batch outputs match the library contract,
+    the state dir holds one batch_tag partition per night with
+    summable counts, and a FULL re-run of an already-recorded batch
+    (retry after both commits) reproduces its output bit-for-bit —
+    the own-tag exclusion on the state read."""
+    from m3d_engine_spark.operators.suffix import exact_substr_dedup
+
+    o1 = _run_cli(spark, tmp_path, ROWS[:3], "n1")
+    o2 = _run_cli(spark, tmp_path, ROWS[3:], "n2")
+    scratch = _out(
+        exact_substr_dedup(_df(spark, ROWS), "doc_id", "text", span_tokens=8)
+    )
+    assert {**o1, **o2} == scratch
+
+    st = spark.read.parquet(str(tmp_path / "state"))
+    tags = {str(r.batch_tag) for r in st.select("batch_tag").distinct().collect()}
+    assert tags == {"n1", "n2"}
+
+    # retry: same batch, same tag — output identical, counts not doubled
+    before = st.count()
+    o2b = _run_cli(spark, tmp_path, ROWS[3:], "n2")
+    assert o2b == o2
+    assert spark.read.parquet(str(tmp_path / "state")).count() == before
+
+
+def test_cli_incremental_mode_validation(spark, tmp_path):
+    """state_location needs batch_tag (and vice versa), applies to
+    action='dedup' only, and append load modes are rejected with the
+    retry-safety contract — all in prepare(), before any read (the
+    source paths here do not exist)."""
+    base = {
+        "source_location": str(tmp_path / "never"),
+        "target_location": str(tmp_path / "never_out"),
+    }
+    for bad, msg in [
+        ({"state_location": "s"}, "BOTH state_location"),
+        ({"batch_tag": "t"}, "BOTH state_location"),
+        (
+            {"state_location": "s", "batch_tag": "t", "action": "spans"},
+            "action='dedup' only",
+        ),
+        (
+            {
+                "state_location": "s",
+                "batch_tag": "t",
+                "load_mode": "AppendUnionPartitions",
+            },
+            "retry-safe",
+        ),
+    ]:
+        with pytest.raises(ConfigError, match=msg):
+            REGISTRY["ExactSubstrDedup"](
+                spark, ParamsFile({**base, **bad})
+            ).run()
+
+
+def test_cli_state_write_after_output_commit(spark, tmp_path):
+    """A failed output write must leave the batch UNRECORDED in the
+    artifact (the retry then scrubs it in full) — state strictly after
+    the output commit, the shared incremental contract."""
+    src = str(tmp_path / "src")
+    _df(spark, ROWS[:3]).write.parquet(src)
+    state = str(tmp_path / "state")
+    with pytest.raises(Exception):
+        REGISTRY["ExactSubstrDedup"](spark, ParamsFile({
+            "source_location": src,
+            "state_location": state,
+            "batch_tag": "n1",
+            # unwritable target -> output commit fails
+            "target_location": "/proc/invalid/target",
+        })).run()
+    assert not os.path.exists(state)
+
+
+# ------------------------------------------------- initial_gram dial
+def test_initial_gram_param_roundtrip_and_identical_output(
+    spark, tmp_path
+):
+    """The doubling-seed width is a params dial on both cascade CLIs
+    (round-15 item): a non-default g0 must produce IDENTICAL output —
+    the seed only re-shapes the cascade, never the equality classes —
+    and the shared integer guard rejects garbage."""
+    src = str(tmp_path / "src")
+    _df(spark, ROWS).write.parquet(src)
+
+    def run_dedup(g0, out):
+        REGISTRY["ExactSubstrDedup"](spark, ParamsFile({
+            "source_location": src,
+            "span_tokens": 8,
+            "initial_gram": g0,
+            "target_location": str(tmp_path / out),
+        })).run()
+        return _out(spark.read.parquet(str(tmp_path / out)))
+
+    assert run_dedup(2, "g2") == run_dedup(8, "g8")
+
+    with pytest.raises(ConfigError, match="initial_gram"):
+        REGISTRY["ExactSubstrDedup"](spark, ParamsFile({
+            "source_location": src,
+            "initial_gram": True,
+            "target_location": str(tmp_path / "never"),
+        })).run()
+
+
+def test_initial_gram_on_decontaminate_exact_mode(spark, tmp_path):
+    """Same dial on the Decontaminate cascade path: non-default g0,
+    identical scrub."""
+    train, probes = str(tmp_path / "train"), str(tmp_path / "probes")
+    _df(spark, ROWS[:4]).write.parquet(train)
+    spark.createDataFrame(
+        [(9, "a b c d e f g h")], "doc_id int, text string"
+    ).write.parquet(probes)
+
+    def run(g0, out):
+        REGISTRY["Decontaminate"](spark, ParamsFile({
+            "source_location": train,
+            "probe_location": probes,
+            "span_tokens": 8,
+            "initial_gram": g0,
+            "target_location": str(tmp_path / out),
+        })).run()
+        return _out(spark.read.parquet(str(tmp_path / out)))
+
+    a, b = run(1, "d_g1"), run(8, "d_g8")
+    assert a == b
+    assert a[1][1] == 8 and a[4][1] == 8  # probe window scrubbed
+
+
+def test_suffix_classes_identical_across_seeds(spark):
+    """Library-level pin of the same invariant: suffix_window_classes
+    partitions positions identically at every seed width (class NAMES
+    are seed-independent too — min (doc,pos) of the window text)."""
+    from m3d_engine_spark.functions.text import tokens
+    from m3d_engine_spark.operators.suffix import suffix_window_classes
+    from pyspark.sql import functions as F
+
+    base = _df(spark, ROWS).select(
+        F.col("doc_id"), tokens(F.col("text")).alias("_tk")
+    )
+    for L in (3, 5, 8):
+        ref = None
+        for g0 in (1, 2, 4, 8, 16):
+            rel = {
+                (r.doc_id, r._pos, (r._cls._cd, r._cls._cp))
+                for r in suffix_window_classes(
+                    base, "doc_id", L, initial_gram=g0
+                ).collect()
+            }
+            if ref is None:
+                ref = rel
+            assert rel == ref, f"seed {g0} diverged at L={L}"
