@@ -558,6 +558,41 @@ def resolve_artifact_span_tokens(
 from m3d_engine_spark.operators.base import Algorithm, register  # noqa: E402
 
 
+def _maybe_compact_state(
+    spark, params, state_loc: str, partition_columns=None
+) -> None:
+    """Opt-in small-files hygiene for the incremental state dirs
+    (``compact_state_over_files: N``): every nightly run adds one
+    small parquet contribution forever, so a long-lived state
+    eventually pays listing/task-launch overhead on hundreds of tiny
+    files. When the state holds MORE than N data files, rewrite it
+    through the shared atomic compaction path
+    (``sources/compaction.py`` — layout only: same rows, temp-write +
+    dir-swap, a failure leaves the original intact). The window-count
+    state passes its ``batch_tag`` partition column so per-batch
+    granularity (and with it the own-tag retry exclusion) survives
+    compaction; the scrubbed-ids state is flat. Runs strictly AFTER
+    the state update — a compaction failure can never lose the batch
+    just recorded."""
+    if not params.has("compact_state_over_files"):
+        return
+    n = params.get_optional_int("compact_state_over_files", 1, minimum=1)
+    from m3d_engine_spark.sources.compaction import compact_table
+    from m3d_engine_spark.sources.dfs import DFS
+
+    data_files = [
+        f
+        for f in DFS(spark).list_files(state_loc)
+        if not f.rsplit("/", 1)[-1].startswith(("_", "."))
+    ]
+    if len(data_files) > n:
+        compact_table(
+            spark,
+            state_loc,
+            partition_columns=list(partition_columns or []),
+        )
+
+
 def _span_tokens_param(params) -> int:
     # {"span_tokens": true} would coerce to 1 and scrub every token
     # shared with the benchmark VOCABULARY — the shared ParamsFile
@@ -590,6 +625,12 @@ class DecontaminateAlgorithm(Algorithm):
     ``probe_artifact_location`` (instead of probe_location/table)
     scrubs against a previously materialized artifact via the
     broadcast md5 path.
+
+    State hygiene: ``compact_state_over_files: N`` (opt-in, with
+    state_location) rewrites the scrubbed-ids state through the atomic
+    small-files compaction when it accretes more than N data files —
+    one small parquet append per night adds up; layout only, after the
+    state update.
 
     Incremental mode (either scrub variant): ``state_location`` makes
     nightly batches pay only for NEW documents — ids already recorded
@@ -851,6 +892,9 @@ class DecontaminateAlgorithm(Algorithm):
             ids_df.write.mode("append").parquet(
                 p.get_string("state_location")
             )
+            _maybe_compact_state(
+                self.spark, p, p.get_string("state_location")
+            )
 
 
 @register("ExactSubstrDedup")
@@ -883,6 +927,9 @@ class ExactSubstrDedupAlgorithm(Algorithm):
     recorded batch reproduces its output bit-for-bit. ``batch_tag``
     values must be per-batch unique (the nightly date is the natural
     tag); tags never fold into each other — counts do, at read time.
+    ``compact_state_over_files: N`` (opt-in) compacts the state's
+    small files when they exceed N, PRESERVING the batch_tag
+    partitioning (granularity and retry exclusion survive).
 
     Config keys: action; source_location OR source_table; id_column
     ("doc_id") / text_column ("text"); span_tokens (default 8, >= 1)
@@ -1029,4 +1076,10 @@ class ExactSubstrDedupAlgorithm(Algorithm):
             self._batch_counts.write.mode("overwrite").parquet(
                 self.params.get_string("state_location").rstrip("/")
                 + f"/batch_tag={tag}"
+            )
+            _maybe_compact_state(
+                self.spark,
+                self.params,
+                self.params.get_string("state_location"),
+                partition_columns=["batch_tag"],
             )

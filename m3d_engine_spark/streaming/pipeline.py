@@ -733,6 +733,100 @@ def decontaminate_stream_batch(
     out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
 
 
+def streaming_nightly_ingest(
+    stream: DataFrame,
+    accepted_path: str,
+    artifact_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: "int | None" = None,
+    **dedup_kwargs,
+):
+    """Streaming twin of ``examples/nightly_ingest.json`` (dedup →
+    scrub): every micro-batch is deduplicated against the accepted
+    corpus as of that batch (``streaming_incremental_dedup``'s
+    contract — survivors join the corpus at
+    ``accepted_path/batch_id=<id>``), and the SURVIVORS are then
+    scrubbed against the materialized probe-gram artifact into
+    ``out_path/batch_id=<id>``.
+
+    Shape: ONE foreachBatch running both steps, not two chained
+    availableNow queries over a staged location — chosen because (a)
+    the scrub consumes exactly the dedup survivors of the SAME batch,
+    so the composition is per-batch sequential either way and a second
+    query would only add a staging hop, (b) one checkpoint is one
+    source of truth: a replayed batch re-runs dedup+scrub and
+    overwrites BOTH of its partition dirs, so the pair can never skew
+    (two checkpoints can — query 2 committed, query 1 replayed), and
+    (c) a readStream over the growing staged dir would need schema
+    pinning and its own re-trigger orchestration for zero benefit.
+    The steps still communicate through committed locations (the
+    scrub reads the survivors back from the batch's just-committed
+    corpus partition — a batch-sized pruned read), exactly like the
+    batch Pipeline's steps do.
+
+    ``span_tokens`` follows the shared sidecar contract, resolved ONCE
+    at wiring time; ``dedup_kwargs`` pass through to the dedup tier
+    (threshold, num_hashes, ...). Returns the started query
+    (``trigger(availableNow=True)``; re-invoking later processes only
+    new files thanks to the checkpoint). Install an existing corpus
+    with ``seed_accepted_corpus`` before the first run."""
+    from m3d_engine_spark.operators.suffix import (
+        resolve_artifact_span_tokens,
+    )
+
+    L = resolve_artifact_span_tokens(
+        stream.sparkSession, artifact_path, explicit=span_tokens
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        nightly_ingest_stream_batch(
+            batch, batch_id, accepted_path, artifact_path, out_path,
+            id_col, text_col, L, **dedup_kwargs,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def nightly_ingest_stream_batch(
+    batch: DataFrame,
+    batch_id: int,
+    accepted_path: str,
+    artifact_path: str,
+    out_path: str,
+    id_col: str,
+    text_col: str,
+    span_tokens: int,
+    **dedup_kwargs,
+) -> None:
+    """One micro-batch of ``streaming_nightly_ingest`` (module-level so
+    the at-least-once REPLAY path is directly testable): the two
+    existing batch bodies composed — dedup commits the batch's corpus
+    partition, then the scrub reads those survivors back (committed
+    data, batch-sized partition-pruned read — no recompute of the
+    dedup plan) and commits the batch's output partition. A replay
+    re-runs both overwrites in order; the corpus partition is
+    rewritten identically before the scrub re-reads it, so the pair
+    stays consistent."""
+    incremental_dedup_batch(
+        batch, batch_id, accepted_path, id_col, text_col, **dedup_kwargs
+    )
+    survivors = batch.sparkSession.read.parquet(
+        f"{accepted_path}/batch_id={batch_id}"
+    )
+    decontaminate_stream_batch(
+        survivors, batch_id, artifact_path, out_path,
+        id_col, text_col, span_tokens,
+    )
+
+
 def _duration_seconds(s: str) -> float:
     qty, unit = s.split()
     mult = {

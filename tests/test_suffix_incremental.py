@@ -268,3 +268,97 @@ def test_suffix_classes_identical_across_seeds(spark):
             if ref is None:
                 ref = rel
             assert rel == ref, f"seed {g0} diverged at L={L}"
+
+
+# ------------------------------------------- state compaction dial
+def test_compact_state_over_files_window_counts(spark, tmp_path):
+    """compact_state_over_files on the window-count state: after two
+    nights exceed the dial, the state is rewritten with FEWER data
+    files, identical folded counts, batch_tag partitioning preserved
+    (own-tag retry exclusion survives), the next batch behaves
+    exactly as without compaction, and no temp/backup litter
+    remains."""
+    from m3d_engine_spark.sources.dfs import DFS
+
+    state = str(tmp_path / "state")
+
+    def fold(loc):
+        return {
+            (r.gh, str(r.batch_tag)): r.cnt
+            for r in spark.read.parquet(loc).collect()
+        }
+
+    _run_cli(spark, tmp_path, ROWS[:3], "n1",
+             extra={"compact_state_over_files": 1})
+    pre = fold(state)
+
+    def data_files():
+        return [
+            f for f in DFS(spark).list_files(state)
+            if not f.rsplit("/", 1)[-1].startswith(("_", "."))
+        ]
+
+    n_before = len(data_files())
+    o2 = _run_cli(spark, tmp_path, ROWS[3:], "n2",
+                  extra={"compact_state_over_files": 1})
+    # night 2 wrote its contribution AND compacted (files > 1)
+    assert len(data_files()) <= n_before + 1
+    post = fold(state)
+    assert {k for k in post if k[1] == "n1"} == set(pre)
+    assert all(post[k] == pre[k] for k in pre)
+    assert {k[1] for k in post} == {"n1", "n2"}
+    # no temp/backup litter from the atomic rewrite
+    litter = [
+        f for f in DFS(spark).list_files(str(tmp_path))
+        if "_tmp" in f or "backup" in f.lower()
+    ]
+    assert not litter, litter
+
+    # night 3 on the compacted state: same semantics as uncompacted —
+    # doc 7 repeats night 2's span and is scrubbed via the fold
+    o3 = _run_cli(
+        spark, tmp_path, [(7, "closing z y x w v u t s echo")], "n3",
+        extra={"compact_state_over_files": 100},
+    )
+    assert o3[7] == ("closing echo", 8)
+    assert o2[5][1] == 0  # night-2 canonical stayed intact
+
+
+def test_compact_state_over_files_scrubbed_ids(spark, tmp_path):
+    """Same dial on the Decontaminate scrubbed-ids state (flat
+    layout): compaction keeps the id set intact and the next night
+    still anti-joins already-scrubbed docs out."""
+    from m3d_engine_spark.sources.dfs import DFS
+
+    probes = str(tmp_path / "probes")
+    spark.createDataFrame(
+        [(9, "m n o p q r s t")], "doc_id int, text string"
+    ).write.parquet(probes)
+    state = str(tmp_path / "state")
+
+    def night(rows, tag):
+        src = str(tmp_path / f"src_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        _df(spark, rows).write.parquet(src)
+        REGISTRY["Decontaminate"](spark, ParamsFile({
+            "source_location": src,
+            "probe_location": probes,
+            "span_tokens": 8,
+            "state_location": state,
+            "compact_state_over_files": 1,
+            "target_location": out,
+        })).run()
+        return _out(spark.read.parquet(out))
+
+    night([(1, "pre m n o p q r s t post"), (2, "clean body")], "n1")
+    ids_pre = sorted(r.doc_id for r in spark.read.parquet(state).collect())
+    assert ids_pre == [1, 2]
+    out2 = night([(2, "clean body"), (3, "also m n o p q r s t here")], "n2")
+    assert sorted(out2) == [3]  # doc 2 skipped via the compacted state
+    ids_post = sorted(r.doc_id for r in spark.read.parquet(state).collect())
+    assert ids_post == [1, 2, 3]
+    files = [
+        f for f in DFS(spark).list_files(state)
+        if not f.rsplit("/", 1)[-1].startswith(("_", "."))
+    ]
+    assert len(files) <= 2, files  # compacted, not accreting
