@@ -571,26 +571,106 @@ def _maybe_compact_state(
     dir-swap, a failure leaves the original intact). The window-count
     state passes its ``batch_tag`` partition column so per-batch
     granularity (and with it the own-tag retry exclusion) survives
-    compaction; the scrubbed-ids state is flat. Runs strictly AFTER
-    the state update — a compaction failure can never lose the batch
-    just recorded."""
+    compaction; the scrubbed-ids state is flat unless tagged. Runs
+    strictly AFTER the state update — a compaction failure can never
+    lose the batch just recorded.
+
+    Two guards keep the trigger honest: (a) only COMMITTED data files
+    count — any path component starting with ``_``/``.`` below the
+    state root (``_temporary``/``.staging`` litter of a crashed or
+    concurrent write) is excluded, the ``DFS.first_file`` idiom; (b) a
+    tagged state has a structural floor of one file per tag dir, so
+    the threshold compares against ``max(N, leaf dirs)`` — otherwise
+    more tags than N would trigger a futile full-state rewrite on
+    EVERY subsequent run, the exact O(lake)-per-night cost the
+    additive design avoids. Partition-column type inference is
+    disabled around the rewrite so numeric-looking tags ('01') keep
+    their dir names byte-identical."""
     if not params.has("compact_state_over_files"):
         return
     n = params.get_optional_int("compact_state_over_files", 1, minimum=1)
     from m3d_engine_spark.sources.compaction import compact_table
     from m3d_engine_spark.sources.dfs import DFS
 
-    data_files = [
-        f
-        for f in DFS(spark).list_files(state_loc)
-        if not f.rsplit("/", 1)[-1].startswith(("_", "."))
-    ]
-    if len(data_files) > n:
+    base = state_loc.rstrip("/")
+    data_files = []
+    for f in DFS(spark).list_files(base):
+        rel = f.split(base, 1)[-1].lstrip("/")
+        if not any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            data_files.append(f)
+    floor = len({f.rsplit("/", 1)[0] for f in data_files})
+    if len(data_files) <= max(n, floor):
+        return
+    conf = spark.conf
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = conf.get(key)
+    conf.set(key, "false")
+    try:
         compact_table(
             spark,
             state_loc,
             partition_columns=list(partition_columns or []),
         )
+    finally:
+        conf.set(key, prev)
+
+
+def _validated_batch_tag(params) -> str:
+    """The per-batch state tag, restricted to partition-dir-safe
+    characters. The tag becomes a literal ``batch_tag=<tag>`` dir name
+    and the own-tag retry exclusion compares dir NAMES byte-for-byte —
+    characters Hive escapes on write (``%``, ``/``, ``:`` …) or that
+    read back differently would silently break that exclusion, and a
+    broken exclusion makes a retry of a recorded batch see its own
+    counts and over-scrub (every occurrence removed, canonical
+    included) before OVERWRITING the good output."""
+    import re
+
+    from m3d_engine_spark.config import ConfigError
+
+    tag = str(params.get_string("batch_tag"))
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", tag) or tag.startswith(
+        (".", "_")
+    ):
+        raise ConfigError(
+            f"batch_tag {tag!r} must consist of [A-Za-z0-9._-] and not "
+            "start with '.'/'_': the tag names a partition directory "
+            "and the retry exclusion compares those names byte-exactly "
+            "— characters the filesystem layer escapes would break it "
+            "(use the nightly date, e.g. 2026-08-16)"
+        )
+    return tag
+
+
+def _committed_tag_dirs(spark, state_loc: str, own_tag: str) -> list:
+    """First-level ``batch_tag=<tag>`` dirs of a tagged state holding
+    at least one COMMITTED data file, excluding the batch's OWN tag.
+    Dir-NAME comparison against the same f-string the writer builds —
+    never partition-column discovery, whose type inference re-types
+    numeric-looking tags ('01' reads back as 1) and unescapes %XX
+    sequences, silently defeating the own-tag retry exclusion. A tag
+    dir with no committed file is a crashed state write: skipped (its
+    batch was never recorded — the truthful reading), and a retry
+    overwrites it. A transient error listing/reading a COMMITTED dir
+    is NOT swallowed anywhere downstream — the batch must fail and
+    retry, not silently scrub against partial state."""
+    from m3d_engine_spark.sources.dfs import DFS
+
+    dfs = DFS(spark)
+    base = state_loc.rstrip("/")
+    if not dfs.exists(base):
+        return []
+    out = []
+    for name in dfs.list_dirs(base):
+        if not name.startswith("batch_tag="):
+            continue
+        if name == f"batch_tag={own_tag}":
+            continue
+        path = f"{base}/{name}"
+        if dfs.first_file(path) is None:
+            continue
+        out.append(path)
+    return out
 
 
 def _span_tokens_param(params) -> int:
@@ -635,10 +715,17 @@ class DecontaminateAlgorithm(Algorithm):
     Incremental mode (either scrub variant): ``state_location`` makes
     nightly batches pay only for NEW documents — ids already recorded
     in the state are anti-joined out before the scrub, and this
-    batch's ids are appended to the state after the output commits.
-    Point the target at a per-batch location (or an append-mode
-    table); the union of batch outputs is pinned equal to the
-    from-scratch scrub."""
+    batch's ids are recorded in the state after the output commits.
+    Point the target at a per-batch overwrite location; the union of
+    batch outputs is pinned equal to the from-scratch scrub. Add
+    ``batch_tag`` (the nightly date) for the TAGGED state layout —
+    per-batch overwrite dirs with own-tag exclusion on read — which
+    makes a FULL re-run of an already recorded batch reproduce its
+    output bit-for-bit; without a tag (the flat append layout) such a
+    re-run anti-joins its own ids out and overwrites the night's
+    output with an empty frame, so the flat layout is only safe for
+    orchestrators that never replay a succeeded run (the
+    crash-between-commits window is safe in both layouts)."""
 
     def _mode(self) -> str:
         """Resolve the run mode, REJECTING ambiguous combinations — a
@@ -688,6 +775,16 @@ class DecontaminateAlgorithm(Algorithm):
                 "train docs were already scrubbed); materialize reads "
                 "only the probe corpus — drop one"
             )
+        if self.params.has("batch_tag"):
+            from m3d_engine_spark.config import ConfigError
+
+            if not self.params.has("state_location"):
+                raise ConfigError(
+                    "batch_tag names this batch's state contribution "
+                    "and is meaningless without state_location — add "
+                    "the state dir or drop the tag"
+                )
+            _validated_batch_tag(self.params)  # fail before any read
         if mode != "materialize" and self.params.has("state_location"):
             from m3d_engine_spark.config import ConfigError
             from m3d_engine_spark.sources.writers import LoadMode
@@ -764,38 +861,52 @@ class DecontaminateAlgorithm(Algorithm):
         # per-document given the benchmark: a doc's scrub result never
         # depends on the rest of the corpus, so batch-by-batch output
         # unions to exactly the from-scratch scrub (equivalence-pinned
-        # in tests). write() appends this batch's ids to the state
+        # in tests). write() records this batch's ids in the state
         # AFTER the output commit.
         state_loc = p.get_optional("state_location")
         train_df = dfs[0]
         if state_loc:
             from m3d_engine_spark.sources.dfs import DFS as _DFS
 
-            if _DFS(self.spark).exists(state_loc):
-                try:
-                    seen = self.spark.read.parquet(state_loc).select(id_col)
-                except Exception:
-                    # The dir exists but holds no committed parquet —
-                    # the FIRST state append was killed between
-                    # directory creation and job commit (only
-                    # _temporary inside). No batch was ever recorded,
-                    # so empty state is the truthful reading; erroring
-                    # here would brick every subsequent nightly run.
-                    # (Once any append has committed, later crashed
-                    # appends leave the committed files readable and
-                    # this path is never taken.)
-                    import logging
+            seen = None
+            if p.has("batch_tag"):
+                # Tagged layout (opt-in, the ExactSubstrDedup state
+                # contract): per-batch overwrite dirs + OWN-TAG
+                # exclusion on read, so a re-run of an ALREADY RECORDED
+                # batch re-scrubs it and rewrites identical output —
+                # without the tag, such a retry anti-joins its own ids
+                # out and OVERWRITES the night's good output with an
+                # empty frame. Use the tag for any target an
+                # orchestrator might re-run after success.
+                dirs = _committed_tag_dirs(
+                    self.spark, state_loc, _validated_batch_tag(p)
+                )
+                if dirs:
+                    seen = self.spark.read.parquet(*dirs).select(id_col)
+            elif _DFS(self.spark).first_file(state_loc) is not None:
+                # Legacy flat layout: committed data present — read it,
+                # and let a TRANSIENT read failure fail the batch (the
+                # retry re-scrubs; silently treating errors as empty
+                # state would re-scrub recorded docs and, worse, mask
+                # a misconfigured state_location).
+                seen = self.spark.read.parquet(state_loc).select(id_col)
+            elif _DFS(self.spark).exists(state_loc):
+                # Dir exists with no COMMITTED file (a first state
+                # append crashed — only _temporary inside, which
+                # first_file skips): no batch was ever recorded, so
+                # empty state is the truthful reading; erroring here
+                # would brick every subsequent nightly run.
+                import logging
 
-                    logging.getLogger(__name__).warning(
-                        "state_location %s exists but holds no readable "
-                        "parquet (a first state append crashed "
-                        "mid-write?); treating as empty state — this "
-                        "batch scrubs in full",
-                        state_loc,
-                    )
-                    seen = None
-                if seen is not None:
-                    train_df = train_df.join(seen, on=id_col, how="left_anti")
+                logging.getLogger(__name__).warning(
+                    "state_location %s exists but holds no readable "
+                    "parquet (a first state append crashed mid-write?); "
+                    "treating as empty state — this batch scrubs in "
+                    "full",
+                    state_loc,
+                )
+            if seen is not None:
+                train_df = train_df.join(seen, on=id_col, how="left_anti")
             # column-pruned id relation of THIS batch (no scrub in its
             # plan — write() must not re-run the cascade to learn ids)
             self._batch_ids = train_df.select(id_col)
@@ -882,19 +993,36 @@ class DecontaminateAlgorithm(Algorithm):
                 ).select(p.get_optional("id_column", "doc_id"))
             else:
                 # _batch_ids' plan still holds the left-anti join that
-                # SCANS state_location — appending to the same path the
+                # SCANS state_location — writing to the same path the
                 # job reads is append-mode-legal on current Spark but
                 # fragile across committers and racy against a
-                # concurrent run. Pin the ids first so the append job
+                # concurrent run. Pin the ids first so the state job
                 # never touches the state it extends.
                 ids_df = ids_df.localCheckpoint(eager=True)
                 self._checkpointed.append(ids_df)
-            ids_df.write.mode("append").parquet(
-                p.get_string("state_location")
-            )
-            _maybe_compact_state(
-                self.spark, p, p.get_string("state_location")
-            )
+            if p.has("batch_tag"):
+                # Tagged layout: overwrite THIS batch's tag dir — a
+                # retry (either crash window, or a full re-run after
+                # success) rewrites identical rows; transform()'s
+                # own-tag exclusion keeps the re-run's scrub complete.
+                tag = _validated_batch_tag(p)
+                ids_df.write.mode("overwrite").parquet(
+                    p.get_string("state_location").rstrip("/")
+                    + f"/batch_tag={tag}"
+                )
+                _maybe_compact_state(
+                    self.spark,
+                    p,
+                    p.get_string("state_location"),
+                    partition_columns=["batch_tag"],
+                )
+            else:
+                ids_df.write.mode("append").parquet(
+                    p.get_string("state_location")
+                )
+                _maybe_compact_state(
+                    self.spark, p, p.get_string("state_location")
+                )
 
 
 @register("ExactSubstrDedup")
@@ -969,6 +1097,7 @@ class ExactSubstrDedupAlgorithm(Algorithm):
                     "window-count artifact) and batch_tag (this batch's "
                     "unique, retry-stable name — the nightly date)"
                 )
+            _validated_batch_tag(p)  # fail on unsafe tags before any read
             from m3d_engine_spark.sources.writers import LoadMode
 
             lm = LoadMode(p.get_optional("load_mode", "OverwriteTable"))
@@ -1005,33 +1134,21 @@ class ExactSubstrDedupAlgorithm(Algorithm):
         L = _span_tokens_param(p)
         min_occ = p.get_optional_int("min_occurrences", 2, minimum=2)
         if p.has("state_location"):
-            from m3d_engine_spark.sources.dfs import DFS
-
             state_loc = p.get_string("state_location")
-            tag = str(p.get_string("batch_tag"))
-            state = None
-            if DFS(self.spark).exists(state_loc):
-                try:
-                    # cast, don't compare raw: partition-column type
-                    # inference may read numeric-looking tags as ints
-                    state = (
-                        self.spark.read.parquet(state_loc)
-                        .filter(F.col("batch_tag").cast("string") != tag)
-                        .select("gh", "cnt")
-                    )
-                except Exception:
-                    # dir exists, no committed parquet (a crashed first
-                    # state write): empty state is the truthful reading
-                    # — same convention as the Decontaminate state
-                    import logging
-
-                    logging.getLogger(__name__).warning(
-                        "state_location %s exists but holds no readable "
-                        "parquet (a first state write crashed "
-                        "mid-write?); treating as empty state — this "
-                        "batch dedups intra-batch only",
-                        state_loc,
-                    )
+            tag = _validated_batch_tag(p)
+            # Committed non-own tag dirs, read as plain leaf paths (no
+            # partition discovery — see _committed_tag_dirs for why);
+            # crashed-write litter skips via the committed-file probe,
+            # while a TRANSIENT read error on committed state fails the
+            # batch loudly (no blanket except — silently deduping
+            # intra-batch only would admit every cross-batch duplicate,
+            # and forward-only semantics never repair that).
+            dirs = _committed_tag_dirs(self.spark, state_loc, tag)
+            state = (
+                self.spark.read.parquet(*dirs).select("gh", "cnt")
+                if dirs
+                else None
+            )
             clean, counts = incremental_exact_substr(
                 dfs[0],
                 id_col,
@@ -1072,7 +1189,7 @@ class ExactSubstrDedupAlgorithm(Algorithm):
             # double, unlike a bare append. The artifact stays
             # additive: each tag dir is one batch's (gh, cnt)
             # contribution, folded by sum at read time.
-            tag = str(self.params.get_string("batch_tag"))
+            tag = _validated_batch_tag(self.params)
             self._batch_counts.write.mode("overwrite").parquet(
                 self.params.get_string("state_location").rstrip("/")
                 + f"/batch_tag={tag}"

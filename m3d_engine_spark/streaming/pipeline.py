@@ -673,14 +673,24 @@ def streaming_decontaminate(
     from m3d_engine_spark.operators.suffix import (
         resolve_artifact_span_tokens,
     )
+    from m3d_engine_spark.sources.dfs import DFS
 
     L = resolve_artifact_span_tokens(
         stream.sparkSession, artifact_path, explicit=span_tokens
     )
+    # Whether a sidecar existed at wiring decides the per-batch
+    # contract: present -> every batch re-validates against a possible
+    # refresh, and a refresh that LOSES the sidecar must fail the
+    # batch (not silently scrub nothing at a stale L); absent -> the
+    # trust warning was paid once above and batches stay quiet.
+    had_sidecar = DFS(stream.sparkSession).exists(
+        artifact_path.rstrip("/") + "/_meta.json"
+    )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         decontaminate_stream_batch(
-            batch, batch_id, artifact_path, out_path, id_col, text_col, L
+            batch, batch_id, artifact_path, out_path, id_col, text_col, L,
+            expect_sidecar=had_sidecar,
         )
 
     return (
@@ -699,6 +709,7 @@ def decontaminate_stream_batch(
     id_col: str,
     text_col: str,
     span_tokens: int,
+    expect_sidecar: bool = False,
 ) -> None:
     """One micro-batch of ``streaming_decontaminate`` (module-level so
     the at-least-once REPLAY path is directly testable). The artifact
@@ -717,14 +728,29 @@ def decontaminate_stream_batch(
 
     spark = batch.sparkSession
     # Re-validate only when a _meta.json is PRESENT (the refresh case):
-    # a meta-less artifact already paid the trust warning once at
-    # wiring — repeating it every micro-batch is the log noise that
-    # trains operators to ignore the one warning that matters.
+    # an artifact that was meta-less AT WIRING already paid the trust
+    # warning once — repeating it every micro-batch is the log noise
+    # that trains operators to ignore the one warning that matters.
+    # But when the wiring ADOPTED a sidecar (expect_sidecar) and it is
+    # now gone, the artifact was refreshed without one: its L is
+    # unknowable, a stale guess scrubs nothing, and silence here would
+    # be the exact no-op the sidecar contract exists to prevent.
     from m3d_engine_spark.sources.dfs import DFS as _DFS
 
-    if _DFS(spark).exists(artifact_path.rstrip("/") + "/_meta.json"):
+    meta_path = artifact_path.rstrip("/") + "/_meta.json"
+    if _DFS(spark).exists(meta_path):
         resolve_artifact_span_tokens(
             spark, artifact_path, explicit=span_tokens
+        )
+    elif expect_sidecar:
+        from m3d_engine_spark.config import ConfigError
+
+        raise ConfigError(
+            f"{meta_path} was present at wiring but is gone: the "
+            "artifact was refreshed without its sidecar, so its "
+            "span_tokens is unknowable — restore the sidecar or "
+            "re-materialize the artifact (continuing at the stale "
+            f"L={span_tokens} would silently scrub nothing)"
         )
     artifact = spark.read.parquet(artifact_path)
     out = decontaminate_with_artifact(
@@ -777,14 +803,21 @@ def streaming_nightly_ingest(
         resolve_artifact_span_tokens,
     )
 
+    from m3d_engine_spark.sources.dfs import DFS
+
     L = resolve_artifact_span_tokens(
         stream.sparkSession, artifact_path, explicit=span_tokens
+    )
+    # same sidecar-presence contract as streaming_decontaminate
+    had_sidecar = DFS(stream.sparkSession).exists(
+        artifact_path.rstrip("/") + "/_meta.json"
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         nightly_ingest_stream_batch(
             batch, batch_id, accepted_path, artifact_path, out_path,
-            id_col, text_col, L, **dedup_kwargs,
+            id_col, text_col, L, expect_sidecar=had_sidecar,
+            **dedup_kwargs,
         )
 
     return (
@@ -804,6 +837,7 @@ def nightly_ingest_stream_batch(
     id_col: str,
     text_col: str,
     span_tokens: int,
+    expect_sidecar: bool = False,
     **dedup_kwargs,
 ) -> None:
     """One micro-batch of ``streaming_nightly_ingest`` (module-level so
@@ -823,7 +857,7 @@ def nightly_ingest_stream_batch(
     )
     decontaminate_stream_batch(
         survivors, batch_id, artifact_path, out_path,
-        id_col, text_col, span_tokens,
+        id_col, text_col, span_tokens, expect_sidecar=expect_sidecar,
     )
 
 

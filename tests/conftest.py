@@ -18,12 +18,14 @@ _LANE_FILES = {
         "test_round7_ops.py",        # 106.7
         "test_quantization.py",      # 81.8
         "test_suffix.py",            # ~25 (slow-marked subset; r13)
+        "test_streaming_nightly_ingest.py",  # ~48 (r15)
         "test_round6_fixes.py",      # 3.3
     },
     "lane_b": {
         "test_plans.py",             # 100.4
         "test_auto_salt.py",         # 62.7
         "test_graph.py",             # 28.6
+        "test_suffix_incremental.py",  # ~100 (slow subset; r15)
         "test_multimodal_streaming.py",  # 3.6
     },
     "lane_c": {

@@ -155,3 +155,36 @@ def test_corrupt_sidecar_and_bool_dial_classify_as_config_errors(
     # the {"span_tokens": true} coercion guard on the direct surface
     with pytest.raises(ConfigError, match="boolean"):
         resolve_artifact_span_tokens(spark, art, explicit=True)
+
+
+@pytest.mark.slow
+def test_sidecar_disappearing_mid_stream_fails_batch(spark, tmp_path):
+    """An artifact wired WITH a sidecar that is later refreshed
+    WITHOUT one must fail the next batch loudly — its L is unknowable
+    and the stale wiring L would silently scrub nothing. A meta-less
+    artifact stays quiet per batch (the trust warning was paid at
+    wiring), which is the r14 noise fix this guard must not undo."""
+    import os
+
+    from m3d_engine_spark.streaming.pipeline import (
+        decontaminate_stream_batch,
+    )
+
+    art = _artifact(spark, tmp_path)
+    batch = spark.createDataFrame([(1, f"pre {BENCH} post")], SCHEMA)
+    out = str(tmp_path / "out")
+    # wired with sidecar -> expect_sidecar=True; batch 0 fine
+    decontaminate_stream_batch(
+        batch, 0, art, out, "doc_id", "text", 8, expect_sidecar=True
+    )
+    os.remove(f"{art}/_meta.json")  # refresh lost the sidecar
+    with pytest.raises(ConfigError, match="gone"):
+        decontaminate_stream_batch(
+            batch, 1, art, out, "doc_id", "text", 8, expect_sidecar=True
+        )
+    # meta-less from the start: quiet and functional
+    decontaminate_stream_batch(
+        batch, 2, art, out, "doc_id", "text", 8, expect_sidecar=False
+    )
+    row = spark.read.parquet(f"{out}/batch_id=2").collect()[0]
+    assert row.n_removed == 8

@@ -116,6 +116,7 @@ def _run_cli(spark, tmp_path, rows, tag, extra=None):
     return _out(spark.read.parquet(out))
 
 
+@pytest.mark.slow
 def test_cli_two_batches_and_retry_idempotency(spark, tmp_path):
     """The acon lifecycle: batch outputs match the library contract,
     the state dir holds one batch_tag partition per night with
@@ -221,6 +222,7 @@ def test_initial_gram_param_roundtrip_and_identical_output(
         })).run()
 
 
+@pytest.mark.slow
 def test_initial_gram_on_decontaminate_exact_mode(spark, tmp_path):
     """Same dial on the Decontaminate cascade path: non-default g0,
     identical scrub."""
@@ -245,6 +247,7 @@ def test_initial_gram_on_decontaminate_exact_mode(spark, tmp_path):
     assert a[1][1] == 8 and a[4][1] == 8  # probe window scrubbed
 
 
+@pytest.mark.slow
 def test_suffix_classes_identical_across_seeds(spark):
     """Library-level pin of the same invariant: suffix_window_classes
     partitions positions identically at every seed width (class NAMES
@@ -271,6 +274,7 @@ def test_suffix_classes_identical_across_seeds(spark):
 
 
 # ------------------------------------------- state compaction dial
+@pytest.mark.slow
 def test_compact_state_over_files_window_counts(spark, tmp_path):
     """compact_state_over_files on the window-count state: after two
     nights exceed the dial, the state is rewritten with FEWER data
@@ -324,6 +328,7 @@ def test_compact_state_over_files_window_counts(spark, tmp_path):
     assert o2[5][1] == 0  # night-2 canonical stayed intact
 
 
+@pytest.mark.slow
 def test_compact_state_over_files_scrubbed_ids(spark, tmp_path):
     """Same dial on the Decontaminate scrubbed-ids state (flat
     layout): compaction keeps the id set intact and the next night
@@ -362,3 +367,118 @@ def test_compact_state_over_files_scrubbed_ids(spark, tmp_path):
         if not f.rsplit("/", 1)[-1].startswith(("_", "."))
     ]
     assert len(files) <= 2, files  # compacted, not accreting
+
+
+# --------------------------------------- round-15 review-pass fixes
+@pytest.mark.slow
+def test_decontaminate_tagged_state_rerun_after_success(spark, tmp_path):
+    """The data-destruction hazard of the flat layout, fixed by the
+    tagged one: a FULL re-run of an already recorded Decontaminate
+    batch (orchestrator replay after success) must reproduce the
+    night's output bit-for-bit — with the flat append state it would
+    anti-join its own ids out and overwrite the output with an empty
+    frame."""
+    probes = str(tmp_path / "probes")
+    spark.createDataFrame(
+        [(9, "m n o p q r s t")], "doc_id int, text string"
+    ).write.parquet(probes)
+    state = str(tmp_path / "state")
+
+    def night(rows, tag, out_name):
+        src = str(tmp_path / f"src_{tag}_{out_name}")
+        out = str(tmp_path / out_name)
+        _df(spark, rows).write.mode("overwrite").parquet(src)
+        REGISTRY["Decontaminate"](spark, ParamsFile({
+            "source_location": src,
+            "probe_location": probes,
+            "span_tokens": 8,
+            "state_location": state,
+            "batch_tag": tag,
+            "target_location": out,
+        })).run()
+        return _out(spark.read.parquet(out))
+
+    rows1 = [(1, "pre m n o p q r s t post"), (2, "clean body")]
+    o1 = night(rows1, "2026-08-15", "out1")
+    assert o1[1][1] == 8 and o1[2][1] == 0
+    # replay after success: output identical, NOT empty
+    o1b = night(rows1, "2026-08-15", "out1b")
+    assert o1b == o1
+    # night 2 still skips night 1's docs through the tagged state
+    o2 = night(
+        [(2, "clean body"), (3, "new m n o p q r s t doc")],
+        "2026-08-16", "out2",
+    )
+    assert sorted(o2) == [3] and o2[3][1] == 8
+
+
+def test_batch_tag_charset_validation(spark, tmp_path):
+    """Tags become literal partition dir names compared byte-exactly —
+    characters the filesystem layer escapes are rejected up front, on
+    both CLIs, before any read."""
+    for algo, params in [
+        ("ExactSubstrDedup", {"state_location": "s", "batch_tag": "a:b"}),
+        ("Decontaminate", {
+            "probe_location": "p", "state_location": "s",
+            "batch_tag": "x%41y",
+        }),
+    ]:
+        with pytest.raises(ConfigError, match="batch_tag"):
+            REGISTRY[algo](spark, ParamsFile({
+                "source_location": str(tmp_path / "never"),
+                "target_location": str(tmp_path / "never_out"),
+                **params,
+            })).run()
+    with pytest.raises(ConfigError, match="batch_tag"):
+        # tag without a state dir is meaningless on Decontaminate
+        REGISTRY["Decontaminate"](spark, ParamsFile({
+            "source_location": str(tmp_path / "never"),
+            "probe_location": str(tmp_path / "never_p"),
+            "batch_tag": "2026-08-16",
+            "target_location": str(tmp_path / "never_out"),
+        })).run()
+
+
+@pytest.mark.slow
+def test_numeric_tag_rerun_survives_compaction(spark, tmp_path):
+    """'01' would round-trip to 1 under partition-type inference; the
+    dir-name read path and the inference-off compaction keep the tag
+    byte-identical, so a re-run after a compaction that folded the
+    state layout still excludes its own counts."""
+    _run_cli(spark, tmp_path, ROWS[:3], "01")
+    o2 = _run_cli(spark, tmp_path, ROWS[3:], "02",
+                  extra={"compact_state_over_files": 1})
+    from m3d_engine_spark.sources.dfs import DFS
+
+    names = DFS(spark).list_dirs(str(tmp_path / "state"))
+    assert sorted(names) == ["batch_tag=01", "batch_tag=02"], names
+    o2b = _run_cli(spark, tmp_path, ROWS[3:], "02")
+    assert o2b == o2  # own-tag exclusion intact after compaction
+
+
+def test_compaction_floor_stops_perpetual_rewrites(spark, tmp_path):
+    """A tagged state has >= one file per tag dir; once tags exceed N
+    the dial must NOT trigger a futile full rewrite every night — the
+    threshold compares against max(N, leaf dirs). Also: _temporary
+    litter below the state root never counts toward the trigger."""
+    from m3d_engine_spark.operators.suffix import _maybe_compact_state
+    from m3d_engine_spark.sources.dfs import DFS
+
+    state = tmp_path / "state"
+    for tag in ("n1", "n2", "n3"):
+        spark.createDataFrame(
+            [(f"h{tag}", 1)], "gh string, cnt long"
+        ).coalesce(1).write.parquet(str(state / f"batch_tag={tag}"))
+    # crashed-write litter that must not count
+    lit = state / "batch_tag=n4" / "_temporary" / "0"
+    lit.mkdir(parents=True)
+    (lit / "part-00000").write_text("junk")
+
+    files_before = sorted(DFS(spark).list_files(str(state)))
+    _maybe_compact_state(
+        spark, ParamsFile({"compact_state_over_files": 1}), str(state),
+        partition_columns=["batch_tag"],
+    )
+    # 3 committed files over 3 tag dirs = at the structural floor:
+    # no rewrite happened (file list untouched)
+    assert sorted(DFS(spark).list_files(str(state))) == files_before
