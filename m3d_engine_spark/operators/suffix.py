@@ -558,61 +558,54 @@ def resolve_artifact_span_tokens(
 from m3d_engine_spark.operators.base import Algorithm, register  # noqa: E402
 
 
-def _maybe_compact_state(
-    spark, params, state_loc: str, partition_columns=None
-) -> None:
+def _maybe_compact_state(spark, params, state_loc: str) -> None:
     """Opt-in small-files hygiene for the incremental state dirs
     (``compact_state_over_files: N``): every nightly run adds one
-    small parquet contribution forever, so a long-lived state
-    eventually pays listing/task-launch overhead on hundreds of tiny
-    files. When the state holds MORE than N data files, rewrite it
-    through the shared atomic compaction path
+    small multi-file parquet contribution forever (a contribution
+    write emits one file per shuffle partition), so a long-lived
+    state eventually pays listing/task-launch overhead on thousands
+    of tiny files. Any LEAF dir holding MORE than N committed data
+    files is rewritten through the shared atomic compaction path
     (``sources/compaction.py`` — layout only: same rows, temp-write +
-    dir-swap, a failure leaves the original intact). The window-count
-    state passes its ``batch_tag`` partition column so per-batch
-    granularity (and with it the own-tag retry exclusion) survives
-    compaction; the scrubbed-ids state is flat unless tagged. Runs
-    strictly AFTER the state update — a compaction failure can never
-    lose the batch just recorded.
+    dir-swap, a failure leaves the original intact). Runs strictly
+    AFTER the state update — a compaction failure can never lose the
+    batch just recorded.
 
-    Two guards keep the trigger honest: (a) only COMMITTED data files
-    count — any path component starting with ``_``/``.`` below the
-    state root (``_temporary``/``.staging`` litter of a crashed or
-    concurrent write) is excluded, the ``DFS.first_file`` idiom; (b) a
-    tagged state has a structural floor of one file per tag dir, so
-    the threshold compares against ``max(N, leaf dirs)`` — otherwise
-    more tags than N would trigger a futile full-state rewrite on
-    EVERY subsequent run, the exact O(lake)-per-night cost the
-    additive design avoids. Partition-column type inference is
-    disabled around the rewrite so numeric-looking tags ('01') keep
-    their dir names byte-identical."""
+    Per-LEAF-dir on purpose: a tagged state compacts each over-N
+    ``batch_tag=`` dir independently — batch-sized rewrites that keep
+    the tag dirs (and the own-tag retry exclusion) byte-identical
+    with NO partition discovery, no type inference, no session-conf
+    games, and never an O(whole-lake) rewrite; the flat scrubbed-ids
+    state is itself one leaf. Futility guard: a dir already at (or
+    under) its byte-planned file count is left alone even above N —
+    otherwise a genuinely large contribution would be re-read and
+    rewritten to the identical layout every night. Only COMMITTED
+    files count (``DFS.committed_files`` — ``_temporary``/staging
+    litter of crashed writes is invisible), and the bytes probe runs
+    only for the rare over-N dirs (driver metadata RPC each)."""
     if not params.has("compact_state_over_files"):
         return
     n = params.get_optional_int("compact_state_over_files", 1, minimum=1)
-    from m3d_engine_spark.sources.compaction import compact_table
+    from m3d_engine_spark.sources.compaction import (
+        compact_table,
+        dir_bytes,
+        plan_file_count,
+    )
     from m3d_engine_spark.sources.dfs import DFS
 
+    dfs = DFS(spark)
     base = state_loc.rstrip("/")
-    data_files = []
-    for f in DFS(spark).list_files(base):
-        rel = f.split(base, 1)[-1].lstrip("/")
-        if not any(seg.startswith(("_", ".")) for seg in rel.split("/")):
-            data_files.append(f)
-    floor = len({f.rsplit("/", 1)[0] for f in data_files})
-    if len(data_files) <= max(n, floor):
-        return
-    conf = spark.conf
-    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev = conf.get(key)
-    conf.set(key, "false")
-    try:
-        compact_table(
-            spark,
-            state_loc,
-            partition_columns=list(partition_columns or []),
-        )
-    finally:
-        conf.set(key, prev)
+    per_dir: dict = {}
+    for rel in dfs.committed_files(base):
+        parent = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        per_dir[parent] = per_dir.get(parent, 0) + 1
+    for parent, count in per_dir.items():
+        if count <= n:
+            continue
+        leaf = f"{base}/{parent}" if parent else base
+        if count <= plan_file_count(dir_bytes(dfs, leaf), 128 * 1024 * 1024):
+            continue  # already at its planned layout — rewrite is futile
+        compact_table(spark, leaf)
 
 
 def _validated_batch_tag(params) -> str:
@@ -653,24 +646,39 @@ def _committed_tag_dirs(spark, state_loc: str, own_tag: str) -> list:
     batch was never recorded — the truthful reading), and a retry
     overwrites it. A transient error listing/reading a COMMITTED dir
     is NOT swallowed anywhere downstream — the batch must fail and
-    retry, not silently scrub against partial state."""
+    retry, not silently scrub against partial state. One recursive
+    listing regardless of tag count (a year of nightly tags must not
+    cost 365 sequential FS probes on an object store).
+
+    A MIXED layout — committed files at the state ROOT (a legacy flat
+    append state) next to tag dirs, the shape produced by adding
+    ``batch_tag`` to an existing flat deployment — raises: silently
+    ignoring the flat files would forget every previously recorded id
+    and re-emit re-appearing docs, breaking the union==from-scratch
+    contract with no signal. Migrate by moving the flat files into a
+    ``batch_tag=<legacy>`` dir (any past tag name), or drop the tag."""
+    from m3d_engine_spark.config import ConfigError
     from m3d_engine_spark.sources.dfs import DFS
 
-    dfs = DFS(spark)
     base = state_loc.rstrip("/")
-    if not dfs.exists(base):
-        return []
-    out = []
-    for name in dfs.list_dirs(base):
-        if not name.startswith("batch_tag="):
-            continue
-        if name == f"batch_tag={own_tag}":
-            continue
-        path = f"{base}/{name}"
-        if dfs.first_file(path) is None:
-            continue
-        out.append(path)
-    return out
+    dirs, flat = set(), []
+    for rel in DFS(spark).committed_files(base):
+        head = rel.split("/", 1)[0]
+        if "/" in rel and head.startswith("batch_tag="):
+            dirs.add(head)
+        else:
+            flat.append(rel)
+    if flat:
+        raise ConfigError(
+            f"state_location {state_loc} holds committed files outside "
+            f"any batch_tag= dir (e.g. {flat[0]!r}) — a legacy flat "
+            "state mixed with the tagged layout. Ignoring them would "
+            "silently forget every id they record; move them into a "
+            "batch_tag=<legacy-tag> subdirectory (any past tag name) "
+            "or drop the batch_tag param to stay on the flat layout"
+        )
+    dirs.discard(f"batch_tag={own_tag}")
+    return [f"{base}/{d}" for d in sorted(dirs)]
 
 
 def _span_tokens_param(params) -> int:
@@ -1010,19 +1018,13 @@ class DecontaminateAlgorithm(Algorithm):
                     p.get_string("state_location").rstrip("/")
                     + f"/batch_tag={tag}"
                 )
-                _maybe_compact_state(
-                    self.spark,
-                    p,
-                    p.get_string("state_location"),
-                    partition_columns=["batch_tag"],
-                )
             else:
                 ids_df.write.mode("append").parquet(
                     p.get_string("state_location")
                 )
-                _maybe_compact_state(
-                    self.spark, p, p.get_string("state_location")
-                )
+            _maybe_compact_state(
+                self.spark, p, p.get_string("state_location")
+            )
 
 
 @register("ExactSubstrDedup")
@@ -1198,5 +1200,4 @@ class ExactSubstrDedupAlgorithm(Algorithm):
                 self.spark,
                 self.params,
                 self.params.get_string("state_location"),
-                partition_columns=["batch_tag"],
             )

@@ -113,6 +113,32 @@ class DFS:
             out.append(it.next().getPath().toString())
         return out
 
+    def committed_files(self, path: str) -> list[str]:
+        """Relative paths (below ``path``) of every COMMITTED data file
+        under it — the recursive listing with the :meth:`first_file`
+        visibility rule applied to all hits: any path component
+        starting with ``_``/``.`` (``_temporary``/``.staging`` litter
+        of aborted or concurrent writes, ``_SUCCESS`` markers) is
+        excluded. Relative paths come from URI normalization on BOTH
+        sides (``toUri().getPath()``), never string arithmetic on the
+        caller's spelling of ``path`` — 'file:///x' vs 'file:/x' vs
+        'hdfs://nn:8020/x' all normalize identically. One listing RPC
+        regardless of directory count."""
+        fs = self._fs(path)
+        p = self._jpath(path)
+        if not fs.exists(p):
+            return []
+        base = p.toUri().getPath().rstrip("/")
+        it = fs.listFiles(p, True)
+        out = []
+        while it.hasNext():
+            f = it.next().getPath()
+            rel = f.toUri().getPath()[len(base):].lstrip("/")
+            if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+                continue
+            out.append(rel)
+        return out
+
     def read_bytes(self, path: str) -> bytes:
         fs = self._fs(path)
         stream = fs.open(self._jpath(path))

@@ -675,16 +675,18 @@ def streaming_decontaminate(
     )
     from m3d_engine_spark.sources.dfs import DFS
 
-    L = resolve_artifact_span_tokens(
-        stream.sparkSession, artifact_path, explicit=span_tokens
-    )
-    # Whether a sidecar existed at wiring decides the per-batch
+    # Whether a sidecar exists at wiring decides the per-batch
     # contract: present -> every batch re-validates against a possible
     # refresh, and a refresh that LOSES the sidecar must fail the
     # batch (not silently scrub nothing at a stale L); absent -> the
-    # trust warning was paid once above and batches stay quiet.
+    # trust warning is paid once below and batches stay quiet. Probed
+    # BEFORE resolve (which re-checks internally) so the two can never
+    # disagree about which contract was wired.
     had_sidecar = DFS(stream.sparkSession).exists(
         artifact_path.rstrip("/") + "/_meta.json"
+    )
+    L = resolve_artifact_span_tokens(
+        stream.sparkSession, artifact_path, explicit=span_tokens
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -805,12 +807,13 @@ def streaming_nightly_ingest(
 
     from m3d_engine_spark.sources.dfs import DFS
 
-    L = resolve_artifact_span_tokens(
-        stream.sparkSession, artifact_path, explicit=span_tokens
-    )
     # same sidecar-presence contract as streaming_decontaminate
+    # (probed before resolve so the two can never disagree)
     had_sidecar = DFS(stream.sparkSession).exists(
         artifact_path.rstrip("/") + "/_meta.json"
+    )
+    L = resolve_artifact_span_tokens(
+        stream.sparkSession, artifact_path, explicit=span_tokens
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:

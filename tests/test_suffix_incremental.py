@@ -457,10 +457,11 @@ def test_numeric_tag_rerun_survives_compaction(spark, tmp_path):
 
 
 def test_compaction_floor_stops_perpetual_rewrites(spark, tmp_path):
-    """A tagged state has >= one file per tag dir; once tags exceed N
-    the dial must NOT trigger a futile full rewrite every night — the
-    threshold compares against max(N, leaf dirs). Also: _temporary
-    litter below the state root never counts toward the trigger."""
+    """Compaction is per LEAF dir: tag dirs at or under the dial (or
+    already at their byte-planned layout) are left byte-identical —
+    more tags than N must never trigger a futile whole-state rewrite.
+    Only the over-N dir is rewritten, and _temporary litter below the
+    root never counts toward any dir's trigger."""
     from m3d_engine_spark.operators.suffix import _maybe_compact_state
     from m3d_engine_spark.sources.dfs import DFS
 
@@ -469,16 +470,54 @@ def test_compaction_floor_stops_perpetual_rewrites(spark, tmp_path):
         spark.createDataFrame(
             [(f"h{tag}", 1)], "gh string, cnt long"
         ).coalesce(1).write.parquet(str(state / f"batch_tag={tag}"))
+    # one over-dial dir (4 files) that SHOULD compact
+    spark.createDataFrame(
+        [(f"x{i}", 1) for i in range(8)], "gh string, cnt long"
+    ).repartition(4).write.parquet(str(state / "batch_tag=n5"))
     # crashed-write litter that must not count
     lit = state / "batch_tag=n4" / "_temporary" / "0"
     lit.mkdir(parents=True)
     (lit / "part-00000").write_text("junk")
 
-    files_before = sorted(DFS(spark).list_files(str(state)))
+    def files_in(tag):
+        return sorted(
+            f for f in DFS(spark).committed_files(str(state))
+            if f.startswith(f"batch_tag={tag}/")
+        )
+
+    small_before = {t: files_in(t) for t in ("n1", "n2", "n3")}
+    assert len(files_in("n5")) == 4
     _maybe_compact_state(
-        spark, ParamsFile({"compact_state_over_files": 1}), str(state),
-        partition_columns=["batch_tag"],
+        spark, ParamsFile({"compact_state_over_files": 3}), str(state)
     )
-    # 3 committed files over 3 tag dirs = at the structural floor:
-    # no rewrite happened (file list untouched)
-    assert sorted(DFS(spark).list_files(str(state))) == files_before
+    # the three at-dial dirs are byte-untouched; the over-dial dir
+    # compacted to its planned (tiny -> 1) file count with rows intact
+    assert {t: files_in(t) for t in ("n1", "n2", "n3")} == small_before
+    assert len(files_in("n5")) == 1
+    n5 = spark.read.parquet(str(state / "batch_tag=n5")).collect()
+    assert sorted(r.gh for r in n5) == [f"x{i}" for i in range(8)]
+
+
+def test_mixed_flat_and_tagged_state_rejected(spark, tmp_path):
+    """Adding batch_tag to a deployment with an existing FLAT state
+    (the pre-r15 example shape) must fail loudly: silently ignoring
+    the flat files would forget every previously recorded id and
+    re-emit re-appearing docs with no signal."""
+    probes = str(tmp_path / "probes")
+    spark.createDataFrame(
+        [(9, "m n o p q r s t")], "doc_id int, text string"
+    ).write.parquet(probes)
+    state = str(tmp_path / "state")
+    # legacy flat state: ids at the root
+    spark.createDataFrame([(1,), (2,)], "doc_id int").write.parquet(state)
+    src = str(tmp_path / "src")
+    _df(spark, ROWS[:2]).write.parquet(src)
+    with pytest.raises(ConfigError, match="flat"):
+        REGISTRY["Decontaminate"](spark, ParamsFile({
+            "source_location": src,
+            "probe_location": probes,
+            "span_tokens": 8,
+            "state_location": state,
+            "batch_tag": "2026-08-16",
+            "target_location": str(tmp_path / "out"),
+        })).run()
