@@ -770,15 +770,29 @@ def streaming_nightly_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_tokens: "int | None" = None,
+    span_state_path: "str | None" = None,
+    final_path: "str | None" = None,
+    span_dedup_tokens: int = 8,
+    span_min_occurrences: int = 2,
     **dedup_kwargs,
 ):
     """Streaming twin of ``examples/nightly_ingest.json`` (dedup →
-    scrub): every micro-batch is deduplicated against the accepted
-    corpus as of that batch (``streaming_incremental_dedup``'s
-    contract — survivors join the corpus at
-    ``accepted_path/batch_id=<id>``), and the SURVIVORS are then
-    scrubbed against the materialized probe-gram artifact into
-    ``out_path/batch_id=<id>``.
+    scrub → optional span dedup): every micro-batch is deduplicated
+    against the accepted corpus as of that batch
+    (``streaming_incremental_dedup``'s contract — survivors join the
+    corpus at ``accepted_path/batch_id=<id>``), and the SURVIVORS are
+    then scrubbed against the materialized probe-gram artifact into
+    ``out_path/batch_id=<id>``. With ``span_state_path`` AND
+    ``final_path`` set, the example's third step runs too: the
+    scrubbed batch is ExactSubstr-span-deduped against the additive
+    window-count artifact at ``span_state_path``
+    (``incremental_exact_substr`` — seen-before windows lose every
+    occurrence, batch-new windows keep their minimum site, the lake is
+    never re-tokenized), the result lands at
+    ``final_path/batch_id=<id>`` and the batch's own counts at
+    ``span_state_path/batch_tag=<id>`` — the micro-batch id doubling
+    as the retry-stable tag, so a replay overwrites both and the
+    own-tag exclusion keeps the re-run's election complete.
 
     Shape: ONE foreachBatch running both steps, not two chained
     availableNow queries over a staged location — chosen because (a)
@@ -796,11 +810,19 @@ def streaming_nightly_ingest(
     batch Pipeline's steps do.
 
     ``span_tokens`` follows the shared sidecar contract, resolved ONCE
-    at wiring time; ``dedup_kwargs`` pass through to the dedup tier
-    (threshold, num_hashes, ...). Returns the started query
-    (``trigger(availableNow=True)``; re-invoking later processes only
-    new files thanks to the checkpoint). Install an existing corpus
-    with ``seed_accepted_corpus`` before the first run."""
+    at wiring time; ``span_dedup_tokens``/``span_min_occurrences`` are
+    the third step's independent dials; ``dedup_kwargs`` pass through
+    to the dedup tier (threshold, num_hashes, ...). Returns the
+    started query (``trigger(availableNow=True)``; re-invoking later
+    processes only new files thanks to the checkpoint). Install an
+    existing corpus with ``seed_accepted_corpus`` before the first
+    run."""
+    if (span_state_path is None) != (final_path is None):
+        raise ValueError(
+            "span_state_path and final_path enable the span-dedup step "
+            "TOGETHER (one is the window-count artifact, the other the "
+            "step's output root) — set both or neither"
+        )
     from m3d_engine_spark.operators.suffix import (
         resolve_artifact_span_tokens,
     )
@@ -820,6 +842,9 @@ def streaming_nightly_ingest(
         nightly_ingest_stream_batch(
             batch, batch_id, accepted_path, artifact_path, out_path,
             id_col, text_col, L, expect_sidecar=had_sidecar,
+            span_state_path=span_state_path, final_path=final_path,
+            span_dedup_tokens=span_dedup_tokens,
+            span_min_occurrences=span_min_occurrences,
             **dedup_kwargs,
         )
 
@@ -841,27 +866,69 @@ def nightly_ingest_stream_batch(
     text_col: str,
     span_tokens: int,
     expect_sidecar: bool = False,
+    span_state_path: "str | None" = None,
+    final_path: "str | None" = None,
+    span_dedup_tokens: int = 8,
+    span_min_occurrences: int = 2,
     **dedup_kwargs,
 ) -> None:
     """One micro-batch of ``streaming_nightly_ingest`` (module-level so
-    the at-least-once REPLAY path is directly testable): the two
-    existing batch bodies composed — dedup commits the batch's corpus
-    partition, then the scrub reads those survivors back (committed
-    data, batch-sized partition-pruned read — no recompute of the
-    dedup plan) and commits the batch's output partition. A replay
-    re-runs both overwrites in order; the corpus partition is
-    rewritten identically before the scrub re-reads it, so the pair
-    stays consistent."""
+    the at-least-once REPLAY path is directly testable): the existing
+    batch bodies composed — dedup commits the batch's corpus
+    partition, the scrub reads those survivors back (committed data,
+    batch-sized partition-pruned read — no recompute of the dedup
+    plan) and commits the batch's output partition, and, when the
+    span-dedup step is enabled, the scrubbed rows are read back once
+    more, span-deduped against the window-count artifact (own batch_id
+    tag excluded), and committed to final + state. A replay re-runs
+    every overwrite in order; each step re-reads what the previous one
+    just rewrote, so the chain stays consistent."""
+    spark = batch.sparkSession
     incremental_dedup_batch(
         batch, batch_id, accepted_path, id_col, text_col, **dedup_kwargs
     )
-    survivors = batch.sparkSession.read.parquet(
+    survivors = spark.read.parquet(
         f"{accepted_path}/batch_id={batch_id}"
     )
     decontaminate_stream_batch(
         survivors, batch_id, artifact_path, out_path,
         id_col, text_col, span_tokens, expect_sidecar=expect_sidecar,
     )
+    if span_state_path is None:
+        return
+    from m3d_engine_spark.operators.suffix import (
+        _committed_tag_dirs,
+        incremental_exact_substr,
+        unpersist_checkpoints,
+    )
+
+    scrubbed = spark.read.parquet(f"{out_path}/batch_id={batch_id}")
+    dirs = _committed_tag_dirs(spark, span_state_path, str(batch_id))
+    state = (
+        spark.read.parquet(*dirs).select("gh", "cnt") if dirs else None
+    )
+    # the scrub's output carries the text as clean_text (the shared
+    # family contract), so the span dedup reads that column — exactly
+    # what the batch Pipeline's third step configures
+    track = []  # freed below — a long-lived streaming session must not
+    #             accumulate the election's checkpoint blocks per batch
+    try:
+        clean, counts = incremental_exact_substr(
+            scrubbed, id_col, "clean_text", state,
+            span_tokens=span_dedup_tokens,
+            min_occurrences=span_min_occurrences,
+            track=track,
+        )
+        clean.write.mode("overwrite").parquet(
+            f"{final_path}/batch_id={batch_id}"
+        )
+        # state strictly after the final output commit, overwrite into
+        # the batch's own tag — the CLI's retry contract, tag=batch_id
+        counts.write.mode("overwrite").parquet(
+            f"{span_state_path.rstrip('/')}/batch_tag={batch_id}"
+        )
+    finally:
+        unpersist_checkpoints(track)
 
 
 def _duration_seconds(s: str) -> float:
