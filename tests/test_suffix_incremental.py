@@ -521,3 +521,56 @@ def test_mixed_flat_and_tagged_state_rejected(spark, tmp_path):
             "batch_tag": "2026-08-16",
             "target_location": str(tmp_path / "out"),
         })).run()
+
+
+@pytest.mark.slow
+def test_incremental_exact_substr_random_corpus_property(spark, tmp_path):
+    """Seeded randomized equivalence pin (the test_properties idiom):
+    on a tiny-vocabulary random corpus — heavy window overlap, planted
+    cross-batch repeats, whole-doc repeats, sub-window-length docs —
+    the union of three id-monotone incremental batches (through the
+    CLI, tagged state and all) equals the from-scratch
+    exact_substr_dedup of the full corpus, row for row, at
+    min_occurrences=2."""
+    import random
+
+    from m3d_engine_spark.operators.suffix import exact_substr_dedup
+
+    rng = random.Random(2718)
+    vocab = [f"w{i}" for i in range(10)]  # tiny vocab -> heavy overlap
+
+    def doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 24)))
+
+    docs = [(i, doc()) for i in range(45)]
+    # planted structure: a whole-doc repeat across batches, a shared
+    # span at doc edges, and a short sub-window doc
+    docs[3] = (3, docs[2][1])                         # intra-batch whole dup
+    span = " ".join(rng.choice(vocab) for _ in range(6))
+    docs[7] = (7, f"{span} {doc()}")                  # batch 1 edge
+    docs[20] = (20, f"{doc()} {span}")                # batch 2 edge
+    docs[40] = (40, span)                             # batch 3 whole doc
+    docs[41] = (41, "w0 w1")                          # shorter than a window
+    # id-monotone batches (the ingest convention the equivalence needs)
+    batches = [docs[:15], docs[15:30], docs[30:]]
+
+    state = str(tmp_path / "state")
+    union = {}
+    for k, rows in enumerate(batches):
+        src = str(tmp_path / f"src{k}")
+        out = str(tmp_path / f"out{k}")
+        _df(spark, rows).write.parquet(src)
+        REGISTRY["ExactSubstrDedup"](spark, ParamsFile({
+            "source_location": src,
+            "state_location": state,
+            "batch_tag": f"night-{k}",
+            "span_tokens": 4,
+            "target_location": out,
+        })).run()
+        union.update(_out(spark.read.parquet(out)))
+    scratch = _out(
+        exact_substr_dedup(_df(spark, docs), "doc_id", "text", span_tokens=4)
+    )
+    assert union == scratch
+    # the planted cross-batch repeats actually removed
+    assert union[20][1] >= 4 and union[40][1] >= 4
