@@ -431,6 +431,44 @@ def incremental_exact_substr(
     return clean, batch_counts
 
 
+def materialize_window_count_table(
+    spark,
+    state_loc: str,
+    table: str,
+    num_buckets: int = 32,
+) -> None:
+    """Fold a tag-dir window-count state into a metastore table
+    BUCKETED (and sorted) on ``gh`` — the 100 TB deployment shape for
+    :func:`incremental_exact_substr`'s state side. The nightly probe
+    is an equi-join on gh between the batch's window set and the
+    lake-sized count relation; against the parquet tag dirs that join
+    exchanges the WHOLE state every night (16-byte keys, but O(lake
+    windows) rows). Bucketing the folded relation at maintenance time
+    makes the state side exchange-free: only the batch side shuffles,
+    into the bucket layout — the ``materialize_dedup_artifacts``
+    ``bands_table`` refinement, applied to this family (pinned in
+    tests/test_plans.py). Counts are pre-folded (one row per gh), so
+    the nightly fold also shrinks to a no-op aggregate over
+    already-unique keys.
+
+    Run it as corpus maintenance (weekly, or after compaction) over
+    COMPLETED tags; recent tag dirs not yet folded stay readable the
+    normal way — pass ``spark.table(table)`` unioned with their rows
+    as the ``state`` relation. The table is a FOLD of the state, not
+    a replacement: the tag dirs remain the source of truth for
+    retry exclusion."""
+    from m3d_engine_spark.sources.bucketing import write_bucketed_table
+
+    folded = (
+        spark.read.parquet(state_loc)
+        .groupBy("gh")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    write_bucketed_table(
+        folded, table, ["gh"], num_buckets=num_buckets, sort_cols=["gh"]
+    )
+
+
 def probe_gram_artifact(
     probes: DataFrame, text_col: str, span_tokens: int = 8
 ) -> DataFrame:
