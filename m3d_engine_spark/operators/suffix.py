@@ -459,8 +459,17 @@ def materialize_window_count_table(
     retry exclusion."""
     from m3d_engine_spark.sources.bucketing import write_bucketed_table
 
+    # committed tag dirs only (own_tag=None = fold everything): root
+    # partition discovery would adopt crashed-compaction swap dirs as
+    # tag VALUES and double-count their rows
+    dirs = committed_tag_dirs(spark, state_loc, None)
+    if not dirs:
+        raise ValueError(
+            f"no committed batch_tag dirs under {state_loc} — nothing "
+            "to fold"
+        )
     folded = (
-        spark.read.parquet(state_loc)
+        spark.read.parquet(*dirs)
         .groupBy("gh")
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -617,33 +626,84 @@ def _maybe_compact_state(spark, params, state_loc: str) -> None:
     state is itself one leaf. Futility guard: a dir already at (or
     under) its byte-planned file count is left alone even above N —
     otherwise a genuinely large contribution would be re-read and
-    rewritten to the identical layout every night. Only COMMITTED
-    files count (``DFS.committed_files`` — ``_temporary``/staging
-    litter of crashed writes is invisible), and the bytes probe runs
-    only for the rare over-N dirs (driver metadata RPC each)."""
+    rewritten to the identical layout every night; planned from
+    COMMITTED bytes only (on-disk totals would count crashed-write
+    litter and could permanently mask a dir behind its own junk).
+
+    The leaf rewrite swaps through AtomicWriter's
+    ``<leaf>__tmp_*``/``<leaf>__bak_*`` siblings, which for a tag dir
+    live INSIDE the state root — so this function first RECOVERS any
+    swap litter a crashed compaction left (restore the backup when
+    its base is gone, drop stale swaps otherwise); the read path
+    refuses to run past an unrecovered backup rather than silently
+    losing the batch it holds (``committed_tag_dirs``)."""
     if not params.has("compact_state_over_files"):
         return
     n = params.get_optional_int("compact_state_over_files", 1, minimum=1)
     from m3d_engine_spark.sources.compaction import (
         compact_table,
-        dir_bytes,
         plan_file_count,
     )
     from m3d_engine_spark.sources.dfs import DFS
 
     dfs = DFS(spark)
     base = state_loc.rstrip("/")
+    _recover_swap_litter(dfs, base)
     per_dir: dict = {}
-    for rel in dfs.committed_files(base):
+    for rel, size in dfs.committed_files(base):
         parent = rel.rsplit("/", 1)[0] if "/" in rel else ""
-        per_dir[parent] = per_dir.get(parent, 0) + 1
-    for parent, count in per_dir.items():
+        cnt, byts = per_dir.get(parent, (0, 0))
+        per_dir[parent] = (cnt + 1, byts + size)
+    for parent, (count, byts) in per_dir.items():
         if count <= n:
             continue
-        leaf = f"{base}/{parent}" if parent else base
-        if count <= plan_file_count(dir_bytes(dfs, leaf), 128 * 1024 * 1024):
+        if count <= plan_file_count(byts, 128 * 1024 * 1024):
             continue  # already at its planned layout — rewrite is futile
-        compact_table(spark, leaf)
+        compact_table(spark, f"{base}/{parent}" if parent else base)
+
+
+def _recover_swap_litter(dfs, state_root: str) -> None:
+    """Complete any compaction swap a crash interrupted. AtomicWriter's
+    protocol is temp-write → base→backup rename → tmp→base rename →
+    delete backup, so a hard kill can leave (a) a ``__tmp_*`` sibling
+    (uncommitted rewrite — base intact: drop it), (b) a ``__bak_*``
+    sibling WITH its base present (the final delete failed — the base
+    is authoritative: drop the backup), or (c) a ``__bak_*`` sibling
+    with its base GONE (killed between the two renames — the backup IS
+    the data: restore it; the layout-only rewrite in the tmp dir is
+    expendable). The base is derived from the SWAP name (split on the
+    marker), so an orphan backup whose base dir no longer exists is
+    still found. Two scan scopes, both name-guarded so entries
+    belonging to anything else are never touched:
+
+    * INSIDE the state root — ``batch_tag=*`` leaf swaps (tagged
+      states);
+    * the root's PARENT — swaps of the root itself (flat states whose
+      whole dir was compacted), matched exact-prefix on the root's own
+      name: a sibling table's in-flight AtomicWriter swap must never
+      be 'recovered' out from under it."""
+    root = state_root.rstrip("/")
+
+    def _recover(parent: str, entry: str) -> None:
+        path = f"{parent}/{entry}"
+        if "__tmp_" in entry:
+            dfs.delete(path)
+            return
+        orig = f"{parent}/{entry.split('__bak_', 1)[0]}"
+        if dfs.exists(orig):
+            dfs.delete(path)
+        else:
+            dfs.rename(path, orig)
+
+    for entry in dfs.list_entries(root):
+        if entry.startswith("batch_tag=") and (
+            "__tmp_" in entry or "__bak_" in entry
+        ):
+            _recover(root, entry)
+    parent, name = root.rsplit("/", 1)
+    for entry in dfs.list_entries(parent):
+        if entry.startswith((f"{name}__tmp_", f"{name}__bak_")):
+            _recover(parent, entry)
 
 
 def _validated_batch_tag(params) -> str:
@@ -660,63 +720,103 @@ def _validated_batch_tag(params) -> str:
     from m3d_engine_spark.config import ConfigError
 
     tag = str(params.get_string("batch_tag"))
-    if not re.fullmatch(r"[A-Za-z0-9._-]+", tag) or tag.startswith(
-        (".", "_")
+    if (
+        not re.fullmatch(r"[A-Za-z0-9._-]+", tag)
+        or tag.startswith((".", "_"))
+        or "__tmp_" in tag
+        or "__bak_" in tag
     ):
         raise ConfigError(
-            f"batch_tag {tag!r} must consist of [A-Za-z0-9._-] and not "
-            "start with '.'/'_': the tag names a partition directory "
-            "and the retry exclusion compares those names byte-exactly "
-            "— characters the filesystem layer escapes would break it "
-            "(use the nightly date, e.g. 2026-08-16)"
+            f"batch_tag {tag!r} must consist of [A-Za-z0-9._-], not "
+            "start with '.'/'_', and not contain '__tmp_'/'__bak_' "
+            "(reserved by the atomic compaction swap): the tag names a "
+            "partition directory and the retry exclusion compares "
+            "those names byte-exactly — characters the filesystem "
+            "layer escapes would break it (use the nightly date, e.g. "
+            "2026-08-16)"
         )
     return tag
 
 
-def _committed_tag_dirs(spark, state_loc: str, own_tag: str) -> list:
+def committed_tag_dirs(
+    spark, state_loc: str, own_tag: "str | None"
+) -> list:
     """First-level ``batch_tag=<tag>`` dirs of a tagged state holding
-    at least one COMMITTED data file, excluding the batch's OWN tag.
-    Dir-NAME comparison against the same f-string the writer builds —
-    never partition-column discovery, whose type inference re-types
-    numeric-looking tags ('01' reads back as 1) and unescapes %XX
-    sequences, silently defeating the own-tag retry exclusion. A tag
-    dir with no committed file is a crashed state write: skipped (its
-    batch was never recorded — the truthful reading), and a retry
+    at least one COMMITTED data file, excluding the batch's OWN tag
+    (pass ``own_tag=None`` for all of them — the maintenance-fold
+    case). Dir-NAME comparison against the same f-string the writer
+    builds — never partition-column discovery, whose type inference
+    re-types numeric-looking tags ('01' reads back as 1) and unescapes
+    %XX sequences, silently defeating the own-tag retry exclusion. A
+    tag dir with no committed file is a crashed state write: skipped
+    (its batch was never recorded — the truthful reading), and a retry
     overwrites it. A transient error listing/reading a COMMITTED dir
     is NOT swallowed anywhere downstream — the batch must fail and
     retry, not silently scrub against partial state. One recursive
     listing regardless of tag count (a year of nightly tags must not
-    cost 365 sequential FS probes on an object store).
+    cost 365 sequential FS probes on an object store). Shared by the
+    batch CLIs and the streaming span-dedup step.
 
-    A MIXED layout — committed files at the state ROOT (a legacy flat
-    append state) next to tag dirs, the shape produced by adding
-    ``batch_tag`` to an existing flat deployment — raises: silently
-    ignoring the flat files would forget every previously recorded id
-    and re-emit re-appearing docs, breaking the union==from-scratch
-    contract with no signal. Migrate by moving the flat files into a
-    ``batch_tag=<legacy>`` dir (any past tag name), or drop the tag."""
+    Three non-tag shapes are classified, not lumped together:
+
+    * committed files at the state ROOT — a legacy flat append state
+      mixed with the tagged layout (the shape produced by adding
+      ``batch_tag`` to an existing flat deployment): raises, because
+      silently ignoring them would forget every id they record;
+      migrate them into a ``batch_tag=<legacy>`` dir or drop the tag.
+    * ``*__tmp_*``/``*__bak_*`` dirs — the atomic compaction's swap
+      siblings: a ``__tmp_`` (or a ``__bak_`` whose base tag dir
+      still exists) is stale litter and is SKIPPED (the base is
+      authoritative; ``_maybe_compact_state`` sweeps them); a
+      ``__bak_`` whose base is GONE means a compaction died between
+      its two renames and the backup IS that batch's only data —
+      raises with the recovery instruction rather than silently
+      losing the batch.
+    * anything else (an operator-parked unrelated subdir): ignored,
+      as the pre-guard reader always did.
+    """
     from m3d_engine_spark.config import ConfigError
     from m3d_engine_spark.sources.dfs import DFS
 
     base = state_loc.rstrip("/")
-    dirs, flat = set(), []
-    for rel in DFS(spark).committed_files(base):
+    dirs, swap, flat = set(), set(), []
+    for rel, _ in DFS(spark).committed_files(base):
         head = rel.split("/", 1)[0]
-        if "/" in rel and head.startswith("batch_tag="):
-            dirs.add(head)
-        else:
+        if "/" not in rel:
             flat.append(rel)
+        elif not head.startswith("batch_tag="):
+            continue  # unrelated parked subdir — never state data
+        elif "__tmp_" in head or "__bak_" in head:
+            swap.add(head)
+        else:
+            dirs.add(head)
     if flat:
         raise ConfigError(
-            f"state_location {state_loc} holds committed files outside "
-            f"any batch_tag= dir (e.g. {flat[0]!r}) — a legacy flat "
-            "state mixed with the tagged layout. Ignoring them would "
-            "silently forget every id they record; move them into a "
+            f"state_location {state_loc} holds committed files at the "
+            f"root (e.g. {flat[0]!r}) — a legacy flat state mixed with "
+            "the tagged layout. Ignoring them would silently forget "
+            "every id they record; move them into a "
             "batch_tag=<legacy-tag> subdirectory (any past tag name) "
             "or drop the batch_tag param to stay on the flat layout"
         )
-    dirs.discard(f"batch_tag={own_tag}")
+    for s in sorted(swap):
+        if "__bak_" in s and s.split("__bak_", 1)[0] not in dirs:
+            raise ConfigError(
+                f"state_location {state_loc} holds an orphan "
+                f"compaction backup {s!r} whose base tag dir is gone — "
+                "a compaction crashed mid-swap and the backup is that "
+                "batch's only data. Re-run with "
+                "compact_state_over_files set (its startup recovery "
+                "restores the backup), or rename the dir back by hand"
+            )
+    if own_tag is not None:
+        dirs.discard(f"batch_tag={own_tag}")
     return [f"{base}/{d}" for d in sorted(dirs)]
+
+
+# the pre-promotion private name, kept so in-flight callers/tests keep
+# resolving; new code uses the public name
+_committed_tag_dirs = committed_tag_dirs
 
 
 def _span_tokens_param(params) -> int:
@@ -924,7 +1024,7 @@ class DecontaminateAlgorithm(Algorithm):
                 # out and OVERWRITES the night's good output with an
                 # empty frame. Use the tag for any target an
                 # orchestrator might re-run after success.
-                dirs = _committed_tag_dirs(
+                dirs = committed_tag_dirs(
                     self.spark, state_loc, _validated_batch_tag(p)
                 )
                 if dirs:
@@ -1177,13 +1277,13 @@ class ExactSubstrDedupAlgorithm(Algorithm):
             state_loc = p.get_string("state_location")
             tag = _validated_batch_tag(p)
             # Committed non-own tag dirs, read as plain leaf paths (no
-            # partition discovery — see _committed_tag_dirs for why);
+            # partition discovery — see committed_tag_dirs for why);
             # crashed-write litter skips via the committed-file probe,
             # while a TRANSIENT read error on committed state fails the
             # batch loudly (no blanket except — silently deduping
             # intra-batch only would admit every cross-batch duplicate,
             # and forward-only semantics never repair that).
-            dirs = _committed_tag_dirs(self.spark, state_loc, tag)
+            dirs = committed_tag_dirs(self.spark, state_loc, tag)
             state = (
                 self.spark.read.parquet(*dirs).select("gh", "cnt")
                 if dirs

@@ -77,30 +77,44 @@ class DFS:
             return []
         return [st.getPath().getName() for st in fs.listStatus(p)]
 
-    def first_file(self, path: str) -> str | None:
-        """First data file under ``path`` (recursive), stopping the
-        remote iterator early — avoids the full-listing storm when only
-        one footer is needed (e.g. on-disk schema discovery)."""
+    def _committed_iter(self, path: str):
+        """Yield (full_path_str, rel_path, length) for every COMMITTED
+        data file under ``path`` (recursive). EVERY path component
+        below the base must be visible: the recursive iterator
+        descends into ``_temporary``/``.staging`` dirs left by aborted
+        or concurrent writes, whose part files carry uncommitted
+        (possibly truncated) footers — consumers must never see those.
+        Relative paths come from URI normalization on BOTH sides
+        (``toUri().getPath()``), never string arithmetic on the
+        caller's spelling of ``path`` — 'file:///x' vs 'file:/x' vs
+        'hdfs://nn:8020/x' all normalize identically. The SINGLE
+        implementation of the visibility rule: ``first_file`` and
+        ``committed_files`` are thin wrappers, so what 'committed'
+        means can never diverge between schema discovery and the
+        state/compaction paths."""
         fs = self._fs(path)
         p = self._jpath(path)
         if not fs.exists(p):
-            return None
+            return
         base = p.toUri().getPath().rstrip("/")
         it = fs.listFiles(p, True)
         while it.hasNext():
-            f = it.next().getPath()
-            # EVERY path component below the base must be visible: the
-            # recursive iterator descends into _temporary/.staging dirs
-            # left by aborted or concurrent writes, whose part files
-            # carry uncommitted (possibly truncated) footers — schema
-            # discovery must never read those.
+            st = it.next()
+            f = st.getPath()
             rel = f.toUri().getPath()[len(base):].lstrip("/")
             if any(
                 seg.startswith(("_", ".")) for seg in rel.split("/")
             ):
                 continue
-            return f.toString()
-        return None
+            yield f.toString(), rel, int(st.getLen())
+
+    def first_file(self, path: str) -> str | None:
+        """First data file under ``path`` (recursive), stopping the
+        remote iterator early — avoids the full-listing storm when only
+        one footer is needed (e.g. on-disk schema discovery)."""
+        return next(
+            (full for full, _, _ in self._committed_iter(path)), None
+        )
 
     def list_files(self, path: str, recursive: bool = True) -> list[str]:
         fs = self._fs(path)
@@ -113,31 +127,16 @@ class DFS:
             out.append(it.next().getPath().toString())
         return out
 
-    def committed_files(self, path: str) -> list[str]:
-        """Relative paths (below ``path``) of every COMMITTED data file
-        under it — the recursive listing with the :meth:`first_file`
-        visibility rule applied to all hits: any path component
-        starting with ``_``/``.`` (``_temporary``/``.staging`` litter
-        of aborted or concurrent writes, ``_SUCCESS`` markers) is
-        excluded. Relative paths come from URI normalization on BOTH
-        sides (``toUri().getPath()``), never string arithmetic on the
-        caller's spelling of ``path`` — 'file:///x' vs 'file:/x' vs
-        'hdfs://nn:8020/x' all normalize identically. One listing RPC
-        regardless of directory count."""
-        fs = self._fs(path)
-        p = self._jpath(path)
-        if not fs.exists(p):
-            return []
-        base = p.toUri().getPath().rstrip("/")
-        it = fs.listFiles(p, True)
-        out = []
-        while it.hasNext():
-            f = it.next().getPath()
-            rel = f.toUri().getPath()[len(base):].lstrip("/")
-            if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
-                continue
-            out.append(rel)
-        return out
+    def committed_files(self, path: str) -> list[tuple]:
+        """(relative_path, byte_length) of every COMMITTED data file
+        under ``path`` — one listing RPC regardless of directory
+        count; visibility rule and normalization per
+        :meth:`_committed_iter`. Lengths let callers plan sizes from
+        committed bytes only (on-disk totals via getContentSummary
+        would count crashed-write litter)."""
+        return [
+            (rel, size) for _, rel, size in self._committed_iter(path)
+        ]
 
     def read_bytes(self, path: str) -> bytes:
         fs = self._fs(path)

@@ -897,13 +897,13 @@ def nightly_ingest_stream_batch(
     if span_state_path is None:
         return
     from m3d_engine_spark.operators.suffix import (
-        _committed_tag_dirs,
+        committed_tag_dirs,
         incremental_exact_substr,
         unpersist_checkpoints,
     )
 
     scrubbed = spark.read.parquet(f"{out_path}/batch_id={batch_id}")
-    dirs = _committed_tag_dirs(spark, span_state_path, str(batch_id))
+    dirs = committed_tag_dirs(spark, span_state_path, str(batch_id))
     state = (
         spark.read.parquet(*dirs).select("gh", "cnt") if dirs else None
     )

@@ -481,8 +481,8 @@ def test_compaction_floor_stops_perpetual_rewrites(spark, tmp_path):
 
     def files_in(tag):
         return sorted(
-            f for f in DFS(spark).committed_files(str(state))
-            if f.startswith(f"batch_tag={tag}/")
+            rel for rel, _ in DFS(spark).committed_files(str(state))
+            if rel.startswith(f"batch_tag={tag}/")
         )
 
     small_before = {t: files_in(t) for t in ("n1", "n2", "n3")}
@@ -574,3 +574,71 @@ def test_incremental_exact_substr_random_corpus_property(spark, tmp_path):
     assert union == scratch
     # the planted cross-batch repeats actually removed
     assert union[20][1] >= 4 and union[40][1] >= 4
+
+
+def test_compaction_swap_litter_recovery_and_read_guard(spark, tmp_path):
+    """A per-leaf compaction swaps through batch_tag=<tag>__tmp_*/
+    __bak_* siblings INSIDE the state root. Crash shapes: a stale
+    __tmp_ or a __bak_ with the base present are dropped by the next
+    compaction run; a __bak_ whose base is GONE holds that batch's
+    only data — the read path refuses to proceed (losing the batch
+    silently would bypass the retry exclusion), and the compaction
+    startup RESTORES it."""
+    from m3d_engine_spark.operators.suffix import (
+        _maybe_compact_state,
+        committed_tag_dirs,
+    )
+    from m3d_engine_spark.sources.dfs import DFS
+
+    state = tmp_path / "state"
+
+    def write_tag(tag, rows):
+        spark.createDataFrame(rows, "gh string, cnt long").coalesce(
+            1
+        ).write.parquet(str(state / f"batch_tag={tag}"))
+
+    write_tag("n1", [("h1", 1)])
+    write_tag("n2", [("h2", 2)])
+    # crash shape (c): n2's base renamed away mid-swap — only the
+    # backup holds its data
+    import os
+
+    os.rename(str(state / "batch_tag=n2"),
+              str(state / "batch_tag=n2__bak_deadbeef1234"))
+    # crash shape (a): an uncommitted rewrite of n1
+    write_tag("n1__tmp_cafecafe1234", [("junk", 9)])
+
+    # read path: refuses while n2's only data sits in the orphan backup
+    with pytest.raises(ConfigError, match="orphan compaction backup"):
+        committed_tag_dirs(spark, str(state), "n3")
+
+    # compaction startup recovers: n2 restored, litter gone
+    _maybe_compact_state(
+        spark, ParamsFile({"compact_state_over_files": 100}), str(state)
+    )
+    names = sorted(DFS(spark).list_dirs(str(state)))
+    assert names == ["batch_tag=n1", "batch_tag=n2"], names
+    dirs = committed_tag_dirs(spark, str(state), "n3")
+    got = {r.gh: r.cnt for r in spark.read.parquet(*dirs).collect()}
+    assert got == {"h1": 1, "h2": 2}
+
+    # crash shape (b): backup left behind with the base present —
+    # stale; the read skips it, the next compaction drops it
+    write_tag("n1__bak_0123456789ab", [("stale", 9)])
+    dirs = committed_tag_dirs(spark, str(state), "n3")
+    got = {r.gh: r.cnt for r in spark.read.parquet(*dirs).collect()}
+    assert got == {"h1": 1, "h2": 2}  # stale backup invisible
+    _maybe_compact_state(
+        spark, ParamsFile({"compact_state_over_files": 100}), str(state)
+    )
+    assert sorted(DFS(spark).list_dirs(str(state))) == [
+        "batch_tag=n1", "batch_tag=n2",
+    ]
+
+    # unrelated parked subdir: ignored, never misdiagnosed as flat
+    write_tag("../state/backup_copy", [("x", 1)]) if False else None
+    spark.createDataFrame([("x", 1)], "gh string, cnt long").write.parquet(
+        str(state / "parked")
+    )
+    dirs = committed_tag_dirs(spark, str(state), "n3")
+    assert len(dirs) == 2
