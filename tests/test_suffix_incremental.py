@@ -576,6 +576,7 @@ def test_incremental_exact_substr_random_corpus_property(spark, tmp_path):
     assert union[20][1] >= 4 and union[40][1] >= 4
 
 
+@pytest.mark.slow
 def test_compaction_swap_litter_recovery_and_read_guard(spark, tmp_path):
     """A per-leaf compaction swaps through batch_tag=<tag>__tmp_*/
     __bak_* siblings INSIDE the state root. Crash shapes: a stale
