@@ -1183,6 +1183,15 @@ class ExactSubstrDedupAlgorithm(Algorithm):
     view — maximal repeated intervals per document, (id, span_start,
     span_end, span_len), nothing removed.
 
+    ``action: "fold_state"`` — :func:`materialize_window_count_table`:
+    corpus maintenance, no source/target — folds the tag-dir
+    window-count state at ``state_location`` into the metastore table
+    ``state_table``, BUCKETED (and sorted) on gh
+    (``state_buckets``, default 32) so nightly probes read the
+    lake-sized count relation exchange-free (the 100 TB shape;
+    plan-pinned). Run it over COMPLETED tags (weekly, or after
+    compaction).
+
     Incremental mode (action=dedup only): ``state_location`` +
     ``batch_tag`` switch to :func:`incremental_exact_substr` — the
     source is a NEW ingest batch scrubbed against the additive
@@ -1218,12 +1227,30 @@ class ExactSubstrDedupAlgorithm(Algorithm):
 
         p = self.params
         action = p.get_optional("action", "dedup")
-        if action not in ("dedup", "spans"):
+        if action not in ("dedup", "spans", "fold_state"):
             raise ConfigError(
                 f"unknown action {action!r} for ExactSubstrDedup: "
-                "expected 'dedup' (remove + rebuild) or 'spans' "
-                "(report maximal repeated intervals)"
+                "expected 'dedup' (remove + rebuild), 'spans' (report "
+                "maximal repeated intervals), or 'fold_state' (fold "
+                "the window-count state into a gh-bucketed table)"
             )
+        if action == "fold_state":
+            if not (p.has("state_location") and p.has("state_table")):
+                raise ConfigError(
+                    "fold_state needs state_location (the tag-dir "
+                    "window-count state to fold) and state_table (the "
+                    "gh-bucketed metastore table to write)"
+                )
+            for bad in ("source_location", "source_table", "batch_tag",
+                        "target_location", "target_table"):
+                if p.has(bad):
+                    raise ConfigError(
+                        f"{bad} does not apply to action='fold_state': "
+                        "the fold reads the state dirs and writes only "
+                        "the bucketed table — drop it"
+                    )
+            p.get_optional_int("state_buckets", 32, minimum=1)
+            return
         if p.has("state_location") or p.has("batch_tag"):
             if action != "dedup":
                 raise ConfigError(
@@ -1261,6 +1288,8 @@ class ExactSubstrDedupAlgorithm(Algorithm):
 
     def read(self) -> list[DataFrame]:
         p = self.params
+        if p.get_optional("action", "dedup") == "fold_state":
+            return []  # maintenance action: reads its own state dirs
         return [
             self.spark.table(p.get_string("source_table"))
             if p.has("source_table")
@@ -1269,6 +1298,8 @@ class ExactSubstrDedupAlgorithm(Algorithm):
 
     def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
         p = self.params
+        if p.get_optional("action", "dedup") == "fold_state":
+            return []
         id_col = p.get_optional("id_column", "doc_id")
         text_col = p.get_optional("text_column", "text")
         L = _span_tokens_param(p)
@@ -1320,6 +1351,17 @@ class ExactSubstrDedupAlgorithm(Algorithm):
     def write(self, dfs: list[DataFrame]) -> None:
         from m3d_engine_spark.sources.writers import write_output
 
+        p = self.params
+        if p.get_optional("action", "dedup") == "fold_state":
+            materialize_window_count_table(
+                self.spark,
+                p.get_string("state_location"),
+                p.get_string("state_table"),
+                num_buckets=p.get_optional_int(
+                    "state_buckets", 32, minimum=1
+                ),
+            )
+            return
         write_output(self.spark, dfs[0], self.params)
         if getattr(self, "_batch_counts", None) is not None:
             # State write strictly AFTER the output commit (a failed

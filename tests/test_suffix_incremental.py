@@ -643,3 +643,66 @@ def test_compaction_swap_litter_recovery_and_read_guard(spark, tmp_path):
     )
     dirs = committed_tag_dirs(spark, str(state), "n3")
     assert len(dirs) == 2
+
+
+@pytest.mark.slow
+def test_fold_state_action(spark, tmp_path):
+    """action='fold_state': the acon twin of
+    materialize_window_count_table — validates its param combos, folds
+    the tag dirs into a gh-bucketed table with summed counts, and the
+    folded relation drives the same scrub decisions as the raw tag
+    dirs."""
+    import shutil
+
+    from m3d_engine_spark.operators.suffix import incremental_exact_substr
+
+    _run_cli(spark, tmp_path, ROWS[:3], "n1")
+    _run_cli(spark, tmp_path, ROWS[3:], "n2")
+    state = str(tmp_path / "state")
+
+    spark.sql("DROP TABLE IF EXISTS r15_wc_fold")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    shutil.rmtree(f"{warehouse}/r15_wc_fold", ignore_errors=True)
+    try:
+        with pytest.raises(ConfigError, match="fold_state needs"):
+            REGISTRY["ExactSubstrDedup"](spark, ParamsFile({
+                "action": "fold_state", "state_location": state,
+            })).run()
+        with pytest.raises(ConfigError, match="does not apply"):
+            REGISTRY["ExactSubstrDedup"](spark, ParamsFile({
+                "action": "fold_state", "state_location": state,
+                "state_table": "r15_wc_fold", "batch_tag": "n3",
+            })).run()
+        REGISTRY["ExactSubstrDedup"](spark, ParamsFile({
+            "action": "fold_state",
+            "state_location": state,
+            "state_table": "r15_wc_fold",
+            "state_buckets": 4,
+        })).run()
+        folded = {
+            r.gh: r.cnt for r in spark.table("r15_wc_fold").collect()
+        }
+        raw = spark.read.parquet(
+            *(f"{state}/batch_tag={t}" for t in ("n1", "n2"))
+        )
+        want = {
+            r.gh: r.cnt
+            for r in raw.groupBy("gh").sum("cnt")
+            .withColumnRenamed("sum(cnt)", "cnt").collect()
+        }
+        assert folded == want and folded
+        # the folded table drives the same removals as the tag dirs
+        batch3 = _df(spark, [(7, "closing z y x w v u t s echo")])
+        c_tab, _ = incremental_exact_substr(
+            batch3, "doc_id", "text", spark.table("r15_wc_fold"),
+            span_tokens=8,
+        )
+        c_raw, _ = incremental_exact_substr(
+            batch3, "doc_id", "text", raw.select("gh", "cnt"),
+            span_tokens=8,
+        )
+        assert _out(c_tab) == _out(c_raw) == {7: ("closing echo", 8)}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r15_wc_fold")
