@@ -1217,8 +1217,9 @@ class ExactSubstrDedupAlgorithm(Algorithm):
     initial_gram), the prefix-doubling seed width: larger folds more
     rounds into the seed exchange at wider key bytes, measured
     fastest at 8); state_location + batch_tag (incremental mode);
-    target_location OR target_table (+ the shared write_output
-    surface). The doubling cascade's checkpoint blocks are registered
+    state_location + state_table + state_buckets (default 32, >= 1 —
+    action fold_state only); target_location OR target_table (+ the
+    shared write_output surface). The doubling cascade's checkpoint blocks are registered
     on the run's cleanup list — long-lived sessions don't accumulate
     them."""
 
@@ -1242,8 +1243,15 @@ class ExactSubstrDedupAlgorithm(Algorithm):
                     "gh-bucketed metastore table to write)"
                 )
             for bad in ("source_location", "source_table", "batch_tag",
-                        "target_location", "target_table"):
+                        "target_location", "target_table",
+                        "compact_state_over_files", "span_tokens",
+                        "min_occurrences", "initial_gram", "load_mode",
+                        "id_column", "text_column"):
                 if p.has(bad):
+                    # silently ignoring a key the user believes
+                    # parameterizes the fold (compaction 'after', a
+                    # span_tokens dial) is the config no-op class this
+                    # surface rejects everywhere else
                     raise ConfigError(
                         f"{bad} does not apply to action='fold_state': "
                         "the fold reads the state dirs and writes only "

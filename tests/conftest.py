@@ -90,6 +90,21 @@ def assert_hive_markers(output: tuple[str, str], *markers: str) -> None:
         )
 
 
+def drop_table_clean(spark, *tables) -> None:
+    """DROP TABLE IF EXISTS plus a sweep of the warehouse-dir remnant —
+    the preclean every bucketed-table test needs (a crashed prior run
+    can leave the dir with the catalog entry gone, failing the next
+    saveAsTable). ONE copy of the removeprefix('file:') idiom."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+
 def multiset_equal(df_a, df_b) -> bool:
     """Order-insensitive multiset compare — the reference's golden-data
     checker (TestUtils.scala:10-24): groupBy(all cols).count on both

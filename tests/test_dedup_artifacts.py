@@ -69,17 +69,16 @@ def test_bucketed_bands_artifact_equivalent_and_shuffle_free(
     the candidate join reads the corpus side straight from its buckets
     — no Exchange above the bucketed scan, only the batch side
     shuffles into the bucket layout."""
-    import shutil
 
     from pyspark.sql import functions as F
 
     corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
+    from conftest import drop_table_clean
+
     table = "t_bands_bucketed"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    drop_table_clean(spark, table)
     try:
         arts = materialize_dedup_artifacts(
             corpus, "doc_id", "text", str(tmp_path / "arts"),

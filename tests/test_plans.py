@@ -103,13 +103,10 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    import shutil
 
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("b_orders", "b_lineitem"):
-        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    from conftest import drop_table_clean
+
+    drop_table_clean(spark, "b_orders", "b_lineitem")
     write_bucketed_table(orders, "b_orders", ["o_orderkey"], num_buckets=4,
                          sort_cols=["o_orderkey"])
     write_bucketed_table(li, "b_lineitem", ["l_orderkey"], num_buckets=4,
@@ -1681,7 +1678,6 @@ def test_incremental_artifact_hot_split_plan(spark, tmp_path):
     capped the COLD branch still reads the bucketed corpus side with
     no Exchange above its scan — splitting hot buckets must not cost
     the cold path its exchange-free join."""
-    import shutil
 
     from m3d_engine_spark.operators.incremental import (
         incremental_dedup_against_artifacts,
@@ -1692,10 +1688,10 @@ def test_incremental_artifact_hot_split_plan(spark, tmp_path):
     corpus = load_table(spark, "/root/testdata/sf0.001", "documents").select(
         "doc_id", "text"
     )
+    from conftest import drop_table_clean
+
     table = "t_r11_hot_split_bands"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    drop_table_clean(spark, table)
     batch = corpus.filter(F.col("doc_id") % 7 == 0)
     try:
         arts = materialize_dedup_artifacts(
@@ -1723,8 +1719,7 @@ def test_incremental_artifact_hot_split_plan(spark, tmp_path):
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+        drop_table_clean(spark, table)
 
 
 def test_salted_self_join_inert_under_aqe_skew_split(spark):
@@ -1960,7 +1955,6 @@ def test_bucketed_window_count_state_probe_is_exchange_free(
     into the bucket layout, and the downstream fold/election
     aggregates ride the same partitioning. The plan's only Exchanges
     are batch-side."""
-    import shutil
 
     from m3d_engine_spark.operators.suffix import (
         incremental_exact_substr,
@@ -1971,11 +1965,9 @@ def test_bucketed_window_count_state_probe_is_exchange_free(
     spark.createDataFrame(
         [(f"h{i}", i % 3 + 1) for i in range(50)], "gh string, cnt long"
     ).write.parquet(state_loc + "/batch_tag=n1")
-    spark.sql("DROP TABLE IF EXISTS wc_state")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
-    shutil.rmtree(f"{warehouse}/wc_state", ignore_errors=True)
+    from conftest import drop_table_clean
+
+    drop_table_clean(spark, "wc_state")
     materialize_window_count_table(spark, state_loc, "wc_state",
                                    num_buckets=4)
     batch = spark.createDataFrame(

@@ -652,7 +652,7 @@ def test_fold_state_action(spark, tmp_path):
     the tag dirs into a gh-bucketed table with summed counts, and the
     folded relation drives the same scrub decisions as the raw tag
     dirs."""
-    import shutil
+    from conftest import drop_table_clean
 
     from m3d_engine_spark.operators.suffix import incremental_exact_substr
 
@@ -660,11 +660,7 @@ def test_fold_state_action(spark, tmp_path):
     _run_cli(spark, tmp_path, ROWS[3:], "n2")
     state = str(tmp_path / "state")
 
-    spark.sql("DROP TABLE IF EXISTS r15_wc_fold")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
-    shutil.rmtree(f"{warehouse}/r15_wc_fold", ignore_errors=True)
+    drop_table_clean(spark, "r15_wc_fold")
     try:
         with pytest.raises(ConfigError, match="fold_state needs"):
             REGISTRY["ExactSubstrDedup"](spark, ParamsFile({
