@@ -217,6 +217,15 @@ def main() -> int:
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
             _F.sum("l_quantity")
         ).collect()
+        # documents is the other big table the rotation front usually
+        # reads (the LLM-pipeline entries); r15 measured the front
+        # cohort paying ~1.3 s of string-scan/codegen bring-up that a
+        # quiet warm-first read did not (4.25 vs 2.94 s at position 0)
+        # — warm its reader too so in-sweep front reads stop needing
+        # positional adjudication every rotation
+        spark.read.parquet(f"{sf_dir}/documents.parquet").agg(
+            _F.sum(_F.length("text"))
+        ).collect()
     except Exception:
         pass  # warmup must never fail the bench
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
