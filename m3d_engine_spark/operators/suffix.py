@@ -706,6 +706,71 @@ def _recover_swap_litter(dfs, state_root: str) -> None:
             _recover(parent, entry)
 
 
+def _recover_state_swaps_early(spark, params) -> None:
+    """Run the compaction swap-litter recovery BEFORE any state read
+    (called from ``prepare()`` when ``compact_state_over_files`` is
+    set). Recovery used to run only inside :func:`_maybe_compact_state`
+    — i.e. AFTER the state read and the state write — which left a
+    data-destruction window on the FLAT layout: a compaction killed
+    between AtomicWriter's two renames leaves the base dir GONE and the
+    backup holding every recorded id, the next run's read path sees no
+    committed file (``first_file``/``exists`` both miss the renamed-away
+    base), silently treats the state as empty, re-scrubs and appends
+    only the new batch's ids (recreating the base dir) — and THEN the
+    write-time recovery sees base-present + backup-present and deletes
+    the backup, permanently losing the prior state. Running the same
+    recovery up front restores the backup before the read, so the run
+    sees the full state (the write-time call stays — it is idempotent
+    and still sweeps litter this very run's crash could leave)."""
+    if params.has("compact_state_over_files") and params.has(
+        "state_location"
+    ):
+        from m3d_engine_spark.sources.dfs import DFS
+
+        _recover_swap_litter(
+            DFS(spark), params.get_string("state_location").rstrip("/")
+        )
+
+
+def _require_state_for_compaction(params) -> None:
+    """``compact_state_over_files`` parameterizes the state dirs'
+    small-files hygiene — set without a state to compact (no
+    ``state_location``, or a mode that never updates state) it used to
+    be silently ignored, exactly the silent config-no-op class this
+    surface rejects everywhere else (``fold_state`` rejects stray keys;
+    ``batch_tag`` without ``state_location`` raises)."""
+    if params.has("compact_state_over_files") and not params.has(
+        "state_location"
+    ):
+        from m3d_engine_spark.config import ConfigError
+
+        raise ConfigError(
+            "compact_state_over_files compacts the incremental state's "
+            "small files and does nothing without state_location — add "
+            "the state dir or drop the key"
+        )
+
+
+def _orphan_flat_state_backup(dfs, state_root: str) -> "str | None":
+    """The flat layout's missing-state guard: a flat state whose base
+    dir is GONE but whose ``<root>__bak_*`` sibling survives is a
+    compaction killed between AtomicWriter's two renames — the backup
+    IS the state. Callers about to treat a missing flat state as empty
+    must check this first (mirroring the tagged layout's orphan-backup
+    guard in :func:`committed_tag_dirs`); returns the backup path, or
+    None when the parent holds no such sibling. Exact-prefix-matched on
+    the root's own name so a sibling table's in-flight swap is never
+    misread as ours."""
+    root = state_root.rstrip("/")
+    parent, name = root.rsplit("/", 1)
+    if not dfs.exists(parent):
+        return None
+    for entry in dfs.list_entries(parent):
+        if entry.startswith(f"{name}__bak_"):
+            return f"{parent}/{entry}"
+    return None
+
+
 def _validated_batch_tag(params) -> str:
     """The per-batch state tag, restricted to partition-dir-safe
     characters. The tag becomes a literal ``batch_tag=<tag>`` dir name
@@ -806,8 +871,10 @@ def committed_tag_dirs(
                 f"compaction backup {s!r} whose base tag dir is gone — "
                 "a compaction crashed mid-swap and the backup is that "
                 "batch's only data. Re-run with "
-                "compact_state_over_files set (its startup recovery "
-                "restores the backup), or rename the dir back by hand"
+                "compact_state_over_files set (its prepare-time "
+                "recovery restores the backup before the state is "
+                "read), or rename the dir back by hand (strip the "
+                "'__bak_*' suffix)"
             )
     if own_tag is not None:
         dirs.discard(f"batch_tag={own_tag}")
@@ -931,6 +998,12 @@ class DecontaminateAlgorithm(Algorithm):
                     "the state dir or drop the tag"
                 )
             _validated_batch_tag(self.params)  # fail before any read
+        # compaction dial sanity + swap-litter recovery BEFORE any
+        # state read (the ADVICE-r15 ordering: recovery at write time
+        # only arrives after a missing flat state was already misread
+        # as empty — see _recover_state_swaps_early)
+        _require_state_for_compaction(self.params)
+        _recover_state_swaps_early(self.spark, self.params)
         if mode != "materialize" and self.params.has("state_location"):
             from m3d_engine_spark.config import ConfigError
             from m3d_engine_spark.sources.writers import LoadMode
@@ -1036,21 +1109,48 @@ class DecontaminateAlgorithm(Algorithm):
                 # state would re-scrub recorded docs and, worse, mask
                 # a misconfigured state_location).
                 seen = self.spark.read.parquet(state_loc).select(id_col)
-            elif _DFS(self.spark).exists(state_loc):
-                # Dir exists with no COMMITTED file (a first state
-                # append crashed — only _temporary inside, which
-                # first_file skips): no batch was ever recorded, so
-                # empty state is the truthful reading; erroring here
-                # would brick every subsequent nightly run.
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "state_location %s exists but holds no readable "
-                    "parquet (a first state append crashed mid-write?); "
-                    "treating as empty state — this batch scrubs in "
-                    "full",
-                    state_loc,
+            else:
+                # No committed flat state. Before treating that as
+                # empty, refuse if a <root>__bak_* sibling survives —
+                # a compaction killed between AtomicWriter's two
+                # renames moved the WHOLE state there, and scrubbing
+                # against "empty" would re-emit every recorded doc and
+                # (worse) let a later recovery delete the backup once
+                # the new append recreates the base dir. Structural
+                # close of the ADVICE-r15 data-loss path, independent
+                # of whether compact_state_over_files is still set.
+                orphan = _orphan_flat_state_backup(
+                    _DFS(self.spark), state_loc
                 )
+                if orphan is not None:
+                    from m3d_engine_spark.config import ConfigError
+
+                    raise ConfigError(
+                        f"state_location {state_loc} has no committed "
+                        f"data but its compaction backup {orphan!r} "
+                        "survives — a compaction crashed mid-swap and "
+                        "the backup IS the state. Re-run with "
+                        "compact_state_over_files set (its prepare-time "
+                        "recovery restores the backup), or rename the "
+                        "dir back by hand (strip the '__bak_*' suffix); "
+                        "treating it as empty would re-scrub every "
+                        "recorded doc"
+                    )
+                if _DFS(self.spark).exists(state_loc):
+                    # Dir exists with no COMMITTED file (a first state
+                    # append crashed — only _temporary inside, which
+                    # first_file skips): no batch was ever recorded, so
+                    # empty state is the truthful reading; erroring
+                    # here would brick every subsequent nightly run.
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "state_location %s exists but holds no "
+                        "readable parquet (a first state append "
+                        "crashed mid-write?); treating as empty state "
+                        "— this batch scrubs in full",
+                        state_loc,
+                    )
             if seen is not None:
                 train_df = train_df.join(seen, on=id_col, how="left_anti")
             # column-pruned id relation of THIS batch (no scrub in its
@@ -1259,6 +1359,8 @@ class ExactSubstrDedupAlgorithm(Algorithm):
                     )
             p.get_optional_int("state_buckets", 32, minimum=1)
             return
+        _require_state_for_compaction(p)
+        _recover_state_swaps_early(self.spark, p)
         if p.has("state_location") or p.has("batch_tag"):
             if action != "dedup":
                 raise ConfigError(
