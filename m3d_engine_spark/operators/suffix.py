@@ -452,12 +452,30 @@ def materialize_window_count_table(
     already-unique keys.
 
     Run it as corpus maintenance (weekly, or after compaction) over
-    COMPLETED tags; recent tag dirs not yet folded stay readable the
-    normal way — pass ``spark.table(table)`` unioned with their rows
-    as the ``state`` relation. The table is a FOLD of the state, not
-    a replacement: the tag dirs remain the source of truth for
-    retry exclusion."""
+    COMPLETED tags — tags that will never be replayed: a re-run of a
+    folded batch cannot exclude its own counts from the pre-summed
+    table (the probe path refuses it loudly). Recent tag dirs not yet
+    folded stay readable the normal way — the ``state_table`` probe
+    source unions ``spark.table(table)`` with exactly those dirs,
+    using the ``_folded_tags.json`` sidecar this fold writes next to
+    the state to know which dirs the table already covers (double
+    reading a folded dir would inflate counts and over-scrub at
+    thresholds > 2). The table is a FOLD of the state, not a
+    replacement: the tag dirs remain the source of truth for retry
+    exclusion.
+
+    Fold commit protocol (every crash window detectable): saveAsTable
+    overwrite recreates the table WITHOUT the ``m3d.fold_id``
+    property, the ALTER then stamps the property, and the sidecar —
+    carrying the same fold id (md5 of the sorted tag list) — commits
+    last. The probe refuses a missing property or a sidecar/property
+    mismatch, so a fold that died mid-commit reads as 're-run
+    fold_state', never as silently double- or under-counted state."""
+    import hashlib
+    import json as _json
+
     from m3d_engine_spark.sources.bucketing import write_bucketed_table
+    from m3d_engine_spark.sources.dfs import DFS
 
     # committed tag dirs only (own_tag=None = fold everything): root
     # partition discovery would adopt crashed-compaction swap dirs as
@@ -476,6 +494,128 @@ def materialize_window_count_table(
     write_bucketed_table(
         folded, table, ["gh"], num_buckets=num_buckets, sort_cols=["gh"]
     )
+    tags = sorted(d.rsplit("/", 1)[1] for d in dirs)
+    fold_id = hashlib.md5("\n".join(tags).encode()).hexdigest()
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('m3d.fold_id' = '{fold_id}', "
+        "'m3d.kind' = 'window_count_fold')"
+    )
+    DFS(spark).write_text(
+        state_loc.rstrip("/") + "/_folded_tags.json",
+        _json.dumps(
+            {
+                "kind": "window_count_fold",
+                "table": table,
+                "fold_id": fold_id,
+                "tags": tags,
+            }
+        ),
+    )
+
+
+def read_fold_sidecar(spark, state_loc: str, table: str) -> "set[str]":
+    """The ``state_table`` probe source's adoption contract: return
+    the set of ``batch_tag=<tag>`` dir names the bucketed table at
+    ``table`` already folds, from the ``_folded_tags.json`` sidecar
+    :func:`materialize_window_count_table` committed. Refuses — with
+    the remediation spelled out — every inconsistent shape: a missing
+    sidecar (no fold ever ran, or the state dir is wrong), a sidecar
+    naming a DIFFERENT table (two states / two folds crossed in
+    config), and a fold-id mismatch between sidecar and table property
+    (a fold died between its table write and its sidecar commit, or
+    the table was refolded out-of-band) — probing through any of these
+    would double- or under-count windows silently."""
+    import json as _json
+
+    from m3d_engine_spark.config import ConfigError
+    from m3d_engine_spark.sources.dfs import DFS
+
+    path = state_loc.rstrip("/") + "/_folded_tags.json"
+    dfs = DFS(spark)
+    if not dfs.exists(path):
+        raise ConfigError(
+            f"state_table is set but {path} does not exist — no "
+            "fold_state run has committed over this state; run "
+            "ExactSubstrDedup action='fold_state' first, or drop "
+            "state_table to probe the tag dirs directly"
+        )
+    meta = _json.loads(dfs.read_text(path))
+    if meta.get("table") != table:
+        raise ConfigError(
+            f"{path} records a fold into table "
+            f"{meta.get('table')!r}, not the configured state_table "
+            f"{table!r} — the state dir and the table don't belong to "
+            "the same fold"
+        )
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(
+            f"SHOW TBLPROPERTIES {table}"
+        ).collect()
+    }
+    if props.get("m3d.fold_id") != meta.get("fold_id"):
+        raise ConfigError(
+            f"fold_id mismatch between {path} "
+            f"({meta.get('fold_id')!r}) and table {table} "
+            f"({props.get('m3d.fold_id')!r}): a fold_state run died "
+            "between its table write and its sidecar commit, or the "
+            "table was rewritten out-of-band — re-run fold_state "
+            "before probing through the table"
+        )
+    return set(meta.get("tags", []))
+
+
+def window_count_state(
+    spark,
+    state_loc: str,
+    own_tag: "str | None",
+    state_table: "str | None" = None,
+) -> "DataFrame | None":
+    """Resolve the state relation :func:`incremental_exact_substr`
+    probes — the ONE implementation behind the CLI's incremental mode
+    and the streaming nightly's span step. Without ``state_table``:
+    the committed non-own tag dirs, read as plain leaf paths (None
+    when there are none — the first-ever batch). With ``state_table``
+    (the 100 TB shape): the gh-bucketed fold UNIONed with exactly the
+    tag dirs the fold does NOT cover yet (per the ``_folded_tags.json``
+    sidecar, validated against the table's fold-id property) — reading
+    a folded dir AGAIN would inflate its counts and over-scrub at
+    thresholds > 2. Catalyst pushes the probe's LeftSemi below the
+    union, so the bucketed side reaches its join exchange-free while
+    the unfolded side stays recent-batch-sized (plan-pinned).
+
+    A batch whose OWN tag is already folded is refused: its counts sit
+    pre-summed inside the table where the own-tag exclusion cannot
+    reach them, and a replay would see its own windows and over-scrub
+    — the reason ``materialize_window_count_table`` documents 'fold
+    COMPLETED tags only'."""
+    dirs = committed_tag_dirs(spark, state_loc, own_tag)
+    if state_table is None:
+        return (
+            spark.read.parquet(*dirs).select("gh", "cnt")
+            if dirs
+            else None
+        )
+    from m3d_engine_spark.config import ConfigError
+
+    folded = read_fold_sidecar(spark, state_loc, state_table)
+    if own_tag is not None and f"batch_tag={own_tag}" in folded:
+        raise ConfigError(
+            f"batch_tag={own_tag} is already folded into "
+            f"{state_table}: its counts cannot be excluded from the "
+            "pre-summed table, so re-running this batch through "
+            "state_table would count its own windows and over-scrub. "
+            "Fold only COMPLETED tags (tags no orchestrator will "
+            "replay), or re-run this batch without state_table"
+        )
+    unfolded = [d for d in dirs if d.rsplit("/", 1)[1] not in folded]
+    state = spark.table(state_table).select("gh", "cnt")
+    if unfolded:
+        state = state.unionByName(
+            spark.read.parquet(*unfolded).select("gh", "cnt")
+        )
+    return state
 
 
 def probe_gram_artifact(
@@ -1316,8 +1456,12 @@ class ExactSubstrDedupAlgorithm(Algorithm):
     clamped DOWN to the largest power of two <= min(span_tokens,
     initial_gram), the prefix-doubling seed width: larger folds more
     rounds into the seed exchange at wider key bytes, measured
-    fastest at 8); state_location + batch_tag (incremental mode);
-    state_location + state_table + state_buckets (default 32, >= 1 —
+    fastest at 8); state_location + batch_tag (incremental mode) +
+    optional state_table (probe through the gh-bucketed fold_state
+    table UNION the not-yet-folded tag dirs — the exchange-free
+    100 TB probe; requires a committed fold sidecar, and refuses a
+    batch whose own tag is already folded); state_location +
+    state_table + state_buckets (default 32, >= 1 —
     action fold_state only); target_location OR target_table (+ the
     shared write_output surface). The doubling cascade's checkpoint blocks are registered
     on the run's cleanup list — long-lived sessions don't accumulate
@@ -1361,12 +1505,30 @@ class ExactSubstrDedupAlgorithm(Algorithm):
             return
         _require_state_for_compaction(p)
         _recover_state_swaps_early(self.spark, p)
+        if p.has("state_buckets"):
+            # outside fold_state the key parameterizes nothing — the
+            # probe adopts whatever bucketing the fold wrote
+            raise ConfigError(
+                "state_buckets applies to action='fold_state' only "
+                "(the fold's bucket count; the probe side adopts the "
+                "table's layout) — drop it"
+            )
+        if p.has("state_table") and not (
+            p.has("state_location") and p.has("batch_tag")
+        ):
+            raise ConfigError(
+                "state_table (the folded window-count probe source) "
+                "refines incremental mode and needs state_location + "
+                "batch_tag alongside it: the tag dirs remain the "
+                "retry-exclusion source of truth — the table only "
+                "replaces reading the dirs the fold already covers"
+            )
         if p.has("state_location") or p.has("batch_tag"):
             if action != "dedup":
                 raise ConfigError(
-                    "state_location/batch_tag (incremental mode) apply "
-                    "to action='dedup' only: the spans report has no "
-                    "cross-batch removal to track"
+                    "state_location/batch_tag/state_table (incremental "
+                    "mode) apply to action='dedup' only: the spans "
+                    "report has no cross-batch removal to track"
                 )
             if not (p.has("state_location") and p.has("batch_tag")):
                 raise ConfigError(
@@ -1417,18 +1579,21 @@ class ExactSubstrDedupAlgorithm(Algorithm):
         if p.has("state_location"):
             state_loc = p.get_string("state_location")
             tag = _validated_batch_tag(p)
-            # Committed non-own tag dirs, read as plain leaf paths (no
-            # partition discovery — see committed_tag_dirs for why);
-            # crashed-write litter skips via the committed-file probe,
+            # The shared probe-source resolver: committed non-own tag
+            # dirs as plain leaf paths (no partition discovery — see
+            # committed_tag_dirs for why), optionally UNIONed under the
+            # gh-bucketed fold when state_table is set (the 100 TB
+            # shape — the folded lake-sized side joins exchange-free).
+            # Crashed-write litter skips via the committed-file probe,
             # while a TRANSIENT read error on committed state fails the
             # batch loudly (no blanket except — silently deduping
             # intra-batch only would admit every cross-batch duplicate,
             # and forward-only semantics never repair that).
-            dirs = committed_tag_dirs(self.spark, state_loc, tag)
-            state = (
-                self.spark.read.parquet(*dirs).select("gh", "cnt")
-                if dirs
-                else None
+            state = window_count_state(
+                self.spark,
+                state_loc,
+                tag,
+                state_table=p.get_optional("state_table"),
             )
             clean, counts = incremental_exact_substr(
                 dfs[0],

@@ -774,6 +774,7 @@ def streaming_nightly_ingest(
     final_path: "str | None" = None,
     span_dedup_tokens: int = 8,
     span_min_occurrences: int = 2,
+    span_state_table: "str | None" = None,
     **dedup_kwargs,
 ):
     """Streaming twin of ``examples/nightly_ingest.json`` (dedup →
@@ -811,17 +812,28 @@ def streaming_nightly_ingest(
 
     ``span_tokens`` follows the shared sidecar contract, resolved ONCE
     at wiring time; ``span_dedup_tokens``/``span_min_occurrences`` are
-    the third step's independent dials; ``dedup_kwargs`` pass through
-    to the dedup tier (threshold, num_hashes, ...). Returns the
-    started query (``trigger(availableNow=True)``; re-invoking later
-    processes only new files thanks to the checkpoint). Install an
-    existing corpus with ``seed_accepted_corpus`` before the first
-    run."""
+    the third step's independent dials; ``span_state_table`` (with the
+    span step enabled) probes through the gh-bucketed ``fold_state``
+    table UNION the not-yet-folded tag dirs instead of every tag dir —
+    the exchange-free lake-scale probe, same contract as the batch
+    CLI's ``state_table`` (``window_count_state``: requires a
+    committed fold sidecar, refuses a replayed batch whose own tag is
+    already folded); ``dedup_kwargs`` pass through to the dedup tier
+    (threshold, num_hashes, ...). Returns the started query
+    (``trigger(availableNow=True)``; re-invoking later processes only
+    new files thanks to the checkpoint). Install an existing corpus
+    with ``seed_accepted_corpus`` before the first run."""
     if (span_state_path is None) != (final_path is None):
         raise ValueError(
             "span_state_path and final_path enable the span-dedup step "
             "TOGETHER (one is the window-count artifact, the other the "
             "step's output root) — set both or neither"
+        )
+    if span_state_table is not None and span_state_path is None:
+        raise ValueError(
+            "span_state_table refines the span-dedup step's state "
+            "probe and does nothing without span_state_path + "
+            "final_path — enable the step or drop the table"
         )
     from m3d_engine_spark.operators.suffix import (
         resolve_artifact_span_tokens,
@@ -845,6 +857,7 @@ def streaming_nightly_ingest(
             span_state_path=span_state_path, final_path=final_path,
             span_dedup_tokens=span_dedup_tokens,
             span_min_occurrences=span_min_occurrences,
+            span_state_table=span_state_table,
             **dedup_kwargs,
         )
 
@@ -870,6 +883,7 @@ def nightly_ingest_stream_batch(
     final_path: "str | None" = None,
     span_dedup_tokens: int = 8,
     span_min_occurrences: int = 2,
+    span_state_table: "str | None" = None,
     **dedup_kwargs,
 ) -> None:
     """One micro-batch of ``streaming_nightly_ingest`` (module-level so
@@ -897,15 +911,18 @@ def nightly_ingest_stream_batch(
     if span_state_path is None:
         return
     from m3d_engine_spark.operators.suffix import (
-        committed_tag_dirs,
         incremental_exact_substr,
         unpersist_checkpoints,
+        window_count_state,
     )
 
     scrubbed = spark.read.parquet(f"{out_path}/batch_id={batch_id}")
-    dirs = committed_tag_dirs(spark, span_state_path, str(batch_id))
-    state = (
-        spark.read.parquet(*dirs).select("gh", "cnt") if dirs else None
+    # the shared probe-source resolver (tag dirs, or the gh-bucketed
+    # fold UNION the unfolded dirs when span_state_table is set); the
+    # micro-batch id doubles as the own tag for the retry exclusion
+    state = window_count_state(
+        spark, span_state_path, str(batch_id),
+        state_table=span_state_table,
     )
     # the scrub's output carries the text as clean_text (the shared
     # family contract), so the span dedup reads that column — exactly

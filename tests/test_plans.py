@@ -2021,3 +2021,82 @@ def test_bucketed_window_count_state_probe_is_exchange_free(
         d0 = depth(ln)
     assert "SortMergeJoin" in simple, simple
     spark.sql("DROP TABLE wc_state")
+
+
+def test_state_table_probe_cli_plan_is_exchange_free(spark, tmp_path):
+    """Round 16: the fold_state table wired into the PROBE path — the
+    plan the CLI itself builds with ``state_table`` set (not a
+    hand-assembled relation) keeps the bucketed state side
+    exchange-free with an UNFOLDED tag dir in play: Catalyst pushes
+    the probe's LeftSemi below the table∪dirs union, the bucketed
+    scan reaches its join with no Exchange between them, and only the
+    batch side (plus the recent-batch-sized unfolded dir) shuffles.
+    The nightly lake-scale cost the r15 verdict flagged — whole-state
+    exchange every night — is gone from the CLI plan."""
+    from conftest import drop_table_clean
+
+    from m3d_engine_spark.config import ParamsFile
+    from m3d_engine_spark.operators.base import REGISTRY
+    from m3d_engine_spark.operators.suffix import (
+        materialize_window_count_table,
+        unpersist_checkpoints,
+    )
+
+    state_loc = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(f"h{i}", i % 3 + 1) for i in range(50)], "gh string, cnt long"
+    ).write.parquet(state_loc + "/batch_tag=n1")
+    drop_table_clean(spark, "wc_state_cli")
+    materialize_window_count_table(
+        spark, state_loc, "wc_state_cli", num_buckets=4
+    )
+    # a post-fold nightly tag the table does not cover yet
+    spark.createDataFrame(
+        [("g1", 1)], "gh string, cnt long"
+    ).write.parquet(state_loc + "/batch_tag=n2")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(10, "a b c d e f g h tail")], "doc_id int, text string"
+    ).write.parquet(src)
+    algo = REGISTRY["ExactSubstrDedup"](spark, ParamsFile({
+        "source_location": src,
+        "state_location": state_loc,
+        "batch_tag": "n3",
+        "state_table": "wc_state_cli",
+        "target_location": str(tmp_path / "out"),
+    }))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        algo.prepare()
+        clean = algo.transform(algo.read())[0]
+        plan = _plan(clean)
+        simple = _plan_simple(clean)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        unpersist_checkpoints(algo._checkpointed)
+        algo._checkpointed.clear()
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    lines = simple.splitlines()
+    scan_idx = next(
+        i for i, ln in enumerate(lines) if "wc_state_cli" in ln
+    )
+
+    def depth(ln):
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    d0 = depth(lines[scan_idx])
+    for i in range(scan_idx - 1, -1, -1):
+        ln = lines[i]
+        if depth(ln) >= d0:
+            continue
+        if "Join" in ln:
+            break  # the probe join, reached with no state-side shuffle
+        assert "Exchange" not in ln, (
+            "state-table branch shuffles despite bucketing:\n" + simple
+        )
+        d0 = depth(ln)
+    # the unfolded dir rides its OWN LeftSemi below the union — the
+    # pushdown actually split the probe rather than shuffling the union
+    assert simple.count("LeftSemi") >= 2, simple
+    spark.sql("DROP TABLE wc_state_cli")
