@@ -1432,6 +1432,18 @@ class ExactSubstrDedupAlgorithm(Algorithm):
     plan-pinned). Run it over COMPLETED tags (weekly, or after
     compaction).
 
+    ``action: "compact_state"`` — corpus maintenance, no source/
+    target: the small-files hygiene as its OWN schedulable step —
+    recover any crashed-compaction swap litter, then rewrite every
+    state leaf dir holding more than ``compact_state_over_files``
+    committed files through the shared atomic compaction (layout
+    only; the per-leaf / futility-guard semantics of the in-run
+    dial). Nightly runs keep the dial OFF and the weekly maintenance
+    Pipeline runs this step instead — the compaction cost moves out
+    of the ingest critical path. Works on any state this module
+    writes: the tagged window-count/scrubbed-ids layouts AND the
+    legacy flat scrubbed-ids dir (one leaf).
+
     Incremental mode (action=dedup only): ``state_location`` +
     ``batch_tag`` switch to :func:`incremental_exact_substr` — the
     source is a NEW ingest batch scrubbed against the additive
@@ -1472,13 +1484,41 @@ class ExactSubstrDedupAlgorithm(Algorithm):
 
         p = self.params
         action = p.get_optional("action", "dedup")
-        if action not in ("dedup", "spans", "fold_state"):
+        if action not in ("dedup", "spans", "fold_state", "compact_state"):
             raise ConfigError(
                 f"unknown action {action!r} for ExactSubstrDedup: "
                 "expected 'dedup' (remove + rebuild), 'spans' (report "
-                "maximal repeated intervals), or 'fold_state' (fold "
-                "the window-count state into a gh-bucketed table)"
+                "maximal repeated intervals), 'fold_state' (fold "
+                "the window-count state into a gh-bucketed table), or "
+                "'compact_state' (small-files hygiene over the state "
+                "dirs as a standalone maintenance step)"
             )
+        if action == "compact_state":
+            if not (
+                p.has("state_location")
+                and p.has("compact_state_over_files")
+            ):
+                raise ConfigError(
+                    "compact_state needs state_location (the state to "
+                    "compact) and compact_state_over_files (the "
+                    "per-leaf committed-file threshold)"
+                )
+            for bad in ("source_location", "source_table", "batch_tag",
+                        "target_location", "target_table", "state_table",
+                        "state_buckets", "span_tokens",
+                        "min_occurrences", "initial_gram", "load_mode",
+                        "id_column", "text_column"):
+                if p.has(bad):
+                    raise ConfigError(
+                        f"{bad} does not apply to "
+                        "action='compact_state': the step only "
+                        "rewrites over-threshold state leaf dirs in "
+                        "place — drop it"
+                    )
+            p.get_optional_int(
+                "compact_state_over_files", 1, minimum=1
+            )  # shared garbage/boolean guard, fail before any FS work
+            return
         if action == "fold_state":
             if not (p.has("state_location") and p.has("state_table")):
                 raise ConfigError(
@@ -1560,8 +1600,10 @@ class ExactSubstrDedupAlgorithm(Algorithm):
 
     def read(self) -> list[DataFrame]:
         p = self.params
-        if p.get_optional("action", "dedup") == "fold_state":
-            return []  # maintenance action: reads its own state dirs
+        if p.get_optional("action", "dedup") in (
+            "fold_state", "compact_state",
+        ):
+            return []  # maintenance actions: read their own state dirs
         return [
             self.spark.table(p.get_string("source_table"))
             if p.has("source_table")
@@ -1570,7 +1612,9 @@ class ExactSubstrDedupAlgorithm(Algorithm):
 
     def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
         p = self.params
-        if p.get_optional("action", "dedup") == "fold_state":
+        if p.get_optional("action", "dedup") in (
+            "fold_state", "compact_state",
+        ):
             return []
         id_col = p.get_optional("id_column", "doc_id")
         text_col = p.get_optional("text_column", "text")
@@ -1627,6 +1671,13 @@ class ExactSubstrDedupAlgorithm(Algorithm):
         from m3d_engine_spark.sources.writers import write_output
 
         p = self.params
+        if p.get_optional("action", "dedup") == "compact_state":
+            # _maybe_compact_state recovers swap litter first, then
+            # compacts per over-threshold leaf through the atomic swap
+            _maybe_compact_state(
+                self.spark, p, p.get_string("state_location")
+            )
+            return
         if p.get_optional("action", "dedup") == "fold_state":
             materialize_window_count_table(
                 self.spark,
