@@ -10780,63 +10780,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # (the name that slipped from the r14 window) and the stalest 48; the
 # r14 window rotated to the tail.
 _ROTATION_FRONT = [
-    # ---- round-15 window (first 50): the NEW incremental_exact_substr
-    # entry fronted per the rotation rule, then running_total (the r14
-    # slip) and the stalest 48 (the r10 cohort through the r11 window
-    # head); the r14 window moved to the tail per the mechanical rule ----
-    "incremental_exact_substr", "running_total", "sales_rollup", "schema_evolution_union",
-    "seeded_ann", "sessionize", "side_flatten", "simhash64_hamming",
-    "simhash_dedup", "sql_runner", "dedup_advisor", "jaccard_advisor",
-    "market_share", "product_profit", "stratified_sample", "text_stats",
-    "tfidf_top_terms", "transpose_pivot", "winnow_fingerprints", "bigram_lm",
-    "bm25_topk", "boilerplate_lines", "ccnet_buckets", "cohort_retention",
-    "containment_pairs", "contamination_check", "curation_pipeline", "data_profile",
-    "dataset_card", "distinct_report", "doc_chunk", "domain_cap",
-    "dsir_select", "epoch_shuffle", "event_anomaly", "frame_sample",
-    "funnel_steps", "fuzzy_dedup_corpus", "gopher_quality", "hard_negatives",
-    "incremental_dedup", "mixture_sample", "nation_volume", "numeric_histogram",
-    "pack_materialize", "paragraph_dedup", "percentile_quality", "pii_scrub",
-    "pq_encode", "props_extract", "quality_classifier", "record_linkage",
-    "repeated_spans", "repetition_stats", "robust_scale", "semantic_dedup",
-    "sequence_pack", "session_rollup", "sliding_rollup", "snapshot_diff",
+    # ---- round-16 window (first 50): the mechanical rotation —
+    # the 10 entries whose last driver row is r11 (the cohort the
+    # r15 judge mimic covered out-of-window), then the 40 stalest
+    # of the r12 cohort; the full list is ordered by staleness
+    # (latest CORRECTNESS round ascending, name ascending), so the
+    # r15 window sits at the tail ----
+    "quality_classifier", "record_linkage", "repeated_spans", "repetition_stats",
+    "robust_scale", "semantic_dedup", "sequence_pack", "session_rollup",
+    "sliding_rollup", "snapshot_diff", "audio_chunks", "basket_rules",
+    "benford_audit", "blame_supplier", "bloom_prune", "classifier_calibration",
+    "countmin_audit", "embedding_cov", "event_transitions", "fertility_stats",
+    "fk_audit", "grouped_ols", "hilbert_key", "hits_scores",
+    "hybrid_retrieval", "image_tiles", "interp_lm", "interval_join",
+    "ivfpq_search", "join_estimate", "kcore_nodes", "kmeans_train",
+    "label_spread", "last_touch", "length_batches", "lsh_calibration",
+    "mmr_diversify", "negative_sampling", "ngram_novelty", "pagerank",
+    "phrase_search", "ppr_expand", "pq_search", "pq_topk",
+    "psi_drift", "quantile_normalize", "random_walks", "rank_fusion",
+    "rank_weighted_sample", "scd2_history", "script_profile", "session_transcript",
     "sq_quantize", "temperature_mixture", "top_supplier", "top_terms",
     "triangle_count", "two_stage_ann", "unigram_lm", "zorder_key",
-    "audio_chunks", "basket_rules", "benford_audit", "blame_supplier",
-    "bloom_prune", "classifier_calibration", "countmin_audit", "embedding_cov",
-    "event_transitions", "fertility_stats", "fk_audit", "grouped_ols",
-    "hilbert_key", "hits_scores", "hybrid_retrieval", "image_tiles",
-    "interp_lm", "interval_join", "ivfpq_search", "join_estimate",
-    "kcore_nodes", "kmeans_train", "label_spread", "last_touch",
-    "length_batches", "lsh_calibration", "mmr_diversify", "negative_sampling",
-    "ngram_novelty", "pagerank", "phrase_search", "ppr_expand",
-    "pq_search", "pq_topk", "psi_drift", "quantile_normalize",
-    "random_walks", "rank_fusion", "rank_weighted_sample", "scd2_history",
-    "script_profile", "session_transcript", "decontaminate_spans", "exact_substr",
-    "exact_substr_spans", "skew_report", "skipgram_pairs", "vocab_drift",
-    "weighted_sample", "zipf_fit", "budget_select", "kanon_census",
-    "bpe_pairs", "gap_fill", "rolling_med", "ab_welch",
-    "rbo_overlap", "fastss_pairs", "deepwalk_pairs", "feature_hash",
-    "source_overlap", "phash_dedup", "rendezvous_shards", "expectations",
-    "table_checksum", "ndcg_eval", "ann_recall", "large_orders",
-    "brand_share", "top_paths", "histogram2d", "order_dist",
-    "promo_share", "small_qty_revenue", "returned_items", "untapped_customers",
-    "disjunct_revenue", "grouping_sets_census", "window_suite", "ewma_revenue",
-    "mad_outliers", "bitext_mine", "rfm_segments", "revenue_concentration",
-    "order_gap_stats", "metrics_melt", "daily_spine", "skyline_parts",
-    "attribution_removal", "identity_clusters", "asof_forward", "forecast_backtest",
-    "incremental_decontaminate", "kaplan_meier", "windowed_funnel", "wilson_ci",
-    "cuped_lift", "chi2_independence", "mann_whitney", "gini_revenue",
-    "herfindahl", "ledger_balance", "active_users", "seasonal_index",
-    "mix_entropy", "price_elasticity", "ann_topk", "append_join",
-    "append_load_regex", "asof_join", "brute_topk", "dedup_clusters",
-    "dedup_pipeline", "dedup_survivors", "delta_condense", "delta_merge",
-    "distinct_partitions", "embedding_dups", "event_rollup", "exact_dups",
-    "fixed_width", "flatten_explode", "flatten_full", "flatten_struct",
-    "full_load_dates", "hash_split", "ivf_topk", "jaccard_pairs",
-    "language_id", "minhash_lsh", "multimodal_decode", "multimodal_meta",
-    "order_priority_check", "order_revenue", "pmi_bigrams", "price_quantiles",
-    "pricing_summary", "quality_zscores", "query_materialization", "range_join",
-    "range_materialization", "regional_revenue",
+    "ab_welch", "ann_recall", "asof_forward", "attribution_removal",
+    "bitext_mine", "bpe_pairs", "brand_share", "budget_select",
+    "daily_spine", "decontaminate_spans", "deepwalk_pairs", "disjunct_revenue",
+    "ewma_revenue", "exact_substr", "exact_substr_spans", "expectations",
+    "fastss_pairs", "feature_hash", "forecast_backtest", "gap_fill",
+    "grouping_sets_census", "histogram2d", "identity_clusters", "kanon_census",
+    "large_orders", "mad_outliers", "metrics_melt", "ndcg_eval",
+    "order_dist", "order_gap_stats", "phash_dedup", "promo_share",
+    "rbo_overlap", "rendezvous_shards", "returned_items", "revenue_concentration",
+    "rfm_segments", "rolling_med", "skew_report", "skipgram_pairs",
+    "skyline_parts", "small_qty_revenue", "source_overlap", "table_checksum",
+    "top_paths", "untapped_customers", "vocab_drift", "weighted_sample",
+    "window_suite", "zipf_fit", "active_users", "ann_topk",
+    "append_join", "append_load_regex", "asof_join", "brute_topk",
+    "chi2_independence", "cuped_lift", "dedup_clusters", "dedup_pipeline",
+    "dedup_survivors", "delta_condense", "delta_merge", "distinct_partitions",
+    "embedding_dups", "event_rollup", "exact_dups", "fixed_width",
+    "flatten_explode", "flatten_full", "flatten_struct", "full_load_dates",
+    "gini_revenue", "hash_split", "herfindahl", "incremental_decontaminate",
+    "ivf_topk", "jaccard_pairs", "kaplan_meier", "language_id",
+    "ledger_balance", "mann_whitney", "minhash_lsh", "mix_entropy",
+    "multimodal_decode", "multimodal_meta", "order_priority_check", "order_revenue",
+    "pmi_bigrams", "price_elasticity", "price_quantiles", "pricing_summary",
+    "quality_zscores", "query_materialization", "range_join", "range_materialization",
+    "regional_revenue", "seasonal_index", "wilson_ci", "windowed_funnel",
+    "bigram_lm", "bm25_topk", "boilerplate_lines", "ccnet_buckets",
+    "cohort_retention", "containment_pairs", "contamination_check", "curation_pipeline",
+    "data_profile", "dataset_card", "dedup_advisor", "distinct_report",
+    "doc_chunk", "domain_cap", "dsir_select", "epoch_shuffle",
+    "event_anomaly", "frame_sample", "funnel_steps", "fuzzy_dedup_corpus",
+    "gopher_quality", "hard_negatives", "incremental_dedup", "incremental_exact_substr",
+    "jaccard_advisor", "market_share", "mixture_sample", "nation_volume",
+    "numeric_histogram", "pack_materialize", "paragraph_dedup", "percentile_quality",
+    "pii_scrub", "pq_encode", "product_profit", "props_extract",
+    "running_total", "sales_rollup", "schema_evolution_union", "seeded_ann",
+    "sessionize", "side_flatten", "simhash64_hamming", "simhash_dedup",
+    "sql_runner", "stratified_sample", "text_stats", "tfidf_top_terms",
+    "transpose_pivot", "winnow_fingerprints",
 ]
 
 

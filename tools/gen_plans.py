@@ -266,6 +266,14 @@ def main() -> int:
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
         )
+        # Captured plans can embed raw control bytes (e.g. the \x1f /
+        # \x00 fingerprint sentinels inside checksum literals), which
+        # make grep treat the whole file as binary — render them as
+        # visible escapes so PLANS.md stays text-greppable.
+        plan = "".join(
+            ch if ch in "\n\t" or ord(ch) >= 32 else f"\\x{ord(ch):02x}"
+            for ch in plan
+        )
         out.append(f"## {name}")
         out.append("")
         out.append(note)
