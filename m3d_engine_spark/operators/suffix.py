@@ -431,11 +431,46 @@ def incremental_exact_substr(
     return clean, batch_counts
 
 
+def _tag_dir_signatures(spark, state_loc: str) -> "dict[str, str]":
+    """Per-tag-dir content signatures from ONE recursive listing:
+    ``{batch_tag=<tag>: md5 of the sorted committed (relpath, size)
+    list}``. A replay or compaction rewrites a dir's part files (new
+    task-uuid names), so the signature changes whenever the dir's
+    bytes could have — the cheap drift detector the fold sidecar and
+    the ``state_table`` probe share (reading the data to hash it would
+    cost a state scan, the exact thing the fold exists to avoid)."""
+    import hashlib
+
+    from m3d_engine_spark.sources.dfs import DFS
+
+    per_dir: "dict[str, list[str]]" = {}
+    for rel, size in DFS(spark).committed_files(state_loc.rstrip("/")):
+        head = rel.split("/", 1)[0]
+        if head.startswith("batch_tag=") and "/" in rel:
+            per_dir.setdefault(head, []).append(f"{rel}:{size}")
+    return {
+        d: hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()
+        for d, entries in per_dir.items()
+    }
+
+
+def _same_table(a: str, b: str) -> bool:
+    """Table-name equality tolerant of catalog/database qualification:
+    ``wc_fold`` and ``default.wc_fold`` (or ``spark_catalog.default.
+    wc_fold``) name the same relation when one is an unqualified
+    suffix of the other — an exact string compare would falsely refuse
+    a probe configured with the qualified form of the name the fold
+    was run with."""
+    a, b = a.lower(), b.lower()
+    return a == b or a.endswith("." + b) or b.endswith("." + a)
+
+
 def materialize_window_count_table(
     spark,
     state_loc: str,
     table: str,
     num_buckets: int = 32,
+    up_to_tag: "str | None" = None,
 ) -> None:
     """Fold a tag-dir window-count state into a metastore table
     BUCKETED (and sorted) on ``gh`` — the 100 TB deployment shape for
@@ -451,26 +486,34 @@ def materialize_window_count_table(
     the nightly fold also shrinks to a no-op aggregate over
     already-unique keys.
 
-    Run it as corpus maintenance (weekly, or after compaction) over
-    COMPLETED tags — tags that will never be replayed: a re-run of a
-    folded batch cannot exclude its own counts from the pre-summed
-    table (the probe path refuses it loudly). Recent tag dirs not yet
-    folded stay readable the normal way — the ``state_table`` probe
-    source unions ``spark.table(table)`` with exactly those dirs,
-    using the ``_folded_tags.json`` sidecar this fold writes next to
-    the state to know which dirs the table already covers (double
-    reading a folded dir would inflate counts and over-scrub at
-    thresholds > 2). The table is a FOLD of the state, not a
-    replacement: the tag dirs remain the source of truth for retry
-    exclusion.
+    Run it over COMPLETED tags — tags that will never be replayed: a
+    re-run of a folded batch cannot exclude its own counts from the
+    pre-summed table (the probe path refuses it loudly). With nightly
+    date tags, ``up_to_tag`` is how 'completed' is configured: only
+    tags <= the cutoff (string order — dates sort) fold, so the weekly
+    job can leave the replay-eligible recent nights as plain dirs
+    instead of taking the probe path down on the next backfill. Recent
+    tag dirs not yet folded stay readable the normal way — the
+    ``state_table`` probe source unions ``spark.table(table)`` with
+    exactly those dirs, using the ``_folded_tags.json`` sidecar this
+    fold writes next to the state to know which dirs the table already
+    covers (double reading a folded dir would inflate counts and
+    over-scrub at thresholds > 2). The table is a FOLD of the state,
+    not a replacement: the tag dirs remain the source of truth for
+    retry exclusion.
 
     Fold commit protocol (every crash window detectable): saveAsTable
     overwrite recreates the table WITHOUT the ``m3d.fold_id``
     property, the ALTER then stamps the property, and the sidecar —
-    carrying the same fold id (md5 of the sorted tag list) — commits
-    last. The probe refuses a missing property or a sidecar/property
-    mismatch, so a fold that died mid-commit reads as 're-run
-    fold_state', never as silently double- or under-counted state."""
+    carrying the same fold id plus per-tag CONTENT signatures
+    (:func:`_tag_dir_signatures`) — commits last, via temp-write +
+    rename so a crash mid-write can never leave a half-truncated
+    JSON behind. The probe refuses a missing property, a sidecar/
+    property mismatch, and a folded dir whose signature drifted (a
+    replay or compaction rewrote it after the fold — the table's
+    pre-summed counts for it are stale), so every inconsistent shape
+    reads as 're-run fold_state', never as silently double-, under-,
+    or stale-counted state."""
     import hashlib
     import json as _json
 
@@ -486,6 +529,16 @@ def materialize_window_count_table(
             f"no committed batch_tag dirs under {state_loc} — nothing "
             "to fold"
         )
+    if up_to_tag is not None:
+        dirs = [
+            d for d in dirs
+            if d.rsplit("/", 1)[1].split("=", 1)[1] <= str(up_to_tag)
+        ]
+        if not dirs:
+            raise ValueError(
+                f"up_to_tag={up_to_tag!r} excludes every committed "
+                f"batch_tag dir under {state_loc} — nothing to fold"
+            )
     folded = (
         spark.read.parquet(*dirs)
         .groupBy("gh")
@@ -495,37 +548,54 @@ def materialize_window_count_table(
         folded, table, ["gh"], num_buckets=num_buckets, sort_cols=["gh"]
     )
     tags = sorted(d.rsplit("/", 1)[1] for d in dirs)
-    fold_id = hashlib.md5("\n".join(tags).encode()).hexdigest()
+    all_sigs = _tag_dir_signatures(spark, state_loc)
+    tag_sigs = {t: all_sigs[t] for t in tags}
+    fold_id = hashlib.md5(
+        _json.dumps(tag_sigs, sort_keys=True).encode()
+    ).hexdigest()
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES "
         f"('m3d.fold_id' = '{fold_id}', "
         "'m3d.kind' = 'window_count_fold')"
     )
-    DFS(spark).write_text(
-        state_loc.rstrip("/") + "/_folded_tags.json",
+    dfs = DFS(spark)
+    sidecar = state_loc.rstrip("/") + "/_folded_tags.json"
+    tmp = sidecar + f".__tmp_{fold_id[:8]}"
+    dfs.write_text(
+        tmp,
         _json.dumps(
             {
                 "kind": "window_count_fold",
                 "table": table,
                 "fold_id": fold_id,
                 "tags": tags,
+                "tag_sigs": tag_sigs,
             }
         ),
     )
+    # rename-over is not atomic on HDFS semantics (dst must not
+    # exist), so delete-then-rename: the worst crash leaves NO sidecar
+    # — the probe's 'run fold_state first' refusal, never a truncated
+    # JSON that would crash parsing without a remediation
+    dfs.delete(sidecar)
+    dfs.rename(tmp, sidecar)
 
 
-def read_fold_sidecar(spark, state_loc: str, table: str) -> "set[str]":
+def read_fold_sidecar(spark, state_loc: str, table: str) -> dict:
     """The ``state_table`` probe source's adoption contract: return
-    the set of ``batch_tag=<tag>`` dir names the bucketed table at
-    ``table`` already folds, from the ``_folded_tags.json`` sidecar
-    :func:`materialize_window_count_table` committed. Refuses — with
-    the remediation spelled out — every inconsistent shape: a missing
-    sidecar (no fold ever ran, or the state dir is wrong), a sidecar
-    naming a DIFFERENT table (two states / two folds crossed in
-    config), and a fold-id mismatch between sidecar and table property
-    (a fold died between its table write and its sidecar commit, or
-    the table was refolded out-of-band) — probing through any of these
-    would double- or under-count windows silently."""
+    the parsed ``_folded_tags.json`` sidecar
+    :func:`materialize_window_count_table` committed (``tags`` — the
+    ``batch_tag=<tag>`` dir names the table folds — plus their
+    content signatures). Refuses — with the remediation spelled out —
+    every inconsistent shape: a missing or unparseable sidecar (no
+    fold ever ran, the state dir is wrong, or a crash corrupted it), a
+    sidecar naming a DIFFERENT table (two states / two folds crossed
+    in config; qualified vs unqualified spellings of the same name are
+    accepted), a dropped/missing table, and a fold-id mismatch between
+    sidecar and table property (a fold died between its table write
+    and its sidecar commit, or the table was refolded out-of-band) —
+    probing through any of these would double- or under-count windows
+    silently."""
     import json as _json
 
     from m3d_engine_spark.config import ConfigError
@@ -540,20 +610,34 @@ def read_fold_sidecar(spark, state_loc: str, table: str) -> "set[str]":
             "ExactSubstrDedup action='fold_state' first, or drop "
             "state_table to probe the tag dirs directly"
         )
-    meta = _json.loads(dfs.read_text(path))
-    if meta.get("table") != table:
+    try:
+        meta = _json.loads(dfs.read_text(path))
+    except ValueError as exc:  # JSONDecodeError subclasses ValueError
+        raise ConfigError(
+            f"{path} is not parseable JSON ({exc}) — the sidecar is "
+            "corrupt; re-run fold_state to rewrite it"
+        ) from exc
+    if not _same_table(str(meta.get("table")), table):
         raise ConfigError(
             f"{path} records a fold into table "
             f"{meta.get('table')!r}, not the configured state_table "
             f"{table!r} — the state dir and the table don't belong to "
             "the same fold"
         )
-    props = {
-        r["key"]: r["value"]
-        for r in spark.sql(
-            f"SHOW TBLPROPERTIES {table}"
-        ).collect()
-    }
+    try:
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(
+                f"SHOW TBLPROPERTIES {table}"
+            ).collect()
+        }
+    except Exception as exc:
+        raise ConfigError(
+            f"state_table {table} is not readable ({exc}): the table "
+            "the sidecar points at is missing or dropped — re-run "
+            "fold_state to rebuild it, or drop state_table to probe "
+            "the tag dirs directly"
+        ) from exc
     if props.get("m3d.fold_id") != meta.get("fold_id"):
         raise ConfigError(
             f"fold_id mismatch between {path} "
@@ -563,7 +647,7 @@ def read_fold_sidecar(spark, state_loc: str, table: str) -> "set[str]":
             "table was rewritten out-of-band — re-run fold_state "
             "before probing through the table"
         )
-    return set(meta.get("tags", []))
+    return meta
 
 
 def window_count_state(
@@ -588,8 +672,13 @@ def window_count_state(
     A batch whose OWN tag is already folded is refused: its counts sit
     pre-summed inside the table where the own-tag exclusion cannot
     reach them, and a replay would see its own windows and over-scrub
-    — the reason ``materialize_window_count_table`` documents 'fold
-    COMPLETED tags only'."""
+    — the reason ``materialize_window_count_table`` takes
+    ``up_to_tag`` ('fold COMPLETED tags only'). A folded dir whose
+    CONTENT signature drifted since the fold (a replay or compaction
+    rewrote it — the table's pre-summed counts for it are stale) is
+    refused too: the probe would otherwise silently admit duplicates
+    the replay added and over-scrub against windows it removed, until
+    the next fold happened to run."""
     dirs = committed_tag_dirs(spark, state_loc, own_tag)
     if state_table is None:
         return (
@@ -599,15 +688,31 @@ def window_count_state(
         )
     from m3d_engine_spark.config import ConfigError
 
-    folded = read_fold_sidecar(spark, state_loc, state_table)
+    meta = read_fold_sidecar(spark, state_loc, state_table)
+    folded = set(meta.get("tags", []))
     if own_tag is not None and f"batch_tag={own_tag}" in folded:
         raise ConfigError(
             f"batch_tag={own_tag} is already folded into "
             f"{state_table}: its counts cannot be excluded from the "
             "pre-summed table, so re-running this batch through "
             "state_table would count its own windows and over-scrub. "
-            "Fold only COMPLETED tags (tags no orchestrator will "
-            "replay), or re-run this batch without state_table"
+            "Fold only COMPLETED tags (fold_up_to), or re-run this "
+            "batch without state_table"
+        )
+    fold_sigs = meta.get("tag_sigs", {})
+    now_sigs = _tag_dir_signatures(spark, state_loc)
+    drifted = sorted(
+        t for t in folded
+        if t in now_sigs and fold_sigs.get(t) != now_sigs[t]
+    )
+    if drifted:
+        raise ConfigError(
+            f"folded tag dir(s) {drifted} under {state_loc} were "
+            "rewritten AFTER the fold into "
+            f"{state_table} (replay or compaction — the content "
+            "signatures no longer match the fold sidecar's): the "
+            "table's pre-summed counts for them are stale. Re-run "
+            "fold_state before probing through the table"
         )
     unfolded = [d for d in dirs if d.rsplit("/", 1)[1] not in folded]
     state = spark.table(state_table).select("gh", "cnt")
@@ -1430,7 +1535,10 @@ class ExactSubstrDedupAlgorithm(Algorithm):
     (``state_buckets``, default 32) so nightly probes read the
     lake-sized count relation exchange-free (the 100 TB shape;
     plan-pinned). Run it over COMPLETED tags (weekly, or after
-    compaction).
+    compaction); ``fold_up_to`` (optional, inclusive lexicographic
+    cutoff — nightly date tags sort naturally) leaves replay-eligible
+    recent tags out of the fold so a backfill never collides with the
+    'already folded' probe refusal.
 
     ``action: "compact_state"`` — corpus maintenance, no source/
     target: the small-files hygiene as its OWN schedulable step —
@@ -1686,6 +1794,9 @@ class ExactSubstrDedupAlgorithm(Algorithm):
                 num_buckets=p.get_optional_int(
                     "state_buckets", 32, minimum=1
                 ),
+                # 'completed' as config: only tags <= the cutoff fold,
+                # so replay-eligible recent nights stay plain dirs
+                up_to_tag=p.get_optional("fold_up_to"),
             )
             return
         write_output(self.spark, dfs[0], self.params)

@@ -243,6 +243,77 @@ def test_replay_of_folded_batch_rejected(spark, tmp_path):
         })).run()
 
 
+def test_folded_dir_rewritten_after_fold_rejected(spark, tmp_path):
+    """The review finding: a folded tag dir replayed (or compacted)
+    AFTER the fold leaves the table's pre-summed counts stale — the
+    per-tag content signatures in the sidecar catch the drift and the
+    probe refuses instead of silently admitting the replay's new
+    windows and over-scrubbing against its removed ones."""
+    state = _seed_state(spark, tmp_path, "state_drift")
+    _fold(spark, state, "wc_drift", num_buckets=2)
+    # backfill night n1 with corrected counts, the tag-dir way (which
+    # is legal on its own — the dirs stay the source of truth)
+    spark.createDataFrame(
+        [("zz", 9)], "gh string, cnt long"
+    ).write.mode("overwrite").parquet(state + "/batch_tag=n1")
+    src = str(tmp_path / "src_after_drift")
+    spark.createDataFrame(B4, SCHEMA).write.parquet(src)
+    with pytest.raises(ConfigError, match="rewritten AFTER the fold"):
+        REGISTRY["ExactSubstrDedup"](spark, ParamsFile({
+            "source_location": src,
+            "state_location": state,
+            "batch_tag": "n9",
+            "state_table": "wc_drift",
+            "target_location": str(tmp_path / "out_drift"),
+        })).run()
+
+
+@pytest.mark.slow
+def test_fold_up_to_leaves_recent_tags_unfolded(spark, tmp_path):
+    """fold_up_to is how 'completed' is configured: tags above the
+    cutoff stay plain dirs — the sidecar records only the folded
+    subset, the probe unions the rest, and a backfill of an unfolded
+    tag needs no re-fold."""
+    from m3d_engine_spark.operators.suffix import read_fold_sidecar
+
+    state_a = _seed_state(spark, tmp_path, "state_cut")
+    state_b = str(tmp_path / "state_cut_b")
+    shutil.copytree(state_a, state_b)
+    _fold(spark, state_a, "wc_cut", num_buckets=2, up_to_tag="n2")
+    meta = read_fold_sidecar(spark, state_a, "wc_cut")
+    assert meta["tags"] == ["batch_tag=n1", "batch_tag=n2"]
+    out_a = _run(
+        spark, tmp_path, "n4", B4, state_a, "out_cut_table",
+        state_table="wc_cut",
+    )
+    out_b = _run(spark, tmp_path, "n4", B4, state_b, "out_cut_dirs")
+    assert _rows(spark, out_a) == _rows(spark, out_b)
+    # a cutoff excluding everything is a loud error, not an empty fold
+    with pytest.raises(ValueError, match="excludes every"):
+        _fold(spark, state_b, "wc_cut_none", up_to_tag="a")
+
+
+def test_qualified_table_name_and_dropped_table(spark, tmp_path):
+    """Qualified vs unqualified spellings of the fold table name are
+    the same relation (no false refusal); a dropped table refuses
+    with the rebuild remediation instead of a raw AnalysisException;
+    a corrupted sidecar refuses as corrupt, not as a JSON traceback."""
+    from m3d_engine_spark.operators.suffix import read_fold_sidecar
+
+    state = _seed_state(spark, tmp_path, "state_q")
+    _fold(spark, state, "wc_qual", num_buckets=2)
+    meta = read_fold_sidecar(spark, state, "default.wc_qual")
+    assert meta["tags"]  # accepted despite the qualified spelling
+    spark.sql("DROP TABLE wc_qual")
+    with pytest.raises(ConfigError, match="not readable"):
+        read_fold_sidecar(spark, state, "wc_qual")
+    DFS(spark).write_text(
+        state + "/_folded_tags.json", "{truncated-by-a-crash"
+    )
+    with pytest.raises(ConfigError, match="not parseable"):
+        read_fold_sidecar(spark, state, "wc_qual")
+
+
 def test_streaming_span_state_table_requires_span_step(spark, tmp_path):
     from m3d_engine_spark.streaming.pipeline import (
         streaming_nightly_ingest,
