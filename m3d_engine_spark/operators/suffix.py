@@ -431,29 +431,6 @@ def incremental_exact_substr(
     return clean, batch_counts
 
 
-def _tag_dir_signatures(spark, state_loc: str) -> "dict[str, str]":
-    """Per-tag-dir content signatures from ONE recursive listing:
-    ``{batch_tag=<tag>: md5 of the sorted committed (relpath, size)
-    list}``. A replay or compaction rewrites a dir's part files (new
-    task-uuid names), so the signature changes whenever the dir's
-    bytes could have — the cheap drift detector the fold sidecar and
-    the ``state_table`` probe share (reading the data to hash it would
-    cost a state scan, the exact thing the fold exists to avoid)."""
-    import hashlib
-
-    from m3d_engine_spark.sources.dfs import DFS
-
-    per_dir: "dict[str, list[str]]" = {}
-    for rel, size in DFS(spark).committed_files(state_loc.rstrip("/")):
-        head = rel.split("/", 1)[0]
-        if head.startswith("batch_tag=") and "/" in rel:
-            per_dir.setdefault(head, []).append(f"{rel}:{size}")
-    return {
-        d: hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()
-        for d, entries in per_dir.items()
-    }
-
-
 def _same_table(a: str, b: str) -> bool:
     """Table-name equality tolerant of catalog/database qualification:
     ``wc_fold`` and ``default.wc_fold`` (or ``spark_catalog.default.
@@ -522,8 +499,15 @@ def materialize_window_count_table(
 
     # committed tag dirs only (own_tag=None = fold everything): root
     # partition discovery would adopt crashed-compaction swap dirs as
-    # tag VALUES and double-count their rows
-    dirs = committed_tag_dirs(spark, state_loc, None)
+    # tag VALUES and double-count their rows. Signatures come from the
+    # SAME listing, captured BEFORE the fold scan: a dir rewritten
+    # mid-fold then reads as drifted at probe time (fail-closed) —
+    # recording post-scan signatures would bless post-rewrite layouts
+    # against pre-rewrite counts, the exact corruption the signatures
+    # exist to catch.
+    dirs, all_sigs = committed_tag_dirs(
+        spark, state_loc, None, with_signatures=True
+    )
     if not dirs:
         raise ValueError(
             f"no committed batch_tag dirs under {state_loc} — nothing "
@@ -539,6 +523,8 @@ def materialize_window_count_table(
                 f"up_to_tag={up_to_tag!r} excludes every committed "
                 f"batch_tag dir under {state_loc} — nothing to fold"
             )
+    tags = sorted(d.rsplit("/", 1)[1] for d in dirs)
+    tag_sigs = {t: all_sigs[t] for t in tags}
     folded = (
         spark.read.parquet(*dirs)
         .groupBy("gh")
@@ -547,9 +533,6 @@ def materialize_window_count_table(
     write_bucketed_table(
         folded, table, ["gh"], num_buckets=num_buckets, sort_cols=["gh"]
     )
-    tags = sorted(d.rsplit("/", 1)[1] for d in dirs)
-    all_sigs = _tag_dir_signatures(spark, state_loc)
-    tag_sigs = {t: all_sigs[t] for t in tags}
     fold_id = hashlib.md5(
         _json.dumps(tag_sigs, sort_keys=True).encode()
     ).hexdigest()
@@ -560,6 +543,12 @@ def materialize_window_count_table(
     )
     dfs = DFS(spark)
     sidecar = state_loc.rstrip("/") + "/_folded_tags.json"
+    # sweep tmp litter earlier crashed folds left (nothing else ever
+    # reclaims these — they are invisible to committed listings and to
+    # the batch_tag swap recovery)
+    for entry in dfs.list_entries(state_loc.rstrip("/")):
+        if entry.startswith("_folded_tags.json.__tmp_"):
+            dfs.delete(f"{state_loc.rstrip('/')}/{entry}")
     tmp = sidecar + f".__tmp_{fold_id[:8]}"
     dfs.write_text(
         tmp,
@@ -574,11 +563,18 @@ def materialize_window_count_table(
         ),
     )
     # rename-over is not atomic on HDFS semantics (dst must not
-    # exist), so delete-then-rename: the worst crash leaves NO sidecar
-    # — the probe's 'run fold_state first' refusal, never a truncated
-    # JSON that would crash parsing without a remediation
+    # exist), so delete-then-rename — the worst crash leaves NO
+    # sidecar, which probes as 'run fold_state first', never a
+    # truncated JSON. Hadoop signals failure by RETURNING false, not
+    # raising: an unchecked failed rename here would report the fold
+    # green while leaving no sidecar behind.
     dfs.delete(sidecar)
-    dfs.rename(tmp, sidecar)
+    if not dfs.rename(tmp, sidecar):
+        raise IOError(
+            f"renaming {tmp} over {sidecar} failed — the fold's table "
+            "is committed but its sidecar is not; re-run fold_state "
+            "(probes refuse with 'run fold_state first' until then)"
+        )
 
 
 def read_fold_sidecar(spark, state_loc: str, table: str) -> dict:
@@ -679,8 +675,8 @@ def window_count_state(
     refused too: the probe would otherwise silently admit duplicates
     the replay added and over-scrub against windows it removed, until
     the next fold happened to run."""
-    dirs = committed_tag_dirs(spark, state_loc, own_tag)
     if state_table is None:
+        dirs = committed_tag_dirs(spark, state_loc, own_tag)
         return (
             spark.read.parquet(*dirs).select("gh", "cnt")
             if dirs
@@ -688,6 +684,14 @@ def window_count_state(
         )
     from m3d_engine_spark.config import ConfigError
 
+    # ONE recursive listing serves both the dir classification and the
+    # drift signatures — the probe runs nightly (and per micro-batch
+    # on the streaming twin), where a second listing of a year of tags
+    # is exactly the object-store RPC storm committed_tag_dirs exists
+    # to avoid
+    dirs, now_sigs = committed_tag_dirs(
+        spark, state_loc, own_tag, with_signatures=True
+    )
     meta = read_fold_sidecar(spark, state_loc, state_table)
     folded = set(meta.get("tags", []))
     if own_tag is not None and f"batch_tag={own_tag}" in folded:
@@ -699,20 +703,29 @@ def window_count_state(
             "Fold only COMPLETED tags (fold_up_to), or re-run this "
             "batch without state_table"
         )
-    fold_sigs = meta.get("tag_sigs", {})
-    now_sigs = _tag_dir_signatures(spark, state_loc)
+    if "tag_sigs" not in meta:
+        raise ConfigError(
+            f"the fold sidecar under {state_loc} predates per-tag "
+            "content signatures, so drift of folded dirs cannot be "
+            "verified — re-run fold_state once to rewrite it"
+        )
+    fold_sigs = meta["tag_sigs"]
+    # != over .get on BOTH sides: a folded dir DELETED since the fold
+    # (now_sigs missing) is the same staleness class as a rewrite —
+    # the table still serves its pre-summed counts while the dirs
+    # (the declared source of truth) no longer hold it
     drifted = sorted(
-        t for t in folded
-        if t in now_sigs and fold_sigs.get(t) != now_sigs[t]
+        t for t in folded if fold_sigs.get(t) != now_sigs.get(t)
     )
     if drifted:
         raise ConfigError(
             f"folded tag dir(s) {drifted} under {state_loc} were "
-            "rewritten AFTER the fold into "
-            f"{state_table} (replay or compaction — the content "
-            "signatures no longer match the fold sidecar's): the "
-            "table's pre-summed counts for them are stale. Re-run "
-            "fold_state before probing through the table"
+            "rewritten or deleted AFTER the fold into "
+            f"{state_table} (their content signatures no longer match "
+            "the fold sidecar's — replay, compaction, or retention "
+            "sweep): the table's pre-summed counts for them are "
+            "stale. Re-run fold_state before probing through the "
+            "table"
         )
     unfolded = [d for d in dirs if d.rsplit("/", 1)[1] not in folded]
     state = spark.table(state_table).select("gh", "cnt")
@@ -1049,8 +1062,11 @@ def _validated_batch_tag(params) -> str:
 
 
 def committed_tag_dirs(
-    spark, state_loc: str, own_tag: "str | None"
-) -> list:
+    spark,
+    state_loc: str,
+    own_tag: "str | None",
+    with_signatures: bool = False,
+) -> "list | tuple[list, dict]":
     """First-level ``batch_tag=<tag>`` dirs of a tagged state holding
     at least one COMMITTED data file, excluding the batch's OWN tag
     (pass ``own_tag=None`` for all of them — the maintenance-fold
@@ -1064,8 +1080,12 @@ def committed_tag_dirs(
     is NOT swallowed anywhere downstream — the batch must fail and
     retry, not silently scrub against partial state. One recursive
     listing regardless of tag count (a year of nightly tags must not
-    cost 365 sequential FS probes on an object store). Shared by the
-    batch CLIs and the streaming span-dedup step.
+    cost 365 sequential FS probes on an object store); with
+    ``with_signatures=True`` the SAME listing additionally yields
+    ``{dir_name: content signature}`` over every committed tag dir
+    (own tag included) and the return becomes ``(paths, sigs)`` — the
+    fold/probe drift detector, never a second racy pass. Shared by
+    the batch CLIs and the streaming span-dedup step.
 
     Three non-tag shapes are classified, not lumped together:
 
@@ -1090,7 +1110,8 @@ def committed_tag_dirs(
 
     base = state_loc.rstrip("/")
     dirs, swap, flat = set(), set(), []
-    for rel, _ in DFS(spark).committed_files(base):
+    per_dir: "dict[str, list[str]]" = {}
+    for rel, size in DFS(spark).committed_files(base):
         head = rel.split("/", 1)[0]
         if "/" not in rel:
             flat.append(rel)
@@ -1100,6 +1121,7 @@ def committed_tag_dirs(
             swap.add(head)
         else:
             dirs.add(head)
+            per_dir.setdefault(head, []).append(f"{rel}:{size}")
     if flat:
         raise ConfigError(
             f"state_location {state_loc} holds committed files at the "
@@ -1123,7 +1145,26 @@ def committed_tag_dirs(
             )
     if own_tag is not None:
         dirs.discard(f"batch_tag={own_tag}")
-    return [f"{base}/{d}" for d in sorted(dirs)]
+    paths = [f"{base}/{d}" for d in sorted(dirs)]
+    if not with_signatures:
+        return paths
+    # Per-tag-dir content signatures from the SAME listing the
+    # classification used (never a second racy pass): md5 of the
+    # sorted committed (relpath, size) list. A replay or compaction
+    # rewrites a dir's part files (new task-uuid names), so the
+    # signature changes whenever the dir's bytes could have — the
+    # cheap drift detector the fold sidecar and the ``state_table``
+    # probe share (reading the data to hash it would cost the state
+    # scan the fold exists to avoid). Covers ALL committed tag dirs,
+    # including the excluded own tag — callers compare against the
+    # fold's recorded subset.
+    import hashlib
+
+    sigs = {
+        d: hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()
+        for d, entries in per_dir.items()
+    }
+    return paths, sigs
 
 
 # the pre-promotion private name, kept so in-flight callers/tests keep
@@ -1613,7 +1654,7 @@ class ExactSubstrDedupAlgorithm(Algorithm):
                 )
             for bad in ("source_location", "source_table", "batch_tag",
                         "target_location", "target_table", "state_table",
-                        "state_buckets", "span_tokens",
+                        "state_buckets", "fold_up_to", "span_tokens",
                         "min_occurrences", "initial_gram", "load_mode",
                         "id_column", "text_column"):
                 if p.has(bad):
@@ -1650,6 +1691,17 @@ class ExactSubstrDedupAlgorithm(Algorithm):
                         "the bucketed table — drop it"
                     )
             p.get_optional_int("state_buckets", 32, minimum=1)
+            if p.has("fold_up_to") and not isinstance(
+                p.get_optional("fold_up_to"), str
+            ):
+                # {"fold_up_to": true} would str() to "True", which
+                # sorts ABOVE every date tag and silently folds
+                # everything — the opposite of the cutoff's purpose
+                raise ConfigError(
+                    "fold_up_to must be a string tag cutoff (e.g. the "
+                    "last completed nightly date, '2026-08-09'), got "
+                    f"{p.get_optional('fold_up_to')!r}"
+                )
             return
         _require_state_for_compaction(p)
         _recover_state_swaps_early(self.spark, p)
@@ -1660,6 +1712,12 @@ class ExactSubstrDedupAlgorithm(Algorithm):
                 "state_buckets applies to action='fold_state' only "
                 "(the fold's bucket count; the probe side adopts the "
                 "table's layout) — drop it"
+            )
+        if p.has("fold_up_to"):
+            raise ConfigError(
+                "fold_up_to applies to action='fold_state' only (the "
+                "completed-tag cutoff; the probe reads whatever the "
+                "fold's sidecar recorded) — drop it"
             )
         if p.has("state_table") and not (
             p.has("state_location") and p.has("batch_tag")

@@ -258,7 +258,7 @@ def test_folded_dir_rewritten_after_fold_rejected(spark, tmp_path):
     ).write.mode("overwrite").parquet(state + "/batch_tag=n1")
     src = str(tmp_path / "src_after_drift")
     spark.createDataFrame(B4, SCHEMA).write.parquet(src)
-    with pytest.raises(ConfigError, match="rewritten AFTER the fold"):
+    with pytest.raises(ConfigError, match="rewritten or deleted AFTER"):
         REGISTRY["ExactSubstrDedup"](spark, ParamsFile({
             "source_location": src,
             "state_location": state,
@@ -312,6 +312,69 @@ def test_qualified_table_name_and_dropped_table(spark, tmp_path):
     )
     with pytest.raises(ConfigError, match="not parseable"):
         read_fold_sidecar(spark, state, "wc_qual")
+
+
+def test_folded_dir_deleted_after_fold_rejected(spark, tmp_path):
+    """A folded dir DELETED since the fold (retention sweep) is the
+    same staleness class as a rewrite: the table still serves its
+    counts while the dirs — the declared source of truth — no longer
+    hold it. Refused, not skipped."""
+    from m3d_engine_spark.operators.suffix import window_count_state
+
+    state = _seed_state(spark, tmp_path, "state_del")
+    _fold(spark, state, "wc_del", num_buckets=2)
+    shutil.rmtree(state + "/batch_tag=n1")
+    with pytest.raises(ConfigError, match="rewritten or deleted"):
+        window_count_state(spark, state, "n9", state_table="wc_del")
+
+
+def test_sidecar_without_tag_sigs_rejected(spark, tmp_path):
+    """A sidecar predating the content signatures cannot prove the
+    folded dirs are undrifted — refused with the re-fold remediation,
+    never misdiagnosed as a replay."""
+    from m3d_engine_spark.operators.suffix import window_count_state
+
+    state = _seed_state(spark, tmp_path, "state_presig")
+    _fold(spark, state, "wc_presig", num_buckets=2)
+    sidecar = json.loads(
+        DFS(spark).read_text(state + "/_folded_tags.json")
+    )
+    del sidecar["tag_sigs"]
+    DFS(spark).write_text(
+        state + "/_folded_tags.json", json.dumps(sidecar)
+    )
+    with pytest.raises(ConfigError, match="predates"):
+        window_count_state(spark, state, "n9", state_table="wc_presig")
+
+
+def test_fold_sweeps_tmp_sidecar_litter(spark, tmp_path):
+    """A crashed fold's _folded_tags.json.__tmp_* orphan is reclaimed
+    by the next fold — nothing else ever lists it."""
+    state = _seed_state(spark, tmp_path, "state_litter")
+    litter = state + "/_folded_tags.json.__tmp_deadbeef"
+    DFS(spark).write_text(litter, "{\"half\": ")
+    _fold(spark, state, "wc_litter", num_buckets=2)
+    assert not DFS(spark).exists(litter)
+    assert DFS(spark).exists(state + "/_folded_tags.json")
+
+
+def test_fold_up_to_validation(spark, tmp_path):
+    """fold_up_to outside fold_state is the silent-no-op class
+    (refused), and a boolean typo would sort above every date tag and
+    fold everything (refused as non-string)."""
+    with pytest.raises(ConfigError, match="fold_up_to"):
+        REGISTRY["ExactSubstrDedup"](spark, ParamsFile({
+            "source_location": str(tmp_path / "never-read"),
+            "target_location": str(tmp_path / "out"),
+            "fold_up_to": "2026-08-09",
+        })).run()
+    with pytest.raises(ConfigError, match="string tag cutoff"):
+        REGISTRY["ExactSubstrDedup"](spark, ParamsFile({
+            "action": "fold_state",
+            "state_location": str(tmp_path / "s"),
+            "state_table": "wc_t",
+            "fold_up_to": True,
+        })).run()
 
 
 def test_streaming_span_state_table_requires_span_step(spark, tmp_path):
