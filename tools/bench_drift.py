@@ -5,7 +5,7 @@ weather indicator), and the >1.25x flag list that the quiet ONLY
 min-of-3 protocol then adjudicates.
 
 Usage: python tools/bench_drift.py NEW.json [REF_GIT_SPEC]
-  REF_GIT_SPEC defaults to 6b6f6e1:BENCH_FULL.json (the r15 artifact
+  REF_GIT_SPEC defaults to 9ca8228:BENCH_FULL.json (the r16 artifact
   of record, 368.7 s / 210, post-warmup; see the BASELINE.md round-15 ledger).
   NOTE for r16 adjudication: bench.py r15 adds a documents-reader
   warmup, so the r15 artifact's rotation-front entries carry ~1.3 s
@@ -30,7 +30,7 @@ def load(spec: str) -> dict:
 
 def main() -> int:
     new_spec = sys.argv[1] if len(sys.argv) > 1 else "BENCH_FULL.json"
-    ref_spec = sys.argv[2] if len(sys.argv) > 2 else "6b6f6e1:BENCH_FULL.json"
+    ref_spec = sys.argv[2] if len(sys.argv) > 2 else "9ca8228:BENCH_FULL.json"
     new, ref = load(new_spec)["queries"], load(ref_spec)["queries"]
     shared = sorted(set(new) & set(ref))
     ratios = {q: new[q] / ref[q] for q in shared if ref[q] > 0}
