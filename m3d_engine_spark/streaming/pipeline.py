@@ -999,6 +999,105 @@ class StreamingAppendLoadAlgorithm(Algorithm):
         query.awaitTermination()
 
 
+@register("StreamingNightlyIngest")
+class StreamingNightlyIngestAlgorithm(Algorithm):
+    """The full nightly ingest — incremental dedup → benchmark scrub →
+    optional ExactSubstr span dedup, ONE foreachBatch — as a
+    params-driven acon, the streaming twin of
+    ``examples/nightly_ingest.json`` runnable the same way every other
+    algorithm is:
+
+        python -m m3d_engine_spark StreamingNightlyIngest params.json
+
+    One ``availableNow`` run per invocation: files that landed in
+    ``source_dir`` since the last checkpoint are deduplicated against
+    the accepted corpus, survivors are scrubbed against the
+    materialized probe-gram artifact, and (with the span step enabled)
+    span-deduped against the additive window-count state — exactly
+    :func:`streaming_nightly_ingest`'s contract, including replay
+    idempotency and the batch_id-as-state-tag retry exclusion.
+
+    Config: source_dir, schema (Spark JSON — streams cannot infer),
+    file_format ("parquet"), accepted_location,
+    probe_artifact_location, target_location, checkpoint_location;
+    id_column ("doc_id") / text_column ("text"); span_tokens (the
+    shared artifact-sidecar contract — omit to adopt the sidecar);
+    dedup dials threshold / num_hashes / bands / shingle_n. Span
+    step (all-or-nothing): span_state_location + final_location
+    TOGETHER, plus optional span_dedup_tokens / span_min_occurrences
+    (shared integer guard) and span_state_table (probe through the
+    gh-bucketed fold — ``window_count_state``'s contract). Span dials
+    without the step are refused in prepare() (the silent config
+    no-op class), as is half the location pair."""
+
+    def prepare(self) -> None:
+        from m3d_engine_spark.config import ConfigError
+
+        p = self.params
+        has_state = p.has("span_state_location")
+        has_final = p.has("final_location")
+        if has_state != has_final:
+            raise ConfigError(
+                "span_state_location and final_location enable the "
+                "span-dedup step TOGETHER (one is the window-count "
+                "state, the other the step's output root) — set both "
+                "or neither"
+            )
+        if not has_state:
+            for bad in ("span_dedup_tokens", "span_min_occurrences",
+                        "span_state_table"):
+                if p.has(bad):
+                    raise ConfigError(
+                        f"{bad} parameterizes the span-dedup step and "
+                        "does nothing without span_state_location + "
+                        "final_location — enable the step or drop it"
+                    )
+        # shared garbage/boolean guards, fail before any read
+        p.get_optional_int("span_dedup_tokens", 8, minimum=1)
+        p.get_optional_int("span_min_occurrences", 2, minimum=2)
+
+    def read(self) -> list:
+        return []
+
+    def transform(self, dfs: list) -> list:
+        return []
+
+    def write(self, dfs: list) -> None:
+        p = self.params
+        schema = StructType.fromJson(p.get_map("schema"))
+        stream = (
+            self.spark.readStream.schema(schema)
+            .format(p.get_optional("file_format", "parquet"))
+            .load(p.get_string("source_dir"))
+        )
+        dedup_kwargs = {
+            k: p.get_optional(k)
+            for k in ("threshold", "num_hashes", "bands", "shingle_n")
+            if p.has(k)
+        }
+        query = streaming_nightly_ingest(
+            stream,
+            p.get_string("accepted_location"),
+            p.get_string("probe_artifact_location"),
+            p.get_string("target_location"),
+            p.get_string("checkpoint_location"),
+            id_col=p.get_optional("id_column", "doc_id"),
+            text_col=p.get_optional("text_column", "text"),
+            span_tokens=p.get_optional("span_tokens"),
+            span_state_path=p.get_optional("span_state_location"),
+            final_path=p.get_optional("final_location"),
+            span_dedup_tokens=p.get_optional_int(
+                "span_dedup_tokens", 8, minimum=1
+            ),
+            span_min_occurrences=p.get_optional_int(
+                "span_min_occurrences", 2, minimum=2
+            ),
+            span_state_table=p.get_optional("span_state_table"),
+            **dedup_kwargs,
+        )
+        query.awaitTermination()
+
+
 def transition_census_batch(
     batch: DataFrame,
     batch_id: int,
