@@ -1030,12 +1030,19 @@ class StreamingNightlyIngestAlgorithm(Algorithm):
     without the step are refused in prepare() (the silent config
     no-op class), as is half the location pair."""
 
+    def _set(self, key: str) -> bool:
+        # JSON null is how acons 'comment a key out' — a null-valued
+        # key must behave exactly like an absent one, or the refusal
+        # surface below silently diverges from the library's
+        # value-is-None semantics
+        return self.params.get_optional(key) is not None
+
     def prepare(self) -> None:
         from m3d_engine_spark.config import ConfigError
 
         p = self.params
-        has_state = p.has("span_state_location")
-        has_final = p.has("final_location")
+        has_state = self._set("span_state_location")
+        has_final = self._set("final_location")
         if has_state != has_final:
             raise ConfigError(
                 "span_state_location and final_location enable the "
@@ -1046,15 +1053,32 @@ class StreamingNightlyIngestAlgorithm(Algorithm):
         if not has_state:
             for bad in ("span_dedup_tokens", "span_min_occurrences",
                         "span_state_table"):
-                if p.has(bad):
+                if self._set(bad):
                     raise ConfigError(
                         f"{bad} parameterizes the span-dedup step and "
                         "does nothing without span_state_location + "
                         "final_location — enable the step or drop it"
                     )
-        # shared garbage/boolean guards, fail before any read
-        p.get_optional_int("span_dedup_tokens", 8, minimum=1)
-        p.get_optional_int("span_min_occurrences", 2, minimum=2)
+        # shared garbage/boolean guards for EVERY integer dial, fail
+        # before any read — {"num_hashes": true} would range() to one
+        # hash and silently gut LSH candidate generation, permanently
+        # admitting duplicates into the stateful accepted corpus;
+        # null-valued dials read as absent, like every key here
+        for dial, lo in (("span_dedup_tokens", 1),
+                         ("span_min_occurrences", 2),
+                         ("num_hashes", 1), ("bands", 1),
+                         ("shingle_n", 1), ("span_tokens", 1)):
+            if self._set(dial):
+                p.get_optional_int(dial, lo, minimum=lo)
+        if self._set("threshold"):
+            t = p.get_optional("threshold")
+            if isinstance(t, bool) or not isinstance(t, (int, float)) \
+                    or not (0 < t <= 1):
+                raise ConfigError(
+                    f"threshold must be a number in (0, 1], got {t!r} "
+                    "(the Jaccard similarity above which a batch doc "
+                    "counts as a duplicate)"
+                )
 
     def read(self) -> list:
         return []
@@ -1070,11 +1094,12 @@ class StreamingNightlyIngestAlgorithm(Algorithm):
             .format(p.get_optional("file_format", "parquet"))
             .load(p.get_string("source_dir"))
         )
-        dedup_kwargs = {
-            k: p.get_optional(k)
-            for k in ("threshold", "num_hashes", "bands", "shingle_n")
-            if p.has(k)
-        }
+        dedup_kwargs = {}
+        if self._set("threshold"):
+            dedup_kwargs["threshold"] = float(p.get_optional("threshold"))
+        for k in ("num_hashes", "bands", "shingle_n"):
+            if self._set(k):
+                dedup_kwargs[k] = p.get_optional_int(k, 1, minimum=1)
         query = streaming_nightly_ingest(
             stream,
             p.get_string("accepted_location"),
@@ -1083,14 +1108,20 @@ class StreamingNightlyIngestAlgorithm(Algorithm):
             p.get_string("checkpoint_location"),
             id_col=p.get_optional("id_column", "doc_id"),
             text_col=p.get_optional("text_column", "text"),
-            span_tokens=p.get_optional("span_tokens"),
+            span_tokens=(
+                p.get_optional_int("span_tokens", 8, minimum=1)
+                if self._set("span_tokens")
+                else None
+            ),
             span_state_path=p.get_optional("span_state_location"),
             final_path=p.get_optional("final_location"),
-            span_dedup_tokens=p.get_optional_int(
-                "span_dedup_tokens", 8, minimum=1
+            span_dedup_tokens=(
+                p.get_optional_int("span_dedup_tokens", 8, minimum=1)
+                if self._set("span_dedup_tokens") else 8
             ),
-            span_min_occurrences=p.get_optional_int(
-                "span_min_occurrences", 2, minimum=2
+            span_min_occurrences=(
+                p.get_optional_int("span_min_occurrences", 2, minimum=2)
+                if self._set("span_min_occurrences") else 2
             ),
             span_state_table=p.get_optional("span_state_table"),
             **dedup_kwargs,

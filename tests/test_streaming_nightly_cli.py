@@ -131,3 +131,29 @@ def test_prepare_refuses_half_configured_span_step(spark, tmp_path):
             "final_location": str(tmp_path / "fin"),
             "span_min_occurrences": 1,  # would delete every window
         })).run()
+    # JSON null is 'commented out' — null-valued keys behave exactly
+    # like absent ones on BOTH sides of every guard
+    with pytest.raises(ConfigError, match="span_dedup_tokens"):
+        REGISTRY["StreamingNightlyIngest"](spark, ParamsFile({
+            **base,
+            "span_state_location": None,
+            "final_location": None,
+            "span_dedup_tokens": 4,
+        })).run()
+    with pytest.raises(ConfigError, match="TOGETHER"):
+        REGISTRY["StreamingNightlyIngest"](spark, ParamsFile({
+            **base,
+            "span_state_location": str(tmp_path / "ws"),
+            "final_location": None,
+        })).run()
+    # typo'd dedup dials fail in prepare(), naming the key — a boolean
+    # num_hashes would silently gut LSH candidate generation
+    with pytest.raises(ConfigError, match="num_hashes"):
+        REGISTRY["StreamingNightlyIngest"](spark, ParamsFile({
+            **base, "num_hashes": True,
+        })).run()
+    for bad in (True, 1.5, "hot"):
+        with pytest.raises(ConfigError, match="threshold"):
+            REGISTRY["StreamingNightlyIngest"](spark, ParamsFile({
+                **base, "threshold": bad,
+            })).run()

@@ -6,11 +6,12 @@ min-of-3 protocol then adjudicates.
 
 Usage: python tools/bench_drift.py NEW.json [REF_GIT_SPEC]
   REF_GIT_SPEC defaults to 9ca8228:BENCH_FULL.json (the r16 artifact
-  of record, 368.7 s / 210, post-warmup; see the BASELINE.md round-15 ledger).
-  NOTE for r16 adjudication: bench.py r15 adds a documents-reader
-  warmup, so the r15 artifact's rotation-front entries carry ~1.3 s
-  of cold-start the next sweep will not — front-entry ratios < 1 are
-  the warmup, not a code win.
+  of record, 312.4 s / 210, post-warmup; see the BASELINE.md
+  round-16 adjudication ledger). NOTE for r17 adjudication: the r16
+  artifact was swept in a FAST host window (median ratio 0.812 vs
+  r15), so a next-sweep median noticeably above 1.0 is likely host
+  weather reverting — judge flags against the in-sweep median, per
+  the standing rule, before touching code.
 """
 
 import json
