@@ -54,6 +54,7 @@ def _simulate_crashed_flat_compaction(spark, state):
 
 
 # ---------------------------------- flat layout: recovery BEFORE read
+@pytest.mark.slow
 def test_flat_state_crashed_compaction_recovers_before_read(
     spark, tmp_path
 ):
@@ -108,6 +109,7 @@ def test_flat_state_missing_with_backup_refuses_empty_read(
 
 
 # -------------------------------- tagged layout: the re-run now works
+@pytest.mark.slow
 def test_tagged_orphan_backup_rerun_with_compaction_succeeds(
     spark, tmp_path
 ):

@@ -203,6 +203,7 @@ def test_state_table_without_fold_sidecar_rejected(spark, tmp_path):
         })).run()
 
 
+@pytest.mark.slow
 def test_fold_sidecar_crossed_or_crashed_rejected(spark, tmp_path):
     """A sidecar naming a different table (config mixup) and a
     fold-id mismatch (a fold died between table write and sidecar
@@ -225,6 +226,7 @@ def test_fold_sidecar_crossed_or_crashed_rejected(spark, tmp_path):
         read_fold_sidecar(spark, state, "wc_crossed")
 
 
+@pytest.mark.slow
 def test_replay_of_folded_batch_rejected(spark, tmp_path):
     """A batch whose OWN tag is already folded cannot be replayed
     through state_table: its counts sit pre-summed in the table where
@@ -243,6 +245,7 @@ def test_replay_of_folded_batch_rejected(spark, tmp_path):
         })).run()
 
 
+@pytest.mark.slow
 def test_folded_dir_rewritten_after_fold_rejected(spark, tmp_path):
     """The review finding: a folded tag dir replayed (or compacted)
     AFTER the fold leaves the table's pre-summed counts stale — the
@@ -293,6 +296,7 @@ def test_fold_up_to_leaves_recent_tags_unfolded(spark, tmp_path):
         _fold(spark, state_b, "wc_cut_none", up_to_tag="a")
 
 
+@pytest.mark.slow
 def test_qualified_table_name_and_dropped_table(spark, tmp_path):
     """Qualified vs unqualified spellings of the fold table name are
     the same relation (no false refusal); a dropped table refuses
@@ -314,6 +318,7 @@ def test_qualified_table_name_and_dropped_table(spark, tmp_path):
         read_fold_sidecar(spark, state, "wc_qual")
 
 
+@pytest.mark.slow
 def test_folded_dir_deleted_after_fold_rejected(spark, tmp_path):
     """A folded dir DELETED since the fold (retention sweep) is the
     same staleness class as a rewrite: the table still serves its
@@ -328,6 +333,7 @@ def test_folded_dir_deleted_after_fold_rejected(spark, tmp_path):
         window_count_state(spark, state, "n9", state_table="wc_del")
 
 
+@pytest.mark.slow
 def test_sidecar_without_tag_sigs_rejected(spark, tmp_path):
     """A sidecar predating the content signatures cannot prove the
     folded dirs are undrifted — refused with the re-fold remediation,
@@ -347,6 +353,7 @@ def test_sidecar_without_tag_sigs_rejected(spark, tmp_path):
         window_count_state(spark, state, "n9", state_table="wc_presig")
 
 
+@pytest.mark.slow
 def test_fold_sweeps_tmp_sidecar_litter(spark, tmp_path):
     """A crashed fold's _folded_tags.json.__tmp_* orphan is reclaimed
     by the next fold — nothing else ever lists it."""
