@@ -491,20 +491,70 @@ def materialize_window_count_table(
     pre-summed counts for it are stale), so every inconsistent shape
     reads as 're-run fold_state', never as silently double-, under-,
     or stale-counted state."""
-    import hashlib
-    import json as _json
-
+    dirs, tags, tag_sigs = _select_fold_dirs(spark, state_loc, up_to_tag)
+    folded = (
+        spark.read.parquet(*dirs)
+        .groupBy("gh")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
     from m3d_engine_spark.sources.bucketing import write_bucketed_table
-    from m3d_engine_spark.sources.dfs import DFS
 
-    # committed tag dirs only (own_tag=None = fold everything): root
-    # partition discovery would adopt crashed-compaction swap dirs as
-    # tag VALUES and double-count their rows. Signatures come from the
-    # SAME listing, captured BEFORE the fold scan: a dir rewritten
-    # mid-fold then reads as drifted at probe time (fail-closed) —
-    # recording post-scan signatures would bless post-rewrite layouts
-    # against pre-rewrite counts, the exact corruption the signatures
-    # exist to catch.
+    write_bucketed_table(
+        folded, table, ["gh"], num_buckets=num_buckets, sort_cols=["gh"]
+    )
+    _commit_fold(
+        spark, state_loc, table, tags, tag_sigs, "window_count_fold"
+    )
+
+
+def materialize_scrubbed_ids_table(
+    spark,
+    state_loc: str,
+    table: str,
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+    up_to_tag: "str | None" = None,
+) -> None:
+    """The scrubbed-ids sibling of :func:`materialize_window_count_table`
+    — the 100 TB deployment shape for the Decontaminate incremental
+    state. The nightly scrub anti-joins the batch against EVERY id the
+    lake ever accepted (one row per accepted doc — at lake scale the
+    id relation itself is lake-sized and exchanges every night).
+    Folding the TAGGED id state into a table bucketed (and sorted) on
+    the id column makes the anti-join's state side exchange-free, and
+    the not-yet-folded tag dirs — recent-batch-sized — chain as a
+    second, broadcastable anti-join (``train ANTI (A ∪ B)`` ==
+    ``(train ANTI A) ANTI B``, the rewrite the CLI applies; a plain
+    union of table + dirs would destroy the bucketed distribution).
+    Same ``_folded_tags.json`` commit protocol, sidecar kind
+    ``scrubbed_ids_fold``; same ``up_to_tag`` 'completed tags'
+    cutoff; same drift refusals at probe time. Tagged layout only —
+    the flat append state has no per-batch dirs to sign, and its
+    deployments are the never-replay orchestrators that should
+    migrate to tags before scaling anyway."""
+    dirs, tags, tag_sigs = _select_fold_dirs(spark, state_loc, up_to_tag)
+    folded = spark.read.parquet(*dirs).select(id_col).distinct()
+    from m3d_engine_spark.sources.bucketing import write_bucketed_table
+
+    write_bucketed_table(
+        folded, table, [id_col], num_buckets=num_buckets,
+        sort_cols=[id_col],
+    )
+    _commit_fold(
+        spark, state_loc, table, tags, tag_sigs, "scrubbed_ids_fold"
+    )
+
+
+def _select_fold_dirs(spark, state_loc: str, up_to_tag: "str | None"):
+    """The fold's input half, shared by both fold flavors: committed
+    tag dirs only (own_tag=None = fold everything — root partition
+    discovery would adopt crashed-compaction swap dirs as tag VALUES
+    and double-count their rows), the ``up_to_tag`` completed-tags
+    cutoff, and per-tag content signatures from the SAME listing,
+    captured BEFORE the fold scan: a dir rewritten mid-fold then reads
+    as drifted at probe time (fail-closed) — recording post-scan
+    signatures would bless post-rewrite layouts against pre-rewrite
+    contents, the exact corruption the signatures exist to catch."""
     dirs, all_sigs = committed_tag_dirs(
         spark, state_loc, None, with_signatures=True
     )
@@ -524,28 +574,38 @@ def materialize_window_count_table(
                 f"batch_tag dir under {state_loc} — nothing to fold"
             )
     tags = sorted(d.rsplit("/", 1)[1] for d in dirs)
-    tag_sigs = {t: all_sigs[t] for t in tags}
-    folded = (
-        spark.read.parquet(*dirs)
-        .groupBy("gh")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
-    write_bucketed_table(
-        folded, table, ["gh"], num_buckets=num_buckets, sort_cols=["gh"]
-    )
+    return dirs, tags, {t: all_sigs[t] for t in tags}
+
+
+def _commit_fold(
+    spark, state_loc: str, table: str, tags: list, tag_sigs: dict,
+    kind: str,
+) -> None:
+    """The fold's commit half, shared by both fold flavors: fold-id
+    from the signature map, the ``m3d.fold_id`` table property, and
+    the sidecar — temp-write + rename so a crash mid-write can never
+    leave a half-truncated JSON, with earlier crashed folds' tmp
+    litter swept (nothing else ever reclaims it). Rename-over is not
+    atomic on HDFS semantics (dst must not exist), so
+    delete-then-rename — the worst crash leaves NO sidecar, which
+    probes as 'run fold_state first'. Hadoop signals failure by
+    RETURNING false, not raising: an unchecked failed rename would
+    report the fold green while leaving no sidecar behind."""
+    import hashlib
+    import json as _json
+
+    from m3d_engine_spark.sources.dfs import DFS
+
     fold_id = hashlib.md5(
         _json.dumps(tag_sigs, sort_keys=True).encode()
     ).hexdigest()
     spark.sql(
         f"ALTER TABLE {table} SET TBLPROPERTIES "
         f"('m3d.fold_id' = '{fold_id}', "
-        "'m3d.kind' = 'window_count_fold')"
+        f"'m3d.kind' = '{kind}')"
     )
     dfs = DFS(spark)
     sidecar = state_loc.rstrip("/") + "/_folded_tags.json"
-    # sweep tmp litter earlier crashed folds left (nothing else ever
-    # reclaims these — they are invisible to committed listings and to
-    # the batch_tag swap recovery)
     for entry in dfs.list_entries(state_loc.rstrip("/")):
         if entry.startswith("_folded_tags.json.__tmp_"):
             dfs.delete(f"{state_loc.rstrip('/')}/{entry}")
@@ -554,7 +614,7 @@ def materialize_window_count_table(
         tmp,
         _json.dumps(
             {
-                "kind": "window_count_fold",
+                "kind": kind,
                 "table": table,
                 "fold_id": fold_id,
                 "tags": tags,
@@ -562,12 +622,6 @@ def materialize_window_count_table(
             }
         ),
     )
-    # rename-over is not atomic on HDFS semantics (dst must not
-    # exist), so delete-then-rename — the worst crash leaves NO
-    # sidecar, which probes as 'run fold_state first', never a
-    # truncated JSON. Hadoop signals failure by RETURNING false, not
-    # raising: an unchecked failed rename here would report the fold
-    # green while leaving no sidecar behind.
     dfs.delete(sidecar)
     if not dfs.rename(tmp, sidecar):
         raise IOError(
@@ -577,7 +631,10 @@ def materialize_window_count_table(
         )
 
 
-def read_fold_sidecar(spark, state_loc: str, table: str) -> dict:
+def read_fold_sidecar(
+    spark, state_loc: str, table: str,
+    kind: str = "window_count_fold",
+) -> dict:
     """The ``state_table`` probe source's adoption contract: return
     the parsed ``_folded_tags.json`` sidecar
     :func:`materialize_window_count_table` committed (``tags`` — the
@@ -613,6 +670,13 @@ def read_fold_sidecar(spark, state_loc: str, table: str) -> dict:
             f"{path} is not parseable JSON ({exc}) — the sidecar is "
             "corrupt; re-run fold_state to rewrite it"
         ) from exc
+    if meta.get("kind") != kind:
+        raise ConfigError(
+            f"{path} records a {meta.get('kind')!r} fold, but this "
+            f"probe expects {kind!r} — the state_location points at a "
+            "different state family's dir (window counts vs scrubbed "
+            "ids); fix the config"
+        )
     if not _same_table(str(meta.get("table")), table):
         raise ConfigError(
             f"{path} records a fold into table "
@@ -682,26 +746,54 @@ def window_count_state(
             if dirs
             else None
         )
+    unfolded = fold_probe_unfolded(
+        spark, state_loc, own_tag, state_table, "window_count_fold"
+    )
+    state = spark.table(state_table).select("gh", "cnt")
+    if unfolded:
+        state = state.unionByName(
+            spark.read.parquet(*unfolded).select("gh", "cnt")
+        )
+    return state
+
+
+def fold_probe_unfolded(
+    spark,
+    state_loc: str,
+    own_tag: "str | None",
+    state_table: str,
+    kind: str,
+) -> list:
+    """The probe-side validation half both fold flavors share: read +
+    validate the sidecar (:func:`read_fold_sidecar` — missing/corrupt/
+    crossed/kind-mismatched sidecars, dropped tables, fold-id drift),
+    refuse a batch whose OWN tag is already folded (its contribution
+    sits pre-aggregated inside the table where the own-tag exclusion
+    cannot reach it — a replay would see its own windows/ids), refuse
+    folded dirs whose content signatures drifted (rewritten OR deleted
+    since the fold: the table serves stale pre-aggregated state while
+    the dirs — the declared source of truth — say otherwise), and
+    return the committed non-own tag dirs the table does NOT cover.
+    ONE recursive listing serves both the dir classification and the
+    drift signatures — the probe runs nightly (and per micro-batch on
+    the streaming twin), where a second listing of a year of tags is
+    exactly the object-store RPC storm committed_tag_dirs exists to
+    avoid."""
     from m3d_engine_spark.config import ConfigError
 
-    # ONE recursive listing serves both the dir classification and the
-    # drift signatures — the probe runs nightly (and per micro-batch
-    # on the streaming twin), where a second listing of a year of tags
-    # is exactly the object-store RPC storm committed_tag_dirs exists
-    # to avoid
     dirs, now_sigs = committed_tag_dirs(
         spark, state_loc, own_tag, with_signatures=True
     )
-    meta = read_fold_sidecar(spark, state_loc, state_table)
+    meta = read_fold_sidecar(spark, state_loc, state_table, kind)
     folded = set(meta.get("tags", []))
     if own_tag is not None and f"batch_tag={own_tag}" in folded:
         raise ConfigError(
             f"batch_tag={own_tag} is already folded into "
-            f"{state_table}: its counts cannot be excluded from the "
-            "pre-summed table, so re-running this batch through "
-            "state_table would count its own windows and over-scrub. "
-            "Fold only COMPLETED tags (fold_up_to), or re-run this "
-            "batch without state_table"
+            f"{state_table}: its contribution cannot be excluded from "
+            "the pre-aggregated table, so re-running this batch "
+            "through state_table would see its own prior state and "
+            "corrupt the output. Fold only COMPLETED tags "
+            "(fold_up_to), or re-run this batch without state_table"
         )
     if "tag_sigs" not in meta:
         raise ConfigError(
@@ -712,7 +804,7 @@ def window_count_state(
     fold_sigs = meta["tag_sigs"]
     # != over .get on BOTH sides: a folded dir DELETED since the fold
     # (now_sigs missing) is the same staleness class as a rewrite —
-    # the table still serves its pre-summed counts while the dirs
+    # the table still serves its pre-aggregated state while the dirs
     # (the declared source of truth) no longer hold it
     drifted = sorted(
         t for t in folded if fold_sigs.get(t) != now_sigs.get(t)
@@ -723,17 +815,11 @@ def window_count_state(
             "rewritten or deleted AFTER the fold into "
             f"{state_table} (their content signatures no longer match "
             "the fold sidecar's — replay, compaction, or retention "
-            "sweep): the table's pre-summed counts for them are "
+            "sweep): the table's pre-aggregated state for them is "
             "stale. Re-run fold_state before probing through the "
             "table"
         )
-    unfolded = [d for d in dirs if d.rsplit("/", 1)[1] not in folded]
-    state = spark.table(state_table).select("gh", "cnt")
-    if unfolded:
-        state = state.unionByName(
-            spark.read.parquet(*unfolded).select("gh", "cnt")
-        )
-    return state
+    return [d for d in dirs if d.rsplit("/", 1)[1] not in folded]
 
 
 def probe_gram_artifact(
@@ -1224,7 +1310,17 @@ class DecontaminateAlgorithm(Algorithm):
     re-run anti-joins its own ids out and overwrites the night's
     output with an empty frame, so the flat layout is only safe for
     orchestrators that never replay a succeeded run (the
-    crash-between-commits window is safe in both layouts)."""
+    crash-between-commits window is safe in both layouts).
+
+    Lake-scale probe (tagged mode only): ``state_table`` makes the
+    anti-join's state side the id-bucketed table ``action:
+    "fold_state"`` maintains (state_location + state_table +
+    state_buckets + fold_up_to — the scrubbed-ids sibling of the
+    ExactSubstrDedup window-count fold, same sidecar protocol and
+    drift refusals, :func:`materialize_scrubbed_ids_table`): the
+    lake-sized id relation stops shuffling every night, and the
+    not-yet-folded recent tags chain as a second broadcastable
+    anti-join."""
 
     def _mode(self) -> str:
         """Resolve the run mode, REJECTING ambiguous combinations — a
@@ -1234,6 +1330,16 @@ class DecontaminateAlgorithm(Algorithm):
         from m3d_engine_spark.config import ConfigError
 
         p = self.params
+        action = p.get_optional("action", "scrub")
+        if action == "fold_state":
+            return "fold_state"
+        if action != "scrub":
+            raise ConfigError(
+                f"unknown action {action!r} for Decontaminate: "
+                "expected 'scrub' (default — the four scrub/"
+                "materialize modes below) or 'fold_state' (fold the "
+                "tagged scrubbed-ids state into an id-bucketed table)"
+            )
         materialize = bool(p.get_optional("materialize_probe_artifact", False))
         artifact = p.has("probe_artifact_location")
         probe_corpus = p.has("probe_location") or p.has("probe_table")
@@ -1259,6 +1365,69 @@ class DecontaminateAlgorithm(Algorithm):
         # fail on ambiguous mode combos / a sidecar-less materialize
         # target BEFORE any data is read
         mode = self._mode()
+        p = self.params
+        if mode == "fold_state":
+            from m3d_engine_spark.config import ConfigError
+
+            if not (p.has("state_location") and p.has("state_table")):
+                raise ConfigError(
+                    "fold_state needs state_location (the TAGGED "
+                    "scrubbed-ids state to fold) and state_table (the "
+                    "id-bucketed metastore table to write)"
+                )
+            for bad in ("source_location", "source_table", "batch_tag",
+                        "target_location", "target_table",
+                        "probe_location", "probe_table",
+                        "probe_artifact_location",
+                        "materialize_probe_artifact",
+                        "compact_state_over_files", "span_tokens",
+                        "load_mode", "probe_id_column",
+                        "probe_text_column", "text_column"):
+                if p.has(bad):
+                    raise ConfigError(
+                        f"{bad} does not apply to action='fold_state': "
+                        "the fold reads the state dirs and writes only "
+                        "the bucketed table — drop it"
+                    )
+            p.get_optional_int("state_buckets", 32, minimum=1)
+            if p.has("fold_up_to") and not isinstance(
+                p.get_optional("fold_up_to"), str
+            ):
+                raise ConfigError(
+                    "fold_up_to must be a string tag cutoff (e.g. the "
+                    "last completed nightly date, '2026-08-09'), got "
+                    f"{p.get_optional('fold_up_to')!r}"
+                )
+            return
+        if p.has("state_buckets"):
+            from m3d_engine_spark.config import ConfigError
+
+            raise ConfigError(
+                "state_buckets applies to action='fold_state' only "
+                "(the fold's bucket count; the probe side adopts the "
+                "table's layout) — drop it"
+            )
+        if p.has("fold_up_to"):
+            from m3d_engine_spark.config import ConfigError
+
+            raise ConfigError(
+                "fold_up_to applies to action='fold_state' only (the "
+                "completed-tag cutoff; the probe reads whatever the "
+                "fold's sidecar recorded) — drop it"
+            )
+        if p.has("state_table") and not (
+            p.has("state_location") and p.has("batch_tag")
+        ):
+            from m3d_engine_spark.config import ConfigError
+
+            raise ConfigError(
+                "state_table (the folded scrubbed-ids probe source) "
+                "refines the TAGGED incremental mode and needs "
+                "state_location + batch_tag alongside it: the tag "
+                "dirs remain the retry-exclusion source of truth — "
+                "the table only replaces reading the dirs the fold "
+                "already covers"
+            )
         if mode == "materialize" and not self.params.has("target_location"):
             from m3d_engine_spark.config import ConfigError
 
@@ -1328,6 +1497,8 @@ class DecontaminateAlgorithm(Algorithm):
     def read(self) -> list[DataFrame]:
         p = self.params
         mode = self._mode()
+        if mode == "fold_state":
+            return []  # maintenance action: reads its own state dirs
         if mode == "artifact":
             return [
                 self._read_train(),
@@ -1346,10 +1517,12 @@ class DecontaminateAlgorithm(Algorithm):
 
     def transform(self, dfs: list[DataFrame]) -> list[DataFrame]:
         p = self.params
+        mode = self._mode()
+        if mode == "fold_state":
+            return []
         id_col = p.get_optional("id_column", "doc_id")
         text_col = p.get_optional("text_column", "text")
         L = _span_tokens_param(p)
-        mode = self._mode()
         if mode == "materialize":
             return [
                 probe_gram_artifact(
@@ -1374,7 +1547,33 @@ class DecontaminateAlgorithm(Algorithm):
             from m3d_engine_spark.sources.dfs import DFS as _DFS
 
             seen = None
-            if p.has("batch_tag"):
+            if p.has("batch_tag") and p.has("state_table"):
+                # The 100 TB probe shape: the id-bucketed fold table
+                # anti-joins FIRST (its side exchange-free — the
+                # lake-sized id relation never shuffles), then the
+                # not-yet-folded recent tag dirs chain as a second,
+                # broadcastable anti-join. train ANTI (A ∪ B) ==
+                # (train ANTI A) ANTI B — chaining instead of a union
+                # keeps the bucketed distribution usable (a union
+                # would destroy it). All fold-consistency refusals
+                # (sidecar, own-tag folded, drift) live in
+                # fold_probe_unfolded.
+                unfolded = fold_probe_unfolded(
+                    self.spark, state_loc, _validated_batch_tag(p),
+                    p.get_string("state_table"), "scrubbed_ids_fold",
+                )
+                train_df = train_df.join(
+                    self.spark.table(p.get_string("state_table"))
+                    .select(id_col),
+                    on=id_col, how="left_anti",
+                )
+                if unfolded:
+                    train_df = train_df.join(
+                        self.spark.read.parquet(*unfolded)
+                        .select(id_col),
+                        on=id_col, how="left_anti",
+                    )
+            elif p.has("batch_tag"):
                 # Tagged layout (opt-in, the ExactSubstrDedup state
                 # contract): per-batch overwrite dirs + OWN-TAG
                 # exclusion on read, so a re-run of an ALREADY RECORDED
@@ -1477,6 +1676,18 @@ class DecontaminateAlgorithm(Algorithm):
         from m3d_engine_spark.sources.writers import write_output
 
         p = self.params
+        if self._mode() == "fold_state":
+            materialize_scrubbed_ids_table(
+                self.spark,
+                p.get_string("state_location"),
+                p.get_string("state_table"),
+                id_col=p.get_optional("id_column", "doc_id"),
+                num_buckets=p.get_optional_int(
+                    "state_buckets", 32, minimum=1
+                ),
+                up_to_tag=p.get_optional("fold_up_to"),
+            )
+            return
         if self._mode() == "materialize":
             # prepare() guaranteed target_location (the _meta.json
             # sidecar needs a filesystem address)

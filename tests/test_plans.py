@@ -2100,3 +2100,90 @@ def test_state_table_probe_cli_plan_is_exchange_free(spark, tmp_path):
     # pushdown actually split the probe rather than shuffling the union
     assert simple.count("LeftSemi") >= 2, simple
     spark.sql("DROP TABLE wc_state_cli")
+
+
+def test_scrubbed_ids_table_probe_cli_plan_is_exchange_free(
+    spark, tmp_path
+):
+    """The Decontaminate sibling of the window-count probe pin: with
+    ``state_table`` set, the CLI-built scrub plan anti-joins the
+    id-bucketed fold FIRST — the lake-sized id relation reaches its
+    SortMergeJoin with no Exchange — and the not-yet-folded recent
+    tag dir chains as a second anti-join (the manual
+    ``train ANTI (A ∪ B) == (train ANTI A) ANTI B`` rewrite: a union
+    would have destroyed the bucketed distribution)."""
+    from conftest import drop_table_clean
+
+    from m3d_engine_spark.config import ParamsFile
+    from m3d_engine_spark.operators.base import REGISTRY
+    from m3d_engine_spark.operators.suffix import (
+        materialize_scrubbed_ids_table,
+    )
+
+    state_loc = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(i,) for i in range(50)], "doc_id int"
+    ).write.parquet(state_loc + "/batch_tag=n1")
+    drop_table_clean(spark, "ids_state_cli")
+    materialize_scrubbed_ids_table(
+        spark, state_loc, "ids_state_cli", id_col="doc_id",
+        num_buckets=4,
+    )
+    # a post-fold nightly tag the table does not cover yet
+    spark.createDataFrame(
+        [(900,)], "doc_id int"
+    ).write.parquet(state_loc + "/batch_tag=n2")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(10, "a b c d e f g h tail")], "doc_id int, text string"
+    ).write.parquet(src)
+    probes = str(tmp_path / "probes")
+    spark.createDataFrame(
+        [(9, "m n o p q")], "doc_id int, text string"
+    ).write.parquet(probes)
+    algo = REGISTRY["Decontaminate"](spark, ParamsFile({
+        "source_location": src,
+        "probe_location": probes,
+        "state_location": state_loc,
+        "batch_tag": "n3",
+        "state_table": "ids_state_cli",
+        "span_tokens": 3,
+        "target_location": str(tmp_path / "out"),
+    }))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        algo.prepare()
+        out = algo.transform(algo.read())[0]
+        plan = _plan(out)
+        simple = _plan_simple(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        from m3d_engine_spark.operators.suffix import (
+            unpersist_checkpoints,
+        )
+
+        unpersist_checkpoints(algo._checkpointed)
+        algo._checkpointed.clear()
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    assert simple.count("LeftAnti") >= 2, simple
+    lines = simple.splitlines()
+    scan_idx = next(
+        i for i, ln in enumerate(lines) if "ids_state_cli" in ln
+    )
+
+    def depth(ln):
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    d0 = depth(lines[scan_idx])
+    for i in range(scan_idx - 1, -1, -1):
+        ln = lines[i]
+        if depth(ln) >= d0:
+            continue
+        if "Join" in ln:
+            break  # the anti-join, reached with no state-side shuffle
+        assert "Exchange" not in ln, (
+            "ids-table branch shuffles despite bucketing:\n" + simple
+        )
+        d0 = depth(ln)
+    spark.sql("DROP TABLE ids_state_cli")
