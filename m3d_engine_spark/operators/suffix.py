@@ -657,10 +657,15 @@ def read_fold_sidecar(
     path = state_loc.rstrip("/") + "/_folded_tags.json"
     dfs = DFS(spark)
     if not dfs.exists(path):
+        fold_cli = (
+            "Decontaminate"
+            if kind == "scrubbed_ids_fold"
+            else "ExactSubstrDedup"
+        )
         raise ConfigError(
             f"state_table is set but {path} does not exist — no "
-            "fold_state run has committed over this state; run "
-            "ExactSubstrDedup action='fold_state' first, or drop "
+            f"fold_state run has committed over this state; run "
+            f"{fold_cli} action='fold_state' first, or drop "
             "state_table to probe the tag dirs directly"
         )
     try:
@@ -1381,7 +1386,7 @@ class DecontaminateAlgorithm(Algorithm):
                         "probe_artifact_location",
                         "materialize_probe_artifact",
                         "compact_state_over_files", "span_tokens",
-                        "load_mode", "probe_id_column",
+                        "initial_gram", "load_mode", "probe_id_column",
                         "probe_text_column", "text_column"):
                 if p.has(bad):
                     raise ConfigError(
