@@ -82,6 +82,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Parallelism floor for HEAVY-per-row inputs (guide §2.5, input skew):
+# the testdata parquets are SINGLE-row-group files, so the scan cannot
+# split them no matter what the split configs say — every pre-exchange
+# stage (and the whole of a zero-exchange projection query) runs on
+# ONE core. ``_tp`` adds a round-robin repartition right after the
+# read so that work spreads across the session's cores. It is OPT-IN
+# per query, only where the pre-exchange work dominates (shingle/md5
+# pipelines over documents, vector math over embeddings, per-row bit
+# folds over lineitem): an r16 full-sweep A/B showed the exchange +
+# 32-task scheduling overhead REGRESSES cheap or iterative queries
+# (one extra exchange per read ≈ +0.2-0.8 s locally; iterative graph
+# loops multiply the per-round task count), so the floor must not be
+# global. Gated on file size: tables at or above one scan split
+# (maxPartitionBytes, 128 MB) keep their native splits — a
+# production-sized input never pays the shuffle — and tables under
+# 64 KB scan serially in sub-millisecond anyway. Values are
+# untouched; every query's output is partitioning-independent by the
+# determinism rules above (re-pinned by the oracle gate).
+_PAR_FLOOR_MIN_BYTES = 64 << 10
+_PAR_FLOOR_MAX_BYTES = 128 << 20
+
+
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = _t(spark, sf_dir, name)
+    try:
+        import os as _os
+
+        size = _os.path.getsize(_os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        size = _PAR_FLOOR_MAX_BYTES
+    if _PAR_FLOOR_MIN_BYTES <= size < _PAR_FLOOR_MAX_BYTES:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def _dsum(col, scale: int = 12):
     """Order-independent sum of a double column: exact decimal sum, then
     back to double. Scale 12 keeps double→decimal rounding far from
@@ -1020,7 +1055,7 @@ FROM stats
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID (functions/text.py::predicted_language): argmax of
     marker-token counts, ties → lexicographically smallest code."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select("doc_id", T.predicted_language(F.col("text")).alias("lang_pred"))
 
 
@@ -1104,7 +1139,7 @@ def q_simhash64_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs with Hamming ≤ 3 via the banded
     Hamming join (dedup.py::simhash64_hamming_pairs) — the scale-safe
     SimHash (16-bit = 65k buckets = skew bomb at 10⁹ docs)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return simhash64_hamming_pairs(docs, "doc_id", "text", hamming_k=3, bands=4)
 
 
@@ -1228,7 +1263,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dedup (dedup.py::minhash_lsh_candidates): banded
     signatures, candidates from a co-partitioned self-equi-join on
     (band, band_key) — never an all-pairs cross join."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=16, bands=8)
 
 
@@ -1270,7 +1305,7 @@ def q_dedup_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the fixture actually exercises the recommendation branch."""
     from m3d_engine_spark.operators.advisor import dedup_preflight_report
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return dedup_preflight_report(docs, "doc_id", "text", floor=2, ratio=2)
 
 
@@ -1355,7 +1390,7 @@ def q_jaccard_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercises the recommendation branch."""
     from m3d_engine_spark.operators.advisor import jaccard_dial_report
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return jaccard_dial_report(
         docs, "doc_id", "text", ["source"], shingle_n=3, floor=2, ratio=2
     )
@@ -1386,7 +1421,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     production dial against quadratic fan-out; 32 is far above this
     corpus's max per-block df (6 at sf0.1), so the output is provably
     identical to the uncut join here."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, "doc_id", "text", ["source"], shingle_n=3, threshold=0.2,
         max_shingle_df=32,
@@ -1549,7 +1584,7 @@ FROM h
 def q_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ANN baseline (similarity.py::brute_force_topk): broadcast
     queries → BroadcastNestedLoopJoin, zero corpus shuffle."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     out = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
     return out.withColumn("rank", F.col("rank").cast("int"))
@@ -1698,7 +1733,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-substring / plagiarism-style matching."""
     from m3d_engine_spark.operators.dedup import winnowing_fingerprints
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return winnowing_fingerprints(docs, "doc_id", "text", shingle_n=3, window=4)
 
 
@@ -1739,7 +1774,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from m3d_engine_spark.operators.graph import connected_components
     from pyspark.sql.window import Window as W
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=16, bands=8)
     comp = connected_components(
         docs.select("doc_id"), pairs, id_col="doc_id",
@@ -2133,7 +2168,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join's small side."""
     from m3d_engine_spark.operators.decontamination import contamination_check
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     probes = docs.filter(F.col("doc_id") % 100 == 0).select("text")
     return contamination_check(docs, probes, "doc_id", "text", n=3)
 
@@ -2161,7 +2196,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, zero shuffles."""
     from m3d_engine_spark.operators.decontamination import repetition_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return repetition_stats(docs, "doc_id", "text", n=3)
 
 
@@ -2342,7 +2377,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_quality_stats,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
     lines = F.transform(
         F.sequence(
@@ -2634,7 +2669,7 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove_boilerplate_lines,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
     lines = F.transform(
         F.sequence(
@@ -2829,7 +2864,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from m3d_engine_spark.functions.text import tokens
     from m3d_engine_spark.operators.curation import dedup_paragraphs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
     lines = F.transform(
         F.sequence(
@@ -3607,7 +3642,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-local label filter (corpus never shuffles)."""
     from m3d_engine_spark.operators.similarity import hard_negative_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     out = hard_negative_topk(emb, queries, "vec_id", "embedding", "label", k=3)
     return out.withColumn("rank", F.col("rank").cast("int"))
@@ -3728,7 +3763,7 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange keyed (gram → doc+pos → doc)."""
     from m3d_engine_spark.operators.dedup import remove_repeated_spans
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return remove_repeated_spans(docs, "doc_id", "text", span_tokens=8)
 
 
@@ -4058,7 +4093,7 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max bounds ride as a broadcast 1-row aggregate."""
     from m3d_engine_spark.sources.layout import zorder_key
 
-    li = _t(spark, sf_dir, "lineitem").select(
+    li = _tp(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
     return zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)
@@ -4139,7 +4174,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the uncut join."""
     from m3d_engine_spark.operators.dedup import containment_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return containment_pairs(
         docs, "doc_id", "text", ["source"], shingle_n=3, threshold=0.1,
         max_shingle_df=32,
@@ -4307,7 +4342,7 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     thing the projection form exists to avoid at 10⁹ vectors)."""
     from m3d_engine_spark.operators.quantization import pq_encode
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     out = pq_encode(emb, "vec_id", "embedding", dim=64, m=8, k=16)
     return out.select(
         "vec_id",
@@ -4388,7 +4423,7 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit."""
     from m3d_engine_spark.operators.linkage import record_linkage
 
-    cust = _t(spark, sf_dir, "customer")
+    cust = _tp(spark, sf_dir, "customer")
     dirty = cust.filter(F.col("c_custkey") % 10 == 0).select(
         (F.col("c_custkey") + 9000000).alias("d_id"),
         "c_nationkey",
@@ -4860,7 +4895,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_topk,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     cb = pq_codebook(emb, "vec_id", "embedding", k=16)
     codes = pq_encode(
         emb, "vec_id", "embedding", dim=64, m=8, k=16, codebook=cb
@@ -4919,7 +4954,7 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is why the re-rank stage exists."""
     from m3d_engine_spark.operators.quantization import pq_search
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     return pq_search(
         emb, queries, "vec_id", "embedding", dim=64, m=16, k=16,
@@ -5794,7 +5829,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses an exchange."""
     from m3d_engine_spark.operators.dedup import ngram_novelty
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return ngram_novelty(docs, "doc_id", "text", shingle_n=3)
 
 
@@ -5825,7 +5860,7 @@ def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle once; full arrays ride only to candidate pairs."""
     from m3d_engine_spark.operators.dedup import lsh_calibration
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return lsh_calibration(docs, "doc_id", "text", num_hashes=16, bands=8)
 
 
@@ -5885,7 +5920,7 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_quality,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     scored = score_quality(docs, "doc_id", "text").join(
         docs.select(
             F.col("doc_id"),
@@ -6416,7 +6451,7 @@ def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate."""
     from m3d_engine_spark.sources.layout import hilbert_key
 
-    li = _t(spark, sf_dir, "lineitem").select(
+    li = _tp(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
     return hilbert_key(li, ["l_partkey", "l_suppkey"], bits=8)
@@ -7005,7 +7040,7 @@ def q_embedding_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     are decimal, so the matrix is bit-stable across engines (6dp)."""
     from m3d_engine_spark.operators.pca import embedding_covariance
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     return embedding_covariance(emb, "embedding")
 
 
@@ -7828,7 +7863,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals broadcast."""
     from m3d_engine_spark.operators.dedup import source_overlap
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return source_overlap(docs, "source", "text")
 
 
@@ -8036,7 +8071,7 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     of snapshot_diff. One map-side-combinable aggregate."""
     from m3d_engine_spark.operators.expectations import table_checksum
 
-    li = _t(spark, sf_dir, "lineitem").select(
+    li = _tp(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_returnflag", "l_linestatus",
         F.col("l_shipdate").cast("string").alias("l_shipdate"),
@@ -8930,7 +8965,7 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison — doubles only in the reported columns."""
     from m3d_engine_spark.operators.similarity import margin_mine
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     return margin_mine(
         emb.filter(F.col("label") < 5),
         emb.filter(F.col("label") >= 5),
@@ -9466,7 +9501,7 @@ def q_identity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from m3d_engine_spark.operators.linkage import record_linkage
     from pyspark.sql.window import Window as W
 
-    cust = _t(spark, sf_dir, "customer")
+    cust = _tp(spark, sf_dir, "customer")
     dirty = cust.filter(F.col("c_custkey") % 10 == 0).select(
         (F.col("c_custkey") + 9000000).alias("d_id"),
         "c_nationkey",
