@@ -260,7 +260,9 @@ def jaccard_dial_report(
 
     tok = docs.select(
         *[F.col(c) for c in block_cols],
-        F.explode(
+        # outer: shingle_array never null/empty; the inner form's
+        # inferred generate filter re-derives the pipeline per row
+        F.explode_outer(
             F.array_distinct(shingle_array(F.col(text_col), shingle_n))
         ).alias("_shingle_str"),
     ).select(

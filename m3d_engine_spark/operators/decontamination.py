@@ -130,7 +130,8 @@ def contamination_check(
     probe_text_col = probe_text_col or text_col
     probe_shingles = (
         probes.select(
-            F.explode(shingle_array(F.col(probe_text_col), n)).alias("sh")
+            # outer: shingle_array never null/empty (inferred-filter dodge)
+            F.explode_outer(shingle_array(F.col(probe_text_col), n)).alias("sh")
         )
         .distinct()
     )

@@ -145,7 +145,10 @@ def _minhash_sig_wide(
     audit measures exactly the LSH production runs."""
     exploded = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingle_array(F.col(text_col), shingle_n))).alias("shingle"),
+        # explode_outer: shingle_array is never null/empty, and the inner
+        # form's InferFiltersFromGenerate filter would re-derive the whole
+        # shingle pipeline per scan row (see ngram_jaccard_pairs).
+        F.explode_outer(F.array_distinct(shingle_array(F.col(text_col), shingle_n))).alias("shingle"),
     )
     hashed = exploded.select(
         F.col(id_col),
@@ -437,7 +440,15 @@ def ngram_jaccard_pairs(
     # material collision as a hash mismatch).
     tok = base.select(
         F.col(id_col), *[F.col(c) for c in block_cols], F.col("n_sh"),
-        F.explode("sh").alias("_shingle_str"),
+        # explode_outer, though sh is never null/empty (shingle_array
+        # emits >= 1 element for ANY text): the inner explode triggers
+        # InferFiltersFromGenerate, which pushes a size()>0 AND
+        # isnotnull() filter below the scan-side exchange — that filter
+        # re-derives the WHOLE tokenize+shingle pipeline per row (twice)
+        # in the narrow pre-exchange stage, doubling the scan CPU at any
+        # scale (measured -2 s on this entry at sf0.1). outer explode is
+        # bit-identical here and generates no such filter.
+        F.explode_outer("sh").alias("_shingle_str"),
     ).select(
         F.col(id_col), *[F.col(c) for c in block_cols], F.col("n_sh"),
         F.xxhash64("_shingle_str").alias("shingle"),
@@ -604,7 +615,10 @@ def containment_pairs(
     ).withColumn("n_sh", F.size("sh"))
     tok = base.select(
         F.col(id_col), *[F.col(c) for c in block_cols], F.col("n_sh"),
-        F.explode("sh").alias("_s"),
+        # explode_outer for the same reason as ngram_jaccard_pairs: sh
+        # is never null/empty, and the inner form's inferred generate
+        # filter re-derives the shingle pipeline per scan row.
+        F.explode_outer("sh").alias("_s"),
     ).select(
         F.col(id_col), *[F.col(c) for c in block_cols], F.col("n_sh"),
         F.xxhash64("_s").alias("shingle"),
@@ -1302,7 +1316,9 @@ def ngram_novelty(
     """
     sh = df.select(
         F.col(id_col),
-        F.explode(
+        # outer: shingle_array never null/empty; avoids the inferred
+        # generate filter re-deriving the pipeline per row
+        F.explode_outer(
             F.array_distinct(shingle_array(F.col(text_col), shingle_n))
         ).alias("_s"),
     ).select(F.col(id_col), F.xxhash64("_s").alias("sh"))
@@ -1431,7 +1447,8 @@ def source_overlap(
     sh = (
         df.select(
             F.col(source_col).alias("_src"),
-            F.explode(
+            # outer: same inferred-generate-filter avoidance as above
+            F.explode_outer(
                 F.array_distinct(shingle_array(F.col(text_col), shingle_n))
             ).alias("_s"),
         )
