@@ -162,7 +162,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial agg; the groupBy key is 2 low-cardinality columns so
     the shuffle moves only partial aggregates.
     """
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -1008,7 +1008,7 @@ GROUP BY 1, 2
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis (functions/text.py): token counts, diversity,
     stopword/punctuation ratios, quality score — map-only projections."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -1111,7 +1111,7 @@ FROM fp
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash dedup (dedup.py::simhash_duplicates): 16-bit majority
     signature over token md5 bits."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     out = simhash_duplicates(docs, "doc_id", "text")
     return out.withColumn("simhash", F.col("simhash").cast("int"))
 
@@ -1858,7 +1858,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded multi-table hyperplane LSH."""
     from m3d_engine_spark.operators.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     return ivf_topk(
         emb, queries, "vec_id", "embedding", k=5,
@@ -2298,7 +2298,7 @@ def q_fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no CC round re-executes the md5/LSH pipeline."""
     from m3d_engine_spark.operators.fuzzy_dedup import fuzzy_dedup_corpus
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return fuzzy_dedup_corpus(
         docs, "doc_id", "text", num_hashes=16, bands=8, shingle_n=3,
         threshold=0.5,
@@ -2594,7 +2594,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement ran on. Pure regexp projection — zero exchanges."""
     from m3d_engine_spark.functions.redact import pii_scrub
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     injected = _injected(F.col("doc_id"))
     return pii_scrub(
         docs.select("doc_id", injected.alias("text")), "doc_id", "text"
@@ -2918,7 +2918,7 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode, all JVM-side."""
     from m3d_engine_spark.operators.sampling import chunk_documents
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return chunk_documents(docs, "doc_id", "text", chunk_tokens=40, stride=30)
 
 
@@ -2959,7 +2959,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 0.5. Returns surviving new-batch rows."""
     from m3d_engine_spark.operators.incremental import incremental_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     out = incremental_dedup(
         docs.filter(F.col("doc_id") % 5 == 0),
         docs.filter(F.col("doc_id") % 5 != 0),
@@ -3426,7 +3426,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     COMPOSITION of four individually-oracled stages."""
     from m3d_engine_spark.operators.curation import curation_pipeline
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     injected = docs.select("doc_id", _injected(F.col("doc_id")).alias("text"))
     return curation_pipeline(injected, "doc_id", "text")
 
@@ -3490,7 +3490,7 @@ def q_two_stage_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     stick on this corpus, whose top-5 candidates are near-tied."""
     from m3d_engine_spark.operators.similarity import projected_rerank_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     out = projected_rerank_topk(
         emb, queries, "vec_id", "embedding",
@@ -3831,7 +3831,7 @@ def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     which the driver check then certifies end-to-end."""
     from m3d_engine_spark.operators.suffix import exact_substr_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return exact_substr_dedup(docs, "doc_id", "text", span_tokens=8)
 
 
@@ -3889,7 +3889,7 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision)."""
     from m3d_engine_spark.operators.suffix import exact_decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 100 != 0)
     probes = docs.filter(F.col("doc_id") % 100 == 0)
     return exact_decontaminate(
@@ -3987,7 +3987,7 @@ def q_incremental_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides compute the same incremental contract)."""
     from m3d_engine_spark.operators.suffix import incremental_exact_substr
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     b1 = docs.filter(F.col("doc_id") % 2 == 0)
     b2 = docs.filter(F.col("doc_id") % 2 == 1)
     c1, counts1 = incremental_exact_substr(
@@ -4128,7 +4128,7 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     topology."""
     from m3d_engine_spark.operators.reporting import profile_table
 
-    orders = _t(spark, sf_dir, "orders")
+    orders = _tp(spark, sf_dir, "orders")
     return profile_table(
         orders,
         ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
@@ -4483,7 +4483,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained coefficients swap in as one dict."""
     from m3d_engine_spark.operators.classifier import score_quality
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return score_quality(docs, "doc_id", "text")
 
 
@@ -7170,7 +7170,7 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_vocabulary,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     vocab = word_vocabulary(docs, "text").select(
         _to_symbols("word").alias("syms"), "n"
     )
@@ -8192,7 +8192,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     this). Two bounded runs, one join, one aggregate."""
     from m3d_engine_spark.operators.evaluation import recall_at_k
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     approx = bucketed_ann_topk(
         emb, queries, "vec_id", "embedding", k=5, lsh_bits=4
@@ -10742,7 +10742,7 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent. One broadcast dim join + one aggregate."""
     from m3d_engine_spark.operators.normalize import grouped_ols
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     src = li.join(
         F.broadcast(part.select("p_partkey", "p_brand")),
