@@ -704,13 +704,18 @@ def random_walks(
     dead-end nodes (inner join semantics).
 
     Topology: the neighbor relation is ranked ONCE (row_number + count
-    over one (src)-keyed exchange) and persisted; each step is ONE
-    equi-join on the current node with the pick condition
-    ``rk = idx + 1`` evaluated inside the join; the per-step state is
-    one row per live walk, collapsed by a lazy checkpoint (the state
-    feeds both the output union and the next step — the hits()
-    lineage discipline). ``length`` is fixed: the whole walk executes
-    in one job, no per-step driver action.
+    over one (src)-keyed exchange) and persisted, with the per-node
+    degree split into its own (node, outdeg) relation; each step first
+    computes the pick index on the WALK side (one md5 per live walk —
+    the original form evaluated it inside the neighbor-join filter,
+    i.e. once per ADJACENCY row: Σoutdeg ≈ |E| hashes per step instead
+    of |walks|, measured as the dominant stage of the entry), then
+    1:1 equi-joins the pick against the ranked neighbors on
+    ``(src, rk)`` — no per-step fan-out of the full adjacency at all.
+    The per-step state is one row per live walk, collapsed by a lazy
+    checkpoint (the state feeds both the output union and the next
+    step — the hits() lineage discipline). ``length`` is fixed: the
+    whole walk executes in one job, no per-step driver action.
 
     Returns (walk_id, step, node): step 0 is the start node itself.
     """
@@ -729,6 +734,7 @@ def random_walks(
         .withColumn("outdeg", F.count(F.lit(1)).over(w_deg))
         .persist()
     )
+    deg = nb.filter(F.col("rk") == 1).select("src", "outdeg")
     state = (
         nb.select(F.col("src").alias("node"))
         .union(nb.select(F.col("dst").alias("node")))
@@ -743,9 +749,15 @@ def random_walks(
             f"pmod(CAST(conv(substring(md5(concat(CAST(walk_id AS STRING), "
             f"':', '{t}')), 1, 8), 16, 10) AS BIGINT), outdeg)"
         )
+        pick = (
+            state.join(deg, on=[state["node"] == deg["src"]])
+            .select("walk_id", "node", (idx + 1).alias("_rk"))
+        )
         state = (
-            state.join(nb, on=[state["node"] == nb["src"]])
-            .filter(F.col("rk") == idx + 1)
+            pick.join(
+                nb,
+                on=[pick["node"] == nb["src"], pick["_rk"] == nb["rk"]],
+            )
             .select("walk_id", F.col("dst").alias("node"))
             .localCheckpoint(eager=False)
         )
