@@ -1372,10 +1372,31 @@ def lsh_calibration(
     Returns (id_a, id_b, est_j, exact_j, abs_err), 4dp.
     """
     assert num_hashes % bands == 0
+    # One corpus minhash pass, pinned: the signature relation feeds
+    # THREE consumers (band keys -> candidates, and the two est-side
+    # joins below); left lazy each consumer re-derives the whole
+    # explode+md5 pipeline from the scan — the before-plan showed 16
+    # document scans and zero ReusedExchange for this one query. A
+    # lazy localCheckpoint materializes it once inside the terminal
+    # action (guide §2.4: two operations keyed the same way share one
+    # evaluation).
     sig = _minhash_sig_wide(df, id_col, text_col, num_hashes, shingle_n)
+    sig = sig.localCheckpoint(eager=False)
     bands_rel = _band_keys(sig, id_col, num_hashes, bands)
-    cands = _banded_candidates(bands_rel, id_col)
-    sig_arr = sig.select(
+    # Candidate pairs pinned too (they feed the est joins AND the
+    # exact verify), and the verify inputs below are bounded by the
+    # candidate ids instead of the corpus — the fuzzy-dedup verify
+    # discipline (guide §2.3): the exact-Jaccard side re-shingles only
+    # docs that appear in a pair, and the broadcast hint keeps the
+    # semi-join from exchanging the corpus by id (the planner cannot
+    # size an RDD-scan input).
+    cands = _banded_candidates(bands_rel, id_col).localCheckpoint(eager=False)
+    cand_ids = F.broadcast(
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sig_arr = sig.join(cand_ids, on=id_col, how="leftsemi").select(
         F.col(id_col),
         F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"),
     )
@@ -1391,7 +1412,7 @@ def lsh_calibration(
         / F.lit(float(num_hashes)),
         4,
     )
-    base = df.select(
+    base = df.join(cand_ids, on=id_col, how="leftsemi").select(
         F.col(id_col),
         F.array_distinct(shingle_array(F.col(text_col), shingle_n)).alias(
             "sh"
